@@ -1,0 +1,95 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types._
+
+/** Table loaders + explicit schemas for the driver test tables.
+  *
+  * Schemas are declared explicitly (never inferred) mirroring the
+  * reference's fixed/hard-coded schema style (reference:
+  * queue_time_predictions/estimate_queue.py:15-28 `ModelSpec`;
+  * test/conftest.py:11-21 DynamoDB AttributeDefinitions). The explicit
+  * StructType is required for Structured Streaming file sources and
+  * doubles as documentation of the engine's data model.
+  *
+  * At 100 TB these reads are partitioned parquet scans; Catalyst pushes
+  * filters and prunes columns into the scan, so loaders stay plain
+  * `spark.read.parquet` with no eager action.
+  */
+object Tables {
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(path(dir, name))
+
+  def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
+  /** events.ts is parquet timestamp[ns], which Spark 4 refuses to read
+    * as TimestampType. Read it as a long (legacy conf) and floor-divide
+    * to µs — the same truncation DuckDB applies when it reads the file —
+    * yielding a standard TimestampType column. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** events schema, needed for readStream (streaming sources cannot infer).
+    * ts is stored as parquet timestamp[ns]; Spark reads TimestampType (µs).
+    */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType),
+  ))
+
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType),
+  ))
+
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType),
+  ))
+}
+
+/** Typed records for the Dataset[T] (typed) surface of the pipeline.
+  * Observation ≅ the reference's parsed (station_id, timestamp) +
+  * measurement (reference: estimate_queue.py:31-61 parse, :80-88
+  * prediction dict); Prediction ≅ the enriched record upserted to the
+  * keyed sink (reference: estimate_queue.py:189-192).
+  */
+case class Observation(
+    station_id: Long,
+    obs_ts: java.sql.Timestamp,
+    x_pos: Double,
+    lanes_raw: Double,
+    queue_full: Double)
+
+case class Prediction(
+    station_id: Long,
+    obs_ts: java.sql.Timestamp,
+    queue_end_pos: Double,
+    lanes: Double,
+    queue_full: Double,
+    meters: Double,
+    cars: Double,
+    expected_queue_time: Double)
