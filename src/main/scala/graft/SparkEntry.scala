@@ -6,14 +6,16 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Pipeline.estimateQueue(spark, "/root/testdata/sf0.001")
+  /** All query families contributing to the operator surface. */
+  private def families: Seq[QueryDef] = Relational.all
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map[String, (SparkSession, String) => DataFrame](
-      "estimate_queue" -> (Pipeline.estimateQueue _)
-    )
+    QueryDef.queriesOf(families) +
+      ("estimate_queue" -> (Pipeline.estimateQueue _))
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "estimate_queue" -> Pipeline.estimateQueueSql
-  )
+  def oracleSql: Map[String, String] =
+    QueryDef.oraclesOf(families) +
+      ("estimate_queue" -> Pipeline.estimateQueueSql)
 }

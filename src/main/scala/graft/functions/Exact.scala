@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Order-independent exact aggregation helpers.
+  *
+  * Floating-point SUM is association-order dependent: a 1000-executor
+  * shuffle and a single-node oracle will disagree in the last bits, and
+  * at 100 TB even run-to-run results differ as partitioning changes.
+  * Casting each term to DECIMAL before summing makes the aggregate an
+  * exact integer-arithmetic fold — any partitioning, any merge order,
+  * same bits. The paired `...Sql` emitters render the identical
+  * semantics for the DuckDB oracle.
+  */
+object Exact {
+
+  /** Exact sum of a double expression, returned as double. */
+  def decSum(c: Column, scale: Int = 6): Column =
+    sum(c.cast(DecimalType(30, scale))).cast("double")
+
+  def decSumSql(e: String, scale: Int = 6): String =
+    s"CAST(sum(CAST(($e) AS DECIMAL(30,$scale))) AS DOUBLE)"
+
+  /** Exact-numerator average of a double expression. */
+  def decAvg(c: Column, scale: Int = 6): Column =
+    sum(c.cast(DecimalType(30, scale))).cast("double") / count(lit(1))
+
+  def decAvgSql(e: String, scale: Int = 6): String =
+    s"(CAST(sum(CAST(($e) AS DECIMAL(30,$scale))) AS DOUBLE) / count(*))"
+
+  /** Exact sum-of-squares of an Array[Float] column (vector squared L2
+    * norm), the workhorse of the similarity operators. Accumulates in
+    * DECIMAL so executor-side evaluation order is irrelevant. The merge
+    * result is cast back to the accumulator type (Spark's decimal-add
+    * widens precision past 38 and would otherwise drop to scale 11). */
+  def sumSq(arr: Column): Column =
+    aggregate(
+      arr,
+      lit(0).cast(DecimalType(30, 12)),
+      (acc, x) => (acc + (x.cast("double") * x.cast("double")).cast(DecimalType(20, 12)))
+        .cast(DecimalType(30, 12))
+    ).cast("double")
+
+  def sumSqSql(arr: String): String =
+    s"CAST(list_sum(list_transform($arr, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(20,12)))) AS DOUBLE)"
+
+  /** Exact dot product of two Array[Float] columns. */
+  def dotF(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0).cast(DecimalType(30, 12)),
+      (acc, v) => (acc + v.cast(DecimalType(20, 12))).cast(DecimalType(30, 12))
+    ).cast("double")
+
+  def dotFSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> CAST(CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE) AS DECIMAL(20,12)))) AS DOUBLE)"
+
+  /** Cosine similarity of two Array[Float] columns (double, exact-dot
+    * based so both engines agree bit-for-bit). */
+  def cosineF(a: Column, b: Column): Column =
+    dotF(a, b) / (sqrt(sumSq(a)) * sqrt(sumSq(b)))
+
+  def cosineFSql(a: String, b: String): String =
+    s"(${dotFSql(a, b)} / (sqrt(${sumSqSql(a)}) * sqrt(${sumSqSql(b)})))"
+}

@@ -1,0 +1,564 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{Estimate, Exact}
+import graft.model.Tables
+
+/** Relational operator surface (SURVEY.md §2.2): each reference
+  * operator generalized to set-at-a-time Spark, one named query per
+  * operator family, each with a DuckDB oracle.
+  *
+  * Determinism rules: every query ends in a total-order ORDER BY;
+  * double aggregates go through Exact.decSum/decAvg (order-independent
+  * decimal accumulation); DuckDB NULL ordering is spelled explicitly
+  * (Spark ASC = NULLS FIRST); int sums are CAST to BIGINT on the DuckDB
+  * side (its sum(int) is HUGEINT).
+  *
+  * Scale notes are per-query; the common ones: projections/filters fuse
+  * into the scan (WholeStageCodegen, parquet pushdown), dim joins are
+  * broadcast (zero shuffle), fact joins and aggs shuffle once on their
+  * key, windows shuffle once on the partition key. No collect anywhere.
+  */
+object Relational {
+  import Estimate.d
+
+  // DuckDB parses bare decimal literals in VALUES as DECIMAL; CAST each
+  // so the joined columns come out DOUBLE like Spark's.
+  private def dd(x: Double): String = s"CAST(${d(x)} AS DOUBLE)"
+
+  private val segmentsSql: String = Estimate.Points.sliding(2).collect {
+    case Seq((xa, ya), (xb, yb)) => s"(${dd(xa)}, ${dd(xb)}, ${dd(ya)}, ${dd(yb)})"
+  }.mkString(", ")
+
+  private val knotsSql: String =
+    Estimate.Points.map { case (x, m) => s"(${dd(x)}, ${dd(m)})" }.mkString(", ")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // --- Scan + projection + limit (S1-S3 generalized). Projection is
+    // pruned into the parquet scan; ORDER BY + LIMIT plans as
+    // TakeOrderedAndProject (no full sort at scale).
+    QueryDef("q_scan_project",
+      (spark, dir) => Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(100),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""")),
+
+    // --- Compound predicate filter (E3/E7 thresholds generalized).
+    // Predicates push down to the parquet row-group level.
+    QueryDef("q_filter_compound",
+      (spark, dir) => Tables.lineitem(spark, dir)
+        .filter((col("l_returnflag") === "R" || col("l_linestatus") === "F")
+          && col("l_quantity") > 25.0
+          && col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00"))
+          && !(col("l_discount") >= 0.05 && col("l_discount") <= 0.07))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"), col("l_returnflag"), col("l_linestatus"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_linestatus
+FROM lineitem
+WHERE (l_returnflag = 'R' OR l_linestatus = 'F')
+  AND l_quantity > 25.0
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND NOT (l_discount >= 0.05 AND l_discount <= 0.07)
+ORDER BY l_orderkey, l_linenumber""")),
+
+    // --- Scalar math projection (P3, E1, E2, E6, E8, E9 generalized).
+    QueryDef("q_scalar_math",
+      (spark, dir) => Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).as("charge"),
+          least(greatest(col("l_quantity"), lit(5.0)), lit(45.0)).as("capped_qty"),
+          round(col("l_extendedprice") / col("l_quantity"), 2).as("unit_price_r"),
+          floor(col("l_extendedprice") / lit(1000.0)).as("price_bucket"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      // Spark round() goes through BigDecimal.valueOf (shortest double
+      // repr, HALF_UP); DuckDB's numeric round() differs on some values
+      // but its double→DECIMAL cast uses the same shortest-repr digits.
+      Some("""SELECT l_orderkey, l_linenumber,
+  l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge,
+  least(greatest(l_quantity, 5.0), 45.0) AS capped_qty,
+  CAST(CAST(l_extendedprice / l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS unit_price_r,
+  CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_bucket
+FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // --- Conditional expression: the E5 piecewise interpolation as a
+    // standalone per-row when-chain (constant-folded, codegen'd).
+    QueryDef("q_conditional_interp",
+      (spark, dir) => Tables.events(spark, dir)
+        .select(col("event_id"), col("value"),
+          (col("value") * lit(Pipeline.XScale)).as("x_pos"))
+        .withColumn("meters", Estimate.piecewiseInterp(col("x_pos")))
+        .orderBy(col("event_id")),
+      Some(s"""SELECT event_id, value, x_pos, ${Estimate.piecewiseInterpSql("x_pos")} AS meters
+FROM (SELECT event_id, value, value * ${d(Pipeline.XScale)} AS x_pos FROM events)
+ORDER BY event_id""")),
+
+    // --- String / regex functions (F1 generalized).
+    QueryDef("q_string_funcs",
+      (spark, dir) => {
+        val key = concat(lit("station_id_"), col("doc_id").cast("string"),
+          lit("_20200506T094000.bin"))
+        Tables.documents(spark, dir).select(
+          col("doc_id"),
+          upper(substring(col("text"), 1, 10)).as("head10"),
+          length(col("text")).as("len_chars"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          concat(col("lang"), lit("-"), col("source")).as("tag"),
+          regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word"),
+          element_at(split(col("text"), " "), 2).as("second_word"),
+          col("text").contains("spark").as("has_spark"),
+          instr(col("text"), "spark").as("spark_pos"),
+          Estimate.parseStationId(key).as("parsed_station"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+  upper(substring(text, 1, 10)) AS head10,
+  CAST(length(text) AS INT) AS len_chars,
+  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+  concat(lang, '-', source) AS tag,
+  regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+  split_part(text, ' ', 2) AS second_word,
+  contains(text, 'spark') AS has_spark,
+  CAST(instr(text, 'spark') AS INT) AS spark_pos,
+  CAST(regexp_extract(concat('station_id_', CAST(doc_id AS VARCHAR), '_20200506T094000.bin'),
+       'station_id_([0-9]+)_([0-9T]+)\.bin', 1) AS BIGINT) AS parsed_station
+FROM documents ORDER BY doc_id""")),
+
+    // --- Date/time functions (F1 timestamp semantics generalized).
+    QueryDef("q_datetime_funcs",
+      (spark, dir) => Tables.orders(spark, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        quarter(col("o_orderdate")).as("qtr"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_trunc("month", col("o_orderdate")).as("mon_start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        datediff(col("o_orderdate"), to_timestamp(lit("1995-01-01 00:00:00"))).as("days_since"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+  CAST(year(o_orderdate) AS INT) AS yr,
+  CAST(month(o_orderdate) AS INT) AS mo,
+  CAST(quarter(o_orderdate) AS INT) AS qtr,
+  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_start,
+  o_orderdate + INTERVAL 30 DAY AS plus30,
+  CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) AS epoch_s,
+  CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since
+FROM orders ORDER BY o_orderkey""")),
+
+    // --- Europe/Oslo naive-local → epoch conversion, the reference's
+    // exact timestamp semantics (estimate_queue.py:49-51).
+    QueryDef("q_oslo_epoch",
+      (spark, dir) => {
+        val basic = date_format(col("ts"), "yyyyMMdd'T'HHmmss")
+        Tables.events(spark, dir).select(
+          col("event_id"),
+          basic.as("basic_iso"),
+          Estimate.osloEpoch(basic).as("oslo_epoch"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+  strftime(ts, '%Y%m%dT%H%M%S') AS basic_iso,
+  CAST(epoch(timezone('Europe/Oslo', strptime(strftime(ts, '%Y%m%dT%H%M%S'), '%Y%m%dT%H%M%S'))) AS BIGINT) AS oslo_epoch
+FROM events ORDER BY event_id""")),
+
+    // --- JSON functions (prediction-dict assembly, estimate_queue.py:85-88).
+    QueryDef("q_json_funcs",
+      (spark, dir) => {
+        val k = get_json_object(col("props"), "$.k").cast("int")
+        Tables.events(spark, dir).select(
+          col("event_id"),
+          k.as("k"),
+          when(k >= 80, "high").when(k >= 40, "mid").otherwise("low").as("k_bucket"),
+          to_json(struct(k.as("k"))).as("props_rebuilt"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, k,
+  CASE WHEN k >= 80 THEN 'high' WHEN k >= 40 THEN 'mid' ELSE 'low' END AS k_bucket,
+  to_json({'k': k}) AS props_rebuilt
+FROM (SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+ORDER BY event_id""")),
+
+    // --- Array functions (P1/P2/P4 generalized over the feature-vector
+    // column). sum-of-squares uses decimal accumulation (Exact.sumSq).
+    QueryDef("q_array_funcs",
+      (spark, dir) => Tables.embeddings(spark, dir).select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_val"),
+        array_min(col("embedding")).cast("double").as("emb_min"),
+        array_max(col("embedding")).cast("double").as("emb_max"),
+        Exact.sumSq(col("embedding")).as("sumsq"),
+        slice(col("embedding"), 1, 4).as("head4"),
+        transform(slice(col("embedding"), 1, 4),
+          x => x.cast("double") * lit(2.0)).as("doubled_head"))
+        .orderBy(col("vec_id")),
+      Some(s"""SELECT vec_id,
+  CAST(len(embedding) AS INT) AS dim,
+  CAST(embedding[1] AS DOUBLE) AS first_val,
+  CAST(list_min(embedding) AS DOUBLE) AS emb_min,
+  CAST(list_max(embedding) AS DOUBLE) AS emb_max,
+  ${Exact.sumSqSql("embedding")} AS sumsq,
+  embedding[1:4] AS head4,
+  list_transform(embedding[1:4], x -> CAST(x AS DOUBLE) * 2.0) AS doubled_head
+FROM embeddings ORDER BY vec_id""")),
+
+    // --- Struct build / field access (prediction record assembly).
+    QueryDef("q_struct_funcs",
+      (spark, dir) => {
+        val obs = struct(col("user_id").as("station"), col("event_type").as("kind"),
+          col("value").as("reading"))
+        Tables.events(spark, dir).select(
+          col("event_id"),
+          obs.as("obs"),
+          (obs.getField("reading") * 2.0).as("reading2"),
+          upper(obs.getField("kind")).as("kind_u"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+  {'station': user_id, 'kind': event_type, 'reading': value} AS obs,
+  value * 2.0 AS reading2,
+  upper(event_type) AS kind_u
+FROM events ORDER BY event_id""")),
+
+    // --- Broadcast dim join (K2 keyed lookup generalized): both dims
+    // are broadcast — zero shuffle on the probe side at any scale.
+    QueryDef("q_join_broadcast",
+      (spark, dir) => Tables.customer(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          Exact.decSum(col("c_acctbal"), 2).as("acct_total"))
+        .orderBy(col("r_name"), col("n_name")),
+      Some(s"""SELECT r_name, n_name, count(*) AS n_cust,
+  ${Exact.decSumSql("c_acctbal", 2)} AS acct_total
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name""")),
+
+    // --- Large equi join (shuffle / sort-merge at scale; AQE picks the
+    // physical strategy) + aggregation.
+    QueryDef("q_join_shuffle",
+      (spark, dir) => Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"))
+        .orderBy(col("o_orderpriority")),
+      Some(s"""SELECT o_orderpriority, count(*) AS n_items,
+  ${Exact.decSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // --- Semi join (EXISTS; S1 empty-prefix existence check generalized).
+    QueryDef("q_join_semi",
+      (spark, dir) => {
+        val heavy = Tables.lineitem(spark, dir).filter(col("l_quantity") > 45.0)
+        Tables.orders(spark, dir)
+          .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+ORDER BY o_orderkey""")),
+
+    // --- Anti join (NOT EXISTS): orders with no near-capacity item.
+    QueryDef("q_join_anti",
+      (spark, dir) => {
+        val heavy = Tables.lineitem(spark, dir).filter(col("l_quantity") > 49.0)
+        Tables.orders(spark, dir)
+          .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_anti")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 49.0)
+ORDER BY o_orderkey""")),
+
+    // --- Theta/range join: event x-position against calibration
+    // segment intervals (E5 as a join). The tiny segment table is
+    // broadcast → BroadcastNestedLoopJoin, no shuffle of the fact side.
+    QueryDef("q_join_range",
+      (spark, dir) => {
+        import spark.implicits._
+        val segs = Estimate.Points.sliding(2).collect {
+          case Seq((xa, ya), (xb, yb)) => (xa, xb, ya, yb)
+        }.toSeq.toDF("seg_lo", "seg_hi", "m_lo", "m_hi")
+        Tables.events(spark, dir)
+          .select(col("event_id"), (col("value") * lit(Pipeline.XScale)).as("x_pos"))
+          .join(broadcast(segs),
+            col("x_pos") >= col("seg_lo") && col("x_pos") < col("seg_hi"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""SELECT event_id, x_pos, seg_lo, seg_hi, m_lo, m_hi
+FROM (SELECT event_id, value * ${d(Pipeline.XScale)} AS x_pos FROM events) e
+JOIN (VALUES $segmentsSql) seg(seg_lo, seg_hi, m_lo, m_hi)
+  ON e.x_pos >= seg.seg_lo AND e.x_pos < seg.seg_hi
+ORDER BY event_id""")),
+
+    // --- As-of join (backward): last calibration knot at or before each
+    // x-position. Broadcast non-equi join + max(struct) argmax — the
+    // small-dim as-of shape; no shuffle of the probe side.
+    QueryDef("q_asof_knot",
+      (spark, dir) => {
+        import spark.implicits._
+        val knots = Estimate.Points.toDF("kx", "km")
+        Tables.events(spark, dir)
+          .select(col("event_id"),
+            Estimate.clampNonNeg(col("value") * lit(Pipeline.XScale)).as("x_pos"))
+          .join(broadcast(knots), col("kx") <= col("x_pos"))
+          .groupBy(col("event_id"), col("x_pos"))
+          .agg(max(struct(col("kx"), col("km"))).as("k"))
+          .select(col("event_id"), col("x_pos"),
+            col("k.kx").as("knot_x"), col("k.km").as("knot_m"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""SELECT event_id, x_pos, max(kx) AS knot_x, arg_max(km, kx) AS knot_m
+FROM (SELECT event_id, ${Estimate.clampNonNegSql(s"value * ${d(Pipeline.XScale)}")} AS x_pos FROM events) e
+JOIN (VALUES $knotsSql) k(kx, km) ON k.kx <= e.x_pos
+GROUP BY event_id, x_pos ORDER BY event_id""")),
+
+    // --- Hash aggregation with the full agg-function family (fleet-wide
+    // rollup of per-record estimates). Partial (map-side) aggregation is
+    // automatic; one shuffle on the group key.
+    QueryDef("q_agg_events",
+      (spark, dir) => Tables.events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          Exact.decSum(col("value"), 2).as("sum_value"),
+          Exact.decAvg(col("value"), 2).as("avg_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy(col("event_type")),
+      Some(s"""SELECT event_type, count(*) AS n,
+  count(DISTINCT user_id) AS n_users,
+  ${Exact.decSumSql("value", 2)} AS sum_value,
+  ${Exact.decAvgSql("value", 2)} AS avg_value,
+  min(value) AS min_value,
+  max(value) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // --- TPC-H Q1-shaped pricing summary (decimal-exact aggregates).
+    QueryDef("q_agg_lineitem",
+      (spark, dir) => Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Exact.decSum(col("l_quantity"), 2).as("sum_qty"),
+          Exact.decSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("sum_disc_price"),
+          Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+          Exact.decAvg(col("l_quantity"), 2).as("avg_qty"),
+          Exact.decAvg(col("l_extendedprice"), 2).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+  ${Exact.decSumSql("l_quantity", 2)} AS sum_qty,
+  ${Exact.decSumSql("l_extendedprice", 2)} AS sum_base_price,
+  ${Exact.decSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
+  ${Exact.decSumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+  ${Exact.decAvgSql("l_quantity", 2)} AS avg_qty,
+  ${Exact.decAvgSql("l_extendedprice", 2)} AS avg_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""")),
+
+    // --- ROLLUP (hierarchical aggregates).
+    QueryDef("q_rollup_events",
+      (spark, dir) => Tables.events(spark, dir)
+        .withColumn("mon", date_trunc("month", col("ts")))
+        .rollup(col("event_type"), col("mon"))
+        .agg(count(lit(1)).as("n"), Exact.decSum(col("value"), 2).as("sum_value"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("mon")),
+      Some(s"""SELECT event_type, mon, count(*) AS n, ${Exact.decSumSql("value", 2)} AS sum_value
+FROM (SELECT event_type, CAST(date_trunc('month', ts) AS TIMESTAMP) AS mon, value FROM events)
+GROUP BY ROLLUP(event_type, mon)
+ORDER BY event_type NULLS FIRST, mon NULLS FIRST""")),
+
+    // --- CUBE.
+    QueryDef("q_cube_docs",
+      (spark, dir) => Tables.documents(spark, dir)
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source")),
+      Some("""SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY CUBE(lang, source)
+ORDER BY lang NULLS FIRST, source NULLS FIRST""")),
+
+    // --- GROUPING SETS via the SQL entry point.
+    QueryDef("q_grouping_sets",
+      (spark, dir) => {
+        Tables.events(spark, dir).createOrReplaceTempView("events_gs")
+        spark.sql(s"""SELECT event_type, user_id, count(1) AS n,
+  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+FROM events_gs
+GROUP BY GROUPING SETS ((event_type), (user_id), ())
+ORDER BY event_type NULLS FIRST, user_id NULLS FIRST""")
+      },
+      Some(s"""SELECT event_type, user_id, count(*) AS n, ${Exact.decSumSql("value", 2)} AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id), ())
+ORDER BY event_type NULLS FIRST, user_id NULLS FIRST""")),
+
+    // --- DISTINCT (exact dedup of the flag/status domain).
+    QueryDef("q_distinct_flags",
+      (spark, dir) => Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+ORDER BY l_returnflag, l_linestatus""")),
+
+    // --- Ranking window functions (K2 last-write-wins machinery).
+    QueryDef("q_window_rank",
+      (spark, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wv = Window.partitionBy(col("user_id"))
+          .orderBy(col("value").desc, col("event_id"))
+        Tables.events(spark, dir).select(
+          col("user_id"), col("event_id"),
+          row_number().over(w).as("rn"),
+          rank().over(wv).as("rk"),
+          dense_rank().over(wv).as("drk"),
+          ntile(4).over(w).as("quartile"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+  rank() OVER (PARTITION BY user_id ORDER BY value DESC NULLS LAST, event_id) AS rk,
+  dense_rank() OVER (PARTITION BY user_id ORDER BY value DESC NULLS LAST, event_id) AS drk,
+  ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile
+FROM events ORDER BY user_id, event_id""")),
+
+    // --- Analytic window functions + sliding frame (rolling smoothing
+    // of the per-station estimate feed).
+    QueryDef("q_window_analytic",
+      (spark, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(spark, dir).select(
+          col("user_id"), col("event_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("run_count"),
+          round(avg(col("value")).over(w.rowsBetween(-3, 0)), 6).as("roll_avg"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, value,
+  lag(value, 1) OVER w AS prev_value,
+  lead(value, 1) OVER w AS next_value,
+  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_count,
+  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS roll_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id""")),
+
+    // --- Latest-per-key as aggregation (K2 upsert via max_by/arg_max).
+    QueryDef("q_latest_by_user",
+      (spark, dir) => {
+        val ord = unix_micros(col("ts")) * lit(1000L) + col("event_id")
+        Tables.events(spark, dir)
+          .groupBy(col("user_id"))
+          .agg(
+            max_by(col("value"), ord).as("last_value"),
+            max_by(col("event_type"), ord).as("last_type"),
+            max_by(unix_micros(col("ts")), ord).as("last_ts_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+  arg_max(value, epoch_us(ts) * 1000 + event_id) AS last_value,
+  arg_max(event_type, epoch_us(ts) * 1000 + event_id) AS last_type,
+  arg_max(epoch_us(ts), epoch_us(ts) * 1000 + event_id) AS last_ts_us
+FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // --- Global top-k (TakeOrderedAndProject: per-partition heaps, no
+    // full sort at scale).
+    QueryDef("q_topk",
+      (spark, dir) => Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("value").desc, col("event_id"))
+        .limit(20),
+      Some("""SELECT event_id, user_id, value FROM events
+ORDER BY value DESC NULLS LAST, event_id LIMIT 20""")),
+
+    // --- Per-group top-k via ranking window.
+    QueryDef("q_topk_per_group",
+      (spark, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value").desc, col("event_id"))
+        Tables.events(spark, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("event_type"), col("rn"), col("event_id"), col("value"))
+          .orderBy(col("event_type"), col("rn"))
+      },
+      Some("""SELECT event_type, rn, event_id, value FROM (
+  SELECT event_type, event_id, value,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY value DESC NULLS LAST, event_id) AS rn
+  FROM events) WHERE rn <= 3
+ORDER BY event_type, rn""")),
+
+    // --- Set operations (UNION distinct / INTERSECT / EXCEPT).
+    QueryDef("q_set_ops",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        def users(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
+        val unionExcept = users("purchase").union(users("signup")).distinct()
+          .except(users("error")).withColumn("op", lit("union_except"))
+        val inter = users("purchase").intersect(users("click"))
+          .withColumn("op", lit("intersect"))
+        unionExcept.unionByName(inter)
+          .select(col("op"), col("user_id"))
+          .orderBy(col("op"), col("user_id"))
+      },
+      Some("""SELECT op, user_id FROM (
+  SELECT 'union_except' AS op, user_id FROM (
+    (SELECT user_id FROM events WHERE event_type = 'purchase'
+     UNION SELECT user_id FROM events WHERE event_type = 'signup')
+    EXCEPT SELECT user_id FROM events WHERE event_type = 'error')
+  UNION ALL
+  SELECT 'intersect' AS op, user_id FROM (
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT SELECT user_id FROM events WHERE event_type = 'click'))
+ORDER BY op, user_id""")),
+
+    // --- Approximate distinct (HLL sketch). Sketch internals differ
+    // across engines → no SQL oracle (driver rows-only check); the
+    // scalatest suite bounds it against the exact count instead.
+    QueryDef("q_approx_distinct",
+      (spark, dir) => Tables.events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type")),
+      None),
+  )
+}
