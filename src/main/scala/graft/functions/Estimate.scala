@@ -74,7 +74,9 @@ object Estimate {
   // reference: estimate_queue.py:122-124. Python round() is banker's;
   // Spark bround is the faithful HALF_EVEN equivalent.
   def lanesOf(raw: Column): Column = bround(raw + lit(1.0))
-  def lanesOfSql(raw: String): String = s"round(($raw) + 1.0)"
+  // DuckDB round() is HALF_UP (away from zero); round_even is the
+  // HALF_EVEN partner of Spark bround, so the emitters agree on ties.
+  def lanesOfSql(raw: String): String = s"round_even(($raw) + 1.0, 0)"
 
   // --- E4: full-queue saturation to the farthest calibration point.
   // reference: estimate_queue.py:112,135-136.

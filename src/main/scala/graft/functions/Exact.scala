@@ -30,6 +30,18 @@ object Exact {
   def decAvgSql(e: String, scale: Int = 6): String =
     s"(CAST(sum(CAST(($e) AS DECIMAL(30,$scale))) AS DOUBLE) / count(*))"
 
+  /** Exact per-row sum of an Array[Double] column (decimal fold, so
+    * element order / engine association cannot change the result). */
+  def decSumArr(arr: Column): Column =
+    aggregate(
+      arr,
+      lit(0).cast(DecimalType(30, 12)),
+      (acc, x) => (acc + x.cast(DecimalType(20, 12))).cast(DecimalType(30, 12))
+    ).cast("double")
+
+  def decSumArrSql(e: String): String =
+    s"CAST(list_sum(list_transform($e, x -> CAST(x AS DECIMAL(20,12)))) AS DOUBLE)"
+
   /** Exact sum-of-squares of an Array[Float] column (vector squared L2
     * norm), the workhorse of the similarity operators. Accumulates in
     * DECIMAL so executor-side evaluation order is irrelevant. The merge

@@ -34,27 +34,41 @@ object Tables {
   /** events.ts is parquet timestamp[ns], which Spark 4 refuses to read
     * as TimestampType. Read it as a long (legacy conf) and floor-divide
     * to µs — the same truncation DuckDB applies when it reads the file —
-    * yielding a standard TimestampType column. */
+    * yielding a standard TimestampType column.
+    *
+    * The conf is set once at session build by our mains (Verify/Bench/
+    * tests); the guarded set below covers externally-built sessions
+    * (the driver's t1 smoke) without re-mutating configured ones. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!spark.conf.getOption(NanosConf).contains("true"))
+      spark.conf.set(NanosConf, "true")
     load(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
+
+  val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** events schema, needed for readStream (streaming sources cannot infer).
-    * ts is stored as parquet timestamp[ns]; Spark reads TimestampType (µs).
-    */
-  val eventsSchema: StructType = StructType(Seq(
+  /** events STORAGE schema, needed for readStream (streaming sources
+    * cannot infer). Under [[NanosConf]] the parquet timestamp[ns] column
+    * reads as LongType nanoseconds — the declared schema matches what
+    * the reader actually yields; [[eventsFromStorage]] applies the same
+    * ns→µs TimestampType conversion the batch loader uses. */
+  val eventsStorageSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType),
   ))
+
+  /** Storage-schema rows (ts: long ns) → the logical events shape. */
+  def eventsFromStorage(df: DataFrame): DataFrame =
+    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
 
   val embeddingsSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),

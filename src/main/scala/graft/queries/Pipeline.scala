@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Estimate
@@ -17,11 +16,12 @@ import graft.model.Tables
   * Luigi container run becomes "all stations × all timestamps" in a
   * single declarative plan.
   *
-  * Scale notes (100 TB): everything before the final window is a
+  * Scale notes (100 TB): everything before the final aggregation is a
   * per-row projection fused into one WholeStageCodegen over the scan —
-  * zero shuffles. The latest-per-station upsert is ONE shuffle on
-  * station_id; at scale that key has bounded cardinality per partition
-  * and AQE handles skew. No collect, no driver-side loops.
+  * zero shuffles. The latest-per-station upsert is a max_by hash
+  * aggregation: map-side partial aggregation collapses every partition
+  * to ≤ #stations rows before the single shuffle, and no sort happens
+  * anywhere. No collect, no driver-side loops.
   */
 object Pipeline {
 
@@ -51,17 +51,24 @@ object Pipeline {
       .withColumn("cars", carsOf(col("meters")))                           // E8
       .withColumn("expected_queue_time", queueTime(col("cars")))           // E9
 
-    // K2: keyed last-write-wins upsert — latest observation per station.
+    // K2: keyed last-write-wins upsert — latest observation per station,
+    // as a max_by AGGREGATION rather than a ranking window: the partial
+    // (map-side) aggregate reduces each partition to one row per station
+    // BEFORE the shuffle, so parallelism is unbounded and no per-station
+    // sort ever happens — the scale-safe plan at 1000 executors, where a
+    // partitionBy(station_id) window would cap out at #stations tasks
+    // and sort each station's full history.
     // reference: estimate_queue.py:166-178 (DynamoDB update_item).
-    val w = Window.partitionBy(col("station_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    est.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(
-        col("station_id"),
-        unix_timestamp(col("ts")).as("obs_ts"),
-        col("x_pos"), col("lanes"), col("queue_full"),
-        col("meters"), col("cars"), col("expected_queue_time"))
+    val ord = struct(col("ts"), col("event_id"))
+    val payload = struct(
+      unix_timestamp(col("ts")).as("obs_ts"),
+      col("x_pos"), col("lanes"), col("queue_full"),
+      col("meters"), col("cars"), col("expected_queue_time"))
+    est.groupBy(col("station_id"))
+      .agg(max_by(payload, ord).as("r"))
+      .select(col("station_id"), col("r.obs_ts"), col("r.x_pos"), col("r.lanes"),
+        col("r.queue_full"), col("r.meters"), col("r.cars"),
+        col("r.expected_queue_time"))
       .orderBy(col("station_id"))
   }
 

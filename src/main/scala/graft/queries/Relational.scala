@@ -77,16 +77,17 @@ ORDER BY l_orderkey, l_linenumber""")),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount"))
             * (lit(1.0) + col("l_tax"))).as("charge"),
           least(greatest(col("l_quantity"), lit(5.0)), lit(45.0)).as("capped_qty"),
-          round(col("l_extendedprice") / col("l_quantity"), 2).as("unit_price_r"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit_price"),
           floor(col("l_extendedprice") / lit(1000.0)).as("price_bucket"))
         .orderBy(col("l_orderkey"), col("l_linenumber")),
-      // Spark round() goes through BigDecimal.valueOf (shortest double
-      // repr, HALF_UP); DuckDB's numeric round() differs on some values
-      // but its double→DECIMAL cast uses the same shortest-repr digits.
+      // unit_price is the RAW IEEE-754 division on both sides — any
+      // post-hoc 2-digit rounding (Spark round(), decimal casts, DuckDB
+      // round()) resolves midpoint doubles differently between engines
+      // and cannot hash-match; identical operation order can.
       Some("""SELECT l_orderkey, l_linenumber,
   l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charge,
   least(greatest(l_quantity, 5.0), 45.0) AS capped_qty,
-  CAST(CAST(l_extendedprice / l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS unit_price_r,
+  l_extendedprice / l_quantity AS unit_price,
   CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_bucket
 FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
 
@@ -114,7 +115,11 @@ ORDER BY event_id""")),
           size(split(col("text"), " ")).as("n_tokens"),
           concat(col("lang"), lit("-"), col("source")).as("tag"),
           regexp_extract(col("text"), "^([a-z]+)", 1).as("first_word"),
-          element_at(split(col("text"), " "), 2).as("second_word"),
+          // Guarded: bare element_at(_, 2) throws under ANSI mode for
+          // 1-token docs; '' (not NULL) matches DuckDB split_part.
+          when(size(split(col("text"), " ")) >= 2,
+            element_at(split(col("text"), " "), 2))
+            .otherwise(lit("")).as("second_word"),
           col("text").contains("spark").as("has_spark"),
           instr(col("text"), "spark").as("spark_pos"),
           Estimate.parseStationId(key).as("parsed_station"))
@@ -192,44 +197,70 @@ ORDER BY event_id""")),
 
     // --- Array functions (P1/P2/P4 generalized over the feature-vector
     // column). sum-of-squares uses decimal accumulation (Exact.sumSq).
+    // The slice/transform results are reduced to scalar digests (the
+    // driver comparator canonicalizes scalars only): an exact decimal
+    // sum of the transformed head plus its first element — same array
+    // semantics exercised, hash-comparable output.
     QueryDef("q_array_funcs",
-      (spark, dir) => Tables.embeddings(spark, dir).select(
-        col("vec_id"),
-        size(col("embedding")).as("dim"),
-        element_at(col("embedding"), 1).cast("double").as("first_val"),
-        array_min(col("embedding")).cast("double").as("emb_min"),
-        array_max(col("embedding")).cast("double").as("emb_max"),
-        Exact.sumSq(col("embedding")).as("sumsq"),
-        slice(col("embedding"), 1, 4).as("head4"),
-        transform(slice(col("embedding"), 1, 4),
-          x => x.cast("double") * lit(2.0)).as("doubled_head"))
-        .orderBy(col("vec_id")),
+      (spark, dir) => {
+        val head4 = slice(col("embedding"), 1, 4)
+        val doubled = transform(head4, x => x.cast("double") * lit(2.0))
+        Tables.embeddings(spark, dir).select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first_val"),
+          array_min(col("embedding")).cast("double").as("emb_min"),
+          array_max(col("embedding")).cast("double").as("emb_max"),
+          Exact.sumSq(col("embedding")).as("sumsq"),
+          size(head4).as("head4_len"),
+          Exact.decSumArr(doubled).as("doubled_sum"),
+          element_at(doubled, 1).as("doubled_first"),
+          array_position(col("embedding"), array_max(col("embedding")))
+            .as("argmax_pos"))
+          .orderBy(col("vec_id"))
+      },
       Some(s"""SELECT vec_id,
   CAST(len(embedding) AS INT) AS dim,
   CAST(embedding[1] AS DOUBLE) AS first_val,
   CAST(list_min(embedding) AS DOUBLE) AS emb_min,
   CAST(list_max(embedding) AS DOUBLE) AS emb_max,
   ${Exact.sumSqSql("embedding")} AS sumsq,
-  embedding[1:4] AS head4,
-  list_transform(embedding[1:4], x -> CAST(x AS DOUBLE) * 2.0) AS doubled_head
+  CAST(len(embedding[1:4]) AS INT) AS head4_len,
+  ${Exact.decSumArrSql("list_transform(embedding[1:4], x -> CAST(x AS DOUBLE) * 2.0)")} AS doubled_sum,
+  CAST(embedding[1] AS DOUBLE) * 2.0 AS doubled_first,
+  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_pos
 FROM embeddings ORDER BY vec_id""")),
 
-    // --- Struct build / field access (prediction record assembly).
+    // --- Struct + map build / field access (prediction record
+    // assembly, estimate_queue.py:80-88 dict). The struct/map is built
+    // and consumed inside the query; the output is its scalar fields
+    // (the driver comparator canonicalizes scalars only).
     QueryDef("q_struct_funcs",
       (spark, dir) => {
         val obs = struct(col("user_id").as("station"), col("event_type").as("kind"),
           col("value").as("reading"))
+        val m = map_from_arrays(
+          array(lit("kind"), lit("station")),
+          array(col("event_type"), col("user_id").cast("string")))
         Tables.events(spark, dir).select(
           col("event_id"),
-          obs.as("obs"),
+          obs.getField("station").as("obs_station"),
+          obs.getField("kind").as("obs_kind"),
           (obs.getField("reading") * 2.0).as("reading2"),
-          upper(obs.getField("kind")).as("kind_u"))
+          upper(obs.getField("kind")).as("kind_u"),
+          element_at(m, "kind").as("m_kind"),
+          size(m).as("m_size"),
+          array_join(map_keys(m), ",").as("m_keys"))
           .orderBy(col("event_id"))
       },
       Some("""SELECT event_id,
-  {'station': user_id, 'kind': event_type, 'reading': value} AS obs,
+  user_id AS obs_station,
+  event_type AS obs_kind,
   value * 2.0 AS reading2,
-  upper(event_type) AS kind_u
+  upper(event_type) AS kind_u,
+  event_type AS m_kind,
+  CAST(2 AS INT) AS m_size,
+  'kind,station' AS m_keys
 FROM events ORDER BY event_id""")),
 
     // --- Broadcast dim join (K2 keyed lookup generalized): both dims
@@ -318,18 +349,25 @@ JOIN (VALUES $segmentsSql) seg(seg_lo, seg_hi, m_lo, m_hi)
 ORDER BY event_id""")),
 
     // --- As-of join (backward): last calibration knot at or before each
-    // x-position. Broadcast non-equi join + max(struct) argmax — the
-    // small-dim as-of shape; no shuffle of the probe side.
+    // x-position. The calibration table is tiny and literal, so the
+    // as-of collapses to a pure projection: filter the literal knot
+    // array per row and take array_max (structs order by leading field
+    // kx → backward as-of argmax). ZERO joins, zero shuffles, stays in
+    // WholeStageCodegen — the production form when the build side fits
+    // in an expression; q_join_range keeps the broadcast-join form for
+    // larger build sides.
     QueryDef("q_asof_knot",
       (spark, dir) => {
-        import spark.implicits._
-        val knots = Estimate.Points.toDF("kx", "km")
+        val knotsArr = array(Estimate.Points.map { case (x, m) =>
+          struct(lit(x).as("kx"), lit(m).as("km"))
+        }: _*)
+        val best = array_max(filter(knotsArr,
+          k => k.getField("kx") <= col("x_pos")))
         Tables.events(spark, dir)
           .select(col("event_id"),
             Estimate.clampNonNeg(col("value") * lit(Pipeline.XScale)).as("x_pos"))
-          .join(broadcast(knots), col("kx") <= col("x_pos"))
-          .groupBy(col("event_id"), col("x_pos"))
-          .agg(max(struct(col("kx"), col("km"))).as("k"))
+          .withColumn("k", best)
+          .filter(col("k").isNotNull)   // x_pos before the first knot: no as-of match
           .select(col("event_id"), col("x_pos"),
             col("k.kx").as("knot_x"), col("k.km").as("knot_m"))
           .orderBy(col("event_id"))
@@ -411,16 +449,15 @@ ORDER BY event_type NULLS FIRST, mon NULLS FIRST""")),
 FROM documents GROUP BY CUBE(lang, source)
 ORDER BY lang NULLS FIRST, source NULLS FIRST""")),
 
-    // --- GROUPING SETS via the SQL entry point.
+    // --- GROUPING SETS via the typed Dataset API (no temp-view side
+    // effect on the shared session).
     QueryDef("q_grouping_sets",
-      (spark, dir) => {
-        Tables.events(spark, dir).createOrReplaceTempView("events_gs")
-        spark.sql(s"""SELECT event_type, user_id, count(1) AS n,
-  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
-FROM events_gs
-GROUP BY GROUPING SETS ((event_type), (user_id), ())
-ORDER BY event_type NULLS FIRST, user_id NULLS FIRST""")
-      },
+      (spark, dir) => Tables.events(spark, dir)
+        .groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("user_id")), Seq.empty),
+          col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"), Exact.decSum(col("value"), 2).as("sum_value"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("user_id")),
       Some(s"""SELECT event_type, user_id, count(*) AS n, ${Exact.decSumSql("value", 2)} AS sum_value
 FROM events
 GROUP BY GROUPING SETS ((event_type), (user_id), ())
