@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** LLM-training-data text operators over the `documents` corpus:
+  * exact deduplication, corpus tokenization/word count, token
+  * statistics, quality scoring, language-ID heuristics, content
+  * fingerprinting, and n-gram Jaccard similarity.
+  *
+  * These generalize the reference's per-record string machinery
+  * (reference: queue_time_predictions/estimate_queue.py:31-61 regex
+  * parse; preprocess_image.py:82-107 crop = "drop what can't affect
+  * the answer") to corpus-at-a-time set processing — the operator
+  * family a 100 TB pretraining-data pipeline runs before anything
+  * else touches the data.
+  *
+  * Scale design notes:
+  *  - dedup groups on a 128-bit digest of the text, not the text
+  *    itself — the shuffle carries 16 bytes + ids per row instead of
+  *    whole documents;
+  *  - wordcount is the canonical two-phase aggregation: map-side
+  *    partial counts collapse the token stream before the shuffle;
+  *  - the pairwise Jaccard query is the VERIFY step of a near-dup
+  *    pipeline and is only ever run on a bounded candidate set (here a
+  *    deterministic id slice; in production the pairs emitted by the
+  *    MinHash/LSH banding in SimOps) — never all-pairs.
+  */
+object TextOps {
+
+  /** Whitespace tokens of `text`. */
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Distinct token-3-gram shingles, '' -safe (guards the Spark
+    * sequence(1,0) descending-range footgun for <3-token docs). */
+  def shingles(text: Column): Column = {
+    val t = toks(text)
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(1), size(t) - lit(2)),
+        i => concat_ws(" ", slice(t, i, lit(3))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DuckDB rendition of [[shingles]] (1-based inclusive list slice). */
+  def shinglesSql(text: String): String =
+    s"""CASE WHEN len(string_split($text, ' ')) >= 3
+      THEN list_distinct(list_transform(generate_series(1, len(string_split($text, ' ')) - 2),
+           i -> array_to_string(string_split($text, ' ')[i:i+2], ' ')))
+      ELSE [] END"""
+
+  /** Stopword-marker lists per candidate language. On the synthetic
+    * corpus every language shares one vocabulary, so the *decision* is
+    * meaningless — the operator shape (score per language from token
+    * membership, deterministic argmax) is what a real lang-ID pass
+    * runs. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "fr" -> Seq("query", "window"),
+    "es" -> Seq("data", "row"),
+    "de" -> Seq("table", "hash"),
+    "zh" -> Seq("batch", "merge"))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // --- Exact deduplication via hash-groupBy on a content digest.
+    // Keeper = lowest doc_id (deterministic canonical representative).
+    QueryDef("q_dedup_text",
+      (spark, dir) => Tables.documents(spark, dir)
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy(col("keeper_id")),
+      Some("""SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY keeper_id""")),
+
+    // --- Corpus word count: tokenize → explode (Generator/UDTF) →
+    // two-phase count. THE canonical map-side-combine aggregation.
+    QueryDef("q_wordcount",
+      (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(50),
+      Some("""SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok ORDER BY n DESC, tok LIMIT 50""")),
+
+    // --- Per-document token statistics: whitespace tokens, a BPE-ish
+    // regex token count (letter runs / digit runs / single symbols —
+    // the pre-tokenizer shape of byte-pair encoders), distinct-token
+    // ratio, mean token length.
+    QueryDef("q_token_stats",
+      (spark, dir) => {
+        val t = toks(col("text"))
+        val nTok = size(t)
+        Tables.documents(spark, dir).select(
+          col("doc_id"),
+          nTok.as("ws_tokens"),
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("bpe_tokens"),
+          size(array_distinct(t)).as("distinct_tokens"),
+          (size(array_distinct(t)).cast("double") / nTok.cast("double")).as("ttr"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double")
+            / nTok.cast("double")).as("mean_tok_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS bpe_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS distinct_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr,
+  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_tok_len
+FROM documents ORDER BY doc_id""")),
+
+    // --- Heuristic quality scoring (length / punctuation / stopword
+    // signals), the junk-filter pass of a pretraining pipeline.
+    QueryDef("q_quality_score",
+      (spark, dir) => {
+        val t = toks(col("text"))
+        val nTok = size(t)
+        val nStop = size(filter(t, tk => tk.isin("the", "a", "of", "and", "to")))
+        val stopRatio = nStop.cast("double") / nTok.cast("double")
+        val punct = regexp_count(col("text"), lit("[^a-z0-9 ]"))
+        val punctRatio = punct.cast("double") / length(col("text")).cast("double")
+        val meanLen = length(regexp_replace(col("text"), " ", "")).cast("double") /
+          nTok.cast("double")
+        val score =
+          when(nTok < 5, lit(0.0)).otherwise(
+            when(stopRatio > 0.01, lit(0.4)).otherwise(lit(0.1))
+              + when(meanLen >= 3.0 && meanLen <= 8.0, lit(0.3)).otherwise(lit(0.0))
+              + when(punctRatio < 0.05, lit(0.3)).otherwise(lit(0.0)))
+        Tables.documents(spark, dir).select(
+          col("doc_id"), nTok.as("n_tokens"), nStop.as("n_stopwords"),
+          stopRatio.as("stop_ratio"), punctRatio.as("punct_ratio"),
+          meanLen.as("mean_tok_len"), score.as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH f AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+    CAST(len(list_filter(string_split(text, ' '),
+         tk -> tk IN ('the', 'a', 'of', 'and', 'to'))) AS INT) AS n_stopwords,
+    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS INT) AS n_punct,
+    CAST(length(text) AS INT) AS n_chars,
+    CAST(length(replace(text, ' ', '')) AS INT) AS n_alpha
+  FROM documents)
+SELECT doc_id, n_tokens, n_stopwords,
+  CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+  CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+  CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_tok_len,
+  CAST(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+    (CASE WHEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.01
+          THEN 0.4 ELSE 0.1 END)
+    + (CASE WHEN CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 3.0
+            AND CAST(n_alpha AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 8.0
+            THEN 0.3 ELSE 0.0 END)
+    + (CASE WHEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) < 0.05
+            THEN 0.3 ELSE 0.0 END)
+  END AS DOUBLE) AS quality
+FROM f ORDER BY doc_id""")),
+
+    // --- Language-ID heuristic: marker-token score per candidate
+    // language, deterministic fixed-priority argmax.
+    QueryDef("q_lang_id",
+      (spark, dir) => {
+        val t = toks(col("text"))
+        val nTok = size(t).cast("double")
+        val scores = LangMarkers.map { case (lang, markers) =>
+          lang -> (size(filter(t, tk => tk.isin(markers: _*))).cast("double") / nTok)
+        }
+        val guess = scores.foldLeft(when(lit(false), lit(""))) {
+          case (acc, (lang, s)) =>
+            acc.when(scores.filter(_._1 != lang)
+              .map { case (_, o) => s >= o }.reduce(_ && _), lit(lang))
+        }.otherwise(lit("und"))
+        Tables.documents(spark, dir).select(
+          (Seq(col("doc_id"), col("lang").as("labeled_lang"), guess.as("guess"))
+            ++ scores.map { case (l, s) => s.as(s"s_$l") }): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val s = LangMarkers.map { case (lang, markers) =>
+          lang -> s"""(CAST(len(list_filter(string_split(text, ' '),
+            tk -> tk IN (${markers.map(m => s"'$m'").mkString(", ")}))) AS DOUBLE)
+            / CAST(len(string_split(text, ' ')) AS DOUBLE))"""
+        }
+        val sm = s.toMap
+        val cases = s.map { case (lang, expr) =>
+          val others = s.filter(_._1 != lang).map { case (_, o) => s"$expr >= $o" }
+          s"WHEN ${others.mkString(" AND ")} THEN '$lang'"
+        }.mkString(" ")
+        s"""SELECT doc_id, lang AS labeled_lang,
+  CASE $cases ELSE 'und' END AS guess,
+  ${s.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n  ")}
+FROM documents ORDER BY doc_id"""
+      }),
+
+    // --- Document fingerprinting: exact content digest + a bag-of-
+    // words digest (sorted distinct tokens) that also catches
+    // reordered/duplicated-token copies.
+    QueryDef("q_fingerprint",
+      (spark, dir) => Tables.documents(spark, dir).select(
+        col("doc_id"),
+        md5(col("text")).as("content_fp"),
+        md5(array_join(array_sort(array_distinct(toks(col("text")))), " "))
+          .as("bow_fp"),
+        substring(md5(col("text")), 1, 8).as("shard_key"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+  md5(text) AS content_fp,
+  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp,
+  substring(md5(text), 1, 8) AS shard_key
+FROM documents ORDER BY doc_id""")),
+
+    // --- n-gram Jaccard similarity over a bounded candidate set (the
+    // verify stage of near-dup detection; candidates come from LSH
+    // banding at scale — see q_minhash_neardup).
+    QueryDef("q_ngram_jaccard",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+          .filter(col("doc_id") < 60)
+          .select(col("doc_id"), shingles(col("text")).as("sh"))
+        val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        val nCommon = size(array_intersect(col("sh_a"), col("sh_b")))
+        a.join(broadcast(b), col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"),
+            nCommon.as("n_common"),
+            (nCommon.cast("double") /
+              (size(col("sh_a")) + size(col("sh_b")) - nCommon).cast("double"))
+              .as("jaccard"))
+          .filter(col("n_common") > 0)
+          .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+          .limit(100)
+      },
+      Some(s"""WITH sh AS (
+  SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents WHERE doc_id < 60)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(len(a.sh) AS INT) AS n_a, CAST(len(b.sh) AS INT) AS n_b,
+  CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS n_common,
+  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) > 0
+ORDER BY jaccard DESC, id_a, id_b LIMIT 100""")),
+  )
+}
