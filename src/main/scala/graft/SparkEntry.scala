@@ -7,7 +7,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Pipeline.estimateQueue(spark, "/root/testdata/sf0.001")
   /** All query families contributing to the operator surface. */
-  private def families: Seq[QueryDef] = Relational.all ++ TextOps.all
+  private def families: Seq[QueryDef] = Relational.all ++ TextOps.all ++ SimOps.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
