@@ -108,8 +108,14 @@ object Estimate {
   // --- F1: parse "station_id_<int>_<basic-ISO>.bin" object keys.
   // reference: estimate_queue.py:31-61 (regex at :38).
   val StationKeyRegex = "station_id_([0-9]+)_([0-9T]+)\\.bin"
-  def parseStationId(key: Column): Column =
-    regexp_extract(key, StationKeyRegex, 1).cast("long")
+  /** Malformed keys → NULL (the reference raises ValueError,
+    * estimate_queue.py:40-45; set-at-a-time rejection is a filter).
+    * regexp_extract yields '' on no-match, which ANSI cast would
+    * throw on — map it to NULL first. */
+  def parseStationId(key: Column): Column = {
+    val m = regexp_extract(key, StationKeyRegex, 1)
+    when(m === "", lit(null)).otherwise(m).cast("long")
+  }
   def parseStationTs(key: Column): Column =
     regexp_extract(key, StationKeyRegex, 2)
 

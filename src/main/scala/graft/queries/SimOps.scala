@@ -45,6 +45,17 @@ object SimOps {
     transform(sequence(lit(0), lit(k - 1)),
       i => array_min(transform(sh, s => xxhash64(s, i))))
 
+  /** 64-bit SimHash from per-token hashes: per bit, the majority vote
+    * over tokens of that hash bit (±1), folded into a single long. */
+  def simhashFromHashes(hs: Column, nTokens: Column): Column =
+    (0 until 64).map { b =>
+      val ones = aggregate(hs, lit(0),
+        (acc, h) => acc + when(
+          shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L), lit(1))
+          .otherwise(lit(0)))
+      when(ones * 2 > nTokens, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   val all: Seq[QueryDef] = Seq(
 
     // --- Brute-force cosine top-k against a probe vector: the
@@ -142,15 +153,9 @@ ORDER BY cos DESC, vec_id LIMIT 10""")),
         val withHashes = Tables.documents(spark, dir)
           .select(col("doc_id"), size(t).as("n_tokens"),
             transform(t, tk => xxhash64(tk)).as("hs"))
-        val simhash = (0 until 64).map { b =>
-          val ones = aggregate(col("hs"), lit(0),
-            (acc, h) => acc + when(
-              shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L), lit(1))
-              .otherwise(lit(0)))
-          when(ones * 2 > col("n_tokens"), lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _)
         withHashes
-          .select(col("doc_id"), simhash.as("simhash"))
+          .select(col("doc_id"),
+            simhashFromHashes(col("hs"), col("n_tokens")).as("simhash"))
           .withColumn("popcount", bit_count(col("simhash")))
           .orderBy(col("doc_id"))
       },

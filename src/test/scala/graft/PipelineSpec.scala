@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Pipeline, Relational, QueryDef}
+
+/** End-to-end flagship invariants on sf0.001 (mirrors the reference's
+  * test_estimate_queue, test/estimate_queue_test.py:117-133: run the
+  * full chain, then range-assert every stored attribute). */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val out = Pipeline.estimateQueue(spark, Sf0001).collect()
+
+  test("flagship emits one latest row per station") {
+    assert(out.length > 0)
+    val ids = out.map(_.getLong(0))
+    assert(ids.distinct.length === ids.length)
+    assert(ids.sorted.sameElements(ids), "ordered by station_id")
+  }
+
+  test("flagship invariants: E9 arithmetic, E1 clamp, E2 lanes, E4 domain") {
+    for (r <- out) {
+      val xPos = r.getDouble(r.fieldIndex("x_pos"))
+      val lanes = r.getDouble(r.fieldIndex("lanes"))
+      val queueFull = r.getDouble(r.fieldIndex("queue_full"))
+      val meters = r.getDouble(r.fieldIndex("meters"))
+      val cars = r.getDouble(r.fieldIndex("cars"))
+      val eqt = r.getDouble(r.fieldIndex("expected_queue_time"))
+      assert(xPos >= 0.0)                              // E1
+      assert(lanes === 1.0 || lanes === 2.0)           // E2/E3
+      assert(queueFull >= 0.0 && queueFull <= 1.0)     // E3
+      assert(meters >= 0.0)
+      assert(eqt === cars / 74.0)                      // E9 exact
+      if (xPos <= 300.0) assert(meters === 0.0)        // E7
+    }
+  }
+
+  test("flagship agrees with the window-based latest-wins rendition") {
+    // The max_by aggregation and the row_number window must pick the
+    // same per-station row (the oracle SQL uses the window form).
+    import org.apache.spark.sql.expressions.Window
+    val est = graft.model.Tables.events(spark, Sf0001)
+      .select(col("user_id").as("station_id"), col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("station_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val viaWindow = est.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("station_id"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaAgg = est.groupBy(col("station_id"))
+      .agg(max_by(col("event_id"), struct(col("ts"), col("event_id"))).as("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaAgg === viaWindow)
+  }
+
+  test("approx_count_distinct stays within 10% of exact (HLL bound)") {
+    val rows = QueryDef.queriesOf(Relational.all)("q_approx_distinct")(spark, Sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val approxN = r.getLong(r.fieldIndex("approx_users"))
+      val exactN = r.getLong(r.fieldIndex("exact_users"))
+      assert(math.abs(approxN - exactN) <= math.max(1L, (exactN * 0.10).toLong),
+        s"approx=$approxN exact=$exactN")
+    }
+  }
+}

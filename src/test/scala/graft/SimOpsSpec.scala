@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{SimOps, TextOps}
+
+/** Properties of the near-dup / similarity building blocks that have
+  * no SQL oracle (hash functions differ per engine). */
+class SimOpsSpec extends SparkSpec {
+
+  private val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 0
+    (3L, "completely different words nothing shared at all here truly"))
+
+  private lazy val df = {
+    import spark.implicits._
+    corpus.toDF("doc_id", "text")
+  }
+
+  test("minhash: identical text ⇒ identical signature; disjoint text ⇒ distinct") {
+    val sigs = df
+      .select(col("doc_id"),
+        SimOps.minhashSig(TextOps.shingles(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(0L) === sigs(1L), "exact duplicates must collide on every band")
+    assert(sigs(0L) !== sigs(3L), "disjoint docs must not share a full signature")
+    // near-dup shares most shingles → most minhash components agree
+    val agree = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(agree >= 4, s"near-dup agreed on $agree/8 components")
+  }
+
+  test("minhash est_jaccard is exact for identical docs") {
+    val sig = SimOps.minhashSig(TextOps.shingles(col("text")))
+    val matches = df.filter(col("doc_id") === 0)
+      .select(aggregate(zip_with(sig, sig, (p, q) => when(p === q, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).as("m")).head.getInt(0)
+    assert(matches === 8)
+  }
+
+  test("simhash: identical ⇒ equal; near-dup ⇒ small hamming; disjoint ⇒ large") {
+    val t = split(col("text"), " ")
+    val sh = df.select(col("doc_id"),
+      SimOps.simhashFromHashes(transform(t, tk => xxhash64(tk)), size(t))
+        .as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(0L) === sh(1L))
+    assert(hamming(sh(0L), sh(2L)) <= 24,
+      s"near-dup hamming ${hamming(sh(0L), sh(2L))}")
+    assert(hamming(sh(0L), sh(3L)) > hamming(sh(0L), sh(2L)),
+      "disjoint text should be farther than a near-dup")
+  }
+
+  test("lshBucket: equal vectors share a bucket; sign flip moves bucket") {
+    val v = array((1 to 8).map(i => lit(0.1f * i)): _*)
+    val flipped = array((1 to 8).map(i =>
+      lit(if (i == 1) -0.1f else 0.1f * i)): _*)
+    assert(evalOne[Int](SimOps.lshBucket(v)) === evalOne[Int](SimOps.lshBucket(v)))
+    assert(evalOne[Int](SimOps.lshBucket(v)) !== evalOne[Int](SimOps.lshBucket(flipped)))
+  }
+
+  test("multimodal stub decode is deterministic and in-range") {
+    val q = SimOps.all.find(_.name == "q_multimodal_decode").get.fn
+    val a = q(spark, Sf0001).collect()
+    val b = q(spark, Sf0001).collect()
+    assert(a.sameElements(b), "stub decode must be deterministic")
+    for (r <- a) {
+      assert(r.getInt(r.fieldIndex("width")) >= 1 &&
+        r.getInt(r.fieldIndex("width")) <= 640)
+      assert(r.getInt(r.fieldIndex("height")) >= 1 &&
+        r.getInt(r.fieldIndex("height")) <= 480)
+    }
+  }
+
+  test("exact-dup pairs survive the LSH band join (candidates ⊇ exact dups)") {
+    // Build the same banding pipeline as q_minhash_neardup over a
+    // corpus with a known duplicate pair; the pair must be emitted.
+    val sigs = df.select(col("doc_id"),
+      SimOps.minhashSig(TextOps.shingles(col("text"))).as("sig"))
+    val banded = sigs.select(col("doc_id"), posexplode(col("sig")))
+      .toDF("doc_id", "band", "band_key")
+    val x = banded.toDF("id_a", "band", "band_key")
+    val y = banded.toDF("id_b", "band", "band_key")
+    val pairs = x.join(y, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup pair missing from $pairs")
+  }
+}
