@@ -1,0 +1,188 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.functions.Exact
+import graft.model.Tables
+import graft.queries.QueryDef
+
+/** Structured Streaming surface over the events feed.
+  *
+  * The reference's deployment is a latent stream: one container run
+  * per webcam observation (reference: start.sh:4 — a new Luigi
+  * invocation per S3 prefix), upserting each prediction into DynamoDB
+  * keyed (station_id, timestamp) (estimate_queue.py:166-178). Here
+  * that becomes a real stream: file-source readStream over the events
+  * parquet with the explicit storage schema (streaming sources cannot
+  * infer), event-time watermarks, tumbling/session windows, stateful
+  * dedup, and a foreachBatch keyed upsert sink.
+  *
+  * Each query runs Trigger.AvailableNow to completion into a sink and
+  * returns the sink contents — so the driver's batch-shaped contract
+  * ((spark, dir) → DataFrame, DuckDB oracle) also gates the streaming
+  * path: the stream result must hash-match the batch-equivalent SQL.
+  *
+  * Scale design: windowed aggregation state is partitioned by group
+  * key across executors (RocksDB/HDFS state store in production);
+  * the foreachBatch upsert is the standard keyed-merge sink pattern
+  * (per batch: union + max_by latest-wins, partitioned overwrite) —
+  * swap in MERGE INTO on a transactional table format at scale.
+  */
+object Streams {
+
+  /** events.parquet streamed with the declared storage schema and the
+    * same ns→µs conversion the batch loader applies. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // The session must read timestamp[ns] as long (see Tables.events).
+    if (!spark.conf.getOption(Tables.NanosConf).contains("true"))
+      spark.conf.set(Tables.NanosConf, "true")
+    Tables.eventsFromStorage(
+      spark.readStream
+        .schema(Tables.eventsStorageSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+  }
+
+  /** Run `stream` to completion into a named memory sink; return the
+    * sink table. */
+  private def runToMemory(spark: SparkSession, stream: DataFrame,
+      name: String, mode: String): DataFrame = {
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // --- Tumbling event-time window + watermark, complete mode (all
+    // windows in the sink at end-of-stream == the batch aggregation).
+    QueryDef("q_stream_tumbling",
+      (spark, dir) => {
+        val agg = eventsStream(spark, dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), Exact.decSum(col("value"), 2).as("sum_value"))
+          .select(unix_micros(col("window.start")).as("window_start_us"),
+            unix_micros(col("window.end")).as("window_end_us"),
+            col("event_type"), col("n"), col("sum_value"))
+        runToMemory(spark, agg, "graft_stream_tumbling", "complete")
+          .orderBy(col("window_start_us"), col("event_type"))
+      },
+      Some(s"""SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+  epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end_us,
+  event_type, count(*) AS n, ${Exact.decSumSql("value", 2)} AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start_us, event_type""")),
+
+    // --- Session window (30-minute gap) per station, append mode:
+    // only watermark-finalized sessions emit, exactly the sessions
+    // whose end precedes (global max event time − 10 min) — the
+    // oracle states that cutoff explicitly over a gaps-and-islands
+    // rendition, all in the µs domain the stream computes in.
+    QueryDef("q_stream_session",
+      (spark, dir) => {
+        val agg = eventsStream(spark, dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"), Exact.decSum(col("value"), 2).as("sum_value"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
+            unix_micros(col("session_window.end")).as("session_end_us"),
+            col("n"), col("sum_value"))
+        runToMemory(spark, agg, "graft_stream_session", "append")
+          .orderBy(col("user_id"), col("session_start_us"))
+      },
+      Some(s"""WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+    ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id, min(ts_us) AS session_start_us,
+  max(ts_us) + 1800000000 AS session_end_us,
+  count(*) AS n, ${Exact.decSumSql("value", 2)} AS sum_value
+FROM s
+GROUP BY user_id, sid
+HAVING max(ts_us) + 1800000000
+  <= (SELECT max(epoch_us(ts)) FROM events) - 600000000
+ORDER BY user_id, session_start_us""")),
+
+    // --- Stateful streaming dedup within the watermark: distinct
+    // (user_id, event_type) pairs; output is the key set, so which
+    // physical row won is irrelevant (deterministic under any batch
+    // split / partition order).
+    QueryDef("q_stream_dedup",
+      (spark, dir) => {
+        val dedup = eventsStream(spark, dir)
+          .withWatermark("ts", "10 minutes")
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select(col("user_id"), col("event_type"))
+        runToMemory(spark, dedup, "graft_stream_dedup", "append")
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+ORDER BY user_id, event_type""")),
+
+    // --- foreachBatch keyed upsert sink (K2, the DynamoDB
+    // update_item analog): per micro-batch, merge the batch into a
+    // keyed parquet target with latest-wins max_by, then read the
+    // final table. Last-write-wins ordering is (ts, event_id) —
+    // explicit, so any merge order converges.
+    QueryDef("q_stream_upsert",
+      (spark, dir) => {
+        val target = Files.createTempDirectory("graft-upsert-").toString + "/state"
+        val latest = (df: DataFrame) => df
+          .groupBy(col("user_id"))
+          .agg(max_by(struct(col("ts"), col("event_id"), col("value")),
+            struct(col("ts"), col("event_id"))).as("r"))
+          .select(col("user_id"), col("r.ts").as("ts"),
+            col("r.event_id").as("event_id"), col("r.value").as("value"))
+        val q = eventsStream(spark, dir).writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-upsert-ckpt-").toString)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val spark0 = batch.sparkSession
+            val proj = batch.select(col("user_id"), col("ts"),
+              col("event_id"), col("value"))
+            val existing =
+              if (new java.io.File(target).exists)
+                spark0.read.parquet(target)
+              else proj.limit(0)
+            val merged = latest(existing.unionByName(proj)).cache()
+            merged.count()  // materialize before overwriting the source
+            merged.write.mode("overwrite").parquet(target)
+            merged.unpersist()
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        spark.read.parquet(target)
+          .select(col("user_id"), unix_micros(col("ts")).as("last_ts_us"),
+            col("event_id").as("last_event_id"), col("value").as("last_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, last_ts_us, last_event_id, last_value FROM (
+  SELECT user_id, epoch_us(ts) AS last_ts_us, event_id AS last_event_id,
+    value AS last_value,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1 ORDER BY user_id""")),
+  )
+}
