@@ -39,11 +39,44 @@ object SimOps {
       s"(CASE WHEN ($e)[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** MinHash signature: for each of `k` hash families, the minimum
-    * xxhash64 over the document's shingle set. */
+  /** MinHash signature from per-shingle base hashes: the k families
+    * re-hash the ONE string-derived base hash under k fixed XOR seeds
+    * (rehashing 8 bytes, not the string — the standard one-strong-hash
+    * minhash construction; XOR+rehash avoids ANSI overflow semantics
+    * that an affine multiply would trip). */
+  def minhashSigFromHashes(hs: Column, k: Int = 8): Column = {
+    val seeds = array((0 until k).map(i =>
+      lit(i * 0x9E3779B97F4A7C15L)): _*)
+    transform(seeds,
+      seed => array_min(transform(hs, h => xxhash64(h.bitwiseXOR(seed)))))
+  }
+
+  /** MinHash signature of a shingle set (hashes each shingle once,
+    * then derives the k families). */
   def minhashSig(sh: Column, k: Int = 8): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
+    minhashSigFromHashes(transform(sh, s => xxhash64(s)), k)
+
+  /** XOR seeds of the k minhash families. */
+  def minhashSeeds(k: Int = 8): Seq[Long] =
+    (0 until k).map(i => i * 0x9E3779B97F4A7C15L)
+
+  /** Distinct 3-token shingle hashes from an already-materialized
+    * token-hash array column (`th` MUST be a bound attribute, not an
+    * inline transform — otherwise every element_at re-evaluates it):
+    * a shingle hash combines three consecutive token hashes (8 bytes
+    * each) — no per-shingle string allocation. */
+  def shingleHashesFromTokenHashes(th: Column): Column = {
+    val n = size(th)
+    when(n >= 3,
+      array_distinct(transform(sequence(lit(1), n - lit(2)),
+        i => xxhash64(element_at(th, i), element_at(th, i + 1),
+          element_at(th, i + 2)))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Token-hash array of a text column (hash each token once). */
+  def tokenHashes(text: Column): Column =
+    transform(split(text, " "), tk => xxhash64(tk))
 
   /** 64-bit SimHash from per-token hashes: per bit, the majority vote
     * over tokens of that hash bit (±1), folded into a single long. */
@@ -106,28 +139,55 @@ FROM b, probe WHERE vec_id <> 0 AND bucket = p_bucket
 ORDER BY cos DESC, vec_id LIMIT 10""")),
 
     // --- MinHash + LSH banding near-dup candidates. Shingle →
-    // 8-family minhash signature → band per hash (r=1: collision
-    // probability per band = Jaccard, right for this low-similarity
-    // synthetic corpus; production pretraining dedup uses r=4+,
-    // b=16+ to target j≈0.6+) → equi-join on (band, key) emits
-    // candidate pairs; signature agreement estimates Jaccard.
-    // xxhash64 has no DuckDB twin → no SQL oracle; the scalatest
-    // suite pins the semantics (identical text ⇒ identical signature;
-    // candidates ⊇ exact duplicates).
+    // 8-family minhash signature → 4 bands of 2 hashes (collision
+    // probability per band = j², sharpening the threshold; production
+    // pretraining dedup tunes (b, r) to its target Jaccard) →
+    // equi-join on (band, key) emits candidate pairs; signature
+    // agreement estimates Jaccard. Jumbo buckets (> MaxBucket docs)
+    // are dropped before pairing — the standard LSH skew guard: a
+    // bucket shared by thousands of docs is quadratic in cost and
+    // useless as a dedup signal. xxhash64 has no DuckDB twin → no SQL
+    // oracle; the scalatest suite pins the semantics (identical text
+    // ⇒ identical signature; candidates ⊇ exact duplicates).
     QueryDef("q_minhash_neardup",
       (spark, dir) => {
-        val k = 8
-        val sigs = Tables.documents(spark, dir)
-          .select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
-          .filter(size(col("sh")) > 0)
-          .select(col("doc_id"), minhashSig(col("sh"), k).as("sig"))
+        val k = 8; val bands = 4; val r = 2; val maxBucket = 100
+        // Hash path is all whole-stage codegen: token hashes (one
+        // string hash per token) → 3-token shingle hashes (long
+        // combines) → explode → hash aggregation of the k per-family
+        // minima (map-side partial agg; HOF folds would stay
+        // interpreted and run ~10× slower). The tiny signature table
+        // (k longs per doc) is localCheckpoint'd so the bucket-count
+        // branch and both self-join sides reuse it instead of
+        // recomputing the corpus lineage 4×.
+        val exploded = Tables.documents(spark, dir)
+          .select(col("doc_id"), tokenHashes(col("text")).as("th"))
+          .select(col("doc_id"),
+            explode(shingleHashesFromTokenHashes(col("th"))).as("h"))
+        val minCols = minhashSeeds(k).zipWithIndex.map { case (s, i) =>
+          min(xxhash64(col("h").bitwiseXOR(lit(s)))).as(s"m$i")
+        }
+        val sigs = exploded.groupBy(col("doc_id"))
+          .agg(minCols.head, minCols.tail: _*)
+          .select(col("doc_id"),
+            array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+          .localCheckpoint()
+        val bandKeys = transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(",",
+            transform(slice(col("sig"), b * lit(r) + lit(1), lit(r)),
+              _.cast("string"))))
         val banded = sigs.select(col("doc_id"), col("sig"),
-          posexplode(col("sig")))
+          posexplode(bandKeys))
           .select(col("doc_id"), col("sig"),
             col("pos").as("band"), col("col").as("band_key"))
-        val x = banded.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+        val smallBuckets = banded.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("bucket_n"))
+          .filter(col("bucket_n") >= 2 && col("bucket_n") <= maxBucket)
+          .select(col("band"), col("band_key"))
+        val pruned = banded.join(smallBuckets, Seq("band", "band_key"), "left_semi")
+        val x = pruned.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
           col("band"), col("band_key"))
-        val y = banded.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+        val y = pruned.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
           col("band"), col("band_key"))
         x.join(y, Seq("band", "band_key"))
           .filter(col("id_a") < col("id_b"))
@@ -147,15 +207,25 @@ ORDER BY cos DESC, vec_id LIMIT 10""")),
     // distance over bit_count(a XOR b) finds near-dups without pair
     // enumeration). Token hashes computed once per row; 64 per-bit
     // majority folds stay native HigherOrderFunction expressions.
+    // Implementation: explode token hashes → one codegen'd hash
+    // aggregation computing all 64 bit-majority counts map-side
+    // (the equivalent HOF fold is interpreted and ~10× slower);
+    // semantics identical to simhashFromHashes (SimOpsSpec pins it).
     QueryDef("q_simhash",
       (spark, dir) => {
-        val t = split(col("text"), " ")
-        val withHashes = Tables.documents(spark, dir)
-          .select(col("doc_id"), size(t).as("n_tokens"),
-            transform(t, tk => xxhash64(tk)).as("hs"))
-        withHashes
-          .select(col("doc_id"),
-            simhashFromHashes(col("hs"), col("n_tokens")).as("simhash"))
+        val exploded = Tables.documents(spark, dir)
+          .select(col("doc_id"), explode(tokenHashes(col("text"))).as("h"))
+        val bitCols = (0 until 64).map { b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === lit(1L),
+            lit(1)).otherwise(lit(0))).as(s"b$b")
+        }
+        val counted = exploded.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n"), bitCols: _*)
+        val simhash = (0 until 64).map { b =>
+          when(col(s"b$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        counted
+          .select(col("doc_id"), simhash.as("simhash"))
           .withColumn("popcount", bit_count(col("simhash")))
           .orderBy(col("doc_id"))
       },

@@ -74,6 +74,30 @@ class SimOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_simhash explode+agg form == fold-based helper form") {
+    import graft.model.Tables
+    val t = split(col("text"), " ")
+    val helper = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), size(t).as("n"),
+        transform(t, tk => xxhash64(tk)).as("hs"))
+      .select(col("doc_id"),
+        SimOps.simhashFromHashes(col("hs"), col("n")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val query = SimOps.all.find(_.name == "q_simhash").get.fn(spark, Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(query === helper)
+  }
+
+  test("tokenShingleHash path: identical text ⇒ identical hash set") {
+    val hashed = df
+      .withColumn("th", SimOps.tokenHashes(col("text")))
+      .select(col("doc_id"),
+        SimOps.shingleHashesFromTokenHashes(col("th")).as("shh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(hashed(0L) === hashed(1L))
+    assert((hashed(0L) & hashed(3L)).isEmpty, "disjoint docs share no shingle hash")
+  }
+
   test("exact-dup pairs survive the LSH band join (candidates ⊇ exact dups)") {
     // Build the same banding pipeline as q_minhash_neardup over a
     // corpus with a known duplicate pair; the pair must be emitted.
