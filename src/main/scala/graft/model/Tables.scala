@@ -89,19 +89,19 @@ object Tables {
   * Observation ≅ the reference's parsed (station_id, timestamp) +
   * measurement (reference: estimate_queue.py:31-61 parse, :80-88
   * prediction dict); Prediction ≅ the enriched record upserted to the
-  * keyed sink (reference: estimate_queue.py:189-192).
-  */
+  * keyed sink (reference: estimate_queue.py:189-192) — the flagship's
+  * output schema (`Pipeline.estimateQueue(...).as[Prediction]`). */
 case class Observation(
     station_id: Long,
-    obs_ts: java.sql.Timestamp,
+    obs_ts: Long,
     x_pos: Double,
     lanes_raw: Double,
     queue_full: Double)
 
 case class Prediction(
     station_id: Long,
-    obs_ts: java.sql.Timestamp,
-    queue_end_pos: Double,
+    obs_ts: Long,
+    x_pos: Double,
     lanes: Double,
     queue_full: Double,
     meters: Double,

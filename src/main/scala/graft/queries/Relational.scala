@@ -587,6 +587,73 @@ ORDER BY event_type, rn""")),
     INTERSECT SELECT user_id FROM events WHERE event_type = 'click'))
 ORDER BY op, user_id""")),
 
+    // --- PIVOT: event types to columns (explicit value list, so the
+    // plan is a single partial-aggregated pass — no distinct-scan and
+    // fully deterministic columns at any scale).
+    QueryDef("q_pivot",
+      (spark, dir) => Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(Exact.decSum(col("value"), 2))
+        .orderBy(col("user_id")),
+      Some(s"""SELECT user_id,
+  ${Seq("click", "error", "purchase", "signup", "view").map(t =>
+    s"CAST(sum(CASE WHEN event_type = '$t' THEN CAST(value AS DECIMAL(30,2)) END) AS DOUBLE) AS $t")
+    .mkString(",\n  ")}
+FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // --- UNPIVOT/melt: wide lineitem measures to long form.
+    QueryDef("q_unpivot",
+      (spark, dir) => Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure")),
+      Some("""SELECT l_orderkey, l_linenumber, measure, val FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem)
+ORDER BY l_orderkey, l_linenumber, measure""")),
+
+    // --- RANGE window frame: value-range running statistics (the
+    // frame is defined by value distance, not row count).
+    QueryDef("q_window_range",
+      (spark, dir) => {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+          .rangeBetween(-10L, 0L)
+        Tables.events(spark, dir).select(
+          col("event_id"), col("event_type"), col("value"),
+          count(lit(1)).over(w).as("n_within_10"),
+          min(col("value")).over(w).as("min_within_10"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, event_type, value,
+  count(*) OVER w AS n_within_10,
+  min(value) OVER w AS min_within_10
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value
+             RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)
+ORDER BY event_id""")),
+
+    // --- Exact median / interpolated percentiles per group.
+    QueryDef("q_percentiles",
+      (spark, dir) => Tables.events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(median(col("value")).as("med"),
+          percentile(col("value"), lit(0.9)).as("p90"),
+          percentile(col("value"), lit(0.99)).as("p99"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+  median(value) AS med,
+  quantile_cont(value, 0.9) AS p90,
+  quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // --- Approximate distinct (HLL sketch). Sketch internals differ
     // across engines → no SQL oracle (driver rows-only check); the
     // scalatest suite bounds it against the exact count instead.

@@ -138,6 +138,36 @@ SELECT vec_id, bucket, ${Exact.cosineFSql("embedding", "probe_emb")} AS cos
 FROM b, probe WHERE vec_id <> 0 AND bucket = p_bucket
 ORDER BY cos DESC, vec_id LIMIT 10""")),
 
+    // --- Embedding-cosine near-duplicate pairs: LSH bucket self-join
+    // (never all-pairs — candidates are bucket-mates, expected
+    // N²/2^bits of the pair space) + exact cosine filter. At 100 TB
+    // the bucket is the shuffle/partition key; candidate volume is
+    // tuned by the bit count.
+    QueryDef("q_embed_neardup",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"),
+            lshBucket(col("embedding")).as("bucket"))
+        val a = emb.select(col("vec_id").as("id_a"),
+          col("embedding").as("emb_a"), col("bucket"))
+        val b = emb.select(col("vec_id").as("id_b"),
+          col("embedding").as("emb_b"), col("bucket"))
+        a.join(b, Seq("bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("cos", Exact.cosineF(col("emb_a"), col("emb_b")))
+          .filter(col("cos") > 0.3)
+          .select(col("id_a"), col("id_b"), col("bucket"), col("cos"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH b AS (
+  SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.bucket AS bucket,
+    ${Exact.cosineFSql("a.embedding", "c.embedding")} AS cos
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+SELECT id_a, id_b, bucket, cos FROM p WHERE cos > 0.3
+ORDER BY id_a, id_b""")),
+
     // --- MinHash + LSH banding near-dup candidates. Shingle →
     // 8-family minhash signature → 4 bands of 2 hashes (collision
     // probability per band = j², sharpening the threshold; production

@@ -11,6 +11,16 @@ class PipelineSpec extends SparkSpec {
 
   private lazy val out = Pipeline.estimateQueue(spark, Sf0001).collect()
 
+  test("flagship output binds to the typed Dataset[Prediction] surface") {
+    import spark.implicits._
+    val ds = Pipeline.estimateQueue(spark, Sf0001).as[graft.model.Prediction]
+    val preds = ds.collect()
+    assert(preds.length > 0)
+    // typed filter/map chain over the case class
+    val busy = ds.filter(_.cars > 0.0).map(p => p.station_id).collect()
+    assert(busy.toSet.subsetOf(preds.map(_.station_id).toSet))
+  }
+
   test("flagship emits one latest row per station") {
     assert(out.length > 0)
     val ids = out.map(_.getLong(0))
