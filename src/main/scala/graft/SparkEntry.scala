@@ -12,7 +12,11 @@ object SparkEntry {
       Extras.all ++ Seq(
     // Model-scoring head chain (S4/F2): trains + scores MLlib heads —
     // not ANSI-SQL-expressible, so no oracle; MlSpec pins semantics.
-    QueryDef("q_model_score", (s, d) => graft.ml.Scoring.scoreAndEstimate(s, d), None))
+    QueryDef("q_model_score", (s, d) => graft.ml.Scoring.scoreAndEstimate(s, d), None),
+    // IVF ANN (KMeans coarse quantizer + probe-cell scan) — quantizer
+    // training isn't SQL-expressible; AnnSpec pins candidate-scan
+    // exactness instead.
+    QueryDef("q_ann_ivf", (s, d) => graft.ml.Ann.ivfTopK(s, d), None))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

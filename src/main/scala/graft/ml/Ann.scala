@@ -1,0 +1,56 @@
+package graft.ml
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+import graft.model.Tables
+
+/** IVF (inverted-file) approximate nearest neighbor: a KMeans coarse
+  * quantizer assigns every vector to a cell; a probe scans only its
+  * `nprobe` nearest cells and exact cosine re-ranks the candidates.
+  *
+  * This is the other canonical ANN scale path next to LSH bucketing
+  * (SimOps.q_ann_lsh): at 100 TB the cell id is the partition key,
+  * the centroid table (k × dim floats) broadcasts everywhere, and a
+  * probe touches nprobe/k of the data. Training the quantizer is a
+  * bounded-size sample job, exactly like the model-scoring heads.
+  */
+object Ann {
+
+  /** Top-k by cosine for probe vec 0, scanning only the nprobe
+    * nearest KMeans cells. Deterministic for a fixed seed. */
+  def ivfTopK(spark: SparkSession, dir: String,
+      k: Int = 16, nprobe: Int = 2, topK: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(k).setSeed(42L)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(emb)
+    val assigned = model.transform(emb)
+
+    // nprobe nearest centroids to the probe vector (tiny driver-side
+    // argsort over k centroids — the centroid table is model state,
+    // not data).
+    val probeVec = assigned.filter(col("vec_id") === 0)
+      .select(col("features")).head.getAs[org.apache.spark.ml.linalg.Vector](0)
+    val cells = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        val d = org.apache.spark.ml.linalg.Vectors.sqdist(c, probeVec)
+        (i, d)
+      }
+      .sortBy(_._2).take(nprobe).map(_._1)
+
+    val probe = assigned.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe_emb"))
+    assigned
+      .filter(col("cell").isin(cells.toSeq: _*) && col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("cell"),
+        Exact.cosineF(col("embedding"), col("probe_emb")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(topK)
+  }
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -215,6 +216,49 @@ FROM documents ORDER BY doc_id"""
   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fp,
   substring(md5(text), 1, 8) AS shard_key
 FROM documents ORDER BY doc_id""")),
+
+    // --- TF-IDF-style salient-token extraction: corpus document
+    // frequency join + per-doc top term. Scoring uses the rational
+    // idf surrogate tf·(N+1)/(df+1): transcendental log differs in
+    // the last ulp between libm implementations and would break
+    // hash-exactness; the ratio is exact IEEE arithmetic on both
+    // engines and preserves the "rarer ⇒ heavier" ordering.
+    QueryDef("q_tfidf",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val toks = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        val tf = toks.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = toks.groupBy(col("tok"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(dfreq, "tok")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            col("tf").cast("double") * (col("n_docs") + lit(1)).cast("double")
+              / (col("df") + lit(1)).cast("double"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("tok"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("tok").as("top_tok"),
+            col("tf"), col("df"), col("score"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tok, tf, df,
+    CAST(tf AS DOUBLE) * CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE) AS score
+  FROM tf JOIN dfreq USING (tok), n)
+SELECT doc_id, tok AS top_tok, tf, df, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+    ORDER BY score DESC, tok) AS rn FROM scored)
+WHERE rn = 1 ORDER BY doc_id""")),
 
     // --- n-gram Jaccard similarity over a bounded candidate set (the
     // verify stage of near-dup detection; candidates come from LSH
