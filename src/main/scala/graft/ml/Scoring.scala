@@ -58,10 +58,19 @@ object Scoring {
     import Estimate._
     val train = trainingFrame(spark, dir).cache()
 
-    val posModel = new LinearRegression()
-      .setFeaturesCol("features").setLabelCol("t_xpos")
-      .setSolver("normal").setRegParam(0.0)
-      .fit(train)
+    // S4 model-file load (estimate_queue.py:64-69 loads .h5 from
+    // disk): persist the regression head and score with the LOADED
+    // model — the round-trip is the operator, not a cache.
+    val posModel = {
+      val fit = new LinearRegression()
+        .setFeaturesCol("features").setLabelCol("t_xpos")
+        .setSolver("normal").setRegParam(0.0)
+        .fit(train)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-model-").toString + "/queue_end_pos"
+      fit.write.overwrite().save(path)
+      org.apache.spark.ml.regression.LinearRegressionModel.load(path)
+    }
     val lanesModel = new LogisticRegression()
       .setFeaturesCol("features").setLabelCol("t_lanes")
       .setPredictionCol("p_lanes").setProbabilityCol("prob_lanes")

@@ -60,7 +60,53 @@ object Streams {
     spark.table(name)
   }
 
+  /** Custom per-key state for the stateful latest-wins stream. */
+  case class UpsertState(tsUs: Long, eventId: Long, value: Double)
+
   val all: Seq[QueryDef] = Seq(
+
+    // --- Arbitrary stateful processing: the K2 keyed upsert as
+    // flatMapGroupsWithState custom state (the API for semantics the
+    // built-in windows can't express). State = latest (ts, event_id,
+    // value) per station; each batch emits the updated state. The
+    // memory sink accumulates update-mode emissions, so the final
+    // read takes the per-key maximum — deterministic under any batch
+    // split because the ordering key is total.
+    QueryDef("q_stream_custom_state",
+      (spark, dir) => {
+        import spark.implicits._
+        import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+        val typed = eventsStream(spark, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("value"))
+          .as[(Long, Long, Long, Double)]
+        val updated = typed.groupByKey(_._1)
+          .flatMapGroupsWithState[UpsertState, (Long, Long, Long, Double)](
+            OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+            (key: Long, rows: Iterator[(Long, Long, Long, Double)],
+             state: GroupState[UpsertState]) =>
+              val candidates = rows.map(r => UpsertState(r._2, r._3, r._4)) ++
+                state.getOption.iterator
+              val latest = candidates.maxBy(s => (s.tsUs, s.eventId))
+              state.update(latest)
+              Iterator((key, latest.tsUs, latest.eventId, latest.value))
+          }
+          .toDF("user_id", "last_ts_us", "last_event_id", "last_value")
+        runToMemory(spark, updated, "graft_stream_custom_state", "update")
+          .groupBy(col("user_id"))
+          .agg(max_by(
+            struct(col("last_ts_us"), col("last_event_id"), col("last_value")),
+            struct(col("last_ts_us"), col("last_event_id"))).as("r"))
+          .select(col("user_id"), col("r.last_ts_us"), col("r.last_event_id"),
+            col("r.last_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, last_ts_us, last_event_id, last_value FROM (
+  SELECT user_id, epoch_us(ts) AS last_ts_us, event_id AS last_event_id,
+    value AS last_value,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1 ORDER BY user_id""")),
 
     // --- Tumbling event-time window + watermark, complete mode (all
     // windows in the sink at end-of-stream == the batch aggregation).
