@@ -621,22 +621,25 @@ FROM events GROUP BY user_id ORDER BY user_id""")),
 ORDER BY l_orderkey, l_linenumber, measure""")),
 
     // --- RANGE window frame: value-range running statistics (the
-    // frame is defined by value distance, not row count).
+    // frame is defined by value distance, not row count). Partitioned
+    // by station (user_id): window parallelism equals partition-key
+    // cardinality, so a 5-value key like event_type would cap the
+    // whole stage at 5 tasks regardless of cluster size.
     QueryDef("q_window_range",
       (spark, dir) => {
-        val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("value"))
           .rangeBetween(-10L, 0L)
         Tables.events(spark, dir).select(
-          col("event_id"), col("event_type"), col("value"),
+          col("event_id"), col("user_id"), col("value"),
           count(lit(1)).over(w).as("n_within_10"),
           min(col("value")).over(w).as("min_within_10"))
           .orderBy(col("event_id"))
       },
-      Some("""SELECT event_id, event_type, value,
+      Some("""SELECT event_id, user_id, value,
   count(*) OVER w AS n_within_10,
   min(value) OVER w AS min_within_10
 FROM events
-WINDOW w AS (PARTITION BY event_type ORDER BY value
+WINDOW w AS (PARTITION BY user_id ORDER BY value
              RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)
 ORDER BY event_id""")),
 

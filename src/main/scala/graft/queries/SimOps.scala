@@ -145,25 +145,32 @@ ORDER BY cos DESC, vec_id LIMIT 10""")),
     // tuned by the bit count.
     QueryDef("q_embed_neardup",
       (spark, dir) => {
+        // Norms are computed ONCE per vector before the join (N norm
+        // evaluations instead of 2 per candidate pair) — only the dot
+        // product runs per pair.
         val emb = Tables.embeddings(spark, dir)
           .select(col("vec_id"), col("embedding"),
-            lshBucket(col("embedding")).as("bucket"))
+            lshBucket(col("embedding")).as("bucket"),
+            sqrt(Exact.sumSq(col("embedding"))).as("norm"))
         val a = emb.select(col("vec_id").as("id_a"),
-          col("embedding").as("emb_a"), col("bucket"))
+          col("embedding").as("emb_a"), col("bucket"), col("norm").as("norm_a"))
         val b = emb.select(col("vec_id").as("id_b"),
-          col("embedding").as("emb_b"), col("bucket"))
+          col("embedding").as("emb_b"), col("bucket"), col("norm").as("norm_b"))
         a.join(b, Seq("bucket"))
           .filter(col("id_a") < col("id_b"))
-          .withColumn("cos", Exact.cosineF(col("emb_a"), col("emb_b")))
+          .withColumn("cos", Exact.dotF(col("emb_a"), col("emb_b"))
+            / (col("norm_a") * col("norm_b")))
           .filter(col("cos") > 0.3)
           .select(col("id_a"), col("id_b"), col("bucket"), col("cos"))
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""WITH b AS (
-  SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings),
+  SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket,
+    sqrt(${Exact.sumSqSql("embedding")}) AS norm
+  FROM embeddings),
 p AS (
   SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.bucket AS bucket,
-    ${Exact.cosineFSql("a.embedding", "c.embedding")} AS cos
+    ${Exact.dotFSql("a.embedding", "c.embedding")} / (a.norm * c.norm) AS cos
   FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
 SELECT id_a, id_b, bucket, cos FROM p WHERE cos > 0.3
 ORDER BY id_a, id_b""")),
