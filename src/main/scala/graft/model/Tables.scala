@@ -85,19 +85,10 @@ object Tables {
   ))
 }
 
-/** Typed records for the Dataset[T] (typed) surface of the pipeline.
-  * Observation ≅ the reference's parsed (station_id, timestamp) +
-  * measurement (reference: estimate_queue.py:31-61 parse, :80-88
-  * prediction dict); Prediction ≅ the enriched record upserted to the
-  * keyed sink (reference: estimate_queue.py:189-192) — the flagship's
-  * output schema (`Pipeline.estimateQueue(...).as[Prediction]`). */
-case class Observation(
-    station_id: Long,
-    obs_ts: Long,
-    x_pos: Double,
-    lanes_raw: Double,
-    queue_full: Double)
-
+/** Typed record for the Dataset[T] (typed) surface of the pipeline:
+  * the enriched prediction upserted to the keyed sink (reference:
+  * estimate_queue.py:189-192) — the flagship's output schema
+  * (`Pipeline.estimateQueue(...).as[Prediction]`). */
 case class Prediction(
     station_id: Long,
     obs_ts: Long,
