@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{Estimate, LatestAggregator, LatestBuf, LatestIn}
+
+/** Generative properties (SURVEY §5 test plan, item b): the interp
+  * chain against a straight Scala np.interp reimplementation, and the
+  * UDAF's merge algebra (order-independence is what makes it safe on
+  * any cluster topology). Samples are drawn from seeded scalacheck
+  * generators so runs are reproducible. */
+class PropertySpec extends SparkSpec {
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  /** Straight np.interp over Estimate.Points (constant extrapolation). */
+  private def interpRef(x: Double): Double = {
+    val pts = Estimate.Points
+    if (x < pts.head._1) pts.head._2
+    else if (x >= pts.last._1) pts.last._2
+    else {
+      val Seq((xa, ya), (xb, yb)) =
+        pts.sliding(2).find { case Seq(_, (b, _)) => x < b; case _ => false }.get
+      ya + (x - xa) * ((yb - ya) / (xb - xa))
+    }
+  }
+
+  test("piecewiseInterp == np.interp reimplementation on generated inputs") {
+    val xs = samples(Gen.choose(-500.0, 2000.0), 300) ++
+      Estimate.Points.map(_._1) // knots exactly
+    val got = spark.createDataFrame(xs.map(Tuple1(_))).toDF("x")
+      .select(col("x"), Estimate.piecewiseInterp(col("x")).as("y"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1))
+    for ((x, y) <- got)
+      assert(math.abs(y - interpRef(x)) < 1e-9, s"x=$x")
+  }
+
+  private val bufGen = for {
+    ts <- Gen.choose(-1000L, 1000L)
+    id <- Gen.choose(0L, 100L)
+    v <- Gen.choose(-1e6, 1e6)
+  } yield LatestBuf(ts, id, v)
+
+  test("LatestAggregator merge is commutative, associative, absorbs zero") {
+    val m = (a: LatestBuf, b: LatestBuf) => LatestAggregator.merge(a, b)
+    for (Seq(a, b, c) <- samples(bufGen, 300).grouped(3) if Seq(a, b, c).size == 3) {
+      assert(m(a, b) === m(b, a))
+      assert(m(m(a, b), c) === m(a, m(b, c)))
+      assert(m(a, LatestAggregator.zero) === a)
+    }
+  }
+
+  test("LatestAggregator reduce order and partial-merge split are irrelevant") {
+    val inGen = for {
+      ts <- Gen.choose(-1000L, 1000L)
+      id <- Gen.choose(0L, 100L)
+      v <- Gen.choose(-1e6, 1e6)
+    } yield LatestIn(ts, id, v)
+    val fold = (z: Seq[LatestIn]) =>
+      z.foldLeft(LatestAggregator.zero)(LatestAggregator.reduce)
+    for (n <- Seq(1, 2, 7, 40)) {
+      val ins = samples(inGen, n)
+      assert(LatestAggregator.finish(fold(ins)) ===
+        LatestAggregator.finish(fold(ins.reverse)))
+      val (l, r) = ins.splitAt(ins.length / 2)
+      assert(LatestAggregator.merge(fold(l), fold(r)) === fold(ins),
+        s"split-merge != fold for n=$n")
+    }
+  }
+}
