@@ -44,10 +44,15 @@ object Exact {
 
   /** Exact sum-of-squares of an Array[Float] column (vector squared L2
     * norm), the workhorse of the similarity operators. Accumulates in
-    * DECIMAL so executor-side evaluation order is irrelevant. The merge
-    * result is cast back to the accumulator type (Spark's decimal-add
-    * widens precision past 38 and would otherwise drop to scale 11). */
+    * decimal so executor-side evaluation order is irrelevant. Backed
+    * by the native [[ExactSumSq]] expression (codegen'd tight loop);
+    * [[sumSqDeclarative]] is the built-in-operator rendition it
+    * replaced, kept for the equivalence test. */
   def sumSq(arr: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftColumns.column(
+      ExactSumSq(org.apache.spark.sql.graftbridge.GraftColumns.expression(arr)))
+
+  def sumSqDeclarative(arr: Column): Column =
     aggregate(
       arr,
       lit(0).cast(DecimalType(30, 12)),
@@ -58,8 +63,15 @@ object Exact {
   def sumSqSql(arr: String): String =
     s"CAST(list_sum(list_transform($arr, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(20,12)))) AS DOUBLE)"
 
-  /** Exact dot product of two Array[Float] columns. */
+  /** Exact dot product of two Array[Float] columns (native
+    * [[ExactDotProduct]] expression; declarative twin below). */
   def dotF(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftColumns.column(
+      ExactDotProduct(
+        org.apache.spark.sql.graftbridge.GraftColumns.expression(a),
+        org.apache.spark.sql.graftbridge.GraftColumns.expression(b)))
+
+  def dotFDeclarative(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0).cast(DecimalType(30, 12)),

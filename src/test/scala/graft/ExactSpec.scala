@@ -34,6 +34,29 @@ class ExactSpec extends SparkSpec {
     assert(evalD(Exact.sumSq(a)) === (1.0 + 4.0 + 9.0))
   }
 
+  test("native dot/sumSq expressions == declarative HOF folds on real vectors") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.model.Tables.embeddings(spark, Sf0001)
+    val pairs = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("probe")))
+    val diff = pairs.select(
+      (Exact.dotF(col("embedding"), col("probe")) -
+        Exact.dotFDeclarative(col("embedding"), col("probe"))).as("d_dot"),
+      (Exact.sumSq(col("embedding")) -
+        Exact.sumSqDeclarative(col("embedding"))).as("d_ssq"))
+      .agg(max(abs(col("d_dot"))).as("m1"), max(abs(col("d_ssq"))).as("m2"))
+      .head
+    assert(diff.getDouble(0) === 0.0, "dot must be bit-identical")
+    assert(diff.getDouble(1) === 0.0, "sumSq must be bit-identical")
+  }
+
+  test("native expressions poison on length mismatch like zip_with") {
+    val a = array(lit(1.0f), lit(2.0f), lit(3.0f))
+    val short = array(lit(1.0f), lit(2.0f))
+    assert(spark.range(1).select(Exact.dotF(a, short).as("v")).head.isNullAt(0))
+  }
+
   test("cosineF: identical → 1, orthogonal → 0, opposite → -1") {
     val a = array(lit(1.0f), lit(2.0f))
     val o = array(lit(-2.0f), lit(1.0f))
