@@ -1,0 +1,66 @@
+package graft
+
+/** Physical-plan regression guards: the scale-critical plan shapes
+  * (broadcasts, partial aggregation, shuffle-free projections, top-k
+  * without global sort, codegen on similarity kernels) are asserted
+  * so a future refactor cannot silently regress them — the plan IS
+  * the 100 TB contract. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q_join_broadcast: both dims broadcast, no shuffle join") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_topk: TakeOrderedAndProject, no global Sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+  }
+
+  test("q_asof_knot: pure projection — zero joins, zero aggregates") {
+    val p = plan("q_asof_knot")
+    assert(!p.contains("Join"), p.take(400))
+    assert(!p.contains("Aggregate"), p.take(400))
+  }
+
+  test("estimate_queue: aggregation upsert with map-side partial phase") {
+    val p = plan("estimate_queue")
+    // two aggregate phases (partial before the exchange, final after)
+    assert("Aggregate".r.findAllIn(p).size >= 2, p.take(600))
+    assert(!p.contains("Window"), "upsert must not be a ranking window")
+  }
+
+  test("q_scan_project: projection prunes the parquet read schema") {
+    val p = plan("q_scan_project")
+    assert(p.contains("ReadSchema"), p.take(400))
+    // only the 4 selected columns reach the scan
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_comment") && !read.contains("l_shipdate"), read)
+  }
+
+  test("q_filter_compound: predicates push into the scan") {
+    val p = plan("q_filter_compound")
+    assert(p.contains("PushedFilters: ["), p.take(400))
+    assert(p.linesIterator.find(_.contains("PushedFilters"))
+      .exists(l => l.contains("IsNotNull") || l.contains("GreaterThan")), p.take(800))
+  }
+
+  test("q_cosine_topk: native kernels in the plan, probe broadcast, top-k") {
+    val p = plan("q_cosine_topk")
+    assert(p.contains("exactdotproduct") && p.contains("exactsumsq"),
+      "native expressions must back the cosine: " + p.take(600))
+    assert(p.contains("BroadcastExchange"), "probe must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
+  test("q_wordcount: partial aggregation before the token shuffle") {
+    val p = plan("q_wordcount")
+    assert(p.contains("Generate explode"), p.take(400))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(600))
+  }
+}
