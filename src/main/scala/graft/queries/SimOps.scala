@@ -315,16 +315,28 @@ ORDER BY doc_id""")),
         val h = crc32(payload)
         val fakeFeatures = transform(sequence(lit(1), lit(8)),
           i => (pmod(xxhash64(payload, i), lit(1000L))).cast("double") / lit(1000.0))
+        // STUB frame-sample: every "video" yields 4 frame digests
+        // (deterministic per-payload); real impl samples decoded
+        // frames at a stride.
+        val frameDigests = transform(sequence(lit(1), lit(4)),
+          i => xxhash64(payload, i * lit(1000)))
         Tables.documents(spark, dir)
           .select(col("doc_id"),
             length(payload).as("n_bytes"),
             (pmod(h, lit(640L)) + lit(1)).cast("int").as("width"),
             (pmod(h, lit(480L)) + lit(1)).cast("int").as("height"),
             lit(3).as("n_channels"),
-            fakeFeatures.as("features"))
+            fakeFeatures.as("features"),
+            frameDigests.as("frames"))
+          // STUB resize: halved dimensions (floor), the P2-crop
+          // "discard what can't affect the answer" shape.
+          .withColumn("resized_w", (col("width") / lit(2)).cast("int"))
+          .withColumn("resized_h", (col("height") / lit(2)).cast("int"))
           .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
-            col("n_channels"),
-            Exact.decSumArr(col("features")).as("feat_digest"))
+            col("resized_w"), col("resized_h"), col("n_channels"),
+            Exact.decSumArr(col("features")).as("feat_digest"),
+            size(col("frames")).as("n_frames"),
+            element_at(col("frames"), 1).as("frame1_digest"))
           .orderBy(col("doc_id"))
       },
       None),
