@@ -105,6 +105,51 @@ SELECT user_id, hour_us, n, avg_value,
   ${Estimate.piecewiseInterpSql(s"avg_value * ${Estimate.d(Pipeline.XScale)}")} AS meters
 FROM hourly ORDER BY user_id, hour_us""")),
 
+    // --- Source-format round-trip: the same rows written+read back
+    // through JSON-lines and CSV (explicit schemas — streaming and
+    // production never infer) must survive bit-exactly; the query
+    // RETURNS the proof (row count + mismatch counts vs the parquet
+    // original), so the oracle gates the round-trip itself.
+    QueryDef("q_format_roundtrip",
+      (spark, dir) => {
+        val tmp = Files.createTempDirectory("graft-fmt-").toString
+        val ev = Tables.events(spark, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), unix_micros(col("ts")).as("ts_us"))
+        ev.write.mode("overwrite").json(s"$tmp/json")
+        ev.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+        val schema = "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts_us LONG"
+        val fromJson = spark.read.schema(schema).json(s"$tmp/json")
+        val fromCsv = spark.read.schema(schema)
+          .option("header", "true").csv(s"$tmp/csv")
+        ev.agg(count(lit(1)).as("n_rows")).crossJoin(
+          fromJson.exceptAll(ev).agg(count(lit(1)).as("json_mismatch"))).crossJoin(
+          fromCsv.exceptAll(ev).agg(count(lit(1)).as("csv_mismatch")))
+      },
+      Some("""SELECT count(*) AS n_rows, CAST(0 AS BIGINT) AS json_mismatch,
+  CAST(0 AS BIGINT) AS csv_mismatch FROM events""")),
+
+    // --- Partitioned write + partition pruning: events written
+    // partitioned by event_type; the filtered read-back scans ONE
+    // partition (PartitionFilters in the plan — PlanSpec asserts it).
+    // At 100 TB this is the difference between scanning 1/k of the
+    // data and all of it.
+    QueryDef("q_partitioned_scan",
+      (spark, dir) => {
+        val tmp = Files.createTempDirectory("graft-part-").toString + "/events_by_type"
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+        spark.read.parquet(tmp)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), Exact.decSum(col("value"), 2).as("sum_value"))
+          .orderBy(col("user_id"))
+      },
+      Some(s"""SELECT user_id, count(*) AS n, ${Exact.decSumSql("value", 2)} AS sum_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id ORDER BY user_id""")),
+
     // --- Custom Aggregator UDAF: latest-by-timestamp as a typed
     // user-defined aggregation (mergeable partial aggregation — the
     // same scale shape as max_by).

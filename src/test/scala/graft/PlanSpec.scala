@@ -58,6 +58,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
+  test("q_partitioned_scan: filter becomes a partition filter (scan prunes)") {
+    val p = plan("q_partitioned_scan")
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("event_type"),
+      "event_type filter must prune partitions, not scan rows: " + p.take(600))
+  }
+
   test("q_wordcount: partial aggregation before the token shuffle") {
     val p = plan("q_wordcount")
     assert(p.contains("Generate explode"), p.take(400))
