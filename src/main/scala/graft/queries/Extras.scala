@@ -118,16 +118,20 @@ FROM hourly ORDER BY user_id, hour_us""")),
             col("value"), unix_micros(col("ts")).as("ts_us"))
         ev.write.mode("overwrite").json(s"$tmp/json")
         ev.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+        ev.write.mode("overwrite").orc(s"$tmp/orc")
         val schema = "event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts_us LONG"
         val fromJson = spark.read.schema(schema).json(s"$tmp/json")
         val fromCsv = spark.read.schema(schema)
           .option("header", "true").csv(s"$tmp/csv")
+        val fromOrc = spark.read.schema(schema).orc(s"$tmp/orc")
         ev.agg(count(lit(1)).as("n_rows")).crossJoin(
           fromJson.exceptAll(ev).agg(count(lit(1)).as("json_mismatch"))).crossJoin(
-          fromCsv.exceptAll(ev).agg(count(lit(1)).as("csv_mismatch")))
+          fromCsv.exceptAll(ev).agg(count(lit(1)).as("csv_mismatch"))).crossJoin(
+          fromOrc.exceptAll(ev).agg(count(lit(1)).as("orc_mismatch")))
       },
       Some("""SELECT count(*) AS n_rows, CAST(0 AS BIGINT) AS json_mismatch,
-  CAST(0 AS BIGINT) AS csv_mismatch FROM events""")),
+  CAST(0 AS BIGINT) AS csv_mismatch, CAST(0 AS BIGINT) AS orc_mismatch
+FROM events""")),
 
     // --- Partitioned write + partition pruning: events written
     // partitioned by event_type; the filtered read-back scans ONE

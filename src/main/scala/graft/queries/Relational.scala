@@ -327,6 +327,38 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem
                   WHERE l_orderkey = o_orderkey AND l_quantity > 49.0)
 ORDER BY o_orderkey""")),
 
+    // --- Outer joins: customers with/without orders in both
+    // directions (NULL-extended sides), plus the full-outer union of
+    // match states. COALESCE keys keep the output total-ordered.
+    QueryDef("q_join_outer",
+      (spark, dir) => {
+        val bigOrders = Tables.orders(spark, dir)
+          .filter(col("o_totalprice") > 300000.0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_name"))
+          .join(bigOrders, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), lit(-1L)).as("cust_k"),
+            coalesce(col("o_orderkey"), lit(-1L)).as("order_k"),
+            col("c_name"), col("o_totalprice"),
+            when(col("c_custkey").isNull, "order_only")
+              .when(col("o_orderkey").isNull, "customer_only")
+              .otherwise("both").as("side"))
+          .orderBy(col("cust_k"), col("order_k"))
+      },
+      Some("""SELECT coalesce(c_custkey, -1) AS cust_k,
+  coalesce(o_orderkey, -1) AS order_k,
+  c_name, o_totalprice,
+  CASE WHEN c_custkey IS NULL THEN 'order_only'
+       WHEN o_orderkey IS NULL THEN 'customer_only'
+       ELSE 'both' END AS side
+FROM customer
+FULL OUTER JOIN (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+                 WHERE o_totalprice > 300000.0) o
+  ON c_custkey = o_custkey
+ORDER BY cust_k, order_k""")),
+
     // --- Theta/range join: event x-position against calibration
     // segment intervals (E5 as a join). The tiny segment table is
     // broadcast → BroadcastNestedLoopJoin, no shuffle of the fact side.
