@@ -46,10 +46,14 @@ object Relational {
       (spark, dir) => Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // ORDER BY every output column: (orderkey, linenumber) is NOT
+        // unique at larger SFs, and only a total order is deterministic.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
         .limit(100),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""")),
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice LIMIT 100""")),
 
     // --- Compound predicate filter (E3/E7 thresholds generalized).
     // Predicates push down to the parquet row-group level.
@@ -61,14 +65,15 @@ FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""")),
           && !(col("l_discount") >= 0.05 && col("l_discount") <= 0.07))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_discount"), col("l_returnflag"), col("l_linestatus"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")),
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"), col("l_returnflag"), col("l_linestatus")),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_linestatus
 FROM lineitem
 WHERE (l_returnflag = 'R' OR l_linestatus = 'F')
   AND l_quantity > 25.0
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
   AND NOT (l_discount >= 0.05 AND l_discount <= 0.07)
-ORDER BY l_orderkey, l_linenumber""")),
+ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_linestatus""")),
 
     // --- Scalar math projection (P3, E1, E2, E6, E8, E9 generalized).
     QueryDef("q_scalar_math",
