@@ -414,6 +414,60 @@ FROM (SELECT event_id, ${Estimate.clampNonNegSql(s"value * ${d(Pipeline.XScale)}
 JOIN (VALUES $knotsSql) k(kx, km) ON k.kx <= e.x_pos
 GROUP BY event_id, x_pos ORDER BY event_id""")),
 
+    // --- Multi-join analytics (TPC-H Q3 shape): shipping-priority
+    // revenue — two fact joins on the order key, partial-aggregated,
+    // top-k by revenue. The canonical 3-table plan a switching user
+    // runs on day one.
+    QueryDef("q_pricing_topk",
+      (spark, dir) => Tables.customer(spark, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < to_timestamp(lit("1995-03-15 00:00:00")))
+        .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > to_timestamp(lit("1995-03-15 00:00:00")))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10),
+      Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+  ${Exact.decSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // --- Star-shaped 5-table join (TPC-H Q5 shape): revenue by nation
+    // — broadcast dims over one fact-fact shuffle join.
+    QueryDef("q_region_volume",
+      (spark, dir) => Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(spark, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(spark, dir)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name")),
+      Some(s"""SELECT n_name,
+  ${Exact.decSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
     // --- Hash aggregation with the full agg-function family (fleet-wide
     // rollup of per-record estimates). Partial (map-side) aggregation is
     // automatic; one shuffle on the group key.
