@@ -116,8 +116,13 @@ object Estimate {
     val m = regexp_extract(key, StationKeyRegex, 1)
     when(m === "", lit(null)).otherwise(m).cast("long")
   }
-  def parseStationTs(key: Column): Column =
-    regexp_extract(key, StationKeyRegex, 2)
+  /** Timestamp part of the key, NULL on malformed keys ('' would
+    * throw downstream in ANSI to_timestamp — same landmine class as
+    * parseStationId's cast). */
+  def parseStationTs(key: Column): Column = {
+    val m = regexp_extract(key, StationKeyRegex, 2)
+    when(m === "", lit(null)).otherwise(m)
+  }
 
   /** Naive basic-ISO local timestamp in Europe/Oslo → POSIX epoch seconds.
     * reference: estimate_queue.py:49-51 (isoparse + tz.gettz("Europe/Oslo")

@@ -29,6 +29,10 @@ class EstimateSpec extends SparkSpec {
         "nonsense.bin", "station_id_41.bin")) {
       assert(spark.range(1).select(parseStationId(lit(bad)).as("v"))
         .head.isNullAt(0), s"expected NULL for $bad")
+      // the ts side must also NULL out (and survive the epoch chain)
+      assert(spark.range(1)
+        .select(osloEpoch(parseStationTs(lit(bad))).as("v"))
+        .head.isNullAt(0), s"expected NULL epoch for $bad")
     }
   }
 
