@@ -184,6 +184,43 @@ ORDER BY user_id, session_start_us""")),
       Some("""SELECT DISTINCT user_id, event_type FROM events
 ORDER BY user_id, event_type""")),
 
+    // --- Stream-stream inner join: purchases joined to same-user
+    // clicks in the preceding hour, both sides watermarked (the
+    // watermark bounds join STATE; inner-join emission is
+    // match-driven, so the single-batch AvailableNow result equals
+    // the batch join — which is exactly what the oracle states).
+    // Time arithmetic stays in the µs domain on both engines.
+    QueryDef("q_stream_join",
+      (spark, dir) => {
+        val purchases = eventsStream(spark, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("p_id"))
+          .withWatermark("p_ts", "10 minutes")
+        val clicks = eventsStream(spark, dir)
+          .filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("c_id"))
+          .withWatermark("c_ts", "10 minutes")
+        val joined = purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"))
+          .select(col("p_user").as("user_id"), col("p_id"), col("c_id"),
+            unix_micros(col("p_ts")).as("p_ts_us"),
+            unix_micros(col("c_ts")).as("c_ts_us"))
+        runToMemory(spark, joined, "graft_stream_join", "append")
+          .orderBy(col("user_id"), col("p_id"), col("c_id"))
+      },
+      Some("""SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id,
+  epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+ AND epoch_us(c.ts) <= epoch_us(p.ts)
+ORDER BY p.user_id, p_id, c_id""")),
+
     // --- foreachBatch keyed upsert sink (K2, the DynamoDB
     // update_item analog): per micro-batch, merge the batch into a
     // keyed parquet target with latest-wins max_by, then read the
