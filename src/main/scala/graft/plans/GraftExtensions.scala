@@ -21,8 +21,11 @@ object DotSelfToSumSq extends Rule[LogicalPlan] {
 
 /** SparkSessionExtensions entry point: enable with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
-  * (or `spark.experimental.extraOptimizations` on a live session). */
+  * (or `spark.experimental.extraOptimizations` /
+  * `spark.experimental.extraStrategies` on a live session). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DotSelfToSumSq)
+    ext.injectPlannerStrategy(_ => GroupTopKStrategy)
+  }
 }

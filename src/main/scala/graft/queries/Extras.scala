@@ -154,6 +154,29 @@ FROM events""")),
 FROM events WHERE event_type = 'purchase'
 GROUP BY user_id ORDER BY user_id""")),
 
+    // --- Native per-group top-k: custom LogicalPlan + SparkStrategy +
+    // SparkPlan (extension point (c) as a whole operator, not just an
+    // optimizer rule). Two-phase bounded heaps: each map task keeps at
+    // most k rows per group before the shuffle, so the exchange volume
+    // is groups × k × tasks regardless of input size — vs the window
+    // rendition (q_topk_per_group) which shuffles EVERY row and fully
+    // sorts each group. Same answer, oracle-gated both ways;
+    // GroupTopKSpec pins plan shape and window-equivalence.
+    QueryDef("q_group_topk_native",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .select(col("event_type"), col("event_id"), col("value"))
+        graft.plans.GroupTopK.topK(ev, Seq("event_type"),
+          Seq(("value", true), ("event_id", false)), 3)
+          .orderBy(col("event_type"), col("value").desc, col("event_id"))
+      },
+      Some("""SELECT event_type, event_id, value FROM (
+  SELECT event_type, event_id, value,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY value DESC NULLS LAST, event_id) AS rn
+  FROM events) WHERE rn <= 3
+ORDER BY event_type, value DESC NULLS LAST, event_id""")),
+
     // --- Custom Aggregator UDAF: latest-by-timestamp as a typed
     // user-defined aggregation (mergeable partial aggregation — the
     // same scale shape as max_by).

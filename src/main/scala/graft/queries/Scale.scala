@@ -1,0 +1,127 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+import graft.model.Tables
+
+/** Skew- and co-location patterns: the join/aggregation shapes that
+  * decide whether a plan survives a 100× scale-up. Each query produces
+  * the SAME answer as its naive rendition (oracle = the plain SQL), so
+  * the driver gate proves the rewrite is semantics-preserving while
+  * the plan shape (asserted in PlanSpec/ScaleSpec) carries the scale
+  * property.
+  *
+  * Reference analog: the one-key DynamoDB upsert stream
+  * (queue_time_predictions/estimate_queue.py:166-178) — at fleet scale
+  * a handful of busy stations dominates the feed, which is exactly the
+  * skewed-key regime these patterns exist for.
+  */
+object Scale {
+
+  /** Salt fan-out factor. At 100 TB this is sized from the skew ratio
+    * (hot-key rows / median-key rows); 8 here keeps the sf0.01 verify
+    * fast while exercising the full pattern. */
+  val Salts = 8
+
+  val all: Seq[QueryDef] = Seq(
+
+    // --- Salted skew join: fact side gets a deterministic salt from a
+    // NON-KEY column (so hot key rows spread over `Salts` reducers);
+    // the dim side is replicated ×Salts with explode. The join key
+    // becomes (key, salt) — the hot key's rows land on Salts tasks
+    // instead of one. AQE's skew-join handles moderate skew
+    // automatically; explicit salting is the pattern for the extreme
+    // tail (one key = 30% of rows) where even a split partition's
+    // build side overwhelms a task. Result ≡ the plain join (oracle).
+    QueryDef("q_join_skew_salted",
+      (spark, dir) => {
+        val fact = Tables.orders(spark, dir)
+          .select(col("o_custkey"), col("o_totalprice"),
+            pmod(xxhash64(col("o_orderkey")), lit(Salts.toLong)).as("salt"))
+        val dim = Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .withColumn("salt", explode(array((0 until Salts).map(s =>
+            lit(s.toLong)): _*)))
+        fact.join(dim,
+          col("o_custkey") === col("c_custkey") && fact("salt") === dim("salt"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            Exact.decSum(col("o_totalprice"), 2).as("total_price"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
+  ${Exact.decSumSql("o_totalprice", 2)} AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // --- Two-stage (salted) aggregation: a 5-value group key caps the
+    // final reduce at 5 tasks; the salted partial stage aggregates on
+    // (key, salt) first — Salts× the reduce parallelism — then the
+    // tiny (5 × Salts)-row result re-aggregates on the key alone.
+    // decSum is decimal (associative, order-independent), so the
+    // two-stage split is exact. Result ≡ single-stage (oracle).
+    QueryDef("q_agg_salted",
+      (spark, dir) => Tables.events(spark, dir)
+        .select(col("event_type"), col("value"),
+          pmod(xxhash64(col("event_id")), lit(Salts.toLong)).as("salt"))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+            .as("sum_dec"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"),
+          sum(col("sum_dec")).cast("double").as("sum_value"))
+        .orderBy(col("event_type")),
+      Some(s"""SELECT event_type, count(*) AS n,
+  ${Exact.decSumSql("value", 2)} AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // --- Bucketed co-located join: both fact tables written bucketed
+    // (and sorted) on the join key with the same bucket count — the
+    // join reads bucket i against bucket i with NO exchange and NO
+    // sort (ScaleSpec asserts both are absent below the join). At
+    // 100 TB this turns the recurring fact-fact join into a local
+    // merge: the shuffle is paid once at write time, amortized over
+    // every subsequent query. The repartition before write puts each
+    // bucket in exactly one file, which is what lets the reader trust
+    // the sort order.
+    QueryDef("q_bucketed_join",
+      (spark, dir) => {
+        val tmp = Files.createTempDirectory("graft-bucket-").toString
+        val nb = 8
+        spark.sql("DROP TABLE IF EXISTS graft_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+          .repartition(nb, col("l_orderkey"))
+          .write.mode("overwrite").option("path", s"$tmp/li")
+          .bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("graft_li_bucketed")
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .repartition(nb, col("o_orderkey"))
+          .write.mode("overwrite").option("path", s"$tmp/ord")
+          .bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("graft_ord_bucketed")
+        // MERGE hint: at test SF the dim side fits the broadcast
+        // threshold, which would bypass the bucket co-location this
+        // operator demonstrates; at 100 TB neither side broadcasts and
+        // SMJ is what the planner picks anyway.
+        spark.table("graft_li_bucketed").hint("merge")
+          .join(spark.table("graft_ord_bucketed"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_items"),
+            Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+              .as("revenue"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS n_items,
+  ${Exact.decSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+  )
+}
