@@ -79,6 +79,101 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
   ${Exact.decSumSql("value", 2)} AS sum_value
 FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // --- Binned interval join: point-in-interval joins plan as
+    // nested-loop unless the range predicate is rewritten as an
+    // equi-join. Each interval explodes to the fixed-width time bins
+    // it overlaps; points carry their own bin; the join becomes
+    // bin = bin plus a residual range filter. A point's bin is unique,
+    // so no post-join dedup is needed. q_join_range keeps the
+    // broadcast-nested-loop form for tiny build sides; this is the
+    // form for when BOTH sides are large — the planner picks hash
+    // join (broadcast here, shuffle-on-bin at 100 TB), never a
+    // nested loop (ScaleSpec asserts it). Bin width tunes the
+    // replication factor: interval rows duplicate ×(width/binW),
+    // points never duplicate.
+    QueryDef("q_interval_bin_join",
+      (spark, dir) => {
+        val binW = 21600000000L // 6 h in µs
+        val ev = Tables.events(spark, dir)
+          .select(unix_micros(col("ts")).as("ts_us"), col("value"))
+        val bounds = ev.agg(min(col("ts_us")).as("t0"),
+          max(col("ts_us")).as("t1"))
+        // 25 deterministic, overlapping intervals spread over the ts
+        // domain, derived from nation keys with pure long arithmetic
+        // (div = floor division on positives — identical in DuckDB).
+        val iv = Tables.nation(spark, dir)
+          .select(col("n_nationkey").cast("long").as("iv_id"))
+          .crossJoin(broadcast(bounds))
+          .select(col("iv_id"),
+            expr("t0 + ((t1 - t0) * iv_id) div 25").as("lo"),
+            expr("t0 + ((t1 - t0) * iv_id) div 25" +
+              " + ((t1 - t0) * (1 + iv_id % 3)) div 50").as("hi"))
+        val ivBins = iv.select(col("iv_id"), col("lo"), col("hi"),
+          explode(sequence(expr(s"lo div $binW"), expr(s"hi div $binW")))
+            .as("iv_bin"))
+        ev.withColumn("bin", expr(s"ts_us div $binW"))
+          .join(ivBins, col("bin") === col("iv_bin") &&
+            col("ts_us") >= col("lo") && col("ts_us") < col("hi"))
+          .groupBy(col("iv_id"))
+          .agg(count(lit(1)).as("n"),
+            Exact.decSum(col("value"), 2).as("sum_value"))
+          .orderBy(col("iv_id"))
+      },
+      Some(s"""WITH b AS (
+  SELECT epoch_us(min(ts)) AS t0, epoch_us(max(ts)) AS t1 FROM events),
+iv AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS iv_id,
+    t0 + ((t1 - t0) * n_nationkey) // 25 AS lo,
+    t0 + ((t1 - t0) * n_nationkey) // 25
+      + ((t1 - t0) * (1 + n_nationkey % 3)) // 50 AS hi
+  FROM nation, b)
+SELECT iv_id, count(*) AS n, ${Exact.decSumSql("value", 2)} AS sum_value
+FROM iv JOIN (SELECT epoch_us(ts) AS ts_us, value FROM events) e
+  ON e.ts_us >= iv.lo AND e.ts_us < iv.hi
+GROUP BY iv_id ORDER BY iv_id""")),
+
+    // --- Dynamic partition pruning: the fact side is partitioned on
+    // the join key; the dim-side filter is on a NON-partition column
+    // (category), so static pruning can't apply — the optimizer
+    // inserts a dynamicpruning subquery that evaluates the dim filter
+    // first and prunes fact partitions at runtime (ScaleSpec asserts
+    // the plan carries it). At 100 TB this is the difference between
+    // scanning 2/5 of the table and all of it, decided per query
+    // without re-layout.
+    QueryDef("q_dpp_join",
+      (spark, dir) => {
+        import spark.implicits._
+        val base = Files.createTempDirectory("graft-dpp-").toString
+        val tmp = s"$base/events_by_type"
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+        // The dim must be a file-based relation: a LocalRelation's
+        // filter constant-folds away (ConvertToLocalRelation) before
+        // the PartitionPruning rule can see a selective predicate.
+        Seq(
+          ("click", "engagement"), ("view", "engagement"),
+          ("purchase", "monetized"), ("signup", "lifecycle"),
+          ("error", "ops")).toDF("d_event_type", "category")
+          .write.mode("overwrite").parquet(s"$base/dim")
+        spark.read.parquet(tmp)
+          .join(spark.read.parquet(s"$base/dim")
+            .filter(col("category") === "engagement"),
+            col("event_type") === col("d_event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            Exact.decSum(col("value"), 2).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, count(*) AS n,
+  ${Exact.decSumSql("value", 2)} AS sum_value
+FROM events JOIN (VALUES ('click', 'engagement'), ('view', 'engagement'),
+  ('purchase', 'monetized'), ('signup', 'lifecycle'), ('error', 'ops'))
+  AS d(d_event_type, category) ON event_type = d_event_type
+WHERE category = 'engagement'
+GROUP BY event_type ORDER BY event_type""")),
+
     // --- Bucketed co-located join: both fact tables written bucketed
     // (and sorted) on the join key with the same bucket count — the
     // join reads bucket i against bucket i with NO exchange and NO

@@ -112,6 +112,41 @@ SELECT vec_id, ${Exact.cosineFSql("embedding", "probe_emb")} AS cos
 FROM embeddings, probe WHERE vec_id <> 0
 ORDER BY cos DESC, vec_id LIMIT 10""")),
 
+    // --- k-NN join: top-k neighbors for a SET of probe vectors in one
+    // pass (the batch shape of similarity search — scoring a probe
+    // batch, not one query). Probes broadcast; the corpus scan stays
+    // un-shuffled and scores all probes per row; the per-probe top-k
+    // runs on the native GroupTopK operator, so the exchange carries
+    // at most k rows per probe per map task — NOT the full scored
+    // cross product (probes × corpus rows), which is what the window
+    // rendition would shuffle. At 100 TB: corpus-partition-local heaps
+    // of k × |probes| rows, then a tiny merge.
+    QueryDef("q_knn_join",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        val probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"),
+            col("embedding").as("probe_emb"))
+        val scored = emb.filter(col("vec_id") >= 5)
+          .crossJoin(broadcast(probes))
+          .select(col("probe_id"), col("vec_id"),
+            Exact.cosineF(col("embedding"), col("probe_emb")).as("cos"))
+        graft.plans.GroupTopK.topK(scored, Seq("probe_id"),
+          Seq(("cos", true), ("vec_id", false)), 3)
+          .orderBy(col("probe_id"), col("cos").desc, col("vec_id"))
+      },
+      Some(s"""WITH probes AS (
+  SELECT vec_id AS probe_id, embedding AS probe_emb
+  FROM embeddings WHERE vec_id < 5)
+SELECT probe_id, vec_id, cos FROM (
+  SELECT probe_id, vec_id,
+    ${Exact.cosineFSql("embedding", "probe_emb")} AS cos,
+    row_number() OVER (PARTITION BY probe_id
+      ORDER BY ${Exact.cosineFSql("embedding", "probe_emb")} DESC NULLS LAST,
+        vec_id) AS rn
+  FROM embeddings, probes WHERE vec_id >= 5) WHERE rn <= 3
+ORDER BY probe_id, cos DESC NULLS LAST, vec_id""")),
+
     // --- LSH-bucketed ANN: the scale path. Both sides bucket by sign
     // bits; the probe joins only its own bucket (expected candidate
     // set = N / 2^bits), then exact cosine re-ranks. At 100 TB the

@@ -129,6 +129,37 @@ FROM events
 GROUP BY 1, 2, 3
 ORDER BY window_start_us, event_type""")),
 
+    // --- Sliding event-time window (1 h window, 30 min slide): each
+    // event lands in exactly window/slide = 2 windows. The oracle
+    // states the same assignment arithmetic explicitly (floor to the
+    // slide boundary, plus the preceding boundary) in the µs domain.
+    // State scales as O(active windows × groups), partitioned by
+    // group key — slide count multiplies state, not shuffle volume.
+    QueryDef("q_stream_sliding",
+      (spark, dir) => {
+        val agg = eventsStream(spark, dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), Exact.decSum(col("value"), 2).as("sum_value"))
+          .select(unix_micros(col("window.start")).as("window_start_us"),
+            unix_micros(col("window.end")).as("window_end_us"),
+            col("event_type"), col("n"), col("sum_value"))
+        runToMemory(spark, agg, "graft_stream_sliding", "complete")
+          .orderBy(col("window_start_us"), col("event_type"))
+      },
+      Some(s"""WITH e AS (
+  SELECT epoch_us(ts) AS ts_us, event_type, value FROM events),
+w AS (
+  SELECT ts_us - (ts_us % 1800000000) AS window_start_us, event_type, value
+  FROM e
+  UNION ALL
+  SELECT ts_us - (ts_us % 1800000000) - 1800000000, event_type, value
+  FROM e)
+SELECT window_start_us, window_start_us + 3600000000 AS window_end_us,
+  event_type, count(*) AS n, ${Exact.decSumSql("value", 2)} AS sum_value
+FROM w GROUP BY 1, 2, 3
+ORDER BY window_start_us, event_type""")),
+
     // --- Session window (30-minute gap) per station, append mode:
     // only watermark-finalized sessions emit, exactly the sessions
     // whose end precedes (global max event time − 10 min) — the

@@ -22,6 +22,36 @@ class ScaleSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(800))
   }
 
+  test("q_interval_bin_join: range predicate plans as a hash join, not a nested loop") {
+    val p = plan("q_interval_bin_join")
+    // the point-interval join keys on the bin and carries the range
+    // predicate as a residual filter — a hash join, not a nested loop
+    // (the only nested loop allowed is the 25×1 bounds cross-join)
+    assert(p.contains("HashJoin [bin"), p.take(1200))
+    val rangeJoinLines = p.linesIterator
+      .filter(l => l.contains("Join") && l.contains("ts_us")).toSeq
+    assert(rangeJoinLines.nonEmpty && rangeJoinLines.forall(_.contains("HashJoin")),
+      "range predicate must ride a hash join: " + rangeJoinLines.mkString("\n"))
+  }
+
+  test("q_knn_join: probe scoring stays un-shuffled below the native top-k") {
+    val p = SparkEntry.queries("q_knn_join")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    val topkIdx = p.indexOf("GroupTopK")
+    assert(topkIdx >= 0, p.take(800))
+    // below the FINAL top-k phase: one exchange (on probe_id), then the
+    // partial phase and the broadcast-joined scan — no other shuffle
+    val below = p.substring(p.indexOf("GroupTopK", topkIdx + 1))
+    assert(!below.contains("Exchange hashpartitioning"),
+      "partial phase must consume the scan without a shuffle: " + below.take(800))
+  }
+
+  test("q_dpp_join: fact scan carries a dynamic pruning subquery") {
+    val p = plan("q_dpp_join")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "partitioned fact scan should be dynamically pruned: " + p.take(1000))
+  }
+
   test("q_bucketed_join: bucketed scans, no exchange below the join") {
     val df = SparkEntry.queries("q_bucketed_join")(spark, Sf0001)
     val p = df.queryExecution.executedPlan.toString
