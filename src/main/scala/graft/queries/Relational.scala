@@ -748,6 +748,24 @@ ORDER BY event_id""")),
   quantile_cont(value, 0.99) AS p99
 FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // --- Approximate quantiles (positive-indexed variant of the
+    // Greenwald-Khanna sketch): mergeable partial state, so the
+    // aggregation stays two-phase at any cluster size — the scale form
+    // of q_percentiles, whose exact percentile must buffer each
+    // group's values. Sketch internals differ across engines → no SQL
+    // oracle (driver rows-only check); PropertySpec bounds the
+    // estimate against the exact percentile instead.
+    QueryDef("q_approx_quantile",
+      (spark, dir) => Tables.events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_med"),
+          percentile_approx(col("value"), lit(0.9), lit(10000)).as("approx_p90"),
+          median(col("value")).as("exact_med"),
+          percentile(col("value"), lit(0.9)).as("exact_p90"))
+        .orderBy(col("event_type")),
+      None),
+
     // --- Approximate distinct (HLL sketch). Sketch internals differ
     // across engines → no SQL oracle (driver rows-only check); the
     // scalatest suite bounds it against the exact count instead.

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Adaptive Query Execution evidence: the engine leans on AQE for the
+  * runtime re-plans that matter at 100 TB — demote-to-broadcast when a
+  * shuffle side turns out small, and shuffle-partition coalescing when
+  * the static partition count overshoots the data. These tests pin
+  * that the session actually gets both behaviors (a config regression
+  * would silently cost a full shuffle at scale).
+  */
+class AqeSpec extends SparkSpec {
+
+  test("AQE re-plans a sort-merge join to broadcast at runtime") {
+    val conf = spark.conf
+    val oldStatic = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // Static broadcast off (so the initial plan is SMJ), runtime
+    // broadcast on — exactly the regime of a 100 TB join whose build
+    // side only reveals itself as small after filtering.
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "8388608")
+    try {
+      val li = Tables.lineitem(spark, Sf0001)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val ord = Tables.orders(spark, Sf0001)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+      val initial = j.queryExecution.executedPlan.toString
+      assert(initial.contains("SortMergeJoin"),
+        "initial plan should sort-merge: " + initial.take(600))
+      j.collect()
+      val fin = j.queryExecution.executedPlan.toString
+      assert(fin.contains("isFinalPlan=true"), fin.take(300))
+      assert(fin.contains("BroadcastHashJoin"),
+        "AQE should demote to broadcast at runtime: " + fin.take(1200))
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldStatic)
+      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("AQE coalesces overshooting shuffle partitions") {
+    val conf = spark.conf
+    val oldParts = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      val agg = Tables.events(spark, Sf0001)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      agg.collect()
+      val fin = agg.queryExecution.executedPlan.toString
+      assert(fin.contains("isFinalPlan=true"), fin.take(300))
+      assert(fin.contains("coalesced"),
+        "64 partitions of 5 groups should coalesce: " + fin.take(1200))
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", oldParts)
+    }
+  }
+}

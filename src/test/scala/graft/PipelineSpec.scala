@@ -63,6 +63,22 @@ class PipelineSpec extends SparkSpec {
     assert(viaAgg === viaWindow)
   }
 
+  test("percentile_approx stays within rank tolerance of exact") {
+    val rows = QueryDef.queriesOf(Relational.all)("q_approx_quantile")(spark, Sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows; (a, e) <- Seq(("approx_med", "exact_med"),
+        ("approx_p90", "exact_p90"))) {
+      val approxV = r.getDouble(r.fieldIndex(a))
+      val exactV = r.getDouble(r.fieldIndex(e))
+      // accuracy=10000 → rank error ≤ 1/10000 of the group; values are
+      // dense doubles, so a loose 5% value tolerance is a safe bound.
+      assert(math.abs(approxV - exactV) <=
+        0.05 * math.max(1.0, math.abs(exactV)),
+        s"$a=$approxV vs $e=$exactV")
+    }
+  }
+
   test("approx_count_distinct stays within 10% of exact (HLL bound)") {
     val rows = QueryDef.queriesOf(Relational.all)("q_approx_distinct")(spark, Sf0001)
       .collect()

@@ -44,6 +44,65 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("events later than the watermark are dropped at finalization") {
+    import java.io.File
+    import java.nio.file.{Files => JFiles, Paths}
+    import java.nio.file.attribute.FileTime
+    import java.sql.Timestamp
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+
+    val dir = JFiles.createTempDirectory("graft-late-").toString
+    def ts(hhmm: String): Timestamp =
+      Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    // One parquet file per micro-batch, ordered by explicit mtime.
+    def addFile(n: Int, rows: Seq[Timestamp]): Unit = {
+      val stage = JFiles.createTempDirectory(s"graft-late-stage$n-").toString
+      rows.map(t => (t, 1L)).toDF("ts", "v")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = Paths.get(dir, s"batch$n.parquet")
+      JFiles.move(part.toPath, dest)
+      JFiles.setLastModifiedTime(dest, FileTime.fromMillis(1000L * n))
+    }
+    val agg = spark.readStream
+      .schema("ts timestamp, v bigint")
+      .parquet(dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string").as("ws"), col("n"))
+    // Two AvailableNow runs over one checkpoint (parquet sink — the
+    // memory sink cannot recover from a checkpoint): the watermark is
+    // persisted state, so run 2 resumes at 02:50 — exactly how a
+    // restarted production stream treats stragglers.
+    val ckpt = JFiles.createTempDirectory("graft-late-ckpt-").toString
+    val out = JFiles.createTempDirectory("graft-late-out-").toString + "/sink"
+    def run(): Unit = {
+      val q = agg.writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // Run 1 advances the watermark to 02:50; run 2 carries one event
+    // at 00:20 — behind the persisted watermark, must be dropped —
+    // and a fresh one at 05:00 that finalizes the 03:00 window.
+    addFile(1, Seq(ts("00:05"), ts("00:10"), ts("03:00")))
+    run()
+    addFile(2, Seq(ts("00:20"), ts("05:00")))
+    run()
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // 00:00 window finalized with 2 rows — the 00:20 straggler is NOT
+    // counted; 03:00 window finalized by the 05:00 event; the 05:00
+    // window itself is still open (watermark 04:50) and absent.
+    assert(got === Map("2024-01-01 00:00:00" -> 2L,
+      "2024-01-01 03:00:00" -> 1L), got.toString)
+  }
+
   test("session windows cover every pre-watermark event exactly once") {
     val sessions = q("q_stream_session")(spark, Sf0001).collect()
     val nInSessions = sessions.map(_.getLong(3)).sum
