@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Second analytic wave: distribution windows, batch sessionization,
+  * exact-decimal moment statistics, map functions, multiset set ops,
+  * correlated subqueries, and positional explode. Same determinism
+  * rules as [[Relational]] (total-order ORDER BY, decimal-exact sums,
+  * explicit NULLS ordering).
+  *
+  * Reference correspondence: these generalize the per-record estimate
+  * feed the same way §2.2 does — the sessionization is the batch form
+  * of the per-station observation stream
+  * (/root/reference/start.sh:4, one observation per run), and the
+  * moment statistics are the fleet-wide rollup a 100 TB deployment
+  * would run over the per-station estimates.
+  */
+object Analytic {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // --- Distribution window functions (ntile / percent_rank /
+    // cume_dist). One shuffle on the partition key, one sort reused by
+    // all four functions; rank arithmetic is integer-derived
+    // ((rank-1)/(n-1)) so the doubles are identical across engines.
+    // The window ORDER BY is made total with the key column, otherwise
+    // ties make ntile nondeterministic.
+    QueryDef("q_window_dist",
+      (spark, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables.customer(spark, dir).select(
+          col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment, c_acctbal,
+  CAST(ntile(4) OVER w AS INT) AS quartile,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey""")),
+
+    // --- Batch sessionization: gap > 30 min starts a new session —
+    // the batch twin of q_stream_session (session_window). Two window
+    // functions over the same (partition, order) → Catalyst plans ONE
+    // shuffle + ONE sort shared by both; the per-user cumulative sum
+    // then the per-session aggregate shuffle on user_id only. ts is
+    // second-truncated on both sides (parquet ns vs µs truncation).
+    QueryDef("q_sessionize",
+      (spark, dir) => {
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("event_id"),
+            date_trunc("second", col("ts")).as("ts"))
+          .withColumn("new_sess",
+            when(col("ts").cast("long") -
+              lag(col("ts"), 1).over(ord).cast("long") > 1800L, 1L)
+              .otherwise(lit(0L)))
+          .withColumn("sess_id",
+            sum(col("new_sess")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).cast("long").as("sess_start"),
+            (max(col("ts")).cast("long") - min(col("ts")).cast("long"))
+              .as("sess_seconds"))
+          .orderBy(col("user_id"), col("sess_id"))
+      },
+      Some("""SELECT user_id, sess_id, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(epoch(min(ts)) AS BIGINT) AS sess_start,
+  CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS sess_seconds
+FROM (
+  SELECT user_id, event_id, ts,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM (
+    SELECT user_id, event_id, ts,
+      CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+           THEN 1 ELSE 0 END AS new_sess
+    FROM (SELECT user_id, event_id, date_trunc('second', ts) AS ts FROM events)
+  )
+)
+GROUP BY user_id, sess_id
+ORDER BY user_id, sess_id""")),
+
+    // --- Moment statistics (corr / stddev) from exact decimal power
+    // sums. Built-in corr()/stddev() accumulate doubles whose value
+    // depends on merge order — fine numerically, fatal for a
+    // hash-compared oracle and irreproducible across cluster sizes.
+    // Instead: the five power sums accumulate as exact DECIMAL
+    // (order-independent at any parallelism, two-phase mergeable), and
+    // the closed-form combination runs in doubles with the identical
+    // expression text on both sides → bit-identical output.
+    QueryDef("q_moment_stats",
+      (spark, dir) => {
+        val v = col("value")
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        val dec = (c: org.apache.spark.sql.Column) =>
+          c.cast("decimal(32,10)")
+        Tables.events(spark, dir)
+          .select(col("event_type"), v.as("v"), k.as("k"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(dec(col("v"))).cast("double").as("sx"),
+            sum(dec(col("k"))).cast("double").as("sy"),
+            sum(dec(col("v") * col("v"))).cast("double").as("sxx"),
+            sum(dec(col("k") * col("k"))).cast("double").as("syy"),
+            sum(dec(col("v") * col("k"))).cast("double").as("sxy"))
+          .select(col("event_type"),
+            col("n").cast("long").as("n_events"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+               sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+              .as("corr_vk"),
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) / col("n"))
+              .as("stddev_pop_v"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(n AS BIGINT) AS n_events,
+  (n * sxy - sx * sy) /
+    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_vk,
+  sqrt(n * sxx - sx * sx) / n AS stddev_pop_v
+FROM (
+  SELECT event_type,
+    CAST(count(*) AS DOUBLE) AS n,
+    CAST(sum(CAST(v AS DECIMAL(32,10))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(k AS DECIMAL(32,10))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(v * v AS DECIMAL(32,10))) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(k * k AS DECIMAL(32,10))) AS DOUBLE) AS syy,
+    CAST(sum(CAST(v * k AS DECIMAL(32,10))) AS DOUBLE) AS sxy
+  FROM (SELECT event_type, value AS v,
+          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events)
+  GROUP BY event_type
+)
+ORDER BY event_type""")),
+
+    // --- Map functions (SURVEY §2.2 map/struct row — the map half).
+    // props parses into map<string,bigint> (the reference's
+    // prediction-dict, estimate_queue.py:85-88); map_concat /
+    // transform_values / map_contains_key exercise build, merge, and
+    // higher-order rewrite. Output is projected to scalars — the
+    // oracle computes the same scalars straight from the JSON (the
+    // driver comparator cannot canonicalize dict cells).
+    QueryDef("q_map_funcs",
+      (spark, dir) => {
+        val m = from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))
+        Tables.events(spark, dir).select(
+          col("event_id"),
+          element_at(m, "k").as("k_val"),
+          size(map_concat(m, map(lit("k2"), element_at(m, "k") * 2L)))
+            .as("n_keys_merged"),
+          element_at(transform_values(m, (_, v) => v * 10L), "k")
+            .as("k_x10"),
+          map_contains_key(m, "k").as("has_k"),
+          array_join(map_keys(m), ",").as("key_csv"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, k AS k_val,
+  CAST(2 AS INT) AS n_keys_merged,
+  k * 10 AS k_x10,
+  k IS NOT NULL AS has_k,
+  'k' AS key_csv
+FROM (SELECT event_id,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+ORDER BY event_id""")),
+
+    // --- Multiset set operations (EXCEPT ALL / INTERSECT ALL —
+    // q_set_ops covers the distinct forms). Both plan as a single
+    // shuffle on the full row with per-row count bookkeeping (no
+    // pre-distinct), which is the scale-correct form: a distinct-first
+    // rewrite would double the shuffles. Duplicate output rows are
+    // identical, so ORDER BY all columns is a total order for hashing.
+    QueryDef("q_set_ops_all",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .select(col("event_type"), floor(col("value") / 50.0).as("vband"))
+        val high = Tables.events(spark, dir)
+          .filter(get_json_object(col("props"), "$.k").cast("long") >= 40L)
+          .select(col("event_type"), floor(col("value") / 50.0).as("vband"))
+        ev.exceptAll(high).withColumn("op", lit("except_all"))
+          .unionByName(ev.intersectAll(high).withColumn("op", lit("intersect_all")))
+          .orderBy(col("op"), col("event_type"), col("vband"))
+      },
+      Some("""WITH ev AS (
+  SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS vband FROM events
+), high AS (
+  SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS vband FROM events
+  WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 40
+)
+SELECT * FROM (
+  SELECT event_type, vband, 'except_all' AS op FROM (
+    SELECT * FROM ev EXCEPT ALL SELECT * FROM high)
+  UNION ALL
+  SELECT event_type, vband, 'intersect_all' AS op FROM (
+    SELECT * FROM ev INTERSECT ALL SELECT * FROM high)
+)
+ORDER BY op, event_type, vband""")),
+
+    // --- Correlated scalar subqueries: parts priced above their
+    // p_type average. Catalyst decorrelates each subquery into a
+    // grouped aggregate joined back on p_type — the identical plan one
+    // would hand-write, proving the declarative form costs nothing at
+    // scale. The comparison is multiplied through (price·count > sum)
+    // so the aggregate stays an exact DECIMAL and no double-avg
+    // boundary can flip between engines. The temp view is scoped:
+    // spark.sql analyzes eagerly, so it is dropped before returning.
+    QueryDef("q_subquery_corr",
+      (spark, dir) => {
+        val vn = "graft_sq_part"
+        Tables.part(spark, dir).createOrReplaceTempView(vn)
+        try spark.sql(
+          s"""SELECT p.p_partkey, p.p_name, p.p_type, p.p_retailprice
+FROM $vn p
+WHERE p.p_retailprice * (SELECT COUNT(*) FROM $vn p2 WHERE p2.p_type = p.p_type)
+      > (SELECT SUM(CAST(p2.p_retailprice AS DECIMAL(18,2))) FROM $vn p2
+         WHERE p2.p_type = p.p_type)
+ORDER BY p.p_partkey""")
+        finally { spark.catalog.dropTempView(vn); () }
+      },
+      Some("""SELECT p.p_partkey, p.p_name, p.p_type, p.p_retailprice
+FROM part p
+WHERE p.p_retailprice * (SELECT COUNT(*) FROM part p2 WHERE p2.p_type = p.p_type)
+      > (SELECT SUM(CAST(p2.p_retailprice AS DECIMAL(18,2))) FROM part p2
+         WHERE p2.p_type = p.p_type)
+ORDER BY p.p_partkey""")),
+
+    // --- Positional explode (Generator with ordinality): the first
+    // three tokens of each document with their positions. posexplode
+    // runs inside WholeStageCodegen as a Generate node — rows fan out
+    // executor-side, nothing widens the shuffle. Oracle zips DuckDB's
+    // parallel unnests (subscripts are 1-based there, hence -1).
+    QueryDef("q_posexplode",
+      (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "word")
+        .filter(col("pos") < 3)
+        .orderBy(col("doc_id"), col("pos")),
+      Some("""SELECT doc_id, CAST(s.pos - 1 AS INT) AS pos, s.word AS word FROM (
+  SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+    (w, i) -> {'word': w, 'pos': i})) AS s
+  FROM documents
+) WHERE s.pos <= 3
+ORDER BY doc_id, pos""")))
+}

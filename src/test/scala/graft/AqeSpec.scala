@@ -43,6 +43,40 @@ class AqeSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    val conf = spark.conf
+    val oldStatic = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // The 100 TB regime: fact-fact shuffle join where the build side is
+    // selectively filtered. Spark injects a bloom_filter_agg subquery
+    // on the build side and a might_contain guard on the probe scan, so
+    // probe rows that cannot match die before the shuffle. The scan
+    // threshold defaults to 10 GB — zero it so sf0.001 triggers the
+    // same rewrite the full-scale join would get.
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, Sf0001)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val ord = Tables.orders(spark, Sf0001)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        "probe side should carry a runtime bloom filter: " + opt.take(1200))
+      // and the filtered result still matches the unfiltered join count
+      val n = j.collect().head.getLong(0)
+      val expected = Tables.lineitem(spark, Sf0001)
+        .join(Tables.orders(spark, Sf0001).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(n === expected)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldStatic)
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("AQE coalesces overshooting shuffle partitions") {
     val conf = spark.conf
     val oldParts = conf.get("spark.sql.shuffle.partitions")

@@ -70,4 +70,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), p.take(400))
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(600))
   }
+
+  test("q_sessionize: both windows share one shuffle and one sort") {
+    val p = plan("q_sessionize")
+    // lag() and the running sum() use the same (user_id; ts, event_id)
+    // spec — Catalyst must plan a single hashpartitioning exchange on
+    // user_id and a single sort feeding both Window nodes; a second
+    // sort or exchange before the final ORDER BY means the specs
+    // diverged and the query re-shuffles its whole input at scale.
+    val beforeAgg = p.substring(p.indexOf("HashAggregate"))
+    assert("Exchange hashpartitioning".r.findAllIn(beforeAgg).size == 1, p.take(1200))
+    assert("Sort \\[".r.findAllIn(beforeAgg).size == 1, p.take(1200))
+    assert("Window".r.findAllIn(p).size >= 2, p.take(600))
+  }
+
+  test("q_subquery_corr: correlated subqueries decorrelate to agg+join") {
+    val p = plan("q_subquery_corr")
+    // no SubqueryExec / no nested-loop per-row re-execution: Catalyst
+    // rewrites both correlated scalar subqueries into grouped
+    // aggregates joined back on p_type.
+    assert(p.contains("HashAggregate"), p.take(600))
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "decorrelation must not fall back to nested loop: " + p.take(1200))
+  }
+
+  test("q_moment_stats: power sums partial-aggregate map-side") {
+    val p = plan("q_moment_stats")
+    // exact decimal power sums must still be two-phase (partial before
+    // the event_type exchange) — that mergeability is the whole reason
+    // they replace built-in corr()/stddev() for the oracle path.
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+    assert(p.contains("Exchange hashpartitioning"), p.take(800))
+  }
+
+  test("q_set_ops_all: multiset ops do not add a distinct pass") {
+    val p = plan("q_set_ops_all")
+    // EXCEPT ALL / INTERSECT ALL plan with per-row count bookkeeping
+    // (Generate replicate_rows over a count aggregate), not a
+    // distinct-then-join — one shuffle per side, none extra.
+    assert(p.contains("replicaterows"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
 }
