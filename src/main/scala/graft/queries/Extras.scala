@@ -194,5 +194,28 @@ ORDER BY event_type, value DESC NULLS LAST, event_id""")),
     row_number() OVER (PARTITION BY user_id
                        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
   FROM events) WHERE rn = 1 ORDER BY user_id""")),
+
+    // --- DataSource V2 custom source (sources/SynthSource.scala): the
+    // S1 prefix scan as a planned, parallel, pruned scan. The id-range
+    // filter prunes input partitions at planning time, the projection
+    // prunes ts out of the reader, and the rows are a pure function of
+    // the row index so DuckDB regenerates them exactly from range().
+    // Decimal sum keeps the per-station aggregate order-independent.
+    QueryDef("q_custom_source",
+      (spark, _) => spark.read.format("graft.sources.SynthSource")
+        .option("rows", "500000").load()
+        .filter(col("id") < 100000L)
+        .groupBy(col("station_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(20,2)")).cast("double").as("sum_v"),
+          min(col("id")).as("first_id"))
+        .orderBy(col("station_id")),
+      Some("""SELECT CAST(i % 149 AS INT) AS station_id,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(((i * 2654435761) % 1000000) / 100.0 AS DECIMAL(20,2))) AS DOUBLE) AS sum_v,
+  min(i) AS first_id
+FROM (SELECT range AS i FROM range(0, 500000))
+WHERE i < 100000
+GROUP BY 1 ORDER BY 1""")),
   )
 }
