@@ -252,5 +252,48 @@ ORDER BY p.p_partkey""")),
     (w, i) -> {'word': w, 'pos': i})) AS s
   FROM documents
 ) WHERE s.pos <= 3
-ORDER BY doc_id, pos""")))
+ORDER BY doc_id, pos""")),
+
+    // --- Data-quality audit (E3 domain asserts generalized,
+    // estimate_queue.py:128-133): every rule is a conditional count in
+    // ONE aggregation pass over the fact table — at 100 TB you cannot
+    // afford a scan per rule — plus one broadcast anti join for
+    // referential integrity (orphan lineitems). The audit runs before
+    // ingest in a training-data pipeline; rows = one per rule so the
+    // report broadcasts trivially to wherever it gates.
+    QueryDef("q_quality_audit",
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+        val rules = li.agg(
+          count(lit(1)).as("rows_scanned"),
+          count_if(col("l_quantity") <= 0.0 || col("l_quantity") > 50.0)
+            .as("qty_out_of_range"),
+          count_if(col("l_discount") < 0.0 || col("l_discount") > 0.1)
+            .as("discount_out_of_range"),
+          count_if(col("l_extendedprice").isNull || col("l_extendedprice") <= 0.0)
+            .as("bad_price"),
+          count_if(col("l_shipdate") < to_timestamp(lit("1992-01-01 00:00:00")))
+            .as("shipdate_before_epoch"))
+        val orphans = li.join(Tables.orders(spark, dir),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("orphan_lineitems"))
+        rules.crossJoin(orphans)
+          .select(
+            col("rows_scanned"), col("qty_out_of_range"),
+            col("discount_out_of_range"), col("bad_price"),
+            col("shipdate_before_epoch"), col("orphan_lineitems"))
+      },
+      Some("""SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS rows_scanned,
+  (SELECT CAST(count(*) FILTER (l_quantity <= 0.0 OR l_quantity > 50.0) AS BIGINT)
+     FROM lineitem) AS qty_out_of_range,
+  (SELECT CAST(count(*) FILTER (l_discount < 0.0 OR l_discount > 0.1) AS BIGINT)
+     FROM lineitem) AS discount_out_of_range,
+  (SELECT CAST(count(*) FILTER (l_extendedprice IS NULL OR l_extendedprice <= 0.0) AS BIGINT)
+     FROM lineitem) AS bad_price,
+  (SELECT CAST(count(*) FILTER (l_shipdate < TIMESTAMP '1992-01-01 00:00:00') AS BIGINT)
+     FROM lineitem) AS shipdate_before_epoch,
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    AS orphan_lineitems""")))
 }

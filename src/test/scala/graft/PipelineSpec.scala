@@ -63,6 +63,25 @@ class PipelineSpec extends SparkSpec {
     assert(viaAgg === viaWindow)
   }
 
+  test("observe() collects domain-assert metrics in the flagship's own pass") {
+    // E3's domain asserts (estimate_queue.py:128-133) as observed
+    // metrics: piggybacked on the action that already runs, so the
+    // audit costs zero extra passes — at 100 TB a second validation
+    // scan is the difference between a gate and a luxury.
+    val obs = new org.apache.spark.sql.Observation("flagship_domain")
+    val df = Pipeline.estimateQueue(spark, Sf0001).observe(obs,
+      count(lit(1)).as("rows"),
+      count_if(col("lanes") =!= 1.0 && col("lanes") =!= 2.0).as("bad_lanes"),
+      count_if(col("queue_full") < 0.0 || col("queue_full") > 1.0).as("bad_full"),
+      count_if(col("x_pos") < 0.0).as("bad_xpos"))
+    df.collect()
+    val m = obs.get
+    assert(m("rows").asInstanceOf[Long] > 0L)
+    assert(m("bad_lanes") === 0L)
+    assert(m("bad_full") === 0L)
+    assert(m("bad_xpos") === 0L)
+  }
+
   test("percentile_approx stays within rank tolerance of exact") {
     val rows = QueryDef.queriesOf(Relational.all)("q_approx_quantile")(spark, Sf0001)
       .collect()
