@@ -295,5 +295,49 @@ ORDER BY doc_id, pos""")),
      FROM lineitem) AS shipdate_before_epoch,
   (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
-    AS orphan_lineitems""")))
+    AS orphan_lineitems""")),
+
+    // --- General table-to-table as-of join: each purchase matched to
+    // the user's latest click at-or-before it. q_asof_knot broadcasts
+    // a 6-row calibration table; THIS is the scale form for two fact
+    // tables — tag both sides, union, and take last-non-null over one
+    // (user_id; ts, side, event_id) window: ONE shuffle on user_id, no
+    // expansion join, no per-row re-scan. Ordering makes ties exact:
+    // clicks sort before purchases at equal ts (at-or-before
+    // inclusive), later event_id wins among equal-ts clicks. Oracle is
+    // DuckDB's native ASOF LEFT JOIN over clicks deduped to the same
+    // tie rule.
+    QueryDef("q_asof_union",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            date_trunc("second", col("ts")).as("ts"))
+        val tagged = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("side"),
+            col("event_id").as("click_id"))
+          .unionByName(ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("side"),
+              lit(null).cast("long").as("click_id")))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("side"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        tagged
+          .withColumn("asof_click", last(col("click_id"), ignoreNulls = true).over(w))
+          .filter(col("side") === 1)
+          .select(col("user_id"), col("event_id"),
+            col("ts").cast("long").as("ts_s"), col("asof_click"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH clicks AS (
+  SELECT user_id, date_trunc('second', ts) AS ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), purchases AS (
+  SELECT user_id, event_id, date_trunc('second', ts) AS ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id, CAST(epoch(p.ts) AS BIGINT) AS ts_s,
+  c.click_id AS asof_click
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.user_id, p.event_id""")))
 }

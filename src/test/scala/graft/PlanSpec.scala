@@ -104,6 +104,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning"), p.take(800))
   }
 
+  test("q_asof_union: fact-fact as-of joins with one shuffle and no join node") {
+    val p = plan("q_asof_union")
+    // the union-window rendition must not plan an actual join (no
+    // expansion, no per-row rescans) and must shuffle exactly once on
+    // user_id before the final presentation sort.
+    assert(!p.contains("Join"), p.take(800))
+    val beforeSort = p.substring(p.indexOf("Window"))
+    assert("Exchange hashpartitioning".r.findAllIn(beforeSort).size == 1, p.take(1200))
+  }
+
   test("q_set_ops_all: multiset ops do not add a distinct pass") {
     val p = plan("q_set_ops_all")
     // EXCEPT ALL / INTERSECT ALL plan with per-row count bookkeeping
