@@ -339,5 +339,111 @@ SELECT p.user_id, p.event_id, CAST(epoch(p.ts) AS BIGINT) AS ts_s,
   c.click_id AS asof_click
 FROM purchases p ASOF LEFT JOIN clicks c
   ON p.user_id = c.user_id AND p.ts >= c.ts
-ORDER BY p.user_id, p.event_id""")))
+ORDER BY p.user_id, p.event_id""")),
+
+    // --- Incremental aggregation: materialized PARTIAL state merged
+    // with a late slice. q_checkpoint_reuse materializes a finished
+    // rollup; this one materializes the mergeable algebra itself
+    // (decimal sum + count per group — the same partial shape Spark's
+    // two-phase agg uses internally), then folds a late-arriving slice
+    // in WITHOUT rescanning history. That re-aggregation property is
+    // what makes 100 TB rollup maintenance O(delta), not O(history);
+    // the oracle recomputes directly over everything and must
+    // hash-match exactly (decimal sums are order- and
+    // partition-independent).
+    QueryDef("q_incremental_agg",
+      (spark, dir) => {
+        val partialsDir = java.nio.file.Files
+          .createTempDirectory("graft-incr-").toString + "/partials"
+        def partialsOf(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("event_type"))
+            .agg(sum(col("value").cast("decimal(32,10)")).as("s"),
+              count(lit(1)).as("n"))
+        val ev = Tables.events(spark, dir)
+        // history partials persisted once (the nightly run)...
+        partialsOf(ev.filter(col("event_id") % 10 < 8))
+          .write.mode("overwrite").parquet(partialsDir)
+        // ...then the late slice merges against the materialized state.
+        spark.read.parquet(partialsDir)
+          .unionByName(partialsOf(ev.filter(col("event_id") % 10 >= 8)))
+          .groupBy(col("event_type"))
+          .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+          .select(col("event_type"), col("n"),
+            col("s").cast("double").as("sum_v"),
+            // divide as doubles: decimal-division scale rules differ
+            // across engines; double/double of exact inputs does not
+            (col("s").cast("double") / col("n").cast("double")).as("avg_v"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(value AS DECIMAL(32,10))) AS DOUBLE) AS sum_v,
+  CAST(sum(CAST(value AS DECIMAL(32,10))) AS DOUBLE) /
+    CAST(count(*) AS DOUBLE) AS avg_v
+FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // --- Funnel: signup → first click at-or-after it → first purchase
+    // at-or-after that, per user, reported as stage conversion counts.
+    // Each stage is a min-aggregate joined on user_id — three shuffles
+    // on the SAME key, so at scale the exchanges reuse partitioning
+    // (and would be free under user_id bucketing, q_bucketed_join's
+    // pattern). No window over full histories, no cross products.
+    QueryDef("q_funnel",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .select(col("user_id"), col("event_type"),
+            date_trunc("second", col("ts")).as("ts"))
+        val s = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+        val c = ev.filter(col("event_type") === "click").as("c")
+          .join(s, "user_id")
+          .filter(col("ts") >= col("t_signup"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("t_click"))
+        val p = ev.filter(col("event_type") === "purchase").as("p")
+          .join(c, "user_id")
+          .filter(col("ts") >= col("t_click"))
+          .groupBy(col("user_id"))
+          .agg(min(col("ts")).as("t_purchase"))
+        s.select(count(lit(1)).as("n_signup"))
+          .crossJoin(c.select(count(lit(1)).as("n_click_after")))
+          .crossJoin(p.select(count(lit(1)).as("n_purchase_after")))
+      },
+      Some("""WITH s AS (
+  SELECT user_id, min(date_trunc('second', ts)) AS t_signup
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(date_trunc('second', e.ts)) AS t_click
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND date_trunc('second', e.ts) >= s.t_signup
+  GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(date_trunc('second', e.ts)) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND date_trunc('second', e.ts) >= c.t_click
+  GROUP BY 1
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signup,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_after,
+       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_after""")),
+
+    // --- Shuffled hash join by hint: the one join physical operator
+    // the other queries never plan (dims broadcast, facts sort-merge).
+    // SHJ beats SMJ when one side is much smaller than the other but
+    // too big to broadcast — it skips both sorts and builds a hash map
+    // per partition. The hint is the declarative escape hatch; PlanSpec
+    // pins that it actually takes effect.
+    QueryDef("q_join_hashed",
+      (spark, dir) => Tables.lineitem(spark, dir)
+        .hint("shuffle_hash")
+        .join(Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(20,2)")).cast("double").as("qty"))
+        .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus ORDER BY o_orderstatus""")))
 }

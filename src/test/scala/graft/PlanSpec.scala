@@ -114,6 +114,13 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(beforeSort).size == 1, p.take(1200))
   }
 
+  test("q_join_hashed: the shuffle_hash hint plans a ShuffledHashJoin") {
+    val p = plan("q_join_hashed")
+    assert(p.contains("ShuffledHashJoin"),
+      "hint must override SMJ selection: " + p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
   test("q_set_ops_all: multiset ops do not add a distinct pass") {
     val p = plan("q_set_ops_all")
     // EXCEPT ALL / INTERSECT ALL plan with per-row count bookkeeping
