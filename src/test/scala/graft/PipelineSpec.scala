@@ -68,8 +68,12 @@ class PipelineSpec extends SparkSpec {
     // metrics: piggybacked on the action that already runs, so the
     // audit costs zero extra passes — at 100 TB a second validation
     // scan is the difference between a gate and a luxury.
+    // Isolated session: observe() lazily attaches a (non-serializable)
+    // ObservationManager to the session, and the shared test session
+    // must stay serializable for MLlib closures in other suites.
+    val session = spark.newSession()
     val obs = new org.apache.spark.sql.Observation("flagship_domain")
-    val df = Pipeline.estimateQueue(spark, Sf0001).observe(obs,
+    val df = Pipeline.estimateQueue(session, Sf0001).observe(obs,
       count(lit(1)).as("rows"),
       count_if(col("lanes") =!= 1.0 && col("lanes") =!= 2.0).as("bad_lanes"),
       count_if(col("queue_full") < 0.0 || col("queue_full") > 1.0).as("bad_full"),
