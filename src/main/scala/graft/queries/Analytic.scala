@@ -445,5 +445,54 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signup,
   CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS qty
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
-GROUP BY o_orderstatus ORDER BY o_orderstatus""")))
+GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // --- Time-series gap fill: per-user daily error metrics on a
+    // dense calendar spine, missing days forward-filled from the last
+    // observed value. The spine generates executor-side
+    // (sequence+explode over each user's [min,max] day — no driver
+    // loop, no cross join against a global calendar), the left join
+    // keys on (user, day), and the forward fill is one
+    // last-non-null window — so the whole repair is two shuffles
+    // regardless of how sparse the series is. Training pipelines need
+    // exactly this shape to regularize irregular telemetry.
+    QueryDef("q_gap_fill",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .filter(col("event_type") === "error")
+          .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+            col("value"))
+        val daily = ev.groupBy(col("user_id"), col("day"))
+          .agg(count(lit(1)).as("n"), graft.functions.Exact.decAvg(col("value"), 2).as("avg_v"))
+        val spine = ev.groupBy(col("user_id"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        spine.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day").cast("long").as("day_s"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            last(col("avg_v"), ignoreNulls = true).over(w).as("avg_filled"),
+            col("avg_v").isNull.as("was_gap"))
+          .orderBy(col("user_id"), col("day_s"))
+      },
+      Some(s"""WITH ev AS (
+  SELECT user_id, date_trunc('day', ts) AS day, value
+  FROM events WHERE event_type = 'error'
+), daily AS (
+  SELECT user_id, day, CAST(count(*) AS BIGINT) AS n,
+    ${graft.functions.Exact.decAvgSql("value", 2)} AS avg_v
+  FROM ev GROUP BY 1, 2
+), spine AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM ev GROUP BY 1)
+)
+SELECT s.user_id, CAST(epoch(s.day) AS BIGINT) AS day_s,
+  COALESCE(d.n, 0) AS n,
+  last_value(d.avg_v IGNORE NULLS) OVER (
+    PARTITION BY s.user_id ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS avg_filled,
+  d.avg_v IS NULL AS was_gap
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+ORDER BY s.user_id, day_s""")))
 }

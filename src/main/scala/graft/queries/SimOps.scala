@@ -375,5 +375,38 @@ ORDER BY doc_id""")),
           .orderBy(col("doc_id"))
       },
       None),
+
+    // --- Edit-distance near-dup (the classic the other four families
+    // skip: exact digest, MinHash, SimHash, n-gram Jaccard — this one
+    // catches small in-place edits). Prefix blocking keeps it off the
+    // O(N²) cliff: docs only pair within a shared 16-char prefix
+    // block, so the join is an equi hash join on the block key and the
+    // quadratic levenshtein runs per block, not per corpus; the
+    // distance is computed on an 80-char head so per-pair cost is
+    // bounded no matter how long documents get. At 100 TB the block
+    // key shuffles both sides once; a hot block (boilerplate prefix)
+    // would salt like q_join_skew_salted.
+    QueryDef("q_lev_neardup",
+      (spark, dir) => {
+        def side(n: String) = Tables.documents(spark, dir).select(
+          col("doc_id").as(s"${n}_id"),
+          substring(col("text"), 1, 16).as(s"${n}_blk"),
+          substring(col("text"), 1, 80).as(s"${n}_head"))
+        side("a").join(side("b"),
+            col("a_blk") === col("b_blk") && col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            levenshtein(col("a_head"), col("b_head")).as("dist"))
+          .filter(col("dist") <= 10)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH d AS (
+  SELECT doc_id, substring(text, 1, 16) AS blk, substring(text, 1, 80) AS head
+  FROM documents
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+  levenshtein(a.head, b.head) AS dist
+FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 10
+ORDER BY a_id, b_id""")),
   )
 }
