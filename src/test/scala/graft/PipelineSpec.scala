@@ -86,6 +86,24 @@ class PipelineSpec extends SparkSpec {
     assert(m("bad_xpos") === 0L)
   }
 
+  test("gap fill emits a dense spine with no unfilled values") {
+    val rows = SparkEntry.queries("q_gap_fill")(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val perUser = rows.groupBy(_.getLong(0))
+    for ((_, rs) <- perUser) {
+      val days = rs.map(_.getLong(1))
+      // dense: consecutive days exactly 86400 s apart, min to max
+      assert(days.sliding(2).forall {
+        case Array(a, b) => b - a == 86400L
+        case _           => true
+      })
+      // forward fill is total (first spine day is an observed day)
+      assert(rs.forall(!_.isNullAt(3)))
+      // observed days carry their count; gap days carry n=0
+      assert(rs.forall(r => r.getBoolean(4) == (r.getLong(2) == 0L)))
+    }
+  }
+
   test("percentile_approx stays within rank tolerance of exact") {
     val rows = QueryDef.queriesOf(Relational.all)("q_approx_quantile")(spark, Sf0001)
       .collect()
