@@ -494,5 +494,88 @@ SELECT s.user_id, CAST(epoch(s.day) AS BIGINT) AS day_s,
     PARTITION BY s.user_id ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS avg_filled,
   d.avg_v IS NULL AS was_gap
 FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
-ORDER BY s.user_id, day_s""")))
+ORDER BY s.user_id, day_s""")),
+
+    // --- Bitwise expressions + bitwise aggregates (flag-mask
+    // analytics: the k prop treated as a bit field). Aggregates
+    // bit_and/bit_or/bit_xor are mergeable partial state like sum —
+    // two-phase at any scale.
+    QueryDef("q_bitwise",
+      (spark, dir) => {
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        Tables.events(spark, dir)
+          .select(col("event_type"), k.as("k"),
+            (k.bitwiseAND(lit(15L))).as("low_nibble"),
+            (k.bitwiseOR(lit(256L))).as("with_flag"),
+            (k.bitwiseXOR(shiftleft(k, 1))).as("gray_ish"))
+          .groupBy(col("event_type"))
+          .agg(bit_and(col("low_nibble")).as("and_nibble"),
+            bit_or(col("low_nibble")).as("or_nibble"),
+            bit_xor(col("gray_ish")).as("xor_gray"),
+            sum(col("with_flag")).as("sum_flagged"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+  bit_and(k & 15) AS and_nibble,
+  bit_or(k & 15) AS or_nibble,
+  bit_xor(xor(k, k << 1)) AS xor_gray,
+  CAST(sum(k | 256) AS BIGINT) AS sum_flagged
+FROM (SELECT event_type,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type ORDER BY event_type""")),
+
+    // --- regexp_extract_all: every ≥4-letter lowercase token pulled
+    // from the head of each document, rejoined as a scalar (the
+    // driver comparator cannot hash arrays). Regex runs codegen'd
+    // per-row; no explode, no shuffle before the presentation sort.
+    QueryDef("q_regex_all",
+      (spark, dir) => Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          array_join(regexp_extract_all(substring(col("text"), 1, 120),
+            lit("[a-z]{4,}"), lit(0)), ",").as("long_words"),
+          size(regexp_extract_all(substring(col("text"), 1, 120),
+            lit("[a-z]{4,}"), lit(0))).as("n_long"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+  array_to_string(regexp_extract_all(substring(text, 1, 120), '[a-z]{4,}', 0), ',')
+    AS long_words,
+  CAST(len(regexp_extract_all(substring(text, 1, 120), '[a-z]{4,}', 0)) AS INT)
+    AS n_long
+FROM documents ORDER BY doc_id""")),
+
+    // --- Array higher-order functions beyond q_array_funcs'
+    // transform/slice: filter / exists / forall / zip_with, all
+    // executor-side lambdas over the embedding vectors, projected to
+    // scalars for the comparator. At 100 TB these replace the UDFs
+    // that would otherwise break codegen on every array column.
+    QueryDef("q_array_hof",
+      (spark, dir) => {
+        val emb = col("embedding")
+        Tables.embeddings(spark, dir).select(
+          col("vec_id"),
+          // thresholds are dyadic (1/8, 1/4, 3/8) so float-vs-double
+          // comparison semantics cannot diverge between engines
+          size(filter(emb, x => x > 0.125f)).as("n_high"),
+          exists(emb, x => x > 0.25f).as("any_extreme"),
+          forall(emb, x => x > -0.375f && x < 0.375f).as("all_bounded"),
+          aggregate(
+            zip_with(emb, reverse(emb),
+              (a, b) => (a.cast("double") * b.cast("double"))
+                .cast("decimal(20,12)")),
+            lit(0).cast("decimal(30,12)"),
+            (acc, x) => (acc + x).cast("decimal(30,12)"))
+            .cast("double").as("palindrome_dot"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""SELECT vec_id,
+  CAST(len(list_filter(embedding, x -> x > 0.125)) AS INT) AS n_high,
+  len(list_filter(embedding, x -> x > 0.25)) > 0 AS any_extreme,
+  len(list_filter(embedding, x -> NOT (x > -0.375 AND x < 0.375))) = 0
+    AS all_bounded,
+  CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+    i -> CAST(CAST(embedding[i] AS DOUBLE) *
+              CAST(embedding[len(embedding) + 1 - i] AS DOUBLE)
+         AS DECIMAL(20,12)))) AS DOUBLE) AS palindrome_dot
+FROM embeddings ORDER BY vec_id""")))
 }
