@@ -71,6 +71,19 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(600))
   }
 
+  test("q_topk_per_group: partial WindowGroupLimit runs before the shuffle") {
+    val p = plan("q_topk_per_group")
+    // the rank<=k filter must push a map-side group limit below the
+    // exchange, so each task ships at most k rows per group instead of
+    // every group's full history — the difference between O(k·groups)
+    // and O(rows) shuffle volume at 100 TB.
+    val partialIdx = p.indexOf("WindowGroupLimit")
+    assert(partialIdx >= 0 && p.contains("Partial"), p.take(1200))
+    assert(p.substring(p.indexOf("Exchange hashpartitioning"))
+      .contains("WindowGroupLimit"),
+      "a Partial WindowGroupLimit must sit below the exchange: " + p.take(1200))
+  }
+
   test("q_sessionize: both windows share one shuffle and one sort") {
     val p = plan("q_sessionize")
     // lag() and the running sum() use the same (user_id; ts, event_id)
