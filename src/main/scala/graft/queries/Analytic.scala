@@ -577,5 +577,42 @@ FROM documents ORDER BY doc_id""")),
     i -> CAST(CAST(embedding[i] AS DOUBLE) *
               CAST(embedding[len(embedding) + 1 - i] AS DOUBLE)
          AS DECIMAL(20,12)))) AS DOUBLE) AS palindrome_dot
-FROM embeddings ORDER BY vec_id""")))
+FROM embeddings ORDER BY vec_id""")),
+
+    // --- Malformed-input tolerance: a seventh of the props payloads
+    // are corrupted (closing brace truncated — trailing-garbage
+    // corruption won't do: Jackson stops at the first complete value
+    // and would accept what DuckDB rejects). from_json in
+    // PERMISSIVE mode yields NULL for bad rows instead of failing the
+    // job — at 100 TB a single poison record must never kill the
+    // pipeline — and the query accounts for exactly which rows were
+    // dropped, per group, in the same pass. Oracle mirrors with
+    // DuckDB's json_valid guard.
+    QueryDef("q_json_malformed",
+      (spark, dir) => {
+        val raw = when(col("event_id") % 7 === 0,
+          expr("substring(props, 1, length(props) - 1)"))
+          .otherwise(col("props"))
+        val k = element_at(from_json(raw,
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")), "k")
+        Tables.events(spark, dir)
+          .select(col("event_type"), k.as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_total"),
+            count_if(col("k").isNull).as("n_corrupt"),
+            sum(col("k")).as("sum_valid_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+  CAST(count(*) FILTER (k IS NULL) AS BIGINT) AS n_corrupt,
+  CAST(sum(k) AS BIGINT) AS sum_valid_k
+FROM (
+  SELECT event_type,
+    CASE WHEN json_valid(raw)
+         THEN CAST(json_extract_string(raw, '$.k') AS BIGINT) END AS k
+  FROM (SELECT event_type,
+          CASE WHEN event_id % 7 = 0 THEN substring(props, 1, length(props) - 1) ELSE props END AS raw
+        FROM events)
+)
+GROUP BY event_type ORDER BY event_type""")))
 }
