@@ -614,5 +614,39 @@ FROM (
           CASE WHEN event_id % 7 = 0 THEN substring(props, 1, length(props) - 1) ELSE props END AS raw
         FROM events)
 )
+GROUP BY event_type ORDER BY event_type""")),
+
+    // --- Schema-evolution-tolerant union: a v1 slice (no props-derived
+    // column) unions a v2 slice that added one. unionByName with
+    // allowMissingColumns resolves by NAME and null-fills the missing
+    // column — positional UNION would silently misalign or reject, and
+    // at 100 TB the corpus ALWAYS spans schema versions. Oracle is
+    // DuckDB's UNION ALL BY NAME, which applies the same rule.
+    QueryDef("q_union_evolve",
+      (spark, dir) => {
+        val v1 = Tables.events(spark, dir)
+          .filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val v2 = Tables.events(spark, dir)
+          .filter(col("event_id") % 2 === 1)
+          .select(col("event_id"), col("event_type"), col("value"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+        v1.unionByName(v2, allowMissingColumns = true)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            count(col("k")).as("n_with_k"),
+            sum(col("k")).as("sum_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(count(k) AS BIGINT) AS n_with_k,
+  CAST(sum(k) AS BIGINT) AS sum_k
+FROM (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0
+  UNION ALL BY NAME
+  SELECT event_id, event_type, value,
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events WHERE event_id % 2 = 1
+)
 GROUP BY event_type ORDER BY event_type""")))
 }
