@@ -108,6 +108,17 @@ class PlanSpec extends SparkSpec {
       "decorrelation must not fall back to nested loop: " + p.take(1200))
   }
 
+  test("q_gap_fill: spine, join and fill run in two hash exchanges") {
+    val p = plan("q_gap_fill")
+    // one exchange per aggregation (per-user bounds, per-(user,day)
+    // daily rollup); the generated spine keeps user_id partitioning
+    // through Generate and the join, so the forward-fill window adds a
+    // local sort but NO third exchange. A refactor that breaks that
+    // re-shuffles the whole dense spine.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p.take(1500))
+    assert(p.contains("Window"), p.take(600))
+  }
+
   test("q_moment_stats: power sums partial-aggregate map-side") {
     val p = plan("q_moment_stats")
     // exact decimal power sums must still be two-phase (partial before
