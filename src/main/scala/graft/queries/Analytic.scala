@@ -648,5 +648,33 @@ FROM (
     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events WHERE event_id % 2 = 1
 )
-GROUP BY event_type ORDER BY event_type""")))
+GROUP BY event_type ORDER BY event_type""")),
+
+    // --- Deterministic train/test split: assignment is a pure modular
+    // hash of the stable row key, NOT randomSplit — randomSplit's
+    // sampling depends on partition layout, so the "same" split
+    // differs between a 32-task run and a 3200-task run and can even
+    // leak rows across re-materializations. A keyed hash gives every
+    // engine, every parallelism, every rerun the identical 80/20
+    // assignment — which is what makes a 100 TB training corpus
+    // auditable. The oracle reproduces the arithmetic exactly.
+    QueryDef("q_train_split",
+      (spark, dir) => {
+        val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+        Tables.documents(spark, dir)
+          .select(col("lang"),
+            when(bucket < 80, "train").otherwise("test").as("split"),
+            col("n_chars"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some("""SELECT lang,
+  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train' ELSE 'test' END
+    AS split,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1, 2 ORDER BY lang, split""")))
 }
