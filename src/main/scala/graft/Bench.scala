@@ -13,8 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * measured. */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val sfDir = graft.util.Env.orElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = graft.util.Env.orElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -47,7 +47,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the line to a file: a truncated stdout capture must
+    // not lose the result (BENCH_r04's tail dropped the total).
+    val outFile = graft.util.Env.orElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -5,8 +5,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Args take precedence; absent args fall back to REQUIRED env vars
+    // that fail fast naming the missing variable (U1, util.py:4-11).
+    val (sfDir, outDir) = args match {
+      case Array(s, o) => (s, o)
+      case _ => (graft.util.Env.required("SPARK_GRAFT_SF_DIR"),
+        graft.util.Env.required("SPARK_GRAFT_OUT_DIR"))
+    }
+    val cpus = graft.util.Env.orElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -116,6 +116,18 @@ object Estimate {
     val m = regexp_extract(key, StationKeyRegex, 1)
     when(m === "", lit(null)).otherwise(m).cast("long")
   }
+  /** Strict-mode F1: the reference RAISES ValueError on a malformed
+    * key (estimate_queue.py:40-45); this is that fail-fast twin of
+    * parseStationId's NULL-rejection — any row whose key misses the
+    * regex aborts the job with the offending key in the message.
+    * Pure Catalyst (CaseWhen branches are lazily evaluated, so the
+    * raise_error arm costs nothing on valid rows and stays inside
+    * whole-stage codegen). */
+  def parseStationIdStrict(key: Column): Column =
+    when(key.rlike(StationKeyRegex),
+      regexp_extract(key, StationKeyRegex, 1).cast("long"))
+      .otherwise(raise_error(concat(lit("malformed station key: "), key)))
+
   /** Timestamp part of the key, NULL on malformed keys ('' would
     * throw downstream in ANSI to_timestamp — same landmine class as
     * parseStationId's cast). */

@@ -78,8 +78,8 @@ ORDER BY c_custkey""")),
   CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS sess_seconds
 FROM (
   SELECT user_id, event_id, ts,
-    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS sess_id
+    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
   FROM (
     SELECT user_id, event_id, ts,
       CASE WHEN epoch(ts) - epoch(lag(ts) OVER

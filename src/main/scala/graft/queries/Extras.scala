@@ -71,6 +71,44 @@ SELECT user_id AS station_id, ts_basic,
   md5(CAST(user_id AS VARCHAR) || ':' || ts_basic) AS content_md5
 FROM latest ORDER BY station_id""")),
 
+    // --- F1 strict mode: the reference RAISES on a malformed object
+    // key (estimate_queue.py:40-45 ValueError) where q_binary_source
+    // demonstrates the set-at-a-time NULL-rejection. Here a synthetic
+    // key corpus carries deterministic poison rows (event_id % 97 → a
+    // scratch file name); the audit returns the exact malformed count
+    // (oracle-pinned) and runs parseStationIdStrict — raise_error
+    // armed — over every valid key: one malformed key slipping past
+    // the quarantine predicate would abort the job, which is the
+    // fail-fast contract. EstimateSpec pins that the strict parser
+    // actually throws on poison input. Single-pass conditional
+    // aggregation: no join, no second scan.
+    QueryDef("q_parse_strict",
+      (spark, dir) => {
+        val key = when(col("event_id") % 97 === 0,
+          concat(lit("scratch_"), col("event_id").cast("string"), lit(".tmp")))
+          .otherwise(concat(lit("station_id_"), col("user_id").cast("string"),
+            lit("_"), date_format(col("ts"), "yyyyMMdd'T'HHmmss"), lit(".bin")))
+        val valid = col("key").rlike(Estimate.StationKeyRegex)
+        Tables.events(spark, dir)
+          .select(key.as("key"))
+          .agg(
+            count(when(valid, lit(1))).as("n_valid"),
+            sum(when(valid, Estimate.parseStationIdStrict(col("key"))))
+              .as("sum_station_id"),
+            count(when(!valid, lit(1))).as("n_malformed"))
+      },
+      Some(s"""WITH keys AS (
+  SELECT CASE WHEN event_id % 97 = 0
+    THEN 'scratch_' || CAST(event_id AS VARCHAR) || '.tmp'
+    ELSE 'station_id_' || CAST(user_id AS VARCHAR) || '_' ||
+         strftime(ts, '%Y%m%dT%H%M%S') || '.bin' END AS key
+  FROM events)
+SELECT
+  CAST(count(*) FILTER (WHERE regexp_matches(key, '${Estimate.StationKeyRegex}')) AS BIGINT) AS n_valid,
+  CAST(sum(TRY_CAST(regexp_extract(key, '${Estimate.StationKeyRegex}', 1) AS BIGINT)) AS BIGINT) AS sum_station_id,
+  CAST(count(*) FILTER (WHERE NOT regexp_matches(key, '${Estimate.StationKeyRegex}')) AS BIGINT) AS n_malformed
+FROM keys""")),
+
     // --- D1: materialized intermediate + target-exists skip (Luigi's
     // incremental recompute, tasks.py:19-29). Stage 1 aggregates and
     // writes the intermediate parquet only if the target is absent

@@ -384,29 +384,62 @@ ORDER BY doc_id""")),
     // quadratic levenshtein runs per block, not per corpus; the
     // distance is computed on an 80-char head so per-pair cost is
     // bounded no matter how long documents get. At 100 TB the block
-    // key shuffles both sides once; a hot block (boilerplate prefix)
-    // would salt like q_join_skew_salted.
+    // key shuffles both sides once; a JUMBO-BLOCK GUARD (same cap as
+    // q_minhash_neardup's maxBucket) drops blocks above maxBlock docs
+    // before pairing — a boilerplate prefix shared by 10⁵ docs would
+    // otherwise be a quadratic block, and as a dedup signal a
+    // 16-char prefix that common carries no information anyway. The
+    // cap is part of the operator's semantics: the oracle states the
+    // identical HAVING bound, so results match at every SF.
     QueryDef("q_lev_neardup",
-      (spark, dir) => {
-        def side(n: String) = Tables.documents(spark, dir).select(
-          col("doc_id").as(s"${n}_id"),
-          substring(col("text"), 1, 16).as(s"${n}_blk"),
-          substring(col("text"), 1, 80).as(s"${n}_head"))
-        side("a").join(side("b"),
-            col("a_blk") === col("b_blk") && col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"),
-            levenshtein(col("a_head"), col("b_head")).as("dist"))
-          .filter(col("dist") <= 10)
-          .orderBy(col("a_id"), col("b_id"))
-      },
-      Some("""WITH d AS (
+      (spark, dir) => levPairs(spark, dir).orderBy(col("a_id"), col("b_id")),
+      Some(s"""WITH $LevPairsSql
+SELECT a_id, b_id, dist FROM pairs ORDER BY a_id, b_id""")),
+  )
+
+  /** Capped prefix-block levenshtein near-dup pairs (a_id < b_id,
+    * dist ≤ maxDist) — shared by q_lev_neardup and the component
+    * clustering in CorpusOps. Blocks worth pairing have ≥2 members
+    * (singletons pair with nothing) and ≤maxBlock (skew guard); the
+    * tiny pairable-block table broadcasts into a semi-join that
+    * prunes BOTH sides before the block-key shuffle. */
+  private[queries] def levPairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxBlock: Int = 100, maxDist: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    def side(n: String) = Tables.documents(spark, dir).select(
+      col("doc_id").as(s"${n}_id"),
+      substring(col("text"), 1, 16).as(s"${n}_blk"),
+      substring(col("text"), 1, 80).as(s"${n}_head"))
+    val pairable = Tables.documents(spark, dir)
+      .groupBy(substring(col("text"), 1, 16).as("blk"))
+      .agg(count(lit(1)).as("blk_n"))
+      .filter(col("blk_n") >= 2 && col("blk_n") <= maxBlock)
+      .select(col("blk"))
+    def pruned(n: String) = side(n).join(broadcast(pairable),
+      col(s"${n}_blk") === col("blk"), "left_semi")
+    pruned("a").join(pruned("b"),
+        col("a_blk") === col("b_blk") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_head"), col("b_head")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** DuckDB CTE chain for [[levPairs]]: defines `pairs(a_id, b_id,
+    * dist)` (plus its intermediates). Splice as `WITH $LevPairsSql`.
+    * A `def`, not a `val`: `all` above interpolates it during object
+    * init, and a val defined after `all` would still be null then. */
+  private[queries] def LevPairsSql: String = """d AS (
   SELECT doc_id, substring(text, 1, 16) AS blk, substring(text, 1, 80) AS head
   FROM documents
-)
-SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-  levenshtein(a.head, b.head) AS dist
-FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE levenshtein(a.head, b.head) <= 10
-ORDER BY a_id, b_id""")),
-  )
+),
+pairable AS (
+  SELECT blk FROM d GROUP BY blk HAVING count(*) >= 2 AND count(*) <= 100
+),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+    levenshtein(a.head, b.head) AS dist
+  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  JOIN pairable p ON a.blk = p.blk
+  WHERE levenshtein(a.head, b.head) <= 10
+)"""
 }

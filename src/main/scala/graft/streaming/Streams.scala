@@ -108,8 +108,13 @@ object Streams {
                        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
   FROM events) WHERE rn = 1 ORDER BY user_id""")),
 
-    // --- Tumbling event-time window + watermark, complete mode (all
-    // windows in the sink at end-of-stream == the batch aggregation).
+    // --- Tumbling event-time window + watermark, APPEND mode: only
+    // watermark-finalized windows emit (window end <= max event time
+    // − 10 min), then their state is evicted. Complete mode would
+    // retain every window ever and re-emit the full result each
+    // trigger — unbounded state at 100 TB; append + eviction keeps
+    // state O(active windows × groups). The oracle states the same
+    // cutoff explicitly in the µs domain.
     QueryDef("q_stream_tumbling",
       (spark, dir) => {
         val agg = eventsStream(spark, dir)
@@ -119,22 +124,26 @@ object Streams {
           .select(unix_micros(col("window.start")).as("window_start_us"),
             unix_micros(col("window.end")).as("window_end_us"),
             col("event_type"), col("n"), col("sum_value"))
-        runToMemory(spark, agg, "graft_stream_tumbling", "complete")
+        runToMemory(spark, agg, "graft_stream_tumbling", "append")
           .orderBy(col("window_start_us"), col("event_type"))
       },
-      Some(s"""SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
-  epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end_us,
-  event_type, count(*) AS n, ${Exact.decSumSql("value", 2)} AS sum_value
-FROM events
-GROUP BY 1, 2, 3
+      Some(s"""SELECT * FROM (
+  SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+    epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS window_end_us,
+    event_type, count(*) AS n, ${Exact.decSumSql("value", 2)} AS sum_value
+  FROM events
+  GROUP BY 1, 2, 3)
+WHERE window_end_us <= (SELECT max(epoch_us(ts)) FROM events) - 600000000
 ORDER BY window_start_us, event_type""")),
 
     // --- Sliding event-time window (1 h window, 30 min slide): each
     // event lands in exactly window/slide = 2 windows. The oracle
     // states the same assignment arithmetic explicitly (floor to the
     // slide boundary, plus the preceding boundary) in the µs domain.
-    // State scales as O(active windows × groups), partitioned by
-    // group key — slide count multiplies state, not shuffle volume.
+    // APPEND mode, like tumbling: only watermark-finalized windows
+    // emit, state evicted after emission. State scales as O(active
+    // windows × groups), partitioned by group key — slide count
+    // multiplies state, not shuffle volume.
     QueryDef("q_stream_sliding",
       (spark, dir) => {
         val agg = eventsStream(spark, dir)
@@ -144,7 +153,7 @@ ORDER BY window_start_us, event_type""")),
           .select(unix_micros(col("window.start")).as("window_start_us"),
             unix_micros(col("window.end")).as("window_end_us"),
             col("event_type"), col("n"), col("sum_value"))
-        runToMemory(spark, agg, "graft_stream_sliding", "complete")
+        runToMemory(spark, agg, "graft_stream_sliding", "append")
           .orderBy(col("window_start_us"), col("event_type"))
       },
       Some(s"""WITH e AS (
@@ -155,9 +164,11 @@ w AS (
   UNION ALL
   SELECT ts_us - (ts_us % 1800000000) - 1800000000, event_type, value
   FROM e)
-SELECT window_start_us, window_start_us + 3600000000 AS window_end_us,
-  event_type, count(*) AS n, ${Exact.decSumSql("value", 2)} AS sum_value
-FROM w GROUP BY 1, 2, 3
+SELECT * FROM (
+  SELECT window_start_us, window_start_us + 3600000000 AS window_end_us,
+    event_type, count(*) AS n, ${Exact.decSumSql("value", 2)} AS sum_value
+  FROM w GROUP BY 1, 2, 3)
+WHERE window_end_us <= (SELECT max(epoch_us(ts)) FROM events) - 600000000
 ORDER BY window_start_us, event_type""")),
 
     // --- Session window (30-minute gap) per station, append mode:

@@ -24,6 +24,37 @@ class AnnSpec extends SparkSpec {
     assert(ivf.sameElements(again), "fixed seed ⇒ deterministic")
   }
 
+  test("IVF quantizer is trained once, persisted, and reused across calls") {
+    Ann.ivfTopK(spark, Sf0001, k = 8, nprobe = 2, topK = 5).collect()
+    val m1 = Ann.quantizers.get((Sf0001, 8)).orNull
+    assert(m1 != null, "first call must populate the persisted-quantizer cache")
+    Ann.ivfTopK(spark, Sf0001, k = 8, nprobe = 2, topK = 5).collect()
+    assert(Ann.quantizers((Sf0001, 8)) eq m1,
+      "second call must reuse the loaded model — no per-call refit")
+  }
+
+  test("IVF recall: all cells probed == exact top-k; partial probe bounded") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe_emb"))
+    val exact = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        Exact.cosineF(col("embedding"), col("probe_emb")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    // nprobe = k scans every cell → the IVF answer IS the exact answer
+    val full = Ann.ivfTopK(spark, Sf0001, k = 8, nprobe = 8, topK = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full === exact, s"full probe must equal brute force: $full vs $exact")
+    // partial probe trades recall for 2/8 of the scan; it must still
+    // surface a nontrivial share of the true top-k
+    val part = Ann.ivfTopK(spark, Sf0001, k = 8, nprobe = 2, topK = 5)
+      .collect().map(_.getLong(0)).toSet
+    val recall = part.intersect(exact.toSet).size / exact.size.toDouble
+    assert(recall >= 0.2, s"recall@5 = $recall")
+  }
+
   test("IVF results are a subset of brute-force cosine ranking order") {
     // every IVF hit must appear in the exhaustive ranking with the
     // same cosine value (the re-rank is exact)

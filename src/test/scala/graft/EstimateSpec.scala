@@ -36,6 +36,19 @@ class EstimateSpec extends SparkSpec {
     }
   }
 
+  // --- F1 strict mode (estimate_queue.py:40-45 raises ValueError).
+  test("parseStationIdStrict: valid key parses, malformed key fails fast") {
+    assert(evalOne[Long](
+      parseStationIdStrict(lit("station_id_41_20200506T094000.bin"))) === 41L)
+    val e = intercept[Throwable] {
+      spark.range(1)
+        .select(parseStationIdStrict(lit("nonsense.bin")).as("v")).head
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.contains("malformed station key"), msgs)
+  }
+
   // --- E5 interpolation (np.interp semantics, estimate_queue.py:138-140).
   test("piecewiseInterp hits every calibration knot exactly") {
     for ((x, m) <- Estimate.Points)

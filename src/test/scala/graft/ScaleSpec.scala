@@ -46,6 +46,15 @@ class ScaleSpec extends SparkSpec {
       "partial phase must consume the scan without a shuffle: " + below.take(800))
   }
 
+  test("q_lev_neardup: both pair-join sides are pruned by the block-cap semi join") {
+    val p = plan("q_lev_neardup")
+    // the jumbo-block guard must semi-join BOTH sides against the
+    // bounded block list before the quadratic pairing join — a hot
+    // boilerplate prefix can never form an unguarded O(n²) block
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      "expected a block-cap semi join on each pair side: " + p.take(1200))
+  }
+
   test("q_dpp_join: fact scan carries a dynamic pruning subquery") {
     val p = plan("q_dpp_join")
     assert(p.toLowerCase.contains("dynamicpruning"),

@@ -13,16 +13,22 @@ class StreamingSpec extends SparkSpec {
 
   private def q(name: String) = Streams.all.find(_.name == name).get.fn
 
-  test("tumbling-window stream == batch window aggregation") {
+  test("tumbling-window stream (append) == batch aggregation of finalized windows") {
     val stream = q("q_stream_tumbling")(spark, Sf0001).collect().toSet
+    // Append mode emits exactly the watermark-finalized windows:
+    // window end <= max event time − 10 min.
+    val maxUs = Tables.events(spark, Sf0001)
+      .agg(max(unix_micros(col("ts")))).head.getLong(0)
     val batch = Tables.events(spark, Sf0001)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), Exact.decSum(col("value"), 2).as("sum_value"))
       .select(unix_micros(col("window.start")).as("window_start_us"),
         unix_micros(col("window.end")).as("window_end_us"),
         col("event_type"), col("n"), col("sum_value"))
+      .filter(col("window_end_us") <= maxUs - 600000000L)
       .collect().toSet
     assert(stream === batch)
+    assert(stream.nonEmpty)
   }
 
   test("stateful stream dedup == batch DISTINCT") {
