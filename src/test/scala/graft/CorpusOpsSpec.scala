@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.queries.CorpusOps
+
+/** Property + plan-shape tests for the corpus-preparation operators
+  * (queries/CorpusOps.scala). The answers are oracle-gated; these pin
+  * the invariants the oracle compare can't see — reconstruction,
+  * conservation, fixpoint validity — and the scale-relevant plan
+  * shapes. */
+class CorpusOpsSpec extends SparkSpec {
+
+  private def q(name: String) =
+    CorpusOps.all.find(_.name == name).get.fn(spark, Sf0001)
+
+  private def plan(name: String) =
+    CorpusOps.all.find(_.name == name).get.fn(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+
+  // --- chunking -------------------------------------------------------
+
+  test("q_chunk_docs: stride-trimmed chunks reconstruct every document") {
+    // width 120 / stride 80: taking the first 80 chars of each chunk
+    // (all of the last) and concatenating in chunk order must yield
+    // the original text — i.e. chunks tile the doc with overlap and
+    // no gaps.
+    // collect_list has no order guarantee — sort the (idx, head) pairs
+    val rebuilt = q("q_chunk_docs")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("chunk_idx"),
+          substring(col("chunk"), 1, 80).as("head")))),
+        s => s.getField("head"))).as("head_concat"),
+        max(col("start") + col("chunk_len")).as("covered"))
+    val joined = Tables.documents(spark, Sf0001)
+      .join(rebuilt, "doc_id")
+      .withColumn("tail_ok", col("covered") >= length(col("text")))
+      .withColumn("prefix_ok",
+        col("text").startsWith(col("head_concat"))
+          || (length(col("head_concat")) >= length(col("text"))
+            && col("head_concat").startsWith(col("text"))))
+    assert(joined.filter(!col("tail_ok") || !col("prefix_ok")).count() === 0)
+  }
+
+  test("q_chunk_docs: chunk count and width bounds") {
+    val bad = q("q_chunk_docs")
+      .filter(col("chunk_len") > 120 || col("chunk_len") < 1)
+    assert(bad.count() === 0)
+    // chunk_idx is dense 0..n-1 per doc
+    val dense = q("q_chunk_docs").groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), max(col("chunk_idx")).as("mx"),
+        min(col("chunk_idx")).as("mn"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1)
+    assert(dense.count() === 0)
+  }
+
+  test("q_chunk_docs: narrow map — no exchange below the output sort") {
+    val p = plan("q_chunk_docs")
+    // one range exchange for the final orderBy and nothing else: the
+    // generate/project pipeline must not shuffle
+    assert("Exchange".r.findAllIn(p).size === 1, p.take(1200))
+    assert(!p.contains("HashAggregate"), p.take(1200))
+  }
+
+  // --- packing --------------------------------------------------------
+
+  test("q_pack_sequences: token conservation and offset bounds per shard") {
+    val out = q("q_pack_sequences").cache()
+    try {
+      // sum of per-doc tokens == final end position per shard
+      val byLang = out.groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("total"),
+          max(col("start_tok") + col("n_tokens")).as("end"))
+        .filter(col("total") =!= col("end"))
+      assert(byLang.count() === 0)
+      assert(out.filter(col("pack_offset") < 0 || col("pack_offset") >= 512)
+        .count() === 0)
+      // packs_spanned matches the ceiling arithmetic
+      val bad = out.filter(col("packs_spanned") <
+        (col("n_tokens") + lit(511)) / lit(512) - lit(1))
+      assert(bad.count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("q_pack_sequences: exactly one hash exchange (the shard key)") {
+    val p = plan("q_pack_sequences")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(1200))
+  }
+
+  // --- repetition -----------------------------------------------------
+
+  test("q_repetition: bigram accounting ties out against token counts") {
+    val rep = q("q_repetition")
+    val toks = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+    // a doc with t >= 2 tokens has exactly t-1 bigrams
+    val bad = rep.join(toks, "doc_id")
+      .filter(col("n_bigrams") =!= col("n_tok") - 1)
+    assert(bad.count() === 0)
+    // share in (0, 1]; max count consistent with distinct count
+    assert(rep.filter(col("top_share") <= 0 || col("top_share") > 1)
+      .count() === 0)
+    assert(rep.filter(col("top_bigram_n") * col("distinct_bigrams")
+      < col("n_bigrams")).count() === 0)
+  }
+
+  // --- redaction ------------------------------------------------------
+
+  test("q_redact: redacted text carries no blocklisted term") {
+    // recompute the redaction and assert the pattern no longer matches
+    val pat = "\\b(customer|key|vector|value)\\b"
+    val left = Tables.documents(spark, Sf0001).select(col("doc_id"),
+      regexp_count(regexp_replace(col("text"), pat, "<term>"), lit(pat))
+        .as("left_over"),
+      regexp_count(col("text"), lit(pat)).as("n"))
+    assert(left.filter(col("left_over") =!= 0).count() === 0)
+    // and the corpus actually exercises the operator
+    assert(left.filter(col("n") > 0).count() > 0)
+  }
+
+  // --- components -----------------------------------------------------
+
+  test("q_dup_components: labels are a valid connected-components fixpoint") {
+    val comp = q("q_dup_components").cache()
+    try {
+      val pairs = graft.queries.SimOps.all.find(_.name == "q_lev_neardup")
+        .get.fn(spark, Sf0001).select(col("a_id"), col("b_id"))
+      // every edge's endpoints share a component
+      val a = comp.select(col("doc_id").as("a_id"), col("component").as("ca"))
+      val b = comp.select(col("doc_id").as("b_id"), col("component").as("cb"))
+      val split = pairs.join(a, "a_id").join(b, "b_id")
+        .filter(col("ca") =!= col("cb"))
+      assert(split.count() === 0, "edge endpoints in different components")
+      // component label is the minimum doc_id of its member set
+      val badMin = comp.groupBy(col("component"))
+        .agg(min(col("doc_id")).as("mn"))
+        .filter(col("component") =!= col("mn"))
+      assert(badMin.count() === 0, "component label must be the member min")
+      // exactly one canonical doc per component
+      val canon = comp.groupBy(col("component"))
+        .agg(sum(col("is_canonical")).as("n_canon"))
+        .filter(col("n_canon") =!= 1)
+      assert(canon.count() === 0)
+      // the near-dup corpus actually produces a multi-doc cluster
+      assert(comp.filter(col("component_size") > 1).count() > 0)
+    } finally comp.unpersist()
+  }
+}
