@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import graft.functions.Exact
+import graft.functions.{Exact, OracleHash}
 import graft.model.Tables
 
 /** Similarity search + near-duplicate detection + multimodal columns
@@ -25,6 +25,16 @@ import graft.model.Tables
   */
 object SimOps {
 
+  /** MinHash/LSH banding shape: k = bands × rows-per-band. Declared
+    * before `all` (whose oracle SQL interpolates them at object
+    * init). */
+  private val MinhashK = 8
+  private val MinhashBands = 4
+  private val MinhashR = 2
+
+  /** LSH jumbo-bucket skew guard (same cap as levPairs' maxBlock). */
+  private val MaxBucket = 100
+
   /** Sign-bit LSH bucket over the first `bits` vector components
     * (random-hyperplane LSH with axis-aligned planes — deterministic
     * and oracle-expressible; a production variant draws dense Gaussian
@@ -43,18 +53,20 @@ object SimOps {
     * re-hash the ONE string-derived base hash under k fixed XOR seeds
     * (rehashing 8 bytes, not the string — the standard one-strong-hash
     * minhash construction; XOR+rehash avoids ANSI overflow semantics
-    * that an affine multiply would trip). */
+    * that an affine multiply would trip). The rehash is the
+    * oracle-replicable [[OracleHash.h64]], so signature queries can be
+    * DuckDB-gated. */
   def minhashSigFromHashes(hs: Column, k: Int = 8): Column = {
     val seeds = array((0 until k).map(i =>
       lit(i * 0x9E3779B97F4A7C15L)): _*)
     transform(seeds,
-      seed => array_min(transform(hs, h => xxhash64(h.bitwiseXOR(seed)))))
+      seed => array_min(transform(hs, h => OracleHash.h64(h.bitwiseXOR(seed)))))
   }
 
   /** MinHash signature of a shingle set (hashes each shingle once,
     * then derives the k families). */
   def minhashSig(sh: Column, k: Int = 8): Column =
-    minhashSigFromHashes(transform(sh, s => xxhash64(s)), k)
+    minhashSigFromHashes(transform(sh, s => OracleHash.h64(s)), k)
 
   /** XOR seeds of the k minhash families. */
   def minhashSeeds(k: Int = 8): Seq[Long] =
@@ -63,20 +75,21 @@ object SimOps {
   /** Distinct 3-token shingle hashes from an already-materialized
     * token-hash array column (`th` MUST be a bound attribute, not an
     * inline transform — otherwise every element_at re-evaluates it):
-    * a shingle hash combines three consecutive token hashes (8 bytes
-    * each) — no per-shingle string allocation. */
+    * a shingle hash combines three consecutive token hashes (their
+    * decimal renderings, comma-joined — the exact text DuckDB also
+    * renders, so the combine is oracle-replicable). */
   def shingleHashesFromTokenHashes(th: Column): Column = {
     val n = size(th)
     when(n >= 3,
       array_distinct(transform(sequence(lit(1), n - lit(2)),
-        i => xxhash64(element_at(th, i), element_at(th, i + 1),
-          element_at(th, i + 2)))))
+        i => OracleHash.h64(concat_ws(",", element_at(th, i),
+          element_at(th, i + 1), element_at(th, i + 2))))))
       .otherwise(array().cast("array<bigint>"))
   }
 
   /** Token-hash array of a text column (hash each token once). */
   def tokenHashes(text: Column): Column =
-    transform(split(text, " "), tk => xxhash64(tk))
+    transform(split(text, " "), tk => OracleHash.h64(tk))
 
   /** 64-bit SimHash from per-token hashes: per bit, the majority vote
     * over tokens of that hash bit (±1), folded into a single long. */
@@ -218,14 +231,14 @@ ORDER BY id_a, id_b""")),
     // agreement estimates Jaccard. Jumbo buckets (> MaxBucket docs)
     // are dropped before pairing — the standard LSH skew guard: a
     // bucket shared by thousands of docs is quadratic in cost and
-    // useless as a dedup signal. xxhash64 has no DuckDB twin → no SQL
-    // oracle; the scalatest suite pins the semantics (identical text
-    // ⇒ identical signature; candidates ⊇ exact duplicates).
+    // useless as a dedup signal. The whole pipeline runs on the
+    // md5-derived [[OracleHash.h64]], which DuckDB replicates
+    // bit-for-bit — so unlike the usual xxhash64 rendition this one
+    // IS oracle-gated end to end.
     QueryDef("q_minhash_neardup",
       (spark, dir) => {
-        val k = 8; val bands = 4; val r = 2; val maxBucket = 100
         // Hash path is all whole-stage codegen: token hashes (one
-        // string hash per token) → 3-token shingle hashes (long
+        // md5 per token) → 3-token shingle hashes (rendering
         // combines) → explode → hash aggregation of the k per-family
         // minima (map-side partial agg; HOF folds would stay
         // interpreted and run ~10× slower). The tiny signature table
@@ -236,17 +249,17 @@ ORDER BY id_a, id_b""")),
           .select(col("doc_id"), tokenHashes(col("text")).as("th"))
           .select(col("doc_id"),
             explode(shingleHashesFromTokenHashes(col("th"))).as("h"))
-        val minCols = minhashSeeds(k).zipWithIndex.map { case (s, i) =>
-          min(xxhash64(col("h").bitwiseXOR(lit(s)))).as(s"m$i")
+        val minCols = minhashSeeds(MinhashK).zipWithIndex.map { case (s, i) =>
+          min(OracleHash.h64(col("h").bitwiseXOR(lit(s)))).as(s"m$i")
         }
         val sigs = exploded.groupBy(col("doc_id"))
           .agg(minCols.head, minCols.tail: _*)
           .select(col("doc_id"),
-            array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+            array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
           .localCheckpoint()
-        val bandKeys = transform(sequence(lit(0), lit(bands - 1)),
+        val bandKeys = transform(sequence(lit(0), lit(MinhashBands - 1)),
           b => concat_ws(",",
-            transform(slice(col("sig"), b * lit(r) + lit(1), lit(r)),
+            transform(slice(col("sig"), b * lit(MinhashR) + lit(1), lit(MinhashR)),
               _.cast("string"))))
         val banded = sigs.select(col("doc_id"), col("sig"),
           posexplode(bandKeys))
@@ -254,7 +267,7 @@ ORDER BY id_a, id_b""")),
             col("pos").as("band"), col("col").as("band_key"))
         val smallBuckets = banded.groupBy(col("band"), col("band_key"))
           .agg(count(lit(1)).as("bucket_n"))
-          .filter(col("bucket_n") >= 2 && col("bucket_n") <= maxBucket)
+          .filter(col("bucket_n") >= 2 && col("bucket_n") <= MaxBucket)
           .select(col("band"), col("band_key"))
         val pruned = banded.join(smallBuckets, Seq("band", "band_key"), "left_semi")
         val x = pruned.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
@@ -263,26 +276,33 @@ ORDER BY id_a, id_b""")),
           col("band"), col("band_key"))
         x.join(y, Seq("band", "band_key"))
           .filter(col("id_a") < col("id_b"))
+          // per-pair signature agreement BEFORE the groupBy (every
+          // surviving row of a pair carries the same sigs, so min()
+          // is the deterministic pick — first() is order-dependent)
+          .withColumn("sig_match", aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (p, q) => when(p === q, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v))
           .groupBy(col("id_a"), col("id_b"))
           .agg(count(lit(1)).as("n_shared_bands"),
-            first(aggregate(zip_with(col("sig_a"), col("sig_b"),
-              (p, q) => when(p === q, 1).otherwise(0)),
-              lit(0), (acc, v) => acc + v)).as("n_sig_match"))
-          .withColumn("est_jaccard", col("n_sig_match").cast("double") / lit(k.toDouble))
+            min(col("sig_match")).as("n_sig_match"))
+          .withColumn("est_jaccard",
+            col("n_sig_match").cast("double") / lit(MinhashK.toDouble))
           .select(col("id_a"), col("id_b"), col("n_shared_bands"), col("est_jaccard"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      None),
+      Some(minhashNeardupSql)),
 
     // --- SimHash fingerprint: 64-bit locality-sensitive digest of the
     // token stream (near-identical docs differ in few bits; hamming
     // distance over bit_count(a XOR b) finds near-dups without pair
-    // enumeration). Token hashes computed once per row; 64 per-bit
-    // majority folds stay native HigherOrderFunction expressions.
-    // Implementation: explode token hashes → one codegen'd hash
-    // aggregation computing all 64 bit-majority counts map-side
-    // (the equivalent HOF fold is interpreted and ~10× slower);
-    // semantics identical to simhashFromHashes (SimOpsSpec pins it).
+    // enumeration). Token hashes computed once per row; the per-bit
+    // majorities run as one codegen'd hash aggregation computing all
+    // 64 bit-majority counts map-side (the equivalent HOF fold is
+    // interpreted and ~10× slower); semantics identical to
+    // simhashFromHashes (SimOpsSpec pins it). Built on the
+    // md5-derived [[OracleHash.h64]] (top 60 bits ⇒ bits 60-63 of the
+    // fingerprint are always 0), so DuckDB replicates the fingerprint
+    // exactly and the query is oracle-gated.
     QueryDef("q_simhash",
       (spark, dir) => {
         val exploded = Tables.documents(spark, dir)
@@ -301,7 +321,7 @@ ORDER BY id_a, id_b""")),
           .withColumn("popcount", bit_count(col("simhash")))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some(simhashSql)),
 
     // --- Multimodal payloads through a join: documents gain a binary
     // payload + typed metadata struct, join embeddings on id, output
@@ -396,6 +416,71 @@ ORDER BY doc_id""")),
       Some(s"""WITH $LevPairsSql
 SELECT a_id, b_id, dist FROM pairs ORDER BY a_id, b_id""")),
   )
+
+  /** DuckDB rendition of q_minhash_neardup — the identical
+    * token-hash → shingle-hash → k-family minima → banding → capped
+    * bucket join pipeline, on the shared md5-derived h64. A `def`
+    * (object-init ordering, like [[LevPairsSql]]). */
+  private def minhashNeardupSql: String = {
+    val h = OracleHash.h64Sql _
+    val sigMins = minhashSeeds(MinhashK)
+      .map(s => s"min(${h(s"xor(h, $s)")})").mkString(",\n      ")
+    val bandKey = (0 until MinhashR)
+      .map(j => s"sig[$MinhashR * b.band + ${j + 1}]::VARCHAR")
+      .mkString(" || ',' || ")
+    s"""WITH toks AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${h("t")}) AS th
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, len(th) - 2),
+      i -> ${h("th[i] || ',' || th[i + 1] || ',' || th[i + 2]")}))) AS h
+  FROM toks WHERE len(th) >= 3),
+sig AS (
+  SELECT doc_id,
+    [$sigMins] AS sig
+  FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, sig, b.band AS band, $bandKey AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, ${MinhashBands - 1})) AS band) b),
+ok AS (
+  SELECT band, band_key FROM banded GROUP BY band, band_key
+  HAVING count(*) >= 2 AND count(*) <= $MaxBucket),
+pr AS (
+  SELECT banded.doc_id, banded.sig, banded.band, banded.band_key
+  FROM banded JOIN ok USING (band, band_key)),
+pairs AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.sig AS sig_a, y.sig AS sig_b
+  FROM pr x JOIN pr y ON x.band = y.band AND x.band_key = y.band_key
+    AND x.doc_id < y.doc_id)
+SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared_bands,
+  CAST(min(CAST(list_sum(list_transform(generate_series(1, $MinhashK),
+      i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS INT)) AS DOUBLE)
+    / $MinhashK.0 AS est_jaccard
+FROM pairs GROUP BY id_a, id_b ORDER BY id_a, id_b"""
+  }
+
+  /** DuckDB rendition of q_simhash: same h64 token hashes, same
+    * 64 bit-majority votes, same power-of-two fold (constants
+    * pre-computed in Scala so neither engine shifts at runtime). */
+  private def simhashSql: String = {
+    val bitSums = (0 until 64).map(b => s"sum((h >> $b) & 1) AS b$b")
+      .mkString(",\n    ")
+    val fold = (0 until 64)
+      .map(b => s"(CASE WHEN b$b * 2 > n THEN ${1L << b} ELSE 0 END)")
+      .mkString("\n    + ")
+    s"""WITH th AS (
+  SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+    t -> ${OracleHash.h64Sql("t")})) AS h
+  FROM documents),
+cnt AS (
+  SELECT doc_id, count(*) AS n,
+    $bitSums
+  FROM th GROUP BY doc_id)
+SELECT doc_id, simhash, CAST(bit_count(simhash) AS INT) AS popcount
+FROM (SELECT doc_id, CAST($fold AS BIGINT) AS simhash FROM cnt)
+ORDER BY doc_id"""
+  }
 
   /** Capped prefix-block levenshtein near-dup pairs (a_id < b_id,
     * dist ≤ maxDist) — shared by q_lev_neardup and the component

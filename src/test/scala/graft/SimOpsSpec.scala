@@ -26,9 +26,27 @@ class SimOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigs(0L) === sigs(1L), "exact duplicates must collide on every band")
     assert(sigs(0L) !== sigs(3L), "disjoint docs must not share a full signature")
-    // near-dup shares most shingles → most minhash components agree
-    val agree = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
-    assert(agree >= 4, s"near-dup agreed on $agree/8 components")
+  }
+
+  test("minhash component agreement tracks Jaccard (high-J near-dup ≫ disjoint)") {
+    // Per-component agreement is Bernoulli(J); a 40-token fixture with
+    // one changed middle token has J = 35/41 ≈ 0.85 (E[agree] ≈ 6.8/8),
+    // so ≥5 has huge margin — and the hash is deterministic, so the
+    // observed count never drifts between runs.
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val disjoint = (1 to 40).map(i => s"other$i").mkString(" ")
+    val sigs = Seq((0L, base), (1L, near), (2L, disjoint))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        SimOps.minhashSig(TextOps.shingles(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agreeNear = sigs(0L).zip(sigs(1L)).count { case (a, b) => a == b }
+    val agreeDisj = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(agreeNear >= 5, s"high-J near-dup agreed on only $agreeNear/8")
+    assert(agreeDisj <= 1, s"disjoint docs agreed on $agreeDisj/8")
+    assert(agreeNear > agreeDisj)
   }
 
   test("minhash est_jaccard is exact for identical docs") {
@@ -39,10 +57,17 @@ class SimOpsSpec extends SparkSpec {
     assert(matches === 8)
   }
 
+  test("h64 matches DuckDB's ('0x' || substring(md5(x),1,15))::BIGINT") {
+    // duckdb> SELECT ('0x' || substring(md5('hello'),1,15))::BIGINT
+    //         → 419982666956583591
+    assert(evalOne[Long](graft.functions.OracleHash.h64(lit("hello")))
+      === 419982666956583591L)
+  }
+
   test("simhash: identical ⇒ equal; near-dup ⇒ small hamming; disjoint ⇒ large") {
     val t = split(col("text"), " ")
     val sh = df.select(col("doc_id"),
-      SimOps.simhashFromHashes(transform(t, tk => xxhash64(tk)), size(t))
+      SimOps.simhashFromHashes(SimOps.tokenHashes(col("text")), size(t))
         .as("simhash"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
@@ -79,7 +104,7 @@ class SimOpsSpec extends SparkSpec {
     val t = split(col("text"), " ")
     val helper = Tables.documents(spark, Sf0001)
       .select(col("doc_id"), size(t).as("n"),
-        transform(t, tk => xxhash64(tk)).as("hs"))
+        SimOps.tokenHashes(col("text")).as("hs"))
       .select(col("doc_id"),
         SimOps.simhashFromHashes(col("hs"), col("n")).as("simhash"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
