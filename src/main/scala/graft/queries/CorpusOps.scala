@@ -40,6 +40,11 @@ object CorpusOps {
   /** Packed-sequence length in whitespace tokens. */
   private val PackLen = 512
 
+  /** Range buckets per shard for q_pack_sequences' hierarchical
+    * prefix sum (the per-shard parallelism of the packing stage; a
+    * cluster deployment sizes this to executor count). */
+  private val PackBuckets = 32
+
   /** Blocklist for q_redact (word-boundary regex, identical RE2/Java
     * semantics on both engines). */
   private val RedactPat = "\\b(customer|key|vector|value)\\b"
@@ -80,20 +85,55 @@ ORDER BY doc_id, chunk_idx""")),
     // docs within a shard (lang), run a cumulative token count, and
     // chop the concatenated stream into fixed $PackLen-token training
     // sequences. Each doc learns which pack it starts in, its offset,
-    // and how many packs it spans. The window partitions by the shard
-    // key — packing parallelizes per shard exactly like a production
-    // packer (one worker per shard; packs are shard-local), so the
-    // only shuffle is one hash exchange on lang, never a global sort.
-    // SUM over a window is HUGEINT in DuckDB → CAST AS BIGINT
-    // (oracle-playbook rule).
+    // and how many packs it spans.
+    //
+    // The running sum is a HIERARCHICAL prefix sum, not a
+    // partitionBy(lang) window: lang has a handful of values, so a
+    // per-lang window serializes each shard's ~N/|lang| rows onto ONE
+    // task — at 100 TB that is a single task chewing tens of TB. The
+    // scale-safe decomposition splits each shard into PackBuckets
+    // RANGE buckets of doc_id (the bucket function must be MONOTONE
+    // in the ordering key — a hash bucket interleaves doc_ids across
+    // buckets and the decomposition is wrong):
+    //   1. per (lang, bucket): local running sum — parallel across
+    //      |lang|×PackBuckets tasks;
+    //   2. per (lang, bucket) token totals → exclusive prefix over the
+    //      ≤PackBuckets rows per lang (a window over a TINY aggregate,
+    //      |lang|×PackBuckets rows total) = each bucket's offset;
+    //   3. broadcast the offset table back and add.
+    // global_end(row) = local_end(row) + offset(bucket) exactly
+    // because every doc in an earlier bucket has a smaller doc_id.
+    // Bucket width comes from max(doc_id) via a broadcast 1-row
+    // cross-join (no driver collect); `div` keeps the arithmetic in
+    // exact 64-bit integers (doc_ids are non-negative). Same oracle
+    // as the flat window — the decomposition is an implementation
+    // detail invisible in the output. SUM over a window is HUGEINT in
+    // DuckDB → CAST AS BIGINT (oracle-playbook rule).
     QueryDef("q_pack_sequences",
       (spark, dir) => {
-        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.documents(spark, dir)
+        val docs = Tables.documents(spark, dir)
           .select(col("doc_id"), col("lang"),
             size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
-          .withColumn("end_tok", sum(col("n_tokens")).over(w))
+        val bounds = docs.agg(max(col("doc_id")).as("max_id"))
+          .select(expr(s"(max_id div $PackBuckets) + 1").as("bucket_width"))
+        val bucketed = docs.crossJoin(broadcast(bounds))
+          .withColumn("bucket",
+            expr("doc_id div bucket_width").cast("int"))
+          .drop("bucket_width")
+        val wLocal = Window.partitionBy(col("lang"), col("bucket"))
+          .orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = bucketed
+          .withColumn("local_end", sum(col("n_tokens")).over(wLocal))
+        val wOffset = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = bucketed.groupBy(col("lang"), col("bucket"))
+          .agg(sum(col("n_tokens")).as("bucket_total"))
+          .withColumn("bucket_offset",
+            coalesce(sum(col("bucket_total")).over(wOffset), lit(0L)))
+          .select(col("lang"), col("bucket"), col("bucket_offset"))
+        local.join(broadcast(offsets), Seq("lang", "bucket"))
+          .withColumn("end_tok", col("local_end") + col("bucket_offset"))
           .withColumn("start_tok", col("end_tok") - col("n_tokens"))
           .select(col("doc_id"), col("lang"), col("n_tokens"),
             col("start_tok"),
@@ -192,40 +232,20 @@ FROM c GROUP BY doc_id ORDER BY doc_id""")),
 FROM documents ORDER BY doc_id""")),
 
     // --- Near-dup cluster resolution: connected components over the
-    // capped levenshtein pair graph (SimOps.levPairs), via Pregel-
-    // style min-label propagation — every doc converges to the
-    // minimum doc_id reachable through near-dup edges, which is the
-    // cluster's canonical representative (the step that turns PAIRS
-    // into KEEP/DROP decisions in a real dedup pipeline). Each round
-    // is one bounded shuffle: edges join labels on the target id,
-    // min-aggregate per source, merge. Rounds = graph diameter (the
-    // driver loop only counts changed labels — no row data ever
-    // reaches the driver), and localCheckpoint caps lineage growth
-    // per round, so 100 TB cost is O(diameter) joins on an edge list
-    // the jumbo-block guard already bounded. The oracle computes the
-    // same fixpoint exactly with a recursive CTE — both sides are the
-    // unique minimum-label fixpoint, independent of iteration order.
+    // capped levenshtein pair graph (SimOps.levPairs), via
+    // [[connectedComponents]] (Pregel-style min-label propagation +
+    // pointer jumping) — every doc converges to the minimum doc_id
+    // reachable through near-dup edges, which is the cluster's
+    // canonical representative (the step that turns PAIRS into
+    // KEEP/DROP decisions in a real dedup pipeline). The oracle
+    // computes the same fixpoint exactly with a recursive CTE — both
+    // sides are the unique minimum-label fixpoint, independent of
+    // iteration order.
     QueryDef("q_dup_components",
       (spark, dir) => {
         val pairs = SimOps.levPairs(spark, dir).select(col("a_id"), col("b_id"))
-        val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
-          .toDF("s", "t").localCheckpoint()
-        var labels = Tables.documents(spark, dir)
-          .select(col("doc_id").as("id"), col("doc_id").as("comp"))
-          .localCheckpoint()
-        var changed = 1L
-        while (changed > 0) {
-          val nbrMin = edges.join(labels, edges("t") === labels("id"))
-            .groupBy(col("s")).agg(min(col("comp")).as("nbr_min"))
-          val next = labels.join(nbrMin, labels("id") === nbrMin("s"), "left")
-            .select(labels("id").as("id"),
-              least(col("comp"), coalesce(col("nbr_min"), col("comp")))
-                .as("comp"),
-              col("comp").as("prev"))
-            .localCheckpoint()
-          changed = next.filter(col("comp") < col("prev")).count()
-          labels = next.select(col("id"), col("comp"))
-        }
+        val nodes = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+        val labels = connectedComponents(nodes, pairs.toDF("s", "t"))
         val w = Window.partitionBy(col("component"))
         labels.select(col("id").as("doc_id"), col("comp").as("component"))
           .withColumn("component_size", count(lit(1)).over(w))
@@ -254,4 +274,64 @@ FROM lab ORDER BY doc_id""")),
 
   /** [[SimOps.LevPairsSql]], re-exposed for the recursive-CTE splice. */
   private def LevPairsCte: String = SimOps.LevPairsSql
+
+  /** Convergence bound for [[connectedComponents]]. With pointer
+    * jumping, rounds ≈ log₂(diameter); 50 covers a diameter of 2⁵⁰ —
+    * hitting the cap means the input is cyclic garbage or the job is
+    * livelocked, and failing fast beats silently looping. */
+  private val MaxCcRounds = 50
+
+  /** Distributed connected components: min-label propagation with
+    * POINTER JUMPING (path-halving). `nodes` is one `id` column;
+    * `edges` is `(s, t)` pairs (symmetrized here). Returns `(id,
+    * comp)` where `comp` is the minimum id reachable from `id`.
+    *
+    * Each round is two bounded shuffles — (1) the Pregel step: edges
+    * join labels on the target, min-aggregate per source, merge;
+    * (2) the jump: labels self-join `comp → comp(comp)`, which
+    * doubles the distance a label travels per round and turns
+    * O(diameter) rounds into O(log diameter) — a long near-dup chain
+    * (shingled boilerplate) would otherwise serialize into thousands
+    * of rounds. Only a scalar changed-count ever reaches the driver;
+    * `localCheckpoint` caps lineage growth per round. Throws
+    * [[IllegalStateException]] after `maxRounds` rounds rather than
+    * looping forever (the propagation is monotone-decreasing, so the
+    * cap is a belt-and-braces guard, not a correctness need).
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = MaxCcRounds): DataFrame = {
+    val sym = edges.union(edges.select(col("t"), col("s")))
+      .toDF("s", "t").localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0) {
+      round += 1
+      if (round > maxRounds) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds; " +
+          "the edge list is larger or stranger than this operator is sized for")
+      val nbrMin = sym.join(labels, sym("t") === labels("id"))
+        .groupBy(col("s")).agg(min(col("comp")).as("nbr_min"))
+      val stepped = labels.join(nbrMin, labels("id") === nbrMin("s"), "left")
+        .select(labels("id").as("id"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp")))
+            .as("comp"),
+          col("comp").as("prev"))
+      // pointer jump: comp ← comp(comp). Every comp value is itself a
+      // node id (labels start as id→id and only ever copy ids), so the
+      // inner self-join is total; comp(comp) ≤ comp by the invariant
+      // comp(x) ≤ x, hence `least` is pure defensiveness.
+      val next = stepped.as("l")
+        .join(stepped.select(col("id").as("pid"), col("comp").as("pcomp")).as("r"),
+          col("l.comp") === col("r.pid"))
+        .select(col("l.id").as("id"),
+          least(col("r.pcomp"), col("l.comp")).as("comp"),
+          col("l.prev").as("prev"))
+        .localCheckpoint()
+      changed = next.filter(col("comp") < col("prev")).count()
+      labels = next.select(col("id"), col("comp"))
+    }
+    labels
+  }
 }

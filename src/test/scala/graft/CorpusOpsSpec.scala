@@ -84,9 +84,30 @@ class CorpusOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
-  test("q_pack_sequences: exactly one hash exchange (the shard key)") {
+  test("q_pack_sequences: hierarchical prefix sum keys the big window by (lang, bucket)") {
     val p = plan("q_pack_sequences")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p.take(1200))
+    // the full-corpus window must hash-exchange on (lang, bucket) —
+    // partitionBy(lang) alone would serialize each ~N/|lang|-row shard
+    // onto one task at scale
+    val hashEx = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.exists(l => l.contains("lang") && l.contains("bucket")),
+      "no (lang, bucket) exchange:\n" + hashEx.mkString("\n"))
+    // and the per-bucket offsets come back over a broadcast, not a shuffle
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("q_pack_sequences: range bucketing fans each shard out past |lang|") {
+    // re-derive the bucket assignment (width = max_id div 32 + 1) and
+    // check the corpus actually lands in more (lang, bucket) groups
+    // than lang groups — i.e. the decomposition buys real parallelism
+    val docs = Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("lang"))
+    val width = docs.agg(max(col("doc_id"))).head.getLong(0) / 32 + 1
+    val langN = docs.select(col("lang")).distinct().count()
+    val groupN = docs.select(col("lang"),
+      (col("doc_id") / width).cast("int")).distinct().count()
+    assert(groupN > langN, s"only $groupN (lang,bucket) groups vs $langN langs")
   }
 
   // --- repetition -----------------------------------------------------
@@ -146,5 +167,26 @@ class CorpusOpsSpec extends SparkSpec {
       // the near-dup corpus actually produces a multi-doc cluster
       assert(comp.filter(col("component_size") > 1).count() > 0)
     } finally comp.unpersist()
+  }
+
+  test("connectedComponents: pointer jumping — a 64-node path converges in ≤10 rounds") {
+    // worst case for plain min-label propagation is a path graph
+    // (rounds = diameter = 63); pointer jumping needs ~log₂(63)+1 ≈ 7
+    // rounds, so maxRounds = 10 passing IS the O(log d) law
+    import spark.implicits._
+    val nodes = (0L until 64L).toDF("id")
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("s", "t")
+    val comp = CorpusOps.connectedComponents(nodes, edges, maxRounds = 10)
+    assert(comp.filter(col("comp") =!= 0L).count() === 0,
+      "every node of a path must label to the minimum id")
+  }
+
+  test("connectedComponents: fails fast when maxRounds is exceeded") {
+    import spark.implicits._
+    val nodes = (0L until 16L).toDF("id")
+    val edges = (0L until 15L).map(i => (i, i + 1)).toDF("s", "t")
+    assertThrows[IllegalStateException] {
+      CorpusOps.connectedComponents(nodes, edges, maxRounds = 1)
+    }
   }
 }
