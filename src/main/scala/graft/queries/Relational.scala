@@ -776,5 +776,56 @@ FROM events GROUP BY event_type ORDER BY event_type""")),
           countDistinct(col("user_id")).as("exact_users"))
         .orderBy(col("event_type")),
       None),
+
+    // --- Error-bound companions: the sketch VALUES can't cross
+    // engines, but the sketches' accuracy contract can — emit
+    // |approx − exact| ≤ bound as an int alongside the exact SQL
+    // aggregate, and let the oracle compute the same exact side and
+    // pin the contract bit to 1. A sketch drifting out of its
+    // published bound flips the bit and reds the row.
+    QueryDef("q_approx_distinct_check",
+      (spark, dir) => Tables.events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        // default HLL++ rsd is 5% (one σ); 3σ = 15% relative error
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= col("exact_users") * lit(0.15)).cast("int").as("within_3rsd"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+  CAST(1 AS INT) AS within_3rsd
+FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // --- Quantile-sketch contract: percentile_approx(accuracy=10000)
+    // guarantees rank error ≤ 1/10000; the check brackets the estimate
+    // between the exact interpolated percentiles one full rank-percent
+    // away (100× the guarantee) on each side. Exact percentiles are
+    // plain SQL on both engines (same functions q_percentiles gates).
+    QueryDef("q_approx_quantile_check",
+      (spark, dir) => Tables.events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("am"),
+          percentile_approx(col("value"), lit(0.9), lit(10000)).as("a90"),
+          median(col("value")).as("exact_med"),
+          percentile(col("value"), lit(0.9)).as("exact_p90"),
+          percentile(col("value"), lit(0.49)).as("lo_m"),
+          percentile(col("value"), lit(0.51)).as("hi_m"),
+          percentile(col("value"), lit(0.89)).as("lo_90"),
+          percentile(col("value"), lit(0.91)).as("hi_90"))
+        .select(col("event_type"), col("exact_med"), col("exact_p90"),
+          (col("am") >= col("lo_m") && col("am") <= col("hi_m"))
+            .cast("int").as("med_in_bounds"),
+          (col("a90") >= col("lo_90") && col("a90") <= col("hi_90"))
+            .cast("int").as("p90_in_bounds"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+  median(value) AS exact_med,
+  quantile_cont(value, 0.9) AS exact_p90,
+  CAST(1 AS INT) AS med_in_bounds,
+  CAST(1 AS INT) AS p90_in_bounds
+FROM events GROUP BY event_type ORDER BY event_type""")),
   )
 }

@@ -70,4 +70,29 @@ class AnnSpec extends SparkSpec {
     for (r <- ivf)
       assert(brute(r.getLong(0)) === r.getDouble(2), s"vec ${r.getLong(0)}")
   }
+
+  test("fresh cache + existing persisted file ⇒ quantizer loads without fitting") {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val path = Ann.quantizerPath(spark, Sf0001, 8)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      // plant a model a refit could never produce (k = 3, not 8) at
+      // the stable (dir, k = 8) home, then drop the in-memory cache —
+      // the next call must come back with the planted model
+      val emb = Tables.embeddings(spark, Sf0001)
+        .withColumn("features", array_to_vector(col("embedding")))
+      new KMeans().setK(3).setSeed(1L).setFeaturesCol("features")
+        .setPredictionCol("cell").fit(emb)
+        .write.overwrite().save(path)
+      Ann.quantizers.remove((Sf0001, 8))
+      Ann.ivfTopK(spark, Sf0001, k = 8, nprobe = 2, topK = 5).collect()
+      assert(Ann.quantizers((Sf0001, 8)).clusterCenters.length === 3,
+        "a pre-existing persisted quantizer must be loaded, not refit")
+    } finally {
+      fs.delete(hp, true)
+      Ann.quantizers.remove((Sf0001, 8))
+    }
+  }
 }

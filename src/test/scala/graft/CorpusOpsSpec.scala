@@ -129,6 +129,23 @@ class CorpusOpsSpec extends SparkSpec {
 
   // --- redaction ------------------------------------------------------
 
+  test("q_redact: narrow map — no exchange below the output sort") {
+    val p = plan("q_redact")
+    // redaction is scan → project → sort: exactly the one range
+    // exchange the deterministic output order requires, no shuffle
+    assert("Exchange".r.findAllIn(p).size === 1, p.take(1200))
+    assert(p.contains("Exchange rangepartitioning"), p.take(1200))
+    assert(!p.contains("HashAggregate"), p.take(1200))
+  }
+
+  test("q_repetition: both aggregations stay two-phase (map-side partials)") {
+    val p = plan("q_repetition")
+    // (doc_id, bigram) counts and the per-doc rollup must each run
+    // partial+final so the shuffle carries distinct groups, not tokens
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, p.take(1500))
+  }
+
   test("q_redact: redacted text carries no blocklisted term") {
     // recompute the redaction and assert the pattern no longer matches
     val pat = "\\b(customer|key|vector|value)\\b"
