@@ -49,6 +49,13 @@ object CorpusOps {
     * semantics on both engines). */
   private val RedactPat = "\\b(customer|key|vector|value)\\b"
 
+  /** Per-stratum keep count for q_sample_stratified. */
+  private val SampleCap = 60
+
+  /** Output shards for q_shuffle_det (a cluster sizes this to the
+    * training job's data-loader world size). */
+  private val ShuffleShards = 64
+
   val all: Seq[QueryDef] = Seq(
 
     // --- Context-window chunking with overlap: one output row per
@@ -253,7 +260,145 @@ FROM documents ORDER BY doc_id""")),
             (col("doc_id") === col("component")).cast("int"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH RECURSIVE $LevPairsCte,
+      dupComponentsOracle),
+
+    // --- Eval-set decontamination: flag every training doc sharing a
+    // 3-token shingle with the held-out split (doc_id % 10 == 0 here;
+    // production keys the split off a manifest). THE dedup-adjacent
+    // step every serious LLM corpus runs — benchmark answers leaking
+    // into training data inflate evals. Shape: the eval split's
+    // distinct shingle h64s form a fingerprint set; train shingles
+    // left-semi join it (shuffle on the 8-byte hash, never text),
+    // count per doc, left join back for the zero rows. At 100 TB the
+    // eval fingerprint set is tiny (eval sets are thousands of docs)
+    // → Catalyst broadcasts it and the scan never shuffles; the h64
+    // shingles are the same cross-engine hashes the minhash pipeline
+    // uses, so the oracle replays the pipeline exactly.
+    QueryDef("q_decontaminate",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val sh = docs
+          .select(col("doc_id"), SimOps.tokenHashes(col("text")).as("th"))
+          .select(col("doc_id"),
+            explode(SimOps.shingleHashesFromTokenHashes(col("th"))).as("h"))
+        val evalSh = sh.filter(col("doc_id") % 10 === 0)
+          .select(col("h")).distinct()
+        val hits = sh.filter(col("doc_id") % 10 =!= 0)
+          .join(evalSh, Seq("h"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shared_shingles"))
+        docs.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"),
+            (coalesce(col("n_shared_shingles"), lit(0L)) > 0)
+              .cast("int").as("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${SimOps.ShingleCteSql},
+ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 0),
+hits AS (
+  SELECT s.doc_id, count(*) AS n
+  FROM sh s JOIN ev USING (h)
+  WHERE s.doc_id % 10 <> 0
+  GROUP BY s.doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(n, 0) AS BIGINT) AS n_shared_shingles,
+  CAST(CASE WHEN coalesce(n, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM documents d LEFT JOIN hits USING (doc_id)
+WHERE d.doc_id % 10 <> 0
+ORDER BY doc_id""")),
+
+    // --- Balanced stratified sample: keep a deterministic
+    // $SampleCap-doc uniform sample per lang — rank docs by the
+    // cross-engine h64 of their id (a fixed random permutation both
+    // engines agree on) and keep the first $SampleCap per stratum.
+    // Runs on the native GroupTopK operator: partial per-partition
+    // heaps of size cap collapse map-side, so the shuffle carries at
+    // most cap rows per (partition, lang) — the scale-safe form of
+    // "row_number per group then filter", which would sort whole
+    // strata. The oracle IS that row_number form; both sides are the
+    // same deterministic sample.
+    QueryDef("q_sample_stratified",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+          .select(col("lang"), col("doc_id"),
+            graft.functions.OracleHash.h64(col("doc_id")).as("h"))
+        graft.plans.GroupTopK.topK(docs, Seq("lang"),
+          Seq(("h", false), ("doc_id", false)), SampleCap)
+          .select(col("lang"), col("doc_id"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some(s"""SELECT lang, doc_id FROM (
+  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+    ORDER BY ${graft.functions.OracleHash.h64Sql("doc_id")}, doc_id) AS rn
+  FROM documents) WHERE rn <= $SampleCap
+ORDER BY lang, doc_id""")),
+
+    // --- Domain mix (epoch up-weighting): assign each source domain a
+    // repeat factor and emit one row per (doc, epoch) — how a training
+    // mix over-samples high-quality domains without copying bytes
+    // (the epoch column becomes part of the data-loader's shuffle
+    // key). Pure narrow map — literal CASE + sequence/explode, no
+    // shuffle before the output sort; output volume is the weighted
+    // row count, exactly as a mixing run materializes it.
+    QueryDef("q_domain_mix",
+      (spark, dir) => {
+        val epochs = when(col("source") === "src0", lit(3))
+          .when(col("source") === "src1", lit(2)).otherwise(lit(1))
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"), epochs.as("epochs"))
+          .select(col("doc_id"), col("source"), col("epochs"),
+            explode(sequence(lit(0L), col("epochs").cast("bigint") - 1))
+              .as("epoch"))
+          .orderBy(col("doc_id"), col("epoch"))
+      },
+      Some("""SELECT doc_id, source, epochs,
+  unnest(generate_series(0, epochs - 1)) AS epoch
+FROM (SELECT doc_id, source,
+        CAST(CASE WHEN source = 'src0' THEN 3
+                  WHEN source = 'src1' THEN 2 ELSE 1 END AS INT) AS epochs
+      FROM documents)
+ORDER BY doc_id, epoch""")),
+
+    // --- Deterministic training shuffle: the order-randomization pass
+    // before sequence packing / data loading. Global row_number over a
+    // random key is a single-task sort at scale, so the shuffle is
+    // hierarchical like q_pack_sequences: hash-shard on h64 % $ShuffleShards
+    // (uniform by construction), then position WITHIN the shard via a
+    // per-shard window — $ShuffleShards-way parallel, and
+    // (shard, pos_in_shard) is a complete, reproducible read order any
+    // data-loader rank can seek independently.
+    QueryDef("q_shuffle_det",
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            graft.functions.OracleHash.h64(col("doc_id")).as("h"))
+          .withColumn("shard",
+            pmod(col("h"), lit(ShuffleShards.toLong)).cast("int"))
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("h"), col("doc_id"))
+        docs.withColumn("pos_in_shard",
+          row_number().over(w).cast("bigint"))
+          .select(col("doc_id"), col("shard"), col("pos_in_shard"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, shard, pos_in_shard FROM (
+  SELECT doc_id, CAST(h % $ShuffleShards AS INT) AS shard,
+    CAST(row_number() OVER (PARTITION BY h % $ShuffleShards
+      ORDER BY h, doc_id) AS BIGINT) AS pos_in_shard
+  FROM (SELECT doc_id, ${graft.functions.OracleHash.h64Sql("doc_id")} AS h
+        FROM documents))
+ORDER BY doc_id""")),
+  )
+
+  /** [[SimOps.LevPairsSql]], re-exposed for the recursive-CTE splice. */
+  private def LevPairsCte: String = SimOps.LevPairsSql
+
+  /** Oracle for q_dup_components: the exact minimum-label fixpoint as
+    * a recursive CTE (a `def` for object-init ordering). */
+  private def dupComponentsOracle: Option[String] =
+    Some(s"""WITH RECURSIVE $LevPairsCte,
 edges AS (
   SELECT a_id AS s, b_id AS t FROM pairs
   UNION
@@ -269,11 +414,7 @@ lab AS (
 SELECT doc_id, CAST(component AS BIGINT) AS component,
   CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS component_size,
   CAST(CASE WHEN doc_id = component THEN 1 ELSE 0 END AS INT) AS is_canonical
-FROM lab ORDER BY doc_id""")),
-  )
-
-  /** [[SimOps.LevPairsSql]], re-exposed for the recursive-CTE splice. */
-  private def LevPairsCte: String = SimOps.LevPairsSql
+FROM lab ORDER BY doc_id""")
 
   /** Convergence bound for [[connectedComponents]]. With pointer
     * jumping, rounds ≈ log₂(diameter); 50 covers a diameter of 2⁵⁰ —

@@ -428,14 +428,7 @@ SELECT a_id, b_id, dist FROM pairs ORDER BY a_id, b_id""")),
     val bandKey = (0 until MinhashR)
       .map(j => s"sig[$MinhashR * b.band + ${j + 1}]::VARCHAR")
       .mkString(" || ',' || ")
-    s"""WITH toks AS (
-  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${h("t")}) AS th
-  FROM documents),
-sh AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(
-      generate_series(1, len(th) - 2),
-      i -> ${h("th[i] || ',' || th[i + 1] || ',' || th[i + 2]")}))) AS h
-  FROM toks WHERE len(th) >= 3),
+    s"""WITH $ShingleCteSql,
 sig AS (
   SELECT doc_id,
     [$sigMins] AS sig
@@ -458,6 +451,22 @@ SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared_bands,
       i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS INT)) AS DOUBLE)
     / $MinhashK.0 AS est_jaccard
 FROM pairs GROUP BY id_a, id_b ORDER BY id_a, id_b"""
+  }
+
+  /** Shared DuckDB CTE fragment `toks, sh` — per doc, the distinct
+    * 3-token shingle h64s as exploded `(doc_id, h)` rows; the SQL twin
+    * of [[tokenHashes]] + [[shingleHashesFromTokenHashes]]. Spliced by
+    * minhashNeardupSql and CorpusOps' decontamination oracle. */
+  private[queries] def ShingleCteSql: String = {
+    val h = OracleHash.h64Sql _
+    s"""toks AS (
+  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${h("t")}) AS th
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, len(th) - 2),
+      i -> ${h("th[i] || ',' || th[i + 1] || ',' || th[i + 2]")}))) AS h
+  FROM toks WHERE len(th) >= 3)"""
   }
 
   /** DuckDB rendition of q_simhash: same h64 token hashes, same

@@ -186,6 +186,91 @@ class CorpusOpsSpec extends SparkSpec {
     } finally comp.unpersist()
   }
 
+  // --- decontamination ------------------------------------------------
+
+  test("q_decontaminate: covers exactly the train split, flag ties to count") {
+    val out = q("q_decontaminate").cache()
+    try {
+      val train = Tables.documents(spark, Sf0001)
+        .filter(col("doc_id") % 10 =!= 0).count()
+      assert(out.count() === train, "one row per train doc, eval docs absent")
+      assert(out.filter(col("doc_id") % 10 === 0).count() === 0)
+      assert(out.filter(col("contaminated") =!=
+        (col("n_shared_shingles") > 0).cast("int")).count() === 0)
+      // a train doc that is an exact copy of an eval doc must be caught
+      val evalTexts = Tables.documents(spark, Sf0001)
+        .filter(col("doc_id") % 10 === 0).select(col("text"))
+      val copies = Tables.documents(spark, Sf0001)
+        .filter(col("doc_id") % 10 =!= 0)
+        .join(evalTexts, Seq("text"), "left_semi")
+        .filter(length(col("text")) >= 20) // ≥3 tokens → has shingles
+        .select(col("doc_id"))
+      val missed = copies.join(out.filter(col("contaminated") === 0),
+        Seq("doc_id"), "left_semi")
+      assert(missed.count() === 0,
+        "an exact copy of an eval doc escaped decontamination")
+    } finally out.unpersist()
+  }
+
+  // --- stratified sample ---------------------------------------------
+
+  test("q_sample_stratified: per-stratum cap respected, deterministic, native top-k plan") {
+    val out = q("q_sample_stratified").cache()
+    try {
+      val perLang = out.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val sizes = Tables.documents(spark, Sf0001)
+        .groupBy(col("lang")).agg(count(lit(1)).as("total"))
+      val bad = perLang.join(sizes, "lang")
+        .filter(col("n") =!= least(lit(60L), col("total")))
+      assert(bad.count() === 0, "each stratum keeps min(cap, size) docs")
+      val again = q("q_sample_stratified").collect()
+      assert(out.collect().sameElements(again), "hash sample is deterministic")
+    } finally out.unpersist()
+    assert(plan("q_sample_stratified").contains("GroupTopK"),
+      "stratified sample must ride the native partial-heap operator")
+  }
+
+  // --- domain mix -----------------------------------------------------
+
+  test("q_domain_mix: row count equals the weighted corpus, epochs dense per doc") {
+    val out = q("q_domain_mix").cache()
+    try {
+      val expected = Tables.documents(spark, Sf0001)
+        .select(when(col("source") === "src0", lit(3L))
+          .when(col("source") === "src1", lit(2L)).otherwise(lit(1L)).as("e"))
+        .agg(sum(col("e"))).head.getLong(0)
+      assert(out.count() === expected)
+      val dense = out.groupBy(col("doc_id"), col("epochs"))
+        .agg(count(lit(1)).as("n"), min(col("epoch")).as("mn"),
+          max(col("epoch")).as("mx"))
+        .filter(col("n") =!= col("epochs") || col("mn") =!= 0
+          || col("mx") =!= col("epochs") - 1)
+      assert(dense.count() === 0, "epoch must be dense 0..epochs-1 per doc")
+    } finally out.unpersist()
+  }
+
+  // --- deterministic shuffle ------------------------------------------
+
+  test("q_shuffle_det: shards bounded, positions dense per shard, rows preserved") {
+    val out = q("q_shuffle_det").cache()
+    try {
+      assert(out.count() ===
+        Tables.documents(spark, Sf0001).count(), "a shuffle loses nothing")
+      assert(out.filter(col("shard") < 0 || col("shard") >= 64).count() === 0)
+      val dense = out.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), min(col("pos_in_shard")).as("mn"),
+          max(col("pos_in_shard")).as("mx"))
+        .filter(col("mn") =!= 1 || col("mx") =!= col("n"))
+      assert(dense.count() === 0, "pos_in_shard must be dense 1..n per shard")
+      // the per-shard window must key its exchange on the shard — the
+      // whole point is never sorting the corpus on one task
+      val p = plan("q_shuffle_det")
+      assert(p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("shard")),
+        p.take(1200))
+    } finally out.unpersist()
+  }
+
   test("connectedComponents: pointer jumping — a 64-node path converges in ≤10 rounds") {
     // worst case for plain min-label propagation is a path graph
     // (rounds = diameter = 63); pointer jumping needs ~log₂(63)+1 ≈ 7
