@@ -33,7 +33,13 @@ object Bench {
     exec(spark.read.parquet(s"$sfDir/lineitem.parquet"))
     exec(spark.read.parquet(s"$sfDir/events.parquet"))
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated subset (dev loop: re-time one query
+    // after a plan change without paying for the other ~100).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       def run(): Double = {
         val t0 = System.nanoTime()
         exec(fn(spark, sfDir))

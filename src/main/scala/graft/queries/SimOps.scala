@@ -49,41 +49,89 @@ object SimOps {
       s"(CASE WHEN ($e)[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  /** MinHash signature from per-shingle base hashes: the k families
-    * re-hash the ONE string-derived base hash under k fixed XOR seeds
-    * (rehashing 8 bytes, not the string — the standard one-strong-hash
-    * minhash construction; XOR+rehash avoids ANSI overflow semantics
-    * that an affine multiply would trip). The rehash is the
-    * oracle-replicable [[OracleHash.h64]], so signature queries can be
-    * DuckDB-gated. */
-  def minhashSigFromHashes(hs: Column, k: Int = 8): Column = {
-    val seeds = array((0 until k).map(i =>
-      lit(i * 0x9E3779B97F4A7C15L)): _*)
-    transform(seeds,
-      seed => array_min(transform(hs, h => OracleHash.h64(h.bitwiseXOR(seed)))))
-  }
+  /** Modulus of the minhash hash families: the Mersenne prime 2³¹−1.
+    * Reducing the 60-bit base hash mod P first keeps every product in
+    * the affine step under 2⁶² — no BIGINT overflow, so the arithmetic
+    * is ANSI-safe in Spark and bit-identical in DuckDB. */
+  val FamP: Long = 2147483647L
+
+  /** The k (a, b) affine minhash families over Z_P, derived from two
+    * fixed 64-bit mixing constants (a ∈ [1, P−1], b ∈ [0, P−1]). One
+    * multiply-add per family replaces a per-family md5 rehash — same
+    * one-strong-hash minhash construction, ~8× less hashing work per
+    * shingle — while both engines still agree bit-for-bit. */
+  def minhashFamilies(k: Int = 8): Seq[(Long, Long)] =
+    (0 until k).map { i =>
+      val a = Math.floorMod(0x9E3779B97F4A7C15L * (2 * i + 1), FamP - 1) + 1
+      val b = Math.floorMod(-0x3D4D51C2D82B14B1L * (i + 1), FamP)
+      (a, b)
+    }
+
+  /** Family hash of a non-negative base hash `h`:
+    * ((h mod P) · a + b) mod P. */
+  def famHash(h: Column, a: Long, b: Long): Column =
+    pmod(pmod(h, lit(FamP)) * lit(a) + lit(b), lit(FamP))
+
+  /** DuckDB rendition of [[famHash]] (`h` is non-negative, so `%` and
+    * pmod agree). */
+  def famHashSql(h: String, a: Long, b: Long): String =
+    s"((($h) % $FamP) * $a + $b) % $FamP"
+
+  /** MinHash signature from per-shingle base hashes: the k affine
+    * families each take the minimum of [[famHash]] over the ONE
+    * string-derived base hash per shingle (the standard
+    * one-strong-hash minhash construction). Every step is
+    * oracle-replicable, so signature queries can be DuckDB-gated. */
+  def minhashSigFromHashes(hs: Column, k: Int = 8): Column =
+    array(minhashFamilies(k).map { case (a, b) =>
+      array_min(transform(hs, h => famHash(h, a, b)))
+    }: _*)
 
   /** MinHash signature of a shingle set (hashes each shingle once,
     * then derives the k families). */
   def minhashSig(sh: Column, k: Int = 8): Column =
     minhashSigFromHashes(transform(sh, s => OracleHash.h64(s)), k)
 
-  /** XOR seeds of the k minhash families. */
-  def minhashSeeds(k: Int = 8): Seq[Long] =
-    (0 until k).map(i => i * 0x9E3779B97F4A7C15L)
+  /** Position multipliers of the 3-token shingle combine (distinct
+    * odd constants in [1, P−1], derived like [[minhashFamilies]] but
+    * from a third mixing constant — order-sensitive, so permuted
+    * shingles hash apart). */
+  val ShingleC: Seq[Long] = (0 until 3).map(i =>
+    Math.floorMod(0xFF51AFD7ED558CCDL * (2 * i + 3), FamP - 1) + 1)
+
+  /** Order-sensitive combine of three consecutive token hashes over
+    * Z_P: Σᵢ cᵢ·(tᵢ mod P) mod P. Each product stays under 2⁶² and
+    * each summand under 2³¹ (ANSI-safe, no overflow); pure BIGINT
+    * arithmetic that DuckDB replicates bit-for-bit — and ~2× cheaper
+    * than the previous md5-over-rendered-triple, which paid a second
+    * md5 per shingle on top of the per-token one. 31-bit shingle ids
+    * collide with probability ~n²/2³² per doc (n ≈ 10² shingles ⇒
+    * ~10⁻⁵) — immaterial for dedup signatures, and a production
+    * deployment that drops the cross-engine oracle swaps a 64-bit
+    * xxhash64 combine in through this same seam. */
+  def shingleCombine(t1: Column, t2: Column, t3: Column): Column =
+    pmod(Seq(t1, t2, t3).zip(ShingleC)
+      .map { case (t, c) => pmod(pmod(t, lit(FamP)) * lit(c), lit(FamP)) }
+      .reduce(_ + _), lit(FamP))
+
+  /** DuckDB rendition of [[shingleCombine]] (token hashes are
+    * non-negative, so `%` and pmod agree). */
+  def shingleCombineSql(t1: String, t2: String, t3: String): String =
+    Seq(t1, t2, t3).zip(ShingleC)
+      .map { case (t, c) => s"((($t) % $FamP) * $c) % $FamP" }
+      .mkString("(", " + ", s") % $FamP")
 
   /** Distinct 3-token shingle hashes from an already-materialized
     * token-hash array column (`th` MUST be a bound attribute, not an
     * inline transform — otherwise every element_at re-evaluates it):
-    * a shingle hash combines three consecutive token hashes (their
-    * decimal renderings, comma-joined — the exact text DuckDB also
-    * renders, so the combine is oracle-replicable). */
+    * a shingle hash combines three consecutive token hashes via the
+    * oracle-replicable [[shingleCombine]]. */
   def shingleHashesFromTokenHashes(th: Column): Column = {
     val n = size(th)
     when(n >= 3,
       array_distinct(transform(sequence(lit(1), n - lit(2)),
-        i => OracleHash.h64(concat_ws(",", element_at(th, i),
-          element_at(th, i + 1), element_at(th, i + 2))))))
+        i => shingleCombine(element_at(th, i),
+          element_at(th, i + 1), element_at(th, i + 2)))))
       .otherwise(array().cast("array<bigint>"))
   }
 
@@ -231,17 +279,20 @@ ORDER BY id_a, id_b""")),
     // agreement estimates Jaccard. Jumbo buckets (> MaxBucket docs)
     // are dropped before pairing — the standard LSH skew guard: a
     // bucket shared by thousands of docs is quadratic in cost and
-    // useless as a dedup signal. The whole pipeline runs on the
-    // md5-derived [[OracleHash.h64]], which DuckDB replicates
-    // bit-for-bit — so unlike the usual xxhash64 rendition this one
-    // IS oracle-gated end to end.
+    // useless as a dedup signal. Base hashes are the md5-derived
+    // [[OracleHash.h64]] and the k families are affine transforms
+    // mod 2³¹−1 ([[famHash]]) — both replicated bit-for-bit by
+    // DuckDB, so unlike the usual xxhash64 rendition this one IS
+    // oracle-gated end to end (and hashes each shingle string once,
+    // not k+1 times).
     QueryDef("q_minhash_neardup",
       (spark, dir) => {
         // Hash path is all whole-stage codegen: token hashes (one
-        // md5 per token) → 3-token shingle hashes (rendering
-        // combines) → explode → hash aggregation of the k per-family
-        // minima (map-side partial agg; HOF folds would stay
-        // interpreted and run ~10× slower). The tiny signature table
+        // md5 per token — the only md5 in the pipeline) → 3-token
+        // shingle hashes (arithmetic combine) → explode → hash
+        // aggregation of the k per-family minima (map-side partial
+        // agg; HOF folds would stay interpreted and run ~10×
+        // slower). The tiny signature table
         // (k longs per doc) is localCheckpoint'd so the bucket-count
         // branch and both self-join sides reuse it instead of
         // recomputing the corpus lineage 4×.
@@ -249,8 +300,8 @@ ORDER BY id_a, id_b""")),
           .select(col("doc_id"), tokenHashes(col("text")).as("th"))
           .select(col("doc_id"),
             explode(shingleHashesFromTokenHashes(col("th"))).as("h"))
-        val minCols = minhashSeeds(MinhashK).zipWithIndex.map { case (s, i) =>
-          min(OracleHash.h64(col("h").bitwiseXOR(lit(s)))).as(s"m$i")
+        val minCols = minhashFamilies(MinhashK).zipWithIndex.map {
+          case ((a, b), i) => min(famHash(col("h"), a, b)).as(s"m$i")
         }
         val sigs = exploded.groupBy(col("doc_id"))
           .agg(minCols.head, minCols.tail: _*)
@@ -422,9 +473,9 @@ SELECT a_id, b_id, dist FROM pairs ORDER BY a_id, b_id""")),
     * bucket join pipeline, on the shared md5-derived h64. A `def`
     * (object-init ordering, like [[LevPairsSql]]). */
   private def minhashNeardupSql: String = {
-    val h = OracleHash.h64Sql _
-    val sigMins = minhashSeeds(MinhashK)
-      .map(s => s"min(${h(s"xor(h, $s)")})").mkString(",\n      ")
+    val sigMins = minhashFamilies(MinhashK)
+      .map { case (a, b) => s"min(${famHashSql("h", a, b)})" }
+      .mkString(",\n      ")
     val bandKey = (0 until MinhashR)
       .map(j => s"sig[$MinhashR * b.band + ${j + 1}]::VARCHAR")
       .mkString(" || ',' || ")
@@ -465,7 +516,7 @@ FROM pairs GROUP BY id_a, id_b ORDER BY id_a, id_b"""
 sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
       generate_series(1, len(th) - 2),
-      i -> ${h("th[i] || ',' || th[i + 1] || ',' || th[i + 2]")}))) AS h
+      i -> ${shingleCombineSql("th[i]", "th[i + 1]", "th[i + 2]")}))) AS h
   FROM toks WHERE len(th) >= 3)"""
   }
 
