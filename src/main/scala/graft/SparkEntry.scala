@@ -9,7 +9,8 @@ object SparkEntry {
   /** All query families contributing to the operator surface. */
   private def families: Seq[QueryDef] =
     Relational.all ++ Analytic.all ++ TextOps.all ++ SimOps.all ++
-      CorpusOps.all ++ streaming.Streams.all ++ Extras.all ++ Scale.all ++ Seq(
+      CorpusOps.all ++ ProfileOps.all ++ streaming.Streams.all ++
+      Extras.all ++ Scale.all ++ Seq(
     // Model-scoring head chain (S4/F2): trains + scores MLlib heads —
     // not ANSI-SQL-expressible, so no oracle; MlSpec pins semantics.
     QueryDef("q_model_score", (s, d) => graft.ml.Scoring.scoreAndEstimate(s, d), None),

@@ -56,6 +56,16 @@ object CorpusOps {
     * training job's data-loader world size). */
   private val ShuffleShards = 64
 
+  /** Span width (tokens) for q_dedup_span's sub-document dedup. */
+  private val SpanTokens = 10
+
+  /** Position encoding base for q_dedup_span's (doc, span) total order:
+    * pos = doc_id * SpanPosEnc + span_idx. Valid while span_idx <
+    * SpanPosEnc — 4096 spans × 10 tokens = 40k tokens per doc, far
+    * above the corpus max; the arithmetic encoding lets BOTH engines
+    * take a plain `min` instead of a lexicographic struct-min. */
+  private val SpanPosEnc = 4096L
+
   val all: Seq[QueryDef] = Seq(
 
     // --- Context-window chunking with overlap: one output row per
@@ -360,6 +370,71 @@ FROM (SELECT doc_id, source,
                   WHEN source = 'src1' THEN 2 ELSE 1 END AS INT) AS epochs
       FROM documents)
 ORDER BY doc_id, epoch""")),
+
+    // --- Sub-document (span-level) exact dedup: the line/paragraph
+    // dedup pass real corpora run BETWEEN whole-doc dedup and near-dup
+    // detection — boilerplate headers/footers repeat across millions
+    // of otherwise-distinct pages. The spanizer here is deterministic
+    // fixed-width ($SpanTokens-token) windows since the synthetic text
+    // has no newlines; production swaps the splitter, the dedup shape
+    // is identical. Each span keeps only its FIRST occurrence in
+    // (doc_id, span_idx) order.
+    //
+    // Scale shape: spans are keyed by their cross-engine h64, so the
+    // shuffle carries an 8-byte key + 8-byte pos, never span text. The
+    // first-occurrence owner is a groupBy MIN — partial map-side
+    // aggregation collapses hot boilerplate spans (the whole point of
+    // the pass: some spans repeat millions of times) before the
+    // shuffle, where a row_number-over-span window would sort entire
+    // hot partitions. The join back is h64-keyed; per-doc rollup is a
+    // second bounded shuffle on doc_id.
+    QueryDef("q_dedup_span",
+      (spark, dir) => {
+        val tk = split(col("text"), " ")
+        val spans = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            explode(transform(
+              sequence(lit(0),
+                ((size(tk) - lit(1)) / lit(SpanTokens)).cast("int")),
+              i => struct(i.cast("bigint").as("span_idx"),
+                concat_ws(" ", slice(tk, i * lit(SpanTokens) + lit(1),
+                  lit(SpanTokens))).as("span")))).as("s"))
+          .select(col("doc_id"), col("s.span_idx").as("span_idx"),
+            graft.functions.OracleHash.h64(col("s.span")).as("h"))
+          .withColumn("pos",
+            col("doc_id") * lit(SpanPosEnc) + col("span_idx"))
+        val first = spans.groupBy(col("h"))
+          .agg(min(col("pos")).as("first_pos"))
+        spans.join(first, Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum((col("pos") === col("first_pos")).cast("bigint"))
+              .as("n_kept"))
+          .withColumn("n_dropped", col("n_spans") - col("n_kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+e AS (
+  SELECT doc_id, tk,
+    unnest(generate_series(0, (len(tk) - 1) // $SpanTokens)) AS i
+  FROM t),
+s AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
+    ${graft.functions.OracleHash.h64Sql(
+        s"array_to_string(list_slice(tk, i * $SpanTokens + 1, " +
+          s"i * $SpanTokens + $SpanTokens), ' ')")} AS h,
+    doc_id * $SpanPosEnc + i AS pos
+  FROM e),
+f AS (SELECT h, min(pos) AS first_pos FROM s GROUP BY h)
+SELECT s.doc_id,
+  CAST(count(*) AS BIGINT) AS n_spans,
+  CAST(sum(CASE WHEN pos = first_pos THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  CAST(count(*) - sum(CASE WHEN pos = first_pos THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_dropped
+FROM s JOIN f USING (h)
+GROUP BY s.doc_id ORDER BY doc_id""")),
 
     // --- Deterministic training shuffle: the order-randomization pass
     // before sequence packing / data loading. Global row_number over a
