@@ -218,5 +218,96 @@ GROUP BY event_type ORDER BY event_type""")),
   ${Exact.decSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // --- Runtime bloom-filter pruning: the row-level twin of DPP.
+    // A selective dim filter (one brand ≈ 1/25 of part) can't prune
+    // the fact side statically — the matching l_partkey set only
+    // exists at runtime. Spark's InjectRuntimeFilter builds a bloom
+    // filter over the filtered dim's join keys and pushes a
+    // might_contain() predicate into the fact scan, so ~96% of
+    // lineitem rows die BEFORE the shuffle instead of after it — at
+    // 100 TB that is the difference between shuffling 4 TB and 100 TB.
+    // The thresholds are tuned on a child session (isolated SQLConf,
+    // shared SparkContext) because the defaults gate injection on a
+    // ≥10 GB application-side scan — correct for production, never
+    // true at test SF; broadcast is disabled so the bloom filter (not
+    // a broadcast hash join's build side) is the pruning mechanism
+    // under test, matching the 100 TB regime where the fact side
+    // always reaches a shuffle. ScaleSpec pins the injected filter.
+    // Result ≡ the plain join (oracle).
+    QueryDef("q_bloom_prune",
+      (spark, dir) => {
+        val s = spark.newSession()
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+          "0")
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_extendedprice"),
+            col("l_returnflag"))
+        val p = Tables.part(s, dir)
+          .filter(col("p_brand") === "Brand#13")
+          .select(col("p_partkey"))
+        li.join(p, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            Exact.decSum(col("l_extendedprice"), 2).as("revenue"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS n_items,
+  ${Exact.decSumSql("l_extendedprice", 2)} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#13'
+GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // --- Z-order (Morton) layout key: interleave the bits of two
+    // bucketed dimensions so that SORTING BY ONE derived column
+    // clusters the data in BOTH — the standard multi-dimensional
+    // data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER). A writer
+    // pairs this with repartitionByRange(zval) +
+    // sortWithinPartitions(zval): each output file then owns a
+    // contiguous z-range = one bounded tile in (custkey, date) space,
+    // so parquet min/max footers prune 2-D predicates on EITHER
+    // dimension — a plain sort by custkey would leave date min/max
+    // spanning every file. The interleave itself is a pure narrow map
+    // of shifts/masks (codegen'd, no shuffle); date buckets via a
+    // MONOTONE div-10-days cap so locality in time survives
+    // bucketing. ScaleSpec pins the tile-bound property (a 1024-code
+    // z-block spans ≤32 values of each dimension).
+    QueryDef("q_zorder_layout",
+      (spark, dir) => {
+        val a = pmod(col("o_custkey"), lit(256L)).cast("int")
+        val b = least(
+          (datediff(col("o_orderdate"), lit("1995-01-01")) / lit(10))
+            .cast("int"),
+          lit(255))
+        val zval = (0 until 8).map { k =>
+          (shiftright(col("za"), k).bitwiseAND(lit(1)).cast("bigint")
+            * lit(1L << (2 * k + 1))) +
+            (shiftright(col("zb"), k).bitwiseAND(lit(1)).cast("bigint")
+              * lit(1L << (2 * k)))
+        }.reduce(_ + _)
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), a.as("za"), b.as("zb"))
+          .withColumn("zval", zval)
+          .withColumn("zblock", (col("zval") / lit(1024L)).cast("bigint"))
+          .orderBy(col("zval"), col("o_orderkey"))
+      },
+      Some({
+        val terms = (0 until 8).map { k =>
+          s"((za >> $k) & 1) * ${1L << (2 * k + 1)} + " +
+            s"((zb >> $k) & 1) * ${1L << (2 * k)}"
+        }.mkString(" + ")
+        s"""WITH d AS (
+  SELECT o_orderkey,
+    CAST(o_custkey % 256 AS INT) AS za,
+    CAST(least(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) // 10,
+      255) AS INT) AS zb
+  FROM orders)
+SELECT o_orderkey, za, zb,
+  CAST($terms AS BIGINT) AS zval,
+  CAST(($terms) // 1024 AS BIGINT) AS zblock
+FROM d ORDER BY zval, o_orderkey"""
+      })),
   )
 }

@@ -75,4 +75,28 @@ class ScaleSpec extends SparkSpec {
     // and streams over one already-sorted file per bucket; Spark only
     // drops it under spark.sql.legacy.bucketedTableScan.outputOrdering.
   }
+
+  test("q_bloom_prune: fact side carries an injected runtime bloom filter") {
+    val df = SparkEntry.queries("q_bloom_prune")(spark, Sf0001)
+    val p = df.queryExecution.optimizedPlan.toString
+    // InjectRuntimeFilter must have planted a might_contain(bloom_agg)
+    // predicate on the lineitem side — the row-level pruning this
+    // operator exists to demonstrate
+    assert(p.toLowerCase.contains("bloom"),
+      "expected an injected bloom runtime filter: " + p.take(1200))
+  }
+
+  test("q_zorder_layout: a 1024-code z-block is a bounded tile in both dims") {
+    import org.apache.spark.sql.functions._
+    // 1024 consecutive z-codes fix bits 5..7 of each interleaved dim,
+    // leaving 5 free bits → every block spans <32 values of za AND zb.
+    // (A single-dim sort would leave the other dim spanning ~everything.)
+    val spans = SparkEntry.queries("q_zorder_layout")(spark, Sf0001)
+      .groupBy(col("zblock"))
+      .agg((max(col("za")) - min(col("za"))).as("aspan"),
+        (max(col("zb")) - min(col("zb"))).as("bspan"))
+      .agg(max(col("aspan")).as("a"), max(col("bspan")).as("b"))
+      .collect()(0)
+    assert(spans.getInt(0) < 32 && spans.getInt(1) < 32, spans.toString)
+  }
 }
