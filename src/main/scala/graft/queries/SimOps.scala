@@ -466,6 +466,93 @@ ORDER BY doc_id""")),
       (spark, dir) => levPairs(spark, dir).orderBy(col("a_id"), col("b_id")),
       Some(s"""WITH $LevPairsSql
 SELECT a_id, b_id, dist FROM pairs ORDER BY a_id, b_id""")),
+
+    // --- Per-label embedding centroids: the set-at-a-time form of
+    // IVF/k-means "train the coarse quantizer" and of semantic-cluster
+    // summarization. The scalable vector-mean shape is posexplode →
+    // (label, dim) partial-aggregated sum/count → rebuild the array:
+    // the shuffle carries one row per (label, dim) PER MAP PARTITION
+    // (map-side combine), never per vector, and the final
+    // sort_array(collect_list) is bounded by the embedding
+    // dimensionality — there is no per-vector state anywhere.
+    // Exactness: each coordinate is first quantized to a 1e-6 integer
+    // grid (round-on-double is tie-parity-safe cross-engine — both
+    // round half away from zero on the dyadic expansion; a
+    // float→DECIMAL cast is NOT, Spark HALF_UP vs DuckDB HALF_EVEN
+    // diverge on exact ties), then summed in BIGINT — an exact,
+    // association-order-free fold, so a 1000-executor run and the
+    // single-node oracle agree bit-for-bit.
+    QueryDef("q_centroids",
+      (spark, dir) => Tables.embeddings(spark, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(round(col("x").cast("double") * lit(1e6)).cast("bigint"))
+          .as("s"), count(lit(1)).as("n"))
+        .select(col("label"), col("dim"),
+          (col("s").cast("double") / lit(1e6) / col("n")).as("c"), col("n"))
+        .groupBy(col("label"))
+        .agg(max(col("n")).as("n_vectors"),
+          transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+            p => p.getField("c")).as("centroid"))
+        .orderBy(col("label")),
+      Some("""WITH e AS (
+  SELECT label, unnest(embedding) AS x,
+    unnest(range(len(embedding))) AS dim
+  FROM embeddings),
+g AS (
+  SELECT label, dim,
+    CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+         AS BIGINT) AS DOUBLE) / 1000000.0 / count(*) AS c,
+    count(*) AS n
+  FROM e GROUP BY label, dim)
+SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+  list(c ORDER BY dim) AS centroid
+FROM g GROUP BY label ORDER BY label""")),
+
+    // --- Int8 scalar quantization of embeddings (symmetric max-abs):
+    // the 4× storage/scan-shrink every 100 TB vector corpus applies
+    // before ANN serving. Pure narrow map — per-vector max|x|, scale
+    // to [-127, 127], round, and report the max reconstruction error,
+    // all inside whole-stage codegen with no shuffle before the
+    // output sort. Both engines round half away from zero on DOUBLE,
+    // and every step is double arithmetic on identical inputs, so the
+    // oracle is exact. Zero vectors quantize to zeros (scale guard).
+    QueryDef("q_quantize8",
+      (spark, dir) => {
+        val xd: Column => Column = x => x.cast("double")
+        val mx = array_max(transform(col("embedding"), x => abs(xd(x))))
+        val scale = lit(127.0) / col("max_abs")
+        Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"), mx.as("max_abs"))
+          .select(col("vec_id"), col("max_abs"),
+            when(col("max_abs") === 0.0,
+              transform(col("embedding"), _ => lit(0)))
+              .otherwise(transform(col("embedding"),
+                x => round(xd(x) * scale).cast("int"))).as("qvec"),
+            when(col("max_abs") === 0.0, lit(0.0))
+              .otherwise(array_max(transform(col("embedding"),
+                x => abs(xd(x) - round(xd(x) * scale) / scale))))
+              .as("max_err"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH m AS (
+  SELECT vec_id, embedding,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+      AS max_abs
+  FROM embeddings)
+SELECT vec_id, max_abs,
+  CASE WHEN max_abs = 0
+    THEN list_transform(embedding, x -> 0)
+    ELSE list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / max_abs)) AS INT)) END
+    AS qvec,
+  CASE WHEN max_abs = 0 THEN 0.0
+    ELSE list_max(list_transform(embedding,
+      x -> abs(CAST(x AS DOUBLE)
+        - round(CAST(x AS DOUBLE) * (127.0 / max_abs))
+          / (127.0 / max_abs)))) END
+    AS max_err
+FROM m ORDER BY vec_id""")),
   )
 
   /** DuckDB rendition of q_minhash_neardup — the identical
