@@ -234,6 +234,82 @@ SELECT vec_id, bucket, ${Exact.cosineFSql("embedding", "probe_emb")} AS cos
 FROM b, probe WHERE vec_id <> 0 AND bucket = p_bucket
 ORDER BY cos DESC, vec_id LIMIT 10""")),
 
+    // --- ANN quality contract: recall@10 of the LSH-bucketed path
+    // against the exact brute-force ranking, per probe — the number
+    // that decides whether an approximate index is shippable. Both
+    // rankings are deterministic (exact cosine, vec_id tiebreak) and
+    // the LSH buckets are the same sign-bit construction on both
+    // engines, so recall is hash-exact oracle-gated, not a tolerance
+    // test. Scale shape: both candidate streams ride broadcast probes
+    // + GroupTopK partial heaps (shuffle carries ≤k rows per probe
+    // per map task); the recall join touches k×|probes| rows total.
+    QueryDef("q_ann_recall",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        val probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"),
+            col("embedding").as("probe_emb"),
+            lshBucket(col("embedding")).as("p_bucket"))
+        val corpus = emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id"), col("embedding"),
+            lshBucket(col("embedding")).as("bucket"))
+        val exact = graft.plans.GroupTopK.topK(
+          corpus.crossJoin(broadcast(probes))
+            .select(col("probe_id"), col("vec_id"),
+              Exact.cosineF(col("embedding"), col("probe_emb")).as("cos")),
+          Seq("probe_id"), Seq(("cos", true), ("vec_id", false)), 10)
+        val approx = graft.plans.GroupTopK.topK(
+          corpus.join(broadcast(probes), col("bucket") === col("p_bucket"))
+            .select(col("probe_id"), col("vec_id"),
+              Exact.cosineF(col("embedding"), col("probe_emb")).as("cos")),
+          Seq("probe_id"), Seq(("cos", true), ("vec_id", false)), 10)
+        val nLsh = approx.groupBy(col("probe_id"))
+          .agg(count(lit(1)).as("n_lsh"))
+        exact.join(approx.select(col("probe_id"), col("vec_id"),
+            lit(1).as("hit")), Seq("probe_id", "vec_id"), "left")
+          .groupBy(col("probe_id"))
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+          .join(nLsh, Seq("probe_id"), "left")
+          .select(col("probe_id"), col("n_exact"),
+            coalesce(col("n_lsh"), lit(0L)).as("n_lsh"), col("n_hit"),
+            (col("n_hit").cast("double") / col("n_exact").cast("double"))
+              .as("recall"))
+          .orderBy(col("probe_id"))
+      },
+      Some(s"""WITH b AS (
+  SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
+  FROM embeddings),
+probes AS (
+  SELECT vec_id AS probe_id, embedding AS probe_emb, bucket AS p_bucket
+  FROM b WHERE vec_id < 5),
+corpus AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id >= 5),
+exact AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
+      ORDER BY ${Exact.cosineFSql("embedding", "probe_emb")} DESC NULLS LAST,
+        vec_id) AS rn
+    FROM corpus, probes) WHERE rn <= 10),
+appr AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
+      ORDER BY ${Exact.cosineFSql("embedding", "probe_emb")} DESC NULLS LAST,
+        vec_id) AS rn
+    FROM corpus JOIN probes ON bucket = p_bucket) WHERE rn <= 10),
+nl AS (SELECT probe_id, count(*) AS n_lsh FROM appr GROUP BY probe_id),
+j AS (
+  SELECT e.probe_id, count(*) AS n_exact,
+    sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM exact e LEFT JOIN appr a
+    ON a.probe_id = e.probe_id AND a.vec_id = e.vec_id
+  GROUP BY e.probe_id)
+SELECT j.probe_id, CAST(n_exact AS BIGINT) AS n_exact,
+  CAST(coalesce(n_lsh, 0) AS BIGINT) AS n_lsh,
+  CAST(n_hit AS BIGINT) AS n_hit,
+  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+FROM j LEFT JOIN nl ON nl.probe_id = j.probe_id
+ORDER BY j.probe_id""")),
+
     // --- Embedding-cosine near-duplicate pairs: LSH bucket self-join
     // (never all-pairs — candidates are bucket-mates, expected
     // N²/2^bits of the pair space) + exact cosine filter. At 100 TB
@@ -286,62 +362,67 @@ ORDER BY id_a, id_b""")),
     // oracle-gated end to end (and hashes each shingle string once,
     // not k+1 times).
     QueryDef("q_minhash_neardup",
+      (spark, dir) => minhashPairs(spark, dir)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $MinhashPairsCteSql
+SELECT id_a, id_b, n_shared_bands, est_jaccard
+FROM cand ORDER BY id_a, id_b""")),
+
+    // --- MinHash accuracy contract: for every banding candidate pair,
+    // the signature-agreement Jaccard ESTIMATE next to the EXACT
+    // shingle-set Jaccard and their absolute error — the row that
+    // tells a dedup operator whether (k, bands, rows) is tuned right.
+    // Every quantity is deterministic on both engines (the same
+    // md5-derived shingle hashes, integer intersection counts, one
+    // double division), so unlike a statistical tolerance test this
+    // is hash-exact oracle-gated. Scale shape: exact Jaccard is
+    // computed ONLY for candidate pairs (banding already capped
+    // bucket fan-out), via two hash joins of the (doc, shingle-h64)
+    // table — never an all-pairs pass; the shuffle carries 8-byte
+    // hashes.
+    QueryDef("q_minhash_est_check",
       (spark, dir) => {
-        // Hash path is all whole-stage codegen: token hashes (one
-        // md5 per token — the only md5 in the pipeline) → 3-token
-        // shingle hashes (arithmetic combine) → explode → hash
-        // aggregation of the k per-family minima (map-side partial
-        // agg; HOF folds would stay interpreted and run ~10×
-        // slower). The tiny signature table
-        // (k longs per doc) is localCheckpoint'd so the bucket-count
-        // branch and both self-join sides reuse it instead of
-        // recomputing the corpus lineage 4×.
-        val exploded = Tables.documents(spark, dir)
+        val cand = minhashPairs(spark, dir)
+        val sh = Tables.documents(spark, dir)
           .select(col("doc_id"), tokenHashes(col("text")).as("th"))
           .select(col("doc_id"),
             explode(shingleHashesFromTokenHashes(col("th"))).as("h"))
-        val minCols = minhashFamilies(MinhashK).zipWithIndex.map {
-          case ((a, b), i) => min(famHash(col("h"), a, b)).as(s"m$i")
-        }
-        val sigs = exploded.groupBy(col("doc_id"))
-          .agg(minCols.head, minCols.tail: _*)
-          .select(col("doc_id"),
-            array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
           .localCheckpoint()
-        val bandKeys = transform(sequence(lit(0), lit(MinhashBands - 1)),
-          b => concat_ws(",",
-            transform(slice(col("sig"), b * lit(MinhashR) + lit(1), lit(MinhashR)),
-              _.cast("string"))))
-        val banded = sigs.select(col("doc_id"), col("sig"),
-          posexplode(bandKeys))
-          .select(col("doc_id"), col("sig"),
-            col("pos").as("band"), col("col").as("band_key"))
-        val smallBuckets = banded.groupBy(col("band"), col("band_key"))
-          .agg(count(lit(1)).as("bucket_n"))
-          .filter(col("bucket_n") >= 2 && col("bucket_n") <= MaxBucket)
-          .select(col("band"), col("band_key"))
-        val pruned = banded.join(smallBuckets, Seq("band", "band_key"), "left_semi")
-        val x = pruned.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
-          col("band"), col("band_key"))
-        val y = pruned.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
-          col("band"), col("band_key"))
-        x.join(y, Seq("band", "band_key"))
-          .filter(col("id_a") < col("id_b"))
-          // per-pair signature agreement BEFORE the groupBy (every
-          // surviving row of a pair carries the same sigs, so min()
-          // is the deterministic pick — first() is order-dependent)
-          .withColumn("sig_match", aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (p, q) => when(p === q, 1).otherwise(0)),
-            lit(0), (acc, v) => acc + v))
-          .groupBy(col("id_a"), col("id_b"))
-          .agg(count(lit(1)).as("n_shared_bands"),
-            min(col("sig_match")).as("n_sig_match"))
-          .withColumn("est_jaccard",
-            col("n_sig_match").cast("double") / lit(MinhashK.toDouble))
-          .select(col("id_a"), col("id_b"), col("n_shared_bands"), col("est_jaccard"))
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = cand.select(col("id_a"), col("id_b"))
+          .join(sh.select(col("doc_id").as("id_a"), col("h")), Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("h")),
+            Seq("id_b", "h"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+        val ji = coalesce(col("i"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("i"), lit(0L))).cast("double")
+        cand.join(inter, Seq("id_a", "id_b"), "left")
+          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")),
+            Seq("id_a"))
+          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")),
+            Seq("id_b"))
+          .select(col("id_a"), col("id_b"), col("est_jaccard"),
+            ji.as("exact_jaccard"),
+            abs(col("est_jaccard") - ji).as("abs_err"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some(minhashNeardupSql)),
+      Some(s"""WITH $MinhashPairsCteSql,
+ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b AND b.h = a.h
+  GROUP BY c.id_a, c.id_b)
+SELECT c.id_a, c.id_b, c.est_jaccard,
+  CAST(coalesce(i, 0) AS DOUBLE)
+    / CAST(na.n + nb.n - coalesce(i, 0) AS DOUBLE) AS exact_jaccard,
+  abs(c.est_jaccard - CAST(coalesce(i, 0) AS DOUBLE)
+    / CAST(na.n + nb.n - coalesce(i, 0) AS DOUBLE)) AS abs_err
+FROM cand c
+LEFT JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+JOIN ns na ON na.doc_id = c.id_a
+JOIN ns nb ON nb.doc_id = c.id_b
+ORDER BY c.id_a, c.id_b""")),
 
     // --- SimHash fingerprint: 64-bit locality-sensitive digest of the
     // token stream (near-identical docs differ in few bits; hamming
@@ -555,18 +636,82 @@ SELECT vec_id, max_abs,
 FROM m ORDER BY vec_id""")),
   )
 
-  /** DuckDB rendition of q_minhash_neardup — the identical
-    * token-hash → shingle-hash → k-family minima → banding → capped
-    * bucket join pipeline, on the shared md5-derived h64. A `def`
+  /** Banded-minhash candidate pairs with signature-agreement Jaccard
+    * estimate: `(id_a, id_b, n_shared_bands, est_jaccard)`, unordered —
+    * the shared core of q_minhash_neardup and q_minhash_est_check.
+    *
+    * Hash path is all whole-stage codegen: token hashes (one md5 per
+    * token — the only md5 in the pipeline) → 3-token shingle hashes
+    * (arithmetic combine) → explode → hash aggregation of the k
+    * per-family minima (map-side partial agg; HOF folds would stay
+    * interpreted and run ~10× slower). The tiny signature table
+    * (k longs per doc) is localCheckpoint'd so the bucket-count
+    * branch and both self-join sides reuse it instead of recomputing
+    * the corpus lineage 4×. */
+  private[queries] def minhashPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val exploded = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenHashes(col("text")).as("th"))
+      .select(col("doc_id"),
+        explode(shingleHashesFromTokenHashes(col("th"))).as("h"))
+    val minCols = minhashFamilies(MinhashK).zipWithIndex.map {
+      case ((a, b), i) => min(famHash(col("h"), a, b)).as(s"m$i")
+    }
+    val sigs = exploded.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
+      .localCheckpoint()
+    val bandKeys = transform(sequence(lit(0), lit(MinhashBands - 1)),
+      b => concat_ws(",",
+        transform(slice(col("sig"), b * lit(MinhashR) + lit(1), lit(MinhashR)),
+          _.cast("string"))))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(bandKeys))
+      .select(col("doc_id"), col("sig"),
+        col("pos").as("band"), col("col").as("band_key"))
+    val smallBuckets = banded.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") >= 2 && col("bucket_n") <= MaxBucket)
+      .select(col("band"), col("band_key"))
+    val pruned = banded.join(smallBuckets, Seq("band", "band_key"), "left_semi")
+    val x = pruned.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("band_key"))
+    val y = pruned.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("band_key"))
+    x.join(y, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      // per-pair signature agreement BEFORE the groupBy (every
+      // surviving row of a pair carries the same sigs, so min()
+      // is the deterministic pick — first() is order-dependent)
+      .withColumn("sig_match", aggregate(zip_with(col("sig_a"), col("sig_b"),
+        (p, q) => when(p === q, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared_bands"),
+        min(col("sig_match")).as("n_sig_match"))
+      .withColumn("est_jaccard",
+        col("n_sig_match").cast("double") / lit(MinhashK.toDouble))
+      .select(col("id_a"), col("id_b"), col("n_shared_bands"),
+        col("est_jaccard"))
+  }
+
+  /** DuckDB CTE chain for [[minhashPairs]] — the identical token-hash →
+    * shingle-hash → k-family minima → banding → capped bucket join
+    * pipeline on the shared md5-derived h64, ending in
+    * `cand(id_a, id_b, n_shared_bands, est_jaccard)` (intermediates
+    * `toks, sh, sig, banded, ok, pr, pairs` also in scope — est_check
+    * reuses `sh`). Splice as `WITH $MinhashPairsCteSql`. A `def`
     * (object-init ordering, like [[LevPairsSql]]). */
-  private def minhashNeardupSql: String = {
+  private def MinhashPairsCteSql: String = {
     val sigMins = minhashFamilies(MinhashK)
       .map { case (a, b) => s"min(${famHashSql("h", a, b)})" }
       .mkString(",\n      ")
     val bandKey = (0 until MinhashR)
       .map(j => s"sig[$MinhashR * b.band + ${j + 1}]::VARCHAR")
       .mkString(" || ',' || ")
-    s"""WITH $ShingleCteSql,
+    s"""$ShingleCteSql,
 sig AS (
   SELECT doc_id,
     [$sigMins] AS sig
@@ -583,12 +728,13 @@ pr AS (
 pairs AS (
   SELECT x.doc_id AS id_a, y.doc_id AS id_b, x.sig AS sig_a, y.sig AS sig_b
   FROM pr x JOIN pr y ON x.band = y.band AND x.band_key = y.band_key
-    AND x.doc_id < y.doc_id)
-SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared_bands,
-  CAST(min(CAST(list_sum(list_transform(generate_series(1, $MinhashK),
-      i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS INT)) AS DOUBLE)
-    / $MinhashK.0 AS est_jaccard
-FROM pairs GROUP BY id_a, id_b ORDER BY id_a, id_b"""
+    AND x.doc_id < y.doc_id),
+cand AS (
+  SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared_bands,
+    CAST(min(CAST(list_sum(list_transform(generate_series(1, $MinhashK),
+        i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS INT)) AS DOUBLE)
+      / $MinhashK.0 AS est_jaccard
+  FROM pairs GROUP BY id_a, id_b)"""
   }
 
   /** Shared DuckDB CTE fragment `toks, sh` — per doc, the distinct
