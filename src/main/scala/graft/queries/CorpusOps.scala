@@ -436,6 +436,78 @@ SELECT s.doc_id,
 FROM s JOIN f USING (h)
 GROUP BY s.doc_id ORDER BY doc_id""")),
 
+    // --- Temperature-scaled domain resampling (α = 0.5): flatten the
+    // source-domain distribution toward uniform — target share ∝
+    // share^α — and realize it as a per-row deterministic keep/drop,
+    // the way a training mix down-samples dominant domains without
+    // a shuffle or an RNG. α is fixed at 0.5 so the reweighting is
+    // sqrt(), which IEEE specifies correctly-rounded — bit-identical
+    // on both engines, unlike pow(x, 0.7) whose libm rounding may
+    // differ. The keep decision hashes doc_id (h64 % 1e6 < p·1e6):
+    // reproducible, re-runnable, and embarrassingly parallel — the
+    // only aggregates are the per-source counts (5 rows), which ride
+    // broadcast cross-joins back to the scan. The sqrt sum crosses
+    // groups, so it folds in DECIMAL (sqrt of a non-square rational
+    // never terminates at 12 digits, so the cast rounds identically
+    // on both engines — no HALF_UP/HALF_EVEN tie exists to diverge
+    // on). Output is the per-source audit: share, keep rate, kept
+    // count.
+    QueryDef("q_sample_temperature",
+      (spark, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(20, 12)
+        val docs = Tables.documents(spark, dir)
+        val counts = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+        val withShare = counts
+          .crossJoin(broadcast(counts.agg(sum(col("n_docs")).as("n_total"))))
+          .withColumn("share",
+            col("n_docs").cast("double") / col("n_total").cast("double"))
+          .withColumn("sq", sqrt(col("share")).cast(dec))
+        val denom = withShare.agg(sum(col("sq")).as("sq_sum"))
+        val rates = withShare.crossJoin(broadcast(denom))
+          .withColumn("target_share",
+            col("sq").cast("double") / col("sq_sum").cast("double"))
+          .withColumn("p_keep",
+            least(lit(1.0), col("target_share") / col("share")))
+          .select(col("source"), col("n_docs"), col("share"), col("p_keep"))
+        val kept = docs.select(col("doc_id"), col("source"))
+          .join(broadcast(rates.select(col("source"), col("p_keep"))),
+            Seq("source"))
+          .filter(pmod(graft.functions.OracleHash.h64(col("doc_id")),
+            lit(1000000L)).cast("double") < col("p_keep") * lit(1e6))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        rates.join(kept, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("share"), col("p_keep"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY source),
+t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+s AS (
+  SELECT source, n_docs,
+    CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+    CAST(sqrt(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE))
+      AS DECIMAL(20,12)) AS sq
+  FROM c, t),
+d AS (SELECT sum(sq) AS sq_sum FROM s),
+r AS (
+  SELECT source, n_docs, share,
+    least(1.0, (CAST(sq AS DOUBLE) / CAST(sq_sum AS DOUBLE)) / share)
+      AS p_keep
+  FROM s, d),
+k AS (
+  SELECT doc.source, CAST(count(*) AS BIGINT) AS n_kept
+  FROM documents doc JOIN r ON r.source = doc.source
+  WHERE CAST(${graft.functions.OracleHash.h64Sql("doc_id")} % 1000000
+      AS DOUBLE) < p_keep * 1000000.0
+  GROUP BY doc.source)
+SELECT r.source, n_docs, share, p_keep,
+  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+FROM r LEFT JOIN k ON k.source = r.source
+ORDER BY r.source""")),
+
     // --- Deterministic training shuffle: the order-randomization pass
     // before sequence packing / data loading. Global row_number over a
     // random key is a single-task sort at scale, so the shuffle is

@@ -292,5 +292,48 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.sh, b.sh)) > 0
 ORDER BY jaccard DESC, id_a, id_b LIMIT 100""")),
+
+    // --- Tokenizer-prep vocabulary coverage: the top-50 tokens by
+    // corpus frequency with each prefix's cumulative share of all
+    // token occurrences — the curve a tokenizer build reads to pick a
+    // vocab size. Scale shape: token counts partial-aggregate
+    // map-side (shuffle carries one row per distinct token per map
+    // partition); the global top-50 is TakeOrderedAndProject
+    // (per-partition heaps of 50, never a global sort); ONLY the 50
+    // survivors enter the cumulative window, so the single-partition
+    // window is bounded by the constant k, not the corpus. The total
+    // token count rides a broadcast 1-row cross-join. All-integer
+    // arithmetic until the final share division — exact on both
+    // engines.
+    QueryDef("q_vocab_coverage",
+      (spark, dir) => {
+        val toks = Tables.documents(spark, dir)
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val total = toks.agg(count(lit(1)).as("n_total"))
+        val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok")).limit(50)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("tok"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        top.crossJoin(broadcast(total))
+          .withColumn("rank", row_number().over(w))
+          .withColumn("cum_share",
+            sum(col("n")).over(w).cast("double")
+              / col("n_total").cast("double"))
+          .select(col("rank"), col("tok"), col("n"), col("cum_share"))
+          .orderBy(col("rank"))
+      },
+      Some("""WITH t AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+total AS (SELECT count(*) AS n_total FROM t),
+top AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY tok
+  ORDER BY n DESC, tok LIMIT 50)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT) AS rank,
+  tok, n,
+  CAST(CAST(sum(n) OVER (ORDER BY n DESC, tok
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+    / CAST(n_total AS DOUBLE) AS cum_share
+FROM top, total ORDER BY rank""")),
   )
 }
