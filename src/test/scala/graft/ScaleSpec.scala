@@ -86,6 +86,35 @@ class ScaleSpec extends SparkSpec {
       "expected an injected bloom runtime filter: " + p.take(1200))
   }
 
+  test("q_dedup_span: first-occurrence owner is a groupBy min, not a window") {
+    val p = plan("q_dedup_span")
+    // hot boilerplate spans must collapse in map-side partial
+    // aggregation; a row_number-over-span window would sort whole hot
+    // partitions instead
+    assert(!p.contains("Window"), p.take(1000))
+    assert(p.contains("partial_min(pos"), p.take(1000))
+  }
+
+  test("q_sample_temperature: keep decision rides broadcast rates, no doc shuffle") {
+    val p = plan("q_sample_temperature")
+    assert(!p.contains("Window"), p.take(1000))
+    // the tiny per-source rate table must broadcast back to the scan
+    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+  }
+
+  test("q_vocab_coverage: window input is the top-k heap, not the corpus") {
+    val p = plan("q_vocab_coverage")
+    // global top-50 must be TakeOrderedAndProject (per-partition heaps);
+    // the single-partition cumulative window then sees only 50 rows
+    assert(p.contains("TakeOrderedAndProject(limit=50"), p.take(1000))
+  }
+
+  test("q_centroids: vector mean partial-aggregates before both shuffles") {
+    val p = plan("q_centroids")
+    assert(p.contains("partial_sum"), p.take(1000))
+    assert(p.contains("partial_collect_list"), p.take(1000))
+  }
+
   test("q_zorder_layout: a 1024-code z-block is a bounded tile in both dims") {
     import org.apache.spark.sql.functions._
     // 1024 consecutive z-codes fix bits 5..7 of each interleaved dim,

@@ -138,4 +138,15 @@ class SimOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L)), s"exact dup pair missing from $pairs")
   }
+
+  test("q_quantize8: reconstruction error within the half-step bound") {
+    // symmetric max-abs int8: |x − q/scale| ≤ 0.5/scale = max_abs/254
+    val rows = SparkEntry.queries("q_quantize8")(spark, Sf0001)
+      .select(col("max_abs"), col("max_err")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mx, err) = (r.getDouble(0), r.getDouble(1))
+      assert(err <= mx / 254.0 * (1 + 1e-9), s"err=$err max_abs=$mx")
+    }
+  }
 }
