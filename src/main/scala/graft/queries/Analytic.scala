@@ -676,5 +676,65 @@ GROUP BY event_type ORDER BY event_type""")),
   CAST(count(*) AS BIGINT) AS n,
   CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents
-GROUP BY 1, 2 ORDER BY lang, split""")))
+GROUP BY 1, 2 ORDER BY lang, split""")),
+
+    // --- SCD2 interval build (temporal modeling): collapse each
+    // user's event stream into validity intervals per run of equal
+    // event_type — lag-based change detection, running-sum segment
+    // ids, then segment rollup with lead() supplying each interval's
+    // exclusive end (NULL = current). The standard
+    // change-data-capture → slowly-changing-dimension shape. Scale:
+    // both windows partition by user_id (millions of partitions, no
+    // hot key), and the SEGMENT-level lead() window runs on the
+    // rolled-up segment table (one row per run), not per event; one
+    // shuffle on user_id is reused by both windows and the groupBy
+    // (same partitioning key). Ties broken by event_id → total order,
+    // deterministic. Timestamps truncate to seconds (sessionize
+    // convention) so both engines render identical values.
+    QueryDef("q_scd2",
+      (spark, dir) => {
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val segs = Tables.events(spark, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            date_trunc("second", col("ts")).as("ts"))
+          .withColumn("chg",
+            when(lag(col("event_type"), 1).over(ord).isNull ||
+              lag(col("event_type"), 1).over(ord) =!= col("event_type"), 1L)
+              .otherwise(0L))
+          .withColumn("seg",
+            sum(col("chg")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("seg"))
+          .agg(min(col("event_type")).as("event_type"),
+            min(col("ts")).as("valid_from"),
+            count(lit(1)).as("n_events"))
+        val segOrd = Window.partitionBy(col("user_id")).orderBy(col("seg"))
+        segs
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(segOrd))
+          .select(col("user_id"), col("seg"), col("event_type"),
+            col("valid_from"), col("valid_to"), col("n_events"))
+          .orderBy(col("user_id"), col("seg"))
+      },
+      Some("""WITH e AS (
+  SELECT user_id, event_id, event_type, date_trunc('second', ts) AS ts
+  FROM events),
+c AS (
+  SELECT user_id, event_id, event_type, ts,
+    CASE WHEN lag(event_type, 1) OVER w IS NULL
+           OR lag(event_type, 1) OVER w <> event_type
+         THEN 1 ELSE 0 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_id, event_type, ts,
+    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+  FROM c),
+g AS (
+  SELECT user_id, seg, min(event_type) AS event_type,
+    min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, seg)
+SELECT user_id, seg, event_type, valid_from,
+  lead(valid_from, 1) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to,
+  n_events
+FROM g ORDER BY user_id, seg""")))
 }

@@ -272,6 +272,48 @@ FROM documents ORDER BY doc_id""")),
       },
       dupComponentsOracle),
 
+    // --- Quality-aware cluster canonicalization: the KEEP/DROP policy
+    // real dedup pipelines actually ship — within each near-dup
+    // cluster keep the HIGHEST-QUALITY doc (here quality = text
+    // length; production plugs in q_quality_score), not the minimum
+    // id. Composition: [[connectedComponents]] resolves clusters, the
+    // per-cluster argmax runs on the native GroupTopK operator (k=1:
+    // partial per-partition heaps, the shuffle carries one row per
+    // (partition, component) — a row_number window would sort whole
+    // clusters), and the keep flag broadcasts back. Oracle = the
+    // recursive-CTE fixpoint + row_number argmax: same answer, the
+    // plan shape is the scale property.
+    QueryDef("q_dedup_keep_best",
+      (spark, dir) => {
+        val pairs = SimOps.levPairs(spark, dir).select(col("a_id"), col("b_id"))
+        val docs = Tables.documents(spark, dir)
+          .select(col("doc_id"), length(col("text")).cast("bigint").as("quality"))
+        val labels = connectedComponents(
+          docs.select(col("doc_id").as("id")), pairs.toDF("s", "t"))
+          .select(col("id").as("doc_id"), col("comp").as("component"))
+        val scored = labels.join(docs, Seq("doc_id"))
+        val best = graft.plans.GroupTopK.topK(scored, Seq("component"),
+          Seq(("quality", true), ("doc_id", false)), 1)
+          .select(col("component"), col("doc_id").as("best_id"))
+        scored.join(best, Seq("component"))
+          .select(col("doc_id"), col("component"), col("quality"),
+            (col("doc_id") === col("best_id")).cast("int").as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $DupComponentsCteSql,
+q AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS quality FROM documents),
+scored AS (
+  SELECT l.doc_id, CAST(l.component AS BIGINT) AS component, q.quality
+  FROM lab l JOIN q ON q.doc_id = l.doc_id),
+best AS (
+  SELECT component, doc_id AS best_id FROM (
+    SELECT component, doc_id, row_number() OVER (PARTITION BY component
+      ORDER BY quality DESC, doc_id) AS rn FROM scored) WHERE rn = 1)
+SELECT s.doc_id, s.component, s.quality,
+  CAST(CASE WHEN s.doc_id = b.best_id THEN 1 ELSE 0 END AS INT) AS keep
+FROM scored s JOIN best b ON b.component = s.component
+ORDER BY s.doc_id""")),
+
     // --- Eval-set decontamination: flag every training doc sharing a
     // 3-token shingle with the held-out split (doc_id % 10 == 0 here;
     // production keys the split off a manifest). THE dedup-adjacent
@@ -542,10 +584,12 @@ ORDER BY doc_id""")),
   /** [[SimOps.LevPairsSql]], re-exposed for the recursive-CTE splice. */
   private def LevPairsCte: String = SimOps.LevPairsSql
 
-  /** Oracle for q_dup_components: the exact minimum-label fixpoint as
-    * a recursive CTE (a `def` for object-init ordering). */
-  private def dupComponentsOracle: Option[String] =
-    Some(s"""WITH RECURSIVE $LevPairsCte,
+  /** DuckDB CTE chain computing the exact minimum-label fixpoint of
+    * the levenshtein near-dup graph, ending in `lab(doc_id,
+    * component)` over ALL docs. Splice as `WITH RECURSIVE $...` — the
+    * shared core of the q_dup_components and q_dedup_keep_best
+    * oracles (a `def` for object-init ordering). */
+  private def DupComponentsCteSql: String = s"""$LevPairsCte,
 edges AS (
   SELECT a_id AS s, b_id AS t FROM pairs
   UNION
@@ -557,7 +601,11 @@ reach AS (
 comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
 lab AS (
   SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
-  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)"""
+
+  /** Oracle for q_dup_components. */
+  private def dupComponentsOracle: Option[String] =
+    Some(s"""WITH RECURSIVE $DupComponentsCteSql
 SELECT doc_id, CAST(component AS BIGINT) AS component,
   CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS component_size,
   CAST(CASE WHEN doc_id = component THEN 1 ELSE 0 END AS INT) AS is_canonical
