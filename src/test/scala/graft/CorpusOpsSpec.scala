@@ -271,6 +271,54 @@ class CorpusOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("q_dedup_span: accounting ties out; kept spans = distinct span hashes") {
+    val out = q("q_dedup_span").cache()
+    try {
+      // per-row accounting
+      assert(out.filter(col("n_kept") + col("n_dropped") =!= col("n_spans"))
+        .count() === 0)
+      // globally, every distinct span has exactly ONE kept owner
+      val kept = out.agg(sum(col("n_kept"))).collect()(0).getLong(0)
+      val tk = split(col("text"), " ")
+      val distinctSpans = Tables.documents(spark, Sf0001)
+        .select(explode(transform(
+          sequence(lit(0), ((size(tk) - lit(1)) / lit(10)).cast("int")),
+          i => concat_ws(" ", slice(tk, i * lit(10) + lit(1), lit(10)))))
+          .as("span"))
+        .select(graft.functions.OracleHash.h64(col("span")).as("h"))
+        .distinct().count()
+      assert(kept === distinctSpans, s"kept=$kept distinct=$distinctSpans")
+    } finally out.unpersist()
+  }
+
+  test("q_scd2: intervals conserve events and adjacent segments differ") {
+    // q_scd2 lives in Analytic.all — reach it via the entry map
+    val out = SparkEntry.queries("q_scd2")(spark, Sf0001).cache()
+    try {
+      val nEvents = out.agg(sum(col("n_events"))).collect()(0).getLong(0)
+      assert(nEvents === Tables.events(spark, Sf0001).count())
+      // a segment boundary exists ONLY at a type change
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("seg"))
+      val sameAsPrev = out
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type") === col("event_type"))
+      assert(sameAsPrev.count() === 0, "adjacent segments share event_type")
+    } finally out.unpersist()
+  }
+
+  test("q_dedup_keep_best: one keeper per component, and it has max quality") {
+    val out = q("q_dedup_keep_best").cache()
+    try {
+      val perComp = out.groupBy(col("component"))
+        .agg(sum(col("keep")).as("n_keep"),
+          max(col("quality")).as("q_max"),
+          max(when(col("keep") === 1, col("quality"))).as("q_kept"))
+      assert(perComp.filter(col("n_keep") =!= 1).count() === 0)
+      assert(perComp.filter(col("q_kept") =!= col("q_max")).count() === 0)
+    } finally out.unpersist()
+  }
+
   test("connectedComponents: pointer jumping — a 64-node path converges in ≤10 rounds") {
     // worst case for plain min-label propagation is a path graph
     // (rounds = diameter = 63); pointer jumping needs ~log₂(63)+1 ≈ 7
