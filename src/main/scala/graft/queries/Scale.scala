@@ -260,6 +260,48 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#13'
 GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // --- 2-D skyline (Pareto frontier): parts no other part beats on
+    // BOTH (smaller p_size, higher p_retailprice). The textbook form
+    // is an UNPARTITIONED running-max window over the full sort — one
+    // task at 100 TB. The scale-safe decomposition here: (1) per-size
+    // max price — an ordinary parallel hash aggregate; (2) the
+    // strictly-smaller-size running max runs over the TINY per-size
+    // table (≤ distinct sizes rows); (3) broadcast both back. A row
+    // survives iff it carries its size's max price AND beats every
+    // smaller size's max. Identical answer to the naive window
+    // (oracle states exactly that); the corpus is never globally
+    // sorted. Duplicate Pareto points (same size, same price) all
+    // survive — strict dominance, pinned by the oracle.
+    QueryDef("q_skyline",
+      (spark, dir) => {
+        val parts = Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+        val perSize = parts.groupBy(col("p_size"))
+          .agg(max(col("p_retailprice")).as("size_max"))
+        val wPrev = org.apache.spark.sql.expressions.Window
+          .orderBy(col("p_size"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val frontier = perSize
+          .withColumn("prev_max", max(col("size_max")).over(wPrev))
+        parts.join(broadcast(frontier), Seq("p_size"))
+          .filter(col("p_retailprice") === col("size_max") &&
+            (col("prev_max").isNull ||
+              col("p_retailprice") > col("prev_max")))
+          .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+          .orderBy(col("p_size"), col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_size, p_retailprice
+FROM (
+  SELECT p_partkey, p_size, p_retailprice,
+    max(p_retailprice) OVER (ORDER BY p_size
+      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max,
+    max(p_retailprice) OVER (PARTITION BY p_size) AS size_max
+  FROM part)
+WHERE p_retailprice = size_max
+  AND (prev_max IS NULL OR p_retailprice > prev_max)
+ORDER BY p_size, p_partkey""")),
+
     // --- Z-order (Morton) layout key: interleave the bits of two
     // bucketed dimensions so that SORTING BY ONE derived column
     // clusters the data in BOTH — the standard multi-dimensional
