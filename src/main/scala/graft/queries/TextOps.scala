@@ -293,6 +293,81 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.sh, b.sh)) > 0
 ORDER BY jaccard DESC, id_a, id_b LIMIT 100""")),
 
+    // --- BM25 ranked retrieval for a fixed 3-term query: the IR
+    // scoring function a corpus-search / hard-negative-mining pass
+    // uses, with its length normalization (k1 = 1.2, b = 0.75) in
+    // full. The idf is the RATIONAL surrogate (N − df + 0.5)/(df +
+    // 0.5) — BM25's idf without the ln(), which is not
+    // correctly-rounded IEEE and would diverge between libm
+    // implementations (same trick as q_tfidf; ranking order is
+    // preserved since ln is monotone). Term frequencies come from a
+    // narrow array filter per FIXED term, summed in fixed order — no
+    // cross-row float aggregation anywhere, so every score is
+    // bit-identical cross-engine. Scale shape: df and avgdl are two
+    // tiny broadcast aggregates; scoring is a pure map; top-20 is
+    // TakeOrderedAndProject.
+    QueryDef("q_bm25",
+      (spark, dir) => {
+        val terms = Seq("spark", "table", "query")
+        val tk = split(col("text"), " ")
+        val base = Tables.documents(spark, dir)
+          .select(col("doc_id") +: size(tk).cast("double").as("dl") +:
+            terms.zipWithIndex.map { case (t, i) =>
+              size(filter(tk, x => x === lit(t))).cast("double").as(s"f$i")
+            }: _*)
+        val statCols =
+          sum(col("dl")).cast("bigint").cast("double").as("sum_dl") +:
+            terms.indices.map(i =>
+              sum((col(s"f$i") > 0).cast("long")).cast("double").as(s"df$i"))
+        val stats = base.agg(
+          count(lit(1)).cast("double").as("n_docs"), statCols: _*)
+        val scored = base.crossJoin(broadcast(stats))
+          .withColumn("score", terms.indices.map { i =>
+            val idf = (col("n_docs") - col(s"df$i") + lit(0.5)) /
+              (col(s"df$i") + lit(0.5))
+            val norm = col(s"f$i") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * (col("dl") / (col("sum_dl") / col("n_docs"))))
+            when(col(s"f$i") > 0, idf * ((col(s"f$i") * lit(2.2)) / norm))
+              .otherwise(lit(0.0))
+          }.reduce(_ + _))
+          .select(col("doc_id"), col("dl").cast("bigint").as("dl"),
+            col("f0").cast("bigint").as("f0"),
+            col("f1").cast("bigint").as("f1"),
+            col("f2").cast("bigint").as("f2"), col("score"))
+        scored.orderBy(col("score").desc, col("doc_id")).limit(20)
+      },
+      Some("""WITH base AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+    CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+      AS DOUBLE) AS f0,
+    CAST(len(list_filter(string_split(text, ' '), x -> x = 'table'))
+      AS DOUBLE) AS f1,
+    CAST(len(list_filter(string_split(text, ' '), x -> x = 'query'))
+      AS DOUBLE) AS f2
+  FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+    CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) AS sum_dl,
+    CAST(sum(CASE WHEN f0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+    CAST(sum(CASE WHEN f1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+    CAST(sum(CASE WHEN f2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+  FROM base)
+SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+  CAST(f0 AS BIGINT) AS f0, CAST(f1 AS BIGINT) AS f1,
+  CAST(f2 AS BIGINT) AS f2,
+  (CASE WHEN f0 > 0 THEN ((n_docs - df0 + 0.5) / (df0 + 0.5))
+    * ((f0 * 2.2) / (f0 + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs)))))
+    ELSE 0.0 END
+  + CASE WHEN f1 > 0 THEN ((n_docs - df1 + 0.5) / (df1 + 0.5))
+    * ((f1 * 2.2) / (f1 + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs)))))
+    ELSE 0.0 END)
+  + CASE WHEN f2 > 0 THEN ((n_docs - df2 + 0.5) / (df2 + 0.5))
+    * ((f2 * 2.2) / (f2 + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs)))))
+    ELSE 0.0 END AS score
+FROM base, stats
+ORDER BY score DESC, doc_id LIMIT 20""")),
+
     // --- Tokenizer-prep vocabulary coverage: the top-50 tokens by
     // corpus frequency with each prefix's cumulative share of all
     // token occurrences — the curve a tokenizer build reads to pick a

@@ -108,6 +108,34 @@ object Streams {
                        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
   FROM events) WHERE rn = 1 ORDER BY user_id""")),
 
+    // --- Stream-static dimension enrichment: the stateless join every
+    // streaming pipeline runs first — events stream ⋈ broadcast static
+    // customer dim. Stream-static inner joins keep NO state store at
+    // all (the static side is re-planned per micro-batch; broadcast
+    // keeps it off the shuffle), so this scales with the stream rate
+    // alone. The enrichment itself is what streams to the sink
+    // (append mode, stateless); the rollup below the sink is batch,
+    // exactly how a downstream reader would consume the enriched
+    // feed. Oracle = the batch join+agg.
+    QueryDef("q_stream_static_join",
+      (spark, dir) => {
+        val dim = Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val joined = eventsStream(spark, dir)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .select(col("event_id"), col("c_mktsegment"), col("value"))
+        runToMemory(spark, joined, "graft_stream_static", "append")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_events"),
+            Exact.decSum(col("value"), 6).as("sum_value"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""SELECT c_mktsegment, count(*) AS n_events,
+  ${Exact.decSumSql("value", 6)} AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // --- Tumbling event-time window + watermark, APPEND mode: only
     // watermark-finalized windows emit (window end <= max event time
     // − 10 min), then their state is evicted. Complete mode would
