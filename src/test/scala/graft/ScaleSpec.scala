@@ -115,6 +115,31 @@ class ScaleSpec extends SparkSpec {
     assert(p.contains("partial_collect_list"), p.take(1000))
   }
 
+  test("q_scd2: one user_id shuffle feeds all three windows") {
+    val p = plan("q_scd2")
+    // lag + running-sum + lead must reuse a single hash exchange on
+    // user_id (the only other exchange is the output range sort)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1200))
+  }
+
+  test("q_skyline: frontier is decomposed — base scan broadcasts, never sorts") {
+    val p = plan("q_skyline")
+    // the single-partition cumulative max runs over the per-size
+    // aggregate only; the parts scan joins the tiny frontier broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert("Window".r.findAllIn(p).size == 1, p.take(1200))
+    val spIdx = p.indexOf("Exchange SinglePartition")
+    assert(spIdx >= 0 &&
+      p.substring(spIdx).contains("HashAggregate(keys=[p_size"),
+      "single-partition window must sit above the per-size aggregate: " +
+        p.take(1200))
+  }
+
+  test("q_bm25: global top-20 is a TakeOrderedAndProject heap") {
+    val p = plan("q_bm25")
+    assert(p.contains("TakeOrderedAndProject(limit=20"), p.take(1000))
+  }
+
   test("q_zorder_layout: a 1024-code z-block is a bounded tile in both dims") {
     import org.apache.spark.sql.functions._
     // 1024 consecutive z-codes fix bits 5..7 of each interleaved dim,
