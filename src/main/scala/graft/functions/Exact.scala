@@ -16,19 +16,32 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Exact {
 
-  /** Exact sum of a double expression, returned as double. */
+  /** Exact sum of a double expression, returned as double.
+    *
+    * The decimal result converts to double THROUGH A STRING: when a
+    * sum carries more than 53 bits of significance, Java's
+    * decimal→double (BigDecimal, correctly rounded) and DuckDB's
+    * (int128 / 10^scale in double arithmetic — two roundings) can
+    * differ by 1 ulp; a 10×-data verify run exposed exactly that in
+    * q_moment_stats. decimal→text is exact and text→double is
+    * correctly rounded in BOTH engines (Double.parseDouble /
+    * fast_float), so the string path is bit-identical at any
+    * magnitude — the property that matters when the same sums run at
+    * 100 TB. */
   def decSum(c: Column, scale: Int = 6): Column =
-    sum(c.cast(DecimalType(30, scale))).cast("double")
+    sum(c.cast(DecimalType(30, scale))).cast("string").cast("double")
 
   def decSumSql(e: String, scale: Int = 6): String =
-    s"CAST(sum(CAST(($e) AS DECIMAL(30,$scale))) AS DOUBLE)"
+    s"CAST(CAST(sum(CAST(($e) AS DECIMAL(30,$scale))) AS VARCHAR) AS DOUBLE)"
 
   /** Exact-numerator average of a double expression. */
   def decAvg(c: Column, scale: Int = 6): Column =
-    sum(c.cast(DecimalType(30, scale))).cast("double") / count(lit(1))
+    sum(c.cast(DecimalType(30, scale))).cast("string").cast("double") /
+      count(lit(1))
 
   def decAvgSql(e: String, scale: Int = 6): String =
-    s"(CAST(sum(CAST(($e) AS DECIMAL(30,$scale))) AS DOUBLE) / count(*))"
+    s"(CAST(CAST(sum(CAST(($e) AS DECIMAL(30,$scale))) AS VARCHAR) AS DOUBLE)" +
+      " / count(*))"
 
   /** Exact per-row sum of an Array[Double] column (decimal fold, so
     * element order / engine association cannot change the result). */

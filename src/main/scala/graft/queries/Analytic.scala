@@ -105,16 +105,25 @@ ORDER BY user_id, sess_id""")),
         val k = get_json_object(col("props"), "$.k").cast("long")
         val dec = (c: org.apache.spark.sql.Column) =>
           c.cast("decimal(32,10)")
+        // decimal → STRING → double, not decimal → double: when the
+        // sum exceeds 53 bits of significance the direct cast is
+        // correctly-rounded in Java (BigDecimal) but DuckDB divides
+        // int128/10^scale in double arithmetic (two roundings) — a
+        // 1-ulp divergence that a 10×-data run exposed. Text→double
+        // is correctly rounded in BOTH engines, and decimal→text is
+        // exact, so this path is bit-identical at any magnitude.
+        val d2d = (c: org.apache.spark.sql.Column) =>
+          c.cast("string").cast("double")
         Tables.events(spark, dir)
           .select(col("event_type"), v.as("v"), k.as("k"))
           .groupBy(col("event_type"))
           .agg(
             count(lit(1)).cast("double").as("n"),
-            sum(dec(col("v"))).cast("double").as("sx"),
-            sum(dec(col("k"))).cast("double").as("sy"),
-            sum(dec(col("v") * col("v"))).cast("double").as("sxx"),
-            sum(dec(col("k") * col("k"))).cast("double").as("syy"),
-            sum(dec(col("v") * col("k"))).cast("double").as("sxy"))
+            d2d(sum(dec(col("v")))).as("sx"),
+            d2d(sum(dec(col("k")))).as("sy"),
+            d2d(sum(dec(col("v") * col("v")))).as("sxx"),
+            d2d(sum(dec(col("k") * col("k")))).as("syy"),
+            d2d(sum(dec(col("v") * col("k")))).as("sxy"))
           .select(col("event_type"),
             col("n").cast("long").as("n_events"),
             ((col("n") * col("sxy") - col("sx") * col("sy")) /
@@ -132,11 +141,11 @@ ORDER BY user_id, sess_id""")),
 FROM (
   SELECT event_type,
     CAST(count(*) AS DOUBLE) AS n,
-    CAST(sum(CAST(v AS DECIMAL(32,10))) AS DOUBLE) AS sx,
-    CAST(sum(CAST(k AS DECIMAL(32,10))) AS DOUBLE) AS sy,
-    CAST(sum(CAST(v * v AS DECIMAL(32,10))) AS DOUBLE) AS sxx,
-    CAST(sum(CAST(k * k AS DECIMAL(32,10))) AS DOUBLE) AS syy,
-    CAST(sum(CAST(v * k AS DECIMAL(32,10))) AS DOUBLE) AS sxy
+    CAST(CAST(sum(CAST(v AS DECIMAL(32,10))) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(sum(CAST(k AS DECIMAL(32,10))) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(sum(CAST(v * v AS DECIMAL(32,10))) AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(sum(CAST(k * k AS DECIMAL(32,10))) AS VARCHAR) AS DOUBLE) AS syy,
+    CAST(CAST(sum(CAST(v * k AS DECIMAL(32,10))) AS VARCHAR) AS DOUBLE) AS sxy
   FROM (SELECT event_type, value AS v,
           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         FROM events)
@@ -369,15 +378,17 @@ ORDER BY p.user_id, p.event_id""")),
           .groupBy(col("event_type"))
           .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
           .select(col("event_type"), col("n"),
-            col("s").cast("double").as("sum_v"),
+            col("s").cast("string").cast("double").as("sum_v"),
             // divide as doubles: decimal-division scale rules differ
             // across engines; double/double of exact inputs does not
-            (col("s").cast("double") / col("n").cast("double")).as("avg_v"))
+            // (decimal→double goes through text — see Exact.decSum)
+            (col("s").cast("string").cast("double")
+              / col("n").cast("double")).as("avg_v"))
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-  CAST(sum(CAST(value AS DECIMAL(32,10))) AS DOUBLE) AS sum_v,
-  CAST(sum(CAST(value AS DECIMAL(32,10))) AS DOUBLE) /
+  CAST(CAST(sum(CAST(value AS DECIMAL(32,10))) AS VARCHAR) AS DOUBLE) AS sum_v,
+  CAST(CAST(sum(CAST(value AS DECIMAL(32,10))) AS VARCHAR) AS DOUBLE) /
     CAST(count(*) AS DOUBLE) AS avg_v
 FROM events GROUP BY event_type ORDER BY event_type""")),
 
@@ -439,10 +450,11 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signup,
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(20,2)")).cast("double").as("qty"))
+          sum(col("l_quantity").cast("decimal(20,2)"))
+            .cast("string").cast("double").as("qty"))
         .orderBy(col("o_orderstatus")),
       Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-  CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS qty
+  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS qty
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
 GROUP BY o_orderstatus ORDER BY o_orderstatus""")),

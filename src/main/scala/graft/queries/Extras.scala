@@ -245,12 +245,13 @@ ORDER BY event_type, value DESC NULLS LAST, event_id""")),
         .filter(col("id") < 100000L)
         .groupBy(col("station_id"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(20,2)")).cast("double").as("sum_v"),
+          sum(col("value").cast("decimal(20,2)"))
+            .cast("string").cast("double").as("sum_v"),
           min(col("id")).as("first_id"))
         .orderBy(col("station_id")),
       Some("""SELECT CAST(i % 149 AS INT) AS station_id,
   CAST(count(*) AS BIGINT) AS n,
-  CAST(sum(CAST(((i * 2654435761) % 1000000) / 100.0 AS DECIMAL(20,2))) AS DOUBLE) AS sum_v,
+  CAST(CAST(sum(CAST(((i * 2654435761) % 1000000) / 100.0 AS DECIMAL(20,2))) AS VARCHAR) AS DOUBLE) AS sum_v,
   min(i) AS first_id
 FROM (SELECT range AS i FROM range(0, 500000))
 WHERE i < 100000

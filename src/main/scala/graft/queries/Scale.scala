@@ -73,7 +73,7 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
             .as("sum_dec"))
         .groupBy(col("event_type"))
         .agg(sum(col("n")).as("n"),
-          sum(col("sum_dec")).cast("double").as("sum_value"))
+          sum(col("sum_dec")).cast("string").cast("double").as("sum_value"))
         .orderBy(col("event_type")),
       Some(s"""SELECT event_type, count(*) AS n,
   ${Exact.decSumSql("value", 2)} AS sum_value
