@@ -827,5 +827,39 @@ FROM events GROUP BY event_type ORDER BY event_type""")),
   CAST(1 AS INT) AS med_in_bounds,
   CAST(1 AS INT) AS p90_in_bounds
 FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // --- Large-volume orders (TPC-H Q18 shape): HAVING over a fact
+    // rollup, then join the survivors back to their dimensions and
+    // take the global top-k. The scale property: the lineitem rollup
+    // partial-aggregates map-side and the HAVING prunes to a tiny
+    // survivor set BEFORE any dimension join (at 100 TB the join
+    // probes thousands of orders, not billions); top-k is
+    // TakeOrderedAndProject. Quantity sum is integral doubles (exact
+    // at any order) cast through bigint.
+    QueryDef("q_big_orders",
+      (spark, dir) => {
+        val big = Tables.lineitem(spark, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).cast("bigint").as("total_qty"))
+          .filter(col("total_qty") >= 110)
+        Tables.orders(spark, dir)
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(spark, dir),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+            col("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT c_name, o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(sum(l_quantity) AS BIGINT) >= 110) b
+  ON o_orderkey = b.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
   )
 }
