@@ -382,12 +382,11 @@ FROM cand ORDER BY id_a, id_b""")),
     // hashes.
     QueryDef("q_minhash_est_check",
       (spark, dir) => {
-        val cand = minhashPairs(spark, dir)
-        val sh = Tables.documents(spark, dir)
-          .select(col("doc_id"), tokenHashes(col("text")).as("th"))
-          .select(col("doc_id"),
-            explode(shingleHashesFromTokenHashes(col("th"))).as("h"))
-          .localCheckpoint()
+        // ONE shingle materialization feeds the signature build AND
+        // both exact-intersection join sides (md5 per token runs once,
+        // not twice).
+        val sh = shingleRows(spark, dir).localCheckpoint()
+        val cand = minhashPairs(spark, dir, Some(sh))
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val inter = cand.select(col("id_a"), col("id_b"))
           .join(sh.select(col("doc_id").as("id_a"), col("h")), Seq("id_a"))
@@ -648,13 +647,23 @@ FROM m ORDER BY vec_id""")),
     * (k longs per doc) is localCheckpoint'd so the bucket-count
     * branch and both self-join sides reuse it instead of recomputing
     * the corpus lineage 4×. */
-  private[queries] def minhashPairs(
+  /** Exploded distinct shingle hashes `(doc_id, h)` — the shared
+    * input of the minhash signature build and the exact-Jaccard
+    * verification. */
+  private[queries] def shingleRows(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val exploded = Tables.documents(spark, dir)
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), tokenHashes(col("text")).as("th"))
       .select(col("doc_id"),
         explode(shingleHashesFromTokenHashes(col("th"))).as("h"))
+
+  private[queries] def minhashPairs(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      sh: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val exploded = sh.getOrElse(shingleRows(spark, dir))
     val minCols = minhashFamilies(MinhashK).zipWithIndex.map {
       case ((a, b), i) => min(famHash(col("h"), a, b)).as(s"m$i")
     }

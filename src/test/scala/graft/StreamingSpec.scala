@@ -120,4 +120,29 @@ class StreamingSpec extends SparkSpec {
     for (s <- sessions)
       assert(s.getLong(2) >= s.getLong(1) + 1800000000L)
   }
+
+  test("stream-static join runs stateless — no state store operators") {
+    import org.apache.spark.sql.streaming.Trigger
+    // rebuild q_stream_static_join's streaming stage and inspect the
+    // query progress: a stream-static inner join must register ZERO
+    // stateful operators (the static side re-plans per batch; nothing
+    // is buffered between triggers)
+    if (!spark.conf.getOption(Tables.NanosConf).contains("true"))
+      spark.conf.set(Tables.NanosConf, "true")
+    val dim = Tables.customer(spark, Sf0001)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = Tables.eventsFromStorage(
+      spark.readStream.schema(Tables.eventsStorageSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(Sf0001))
+      .select(col("event_id"), col("user_id"), col("value"))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+    val sq = joined.writeStream.format("memory")
+      .queryName("graft_stream_static_spec").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    val stateOps = sq.lastProgress.stateOperators
+    assert(stateOps == null || stateOps.isEmpty,
+      s"expected stateless join, got ${stateOps.mkString(",")}")
+    assert(spark.table("graft_stream_static_spec").count() > 0)
+  }
 }
