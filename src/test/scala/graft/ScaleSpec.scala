@@ -140,6 +140,34 @@ class ScaleSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject(limit=20"), p.take(1000))
   }
 
+  test("q_zorder_layout: z-sorted files prune parquet row groups for 2-D predicates") {
+    import org.apache.spark.sql.functions._
+    // Write the SAME rows twice — z-value-clustered vs key-ordered —
+    // with tiny row groups, then run an identical 2-D point predicate.
+    // Parquet row-group stats must let the z layout skip most groups
+    // (the scan node emits only surviving-group rows; the filter above
+    // drops the rest), while the unclustered layout reads ~everything.
+    val z = SparkEntry.queries("q_zorder_layout")(spark, Sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zskip-").toString
+    z.repartitionByRange(4, col("zval")).sortWithinPartitions(col("zval"))
+      .write.option("parquet.block.size", "8192")
+      .mode("overwrite").parquet(s"$tmp/zsorted")
+    z.repartition(4, col("o_orderkey"))
+      .write.option("parquet.block.size", "8192")
+      .mode("overwrite").parquet(s"$tmp/plain")
+    def rowsScanned(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter(col("za") === 5 && col("zb") === 7)
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val zScanned = rowsScanned(s"$tmp/zsorted")
+    val pScanned = rowsScanned(s"$tmp/plain")
+    assert(zScanned < pScanned,
+      s"z-layout should skip row groups: z=$zScanned plain=$pScanned")
+  }
+
   test("q_zorder_layout: a 1024-code z-block is a bounded tile in both dims") {
     import org.apache.spark.sql.functions._
     // 1024 consecutive z-codes fix bits 5..7 of each interleaved dim,
