@@ -233,6 +233,56 @@ ORDER BY event_type, value DESC NULLS LAST, event_id""")),
                        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
   FROM events) WHERE rn = 1 ORDER BY user_id""")),
 
+    // --- PER-ATTRIBUTE keyed merge: DynamoDB update_item semantics
+    // (reference: queue_time_predictions/estimate_queue.py:170-174 —
+    // each update writes only the attributes it carries; absent
+    // attributes keep their previous value). The whole-row LWW
+    // renditions (flagship, q_latest_by_user, q_udaf_latest) take the
+    // latest ROW; this takes the latest NON-NULL value PER COLUMN —
+    // a different, and the reference-faithful, merge. Rendered as one
+    // conditional struct-max per attribute (event feeds here carry
+    // `value` except on clicks and `k` except on views, simulating
+    // partial updates): max() skips nulls and struct comparison is
+    // lexicographic on (ts, event_id, payload) with unique (ts,
+    // event_id) — a MERGEABLE aggregation, so map-side partials
+    // collapse before the one shuffle (the "aggregate, don't window"
+    // doctrine at 100 TB; a per-column window would sort every key's
+    // history twice).
+    QueryDef("q_upsert_attr_merge",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir).select(
+          col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          when(col("event_type") =!= "click", col("value")).as("v"),
+          when(col("event_type") =!= "view",
+            get_json_object(col("props"), "$.k").cast("long")).as("k"))
+        ev.groupBy(col("user_id")).agg(
+          max(when(col("v").isNotNull,
+            struct(col("ts_us"), col("event_id"), col("v")))).as("mv"),
+          max(when(col("k").isNotNull,
+            struct(col("ts_us"), col("event_id"), col("k")))).as("mk"))
+          .select(col("user_id"),
+            col("mv.ts_us").as("v_ts_us"), col("mv.v").as("last_value"),
+            col("mk.ts_us").as("k_ts_us"), col("mk.k").as("last_k"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+    CASE WHEN event_type <> 'click' THEN value END AS v,
+    CASE WHEN event_type <> 'view'
+         THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+  FROM events),
+m AS (
+  SELECT user_id,
+    max(struct_pack(ts_us := ts_us, event_id := event_id, v := v))
+      FILTER (WHERE v IS NOT NULL) AS mv,
+    max(struct_pack(ts_us := ts_us, event_id := event_id, k := k))
+      FILTER (WHERE k IS NOT NULL) AS mk
+  FROM ev GROUP BY user_id)
+SELECT user_id, mv.ts_us AS v_ts_us, mv.v AS last_value,
+  mk.ts_us AS k_ts_us, mk.k AS last_k
+FROM m ORDER BY user_id""")),
+
     // --- DataSource V2 custom source (sources/SynthSource.scala): the
     // S1 prefix scan as a planned, parallel, pruned scan. The id-range
     // filter prunes input partitions at planning time, the projection
