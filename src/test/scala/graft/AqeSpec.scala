@@ -77,6 +77,40 @@ class AqeSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    val conf = spark.conf
+    val oldStatic = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // One synthetic hot key owns ~90% of the fact side. With the skew
+    // thresholds scaled to test data, AQE's OptimizeSkewedJoin must
+    // split the hot partition into multiple task reads (plan tags the
+    // join "skew=true") — the runtime half of the story whose static
+    // half is q_join_skew_salted.
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    try {
+      import spark.implicits._
+      val fact = spark.range(0, 200000)
+        .select(when(col("id") % 10 < 9, lit(7L)).otherwise(col("id"))
+          .as("k"), col("id").as("payload"))
+      val dim = spark.range(0, 1000).select(col("id").as("k"),
+        (col("id") * 2).as("attr"))
+      val j = fact.join(dim, Seq("k"))
+        .agg(count(lit(1)).as("n"), sum(col("attr")).as("s"))
+      j.collect()
+      val fin = j.queryExecution.executedPlan.toString
+      assert(fin.contains("isFinalPlan=true"), fin.take(300))
+      assert(fin.contains("skew=true"),
+        "hot key should trigger a runtime skew split: " + fin.take(1500))
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldStatic)
+      conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    }
+  }
+
   test("AQE coalesces overshooting shuffle partitions") {
     val conf = spark.conf
     val oldParts = conf.get("spark.sql.shuffle.partitions")

@@ -319,6 +319,23 @@ class CorpusOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("q_sample_temperature: keep rate is antitone in domain share (flattening)") {
+    val rows = q("q_sample_temperature")
+      .select(col("share"), col("p_keep"), col("n_docs"), col("n_kept"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    for ((share, p, n, kept) <- rows) {
+      assert(p > 0.0 && p <= 1.0, s"p_keep=$p")
+      assert(kept <= n, s"kept=$kept n=$n")
+      assert(share > 0.0)
+    }
+    // temperature < 1 flattens: a rarer domain never keeps a SMALLER
+    // fraction than a more dominant one (p ∝ 1/sqrt(share), capped)
+    for ((s1, p1, _, _) <- rows; (s2, p2, _, _) <- rows if s1 < s2)
+      assert(p1 >= p2, s"share $s1 (p=$p1) vs share $s2 (p=$p2)")
+  }
+
   test("connectedComponents: pointer jumping — a 64-node path converges in ≤10 rounds") {
     // worst case for plain min-label propagation is a path graph
     // (rounds = diameter = 63); pointer jumping needs ~log₂(63)+1 ≈ 7
