@@ -478,6 +478,79 @@ SELECT s.doc_id,
 FROM s JOIN f USING (h)
 GROUP BY s.doc_id ORDER BY doc_id""")),
 
+    // --- Span dedup, APPLIED: emit the cleaned corpus — each doc
+    // reassembled from only its first-occurrence spans (q_dedup_span
+    // computes the stats; this materializes the output a real pipeline
+    // writes). The reassembly is a bounded per-doc
+    // sort_array(collect_list) (≤ len/stride spans per doc), and docs
+    // whose every span was seen earlier survive as EMPTY rows (left
+    // join back to the corpus), because silently dropping rows is how
+    // dedup bugs hide. Unlike the stats query, the shuffle here must
+    // carry span text — that is inherent to producing output bytes —
+    // but each span crosses the wire exactly once. The output carries
+    // the md5 + length of the cleaned text, not the text, doubling as
+    // the fingerprint-audit pattern.
+    QueryDef("q_dedup_span_apply",
+      (spark, dir) => {
+        val tk = split(col("text"), " ")
+        val spans = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            explode(transform(
+              sequence(lit(0),
+                ((size(tk) - lit(1)) / lit(SpanTokens)).cast("int")),
+              i => struct(i.cast("bigint").as("span_idx"),
+                concat_ws(" ", slice(tk, i * lit(SpanTokens) + lit(1),
+                  lit(SpanTokens))).as("span")))).as("s"))
+          .select(col("doc_id"), col("s.span_idx").as("span_idx"),
+            col("s.span").as("span"))
+          .withColumn("h", graft.functions.OracleHash.h64(col("span")))
+          .withColumn("pos",
+            col("doc_id") * lit(SpanPosEnc) + col("span_idx"))
+        val first = spans.groupBy(col("h"))
+          .agg(min(col("pos")).as("first_pos"))
+        val cleaned = spans.join(first, Seq("h"))
+          .filter(col("pos") === col("first_pos"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            concat_ws(" ", transform(
+              sort_array(collect_list(struct(col("span_idx"), col("span")))),
+              p => p.getField("span"))).as("clean_text"))
+        Tables.documents(spark, dir).select(col("doc_id"))
+          .join(cleaned, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"),
+            length(coalesce(col("clean_text"), lit(""))).as("clean_len"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+e AS (
+  SELECT doc_id, tk,
+    unnest(generate_series(0, (len(tk) - 1) // $SpanTokens)) AS i
+  FROM t),
+s0 AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
+    array_to_string(list_slice(tk, i * $SpanTokens + 1,
+      i * $SpanTokens + $SpanTokens), ' ') AS span,
+    doc_id * $SpanPosEnc + i AS pos
+  FROM e),
+s AS (SELECT *, ${graft.functions.OracleHash.h64Sql("span")} AS h FROM s0),
+f AS (SELECT h, min(pos) AS first_pos FROM s GROUP BY h),
+k AS (
+  SELECT doc_id, span_idx, span
+  FROM s JOIN f USING (h) WHERE pos = first_pos),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+    string_agg(span, ' ' ORDER BY span_idx) AS clean_text
+  FROM k GROUP BY doc_id)
+SELECT d.doc_id,
+  md5(coalesce(clean_text, '')) AS clean_md5,
+  CAST(length(coalesce(clean_text, '')) AS INT) AS clean_len,
+  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN agg USING (doc_id)
+ORDER BY d.doc_id""")),
+
     // --- Temperature-scaled domain resampling (α = 0.5): flatten the
     // source-domain distribution toward uniform — target share ∝
     // share^α — and realize it as a per-row deterministic keep/drop,

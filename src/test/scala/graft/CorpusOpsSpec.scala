@@ -291,6 +291,15 @@ class CorpusOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("q_dedup_span_apply agrees with q_dedup_span on kept counts") {
+    val stats = q("q_dedup_span").select(col("doc_id"), col("n_kept"))
+    val applied = q("q_dedup_span_apply")
+      .select(col("doc_id"), col("n_kept").as("n_kept_applied"))
+    val disagree = stats.join(applied, Seq("doc_id"))
+      .filter(col("n_kept") =!= col("n_kept_applied")).count()
+    assert(disagree === 0)
+  }
+
   test("q_scd2: intervals conserve events and adjacent segments differ") {
     // q_scd2 lives in Analytic.all — reach it via the entry map
     val out = SparkEntry.queries("q_scd2")(spark, Sf0001).cache()
