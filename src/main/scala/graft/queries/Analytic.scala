@@ -690,6 +690,45 @@ GROUP BY event_type ORDER BY event_type""")),
 FROM documents
 GROUP BY 1, 2 ORDER BY lang, split""")),
 
+    // --- Navigation window functions with null handling: nth_value
+    // over a running frame, first NON-NULL value (IGNORE NULLS — the
+    // forward-fill primitive), and lead() with an explicit default at
+    // partition edges. The nullable column is synthesized (props.k is
+    // null on views), since "skip the nulls while scanning history"
+    // only means something with real gaps. One shuffle + one sort
+    // serves all three functions; total (ts, event_id) order makes
+    // every navigation deterministic.
+    QueryDef("q_window_nav",
+      (spark, dir) => {
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val run = ord.rowsBetween(Window.unboundedPreceding, 0)
+        val kNullable = when(col("event_type") =!= "view",
+          get_json_object(col("props"), "$.k").cast("long"))
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("value"), kNullable.as("k"))
+          .select(col("user_id"), col("event_id"),
+            nth_value(col("value"), 2).over(run).as("second_v"),
+            first(col("k"), ignoreNulls = true).over(run).as("first_k"),
+            lead(col("value"), 1, -1.0).over(ord).as("next_v"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+  nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_v,
+  first_value(k IGNORE NULLS) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_k,
+  lead(value, 1, -1.0) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    AS next_v
+FROM (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN event_type <> 'view'
+         THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+  FROM events)
+ORDER BY user_id, event_id""")),
+
     // --- SCD2 interval build (temporal modeling): collapse each
     // user's event stream into validity intervals per run of equal
     // event_type — lag-based change detection, running-sum segment
