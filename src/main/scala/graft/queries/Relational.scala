@@ -861,5 +861,58 @@ JOIN (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
   ON o_orderkey = b.l_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    // --- TRY-mode expressions (ANSI-safe error tolerance): Spark 4
+    // runs ANSI mode by default, where overflow and bad casts THROW —
+    // correct for a warehouse, fatal for a 100 TB batch job where one
+    // poison row kills the stage. The try_* family converts those
+    // errors to NULL row-locally: try_add/try_multiply null on bigint
+    // overflow, try_cast nulls an unparseable cast, try_element_at
+    // nulls out-of-bounds access. The oracle states each outcome
+    // explicitly (CASE overflow guards, TRY_CAST, native OOB-NULL
+    // list access), so the null-instead-of-error contract itself is
+    // what's gated.
+    QueryDef("q_try_expr",
+      (spark, dir) => Tables.events(spark, dir)
+        .select(col("event_id"),
+          try_add(col("event_id"), lit(Long.MaxValue)).as("safe_add"),
+          try_multiply(col("event_id"), lit(Long.MaxValue))
+            .as("safe_mul"),
+          col("event_type").try_cast("int").as("safe_cast"),
+          try_element_at(split(col("event_type"), "x"), lit(5))
+            .as("safe_elem"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id,
+  CASE WHEN event_id > 0 THEN NULL
+       ELSE event_id + 9223372036854775807 END AS safe_add,
+  CASE WHEN event_id > 1 THEN NULL
+       ELSE event_id * 9223372036854775807 END AS safe_mul,
+  TRY_CAST(event_type AS INT) AS safe_cast,
+  string_split(event_type, 'x')[5] AS safe_elem
+FROM events ORDER BY event_id""")),
+
+    // --- Outer generator: explode_outer preserves rows whose array is
+    // EMPTY (a plain explode silently drops them — the classic "my
+    // dedup ate 4% of the corpus" bug). Docs with no ≥8-char token
+    // survive as a NULL-token row, so downstream accounting still sees
+    // every input doc. NULLS FIRST is stated on both sides (DuckDB
+    // defaults NULLS LAST; Spark defaults NULLS FIRST — the one ORDER
+    // BY divergence that bites every cross-engine oracle).
+    QueryDef("q_explode_outer",
+      (spark, dir) => {
+        val longToks = filter(split(col("text"), " "),
+          t => length(t) >= 8)
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), explode_outer(longToks).as("tok"))
+          .orderBy(col("doc_id"), col("tok").asc_nulls_first)
+      },
+      Some("""WITH l AS (
+  SELECT doc_id,
+    list_filter(string_split(text, ' '), t -> length(t) >= 8) AS ll
+  FROM documents)
+SELECT doc_id, unnest(ll) AS tok FROM l WHERE len(ll) > 0
+UNION ALL
+SELECT doc_id, NULL AS tok FROM l WHERE len(ll) = 0
+ORDER BY doc_id, tok NULLS FIRST""")),
   )
 }
