@@ -914,5 +914,31 @@ SELECT doc_id, unnest(ll) AS tok FROM l WHERE len(ll) > 0
 UNION ALL
 SELECT doc_id, NULL AS tok FROM l WHERE len(ll) = 0
 ORDER BY doc_id, tok NULLS FIRST""")),
+
+    // --- VARIANT semi-structured handling (Spark 4 native type):
+    // parse once into the binary variant encoding, then extract typed
+    // paths with variant_get — the schema-on-read shape that replaces
+    // repeated get_json_object string re-parsing (each of which
+    // re-tokenizes the JSON text; variant parses ONCE and navigates
+    // an encoded tree). Output is projected to typed scalars since
+    // the variant binary itself is engine-internal; the oracle reads
+    // the same paths with DuckDB's JSON navigation.
+    QueryDef("q_variant",
+      (spark, dir) => {
+        val v = parse_json(col("props"))
+        Tables.events(spark, dir)
+          .select(col("event_id"), v.as("vj"))
+          .select(col("event_id"),
+            variant_get(col("vj"), "$.k", "bigint").as("k_typed"),
+            variant_get(col("vj"), "$.missing", "bigint").as("k_absent"),
+            is_variant_null(variant_get(col("vj"), "$.k", "variant"))
+              .as("k_is_json_null"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+  CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_absent,
+  CAST(0 AS BOOLEAN) AS k_is_json_null
+FROM events ORDER BY event_id""")),
   )
 }
