@@ -940,5 +940,39 @@ ORDER BY doc_id, tok NULLS FIRST""")),
   CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_absent,
   CAST(0 AS BOOLEAN) AS k_is_json_null
 FROM events ORDER BY event_id""")),
+
+    // --- LATERAL correlated subquery (SQL surface): per outer row,
+    // run a dependent subquery — here each nation pulls its top-2
+    // customers by balance. Catalyst DECORRELATES the lateral into a
+    // ranked window + join (no per-row re-execution — `.explain`
+    // shows Window + Join, not a loop), which is why the construct
+    // survives 100 TB: it is planned set-at-a-time like
+    // q_topk_per_group, just spelled in SQL. Declared through
+    // spark.sql over temp views — the same logical plan the
+    // DataFrame API builds, exercising the SQL front door the rest of
+    // the surface leaves implicit.
+    QueryDef("q_lateral",
+      (spark, dir) => {
+        Tables.nation(spark, dir).createOrReplaceTempView("graft_nation_v")
+        Tables.customer(spark, dir)
+          .createOrReplaceTempView("graft_customer_v")
+        spark.sql("""
+          SELECT n.n_name, t.c_custkey, t.c_acctbal
+          FROM graft_nation_v n
+          JOIN LATERAL (
+            SELECT c_custkey, c_acctbal FROM graft_customer_v
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+          ) t
+          ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")
+      },
+      Some("""SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n
+JOIN LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+) t ON true
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")),
   )
 }
