@@ -368,6 +368,51 @@ SELECT doc_id, CAST(dl AS BIGINT) AS dl,
 FROM base, stats
 ORDER BY score DESC, doc_id LIMIT 20""")),
 
+    // --- Lexicon-based scoring (the EDBT'16 "sentiment analysis on
+    // Spark" shape, and the shape of every wordlist-driven quality /
+    // toxicity screen): tokens join a tiny signed lexicon, each doc
+    // aggregates its hits into a normalized score. Scale: the lexicon
+    // is values()-inlined and BROADCAST — the corpus never shuffles
+    // for the join; the per-doc rollup is the only exchange. Counts
+    // are integers; the score is one double division — exact on both
+    // engines.
+    QueryDef("q_lexicon_score",
+      (spark, dir) => {
+        import spark.implicits._
+        val lex = Seq(("fast", 1), ("big", 1), ("merge", 1),
+          ("slow", -1), ("small", -1), ("filter", -1))
+          .toDF("word", "polarity")
+        val toks = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+            explode(split(col("text"), " ")).as("tok"))
+        toks.join(broadcast(lex), col("tok") === col("word"), "left")
+          .groupBy(col("doc_id"))
+          .agg(max(col("n_tokens")).as("n_tokens"),
+            sum(when(col("polarity") === 1, 1L).otherwise(0L)).as("n_pos"),
+            sum(when(col("polarity") === -1, 1L).otherwise(0L)).as("n_neg"))
+          .select(col("doc_id"), col("n_tokens"), col("n_pos"), col("n_neg"),
+            ((col("n_pos") - col("n_neg")).cast("double")
+              / col("n_tokens").cast("double")).as("polarity_score"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH lex(word, polarity) AS (
+  VALUES ('fast', 1), ('big', 1), ('merge', 1),
+         ('slow', -1), ('small', -1), ('filter', -1)),
+t AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    unnest(string_split(text, ' ')) AS tok
+  FROM documents)
+SELECT doc_id, max(n_tokens) AS n_tokens,
+  CAST(sum(CASE WHEN polarity = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+  CAST(sum(CASE WHEN polarity = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+  CAST(sum(CASE WHEN polarity = 1 THEN 1 ELSE 0 END)
+       - sum(CASE WHEN polarity = -1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(max(n_tokens) AS DOUBLE) AS polarity_score
+FROM t LEFT JOIN lex ON tok = word
+GROUP BY doc_id ORDER BY doc_id""")),
+
     // --- Tokenizer-prep vocabulary coverage: the top-50 tokens by
     // corpus frequency with each prefix's cumulative share of all
     // token occurrences — the curve a tokenizer build reads to pick a
