@@ -974,5 +974,30 @@ JOIN LATERAL (
   ORDER BY c_acctbal DESC, c_custkey LIMIT 2
 ) t ON true
 ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")),
+
+    // --- Bitmap-based EXACT distinct count: values bucket into 32k-bit
+    // bitmaps (bitmap_bucket_number / bitmap_bit_position), each
+    // (group, bucket) OR-merges its bitmap map-side, and the distinct
+    // count is the sum of per-bucket popcounts. Unlike COUNT(DISTINCT)
+    // — whose Expand-based rewrite shuffles every distinct VALUE —
+    // the shuffle here carries fixed-size bitmaps per (group, bucket),
+    // and the aggregate is mergeable/incremental (bitmap_or_agg can
+    // fold tomorrow's partition into yesterday's materialized bitmaps
+    // — the incremental-rollup pattern q_incremental_agg shows for
+    // sums, extended to DISTINCT). Oracle = plain COUNT(DISTINCT):
+    // the bitmap path must be EXACT, not a sketch.
+    QueryDef("q_bitmap_distinct",
+      (spark, dir) => Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_partkey"))
+        .groupBy(col("l_returnflag"),
+          expr("bitmap_bucket_number(l_partkey)").as("bucket"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))")
+          .as("bm"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(expr("bitmap_count(bm)")).as("distinct_parts"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+  CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
   )
 }
