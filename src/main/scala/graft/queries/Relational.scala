@@ -999,5 +999,47 @@ ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")),
       Some("""SELECT l_returnflag,
   CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // --- DataSketches HLL with the MERGE contract: the property that
+    // makes sketches the 100 TB cardinality tool is that per-partition
+    // sketches union losslessly — register maxima commute, so
+    // union(sketch(A), sketch(B)) is bit-identical to sketch(A∪B).
+    // The query proves it: sketch the corpus directly AND as two
+    // disjoint halves re-merged with hll_union_agg; the estimates
+    // must be EQUAL (pinned to 1), and within the published error of
+    // exact COUNT(DISTINCT) (pinned to 1). This is the
+    // materialize-partials / merge-later pattern (q_incremental_agg,
+    // q_bitmap_distinct) extended to approximate state.
+    QueryDef("q_hll_merge",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .select(col("event_type"), col("user_id"), col("event_id"))
+        val direct = ev.groupBy(col("event_type"))
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+            .as("est_direct"))
+        val merged = ev
+          .withColumn("half", pmod(col("event_id"), lit(2L)))
+          .groupBy(col("event_type"), col("half"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+          .groupBy(col("event_type"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+            .as("est_merged"))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        exact.join(direct, Seq("event_type"))
+          .join(merged, Seq("event_type"))
+          .select(col("event_type"), col("exact_distinct"),
+            (col("est_direct") === col("est_merged")).cast("int")
+              .as("merge_lossless"),
+            (abs(col("est_direct") - col("exact_distinct")).cast("double")
+              / col("exact_distinct").cast("double") < 0.05).cast("int")
+              .as("within_bound"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+  CAST(1 AS INT) AS merge_lossless,
+  CAST(1 AS INT) AS within_bound
+FROM events GROUP BY event_type ORDER BY event_type""")),
   )
 }
