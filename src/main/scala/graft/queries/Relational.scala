@@ -1001,15 +1001,19 @@ ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")),
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // --- DataSketches HLL with the MERGE contract: the property that
-    // makes sketches the 100 TB cardinality tool is that per-partition
-    // sketches union losslessly — register maxima commute, so
-    // union(sketch(A), sketch(B)) is bit-identical to sketch(A∪B).
-    // The query proves it: sketch the corpus directly AND as two
-    // disjoint halves re-merged with hll_union_agg; the estimates
-    // must be EQUAL (pinned to 1), and within the published error of
-    // exact COUNT(DISTINCT) (pinned to 1). This is the
-    // materialize-partials / merge-later pattern (q_incremental_agg,
-    // q_bitmap_distinct) extended to approximate state.
+    // makes sketches the 100 TB cardinality tool is that
+    // per-partition sketches union and still estimate within the
+    // published bound. NOTE the contract deliberately does NOT assert
+    // merged == direct: DataSketches keeps a HIP (historical inverse
+    // probability) accumulator on a directly-fed sketch but must fall
+    // back to the composite estimator after a union, so the two
+    // estimates legitimately differ once past sparse mode — a 10×-SF
+    // run of an earlier "lossless union" rendition caught exactly
+    // that. What IS guaranteed (and pinned to 1): the direct AND the
+    // re-merged estimate are each within bound of exact
+    // COUNT(DISTINCT). This is the materialize-partials / merge-later
+    // pattern (q_incremental_agg, q_bitmap_distinct) extended to
+    // approximate state.
     QueryDef("q_hll_merge",
       (spark, dir) => {
         val ev = Tables.events(spark, dir)
@@ -1026,20 +1030,20 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
             .as("est_merged"))
         val exact = ev.groupBy(col("event_type"))
           .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        def inBound(est: org.apache.spark.sql.Column) =
+          (abs(est - col("exact_distinct")).cast("double")
+            / col("exact_distinct").cast("double") < 0.1).cast("int")
         exact.join(direct, Seq("event_type"))
           .join(merged, Seq("event_type"))
           .select(col("event_type"), col("exact_distinct"),
-            (col("est_direct") === col("est_merged")).cast("int")
-              .as("merge_lossless"),
-            (abs(col("est_direct") - col("exact_distinct")).cast("double")
-              / col("exact_distinct").cast("double") < 0.05).cast("int")
-              .as("within_bound"))
+            inBound(col("est_direct")).as("direct_within_bound"),
+            inBound(col("est_merged")).as("merged_within_bound"))
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type,
   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
-  CAST(1 AS INT) AS merge_lossless,
-  CAST(1 AS INT) AS within_bound
+  CAST(1 AS INT) AS direct_within_bound,
+  CAST(1 AS INT) AS merged_within_bound
 FROM events GROUP BY event_type ORDER BY event_type""")),
   )
 }
