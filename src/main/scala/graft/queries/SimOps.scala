@@ -550,11 +550,9 @@ SELECT a_id, b_id, dist FROM pairs ORDER BY a_id, b_id""")),
     // --- Per-label embedding centroids: the set-at-a-time form of
     // IVF/k-means "train the coarse quantizer" and of semantic-cluster
     // summarization. The scalable vector-mean shape is posexplode →
-    // (label, dim) partial-aggregated sum/count → rebuild the array:
-    // the shuffle carries one row per (label, dim) PER MAP PARTITION
-    // (map-side combine), never per vector, and the final
-    // sort_array(collect_list) is bounded by the embedding
-    // dimensionality — there is no per-vector state anywhere.
+    // (label, dim) partial-aggregated sum/count: the shuffle carries
+    // one row per (label, dim) PER MAP PARTITION (map-side combine),
+    // never per vector — there is no per-vector state anywhere.
     // Exactness: each coordinate is first quantized to a 1e-6 integer
     // grid (round-on-double is tie-parity-safe cross-engine — both
     // round half away from zero on the dyadic expansion; a
@@ -562,32 +560,27 @@ SELECT a_id, b_id, dist FROM pairs ORDER BY a_id, b_id""")),
     // diverge on exact ties), then summed in BIGINT — an exact,
     // association-order-free fold, so a 1000-executor run and the
     // single-node oracle agree bit-for-bit.
+    // Output contract: one (label, dim, c, n_vectors) row per
+    // coordinate — all-scalar columns, per the driver comparator's
+    // scalars-only canonicalization (Relational.scala's convention).
+    // The array-rebuilding rendition lives in `centroidArrays` below
+    // (consumed by the SQL-side IVF build and plan-pinned in
+    // ScaleSpec); it is deliberately NOT the gated output.
     QueryDef("q_centroids",
-      (spark, dir) => Tables.embeddings(spark, dir)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy(col("label"), col("dim"))
-        .agg(sum(round(col("x").cast("double") * lit(1e6)).cast("bigint"))
-          .as("s"), count(lit(1)).as("n"))
+      (spark, dir) => centroidRows(spark, dir)
         .select(col("label"), col("dim"),
-          (col("s").cast("double") / lit(1e6) / col("n")).as("c"), col("n"))
-        .groupBy(col("label"))
-        .agg(max(col("n")).as("n_vectors"),
-          transform(sort_array(collect_list(struct(col("dim"), col("c")))),
-            p => p.getField("c")).as("centroid"))
-        .orderBy(col("label")),
+          (col("s").cast("double") / lit(1e6) / col("n")).as("c"),
+          col("n").as("n_vectors"))
+        .orderBy(col("label"), col("dim")),
       Some("""WITH e AS (
   SELECT label, unnest(embedding) AS x,
     unnest(range(len(embedding))) AS dim
-  FROM embeddings),
-g AS (
-  SELECT label, dim,
-    CAST(CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
-         AS BIGINT) AS DOUBLE) / 1000000.0 / count(*) AS c,
-    count(*) AS n
-  FROM e GROUP BY label, dim)
-SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
-  list(c ORDER BY dim) AS centroid
-FROM g GROUP BY label ORDER BY label""")),
+  FROM embeddings)
+SELECT label, CAST(dim AS INT) AS dim,
+  CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+    / 1000000.0 / count(*) AS c,
+  count(*) AS n_vectors
+FROM e GROUP BY label, dim ORDER BY label, dim""")),
 
     // --- Int8 scalar quantization of embeddings (symmetric max-abs):
     // the 4× storage/scan-shrink every 100 TB vector corpus applies
@@ -597,6 +590,12 @@ FROM g GROUP BY label ORDER BY label""")),
     // output sort. Both engines round half away from zero on DOUBLE,
     // and every step is double arithmetic on identical inputs, so the
     // oracle is exact. Zero vectors quantize to zeros (scale guard).
+    // Output contract: the int8 vector itself is verified through
+    // exact BIGINT checksums — position-weighted sum Σ q_i·(i+1),
+    // squared sum Σ q_i², and min/max — instead of the raw array,
+    // per the driver comparator's scalars-only canonicalization.
+    // The weighted + squared pair pins both values and positions:
+    // any single-element change moves at least one of them.
     QueryDef("q_quantize8",
       (spark, dir) => {
         val xd: Column => Column = x => x.cast("double")
@@ -613,27 +612,81 @@ FROM g GROUP BY label ORDER BY label""")),
               .otherwise(array_max(transform(col("embedding"),
                 x => abs(xd(x) - round(xd(x) * scale) / scale))))
               .as("max_err"))
+          .select(col("vec_id"), col("max_abs"),
+            aggregate(zip_with(col("qvec"),
+                sequence(lit(1), size(col("qvec"))),
+                (q, i) => q.cast("bigint") * i),
+              lit(0L), (acc, v) => acc + v).as("qsum"),
+            aggregate(col("qvec"), lit(0L),
+              (acc, q) => acc + q.cast("bigint") * q).as("qss"),
+            array_min(col("qvec")).as("qmin"),
+            array_max(col("qvec")).as("qmax"),
+            col("max_err"))
           .orderBy(col("vec_id"))
       },
       Some("""WITH m AS (
-  SELECT vec_id, embedding,
-    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
-      AS max_abs
-  FROM embeddings)
-SELECT vec_id, max_abs,
-  CASE WHEN max_abs = 0
-    THEN list_transform(embedding, x -> 0)
-    ELSE list_transform(embedding,
-      x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / max_abs)) AS INT)) END
-    AS qvec,
-  CASE WHEN max_abs = 0 THEN 0.0
-    ELSE list_max(list_transform(embedding,
-      x -> abs(CAST(x AS DOUBLE)
-        - round(CAST(x AS DOUBLE) * (127.0 / max_abs))
-          / (127.0 / max_abs)))) END
-    AS max_err
-FROM m ORDER BY vec_id""")),
+  SELECT vec_id, max_abs,
+    CASE WHEN max_abs = 0
+      THEN list_transform(embedding, x -> 0)
+      ELSE list_transform(embedding,
+        x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / max_abs)) AS INT)) END
+      AS qvec,
+    CASE WHEN max_abs = 0 THEN 0.0
+      ELSE list_max(list_transform(embedding,
+        x -> abs(CAST(x AS DOUBLE)
+          - round(CAST(x AS DOUBLE) * (127.0 / max_abs))
+            / (127.0 / max_abs)))) END
+      AS max_err
+  FROM (
+    SELECT vec_id, embedding,
+      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        AS max_abs
+    FROM embeddings)),
+e AS (
+  SELECT vec_id, unnest(qvec) AS q,
+    unnest(range(1, len(qvec) + 1)) AS i
+  FROM m),
+c AS (
+  SELECT vec_id,
+    CAST(sum(CAST(q AS BIGINT) * i) AS BIGINT) AS qsum,
+    CAST(sum(CAST(q AS BIGINT) * q) AS BIGINT) AS qss,
+    min(q) AS qmin, max(q) AS qmax
+  FROM e GROUP BY vec_id)
+SELECT m.vec_id, m.max_abs, c.qsum, c.qss, c.qmin, c.qmax, m.max_err
+FROM m JOIN c USING (vec_id) ORDER BY vec_id""")),
   )
+
+  /** Exact per-(label, dim) coordinate sums on the 1e-6 integer grid
+    * (`s` BIGINT) with vector counts (`n`) — the shared core of the
+    * gated q_centroids rows and of [[centroidArrays]]. Two-phase hash
+    * aggregation: map-side combine collapses each partition to one row
+    * per (label, dim) before the shuffle. */
+  private[queries] def centroidRows(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(round(col("x").cast("double") * lit(1e6)).cast("bigint"))
+        .as("s"), count(lit(1)).as("n"))
+
+  /** Per-label mean vectors rebuilt as arrays: the
+    * sort_array(collect_list) is bounded by the embedding
+    * dimensionality (64 here), never by corpus size. Feeds the
+    * SQL-side IVF coarse-quantizer build; deliberately NOT a gated
+    * query output — the driver comparator canonicalizes scalars only,
+    * so array-typed columns stay internal. */
+  private[graft] def centroidArrays(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    centroidRows(spark, dir)
+      .select(col("label"), col("n"),
+        (col("s").cast("double") / lit(1e6) / col("n")).as("c"),
+        col("dim"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vectors"),
+        transform(sort_array(collect_list(struct(col("dim"), col("c")))),
+          p => p.getField("c")).as("centroid"))
 
   /** Banded-minhash candidate pairs with signature-agreement Jaccard
     * estimate: `(id_a, id_b, n_shared_bands, est_jaccard)`, unordered —

@@ -109,8 +109,17 @@ class ScaleSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject(limit=50"), p.take(1000))
   }
 
-  test("q_centroids: vector mean partial-aggregates before both shuffles") {
+  test("q_centroids: vector mean partial-aggregates before the shuffle") {
     val p = plan("q_centroids")
+    assert(p.contains("partial_sum"), p.take(1000))
+  }
+
+  test("centroidArrays: array rebuild partial-aggregates both stages") {
+    // the array-building rendition (IVF build input) keeps map-side
+    // combine on both the (label, dim) sums and the bounded-by-dim
+    // collect_list regroup
+    val p = graft.queries.SimOps.centroidArrays(spark, Sf0001)
+      .queryExecution.executedPlan.toString
     assert(p.contains("partial_sum"), p.take(1000))
     assert(p.contains("partial_collect_list"), p.take(1000))
   }
