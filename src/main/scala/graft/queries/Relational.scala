@@ -868,25 +868,37 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
     // poison row kills the stage. The try_* family converts those
     // errors to NULL row-locally: try_add/try_multiply null on bigint
     // overflow, try_cast nulls an unparseable cast, try_element_at
-    // nulls out-of-bounds access. The oracle states each outcome
-    // explicitly (CASE overflow guards, TRY_CAST, native OOB-NULL
-    // list access), so the null-instead-of-error contract itself is
-    // what's gated.
+    // nulls out-of-bounds access. Overflow is the EXCEPTION, not the
+    // rule: only the 0.1% "poison" rows (event_id % 1000 == 0 stands
+    // in for the one corrupt record per shard) carry Long.MaxValue —
+    // try-error unwinding is ~100× costlier than a codegen'd add, so
+    // an always-overflowing operand turns a projection into an
+    // exception benchmark (it cost 11 s at sf0.1). The oracle states
+    // each outcome explicitly (CASE overflow guards, TRY_CAST, native
+    // OOB-NULL list access), so the null-instead-of-error contract
+    // itself is what's gated — on both the poison and clean paths at
+    // every SF.
     QueryDef("q_try_expr",
-      (spark, dir) => Tables.events(spark, dir)
-        .select(col("event_id"),
-          try_add(col("event_id"), lit(Long.MaxValue)).as("safe_add"),
-          try_multiply(col("event_id"), lit(Long.MaxValue))
-            .as("safe_mul"),
-          col("event_type").try_cast("int").as("safe_cast"),
-          try_element_at(split(col("event_type"), "x"), lit(5))
-            .as("safe_elem"))
-        .orderBy(col("event_id")),
+      (spark, dir) => {
+        val poison = when(col("event_id") % 1000 === 0,
+          lit(Long.MaxValue)).otherwise(col("event_id"))
+        Tables.events(spark, dir)
+          .select(col("event_id"),
+            // overflows iff poison row AND event_id > 0 (id 0 adds 0)
+            try_add(poison, col("event_id")).as("safe_add"),
+            // overflows iff poison row (Long.MaxValue * 3, incl. id 0)
+            try_multiply(poison, lit(3L)).as("safe_mul"),
+            col("event_type").try_cast("int").as("safe_cast"),
+            try_element_at(split(col("event_type"), "x"), lit(5))
+              .as("safe_elem"))
+          .orderBy(col("event_id"))
+      },
       Some("""SELECT event_id,
-  CASE WHEN event_id > 0 THEN NULL
-       ELSE event_id + 9223372036854775807 END AS safe_add,
-  CASE WHEN event_id > 1 THEN NULL
-       ELSE event_id * 9223372036854775807 END AS safe_mul,
+  CASE WHEN event_id % 1000 = 0 AND event_id > 0 THEN NULL
+       WHEN event_id % 1000 = 0 THEN 9223372036854775807
+       ELSE event_id + event_id END AS safe_add,
+  CASE WHEN event_id % 1000 = 0 THEN NULL
+       ELSE event_id * 3 END AS safe_mul,
   TRY_CAST(event_type AS INT) AS safe_cast,
   string_split(event_type, 'x')[5] AS safe_elem
 FROM events ORDER BY event_id""")),
@@ -938,7 +950,12 @@ ORDER BY doc_id, tok NULLS FIRST""")),
       Some("""SELECT event_id,
   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
   CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_absent,
-  CAST(0 AS BOOLEAN) AS k_is_json_null
+  -- derived from the data (JSON null extracts as the literal 'null'),
+  -- not hardcoded: a regenerated corpus that starts carrying
+  -- {"k": null} flips both engines together. Residual assumption:
+  -- $.k is PRESENT on every row (a missing key is NULL-vs-false
+  -- divergent between is_variant_null and this COALESCE).
+  COALESCE(json_extract(props, '$.k') = 'null', FALSE) AS k_is_json_null
 FROM events ORDER BY event_id""")),
 
     // --- LATERAL correlated subquery (SQL surface): per outer row,

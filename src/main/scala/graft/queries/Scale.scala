@@ -319,10 +319,16 @@ ORDER BY p_size, p_partkey""")),
     QueryDef("q_zorder_layout",
       (spark, dir) => {
         val a = pmod(col("o_custkey"), lit(256L)).cast("int")
-        val b = least(
-          (datediff(col("o_orderdate"), lit("1995-01-01")) / lit(10))
-            .cast("int"),
-          lit(255))
+        // clamp BOTH ends: a pre-epoch date would otherwise yield a
+        // negative zb and silently corrupt the bit interleave (the
+        // testdata's min date happens to equal the epoch — the guard
+        // must not rely on that)
+        val b = greatest(
+          least(
+            (datediff(col("o_orderdate"), lit("1995-01-01")) / lit(10))
+              .cast("int"),
+            lit(255)),
+          lit(0))
         val zval = (0 until 8).map { k =>
           (shiftright(col("za"), k).bitwiseAND(lit(1)).cast("bigint")
             * lit(1L << (2 * k + 1))) +
@@ -343,8 +349,9 @@ ORDER BY p_size, p_partkey""")),
         s"""WITH d AS (
   SELECT o_orderkey,
     CAST(o_custkey % 256 AS INT) AS za,
-    CAST(least(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) // 10,
-      255) AS INT) AS zb
+    CAST(greatest(least(
+      date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) // 10,
+      255), 0) AS INT) AS zb
   FROM orders)
 SELECT o_orderkey, za, zb,
   CAST($terms AS BIGINT) AS zval,
