@@ -486,46 +486,74 @@ ORDER BY c.id_a, c.id_b""")),
 FROM documents JOIN embeddings ON doc_id = vec_id
 ORDER BY doc_id""")),
 
-    // --- STUB image/media decode + feature extraction. The real
-    // operator decodes JPEG/audio bytes (reference S2/P4,
-    // preprocess_image.py:36-54, :176-195); the decode libraries are
-    // not in this container, so the decode is a clearly-marked
-    // deterministic fake over the payload digest. The Spark-side
-    // plumbing — binary column in, typed feature struct + vector out,
-    // pure projection, no shuffle — is the real operator shape.
+    // --- REAL image decode + resize + feature extraction on the
+    // JDK's javax.imageio (reference S2/P2,
+    // preprocess_image.py:36-54 cv2.imdecode, :56-74 resize). Each
+    // doc gets a deterministic real PNG (pixel (x,y) color is a
+    // closed form in doc_id — see ImageCodec.rgbOf), which then runs
+    // the genuine chain: PNG decode → channel-sum features →
+    // nearest-neighbor ÷2 downsample → lossless re-encode → second
+    // decode. PNG losslessness + exact NN sampling make every output
+    // analytically computable, so the whole decode chain is
+    // oracle-gated — upgraded round 8 from the digest stub. All
+    // three kernels are per-row narrow maps inside whole-stage
+    // codegen (native Catalyst expressions, not UDFs); binary
+    // payloads never leave the executor.
     QueryDef("q_multimodal_decode",
       (spark, dir) => {
-        val payload = encode(col("text"), "UTF-8")
-        // STUB: dimensions/features derived from the bytes' digest
-        // (deterministic fake standing in for cv2.imdecode + model).
-        val h = crc32(payload)
-        val fakeFeatures = transform(sequence(lit(1), lit(8)),
-          i => (pmod(xxhash64(payload, i), lit(1000L))).cast("double") / lit(1000.0))
-        // STUB frame-sample: every "video" yields 4 frame digests
-        // (deterministic per-payload); real impl samples decoded
-        // frames at a stride.
-        val frameDigests = transform(sequence(lit(1), lit(4)),
-          i => xxhash64(payload, i * lit(1000)))
+        import org.apache.spark.sql.graftbridge.GraftColumns.{column => gc, expression => ge}
+        val png = gc(graft.functions.PngSynth(ge(col("doc_id"))))
         Tables.documents(spark, dir)
+          .select(col("doc_id"), png.as("payload"))
           .select(col("doc_id"),
-            length(payload).as("n_bytes"),
-            (pmod(h, lit(640L)) + lit(1)).cast("int").as("width"),
-            (pmod(h, lit(480L)) + lit(1)).cast("int").as("height"),
-            lit(3).as("n_channels"),
-            fakeFeatures.as("features"),
-            frameDigests.as("frames"))
-          // STUB resize: halved dimensions (floor), the P2-crop
-          // "discard what can't affect the answer" shape.
-          .withColumn("resized_w", (col("width") / lit(2)).cast("int"))
-          .withColumn("resized_h", (col("height") / lit(2)).cast("int"))
-          .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
-            col("resized_w"), col("resized_h"), col("n_channels"),
-            Exact.decSumArr(col("features")).as("feat_digest"),
-            size(col("frames")).as("n_frames"),
-            element_at(col("frames"), 1).as("frame1_digest"))
+            gc(graft.functions.PngDecodeStats(ge(col("payload")))).as("st"),
+            gc(graft.functions.PngDecodeStats(ge(gc(
+              graft.functions.PngResizeNN(ge(col("payload")), 2))))).as("rs"))
+          .select(col("doc_id"),
+            element_at(col("st"), 1).as("width"),
+            element_at(col("st"), 2).as("height"),
+            element_at(col("st"), 3).as("n_channels"),
+            element_at(col("st"), 4).as("sum_r"),
+            element_at(col("st"), 5).as("sum_g"),
+            element_at(col("st"), 6).as("sum_b"),
+            element_at(col("rs"), 1).as("resized_w"),
+            element_at(col("rs"), 2).as("resized_h"),
+            element_at(col("rs"), 4).as("rsum_r"),
+            element_at(col("rs"), 5).as("rsum_g"),
+            element_at(col("rs"), 6).as("rsum_b"))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some("""WITH d AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 4 AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, p % w AS x, p // w AS y
+  FROM (SELECT doc_id, w, h, unnest(range(w * h)) AS p FROM d)),
+full_sums AS (
+  SELECT doc_id,
+    CAST(sum((31 * x + 17 * y + doc_id) % 256) AS BIGINT) AS sum_r,
+    CAST(sum((13 * x + 7 * y + 2 * doc_id) % 256) AS BIGINT) AS sum_g,
+    CAST(sum((5 * x + 3 * y + 3 * doc_id) % 256) AS BIGINT) AS sum_b
+  FROM px GROUP BY doc_id),
+rpx AS (
+  SELECT doc_id, w // 2 AS rw, h // 2 AS rh,
+    2 * (p % (w // 2)) AS x, 2 * (p // (w // 2)) AS y
+  FROM (SELECT doc_id, w, h, unnest(range((w // 2) * (h // 2))) AS p
+        FROM d)),
+r_sums AS (
+  SELECT doc_id,
+    CAST(sum((31 * x + 17 * y + doc_id) % 256) AS BIGINT) AS rsum_r,
+    CAST(sum((13 * x + 7 * y + 2 * doc_id) % 256) AS BIGINT) AS rsum_g,
+    CAST(sum((5 * x + 3 * y + 3 * doc_id) % 256) AS BIGINT) AS rsum_b
+  FROM rpx GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS n_channels,
+  sum_r, sum_g, sum_b,
+  CAST(w // 2 AS BIGINT) AS resized_w, CAST(h // 2 AS BIGINT) AS resized_h,
+  rsum_r, rsum_g, rsum_b
+FROM d JOIN full_sums USING (doc_id) JOIN r_sums USING (doc_id)
+ORDER BY doc_id""")),
 
     // --- Edit-distance near-dup (the classic the other four families
     // skip: exact digest, MinHash, SimHash, n-gram Jaccard — this one
@@ -654,6 +682,80 @@ c AS (
   FROM e GROUP BY vec_id)
 SELECT m.vec_id, m.max_abs, c.qsum, c.qss, c.qmin, c.qmax, m.max_err
 FROM m JOIN c USING (vec_id) ORDER BY vec_id""")),
+
+    // --- SQL-side IVF index BUILD: the per-label centroids
+    // (centroidArrays — the q_centroids op) become the coarse
+    // quantizer, every vector is assigned to its nearest centroid
+    // cell, and the query emits the per-cell inventory an IVF index
+    // needs (cell size, native-label purity, exact total assignment
+    // distance). This unifies ml/Ann (whose KMeans quantizer is
+    // spec-pinned because training isn't SQL) with the SQL-side
+    // centroid op: same operator shape, but label-seeded centers make
+    // the whole build ORACLE-GATED end to end.
+    // Scale shape: the quantizer is 10 cells × 64 dims of broadcast
+    // state; assignment is a narrow map over the corpus (crossJoin
+    // with a broadcast 10-row table, argmin via min(struct) — a
+    // map-side-combinable aggregate, NOT a window); the only shuffles
+    // carry (vec_id, cell) pairs and then per-cell partials.
+    // Exactness: d² is a per-element double fold rounded to
+    // DECIMAL(20,12) per term (the dotFDeclarative pattern — both
+    // engines sum exact decimals, so association order is free);
+    // cross-vector totals ride Exact.decSum.
+    QueryDef("q_ann_ivf_build",
+      (spark, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val cents = centroidArrays(spark, dir)
+          .select(col("label").as("cell"), col("centroid"))
+        val d2 = aggregate(
+          zip_with(col("embedding"), col("centroid"),
+            (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+          lit(0).cast(DecimalType(30, 12)),
+          (acc, v) => (acc + v.cast(DecimalType(20, 12)))
+            .cast(DecimalType(30, 12)))
+          .cast("double")
+        Tables.embeddings(spark, dir)
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("label"), col("cell"), d2.as("d2"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(min(struct(col("d2"), col("cell"))).as("m"))
+          .select(col("vec_id"), col("label"),
+            col("m.cell").as("cell"), col("m.d2").as("d2"))
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_assigned"),
+            sum(when(col("label") === col("cell"), lit(1L))
+              .otherwise(lit(0L))).as("n_native"),
+            Exact.decSum(col("d2")).as("d2_sum"))
+          .orderBy(col("cell"))
+      },
+      Some(s"""WITH e AS (
+  SELECT label, unnest(embedding) AS x,
+    unnest(range(len(embedding))) AS dim
+  FROM embeddings),
+g AS (
+  SELECT label, dim,
+    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+      / 1000000.0 / count(*) AS c
+  FROM e GROUP BY label, dim),
+cents AS (
+  SELECT label AS cell, list(c ORDER BY dim) AS cent
+  FROM g GROUP BY label),
+pairs AS (
+  SELECT v.vec_id, v.label, c.cell,
+    CAST(list_sum(list_transform(range(1, len(v.embedding) + 1),
+      i -> CAST((CAST(v.embedding[i] AS DOUBLE) - c.cent[i])
+        * (CAST(v.embedding[i] AS DOUBLE) - c.cent[i])
+        AS DECIMAL(20,12)))) AS DOUBLE) AS d2
+  FROM embeddings v CROSS JOIN cents c),
+a AS (
+  SELECT vec_id, label, cell, d2
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY d2, cell) AS rn FROM pairs)
+  WHERE rn = 1)
+SELECT cell, CAST(count(*) AS BIGINT) AS n_assigned,
+  CAST(sum(CASE WHEN label = cell THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_native,
+  ${graft.functions.Exact.decSumSql("d2")} AS d2_sum
+FROM a GROUP BY cell ORDER BY cell""")),
   )
 
   /** Exact per-(label, dim) coordinate sums on the 1e-6 integer grid

@@ -86,17 +86,55 @@ class SimOpsSpec extends SparkSpec {
     assert(evalOne[Int](SimOps.lshBucket(v)) !== evalOne[Int](SimOps.lshBucket(flipped)))
   }
 
-  test("multimodal stub decode is deterministic and in-range") {
-    val q = SimOps.all.find(_.name == "q_multimodal_decode").get.fn
-    val a = q(spark, Sf0001).collect()
-    val b = q(spark, Sf0001).collect()
-    assert(a.sameElements(b), "stub decode must be deterministic")
-    for (r <- a) {
-      assert(r.getInt(r.fieldIndex("width")) >= 1 &&
-        r.getInt(r.fieldIndex("width")) <= 640)
-      assert(r.getInt(r.fieldIndex("height")) >= 1 &&
-        r.getInt(r.fieldIndex("height")) <= 480)
+  test("ImageCodec: real PNG round-trip recovers every pixel stat") {
+    import graft.functions.ImageCodec
+    val id = 5L
+    val png = ImageCodec.synthPng(id)
+    // must be a genuine PNG stream (magic bytes), decoded by ImageIO
+    assert(png.take(4).toSeq === Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val st = ImageCodec.decodeStats(png)
+    assert(st != null)
+    val (w, h) = (ImageCodec.widthOf(id), ImageCodec.heightOf(id))
+    assert(st.getLong(0) === w.toLong && st.getLong(1) === h.toLong)
+    assert(st.getLong(2) === 3L, "decoded raster must carry 3 bands")
+    // channel sums must match the closed-form pixel formula exactly
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = ImageCodec.rgbOf(id, x, y)
+      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
     }
+    assert((st.getLong(3), st.getLong(4), st.getLong(5)) === ((sr, sg, sb)))
+  }
+
+  test("ImageCodec: NN resize keeps exactly the stride-2 pixels") {
+    import graft.functions.ImageCodec
+    val id = 11L
+    val resized = ImageCodec.resizeNN(ImageCodec.synthPng(id), 2)
+    val st = ImageCodec.decodeStats(resized)
+    val (w, h) = (ImageCodec.widthOf(id) / 2, ImageCodec.heightOf(id) / 2)
+    assert(st.getLong(0) === w.toLong && st.getLong(1) === h.toLong)
+    var sr = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      sr += (ImageCodec.rgbOf(id, 2 * x, 2 * y) >> 16) & 0xff
+    assert(st.getLong(3) === sr)
+  }
+
+  test("ImageCodec: corrupt bytes and real JPEG both handled") {
+    import graft.functions.ImageCodec
+    // poison-row tolerance: garbage decodes to SQL NULL, not a throw
+    assert(ImageCodec.decodeStats(Array[Byte](1, 2, 3)) == null)
+    assert(ImageCodec.decodeStats(Array.empty[Byte]) == null)
+    // a real JPEG stream (reference parity: cv2.imdecode reads JPEG)
+    // decodes with correct dimensions; values are lossy, so only the
+    // geometry is asserted
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ImageCodec.synthPng(7L)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val st = ImageCodec.decodeStats(bos.toByteArray)
+    assert(st != null)
+    assert(st.getLong(0) === ImageCodec.widthOf(7L).toLong)
+    assert(st.getLong(1) === ImageCodec.heightOf(7L).toLong)
   }
 
   test("q_simhash explode+agg form == fold-based helper form") {
