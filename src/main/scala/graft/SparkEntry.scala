@@ -17,7 +17,13 @@ object SparkEntry {
     // IVF ANN (KMeans coarse quantizer + probe-cell scan) — quantizer
     // training isn't SQL-expressible; AnnSpec pins candidate-scan
     // exactness instead.
-    QueryDef("q_ann_ivf", (s, d) => graft.ml.Ann.ivfTopK(s, d), None))
+    QueryDef("q_ann_ivf", (s, d) => graft.ml.Ann.ivfTopK(s, d), None),
+    // Batched-probe IVF: N probes in one distributed pass (broadcast
+    // centroid table + cell-pruned join + per-probe GroupTopK), zero
+    // per-probe driver round-trips. Same no-oracle reason as
+    // q_ann_ivf; AnnSpec pins full-probe exactness and single-probe
+    // agreement with ivfTopK.
+    QueryDef("q_ann_ivf_batch", (s, d) => graft.ml.Ann.ivfTopKBatch(s, d), None))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -93,4 +93,67 @@ object Ann {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(topK)
   }
+
+  /** Batched-probe IVF: the first `nProbes` vectors are resolved as a
+    * probe TABLE in one distributed pass — zero per-probe driver
+    * round-trips (ivfTopK's single `.head` probe fetch does not
+    * batch). Shape, stage by stage:
+    *
+    *  1. cell assignment of the data side via `model.transform` (the
+    *     same persisted quantizer, loaded once);
+    *  2. per-probe nprobe-nearest cells: the centroid table (k rows
+    *     of MODEL STATE, not data) broadcasts onto the probes, exact
+    *     squared distance, native GroupTopK heap with k = nprobe —
+    *     no window, no global sort;
+    *  3. cell-pruned candidate join: probes×cells (nProbes · nprobe
+    *     rows) broadcast against the assigned corpus on the cell id,
+    *     so a candidate row is scored only when its cell is probed —
+    *     at warehouse scale, with the corpus laid out by cell id,
+    *     this same equi join partition-prunes the scan;
+    *  4. exact cosine re-rank on the native codegen'd kernel, then
+    *     per-probe GroupTopK — the shuffle carries ≤ topK rows per
+    *     probe per map partition, independent of corpus size.
+    */
+  def ivfTopKBatch(spark: SparkSession, dir: String,
+      k: Int = 16, nprobe: Int = 2, topK: Int = 10,
+      nProbes: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = quantizer(spark, dir, k)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+
+    val probes = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"),
+        col("embedding").as("probe_emb"))
+
+    // squared L2 between the float probe and the double centroid —
+    // interpreted HOF fold is fine here: k × nProbes rows total
+    val d2 = aggregate(
+      zip_with(col("probe_emb").cast("array<double>"), col("centroid"),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, v) => acc + v)
+    val probeCells = graft.plans.GroupTopK.topK(
+      probes.crossJoin(broadcast(centroids))
+        .select(col("probe_id"), col("probe_emb"), col("cell"),
+          d2.as("d2")),
+      Seq("probe_id"), Seq(("d2", false), ("cell", false)), nprobe)
+      .select(col("probe_id"), col("probe_emb"), col("cell"))
+
+    val scored = assigned
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("cell"),
+        Exact.cosineF(col("embedding"), col("probe_emb")).as("cos"))
+    graft.plans.GroupTopK.topK(scored, Seq("probe_id"),
+      Seq(("cos", true), ("vec_id", false)), topK)
+      .select(col("probe_id"), col("vec_id"), col("cell"), col("cos"))
+      .orderBy(col("probe_id"), col("cos").desc, col("vec_id"))
+  }
 }

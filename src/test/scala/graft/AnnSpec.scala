@@ -71,6 +71,40 @@ class AnnSpec extends SparkSpec {
       assert(brute(r.getLong(0)) === r.getDouble(2), s"vec ${r.getLong(0)}")
   }
 
+  test("batched IVF, all cells probed == per-probe brute-force top-k") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val probes = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    val exact = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        Exact.cosineF(col("embedding"), col("probe_emb")).as("cos"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // nprobe = k probes every cell → batch IVF must BE brute force
+    val batch = Ann.ivfTopKBatch(spark, Sf0001,
+      k = 8, nprobe = 8, topK = 5, nProbes = 4).collect()
+    assert(batch.length === 4 * 5)
+    for ((probeRows, p) <- batch.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+        .map(x => (x._2.sortBy(-_.getDouble(3)), x._1));
+        (r, i) <- probeRows.zipWithIndex)
+      assert(r.getLong(1) === exact((p, i + 1)),
+        s"probe $p rank ${i + 1}: ${r.getLong(1)} vs ${exact((p, i + 1))}")
+  }
+
+  test("batched IVF agrees with single-probe ivfTopK for probe 0") {
+    val single = Ann.ivfTopK(spark, Sf0001, k = 8, nprobe = 2, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val batch = Ann.ivfTopKBatch(spark, Sf0001,
+      k = 8, nprobe = 2, topK = 5, nProbes = 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toSeq
+    assert(batch === single,
+      s"batch probe-0 must equal the single-probe path: $batch vs $single")
+  }
+
   test("fresh cache + existing persisted file ⇒ quantizer loads without fitting") {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
