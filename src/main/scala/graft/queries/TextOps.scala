@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Exact
 import graft.model.Tables
 
 /** LLM-training-data text operators over the `documents` corpus:
@@ -62,6 +63,41 @@ object TextOps {
     "es" -> Seq("data", "row"),
     "de" -> Seq("table", "hash"),
     "zh" -> Seq("batch", "merge"))
+
+  /** DuckDB twin of [[bm25Top]]: CTE chain ending in `cand` =
+    * the top-20 `(doc_id, dl, f0, f1, f2, score)` candidates. */
+  private val Bm25CoreSql: String = """base AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+    CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+      AS DOUBLE) AS f0,
+    CAST(len(list_filter(string_split(text, ' '), x -> x = 'table'))
+      AS DOUBLE) AS f1,
+    CAST(len(list_filter(string_split(text, ' '), x -> x = 'query'))
+      AS DOUBLE) AS f2
+  FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+    CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) AS sum_dl,
+    CAST(sum(CASE WHEN f0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+    CAST(sum(CASE WHEN f1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+    CAST(sum(CASE WHEN f2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+  FROM base),
+cand AS (
+  SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+    CAST(f0 AS BIGINT) AS f0, CAST(f1 AS BIGINT) AS f1,
+    CAST(f2 AS BIGINT) AS f2,
+    (CASE WHEN f0 > 0 THEN ((n_docs - df0 + 0.5) / (df0 + 0.5))
+      * ((f0 * 2.2) / (f0 + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs)))))
+      ELSE 0.0 END
+    + CASE WHEN f1 > 0 THEN ((n_docs - df1 + 0.5) / (df1 + 0.5))
+      * ((f1 * 2.2) / (f1 + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs)))))
+      ELSE 0.0 END)
+    + CASE WHEN f2 > 0 THEN ((n_docs - df2 + 0.5) / (df2 + 0.5))
+      * ((f2 * 2.2) / (f2 + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs)))))
+      ELSE 0.0 END AS score
+  FROM base, stats
+  ORDER BY score DESC, doc_id LIMIT 20)"""
 
   val all: Seq[QueryDef] = Seq(
 
@@ -307,66 +343,70 @@ ORDER BY jaccard DESC, id_a, id_b LIMIT 100""")),
     // tiny broadcast aggregates; scoring is a pure map; top-20 is
     // TakeOrderedAndProject.
     QueryDef("q_bm25",
+      (spark, dir) => bm25Top(spark, dir),
+      Some(s"""WITH $Bm25CoreSql
+SELECT doc_id, dl, f0, f1, f2, score FROM cand
+ORDER BY score DESC, doc_id""")),
+
+    // --- Two-stage retrieval: BM25 recall + semantic rerank — the
+    // production retrieval shape (and hard-negative mining for
+    // embedding training): a cheap lexical pass over the FULL corpus
+    // surfaces top-20 candidates, then only those 20 pay the
+    // expensive scorer (here: exact embedding cosine vs the probe
+    // vector, standing in for a cross-encoder forward pass — the
+    // corpus side of the operator is identical). Fusion is
+    // reciprocal-rank (RRF, k=60): rank-based, so it needs no score
+    // normalization and stays exact rational arithmetic cross-engine.
+    // Scale shape: stage 1 is the q_bm25 plan (broadcast stats +
+    // TakeOrderedAndProject); stage 2 BROADCASTS the 20 candidates
+    // onto the embeddings scan (equi join on id — the big side never
+    // shuffles) and every window sees ≤20 rows. The expensive model
+    // runs on 20 rows, not the corpus — that ratio IS the operator.
+    QueryDef("q_bm25_rerank",
       (spark, dir) => {
-        val terms = Seq("spark", "table", "query")
-        val tk = split(col("text"), " ")
-        val base = Tables.documents(spark, dir)
-          .select(col("doc_id") +: size(tk).cast("double").as("dl") +:
-            terms.zipWithIndex.map { case (t, i) =>
-              size(filter(tk, x => x === lit(t))).cast("double").as(s"f$i")
-            }: _*)
-        val statCols =
-          sum(col("dl")).cast("bigint").cast("double").as("sum_dl") +:
-            terms.indices.map(i =>
-              sum((col(s"f$i") > 0).cast("long")).cast("double").as(s"df$i"))
-        val stats = base.agg(
-          count(lit(1)).cast("double").as("n_docs"), statCols: _*)
-        val scored = base.crossJoin(broadcast(stats))
-          .withColumn("score", terms.indices.map { i =>
-            val idf = (col("n_docs") - col(s"df$i") + lit(0.5)) /
-              (col(s"df$i") + lit(0.5))
-            val norm = col(s"f$i") + lit(1.2) *
-              (lit(0.25) + lit(0.75) * (col("dl") / (col("sum_dl") / col("n_docs"))))
-            when(col(s"f$i") > 0, idf * ((col(s"f$i") * lit(2.2)) / norm))
-              .otherwise(lit(0.0))
-          }.reduce(_ + _))
-          .select(col("doc_id"), col("dl").cast("bigint").as("dl"),
-            col("f0").cast("bigint").as("f0"),
-            col("f1").cast("bigint").as("f1"),
-            col("f2").cast("bigint").as("f2"), col("score"))
-        scored.orderBy(col("score").desc, col("doc_id")).limit(20)
+        val cand = bm25Top(spark, dir)
+          .select(col("doc_id"), col("score").as("bm25_score"))
+          .withColumn("bm25_rank", row_number().over(
+            Window.orderBy(col("bm25_score").desc, col("doc_id"))))
+        val probe = Tables.embeddings(spark, dir)
+          .filter(col("vec_id") === 0)
+          .select(col("embedding").as("probe_emb"))
+        val sem = Tables.embeddings(spark, dir)
+          .join(broadcast(cand), col("vec_id") === col("doc_id"))
+          .crossJoin(broadcast(probe))
+          .select(col("doc_id"), col("bm25_rank"), col("bm25_score"),
+            Exact.cosineF(col("embedding"), col("probe_emb")).as("sem_cos"))
+        sem
+          .withColumn("sem_rank", row_number().over(
+            Window.orderBy(col("sem_cos").desc, col("doc_id"))))
+          .withColumn("rrf",
+            lit(1.0) / (lit(60.0) + col("bm25_rank")) +
+              lit(1.0) / (lit(60.0) + col("sem_rank")))
+          .select(col("doc_id"), col("bm25_rank"), col("sem_rank"),
+            col("bm25_score"), col("sem_cos"), col("rrf"))
+          .orderBy(col("rrf").desc, col("doc_id"))
       },
-      Some("""WITH base AS (
-  SELECT doc_id,
-    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
-    CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark'))
-      AS DOUBLE) AS f0,
-    CAST(len(list_filter(string_split(text, ' '), x -> x = 'table'))
-      AS DOUBLE) AS f1,
-    CAST(len(list_filter(string_split(text, ' '), x -> x = 'query'))
-      AS DOUBLE) AS f2
-  FROM documents),
-stats AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-    CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) AS sum_dl,
-    CAST(sum(CASE WHEN f0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-    CAST(sum(CASE WHEN f1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-    CAST(sum(CASE WHEN f2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
-  FROM base)
-SELECT doc_id, CAST(dl AS BIGINT) AS dl,
-  CAST(f0 AS BIGINT) AS f0, CAST(f1 AS BIGINT) AS f1,
-  CAST(f2 AS BIGINT) AS f2,
-  (CASE WHEN f0 > 0 THEN ((n_docs - df0 + 0.5) / (df0 + 0.5))
-    * ((f0 * 2.2) / (f0 + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs)))))
-    ELSE 0.0 END
-  + CASE WHEN f1 > 0 THEN ((n_docs - df1 + 0.5) / (df1 + 0.5))
-    * ((f1 * 2.2) / (f1 + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs)))))
-    ELSE 0.0 END)
-  + CASE WHEN f2 > 0 THEN ((n_docs - df2 + 0.5) / (df2 + 0.5))
-    * ((f2 * 2.2) / (f2 + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs)))))
-    ELSE 0.0 END AS score
-FROM base, stats
-ORDER BY score DESC, doc_id LIMIT 20""")),
+      Some(s"""WITH $Bm25CoreSql,
+ranked AS (
+  SELECT doc_id, score AS bm25_score,
+    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+      AS bm25_rank
+  FROM cand),
+sem AS (
+  SELECT r.doc_id, r.bm25_rank, r.bm25_score,
+    ${Exact.cosineFSql("e.embedding", "p.probe_emb")} AS sem_cos
+  FROM ranked r
+  JOIN embeddings e ON e.vec_id = r.doc_id
+  CROSS JOIN (SELECT embedding AS probe_emb FROM embeddings
+              WHERE vec_id = 0) p),
+s2 AS (
+  SELECT doc_id, bm25_rank, bm25_score, sem_cos,
+    CAST(row_number() OVER (ORDER BY sem_cos DESC, doc_id) AS INT)
+      AS sem_rank
+  FROM sem)
+SELECT doc_id, bm25_rank, sem_rank, bm25_score, sem_cos,
+  1.0 / (60.0 + bm25_rank) + 1.0 / (60.0 + sem_rank) AS rrf
+FROM s2 ORDER BY rrf DESC, doc_id""")),
 
     // --- Lexicon-based scoring (the EDBT'16 "sentiment analysis on
     // Spark" shape, and the shape of every wordlist-driven quality /
@@ -456,4 +496,40 @@ SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT) AS rank,
     / CAST(n_total AS DOUBLE) AS cum_share
 FROM top, total ORDER BY rank""")),
   )
+
+  /** BM25 top-20 for the fixed 3-term query — shared by q_bm25 (the
+    * gated output) and q_bm25_rerank (stage-1 candidates). See the
+    * q_bm25 comment for the idf surrogate + exactness argument. */
+  private[graft] def bm25Top(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val terms = Seq("spark", "table", "query")
+    val tk = split(col("text"), " ")
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id") +: size(tk).cast("double").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(tk, x => x === lit(t))).cast("double").as(s"f$i")
+        }: _*)
+    val statCols =
+      sum(col("dl")).cast("bigint").cast("double").as("sum_dl") +:
+        terms.indices.map(i =>
+          sum((col(s"f$i") > 0).cast("long")).cast("double").as(s"df$i"))
+    val stats = base.agg(
+      count(lit(1)).cast("double").as("n_docs"), statCols: _*)
+    val scored = base.crossJoin(broadcast(stats))
+      .withColumn("score", terms.indices.map { i =>
+        val idf = (col("n_docs") - col(s"df$i") + lit(0.5)) /
+          (col(s"df$i") + lit(0.5))
+        val norm = col(s"f$i") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("dl") / (col("sum_dl") / col("n_docs"))))
+        when(col(s"f$i") > 0, idf * ((col(s"f$i") * lit(2.2)) / norm))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _))
+      .select(col("doc_id"), col("dl").cast("bigint").as("dl"),
+        col("f0").cast("bigint").as("f0"),
+        col("f1").cast("bigint").as("f1"),
+        col("f2").cast("bigint").as("f2"), col("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(20)
+  }
+
 }
