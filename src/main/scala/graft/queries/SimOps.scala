@@ -756,6 +756,66 @@ SELECT cell, CAST(count(*) AS BIGINT) AS n_assigned,
     AS n_native,
   ${graft.functions.Exact.decSumSql("d2")} AS d2_sum
 FROM a GROUP BY cell ORDER BY cell""")),
+
+    // --- Contrastive-pair mining for embedding training: per anchor,
+    // the best POSITIVE (highest cosine, same label) and the HARD
+    // NEGATIVE (highest cosine, different label) plus the margin —
+    // the triplet/contrastive batch-construction op every
+    // metric-learning pipeline runs over its corpus. Scale shape:
+    // the 8 anchors broadcast onto the corpus scan (the big side
+    // never shuffles); per-(anchor, polarity) argmax rides the
+    // native GroupTopK (k = 1 partial heaps — shuffle carries ≤2
+    // rows per anchor per map partition); the final pivot is an
+    // 16-row groupBy. Exactness: cosine on the exact-decimal kernel,
+    // margin is one double subtraction of identical operands.
+    QueryDef("q_hard_negatives",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        val anchors = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("anchor_id"),
+            col("embedding").as("a_emb"), col("label").as("a_label"))
+        val scored = emb.filter(col("vec_id") >= 8)
+          .crossJoin(broadcast(anchors))
+          .select(col("anchor_id"),
+            (col("label") === col("a_label")).cast("int").as("is_pos"),
+            col("vec_id"),
+            Exact.cosineF(col("embedding"), col("a_emb")).as("cos"))
+        val best = graft.plans.GroupTopK.topK(scored,
+          Seq("anchor_id", "is_pos"),
+          Seq(("cos", true), ("vec_id", false)), 1)
+        best.groupBy(col("anchor_id"))
+          .agg(
+            max(when(col("is_pos") === 1, col("vec_id"))).as("pos_id"),
+            max(when(col("is_pos") === 1, col("cos"))).as("pos_cos"),
+            max(when(col("is_pos") === 0, col("vec_id"))).as("neg_id"),
+            max(when(col("is_pos") === 0, col("cos"))).as("neg_cos"))
+          .select(col("anchor_id"), col("pos_id"), col("pos_cos"),
+            col("neg_id"), col("neg_cos"),
+            (col("pos_cos") - col("neg_cos")).as("margin"))
+          .orderBy(col("anchor_id"))
+      },
+      Some(s"""WITH a AS (
+  SELECT vec_id AS anchor_id, embedding AS a_emb, label AS a_label
+  FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT a.anchor_id,
+    CAST(CASE WHEN e.label = a.a_label THEN 1 ELSE 0 END AS INT)
+      AS is_pos,
+    e.vec_id,
+    ${Exact.cosineFSql("e.embedding", "a.a_emb")} AS cos
+  FROM embeddings e CROSS JOIN a WHERE e.vec_id >= 8),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id, is_pos
+    ORDER BY cos DESC, vec_id) AS rn
+  FROM s)
+SELECT anchor_id,
+  max(CASE WHEN is_pos = 1 THEN vec_id END) AS pos_id,
+  max(CASE WHEN is_pos = 1 THEN cos END) AS pos_cos,
+  max(CASE WHEN is_pos = 0 THEN vec_id END) AS neg_id,
+  max(CASE WHEN is_pos = 0 THEN cos END) AS neg_cos,
+  max(CASE WHEN is_pos = 1 THEN cos END)
+    - max(CASE WHEN is_pos = 0 THEN cos END) AS margin
+FROM r WHERE rn = 1 GROUP BY anchor_id ORDER BY anchor_id""")),
   )
 
   /** Exact per-(label, dim) coordinate sums on the 1e-6 integer grid

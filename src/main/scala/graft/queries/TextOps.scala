@@ -495,6 +495,96 @@ SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS INT) AS rank,
     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
     / CAST(n_total AS DOUBLE) AS cum_share
 FROM top, total ORDER BY rank""")),
+
+    // --- Bigram-LM corpus quality score: the CCNet/KenLM
+    // "perplexity filter" shape — train n-gram statistics on the
+    // corpus, score every document by how well the model predicts
+    // it, filter/bucket on the score. Surrogate kept rational for
+    // the cross-engine oracle: per bigram occurrence the conditional
+    // probability c(w1,w2)/c(w1) (no log — ln isn't correctly-
+    // rounded IEEE; the score is a monotone mean of probabilities
+    // instead). Each probability is round()-quantized to a 1e-9
+    // integer grid (round-on-double is tie-parity-safe cross-engine,
+    // a double→DECIMAL cast is not) and summed exactly in BIGINT —
+    // association-order-free, so 1000-way parallel sums match the
+    // oracle bit-for-bit. Scale shape: bigram explode → two-phase
+    // count tables → equi joins back on the bigram key (the count
+    // tables shuffle once each; at corpus scale c1/c12 are the
+    // classic LM count-table build) → per-doc exact rollup.
+    QueryDef("q_ngram_lm",
+      (spark, dir) => {
+        val t = toks(col("text"))
+        val pairs = Tables.documents(spark, dir)
+          .select(col("doc_id"), t.as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(
+            transform(sequence(lit(1), size(col("t")) - 1),
+              i => struct(element_at(col("t"), i).as("w1"),
+                element_at(col("t"), i + 1).as("w2")))).as("p"))
+          .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        val c12 = pairs.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c12"))
+        val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        pairs.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .select(col("doc_id"),
+            round(col("c12").cast("double") / col("c1").cast("double")
+              * lit(1e9)).cast("bigint").as("pg"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("pg")).as("psum"))
+          .select(col("doc_id"), col("n_bigrams"),
+            (col("psum").cast("double") / lit(1e9) / col("n_bigrams"))
+              .as("lm_score"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tt AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pr AS (
+  SELECT doc_id, t[p] AS w1, t[p + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS p
+        FROM tt WHERE len(t) >= 2)),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM pr GROUP BY w1),
+sc AS (
+  SELECT pr.doc_id,
+    CAST(round(CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE)
+      * 1000000000.0) AS BIGINT) AS pg
+  FROM pr JOIN c12 USING (w1, w2) JOIN c1 USING (w1))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(CAST(sum(pg) AS BIGINT) AS DOUBLE) / 1000000000.0 / count(*)
+    AS lm_score
+FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // --- BPE tokenizer-training first merge: count adjacent
+    // character pairs weighted by word frequency and surface the
+    // top-20 merge candidates — iteration one of byte-pair-encoding
+    // vocabulary induction. The standard scale trick is built in:
+    // pairs are enumerated over DISTINCT words (a 1B-token corpus
+    // collapses to ~1M distinct words first), weighted by the word's
+    // corpus count — the expensive per-character explode runs on the
+    // vocabulary, not the corpus. Pure integer counting end to end;
+    // two-phase aggs on both stages; top-20 is TakeOrderedAndProject.
+    QueryDef("q_bpe_merge",
+      (spark, dir) => {
+        val words = Tables.documents(spark, dir)
+          .select(explode(toks(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+        words.filter(length(col("w")) >= 2)
+          .select(col("wc"), explode(expr(
+            "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+            .as("pair"))
+          .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(20)
+      },
+      Some("""WITH wf AS (
+  SELECT w, count(*) AS wc
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w),
+pp AS (
+  SELECT wc, w[i : i + 1] AS pair
+  FROM (SELECT w, wc, unnest(range(1, length(w))) AS i
+        FROM wf WHERE length(w) >= 2))
+SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+FROM pp GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")),
   )
 
   /** BM25 top-20 for the fixed 3-term query — shared by q_bm25 (the

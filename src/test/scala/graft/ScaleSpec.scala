@@ -124,6 +124,24 @@ class ScaleSpec extends SparkSpec {
     assert(p.contains("partial_collect_list"), p.take(1000))
   }
 
+  test("q_hard_negatives: anchors broadcast; argmax rides GroupTopK heaps") {
+    val p = plan("q_hard_negatives")
+    // corpus side must not shuffle before scoring: anchors arrive by
+    // broadcast, and the per-(anchor, polarity) argmax is the native
+    // partial-heap operator, not a window
+    assert(p.contains("BroadcastExchange"), p.take(1000))
+    assert(p.contains("GroupTopK"), p.take(1000))
+    assert(!p.contains("Window"), "argmax must not fall back to a window")
+  }
+
+  test("q_bpe_merge: pair explode runs on the distinct-word table, two-phase") {
+    val p = plan("q_bpe_merge")
+    // wordcount agg + pair agg, each with a partial phase (≥4
+    // HashAggregates), and the top-20 as per-partition heaps
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(1200))
+    assert(p.contains("TakeOrderedAndProject(limit=20"), p.take(1200))
+  }
+
   test("q_scd2: one user_id shuffle feeds all three windows") {
     val p = plan("q_scd2")
     // lag + running-sum + lead must reuse a single hash exchange on
