@@ -1062,5 +1062,131 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
   CAST(1 AS INT) AS direct_within_bound,
   CAST(1 AS INT) AS merged_within_bound
 FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // --- PIVOT (wide aggregation): per-user event_type breakdown as
+    // columns. The value list is EXPLICIT — omitting it makes Spark
+    // run a driver-side distinct scan to discover columns, a hidden
+    // collect that a 100 TB job must never pay (and that makes the
+    // output schema data-dependent). With the list pinned, pivot
+    // plans as one two-phase hash aggregation: partial per-partition
+    // (user_id × 5 conditional decimal sums), one shuffle on
+    // user_id. Sums ride the exact decimal→text→double route.
+    QueryDef("q_pivot_events",
+      (spark, dir) => Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(Exact.decSum(col("value")))
+        .orderBy(col("user_id")),
+      Some({
+        def c(t: String) =
+          "CAST(CAST(sum(CASE WHEN event_type = '" + t +
+            "' THEN CAST(value AS DECIMAL(30,6)) END) AS VARCHAR) " +
+            s"AS DOUBLE) AS $t"
+        s"""SELECT user_id, ${Seq("click", "error", "purchase", "signup",
+            "view").map(c).mkString(", ")}
+FROM events GROUP BY user_id ORDER BY user_id"""
+      })),
+
+    // --- UNPIVOT (wide → long): Spark 4's native `unpivot` (melt)
+    // over the lineitem measure columns, then a per-metric rollup —
+    // the schema-normalization shape that turns N measure columns
+    // into (metric, value) rows for generic downstream aggregation.
+    // Narrow map (each input row emits 3) + one two-phase agg on the
+    // 3-value metric key; the oracle restates the melt as UNION ALL.
+    QueryDef("q_unpivot_lineitem",
+      (spark, dir) => Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")), "metric", "mval")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"), Exact.decSum(col("mval")).as("total"))
+        .orderBy(col("metric")),
+      Some(s"""WITH m AS (
+  SELECT 'l_quantity' AS metric, l_quantity AS mval FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', l_discount FROM lineitem)
+SELECT metric, CAST(count(*) AS BIGINT) AS n,
+  ${Exact.decSumSql("mval")} AS total
+FROM m GROUP BY metric ORDER BY metric""")),
+
+    // --- Null-safe equi join (<=>): NULL keys MATCH each other
+    // instead of vanishing — the semantics a keyed enrichment needs
+    // when "unknown" is itself a dimension value (the testdata has
+    // no native NULLs, so the key derives one: nullif maps 'error'
+    // to NULL on both sides). Planned as a HASH join on the
+    // null-safe key (Spark keys the exchange on coalesce-like
+    // wrapping of <=>), not a nested loop; the 5-row dim broadcasts.
+    // The oracle spells the identical IS NOT DISTINCT FROM.
+    QueryDef("q_join_nullsafe",
+      (spark, dir) => {
+        val dim = Tables.events(spark, dir)
+          .select(nullif(col("event_type"), lit("error")).as("dim_key"))
+          .distinct()
+          .withColumn("dim_tag",
+            concat(lit("tag_"), coalesce(col("dim_key"), lit("unknown"))))
+        Tables.events(spark, dir)
+          .select(col("event_id"),
+            nullif(col("event_type"), lit("error")).as("k"))
+          .join(broadcast(dim), col("k") <=> col("dim_key"))
+          .groupBy(col("dim_tag"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("dim_tag"))
+      },
+      Some("""WITH dim AS (
+  SELECT DISTINCT nullif(event_type, 'error') AS dim_key FROM events),
+d2 AS (
+  SELECT dim_key, 'tag_' || coalesce(dim_key, 'unknown') AS dim_tag
+  FROM dim),
+e AS (
+  SELECT event_id, nullif(event_type, 'error') AS k FROM events)
+SELECT dim_tag, CAST(count(*) AS BIGINT) AS n
+FROM e JOIN d2 ON k IS NOT DISTINCT FROM dim_key
+GROUP BY dim_tag ORDER BY dim_tag""")),
+
+    // --- Exact discrete percentiles per group (p50/p90): the element
+    // AT position ceil(p·n) of the within-group value order — no
+    // interpolation arithmetic, so the result is an actual data value
+    // and cross-engine exactness is free (quantile_cont/percentile
+    // interpolation formulas differ between engines; percentile_disc
+    // semantics don't). One shuffle on event_type; the rank window
+    // reuses that exchange. The production-scale companion is the
+    // KLL-style sketch already gated by q_approx_quantile_check —
+    // this is the exact small-group form.
+    QueryDef("q_percentile_disc",
+      (spark, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        Tables.events(spark, dir)
+          .select(col("event_type"), col("event_id"), col("value"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("event_type"))))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"),
+            max(when(col("rn") === ceil(col("n") * lit(0.5)),
+              col("value"))).as("p50"),
+            max(when(col("rn") === ceil(col("n") * lit(0.9)),
+              col("value"))).as("p90"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH r AS (
+  SELECT event_type, value,
+    row_number() OVER (PARTITION BY event_type
+      ORDER BY value, event_id) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END)
+    AS p50,
+  max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END)
+    AS p90
+FROM r GROUP BY event_type ORDER BY event_type""")),
   )
 }
