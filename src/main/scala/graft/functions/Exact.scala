@@ -94,6 +94,24 @@ object Exact {
   def dotFSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> CAST(CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE) AS DECIMAL(20,12)))) AS DOUBLE)"
 
+  /** Exact squared L2 distance between an Array[Float] column and an
+    * Array[Double] column (native [[ExactSqDistFD]] kernel — the IVF
+    * assignment hot loop; declarative twin below, ExactSpec proves
+    * equivalence). */
+  def sqDistFD(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.GraftColumns.column(
+      ExactSqDistFD(
+        org.apache.spark.sql.graftbridge.GraftColumns.expression(a),
+        org.apache.spark.sql.graftbridge.GraftColumns.expression(b)))
+
+  def sqDistFDDeclarative(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0).cast(DecimalType(30, 12)),
+      (acc, v) => (acc + v.cast(DecimalType(20, 12))).cast(DecimalType(30, 12))
+    ).cast("double")
+
   /** Cosine similarity of two Array[Float] columns (double, exact-dot
     * based so both engines agree bit-for-bit). */
   def cosineF(a: Column, b: Column): Column =

@@ -34,6 +34,25 @@ object ExactNumeric {
     java.lang.Double.valueOf(sum.doubleValue())
   }
 
+  /** Exact decimal squared L2 distance between a FLOAT vector and a
+    * DOUBLE vector (the IVF assignment hot loop: corpus embedding vs
+    * broadcast centroid). Each (a−b)² term is rounded to scale 12
+    * exactly like the declarative `(acc + v.cast(DECIMAL(20,12)))`
+    * fold it replaces — bit-identical result, JIT-compiled loop. */
+  def sqDistFDOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var sum = JBigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getFloat(i).toDouble - b.getDouble(i)
+      sum = sum.add(round12(d * d))
+      i += 1
+    }
+    java.lang.Double.valueOf(sum.doubleValue())
+  }
+
   /** Exact decimal sum of squares of a float array. */
   def sumSqOrNull(a: ArrayData): java.lang.Double = {
     val n = a.numElements()
@@ -78,6 +97,35 @@ case class ExactDotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ExactDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native exact squared L2 distance between an Array[Float] column
+  * and an Array[Double] column; see [[ExactDotProduct]]. Semantics
+  * identical to the declarative zip_with/aggregate decimal fold
+  * (ExactSpec proves equivalence). */
+case class ExactSqDistFD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    ExactNumeric.sqDistFDOrNull(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("sqd")
+      s"""
+         |java.lang.Double $tmp = graft.functions.ExactNumeric.sqDistFDOrNull($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ExactSqDistFD =
     copy(left = newLeft, right = newRight)
 }
 

@@ -51,6 +51,19 @@ class ExactSpec extends SparkSpec {
     assert(diff.getDouble(1) === 0.0, "sumSq must be bit-identical")
   }
 
+  test("native sqDistFD == declarative decimal fold on real vectors") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.model.Tables.embeddings(spark, Sf0001)
+    val cents = graft.queries.SimOps.centroidArrays(spark, Sf0001)
+      .select(col("centroid"))
+    val diff = emb.crossJoin(cents)
+      .select((Exact.sqDistFD(col("embedding"), col("centroid")) -
+        Exact.sqDistFDDeclarative(col("embedding"), col("centroid")))
+        .as("d"))
+      .agg(max(abs(col("d"))).as("m")).head
+    assert(diff.getDouble(0) === 0.0, "sqDistFD must be bit-identical")
+  }
+
   test("native expressions poison on length mismatch like zip_with") {
     val a = array(lit(1.0f), lit(2.0f), lit(3.0f))
     val short = array(lit(1.0f), lit(2.0f))

@@ -70,4 +70,21 @@ class PropertySpec extends SparkSpec {
         s"split-merge != fold for n=$n")
     }
   }
+  test("ImageCodec PNG round-trip is lossless on generated doc ids") {
+    import graft.functions.ImageCodec
+    val ids = samples(Gen.choose(0L, 1000000L), 40)
+    for (id <- ids) {
+      val st = ImageCodec.decodeStats(ImageCodec.synthPng(id))
+      assert(st != null, s"id=$id must decode")
+      val (w, h) = (ImageCodec.widthOf(id), ImageCodec.heightOf(id))
+      assert(st.getLong(0) === w.toLong && st.getLong(1) === h.toLong)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val px = ImageCodec.rgbOf(id, x, y)
+        sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
+      }
+      assert((st.getLong(3), st.getLong(4), st.getLong(5)) === ((sr, sg, sb)),
+        s"id=$id channel sums must survive the encode/decode round-trip")
+    }
+  }
 }
