@@ -306,5 +306,38 @@ FROM m ORDER BY user_id""")),
 FROM (SELECT range AS i FROM range(0, 500000))
 WHERE i < 100000
 GROUP BY 1 ORDER BY 1""")),
+
+    // --- DSv2 SINK with manifest commit (K1 as a cluster warehouse
+    // commits it): events are written through graft.sources
+    // .ManifestSink — every task stages a uniquely-named part file
+    // and reports (rows, key min/max) in its WriterCommitMessage; the
+    // driver publishes _MANIFEST.json LAST as the atomic commit
+    // point. The query then reads the manifest back and returns the
+    // commit-protocol proof: manifest totals must equal the source
+    // table's count/min/max REGARDLESS of how many partitions wrote —
+    // which is exactly what the oracle checks. (The per-file stats
+    // are partition-layout-dependent metadata; only their rollup is
+    // deterministic, so only the rollup is the gated output.)
+    QueryDef("q_sink_manifest",
+      (spark, dir) => {
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val target =
+          s"${spark.conf.get("spark.sql.warehouse.dir")}/graft-sink/$key"
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", target).mode("overwrite").save()
+        val parts = graft.sources.ManifestSink.readManifest(
+          spark.sparkContext.hadoopConfiguration, target)
+        val nonEmpty = parts.filter(_._2 > 0)
+        import spark.implicits._
+        Seq((parts.map(_._2).sum,
+          nonEmpty.map(_._3).min, nonEmpty.map(_._4).max))
+          .toDF("total_rows", "key_min", "key_max")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS total_rows,
+  min(event_id) AS key_min, max(event_id) AS key_max
+FROM events""")),
   )
 }

@@ -1,0 +1,184 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 SINK with a manifest commit protocol — the
+  * write-side extension point next to [[SynthSource]]'s read side.
+  * It models the reference's K1 keyed sink
+  * (/root/reference/queue_time_predictions/preprocess_image.py:139-151
+  * save to a well-known target) the way a cluster warehouse commits:
+  *
+  *  - every task stages its own uniquely-named part file
+  *    (`part-<partition>-<task>`): task retries / speculative
+  *    duplicates can never collide or corrupt committed data;
+  *  - each task's DataWriter.commit() returns a
+  *    [[PartCommit]] message carrying (rows, key min/max, path) —
+  *    per-partition statistics computed WHILE writing, the footer
+  *    metadata every modern table format keeps;
+  *  - the driver's BatchWrite.commit() writes `_MANIFEST.json` LAST,
+  *    listing exactly the committed attempts — the manifest is the
+  *    atomic publish point, so readers either see the full dataset or
+  *    none of it, and orphaned files from failed attempts are
+  *    invisible (abort() deletes what it can; correctness never
+  *    depends on that cleanup).
+  *
+  * At 100 TB this is the difference between "a job died and the table
+  * is half-visible" and exactly-once table semantics. The sandbox
+  * writer serializes rows as CSV text (atomic column types) — the
+  * protocol, not the encoding, is the operator.
+  */
+class ManifestSink extends TableProvider {
+  // the write schema comes from the DataFrame being written
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType()
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ManifestTable(properties.get("path"), schema)
+}
+
+object ManifestSink {
+  val ManifestFile = "_MANIFEST.json"
+
+  /** Read a committed manifest's per-file entries:
+    * (path, rows, keyMin, keyMax). Empty if no manifest. */
+  def readManifest(conf: Configuration, dir: String): Seq[(String, Long, Long, Long)] = {
+    val p = new Path(dir, ManifestFile)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    // one JSON object per line: {"path":"...","rows":N,"min":N,"max":N}
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      def field(k: String): String = {
+        val m = ("\"" + k + "\":\"?([^,\"}]*)\"?").r.findFirstMatchIn(line)
+        m.map(_.group(1)).getOrElse("")
+      }
+      (field("path"), field("rows").toLong, field("min").toLong,
+        field("max").toLong)
+    }.toSeq
+  }
+}
+
+private[sources] class ManifestTable(path: String, schema: StructType)
+    extends Table with SupportsWrite {
+  require(path != null && path.nonEmpty, "option 'path' is required")
+  override def name(): String = s"manifest($path)"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new ManifestBatchWrite(path, info.schema(), doTruncate)
+      }
+    }
+}
+
+/** Driver-side commit coordinator. */
+private[sources] class ManifestBatchWrite(
+    path: String, schema: StructType, truncate: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    // prepare the target dir on the DRIVER before tasks launch
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    if (truncate && fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    new ManifestWriterFactory(path, schema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    val manifest = new Path(dir, ManifestSink.ManifestFile)
+    // last writer wins atomically: create under a temp name, rename in
+    val tmp = new Path(dir, s".${ManifestSink.ManifestFile}.tmp")
+    val out = fs.create(tmp, true)
+    try messages.foreach { case m: PartCommit =>
+      out.write((s"""{"path":"${m.path}","rows":${m.rows},""" +
+        s""""min":${m.keyMin},"max":${m.keyMax}}""" + "\n").getBytes("UTF-8"))
+    } finally out.close()
+    if (fs.exists(manifest)) fs.delete(manifest, false)
+    if (!fs.rename(tmp, manifest))
+      throw new java.io.IOException(s"cannot publish $manifest")
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    messages.foreach {
+      case m: PartCommit => fs.delete(new Path(m.path), false)
+      case _ => ()
+    }
+  }
+}
+
+/** Per-task statistics carried back to the driver at commit. */
+private[sources] case class PartCommit(
+    path: String, rows: Long, keyMin: Long, keyMax: Long)
+    extends WriterCommitMessage
+
+private[sources] class ManifestWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ManifestDataWriter(path, schema, partitionId, taskId)
+}
+
+/** Executor-side writer: stages `part-<partition>-<task>` and tracks
+  * rows + min/max of the first LongType column while writing. */
+private[sources] class ManifestDataWriter(
+    dir: String, schema: StructType, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val file = new Path(dir, s"part-$partitionId-$taskId.csv")
+  private val fs = file.getFileSystem(new Configuration())
+  private val out = fs.create(file, true)
+  private val keyIdx = schema.fields.indexWhere(_.dataType == LongType)
+  private var rows = 0L
+  private var kMin = Long.MaxValue
+  private var kMax = Long.MinValue
+
+  override def write(row: InternalRow): Unit = {
+    val line = schema.fields.indices.map { i =>
+      if (row.isNullAt(i)) "" else row.get(i, schema.fields(i).dataType).toString
+    }.mkString(",")
+    out.write((line + "\n").getBytes("UTF-8"))
+    rows += 1
+    if (keyIdx >= 0 && !row.isNullAt(keyIdx)) {
+      val k = row.getLong(keyIdx)
+      if (k < kMin) kMin = k
+      if (k > kMax) kMax = k
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    PartCommit(file.toString, rows, kMin, kMax)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(file, false)
+  }
+
+  override def close(): Unit = ()
+}
