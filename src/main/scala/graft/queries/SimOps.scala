@@ -812,6 +812,72 @@ SELECT anchor_id,
   max(CASE WHEN is_pos = 1 THEN cos END)
     - max(CASE WHEN is_pos = 0 THEN cos END) AS margin
 FROM r WHERE rn = 1 GROUP BY anchor_id ORDER BY anchor_id""")),
+
+    // --- Matryoshka truncation evaluation: retrieval overlap between
+    // full-dimension cosine top-10 and first-16-dims cosine top-10,
+    // per probe, plus the probe's prefix-norm ratio — the measurement
+    // every MRL-style embedding deployment runs before switching its
+    // serving index to truncated vectors (4× cheaper scan for
+    // measured recall loss). Scale shape: probes broadcast; BOTH
+    // rankings ride GroupTopK partial heaps off one shared scored
+    // scan; the overlap join touches 10 rows per probe. Exactness:
+    // both cosines on the exact-decimal kernel (slice keeps float
+    // arrays), norm ratio is IEEE sqrt + one division.
+    QueryDef("q_matryoshka",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        val pre: Column => Column = e => slice(e, 1, 16)
+        val probes = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+        val scored = emb.filter(col("vec_id") >= 5)
+          .crossJoin(broadcast(probes))
+          .select(col("probe_id"), col("vec_id"),
+            Exact.cosineF(col("embedding"), col("p_emb")).as("cos_full"),
+            Exact.cosineF(pre(col("embedding")), pre(col("p_emb")))
+              .as("cos_pre"))
+        val topFull = graft.plans.GroupTopK.topK(
+          scored.select(col("probe_id"), col("vec_id"), col("cos_full")),
+          Seq("probe_id"), Seq(("cos_full", true), ("vec_id", false)), 10)
+        val topPre = graft.plans.GroupTopK.topK(
+          scored.select(col("probe_id"), col("vec_id"), col("cos_pre")),
+          Seq("probe_id"), Seq(("cos_pre", true), ("vec_id", false)), 10)
+        val overlap = topFull
+          .join(topPre.select(col("probe_id"), col("vec_id"),
+            lit(1).as("hit")), Seq("probe_id", "vec_id"), "left")
+          .groupBy(col("probe_id"))
+          .agg(sum(coalesce(col("hit"), lit(0))).as("n_overlap"))
+        probes.select(col("probe_id"),
+          (sqrt(Exact.sumSq(pre(col("p_emb")))) /
+            sqrt(Exact.sumSq(col("p_emb")))).as("norm_ratio"))
+          .join(overlap, Seq("probe_id"))
+          .select(col("probe_id"), col("n_overlap"), col("norm_ratio"))
+          .orderBy(col("probe_id"))
+      },
+      Some(s"""WITH p AS (
+  SELECT vec_id AS probe_id, embedding AS p_emb
+  FROM embeddings WHERE vec_id < 5),
+s AS (
+  SELECT p.probe_id, e.vec_id,
+    ${Exact.cosineFSql("e.embedding", "p.p_emb")} AS cos_full,
+    ${Exact.cosineFSql("e.embedding[1:16]", "p.p_emb[1:16]")} AS cos_pre
+  FROM embeddings e CROSS JOIN p WHERE e.vec_id >= 5),
+tf AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
+      ORDER BY cos_full DESC, vec_id) AS rn FROM s) WHERE rn <= 10),
+tp AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
+      ORDER BY cos_pre DESC, vec_id) AS rn FROM s) WHERE rn <= 10),
+ov AS (
+  SELECT tf.probe_id, CAST(count(tp.vec_id) AS BIGINT) AS n_overlap
+  FROM tf LEFT JOIN tp
+    ON tf.probe_id = tp.probe_id AND tf.vec_id = tp.vec_id
+  GROUP BY tf.probe_id)
+SELECT p.probe_id, ov.n_overlap,
+  sqrt(${Exact.sumSqSql("p.p_emb[1:16]")})
+    / sqrt(${Exact.sumSqSql("p.p_emb")}) AS norm_ratio
+FROM p JOIN ov ON p.probe_id = ov.probe_id ORDER BY p.probe_id""")),
   )
 
   /** Exact per-(label, dim) coordinate sums on the 1e-6 integer grid

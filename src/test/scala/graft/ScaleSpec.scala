@@ -142,6 +142,27 @@ class ScaleSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject(limit=20"), p.take(1200))
   }
 
+  test("q_pivot_events: explicit value list plans the two-level aggregate") {
+    val p = plan("q_pivot_events")
+    // pivot = pre-agg on (user_id, event_type) then pivot agg — both
+    // two-phase; an implicit value list would add a driver-side
+    // distinct job BEFORE planning, which this pin can't see but the
+    // explicit list makes impossible by construction
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(1000))
+  }
+
+  test("q_join_nullsafe: <=> plans as a broadcast HASH join") {
+    val p = plan("q_join_nullsafe")
+    assert(p.contains("BroadcastHashJoin"), p.take(1000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "null-safe equality must key a hash join, not degrade to a loop")
+  }
+
+  test("q_percentile_disc: both windows reuse one event_type exchange") {
+    val p = plan("q_percentile_disc")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1200))
+  }
+
   test("q_scd2: one user_id shuffle feeds all three windows") {
     val p = plan("q_scd2")
     // lag + running-sum + lead must reuse a single hash exchange on

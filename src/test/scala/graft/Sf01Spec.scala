@@ -35,7 +35,8 @@ class Sf01Spec extends SparkSpec {
   private val newest = Seq("q_centroids", "q_quantize8", "q_try_expr",
     "q_zorder_layout", "q_multimodal_decode", "q_bm25_rerank",
     "q_ann_ivf_build", "q_hard_negatives", "q_ngram_lm", "q_bpe_merge",
-    "q_pivot_events", "q_percentile_disc")
+    "q_pivot_events", "q_percentile_disc", "q_matryoshka",
+    "q_sink_manifest")
 
   /** Order-independent distributed result signature: per-row xxhash64
     * over the stringified row, bit_xor-folded (commutative and
