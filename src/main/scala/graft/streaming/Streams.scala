@@ -337,5 +337,48 @@ ORDER BY p.user_id, p_id, c_id""")),
     row_number() OVER (PARTITION BY user_id
                        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
   FROM events) WHERE rn = 1 ORDER BY user_id""")),
+
+    // --- Transactional micro-batch sink: each foreachBatch commits
+    // through the DSv2 ManifestSink into its OWN batch-<id> directory
+    // with overwrite — so a replayed micro-batch (the at-least-once
+    // delivery every restart implies) idempotently rewrites its own
+    // commit instead of duplicating rows: exactly-once table
+    // semantics from at-least-once delivery + idempotent keyed
+    // commits, which is precisely how production streaming writers
+    // (Delta/Iceberg sinks) get their guarantee. The query returns
+    // the all-batch manifest rollup; the oracle pins it to the batch
+    // table's count/min/max REGARDLESS of how the file source split
+    // the stream into micro-batches.
+    QueryDef("q_stream_sink_manifest",
+      (spark, dir) => {
+        val target = Files.createTempDirectory("graft-stream-sink-").toString
+        val q = eventsStream(spark, dir).writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-ssink-ckpt-").toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.select(col("event_id"), col("event_type"), col("value"))
+              .write.format("graft.sources.ManifestSink")
+              .option("path", s"$target/batch-$batchId")
+              .mode("overwrite")
+              .save()
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        val conf = spark.sparkContext.hadoopConfiguration
+        val parts = new java.io.File(target).listFiles()
+          .filter(_.getName.startsWith("batch-")).toSeq
+          .flatMap(b => graft.sources.ManifestSink.readManifest(conf, b.toString))
+        val nonEmpty = parts.filter(_._2 > 0)
+        import spark.implicits._
+        Seq((parts.map(_._2).sum,
+          nonEmpty.map(_._3).min, nonEmpty.map(_._4).max))
+          .toDF("total_rows", "key_min", "key_max")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS total_rows,
+  min(event_id) AS key_min, max(event_id) AS key_max
+FROM events""")),
   )
 }
