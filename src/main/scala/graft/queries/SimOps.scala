@@ -878,6 +878,46 @@ SELECT p.probe_id, ov.n_overlap,
   sqrt(${Exact.sumSqSql("p.p_emb[1:16]")})
     / sqrt(${Exact.sumSqSql("p.p_emb")}) AS norm_ratio
 FROM p JOIN ov ON p.probe_id = ov.probe_id ORDER BY p.probe_id""")),
+
+    // --- Media decode AUDIT under poison rows: every 97th payload is
+    // corrupted (PNG signature stripped) before the REAL ImageIO
+    // decode; corrupt bytes must decode to SQL NULL — not kill the
+    // stage — and the per-language rollup proves it: decoded count,
+    // poison count, and the decoded width sum all match the oracle's
+    // closed forms. This is the operational contract of a 100 TB
+    // media crawl (some fraction of every crawl is truncated), gated
+    // end to end rather than asserted: if decode ever started
+    // throwing on bad bytes, this query would fail the driver gate,
+    // not just a unit test.
+    QueryDef("q_decode_audit",
+      (spark, dir) => {
+        import org.apache.spark.sql.graftbridge.GraftColumns.{column => gc, expression => ge}
+        val png = gc(graft.functions.PngSynth(ge(col("doc_id"))))
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), png.as("payload"))
+          // strip the 8-byte PNG signature on poison rows → undecodable
+          .select(col("doc_id"), col("lang"),
+            when(col("doc_id") % 97 === 0,
+              substring(col("payload"), 9, 1 << 24))
+              .otherwise(col("payload")).as("payload"))
+          .select(col("doc_id"), col("lang"),
+            gc(graft.functions.PngDecodeStats(ge(col("payload")))).as("st"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("st").isNotNull, 1L).otherwise(0L)).as("n_decoded"),
+            sum(when(col("st").isNull, 1L).otherwise(0L)).as("n_poison"),
+            sum(when(col("st").isNotNull, element_at(col("st"), 1))
+              .otherwise(0L)).as("width_sum"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_decoded,
+  CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_poison,
+  CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 0
+    ELSE 8 + doc_id % 8 END) AS BIGINT) AS width_sum
+FROM documents GROUP BY lang ORDER BY lang""")),
   )
 
   /** Exact per-(label, dim) coordinate sums on the 1e-6 integer grid
