@@ -36,7 +36,7 @@ class Sf01Spec extends SparkSpec {
     "q_zorder_layout", "q_multimodal_decode", "q_bm25_rerank",
     "q_ann_ivf_build", "q_hard_negatives", "q_ngram_lm", "q_bpe_merge",
     "q_pivot_events", "q_percentile_disc", "q_matryoshka",
-    "q_sink_manifest")
+    "q_sink_manifest", "q_decode_audit")
 
   /** Order-independent distributed result signature: per-row xxhash64
     * over the stringified row, bit_xor-folded (commutative and
