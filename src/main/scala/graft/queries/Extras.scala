@@ -339,5 +339,43 @@ GROUP BY 1 ORDER BY 1""")),
       Some("""SELECT CAST(count(*) AS BIGINT) AS total_rows,
   min(event_id) AS key_min, max(event_id) AS key_max
 FROM events""")),
+
+    // --- DSv2 warehouse ROUNDTRIP: sink commit → manifest-planned,
+    // stats-pruned read (graft.sources.ManifestSource). The write
+    // range-partitions on the key so committed parts carry disjoint
+    // (min,max) ranges; the read-back then filters on the key, which
+    // the source uses to prune whole part files against the
+    // manifest's per-part statistics (ManifestSourceSpec pins the
+    // pruning count; here the gate is end-to-end fidelity: whatever
+    // the engine commits and re-reads must agree with DuckDB reading
+    // the ORIGINAL parquet). Filters stay residual in the plan, so
+    // the aggregate is exact even when a part range straddles the
+    // bound.
+    QueryDef("q_manifest_roundtrip",
+      (spark, dir) => {
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest((dir + "#rt").getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val target =
+          s"${spark.conf.get("spark.sql.warehouse.dir")}/graft-sink-rt/$key"
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .repartitionByRange(8, col("event_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", target).mode("overwrite").save()
+        spark.read.format("graft.sources.ManifestSource")
+          .option("path", target).load() // schema from the manifest header
+          .filter(col("event_id") < 1000L)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            Exact.decSum(col("value"), 2).as("sum_value"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, count(*) AS n,
+  ${Exact.decSumSql("value", 2)} AS sum_value,
+  min(event_id) AS min_id, max(event_id) AS max_id
+FROM events WHERE event_id < 1000
+GROUP BY event_type ORDER BY event_type""")),
   )
 }

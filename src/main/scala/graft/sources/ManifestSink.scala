@@ -6,12 +6,14 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSource V2 SINK with a manifest commit protocol — the
   * write-side extension point next to [[SynthSource]]'s read side.
@@ -27,16 +29,28 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    per-partition statistics computed WHILE writing, the footer
   *    metadata every modern table format keeps;
   *  - the driver's BatchWrite.commit() writes `_MANIFEST.json` LAST,
-  *    listing exactly the committed attempts — the manifest is the
-  *    atomic publish point, so readers either see the full dataset or
-  *    none of it, and orphaned files from failed attempts are
-  *    invisible (abort() deletes what it can; correctness never
-  *    depends on that cleanup).
+  *    listing the table schema plus exactly the committed attempts —
+  *    the manifest is the atomic publish point, so readers either see
+  *    the full dataset or none of it, and orphaned files from failed
+  *    attempts are invisible (abort() deletes what it can; correctness
+  *    never depends on that cleanup).
   *
-  * At 100 TB this is the difference between "a job died and the table
-  * is half-visible" and exactly-once table semantics. The sandbox
-  * writer serializes rows as CSV text (atomic column types) — the
-  * protocol, not the encoding, is the operator.
+  * Filesystem access uses the SESSION Hadoop configuration end to end:
+  * captured once on the driver (`sessionState.newHadoopConf()`, which
+  * layers `spark.hadoop.*` onto the defaults) and shipped to executor
+  * writers via [[SerializableConfiguration]]. A bare
+  * `new Configuration()` would silently drop the session's filesystem
+  * settings (credentials, `fs.*` implementations, buffer sizing) — on
+  * a real cluster that is the difference between writing the user's
+  * warehouse and writing nothing.
+  *
+  * At 100 TB this protocol is the difference between "a job died and
+  * the table is half-visible" and exactly-once table semantics. The
+  * sandbox writer serializes rows as escaped text (atomic column
+  * types — see [[ManifestCodec]]); the protocol, not the encoding, is
+  * the operator. [[ManifestSource]] is the matching read path: it
+  * plans one input partition per committed part and prunes parts
+  * whose (key min, key max) range cannot satisfy the pushed filters.
   */
 class ManifestSink extends TableProvider {
   // the write schema comes from the DataFrame being written
@@ -53,24 +67,40 @@ class ManifestSink extends TableProvider {
 object ManifestSink {
   val ManifestFile = "_MANIFEST.json"
 
-  /** Read a committed manifest's per-file entries:
-    * (path, rows, keyMin, keyMax). Empty if no manifest. */
-  def readManifest(conf: Configuration, dir: String): Seq[(String, Long, Long, Long)] = {
-    val p = new Path(dir, ManifestFile)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return Seq.empty
-    val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    // one JSON object per line: {"path":"...","rows":N,"min":N,"max":N}
-    text.linesIterator.filter(_.nonEmpty).map { line =>
+  /** The session Hadoop conf, captured on the driver. This is the ONLY
+    * conf constructor in the manifest code paths. */
+  private[sources] def driverConf(): Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+
+  /** One committed part's stats: (path, rows, keyMin, keyMax). */
+  def readManifest(conf: Configuration, dir: String): Seq[(String, Long, Long, Long)] =
+    manifestLines(conf, dir).filter(_.contains("\"path\"")).map { line =>
       def field(k: String): String = {
         val m = ("\"" + k + "\":\"?([^,\"}]*)\"?").r.findFirstMatchIn(line)
         m.map(_.group(1)).getOrElse("")
       }
       (field("path"), field("rows").toLong, field("min").toLong,
         field("max").toLong)
-    }.toSeq
+    }
+
+  /** The committed table schema (manifest header line), if present. */
+  def readSchema(conf: Configuration, dir: String): Option[StructType] =
+    manifestLines(conf, dir)
+      .find(_.startsWith("{\"schema\":"))
+      .map { line =>
+        val ddl = line.stripPrefix("{\"schema\":\"").stripSuffix("\"}")
+          .replace("\\\"", "\"").replace("\\\\", "\\")
+        StructType.fromDDL(ddl)
+      }
+
+  private def manifestLines(conf: Configuration, dir: String): Seq[String] = {
+    val p = new Path(dir, ManifestFile)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    text.linesIterator.filter(_.nonEmpty).toSeq
   }
 }
 
@@ -88,35 +118,43 @@ private[sources] class ManifestTable(path: String, schema: StructType)
       override def truncate(): WriteBuilder = { doTruncate = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new ManifestBatchWrite(path, info.schema(), doTruncate)
+          // capture the session conf HERE — newWriteBuilder/build run
+          // on the driver; executors only ever see the serialized copy
+          new ManifestBatchWrite(path, info.schema(), doTruncate,
+            new SerializableConfiguration(ManifestSink.driverConf()))
       }
     }
 }
 
 /** Driver-side commit coordinator. */
 private[sources] class ManifestBatchWrite(
-    path: String, schema: StructType, truncate: Boolean) extends BatchWrite {
+    path: String, schema: StructType, truncate: Boolean,
+    conf: SerializableConfiguration) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     // prepare the target dir on the DRIVER before tasks launch
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(conf.value)
     if (truncate && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
-    new ManifestWriterFactory(path, schema)
+    new ManifestWriterFactory(path, schema, conf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(conf.value)
     val manifest = new Path(dir, ManifestSink.ManifestFile)
     // last writer wins atomically: create under a temp name, rename in
     val tmp = new Path(dir, s".${ManifestSink.ManifestFile}.tmp")
     val out = fs.create(tmp, true)
-    try messages.foreach { case m: PartCommit =>
-      out.write((s"""{"path":"${m.path}","rows":${m.rows},""" +
-        s""""min":${m.keyMin},"max":${m.keyMax}}""" + "\n").getBytes("UTF-8"))
+    val ddl = schema.toDDL.replace("\\", "\\\\").replace("\"", "\\\"")
+    try {
+      out.write((s"""{"schema":"$ddl"}""" + "\n").getBytes("UTF-8"))
+      messages.foreach { case m: PartCommit =>
+        out.write((s"""{"path":"${m.path}","rows":${m.rows},""" +
+          s""""min":${m.keyMin},"max":${m.keyMax}}""" + "\n").getBytes("UTF-8"))
+      }
     } finally out.close()
     if (fs.exists(manifest)) fs.delete(manifest, false)
     if (!fs.rename(tmp, manifest))
@@ -124,7 +162,7 @@ private[sources] class ManifestBatchWrite(
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(conf.value)
     messages.foreach {
       case m: PartCommit => fs.delete(new Path(m.path), false)
       case _ => ()
@@ -137,20 +175,23 @@ private[sources] case class PartCommit(
     path: String, rows: Long, keyMin: Long, keyMax: Long)
     extends WriterCommitMessage
 
-private[sources] class ManifestWriterFactory(path: String, schema: StructType)
+private[sources] class ManifestWriterFactory(
+    path: String, schema: StructType,
+    private[sources] val conf: SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(path, schema, partitionId, taskId)
+    new ManifestDataWriter(path, schema, partitionId, taskId, conf.value)
 }
 
 /** Executor-side writer: stages `part-<partition>-<task>` and tracks
   * rows + min/max of the first LongType column while writing. */
 private[sources] class ManifestDataWriter(
-    dir: String, schema: StructType, partitionId: Int, taskId: Long)
+    dir: String, schema: StructType, partitionId: Int, taskId: Long,
+    conf: Configuration)
     extends DataWriter[InternalRow] {
 
   private val file = new Path(dir, s"part-$partitionId-$taskId.csv")
-  private val fs = file.getFileSystem(new Configuration())
+  private val fs = file.getFileSystem(conf)
   private val out = fs.create(file, true)
   private val keyIdx = schema.fields.indexWhere(_.dataType == LongType)
   private var rows = 0L
@@ -158,10 +199,7 @@ private[sources] class ManifestDataWriter(
   private var kMax = Long.MinValue
 
   override def write(row: InternalRow): Unit = {
-    val line = schema.fields.indices.map { i =>
-      if (row.isNullAt(i)) "" else row.get(i, schema.fields(i).dataType).toString
-    }.mkString(",")
-    out.write((line + "\n").getBytes("UTF-8"))
+    out.write((ManifestCodec.encode(row, schema) + "\n").getBytes("UTF-8"))
     rows += 1
     if (keyIdx >= 0 && !row.isNullAt(keyIdx)) {
       val k = row.getLong(keyIdx)

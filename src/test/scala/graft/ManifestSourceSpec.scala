@@ -1,0 +1,141 @@
+package graft
+
+import java.net.URI
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.RawLocalFileSystem
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.connector.read.SupportsReportStatistics
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Tables
+
+/** A local filesystem under a scheme that exists ONLY in the session
+  * Hadoop configuration — the probe for the sink/source conf plumbing.
+  * If any manifest code path built a bare `new Configuration()`, the
+  * `graftfs` scheme would be unresolvable there and the operation
+  * would throw ("No FileSystem for scheme"). Must be top-level: Hadoop
+  * instantiates it reflectively from the conf value. */
+class GraftTestFs extends RawLocalFileSystem {
+  override def getScheme: String = "graftfs"
+  override def getUri: URI = URI.create("graftfs:///")
+}
+
+/** DSv2 manifest READ-path guarantees: schema from the manifest
+  * header, stats-based part pruning from pushed key bounds (with the
+  * filters kept residual, so pruning is never a correctness
+  * dependency), codec fidelity for every atomic type including
+  * NULL-vs-empty and separator-hostile strings, post-pruning planner
+  * statistics, and session-conf filesystem access end to end. */
+class ManifestSourceSpec extends SparkSpec {
+
+  private def writeEvents(target: String, parts: Int = 8): Unit =
+    Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .repartitionByRange(parts, col("event_id"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", target).mode("overwrite").save()
+
+  private def readBack(target: String): DataFrame =
+    spark.read.format("graft.sources.ManifestSource")
+      .option("path", target).load()
+
+  private def scanOf(df: DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+
+  test("schema comes from the manifest header, not file sampling") {
+    val target = Files.createTempDirectory("graft-src-spec-").toString
+    writeEvents(target)
+    val schema = readBack(target).schema
+    assert(schema.fieldNames.toSeq === Seq("event_id", "event_type", "value"))
+    assert(schema("event_id").dataType === LongType)
+    assert(schema("event_type").dataType === StringType)
+    assert(schema("value").dataType === DoubleType)
+  }
+
+  test("roundtrip preserves atomic types, NULL vs empty, hostile strings") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-src-spec-").toString
+    val rows = Seq(
+      (1L, Some("plain"), Some(1.5), Some(true)),
+      (2L, Some("comma, inside"), Some(-0.25), Some(false)),
+      (3L, Some("line\nbreak\tand tab"), None, None),
+      (4L, Some(""), Some(Double.MinPositiveValue), Some(true)), // empty ≠ NULL
+      (5L, None, Some(1.0e308), Some(false)),
+      (6L, Some("unicode æøå 中文 🙂"), Some(0.1 + 0.2), None),
+      (7L, Some("\\N"), Some(0.0), Some(true))) // the literal NULL token
+    val df = rows.toDF("k", "s", "v", "b")
+    df.write.format("graft.sources.ManifestSink")
+      .option("path", target).mode("overwrite").save()
+    val back = readBack(target)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty,
+      "roundtrip must be lossless")
+    // NULL and empty string stay distinct through the codec
+    assert(back.filter(col("s").isNull).select("k").as[Long].collect().toSeq === Seq(5L))
+    assert(back.filter(col("s") === "").select("k").as[Long].collect().toSeq === Seq(4L))
+  }
+
+  test("key-range predicates prune part files against manifest stats") {
+    val target = Files.createTempDirectory("graft-src-spec-").toString
+    writeEvents(target, parts = 8)
+    assert(scanOf(readBack(target)).inputPartitions.length === 8,
+      "unfiltered scan plans every committed part")
+    val minId = Tables.events(spark, Sf0001).agg(min("event_id")).head.getLong(0)
+    // range-partitioned parts have disjoint key ranges: a point-sized
+    // bound overlaps exactly the part holding the minimum
+    val one = readBack(target).filter(col("event_id") <= minId)
+    assert(scanOf(one).inputPartitions.length === 1)
+    // an unsatisfiable bound prunes every part at planning time
+    val none = readBack(target).filter(col("event_id") < minId)
+    assert(scanOf(none).inputPartitions.length === 0)
+    assert(none.count() === 0L)
+  }
+
+  test("residual filters trim straddling parts to the exact rows") {
+    val target = Files.createTempDirectory("graft-src-spec-").toString
+    writeEvents(target, parts = 8)
+    val ids = Tables.events(spark, Sf0001)
+      .select("event_id").orderBy("event_id").limit(2000)
+      .collect().map(_.getLong(0))
+    val (lo, hi) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val got = readBack(target)
+      .filter(col("event_id") >= lo && col("event_id") < hi).count()
+    val want = Tables.events(spark, Sf0001)
+      .filter(col("event_id") >= lo && col("event_id") < hi).count()
+    assert(got === want, "pruning must never change query results")
+  }
+
+  test("planner statistics report the post-pruning manifest row count") {
+    val target = Files.createTempDirectory("graft-src-spec-").toString
+    writeEvents(target, parts = 8)
+    val total = Tables.events(spark, Sf0001).count()
+    val full = scanOf(readBack(target)).scan.asInstanceOf[SupportsReportStatistics]
+    assert(full.estimateStatistics().numRows().getAsLong === total)
+    val minId = Tables.events(spark, Sf0001).agg(min("event_id")).head.getLong(0)
+    val pruned = scanOf(readBack(target).filter(col("event_id") < minId))
+      .scan.asInstanceOf[SupportsReportStatistics]
+    assert(pruned.estimateStatistics().numRows().getAsLong === 0L)
+  }
+
+  test("session Hadoop conf reaches every filesystem touch (graftfs)") {
+    // the scheme resolves ONLY through the session conf (runtime SQL
+    // confs are copied verbatim into sessionState.newHadoopConf(), so
+    // the key carries no spark.hadoop. prefix); caching is off so a
+    // stray `new Configuration()` anywhere in the write or read path
+    // throws instead of borrowing a cached instance
+    spark.conf.set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    spark.conf.set("fs.graftfs.impl.disable.cache", "true")
+    try {
+      val local = Files.createTempDirectory("graft-src-conf-").toString
+      val target = s"graftfs:$local/table"
+      writeEvents(target, parts = 4) // driver mkdir+commit, executor create
+      val n = readBack(target).count() // driver manifest read, executor open
+      assert(n === Tables.events(spark, Sf0001).count())
+    } finally {
+      spark.conf.unset("fs.graftfs.impl")
+      spark.conf.unset("fs.graftfs.impl.disable.cache")
+    }
+  }
+}
