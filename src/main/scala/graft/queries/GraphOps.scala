@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Iterative graph analytics over the supplier↔customer interaction
+  * graph (who supplied whom, derived from lineitem ⋈ orders — the
+  * graph a procurement-analytics user of the reference would build
+  * from the same fact data). Companion to the pointer-jumping
+  * connected components in [[CorpusOps]]: components prove O(log d)
+  * convergence; PageRank is the fixed-iteration-count shape.
+  *
+  * EXACT INTEGER PAGERANK: ranks live on a 1e-6 fixed-point BIGINT
+  * grid and every update is integer arithmetic —
+  * `next(v) = 150000 + Σ_{u→v} (rank(u)·17) div (outdeg(u)·20)`
+  * (damping 0.85 = 17/20 as an exact rational; `div` truncates, and
+  * all operands are positive, so Spark's `div` and DuckDB's `//`
+  * agree). A floating-point PageRank can NEVER be a cross-engine or
+  * cross-partitioning contract — the sum's merge order changes the
+  * low bits every run; on the integer grid the fold is associative
+  * and the oracle can replay all K iterations as chained CTEs,
+  * bit-for-bit.
+  *
+  * Scale shape: the edge set (with out-degrees attached) is built
+  * once and localCheckpoint'd — K iterations reuse the materialized
+  * edges instead of re-deriving the join lineage K times. Each
+  * iteration is one broadcast of the current rank vector onto the
+  * edge scan + one aggregation keyed by destination (map-side
+  * combine): the EDGES — the 100 TB side — never re-shuffle. When the
+  * node vector outgrows broadcast range, the same loop runs as a
+  * co-partitioned shuffle join on node id (both sides hash-partition
+  * the same key every iteration, so AQE reuses the exchange); the
+  * node table is |V| ≪ |E| — the standard Pregel-style layout.
+  * Node ids disambiguate the two key spaces arithmetically
+  * (supplier → 2k, customer → 2k+1): no string concat in the hot
+  * keys. Every node has in- and out-edges by construction (edges go
+  * both directions), so no dangling-mass term is needed and the
+  * grouped update covers every node each round.
+  */
+object GraphOps {
+
+  val Iterations = 5
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q_pagerank",
+      (spark, dir) => {
+        val pairs = Tables.lineitem(spark, dir)
+          .select(col("l_suppkey"), col("l_orderkey"))
+          .join(Tables.orders(spark, dir)
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2).as("s"),
+            (col("o_custkey") * 2 + 1).as("c"))
+          .distinct()
+        val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+          .unionAll(pairs.select(col("c").as("src"), col("s").as("dst")))
+        val deg = edges.groupBy(col("src"))
+          .agg(count(lit(1)).as("outdeg"))
+        // materialize once; 5 iterations re-scan these edges
+        val ed = edges.join(deg, "src").localCheckpoint()
+
+        var ranks = deg.select(col("src").as("node"),
+          lit(1000000L).as("pr"))
+        for (_ <- 1 to Iterations) {
+          ranks = ed.join(broadcast(ranks), col("src") === col("node"))
+            .select(col("dst"),
+              expr("(pr * 17) div (outdeg * 20)").as("contrib"))
+            .groupBy(col("dst"))
+            .agg((lit(150000L) + sum(col("contrib"))).as("pr"))
+            .select(col("dst").as("node"), col("pr"))
+        }
+        ranks.orderBy(col("pr").desc, col("node")).limit(20)
+      },
+      Some {
+        val base = """WITH pairs AS (
+  SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT s AS src, c AS dst FROM pairs
+  UNION ALL
+  SELECT c AS src, s AS dst FROM pairs),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.outdeg
+  FROM edges e JOIN deg d ON d.src = e.src),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg)"""
+        val iters = (1 to Iterations).map { i =>
+          s"""r$i AS (
+  SELECT ed.dst AS node,
+    CAST(150000 + sum((r.pr * 17) // (ed.outdeg * 20)) AS BIGINT) AS pr
+  FROM ed JOIN r${i - 1} r ON r.node = ed.src
+  GROUP BY ed.dst)"""
+        }.mkString(",\n")
+        s"""$base,
+$iters
+SELECT node, pr FROM r$Iterations
+ORDER BY pr DESC, node LIMIT 20"""
+      }),
+  )
+}

@@ -918,6 +918,104 @@ FROM p JOIN ov ON p.probe_id = ov.probe_id ORDER BY p.probe_id""")),
   CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 0
     ELSE 8 + doc_id % 8 END) AS BIGINT) AS width_sum
 FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // --- SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    // dedup = cluster the embedding space, then drop near-duplicates
+    // WITHIN each cluster — the pairwise cosine never runs globally.
+    // This engine's rendition is fully oracle-gated: the clusters are
+    // the label-seeded exact centroids (same assignment kernel as
+    // q_ann_ivf_build — broadcast 10-cell quantizer, ExactSqDistFD
+    // argmin), and within a cluster candidates are further blocked by
+    // the sign-LSH bucket (the q_embed_neardup block), so the
+    // quadratic is bounded by the (cell × bucket) co-occurrence — at
+    // 100 TB the block key is the one shuffle and block sizes are
+    // tuned by the bit count, exactly like the other near-dup ops.
+    // Cross-block near-dups are out of scope BY DEFINITION (SemDeDup
+    // itself only dedups within a cluster); the oracle states the
+    // identical blocking, so both engines see the same pair space.
+    // Keep-rule: a vector is dropped iff an EARLIER vector (smaller
+    // vec_id) in its block has cosine ≥ τ — deterministic canonical
+    // choice, same rule as the text dedup family. Output is the
+    // per-cell dedup profile (scalars only, per the output contract).
+    QueryDef("q_semdedup",
+      (spark, dir) => {
+        val cents = centroidArrays(spark, dir)
+          .select(col("label").as("cell"), col("centroid"))
+        val cellOf = Tables.embeddings(spark, dir)
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"),
+            Exact.sqDistFD(col("embedding"), col("centroid")).as("d2"),
+            col("cell"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("d2"), col("cell"))).as("m"))
+          .select(col("vec_id"), col("m.cell").as("cell"))
+        val z = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"),
+            lshBucket(col("embedding")).as("bucket"),
+            sqrt(Exact.sumSq(col("embedding"))).as("norm"))
+          .join(cellOf, "vec_id")
+          .localCheckpoint() // both self-join sides + the rollup reuse it
+        val a = z.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+          col("cell"), col("bucket"), col("norm").as("norm_a"))
+        val b = z.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+          col("cell"), col("bucket"), col("norm").as("norm_b"))
+        val dropped = a.join(b, Seq("cell", "bucket"))
+          .filter(col("id_b") < col("id_a"))
+          .filter(Exact.dotF(col("emb_a"), col("emb_b"))
+            / (col("norm_a") * col("norm_b")) >= 0.3)
+          .select(col("id_a").as("vec_id")).distinct()
+          .withColumn("is_dup", lit(1L))
+        z.join(dropped, Seq("vec_id"), "left")
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(coalesce(col("is_dup"), lit(0L))).as("n_dropped"),
+            (count(lit(1)) - sum(coalesce(col("is_dup"), lit(0L))))
+              .as("n_kept"))
+          .orderBy(col("cell"))
+      },
+      Some(s"""WITH e AS (
+  SELECT label, unnest(embedding) AS x,
+    unnest(range(len(embedding))) AS dim
+  FROM embeddings),
+g AS (
+  SELECT label, dim,
+    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+      / 1000000.0 / count(*) AS c
+  FROM e GROUP BY label, dim),
+cents AS (
+  SELECT label AS cell, list(c ORDER BY dim) AS cent
+  FROM g GROUP BY label),
+dists AS (
+  SELECT v.vec_id, c.cell,
+    CAST(list_sum(list_transform(range(1, len(v.embedding) + 1),
+      i -> CAST((CAST(v.embedding[i] AS DOUBLE) - c.cent[i])
+        * (CAST(v.embedding[i] AS DOUBLE) - c.cent[i])
+        AS DECIMAL(20,12)))) AS DOUBLE) AS d2
+  FROM embeddings v CROSS JOIN cents c),
+assign AS (
+  SELECT vec_id, cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY d2, cell) AS rn FROM dists)
+  WHERE rn = 1),
+z AS (
+  SELECT b.vec_id, b.embedding, b.bucket, b.norm, assign.cell
+  FROM (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket,
+          sqrt(${Exact.sumSqSql("embedding")}) AS norm
+        FROM embeddings) b
+  JOIN assign ON assign.vec_id = b.vec_id),
+drp AS (
+  SELECT DISTINCT x.vec_id
+  FROM z x JOIN z y ON x.cell = y.cell AND x.bucket = y.bucket
+    AND y.vec_id < x.vec_id
+  WHERE ${Exact.dotFSql("x.embedding", "y.embedding")}
+    / (x.norm * y.norm) >= 0.3)
+SELECT z.cell, CAST(count(*) AS BIGINT) AS n_total,
+  CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped,
+  CAST(count(*) - sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_kept
+FROM z LEFT JOIN drp d ON d.vec_id = z.vec_id
+GROUP BY z.cell ORDER BY z.cell""")),
   )
 
   /** Exact per-(label, dim) coordinate sums on the 1e-6 integer grid

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+import graft.model.Tables
+
+/** Classic statistical aggregates the reference's analytics consumers
+  * expect from any engine (reference: estimate_queue.py aggregates its
+  * per-station estimates; these are the set-at-a-time generalizations):
+  * ordered string aggregation (LISTAGG), the linear-regression /
+  * correlation family, and deterministic mode + exact median.
+  *
+  * Exactness doctrine (same as [[Exact]]): every cross-row fold runs
+  * in DECIMAL/BIGINT (association-order free — a 1000-executor merge
+  * tree and the single-node oracle agree bit-for-bit); the per-group
+  * FINISHING arithmetic (slope from the moment sums, the two-middle
+  * average for the median) is plain IEEE double on identical operands
+  * written with identical structure on both engines, so it is
+  * correctly-rounded-identical too.
+  */
+object StatsOps {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // --- Ordered string aggregation (LISTAGG / string_agg): the
+    // report-building aggregate. Spark's collect_list is
+    // order-nondeterministic under parallel merge, so the engine
+    // sorts INSIDE the group before joining — making the result
+    // partitioning-independent (the same property every Exact.* agg
+    // has). collect_list also drops NULL inputs, which yields the
+    // FILTER clause for free: the conditional rendition aggregates
+    // `when(cond, x)` and a size guard restores SQL's empty-group →
+    // NULL convention. Groups are bounded (nations per region), so
+    // the per-group list never approaches executor memory; unbounded
+    // concatenation at 100 TB would be a design smell, not a bigger
+    // buffer.
+    QueryDef("q_string_agg",
+      (spark, dir) => {
+        val nations = Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+        val tail = collect_list(when(col("n_name") > "M", col("n_name")))
+        nations.groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n"),
+            array_join(array_sort(collect_list(col("n_name"))), "|")
+              .as("all_csv"),
+            when(size(tail) === 0, lit(null))
+              .otherwise(array_join(array_sort(tail), "|")).as("tail_csv"))
+          .orderBy(col("r_name"))
+      },
+      Some("""SELECT r_name, count(*) AS n,
+  string_agg(n_name, '|' ORDER BY n_name) AS all_csv,
+  string_agg(n_name, '|' ORDER BY n_name)
+    FILTER (WHERE n_name > 'M') AS tail_csv
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name""")),
+
+    // --- Linear regression / correlation aggregates (corr, covar,
+    // regr_slope/intercept/r2) over (quantity → price). Built-in
+    // corr()/covar_samp() stream Welford-style co-moments whose merge
+    // order changes the last bits run to run — unusable as a
+    // cross-engine (or cross-partitioning) contract. The engine
+    // instead folds the five moment sums exactly (decimal, per
+    // Exact.decSum) and FINISHES with the textbook formulas in double:
+    // one shuffle, map-side combine, bit-stable at any parallelism.
+    // (ExactSpec pins built-in corr ≈ this corr at 1e-9 — same
+    // statistic, exact fold.)
+    QueryDef("q_regr_stats",
+      (spark, dir) => {
+        val x = col("l_quantity"); val y = col("l_extendedprice")
+        val nD = col("n").cast("double")
+        val varx = nD * col("sxx") - col("sx") * col("sx")
+        val vary = nD * col("syy") - col("sy") * col("sy")
+        val cov = nD * col("sxy") - col("sx") * col("sy")
+        Tables.lineitem(spark, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            Exact.decSum(x, 2).as("sx"), Exact.decSum(y, 2).as("sy"),
+            Exact.decSum(x * x, 4).as("sxx"),
+            Exact.decSum(y * y, 4).as("syy"),
+            Exact.decSum(x * y, 4).as("sxy"))
+          .select(col("l_returnflag"), col("n"),
+            (cov / varx).as("slope"),
+            ((col("sy") - (cov / varx) * col("sx")) / nD).as("intercept"),
+            (cov / sqrt(varx * vary)).as("corr"),
+            ((cov / sqrt(varx * vary)) * (cov / sqrt(varx * vary))).as("r2"),
+            (cov / (nD * (nD - lit(1.0)))).as("covar_s"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""WITH m AS (
+  SELECT l_returnflag, count(*) AS n,
+    ${Exact.decSumSql("l_quantity", 2)} AS sx,
+    ${Exact.decSumSql("l_extendedprice", 2)} AS sy,
+    ${Exact.decSumSql("l_quantity * l_quantity", 4)} AS sxx,
+    ${Exact.decSumSql("l_extendedprice * l_extendedprice", 4)} AS syy,
+    ${Exact.decSumSql("l_quantity * l_extendedprice", 4)} AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+  (CAST(n AS DOUBLE) * sxy - sx * sy)
+    / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+  (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+    / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+    / CAST(n AS DOUBLE) AS intercept,
+  (CAST(n AS DOUBLE) * sxy - sx * sy)
+    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+      * (CAST(n AS DOUBLE) * syy - sy * sy)) AS corr,
+  ((CAST(n AS DOUBLE) * sxy - sx * sy)
+    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+      * (CAST(n AS DOUBLE) * syy - sy * sy)))
+  * ((CAST(n AS DOUBLE) * sxy - sx * sy)
+    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+      * (CAST(n AS DOUBLE) * syy - sy * sy))) AS r2,
+  (CAST(n AS DOUBLE) * sxy - sx * sy)
+    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS covar_s
+FROM m ORDER BY l_returnflag""")),
+
+    // --- Deterministic MODE + exact MEDIAN per group. Built-in
+    // mode() leaves ties implementation-defined and median()'s
+    // interpolation formula differs across engines in the last ulp —
+    // both unacceptable as contracts. Mode: two-phase count then a
+    // max(struct(cnt, -uid)) argmax (ties → smallest user, stated on
+    // both sides; map-side combinable, no window over the raw rows).
+    // Median: the two middle values by position — row_number over the
+    // in-group sort picks positions (n+1)/2 and n/2+1, their
+    // (min+max)/2.0 is one double add+halve of identical operands
+    // (odd n picks one row twice; duplicates at the boundary are
+    // harmless because only the VALUES at the positions matter, not
+    // which tied row supplied them).
+    QueryDef("q_mode_median",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val byUser = ev.groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("c"))
+        val mode = byUser.groupBy(col("event_type"))
+          .agg(max(struct(col("c"), (-col("user_id")).as("nu"))).as("m"))
+          .select(col("event_type"), (-col("m.nu")).as("mode_user"),
+            col("m.c").as("n_mode"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        val med = ev
+          .select(col("event_type"), col("value"),
+            row_number().over(w).as("rn"),
+            count(lit(1)).over(Window.partitionBy(col("event_type"))).as("n"))
+          .filter(expr("rn = (n + 1) div 2 OR rn = n div 2 + 1"))
+          .groupBy(col("event_type"))
+          .agg(((min(col("value")) + max(col("value"))) / 2.0).as("med_value"))
+        mode.join(med, "event_type").orderBy(col("event_type"))
+      },
+      Some("""WITH bu AS (
+  SELECT event_type, user_id, count(*) AS c
+  FROM events GROUP BY event_type, user_id),
+md AS (
+  SELECT event_type, user_id AS mode_user, c AS n_mode
+  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+          ORDER BY c DESC, user_id) AS rn FROM bu)
+  WHERE rn = 1),
+pos AS (
+  SELECT event_type, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+me AS (
+  SELECT event_type, (min(value) + max(value)) / 2.0 AS med_value
+  FROM pos WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+  GROUP BY event_type)
+SELECT md.event_type, mode_user, n_mode, med_value
+FROM md JOIN me ON md.event_type = me.event_type
+ORDER BY md.event_type""")),
+  )
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Integer-PageRank invariants: fixed-point mass accounting, the base
+  * floor, and bit-identical results under different partitioning (the
+  * property the integer grid buys — a floating-point PageRank fails
+  * this test). */
+class GraphOpsSpec extends SparkSpec {
+
+  private lazy val ranks =
+    SparkEntry.queries("q_pagerank")(spark, Sf0001).collect()
+
+  test("every rank carries the base mass floor") {
+    assert(ranks.nonEmpty)
+    // next(v) = 150000 + a non-negative integer sum
+    ranks.foreach(r => assert(r.getLong(1) >= 150000L,
+      s"node ${r.getLong(0)} below base"))
+  }
+
+  test("floor division only sheds mass: no rank exceeds total mass") {
+    // Σ r_0 = N·10⁶ and each round redistributes ≤ 85% of the total
+    // plus the base, so no single rank can exceed the graph's initial
+    // mass — a structural bound independent of topology.
+    val top = ranks.map(_.getLong(1)).max
+    val nodes = graft.model.Tables.supplier(spark, Sf0001).count() +
+      graft.model.Tables.customer(spark, Sf0001).count()
+    assert(top <= nodes * 1000000L, s"top=$top nodes=$nodes")
+  }
+
+  test("ranking is deterministic and ordered (desc rank, asc node)") {
+    val pairs = ranks.map(r => (r.getLong(1), r.getLong(0)))
+    val sorted = pairs.sortBy { case (pr, node) => (-pr, node) }.toSeq
+    assert(pairs.toSeq === sorted, "output must be (pr DESC, node ASC)")
+    val again = SparkEntry.queries("q_pagerank")(spark, Sf0001)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSeq
+    assert(again === pairs.toSeq, "re-run must be bit-identical")
+  }
+}

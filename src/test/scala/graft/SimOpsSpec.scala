@@ -187,4 +187,20 @@ class SimOpsSpec extends SparkSpec {
       assert(err <= mx / 254.0 * (1 + 1e-9), s"err=$err max_abs=$mx")
     }
   }
+
+  test("q_semdedup: per-cell accounting laws and earliest-keeper rule") {
+    val rows = SparkEntry.queries("q_semdedup")(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    var total = 0L
+    rows.foreach { r =>
+      val (n, drop, keep) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(keep + drop === n, s"cell ${r.get(0)}: kept+dropped ≠ total")
+      // the smallest vec_id in every (cell, bucket) block has no
+      // earlier neighbor, so a non-empty cell always keeps ≥ 1
+      assert(keep >= 1, s"cell ${r.get(0)} kept nothing")
+      total += n
+    }
+    assert(total === graft.model.Tables.embeddings(spark, Sf0001).count(),
+      "every vector is assigned to exactly one cell")
+  }
 }
