@@ -377,5 +377,34 @@ FROM events""")),
   min(event_id) AS min_id, max(event_id) AS max_id
 FROM events WHERE event_id < 1000
 GROUP BY event_type ORDER BY event_type""")),
+
+    // --- METADATA-ONLY aggregation through the planner: a global
+    // COUNT(*)/MIN(key)/MAX(key) over a manifest-committed table is
+    // answered entirely from the manifest's per-part statistics —
+    // ManifestSource's SupportsPushDownAggregates path plans ONE
+    // synthetic partition and never opens a data file
+    // (ManifestSourceSpec proves it by deleting the part files first).
+    // At 100 TB this is "count a petabyte table from its footers".
+    // The oracle recomputes the same aggregates from the raw rows —
+    // the stats path must agree with the data path exactly.
+    QueryDef("q_manifest_stats_agg",
+      (spark, dir) => {
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest((dir + "#agg").getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val target =
+          s"${spark.conf.get("spark.sql.warehouse.dir")}/graft-sink-agg/$key"
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", target).mode("overwrite").save()
+        spark.read.format("graft.sources.ManifestSource")
+          .option("path", target).load()
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("event_id")).as("key_min"),
+            max(col("event_id")).as("key_max"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  min(event_id) AS key_min, max(event_id) AS key_max
+FROM events""")),
   )
 }

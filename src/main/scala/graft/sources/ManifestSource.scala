@@ -9,7 +9,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -80,7 +81,9 @@ private[sources] class ManifestScanBuilder(
     path: String, schema: StructType, conf: SerializableConfiguration)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   // the writer tracked min/max of the first LongType column; the
   // reader prunes on exactly the same column
@@ -91,13 +94,55 @@ private[sources] class ManifestScanBuilder(
   private var keyLo: Long = Long.MinValue // inclusive
   private var keyHi: Long = Long.MaxValue // inclusive
   private var pushed: Array[Filter] = Array.empty
+  private var sawFilters = false
+  private var aggFuncs: Option[Seq[AggregateFunc]] = None
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** METADATA-ONLY aggregation: a global COUNT(*) / MIN(key) /
+    * MAX(key) is exactly what the manifest already stores per part, so
+    * the scan answers it without opening a single data file — the
+    * 100 TB "count a petabyte table from its footers" path every real
+    * table format serves. Accepted ONLY when no filters reached the
+    * scan (ours are residual, so Spark would re-filter rows that no
+    * longer exist) and no grouping is requested. COUNT(col) is
+    * declined — the manifest tracks no per-column null counts, and
+    * min/max of the key are null-safe by construction (the writer
+    * skips null keys; SQL MIN/MAX ignore nulls). Complete pushdown:
+    * the single emitted row carries final values, not partials. */
+  private def canPushAgg(a: Aggregation): Boolean = {
+    def isKeyRef(e: Expression): Boolean = e match {
+      case nr: NamedReference =>
+        keyCol.contains(nr.fieldNames.mkString("."))
+      case _ => false
+    }
+    !sawFilters && a.groupByExpressions.isEmpty &&
+      a.aggregateExpressions.nonEmpty &&
+      a.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min       => isKeyRef(m.column)
+        case m: Max       => isKeyRef(m.column)
+        case _            => false
+      }
+  }
+  override def supportCompletePushDown(a: Aggregation): Boolean = canPushAgg(a)
+  override def pushAggregation(a: Aggregation): Boolean =
+    canPushAgg(a) && { aggFuncs = Some(a.aggregateExpressions.toSeq); true }
+
+  /** LIMIT pushdown: plan only a prefix of parts whose manifest row
+    * counts cover the limit, and cap each reader at `n` rows (any one
+    * partition can satisfy at most the whole limit). Spark only pushes
+    * a limit here when nothing filters between scan and limit, so the
+    * prefix is sufficient; the default isPartiallyPushed=true keeps
+    * Spark's own final limit in the plan. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+
   /** Accept range/point predicates on the key column for part pruning;
     * report every filter as residual (Spark re-evaluates row-level). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (filters.nonEmpty) sawFilters = true
     def isKey(c: String) = keyCol.contains(c)
     filters.foreach {
       case GreaterThan(c, v: Long) if isKey(c) =>
@@ -139,29 +184,99 @@ private[sources] class ManifestScanBuilder(
     // sentinel, so any real bound prunes it; with no pushed bounds
     // nothing is pruned.
     val all = ManifestSink.readManifest(conf.value, path)
-    val kept = all.filter { case (_, _, kMin, kMax) =>
-      !(kMax < keyLo || kMin > keyHi)
+    aggFuncs match {
+      case Some(fs) => new ManifestAggScan(all, fs)
+      case None =>
+        var kept = all.filter { case (_, _, kMin, kMax) =>
+          !(kMax < keyLo || kMin > keyHi)
+        }
+        limit.foreach { n =>
+          // keep the shortest part prefix whose row counts cover n
+          var need = n.toLong
+          kept = kept.takeWhile { p =>
+            val take = need > 0; need -= p._2; take
+          }
+        }
+        new ManifestScan(kept, schema, required, conf, all.size, limit)
     }
-    new ManifestScan(kept, schema, required, conf, all.size)
   }
 }
+
+/** Metadata-only scan: one synthetic partition, one row, computed
+  * entirely from the manifest — no data file is ever opened. */
+private[sources] class ManifestAggScan(
+    parts: Seq[(String, Long, Long, Long)], funcs: Seq[AggregateFunc])
+    extends Scan with Batch {
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft.ManifestAggScan(metadata-only, ${funcs.mkString(", ")})"
+
+  override def readSchema(): StructType =
+    StructType(funcs.zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i)            => StructField(s"agg_$i", LongType, nullable = true)
+    })
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ManifestAggPartition(values))
+
+  /** Final values from per-part stats: COUNT(*) sums row counts
+    * (null-key rows included); MIN/MAX fold per-part extrema over
+    * parts that saw ≥1 non-null key (empty/all-null parts carry the
+    * (MaxValue, MinValue) sentinel), NULL when no part did — SQL
+    * empty/all-null MIN/MAX semantics. */
+  private def values: Array[java.lang.Long] = {
+    val withKeys = parts.filter(p => p._3 <= p._4)
+    funcs.map {
+      case _: CountStar => java.lang.Long.valueOf(parts.map(_._2).sum)
+      case _: Min =>
+        if (withKeys.isEmpty) null
+        else java.lang.Long.valueOf(withKeys.map(_._3).min)
+      case _: Max =>
+        if (withKeys.isEmpty) null
+        else java.lang.Long.valueOf(withKeys.map(_._4).max)
+      case f => throw new IllegalStateException(s"unexpected pushed agg $f")
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val vals = p.asInstanceOf[ManifestAggPartition].values
+          private var done = false
+          override def next(): Boolean = !done && { done = true; true }
+          override def get(): InternalRow =
+            new GenericInternalRow(vals.map(v =>
+              if (v == null) null else v.longValue(): Any))
+          override def close(): Unit = ()
+        }
+    }
+}
+
+private[sources] case class ManifestAggPartition(values: Array[java.lang.Long])
+    extends InputPartition
 
 private[sources] class ManifestScan(
     parts: Seq[(String, Long, Long, Long)],
     schema: StructType, required: StructType,
-    conf: SerializableConfiguration, totalParts: Int)
+    conf: SerializableConfiguration, totalParts: Int,
+    limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft.ManifestScan(parts=${parts.size}/$totalParts)"
+    s"graft.ManifestScan(parts=${parts.size}/$totalParts" +
+      limit.map(n => s", limit=$n").getOrElse("") + ")"
 
   override def planInputPartitions(): Array[InputPartition] =
     parts.map { case (p, rows, _, _) => ManifestPartition(p, rows) }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(schema, required.fieldNames, conf)
+    new ManifestReaderFactory(schema, required.fieldNames, conf,
+      limit.map(_.toLong).getOrElse(Long.MaxValue))
 
   /** Post-pruning stats straight from the manifest — exact row count,
     * width-estimated bytes. */
@@ -178,7 +293,7 @@ private[sources] case class ManifestPartition(path: String, rows: Long)
 
 private[sources] class ManifestReaderFactory(
     schema: StructType, fields: Array[String],
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration, rowCap: Long = Long.MaxValue)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -191,10 +306,14 @@ private[sources] class ManifestReaderFactory(
       private val in = path.getFileSystem(conf.value).open(path)
       private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       private var current: InternalRow = _
+      private var emitted = 0L
 
       override def next(): Boolean =
-        if (!lines.hasNext) false
+        // a pushed limit caps every partition: one partition can
+        // satisfy at most the whole limit, so stop reading past it
+        if (emitted >= rowCap || !lines.hasNext) false
         else {
+          emitted += 1
           val cols = lines.next().split(",", -1)
           val vals = new Array[Any](ordinals.length)
           var j = 0

@@ -1,7 +1,7 @@
 package graft
 
 import java.net.URI
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 import org.apache.hadoop.fs.RawLocalFileSystem
 import org.apache.spark.sql.DataFrame
@@ -117,6 +117,55 @@ class ManifestSourceSpec extends SparkSpec {
     val pruned = scanOf(readBack(target).filter(col("event_id") < minId))
       .scan.asInstanceOf[SupportsReportStatistics]
     assert(pruned.estimateStatistics().numRows().getAsLong === 0L)
+  }
+
+  test("COUNT/MIN/MAX are metadata-only: answered after data files vanish") {
+    val target = Files.createTempDirectory("graft-src-spec-").toString
+    writeEvents(target, parts = 8)
+    val want = Tables.events(spark, Sf0001)
+      .agg(count(lit(1)), min("event_id"), max("event_id")).head
+    // remove every part file — only _MANIFEST.json remains
+    Files.list(Paths.get(target)).toArray.map(_.toString)
+      .filter(_.endsWith(".csv")).foreach(f => Files.delete(Paths.get(f)))
+    val agg = readBack(target)
+      .agg(count(lit(1)).as("n"), min("event_id").as("lo"),
+        max("event_id").as("hi"))
+    assert(scanOf(agg).inputPartitions.length === 1,
+      "one synthetic metadata partition, no file parts")
+    val got = agg.head
+    assert(got.getLong(0) === want.getLong(0))
+    assert(got.getLong(1) === want.getLong(1))
+    assert(got.getLong(2) === want.getLong(2))
+  }
+
+  test("aggregate pushdown declines when it cannot be exact") {
+    val target = Files.createTempDirectory("graft-src-spec-").toString
+    writeEvents(target, parts = 8)
+    // (plan shape read from the plan text: AQE wraps shuffle-agg plans
+    // so BatchScanExec isn't reachable by tree collect here)
+    // COUNT(col) needs null counts the manifest doesn't track → file path
+    val byCol = readBack(target).agg(count(col("event_id")).as("n"))
+    val pByCol = byCol.queryExecution.executedPlan.toString
+    assert(pByCol.contains("graft.ManifestScan(parts=8/8")
+      && !pByCol.contains("ManifestAggScan"), pByCol.linesIterator.mkString("|"))
+    assert(byCol.head.getLong(0) === Tables.events(spark, Sf0001).count())
+    // a filter makes stats non-authoritative → file path, exact result
+    val filtered = readBack(target).filter(col("event_type") =!= "click")
+      .agg(count(lit(1)).as("n"))
+    val pFil = filtered.queryExecution.executedPlan.toString
+    assert(pFil.contains("graft.ManifestScan(parts=8/8")
+      && !pFil.contains("ManifestAggScan"))
+    assert(filtered.head.getLong(0) === Tables.events(spark, Sf0001)
+      .filter(col("event_type") =!= "click").count())
+  }
+
+  test("limit pushdown plans only a covering prefix of parts") {
+    val target = Files.createTempDirectory("graft-src-spec-").toString
+    writeEvents(target, parts = 8)
+    val lim = readBack(target).limit(5)
+    assert(scanOf(lim).inputPartitions.length === 1,
+      "5 rows fit in the first part's manifest row count")
+    assert(lim.count() === 5L)
   }
 
   test("session Hadoop conf reaches every filesystem touch (graftfs)") {
