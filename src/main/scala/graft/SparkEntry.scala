@@ -6,8 +6,10 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Pipeline.estimateQueue(spark, "/root/testdata/sf0.001")
-  /** All query families contributing to the operator surface. */
-  private def families: Seq[QueryDef] =
+  /** All query families contributing to the operator surface.
+    * private[graft]: OutputContractSpec guards name uniqueness on the
+    * pre-Map Seq (a duplicate name silently shadows in the Map). */
+  private[graft] def families: Seq[QueryDef] =
     Relational.all ++ Analytic.all ++ TextOps.all ++ SimOps.all ++
       CorpusOps.all ++ ProfileOps.all ++ streaming.Streams.all ++
       Extras.all ++ Scale.all ++ StatsOps.all ++ GraphOps.all ++ Seq(

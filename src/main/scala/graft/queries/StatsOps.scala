@@ -167,5 +167,105 @@ me AS (
 SELECT md.event_type, mode_user, n_mode, med_value
 FROM md JOIN me ON md.event_type = me.event_type
 ORDER BY md.event_type""")),
+
+    // --- GROUPED skyline (Pareto frontier) per brand: parts not
+    // dominated within their brand on (minimize retail price,
+    // maximize size) — the multi-criteria shortlist op. The GLOBAL
+    // skyline already ships as Scale.q_skyline via the decomposed
+    // running-max-over-sizes rewrite; that rewrite needs a total
+    // order on one dimension and breaks down when the frontier is
+    // per-group with both dimensions dense — this rendition is the
+    // general form: a self ANTI-join whose EQUI key is the group (one
+    // hash shuffle on p_brand; the dominance predicate rides as the
+    // join filter), so the quadratic is bounded by the largest brand
+    // block, never the table — the same blocked-pairing discipline as
+    // the near-dup family. At 100 TB a grid/quantile pre-prune
+    // shrinks blocks further; the block key stays the only shuffle.
+    QueryDef("q_skyline_grouped",
+      (spark, dir) => {
+        val p = Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_brand"),
+            col("p_retailprice"), col("p_size"))
+        val y = p.select(col("p_brand").as("y_brand"),
+          col("p_retailprice").as("y_price"), col("p_size").as("y_size"))
+        p.join(y,
+          col("p_brand") === col("y_brand") &&
+            col("y_price") <= col("p_retailprice") &&
+            col("y_size") >= col("p_size") &&
+            (col("y_price") < col("p_retailprice") ||
+              col("y_size") > col("p_size")),
+          "left_anti")
+          .orderBy(col("p_brand"), col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_brand, p_retailprice, p_size
+FROM part x
+WHERE NOT EXISTS (
+  SELECT 1 FROM part y
+  WHERE y.p_brand = x.p_brand
+    AND y.p_retailprice <= x.p_retailprice AND y.p_size >= x.p_size
+    AND (y.p_retailprice < x.p_retailprice OR y.p_size > x.p_size))
+ORDER BY p_brand, p_partkey""")),
+
+    // --- Chi-square independence test over the (lang × source)
+    // contingency table — the categorical-association screen a
+    // data-mix analyst runs before trusting a stratification. The
+    // marginals and observed counts are exact BIGINTs; each cell term
+    // ((o−e)²/e, e from the marginals — squared via multiplication,
+    // pow() is not correctly-rounded libm) is one IEEE expression of
+    // identical structure on both engines, then quantized to the 1e-9
+    // grid and summed in BIGINT so the cross-cell fold is
+    // association-order free. ABSENT cells enter with o=0 (full
+    // marginal cross join — chi² is wrong without them). Everything
+    // after the one groupBy shuffle is marginal-table arithmetic
+    // (broadcast-sized at any corpus scale: |langs|×|sources|).
+    QueryDef("q_chi2",
+      (spark, dir) => {
+        val counts = Tables.documents(spark, dir)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("o"))
+        val rows = counts.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+        val cols = counts.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+        val full = broadcast(rows).crossJoin(broadcast(cols))
+          .join(counts, Seq("lang", "source"), "left")
+          .select(col("lang"), col("source"), col("rt"), col("ct"),
+            coalesce(col("o"), lit(0L)).as("o"))
+        val n = sum(col("o")).over() // total over the tiny cell table
+        val e = col("rt").cast("double") * col("ct").cast("double") /
+          col("n").cast("double")
+        full.withColumn("n", n)
+          .withColumn("term",
+            (col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+          .agg(
+            (sum(round(col("term") * lit(1e9)).cast("bigint"))
+              .cast("double") / lit(1e9)).as("chi2"),
+            ((countDistinct(col("lang")) - 1) *
+              (countDistinct(col("source")) - 1)).as("dof"),
+            max(col("n")).as("n_docs"))
+      },
+      Some("""WITH c AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source),
+r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM c GROUP BY lang),
+k AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM c GROUP BY source),
+f AS (
+  SELECT r.lang, k.source, rt, ct, coalesce(c.o, 0) AS o
+  FROM r CROSS JOIN k
+  LEFT JOIN c ON c.lang = r.lang AND c.source = k.source),
+t AS (
+  SELECT lang, source, o, sum(o) OVER () AS n,
+    (CAST(o AS DOUBLE)
+      - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(sum(o) OVER () AS DOUBLE))
+    * (CAST(o AS DOUBLE)
+      - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(sum(o) OVER () AS DOUBLE))
+    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(sum(o) OVER () AS DOUBLE))
+      AS term
+  FROM f)
+SELECT
+  CAST(sum(CAST(round(term * 1000000000.0) AS BIGINT)) AS DOUBLE)
+    / 1000000000.0 AS chi2,
+  CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT)
+    AS dof,
+  CAST(max(n) AS BIGINT) AS n_docs
+FROM t""")),
   )
 }

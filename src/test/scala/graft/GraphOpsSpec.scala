@@ -28,6 +28,15 @@ class GraphOpsSpec extends SparkSpec {
     assert(top <= nodes * 1000000L, s"top=$top nodes=$nodes")
   }
 
+  test("plan: rank vector broadcasts; the edge side never re-shuffles") {
+    val plan = SparkEntry.queries("q_pagerank")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "each iteration must broadcast the node-rank vector")
+    assert(!plan.contains("SortMergeJoin"),
+      "the materialized edges must not sort-merge against the rank vector")
+  }
+
   test("ranking is deterministic and ordered (desc rank, asc node)") {
     val pairs = ranks.map(r => (r.getLong(1), r.getLong(0)))
     val sorted = pairs.sortBy { case (pr, node) => (-pr, node) }.toSeq

@@ -33,6 +33,19 @@ class OutputContractSpec extends SparkSpec {
         offenders.mkString("\n"))
   }
 
+  test("query names are unique across families (Map shadowing guard)") {
+    // SparkEntry.queries is a Map: two QueryDefs sharing a name would
+    // silently collapse to whichever family concatenates last — the
+    // shadowed operator would stay compiled, tested, and invisible to
+    // the driver gate. Caught live in round 9 (a second q_skyline).
+    val names = SparkEntry.families.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.length > 1).keys.toSeq
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    assert(!names.contains("estimate_queue"),
+      "the flagship is appended in `queries`; a family QueryDef with " +
+        "that name would shadow it")
+  }
+
   test("the guard itself rejects a non-atomic schema (self-test)") {
     import org.apache.spark.sql.functions._
     val df = spark.range(1).select(array(lit(1), lit(2)).as("a"))

@@ -188,6 +188,17 @@ class SimOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_semdedup plan: blocked equi-join only — no all-pairs operator") {
+    val plan = SparkEntry.queries("q_semdedup")(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "pairing must ride the (cell, bucket) equi-join, never a cartesian")
+    // the only nested-loop allowed is the broadcast of the 10-row
+    // centroid table onto the corpus scan (the assignment step)
+    val nlJoins = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlJoins <= 1, s"unexpected nested-loop joins: $nlJoins")
+  }
+
   test("q_semdedup: per-cell accounting laws and earliest-keeper rule") {
     val rows = SparkEntry.queries("q_semdedup")(spark, Sf0001).collect()
     assert(rows.nonEmpty)
