@@ -380,5 +380,90 @@ ORDER BY p.user_id, p_id, c_id""")),
       Some("""SELECT CAST(count(*) AS BIGINT) AS total_rows,
   min(event_id) AS key_min, max(event_id) AS key_max
 FROM events""")),
+
+    // --- RESTART LATENESS AUDIT over the real feed: every other
+    // stream query here processes one AvailableNow run from a cold
+    // start, so the watermark never precedes any data and nothing is
+    // ever late. This one replays the feed as two RUNS over one
+    // persistent checkpoint, split on a TIME boundary (exactly how a
+    // production backfill shards): run 1 streams the last 15 days of
+    // the 30-day feed and persists watermark = (global max ts −
+    // 10 min); run 2 then delivers everything OLDER — stragglers far
+    // behind the recovered watermark, the restart scenario the
+    // checkpoint exists for. Consequences, all stated by the oracle:
+    // run 2's rows for already-finalized windows are DROPPED
+    // (StreamingSpec pins the exact numRowsDroppedByWatermark count),
+    // so the sink holds exactly "run 1's windows closed under the
+    // final watermark" — a broken late-drop would leak run-2 rows
+    // into closed windows and hash-mismatch. The split boundary is
+    // derived distributively (broadcast scalar max); the staged
+    // files, checkpoint, and sink are keyed by the feed fingerprint
+    // (count + max ts), so a regenerated feed restages instead of
+    // serving stale state, and re-invocations are idempotent reads of
+    // the committed sink.
+    QueryDef("q_stream_late_audit",
+      (spark, dir) => {
+        if (!spark.conf.getOption(Tables.NanosConf).contains("true"))
+          spark.conf.set(Tables.NanosConf, "true")
+        val raw = spark.read.schema(Tables.eventsStorageSchema)
+          .parquet(s"$dir/events.parquet")
+        val fp = raw.agg(count(lit(1)), max(col("ts"))).head
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$dir#late#${fp.getLong(0)}#${fp.getLong(1)}"
+            .getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        val stage = java.nio.file.Paths.get(wh, "graft-late", key)
+        // ts is stored as LONG NANOS; the boundary is max − 15 days
+        val bounded = raw.crossJoin(broadcast(raw.agg(max(col("ts"))
+          .as("mx"))))
+          .withColumn("cut", col("mx") - lit(15L * 86400L * 1000000000L))
+        def stageOne(df: DataFrame, name: String): Unit = {
+          val tmp = Files.createTempDirectory("graft-late-").toString
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .map(_.toString).filter(_.endsWith(".parquet")).head
+          Files.createDirectories(stage)
+          Files.move(java.nio.file.Paths.get(part), stage.resolve(name),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        def runOnce(): Unit = {
+          val agg = Tables.eventsFromStorage(
+            spark.readStream.schema(Tables.eventsStorageSchema)
+              .parquet(stage.resolve("feed").toString))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              Exact.decSum(col("value"), 2).as("sum_value"))
+            .select(unix_micros(col("window.start")).as("window_start_us"),
+              col("event_type"), col("n"), col("sum_value"))
+          val q = agg.writeStream.format("parquet")
+            .option("path", stage.resolve("sink").toString)
+            .option("checkpointLocation", stage.resolve("ckpt").toString)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        val storageCols = Tables.eventsStorageSchema.fieldNames.map(col)
+        Files.createDirectories(stage.resolve("feed"))
+        stageOne(bounded.filter(col("ts") > col("cut"))
+          .select(storageCols: _*), "feed/recent.parquet")
+        runOnce() // persists watermark = max ts − 10 min
+        stageOne(bounded.filter(col("ts") <= col("cut"))
+          .select(storageCols: _*), "feed/straggler.parquet")
+        runOnce() // recovers the watermark; stragglers are late
+        spark.read.parquet(stage.resolve("sink").toString)
+          .orderBy(col("window_start_us"), col("event_type"))
+      },
+      Some(s"""WITH b1 AS (
+  SELECT * FROM events
+  WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 15 DAY)
+SELECT * FROM (
+  SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+    event_type, count(*) AS n, ${Exact.decSumSql("value", 2)} AS sum_value
+  FROM b1 GROUP BY 1, 2)
+WHERE window_start_us + 3600000000
+  <= (SELECT max(epoch_us(ts)) FROM b1) - 600000000
+ORDER BY window_start_us, event_type""")),
   )
 }

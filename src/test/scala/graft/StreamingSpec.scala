@@ -109,6 +109,73 @@ class StreamingSpec extends SparkSpec {
       "2024-01-01 03:00:00" -> 1L), got.toString)
   }
 
+  test("q_stream_late_audit: dropped-row count matches the watermark rule") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    // replicate the query's two-run replay on fresh dirs, capturing
+    // run 2's state metrics (the QueryDef encapsulates its handles)
+    Tables.events(spark, Sf0001) // ensures the nanos read conf is set
+    val raw = spark.read.schema(Tables.eventsStorageSchema)
+      .parquet(s"$Sf0001/events.parquet")
+    val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
+    val cutNs = maxNs - 15L * 86400L * 1000000000L
+    val feed = JFiles.createTempDirectory("graft-late-feed-").toString
+    val ckpt = JFiles.createTempDirectory("graft-late-ck-").toString
+    val out = JFiles.createTempDirectory("graft-late-out-").toString + "/sink"
+    def stageOne(cond: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = JFiles.createTempDirectory("graft-late-tmp-").toString
+      raw.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .map(_.toString).filter(_.endsWith(".parquet")).head
+      JFiles.move(Paths.get(part), Paths.get(feed, name))
+    }
+    def runOnce() = {
+      val agg = Tables.eventsFromStorage(
+        spark.readStream.schema(Tables.eventsStorageSchema).parquet(feed))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n"))
+      val sq = agg.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination(); sq
+    }
+    stageOne(col("ts") > cutNs, "recent.parquet")
+    runOnce()
+    stageOne(col("ts") <= cutNs, "straggler.parquet")
+    val run2 = runOnce()
+    val dropped = run2.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    // sanity: stragglers below the recovered watermark exist, and the
+    // state store reported drops. (numRowsDroppedByWatermark counts
+    // PARTIAL-aggregate rows — the stateful operator sits above the
+    // map-side combine — so the exact number depends on partitioning
+    // and is deliberately not pinned; the semantic contract is the
+    // sink content below.)
+    val wm1 = maxNs / 1000L - 600000000L
+    val lateRaw = Tables.eventsFromStorage(raw.filter(col("ts") <= cutNs))
+      .filter(unix_micros(date_trunc("hour", col("ts"))) + 3600000000L <= wm1)
+      .count()
+    assert(lateRaw > 0, "the staged feed must actually produce late rows")
+    assert(dropped > 0 && dropped <= lateRaw,
+      s"state store must report drops: dropped=$dropped lateRaw=$lateRaw")
+    // the CONTRACT: the sink holds exactly run 1's finalized windows —
+    // no straggler contribution ever reaches a closed window
+    val got = spark.read.parquet(out)
+      .select(col("window_start_us"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = Tables.eventsFromStorage(raw.filter(col("ts") > cutNs))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
+        col("n"))
+      .filter(col("ws") + 3600000000L <= wm1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want, "sink must equal run-1-only finalized windows")
+  }
+
   test("session windows cover every pre-watermark event exactly once") {
     val sessions = q("q_stream_session")(spark, Sf0001).collect()
     val nInSessions = sessions.map(_.getLong(3)).sum
