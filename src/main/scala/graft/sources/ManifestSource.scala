@@ -9,7 +9,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expression, Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
@@ -197,7 +197,7 @@ private[sources] class ManifestScanBuilder(
             val take = need > 0; need -= p._2; take
           }
         }
-        new ManifestScan(kept, schema, required, conf, all.size, limit)
+        new ManifestScan(kept, schema, required, conf, all.size, limit, keyCol)
     }
   }
 }
@@ -259,17 +259,45 @@ private[sources] case class ManifestAggPartition(values: Array[java.lang.Long])
     extends InputPartition
 
 private[sources] class ManifestScan(
-    parts: Seq[(String, Long, Long, Long)],
+    initialParts: Seq[(String, Long, Long, Long)],
     schema: StructType, required: StructType,
     conf: SerializableConfiguration, totalParts: Int,
-    limit: Option[Int] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    limit: Option[Int] = None, keyCol: Option[String] = None)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  // narrowed in place by runtime filters before partition planning
+  private var parts: Seq[(String, Long, Long, Long)] = initialParts
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft.ManifestScan(parts=${parts.size}/$totalParts" +
       limit.map(n => s", limit=$n").getOrElse("") + ")"
+
+  /** RUNTIME part pruning — the DSv2 analog of dynamic partition
+    * pruning: when this table is the probe side of a broadcast join
+    * on the key, Spark hands the build side's key set here AT
+    * EXECUTION TIME and only parts whose manifest (min, max) range
+    * can contain one of those keys are ever opened. Static planning
+    * cannot see the join's key set; at 100 TB a selective dimension
+    * turns a full fact scan into a handful of parts. Dropping a part
+    * no build key can hit is safe by construction (Spark injects the
+    * filter only where join semantics allow); the row-level join
+    * still decides every surviving row. */
+  override def filterAttributes(): Array[NamedReference] =
+    keyCol.map(c => Expressions.column(c)).toArray
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In(c, vs) if keyCol.contains(c) =>
+      val longs = vs.collect { case v: Long => v }
+      if (longs.length == vs.length) // only prune on fully-typed sets
+        parts = parts.filter(p =>
+          longs.exists(v => v >= p._3 && v <= p._4))
+    case EqualTo(c, v: Long) if keyCol.contains(c) =>
+      parts = parts.filter(p => v >= p._3 && v <= p._4)
+    case _ => ()
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     parts.map { case (p, rows, _, _) => ManifestPartition(p, rows) }.toArray

@@ -168,6 +168,29 @@ class ManifestSourceSpec extends SparkSpec {
     assert(lim.count() === 5L)
   }
 
+  test("runtime filtering: a broadcast join's key set prunes parts at execution") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("graft-src-spec-").toString
+    writeEvents(target, parts = 8)
+    // two real keys from the lowest part's range — the build side
+    // carries a selective predicate (the DPP injection heuristic
+    // requires one on the filtering side)
+    val keys = Tables.events(spark, Sf0001)
+      .select("event_id").orderBy("event_id").limit(2)
+      .as[Long].collect().toSeq
+    val dim = spark.range(0, 1000000).select(col("id").as("k"))
+      .filter(col("k").isin(keys: _*))
+    val joined = readBack(target)
+      .join(broadcast(dim), col("event_id") === col("k"))
+    val rows = joined.collect()
+    assert(rows.length === keys.length, "join result must be exact")
+    val plan = joined.queryExecution.executedPlan.toString
+    // the scan's description reads the narrowed part list: the build
+    // side's two keys live in one range partition of eight
+    assert(plan.contains("parts=1/8"),
+      s"runtime filter should prune to 1 part:\n$plan")
+  }
+
   test("session Hadoop conf reaches every filesystem touch (graftfs)") {
     // the scheme resolves ONLY through the session conf (runtime SQL
     // confs are copied verbatim into sessionState.newHadoopConf(), so

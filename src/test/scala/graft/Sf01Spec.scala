@@ -32,11 +32,10 @@ class Sf01Spec extends SparkSpec {
   /** Queries touched or added in the current round — keep this list
     * fresh each round (the newest pairs are the likeliest to hide a
     * magnitude bug). */
-  private val newest = Seq("q_centroids", "q_quantize8", "q_try_expr",
-    "q_zorder_layout", "q_multimodal_decode", "q_bm25_rerank",
-    "q_ann_ivf_build", "q_hard_negatives", "q_ngram_lm", "q_bpe_merge",
-    "q_pivot_events", "q_percentile_disc", "q_matryoshka",
-    "q_sink_manifest", "q_decode_audit")
+  private val newest = Seq("q_manifest_roundtrip", "q_manifest_stats_agg",
+    "q_string_agg", "q_regr_stats", "q_mode_median", "q_chi2",
+    "q_skyline_grouped", "q_pagerank", "q_semdedup",
+    "q_stream_late_audit")
 
   /** Order-independent distributed result signature: per-row xxhash64
     * over the stringified row, bit_xor-folded (commutative and
