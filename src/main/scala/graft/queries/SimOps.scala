@@ -1016,6 +1016,88 @@ SELECT z.cell, CAST(count(*) AS BIGINT) AS n_total,
     AS BIGINT) AS n_kept
 FROM z LEFT JOIN drp d ON d.vec_id = z.vec_id
 GROUP BY z.cell ORDER BY z.cell""")),
+
+    // --- PRODUCT QUANTIZATION (Jégou et al. 2011, the PQ in IVF-PQ):
+    // the 64-dim embedding splits into M=8 subspaces of 8 dims; each
+    // subvector is assigned to its nearest code in a per-subspace
+    // codebook, so the vector compresses to 8 code ids — the 100 TB
+    // vector-serving layout (a petabyte of float32 becomes ~1/32 the
+    // bytes, scanned without touching raw vectors). Codebooks here
+    // are the label-seeded exact centroids restricted to each
+    // subspace (training k-means isn't SQL — same substitution as
+    // q_ann_ivf_build, which makes the WHOLE build oracle-gated).
+    // Shape: one explode of the corpus (64 rows/vector) joined to
+    // the broadcast 80-row codebook on (subspace, offset), two-phase
+    // aggregation down to (vector, subspace, code) distances, argmin
+    // via min(struct) — map-side combinable, never a window. Output
+    // is all-scalar: the 8 code ids packed as a decimal BIGINT (one
+    // digit per subspace — codebooks have 10 codes) plus the exact
+    // reconstruction error on the 1e-9 grid (order-free BIGINT fold).
+    QueryDef("q_pq_quantize",
+      (spark, dir) => {
+        val xd = col("x").cast("double")
+        val codes = centroidRows(spark, dir)
+          .select(col("label").as("k"),
+            expr("dim div 8").cast("int").as("m"),
+            expr("dim % 8").as("j"),
+            (col("s").cast("double") / lit(1e6) / col("n")).as("c"))
+        val sub = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("vec_id"), expr("dim div 8").cast("int").as("m"),
+            expr("dim % 8").as("j"), col("x"))
+        val d2 = sub.join(broadcast(codes), Seq("m", "j"))
+          .select(col("vec_id"), col("m"), col("k"),
+            ((xd - col("c")) * (xd - col("c")))
+              .cast(org.apache.spark.sql.types.DecimalType(20, 12)).as("t"))
+          .groupBy(col("vec_id"), col("m"), col("k"))
+          .agg(sum(col("t")).cast("double").as("d2"))
+        val best = d2.groupBy(col("vec_id"), col("m"))
+          .agg(min(struct(col("d2"), col("k"))).as("b"))
+          .select(col("vec_id"), col("m"),
+            col("b.k").as("k"), col("b.d2").as("d2"))
+        val p10 = array((0 until 8).map(i =>
+          lit(math.pow(10, i).toLong)): _*)
+        best.groupBy(col("vec_id"))
+          .agg(sum(col("k").cast("bigint") * element_at(p10, col("m") + 1))
+            .as("pq_code"),
+            (sum(round(col("d2") * lit(1e9)).cast("bigint")).cast("double")
+              / lit(1e9)).as("recon_err"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (
+  SELECT label, unnest(embedding) AS x,
+    unnest(range(len(embedding))) AS dim
+  FROM embeddings),
+g AS (
+  SELECT label, dim,
+    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+      / 1000000.0 / count(*) AS c
+  FROM e GROUP BY label, dim),
+codes AS (
+  SELECT label AS k, CAST(dim // 8 AS INT) AS m, dim % 8 AS j, c FROM g),
+sq AS (
+  SELECT vec_id, unnest(embedding) AS x,
+    unnest(range(len(embedding))) AS dim
+  FROM embeddings),
+sub AS (
+  SELECT vec_id, CAST(dim // 8 AS INT) AS m, dim % 8 AS j, x FROM sq),
+d AS (
+  SELECT vec_id, m, k,
+    CAST(sum(CAST((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)
+      AS DECIMAL(20,12))) AS DOUBLE) AS d2
+  FROM sub JOIN codes USING (m, j)
+  GROUP BY vec_id, m, k),
+b AS (
+  SELECT vec_id, m, k, d2
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+          ORDER BY d2, k) AS rn FROM d)
+  WHERE rn = 1)
+SELECT vec_id,
+  CAST(sum(k * ([1, 10, 100, 1000, 10000, 100000, 1000000,
+    10000000])[m + 1]) AS BIGINT) AS pq_code,
+  CAST(sum(CAST(round(d2 * 1000000000.0) AS BIGINT)) AS DOUBLE)
+    / 1000000000.0 AS recon_err
+FROM b GROUP BY vec_id ORDER BY vec_id""")),
   )
 
   /** Exact per-(label, dim) coordinate sums on the 1e-6 integer grid

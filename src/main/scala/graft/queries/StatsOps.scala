@@ -267,5 +267,45 @@ SELECT
     AS dof,
   CAST(max(n) AS BIGINT) AS n_docs
 FROM t""")),
+
+    // --- Calendar arithmetic family: the date functions a reporting
+    // user leans on daily — month-end detection (LAST_DAY), clamped
+    // month addition (Jan 31 + 1 month = Feb 29/28 in BOTH engines),
+    // ISO weekday (Spark weekday() = Monday 0 == DuckDB isodow − 1;
+    // the raw DAYOFWEEK builtins DISAGREE across engines — Sunday 1
+    // vs Sunday 0 — so the contract pins the alignment that is
+    // portable), quarters, and exact day diffs. All integer-valued →
+    // hash-exact. One narrow projection + one shuffle on the year.
+    QueryDef("q_calendar_funcs",
+      (spark, dir) => {
+        val d = to_date(col("o_orderdate"))
+        Tables.orders(spark, dir)
+          .select(year(d).as("y"), quarter(d).as("q"), weekday(d).as("wd"),
+            (d === last_day(d)).cast("int").as("is_month_end"),
+            datediff(add_months(d, 3), d).as("plus3m_days"))
+          .groupBy(col("y"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("q")).as("n_quarters"),
+            sum(col("wd").cast("bigint")).as("wd_sum"),
+            sum(col("is_month_end").cast("bigint")).as("n_month_end"),
+            min(col("plus3m_days")).as("min_plus3m_days"),
+            max(col("plus3m_days")).as("max_plus3m_days"))
+          .orderBy(col("y"))
+      },
+      Some("""SELECT year(CAST(o_orderdate AS DATE)) AS y,
+  count(*) AS n,
+  CAST(count(DISTINCT quarter(CAST(o_orderdate AS DATE))) AS BIGINT)
+    AS n_quarters,
+  CAST(sum(isodow(CAST(o_orderdate AS DATE)) - 1) AS BIGINT) AS wd_sum,
+  CAST(sum(CASE WHEN CAST(o_orderdate AS DATE)
+    = last_day(CAST(o_orderdate AS DATE)) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_month_end,
+  min(date_diff('day', CAST(o_orderdate AS DATE),
+    CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)))
+    AS min_plus3m_days,
+  max(date_diff('day', CAST(o_orderdate AS DATE),
+    CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)))
+    AS max_plus3m_days
+FROM orders GROUP BY 1 ORDER BY 1""")),
   )
 }

@@ -199,6 +199,17 @@ class SimOpsSpec extends SparkSpec {
     assert(nlJoins <= 1, s"unexpected nested-loop joins: $nlJoins")
   }
 
+  test("q_pq_quantize: codes are 8 decimal digits; error is non-negative") {
+    val rows = SparkEntry.queries("q_pq_quantize")(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (code, err) = (r.getLong(1), r.getDouble(2))
+      assert(code >= 0L && code <= 99999999L,
+        s"vec ${r.getLong(0)}: code $code outside 8 digit-coded subspaces")
+      assert(err >= 0.0, s"vec ${r.getLong(0)}: negative reconstruction error")
+    }
+  }
+
   test("q_semdedup: per-cell accounting laws and earliest-keeper rule") {
     val rows = SparkEntry.queries("q_semdedup")(spark, Sf0001).collect()
     assert(rows.nonEmpty)
