@@ -42,7 +42,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // a null oracle (an object-initialization-order bug) must cost one
+    // gate row, not the whole round's dump
     val json = SparkEntry.oracleSql
+      .filter { case (k, v) =>
+        val ok = v != null
+        if (!ok) System.err.println(s"[verify] $k: NULL oracle skipped")
+        ok
+      }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -37,6 +37,17 @@ object Extras {
     }
   }
 
+  /** One text, two engines (see q_sql_frontend below). Declared BEFORE
+    * `all` — object vals initialize in declaration order, and the
+    * QueryDef's oracle captures this value eagerly. */
+  val SqlFrontendText: String =
+    """SELECT c_mktsegment, count(*) AS n,
+  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS STRING) AS DOUBLE)
+    AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'F'
+GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   val all: Seq[QueryDef] = Seq(
 
     // --- S1/S2/F1: object-store prefix scan of binary objects +
@@ -406,5 +417,64 @@ GROUP BY event_type ORDER BY event_type""")),
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
   min(event_id) AS key_min, max(event_id) AS key_max
 FROM events""")),
+
+    // --- SMALL-FILES COMPACTION through the manifest loop: a table
+    // committed as 32 small parts is read back through ManifestSource
+    // and rewritten range-partitioned into 4 — the OPTIMIZE/compact
+    // maintenance op every 100 TB table needs (a million tiny files
+    // turn listing and task scheduling into the bottleneck; the
+    // manifest protocol makes the rewrite atomic: readers see the old
+    // layout until the new manifest publishes). The 32→4 layout
+    // constants are part of the operator's contract (stated in the
+    // oracle); the data rollup must survive the rewrite bit-for-bit,
+    // and the rewrite leaves parts key-disjoint, so the compacted
+    // table is strictly better for the source's range pruning.
+    QueryDef("q_sink_compact",
+      (spark, dir) => {
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest((dir + "#cmp").getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val small = s"$wh/graft-sink-cmp/$key/small"
+        val packed = s"$wh/graft-sink-cmp/$key/packed"
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .repartition(32)
+          .write.format("graft.sources.ManifestSink")
+          .option("path", small).mode("overwrite").save()
+        spark.read.format("graft.sources.ManifestSource")
+          .option("path", small).load()
+          .repartitionByRange(4, col("event_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", packed).mode("overwrite").save()
+        val conf = spark.sessionState.newHadoopConf()
+        val before = graft.sources.ManifestSink.readManifest(conf, small)
+        val after = graft.sources.ManifestSink.readManifest(conf, packed)
+        val nonEmpty = after.filter(_._2 > 0)
+        import spark.implicits._
+        Seq((before.size, after.size, after.map(_._2).sum,
+          nonEmpty.map(_._3).min, nonEmpty.map(_._4).max))
+          .toDF("n_parts_before", "n_parts_after", "total_rows",
+            "key_min", "key_max")
+      },
+      Some("""SELECT CAST(32 AS INT) AS n_parts_before,
+  CAST(4 AS INT) AS n_parts_after,
+  CAST(count(*) AS BIGINT) AS total_rows,
+  min(event_id) AS key_min, max(event_id) AS key_max
+FROM events""")),
+
+    // --- SQL-TEXT FRONT-END parity: the exact same ANSI SQL string
+    // runs through spark.sql() over registered temp views AND through
+    // the DuckDB oracle — the oracle IS the query text. This is the
+    // switch-over surface for a SQL-first user of the reference: the
+    // engine accepts the dialect-neutral text directly (CAST AS
+    // STRING is the one portability choice — both engines accept it;
+    // the exact-decimal sum convention works verbatim in both).
+    QueryDef("q_sql_frontend",
+      (spark, dir) => {
+        Tables.orders(spark, dir).createOrReplaceTempView("orders")
+        Tables.customer(spark, dir).createOrReplaceTempView("customer")
+        spark.sql(Extras.SqlFrontendText)
+      },
+      Some(Extras.SqlFrontendText)),
   )
 }

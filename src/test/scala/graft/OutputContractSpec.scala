@@ -46,6 +46,16 @@ class OutputContractSpec extends SparkSpec {
         "that name would shadow it")
   }
 
+  test("no oracle text is null or blank (initialization-order guard)") {
+    // Some(X) in a QueryDef captures X eagerly: an oracle val declared
+    // AFTER its family's `all` is still null at capture time. Caught
+    // live in round 9 (q_sql_frontend's shared text).
+    val bad = SparkEntry.oracleSql.collect {
+      case (k, v) if v == null || v.trim.isEmpty => k
+    }
+    assert(bad.isEmpty, s"null/blank oracles: ${bad.mkString(", ")}")
+  }
+
   test("the guard itself rejects a non-atomic schema (self-test)") {
     import org.apache.spark.sql.functions._
     val df = spark.range(1).select(array(lit(1), lit(2)).as("a"))
