@@ -1035,26 +1035,7 @@ GROUP BY z.cell ORDER BY z.cell""")),
     // reconstruction error on the 1e-9 grid (order-free BIGINT fold).
     QueryDef("q_pq_quantize",
       (spark, dir) => {
-        val xd = col("x").cast("double")
-        val codes = centroidRows(spark, dir)
-          .select(col("label").as("k"),
-            expr("dim div 8").cast("int").as("m"),
-            expr("dim % 8").as("j"),
-            (col("s").cast("double") / lit(1e6) / col("n")).as("c"))
-        val sub = Tables.embeddings(spark, dir)
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-          .select(col("vec_id"), expr("dim div 8").cast("int").as("m"),
-            expr("dim % 8").as("j"), col("x"))
-        val d2 = sub.join(broadcast(codes), Seq("m", "j"))
-          .select(col("vec_id"), col("m"), col("k"),
-            ((xd - col("c")) * (xd - col("c")))
-              .cast(org.apache.spark.sql.types.DecimalType(20, 12)).as("t"))
-          .groupBy(col("vec_id"), col("m"), col("k"))
-          .agg(sum(col("t")).cast("double").as("d2"))
-        val best = d2.groupBy(col("vec_id"), col("m"))
-          .agg(min(struct(col("d2"), col("k"))).as("b"))
-          .select(col("vec_id"), col("m"),
-            col("b.k").as("k"), col("b.d2").as("d2"))
+        val best = pqBest(spark, dir, lit(true))
         val p10 = array((0 until 8).map(i =>
           lit(math.pow(10, i).toLong)): _*)
         best.groupBy(col("vec_id"))
@@ -1098,6 +1079,149 @@ SELECT vec_id,
   CAST(sum(CAST(round(d2 * 1000000000.0) AS BIGINT)) AS DOUBLE)
     / 1000000000.0 AS recon_err
 FROM b GROUP BY vec_id ORDER BY vec_id""")),
+
+    // --- IVF-PQ ADC SEARCH — the full 100 TB vector-serving path,
+    // assembled from this engine's own parts and oracle-gated end to
+    // end: (1) IVF — each corpus vector lives in its nearest
+    // label-seeded cell; a probe scans only its nprobe=3 nearest
+    // cells (the coarse pruning that keeps a petabyte index from
+    // being a full scan); (2) PQ — candidates are scored WITHOUT
+    // touching raw vectors: per probe, one 80-entry distance table
+    // (d² from the probe's subvectors to every code) is broadcast,
+    // and a candidate's ASYMMETRIC distance is the 8-way table-lookup
+    // sum over its stored code ids — the ADC trick (Jégou et al.
+    // 2011) that makes the scan bytes-per-candidate, not
+    // floats-per-dimension. Everything folds on exact grids (decimal
+    // per-term distance sums; the 8 lookups summed on the 1e-9
+    // grid), so both engines rank candidates identically, ties
+    // broken by vec_id. Top-10 per probe rides the native GroupTopK
+    // partial heaps — the shuffle carries ≤10 rows per probe per map
+    // partition, never the candidate set.
+    QueryDef("q_ann_adc",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        val cents = centroidArrays(spark, dir)
+          .select(col("label").as("cell"), col("centroid"))
+        def cellD2(df: org.apache.spark.sql.DataFrame, idCol: String) =
+          df.crossJoin(broadcast(cents))
+            .select(col(idCol),
+              Exact.sqDistFD(col("embedding"), col("centroid")).as("d2"),
+              col("cell"))
+        val corpusCell = cellD2(emb.filter(col("vec_id") >= 3), "vec_id")
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("d2"), col("cell"))).as("a"))
+          .select(col("vec_id"), col("a.cell").as("cell"))
+        val probes = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("probe_id"), col("embedding"))
+        val probeCells = graft.plans.GroupTopK.topK(
+          cellD2(probes, "probe_id"), Seq("probe_id"),
+          Seq(("d2", false), ("cell", false)), 3)
+          .select(col("probe_id"), col("cell"))
+        val xd = col("x").cast("double")
+        val psub = probes
+          .select(col("probe_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("probe_id"), expr("dim div 8").cast("int").as("m"),
+            expr("dim % 8").as("j"), col("x"))
+        val dt = psub.join(broadcast(pqCodebook(spark, dir)), Seq("m", "j"))
+          .select(col("probe_id"), col("m"), col("k"),
+            ((xd - col("c")) * (xd - col("c")))
+              .cast(org.apache.spark.sql.types.DecimalType(20, 12)).as("t"))
+          .groupBy(col("probe_id"), col("m"), col("k"))
+          .agg(sum(col("t")).cast("double").as("dtv"))
+        val corpusCodes = pqBest(spark, dir, col("vec_id") >= 3)
+          .select(col("vec_id"), col("m"), col("k"))
+        val adc = corpusCell.join(probeCells, Seq("cell"))
+          .select(col("probe_id"), col("vec_id"))
+          .join(corpusCodes, Seq("vec_id"))
+          .join(broadcast(dt), Seq("probe_id", "m", "k"))
+          .groupBy(col("probe_id"), col("vec_id"))
+          .agg((sum(round(col("dtv") * lit(1e9)).cast("bigint")).cast("double")
+            / lit(1e9)).as("adc"))
+        graft.plans.GroupTopK.topK(adc, Seq("probe_id"),
+          Seq(("adc", false), ("vec_id", false)), 10)
+          .select(col("probe_id"), col("vec_id"), col("adc"))
+          .orderBy(col("probe_id"), col("adc"), col("vec_id"))
+      },
+      Some("""WITH e AS (
+  SELECT label, unnest(embedding) AS x,
+    unnest(range(len(embedding))) AS dim
+  FROM embeddings),
+g AS (
+  SELECT label, dim,
+    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+      / 1000000.0 / count(*) AS c
+  FROM e GROUP BY label, dim),
+cents AS (
+  SELECT label AS cell, list(c ORDER BY dim) AS cent
+  FROM g GROUP BY label),
+cd AS (
+  SELECT v.vec_id, c.cell,
+    CAST(list_sum(list_transform(range(1, len(v.embedding) + 1),
+      i -> CAST((CAST(v.embedding[i] AS DOUBLE) - c.cent[i])
+        * (CAST(v.embedding[i] AS DOUBLE) - c.cent[i])
+        AS DECIMAL(20,12)))) AS DOUBLE) AS d2
+  FROM embeddings v CROSS JOIN cents c WHERE v.vec_id >= 3),
+ca AS (
+  SELECT vec_id, cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY d2, cell) AS rn FROM cd)
+  WHERE rn = 1),
+pd AS (
+  SELECT v.vec_id AS probe_id, c.cell,
+    CAST(list_sum(list_transform(range(1, len(v.embedding) + 1),
+      i -> CAST((CAST(v.embedding[i] AS DOUBLE) - c.cent[i])
+        * (CAST(v.embedding[i] AS DOUBLE) - c.cent[i])
+        AS DECIMAL(20,12)))) AS DOUBLE) AS d2
+  FROM embeddings v CROSS JOIN cents c WHERE v.vec_id < 3),
+pc AS (
+  SELECT probe_id, cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY d2, cell) AS rn FROM pd)
+  WHERE rn <= 3),
+codes AS (
+  SELECT label AS k, CAST(dim // 8 AS INT) AS m, dim % 8 AS j, c FROM g),
+psq AS (
+  SELECT vec_id AS probe_id, unnest(embedding) AS x,
+    unnest(range(len(embedding))) AS dim
+  FROM embeddings WHERE vec_id < 3),
+psub AS (
+  SELECT probe_id, CAST(dim // 8 AS INT) AS m, dim % 8 AS j, x FROM psq),
+dt AS (
+  SELECT probe_id, m, k,
+    CAST(sum(CAST((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)
+      AS DECIMAL(20,12))) AS DOUBLE) AS dtv
+  FROM psub JOIN codes USING (m, j)
+  GROUP BY probe_id, m, k),
+csq AS (
+  SELECT vec_id, unnest(embedding) AS x,
+    unnest(range(len(embedding))) AS dim
+  FROM embeddings WHERE vec_id >= 3),
+csub AS (
+  SELECT vec_id, CAST(dim // 8 AS INT) AS m, dim % 8 AS j, x FROM csq),
+d AS (
+  SELECT vec_id, m, k,
+    CAST(sum(CAST((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)
+      AS DECIMAL(20,12))) AS DOUBLE) AS d2
+  FROM csub JOIN codes USING (m, j)
+  GROUP BY vec_id, m, k),
+b AS (
+  SELECT vec_id, m, k
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+          ORDER BY d2, k) AS rn FROM d)
+  WHERE rn = 1),
+cand AS (SELECT pc.probe_id, ca.vec_id FROM ca JOIN pc USING (cell)),
+adc AS (
+  SELECT cand.probe_id, cand.vec_id,
+    CAST(sum(CAST(round(dt.dtv * 1000000000.0) AS BIGINT)) AS DOUBLE)
+      / 1000000000.0 AS adc
+  FROM cand
+  JOIN b ON b.vec_id = cand.vec_id
+  JOIN dt ON dt.probe_id = cand.probe_id AND dt.m = b.m AND dt.k = b.k
+  GROUP BY cand.probe_id, cand.vec_id)
+SELECT probe_id, vec_id, adc FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+    ORDER BY adc, vec_id) AS rn FROM adc)
+WHERE rn <= 10 ORDER BY probe_id, adc, vec_id""")),
   )
 
   /** Exact per-(label, dim) coordinate sums on the 1e-6 integer grid
@@ -1131,6 +1255,42 @@ FROM b GROUP BY vec_id ORDER BY vec_id""")),
       .agg(max(col("n")).as("n_vectors"),
         transform(sort_array(collect_list(struct(col("dim"), col("c")))),
           p => p.getField("c")).as("centroid"))
+
+  /** Per-subspace PQ codebook `(k, m, j, c)`: the label-seeded exact
+    * centroids restricted to M=8 subspaces of 8 dims (10 codes per
+    * subspace). Tiny (80 rows) — always broadcast. */
+  private[queries] def pqCodebook(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    centroidRows(spark, dir)
+      .select(col("label").as("k"),
+        expr("dim div 8").cast("int").as("m"),
+        expr("dim % 8").as("j"),
+        (col("s").cast("double") / lit(1e6) / col("n")).as("c"))
+
+  /** PQ assignment `(vec_id, m, k, d2)` for vectors matching `pred`:
+    * nearest code per subspace by exact-decimal distance (tie → the
+    * smaller code id). One corpus explode + broadcast codebook join +
+    * two-phase aggregation; shared by q_pq_quantize and q_ann_adc. */
+  private[queries] def pqBest(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, pred: Column): org.apache.spark.sql.DataFrame = {
+    val xd = col("x").cast("double")
+    val sub = Tables.embeddings(spark, dir).filter(pred)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), expr("dim div 8").cast("int").as("m"),
+        expr("dim % 8").as("j"), col("x"))
+    sub.join(broadcast(pqCodebook(spark, dir)), Seq("m", "j"))
+      .select(col("vec_id"), col("m"), col("k"),
+        ((xd - col("c")) * (xd - col("c")))
+          .cast(org.apache.spark.sql.types.DecimalType(20, 12)).as("t"))
+      .groupBy(col("vec_id"), col("m"), col("k"))
+      .agg(sum(col("t")).cast("double").as("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("k"))).as("b"))
+      .select(col("vec_id"), col("m"),
+        col("b.k").as("k"), col("b.d2").as("d2"))
+  }
 
   /** Banded-minhash candidate pairs with signature-agreement Jaccard
     * estimate: `(id_a, id_b, n_shared_bands, est_jaccard)`, unordered —

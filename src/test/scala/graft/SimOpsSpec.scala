@@ -210,6 +210,21 @@ class SimOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_ann_adc: per-probe top-10 ordering and candidate-set laws") {
+    val rows = SparkEntry.queries("q_ann_adc")(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.keySet === Set(0L, 1L, 2L), "three probes")
+    byProbe.foreach { case (p, rs) =>
+      assert(rs.length <= 10, s"probe $p returned more than k")
+      val adcs = rs.map(_.getDouble(2)).toSeq
+      assert(adcs === adcs.sorted, s"probe $p not ranked by ADC distance")
+      assert(adcs.forall(_ >= 0.0), s"probe $p has a negative distance")
+      assert(rs.map(_.getLong(1)).distinct.length === rs.length,
+        s"probe $p repeats a candidate")
+    }
+  }
+
   test("q_semdedup: per-cell accounting laws and earliest-keeper rule") {
     val rows = SparkEntry.queries("q_semdedup")(spark, Sf0001).collect()
     assert(rows.nonEmpty)
