@@ -476,5 +476,68 @@ FROM events""")),
         spark.sql(Extras.SqlFrontendText)
       },
       Some(Extras.SqlFrontendText)),
+
+    // --- SNAPSHOT CHANGELOG (CDC) between two manifest commits: two
+    // versions of the keyed table are committed through the sink —
+    // v1 missing every 7th key, v2 missing every 11th and with every
+    // 5th value bumped — then read back through the source and
+    // FULL-OUTER-joined on the key to classify added / removed /
+    // changed / unchanged, the diff every incremental
+    // materialization and table-format CDF builds on. One shuffle on
+    // the key (both sides co-partition); the rollup carries counts
+    // plus an exact-decimal net-delta so the changelog is
+    // value-auditable, not just row-countable. The oracle restates
+    // the v1/v2 derivations analytically over the raw table.
+    QueryDef("q_cdc_diff",
+      (spark, dir) => {
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest((dir + "#cdc").getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val (t1, t2) = (s"$wh/graft-cdc/$key/v1", s"$wh/graft-cdc/$key/v2")
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("value"))
+        base.filter(col("event_id") % 7 =!= 0)
+          .write.format("graft.sources.ManifestSink")
+          .option("path", t1).mode("overwrite").save()
+        base.filter(col("event_id") % 11 =!= 0)
+          .select(col("event_id"),
+            when(col("event_id") % 5 === 0, col("value") + 1.0)
+              .otherwise(col("value")).as("value"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", t2).mode("overwrite").save()
+        def snap(p: String, v: String) =
+          spark.read.format("graft.sources.ManifestSource")
+            .option("path", p).load()
+            .select(col("event_id"), col("value").as(v))
+        snap(t1, "v1").join(snap(t2, "v2"), Seq("event_id"), "full_outer")
+          .agg(
+            sum(when(col("v1").isNull, 1L).otherwise(0L)).as("n_added"),
+            sum(when(col("v2").isNull, 1L).otherwise(0L)).as("n_removed"),
+            sum(when(col("v1").isNotNull && col("v2").isNotNull &&
+              col("v1") =!= col("v2"), 1L).otherwise(0L)).as("n_changed"),
+            sum(when(col("v1").isNotNull && col("v2") === col("v1"), 1L)
+              .otherwise(0L)).as("n_unchanged"),
+            Exact.decSum(coalesce(col("v2"), lit(0.0))
+              - coalesce(col("v1"), lit(0.0)), 2).as("net_delta"))
+      },
+      Some(s"""WITH v1 AS (
+  SELECT event_id, value FROM events WHERE event_id % 7 <> 0),
+v2 AS (
+  SELECT event_id,
+    CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END AS value
+  FROM events WHERE event_id % 11 <> 0),
+j AS (
+  SELECT coalesce(v1.event_id, v2.event_id) AS event_id,
+    v1.value AS a, v2.value AS b
+  FROM v1 FULL OUTER JOIN v2 ON v1.event_id = v2.event_id)
+SELECT
+  CAST(sum(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+  CAST(sum(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(sum(CASE WHEN a IS NOT NULL AND b IS NOT NULL AND a <> b
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+  CAST(sum(CASE WHEN a IS NOT NULL AND b = a THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unchanged,
+  ${Exact.decSumSql("coalesce(b, 0.0) - coalesce(a, 0.0)", 2)} AS net_delta
+FROM j""")),
   )
 }

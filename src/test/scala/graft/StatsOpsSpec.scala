@@ -30,6 +30,29 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("exact-fold regression recovers a perfect linear relationship") {
+    import spark.implicits._
+    // y = 3x + 7 exactly → slope 3, intercept 7, corr 1, r2 1 — the
+    // closed form the moment-sum finishing arithmetic must hit
+    val df = (1 to 500).map(i => (i.toDouble, 3.0 * i + 7.0)).toDF("x", "y")
+    val agg = df.agg(count(lit(1)).as("n"),
+      graft.functions.Exact.decSum(col("x"), 2).as("sx"),
+      graft.functions.Exact.decSum(col("y"), 2).as("sy"),
+      graft.functions.Exact.decSum(col("x") * col("x"), 4).as("sxx"),
+      graft.functions.Exact.decSum(col("y") * col("y"), 4).as("syy"),
+      graft.functions.Exact.decSum(col("x") * col("y"), 4).as("sxy"))
+    val r = agg.select(
+      ((col("n").cast("double") * col("sxy") - col("sx") * col("sy")) /
+        (col("n").cast("double") * col("sxx") - col("sx") * col("sx")))
+        .as("slope"),
+      ((col("n").cast("double") * col("sxy") - col("sx") * col("sy")) /
+        sqrt((col("n").cast("double") * col("sxx") - col("sx") * col("sx")) *
+          (col("n").cast("double") * col("syy") - col("sy") * col("sy"))))
+        .as("corr")).head
+    assert(r.getDouble(0) === 3.0, "slope must be exactly 3")
+    assert(approx(r.getDouble(1), 1.0, 1e-12), "corr must be 1")
+  }
+
   test("q_mode_median matches locally computed mode and median") {
     val got = SparkEntry.queries("q_mode_median")(spark, Sf0001)
       .collect().map(r => r.getString(0) ->
