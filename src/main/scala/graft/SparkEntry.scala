@@ -12,7 +12,8 @@ object SparkEntry {
   private[graft] def families: Seq[QueryDef] =
     Relational.all ++ Analytic.all ++ TextOps.all ++ SimOps.all ++
       CorpusOps.all ++ ProfileOps.all ++ streaming.Streams.all ++
-      Extras.all ++ Scale.all ++ StatsOps.all ++ GraphOps.all ++ Seq(
+      Extras.all ++ Scale.all ++ StatsOps.all ++ GraphOps.all ++
+      Warehouse.all ++ Seq(
     // Model-scoring head chain (S4/F2): trains + scores MLlib heads —
     // not ANSI-SQL-expressible, so no oracle; MlSpec pins semantics.
     QueryDef("q_model_score", (s, d) => graft.ml.Scoring.scoreAndEstimate(s, d), None),

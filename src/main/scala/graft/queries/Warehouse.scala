@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+import graft.model.Tables
+import graft.sources.ManifestMaintenance
+
+/** Snapshot-history table operations over the manifest format — the
+  * Iceberg/Delta-shaped warehouse surface assembled from the engine's
+  * own sink/source: time travel, MERGE upsert, append with additive
+  * schema evolution, and VACUUM. Each query builds its fixture table
+  * through the REAL commit protocol (versioned manifests, token-named
+  * immutable part files), reads results back through the DSv2 source,
+  * and is gated by a DuckDB oracle that restates the version contents
+  * analytically over the raw `events` table — so what's verified is
+  * the whole write→snapshot→read loop, not a simulation of it.
+  *
+  * Scale notes: a snapshot commit writes one small JSON manifest —
+  * time travel never copies data; append carries the head's part LIST
+  * forward (O(new data), not O(table)); MERGE is one co-partitioned
+  * full-outer shuffle on the key; VACUUM decides from manifests alone
+  * (KBs of metadata at any table size).
+  */
+object Warehouse {
+
+  /** Per-(query, sf-dir) table path under the session warehouse dir,
+    * deleted before each run so version numbering is idempotent across
+    * reruns (history commits would otherwise accumulate). */
+  private def freshTable(spark: SparkSession, dir: String, tag: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir#$tag".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val path = s"${spark.conf.get("spark.sql.warehouse.dir")}/graft-wh/$tag/$key"
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    path
+  }
+
+  private def writeHistory(df: DataFrame, path: String, mode: String,
+      parts: Int = 4): Unit =
+    df.repartition(parts)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", path).option("history", "true").mode(mode).save()
+
+  private def readVersion(spark: SparkSession, path: String,
+      version: Option[Int]): DataFrame = {
+    val r = spark.read.format("graft.sources.ManifestSource").option("path", path)
+    version.fold(r)(v => r.option("version", v.toString)).load()
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // --- TIME TRAVEL: two history commits to one table (overwrite =
+    // logical truncate), then the superseded snapshot and the head are
+    // read back SIDE BY SIDE — the audit/repro/backfill primitive every
+    // snapshot-log table format exists for. The oracle restates both
+    // versions analytically; matching proves v1 survived v2's commit
+    // bit-for-bit.
+    QueryDef("q_time_travel",
+      (spark, dir) => {
+        val t = freshTable(spark, dir, "tt")
+        val base = Tables.events(spark, dir).select(col("event_id"), col("value"))
+        writeHistory(base.filter(col("event_id") % 3 === 0), t, "overwrite")
+        writeHistory(base.filter(col("event_id") % 4 === 0)
+          .select(col("event_id"), (col("value") * 2).as("value")),
+          t, "overwrite")
+        val v1 = readVersion(spark, t, Some(1))
+          .agg(count(lit(1)).as("n_v1"), Exact.decSum(col("value"), 2).as("sum_v1"))
+        val head = readVersion(spark, t, None)
+          .agg(count(lit(1)).as("n_head"), Exact.decSum(col("value"), 2).as("sum_head"))
+        v1.crossJoin(head)
+      },
+      Some(s"""WITH v1 AS (
+  SELECT event_id, value FROM events WHERE event_id % 3 = 0),
+v2 AS (
+  SELECT event_id, value * 2 AS value FROM events WHERE event_id % 4 = 0)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM v1) AS n_v1,
+  (SELECT ${Exact.decSumSql("value", 2)} FROM v1) AS sum_v1,
+  (SELECT CAST(count(*) AS BIGINT) FROM v2) AS n_head,
+  (SELECT ${Exact.decSumSql("value", 2)} FROM v2) AS sum_head""")),
+
+    // --- MERGE INTO (upsert with three clauses): target = committed
+    // snapshot, source = an update feed; WHEN MATCHED AND key%12=0 →
+    // DELETE, WHEN MATCHED → UPDATE to the source value, WHEN NOT
+    // MATCHED → INSERT. One co-partitioned full-outer shuffle on the
+    // key does all three in a single pass (row presence encodes the
+    // clause — `value` is non-null in the data, so side-nullness is
+    // purely join-shape); the merged state commits as snapshot v2 and
+    // the rollup is read BACK from the table, so the gate covers the
+    // whole merge→commit→scan loop. Clause counts ride the same joined
+    // frame. At 100 TB both sides hash-partition on the key; nothing
+    // is ever collected or broadcast-materialized on the driver.
+    QueryDef("q_merge_upsert",
+      (spark, dir) => {
+        val t = freshTable(spark, dir, "merge")
+        val base = Tables.events(spark, dir).select(col("event_id"), col("value"))
+        writeHistory(base.filter(col("event_id") % 3 === 0), t, "overwrite")
+        // target PINNED to snapshot v1, not the head: DataFrames are
+        // lazy, and the clause rollup below is evaluated after the
+        // merged state commits as v2 — an unpinned head read would
+        // silently merge against the merge's own output. Snapshot
+        // pinning is exactly what version reads are for.
+        val target = readVersion(spark, t, Some(1))
+          .select(col("event_id"), col("value").as("tv"))
+        val source = base.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), (col("value") + 100).as("sv"))
+        val j = target.join(source, Seq("event_id"), "full_outer")
+        val matched = col("tv").isNotNull && col("sv").isNotNull
+        val del = matched && col("event_id") % 12 === 0
+        val clauses = j.agg(
+          sum(when(del, 1L).otherwise(0L)).as("n_deleted"),
+          sum(when(matched && !(col("event_id") % 12 === 0), 1L).otherwise(0L))
+            .as("n_updated"),
+          sum(when(col("tv").isNull, 1L).otherwise(0L)).as("n_inserted"))
+        writeHistory(
+          j.filter(!del).select(col("event_id"),
+            coalesce(col("sv"), col("tv")).as("value")),
+          t, "overwrite")
+        val after = readVersion(spark, t, None)
+          .agg(count(lit(1)).as("n_after"),
+            Exact.decSum(col("value"), 2).as("sum_after"))
+        clauses.crossJoin(after)
+      },
+      Some(s"""WITH t AS (
+  SELECT event_id, value AS tv FROM events WHERE event_id % 3 = 0),
+s AS (
+  SELECT event_id, value + 100 AS sv FROM events WHERE event_id % 2 = 0),
+j AS (
+  SELECT coalesce(t.event_id, s.event_id) AS event_id, tv, sv
+  FROM t FULL OUTER JOIN s ON t.event_id = s.event_id),
+m AS (
+  SELECT event_id, coalesce(sv, tv) AS value FROM j
+  WHERE NOT (tv IS NOT NULL AND sv IS NOT NULL AND event_id % 12 = 0))
+SELECT
+  (SELECT CAST(sum(CASE WHEN tv IS NOT NULL AND sv IS NOT NULL
+      AND event_id % 12 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM j) AS n_deleted,
+  (SELECT CAST(sum(CASE WHEN tv IS NOT NULL AND sv IS NOT NULL
+      AND event_id % 12 <> 0 THEN 1 ELSE 0 END) AS BIGINT) FROM j) AS n_updated,
+  (SELECT CAST(sum(CASE WHEN tv IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM j)
+    AS n_inserted,
+  (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_after,
+  (SELECT ${Exact.decSumSql("value", 2)} FROM m) AS sum_after""")),
+
+    // --- APPEND + ADDITIVE SCHEMA EVOLUTION: v1 commits (event_id,
+    // value); v2 APPENDS rows carrying a NEW trailing column without
+    // rewriting v1's files — the head schema widens, and v1-era rows
+    // read the new column as NULL (exactly Iceberg/Delta add-column
+    // semantics: evolution is a metadata operation). The rollup splits
+    // the head by column-presence so the oracle pins both the NULL
+    // backfill and the appended values; n_v1 comes from a time-travel
+    // read of the narrower v1 snapshot.
+    QueryDef("q_append_evolve",
+      (spark, dir) => {
+        val t = freshTable(spark, dir, "evolve")
+        val ev = Tables.events(spark, dir)
+        writeHistory(ev.select(col("event_id"), col("value"))
+          .filter(col("event_id") % 5 === 0), t, "overwrite")
+        writeHistory(ev.select(col("event_id"), col("value"), col("event_type"))
+          .filter(col("event_id") % 5 === 1), t, "append")
+        val head = readVersion(spark, t, None)
+        val v1n = readVersion(spark, t, Some(1)).agg(count(lit(1)).as("n_v1"))
+        head.agg(
+          count(lit(1)).as("n_head"),
+          sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          count(col("event_type")).as("n_typed"),
+          countDistinct(col("event_type")).as("n_types"),
+          Exact.decSum(col("value"), 2).as("sum_value"))
+          .crossJoin(v1n)
+      },
+      Some(s"""WITH v1 AS (
+  SELECT event_id, value, NULL AS event_type FROM events WHERE event_id % 5 = 0),
+add2 AS (
+  SELECT event_id, value, event_type FROM events WHERE event_id % 5 = 1),
+head AS (SELECT * FROM v1 UNION ALL SELECT * FROM add2)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM head) AS n_head,
+  (SELECT CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+     FROM head) AS n_legacy,
+  (SELECT CAST(count(event_type) AS BIGINT) FROM head) AS n_typed,
+  (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM head) AS n_types,
+  (SELECT ${Exact.decSumSql("value", 2)} FROM head) AS sum_value,
+  (SELECT CAST(count(*) AS BIGINT) FROM v1) AS n_v1""")),
+
+    // --- VACUUM / EXPIRE SNAPSHOTS: three history commits, then all
+    // but the head are expired. Reference-counted reclamation — a part
+    // file is deleted only when no retained manifest lists it — so the
+    // deterministic count is exactly the two expired versions' 4 parts
+    // each (repartition(4) fixes the layout); the head rollup read
+    // AFTER vacuum must still match the oracle's analytic restatement
+    // of commit 3, proving reclamation never touches live data.
+    QueryDef("q_sink_vacuum",
+      (spark, dir) => {
+        val t = freshTable(spark, dir, "vacuum")
+        val base = Tables.events(spark, dir).select(col("event_id"), col("value"))
+        (0 to 2).foreach { m =>
+          writeHistory(base.filter(col("event_id") % 7 === m), t, "overwrite")
+        }
+        val stats = ManifestMaintenance.expireSnapshots(
+          spark.sparkContext.hadoopConfiguration, t, keepLast = 1)
+        readVersion(spark, t, None)
+          .agg(count(lit(1)).as("n_head"),
+            Exact.decSum(col("value"), 2).as("sum_head"))
+          .select(
+            lit(stats.versionsExpired).cast("long").as("versions_expired"),
+            lit(stats.filesDeleted).cast("long").as("files_deleted"),
+            lit(stats.versionsRetained).cast("long").as("versions_retained"),
+            col("n_head"), col("sum_head"))
+      },
+      Some(s"""WITH head AS (
+  SELECT event_id, value FROM events WHERE event_id % 7 = 2)
+SELECT
+  CAST(2 AS BIGINT) AS versions_expired,
+  CAST(8 AS BIGINT) AS files_deleted,
+  CAST(1 AS BIGINT) AS versions_retained,
+  (SELECT CAST(count(*) AS BIGINT) FROM head) AS n_head,
+  (SELECT ${Exact.decSumSql("value", 2)} FROM head) AS sum_head""")),
+  )
+}

@@ -61,11 +61,16 @@ class ManifestSink extends TableProvider {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new ManifestTable(properties.get("path"), schema)
+    new ManifestTable(properties.get("path"), schema,
+      "true".equalsIgnoreCase(properties.get("history")))
 }
 
 object ManifestSink {
   val ManifestFile = "_MANIFEST.json"
+
+  /** Immutable snapshot manifest name for version `v` (history mode). */
+  def versionFile(v: Int): String = f"_MANIFEST.v$v%05d.json"
+  private val VersionRe = """_MANIFEST\.v(\d+)\.json""".r
 
   /** The session Hadoop conf, captured on the driver. This is the ONLY
     * conf constructor in the manifest code paths. */
@@ -74,7 +79,16 @@ object ManifestSink {
 
   /** One committed part's stats: (path, rows, keyMin, keyMax). */
   def readManifest(conf: Configuration, dir: String): Seq[(String, Long, Long, Long)] =
-    manifestLines(conf, dir).filter(_.contains("\"path\"")).map { line =>
+    readManifest(conf, dir, None)
+
+  /** Same, against a specific snapshot version (history mode). A
+    * request for a version whose manifest file is missing (never
+    * committed, or expired by [[ManifestMaintenance]]) fails loudly —
+    * silently serving the head instead would be a time-travel
+    * correctness bug. */
+  def readManifest(conf: Configuration, dir: String,
+      version: Option[Int]): Seq[(String, Long, Long, Long)] =
+    manifestLines(conf, dir, version).filter(_.contains("\"path\"")).map { line =>
       def field(k: String): String = {
         val m = ("\"" + k + "\":\"?([^,\"}]*)\"?").r.findFirstMatchIn(line)
         m.map(_.group(1)).getOrElse("")
@@ -85,7 +99,14 @@ object ManifestSink {
 
   /** The committed table schema (manifest header line), if present. */
   def readSchema(conf: Configuration, dir: String): Option[StructType] =
-    manifestLines(conf, dir)
+    readSchema(conf, dir, None)
+
+  /** Snapshot-version-aware schema read: each snapshot carries ITS OWN
+    * schema header, so time travel sees the schema as of that commit
+    * (additive evolution never rewrites history). */
+  def readSchema(conf: Configuration, dir: String,
+      version: Option[Int]): Option[StructType] =
+    manifestLines(conf, dir, version)
       .find(_.startsWith("{\"schema\":"))
       .map { line =>
         val ddl = line.stripPrefix("{\"schema\":\"").stripSuffix("\"}")
@@ -93,10 +114,27 @@ object ManifestSink {
         StructType.fromDDL(ddl)
       }
 
-  private def manifestLines(conf: Configuration, dir: String): Seq[String] = {
-    val p = new Path(dir, ManifestFile)
+  /** Committed snapshot versions present at `dir`, ascending (history
+    * mode; empty for a plain single-manifest table). */
+  def listVersions(conf: Configuration, dir: String): Seq[Int] = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) return Seq.empty
+    fs.listStatus(d).toSeq.map(_.getPath.getName).collect {
+      case VersionRe(v) => v.toInt
+    }.sorted
+  }
+
+  private def manifestLines(conf: Configuration, dir: String,
+      version: Option[Int] = None): Seq[String] = {
+    val p = new Path(dir, version.map(versionFile).getOrElse(ManifestFile))
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return Seq.empty
+    if (!fs.exists(p)) {
+      if (version.isDefined) throw new IllegalArgumentException(
+        s"no snapshot ${version.get} at $dir (committed versions: " +
+          s"${listVersions(conf, dir).mkString(",")})")
+      return Seq.empty
+    }
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
@@ -104,7 +142,8 @@ object ManifestSink {
   }
 }
 
-private[sources] class ManifestTable(path: String, schema: StructType)
+private[sources] class ManifestTable(
+    path: String, schema: StructType, history: Boolean)
     extends Table with SupportsWrite {
   require(path != null && path.nonEmpty, "option 'path' is required")
   override def name(): String = s"manifest($path)"
@@ -120,45 +159,108 @@ private[sources] class ManifestTable(path: String, schema: StructType)
         override def toBatch: BatchWrite =
           // capture the session conf HERE — newWriteBuilder/build run
           // on the driver; executors only ever see the serialized copy
-          new ManifestBatchWrite(path, info.schema(), doTruncate,
+          new ManifestBatchWrite(path, info.schema(), doTruncate, history,
             new SerializableConfiguration(ManifestSink.driverConf()))
       }
     }
 }
 
-/** Driver-side commit coordinator. */
+/** Driver-side commit coordinator.
+  *
+  * Two commit layouts share one protocol:
+  *
+  *  - plain (default): a single `_MANIFEST.json`, last-writer-wins;
+  *    `overwrite` physically truncates the directory — exactly the
+  *    original sink contract.
+  *  - `history=true`: every commit additionally publishes an IMMUTABLE
+  *    `_MANIFEST.v<N>.json` snapshot (N = 1 + latest committed
+  *    version) and rewrites the head as a copy of it. `overwrite`
+  *    becomes a LOGICAL truncate — the new snapshot just lists no
+  *    prior parts; superseded part files stay on disk, readable via
+  *    `option("version", n)` until [[ManifestMaintenance.expireSnapshots]]
+  *    reclaims them. This is the Iceberg/Delta snapshot-log shape:
+  *    time travel costs one small JSON file per commit, never a data
+  *    copy.
+  *
+  * `append` (SaveMode.Append — no truncate) carries the current head's
+  * part list into the new snapshot, so a commit is O(new data); the
+  * incoming schema must extend the committed one additively (equal, or
+  * adding trailing columns — old parts then decode the missing
+  * trailing columns as NULL; see [[ManifestCodec]]).
+  *
+  * Part files are staged as `part-<commitToken>-<partition>-<task>`:
+  * the per-commit token (chosen once on the driver) makes part names
+  * unique ACROSS commits, so an appended or retained snapshot can
+  * never have a later commit silently overwrite its data files — the
+  * invariant snapshot isolation rests on. */
 private[sources] class ManifestBatchWrite(
-    path: String, schema: StructType, truncate: Boolean,
+    path: String, schema: StructType, truncate: Boolean, history: Boolean,
     conf: SerializableConfiguration) extends BatchWrite {
+
+  private val token = java.util.UUID.randomUUID().toString.take(8)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
-    // prepare the target dir on the DRIVER before tasks launch
+    // prepare the target dir on the DRIVER before tasks launch; with
+    // history, truncate is logical (snapshots own their part files)
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
-    if (truncate && fs.exists(dir)) fs.delete(dir, true)
+    if (truncate && !history && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
-    new ManifestWriterFactory(path, schema, conf)
+    new ManifestWriterFactory(path, schema, token, conf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf.value)
-    val manifest = new Path(dir, ManifestSink.ManifestFile)
-    // last writer wins atomically: create under a temp name, rename in
-    val tmp = new Path(dir, s".${ManifestSink.ManifestFile}.tmp")
-    val out = fs.create(tmp, true)
-    val ddl = schema.toDDL.replace("\\", "\\\\").replace("\"", "\\\"")
-    try {
-      out.write((s"""{"schema":"$ddl"}""" + "\n").getBytes("UTF-8"))
-      messages.foreach { case m: PartCommit =>
-        out.write((s"""{"path":"${m.path}","rows":${m.rows},""" +
-          s""""min":${m.keyMin},"max":${m.keyMax}}""" + "\n").getBytes("UTF-8"))
+    // append: carry the committed head's parts forward, after checking
+    // the schema only evolved additively (name+type prefix match)
+    val prior: Seq[(String, Long, Long, Long)] =
+      if (truncate) Seq.empty
+      else ManifestSink.readSchema(conf.value, path) match {
+        case None => Seq.empty
+        case Some(old) =>
+          val prefixOk = old.fields.length <= schema.fields.length &&
+            old.fields.zip(schema.fields).forall { case (a, b) =>
+              a.name == b.name && a.dataType == b.dataType
+            }
+          if (!prefixOk) throw new IllegalArgumentException(
+            s"append schema must extend the committed schema additively; " +
+              s"committed=${old.toDDL} incoming=${schema.toDDL}")
+          ManifestSink.readManifest(conf.value, path)
       }
-    } finally out.close()
-    if (fs.exists(manifest)) fs.delete(manifest, false)
-    if (!fs.rename(tmp, manifest))
-      throw new java.io.IOException(s"cannot publish $manifest")
+    val version =
+      if (history) ManifestSink.listVersions(conf.value, path).lastOption.getOrElse(0) + 1
+      else 0
+    val ddl = schema.toDDL.replace("\\", "\\\\").replace("\"", "\\\"")
+    val content = new StringBuilder
+    content.append(s"""{"schema":"$ddl"}""").append('\n')
+    if (history) content.append(s"""{"version":$version}""").append('\n')
+    prior.foreach { case (p, rows, kMin, kMax) =>
+      content.append(s"""{"path":"$p","rows":$rows,"min":$kMin,"max":$kMax}""")
+        .append('\n')
+    }
+    messages.foreach { case m: PartCommit =>
+      content.append(s"""{"path":"${m.path}","rows":${m.rows},""" +
+        s""""min":${m.keyMin},"max":${m.keyMax}}""").append('\n')
+    }
+    val bytes = content.toString.getBytes("UTF-8")
+
+    // publish atomically: create under a temp name, rename in. The
+    // immutable snapshot goes first; the head pointer flip is last, so
+    // a crash between the two leaves the table readable at the old
+    // head with a complete (merely unreferenced) new snapshot.
+    def publish(name: String): Unit = {
+      val target = new Path(dir, name)
+      val tmp = new Path(dir, s".$name.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      if (fs.exists(target)) fs.delete(target, false)
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"cannot publish $target")
+    }
+    if (history) publish(ManifestSink.versionFile(version))
+    publish(ManifestSink.ManifestFile)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -176,21 +278,21 @@ private[sources] case class PartCommit(
     extends WriterCommitMessage
 
 private[sources] class ManifestWriterFactory(
-    path: String, schema: StructType,
+    path: String, schema: StructType, token: String,
     private[sources] val conf: SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(path, schema, partitionId, taskId, conf.value)
+    new ManifestDataWriter(path, schema, token, partitionId, taskId, conf.value)
 }
 
-/** Executor-side writer: stages `part-<partition>-<task>` and tracks
-  * rows + min/max of the first LongType column while writing. */
+/** Executor-side writer: stages `part-<token>-<partition>-<task>` and
+  * tracks rows + min/max of the first LongType column while writing. */
 private[sources] class ManifestDataWriter(
-    dir: String, schema: StructType, partitionId: Int, taskId: Long,
-    conf: Configuration)
+    dir: String, schema: StructType, token: String,
+    partitionId: Int, taskId: Long, conf: Configuration)
     extends DataWriter[InternalRow] {
 
-  private val file = new Path(dir, s"part-$partitionId-$taskId.csv")
+  private val file = new Path(dir, s"part-$token-$partitionId-$taskId.csv")
   private val fs = file.getFileSystem(conf)
   private val out = fs.create(file, true)
   private val keyIdx = schema.fields.indexWhere(_.dataType == LongType)

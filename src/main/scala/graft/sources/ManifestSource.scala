@@ -54,7 +54,12 @@ class ManifestSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = options.get("path")
     require(path != null && path.nonEmpty, "option 'path' is required")
-    ManifestSink.readSchema(ManifestSink.driverConf(), path).getOrElse(
+    // TIME TRAVEL: `option("version", n)` resolves the schema AND the
+    // part list from that immutable snapshot manifest — each snapshot
+    // carries its own schema, so reading v1 after an additive
+    // evolution still yields v1's (narrower) schema.
+    val version = Option(options.get("version")).map(_.toInt)
+    ManifestSink.readSchema(ManifestSink.driverConf(), path, version).getOrElse(
       throw new IllegalArgumentException(
         s"no committed manifest (with schema header) at $path"))
   }
@@ -62,23 +67,27 @@ class ManifestSource extends TableProvider {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new ManifestReadTable(properties.get("path"), schema)
+    new ManifestReadTable(properties.get("path"), schema,
+      Option(properties.get("version")).map(_.toInt))
 }
 
-private[sources] class ManifestReadTable(path: String, schema: StructType)
+private[sources] class ManifestReadTable(
+    path: String, schema: StructType, version: Option[Int])
     extends Table with SupportsRead {
   require(path != null && path.nonEmpty, "option 'path' is required")
-  override def name(): String = s"manifest($path)"
+  override def name(): String =
+    s"manifest($path${version.map(v => s"@v$v").getOrElse("")})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(path, schema,
-      new SerializableConfiguration(ManifestSink.driverConf()))
+      new SerializableConfiguration(ManifestSink.driverConf()), version)
 }
 
 private[sources] class ManifestScanBuilder(
-    path: String, schema: StructType, conf: SerializableConfiguration)
+    path: String, schema: StructType, conf: SerializableConfiguration,
+    version: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -183,7 +192,7 @@ private[sources] class ManifestScanBuilder(
     // part whose keys are all NULL carries the (MaxValue, MinValue)
     // sentinel, so any real bound prunes it; with no pushed bounds
     // nothing is pruned.
-    val all = ManifestSink.readManifest(conf.value, path)
+    val all = ManifestSink.readManifest(conf.value, path, version)
     aggFuncs match {
       case Some(fs) => new ManifestAggScan(all, fs)
       case None =>
@@ -346,7 +355,12 @@ private[sources] class ManifestReaderFactory(
           val vals = new Array[Any](ordinals.length)
           var j = 0
           while (j < ordinals.length) {
-            vals(j) = ManifestCodec.decode(cols(ordinals(j)), types(j))
+            // additive schema evolution: a part committed before a
+            // column was added has a shorter line — the missing
+            // trailing columns read as NULL, no data rewrite
+            vals(j) =
+              if (ordinals(j) >= cols.length) null
+              else ManifestCodec.decode(cols(ordinals(j)), types(j))
             j += 1
           }
           current = new GenericInternalRow(vals)

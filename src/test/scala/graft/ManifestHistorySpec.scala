@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.sources.{ManifestMaintenance, ManifestSink}
+
+/** Snapshot-history guarantees of the manifest table format: immutable
+  * versioned commits (time travel), append as an O(new-data) manifest
+  * merge, additive schema evolution without data rewrite, and
+  * reference-counted VACUUM. These are commit-protocol properties a SQL
+  * oracle can't see, so they're pinned here. */
+class ManifestHistorySpec extends SparkSpec {
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  private def base: DataFrame =
+    Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("value"))
+
+  private def writeSlice(target: String, m: Int, mode: String,
+      parts: Int = 4): Unit =
+    base.filter(col("event_id") % 10 === m)
+      .repartition(parts)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", target).option("history", "true").mode(mode).save()
+
+  private def readVersion(target: String, v: Option[Int]): DataFrame = {
+    val r = spark.read.format("graft.sources.ManifestSource")
+      .option("path", target)
+    v.fold(r)(n => r.option("version", n.toString)).load()
+  }
+
+  test("time travel: an overwritten snapshot stays readable at its version") {
+    val target = Files.createTempDirectory("graft-hist-spec-").toString
+    writeSlice(target, 0, "overwrite")
+    writeSlice(target, 1, "overwrite")
+    assert(ManifestSink.listVersions(conf, target) === Seq(1, 2))
+    val n0 = base.filter(col("event_id") % 10 === 0).count()
+    val n1 = base.filter(col("event_id") % 10 === 1).count()
+    assert(readVersion(target, Some(1)).count() === n0, "v1 = first write")
+    assert(readVersion(target, Some(2)).count() === n1, "v2 = second write")
+    assert(readVersion(target, None).count() === n1, "head = latest")
+    // logical truncate: v1's data files remain on disk, owned by v1
+    val v1Parts = ManifestSink.readManifest(conf, target, Some(1))
+    assert(v1Parts.nonEmpty)
+    v1Parts.foreach { case (p, _, _, _) =>
+      assert(Files.exists(Paths.get(p.stripPrefix("file:"))),
+        s"superseded part must survive a logical truncate: $p")
+    }
+  }
+
+  test("append merges the head's parts: commit is O(new data)") {
+    val target = Files.createTempDirectory("graft-hist-spec-").toString
+    writeSlice(target, 0, "overwrite")
+    val v1Parts = ManifestSink.readManifest(conf, target).map(_._1).toSet
+    writeSlice(target, 1, "append")
+    val v2Parts = ManifestSink.readManifest(conf, target).map(_._1).toSet
+    assert(v1Parts.subsetOf(v2Parts), "appended snapshot reuses v1's files")
+    assert(v2Parts.size === v1Parts.size + 4, "plus exactly the new parts")
+    val expect = base.filter(col("event_id") % 10 === 0 ||
+      col("event_id") % 10 === 1).count()
+    assert(readVersion(target, None).count() === expect, "head = union")
+    assert(readVersion(target, Some(1)).count() ===
+      base.filter(col("event_id") % 10 === 0).count(), "v1 unchanged")
+  }
+
+  test("additive schema evolution: old parts read NULL for new columns") {
+    val target = Files.createTempDirectory("graft-hist-spec-").toString
+    writeSlice(target, 0, "overwrite")
+    Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("value"), col("event_type"))
+      .filter(col("event_id") % 10 === 1)
+      .repartition(2)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", target).option("history", "true").mode("append").save()
+    val head = readVersion(target, None)
+    assert(head.schema.fieldNames.toSeq === Seq("event_id", "value", "event_type"))
+    val byOrigin = head.groupBy(col("event_id") % 10 === 0)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("n_null"))
+      .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byOrigin(true)._1 === byOrigin(true)._2,
+      "every pre-evolution row reads the new column as NULL")
+    assert(byOrigin(false)._2 === 0L,
+      "post-evolution rows carry real values")
+    // time travel to v1 sees v1's own (narrower) schema
+    assert(readVersion(target, Some(1)).schema.fieldNames.toSeq ===
+      Seq("event_id", "value"))
+  }
+
+  test("append rejects non-additive schema change loudly") {
+    val target = Files.createTempDirectory("graft-hist-spec-").toString
+    writeSlice(target, 0, "overwrite")
+    val ex = intercept[Exception] {
+      Tables.events(spark, Sf0001)
+        .select(col("event_id"), col("event_type")) // value → string: not a prefix
+        .filter(col("event_id") % 10 === 1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", target).option("history", "true").mode("append").save()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("additively")),
+      s"expected additive-evolution rejection, got $ex")
+  }
+
+  test("vacuum: expired versions fail loudly, retained bytes identical, orphans reclaimed") {
+    val target = Files.createTempDirectory("graft-hist-spec-").toString
+    writeSlice(target, 0, "overwrite")
+    writeSlice(target, 1, "overwrite")
+    writeSlice(target, 2, "overwrite")
+    // crash debris: staged but never committed
+    Files.write(Paths.get(target, "part-deadbeef-9-999.csv"),
+      "999999,1.0\n".getBytes("UTF-8"))
+    val headBefore = readVersion(target, None)
+      .agg(count(lit(1)), sum(col("value"))).collect().head
+    val stats = ManifestMaintenance.expireSnapshots(conf, target, keepLast = 1)
+    assert(stats.versionsExpired === 2)
+    assert(stats.versionsRetained === 1)
+    assert(stats.filesDeleted === 9, "4 parts × 2 expired versions + 1 orphan")
+    assert(ManifestSink.listVersions(conf, target) === Seq(3))
+    val headAfter = readVersion(target, None)
+      .agg(count(lit(1)), sum(col("value"))).collect().head
+    assert(headAfter === headBefore, "head must survive vacuum bit-for-bit")
+    intercept[Exception] { readVersion(target, Some(1)).count() }
+    // every retained part still on disk; nothing unreferenced remains
+    val listed = ManifestSink.readManifest(conf, target)
+      .map(p => Paths.get(p._1.stripPrefix("file:")).getFileName.toString).toSet
+    val onDisk = Files.list(Paths.get(target)).toArray.map(_.toString)
+      .filter(_.endsWith(".csv"))
+      .map(p => Paths.get(p).getFileName.toString).toSet
+    assert(onDisk === listed)
+  }
+
+  test("time travel to a never-committed version fails loudly") {
+    val target = Files.createTempDirectory("graft-hist-spec-").toString
+    writeSlice(target, 0, "overwrite")
+    val ex = intercept[Exception] { readVersion(target, Some(7)).count() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("no snapshot 7")), s"got $ex")
+  }
+}
