@@ -102,5 +102,80 @@ $iters
 SELECT node, pr FROM r$Iterations
 ORDER BY pr DESC, node LIMIT 20"""
       }),
+
+    // --- TRIANGLE COUNTING on the part co-purchase graph (parts
+    // sharing an order), by DEGREE-ORDERED EDGE ORIENTATION (Suri &
+    // Vassilvitskii, WWW'11): each undirected edge points from its
+    // lower-(degree, id) endpoint to the higher, making the graph
+    // acyclic with per-node out-degree O(√E) — so the wedge join
+    // (e1.dst = e2.src) materializes Σ outdeg² = O(E^1.5) candidate
+    // paths instead of the Σ deg² a naive neighbor join produces,
+    // which a single celebrity node would blow up quadratically. The
+    // wedge→edge closure is a plain hash join on the (src, dst) pair;
+    // nothing in the pipeline is ever collected or windowed globally.
+    // The degree table is |V| rows — broadcast onto the edge scan.
+    // Output: graph profile + wedge/triangle counts (all BIGINT; the
+    // wedge count is orientation-determined, so it's a contract, not
+    // an implementation detail).
+    QueryDef("q_triangles",
+      (spark, dir) => {
+        val items = Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = items.as("a").join(items.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v"))
+          .distinct()
+          .localCheckpoint() // degree table + orientation + closure all re-scan it
+        val deg = e.select(col("u").as("n"))
+          .unionAll(e.select(col("v").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        val fwd = col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v"))
+        val o = e
+          .join(broadcast(deg.select(col("n").as("u"), col("d").as("du"))), "u")
+          .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
+          .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
+            when(fwd, col("v")).otherwise(col("u")).as("dst"))
+          .localCheckpoint()
+        val wedges = o.as("e1").join(o.as("e2"),
+            col("e1.dst") === col("e2.src"))
+          .select(col("e1.src").as("a"), col("e2.dst").as("c"))
+        val tri = wedges.join(o,
+          col("a") === col("src") && col("c") === col("dst"))
+        val profile = e.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(deg.agg(count(lit(1)).as("n_nodes"), max(col("d")).as("max_deg")))
+          .crossJoin(o.groupBy(col("src")).agg(count(lit(1)).as("od"))
+            .agg(max(col("od")).as("max_outdeg")))
+        profile
+          .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+          .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+          .select(col("n_nodes"), col("n_edges"), col("max_deg"),
+            col("max_outdeg"), col("n_wedges"), col("n_triangles"))
+      },
+      Some("""WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+e AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) GROUP BY n),
+o AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+           THEN e.u ELSE e.v END AS src,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+           THEN e.v ELSE e.u END AS dst
+  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+w AS (SELECT e1.src AS a, e2.dst AS c FROM o e1 JOIN o e2 ON e1.dst = e2.src)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+  (SELECT max(d) FROM deg) AS max_deg,
+  (SELECT CAST(max(od) AS BIGINT) FROM (
+    SELECT count(*) AS od FROM o GROUP BY src)) AS max_outdeg,
+  (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+  (SELECT CAST(count(*) AS BIGINT)
+     FROM w JOIN o ON o.src = w.a AND o.dst = w.c) AS n_triangles""")),
   )
 }

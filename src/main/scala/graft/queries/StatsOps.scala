@@ -307,5 +307,71 @@ FROM t""")),
     CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)))
     AS max_plus3m_days
 FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // --- ASSOCIATION RULES (market-basket): baskets = orders, items =
+    // part brands; for every directed brand pair a→b co-occurring in a
+    // basket, support / confidence / lift — the Apriori-output shape —
+    // on a 1e-6 FIXED-POINT INTEGER GRID (`x·10⁶ div y`: truncating
+    // integer division on positives, where Spark's `div` and DuckDB's
+    // `//` agree bit-for-bit; a double ratio would never be a
+    // cross-engine contract). Scale shape: the brand dimension join is
+    // a broadcast; the basket self-join keys on the order id, so the
+    // pair blowup is bounded by (items-per-basket)² per order, never
+    // |items|²; the 25-row brand-support table broadcasts onto the
+    // pair counts; top-20 by (lift, conf, pair) is a total order.
+    QueryDef("q_assoc_rules",
+      (spark, dir) => {
+        val items = Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey"))
+          .join(broadcast(Tables.part(spark, dir)
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("ok"), col("p_brand").as("item"))
+          .distinct()
+          .localCheckpoint() // supports + pairs + basket count share it
+        // basket count rides the plan as a broadcast 1-row frame —
+        // no driver-side count() action
+        val nBaskets = items.select(col("ok")).distinct()
+          .agg(count(lit(1)).as("nb"))
+        val supp = items.groupBy(col("item")).agg(count(lit(1)).as("s"))
+        val pairs = items.as("a").join(items.as("b"),
+            col("a.ok") === col("b.ok") && col("a.item") < col("b.item"))
+          .groupBy(col("a.item").as("x"), col("b.item").as("y"))
+          .agg(count(lit(1)).as("sxy"))
+        val rules = pairs
+          .select(col("x").as("ante"), col("y").as("cons"), col("sxy"))
+          .unionAll(pairs
+            .select(col("y").as("ante"), col("x").as("cons"), col("sxy")))
+          .join(broadcast(supp.select(col("item").as("ante"), col("s").as("sa"))), "ante")
+          .join(broadcast(supp.select(col("item").as("cons"), col("s").as("sc"))), "cons")
+          .crossJoin(broadcast(nBaskets))
+        rules.select(col("ante"), col("cons"), col("sxy").as("support"),
+            expr("sxy * 1000000L div sa").as("conf_ppm"),
+            expr("sxy * 1000000L * nb div (sa * sc)").as("lift_ppm"))
+          .orderBy(col("lift_ppm").desc, col("conf_ppm").desc,
+            col("ante"), col("cons"))
+          .limit(20)
+      },
+      Some("""WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+nb AS (SELECT count(DISTINCT ok) AS n FROM items),
+supp AS (SELECT item, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY item),
+pairs AS (
+  SELECT a.item AS x, b.item AS y, CAST(count(*) AS BIGINT) AS sxy
+  FROM items a JOIN items b ON a.ok = b.ok AND a.item < b.item
+  GROUP BY 1, 2),
+rules AS (
+  SELECT x AS ante, y AS cons, sxy FROM pairs
+  UNION ALL
+  SELECT y AS ante, x AS cons, sxy FROM pairs)
+SELECT r.ante, r.cons, r.sxy AS support,
+  CAST(r.sxy * 1000000 // sa.s AS BIGINT) AS conf_ppm,
+  CAST(r.sxy * 1000000 * (SELECT n FROM nb) // (sa.s * sc.s) AS BIGINT)
+    AS lift_ppm
+FROM rules r
+JOIN supp sa ON sa.item = r.ante
+JOIN supp sc ON sc.item = r.cons
+ORDER BY lift_ppm DESC, conf_ppm DESC, ante, cons LIMIT 20""")),
   )
 }

@@ -218,5 +218,104 @@ SELECT
   CAST(1 AS BIGINT) AS versions_retained,
   (SELECT CAST(count(*) AS BIGINT) FROM head) AS n_head,
   (SELECT ${Exact.decSumSql("value", 2)} FROM head) AS sum_head""")),
+
+    // --- INCREMENTAL MATERIALIZED-VIEW MAINTENANCE: the payoff query
+    // for snapshot history + CDC. A per-type (count, exact decimal
+    // sum) rollup is materialized at snapshot v1; when v2 commits, the
+    // CHANGELOG between the two versions (one full-outer key join —
+    // the q_cdc_diff shape) is folded into ±delta rows and merged into
+    // the stale rollup: O(|delta| + |groups|) work, never a rescan of
+    // v2. The query emits the incremental result NEXT TO the direct
+    // v2 rollup with an equality verdict per group — and because the
+    // partials are DECIMAL (associative integer arithmetic, not
+    // floats), incremental == direct holds bit-for-bit at any
+    // partitioning, which is the entire reason incremental MV
+    // maintenance is sound at 100 TB: float partials would drift from
+    // the rescan answer and the MV could never be audited against its
+    // own definition.
+    QueryDef("q_mv_maintain",
+      (spark, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val t = freshTable(spark, dir, "mv")
+        val ev = Tables.events(spark, dir)
+        val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(30, 2))
+        writeHistory(ev.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("event_type"), col("value")), t, "overwrite")
+        writeHistory(ev.filter(col("event_id") % 3 === 0)
+          .select(col("event_id"), col("event_type"),
+            when(col("event_id") % 5 === 0, col("value") + 1.0)
+              .otherwise(col("value")).as("value")), t, "overwrite")
+        val v1 = readVersion(spark, t, Some(1))
+        val v2 = readVersion(spark, t, Some(2))
+        val mv1 = v1.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n1"), sum(dec(col("value"))).as("s1"))
+        val j = v1.select(col("event_id"), col("event_type").as("t1"),
+            col("value").as("a"))
+          .join(v2.select(col("event_id"), col("event_type").as("t2"),
+            col("value").as("b")), Seq("event_id"), "full_outer")
+        val delta = j.filter(col("b").isNull)
+          .select(col("t1").as("event_type"), lit(-1L).as("dn"),
+            (-dec(col("a"))).as("dv"))
+          .unionAll(j.filter(col("a").isNull)
+            .select(col("t2"), lit(1L), dec(col("b"))))
+          .unionAll(j.filter(col("a").isNotNull && col("b").isNotNull &&
+              col("a") =!= col("b"))
+            .select(col("t2"), lit(0L), dec(col("b")) - dec(col("a"))))
+        val dagg = delta.groupBy(col("event_type"))
+          .agg(sum(col("dn")).as("dn"), sum(col("dv")).as("dv"))
+        val inc = mv1.join(dagg, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            (coalesce(col("n1"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_i"),
+            (coalesce(col("s1"), dec(lit(0))) + coalesce(col("dv"), dec(lit(0))))
+              .as("s_i"))
+        val direct = v2.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_d"), sum(dec(col("value"))).as("s_d"))
+        direct.join(inc, Seq("event_type"))
+          .select(col("event_type"),
+            col("n_d").as("n_direct"),
+            col("s_d").cast("string").cast("double").as("sum_direct"),
+            col("n_i").as("n_inc"),
+            col("s_i").cast("string").cast("double").as("sum_inc"),
+            (col("n_d") === col("n_i") && col("s_d") === col("s_i")).as("is_exact"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH v1 AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0),
+v2 AS (
+  SELECT event_id, event_type,
+    CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END AS value
+  FROM events WHERE event_id % 3 = 0),
+mv1 AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n1,
+    sum(CAST(value AS DECIMAL(30,2))) AS s1 FROM v1 GROUP BY 1),
+j AS (
+  SELECT v1.event_id AS i1, v2.event_id AS i2, v1.event_type AS t1,
+    v2.event_type AS t2, v1.value AS a, v2.value AS b
+  FROM v1 FULL OUTER JOIN v2 ON v1.event_id = v2.event_id),
+delta AS (
+  SELECT t1 AS event_type, CAST(-1 AS BIGINT) AS dn,
+    -CAST(a AS DECIMAL(30,2)) AS dv FROM j WHERE i2 IS NULL
+  UNION ALL
+  SELECT t2, 1, CAST(b AS DECIMAL(30,2)) FROM j WHERE i1 IS NULL
+  UNION ALL
+  SELECT t2, 0, CAST(b AS DECIMAL(30,2)) - CAST(a AS DECIMAL(30,2))
+  FROM j WHERE i1 IS NOT NULL AND i2 IS NOT NULL AND a <> b),
+dagg AS (
+  SELECT event_type, CAST(sum(dn) AS BIGINT) AS dn, sum(dv) AS dv
+  FROM delta GROUP BY 1),
+inc AS (
+  SELECT coalesce(m.event_type, d.event_type) AS event_type,
+    coalesce(m.n1, 0) + coalesce(d.dn, 0) AS n_i,
+    coalesce(m.s1, 0) + coalesce(d.dv, 0) AS s_i
+  FROM mv1 m FULL OUTER JOIN dagg d ON m.event_type = d.event_type),
+direct AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_d,
+    sum(CAST(value AS DECIMAL(30,2))) AS s_d FROM v2 GROUP BY 1)
+SELECT d.event_type,
+  d.n_d AS n_direct, CAST(CAST(d.s_d AS VARCHAR) AS DOUBLE) AS sum_direct,
+  CAST(i.n_i AS BIGINT) AS n_inc, CAST(CAST(i.s_i AS VARCHAR) AS DOUBLE) AS sum_inc,
+  (d.n_d = i.n_i AND d.s_d = i.s_i) AS is_exact
+FROM direct d JOIN inc i ON i.event_type = d.event_type
+ORDER BY d.event_type""")),
   )
 }

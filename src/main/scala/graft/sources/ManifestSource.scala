@@ -293,9 +293,16 @@ private[sources] class ManifestScan(
     * turns a full fact scan into a handful of parts. Dropping a part
     * no build key can hit is safe by construction (Spark injects the
     * filter only where join semantics allow); the row-level join
-    * still decides every surviving row. */
+    * still decides every surviving row.
+    *
+    * Advertised ONLY when the key survived column pruning: Spark's
+    * PartitionPruning resolves these refs against the scan's PRUNED
+    * output and throws on a miss — a scan projecting (event_type,
+    * value) out of a keyed table must simply decline runtime
+    * filtering, not break the query. */
   override def filterAttributes(): Array[NamedReference] =
-    keyCol.map(c => Expressions.column(c)).toArray
+    keyCol.filter(c => required.fieldNames.contains(c))
+      .map(c => Expressions.column(c)).toArray
 
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
     case In(c, vs) if keyCol.contains(c) =>

@@ -191,6 +191,21 @@ class ManifestSourceSpec extends SparkSpec {
       s"runtime filter should prune to 1 part:\n$plan")
   }
 
+  test("runtime filtering declines when pruning drops the key column") {
+    // regression: filterAttributes() used to advertise the key even
+    // after column pruning removed it from the scan output; Spark's
+    // PartitionPruning then resolved the ref against the pruned schema
+    // and threw AnalysisException ("Unable to resolve event_id given
+    // [event_type,value]") on ANY join over the keyless projection
+    val target = Files.createTempDirectory("graft-src-spec-").toString
+    writeEvents(target, parts = 4)
+    val agg = readBack(target).select(col("event_type"), col("value"))
+      .groupBy(col("event_type")).agg(sum(col("value")).as("s"))
+    val dims = readBack(target).select(col("event_type")).distinct()
+    val n = agg.join(dims, "event_type").count()
+    assert(n > 0, "keyless-projection join must plan and run")
+  }
+
   test("session Hadoop conf reaches every filesystem touch (graftfs)") {
     // the scheme resolves ONLY through the session conf (runtime SQL
     // confs are copied verbatim into sessionState.newHadoopConf(), so
