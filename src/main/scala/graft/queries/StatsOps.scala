@@ -373,5 +373,107 @@ FROM rules r
 JOIN supp sa ON sa.item = r.ante
 JOIN supp sc ON sc.item = r.cons
 ORDER BY lift_ppm DESC, conf_ppm DESC, ante, cons LIMIT 20""")),
+
+    // --- COHORT RETENTION: users bucketed by the ISO week of their
+    // first event; for offsets k = 0..3, the distinct users active in
+    // cohort-week + k, plus 1e-6-grid retention ratios (integer `div`
+    // on positives — bit-portable, unlike a double ratio). Classic
+    // product-analytics shape: one distinct (user, week) pass, a
+    // per-user min (both shuffle on user_id — the second reuses the
+    // first's partitioning), then a tiny per-cohort rollup. At 100 TB
+    // the distinct pass is the only full-data shuffle; everything
+    // after is |users| and then |cohorts| sized.
+    QueryDef("q_cohort_retention",
+      (spark, dir) => {
+        // the qualifying action is sparse (high-value purchases), so
+        // the curve actually decays — an "any event" cohort would be
+        // flat 100% in this data and gate nothing
+        val uw = Tables.events(spark, dir)
+          .filter(col("event_type") === "purchase" && col("value") > 100)
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("w"))
+          .distinct()
+        val cohorts = uw.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+        val j = uw.join(cohorts, "user_id")
+          .select(col("user_id"), col("cw"),
+            expr("datediff(w, cw) div 7").as("k"))
+        def ret(k: Int) =
+          countDistinct(when(col("k") === k, col("user_id"))).as(s"w$k")
+        j.groupBy(col("cw"))
+          .agg(ret(0), ret(1), ret(2), ret(3))
+          .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+            col("w0"), col("w1"), col("w2"), col("w3"),
+            expr("w1 * 1000000L div w0").as("r1_ppm"),
+            expr("w2 * 1000000L div w0").as("r2_ppm"),
+            expr("w3 * 1000000L div w0").as("r3_ppm"))
+          .orderBy(col("cohort_week"))
+      },
+      Some("""WITH uw AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+  FROM events WHERE event_type = 'purchase' AND value > 100),
+cohorts AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY 1),
+j AS (
+  SELECT uw.user_id, c.cw, date_diff('day', c.cw, uw.w) // 7 AS k
+  FROM uw JOIN cohorts c ON uw.user_id = c.user_id),
+r AS (
+  SELECT cw,
+    CAST(count(DISTINCT CASE WHEN k = 0 THEN user_id END) AS BIGINT) AS w0,
+    CAST(count(DISTINCT CASE WHEN k = 1 THEN user_id END) AS BIGINT) AS w1,
+    CAST(count(DISTINCT CASE WHEN k = 2 THEN user_id END) AS BIGINT) AS w2,
+    CAST(count(DISTINCT CASE WHEN k = 3 THEN user_id END) AS BIGINT) AS w3
+  FROM j GROUP BY 1)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, w0, w1, w2, w3,
+  CAST(w1 * 1000000 // w0 AS BIGINT) AS r1_ppm,
+  CAST(w2 * 1000000 // w0 AS BIGINT) AS r2_ppm,
+  CAST(w3 * 1000000 // w0 AS BIGINT) AS r3_ppm
+FROM r ORDER BY cohort_week""")),
+
+    // --- 3-SIGMA ANOMALY DETECTION WITHOUT FLOATING POINT: per-type
+    // outlier counts where "outlier" is |x − μ| > 3σ — but evaluated
+    // as (n·x − S)² > 9·(n·Q − S²) over 1e-6-grid integers (S = Σx,
+    // Q = Σx² as 128-bit-capable decimals), i.e. the z-test with both
+    // sides multiplied through by n². No division, no sqrt, no
+    // doubles → the flag is EXACT integer arithmetic, so a row near
+    // the 3σ boundary can never flip between engines or partitionings
+    // — the failure mode that makes float-threshold anomaly jobs
+    // unauditable. Plan shape: one pass builds the per-type moments
+    // (map-side combine), the tiny moment table broadcasts back onto
+    // the row scan, one more agg counts flags: two scans, zero
+    // row-level shuffles of the fact.
+    QueryDef("q_anomaly_sigma",
+      (spark, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d38 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+        val rows = Tables.events(spark, dir)
+          .select(col("event_type"),
+            round(col("value") * lit(1e6)).cast("bigint").as("x"))
+        val mom = rows.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(d38(col("x"))).as("s"),
+            sum(d38(col("x")) * d38(col("x"))).as("q"))
+        rows.join(broadcast(mom), "event_type")
+          .select(col("event_type"), col("n"),
+            ((d38(col("n")) * d38(col("x")) - col("s")) *
+              (d38(col("n")) * d38(col("x")) - col("s")) >
+              (d38(col("n")) * col("q") - col("s") * col("s")) * 9)
+              .as("is_out"))
+          .groupBy(col("event_type"))
+          .agg(first(col("n")).as("n"),
+            sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH g AS (
+  SELECT event_type, CAST(round(value * 1000000.0) AS BIGINT) AS x
+  FROM events),
+mom AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+    sum(CAST(x AS HUGEINT)) AS s, sum(CAST(x AS HUGEINT) * x) AS q
+  FROM g GROUP BY 1)
+SELECT g.event_type, m.n,
+  CAST(sum(CASE WHEN (m.n * g.x - m.s) * (m.n * g.x - m.s)
+                   > 9 * (m.n * m.q - m.s * m.s)
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM g JOIN mom m ON g.event_type = m.event_type
+GROUP BY 1, 2 ORDER BY 1""")),
   )
 }

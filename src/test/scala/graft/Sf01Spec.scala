@@ -38,7 +38,8 @@ class Sf01Spec extends SparkSpec {
     "q_stream_late_audit", "q_pq_quantize", "q_calendar_funcs",
     "q_ann_adc", "q_sink_compact", "q_sql_frontend", "q_cdc_diff",
     "q_time_travel", "q_merge_upsert", "q_append_evolve", "q_sink_vacuum",
-    "q_triangles", "q_assoc_rules", "q_mv_maintain")
+    "q_triangles", "q_assoc_rules", "q_mv_maintain",
+    "q_cohort_retention", "q_anomaly_sigma")
 
   /** Order-independent distributed result signature: per-row xxhash64
     * over the stringified row, bit_xor-folded (commutative and
