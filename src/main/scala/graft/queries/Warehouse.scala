@@ -199,8 +199,12 @@ SELECT
         (0 to 2).foreach { m =>
           writeHistory(base.filter(col("event_id") % 7 === m), t, "overwrite")
         }
+        // session conf end-to-end: the sink/source resolve filesystems
+        // via sessionState.newHadoopConf(), so maintenance must too —
+        // a table on a filesystem configured only through session SQL
+        // confs would otherwise be unreachable by vacuum
         val stats = ManifestMaintenance.expireSnapshots(
-          spark.sparkContext.hadoopConfiguration, t, keepLast = 1)
+          spark.sessionState.newHadoopConf(), t, keepLast = 1)
         readVersion(spark, t, None)
           .agg(count(lit(1)).as("n_head"),
             Exact.decSum(col("value"), 2).as("sum_head"))
@@ -317,5 +321,33 @@ SELECT d.event_type,
   (d.n_d = i.n_i AND d.s_d = i.s_i) AS is_exact
 FROM direct d JOIN inc i ON i.event_type = d.event_type
 ORDER BY d.event_type""")),
+
+    // --- BLOOM-INDEXED POINT LOOKUP: the table is committed in a HASH
+    // layout (8 parts, each spanning nearly the full key range), so
+    // the manifest's (min, max) zone maps cannot prune a point probe
+    // at all — the per-part bloom filter written at commit is what
+    // turns `key IN (...)` into a ~1-part read instead of a full-table
+    // scan. This is the data-skipping shape Iceberg/Delta serve with
+    // bloom/dv side files; here the filter rides the manifest line
+    // (see PartBloom for sizing + the exact fold law). The oracle
+    // restates the probe over the raw events table: bloom pruning is
+    // proof-of-absence only, so results are EXACTLY the unindexed
+    // answer — which is what makes it gateable by a SQL oracle.
+    QueryDef("q_manifest_bloom",
+      (spark, dir) => {
+        val t = freshTable(spark, dir, "bloom")
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .repartition(8, col("event_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", t).mode("overwrite").save()
+        readVersion(spark, t, None)
+          .filter(col("event_id").isin(11L, 4242L, 777L))
+          .select(col("event_id"), col("event_type"), col("value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, event_type, value
+FROM events WHERE event_id IN (11, 4242, 777)
+ORDER BY event_id""")),
   )
 }

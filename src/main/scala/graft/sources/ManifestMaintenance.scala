@@ -17,11 +17,13 @@ import org.apache.hadoop.fs.Path
   *    read fails LOUDLY (it can never silently serve partial data —
   *    the manifest, not the directory listing, is the read plan);
   *  - a data file is deleted only when NO retained snapshot references
-  *    it — reference counting over manifests, never age heuristics on
-  *    file timestamps;
+  *    it — reference counting over manifests decides WHAT is garbage;
+  *    an age gate on never-referenced files decides WHEN it is safe
+  *    (an in-flight writer's staged parts look identical to crash
+  *    debris until its commit publishes);
   *  - unreferenced files include orphans from failed/aborted write
   *    attempts (staged but never committed), so vacuum is also the
-  *    janitor for crash debris.
+  *    janitor for crash debris — after the grace period.
   *
   * Metadata-only: the decision reads manifests (KBs), never data
   * files, so the op costs O(snapshots + files-in-dir) driver work at
@@ -33,11 +35,28 @@ object ManifestMaintenance {
   final case class ExpireStats(
       versionsExpired: Int, filesDeleted: Int, versionsRetained: Int)
 
+  /** Default orphan grace: a never-referenced staged file younger than
+    * this survives vacuum (Iceberg's remove-orphans defaults to 3 days
+    * for the same reason — see below). */
+  val DefaultOrphanGraceMs: Long = 24L * 3600 * 1000
+
   /** Expire all but the newest `keepLast` snapshot versions at `dir`,
-    * then delete every `part-*.csv` not referenced by a retained
-    * manifest (including never-committed orphans). */
-  def expireSnapshots(conf: Configuration, dir: String,
-      keepLast: Int): ExpireStats = {
+    * then delete every `part-*.csv` no retained manifest references.
+    *
+    * Unreferenced files split into two safety classes:
+    *  - files listed by an EXPIRED manifest were committed — their
+    *    only readers (the expired snapshots) are gone, so they are
+    *    reclaimed unconditionally;
+    *  - files listed by NO manifest at all are either crash debris or
+    *    the staged-but-not-yet-committed parts of an IN-FLIGHT write
+    *    (part names carry a per-commit token, so a concurrent commit's
+    *    stage is invisible to every manifest until it publishes).
+    *    Deleting those eagerly would let vacuum race a live writer and
+    *    publish a manifest pointing at deleted files, so true orphans
+    *    are only reclaimed once older than `orphanGraceMs` — the same
+    *    age gate Iceberg/Delta apply to orphan cleanup. */
+  def expireSnapshots(conf: Configuration, dir: String, keepLast: Int,
+      orphanGraceMs: Long = DefaultOrphanGraceMs): ExpireStats = {
     require(keepLast >= 1, "must retain at least the head snapshot")
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
@@ -50,14 +69,21 @@ object ManifestMaintenance {
       (retain.map(v => ManifestSink.readManifest(conf, dir, Some(v))) :+
         ManifestSink.readManifest(conf, dir, None))
         .flatten.map(p => new Path(p._1).getName).toSet
+    // files the expired snapshots committed — read BEFORE deleting them
+    val expiredRefs: Set[String] =
+      expire.flatMap(v => ManifestSink.readManifest(conf, dir, Some(v)))
+        .map(p => new Path(p._1).getName).toSet
 
     expire.foreach(v => fs.delete(new Path(d, ManifestSink.versionFile(v)), false))
 
+    val now = System.currentTimeMillis()
     var deleted = 0
     fs.listStatus(d).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith("part-") && name.endsWith(".csv") &&
-          !referenced.contains(name)) {
+          !referenced.contains(name) &&
+          (expiredRefs.contains(name) ||
+            now - st.getModificationTime > orphanGraceMs)) {
         if (fs.delete(st.getPath, false)) deleted += 1
       }
     }

@@ -65,6 +65,104 @@ class ManifestSink extends TableProvider {
       "true".equalsIgnoreCase(properties.get("history")))
 }
 
+/** Per-part bloom filter over the key column, stored hex-encoded in
+  * the manifest line — the point-lookup companion to the (min, max)
+  * zone map: a hash-layout part spans nearly the full key range, so
+  * range stats never prune it, but a `key = v` / `key IN (...)` probe
+  * can still skip every part whose bloom proves absence. False
+  * positives only cost an extra part read; absence proofs are exact,
+  * so pruning is never a correctness decision (the filters stay
+  * residual regardless).
+  *
+  * Sizing: built at [[MaxBits]] during the streaming write (the
+  * writer can't know its final row count up front), then FOLDED to
+  * `clamp(nextPow2(10·rows), MinBits, MaxBits)` at commit — all sizes
+  * are powers of two and indices are `h & (bits−1)`, so OR-ing the
+  * two halves of a 2m-bit filter yields EXACTLY the m-bit filter a
+  * direct build would produce ((x mod 2m) mod m = x mod m). At
+  * ~10 bits/key the fp rate is ~1%; beyond [[MaxBits]]/10 keys per
+  * part the filter saturates GRACEFULLY (mightContain → true ≈
+  * no-index behavior, never wrong). A production format would spill
+  * big filters to side files (Iceberg's puffin shape) rather than
+  * inline them; the manifest stays metadata-small at this cap
+  * (≤16 KiB hex per part). */
+private[sources] object PartBloom {
+  val MaxBits = 1 << 16
+  val MinBits = 1 << 10
+  val HashCount = 3
+
+  /** splitmix64 finalizer — well-mixed 64-bit hash of the key, one
+    * stream per hash index. */
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+  private def hash(key: Long, i: Int): Long = mix(key + i * 0xc2b2ae3d27d4eb4fL)
+
+  def newBits(): Array[Long] = new Array[Long](MaxBits / 64)
+
+  def add(bits: Array[Long], key: Long): Unit = {
+    val nbits = bits.length * 64
+    var i = 0
+    while (i < HashCount) {
+      val idx = (hash(key, i) & (nbits - 1)).toInt
+      bits(idx >> 6) |= 1L << (idx & 63)
+      i += 1
+    }
+  }
+
+  def mightContain(bits: Array[Long], key: Long): Boolean = {
+    val nbits = bits.length * 64
+    var i = 0
+    while (i < HashCount) {
+      val idx = (hash(key, i) & (nbits - 1)).toInt
+      if ((bits(idx >> 6) & (1L << (idx & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Fold to the commit-time target size for `rows` keys. */
+  def shrinkFor(bits: Array[Long], rows: Long): Array[Long] = {
+    val want = math.min(MaxBits.toLong,
+      math.max(MinBits.toLong, java.lang.Long.highestOneBit(
+        math.max(1L, 10L * rows - 1)) * 2)).toInt
+    var cur = bits
+    while (cur.length * 64 > want) {
+      val half = new Array[Long](cur.length / 2)
+      var i = 0
+      while (i < half.length) { half(i) = cur(i) | cur(i + half.length); i += 1 }
+      cur = half
+    }
+    cur
+  }
+
+  def toHex(bits: Array[Long]): String = {
+    val sb = new StringBuilder(bits.length * 16)
+    bits.foreach(w => sb.append(f"$w%016x"))
+    sb.toString
+  }
+
+  /** "" (absent field / legacy manifest) → empty array = "no filter". */
+  def fromHex(s: String): Array[Long] =
+    if (s == null || s.isEmpty) Array.empty
+    else Array.tabulate(s.length / 16)(i =>
+      java.lang.Long.parseUnsignedLong(s.substring(i * 16, i * 16 + 16), 16))
+}
+
+/** One committed part's full manifest record. `bloomHex` is "" when
+  * the part predates the bloom field or the table has no key column —
+  * [[mayContain]] then degrades to the pure range check. */
+private[sources] final case class PartMeta(
+    path: String, rows: Long, kMin: Long, kMax: Long, bloomHex: String) {
+  lazy val bloomBits: Array[Long] = PartBloom.fromHex(bloomHex)
+  def mayContain(v: Long): Boolean =
+    v >= kMin && v <= kMax &&
+      (bloomBits.isEmpty || PartBloom.mightContain(bloomBits, v))
+}
+
 object ManifestSink {
   val ManifestFile = "_MANIFEST.json"
 
@@ -86,15 +184,33 @@ object ManifestSink {
     * committed, or expired by [[ManifestMaintenance]]) fails loudly —
     * silently serving the head instead would be a time-travel
     * correctness bug. */
+  /** Paths are URL-encoded inside manifest lines so a table path
+    * containing `,` `"` `}` (all legal in POSIX paths) can never
+    * corrupt the line-oriented record format; the field regex then
+    * only ever sees the percent-encoded form. */
+  private[sources] def encPath(p: String): String =
+    java.net.URLEncoder.encode(p, "UTF-8")
+  private def decPath(p: String): String =
+    java.net.URLDecoder.decode(p, "UTF-8")
+
   def readManifest(conf: Configuration, dir: String,
       version: Option[Int]): Seq[(String, Long, Long, Long)] =
-    manifestLines(conf, dir, version).filter(_.contains("\"path\"")).map { line =>
+    readManifestMeta(conf, dir, version)
+      .map(m => (m.path, m.rows, m.kMin, m.kMax))
+
+  /** Full per-part records including the bloom field. */
+  private[sources] def readManifestMeta(conf: Configuration, dir: String,
+      version: Option[Int]): Seq[PartMeta] =
+    // data records are exactly the lines that START with {"path": —
+    // a schema header whose DDL happens to contain the literal text
+    // "path" (e.g. a column named path) can never be misclassified
+    manifestLines(conf, dir, version).filter(_.startsWith("{\"path\":")).map { line =>
       def field(k: String): String = {
         val m = ("\"" + k + "\":\"?([^,\"}]*)\"?").r.findFirstMatchIn(line)
         m.map(_.group(1)).getOrElse("")
       }
-      (field("path"), field("rows").toLong, field("min").toLong,
-        field("max").toLong)
+      PartMeta(decPath(field("path")), field("rows").toLong,
+        field("min").toLong, field("max").toLong, field("bloom"))
     }
 
   /** The committed table schema (manifest header line), if present. */
@@ -215,7 +331,7 @@ private[sources] class ManifestBatchWrite(
     val fs = dir.getFileSystem(conf.value)
     // append: carry the committed head's parts forward, after checking
     // the schema only evolved additively (name+type prefix match)
-    val prior: Seq[(String, Long, Long, Long)] =
+    val prior: Seq[PartMeta] =
       if (truncate) Seq.empty
       else ManifestSink.readSchema(conf.value, path) match {
         case None => Seq.empty
@@ -227,7 +343,7 @@ private[sources] class ManifestBatchWrite(
           if (!prefixOk) throw new IllegalArgumentException(
             s"append schema must extend the committed schema additively; " +
               s"committed=${old.toDDL} incoming=${schema.toDDL}")
-          ManifestSink.readManifest(conf.value, path)
+          ManifestSink.readManifestMeta(conf.value, path, None)
       }
     val version =
       if (history) ManifestSink.listVersions(conf.value, path).lastOption.getOrElse(0) + 1
@@ -236,13 +352,19 @@ private[sources] class ManifestBatchWrite(
     val content = new StringBuilder
     content.append(s"""{"schema":"$ddl"}""").append('\n')
     if (history) content.append(s"""{"version":$version}""").append('\n')
-    prior.foreach { case (p, rows, kMin, kMax) =>
-      content.append(s"""{"path":"$p","rows":$rows,"min":$kMin,"max":$kMax}""")
+    def partLine(p: String, rows: Long, kMin: Long, kMax: Long,
+        bloom: String): String = {
+      val b = if (bloom.isEmpty) "" else s""","bloom":"$bloom""""
+      s"""{"path":"${ManifestSink.encPath(p)}","rows":$rows,""" +
+        s""""min":$kMin,"max":$kMax$b}"""
+    }
+    prior.foreach { m =>
+      content.append(partLine(m.path, m.rows, m.kMin, m.kMax, m.bloomHex))
         .append('\n')
     }
     messages.foreach { case m: PartCommit =>
-      content.append(s"""{"path":"${m.path}","rows":${m.rows},""" +
-        s""""min":${m.keyMin},"max":${m.keyMax}}""").append('\n')
+      content.append(partLine(m.path, m.rows, m.keyMin, m.keyMax, m.bloom))
+        .append('\n')
     }
     val bytes = content.toString.getBytes("UTF-8")
 
@@ -274,7 +396,7 @@ private[sources] class ManifestBatchWrite(
 
 /** Per-task statistics carried back to the driver at commit. */
 private[sources] case class PartCommit(
-    path: String, rows: Long, keyMin: Long, keyMax: Long)
+    path: String, rows: Long, keyMin: Long, keyMax: Long, bloom: String)
     extends WriterCommitMessage
 
 private[sources] class ManifestWriterFactory(
@@ -299,6 +421,9 @@ private[sources] class ManifestDataWriter(
   private var rows = 0L
   private var kMin = Long.MaxValue
   private var kMax = Long.MinValue
+  // built at max size while streaming (final row count unknown),
+  // folded to the row-count-sized filter at commit — see PartBloom
+  private val bloom = if (keyIdx >= 0) PartBloom.newBits() else null
 
   override def write(row: InternalRow): Unit = {
     out.write((ManifestCodec.encode(row, schema) + "\n").getBytes("UTF-8"))
@@ -307,12 +432,16 @@ private[sources] class ManifestDataWriter(
       val k = row.getLong(keyIdx)
       if (k < kMin) kMin = k
       if (k > kMax) kMax = k
+      PartBloom.add(bloom, k)
     }
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    PartCommit(file.toString, rows, kMin, kMax)
+    val hex =
+      if (bloom == null || kMin > kMax) "" // no key column / no non-null keys
+      else PartBloom.toHex(PartBloom.shrinkFor(bloom, rows))
+    PartCommit(file.toString, rows, kMin, kMax, hex)
   }
 
   override def abort(): Unit = {

@@ -35,6 +35,12 @@ import org.apache.spark.util.SerializableConfiguration
   *    statistics. Pushed filters are also reported as residual, so
   *    Spark re-evaluates them row-level — a pruning bound mistake
   *    could only cost performance, never rows.
+  *  - Point predicates (`=` / fully-typed `IN`) additionally consult
+  *    the per-part BLOOM filter ([[PartBloom]]) both at planning and
+  *    at runtime-filter time: on a hash layout, where every part
+  *    spans the full key range and zone maps are useless, absence
+  *    proofs still skip parts. Bloom answers are only ever "surely
+  *    absent" — same residual-filter safety as the range stats.
   *  - Column pruning reaches the decoder: an unused column is split
   *    but never parsed/allocated.
   *  - `estimateStatistics` reports the POST-PRUNING row count from the
@@ -102,6 +108,10 @@ private[sources] class ManifestScanBuilder(
   private var required: StructType = schema
   private var keyLo: Long = Long.MinValue // inclusive
   private var keyHi: Long = Long.MaxValue // inclusive
+  // candidate key values from point predicates (EqualTo / fully-typed
+  // In), intersected across conjuncts — enables bloom pruning, which
+  // range bounds can't do on hash-layout parts
+  private var points: Option[Set[Long]] = None
   private var pushed: Array[Filter] = Array.empty
   private var sawFilters = false
   private var aggFuncs: Option[Seq[AggregateFunc]] = None
@@ -164,10 +174,12 @@ private[sources] class ManifestScanBuilder(
         keyHi = math.min(keyHi, v)
       case EqualTo(c, v: Long) if isKey(c) =>
         keyLo = math.max(keyLo, v); keyHi = math.min(keyHi, v)
+        addPoints(Set(v))
       case In(c, vs) if isKey(c) && vs.nonEmpty =>
         val longs = vs.collect { case v: Long => v }
         if (longs.length == vs.length) { // only prune when ALL values are typed
           keyLo = math.max(keyLo, longs.min); keyHi = math.min(keyHi, longs.max)
+          addPoints(longs.toSet)
         }
       case _ => ()
     }
@@ -184,6 +196,9 @@ private[sources] class ManifestScanBuilder(
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  private def addPoints(vs: Set[Long]): Unit =
+    points = Some(points.fold(vs)(_ intersect vs))
+
   override def build(): Scan = {
     // plan against the manifest on the DRIVER: only committed parts,
     // and only those whose key range can intersect [keyLo, keyHi].
@@ -192,18 +207,22 @@ private[sources] class ManifestScanBuilder(
     // part whose keys are all NULL carries the (MaxValue, MinValue)
     // sentinel, so any real bound prunes it; with no pushed bounds
     // nothing is pruned.
-    val all = ManifestSink.readManifest(conf.value, path, version)
+    val all = ManifestSink.readManifestMeta(conf.value, path, version)
     aggFuncs match {
       case Some(fs) => new ManifestAggScan(all, fs)
       case None =>
-        var kept = all.filter { case (_, _, kMin, kMax) =>
-          !(kMax < keyLo || kMin > keyHi)
+        var kept = all.filter(m => !(m.kMax < keyLo || m.kMin > keyHi))
+        // point predicates additionally consult the per-part bloom: a
+        // part whose range admits v but whose bloom proves v absent
+        // is skipped (hash-layout tables prune here, not on min/max)
+        points.foreach { ps =>
+          kept = kept.filter(m => ps.exists(m.mayContain))
         }
         limit.foreach { n =>
           // keep the shortest part prefix whose row counts cover n
           var need = n.toLong
           kept = kept.takeWhile { p =>
-            val take = need > 0; need -= p._2; take
+            val take = need > 0; need -= p.rows; take
           }
         }
         new ManifestScan(kept, schema, required, conf, all.size, limit, keyCol)
@@ -214,7 +233,7 @@ private[sources] class ManifestScanBuilder(
 /** Metadata-only scan: one synthetic partition, one row, computed
   * entirely from the manifest — no data file is ever opened. */
 private[sources] class ManifestAggScan(
-    parts: Seq[(String, Long, Long, Long)], funcs: Seq[AggregateFunc])
+    parts: Seq[PartMeta], funcs: Seq[AggregateFunc])
     extends Scan with Batch {
 
   override def toBatch: Batch = this
@@ -236,15 +255,15 @@ private[sources] class ManifestAggScan(
     * (MaxValue, MinValue) sentinel), NULL when no part did — SQL
     * empty/all-null MIN/MAX semantics. */
   private def values: Array[java.lang.Long] = {
-    val withKeys = parts.filter(p => p._3 <= p._4)
+    val withKeys = parts.filter(p => p.kMin <= p.kMax)
     funcs.map {
-      case _: CountStar => java.lang.Long.valueOf(parts.map(_._2).sum)
+      case _: CountStar => java.lang.Long.valueOf(parts.map(_.rows).sum)
       case _: Min =>
         if (withKeys.isEmpty) null
-        else java.lang.Long.valueOf(withKeys.map(_._3).min)
+        else java.lang.Long.valueOf(withKeys.map(_.kMin).min)
       case _: Max =>
         if (withKeys.isEmpty) null
-        else java.lang.Long.valueOf(withKeys.map(_._4).max)
+        else java.lang.Long.valueOf(withKeys.map(_.kMax).max)
       case f => throw new IllegalStateException(s"unexpected pushed agg $f")
     }.toArray
   }
@@ -268,7 +287,7 @@ private[sources] case class ManifestAggPartition(values: Array[java.lang.Long])
     extends InputPartition
 
 private[sources] class ManifestScan(
-    initialParts: Seq[(String, Long, Long, Long)],
+    initialParts: Seq[PartMeta],
     schema: StructType, required: StructType,
     conf: SerializableConfiguration, totalParts: Int,
     limit: Option[Int] = None, keyCol: Option[String] = None)
@@ -276,7 +295,7 @@ private[sources] class ManifestScan(
     with SupportsRuntimeFiltering {
 
   // narrowed in place by runtime filters before partition planning
-  private var parts: Seq[(String, Long, Long, Long)] = initialParts
+  private var parts: Seq[PartMeta] = initialParts
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -305,18 +324,19 @@ private[sources] class ManifestScan(
       .map(c => Expressions.column(c)).toArray
 
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    // runtime key sets are point sets, so the per-part bloom applies
+    // on top of the (min, max) range — mayContain checks both
     case In(c, vs) if keyCol.contains(c) =>
       val longs = vs.collect { case v: Long => v }
       if (longs.length == vs.length) // only prune on fully-typed sets
-        parts = parts.filter(p =>
-          longs.exists(v => v >= p._3 && v <= p._4))
+        parts = parts.filter(p => longs.exists(p.mayContain))
     case EqualTo(c, v: Long) if keyCol.contains(c) =>
-      parts = parts.filter(p => v >= p._3 && v <= p._4)
+      parts = parts.filter(_.mayContain(v))
     case _ => ()
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    parts.map { case (p, rows, _, _) => ManifestPartition(p, rows) }.toArray
+    parts.map(p => ManifestPartition(p.path, p.rows)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(schema, required.fieldNames, conf,
@@ -325,7 +345,7 @@ private[sources] class ManifestScan(
   /** Post-pruning stats straight from the manifest — exact row count,
     * width-estimated bytes. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val n = parts.map(_._2).sum
+    private val n = parts.map(_.rows).sum
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(math.max(1L, n * required.defaultSize))
     override def numRows(): OptionalLong = OptionalLong.of(n)

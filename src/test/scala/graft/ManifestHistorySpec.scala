@@ -15,7 +15,8 @@ import graft.sources.{ManifestMaintenance, ManifestSink}
   * oracle can't see, so they're pinned here. */
 class ManifestHistorySpec extends SparkSpec {
 
-  private def conf = spark.sparkContext.hadoopConfiguration
+  // same conf constructor the sink/source use — session confs included
+  private def conf = spark.sessionState.newHadoopConf()
 
   private def base: DataFrame =
     Tables.events(spark, Sf0001)
@@ -120,7 +121,10 @@ class ManifestHistorySpec extends SparkSpec {
       "999999,1.0\n".getBytes("UTF-8"))
     val headBefore = readVersion(target, None)
       .agg(count(lit(1)), sum(col("value"))).collect().head
-    val stats = ManifestMaintenance.expireSnapshots(conf, target, keepLast = 1)
+    // grace 0: this run simulates "no writer is live", so the orphan
+    // is reclaimable immediately
+    val stats = ManifestMaintenance.expireSnapshots(conf, target,
+      keepLast = 1, orphanGraceMs = 0L)
     assert(stats.versionsExpired === 2)
     assert(stats.versionsRetained === 1)
     assert(stats.filesDeleted === 9, "4 parts × 2 expired versions + 1 orphan")
@@ -146,5 +150,38 @@ class ManifestHistorySpec extends SparkSpec {
       if (t == null) Seq.empty else t +: causes(t.getCause)
     assert(causes(ex).exists(c => c.getMessage != null &&
       c.getMessage.contains("no snapshot 7")), s"got $ex")
+  }
+
+  test("vacuum orphan grace: an in-flight write's staged parts survive; " +
+      "committed-expired parts are still reclaimed") {
+    val target = Files.createTempDirectory("graft-hist-spec-").toString
+    writeSlice(target, 0, "overwrite")
+    writeSlice(target, 1, "overwrite")
+    // a concurrent writer's freshly staged, not-yet-committed part —
+    // under the default grace it MUST survive vacuum, otherwise the
+    // eventual commit would publish a manifest of deleted files
+    Files.write(Paths.get(target, "part-cafebabe-0-7.csv"),
+      "424242,1.0\n".getBytes("UTF-8"))
+    val stats = ManifestMaintenance.expireSnapshots(conf, target, keepLast = 1)
+    assert(stats.versionsExpired === 1)
+    assert(stats.filesDeleted === 4,
+      "exactly the expired snapshot's 4 committed parts — never the fresh stage")
+    assert(Files.exists(Paths.get(target, "part-cafebabe-0-7.csv")),
+      "staged part inside the grace window must survive vacuum")
+  }
+
+  test("a table path containing , \" and } round-trips the manifest format") {
+    val hostile = Files.createTempDirectory("graft-hist-spec-").toString +
+      "/we,ird\"na}me"
+    writeSlice(hostile, 3, "overwrite")
+    val got = readVersion(hostile, None)
+      .agg(count(lit(1)).cast("long"), sum(col("value"))).collect().head
+    val want = base.filter(col("event_id") % 10 === 3)
+      .agg(count(lit(1)).cast("long"), sum(col("value"))).collect().head
+    assert(got === want, "stats+paths must decode exactly from the manifest")
+    // and the parsed manifest paths point at real files
+    ManifestSink.readManifest(conf, hostile).foreach { case (p, _, _, _) =>
+      assert(Files.exists(Paths.get(p.stripPrefix("file:"))), s"bad path $p")
+    }
   }
 }

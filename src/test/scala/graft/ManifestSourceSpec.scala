@@ -93,6 +93,34 @@ class ManifestSourceSpec extends SparkSpec {
     assert(none.count() === 0L)
   }
 
+  test("bloom index prunes point lookups on a hash layout where " +
+      "min/max stats cannot") {
+    val target = Files.createTempDirectory("graft-src-spec-").toString
+    // HASH layout: every part spans nearly the full key range, so
+    // range stats keep all 8 parts for any point probe — only the
+    // per-part bloom can prove absence
+    Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .repartition(8, col("event_id"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", target).mode("overwrite").save()
+    val ids = Tables.events(spark, Sf0001)
+      .select("event_id").orderBy("event_id").collect().map(_.getLong(0))
+    val probe = ids(ids.length / 2)
+    val q = readBack(target).filter(col("event_id") === probe)
+    val planned = scanOf(q).inputPartitions.length
+    assert(planned <= 2,
+      s"bloom should plan ~1 of 8 hash parts for a point probe, got $planned")
+    assert(q.count() ===
+      Tables.events(spark, Sf0001).filter(col("event_id") === probe).count(),
+      "bloom pruning must never change results (absence proofs only)")
+    // IN-list probe: union of per-value survivors, still ≪ 8
+    val in3 = readBack(target)
+      .filter(col("event_id").isin(ids.head, probe, ids.last))
+    assert(scanOf(in3).inputPartitions.length <= 5)
+    assert(in3.count() === 3)
+  }
+
   test("residual filters trim straddling parts to the exact rows") {
     val target = Files.createTempDirectory("graft-src-spec-").toString
     writeEvents(target, parts = 8)
