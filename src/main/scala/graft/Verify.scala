@@ -23,7 +23,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev-only subset: SPARK_GRAFT_ONLY=q_a,q_b re-verifies just the
+    // named queries (the driver never sets it, so its gate always runs
+    // the full surface).
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    def keep(name: String): Boolean = only.forall(_.contains(name))
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -45,6 +51,7 @@ object Verify {
     // a null oracle (an object-initialization-order bug) must cost one
     // gate row, not the whole round's dump
     val json = SparkEntry.oracleSql
+      .filter(kv => keep(kv._1))
       .filter { case (k, v) =>
         val ok = v != null
         if (!ok) System.err.println(s"[verify] $k: NULL oracle skipped")

@@ -787,5 +787,44 @@ g AS (
 SELECT user_id, seg, event_type, valid_from,
   lead(valid_from, 1) OVER (PARTITION BY user_id ORDER BY seg) AS valid_to,
   n_events
-FROM g ORDER BY user_id, seg""")))
+FROM g ORDER BY user_id, seg""")),
+
+    // --- MARKOV TRANSITION MATRIX over the per-user event sequence:
+    // P(next event type | current event type), the first-order
+    // sequence model behind clickstream analysis and next-action
+    // prediction. One per-user window (total order (ts, event_id))
+    // pairs each event with its successor — parallelism is user
+    // cardinality, the same shuffle shape as q_sessionize — then the
+    // pair counts collapse to a ≤ |types|² matrix, so the row-share
+    // normalization window runs over a HANDFUL of rows, never the
+    // fact. Shares are ppm integers (n·10⁶ div row-total): exact
+    // cross-engine, no float division.
+    QueryDef("q_transition_matrix",
+      (spark, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val t = Tables.events(spark, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("from_type"))
+          .withColumn("to_type", lead(col("from_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        t.select(col("from_type"), col("to_type"), col("n"),
+            expr("(n * CAST(1000000 AS BIGINT)) div " +
+              "sum(n) OVER (PARTITION BY from_type)").as("share_ppm"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH p AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS to_type
+  FROM events),
+t AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+  CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+    AS share_ppm
+FROM t ORDER BY from_type, to_type""")))
 }

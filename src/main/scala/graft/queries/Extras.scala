@@ -48,6 +48,22 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 WHERE o_orderstatus = 'F'
 GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** One recursive text, two engines (see q_recursive_cte below).
+    * Declared before `all` for the same initialization-order reason as
+    * [[SqlFrontendText]]. Dialect-neutral choices: `floor(x / 10)` for
+    * integer parent derivation (both engines' `/` on integers is
+    * double; `//` vs `div` would fork the text) and explicit BIGINT
+    * casts on every output. */
+  val RecursiveCteText: String =
+    """WITH RECURSIVE anc(node, up, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  UNION ALL
+  SELECT node, CAST(floor(up / 10) AS BIGINT), depth + 1
+  FROM anc WHERE up > 0)
+SELECT CAST(depth AS BIGINT) AS depth, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(node) AS BIGINT) AS sum_node
+FROM anc GROUP BY depth ORDER BY depth"""
+
   val all: Seq[QueryDef] = Seq(
 
     // --- S1/S2/F1: object-store prefix scan of binary objects +
@@ -476,6 +492,24 @@ FROM events""")),
         spark.sql(Extras.SqlFrontendText)
       },
       Some(Extras.SqlFrontendText)),
+
+    // --- RECURSIVE CTE (SQL:1999 WITH RECURSIVE, Spark 4's recursion
+    // operator): ancestor-chain walk over the digit-strip hierarchy
+    // (parent(k) = ⌊k/10⌋ — a synthetic but genuinely multi-level
+    // org tree on the customer keys), grouped into a per-depth
+    // profile. Same one-text-two-engines contract as q_sql_frontend:
+    // the oracle IS the query. Execution-wise each recursion step is
+    // a fully distributed union iteration (no driver loop), the
+    // anchor/step shuffles on nothing (narrow maps + final agg), and
+    // Spark's cteRecursionLevelLimit bounds runaway recursion — the
+    // engine-native form of the chained-CTE fixpoints q_pagerank and
+    // q_shortest_path spell out manually.
+    QueryDef("q_recursive_cte",
+      (spark, dir) => {
+        Tables.customer(spark, dir).createOrReplaceTempView("customer")
+        spark.sql(Extras.RecursiveCteText)
+      },
+      Some(Extras.RecursiveCteText)),
 
     // --- SNAPSHOT CHANGELOG (CDC) between two manifest commits: two
     // versions of the keyed table are committed through the sink —

@@ -42,6 +42,10 @@ object GraphOps {
 
   val Iterations = 5
 
+  /** BFS rounds for q_shortest_path (covers the bipartite graph's
+    * small diameter; unreached nodes simply don't appear). */
+  val Hops = 4
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("q_pagerank",
@@ -188,5 +192,83 @@ SELECT
   (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
   (SELECT CAST(count(*) AS BIGINT)
      FROM w JOIN o ON o.src = w.a AND o.dst = w.c) AS n_triangles""")),
+
+    // --- MULTI-SOURCE BFS (landmark hop distance): unweighted
+    // shortest-path distance from a seed set (every 50th supplier)
+    // over the supplier↔customer graph, the reachability/blast-radius
+    // primitive. FRONTIER-DRIVEN: each round joins only the
+    // NEWLY-discovered nodes against the edge list (edges are built
+    // once and localCheckpoint'd; every round's join hash-partitions
+    // on the same key, so AQE reuses the exchange), and an anti-join
+    // against the distance table keeps the frontier monotonically
+    // shrinking once the graph saturates — per-round work is
+    // O(edges incident to the frontier), never O(V·E). Unweighted BFS
+    // makes frontier-only relaxation exact: a node's first discovery
+    // round IS its distance, which is why the oracle's
+    // full-relaxation chained CTEs (min over all paths ≤ k hops)
+    // produce the identical table. Hops=4 covers the bipartite
+    // graph's small diameter; the output is the per-distance profile,
+    // not the node table, so the contract is scale-independent.
+    QueryDef("q_shortest_path",
+      (spark, dir) => {
+        val pairs = Tables.lineitem(spark, dir)
+          .select(col("l_suppkey"), col("l_orderkey"))
+          .join(Tables.orders(spark, dir)
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2).as("s"),
+            (col("o_custkey") * 2 + 1).as("c"))
+          .distinct()
+          .localCheckpoint()
+        val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+          .unionAll(pairs.select(col("c").as("src"), col("s").as("dst")))
+          .localCheckpoint()
+        var dist = pairs.select(col("s").as("node")).distinct()
+          .filter(expr("(node div 2) % 50 = 1"))
+          .select(col("node"), lit(0L).as("d"))
+          .localCheckpoint()
+        var frontier = dist.select(col("node"))
+        for (i <- 1 to Hops) {
+          val discovered = edges
+            .join(frontier, col("src") === col("node"))
+            .select(col("dst").as("node")).distinct()
+            .join(dist, Seq("node"), "left_anti")
+            .localCheckpoint()
+          dist = dist
+            .unionAll(discovered.select(col("node"), lit(i.toLong).as("d")))
+            .localCheckpoint()
+          frontier = discovered
+        }
+        dist.groupBy(col("d"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+          .orderBy(col("d"))
+      },
+      Some {
+        val base = """WITH pairs AS (
+  SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT s AS src, c AS dst FROM pairs
+  UNION ALL
+  SELECT c AS src, s AS dst FROM pairs),
+d0 AS (
+  SELECT DISTINCT s AS node, CAST(0 AS BIGINT) AS d
+  FROM pairs WHERE (s // 2) % 50 = 1)"""
+        val iters = (1 to Hops).map { i =>
+          s"""d$i AS (
+  SELECT node, min(d) AS d FROM (
+    SELECT node, d FROM d${i - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.d + 1 AS d
+    FROM edges e JOIN d${i - 1} p ON e.src = p.node) t
+  GROUP BY node)"""
+        }.mkString(",\n")
+        s"""$base,
+$iters
+SELECT d, CAST(count(*) AS BIGINT) AS n_nodes,
+  min(node) AS min_node, max(node) AS max_node
+FROM d$Hops GROUP BY d ORDER BY d"""
+      }),
   )
 }

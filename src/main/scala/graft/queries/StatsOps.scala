@@ -436,17 +436,26 @@ FROM r ORDER BY cohort_week""")),
     // doubles → the flag is EXACT integer arithmetic, so a row near
     // the 3σ boundary can never flip between engines or partitionings
     // — the failure mode that makes float-threshold anomaly jobs
-    // unauditable. Plan shape: one pass builds the per-type moments
-    // (map-side combine), the tiny moment table broadcasts back onto
-    // the row scan, one more agg counts flags: two scans, zero
-    // row-level shuffles of the fact.
+    // unauditable. The moments are built over x − min(x) per group
+    // (the flag is translation-invariant: both sides shift identically)
+    // so every intermediate scales with the group's RANGE, not its
+    // absolute magnitude — the DECIMAL(38,0)/HUGEINT ceiling then
+    // binds at n·range ≳ 1e19 instead of n·|x| (ANSI mode errors, it
+    // never silently NULLs, if a corpus ever exceeds that). Plan
+    // shape: one cheap pass for per-type min (map-side combine,
+    // broadcast back), one pass builds the centered moments, the tiny
+    // moment table broadcasts onto the row scan, one more agg counts
+    // flags: three scans, zero row-level shuffles of the fact.
     QueryDef("q_anomaly_sigma",
       (spark, dir) => {
         import org.apache.spark.sql.types.DecimalType
         val d38 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
-        val rows = Tables.events(spark, dir)
+        val raw = Tables.events(spark, dir)
           .select(col("event_type"),
-            round(col("value") * lit(1e6)).cast("bigint").as("x"))
+            round(col("value") * lit(1e6)).cast("bigint").as("x0"))
+        val anchor = raw.groupBy(col("event_type")).agg(min(col("x0")).as("m"))
+        val rows = raw.join(broadcast(anchor), "event_type")
+          .select(col("event_type"), (col("x0") - col("m")).as("x"))
         val mom = rows.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
             sum(d38(col("x"))).as("s"),
@@ -462,9 +471,13 @@ FROM r ORDER BY cohort_week""")),
             sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
           .orderBy(col("event_type"))
       },
-      Some("""WITH g AS (
-  SELECT event_type, CAST(round(value * 1000000.0) AS BIGINT) AS x
+      Some("""WITH g0 AS (
+  SELECT event_type, CAST(round(value * 1000000.0) AS BIGINT) AS x0
   FROM events),
+anchor AS (SELECT event_type, min(x0) AS m FROM g0 GROUP BY 1),
+g AS (
+  SELECT g0.event_type, g0.x0 - anchor.m AS x
+  FROM g0 JOIN anchor ON g0.event_type = anchor.event_type),
 mom AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n,
     sum(CAST(x AS HUGEINT)) AS s, sum(CAST(x AS HUGEINT) * x) AS q
@@ -475,5 +488,80 @@ SELECT g.event_type, m.n,
        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM g JOIN mom m ON g.event_type = m.event_type
 GROUP BY 1, 2 ORDER BY 1""")),
+
+    // --- TWO-SAMPLE KOLMOGOROV–SMIRNOV DISTANCE, integer-exact: are
+    // the click and purchase value distributions the same? The KS
+    // statistic is max_x |F1(x) − F2(x)|; both ECDFs multiplied
+    // through by n1·n2 turn it into max |n2·cum1(x) − n1·cum2(x)| —
+    // pure BIGINT on the 1e-6 value grid, so the max deviation (and
+    // its ppm normalization) is bit-identical across engines and
+    // partitionings. Operating bound: n2·cum1 ≤ n1·n2 < 2⁶³ ⇒ ~3e9
+    // rows per side before the cross-product needs DECIMAL widening.
+    //
+    // Scale shape: rows first collapse to DISTINCT-VALUE counts
+    // (map-side combine; the group count is bounded by the value
+    // DOMAIN — the 1e-6 grid — not the row count), then the running
+    // sum is the same hierarchical two-phase prefix sum as
+    // q_pack_sequences: a per-bucket local window (bucket = x div 2²⁴,
+    // monotone in x) + a broadcast of exclusive bucket offsets — the
+    // global-sort-on-one-task ECDF is exactly what this decomposition
+    // avoids. The offsets table is ≤ domain/2²⁴ rows (~30 here).
+    QueryDef("q_ks_stat",
+      (spark, dir) => {
+        val B = 1L << 24
+        val s = Tables.events(spark, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(round(col("value") * lit(1e6)).cast("bigint").as("x"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("c1"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("c2"))
+        val g = s.groupBy(col("x"))
+          .agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2"))
+          .withColumn("b", expr(s"x div ${B}L"))
+        val wLoc = Window.partitionBy(col("b")).orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val loc = g.select(col("b"), col("x"),
+          sum(col("c1")).over(wLoc).as("l1"),
+          sum(col("c2")).over(wLoc).as("l2"))
+        val wOff = Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = g.groupBy(col("b"))
+          .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+          .select(col("b"),
+            coalesce(sum(col("t1")).over(wOff), lit(0L)).as("o1"),
+            coalesce(sum(col("t2")).over(wOff), lit(0L)).as("o2"))
+        val cum = loc.join(broadcast(offs), "b")
+          .select(col("x"), (col("l1") + col("o1")).as("f1"),
+            (col("l2") + col("o2")).as("f2"))
+        val n = s.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        cum.crossJoin(broadcast(n))
+          .select(col("n1"), col("n2"),
+            abs(col("n2") * col("f1") - col("n1") * col("f2")).as("dev"))
+          .groupBy(col("n1"), col("n2"))
+          .agg(max(col("dev")).as("d_num"))
+          .select(col("n1"), col("n2"), col("d_num"),
+            expr("(d_num * CAST(1000000 AS BIGINT)) div (n1 * n2)").as("d_ppm"))
+      },
+      Some("""WITH s AS (
+  SELECT CAST(round(value * 1000000.0) AS BIGINT) AS x,
+    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c1,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c2
+  FROM events WHERE event_type IN ('click', 'purchase')),
+g AS (
+  SELECT x, CAST(sum(c1) AS BIGINT) AS c1, CAST(sum(c2) AS BIGINT) AS c2
+  FROM s GROUP BY 1),
+c AS (
+  SELECT x,
+    CAST(sum(c1) OVER (ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+    CAST(sum(c2) OVER (ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2
+  FROM g),
+n AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+  FROM s)
+SELECT n1, n2,
+  CAST(max(abs(n2 * f1 - n1 * f2)) AS BIGINT) AS d_num,
+  CAST(max(abs(n2 * f1 - n1 * f2)) * 1000000 // (n1 * n2) AS BIGINT) AS d_ppm
+FROM c, n GROUP BY n1, n2""")),
   )
 }

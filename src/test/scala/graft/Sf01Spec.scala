@@ -32,14 +32,17 @@ class Sf01Spec extends SparkSpec {
   /** Queries touched or added in the current round — keep this list
     * fresh each round (the newest pairs are the likeliest to hide a
     * magnitude bug). */
-  private val newest = Seq("q_manifest_roundtrip", "q_manifest_stats_agg",
-    "q_string_agg", "q_regr_stats", "q_mode_median", "q_chi2",
-    "q_skyline_grouped", "q_pagerank", "q_semdedup",
-    "q_stream_late_audit", "q_pq_quantize", "q_calendar_funcs",
-    "q_ann_adc", "q_sink_compact", "q_sql_frontend", "q_cdc_diff",
-    "q_time_travel", "q_merge_upsert", "q_append_evolve", "q_sink_vacuum",
-    "q_triangles", "q_assoc_rules", "q_mv_maintain",
-    "q_cohort_retention", "q_anomaly_sigma")
+  private val newest = Seq(
+    // round 10 additions
+    "q_ks_stat", "q_transition_matrix", "q_shortest_path",
+    "q_manifest_bloom", "q_recursive_cte",
+    // round 10 touched (anomaly centering, vacuum conf, path encoding)
+    "q_anomaly_sigma", "q_sink_vacuum", "q_manifest_roundtrip",
+    "q_manifest_stats_agg", "q_time_travel", "q_merge_upsert",
+    "q_append_evolve", "q_cdc_diff", "q_mv_maintain", "q_sink_compact",
+    // prior-round carries worth keeping at 10x
+    "q_pagerank", "q_triangles", "q_semdedup", "q_cohort_retention",
+    "q_assoc_rules")
 
   /** Order-independent distributed result signature: per-row xxhash64
     * over the stringified row, bit_xor-folded (commutative and
