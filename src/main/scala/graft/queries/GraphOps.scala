@@ -46,6 +46,13 @@ object GraphOps {
     * small diameter; unreached nodes simply don't appear). */
   val Hops = 4
 
+  /** Synchronous label-propagation rounds for q_label_prop. */
+  val LpaRounds = 3
+
+  /** k-core threshold + peel rounds for q_kcore. */
+  val KcoreK = 8
+  val KcoreRounds = 3
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("q_pagerank",
@@ -269,6 +276,153 @@ $iters
 SELECT d, CAST(count(*) AS BIGINT) AS n_nodes,
   min(node) AS min_node, max(node) AS max_node
 FROM d$Hops GROUP BY d ORDER BY d"""
+      }),
+
+    // --- LABEL PROPAGATION community detection (Raghavan et al.
+    // 2007), synchronous, LpaRounds rounds, on the STRONG
+    // supplier↔customer graph (pairs with ≥2 distinct shared orders —
+    // thresholding is itself the standard densification step; the
+    // full bipartite graph is so dense LPA collapses to one giant
+    // community). Each round every node takes its neighbors'
+    // MAJORITY label; naive LPA is nondeterministic at ties, so the
+    // argmax is the PACKED integer max(cnt·2³² + (2³²−1 − label)) —
+    // highest count, then LOWEST label, one aggregate, no window,
+    // bit-identical on both engines. Per round: one broadcast of the
+    // |V|-sized label vector onto the materialized edge scan + one
+    // two-phase agg — the PageRank layout; the edges never
+    // re-shuffle. Synchronous + fixed rounds keeps the whole
+    // trajectory replayable as chained CTEs (the oracle runs all
+    // rounds bit-for-bit).
+    QueryDef("q_label_prop",
+      (spark, dir) => {
+        val pairs = Tables.lineitem(spark, dir)
+          .select(col("l_suppkey"), col("l_orderkey"))
+          .join(Tables.orders(spark, dir)
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy((col("l_suppkey") * 2).as("s"),
+            (col("o_custkey") * 2 + 1).as("c"))
+          .agg(countDistinct(col("l_orderkey")).as("cnt"))
+          .filter(col("cnt") >= 2)
+          .select(col("s"), col("c"))
+          .localCheckpoint()
+        val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
+          .unionAll(pairs.select(col("c").as("src"), col("s").as("dst")))
+          .localCheckpoint()
+        var lbl = edges.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("label"))
+        for (_ <- 1 to LpaRounds) {
+          lbl = edges.join(broadcast(lbl), col("src") === col("node"))
+            .groupBy(col("dst"), col("label"))
+            .agg(count(lit(1)).as("cnt"))
+            .groupBy(col("dst"))
+            .agg(expr("4294967295 - (max(cnt * 4294967296 + " +
+              "(4294967295 - label)) % 4294967296)").as("label"))
+            .select(col("dst").as("node"), col("label"))
+        }
+        lbl.groupBy(col("label").as("community"))
+          .agg(count(lit(1)).as("n_members"),
+            min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+          .orderBy(col("n_members").desc, col("community"))
+          .limit(20)
+      },
+      Some {
+        val base = """WITH pairs AS (
+  SELECT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2 HAVING count(DISTINCT l_orderkey) >= 2),
+edges AS (
+  SELECT s AS src, c AS dst FROM pairs
+  UNION ALL
+  SELECT c AS src, s AS dst FROM pairs),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+        val iters = (1 to LpaRounds).map { i =>
+          s"""l$i AS (
+  SELECT dst AS node,
+    4294967295 - (max(cnt * 4294967296 + (4294967295 - label))
+                  % 4294967296) AS label
+  FROM (
+    SELECT e.dst, l.label, CAST(count(*) AS BIGINT) AS cnt
+    FROM edges e JOIN l${i - 1} l ON l.node = e.src
+    GROUP BY e.dst, l.label) t
+  GROUP BY dst)"""
+        }.mkString(",\n")
+        s"""$base,
+$iters
+SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members,
+  min(node) AS min_node, max(node) AS max_node
+FROM l$LpaRounds GROUP BY label
+ORDER BY n_members DESC, community LIMIT 20"""
+      }),
+
+    // --- K-CORE DECOMPOSITION (iterative peeling): repeatedly drop
+    // nodes of degree < k until fixpoint — the graph-hygiene pass
+    // that strips barely-connected noise before community/centrality
+    // work. Runs on the same strong graph as q_label_prop with
+    // k = KcoreK, KcoreRounds peel rounds; the CONTRACT is the whole
+    // per-round (nodes, edges) trajectory, so convergence (rounds
+    // that change nothing re-emit the same counts) is itself gated.
+    // Per round: one degree aggregation (|V| rows, broadcast back)
+    // and one semi-join of the shrinking edge set against survivors —
+    // work is O(current edges) and monotonically non-increasing, the
+    // property that makes peeling viable at 100 TB. Directed-edge
+    // counts are halved for the undirected contract (always even by
+    // construction).
+    QueryDef("q_kcore",
+      (spark, dir) => {
+        val pairs = Tables.lineitem(spark, dir)
+          .select(col("l_suppkey"), col("l_orderkey"))
+          .join(Tables.orders(spark, dir)
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy((col("l_suppkey") * 2).as("s"),
+            (col("o_custkey") * 2 + 1).as("c"))
+          .agg(countDistinct(col("l_orderkey")).as("cnt"))
+          .filter(col("cnt") >= 2)
+          .select(col("s"), col("c"))
+        var e = pairs.select(col("s").as("src"), col("c").as("dst"))
+          .unionAll(pairs.select(col("c").as("src"), col("s").as("dst")))
+          .localCheckpoint()
+        val stats = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+        val profile = (round: Int, df: org.apache.spark.sql.DataFrame) =>
+          df.agg(countDistinct(col("src")).as("n_nodes"),
+              expr("count(1) div 2").as("n_edges"))
+            .select(lit(round).as("round"), col("n_nodes"), col("n_edges"))
+        stats += profile(0, e)
+        for (i <- 1 to KcoreRounds) {
+          val keep = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+            .filter(col("d") >= KcoreK).select(col("src").as("n"))
+          e = e.join(broadcast(keep), col("src") === col("n"), "left_semi")
+            .join(broadcast(keep), col("dst") === col("n"), "left_semi")
+            .localCheckpoint()
+          stats += profile(i, e)
+        }
+        stats.result().reduce(_ unionAll _).orderBy(col("round"))
+      },
+      Some {
+        val base = """WITH pairs AS (
+  SELECT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2 HAVING count(DISTINCT l_orderkey) >= 2),
+e0 AS (
+  SELECT s AS src, c AS dst FROM pairs
+  UNION ALL
+  SELECT c AS src, s AS dst FROM pairs)"""
+        val iters = (1 to KcoreRounds).map { i =>
+          s"""k$i AS (
+  SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= $KcoreK),
+e$i AS (
+  SELECT e.src, e.dst FROM e${i - 1} e
+  JOIN k$i a ON a.src = e.src
+  JOIN k$i b ON b.src = e.dst)"""
+        }.mkString(",\n")
+        val stats = (0 to KcoreRounds).map { i =>
+          s"""SELECT $i AS round, CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+  CAST(count(*) // 2 AS BIGINT) AS n_edges FROM e$i"""
+        }.mkString("\nUNION ALL\n")
+        s"""$base,
+$iters
+$stats ORDER BY round"""
       }),
   )
 }

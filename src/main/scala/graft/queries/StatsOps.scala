@@ -563,5 +563,140 @@ SELECT n1, n2,
   CAST(max(abs(n2 * f1 - n1 * f2)) AS BIGINT) AS d_num,
   CAST(max(abs(n2 * f1 - n1 * f2)) * 1000000 // (n1 * n2) AS BIGINT) AS d_ppm
 FROM c, n GROUP BY n1, n2""")),
+
+    // --- EXPONENTIALLY-WEIGHTED MOVING AVERAGE (8-tap, α = 1/4) over
+    // the per-priority daily revenue series — the time-series
+    // smoothing every monitoring consumer of the reference's estimate
+    // feed runs. A recursive EWMA can never be a cross-engine
+    // contract (each step divides, so truncation compounds
+    // engine-specifically); the 8-tap truncated form is a CLOSED
+    // integer formula — weight (3/4)^k rendered as 3^k·4^(7−k) on the
+    // micro grid, numerator and denominator folded exactly, ONE
+    // integral division at the end. The denominator counts only the
+    // taps that exist (series heads), so early rows are exact too,
+    // not zero-padded. One shuffle builds the daily series; the lag
+    // window reuses that partitioning (partition by priority).
+    // Magnitude bound: 8 taps × weight ≤ 16384 × daily micro-revenue
+    // < 2⁶³ for daily revenue up to ~7e13 — the HUGEINT/DECIMAL(38)
+    // rendition in the sibling q_gini shows the >2⁶³ path.
+    QueryDef("q_ewma",
+      (spark, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val w = Window.partitionBy(col("prio")).orderBy(col("day"))
+        // weights 3^k * 4^(7-k), k = age of the tap
+        val wt = (0 to 7).map(k => math.pow(3, k).toLong * math.pow(4, 7 - k).toLong)
+        val daily = Tables.orders(spark, dir)
+          .groupBy(col("o_orderpriority").as("prio"),
+            date_trunc("day", col("o_orderdate")).cast("date").as("day"))
+          .agg((sum(col("o_totalprice").cast(DecimalType(30, 6))) * 1000000)
+            .cast("bigint").as("rev"))
+        val lagged = daily.select(
+          Seq(col("prio"), col("day"), col("rev")) ++
+            (1 to 7).map(k => lag(col("rev"), k).over(w).as(s"r$k")): _*)
+        val tap = (k: Int) =>
+          if (k == 0) col("rev") * wt(0)
+          else coalesce(col(s"r$k"), lit(0L)) * wt(k)
+        val den = (1 to 7).foldLeft(lit(wt(0))) { (acc, k) =>
+          acc + when(col(s"r$k").isNull, 0L).otherwise(wt(k)) }
+        lagged.select(col("prio"), col("day"), col("rev"),
+            (0 to 7).map(tap).reduce(_ + _).as("num"), den.as("den"))
+          .select(col("prio"), col("day"), col("rev"),
+            expr("num div den").as("ewma"))
+          .orderBy(col("prio"), col("day"))
+      },
+      Some("""WITH daily AS (
+  SELECT o_orderpriority AS prio,
+    CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS rev
+  FROM orders GROUP BY 1, 2),
+lagged AS (
+  SELECT prio, day, rev,
+    lag(rev, 1) OVER w AS r1, lag(rev, 2) OVER w AS r2,
+    lag(rev, 3) OVER w AS r3, lag(rev, 4) OVER w AS r4,
+    lag(rev, 5) OVER w AS r5, lag(rev, 6) OVER w AS r6,
+    lag(rev, 7) OVER w AS r7
+  FROM daily WINDOW w AS (PARTITION BY prio ORDER BY day))
+SELECT prio, day, rev,
+  (rev * 16384 + coalesce(r1,0)*12288 + coalesce(r2,0)*9216
+   + coalesce(r3,0)*6912 + coalesce(r4,0)*5184 + coalesce(r5,0)*3888
+   + coalesce(r6,0)*2916 + coalesce(r7,0)*2187)
+  // (16384 + CASE WHEN r1 IS NULL THEN 0 ELSE 12288 END
+      + CASE WHEN r2 IS NULL THEN 0 ELSE 9216 END
+      + CASE WHEN r3 IS NULL THEN 0 ELSE 6912 END
+      + CASE WHEN r4 IS NULL THEN 0 ELSE 5184 END
+      + CASE WHEN r5 IS NULL THEN 0 ELSE 3888 END
+      + CASE WHEN r6 IS NULL THEN 0 ELSE 2916 END
+      + CASE WHEN r7 IS NULL THEN 0 ELSE 2187 END) AS ewma
+FROM lagged ORDER BY prio, day""")),
+
+    // --- REVENUE-CONCENTRATION PROFILE per brand: exact integer GINI
+    // coefficient (ppm grid) + HERFINDAHL–HIRSCHMAN index (ppm²) over
+    // per-part revenue — the domain-mix concentration audit a corpus
+    // curator runs before training (is one source dominating a
+    // slice?). The Gini rank sum Σ(2i−1)·x_i runs in DECIMAL(38,0)
+    // (DuckDB HUGEINT) because n·total exceeds 2⁶³ at large SF — the
+    // bound ADVICE flagged on q_anomaly_sigma, designed out here from
+    // the start. Ranking is a per-brand window on the cents grid with
+    // a stated tiebreak (revenue, then part key); equal revenues
+    // contribute identical terms under any tie order, so the fold is
+    // deterministic anyway. Two shuffles total: the (brand, part)
+    // rollup, then |parts|-sized ranking — the fact table never
+    // re-shuffles.
+    QueryDef("q_gini",
+      (spark, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d38 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+        val rev = Tables.lineitem(spark, dir)
+          .join(broadcast(Tables.part(spark, dir)
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand").as("brand"), col("l_partkey").as("pk"))
+          .agg((sum(col("l_extendedprice").cast(DecimalType(30, 2))) * 100)
+            .cast("bigint").as("r"))
+        val tot = rev.groupBy(col("brand"))
+          .agg(count(lit(1)).as("n"), sum(d38(col("r"))).as("t"))
+        val ranked = rev.select(col("brand"), col("pk"), col("r"),
+          row_number().over(
+            Window.partitionBy(col("brand")).orderBy(col("r"), col("pk")))
+            .as("rn"))
+        val g = ranked.groupBy(col("brand"))
+          .agg(sum(d38(col("rn") * 2 - 1) * d38(col("r"))).as("gn"))
+        val s = rev.join(broadcast(tot), "brand")
+          .select(col("brand"),
+            expr("CAST(r AS DECIMAL(38,0)) * 1000000 div t").as("share_ppm"))
+          .groupBy(col("brand"))
+          .agg(sum(col("share_ppm") * col("share_ppm")).as("hhi_ppm2"))
+        tot.join(g, "brand").join(s, "brand")
+          .select(col("brand"), col("n"), col("t").cast("bigint").as("total_cents"),
+            expr("(1000000 * (gn - CAST(n AS DECIMAL(38,0)) * t)) " +
+              "div (CAST(n AS DECIMAL(38,0)) * t)").as("gini_ppm"),
+            col("hhi_ppm2"))
+          .orderBy(col("brand"))
+      },
+      Some("""WITH rev AS (
+  SELECT p.p_brand AS brand, l.l_partkey AS pk,
+    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,2))) * 100 AS BIGINT) AS r
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2),
+tot AS (SELECT brand, CAST(count(*) AS BIGINT) AS n,
+  sum(CAST(r AS HUGEINT)) AS t FROM rev GROUP BY 1),
+ranked AS (
+  SELECT brand, pk, r,
+    row_number() OVER (PARTITION BY brand ORDER BY r, pk) AS rn
+  FROM rev),
+g AS (
+  SELECT brand, sum((2 * rn - 1) * CAST(r AS HUGEINT)) AS gn
+  FROM ranked GROUP BY 1),
+s AS (
+  SELECT rev.brand,
+    sum(CAST((CAST(r AS HUGEINT) * 1000000) // t AS BIGINT)
+        * CAST((CAST(r AS HUGEINT) * 1000000) // t AS BIGINT)) AS hhi_ppm2
+  FROM rev JOIN tot ON rev.brand = tot.brand GROUP BY 1)
+SELECT tot.brand, tot.n, CAST(tot.t AS BIGINT) AS total_cents,
+  CAST((1000000 * (g.gn - CAST(tot.n AS HUGEINT) * tot.t))
+       // (CAST(tot.n AS HUGEINT) * tot.t) AS BIGINT) AS gini_ppm,
+  CAST(s.hhi_ppm2 AS BIGINT) AS hhi_ppm2
+FROM tot JOIN g ON g.brand = tot.brand JOIN s ON s.brand = tot.brand
+ORDER BY tot.brand""")),
   )
 }

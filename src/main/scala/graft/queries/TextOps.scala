@@ -585,6 +585,45 @@ pp AS (
         FROM wf WHERE length(w) >= 2))
 SELECT pair, CAST(sum(wc) AS BIGINT) AS n
 FROM pp GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")),
+
+    // --- INVERTED-INDEX BUILD: term → (df, cf, posting list), the
+    // retrieval-side artifact a BM25/rerank stack serves from (the
+    // index q_bm25 implicitly recomputes per query, materialized).
+    // Postings are doc-sorted inside each term group — sorting INSIDE
+    // the group (zero-padded doc ids, then array_sort) makes the list
+    // partitioning-independent, the same doctrine as q_string_agg;
+    // the gated value is the md5 of the serialized list, so the
+    // contract covers posting ORDER and CONTENT without emitting an
+    // array column. Two two-phase aggs (term×doc tf, then term);
+    // per-term posting size is vocabulary-bounded — at 100 TB the
+    // same shape shards terms across executors and each group's list
+    // builds locally after the term shuffle.
+    QueryDef("q_inverted_index",
+      (spark, dir) => {
+        val tf = Tables.documents(spark, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"))
+        tf.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"),
+            md5(array_join(array_sort(collect_list(
+              concat(lpad(col("doc_id").cast("string"), 8, "0"),
+                lit(":"), col("tf")))), ",")).as("postings_md5"))
+          .orderBy(col("df").desc, col("term"))
+          .limit(30)
+      },
+      Some("""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+  md5(string_agg(
+    lpad(CAST(doc_id AS VARCHAR), 8, '0') || ':' || CAST(tf AS VARCHAR), ','
+    ORDER BY lpad(CAST(doc_id AS VARCHAR), 8, '0'))) AS postings_md5
+FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 30""")),
   )
 
   /** BM25 top-20 for the fixed 3-term query — shared by q_bm25 (the

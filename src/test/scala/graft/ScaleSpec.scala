@@ -229,4 +229,41 @@ class ScaleSpec extends SparkSpec {
       .collect()(0)
     assert(spans.getInt(0) < 32 && spans.getInt(1) < 32, spans.toString)
   }
+
+  test("q_cms_hh: sketch and probe stages broadcast; no sort-merge join") {
+    val p = plan("q_cms_hh")
+    // the D×W cell table and the total are broadcast onto the key
+    // probe — the key stream must never shuffle against the sketch
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "sketch probe must not sort-merge: " + p.take(800))
+    // cell build is a two-phase hash aggregation (partial + final)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(800))
+  }
+
+  test("q_geo_join: neighbor-cell join is an equi hash join, never cartesian") {
+    val p = plan("q_geo_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "spatial pairing must ride the grid-cell equi join: " + p.take(1200))
+    assert(p.contains("HashJoin"), p.take(800))
+    // global top-20 is a heap, not a full sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("q_inverted_index: posting build is two-phase; top-30 is a heap") {
+    val p = plan("q_inverted_index")
+    // term×doc tf and the term rollup both partial-aggregate before
+    // their shuffles (collect_list rides ObjectHashAggregate)
+    assert(p.contains("ObjectHashAggregate"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("q_label_prop: per-round label vector broadcasts onto the edge scan") {
+    val p = plan("q_label_prop")
+    // the final round's join must be broadcast (the |V|-sized label
+    // vector), never a sort-merge of the edge set
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
 }

@@ -34,15 +34,14 @@ class Sf01Spec extends SparkSpec {
     * magnitude bug). */
   private val newest = Seq(
     // round 10 additions
+    "q_cms_hh", "q_geo_join", "q_url_parse", "q_dq_checks", "q_ewma",
+    "q_gini", "q_inverted_index", "q_label_prop", "q_kcore",
+    // round 9 late additions first judged this round
     "q_ks_stat", "q_transition_matrix", "q_shortest_path",
     "q_manifest_bloom", "q_recursive_cte",
-    // round 10 touched (anomaly centering, vacuum conf, path encoding)
-    "q_anomaly_sigma", "q_sink_vacuum", "q_manifest_roundtrip",
-    "q_manifest_stats_agg", "q_time_travel", "q_merge_upsert",
-    "q_append_evolve", "q_cdc_diff", "q_mv_maintain", "q_sink_compact",
     // prior-round carries worth keeping at 10x
-    "q_pagerank", "q_triangles", "q_semdedup", "q_cohort_retention",
-    "q_assoc_rules")
+    "q_pagerank", "q_triangles", "q_anomaly_sigma", "q_mv_maintain",
+    "q_semdedup", "q_assoc_rules")
 
   /** Order-independent distributed result signature: per-row xxhash64
     * over the stringified row, bit_xor-folded (commutative and
