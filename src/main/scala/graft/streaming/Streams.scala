@@ -291,6 +291,71 @@ FROM events p JOIN events c
  AND epoch_us(c.ts) <= epoch_us(p.ts)
 ORDER BY p.user_id, p_id, c_id""")),
 
+    // --- Stream-stream LEFT OUTER join: purchases with their
+    // preceding-hour clicks OR an explicit no-click row — the
+    // "did marketing touch this conversion" shape. Unlike the inner
+    // join above, null-extended rows can only emit when the
+    // WATERMARK proves no future click can match (state eviction),
+    // so the contract is scoped to the CLOSED region: purchases
+    // older than the final joint watermark (min of both sides' max
+    // ts − 10 min, − 1 s so the eviction boundary's own semantics
+    // never decide a row). Inside that region the streamed result
+    // equals the batch left join, which is what the oracle states —
+    // the cutoff is derived from the DATA on both engines, not
+    // passed in. Eviction is the mechanism that BOUNDS join state at
+    // 100 TB/day rates; this query gates that the bound loses
+    // nothing in the closed region.
+    QueryDef("q_stream_outer_join",
+      (spark, dir) => {
+        val purchases = eventsStream(spark, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("p_id"))
+          .withWatermark("p_ts", "10 minutes")
+        val clicks = eventsStream(spark, dir)
+          .filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("c_id"))
+          .withWatermark("c_ts", "10 minutes")
+        val joined = purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts"), "left_outer")
+          .select(col("p_user").as("user_id"), col("p_id"), col("c_id"),
+            unix_micros(col("p_ts")).as("p_ts_us"),
+            unix_micros(col("c_ts")).as("c_ts_us"))
+        val sink = runToMemory(spark, joined, "graft_stream_outer_join",
+          "append")
+        // closed-region cutoff, derived from the same data batch-side
+        val ev = Tables.events(spark, dir)
+        val cutoff = ev.agg(
+          (least(
+            max(when(col("event_type") === "purchase", unix_micros(col("ts")))),
+            max(when(col("event_type") === "click", unix_micros(col("ts")))))
+            - lit(600000000L) - lit(1000000L)).as("cutoff_us"))
+        sink.crossJoin(broadcast(cutoff))
+          .filter(col("p_ts_us") < col("cutoff_us"))
+          .select(col("user_id"), col("p_id"), col("c_id"),
+            col("p_ts_us"), col("c_ts_us"))
+          .orderBy(col("user_id"), col("p_id"), col("c_id").asc_nulls_first)
+      },
+      Some("""WITH p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+cut AS (
+  SELECT least((SELECT max(epoch_us(ts)) FROM p),
+               (SELECT max(epoch_us(ts)) FROM c))
+         - 600000000 - 1000000 AS cutoff_us)
+SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id,
+  epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us
+FROM p LEFT JOIN c
+  ON p.user_id = c.user_id
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+ AND epoch_us(c.ts) <= epoch_us(p.ts)
+WHERE epoch_us(p.ts) < (SELECT cutoff_us FROM cut)
+ORDER BY p.user_id, p_id, c_id NULLS FIRST""")),
+
     // --- foreachBatch keyed upsert sink (K2, the DynamoDB
     // update_item analog): per micro-batch, merge the batch into a
     // keyed parquet target with latest-wins max_by, then read the

@@ -212,4 +212,19 @@ class StreamingSpec extends SparkSpec {
       s"expected stateless join, got ${stateOps.mkString(",")}")
     assert(spark.table("graft_stream_static_spec").count() > 0)
   }
+
+  test("q_stream_outer_join: watermark eviction emits null-extended rows") {
+    // The oracle equality is gated by the driver; what only THIS spec
+    // can see is the mechanism: unmatched purchases must surface as
+    // null-extended rows (state eviction fired inside the closed
+    // region), not merely as absent matches — an inner join would
+    // pass a rows>0 check, so pin the outer-specific evidence.
+    val out = SparkEntry.queries("q_stream_outer_join")(spark, Sf0001)
+      .collect()
+    val nullExtended = out.count(_.isNullAt(2)) // c_id
+    val matched = out.length - nullExtended
+    assert(nullExtended > 0,
+      "no null-extended rows: eviction never emitted unmatched purchases")
+    assert(matched > 0, "no matched rows: join condition never fired")
+  }
 }
