@@ -52,9 +52,20 @@ object MiningOps {
     // joinable) would prune. Every hash is h64, every count BIGINT —
     // the sketch content is a cross-engine contract, not an estimate
     // band.
+    // The keyed stream is SKEWED BY CONSTRUCTION (70% of rows collapse
+    // onto 19 hot keys, the rest keep their customer key): a uniform
+    // key column has no φ-heavy hitters at all once the row count
+    // outgrows the key cardinality gap — at sf0.1 the candidate set
+    // came back empty and the operator demonstrated nothing. The CASE
+    // is integer arithmetic, so both engines build the identical
+    // stream at every SF, and hot keys sit at ~3.7% ≫ φ=0.1% while
+    // the tail stays sub-threshold (surviving tail keys are exactly
+    // the CMS false positives `is_true_hh` flags).
     QueryDef("q_cms_hh",
       (spark, dir) => {
-        val base = Tables.orders(spark, dir).select(col("o_custkey").as("k"))
+        val base = Tables.orders(spark, dir).select(
+          when(col("o_custkey") % 10 < 7, col("o_custkey") % 19)
+            .otherwise(col("o_custkey")).as("k"))
         val js = spark.range(CmsDepth.toLong).select(col("id").cast("int").as("j"))
         val bucket = (j: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =>
           pmod(OracleHash.h64(concat(j, lit(":"), k)), lit(CmsWidth))
@@ -74,12 +85,14 @@ object MiningOps {
           .agg(min(col("c")).as("cms_est"))
           .crossJoin(broadcast(tot))
           .filter(col("cms_est") >= expr(s"n div $HhDivisor"))
-          .select(col("k").as("custkey"), col("exact_cnt"), col("cms_est"),
+          .select(col("k").as("key"), col("exact_cnt"), col("cms_est"),
             (col("cms_est") - col("exact_cnt")).as("overcount"),
             (col("exact_cnt") >= expr(s"n div $HhDivisor")).as("is_true_hh"))
-          .orderBy(col("exact_cnt").desc, col("custkey"))
+          .orderBy(col("exact_cnt").desc, col("key"))
       },
-      Some(s"""WITH base AS (SELECT o_custkey AS k FROM orders),
+      Some(s"""WITH base AS (
+  SELECT CASE WHEN o_custkey % 10 < 7 THEN o_custkey % 19
+         ELSE o_custkey END AS k FROM orders),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
 js AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(j)),
 cells AS (
@@ -93,10 +106,10 @@ est AS (
   JOIN cells ON cells.j = js.j
     AND cells.b = ${OracleHash.h64Sql("js.j || ':' || keys.k")} % $CmsWidth
   GROUP BY 1, 2)
-SELECT k AS custkey, exact_cnt, cms_est, cms_est - exact_cnt AS overcount,
+SELECT k AS key, exact_cnt, cms_est, cms_est - exact_cnt AS overcount,
   exact_cnt >= (SELECT n FROM tot) // $HhDivisor AS is_true_hh
 FROM est WHERE cms_est >= (SELECT n FROM tot) // $HhDivisor
-ORDER BY exact_cnt DESC, custkey""")),
+ORDER BY exact_cnt DESC, key""")),
 
     // --- GRID-BUCKETED SPATIAL NEAR JOIN: all point pairs within
     // Chebyshev distance r, the blocked self-join every spatial /

@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Exact
+import graft.model.Tables
+
+/** Round-10 OLAP wave: the multiway star join, a scalable exact global
+  * rank, percentile winsorization, an equi-depth histogram, and the
+  * NATIVE batch session_window operator.
+  *
+  * Reference correspondence: the reference's estimate feed is one fact
+  * stream a warehouse user joins against dimensions and profiles
+  * (reference: estimate_queue.py:166-178 emits keyed rows consumers
+  * aggregate); these are the canonical shapes of that consumption on a
+  * star schema. Same determinism doctrine as [[Relational]]: total-order
+  * ORDER BY, decimal-exact sums, integer rank arithmetic.
+  */
+object OlapOps {
+
+  /** Bucket width for the global-rank range partition (covers the
+    * o_totalprice domain [~1e3, 5e5] in ~10 buckets; at larger scale
+    * widen the bucket count, or sample the range the way Spark's own
+    * RangePartitioner does — the two-phase algebra is unchanged). */
+  val RankBucket = 50000.0
+
+  /** Equi-depth histogram band count. */
+  val Bands = 8
+
+  val all: Seq[QueryDef] = Seq(
+
+    // --- STAR JOIN (TPC-H Q5 shape): local-supply revenue by nation —
+    // fact ⋈ fact-sized orders/customer plus three dimension joins,
+    // the canonical multiway join the optimizer must order well. Scale
+    // shape: lineitem⋈orders and ⋈customer shuffle on their keys (the
+    // two big sides co-partition); supplier/nation/region BROADCAST —
+    // the fact table never shuffles for a dimension; the region filter
+    // reaches the region scan (one row survives) and prunes through
+    // the broadcast chain. The c_nationkey = s_nationkey "local
+    // supplier" predicate rides the supplier join as an equi-key, not
+    // a post-filter. Revenue folds in decimal (order-free).
+    QueryDef("q_star_join",
+      (spark, dir) => {
+        val orders = Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+          .select(col("o_orderkey"), col("o_custkey"))
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_extendedprice"), col("l_discount"))
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(spark, dir)
+            .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(spark, dir)
+            .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(Tables.nation(spark, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(spark, dir)
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name,
+  ${Exact.decSumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+  count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name""")),
+
+    // --- EXACT GLOBAL RANK without a global window: row_number() over
+    // the whole table is the classic scale trap — one unpartitioned
+    // window = every row through a single task. The scalable algebra
+    // is the range-partitioned two-phase rank: (1) rows land in
+    // monotone value buckets (floor(price/step) — order-compatible by
+    // construction, ties can't straddle a boundary because equal
+    // values share a bucket); (2) per-bucket counts (a ~10-row
+    // aggregate) prefix-sum into bucket offsets on the driver-sized
+    // side and BROADCAST back; (3) rank = offset + per-bucket
+    // row_number, windows now partitioned |buckets|-way. This is
+    // exactly what Spark's own sort does (sampled RangePartitioner) —
+    // expressed so the RANK, not just the order, comes out. The only
+    // unpartitioned window runs over the bucket-count aggregate
+    // (≤ ~10 rows, OlapOpsSpec pins it).
+    QueryDef("q_global_rank",
+      (spark, dir) => {
+        val o = Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .withColumn("b", floor(col("o_totalprice") / lit(RankBucket)).cast("long"))
+        val offs = o.groupBy(col("b")).agg(count(lit(1)).as("bn"))
+          .withColumn("off", coalesce(
+            sum(col("bn")).over(Window.orderBy(col("b"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select(col("b"), col("off"))
+        o.join(broadcast(offs), "b")
+          .withColumn("rnk", col("off") + row_number().over(
+            Window.partitionBy(col("b"))
+              .orderBy(col("o_totalprice"), col("o_orderkey"))))
+          .select(col("o_orderkey"), col("o_totalprice"), col("rnk"))
+          .orderBy(col("rnk"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk
+FROM orders ORDER BY rnk""")),
+
+    // --- WINSORIZATION: clamp a measure at its per-group discrete
+    // p05/p95 — the outlier-capping pass run before any mean-based
+    // feature lands in training data. Cut points use the DISCRETE
+    // percentile (rank ceil(n·q) under a total order — an actual data
+    // value, so cross-engine exact; interpolation would reintroduce
+    // float averaging). One shuffle on the group key feeds both
+    // windows AND the final aggregate; cuts are a |groups|-row
+    // broadcast back onto the ranked rows. Clamped sums fold in
+    // decimal.
+    QueryDef("q_winsorize",
+      (spark, dir) => {
+        val wOrd = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        val wAll = Window.partitionBy(col("c_mktsegment"))
+        val ranked = Tables.customer(spark, dir)
+          .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+          .withColumn("rn", row_number().over(wOrd))
+          .withColumn("n", count(lit(1)).over(wAll))
+        val cuts = ranked.groupBy(col("c_mktsegment"))
+          .agg(max(when(col("rn") === ceil(col("n") * lit(0.05)), col("c_acctbal")))
+            .as("lo_cut"),
+            max(when(col("rn") === ceil(col("n") * lit(0.95)), col("c_acctbal")))
+              .as("hi_cut"))
+        val clamped = least(greatest(col("c_acctbal"), col("lo_cut")), col("hi_cut"))
+        ranked.join(broadcast(cuts), "c_mktsegment")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            min(col("lo_cut")).as("lo_cut"),
+            min(col("hi_cut")).as("hi_cut"),
+            Exact.decSum(clamped, 2).as("sum_winsorized"),
+            sum(when(col("c_acctbal") < col("lo_cut"), 1L).otherwise(0L))
+              .as("n_clamped_lo"),
+            sum(when(col("c_acctbal") > col("hi_cut"), 1L).otherwise(0L))
+              .as("n_clamped_hi"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""WITH ranked AS (
+  SELECT c_mktsegment, c_acctbal,
+    row_number() OVER (PARTITION BY c_mktsegment
+      ORDER BY c_acctbal, c_custkey) AS rn,
+    count(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer),
+cuts AS (
+  SELECT c_mktsegment,
+    max(CASE WHEN rn = CAST(ceil(n * 0.05) AS BIGINT) THEN c_acctbal END)
+      AS lo_cut,
+    max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN c_acctbal END)
+      AS hi_cut
+  FROM ranked GROUP BY c_mktsegment)
+SELECT r.c_mktsegment, count(*) AS n,
+  min(c.lo_cut) AS lo_cut, min(c.hi_cut) AS hi_cut,
+  ${Exact.decSumSql("least(greatest(r.c_acctbal, c.lo_cut), c.hi_cut)", 2)}
+    AS sum_winsorized,
+  CAST(sum(CASE WHEN r.c_acctbal < c.lo_cut THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clamped_lo,
+  CAST(sum(CASE WHEN r.c_acctbal > c.hi_cut THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_clamped_hi
+FROM ranked r JOIN cuts c ON r.c_mktsegment = c.c_mktsegment
+GROUP BY r.c_mktsegment ORDER BY r.c_mktsegment""")),
+
+    // --- EQUI-DEPTH HISTOGRAM: Bands equal-count bands per group with
+    // their realized [min, max] boundaries — the profiling twin of the
+    // equi-WIDTH q_hist_tokens (equal-count bands answer "where is the
+    // mass", fixed-width bands answer "what is the shape"). ntile
+    // under a TOTAL order (value, event_id) is deterministic and both
+    // engines implement the same SQL-standard remainder rule
+    // (first n mod k tiles get the extra row). The window is
+    // partitioned by event_type — parallel across groups; the band
+    // rollup reuses the same exchange.
+    QueryDef("q_hist_equidepth",
+      (spark, dir) => {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        Tables.events(spark, dir)
+          .select(col("event_type"), col("event_id"), col("value"))
+          .withColumn("band", ntile(Bands).over(w))
+          .groupBy(col("event_type"), col("band"))
+          .agg(count(lit(1)).as("n"),
+            min(col("value")).as("band_lo"),
+            max(col("value")).as("band_hi"),
+            Exact.decSum(col("value"), 6).as("sum_value"))
+          .orderBy(col("event_type"), col("band"))
+      },
+      Some(s"""WITH banded AS (
+  SELECT event_type, value,
+    CAST(ntile($Bands) OVER (PARTITION BY event_type
+      ORDER BY value, event_id) AS INT) AS band
+  FROM events)
+SELECT event_type, band, count(*) AS n,
+  min(value) AS band_lo, max(value) AS band_hi,
+  ${Exact.decSumSql("value", 6)} AS sum_value
+FROM banded GROUP BY event_type, band
+ORDER BY event_type, band""")),
+
+    // --- NATIVE BATCH SESSION WINDOW: the session_window() operator
+    // itself (SessionWindowing + MergingSessionsExec), not the
+    // lag/cumsum island emulation q_sessionize uses — Spark plans a
+    // dedicated merging-session aggregate whose state is one open
+    // session per key, the operator Structured Streaming shares. An
+    // event at EXACTLY last_ts + gap still merges (the merge bound is
+    // inclusive — OlapOpsSpec pins it); only a strictly larger gap
+    // starts a new session, so the oracle's lag-based break rule is
+    // >, not >=. Window end = last ts + gap. One shuffle on user_id;
+    // session merge is per-key local.
+    QueryDef("q_session_window",
+      (spark, dir) => {
+        val sess = Tables.events(spark, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            Exact.decSum(col("value"), 6).as("sum_value"))
+        sess.select(col("user_id"),
+          col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"),
+          col("n_events"), col("sum_value"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some(s"""WITH ord AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+g AS (
+  SELECT user_id, ts, value,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ord)
+SELECT user_id,
+  min(ts) AS session_start,
+  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  count(*) AS n_events,
+  ${Exact.decSumSql("value", 6)} AS sum_value
+FROM g GROUP BY user_id, sid
+ORDER BY user_id, session_start""")),
+  )
+}

@@ -33,7 +33,10 @@ class Sf01Spec extends SparkSpec {
     * fresh each round (the newest pairs are the likeliest to hide a
     * magnitude bug). */
   private val newest = Seq(
-    // round 10 additions
+    // round 10 OLAP/curation wave
+    "q_star_join", "q_global_rank", "q_winsorize", "q_hist_equidepth",
+    "q_session_window", "q_gopher_rules", "q_pii_scan",
+    // round 10 earlier additions
     "q_cms_hh", "q_geo_join", "q_url_parse", "q_dq_checks", "q_ewma",
     "q_gini", "q_inverted_index", "q_label_prop", "q_kcore",
     // round 9 late additions first judged this round

@@ -227,4 +227,22 @@ class StreamingSpec extends SparkSpec {
       "no null-extended rows: eviction never emitted unmatched purchases")
     assert(matched > 0, "no matched rows: join condition never fired")
   }
+
+  test("stateful streams run unchanged on the RocksDB state store") {
+    // The HDFS-backed store holds every key in executor heap; RocksDB
+    // is the production backend once keyed state outgrows memory
+    // (100 TB = hundreds of millions of session keys). The provider is
+    // a session conf — the SAME query must produce the SAME rows on
+    // both backends, which is exactly what this pins (session windows
+    // exercise the heaviest state path: merge + eviction).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rocks = SparkEntry.queries("q_stream_session")(s, Sf0001)
+      .collect().toSet
+    val default = SparkEntry.queries("q_stream_session")(spark, Sf0001)
+      .collect().toSet
+    assert(rocks === default)
+    assert(rocks.nonEmpty)
+  }
 }
