@@ -278,6 +278,85 @@ SELECT d, CAST(count(*) AS BIGINT) AS n_nodes,
 FROM d$Hops GROUP BY d ORDER BY d"""
       }),
 
+    // --- WEIGHTED SSSP (Bellman-Ford, fixed K rounds): min-plus
+    // relaxation over integer edge weights — the weighted companion
+    // to q_shortest_path's unweighted BFS. Weighted relaxation CANNOT
+    // ride a shrinking frontier (a later, longer path may still be
+    // cheaper), so every round relaxes the FULL distance table against
+    // the materialized edge list: dist_i(v) = min(dist_{i-1}(v),
+    // min_{u→v}(dist_{i-1}(u) + w)) — one co-partitioned join + one
+    // min-aggregate per round, O(E) each, the textbook distributed
+    // Bellman-Ford cost. Weights are h64-derived integers in [1, 9]
+    // (both engines build the identical graph); K rounds means
+    // "cheapest path using ≤ K hops" — stated, deterministic, and
+    // replayable as chained CTEs, which is exactly what the oracle
+    // does. Output is the per-distance profile, scale-independent.
+    QueryDef("q_bellman_ford",
+      (spark, dir) => {
+        val pairs = Tables.lineitem(spark, dir)
+          .select(col("l_suppkey"), col("l_orderkey"))
+          .join(Tables.orders(spark, dir)
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2).as("s"),
+            (col("o_custkey") * 2 + 1).as("c"))
+          .distinct()
+          .localCheckpoint()
+        val weight = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+          pmod(graft.functions.OracleHash.h64(
+            concat(lit("w:"), a, lit(":"), b)), lit(9L)) + 1
+        val edges = pairs
+          .select(col("s").as("src"), col("c").as("dst"),
+            weight(col("s"), col("c")).as("w"))
+          .unionAll(pairs.select(col("c").as("src"), col("s").as("dst"),
+            weight(col("s"), col("c")).as("w")))
+          .localCheckpoint()
+        var dist = pairs.select(col("s").as("node")).distinct()
+          .filter(expr("(node div 2) % 50 = 1"))
+          .select(col("node"), lit(0L).as("d"))
+        for (_ <- 1 to Hops) {
+          dist = dist.unionAll(
+            edges.join(dist, col("src") === col("node"))
+              .select(col("dst").as("node"), (col("d") + col("w")).as("d")))
+            .groupBy(col("node")).agg(min(col("d")).as("d"))
+            .localCheckpoint()
+        }
+        dist.groupBy(col("d"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+          .orderBy(col("d"))
+      },
+      Some {
+        val base = s"""WITH pairs AS (
+  SELECT DISTINCT l_suppkey * 2 AS s, o_custkey * 2 + 1 AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT s AS src, c AS dst,
+    ${graft.functions.OracleHash.h64Sql("'w:' || s || ':' || c")} % 9 + 1 AS w
+  FROM pairs
+  UNION ALL
+  SELECT c AS src, s AS dst,
+    ${graft.functions.OracleHash.h64Sql("'w:' || s || ':' || c")} % 9 + 1 AS w
+  FROM pairs),
+d0 AS (
+  SELECT DISTINCT s AS node, CAST(0 AS BIGINT) AS d
+  FROM pairs WHERE (s // 2) % 50 = 1)"""
+        val iters = (1 to Hops).map { i =>
+          s"""d$i AS (
+  SELECT node, min(d) AS d FROM (
+    SELECT node, d FROM d${i - 1}
+    UNION ALL
+    SELECT e.dst AS node, p.d + e.w AS d
+    FROM edges e JOIN d${i - 1} p ON e.src = p.node) t
+  GROUP BY node)"""
+        }.mkString(",\n")
+        s"""$base,
+$iters
+SELECT d, CAST(count(*) AS BIGINT) AS n_nodes,
+  min(node) AS min_node, max(node) AS max_node
+FROM d$Hops GROUP BY d ORDER BY d"""
+      }),
+
     // --- LABEL PROPAGATION community detection (Raghavan et al.
     // 2007), synchronous, LpaRounds rounds, on the STRONG
     // supplier↔customer graph (pairs with ≥2 distinct shared orders —

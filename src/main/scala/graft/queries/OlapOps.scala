@@ -253,5 +253,51 @@ SELECT user_id,
   ${Exact.decSumSql("value", 6)} AS sum_value
 FROM g GROUP BY user_id, sid
 ORDER BY user_id, session_start""")),
+
+    // --- POINT-IN-TIME JOIN (the feature-store lookup): each fact row
+    // (a purchase) is enriched with the dimension value that was
+    // current AT ITS EVENT TIME — here the user's latest prior signup
+    // value. Getting this wrong (joining the CURRENT dimension value)
+    // is the classic feature-leakage bug in training-data pipelines;
+    // the strictly-before rule on the (ts, event_id) total order makes
+    // the lookup deterministic even at timestamp ties. Spark plan: the
+    // UNION trick — dim-change rows and fact rows interleave in ONE
+    // per-user window ordered by (ts, event_id); last_value(IGNORE
+    // NULLS) over [unbounded, -1] picks each fact's latest strict
+    // predecessor. One shuffle on user_id, no join at all — vs the
+    // naive per-fact correlated scan the ORACLE deliberately uses (an
+    // independent formulation, so the equality is evidence, not an
+    // echo). Scale: state per user is one running attr value; the
+    // window never re-scans history.
+    QueryDef("q_pit_join",
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val dim = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("value").as("attr"), lit(null).cast("double").as("fact_value"))
+        val fact = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lit(null).cast("double").as("attr"), col("value").as("fact_value"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        dim.unionAll(fact)
+          .withColumn("attr_asof", last(col("attr"), ignoreNulls = true).over(w))
+          .filter(col("fact_value").isNotNull)
+          .select(col("event_id"), col("user_id"), col("fact_value"),
+            col("attr_asof"), col("attr_asof").isNotNull.as("has_attr"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT f.event_id, f.user_id, f.value AS fact_value,
+  (SELECT d.value FROM events d
+   WHERE d.user_id = f.user_id AND d.event_type = 'signup'
+     AND (d.ts < f.ts OR (d.ts = f.ts AND d.event_id < f.event_id))
+   ORDER BY d.ts DESC, d.event_id DESC LIMIT 1) AS attr_asof,
+  (SELECT d.value FROM events d
+   WHERE d.user_id = f.user_id AND d.event_type = 'signup'
+     AND (d.ts < f.ts OR (d.ts = f.ts AND d.event_id < f.event_id))
+   ORDER BY d.ts DESC, d.event_id DESC LIMIT 1) IS NOT NULL AS has_attr
+FROM events f WHERE f.event_type = 'purchase'
+ORDER BY f.event_id""")),
   )
 }

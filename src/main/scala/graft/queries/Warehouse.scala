@@ -349,5 +349,136 @@ ORDER BY d.event_type""")),
       Some("""SELECT event_id, event_type, value
 FROM events WHERE event_id IN (11, 4242, 777)
 ORDER BY event_id""")),
+
+    // --- STREAMING READ of the snapshot log: three append commits
+    // land in a manifest table, then `readStream` tails it through
+    // [[graft.sources.ManifestSource]]'s MicroBatchStream — offsets
+    // are SNAPSHOT VERSIONS, each micro-batch plans only the parts the
+    // new snapshot added (the manifest diff), so ingestion work is
+    // O(new data) per batch, never O(table). AvailableNow drains every
+    // committed version into a complete-mode rollup; the oracle
+    // restates the union of the three commits analytically over
+    // orders — gating the whole write→snapshot→tail→aggregate loop.
+    // ManifestStreamSpec pins the incremental half (a second run on
+    // the same checkpoint reads ONLY the newly-committed parts).
+    QueryDef("q_stream_manifest_source",
+      (spark, dir) => {
+        val t = freshTable(spark, dir, "msrc")
+        val base = Tables.orders(spark, dir).select(
+          col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        writeHistory(base.filter(col("k") % 3 === 0), t, "overwrite")
+        writeHistory(base.filter(col("k") % 3 === 1), t, "append")
+        writeHistory(base.filter(col("k") % 3 === 2), t, "append")
+        val stream = spark.readStream
+          .format("graft.sources.ManifestSource").option("path", t).load()
+          .groupBy(col("prio"))
+          .agg(count(lit(1)).as("n"), Exact.decSum(col("price"), 2).as("sum_price"))
+        val q = stream.writeStream.format("memory")
+          .queryName("graft_stream_manifest_source")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table("graft_stream_manifest_source").orderBy(col("prio"))
+      },
+      Some(s"""SELECT o_orderpriority AS prio, count(*) AS n,
+  ${Exact.decSumSql("o_totalprice", 2)} AS sum_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // --- STREAMING TABLE-TO-TABLE PIPELINE (the medallion step):
+    // bronze commits stream through a transform into a SILVER manifest
+    // table — readStream tails bronze's snapshot log (version offsets,
+    // manifest-diff batches), each micro-batch appends a new silver
+    // snapshot through the real commit protocol, gated by a per-batch
+    // marker so a REPLAYED batch (at-least-once delivery on restart)
+    // skips instead of duplicating — idempotent appends = exactly-once
+    // table contents, the Delta/Iceberg streaming-writer txn pattern.
+    // The result is read back from silver THROUGH the DSv2 source, so
+    // the oracle gates the whole bronze→tail→transform→commit→scan
+    // loop. Work per batch is O(new bronze data); silver history is
+    // one snapshot per micro-batch — queryable, time-travelable, and
+    // vacuumable like any manifest table.
+    QueryDef("q_stream_medallion",
+      (spark, dir) => {
+        val bronze = freshTable(spark, dir, "medallion-bronze")
+        val silver = freshTable(spark, dir, "medallion-silver")
+        val base = Tables.orders(spark, dir).select(
+          col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        writeHistory(base.filter(col("k") % 3 === 0), bronze, "overwrite")
+        writeHistory(base.filter(col("k") % 3 === 1), bronze, "append")
+        writeHistory(base.filter(col("k") % 3 === 2), bronze, "append")
+        val hconf = spark.sessionState.newHadoopConf()
+        val q = spark.readStream
+          .format("graft.sources.ManifestSource").option("path", bronze).load()
+          .filter(col("price") > 1000.0)
+          .writeStream
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft-medal-ckpt-").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // the txn gate: a marker per delivered batch makes the
+            // append idempotent under micro-batch replay
+            val marker = new Path(silver, f"_BATCH-$batchId%05d")
+            val fs = marker.getFileSystem(hconf)
+            if (!fs.exists(marker)) {
+              batch.repartition(2)
+                .write.format("graft.sources.ManifestSink")
+                .option("path", silver).option("history", "true")
+                .mode(if (fs.exists(new Path(silver))) "append" else "overwrite")
+                .save()
+              fs.create(marker, false).close()
+            }
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        readVersion(spark, silver, None)
+          .groupBy(col("prio"))
+          .agg(count(lit(1)).as("n"), Exact.decSum(col("price"), 2).as("sum_price"))
+          .orderBy(col("prio"))
+      },
+      Some(s"""SELECT o_orderpriority AS prio, count(*) AS n,
+  ${Exact.decSumSql("o_totalprice", 2)} AS sum_price
+FROM orders WHERE o_totalprice > 1000.0
+GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // --- SQL-ADDRESSABLE TABLES via the V2 TableCatalog
+    // ([[graft.sources.GraftCatalog]]): the engine's table format
+    // reached by NAME from plain SQL — two-thirds of the data lands
+    // through the DataFrame writer, the last third through SQL
+    // `INSERT INTO` (an append snapshot through the same commit
+    // protocol), and the answer is a SQL aggregate whose key filter
+    // pushes down through the catalog-loaded scan (stats + bloom
+    // pruning intact — the catalog adds addressability, not a second
+    // read path). CatalogSpec pins DDL (CREATE/DROP/list), INSERT
+    // OVERWRITE truncate semantics, and `VERSION AS OF` time travel.
+    QueryDef("q_sql_catalog",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "sqlcat")
+        spark.conf.set("spark.sql.catalog.graftcat",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+        val base = Tables.orders(spark, dir).select(
+          col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        writeHistory(base.filter(col("k") % 3 < 2), s"$wh/wh/orders_t",
+          "overwrite")
+        base.filter(col("k") % 3 === 2)
+          .createOrReplaceTempView("graft_sqlcat_delta")
+        spark.sql(
+          "INSERT INTO graftcat.wh.orders_t SELECT * FROM graft_sqlcat_delta")
+        spark.sql(s"""
+          SELECT prio, count(*) AS n,
+            ${Exact.decSumSql("price", 2).replace("VARCHAR", "STRING")} AS sum_price
+          FROM graftcat.wh.orders_t
+          WHERE k > 100
+          GROUP BY prio ORDER BY prio""")
+      },
+      Some(s"""SELECT o_orderpriority AS prio, count(*) AS n,
+  ${Exact.decSumSql("o_totalprice", 2)} AS sum_price
+FROM orders WHERE o_orderkey > 100
+GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
   )
 }

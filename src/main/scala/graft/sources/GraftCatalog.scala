@@ -1,0 +1,212 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, Write, WriteBuilder}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** DataSource V2 `TableCatalog` over a directory of manifest tables —
+  * the piece that makes the engine's own table format SQL-ADDRESSABLE:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graftcat", "graft.sources.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graftcat.warehouse", "/path/wh")
+  *   spark.sql("SELECT * FROM graftcat.wh.orders WHERE k > 10")
+  *   spark.sql("INSERT INTO graftcat.wh.orders SELECT ...")
+  * }}}
+  *
+  * Identifier → path mapping is `warehouse/<namespace…>/<table>`; a
+  * table EXISTS iff a committed manifest (with schema header) is
+  * present — the same commit-point rule every reader in this format
+  * follows, so a half-created directory is simply not a table yet.
+  * Loaded tables support batch reads (with all of [[ManifestSource]]'s
+  * stats/bloom pruning and pushdown), streaming micro-batch reads
+  * (snapshot-version offsets), and batch writes through the snapshot
+  * log (`INSERT INTO` = append commit, `INSERT OVERWRITE` = logical
+  * truncate commit) — so SQL DML lands in the same versioned,
+  * time-travelable history the DataFrame writer produces.
+  *
+  * At 100 TB the catalog is pure metadata: createTable publishes one
+  * schema-only snapshot; listTables is a directory listing; nothing
+  * ever touches data files.
+  */
+class GraftCatalog extends TableCatalog with FunctionCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null && warehouse.nonEmpty,
+      s"catalog '$name' requires option 'warehouse'")
+  }
+
+  override def name(): String = catalogName
+
+  private def conf = ManifestSink.driverConf()
+
+  private def tablePath(ident: Identifier): String =
+    (warehouse +: ident.namespace() :+ ident.name()).mkString("/")
+
+  override def tableExists(ident: Identifier): Boolean =
+    ManifestSink.readSchema(conf, tablePath(ident)).isDefined
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = new Path((warehouse +: namespace).mkString("/"))
+    val fs = ns.getFileSystem(conf)
+    if (!fs.exists(ns)) return Array.empty
+    fs.listStatus(ns).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(t => ManifestSink
+        .readSchema(conf, (warehouse +: namespace :+ t).mkString("/")).isDefined)
+      .map(t => Identifier.of(namespace, t))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = tablePath(ident)
+    val schema = ManifestSink.readSchema(conf, p)
+      .getOrElse(throw new NoSuchTableException(ident))
+    new GraftCatalogTable(ident, p, schema)
+  }
+
+  /** SQL time travel: `SELECT … FROM graftcat.ns.t VERSION AS OF 2`
+    * resolves the immutable snapshot manifest — schema AND part list
+    * as of that commit. Returns the read-only table (history is not
+    * writable). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = tablePath(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"manifest snapshot versions are integers, got '$version'")
+    }
+    val schema = ManifestSink.readSchema(conf, p, Some(v))
+      .getOrElse(throw new NoSuchTableException(ident))
+    new ManifestReadTable(p, schema, Some(v))
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog tables are unpartitioned (layout comes from commits)")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // a table is born as a schema-only snapshot: same commit protocol,
+    // zero parts — readers see an empty versioned table immediately
+    new ManifestBatchWrite(tablePath(ident), schema, truncate = true,
+      history = true, new SerializableConfiguration(conf))
+      .commit(Array.empty)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "schema evolves through append commits (additive), not ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(tablePath(ident))
+    val fs = p.getFileSystem(conf)
+    tableExists(ident) && fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("rename is not supported")
+
+  // --- FunctionCatalog: the engine's cross-engine hash as a SQL
+  // function — `SELECT graftcat.ns.h64(expr)` computes exactly
+  // [[graft.functions.OracleHash.h64]] (top 60 bits of md5), so
+  // SQL-authored pipelines share the hash contract the DataFrame
+  // operators are built on.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "h64"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name() == "h64") H64Function
+    else throw new NoSuchFunctionException(ident)
+}
+
+/** SQL-callable twin of [[graft.functions.OracleHash.h64]]: top 60
+  * bits of md5 of the UTF-8 string rendering, as non-negative BIGINT —
+  * bit-identical to both the Column helper and the DuckDB oracle
+  * formula (CatalogSpec pins all three). */
+private[sources] object H64Function extends UnboundFunction {
+  override def name(): String = "h64"
+  override def description(): String =
+    "h64(string): top 60 bits of md5 as non-negative BIGINT"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1 &&
+      inputType.fields(0).dataType == StringType,
+      s"h64 takes one STRING argument, got ${inputType.simpleString}")
+    new ScalarFunction[java.lang.Long] {
+      override def inputTypes(): Array[DataType] = Array(StringType)
+      override def resultType(): DataType = LongType
+      override def name(): String = "h64"
+      override def canonicalName(): String = "graft.h64"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): java.lang.Long = {
+        val s = input.getUTF8String(0)
+        if (s == null) null
+        else {
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(s.getBytes)
+          // first 15 hex digits = top 7.5 bytes; build the value
+          // nibble-by-nibble to avoid string round-trips
+          var v = 0L
+          var i = 0
+          while (i < 15) {
+            val b = d(i / 2) & 0xff
+            val nibble = if (i % 2 == 0) b >>> 4 else b & 0xf
+            v = (v << 4) | nibble
+            i += 1
+          }
+          java.lang.Long.valueOf(v)
+        }
+      }
+    }
+  }
+}
+
+/** A catalog-loaded manifest table: batch read (full pushdown
+  * surface), streaming read (snapshot offsets), and history-mode
+  * batch write (INSERT INTO appends a snapshot; INSERT OVERWRITE is a
+  * logical truncate commit). */
+private[sources] class GraftCatalogTable(
+    ident: Identifier, path: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ManifestScanBuilder(path, tableSchema,
+      new SerializableConfiguration(ManifestSink.driverConf()), None)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+          new ManifestBatchWrite(path, info.schema(), doTruncate,
+            history = true,
+            new SerializableConfiguration(ManifestSink.driverConf()))
+      }
+    }
+}

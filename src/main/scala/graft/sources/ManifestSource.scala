@@ -85,7 +85,7 @@ private[sources] class ManifestReadTable(
     s"manifest($path${version.map(v => s"@v$v").getOrElse("")})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(path, schema,
       new SerializableConfiguration(ManifestSink.driverConf()), version)
@@ -225,7 +225,8 @@ private[sources] class ManifestScanBuilder(
             val take = need > 0; need -= p.rows; take
           }
         }
-        new ManifestScan(kept, schema, required, conf, all.size, limit, keyCol)
+        new ManifestScan(kept, schema, required, conf, all.size, limit, keyCol,
+          path)
     }
   }
 }
@@ -290,9 +291,18 @@ private[sources] class ManifestScan(
     initialParts: Seq[PartMeta],
     schema: StructType, required: StructType,
     conf: SerializableConfiguration, totalParts: Int,
-    limit: Option[Int] = None, keyCol: Option[String] = None)
+    limit: Option[Int] = None, keyCol: Option[String] = None,
+    tablePath: String = "")
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
+
+  /** Streaming read: snapshot versions ARE the offsets (see
+    * [[ManifestMicroBatchStream]]); the stream shares this scan's
+    * pruned column set, so `readStream.select(...)` still prunes the
+    * line decoder. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ManifestMicroBatchStream(tablePath, schema, required, conf)
 
   // narrowed in place by runtime filters before partition planning
   private var parts: Seq[PartMeta] = initialParts
@@ -354,6 +364,65 @@ private[sources] class ManifestScan(
 
 private[sources] case class ManifestPartition(path: String, rows: Long)
     extends InputPartition
+
+/** Incremental (micro-batch) read over the snapshot log: OFFSETS ARE
+  * SNAPSHOT VERSIONS. Batch (start, end] plans exactly the parts that
+  * snapshot `end` lists and snapshot `start` did not — the manifest
+  * diff, the same algebra the batch changelog (`q_cdc_diff`) exposes.
+  * Part files are immutable and manifests are published atomically
+  * AFTER their parts, so a version observed by `latestOffset` is
+  * always fully readable — no listing races, no partially-visible
+  * commits (the property file-glob streaming sources have to
+  * approximate with modification times).
+  *
+  * Semantics are APPEND-DRIVEN, like Delta's streaming reads: parts
+  * removed by an overwrite are simply never re-planned (their rows
+  * were already delivered from the snapshot that introduced them);
+  * rewritten history (vacuumed versions below the checkpointed
+  * offset) fails loudly via readManifestMeta rather than silently
+  * re-serving the head. AvailableNow and continuous restarts both
+  * resume from the checkpointed version offset.
+  *
+  * At 100 TB this is the ingestion pattern: writers commit snapshots,
+  * readers tail the snapshot log and each micro-batch reads only the
+  * newly-committed parts — O(new data) per batch, never O(table).
+  */
+private[sources] class ManifestMicroBatchStream(
+    path: String, schema: StructType, required: StructType,
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class V(v: Int) extends Offset {
+    override def json: String = v.toString
+  }
+
+  /** Version 0 = "before the first committed snapshot". */
+  override def initialOffset(): Offset = V(0)
+
+  override def latestOffset(): Offset =
+    V(ManifestSink.listVersions(conf.value, path).lastOption.getOrElse(0))
+
+  override def deserializeOffset(json: String): Offset = V(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[V].v
+    val e = end.asInstanceOf[V].v
+    if (e <= s) return Array.empty
+    val before: Set[String] =
+      if (s == 0) Set.empty
+      else ManifestSink.readManifestMeta(conf.value, path, Some(s)).map(_.path).toSet
+    ManifestSink.readManifestMeta(conf.value, path, Some(e))
+      .filterNot(m => before.contains(m.path))
+      .map(m => ManifestPartition(m.path, m.rows): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestReaderFactory(schema, required.fieldNames, conf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private[sources] class ManifestReaderFactory(
     schema: StructType, fields: Array[String],

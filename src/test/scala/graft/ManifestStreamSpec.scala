@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.Tables
+
+/** Incremental-read guarantees of the manifest MicroBatchStream that
+  * the oracle equality (q_stream_manifest_source) cannot see: resume
+  * from a checkpointed version offset must read ONLY newly-committed
+  * parts, and uncommitted files must stay invisible to the stream. */
+class ManifestStreamSpec extends SparkSpec {
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString
+
+  private def write(df: DataFrame, path: String, mode: String): Unit =
+    df.repartition(2)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", path).option("history", "true").mode(mode).save()
+
+  private def drain(table: String, sink: String, checkpoint: String): Long = {
+    val q = spark.readStream
+      .format("graft.sources.ManifestSource").option("path", table).load()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.recentProgress.map(_.numInputRows).sum
+  }
+
+  test("resume from the checkpointed offset reads only the new snapshot's parts") {
+    val table = freshDir("mstream-table")
+    val sink = freshDir("mstream-sink")
+    val checkpoint = freshDir("mstream-ckpt")
+    val base = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("user_id"), col("value"))
+
+    val a = base.filter(col("event_id") % 2 === 0)
+    write(a, table, "overwrite")
+    val nA = a.count()
+    val read1 = drain(table, sink, checkpoint)
+    assert(read1 === nA, s"run 1 must deliver commit A: $read1 != $nA")
+    assert(spark.read.parquet(sink).count() === nA)
+
+    val b = base.filter(col("event_id") % 2 === 1)
+    write(b, table, "append")
+    val nB = b.count()
+    val read2 = drain(table, sink, checkpoint)
+    // the incremental pin: run 2 plans the manifest DIFF, not the table
+    assert(read2 === nB, s"run 2 must deliver ONLY commit B: $read2 != $nB")
+    assert(spark.read.parquet(sink).count() === nA + nB)
+    // delivered rows must be exactly the table content, no dup/loss
+    val sinkIds = spark.read.parquet(sink).select("event_id")
+    assert(sinkIds.exceptAll(base.select("event_id")).isEmpty)
+    assert(base.select("event_id").exceptAll(sinkIds).isEmpty)
+  }
+
+  test("a caught-up stream plans zero batches; staged orphans stay invisible") {
+    val table = freshDir("mstream2-table")
+    val sink = freshDir("mstream2-sink")
+    val checkpoint = freshDir("mstream2-ckpt")
+    val base = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("user_id"), col("value")).limit(100)
+    write(base, table, "overwrite")
+    drain(table, sink, checkpoint)
+    val n1 = spark.read.parquet(sink).count()
+
+    // an orphan data file NOT listed by any manifest: crash debris or
+    // an in-flight writer's stage — the stream must not see it
+    Files.write(java.nio.file.Paths.get(table, "part-orphan-xyz.csv"),
+      "999999,1,1.0\n".getBytes("UTF-8"))
+    val read = drain(table, sink, checkpoint)
+    assert(read === 0, s"caught-up stream re-read $read rows")
+    assert(spark.read.parquet(sink).count() === n1)
+  }
+
+  test("medallion rerun: caught-up adds nothing; a new bronze commit appends only its delta") {
+    val bronze = freshDir("medal-bronze")
+    val silver = freshDir("medal-silver")
+    val checkpoint = freshDir("medal-ckpt")
+    // silver must start nonexistent so the first commit creates it
+    java.nio.file.Files.delete(java.nio.file.Paths.get(silver))
+    val hconf = spark.sessionState.newHadoopConf()
+
+    def runPipeline(): Unit = {
+      import org.apache.hadoop.fs.Path
+      val q = spark.readStream
+        .format("graft.sources.ManifestSource").option("path", bronze).load()
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val marker = new Path(silver, f"_BATCH-$batchId%05d")
+          val fs = marker.getFileSystem(hconf)
+          if (!fs.exists(marker)) {
+            batch.repartition(2)
+              .write.format("graft.sources.ManifestSink")
+              .option("path", silver).option("history", "true")
+              .mode(if (fs.exists(new Path(silver))) "append" else "overwrite")
+              .save()
+            fs.create(marker, false).close()
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    def silverDf = spark.read
+      .format("graft.sources.ManifestSource").option("path", silver).load()
+    def silverVersions =
+      graft.sources.ManifestSink.listVersions(hconf, silver).size
+
+    val base = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val a = base.filter(col("event_id") % 2 === 0)
+    write(a, bronze, "overwrite")
+    runPipeline()
+    val nA = a.count()
+    assert(silverDf.count() === nA)
+    val v1 = silverVersions
+
+    runPipeline() // caught up: no new bronze snapshot → no new silver commit
+    assert(silverDf.count() === nA, "caught-up rerun duplicated rows")
+    assert(silverVersions === v1, "caught-up rerun committed a snapshot")
+
+    val b = base.filter(col("event_id") % 2 === 1)
+    write(b, bronze, "append")
+    runPipeline()
+    assert(silverDf.count() === nA + b.count(), "delta append lost or duplicated rows")
+    assert(silverVersions === v1 + 1, "delta run must commit exactly one snapshot")
+  }
+}

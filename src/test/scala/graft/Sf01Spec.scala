@@ -36,6 +36,9 @@ class Sf01Spec extends SparkSpec {
     // round 10 OLAP/curation wave
     "q_star_join", "q_global_rank", "q_winsorize", "q_hist_equidepth",
     "q_session_window", "q_gopher_rules", "q_pii_scan",
+    // round 10 second wave
+    "q_pit_join", "q_bellman_ford", "q_stream_manifest_source",
+    "q_stream_medallion", "q_sql_catalog",
     // round 10 earlier additions
     "q_cms_hh", "q_geo_join", "q_url_parse", "q_dq_checks", "q_ewma",
     "q_gini", "q_inverted_index", "q_label_prop", "q_kcore",
