@@ -181,12 +181,71 @@ private[sources] object H64Function extends UnboundFunction {
 }
 
 /** A catalog-loaded manifest table: batch read (full pushdown
-  * surface), streaming read (snapshot offsets), and history-mode
-  * batch write (INSERT INTO appends a snapshot; INSERT OVERWRITE is a
-  * logical truncate commit). */
+  * surface), streaming read (snapshot offsets), history-mode batch
+  * write (INSERT INTO appends a snapshot; INSERT OVERWRITE is a
+  * logical truncate commit), and METADATA-ONLY `DELETE FROM`.
+  *
+  * DELETE accepts a predicate only when every part is DECIDABLE from
+  * manifest stats alone — provably all-match (part's [min, max] lies
+  * inside the deleted key range, key column non-nullable) or provably
+  * none-match (ranges disjoint). The commit is then one new snapshot
+  * that simply stops listing the dropped parts: no data file is read,
+  * written, or removed, and time travel still sees the deleted rows —
+  * the Iceberg/Delta "metadata delete" fast path. An undecidable
+  * predicate (straddling a part, non-key column, nullable key) is
+  * REJECTED at analysis via canDeleteWhere rather than half-applied;
+  * a copy-on-write rewrite is the documented escalation a row-level
+  * delete would take. On a range-partitioned layout (each part owns a
+  * disjoint key range) retention deletes are decidable by
+  * construction — CatalogSpec pins both paths. */
 private[sources] class GraftCatalogTable(
     ident: Identifier, path: String, tableSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  import org.apache.spark.sql.sources.{Filter => V1Filter}
+  import org.apache.spark.sql.sources.{EqualTo => FEq, GreaterThan => FGt, GreaterThanOrEqual => FGe, LessThan => FLt, LessThanOrEqual => FLe}
+
+  private def keyField = tableSchema.fields.find(_.dataType == LongType)
+
+  /** The retained part list, when every part is decidable; None when
+    * the predicate cannot be proven part-whole from stats. */
+  private def decide(filters: Array[V1Filter]): Option[Seq[PartMeta]] = {
+    val key = keyField match {
+      case Some(f) if !f.nullable => f.name
+      case _ => return None // nullable key: stats don't cover null rows
+    }
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    filters.foreach {
+      case FGt(c, v: Long) if c == key =>
+        lo = math.max(lo, if (v == Long.MaxValue) v else v + 1)
+      case FGe(c, v: Long) if c == key => lo = math.max(lo, v)
+      case FLt(c, v: Long) if c == key =>
+        hi = math.min(hi, if (v == Long.MinValue) v else v - 1)
+      case FLe(c, v: Long) if c == key => hi = math.min(hi, v)
+      case FEq(c, v: Long) if c == key =>
+        lo = math.max(lo, v); hi = math.min(hi, v)
+      case _ => return None // non-key / non-range predicate
+    }
+    val parts = ManifestSink.readManifestMeta(
+      ManifestSink.driverConf(), path, None)
+    val keep = parts.filter(p => p.kMax < lo || p.kMin > hi)
+    val drop = parts.filter(p => p.kMin >= lo && p.kMax <= hi)
+    if (keep.size + drop.size == parts.size) Some(keep) else None
+  }
+
+  override def canDeleteWhere(filters: Array[V1Filter]): Boolean =
+    decide(filters).isDefined
+
+  override def deleteWhere(filters: Array[V1Filter]): Unit = {
+    val keep = decide(filters).getOrElse(throw new UnsupportedOperationException(
+      s"DELETE predicate is not decidable from manifest stats " +
+        s"(must be a key range aligned to part boundaries): " +
+        filters.mkString(", ")))
+    ManifestSink.publishSnapshot(ManifestSink.driverConf(), path,
+      tableSchema, keep, history = true)
+  }
 
   override def name(): String = ident.toString
   override def schema(): StructType = tableSchema

@@ -230,6 +230,46 @@ object ManifestSink {
         StructType.fromDDL(ddl)
       }
 
+  /** Publish a snapshot whose part list is exactly `parts` (commit
+    * path for writes, and the metadata-only path for DDL/DELETE: a
+    * new version is one small JSON file — no data is copied). Atomic:
+    * content lands under a temp name and renames in; the immutable
+    * snapshot publishes before the head pointer flips, so a crash
+    * between the two leaves the table readable at the old head with a
+    * complete (merely unreferenced) new snapshot. Returns the
+    * committed version (0 for a plain non-history table). */
+  private[sources] def publishSnapshot(conf: Configuration, path: String,
+      schema: StructType, parts: Seq[PartMeta], history: Boolean): Int = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val version =
+      if (history) listVersions(conf, path).lastOption.getOrElse(0) + 1
+      else 0
+    val ddl = schema.toDDL.replace("\\", "\\\\").replace("\"", "\\\"")
+    val content = new StringBuilder
+    content.append(s"""{"schema":"$ddl"}""").append('\n')
+    if (history) content.append(s"""{"version":$version}""").append('\n')
+    parts.foreach { m =>
+      val b = if (m.bloomHex.isEmpty) "" else s""","bloom":"${m.bloomHex}""""
+      content.append(
+        s"""{"path":"${encPath(m.path)}","rows":${m.rows},""" +
+          s""""min":${m.kMin},"max":${m.kMax}$b}""").append('\n')
+    }
+    val bytes = content.toString.getBytes("UTF-8")
+    def publish(name: String): Unit = {
+      val target = new Path(dir, name)
+      val tmp = new Path(dir, s".$name.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      if (fs.exists(target)) fs.delete(target, false)
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"cannot publish $target")
+    }
+    if (history) publish(versionFile(version))
+    publish(ManifestFile)
+    version
+  }
+
   /** Committed snapshot versions present at `dir`, ascending (history
     * mode; empty for a plain single-manifest table). */
   def listVersions(conf: Configuration, dir: String): Seq[Int] = {
@@ -327,8 +367,6 @@ private[sources] class ManifestBatchWrite(
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(conf.value)
     // append: carry the committed head's parts forward, after checking
     // the schema only evolved additively (name+type prefix match)
     val prior: Seq[PartMeta] =
@@ -345,44 +383,11 @@ private[sources] class ManifestBatchWrite(
               s"committed=${old.toDDL} incoming=${schema.toDDL}")
           ManifestSink.readManifestMeta(conf.value, path, None)
       }
-    val version =
-      if (history) ManifestSink.listVersions(conf.value, path).lastOption.getOrElse(0) + 1
-      else 0
-    val ddl = schema.toDDL.replace("\\", "\\\\").replace("\"", "\\\"")
-    val content = new StringBuilder
-    content.append(s"""{"schema":"$ddl"}""").append('\n')
-    if (history) content.append(s"""{"version":$version}""").append('\n')
-    def partLine(p: String, rows: Long, kMin: Long, kMax: Long,
-        bloom: String): String = {
-      val b = if (bloom.isEmpty) "" else s""","bloom":"$bloom""""
-      s"""{"path":"${ManifestSink.encPath(p)}","rows":$rows,""" +
-        s""""min":$kMin,"max":$kMax$b}"""
+    val newParts = messages.toSeq.map { case m: PartCommit =>
+      PartMeta(m.path, m.rows, m.keyMin, m.keyMax, m.bloom)
     }
-    prior.foreach { m =>
-      content.append(partLine(m.path, m.rows, m.kMin, m.kMax, m.bloomHex))
-        .append('\n')
-    }
-    messages.foreach { case m: PartCommit =>
-      content.append(partLine(m.path, m.rows, m.keyMin, m.keyMax, m.bloom))
-        .append('\n')
-    }
-    val bytes = content.toString.getBytes("UTF-8")
-
-    // publish atomically: create under a temp name, rename in. The
-    // immutable snapshot goes first; the head pointer flip is last, so
-    // a crash between the two leaves the table readable at the old
-    // head with a complete (merely unreferenced) new snapshot.
-    def publish(name: String): Unit = {
-      val target = new Path(dir, name)
-      val tmp = new Path(dir, s".$name.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(bytes) finally out.close()
-      if (fs.exists(target)) fs.delete(target, false)
-      if (!fs.rename(tmp, target))
-        throw new java.io.IOException(s"cannot publish $target")
-    }
-    if (history) publish(ManifestSink.versionFile(version))
-    publish(ManifestSink.ManifestFile)
+    ManifestSink.publishSnapshot(conf.value, path, schema,
+      prior ++ newParts, history)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -80,6 +80,48 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT * FROM gcs.ns.halfmade").collect() }
   }
 
+  test("DELETE FROM: metadata-only on part-aligned ranges; undecidable deletes rejected") {
+    wh
+    import spark.implicits._
+    // range-partitioned layout: each part owns a disjoint key range,
+    // so retention deletes are decidable from manifest stats alone
+    (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "s")
+      .repartitionByRange(4, col("k"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", s"$wh/ns/del").option("history", "true")
+      .mode("overwrite").save()
+    val conf = spark.sessionState.newHadoopConf()
+    val partsBefore = graft.sources.ManifestSink.readManifest(conf, s"$wh/ns/del")
+    assert(partsBefore.size === 4)
+    // cut at the last part's kMin: that part is provably all-match,
+    // every other part provably none-match
+    val cut = partsBefore.map(_._3).max
+    val dropped = partsBefore.filter(_._3 >= cut).map(_._2).sum
+    val filesBefore = new java.io.File(s"$wh/ns/del").listFiles()
+      .count(_.getName.startsWith("part-"))
+
+    spark.sql(s"DELETE FROM gcs.ns.del WHERE k >= $cut")
+    assert(spark.sql("SELECT * FROM gcs.ns.del").count() === 1000 - dropped)
+    // metadata-only: no data file was touched, and time travel still
+    // reads the pre-delete snapshot in full
+    val filesAfter = new java.io.File(s"$wh/ns/del").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(filesAfter === filesBefore, "DELETE must not touch data files")
+    assert(spark.sql("SELECT * FROM gcs.ns.del VERSION AS OF 1").count() === 1000)
+
+    // a range straddling a part is NOT decidable → rejected, not
+    // half-applied (cut strictly inside a surviving part's key range)
+    val straddle = partsBefore.map(_._3).filter(_ < cut).max + 1
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM gcs.ns.del WHERE k >= $straddle")
+    }
+    // a non-key predicate is never decidable from key stats
+    intercept[Exception] {
+      spark.sql("DELETE FROM gcs.ns.del WHERE s = 'v3'")
+    }
+    assert(spark.sql("SELECT * FROM gcs.ns.del").count() === 1000 - dropped)
+  }
+
   test("SQL h64() == the Column helper == per-row over a table") {
     wh
     val sqlV = spark.sql("SELECT gcs.ns.h64('graft:42') AS h").head.getLong(0)
