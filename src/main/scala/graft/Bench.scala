@@ -53,7 +53,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Streaming queries carry fixed micro-batch machinery cost (~5 s
+    // floor each at any SF) that drowns the batch signal in one grand
+    // total; report the subtotals separately so round-over-round perf
+    // comparison can track each population on its own floor.
+    val streamTotal = results
+      .collect { case (k, v) if v >= 0 && k.startsWith("q_stream_") => v }.sum
+    val batchTotal = total - streamTotal
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","batch_sec":$batchTotal,"streaming_sec":$streamTotal,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line to a file: a truncated stdout capture must
     // not lose the result (BENCH_r04's tail dropped the total).

@@ -1,7 +1,7 @@
 package graft.model
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types._
 
 /** Table loaders + explicit schemas for the driver test tables.
@@ -31,20 +31,17 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** events.ts is parquet timestamp[ns], which Spark 4 refuses to read
-    * as TimestampType. Read it as a long (legacy conf) and floor-divide
-    * to µs — the same truncation DuckDB applies when it reads the file —
-    * yielding a standard TimestampType column.
-    *
-    * The conf is set once at session build by our mains (Verify/Bench/
-    * tests); the guarded set below covers externally-built sessions
-    * (the driver's t1 smoke) without re-mutating configured ones. */
+  /** events.ts has shipped as BOTH parquet timestamp[ns] (earlier
+    * generator runs) and timestamp[us] (current). Spark 4 refuses to
+    * read ns as TimestampType, so the session keeps the legacy
+    * ns-as-long conf on and this loader dispatches on the type the
+    * reader actually yields: LongType ⇒ floor-divide ns→µs (the same
+    * truncation DuckDB applies), TimestampType ⇒ pass through. Either
+    * storage flavor lands on the same logical TimestampType column. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     if (!spark.conf.getOption(NanosConf).contains("true"))
       spark.conf.set(NanosConf, "true")
-    load(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    eventsFromStorage(load(spark, dir, "events"))
   }
 
   val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
@@ -52,23 +49,34 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
   /** events STORAGE schema, needed for readStream (streaming sources
-    * cannot infer). Under [[NanosConf]] the parquet timestamp[ns] column
-    * reads as LongType nanoseconds — the declared schema matches what
-    * the reader actually yields; [[eventsFromStorage]] applies the same
-    * ns→µs TimestampType conversion the batch loader uses. */
+    * cannot infer). Matches the current generator output: parquet
+    * timestamp[us] reads natively as TimestampType. */
   val eventsStorageSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType),
   ))
 
-  /** Storage-schema rows (ts: long ns) → the logical events shape. */
-  def eventsFromStorage(df: DataFrame): DataFrame =
-    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  /** Storage-schema rows → the logical events shape (ts: TimestampType
+    * at µs precision). Dispatches on the ts type actually read so every
+    * storage flavor normalizes identically: long ns under [[NanosConf]]
+    * floor-divides to µs; parquet timestamp[us] with isAdjustedToUTC=
+    * false infers TIMESTAMP_NTZ and is cast to TimestampType (exact
+    * under the UTC session timezone every entry point sets — the same
+    * instant DuckDB's naive-UTC read produces). Queries downstream
+    * always see the LTZ TimestampType they were written against
+    * (unix_micros &co. reject NTZ). */
+  def eventsFromStorage(df: DataFrame): DataFrame = {
+    val norm = df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+    norm.select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
 
   val embeddingsSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),

@@ -1222,6 +1222,105 @@ SELECT probe_id, vec_id, adc FROM (
   SELECT *, row_number() OVER (PARTITION BY probe_id
     ORDER BY adc, vec_id) AS rn FROM adc)
 WHERE rn <= 10 ORDER BY probe_id, adc, vec_id""")),
+
+    // --- IVF SERVE, fully oracle-gated: the batched cell-pruned
+    // top-k search over the label-seeded SQL quantizer — the serve
+    // half of q_ann_ivf_build, with no MLlib in the loop (KMeans
+    // training is the ONLY reason q_ann_ivf_batch is spec-pinned;
+    // swapping in the label-seeded centroids makes the identical
+    // plan shape hash-checkable end to end; Ann.ivfTopKBatch stays
+    // as the KMeans-backed twin). Scale shape: the quantizer (10
+    // cells) and the probe shortlist (16 probes × nprobe 3 cells)
+    // broadcast; the corpus scan shuffles once on vec_id for the
+    // assignment join; candidate scoring touches only the ~3/10 of
+    // the corpus in shortlisted cells; per-probe top-5 rides the
+    // native GroupTopK (partial heaps, shuffle carries ≤5 rows per
+    // probe per partition). Exactness: every distance is the
+    // per-term DECIMAL(20,12) fold (probe vectors widened
+    // float→double, an exact cast), ties broken by cell/vec_id.
+    QueryDef("q_ann_ivf_serve",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        val cents = centroidArrays(spark, dir)
+          .select(col("label").as("cell"), col("centroid"))
+        val corpusCell = emb.filter(col("vec_id") >= 16)
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"),
+            Exact.sqDistFD(col("embedding"), col("centroid")).as("d2"),
+            col("cell"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("d2"), col("cell"))).as("a"))
+          .select(col("vec_id"), col("a.cell").as("cell"))
+          .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        val probes = emb.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+        val shortlist = graft.plans.GroupTopK.topK(
+          probes.crossJoin(broadcast(cents))
+            .select(col("probe_id"), col("p_emb"),
+              Exact.sqDistFD(col("p_emb"), col("centroid")).as("dc"),
+              col("cell")),
+          Seq("probe_id"), Seq(("dc", false), ("cell", false)), 3)
+          // float→double is exact, so the candidate-scoring kernel
+          // (float corpus side, double probe side) restates cleanly
+          .select(col("probe_id"),
+            col("p_emb").cast("array<double>").as("p_emb"), col("cell"))
+        val cand = corpusCell.join(broadcast(shortlist), Seq("cell"))
+          .select(col("probe_id"), col("vec_id"),
+            Exact.sqDistFD(col("embedding"), col("p_emb")).as("d2"))
+        graft.plans.GroupTopK.topK(cand, Seq("probe_id"),
+          Seq(("d2", false), ("vec_id", false)), 5)
+          .select(col("probe_id"), col("vec_id"), col("d2"))
+          .orderBy(col("probe_id"), col("d2"), col("vec_id"))
+      },
+      Some("""WITH e AS (
+  SELECT label, unnest(embedding) AS x,
+    unnest(range(len(embedding))) AS dim
+  FROM embeddings),
+g AS (
+  SELECT label, dim,
+    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+      / 1000000.0 / count(*) AS c
+  FROM e GROUP BY label, dim),
+cents AS (
+  SELECT label AS cell, list(c ORDER BY dim) AS cent
+  FROM g GROUP BY label),
+pairs AS (
+  SELECT v.vec_id, c.cell,
+    CAST(list_sum(list_transform(range(1, len(v.embedding) + 1),
+      i -> CAST((CAST(v.embedding[i] AS DOUBLE) - c.cent[i])
+        * (CAST(v.embedding[i] AS DOUBLE) - c.cent[i])
+        AS DECIMAL(20,12)))) AS DOUBLE) AS d2
+  FROM embeddings v CROSS JOIN cents c WHERE v.vec_id >= 16),
+a AS (
+  SELECT vec_id, cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY d2, cell) AS rn FROM pairs)
+  WHERE rn = 1),
+pp AS (
+  SELECT p.vec_id AS probe_id, c.cell,
+    CAST(list_sum(list_transform(range(1, len(p.embedding) + 1),
+      i -> CAST((CAST(p.embedding[i] AS DOUBLE) - c.cent[i])
+        * (CAST(p.embedding[i] AS DOUBLE) - c.cent[i])
+        AS DECIMAL(20,12)))) AS DOUBLE) AS dc
+  FROM embeddings p CROSS JOIN cents c WHERE p.vec_id < 16),
+pc AS (
+  SELECT probe_id, cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY dc, cell) AS rn FROM pp)
+  WHERE rn <= 3),
+scored AS (
+  SELECT pc.probe_id, a.vec_id,
+    CAST(list_sum(list_transform(range(1, len(v.embedding) + 1),
+      i -> CAST((CAST(v.embedding[i] AS DOUBLE) - CAST(p.embedding[i] AS DOUBLE))
+        * (CAST(v.embedding[i] AS DOUBLE) - CAST(p.embedding[i] AS DOUBLE))
+        AS DECIMAL(20,12)))) AS DOUBLE) AS d2
+  FROM a JOIN pc USING (cell)
+  JOIN embeddings v ON v.vec_id = a.vec_id
+  JOIN embeddings p ON p.vec_id = pc.probe_id)
+SELECT probe_id, vec_id, d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+    ORDER BY d2, vec_id) AS rn FROM scored)
+WHERE rn <= 5 ORDER BY probe_id, d2, vec_id""")),
   )
 
   /** Exact per-(label, dim) coordinate sums on the 1e-6 integer grid

@@ -472,16 +472,21 @@ FROM events""")),
           spark.conf.set(Tables.NanosConf, "true")
         val raw = spark.read.schema(Tables.eventsStorageSchema)
           .parquet(s"$dir/events.parquet")
-        val fp = raw.agg(count(lit(1)), max(col("ts"))).head
+        val fp = raw.agg(count(lit(1)), max(unix_micros(col("ts")))).head
+        // v2: the logic version participates in the key — a stage
+        // committed by an earlier code revision (e.g. the pre-µs-drift
+        // reader, which computed the same count/max fingerprint from
+        // the same physical int64 values but mis-windowed every row)
+        // must not be served as this revision's result.
         val key = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$dir#late#${fp.getLong(0)}#${fp.getLong(1)}"
+          .digest(s"$dir#late#v2#${fp.getLong(0)}#${fp.getLong(1)}"
             .getBytes("UTF-8")).map("%02x".format(_)).mkString
         val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
         val stage = java.nio.file.Paths.get(wh, "graft-late", key)
-        // ts is stored as LONG NANOS; the boundary is max − 15 days
+        // the boundary is max(ts) − 15 days, computed distributively
         val bounded = raw.crossJoin(broadcast(raw.agg(max(col("ts"))
           .as("mx"))))
-          .withColumn("cut", col("mx") - lit(15L * 86400L * 1000000000L))
+          .withColumn("cut", col("mx") - expr("INTERVAL 15 DAYS"))
         def stageOne(df: DataFrame, name: String): Unit = {
           val tmp = Files.createTempDirectory("graft-late-").toString
           df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -510,6 +515,21 @@ FROM events""")),
           q.awaitTermination()
         }
         val storageCols = Tables.eventsStorageSchema.fieldNames.map(col)
+        // Poisoned-stage invalidation: the feed is never empty, so a
+        // committed sink with zero rows can only be a crashed (or
+        // semantically broken) predecessor under the same key — wipe
+        // the stage and replay rather than serving it forever.
+        if (Files.exists(stage.resolve("sink"))) {
+          val ok =
+            try spark.read.parquet(stage.resolve("sink").toString)
+              .limit(1).count() > 0
+            catch { case _: Throwable => false }
+          if (!ok) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(stage).iterator().asScala.toSeq.reverse
+              .foreach(p => Files.deleteIfExists(p))
+          }
+        }
         Files.createDirectories(stage.resolve("feed"))
         stageOne(bounded.filter(col("ts") > col("cut"))
           .select(storageCols: _*), "feed/recent.parquet")

@@ -117,8 +117,8 @@ class StreamingSpec extends SparkSpec {
     Tables.events(spark, Sf0001) // ensures the nanos read conf is set
     val raw = spark.read.schema(Tables.eventsStorageSchema)
       .parquet(s"$Sf0001/events.parquet")
-    val maxNs = raw.agg(max(col("ts"))).head.getLong(0)
-    val cutNs = maxNs - 15L * 86400L * 1000000000L
+    val maxUs = raw.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val cutTs = timestamp_micros(lit(maxUs - 15L * 86400L * 1000000L))
     val feed = JFiles.createTempDirectory("graft-late-feed-").toString
     val ckpt = JFiles.createTempDirectory("graft-late-ck-").toString
     val out = JFiles.createTempDirectory("graft-late-out-").toString + "/sink"
@@ -142,9 +142,9 @@ class StreamingSpec extends SparkSpec {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       sq.awaitTermination(); sq
     }
-    stageOne(col("ts") > cutNs, "recent.parquet")
+    stageOne(col("ts") > cutTs, "recent.parquet")
     runOnce()
-    stageOne(col("ts") <= cutNs, "straggler.parquet")
+    stageOne(col("ts") <= cutTs, "straggler.parquet")
     val run2 = runOnce()
     val dropped = run2.recentProgress
       .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
@@ -154,8 +154,8 @@ class StreamingSpec extends SparkSpec {
     // map-side combine — so the exact number depends on partitioning
     // and is deliberately not pinned; the semantic contract is the
     // sink content below.)
-    val wm1 = maxNs / 1000L - 600000000L
-    val lateRaw = Tables.eventsFromStorage(raw.filter(col("ts") <= cutNs))
+    val wm1 = maxUs - 600000000L
+    val lateRaw = Tables.eventsFromStorage(raw.filter(col("ts") <= cutTs))
       .filter(unix_micros(date_trunc("hour", col("ts"))) + 3600000000L <= wm1)
       .count()
     assert(lateRaw > 0, "the staged feed must actually produce late rows")
@@ -166,7 +166,7 @@ class StreamingSpec extends SparkSpec {
     val got = spark.read.parquet(out)
       .select(col("window_start_us"), col("event_type"), col("n"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    val want = Tables.eventsFromStorage(raw.filter(col("ts") > cutNs))
+    val want = Tables.eventsFromStorage(raw.filter(col("ts") > cutTs))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(unix_micros(col("window.start")).as("ws"), col("event_type"),
