@@ -480,5 +480,47 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
   ${Exact.decSumSql("o_totalprice", 2)} AS sum_price
 FROM orders WHERE o_orderkey > 100
 GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // --- COPY-ON-WRITE DELETE (ManifestCow): the retention job the
+    // metadata-only fast path rejects — `event_id < 677` is NOT
+    // aligned to part boundaries on the range-partitioned layout, so
+    // the straddling part is REWRITTEN (rows where the predicate is
+    // false survive into a new part file), parts provably inside the
+    // range are dropped metadata-only, parts provably outside carry
+    // their files forward by reference. The commit is one new history
+    // snapshot; reading snapshot v1 afterwards still returns every
+    // pre-delete row — COW never destroys data files (CatalogSpec
+    // pins the part-file accounting: untouched paths identical
+    // across versions, exactly one rewrite). The oracle restates both
+    // versions analytically over raw events.
+    QueryDef("q_delete_cow",
+      (spark, dir) => {
+        val t = freshTable(spark, dir, "cow")
+        spark.conf.set("spark.sql.catalog.graftcow",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftcow.warehouse", t)
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("value"))
+        base.repartitionByRange(8, col("event_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", s"$t/wh/ev_t").option("history", "true")
+          .mode("overwrite").save()
+        spark.sql("DELETE FROM graftcow.wh.ev_t WHERE event_id < 677")
+        val after = spark.sql(
+          "SELECT count(*) AS n_after, " +
+            s"${Exact.decSumSql("value", 2).replace("VARCHAR", "STRING")} AS sum_after " +
+            "FROM graftcow.wh.ev_t")
+        val v1 = readVersion(spark, s"$t/wh/ev_t", Some(1))
+          .agg(count(lit(1)).as("n_v1"),
+            Exact.decSum(col("value"), 2).as("sum_v1"))
+        after.crossJoin(v1)
+      },
+      Some(s"""SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id >= 677)
+    AS n_after,
+  (SELECT ${Exact.decSumSql("value", 2)} FROM events WHERE event_id >= 677)
+    AS sum_after,
+  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_v1,
+  (SELECT ${Exact.decSumSql("value", 2)} FROM events) AS sum_v1""")),
   )
 }

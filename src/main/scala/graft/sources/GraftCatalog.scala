@@ -235,17 +235,20 @@ private[sources] class GraftCatalogTable(
     if (keep.size + drop.size == parts.size) Some(keep) else None
   }
 
+  /** Metadata fast path when every part is stats-decidable; otherwise
+    * the copy-on-write rewrite ([[ManifestCow]]) — accepted exactly
+    * when the predicate is row-evaluable, so unsupported shapes are
+    * still rejected at analysis rather than half-applied. */
   override def canDeleteWhere(filters: Array[V1Filter]): Boolean =
-    decide(filters).isDefined
+    decide(filters).isDefined || filters.forall(ManifestCow.translatable)
 
-  override def deleteWhere(filters: Array[V1Filter]): Unit = {
-    val keep = decide(filters).getOrElse(throw new UnsupportedOperationException(
-      s"DELETE predicate is not decidable from manifest stats " +
-        s"(must be a key range aligned to part boundaries): " +
-        filters.mkString(", ")))
-    ManifestSink.publishSnapshot(ManifestSink.driverConf(), path,
-      tableSchema, keep, history = true)
-  }
+  override def deleteWhere(filters: Array[V1Filter]): Unit =
+    decide(filters) match {
+      case Some(keep) =>
+        ManifestSink.publishSnapshot(ManifestSink.driverConf(), path,
+          tableSchema, keep, history = true)
+      case None => ManifestCow.deleteWhere(path, tableSchema, filters)
+    }
 
   override def name(): String = ident.toString
   override def schema(): StructType = tableSchema

@@ -109,17 +109,39 @@ class CatalogSpec extends SparkSpec {
     assert(filesAfter === filesBefore, "DELETE must not touch data files")
     assert(spark.sql("SELECT * FROM gcs.ns.del VERSION AS OF 1").count() === 1000)
 
-    // a range straddling a part is NOT decidable → rejected, not
-    // half-applied (cut strictly inside a surviving part's key range)
+    // a range straddling a part is not stats-decidable → COPY-ON-WRITE:
+    // only the straddling part is rewritten; disjoint parts carry
+    // their files forward BY REFERENCE (same paths in the new
+    // snapshot), and the superseded file stays on disk for time travel
     val straddle = partsBefore.map(_._3).filter(_ < cut).max + 1
-    intercept[Exception] {
-      spark.sql(s"DELETE FROM gcs.ns.del WHERE k >= $straddle")
+    def headParts() = graft.sources.ManifestSink
+      .readManifest(conf, s"$wh/ns/del").map(_._1).toSet
+    val untouchedExpected = headParts().filter { p =>
+      partsBefore.exists(b => b._1 == p && b._4 < straddle)
     }
-    // a non-key predicate is never decidable from key stats
+    spark.sql(s"DELETE FROM gcs.ns.del WHERE k >= $straddle")
+    assert(spark.sql("SELECT * FROM gcs.ns.del").count() === straddle)
+    val afterStraddle = headParts()
+    assert(untouchedExpected.subsetOf(afterStraddle),
+      "disjoint parts must carry forward by reference, not be rewritten")
+    assert((afterStraddle -- untouchedExpected).size === 1,
+      "exactly the straddling part must be rewritten")
+    val filesAfterCow = new java.io.File(s"$wh/ns/del").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(filesAfterCow === filesBefore + 1,
+      "COW adds the rewritten part and never deletes data files")
+    assert(spark.sql("SELECT * FROM gcs.ns.del VERSION AS OF 1").count() === 1000)
+
+    // a non-key predicate COWs every part (no stats can exclude any)
+    spark.sql("DELETE FROM gcs.ns.del WHERE s = 'v3'")
+    assert(spark.sql("SELECT * FROM gcs.ns.del").count() === straddle - 1)
+    assert(spark.sql("SELECT * FROM gcs.ns.del VERSION AS OF 1").count() === 1000)
+
+    // an untranslatable predicate is still rejected at analysis
     intercept[Exception] {
-      spark.sql("DELETE FROM gcs.ns.del WHERE s = 'v3'")
+      spark.sql("DELETE FROM gcs.ns.del WHERE k + 1 = 500")
     }
-    assert(spark.sql("SELECT * FROM gcs.ns.del").count() === 1000 - dropped)
+    assert(spark.sql("SELECT * FROM gcs.ns.del").count() === straddle - 1)
   }
 
   test("SQL h64() == the Column helper == per-row over a table") {

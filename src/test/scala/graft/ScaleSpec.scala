@@ -266,4 +266,53 @@ class ScaleSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
+
+  test("anchored moments survive adversarial magnitudes at 100x rows (no ANSI overflow)") {
+    // The q_anomaly_sigma kernel anchors each group at its min so all
+    // decimal intermediates scale with the group's RANGE, not its
+    // absolute magnitude (StatsOps.scala q_anomaly_sigma design note).
+    // Stress both claims at 100× the sf0.001 row count with values
+    // parked at ~Long.MaxValue: (1) the pipeline completes — ANSI
+    // would THROW on decimal overflow, so mere completion is the
+    // no-overflow proof; (2) translation invariance — the flag counts
+    // over `jitter + 9.2e18` must equal those over bare `jitter`,
+    // bit-for-bit, which an un-anchored kernel could not deliver
+    // (n·x ≈ 1e24 overflows DECIMAL(38,0) at that magnitude).
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    def sigmaCounts(raw: DataFrame): Map[String, Long] = {
+      val anchor = raw.groupBy(col("g")).agg(min(col("x0")).as("m"))
+      val rows = raw.join(broadcast(anchor), "g")
+        .select(col("g"), (col("x0") - col("m")).as("x"))
+      val mom = rows.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(d38(col("x"))).as("s"),
+          sum(d38(col("x")) * d38(col("x"))).as("q"))
+      rows.join(broadcast(mom), "g")
+        .select(col("g"),
+          ((d38(col("n")) * d38(col("x")) - col("s")) *
+            (d38(col("n")) * d38(col("x")) - col("s")) >
+            (d38(col("n")) * col("q") - col("s") * col("s")) * 9)
+            .as("is_out"))
+        .groupBy(col("g"))
+        .agg(sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    // 100k rows, 4 groups; heavy-tailed jitter so some rows flag; the
+    // offset parks absolute values within 2^63 but far past what any
+    // un-anchored n·x or Σx² could survive in DECIMAL(38,0)
+    val jitter = spark.range(100000L).select(
+      concat(lit("g"), (col("id") % 4).cast("string")).as("g"),
+      (when(col("id") % 997 === 0, col("id") % 1000000 * 1000L)
+        .otherwise(col("id") % 1000)).cast("long").as("x0"))
+    val offset = 9200000000000000000L // ~0.998 · Long.MaxValue
+    val shifted = jitter.select(col("g"), (col("x0") + offset).as("x0"))
+    val base = sigmaCounts(jitter)
+    val far = sigmaCounts(shifted)
+    assert(base.values.sum > 0, s"stress fixture must flag outliers: $base")
+    assert(base === far,
+      s"anchored flags must be translation-invariant: $base vs $far")
+  }
 }
