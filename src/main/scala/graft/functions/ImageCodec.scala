@@ -100,6 +100,47 @@ object ImageCodec {
       img.getRaster.getNumBands.toLong, sr, sg, sb))
   }
 
+  /** Decode → convex-polygon ROI accounting (the real-pixel half of
+    * the reference's `paint_everything_outside_ROI`,
+    * preprocess_image.py:57-79): pixel (x, y) is INSIDE iff every
+    * edge cross product of the clockwise contour is ≤ 0 — the same
+    * closed half-plane contract as `VisionOps.insideRoi`, so the
+    * oracle restates it per pixel in integer arithmetic. Returns
+    * `[n_in, sum_r_in, sum_g_in, sum_b_in, sum_r_out, sum_g_out,
+    * sum_b_out]`; null on undecodable bytes. `poly` is the flattened
+    * vertex list (x0, y0, x1, y1, ...). */
+  def roiStats(bytes: Array[Byte], poly: Array[Long]): ArrayData = {
+    val img = readOrNull(bytes)
+    if (img == null) return null
+    val n = poly.length / 2
+    val w = img.getWidth
+    val h = img.getHeight
+    var nIn = 0L
+    var sri = 0L; var sgi = 0L; var sbi = 0L
+    var sro = 0L; var sgo = 0L; var sbo = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var inside = true
+        var i = 0
+        while (inside && i < n) {
+          val xi = poly(2 * i); val yi = poly(2 * i + 1)
+          val xj = poly(2 * ((i + 1) % n)); val yj = poly(2 * ((i + 1) % n) + 1)
+          inside = (xj - xi) * (y - yi) - (yj - yi) * (x - xi) <= 0
+          i += 1
+        }
+        val p = img.getRGB(x, y)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        if (inside) { nIn += 1; sri += r; sgi += g; sbi += b }
+        else { sro += r; sgo += g; sbo += b }
+        x += 1
+      }
+      y += 1
+    }
+    new GenericArrayData(Array[Long](nIn, sri, sgi, sbi, sro, sgo, sbo))
+  }
+
   /** Real decode → nearest-neighbor downsample by `factor` (keep
     * pixels at coordinates divisible by factor — exact, so the oracle
     * can restate it) → lossless PNG re-encode. Null on undecodable
@@ -166,6 +207,41 @@ case class PngDecodeStats(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): PngDecodeStats = copy(child = newChild)
+}
+
+/** Native expression: image bytes → polygon-ROI channel accounting
+  * `[n_in, sum_r_in, sum_g_in, sum_b_in, sum_r_out, sum_g_out,
+  * sum_b_out]` for the convex contour `poly` ((x, y) vertex pairs,
+  * clockwise); null on undecodable bytes. The polygon is a plan-time
+  * constant carried as a codegen reference object, so the per-row
+  * kernel is one static call and stays inside whole-stage codegen. */
+case class PngRoiStats(child: Expression, poly: Seq[(Int, Int)])
+    extends UnaryExpression {
+  require(poly.size >= 3, s"polygon needs >= 3 vertices, got ${poly.size}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private lazy val flat: Array[Long] =
+    poly.flatMap { case (x, y) => Seq(x.toLong, y.toLong) }.toArray
+
+  override protected def nullSafeEval(bytes: Any): Any =
+    ImageCodec.roiStats(bytes.asInstanceOf[Array[Byte]], flat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val polyRef = ctx.addReferenceObj("roiPoly", flat, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("roi")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.functions.ImageCodec.roiStats($c, $polyRef);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PngRoiStats = copy(child = newChild)
 }
 
 /** Native expression: decode → nearest-neighbor downsample → PNG

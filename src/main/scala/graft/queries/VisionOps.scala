@@ -55,7 +55,70 @@ object VisionOps {
       s"(${xj - xi} * (($y) - $yi) - ${yj - yi} * (($x) - $xi) <= 0)"
     }.mkString("(", " AND ", ")")
 
+  /** A small convex clockwise contour sized for the synthetic
+    * 8..15 × 8..11 fixture images (the reference contour spans
+    * 1280×720 and would cover or miss a tiny frame entirely).
+    * Convexity checked like [[Roi]]: all edge-pair crosses negative. */
+  val SmallRoi: Seq[(Int, Int)] = Seq((0, 2), (0, 9), (12, 6), (10, 1))
+
   val all: Seq[QueryDef] = Seq(
+
+    // --- ROI PAINT ON REAL PIXELS (P1 on actual image bytes): the
+    // full `paint_everything_outside_ROI` semantics over genuine PNG
+    // streams — synth encode → REAL ImageIO decode → per-pixel
+    // half-plane classification inside the native PngRoiStats kernel
+    // → per-image in/out channel accounting, plus the painted
+    // composite (outside painted white = 255, np.where semantics,
+    // preprocess_image.py:74-76). PNG losslessness + the closed-form
+    // fixture colors make the whole chain analytically oracle-gated;
+    // q_roi_mask covers the reference contour on frame coordinates,
+    // this covers masking applied to decoded rasters. Per-row narrow
+    // map: no shuffle before the per-doc rollup, kernel inside
+    // whole-stage codegen.
+    QueryDef("q_roi_paint",
+      (spark, dir) => {
+        import org.apache.spark.sql.graftbridge.GraftColumns.{column => gc, expression => ge}
+        val png = gc(graft.functions.PngSynth(ge(col("doc_id"))))
+        val wh = expr("(8 + doc_id % 8) * (8 + doc_id % 4)")
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), png.as("payload"))
+          .select(col("doc_id"),
+            gc(graft.functions.PngRoiStats(ge(col("payload")), SmallRoi))
+              .as("st"))
+          .select(col("doc_id"),
+            element_at(col("st"), 1).as("n_in"),
+            element_at(col("st"), 2).as("sum_r_in"),
+            element_at(col("st"), 3).as("sum_g_in"),
+            element_at(col("st"), 4).as("sum_b_in"),
+            (element_at(col("st"), 2) +
+              lit(255L) * (wh - element_at(col("st"), 1))).as("painted_r"),
+            (element_at(col("st"), 3) +
+              lit(255L) * (wh - element_at(col("st"), 1))).as("painted_g"),
+            (element_at(col("st"), 4) +
+              lit(255L) * (wh - element_at(col("st"), 1))).as("painted_b"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (
+  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 4 AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, p % w AS x, p // w AS y
+  FROM (SELECT doc_id, w, h, unnest(range(w * h)) AS p FROM d)),
+c AS (
+  SELECT doc_id, ${insideRoiSql("x", "y", SmallRoi)} AS ins,
+    (31 * x + 17 * y + doc_id) % 256 AS r,
+    (13 * x + 7 * y + 2 * doc_id) % 256 AS g,
+    (5 * x + 3 * y + 3 * doc_id) % 256 AS b
+  FROM px)
+SELECT doc_id,
+  CAST(sum(CASE WHEN ins THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+  CAST(sum(CASE WHEN ins THEN r ELSE 0 END) AS BIGINT) AS sum_r_in,
+  CAST(sum(CASE WHEN ins THEN g ELSE 0 END) AS BIGINT) AS sum_g_in,
+  CAST(sum(CASE WHEN ins THEN b ELSE 0 END) AS BIGINT) AS sum_b_in,
+  CAST(sum(CASE WHEN ins THEN r ELSE 255 END) AS BIGINT) AS painted_r,
+  CAST(sum(CASE WHEN ins THEN g ELSE 255 END) AS BIGINT) AS painted_g,
+  CAST(sum(CASE WHEN ins THEN b ELSE 255 END) AS BIGINT) AS painted_b
+FROM c GROUP BY doc_id ORDER BY doc_id""")),
 
     // --- REAL-JPEG DECODE (S2, the lossy branch): stage the
     // reference webcam frame from the library's own resources into a

@@ -142,6 +142,52 @@ class ManifestHistorySpec extends SparkSpec {
     assert(onDisk === listed)
   }
 
+  test("COW delete then vacuum: superseded parts reclaimed, untouched files survive in place") {
+    // the full retention lifecycle: range-partitioned table → COW
+    // DELETE (straddling predicate: one part dropped whole, one
+    // rewritten, two carried by reference) → expire the pre-delete
+    // snapshot → exactly the replaced and dropped files are reclaimed
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-cowvac-").toString
+    spark.conf.set("spark.sql.catalog.gcv", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcv.warehouse", wh)
+    val target = s"$wh/ns/cowvac"
+    (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "s")
+      .repartitionByRange(4, col("k"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", target).option("history", "true")
+      .mode("overwrite").save()
+    val before = ManifestSink.readManifest(conf, target)
+    assert(before.size === 4)
+    val filesBefore = Files.list(Paths.get(target)).toArray.map(_.toString)
+      .count(_.endsWith(".csv"))
+
+    spark.sql("DELETE FROM gcv.ns.cowvac WHERE k >= 600")
+    assert(spark.sql("SELECT * FROM gcv.ns.cowvac").count() === 600)
+    // COW never deletes: v1's files all still present, plus the rewrite
+    assert(Files.list(Paths.get(target)).toArray.map(_.toString)
+      .count(_.endsWith(".csv")) === filesBefore + 1)
+
+    val stats = ManifestMaintenance.expireSnapshots(conf, target,
+      keepLast = 1, orphanGraceMs = 0L)
+    assert(stats.versionsExpired === 1)
+    // reclaimed: the dropped part ([750,999]) and the replaced
+    // straddler ([500,749]); the two untouched parts and the rewrite
+    // survive, and they are exactly what the head lists
+    assert(stats.filesDeleted === 2, stats.toString)
+    assert(spark.sql("SELECT * FROM gcv.ns.cowvac").count() === 600)
+    intercept[Exception] { readVersion(target, Some(1)).count() }
+    val listed = ManifestSink.readManifest(conf, target)
+      .map(p => Paths.get(p._1.stripPrefix("file:")).getFileName.toString).toSet
+    val onDisk = Files.list(Paths.get(target)).toArray.map(_.toString)
+      .filter(_.endsWith(".csv"))
+      .map(p => Paths.get(p).getFileName.toString).toSet
+    assert(onDisk === listed)
+    assert(listed.intersect(before.map(p =>
+      Paths.get(p._1.stripPrefix("file:")).getFileName.toString).toSet).size === 2,
+      "the two untouched v1 part files must survive in place")
+  }
+
   test("time travel to a never-committed version fails loudly") {
     val target = Files.createTempDirectory("graft-hist-spec-").toString
     writeSlice(target, 0, "overwrite")
