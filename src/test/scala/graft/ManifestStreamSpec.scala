@@ -79,6 +79,38 @@ class ManifestStreamSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() === n1)
   }
 
+  test("a COW delete commit re-emits exactly the rewritten parts' surviving rows") {
+    // DOCUMENTED SEMANTICS, pinned so a change is loud: the stream
+    // plans "parts the new snapshot ADDED", so a copy-on-write DELETE
+    // re-delivers the surviving rows of rewritten parts (an
+    // upsert-shaped replay the consumer must tolerate) and never the
+    // untouched parts — the same append-only incremental-read caveat
+    // Iceberg documents for its changelog-less incremental scans;
+    // true row-level CDC needs delete vectors or a changelog table.
+    import spark.implicits._
+    val wh = freshDir("mstream-cow")
+    spark.conf.set("spark.sql.catalog.gsc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsc.warehouse", wh)
+    val table = s"$wh/ns/t"
+    val sink = freshDir("mstream-cow-sink")
+    val checkpoint = freshDir("mstream-cow-ckpt")
+    (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "s")
+      .repartitionByRange(4, col("k"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", table).option("history", "true")
+      .mode("overwrite").save()
+    assert(drain(table, sink, checkpoint) === 1000)
+
+    spark.sql("DELETE FROM gsc.ns.t WHERE k >= 600")
+    val reEmitted = drain(table, sink, checkpoint)
+    // parts: [0,249] [250,499] untouched (not re-emitted), [500,749]
+    // rewritten -> its 100 survivors re-emitted, [750,999] dropped
+    assert(reEmitted === 100,
+      s"COW must re-emit only the rewritten part's survivors: $reEmitted")
+    // the delivered union is append-shaped: original 1000 + 100 replays
+    assert(spark.read.parquet(sink).count() === 1100)
+  }
+
   test("medallion rerun: caught-up adds nothing; a new bronze commit appends only its delta") {
     val bronze = freshDir("medal-bronze")
     val silver = freshDir("medal-silver")
