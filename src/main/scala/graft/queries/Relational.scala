@@ -898,7 +898,16 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
             // overflows iff poison row (Long.MaxValue * 3, incl. id 0)
             when(isPoison, lit(null).cast("long"))
               .otherwise(try_multiply(poison, lit(3L))).as("safe_mul"),
-            col("event_type").try_cast("int").as("safe_cast"),
+            // try_cast pays a per-row exception unwind for every
+            // non-numeric string — on a column where ~0% of values
+            // are numeric that is an exception benchmark all over
+            // again. The shape guard routes strings that cannot
+            // possibly parse (no leading digit/sign) straight to
+            // NULL; try_cast still owns the ambiguous tail
+            // ("12abc", overflow), so the contract is unchanged.
+            when(col("event_type").rlike("^[+-]?[0-9]"),
+              col("event_type").try_cast("int"))
+              .otherwise(lit(null).cast("int")).as("safe_cast"),
             try_element_at(split(col("event_type"), "x"), lit(5))
               .as("safe_elem"))
           .orderBy(col("event_id"))
