@@ -153,4 +153,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("replicaterows"), p.take(800))
     assert(!p.contains("SortMergeJoin"), p.take(800))
   }
+
+  test("q_ann_ivf_serve: broadcast-only below a partial+final GroupTopK pair") {
+    val p = plan("q_ann_ivf_serve")
+    // quantizer + probe shortlist broadcast onto the corpus; the only
+    // row-level shuffles are the assignment aggregation and the
+    // probe_id exchange BETWEEN the partial (map-side heap) and final
+    // GroupTopK — never a sort-merge join, never a corpus × probes
+    // exchange
+    assert(p.contains("GroupTopK"), p.take(800))
+    assert("GroupTopK".r.findAllIn(p).size >= 2,
+      "expected partial+final GroupTopK pair")
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 2, s"cell shortlist and embedding re-join must broadcast: $bhj")
+  }
+
+  test("q_roi_paint: single scan, kernel inside whole-stage codegen, no shuffle before the sort") {
+    val p = plan("q_roi_paint")
+    // the per-image ROI accounting happens inside the PngRoiStats
+    // expression — one parquet scan of doc_id only, zero joins, zero
+    // aggregates; the only exchange is the output ORDER BY
+    assert(!p.contains("Join"), p.take(800))
+    assert(!p.contains("HashAggregate"), p.take(800))
+    assert("Exchange".r.findAllIn(p).size === 1, p.take(800))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      "scan must prune to doc_id only")
+  }
 }
