@@ -242,31 +242,54 @@ object ManifestSink {
       schema: StructType, parts: Seq[PartMeta], history: Boolean): Int = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
-    val version =
-      if (history) listVersions(conf, path).lastOption.getOrElse(0) + 1
-      else 0
     val ddl = schema.toDDL.replace("\\", "\\\\").replace("\"", "\\\"")
-    val content = new StringBuilder
-    content.append(s"""{"schema":"$ddl"}""").append('\n')
-    if (history) content.append(s"""{"version":$version}""").append('\n')
-    parts.foreach { m =>
-      val b = if (m.bloomHex.isEmpty) "" else s""","bloom":"${m.bloomHex}""""
-      content.append(
-        s"""{"path":"${encPath(m.path)}","rows":${m.rows},""" +
-          s""""min":${m.kMin},"max":${m.kMax}$b}""").append('\n')
+    def render(version: Int): Array[Byte] = {
+      val content = new StringBuilder
+      content.append(s"""{"schema":"$ddl"}""").append('\n')
+      if (history) content.append(s"""{"version":$version}""").append('\n')
+      parts.foreach { m =>
+        val b = if (m.bloomHex.isEmpty) "" else s""","bloom":"${m.bloomHex}""""
+        content.append(
+          s"""{"path":"${encPath(m.path)}","rows":${m.rows},""" +
+            s""""min":${m.kMin},"max":${m.kMax}$b}""").append('\n')
+      }
+      content.toString.getBytes("UTF-8")
     }
-    val bytes = content.toString.getBytes("UTF-8")
-    def publish(name: String): Unit = {
+    def write(name: String, bytes: Array[Byte], overwrite: Boolean): Boolean = {
       val target = new Path(dir, name)
-      val tmp = new Path(dir, s".$name.tmp")
+      val tmp = new Path(dir, s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val out = fs.create(tmp, true)
       try out.write(bytes) finally out.close()
-      if (fs.exists(target)) fs.delete(target, false)
-      if (!fs.rename(tmp, target))
-        throw new java.io.IOException(s"cannot publish $target")
+      if (!overwrite && fs.exists(target)) { fs.delete(tmp, false); return false }
+      if (overwrite && fs.exists(target)) fs.delete(target, false)
+      if (!fs.rename(tmp, target)) { fs.delete(tmp, false); false } else true
     }
-    if (history) publish(versionFile(version))
-    publish(ManifestFile)
+    if (!history) {
+      if (!write(ManifestFile, render(0), overwrite = true))
+        throw new java.io.IOException(s"cannot publish $dir/$ManifestFile")
+      return 0
+    }
+    // OPTIMISTIC CONCURRENCY (the Iceberg commit loop): a history
+    // commit CLAIMS its immutable version file — exists-check + rename,
+    // never an overwrite — so two racing committers cannot both land
+    // on version N and silently drop a snapshot; the loser re-reads
+    // the log and retries at the next free slot. (On HDFS the rename
+    // itself refuses an existing destination, making the claim fully
+    // atomic; on a raw local fs the exists-check shrinks the window.)
+    // The unversioned head file is a convenience POINTER, rewritten
+    // after the claim — readers of history tables resolve HEAD from
+    // the newest version file (see manifestLines), so a stale or
+    // raced head pointer can never serve a dropped/old snapshot.
+    var version = listVersions(conf, path).lastOption.getOrElse(0) + 1
+    var attempts = 0
+    while (!write(versionFile(version), render(version), overwrite = false)) {
+      attempts += 1
+      if (attempts > 1000) throw new java.io.IOException(
+        s"cannot claim a snapshot version at $dir after $attempts attempts")
+      version = math.max(version + 1,
+        listVersions(conf, path).lastOption.getOrElse(0) + 1)
+    }
+    write(ManifestFile, render(version), overwrite = true)
     version
   }
 
@@ -283,7 +306,16 @@ object ManifestSink {
 
   private def manifestLines(conf: Configuration, dir: String,
       version: Option[Int] = None): Seq[String] = {
-    val p = new Path(dir, version.map(versionFile).getOrElse(ManifestFile))
+    // HEAD of a history table = the NEWEST immutable version file,
+    // not the rewritable head pointer: version files are claimed
+    // exclusively at commit (publishSnapshot), so this resolution is
+    // immune to head-pointer races and to a committer crashing
+    // between the claim and the pointer rewrite. The unversioned
+    // _MANIFEST.json remains authoritative only for plain
+    // (non-history) tables, where it is the sole commit point.
+    val resolved: Option[Int] = version.orElse(
+      listVersions(conf, dir).lastOption)
+    val p = new Path(dir, resolved.map(versionFile).getOrElse(ManifestFile))
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) {
       if (version.isDefined) throw new IllegalArgumentException(

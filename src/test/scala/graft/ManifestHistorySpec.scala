@@ -188,6 +188,35 @@ class ManifestHistorySpec extends SparkSpec {
       "the two untouched v1 part files must survive in place")
   }
 
+  test("commit claims its version exclusively; a raced slot is skipped, never clobbered") {
+    // simulate the loser's view of a concurrent commit: another
+    // writer has already CLAIMED the next version slot by the time
+    // this commit tries to publish. The commit must retry at the next
+    // free slot — the racer's snapshot survives bit-for-bit — and
+    // head resolution must serve the true newest snapshot even when
+    // the rewritable head pointer is stale.
+    val target = Files.createTempDirectory("graft-occ-").toString
+    writeSlice(target, 0, "overwrite") // v1
+    val v1Bytes = Files.readAllBytes(Paths.get(target,
+      ManifestSink.versionFile(1)))
+    // the "racer": v2 exists before our commit computes its slot
+    Files.write(Paths.get(target, ManifestSink.versionFile(2)),
+      new String(v1Bytes, "UTF-8").replace("\"version\":1", "\"version\":2")
+        .getBytes("UTF-8"))
+    writeSlice(target, 1, "append") // must land at v3, not overwrite v2
+    assert(ManifestSink.listVersions(conf, target) === Seq(1, 2, 3))
+    assert(Files.readAllBytes(Paths.get(target, ManifestSink.versionFile(2)))
+      .length > 0, "the raced snapshot must survive")
+    val n1 = base.filter(col("event_id") % 10 === 0).count()
+    val n2 = base.filter(col("event_id") % 10 === 1).count()
+    assert(readVersion(target, Some(3)).count() === n1 + n2)
+    // stale head pointer: overwrite _MANIFEST.json with v1's content —
+    // history reads must STILL resolve the newest version file
+    Files.write(Paths.get(target, ManifestSink.ManifestFile), v1Bytes)
+    assert(readVersion(target, None).count() === n1 + n2,
+      "head must resolve from the newest immutable version, not the pointer")
+  }
+
   test("time travel to a never-committed version fails loudly") {
     val target = Files.createTempDirectory("graft-hist-spec-").toString
     writeSlice(target, 0, "overwrite")
