@@ -481,6 +481,41 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 FROM orders WHERE o_orderkey > 100
 GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // --- RESTORE (Delta RESTORE TABLE / Iceberg rollback): the
+    // "bad deploy, roll the table back" op — snapshot v1's schema and
+    // part LIST re-commit as a new head version through the normal
+    // optimistic-concurrency claim. History stays append-only: the
+    // rolled-back-over v2 remains readable, the restore itself is
+    // time-travelable, and no data file is copied (the v3 manifest
+    // references v1's files — ManifestHistorySpec pins path
+    // identity). The oracle restates all three snapshots
+    // analytically over raw events.
+    QueryDef("q_restore",
+      (spark, dir) => {
+        val t = freshTable(spark, dir, "restore")
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("value"))
+        writeHistory(base.filter(col("event_id") % 5 === 0), t, "overwrite")
+        writeHistory(base.filter(col("event_id") % 7 === 0), t, "overwrite")
+        val v = graft.sources.ManifestMaintenance.restore(
+          spark.sessionState.newHadoopConf(), t, 1)
+        val head = readVersion(spark, t, None)
+          .agg(count(lit(1)).as("n_head"),
+            Exact.decSum(col("value"), 2).as("sum_head"))
+        val rolledOver = readVersion(spark, t, Some(2))
+          .agg(count(lit(1)).as("n_rolled_over"))
+        head.crossJoin(rolledOver)
+          .withColumn("restored_as_version", lit(v))
+      },
+      Some(s"""SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 5 = 0)
+    AS n_head,
+  (SELECT ${Exact.decSumSql("value", 2)} FROM events WHERE event_id % 5 = 0)
+    AS sum_head,
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 7 = 0)
+    AS n_rolled_over,
+  CAST(3 AS INT) AS restored_as_version""")),
+
     // --- COPY-ON-WRITE DELETE (ManifestCow): the retention job the
     // metadata-only fast path rejects — `event_id < 677` is NOT
     // aligned to part boundaries on the range-partitioned layout, so

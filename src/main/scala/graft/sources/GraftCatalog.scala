@@ -98,6 +98,32 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     new ManifestReadTable(p, schema, Some(v))
   }
 
+  /** SQL time travel by TIME: `… TIMESTAMP AS OF '2026-01-01 00:00:00'`
+    * resolves the newest snapshot committed at or before the instant
+    * (Delta/Iceberg semantics). Version files are immutable once
+    * claimed, so their modification time IS the commit time; an
+    * instant older than the first commit fails loudly rather than
+    * serving an empty table. Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val p = tablePath(ident)
+    val ms = timestampMicros / 1000L
+    val dir = new org.apache.hadoop.fs.Path(p)
+    val fs = dir.getFileSystem(conf)
+    val versions = ManifestSink.listVersions(conf, p)
+    val atOrBefore = versions.filter { v =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(dir,
+        ManifestSink.versionFile(v))).getModificationTime <= ms
+    }
+    val v = atOrBefore.lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot of $ident committed at or before " +
+          s"timestamp_micros=$timestampMicros (versions: " +
+          s"${versions.mkString(",")})"))
+    val schema = ManifestSink.readSchema(conf, p, Some(v))
+      .getOrElse(throw new NoSuchTableException(ident))
+    new ManifestReadTable(p, schema, Some(v))
+  }
+
   override def createTable(
       ident: Identifier, schema: StructType,
       partitions: Array[Transform],

@@ -40,6 +40,21 @@ object ManifestMaintenance {
     * for the same reason — see below). */
   val DefaultOrphanGraceMs: Long = 24L * 3600 * 1000
 
+  /** RESTORE (Delta `RESTORE TABLE` / Iceberg rollback): re-commit
+    * snapshot `version`'s schema and part list as a NEW head version.
+    * History stays append-only — the rollback itself is
+    * time-travelable, the rolled-back-over snapshots remain readable
+    * until expired, and data files are referenced, never copied; the
+    * commit rides the same optimistic-concurrency claim as any other.
+    * Returns the new head version. */
+  def restore(conf: Configuration, dir: String, version: Int): Int = {
+    val parts = ManifestSink.readManifestMeta(conf, dir, Some(version))
+    val schema = ManifestSink.readSchema(conf, dir, Some(version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot $version at $dir"))
+    ManifestSink.publishSnapshot(conf, dir, schema, parts, history = true)
+  }
+
   /** Expire all but the newest `keepLast` snapshot versions at `dir`,
     * then delete every `part-*.csv` no retained manifest references.
     *

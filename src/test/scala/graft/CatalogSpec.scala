@@ -144,6 +144,34 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM gcs.ns.del").count() === straddle - 1)
   }
 
+  test("TIMESTAMP AS OF resolves the newest snapshot at or before the instant") {
+    wh
+    import java.nio.file.attribute.FileTime
+    import java.nio.file.{Files => JFiles, Paths}
+    spark.sql("CREATE TABLE gcs.ns.tt (k BIGINT, s STRING)")      // v1
+    spark.sql("INSERT INTO gcs.ns.tt VALUES (1, 'a'), (2, 'b')")  // v2
+    spark.sql("INSERT INTO gcs.ns.tt VALUES (3, 'c')")            // v3
+    // pin distinct commit times without sleeping: v1/v2 happened
+    // 20/10 minutes ago, v3 now (version-file mtime IS commit time)
+    val dir = s"$wh/ns/tt"
+    val now = System.currentTimeMillis()
+    JFiles.setLastModifiedTime(
+      Paths.get(dir, graft.sources.ManifestSink.versionFile(1)),
+      FileTime.fromMillis(now - 20 * 60 * 1000))
+    JFiles.setLastModifiedTime(
+      Paths.get(dir, graft.sources.ManifestSink.versionFile(2)),
+      FileTime.fromMillis(now - 10 * 60 * 1000))
+    def atMinus(min: Int): Long = {
+      val ts = new java.sql.Timestamp(now - min * 60 * 1000)
+      spark.sql(s"SELECT count(*) FROM gcs.ns.tt TIMESTAMP AS OF '$ts'")
+        .head.getLong(0)
+    }
+    assert(atMinus(15) === 0, "15 min ago the table was the empty v1")
+    assert(atMinus(5) === 2, "5 min ago v2 (two rows) was the head")
+    assert(atMinus(0) === 3, "now the head is v3")
+    intercept[Exception] { atMinus(60) } // before the first commit: loud
+  }
+
   test("SQL h64() == the Column helper == per-row over a table") {
     wh
     val sqlV = spark.sql("SELECT gcs.ns.h64('graft:42') AS h").head.getLong(0)

@@ -188,6 +188,26 @@ class ManifestHistorySpec extends SparkSpec {
       "the two untouched v1 part files must survive in place")
   }
 
+  test("RESTORE re-commits an old snapshot as the new head; history stays append-only") {
+    val target = Files.createTempDirectory("graft-restore-").toString
+    writeSlice(target, 0, "overwrite") // v1
+    writeSlice(target, 1, "overwrite") // v2 (logical truncate + new slice)
+    val n1 = base.filter(col("event_id") % 10 === 0).count()
+    val n2 = base.filter(col("event_id") % 10 === 1).count()
+    assert(readVersion(target, None).count() === n2)
+    val v = ManifestMaintenance.restore(conf, target, 1)
+    assert(v === 3)
+    // head now serves v1's rows; the rolled-back-over v2 is intact
+    assert(readVersion(target, None).count() === n1)
+    assert(readVersion(target, Some(2)).count() === n2)
+    // the restore is itself a snapshot: travel back to it explicitly
+    assert(readVersion(target, Some(3)).count() === n1)
+    // a restore references data files, never copies them
+    val v1Parts = ManifestSink.readManifest(conf, target, Some(1)).map(_._1).toSet
+    val v3Parts = ManifestSink.readManifest(conf, target, Some(3)).map(_._1).toSet
+    assert(v1Parts === v3Parts)
+  }
+
   test("commit claims its version exclusively; a raced slot is skipped, never clobbered") {
     // simulate the loser's view of a concurrent commit: another
     // writer has already CLAIMED the next version slot by the time

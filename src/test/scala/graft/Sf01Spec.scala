@@ -35,8 +35,8 @@ class Sf01Spec extends SparkSpec {
   private val newest = Seq(
     // round 12 vision/warehouse wave (+ the events-storage-drift
     // recovery: these exercise the re-normalized ts read path)
-    "q_decode_jpeg", "q_roi_mask", "q_ann_ivf_serve", "q_delete_cow",
-    "q_try_expr", "q_stream_late_audit",
+    "q_decode_jpeg", "q_roi_mask", "q_roi_paint", "q_ann_ivf_serve",
+    "q_delete_cow", "q_restore", "q_try_expr", "q_stream_late_audit",
     // round 10 OLAP/curation wave
     "q_star_join", "q_global_rank", "q_winsorize", "q_hist_equidepth",
     "q_session_window", "q_gopher_rules", "q_pii_scan",
