@@ -1100,8 +1100,14 @@ FROM b GROUP BY vec_id ORDER BY vec_id""")),
     QueryDef("q_ann_adc",
       (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)
+        // ≤10 rows, consumed by BOTH assignment joins and (via the
+        // codebook) the distance tables — localCheckpoint computes the
+        // posexplode aggregation once instead of once per consumer
+        // (the exchanges are not canonically equal, so runtime reuse
+        // cannot dedupe them)
         val cents = centroidArrays(spark, dir)
           .select(col("label").as("cell"), col("centroid"))
+          .localCheckpoint()
         def cellD2(df: org.apache.spark.sql.DataFrame, idCol: String) =
           df.crossJoin(broadcast(cents))
             .select(col(idCol),
@@ -1122,13 +1128,17 @@ FROM b GROUP BY vec_id ORDER BY vec_id""")),
           .select(col("probe_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
           .select(col("probe_id"), expr("dim div 8").cast("int").as("m"),
             expr("dim % 8").as("j"), col("x"))
-        val dt = psub.join(broadcast(pqCodebook(spark, dir)), Seq("m", "j"))
+        // 80-entry codebook, consumed by the probe distance tables AND
+        // the corpus code assignment — computed once
+        val codebook = pqCodebook(spark, dir).localCheckpoint()
+        val dt = psub.join(broadcast(codebook), Seq("m", "j"))
           .select(col("probe_id"), col("m"), col("k"),
             ((xd - col("c")) * (xd - col("c")))
               .cast(org.apache.spark.sql.types.DecimalType(20, 12)).as("t"))
           .groupBy(col("probe_id"), col("m"), col("k"))
           .agg(sum(col("t")).cast("double").as("dtv"))
-        val corpusCodes = pqBest(spark, dir, col("vec_id") >= 3)
+        val corpusCodes = pqBest(spark, dir, col("vec_id") >= 3,
+          Some(codebook))
           .select(col("vec_id"), col("m"), col("k"))
         val adc = corpusCell.join(probeCells, Seq("cell"))
           .select(col("probe_id"), col("vec_id"))
@@ -1373,13 +1383,15 @@ WHERE rn <= 5 ORDER BY probe_id, d2, vec_id""")),
     * two-phase aggregation; shared by q_pq_quantize and q_ann_adc. */
   private[queries] def pqBest(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String, pred: Column): org.apache.spark.sql.DataFrame = {
+      dir: String, pred: Column,
+      codebook: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     val xd = col("x").cast("double")
     val sub = Tables.embeddings(spark, dir).filter(pred)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), expr("dim div 8").cast("int").as("m"),
         expr("dim % 8").as("j"), col("x"))
-    sub.join(broadcast(pqCodebook(spark, dir)), Seq("m", "j"))
+    sub.join(broadcast(codebook.getOrElse(pqCodebook(spark, dir))), Seq("m", "j"))
       .select(col("vec_id"), col("m"), col("k"),
         ((xd - col("c")) * (xd - col("c")))
           .cast(org.apache.spark.sql.types.DecimalType(20, 12)).as("t"))
