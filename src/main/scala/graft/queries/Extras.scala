@@ -48,6 +48,21 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 WHERE o_orderstatus = 'F'
 GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** One LATERAL text, two engines (see q_lateral_topk below): the
+    * correlated lateral subquery — per outer row, an ordered-and-
+    * limited dependent subquery — is its own operator (Spark plans a
+    * LateralJoin / DomainJoin rewrite, NOT a window): the "top-k
+    * related rows per entity" shape written the way SQL users write
+    * it. Dialect-neutral: comma-LATERAL syntax and a full-key ORDER
+    * BY parse identically in both engines. */
+  val LateralTopKText: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey"""
+
   /** One recursive text, two engines (see q_recursive_cte below).
     * Declared before `all` for the same initialization-order reason as
     * [[SqlFrontendText]]. Dialect-neutral choices: `floor(x / 10)` for
@@ -510,6 +525,58 @@ FROM events""")),
         spark.sql(Extras.RecursiveCteText)
       },
       Some(Extras.RecursiveCteText)),
+
+    // --- CORRELATED LATERAL JOIN (SQL:99 LATERAL, Spark's
+    // LateralJoin): per customer, their top-2 orders by price —
+    // expressed as the dependent subquery SQL users actually write,
+    // not the window-function rewrite (q_topk_per_group covers that
+    // form; this gates that the ENGINE's decorrelation produces the
+    // same rows). Same one-text-two-engines contract as
+    // q_sql_frontend: the oracle IS the query. At scale Spark
+    // decorrelates the limit-per-group into a partitioned rewrite —
+    // never an outer-row-count loop of subqueries.
+    QueryDef("q_lateral_topk",
+      (spark, dir) => {
+        Tables.customer(spark, dir).createOrReplaceTempView("customer")
+        Tables.orders(spark, dir).createOrReplaceTempView("orders")
+        spark.sql(Extras.LateralTopKText)
+      },
+      Some(Extras.LateralTopKText)),
+
+    // --- OBSERVED METRICS (Dataset.observe → CollectMetrics): the
+    // "free data-quality counters" operator — aggregates accumulated
+    // ON THE SIDE of a running job, costing zero extra scans (the
+    // alternative is a second pass over the data purely for metrics).
+    // The query runs its real action through the noop sink with an
+    // observe() node attached, then reads the metrics row off the
+    // executed plan and returns it as the result — so the driver
+    // gate checks that side-channel metrics equal a direct aggregate
+    // of the same data, which is exactly the property that makes
+    // them trustworthy for production monitoring.
+    QueryDef("q_observe_metrics",
+      (spark, dir) => {
+        val observed = Tables.lineitem(spark, dir)
+          .filter(col("l_quantity") > 10)
+          .observe("graft_obs",
+            count(lit(1)).as("n_rows"),
+            Exact.decSum(col("l_extendedprice"), 2).as("sum_price"),
+            max(col("l_quantity")).as("max_qty"))
+        // run the dataset's OWN query execution (toRdd + a no-op
+        // distributed action): a write would spawn a separate
+        // execution whose metrics land on a listener, not here. No
+        // row ever reaches the driver — foreach of the InternalRow
+        // RDD discards on executors.
+        observed.queryExecution.toRdd.foreach(_ => ())
+        val m = observed.queryExecution.observedMetrics("graft_obs")
+        import spark.implicits._
+        Seq((m.getAs[Long]("n_rows"), m.getAs[Double]("sum_price"),
+          m.getAs[Double]("max_qty")))
+          .toDF("n_rows", "sum_price", "max_qty")
+      },
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  ${Exact.decSumSql("l_extendedprice", 2)} AS sum_price,
+  max(l_quantity) AS max_qty
+FROM lineitem WHERE l_quantity > 10""")),
 
     // --- SNAPSHOT CHANGELOG (CDC) between two manifest commits: two
     // versions of the keyed table are committed through the sink —
