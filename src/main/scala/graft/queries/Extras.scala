@@ -449,6 +449,39 @@ GROUP BY event_type ORDER BY event_type""")),
   min(event_id) AS key_min, max(event_id) AS key_max
 FROM events""")),
 
+    // --- STRING-STATS PART PRUNING through the manifest loop: the
+    // table is clustered BY THE STRING column (range layout), so each
+    // part's smin/smax stats are selective and the equality predicate
+    // prunes the scan to the one-or-two parts whose range can hold
+    // 'purchase' — the categorical-column twin of the long-key range
+    // pruning (ManifestSourceSpec proves file-level skipping by
+    // deleting the out-of-plan parts). At 100 TB "cluster by the
+    // filter column, prune by footer stats" is the difference between
+    // scanning a table and scanning a category.
+    QueryDef("q_manifest_strprune",
+      (spark, dir) => {
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest((dir + "#strp").getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val target =
+          s"${spark.conf.get("spark.sql.warehouse.dir")}/graft-sink-strp/$key"
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .repartitionByRange(8, col("event_type"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", target).mode("overwrite").save()
+        spark.read.format("graft.sources.ManifestSource")
+          .option("path", target).load()
+          .filter(col("event_type") === "purchase")
+          .agg(count(lit(1)).as("n_rows"),
+            Exact.decSum(col("value"), 2).as("sum_value"),
+            min(col("event_id")).as("key_min"),
+            max(col("event_id")).as("key_max"))
+      },
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  ${Exact.decSumSql("value", 2)} AS sum_value,
+  min(event_id) AS key_min, max(event_id) AS key_max
+FROM events WHERE event_type = 'purchase'""")),
+
     // --- SMALL-FILES COMPACTION through the manifest loop: a table
     // committed as 32 small parts is read back through ManifestSource
     // and rewritten range-partitioned into 4 — the OPTIMIZE/compact

@@ -154,13 +154,26 @@ private[sources] object PartBloom {
 
 /** One committed part's full manifest record. `bloomHex` is "" when
   * the part predates the bloom field or the table has no key column —
-  * [[mayContain]] then degrades to the pure range check. */
+  * [[mayContain]] then degrades to the pure range check. `sMin`/`sMax`
+  * are binary-collation min/max of the first STRING column (None when
+  * the part predates the field, has no string column, or saw only
+  * NULLs) — the reader prunes string predicates on them exactly like
+  * the long key range, and None always means "cannot exclude". */
 private[sources] final case class PartMeta(
-    path: String, rows: Long, kMin: Long, kMax: Long, bloomHex: String) {
+    path: String, rows: Long, kMin: Long, kMax: Long, bloomHex: String,
+    sMin: Option[String] = None, sMax: Option[String] = None) {
   lazy val bloomBits: Array[Long] = PartBloom.fromHex(bloomHex)
   def mayContain(v: Long): Boolean =
     v >= kMin && v <= kMax &&
       (bloomBits.isEmpty || PartBloom.mightContain(bloomBits, v))
+  /** Can this part contain a string-key row within [lo, hi]? (binary
+    * compare, bounds inclusive; absent stats never exclude). */
+  def strOverlaps(lo: Option[String], hi: Option[String]): Boolean =
+    (sMin, sMax) match {
+      case (Some(mn), Some(mx)) =>
+        hi.forall(h => mn <= h) && lo.forall(l => mx >= l)
+      case _ => true
+    }
 }
 
 object ManifestSink {
@@ -209,8 +222,17 @@ object ManifestSink {
         val m = ("\"" + k + "\":\"?([^,\"}]*)\"?").r.findFirstMatchIn(line)
         m.map(_.group(1)).getOrElse("")
       }
+      // smin/smax are URL-encoded like paths (arbitrary user strings
+      // must not break the line format); absent field ⇒ None — old
+      // manifests stay readable and simply never string-prune
+      def strField(k: String): Option[String] = {
+        val v = field(k)
+        if (v.isEmpty && !line.contains("\"" + k + "\":")) None
+        else Some(decPath(v))
+      }
       PartMeta(decPath(field("path")), field("rows").toLong,
-        field("min").toLong, field("max").toLong, field("bloom"))
+        field("min").toLong, field("max").toLong, field("bloom"),
+        strField("smin"), strField("smax"))
     }
 
   /** The committed table schema (manifest header line), if present. */
@@ -249,9 +271,14 @@ object ManifestSink {
       if (history) content.append(s"""{"version":$version}""").append('\n')
       parts.foreach { m =>
         val b = if (m.bloomHex.isEmpty) "" else s""","bloom":"${m.bloomHex}""""
+        val s = (m.sMin, m.sMax) match {
+          case (Some(mn), Some(mx)) =>
+            s""","smin":"${encPath(mn)}","smax":"${encPath(mx)}""""
+          case _ => ""
+        }
         content.append(
           s"""{"path":"${encPath(m.path)}","rows":${m.rows},""" +
-            s""""min":${m.kMin},"max":${m.kMax}$b}""").append('\n')
+            s""""min":${m.kMin},"max":${m.kMax}$b$s}""").append('\n')
       }
       content.toString.getBytes("UTF-8")
     }
@@ -416,7 +443,8 @@ private[sources] class ManifestBatchWrite(
           ManifestSink.readManifestMeta(conf.value, path, None)
       }
     val newParts = messages.toSeq.map { case m: PartCommit =>
-      PartMeta(m.path, m.rows, m.keyMin, m.keyMax, m.bloom)
+      PartMeta(m.path, m.rows, m.keyMin, m.keyMax, m.bloom,
+        m.strMin, m.strMax)
     }
     ManifestSink.publishSnapshot(conf.value, path, schema,
       prior ++ newParts, history)
@@ -433,7 +461,8 @@ private[sources] class ManifestBatchWrite(
 
 /** Per-task statistics carried back to the driver at commit. */
 private[sources] case class PartCommit(
-    path: String, rows: Long, keyMin: Long, keyMax: Long, bloom: String)
+    path: String, rows: Long, keyMin: Long, keyMax: Long, bloom: String,
+    strMin: Option[String] = None, strMax: Option[String] = None)
     extends WriterCommitMessage
 
 private[sources] class ManifestWriterFactory(
@@ -455,9 +484,16 @@ private[sources] class ManifestDataWriter(
   private val fs = file.getFileSystem(conf)
   private val out = fs.create(file, true)
   private val keyIdx = schema.fields.indexWhere(_.dataType == LongType)
+  private val strIdx = schema.fields.indexWhere(
+    _.dataType == org.apache.spark.sql.types.StringType)
   private var rows = 0L
   private var kMin = Long.MaxValue
   private var kMax = Long.MinValue
+  // min/max of the first string column in UTF8 BINARY order (the
+  // same collation Spark's string comparisons and the reader's
+  // pruning use) — tracked as UTF8String to avoid per-row decode
+  private var sMin: org.apache.spark.unsafe.types.UTF8String = null
+  private var sMax: org.apache.spark.unsafe.types.UTF8String = null
   // built at max size while streaming (final row count unknown),
   // folded to the row-count-sized filter at commit — see PartBloom
   private val bloom = if (keyIdx >= 0) PartBloom.newBits() else null
@@ -471,6 +507,11 @@ private[sources] class ManifestDataWriter(
       if (k > kMax) kMax = k
       PartBloom.add(bloom, k)
     }
+    if (strIdx >= 0 && !row.isNullAt(strIdx)) {
+      val s = row.getUTF8String(strIdx)
+      if (sMin == null || s.compareTo(sMin) < 0) sMin = s.clone()
+      if (sMax == null || s.compareTo(sMax) > 0) sMax = s.clone()
+    }
   }
 
   override def commit(): WriterCommitMessage = {
@@ -478,7 +519,8 @@ private[sources] class ManifestDataWriter(
     val hex =
       if (bloom == null || kMin > kMax) "" // no key column / no non-null keys
       else PartBloom.toHex(PartBloom.shrinkFor(bloom, rows))
-    PartCommit(file.toString, rows, kMin, kMax, hex)
+    PartCommit(file.toString, rows, kMin, kMax, hex,
+      Option(sMin).map(_.toString), Option(sMax).map(_.toString))
   }
 
   override def abort(): Unit = {

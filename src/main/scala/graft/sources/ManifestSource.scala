@@ -105,9 +105,16 @@ private[sources] class ManifestScanBuilder(
   private val keyCol: Option[String] =
     schema.fields.find(_.dataType == LongType).map(_.name)
 
+  private val strCol: Option[String] =
+    schema.fields.find(_.dataType == StringType).map(_.name)
+
   private var required: StructType = schema
   private var keyLo: Long = Long.MinValue // inclusive
   private var keyHi: Long = Long.MaxValue // inclusive
+  // string bounds (binary collation, inclusive) on the first string
+  // column, from pushed predicates — pruned against smin/smax stats
+  private var strLo: Option[String] = None
+  private var strHi: Option[String] = None
   // candidate key values from point predicates (EqualTo / fully-typed
   // In), intersected across conjuncts — enables bloom pruning, which
   // range bounds can't do on hash-layout parts
@@ -181,6 +188,27 @@ private[sources] class ManifestScanBuilder(
           keyLo = math.max(keyLo, longs.min); keyHi = math.min(keyHi, longs.max)
           addPoints(longs.toSet)
         }
+      // string-column bounds against the smin/smax part stats (binary
+      // collation on both sides). Open bounds stay open: GT/LT keep
+      // the boundary value in the PRUNING range — row-exactness is the
+      // residual filter's job, exclusion only needs "can't overlap".
+      case EqualTo(c, v: String) if strCol.contains(c) =>
+        strLo = Some(strLo.fold(v)(l => if (v > l) v else l))
+        strHi = Some(strHi.fold(v)(h => if (v < h) v else h))
+      case GreaterThan(c, v: String) if strCol.contains(c) =>
+        strLo = Some(strLo.fold(v)(l => if (v > l) v else l))
+      case GreaterThanOrEqual(c, v: String) if strCol.contains(c) =>
+        strLo = Some(strLo.fold(v)(l => if (v > l) v else l))
+      case LessThan(c, v: String) if strCol.contains(c) =>
+        strHi = Some(strHi.fold(v)(h => if (v < h) v else h))
+      case LessThanOrEqual(c, v: String) if strCol.contains(c) =>
+        strHi = Some(strHi.fold(v)(h => if (v < h) v else h))
+      case In(c, vs) if strCol.contains(c) && vs.nonEmpty =>
+        val strs = vs.collect { case v: String => v }
+        if (strs.length == vs.length) {
+          strLo = Some(strLo.fold(strs.min)(l => if (strs.min > l) strs.min else l))
+          strHi = Some(strHi.fold(strs.max)(h => if (strs.max < h) strs.max else h))
+        }
       case _ => ()
     }
     pushed = filters.filter {
@@ -212,6 +240,8 @@ private[sources] class ManifestScanBuilder(
       case Some(fs) => new ManifestAggScan(all, fs)
       case None =>
         var kept = all.filter(m => !(m.kMax < keyLo || m.kMin > keyHi))
+        if (strLo.isDefined || strHi.isDefined)
+          kept = kept.filter(_.strOverlaps(strLo, strHi))
         // point predicates additionally consult the per-part bloom: a
         // part whose range admits v but whose bloom proves v absent
         // is skipped (hash-layout tables prune here, not on min/max)

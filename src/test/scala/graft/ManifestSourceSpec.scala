@@ -93,6 +93,39 @@ class ManifestSourceSpec extends SparkSpec {
     assert(none.count() === 0L)
   }
 
+  test("string-column stats prune parts; vanished non-matching files prove it") {
+    val target = Files.createTempDirectory("graft-src-strstats-").toString
+    // layout clustered BY THE STRING column: each part owns a disjoint
+    // event_type range, so smin/smax stats are selective
+    Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .repartitionByRange(4, col("event_type"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", target).mode("overwrite").save()
+    val total = scanOf(readBack(target)).inputPartitions.length
+    assert(total >= 3, s"range layout should yield several parts, got $total")
+    val one = readBack(target).filter(col("event_type") === "purchase")
+    val planned = scanOf(one).inputPartitions.length
+    assert(planned < total,
+      s"string point predicate must prune: planned $planned of $total")
+    val expected = Tables.events(spark, Sf0001)
+      .filter(col("event_type") === "purchase").count()
+    assert(one.count() === expected)
+    // the strongest proof: delete every part file OUTSIDE the pruned
+    // plan — the scan must still answer correctly because it never
+    // touches them
+    val conf = spark.sessionState.newHadoopConf()
+    val inPlan = scanOf(one).inputPartitions.map(_.toString).mkString
+    graft.sources.ManifestSink.readManifest(conf, target).foreach { p =>
+      val name = new java.io.File(p._1).getName
+      if (!inPlan.contains(name))
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+          p._1.stripPrefix("file:")))
+    }
+    assert(readBack(target).filter(col("event_type") === "purchase")
+      .count() === expected, "pruned scan must not touch vanished files")
+  }
+
   test("bloom index prunes point lookups on a hash layout where " +
       "min/max stats cannot") {
     val target = Files.createTempDirectory("graft-src-spec-").toString
