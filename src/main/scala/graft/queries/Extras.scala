@@ -63,6 +63,32 @@ FROM customer c, LATERAL (
   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
 ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey"""
 
+  /** One null-semantics text, two engines (see q_null_semantics
+    * below): the SQL three-valued-logic landmines every cross-engine
+    * port trips on, pinned as a single gated result — count(*) vs
+    * count(col) under NULLs, aggregate NULL-skipping, the NULL group
+    * key being a real GROUP BY group, grouping sets totals, and the
+    * classic `NOT IN (subquery containing NULL)` ⇒ zero rows trap.
+    * Nulls are synthesized deterministically (the testdata has none),
+    * so the contract is engine semantics, not data luck. */
+  val NullSemanticsText: String =
+    """WITH n AS (
+  SELECT event_id,
+    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v,
+    CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END AS k
+  FROM events),
+trap AS (
+  SELECT CAST(count(*) AS BIGINT) AS not_in_rows
+  FROM n WHERE event_id NOT IN
+    (SELECT CASE WHEN event_id % 2 = 0 THEN event_id ELSE NULL END FROM n))
+SELECT k,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(v) AS BIGINT) AS n_nonnull,
+  CAST(CAST(sum(CAST(v AS DECIMAL(30,2))) AS STRING) AS DOUBLE) AS sum_v,
+  CAST(grouping(k) AS BIGINT) AS is_total,
+  (SELECT not_in_rows FROM trap) AS not_in_rows
+FROM n GROUP BY GROUPING SETS ((k), ()) ORDER BY is_total, k NULLS FIRST"""
+
   /** One recursive text, two engines (see q_recursive_cte below).
     * Declared before `all` for the same initialization-order reason as
     * [[SqlFrontendText]]. Dialect-neutral choices: `floor(x / 10)` for
@@ -558,6 +584,16 @@ FROM events""")),
         spark.sql(Extras.RecursiveCteText)
       },
       Some(Extras.RecursiveCteText)),
+
+    // --- NULL-SEMANTICS TORTURE (see [[Extras.NullSemanticsText]]):
+    // one text, two engines; the gate fails if either engine drifts
+    // on any of the three-valued-logic contracts.
+    QueryDef("q_null_semantics",
+      (spark, dir) => {
+        Tables.events(spark, dir).createOrReplaceTempView("events")
+        spark.sql(Extras.NullSemanticsText)
+      },
+      Some(Extras.NullSemanticsText)),
 
     // --- CORRELATED LATERAL JOIN (SQL:99 LATERAL, Spark's
     // LateralJoin): per customer, their top-2 orders by price —
