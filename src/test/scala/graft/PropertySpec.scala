@@ -87,4 +87,31 @@ class PropertySpec extends SparkSpec {
         s"id=$id channel sums must survive the encode/decode round-trip")
     }
   }
+
+  test("COW DELETE == anti-filter ground truth on generated cut points") {
+    // For arbitrary (non-part-aligned) retention cuts the COW path
+    // must agree with the plain filter, and v1 must stay intact —
+    // the property CatalogSpec's fixed-layout cases can't sweep.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-cowprop-").toString
+    spark.conf.set("spark.sql.catalog.gcp", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcp.warehouse", wh)
+    val n = 1000L
+    val cuts = samples(Gen.choose(1L, n - 1), 4).distinct
+    for ((cut, i) <- cuts.zipWithIndex) {
+      val table = s"$wh/ns/t$i"
+      (0L until n).map(j => (j, s"v$j")).toDF("k", "s")
+        .repartitionByRange(5, col("k"))
+        .write.format("graft.sources.ManifestSink")
+        .option("path", table).option("history", "true")
+        .mode("overwrite").save()
+      spark.sql(s"DELETE FROM gcp.ns.t$i WHERE k >= $cut")
+      val got = spark.sql(s"SELECT k FROM gcp.ns.t$i")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === (0L until cut), s"cut=$cut")
+      assert(spark.sql(s"SELECT * FROM gcp.ns.t$i VERSION AS OF 1")
+        .count() === n, s"cut=$cut must not disturb v1")
+    }
+  }
 }
