@@ -112,6 +112,75 @@ cand AS (
       Some("""SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_copies
 FROM documents GROUP BY md5(text) ORDER BY keeper_id""")),
 
+    // --- INCREMENTAL dedup against a persisted fingerprint index:
+    // at 100 TB/day nobody re-deduplicates the whole corpus per
+    // batch — the historical corpus is represented by its fingerprint
+    // INDEX (h64 per doc, a real committed table through the manifest
+    // sink: KBs of stats, key-range + bloom prunable), and only the
+    // DELTA is processed: (1) self-dedup within the batch (min doc_id
+    // per fingerprint), (2) anti-join batch fingerprints against the
+    // index (the "seen before" probe — at scale this join hits the
+    // index's bloom/range pruning rather than scanning history),
+    // (3) append the genuinely-new fingerprints as the index's next
+    // snapshot. The rollup reads the UPDATED index back from the
+    // table, so the gate covers the whole probe→commit→read loop.
+    // Split: history = doc_id % 3 != 0 (its index is pre-committed),
+    // batch = doc_id % 3 == 0; duplicate texts exist in the corpus by
+    // construction, so every leg is non-trivially exercised.
+    QueryDef("q_dedup_incremental",
+      (spark, dir) => {
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest((dir + "#dedupinc").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val t =
+          s"${spark.conf.get("spark.sql.warehouse.dir")}/graft-dedup-idx/$key"
+        val p = new org.apache.hadoop.fs.Path(t)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true) // idempotent reruns
+        val docs = Tables.documents(spark, dir)
+        val fp = graft.functions.OracleHash.h64(col("text"))
+        // committed index of the historical corpus
+        docs.filter(col("doc_id") % 3 =!= 0)
+          .groupBy(fp.as("fp")).agg(min(col("doc_id")).as("keeper_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", t).option("history", "true")
+          .mode("overwrite").save()
+        val index = spark.read.format("graft.sources.ManifestSource")
+          .option("path", t).load()
+        val batch = docs.filter(col("doc_id") % 3 === 0)
+          .groupBy(fp.as("fp")).agg(min(col("doc_id")).as("keeper_id"),
+            count(lit(1)).as("n_in_batch"))
+        // PINNED before the append commits: DataFrames are lazy, and
+        // the rollup below re-evaluates after the index already
+        // contains the batch — an unpinned anti-join would then count
+        // zero new fingerprints (same trap q_merge_upsert documents).
+        val newUnique = batch.join(index.select(col("fp")), Seq("fp"),
+          "left_anti").localCheckpoint()
+        newUnique.select(col("fp"), col("keeper_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", t).option("history", "true")
+          .mode("append").save()
+        val updated = spark.read.format("graft.sources.ManifestSource")
+          .option("path", t).load()
+        batch.agg(
+          sum(col("n_in_batch")).as("n_batch_rows"),
+          count(lit(1)).as("n_batch_fps"))
+          .crossJoin(newUnique.agg(count(lit(1)).as("n_new_unique")))
+          .crossJoin(updated.agg(count(lit(1)).as("n_index_after")))
+      },
+      Some(s"""WITH f AS (
+  SELECT doc_id, ${graft.functions.OracleHash.h64Sql("text")} AS fp
+  FROM documents),
+hist AS (SELECT DISTINCT fp FROM f WHERE doc_id % 3 <> 0),
+b AS (SELECT fp, count(*) AS n FROM f WHERE doc_id % 3 = 0 GROUP BY fp),
+nw AS (SELECT fp FROM b WHERE fp NOT IN (SELECT fp FROM hist))
+SELECT
+  (SELECT CAST(sum(n) AS BIGINT) FROM b) AS n_batch_rows,
+  (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_batch_fps,
+  (SELECT CAST(count(*) AS BIGINT) FROM nw) AS n_new_unique,
+  (SELECT CAST(count(*) AS BIGINT) FROM hist)
+    + (SELECT CAST(count(*) AS BIGINT) FROM nw) AS n_index_after""")),
+
     // --- Corpus word count: tokenize → explode (Generator/UDTF) →
     // two-phase count. THE canonical map-side-combine aggregation.
     QueryDef("q_wordcount",
