@@ -477,6 +477,46 @@ SELECT doc_id, bm25_rank, sem_rank, bm25_score, sem_cos,
   1.0 / (60.0 + bm25_rank) + 1.0 / (60.0 + sem_rank) AS rrf
 FROM s2 ORDER BY rrf DESC, doc_id""")),
 
+    // --- RETRIEVAL EVALUATION, integer-exact: per query term, the
+    // reciprocal rank of the first relevant hit and precision@10 over
+    // the BM25 top-20 (relevance = the doc contains the term — the
+    // binary label every lexical-eval harness starts from). MRR is a
+    // rational; scaling by LCM(1..20) = 232792560 makes 1/rank exact
+    // integer arithmetic for any top-20 rank, so the metric — the
+    // number every retrieval dashboard tracks — is bit-identical
+    // cross-engine instead of "close". Ranking reuses the q_bm25
+    // candidate plan (broadcast stats + top-k); the eval itself is a
+    // 20-row unpivot + rollup — eval cost never scales with the
+    // corpus, only with k.
+    QueryDef("q_bm25_mrr",
+      (spark, dir) => {
+        val ranked = bm25Top(spark, dir)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score").desc, col("doc_id"))))
+        ranked.select(col("rank"),
+          expr("stack(3, 'spark', f0, 'table', f1, 'query', f2) AS (term, f)"))
+          .filter(col("f") > 0)
+          .groupBy(col("term"))
+          .agg(min(col("rank")).as("first_rank"),
+            sum(when(col("rank") <= 10, 1L).otherwise(0L)).as("rel_in_10"))
+          .select(col("term"), col("first_rank").cast("long").as("first_rank"),
+            expr("232792560L div CAST(first_rank AS BIGINT)").as("rr_x232792560"),
+            col("rel_in_10"))
+          .orderBy(col("term"))
+      },
+      Some(s"""WITH $Bm25CoreSql,
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+    AS rank FROM cand),
+long AS (
+  SELECT rank, 'spark' AS term, f0 AS f FROM ranked
+  UNION ALL SELECT rank, 'table', f1 FROM ranked
+  UNION ALL SELECT rank, 'query', f2 FROM ranked)
+SELECT term, CAST(min(rank) AS BIGINT) AS first_rank,
+  232792560 // CAST(min(rank) AS BIGINT) AS rr_x232792560,
+  CAST(sum(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS rel_in_10
+FROM long WHERE f > 0 GROUP BY term ORDER BY term""")),
+
     // --- Lexicon-based scoring (the EDBT'16 "sentiment analysis on
     // Spark" shape, and the shape of every wordlist-driven quality /
     // toxicity screen): tokens join a tiny signed lexicon, each doc
