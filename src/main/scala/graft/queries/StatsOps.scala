@@ -579,6 +579,36 @@ FROM c, n GROUP BY n1, n2""")),
     // Magnitude bound: 8 taps × weight ≤ 16384 × daily micro-revenue
     // < 2⁶³ for daily revenue up to ~7e13 — the HUGEINT/DECIMAL(38)
     // rendition in the sibling q_gini shows the >2⁶³ path.
+    // --- EXACT ROLLING MEDIAN (the robust-statistics companion to
+    // q_ewma's rolling mean): per user, the discrete median of the
+    // trailing-7 frame — element ⌈n/2⌉ of the sorted window, stated
+    // identically in both engines, so no interpolation arithmetic can
+    // drift and early rows (n < 7) are exact, not padded. Robust
+    // rolling stats are what monitoring pipelines actually want when
+    // a single spike would wreck a rolling mean. Scale shape: one
+    // shuffle on user_id; the frame is BOUNDED (7 rows), so per-row
+    // cost is O(7 log 7) partition-local and state never grows with
+    // history — the same reason the streaming engines cap frames.
+    QueryDef("q_window_median",
+      (spark, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-6, 0)
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("user_id"),
+            sort_array(collect_list(col("value")).over(w)).as("win"))
+          .select(col("event_id"), col("user_id"),
+            element_at(col("win"),
+              ceil(size(col("win")) / lit(2.0)).cast("int")).as("med7"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+  list_sort(list(value) OVER w)
+    [CAST(ceil(len(list(value) OVER w) / 2.0) AS BIGINT)] AS med7
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY event_id""")),
+
     QueryDef("q_ewma",
       (spark, dir) => {
         import org.apache.spark.sql.types.DecimalType
