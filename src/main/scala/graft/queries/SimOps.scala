@@ -1233,6 +1233,55 @@ SELECT probe_id, vec_id, adc FROM (
     ORDER BY adc, vec_id) AS rn FROM adc)
 WHERE rn <= 10 ORDER BY probe_id, adc, vec_id""")),
 
+    // --- BINARY-QUANTIZED ANN (sign bits + Hamming): the 64×
+    // compression serving path modern embedding stores ship — each
+    // vector collapses to one 63-bit sign word (dims 0..62; bit 63 is
+    // skipped so the code stays in positive BIGINT range on every
+    // engine), and distance is bit_count(xor) — pure integer
+    // machine ops, so unlike float cosine the ENTIRE index is
+    // hash-exact cross-engine. Scale shape: quantization is one
+    // narrow aggregation (map-side combined); the 8 probe words
+    // broadcast onto the corpus scan (8 longs — the big side never
+    // shuffles); per-probe top-5 rides GroupTopK partial heaps. At
+    // 100 TB the code column is 8 bytes/vector — the rerank-from-
+    // binary-candidates pattern follows exactly q_bm25_rerank's
+    // two-stage shape.
+    QueryDef("q_binary_ann",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        val codes = emb
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy(col("vec_id"))
+          .agg(sum(when(col("x") > 0 && col("dim") < 63,
+            expr("shiftleft(CAST(1 AS BIGINT), dim)")).otherwise(0L))
+            .as("code"))
+        val probes = codes.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("probe_id"), col("code").as("pcode"))
+        val scored = codes.filter(col("vec_id") >= 8)
+          .crossJoin(broadcast(probes))
+          .select(col("probe_id"), col("vec_id"),
+            expr("CAST(bit_count(code ^ pcode) AS BIGINT)").as("hamming"))
+        graft.plans.GroupTopK.topK(scored, Seq("probe_id"),
+          Seq(("hamming", false), ("vec_id", false)), 5)
+          .select(col("probe_id"), col("vec_id"), col("hamming"))
+          .orderBy(col("probe_id"), col("hamming"), col("vec_id"))
+      },
+      Some("""WITH e AS (
+  SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS dim
+  FROM embeddings),
+c AS (
+  SELECT vec_id, CAST(sum(CASE WHEN x > 0 AND dim < 63
+    THEN (CAST(1 AS BIGINT) << dim) ELSE 0 END) AS BIGINT) AS code
+  FROM e GROUP BY vec_id),
+p AS (SELECT vec_id AS probe_id, code AS pcode FROM c WHERE vec_id < 8),
+s AS (SELECT p.probe_id, c.vec_id,
+        CAST(bit_count(xor(c.code, p.pcode)) AS BIGINT) AS hamming
+      FROM c, p WHERE c.vec_id >= 8)
+SELECT probe_id, vec_id, hamming FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+    ORDER BY hamming, vec_id) AS rn FROM s) WHERE rn <= 5
+ORDER BY probe_id, hamming, vec_id""")),
+
     // --- IVF SERVE, fully oracle-gated: the batched cell-pruned
     // top-k search over the label-seeded SQL quantizer — the serve
     // half of q_ann_ivf_build, with no MLlib in the loop (KMeans
