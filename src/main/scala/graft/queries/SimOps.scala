@@ -1282,6 +1282,72 @@ SELECT probe_id, vec_id, hamming FROM (
     ORDER BY hamming, vec_id) AS rn FROM s) WHERE rn <= 5
 ORDER BY probe_id, hamming, vec_id""")),
 
+    // --- BINARY RECALL → EXACT RERANK: the full production shape of
+    // binary embedding serving (the q_bm25_rerank pattern with the
+    // lexical stage swapped for sign-word Hamming): stage 1 scans
+    // only 8-byte codes and surfaces top-20 candidates per probe —
+    // 64× less I/O than float vectors — and stage 2 pays the exact
+    // float cosine for ONLY those 20. The gated output carries both
+    // the Hamming and the cosine ranks, so what's verified includes
+    // the rank REORDERING the rerank exists to perform. Scale shape:
+    // code scan broadcast-joined by 8 probe words; the candidate
+    // re-join to float vectors shuffles 160 rows, not the corpus;
+    // both top-k's ride GroupTopK heaps.
+    QueryDef("q_binary_rerank",
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        val codes = emb
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy(col("vec_id"))
+          .agg(sum(when(col("x") > 0 && col("dim") < 63,
+            expr("shiftleft(CAST(1 AS BIGINT), dim)")).otherwise(0L))
+            .as("code"))
+        val probes = codes.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("probe_id"), col("code").as("pcode"))
+        val cand = graft.plans.GroupTopK.topK(
+          codes.filter(col("vec_id") >= 8)
+            .crossJoin(broadcast(probes))
+            .select(col("probe_id"), col("vec_id"),
+              expr("CAST(bit_count(code ^ pcode) AS BIGINT)").as("hamming")),
+          Seq("probe_id"), Seq(("hamming", false), ("vec_id", false)), 20)
+        val pEmb = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+        val reranked = cand
+          .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+          .join(broadcast(pEmb), Seq("probe_id"))
+          .select(col("probe_id"), col("vec_id"), col("hamming"),
+            Exact.cosineF(col("embedding"), col("p_emb")).as("cos"))
+        graft.plans.GroupTopK.topK(reranked, Seq("probe_id"),
+          Seq(("cos", true), ("vec_id", false)), 5)
+          .select(col("probe_id"), col("vec_id"), col("hamming"), col("cos"))
+          .orderBy(col("probe_id"), col("cos").desc, col("vec_id"))
+      },
+      Some(s"""WITH e AS (
+  SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS dim
+  FROM embeddings),
+c AS (
+  SELECT vec_id, CAST(sum(CASE WHEN x > 0 AND dim < 63
+    THEN (CAST(1 AS BIGINT) << dim) ELSE 0 END) AS BIGINT) AS code
+  FROM e GROUP BY vec_id),
+p AS (SELECT vec_id AS probe_id, code AS pcode FROM c WHERE vec_id < 8),
+s AS (SELECT p.probe_id, c.vec_id,
+        CAST(bit_count(xor(c.code, p.pcode)) AS BIGINT) AS hamming
+      FROM c, p WHERE c.vec_id >= 8),
+cand AS (
+  SELECT probe_id, vec_id, hamming FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_id
+      ORDER BY hamming, vec_id) AS rn FROM s) WHERE rn <= 20),
+rr AS (
+  SELECT cand.probe_id, cand.vec_id, cand.hamming,
+    ${Exact.cosineFSql("v.embedding", "pe.embedding")} AS cos
+  FROM cand
+  JOIN embeddings v ON v.vec_id = cand.vec_id
+  JOIN embeddings pe ON pe.vec_id = cand.probe_id)
+SELECT probe_id, vec_id, hamming, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+    ORDER BY cos DESC, vec_id) AS rn FROM rr) WHERE rn <= 5
+ORDER BY probe_id, cos DESC, vec_id""")),
+
     // --- IVF SERVE, fully oracle-gated: the batched cell-pruned
     // top-k search over the label-seeded SQL quantizer — the serve
     // half of q_ann_ivf_build, with no MLlib in the loop (KMeans

@@ -39,7 +39,7 @@ class Sf01Spec extends SparkSpec {
     "q_delete_cow", "q_restore", "q_try_expr", "q_stream_late_audit",
     "q_lateral_topk", "q_observe_metrics", "q_manifest_strprune",
     "q_null_semantics", "q_dedup_incremental", "q_bm25_mrr",
-    "q_window_median", "q_binary_ann",
+    "q_window_median", "q_binary_ann", "q_binary_rerank",
     // round 10 OLAP/curation wave
     "q_star_join", "q_global_rank", "q_winsorize", "q_hist_equidepth",
     "q_session_window", "q_gopher_rules", "q_pii_scan",
