@@ -234,9 +234,12 @@ private[sources] class GraftCatalogTable(
 
   private def keyField = tableSchema.fields.find(_.dataType == LongType)
 
-  /** The retained part list, when every part is decidable; None when
-    * the predicate cannot be proven part-whole from stats. */
-  private def decide(filters: Array[V1Filter]): Option[Seq[PartMeta]] = {
+  /** The retained part list over `parts`, when every part is
+    * decidable; None when the predicate cannot be proven part-whole
+    * from stats. Pure in `parts` so the commit loop can RE-APPLY it
+    * against a freshly-read head on claim retry. */
+  private def decideOn(parts: Seq[PartMeta],
+      filters: Array[V1Filter]): Option[Seq[PartMeta]] = {
     val key = keyField match {
       case Some(f) if !f.nullable => f.name
       case _ => return None // nullable key: stats don't cover null rows
@@ -254,12 +257,14 @@ private[sources] class GraftCatalogTable(
         lo = math.max(lo, v); hi = math.min(hi, v)
       case _ => return None // non-key / non-range predicate
     }
-    val parts = ManifestSink.readManifestMeta(
-      ManifestSink.driverConf(), path, None)
     val keep = parts.filter(p => p.kMax < lo || p.kMin > hi)
     val drop = parts.filter(p => p.kMin >= lo && p.kMax <= hi)
     if (keep.size + drop.size == parts.size) Some(keep) else None
   }
+
+  private def decide(filters: Array[V1Filter]): Option[Seq[PartMeta]] =
+    decideOn(ManifestSink.readManifestMeta(
+      ManifestSink.driverConf(), path, None), filters)
 
   /** Metadata fast path when every part is stats-decidable; otherwise
     * the copy-on-write rewrite ([[ManifestCow]]) — accepted exactly
@@ -270,9 +275,18 @@ private[sources] class GraftCatalogTable(
 
   override def deleteWhere(filters: Array[V1Filter]): Unit =
     decide(filters) match {
-      case Some(keep) =>
-        ManifestSink.publishSnapshot(ManifestSink.driverConf(), path,
-          tableSchema, keep, history = true)
+      case Some(_) =>
+        // the keep list is recomputed from the head INSIDE the commit
+        // loop, so a commit racing this delete keeps its parts; if the
+        // new head makes the delete stats-undecidable, fail loudly
+        // rather than half-apply (the caller re-plans → COW path)
+        ManifestSink.publishRebase(ManifestSink.driverConf(), path,
+          tableSchema, history = true,
+          rebase = head => decideOn(head, filters).getOrElse(
+            throw new java.util.ConcurrentModificationException(
+              s"metadata DELETE on $path no longer stats-decidable " +
+                "after a concurrent commit; re-plan (copy-on-write)")),
+          strictBase = None)
       case None => ManifestCow.deleteWhere(path, tableSchema, filters)
     }
 

@@ -77,7 +77,18 @@ private[sources] object ManifestCow {
       filters: Array[Filter]): Unit = {
     val spark = SparkSession.active
     val conf = ManifestSink.driverConf()
-    val parts = ManifestSink.readManifestMeta(conf, path, None)
+    // Pin the BASE snapshot: the part classification below (and the
+    // rewrite built on it) is only valid against this exact head. The
+    // final publish passes strictBase so a commit that lands mid-COW
+    // fails this delete loudly (ConcurrentModificationException)
+    // instead of publishing a snapshot that silently drops the racing
+    // commit's parts — a COW rewrite can't be mechanically re-applied
+    // the way an append can.
+    val baseVersion = ManifestSink.listVersions(conf, path)
+      .lastOption.getOrElse(0)
+    val parts =
+      if (baseVersion == 0) ManifestSink.readManifestMeta(conf, path, None)
+      else ManifestSink.readManifestMeta(conf, path, Some(baseVersion))
 
     // Key-range bounds from the TOP-LEVEL key conjuncts only (the
     // filters array is a conjunction). Used to PRUNE the rewrite set,
@@ -110,8 +121,8 @@ private[sources] object ManifestCow {
       pureKeyRange && p.kMin >= lo && p.kMax <= hi)
 
     if (affected.isEmpty) {
-      ManifestSink.publishSnapshot(conf, path, schema, untouched,
-        history = true)
+      ManifestSink.publishRebase(conf, path, schema, history = true,
+        _ => untouched, strictBase = Some(baseVersion))
       return
     }
     val fs = new Path(path).getFileSystem(conf)
@@ -140,8 +151,8 @@ private[sources] object ManifestCow {
             s"COW part adoption failed: $src -> $dst")
           p.copy(path = dst.toString)
         }
-      ManifestSink.publishSnapshot(conf, path, schema,
-        untouched ++ rewritten, history = true)
+      ManifestSink.publishRebase(conf, path, schema, history = true,
+        _ => untouched ++ rewritten, strictBase = Some(baseVersion))
       dropped // referenced only by prior snapshots from here on
     } finally {
       fs.delete(new Path(tmpRead), true)

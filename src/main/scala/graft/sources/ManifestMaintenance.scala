@@ -46,6 +46,10 @@ object ManifestMaintenance {
     * time-travelable, the rolled-back-over snapshots remain readable
     * until expired, and data files are referenced, never copied; the
     * commit rides the same optimistic-concurrency claim as any other.
+    * A restore intentionally publishes a FIXED part list (no rebase):
+    * "head becomes snapshot v" is the whole command, so a concurrent
+    * commit landing mid-restore is superseded by design — it stays
+    * readable in history like everything else the restore rolls over.
     * Returns the new head version. */
   def restore(conf: Configuration, dir: String, version: Int): Int = {
     val parts = ManifestSink.readManifestMeta(conf, dir, Some(version))

@@ -152,6 +152,23 @@ private[sources] object PartBloom {
       java.lang.Long.parseUnsignedLong(s.substring(i * 16, i * 16 + 16), 16))
 }
 
+/** UTF-8 byte-order string comparison — the ONE collation every side
+  * of string-stats pruning uses. The writer tracks sMin/sMax with
+  * UTF8String.compareTo (UTF-8 byte order); Java String's natural
+  * order is UTF-16 code-unit order, which DISAGREES for supplementary
+  * characters (U+10000+, surrogate pairs 0xD800–0xDFFF as code units)
+  * vs chars in U+E000–U+FFFF — comparing stats with String operators
+  * could prune a part that actually contains matching rows. Both
+  * [[PartMeta.strOverlaps]] and the scan builder's bound intersection
+  * route through here so stats and predicates always agree. */
+private[sources] object StrBin {
+  import org.apache.spark.unsafe.types.UTF8String
+  def cmp(a: String, b: String): Int =
+    UTF8String.fromString(a).binaryCompare(UTF8String.fromString(b))
+  def min(a: String, b: String): String = if (cmp(a, b) <= 0) a else b
+  def max(a: String, b: String): String = if (cmp(a, b) >= 0) a else b
+}
+
 /** One committed part's full manifest record. `bloomHex` is "" when
   * the part predates the bloom field or the table has no key column —
   * [[mayContain]] then degrades to the pure range check. `sMin`/`sMax`
@@ -166,12 +183,14 @@ private[sources] final case class PartMeta(
   def mayContain(v: Long): Boolean =
     v >= kMin && v <= kMax &&
       (bloomBits.isEmpty || PartBloom.mightContain(bloomBits, v))
-  /** Can this part contain a string-key row within [lo, hi]? (binary
-    * compare, bounds inclusive; absent stats never exclude). */
+  /** Can this part contain a string-key row within [lo, hi]? (UTF-8
+    * byte-order compare via [[StrBin]] — the writer's collation —
+    * bounds inclusive; absent stats never exclude). */
   def strOverlaps(lo: Option[String], hi: Option[String]): Boolean =
     (sMin, sMax) match {
       case (Some(mn), Some(mx)) =>
-        hi.forall(h => mn <= h) && lo.forall(l => mx >= l)
+        hi.forall(h => StrBin.cmp(mn, h) <= 0) &&
+          lo.forall(l => StrBin.cmp(mx, l) >= 0)
       case _ => true
     }
 }
@@ -261,11 +280,32 @@ object ManifestSink {
     * complete (merely unreferenced) new snapshot. Returns the
     * committed version (0 for a plain non-history table). */
   private[sources] def publishSnapshot(conf: Configuration, path: String,
-      schema: StructType, parts: Seq[PartMeta], history: Boolean): Int = {
+      schema: StructType, parts: Seq[PartMeta], history: Boolean): Int =
+    publishRebase(conf, path, schema, history, _ => parts, strictBase = None)
+
+  /** The commit loop proper. `rebase` maps the CURRENT head's part
+    * list to the list to publish, and is re-applied on EVERY claim
+    * attempt against a freshly-read head — the Iceberg
+    * refresh-and-reapply loop. This is what makes a racing append
+    * safe: a committer that lands between our base-snapshot read and
+    * our claim advances the head, our claim of its slot fails, and
+    * the next attempt recomputes the part list ON TOP OF the winner's
+    * snapshot instead of re-rendering a stale capture (which would
+    * silently drop the winner's parts — the classic lost update).
+    *
+    * `strictBase = Some(v)`: the operation was planned against
+    * snapshot v and CANNOT be mechanically re-applied (e.g. a
+    * copy-on-write rewrite whose part classification is baked into
+    * already-written files) — fail loudly if the head is no longer v
+    * rather than publish a half-stale snapshot. */
+  private[sources] def publishRebase(conf: Configuration, path: String,
+      schema: StructType, history: Boolean,
+      rebase: Seq[PartMeta] => Seq[PartMeta],
+      strictBase: Option[Int]): Int = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     val ddl = schema.toDDL.replace("\\", "\\\\").replace("\"", "\\\"")
-    def render(version: Int): Array[Byte] = {
+    def render(version: Int, parts: Seq[PartMeta]): Array[Byte] = {
       val content = new StringBuilder
       content.append(s"""{"schema":"$ddl"}""").append('\n')
       if (history) content.append(s"""{"version":$version}""").append('\n')
@@ -292,7 +332,8 @@ object ManifestSink {
       if (!fs.rename(tmp, target)) { fs.delete(tmp, false); false } else true
     }
     if (!history) {
-      if (!write(ManifestFile, render(0), overwrite = true))
+      val head = readManifestMeta(conf, path, None)
+      if (!write(ManifestFile, render(0, rebase(head)), overwrite = true))
         throw new java.io.IOException(s"cannot publish $dir/$ManifestFile")
       return 0
     }
@@ -300,24 +341,39 @@ object ManifestSink {
     // commit CLAIMS its immutable version file — exists-check + rename,
     // never an overwrite — so two racing committers cannot both land
     // on version N and silently drop a snapshot; the loser re-reads
-    // the log and retries at the next free slot. (On HDFS the rename
+    // the log, RE-APPLIES its operation against the new head via
+    // `rebase`, and retries at the next free slot. (On HDFS the rename
     // itself refuses an existing destination, making the claim fully
     // atomic; on a raw local fs the exists-check shrinks the window.)
     // The unversioned head file is a convenience POINTER, rewritten
     // after the claim — readers of history tables resolve HEAD from
     // the newest version file (see manifestLines), so a stale or
     // raced head pointer can never serve a dropped/old snapshot.
-    var version = listVersions(conf, path).lastOption.getOrElse(0) + 1
     var attempts = 0
-    while (!write(versionFile(version), render(version), overwrite = false)) {
+    var committed = -1
+    var finalParts: Seq[PartMeta] = Seq.empty
+    while (committed < 0) {
       attempts += 1
       if (attempts > 1000) throw new java.io.IOException(
         s"cannot claim a snapshot version at $dir after $attempts attempts")
-      version = math.max(version + 1,
-        listVersions(conf, path).lastOption.getOrElse(0) + 1)
+      val latest = listVersions(conf, path).lastOption.getOrElse(0)
+      strictBase.foreach { base =>
+        if (latest != base) throw new java.util.ConcurrentModificationException(
+          s"table $dir advanced from snapshot $base to $latest during an " +
+            "operation that cannot be re-applied; re-plan against the new head")
+      }
+      val head =
+        if (latest == 0) readManifestMeta(conf, path, None)
+        else readManifestMeta(conf, path, Some(latest))
+      val parts = rebase(head)
+      val version = latest + 1
+      if (write(versionFile(version), render(version, parts), overwrite = false)) {
+        committed = version
+        finalParts = parts
+      }
     }
-    write(ManifestFile, render(version), overwrite = true)
-    version
+    write(ManifestFile, render(committed, finalParts), overwrite = true)
+    committed
   }
 
   /** Committed snapshot versions present at `dir`, ascending (history
@@ -426,28 +482,28 @@ private[sources] class ManifestBatchWrite(
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    // append: carry the committed head's parts forward, after checking
-    // the schema only evolved additively (name+type prefix match)
-    val prior: Seq[PartMeta] =
-      if (truncate) Seq.empty
-      else ManifestSink.readSchema(conf.value, path) match {
-        case None => Seq.empty
-        case Some(old) =>
-          val prefixOk = old.fields.length <= schema.fields.length &&
-            old.fields.zip(schema.fields).forall { case (a, b) =>
-              a.name == b.name && a.dataType == b.dataType
-            }
-          if (!prefixOk) throw new IllegalArgumentException(
-            s"append schema must extend the committed schema additively; " +
-              s"committed=${old.toDDL} incoming=${schema.toDDL}")
-          ManifestSink.readManifestMeta(conf.value, path, None)
-      }
+    // append: check the schema only evolved additively (name+type
+    // prefix match) before carrying the head's parts forward
+    if (!truncate) ManifestSink.readSchema(conf.value, path).foreach { old =>
+      val prefixOk = old.fields.length <= schema.fields.length &&
+        old.fields.zip(schema.fields).forall { case (a, b) =>
+          a.name == b.name && a.dataType == b.dataType
+        }
+      if (!prefixOk) throw new IllegalArgumentException(
+        s"append schema must extend the committed schema additively; " +
+          s"committed=${old.toDDL} incoming=${schema.toDDL}")
+    }
     val newParts = messages.toSeq.map { case m: PartCommit =>
       PartMeta(m.path, m.rows, m.keyMin, m.keyMax, m.bloom,
         m.strMin, m.strMax)
     }
-    ManifestSink.publishSnapshot(conf.value, path, schema,
-      prior ++ newParts, history)
+    // The prior part list is NOT captured here: it is re-read from the
+    // head inside the commit loop on every claim attempt, so an append
+    // racing another committer re-applies `head ++ newParts` on top of
+    // whatever actually won — never dropping the winner's parts.
+    ManifestSink.publishRebase(conf.value, path, schema, history,
+      head => (if (truncate) Seq.empty else head) ++ newParts,
+      strictBase = None)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -188,26 +188,33 @@ private[sources] class ManifestScanBuilder(
           keyLo = math.max(keyLo, longs.min); keyHi = math.min(keyHi, longs.max)
           addPoints(longs.toSet)
         }
-      // string-column bounds against the smin/smax part stats (binary
-      // collation on both sides). Open bounds stay open: GT/LT keep
-      // the boundary value in the PRUNING range — row-exactness is the
-      // residual filter's job, exclusion only needs "can't overlap".
+      // string-column bounds against the smin/smax part stats. ALL
+      // comparisons — intersecting bounds here and checking stats in
+      // strOverlaps — go through StrBin (UTF-8 byte order, the
+      // writer's collation); Java String order (UTF-16 code units)
+      // would disagree on supplementary characters and could prune a
+      // part that holds matching rows. Open bounds stay open: GT/LT
+      // keep the boundary value in the PRUNING range — row-exactness
+      // is the residual filter's job, exclusion only needs "can't
+      // overlap".
       case EqualTo(c, v: String) if strCol.contains(c) =>
-        strLo = Some(strLo.fold(v)(l => if (v > l) v else l))
-        strHi = Some(strHi.fold(v)(h => if (v < h) v else h))
+        strLo = Some(strLo.fold(v)(StrBin.max(v, _)))
+        strHi = Some(strHi.fold(v)(StrBin.min(v, _)))
       case GreaterThan(c, v: String) if strCol.contains(c) =>
-        strLo = Some(strLo.fold(v)(l => if (v > l) v else l))
+        strLo = Some(strLo.fold(v)(StrBin.max(v, _)))
       case GreaterThanOrEqual(c, v: String) if strCol.contains(c) =>
-        strLo = Some(strLo.fold(v)(l => if (v > l) v else l))
+        strLo = Some(strLo.fold(v)(StrBin.max(v, _)))
       case LessThan(c, v: String) if strCol.contains(c) =>
-        strHi = Some(strHi.fold(v)(h => if (v < h) v else h))
+        strHi = Some(strHi.fold(v)(StrBin.min(v, _)))
       case LessThanOrEqual(c, v: String) if strCol.contains(c) =>
-        strHi = Some(strHi.fold(v)(h => if (v < h) v else h))
+        strHi = Some(strHi.fold(v)(StrBin.min(v, _)))
       case In(c, vs) if strCol.contains(c) && vs.nonEmpty =>
         val strs = vs.collect { case v: String => v }
         if (strs.length == vs.length) {
-          strLo = Some(strLo.fold(strs.min)(l => if (strs.min > l) strs.min else l))
-          strHi = Some(strHi.fold(strs.max)(h => if (strs.max < h) strs.max else h))
+          val mn = strs.reduce(StrBin.min)
+          val mx = strs.reduce(StrBin.max)
+          strLo = Some(strLo.fold(mn)(StrBin.max(mn, _)))
+          strHi = Some(strHi.fold(mx)(StrBin.min(mx, _)))
         }
       case _ => ()
     }

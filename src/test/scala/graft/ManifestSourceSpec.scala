@@ -126,6 +126,33 @@ class ManifestSourceSpec extends SparkSpec {
       .count() === expected, "pruned scan must not touch vanished files")
   }
 
+  test("string pruning is collation-safe for supplementary characters") {
+    import spark.implicits._
+    // UTF-16 code-unit order (Java String) and UTF-8 byte order
+    // disagree here: U+E000 sorts BELOW an emoji (U+1F600) in UTF-8
+    // but ABOVE its surrogate pair in UTF-16. The writer's stats are
+    // UTF-8-ordered, so a reader comparing with String operators
+    // would conclude sMin > predicate and silently prune the part
+    // that holds the matching row.
+    val emoji = "\uD83D\uDE00x" // U+1F600 GRINNING FACE, 4-byte UTF-8
+    val pua = "\uE000x"           // U+E000 private-use, 3-byte UTF-8
+    assert(emoji < pua, "Java String order must differ for this test")
+    val target = Files.createTempDirectory("graft-src-collation-").toString
+    Seq((1L, pua), (2L, emoji)).toDF("id", "s")
+      .coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", target).mode("overwrite").save()
+    val hit = readBack(target).filter(col("s") === emoji)
+    assert(hit.count() === 1,
+      "part containing the emoji row must not be pruned by its own stats")
+    assert(scanOf(hit).inputPartitions.length === 1)
+    // and pruning still WORKS above the UTF-8 max: a probe beyond the
+    // emoji (4-byte UTF-8) excludes the part
+    val miss = readBack(target).filter(col("s") === "\uD83D\uDE01z")
+    assert(scanOf(miss).inputPartitions.length === 0)
+    assert(miss.count() === 0)
+  }
+
   test("bloom index prunes point lookups on a hash layout where " +
       "min/max stats cannot") {
     val target = Files.createTempDirectory("graft-src-spec-").toString
