@@ -905,7 +905,10 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
             // possibly parse (no leading digit/sign) straight to
             // NULL; try_cast still owns the ambiguous tail
             // ("12abc", overflow), so the contract is unchanged.
-            when(col("event_type").rlike("^[+-]?[0-9]"),
+            // Leading whitespace is tolerated because BOTH engines'
+            // try_cast trim it (" 12" → 12) — a tighter guard would
+            // silently diverge from the oracle on padded numerics.
+            when(col("event_type").rlike("^\\s*[+-]?[0-9]"),
               col("event_type").try_cast("int"))
               .otherwise(lit(null).cast("int")).as("safe_cast"),
             try_element_at(split(col("event_type"), "x"), lit(5))

@@ -520,14 +520,20 @@ FROM events""")),
         // semantically broken) predecessor under the same key — wipe
         // the stage and replay rather than serving it forever.
         if (Files.exists(stage.resolve("sink"))) {
+          // NonFatal only: a broken/corrupt sink reads as poisoned,
+          // but OOM/interrupts must propagate — wiping and replaying
+          // on a fatal error would misdiagnose the machine's state
+          // as a bad sink
           val ok =
             try spark.read.parquet(stage.resolve("sink").toString)
               .limit(1).count() > 0
-            catch { case _: Throwable => false }
+            catch { case scala.util.control.NonFatal(_) => false }
           if (!ok) {
             import scala.jdk.CollectionConverters._
-            Files.walk(stage).iterator().asScala.toSeq.reverse
-              .foreach(p => Files.deleteIfExists(p))
+            val walk = Files.walk(stage)
+            val paths =
+              try walk.iterator().asScala.toSeq finally walk.close()
+            paths.reverse.foreach(p => Files.deleteIfExists(p))
           }
         }
         Files.createDirectories(stage.resolve("feed"))
