@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time" footer: harnesses that parse the LAST
+// stdout line of `sbt "runMain graft.Bench"` must see the bench's
+// result JSON, not sbt's epilogue (BENCH_r12 recorded parsed:null
+// because the footer followed the JSON line).
+ThisBuild / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — the
+// unused-key lint can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -68,5 +68,12 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
+    // Re-emit AFTER spark.stop(): Spark's shutdown logging goes to
+    // stderr, and build.sbt suppresses sbt's "[success]" epilogue, so
+    // this print is the final stdout line — exactly what a tail-parsing
+    // harness reads. (The earlier print + file write still guard
+    // against a hang inside stop().)
+    println(line)
+    System.out.flush()
   }
 }
