@@ -1446,6 +1446,161 @@ SELECT probe_id, vec_id, d2 FROM (
   SELECT *, row_number() OVER (PARTITION BY probe_id
     ORDER BY d2, vec_id) AS rn FROM scored)
 WHERE rn <= 5 ORDER BY probe_id, d2, vec_id""")),
+
+    // --- INDEX-AS-TABLE ANN SERVING: the IVF-cell + binary sign-word
+    // index PERSISTED through the manifest sink as committed
+    // snapshots, maintained INCREMENTALLY on append, and served from
+    // the COMMITTED table — the ANN twin of q_dedup_incremental. At
+    // 100 TB nobody rebuilds an ANN index per query: the index IS a
+    // table ((cell, vec_id, 63-bit sign word) = 24 B/vector), a new
+    // corpus batch appends ONLY its own rows as the next snapshot
+    // (the base is never recomputed or re-read), and every probe
+    // serves against whatever head is committed. Layout is the scale
+    // story: the index is range-laid-out by cell, and cell is the
+    // schema's FIRST BIGINT column, so each part's manifest stats
+    // carry its cell range (+ bloom) and the serve-side broadcast
+    // join on cell runtime-prunes index parts to the shortlisted
+    // cells — the "read only the probed cells' postings" IVF
+    // contract enforced by the TABLE FORMAT, not by query logic.
+    // Exactness: cell assignment rides the DECIMAL(20,12) fold;
+    // everything downstream is 64-bit integer Hamming — hash-exact
+    // cross-engine. The oracle restates the FINAL committed state
+    // (base ∪ delta) plus the serve, so the gate covers the whole
+    // build→commit→append→serve loop. CatalogSpec additionally pins
+    // snapshot versioning across two appends.
+    QueryDef("q_ann_index_serve",
+      (spark, dir) => {
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest((dir + "#annidx").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val t =
+          s"${spark.conf.get("spark.sql.warehouse.dir")}/graft-ann-idx/$key"
+        val p = new org.apache.hadoop.fs.Path(t)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true) // idempotent reruns
+        val emb = Tables.embeddings(spark, dir)
+        val cents = centroidArrays(spark, dir)
+          .select(col("label").as("cell"), col("centroid"))
+        // (cell, vec_id, code) index rows for a corpus slice: cell =
+        // nearest label-seeded centroid (exact-decimal d2), code =
+        // 63-bit sign word. Computed ONLY over the slice — that is
+        // what makes the append leg incremental.
+        def indexRows(slice: org.apache.spark.sql.DataFrame) = {
+          val cellOf = slice
+            .crossJoin(broadcast(cents))
+            .select(col("vec_id"),
+              Exact.sqDistFD(col("embedding"), col("centroid")).as("d2"),
+              col("cell"))
+            .groupBy(col("vec_id"))
+            .agg(min(struct(col("d2"), col("cell"))).as("a"))
+            .select(col("vec_id"), col("a.cell").cast("long").as("cell"))
+          val codeOf = slice
+            .select(col("vec_id"),
+              posexplode(col("embedding")).as(Seq("dim", "x")))
+            .groupBy(col("vec_id"))
+            .agg(sum(when(col("x") > 0 && col("dim") < 63,
+              expr("shiftleft(CAST(1 AS BIGINT), dim)")).otherwise(0L))
+              .as("code"))
+          cellOf.join(codeOf, Seq("vec_id"))
+            .select(col("cell"), col("vec_id"), col("code"))
+        }
+        // base build → snapshot 1, cell-range layout
+        indexRows(emb.filter(col("vec_id") >= 8 && col("vec_id") % 4 =!= 0))
+          .repartitionByRange(4, col("cell"), col("vec_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", t).option("history", "true")
+          .mode("overwrite").save()
+        // incremental maintenance → snapshot 2: only the delta's
+        // codes are computed; the committed base parts are untouched
+        indexRows(emb.filter(col("vec_id") >= 8 && col("vec_id") % 4 === 0))
+          .repartitionByRange(2, col("cell"), col("vec_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", t).option("history", "true")
+          .mode("append").save()
+        // serve from the COMMITTED head (= base ∪ delta)
+        val index = spark.read.format("graft.sources.ManifestSource")
+          .option("path", t).load()
+        val probes = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+        val pcode = probes
+          .select(col("probe_id"),
+            posexplode(col("p_emb")).as(Seq("dim", "x")))
+          .groupBy(col("probe_id"))
+          .agg(sum(when(col("x") > 0 && col("dim") < 63,
+            expr("shiftleft(CAST(1 AS BIGINT), dim)")).otherwise(0L))
+            .as("pcode"))
+        val shortlist = graft.plans.GroupTopK.topK(
+          probes.crossJoin(broadcast(cents))
+            .select(col("probe_id"),
+              Exact.sqDistFD(col("p_emb"), col("centroid")).as("dc"),
+              col("cell")),
+          Seq("probe_id"), Seq(("dc", false), ("cell", false)), 3)
+          .select(col("probe_id"), col("cell").cast("long").as("cell"))
+          .join(pcode, Seq("probe_id"))
+        val cand = index.join(broadcast(shortlist), Seq("cell"))
+          .select(col("probe_id"), col("vec_id"), col("cell"),
+            expr("CAST(bit_count(code ^ pcode) AS BIGINT)").as("hamming"))
+        graft.plans.GroupTopK.topK(cand, Seq("probe_id"),
+          Seq(("hamming", false), ("vec_id", false)), 5)
+          .select(col("probe_id"), col("vec_id"), col("cell"), col("hamming"))
+          .orderBy(col("probe_id"), col("hamming"), col("vec_id"))
+      },
+      Some("""WITH e AS (
+  SELECT label, unnest(embedding) AS x,
+    unnest(range(len(embedding))) AS dim
+  FROM embeddings),
+g AS (
+  SELECT label, dim,
+    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+      / 1000000.0 / count(*) AS c
+  FROM e GROUP BY label, dim),
+cents AS (
+  SELECT label AS cell, list(c ORDER BY dim) AS cent
+  FROM g GROUP BY label),
+pairs AS (
+  SELECT v.vec_id, c.cell,
+    CAST(list_sum(list_transform(range(1, len(v.embedding) + 1),
+      i -> CAST((CAST(v.embedding[i] AS DOUBLE) - c.cent[i])
+        * (CAST(v.embedding[i] AS DOUBLE) - c.cent[i])
+        AS DECIMAL(20,12)))) AS DOUBLE) AS d2
+  FROM embeddings v CROSS JOIN cents c WHERE v.vec_id >= 8),
+a AS (
+  SELECT vec_id, CAST(cell AS BIGINT) AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY d2, cell) AS rn FROM pairs)
+  WHERE rn = 1),
+ve AS (
+  SELECT vec_id, unnest(embedding) AS x,
+    unnest(range(len(embedding))) AS dim
+  FROM embeddings),
+codes AS (
+  SELECT vec_id, CAST(sum(CASE WHEN x > 0 AND dim < 63
+    THEN (CAST(1 AS BIGINT) << dim) ELSE 0 END) AS BIGINT) AS code
+  FROM ve GROUP BY vec_id),
+idx AS (
+  SELECT a.cell, a.vec_id, codes.code
+  FROM a JOIN codes USING (vec_id)),
+pp AS (
+  SELECT p.vec_id AS probe_id, c.cell,
+    CAST(list_sum(list_transform(range(1, len(p.embedding) + 1),
+      i -> CAST((CAST(p.embedding[i] AS DOUBLE) - c.cent[i])
+        * (CAST(p.embedding[i] AS DOUBLE) - c.cent[i])
+        AS DECIMAL(20,12)))) AS DOUBLE) AS dc
+  FROM embeddings p CROSS JOIN cents c WHERE p.vec_id < 8),
+pc AS (
+  SELECT probe_id, CAST(cell AS BIGINT) AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY dc, cell) AS rn FROM pp)
+  WHERE rn <= 3),
+s AS (
+  SELECT pc.probe_id, idx.vec_id, idx.cell,
+    CAST(bit_count(xor(idx.code, pcd.code)) AS BIGINT) AS hamming
+  FROM pc JOIN idx ON idx.cell = pc.cell
+  JOIN codes pcd ON pcd.vec_id = pc.probe_id)
+SELECT probe_id, vec_id, cell, hamming FROM (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+    ORDER BY hamming, vec_id) AS rn FROM s)
+WHERE rn <= 5 ORDER BY probe_id, hamming, vec_id""")),
   )
 
   /** Exact per-(label, dim) coordinate sums on the 1e-6 integer grid

@@ -202,4 +202,78 @@ class CatalogSpec extends SparkSpec {
     q.awaitTermination()
     assert(spark.table("graft_cat_feed").count() === 3)
   }
+
+  test("ANN index-as-table: probe -> commit -> serve across two appends") {
+    // The q_ann_index_serve contract at the snapshot level: the index
+    // is a committed manifest table; each corpus batch appends ONLY
+    // its own (cell, vec_id, code) rows as the next snapshot; serving
+    // from the committed head after each append equals serving from
+    // an in-memory index over the same corpus slice — proving the
+    // table-format loop (commit, append, head resolution, scan)
+    // neither loses nor duplicates index rows at any version.
+    import org.apache.spark.sql.DataFrame
+    import graft.model.Tables
+    import graft.functions.Exact
+    val t = Files.createTempDirectory("graft-annidx-spec-").toString + "/idx"
+    val emb = Tables.embeddings(spark, Sf0001)
+    val cents = graft.queries.SimOps.centroidArrays(spark, Sf0001)
+      .select(col("label").as("cell"), col("centroid"))
+    def signCode(df: DataFrame, idCol: String, out: String): DataFrame = df
+      .select(col(idCol), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("x") > 0 && col("dim") < 63,
+        expr("shiftleft(CAST(1 AS BIGINT), dim)")).otherwise(0L)).as(out))
+    def indexRows(slice: DataFrame): DataFrame = slice
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        Exact.sqDistFD(col("embedding"), col("centroid")).as("d2"), col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("a"))
+      .select(col("vec_id"), col("a.cell").cast("long").as("cell"))
+      .join(signCode(slice, "vec_id", "code"), Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("code"))
+    val probes = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val probeSide = graft.plans.GroupTopK.topK(
+      probes.crossJoin(broadcast(cents))
+        .select(col("probe_id"),
+          Exact.sqDistFD(col("p_emb"), col("centroid")).as("dc"), col("cell")),
+      Seq("probe_id"), Seq(("dc", false), ("cell", false)), 3)
+      .select(col("probe_id"), col("cell").cast("long").as("cell"))
+      .join(signCode(probes.withColumnRenamed("p_emb", "embedding"),
+        "probe_id", "pcode"), Seq("probe_id"))
+    def serve(index: DataFrame): Seq[(Long, Long, Long)] =
+      graft.plans.GroupTopK.topK(
+        index.join(broadcast(probeSide), Seq("cell"))
+          .select(col("probe_id"), col("vec_id"),
+            expr("CAST(bit_count(code ^ pcode) AS BIGINT)").as("hamming")),
+        Seq("probe_id"), Seq(("hamming", false), ("vec_id", false)), 5)
+        .select(col("probe_id"), col("vec_id"), col("hamming"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    def write(slice: DataFrame, mode: String, parts: Int): Unit =
+      indexRows(slice).repartitionByRange(parts, col("cell"), col("vec_id"))
+        .write.format("graft.sources.ManifestSink")
+        .option("path", t).option("history", "true").mode(mode).save()
+    def committed(): DataFrame = spark.read
+      .format("graft.sources.ManifestSource").option("path", t).load()
+    val conf = spark.sessionState.newHadoopConf()
+
+    val base = emb.filter(col("vec_id") >= 8 && col("vec_id") % 4 =!= 0)
+    val delta1 = emb.filter(col("vec_id") % 8 === 0 && col("vec_id") >= 8)
+    val delta2 = emb.filter(col("vec_id") % 8 === 4 && col("vec_id") >= 8)
+    write(base, "overwrite", 4) // v1
+    write(delta1, "append", 2)  // v2: only delta1's codes computed
+    assert(serve(committed()) === serve(indexRows(base.union(delta1))),
+      "serve from committed head after first append must match in-memory")
+    write(delta2, "append", 2)  // v3
+    assert(graft.sources.ManifestSink.listVersions(conf, t) === Seq(1, 2, 3))
+    assert(serve(committed()) ===
+      serve(indexRows(emb.filter(col("vec_id") >= 8))),
+      "serve after second append must cover the whole corpus")
+    // time travel serves the INDEX AS OF v2 — stale but consistent
+    val v2 = spark.read.format("graft.sources.ManifestSource")
+      .option("path", t).option("version", "2").load()
+    assert(serve(v2) === serve(indexRows(base.union(delta1))))
+  }
 }
