@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
+import graft.util.Pin.PinOps
 
 /** Iterative graph analytics over the supplier↔customer interaction
   * graph (who supplied whom, derived from lineitem ⋈ orders — the
@@ -23,8 +24,10 @@ import graft.model.Tables
   * bit-for-bit.
   *
   * Scale shape: the edge set (with out-degrees attached) is built
-  * once and localCheckpoint'd — K iterations reuse the materialized
-  * edges instead of re-deriving the join lineage K times. Each
+  * once and pinned ([[graft.util.Pin]]: localCheckpoint by default,
+  * reliable checkpoint(dir) under `graft.checkpoint.dir` for cluster
+  * fault tolerance) — K iterations reuse the materialized edges
+  * instead of re-deriving the join lineage K times. Each
   * iteration is one broadcast of the current rank vector onto the
   * edge scan + one aggregation keyed by destination (map-side
   * combine): the EDGES — the 100 TB side — never re-shuffle. When the
@@ -69,13 +72,13 @@ object GraphOps {
           .select((col("l_suppkey") * 2).as("s"),
             (col("o_custkey") * 2 + 1).as("c"))
           .distinct()
-          .localCheckpoint()
+          .pinned()
         val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
           .unionAll(pairs.select(col("c").as("src"), col("s").as("dst")))
         val deg = edges.groupBy(col("src"))
           .agg(count(lit(1)).as("outdeg"))
         // materialize once; 5 iterations re-scan these edges
-        val ed = edges.join(deg, "src").localCheckpoint()
+        val ed = edges.join(deg, "src").pinned()
 
         var ranks = deg.select(col("src").as("node"),
           lit(1000000L).as("pr"))
@@ -139,7 +142,7 @@ ORDER BY pr DESC, node LIMIT 20"""
             col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
           .select(col("a.pk").as("u"), col("b.pk").as("v"))
           .distinct()
-          .localCheckpoint() // degree table + orientation + closure all re-scan it
+          .pinned() // degree table + orientation + closure all re-scan it
         val deg = e.select(col("u").as("n"))
           .unionAll(e.select(col("v").as("n")))
           .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -150,22 +153,41 @@ ORDER BY pr DESC, node LIMIT 20"""
           .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
           .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
             when(fwd, col("v")).otherwise(col("u")).as("dst"))
-          .localCheckpoint()
-        // closure check in ONE map-side pass over the wedge stream:
-        // the O(E^1.5) wedges must never shuffle, so the edge set
-        // broadcasts — PACKED into a single long (part ids < 2³¹), so
-        // the build is a LongHashedRelation and every probe is one
-        // long-key lookup instead of a two-column row comparison
-        // (measured 4.6× on this stage). A left-outer probe counts
-        // wedges and closed wedges (= triangles) in the same pass.
+          .pinned()
+        // closure check in ONE pass over the wedge stream, with an
+        // edge-count-thresholded strategy (config
+        // graft.triangles.broadcastMaxEdges, default 2M):
+        //  - within range the edge set BROADCASTS, packed into a
+        //    single long (part ids < 2³¹) so the build is a
+        //    LongHashedRelation and every probe is one long-key
+        //    lookup instead of a two-column row comparison (measured
+        //    4.6× on this stage) — the O(E^1.5) wedges never shuffle;
+        //  - beyond broadcast range the closure falls back to a
+        //    PARTITIONED shuffle-hash join on the same packed key:
+        //    the wedges pay one shuffle, the correct trade once the
+        //    edge set outgrows executor memory (a forced broadcast
+        //    there is an OOM, not a plan). The count that picks the
+        //    strategy reads the already-localCheckpoint'd edge set —
+        //    cached-block metadata, not a recompute. Both strategies
+        //    are pinned hash-equal (and the flip pinned) in ScaleSpec.
+        // A left-outer probe counts wedges and closed wedges
+        // (= triangles) in the same pass either way.
         val packed = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
           shiftleft(a, 32) + b
         val oPacked = o.select(packed(col("src"), col("dst")).as("k"),
           lit(1L).as("hit"))
-        val wt = o.as("e1").join(o.as("e2").hint("shuffle_hash"),
+        val maxBroadcastEdges = spark.conf
+          .getOption("graft.triangles.broadcastMaxEdges")
+          .map(_.toLong).getOrElse(2000000L)
+        val wedges = o.as("e1").join(o.as("e2").hint("shuffle_hash"),
             col("e1.dst") === col("e2.src"))
           .select(packed(col("e1.src"), col("e2.dst")).as("k"))
-          .join(broadcast(oPacked), Seq("k"), "left_outer")
+        val closed =
+          if (o.count() <= maxBroadcastEdges)
+            wedges.join(broadcast(oPacked), Seq("k"), "left_outer")
+          else
+            wedges.join(oPacked.hint("shuffle_hash"), Seq("k"), "left_outer")
+        val wt = closed
           .agg(count(lit(1)).as("n_wedges"), count(col("hit")).as("n_triangles"))
         val profile = e.agg(count(lit(1)).as("n_edges"))
           .crossJoin(deg.agg(count(lit(1)).as("n_nodes"), max(col("d")).as("max_deg")))
@@ -226,24 +248,24 @@ SELECT
           .select((col("l_suppkey") * 2).as("s"),
             (col("o_custkey") * 2 + 1).as("c"))
           .distinct()
-          .localCheckpoint()
+          .pinned()
         val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
           .unionAll(pairs.select(col("c").as("src"), col("s").as("dst")))
-          .localCheckpoint()
+          .pinned()
         var dist = pairs.select(col("s").as("node")).distinct()
           .filter(expr("(node div 2) % 50 = 1"))
           .select(col("node"), lit(0L).as("d"))
-          .localCheckpoint()
+          .pinned()
         var frontier = dist.select(col("node"))
         for (i <- 1 to Hops) {
           val discovered = edges
             .join(frontier, col("src") === col("node"))
             .select(col("dst").as("node")).distinct()
             .join(dist, Seq("node"), "left_anti")
-            .localCheckpoint()
+            .pinned()
           dist = dist
             .unionAll(discovered.select(col("node"), lit(i.toLong).as("d")))
-            .localCheckpoint()
+            .pinned()
           frontier = discovered
         }
         dist.groupBy(col("d"))
@@ -301,7 +323,7 @@ FROM d$Hops GROUP BY d ORDER BY d"""
           .select((col("l_suppkey") * 2).as("s"),
             (col("o_custkey") * 2 + 1).as("c"))
           .distinct()
-          .localCheckpoint()
+          .pinned()
         val weight = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
           pmod(graft.functions.OracleHash.h64(
             concat(lit("w:"), a, lit(":"), b)), lit(9L)) + 1
@@ -310,7 +332,7 @@ FROM d$Hops GROUP BY d ORDER BY d"""
             weight(col("s"), col("c")).as("w"))
           .unionAll(pairs.select(col("c").as("src"), col("s").as("dst"),
             weight(col("s"), col("c")).as("w")))
-          .localCheckpoint()
+          .pinned()
         var dist = pairs.select(col("s").as("node")).distinct()
           .filter(expr("(node div 2) % 50 = 1"))
           .select(col("node"), lit(0L).as("d"))
@@ -319,7 +341,7 @@ FROM d$Hops GROUP BY d ORDER BY d"""
             edges.join(dist, col("src") === col("node"))
               .select(col("dst").as("node"), (col("d") + col("w")).as("d")))
             .groupBy(col("node")).agg(min(col("d")).as("d"))
-            .localCheckpoint()
+            .pinned()
         }
         dist.groupBy(col("d"))
           .agg(count(lit(1)).as("n_nodes"),
@@ -384,10 +406,10 @@ FROM d$Hops GROUP BY d ORDER BY d"""
           .agg(countDistinct(col("l_orderkey")).as("cnt"))
           .filter(col("cnt") >= 2)
           .select(col("s"), col("c"))
-          .localCheckpoint()
+          .pinned()
         val edges = pairs.select(col("s").as("src"), col("c").as("dst"))
           .unionAll(pairs.select(col("c").as("src"), col("s").as("dst")))
-          .localCheckpoint()
+          .pinned()
         var lbl = edges.select(col("src").as("node")).distinct()
           .select(col("node"), col("node").as("label"))
         for (_ <- 1 to LpaRounds) {
@@ -461,7 +483,7 @@ ORDER BY n_members DESC, community LIMIT 20"""
           .select(col("s"), col("c"))
         var e = pairs.select(col("s").as("src"), col("c").as("dst"))
           .unionAll(pairs.select(col("c").as("src"), col("s").as("dst")))
-          .localCheckpoint()
+          .pinned()
         val stats = Seq.newBuilder[org.apache.spark.sql.DataFrame]
         val profile = (round: Int, df: org.apache.spark.sql.DataFrame) =>
           df.agg(countDistinct(col("src")).as("n_nodes"),
@@ -473,7 +495,7 @@ ORDER BY n_members DESC, community LIMIT 20"""
             .filter(col("d") >= KcoreK).select(col("src").as("n"))
           e = e.join(broadcast(keep), col("src") === col("n"), "left_semi")
             .join(broadcast(keep), col("dst") === col("n"), "left_semi")
-            .localCheckpoint()
+            .pinned()
           stats += profile(i, e)
         }
         stats.result().reduce(_ unionAll _).orderBy(col("round"))

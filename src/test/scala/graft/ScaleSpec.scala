@@ -315,4 +315,36 @@ class ScaleSpec extends SparkSpec {
     assert(base === far,
       s"anchored flags must be translation-invariant: $base vs $far")
   }
+
+  test("q_triangles closure: broadcast within threshold, partitioned " +
+      "fallback beyond it, identical answer") {
+    import org.apache.spark.sql.functions.col
+    def run() = SparkEntry.queries("q_triangles")(spark, Sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    def closureJoins(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      // the closure join is the only one keyed on the packed long `k`
+      val lines = df.queryExecution.executedPlan.toString
+        .linesIterator.filter(l => l.contains("Join") && l.contains("[k#"))
+        .toSeq
+      (lines.count(_.contains("BroadcastHashJoin")),
+        lines.count(_.contains("ShuffledHashJoin")))
+    }
+    val bcast = run()
+    val expected = rows(bcast)
+    // (an executed adaptive plan prints final + initial sections, so
+    // the closure join line can legitimately appear more than once)
+    val (b1, s1) = closureJoins(bcast)
+    assert(b1 >= 1 && s1 === 0,
+      "default threshold must broadcast the packed edge set")
+    spark.conf.set("graft.triangles.broadcastMaxEdges", "0")
+    try {
+      val part = run()
+      val (b2, s2) = closureJoins(part)
+      assert(b2 === 0 && s2 >= 1,
+        "zero threshold must flip the closure to a partitioned hash join")
+      assert(rows(part) === expected,
+        "both closure strategies must produce the identical profile")
+    } finally spark.conf.unset("graft.triangles.broadcastMaxEdges")
+  }
 }
