@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
+import graft.util.Pin.PinOps
 
 /** Corpus-preparation operators for an LLM training-data pipeline:
   * context-window chunking, sequence packing, repetition/quality
@@ -706,7 +707,10 @@ FROM lab ORDER BY doc_id""")
     * O(diameter) rounds into O(log diameter) — a long near-dup chain
     * (shingled boilerplate) would otherwise serialize into thousands
     * of rounds. Only a scalar changed-count ever reaches the driver;
-    * `localCheckpoint` caps lineage growth per round. Throws
+    * [[graft.util.Pin]] caps lineage growth per round (localCheckpoint
+    * by default; reliable checkpoint(dir) under
+    * `graft.checkpoint.dir` so an executor loss mid-loop recovers
+    * instead of killing the job). Throws
     * [[IllegalStateException]] after `maxRounds` rounds rather than
     * looping forever (the propagation is monotone-decreasing, so the
     * cap is a belt-and-braces guard, not a correctness need).
@@ -714,9 +718,9 @@ FROM lab ORDER BY doc_id""")
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = MaxCcRounds): DataFrame = {
     val sym = edges.union(edges.select(col("t"), col("s")))
-      .toDF("s", "t").localCheckpoint()
+      .toDF("s", "t").pinned()
     var labels = nodes.select(col("id"), col("id").as("comp"))
-      .localCheckpoint()
+      .pinned()
     var changed = 1L
     var round = 0
     while (changed > 0) {
@@ -741,7 +745,7 @@ FROM lab ORDER BY doc_id""")
         .select(col("l.id").as("id"),
           least(col("r.pcomp"), col("l.comp")).as("comp"),
           col("l.prev").as("prev"))
-        .localCheckpoint()
+        .pinned()
       changed = next.filter(col("comp") < col("prev")).count()
       labels = next.select(col("id"), col("comp"))
     }

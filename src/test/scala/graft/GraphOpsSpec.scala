@@ -45,4 +45,28 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(0))).toSeq
     assert(again === pairs.toSeq, "re-run must be bit-identical")
   }
+
+  test("reliable-checkpoint mode produces bit-identical fixed points") {
+    // graft.checkpoint.dir flips Pin.pin from localCheckpoint to a
+    // reliable checkpoint(dir) — the cluster-fault-tolerance option
+    // for iterative loops. Results must be IDENTICAL in both modes
+    // (the pin is a materialization strategy, never a semantics knob).
+    def results(): Seq[Seq[Seq[Any]]] =
+      Seq("q_pagerank", "q_dup_components").map(n =>
+        SparkEntry.queries(n)(spark, Sf0001)
+          .collect().map(_.toSeq).toSeq)
+    val local = results()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-").toString
+    spark.conf.set("graft.checkpoint.dir", dir)
+    try {
+      val reliable = results()
+      assert(reliable === local,
+        "checkpoint(dir) mode must not change any fixed point")
+      // the reliable mode actually wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val n = try wrote.count() finally wrote.close()
+      assert(n > 1, "reliable mode must materialize into the configured dir")
+    } finally spark.conf.unset("graft.checkpoint.dir")
+  }
 }
