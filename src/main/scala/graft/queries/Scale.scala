@@ -57,6 +57,63 @@ object Scale {
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // --- AQE-NATIVE skew join: the adaptive twin of
+    // q_join_skew_salted. The fact side is deliberately skewed (2/3
+    // of orders collapse onto key 1), the join is forced to
+    // sort-merge (no broadcast, no salt), and ADAPTIVE skew handling
+    // — not query logic — splits the hot partition at runtime into
+    // advisory-sized slices, replicating the matching build rows.
+    // Salting remains the answer for the extreme tail (one key per
+    // task is still too big); AQE is the answer for everything milder
+    // — the engine demonstrates BOTH, producing the identical
+    // oracle-gated result. The skew knobs ride a CHILD session
+    // (shared SparkContext, isolated SQLConf) so thresholds tuned to
+    // test-data scale leak into no other query; at 100 TB the same
+    // shape runs with the stock 256 MB thresholds. AqeSpec pins
+    // `skew=true` in the final adaptive plan.
+    QueryDef("q_join_skew_aqe",
+      (spark, dir) => {
+        val s = spark.newSession()
+        s.conf.set("spark.sql.adaptive.enabled", "true")
+        s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        s.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "8KB")
+        s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        // keep the join a genuine shuffle join at any SF: a broadcast
+        // dim side would dissolve the skew instead of handling it
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        // a skewed reduce partition is split at MAP-OUTPUT granularity
+        // (PartialReducerPartitionSpec groups map outputs), so a
+        // single-row-group local scan — one effective map task — would
+        // make the hot partition unsplittable and the optimization
+        // silently skip; round-robin the fact across 8 tasks first so
+        // the join shuffle has several map outputs, as any 100 TB
+        // fact table trivially does (there this repartition is
+        // dropped — the natural scan parallelism provides the maps)
+        val fact = Tables.orders(s, dir).repartition(8).select(
+          when(col("o_orderkey") % 3 =!= 0, lit(1L))
+            .otherwise(col("o_custkey")).as("k"),
+          col("o_totalprice"))
+        val dim = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        fact.hint("merge").join(dim, col("k") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            Exact.decSum(col("o_totalprice"), 2).as("total_price"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""WITH f AS (
+  SELECT CASE WHEN o_orderkey % 3 <> 0 THEN 1 ELSE o_custkey END AS k,
+    o_totalprice
+  FROM orders)
+SELECT c_mktsegment, count(*) AS n_orders,
+  ${Exact.decSumSql("o_totalprice", 2)} AS total_price
+FROM f JOIN customer ON k = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // --- Two-stage (salted) aggregation: a 5-value group key caps the
     // final reduce at 5 tasks; the salted partial stage aggregates on
     // (key, salt) first — Salts× the reduce parallelism — then the

@@ -111,6 +111,24 @@ class AqeSpec extends SparkSpec {
     }
   }
 
+  test("q_join_skew_aqe: the gated query's hot partition splits at runtime") {
+    // the GATED twin of the synthetic test above: q_join_skew_aqe
+    // carries its skew knobs in a child session, so no conf juggling
+    // here — run it at sf0.01 (where the hot key's shuffle partition
+    // clears the query's 128KB threshold) and pin the skew split in
+    // the final adaptive plan.
+    val df = SparkEntry.queries("q_join_skew_aqe")(
+      spark, "/root/testdata/sf0.01")
+    val n = df.collect().length
+    assert(n === 5, s"one row per market segment, got $n")
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("isFinalPlan=true"), fin.take(300))
+    assert(fin.contains("skew=true"),
+      "the 2/3-hot key must trigger a runtime skew split: " + fin.take(1500))
+    assert(fin.contains("SortMergeJoin"),
+      "the skew demo must stay a shuffle join, not dissolve to broadcast")
+  }
+
   test("AQE coalesces overshooting shuffle partitions") {
     val conf = spark.conf
     val oldParts = conf.get("spark.sql.shuffle.partitions")
