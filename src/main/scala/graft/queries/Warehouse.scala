@@ -557,5 +557,62 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
     AS sum_after,
   (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_v1,
   (SELECT ${Exact.decSumSql("value", 2)} FROM events) AS sum_v1""")),
+
+    // --- CHANGE DATA FEED over the snapshot log (`readChangeFeed`
+    // analog): `option("changeFeed", "true")` on a streaming read
+    // replays each commit's snapshot DIFF as row-level changes tagged
+    // (_change_type, _commit_version) — appends feed pure inserts,
+    // and a COW DELETE feeds deletes for every row of each rewritten
+    // part plus inserts for its survivors (part-level restatement:
+    // the CDF a format without per-commit CDC files serves from
+    // metadata alone; keyed consumers reconcile restated rows
+    // idempotently — the upsert contract this repo's sinks already
+    // implement). The delete predicate here rides a NON-key column,
+    // so every part is rewritten and the v3 restatement is exactly
+    // "delete all, re-insert survivors" — deterministic regardless
+    // of how rows were partitioned into parts, which is what makes
+    // the whole feed ORACLE-GATEABLE. Work per batch is O(changed
+    // parts); the stream checkpoint-resumes on version offsets
+    // (ManifestStreamSpec pins resuming ACROSS the COW commit).
+    QueryDef("q_stream_cdf",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "cdf")
+        val tbl = s"$wh/wh/ev_t"
+        spark.conf.set("spark.sql.catalog.graftcdf",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftcdf.warehouse", wh)
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"))
+        writeHistory(base.filter(col("event_id") % 2 === 0), tbl, "overwrite")
+        writeHistory(base.filter(col("event_id") % 2 =!= 0), tbl, "append")
+        spark.sql("DELETE FROM graftcdf.wh.ev_t WHERE event_type = 'click'")
+        val q = spark.readStream
+          .format("graft.sources.ManifestSource")
+          .option("path", tbl).option("changeFeed", "true").load()
+          .writeStream.format("memory").queryName("graft_stream_cdf")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table("graft_stream_cdf")
+          .select(col("_commit_version"), col("_change_type"),
+            col("event_id"), col("event_type"))
+          .orderBy(col("_commit_version"), col("_change_type"),
+            col("event_id"))
+      },
+      Some("""WITH b AS (SELECT event_id, event_type FROM events),
+feed AS (
+  SELECT CAST(1 AS BIGINT) AS _commit_version,
+    'insert' AS _change_type, event_id, event_type
+  FROM b WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT 2, 'insert', event_id, event_type FROM b WHERE event_id % 2 <> 0
+  UNION ALL
+  SELECT 3, 'delete', event_id, event_type FROM b
+  UNION ALL
+  SELECT 3, 'insert', event_id, event_type FROM b
+  WHERE event_type IS DISTINCT FROM 'click')
+SELECT _commit_version, _change_type, event_id, event_type
+FROM feed ORDER BY _commit_version, _change_type, event_id""")),
   )
 }

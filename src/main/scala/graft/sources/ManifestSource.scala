@@ -65,35 +65,44 @@ class ManifestSource extends TableProvider {
     // carries its own schema, so reading v1 after an additive
     // evolution still yields v1's (narrower) schema.
     val version = Option(options.get("version")).map(_.toInt)
-    ManifestSink.readSchema(ManifestSink.driverConf(), path, version).getOrElse(
+    val base = ManifestSink.readSchema(
+      ManifestSink.driverConf(), path, version).getOrElse(
       throw new IllegalArgumentException(
         s"no committed manifest (with schema header) at $path"))
+    // CHANGE FEED: `option("changeFeed", "true")` widens the schema
+    // with the change metadata columns — the readChangeFeed shape
+    if ("true".equalsIgnoreCase(options.get("changeFeed")))
+      StructType(base.fields ++ ManifestCdf.MetaFields)
+    else base
   }
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new ManifestReadTable(properties.get("path"), schema,
-      Option(properties.get("version")).map(_.toInt))
+      Option(properties.get("version")).map(_.toInt),
+      "true".equalsIgnoreCase(properties.get("changeFeed")))
 }
 
 private[sources] class ManifestReadTable(
-    path: String, schema: StructType, version: Option[Int])
+    path: String, schema: StructType, version: Option[Int],
+    cdf: Boolean = false)
     extends Table with SupportsRead {
   require(path != null && path.nonEmpty, "option 'path' is required")
   override def name(): String =
-    s"manifest($path${version.map(v => s"@v$v").getOrElse("")})"
+    s"manifest($path${version.map(v => s"@v$v").getOrElse("")}" +
+      (if (cdf) "@changes" else "") + ")"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(path, schema,
-      new SerializableConfiguration(ManifestSink.driverConf()), version)
+      new SerializableConfiguration(ManifestSink.driverConf()), version, cdf)
 }
 
 private[sources] class ManifestScanBuilder(
     path: String, schema: StructType, conf: SerializableConfiguration,
-    version: Option[Int] = None)
+    version: Option[Int] = None, cdf: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -235,6 +244,12 @@ private[sources] class ManifestScanBuilder(
     points = Some(points.fold(vs)(_ intersect vs))
 
   override def build(): Scan = {
+    // change-feed reads bypass the batch machinery entirely: the
+    // stream plans snapshot DIFFS, not head parts (filters stay
+    // residual — Spark re-applies them on the emitted change rows)
+    if (cdf) return new ManifestCdfScan(path,
+      StructType(schema.fields.filterNot(f =>
+        ManifestCdf.MetaNames.contains(f.name))), required, conf)
     // plan against the manifest on the DRIVER: only committed parts,
     // and only those whose key range can intersect [keyLo, keyHi].
     // Null-key rows are safe to skip under a key predicate (three-
@@ -459,6 +474,144 @@ private[sources] class ManifestMicroBatchStream(
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** Change-data-feed plumbing shared by schema inference, the scan and
+  * the readers. */
+private[sources] object ManifestCdf {
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+  val MetaNames: Set[String] = Set(ChangeTypeCol, CommitVersionCol)
+  val MetaFields: Array[StructField] = Array(
+    StructField(ChangeTypeCol, StringType, nullable = false),
+    StructField(CommitVersionCol, LongType, nullable = false))
+}
+
+/** CHANGE DATA FEED over the snapshot log (`option("changeFeed",
+  * "true")` on a streaming read) — the `readChangeFeed` analog: each
+  * micro-batch emits the row-level deltas BETWEEN consecutive
+  * snapshots, tagged `_change_type` ('insert' | 'delete') and
+  * `_commit_version`.
+  *
+  * Granularity is the PART FILE — exactly what the snapshot algebra
+  * records: a version's added parts replay as inserts, its removed
+  * parts replay as deletes. An append therefore feeds pure inserts
+  * (O(new data)); a COW DELETE feeds deletes for every row of each
+  * rewritten part plus inserts for its survivors — a part-level
+  * restatement, the CDF a format without per-commit CDC files can
+  * serve from metadata alone (Delta reads this same shape out of
+  * add/remove actions when no _change_data files exist). Downstream
+  * keyed consumers reconcile restated rows idempotently — the same
+  * contract every upsert sink in this repo already implements.
+  *
+  * Offsets are snapshot versions (shared with the append-only
+  * stream), so checkpointed consumers resume across a COW delete and
+  * receive exactly that commit's changes — ManifestStreamSpec pins
+  * the resume; the oracle-gated q_stream_cdf pins the feed itself. */
+private[sources] class ManifestCdfScan(
+    path: String, baseSchema: StructType, required: StructType,
+    conf: SerializableConfiguration) extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String = s"graft.ManifestCdfScan($path)"
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ManifestChangeFeedStream(path, baseSchema, required, conf)
+}
+
+private[sources] case class ManifestCdfPartition(
+    path: String, changeType: String, version: Int) extends InputPartition
+
+private[sources] class ManifestChangeFeedStream(
+    path: String, baseSchema: StructType, required: StructType,
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class V(v: Int) extends Offset {
+    override def json: String = v.toString
+  }
+
+  override def initialOffset(): Offset = V(0)
+  override def latestOffset(): Offset =
+    V(ManifestSink.listVersions(conf.value, path).lastOption.getOrElse(0))
+  override def deserializeOffset(json: String): Offset = V(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[V].v
+    val e = end.asInstanceOf[V].v
+    // one diff per commit in (s, e]: versions must be replayed
+    // individually so every change row carries ITS commit's version,
+    // even when a trigger spans several commits
+    (s + 1 to e).flatMap { v =>
+      val prev: Map[String, PartMeta] =
+        if (v == 1) Map.empty
+        else ManifestSink.readManifestMeta(conf.value, path, Some(v - 1))
+          .map(m => m.path -> m).toMap
+      val cur = ManifestSink.readManifestMeta(conf.value, path, Some(v))
+      val curPaths = cur.map(_.path).toSet
+      val inserts = cur.filterNot(m => prev.contains(m.path))
+        .map(m => ManifestCdfPartition(m.path, "insert", v))
+      val deletes = prev.valuesIterator.filterNot(m => curPaths(m.path))
+        .map(m => ManifestCdfPartition(m.path, "delete", v)).toSeq
+      inserts ++ deletes
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestCdfReaderFactory(baseSchema, required, conf)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Decodes a part's lines through the BASE schema and appends the
+  * constant change-metadata columns, honoring column pruning (a
+  * pruned-away metadata or data column is never materialized). */
+private[sources] class ManifestCdfReaderFactory(
+    baseSchema: StructType, required: StructType,
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[ManifestCdfPartition]
+    // per required field: Right(meta constant) or Left(base ordinal)
+    val plan: Array[Either[(Int, DataType), Any]] =
+      required.fields.map { f =>
+        if (f.name == ManifestCdf.ChangeTypeCol)
+          Right(UTF8String.fromString(part.changeType))
+        else if (f.name == ManifestCdf.CommitVersionCol)
+          Right(part.version.toLong)
+        else Left((baseSchema.fieldIndex(f.name),
+          baseSchema(f.name).dataType))
+      }
+    new PartitionReader[InternalRow] {
+      private val path = new Path(part.path)
+      private val in = path.getFileSystem(conf.value).open(path)
+      private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      private var current: InternalRow = _
+
+      override def next(): Boolean =
+        if (!lines.hasNext) false
+        else {
+          val cols = lines.next().split(",", -1)
+          val vals = new Array[Any](plan.length)
+          var j = 0
+          while (j < plan.length) {
+            vals(j) = plan(j) match {
+              case Right(const) => const
+              case Left((ord, dt)) =>
+                if (ord >= cols.length) null
+                else ManifestCodec.decode(cols(ord), dt)
+            }
+            j += 1
+          }
+          current = new GenericInternalRow(vals)
+          true
+        }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = in.close()
+    }
+  }
 }
 
 private[sources] class ManifestReaderFactory(

@@ -111,6 +111,57 @@ class ManifestStreamSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() === 1100)
   }
 
+  test("change feed resumes across a COW delete: that commit's deletes + re-inserts only") {
+    // the CDF twin of the append-only COW test above: with
+    // changeFeed=true the stream ALSO emits the removed parts' rows
+    // as deletes, so a checkpointed consumer that resumes after a
+    // COW commit receives the full part-level restatement of exactly
+    // that commit — deletes for every row of the dropped/rewritten
+    // parts, inserts for the rewritten survivors — and nothing from
+    // the untouched parts.
+    import spark.implicits._
+    val wh = freshDir("mstream-cdf")
+    spark.conf.set("spark.sql.catalog.gsc2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsc2.warehouse", wh)
+    val table = s"$wh/ns/t"
+    val sink = freshDir("mstream-cdf-sink")
+    val checkpoint = freshDir("mstream-cdf-ckpt")
+    (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "s")
+      .repartitionByRange(4, col("k"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", table).option("history", "true")
+      .mode("overwrite").save()
+    def drainCdf(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.ManifestSource")
+        .option("path", table).option("changeFeed", "true").load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainCdf()
+    val run1 = spark.read.parquet(sink)
+    assert(run1.count() === 1000)
+    assert(run1.filter(col("_change_type") === "insert" &&
+      col("_commit_version") === 1).count() === 1000,
+      "first drain is pure inserts at v1")
+
+    spark.sql("DELETE FROM gsc2.ns.t WHERE k >= 600")
+    drainCdf()
+    // parts: [0,249] [250,499] untouched — silent; [500,749]
+    // rewritten — 250 deletes + 100 surviving re-inserts; [750,999]
+    // dropped — 250 deletes
+    val v2 = spark.read.parquet(sink).filter(col("_commit_version") === 2)
+    val dels = v2.filter(col("_change_type") === "delete")
+    val ins = v2.filter(col("_change_type") === "insert")
+    assert(dels.count() === 500, "deletes = every row of the 2 removed parts")
+    assert(dels.agg(min(col("k")), max(col("k"))).head.toSeq === Seq(500L, 999L))
+    assert(ins.count() === 100, "inserts = the rewritten part's survivors")
+    assert(ins.agg(min(col("k")), max(col("k"))).head.toSeq === Seq(500L, 599L))
+  }
+
   test("medallion rerun: caught-up adds nothing; a new bronze commit appends only its delta") {
     val bronze = freshDir("medal-bronze")
     val silver = freshDir("medal-silver")
