@@ -362,7 +362,10 @@ ORDER BY event_id""")),
     // ManifestStreamSpec pins the incremental half (a second run on
     // the same checkpoint reads ONLY the newly-committed parts).
     QueryDef("q_stream_manifest_source",
-      (spark, dir) => {
+      (spark0, dir) => {
+        // complete-mode agg = stateful: run at the streaming surface's
+        // pinned stateful parallelism (see Streams.streamSession)
+        val spark = graft.streaming.Streams.streamSession(spark0)
         val t = freshTable(spark, dir, "msrc")
         val base = Tables.orders(spark, dir).select(
           col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
@@ -400,7 +403,8 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
     // one snapshot per micro-batch — queryable, time-travelable, and
     // vacuumable like any manifest table.
     QueryDef("q_stream_medallion",
-      (spark, dir) => {
+      (spark0, dir) => {
+        val spark = graft.streaming.Streams.streamSession(spark0)
         val bronze = freshTable(spark, dir, "medallion-bronze")
         val silver = freshTable(spark, dir, "medallion-silver")
         val base = Tables.orders(spark, dir).select(

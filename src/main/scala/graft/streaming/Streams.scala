@@ -34,6 +34,26 @@ import graft.queries.QueryDef
   */
 object Streams {
 
+  /** Stateful parallelism for the streaming surface. Every stateful
+    * micro-batch pays a per-partition state-store open/commit (a
+    * stream-stream join keeps FOUR stores per partition), so at bench
+    * state sizes (KBs per partition) 32 shuffle partitions are ~32×
+    * pure machinery per batch. Each streaming query runs in a CHILD
+    * session (shared SparkContext, isolated SQLConf) pinned to this
+    * parallelism; results are partitioning-independent (hash-gated),
+    * so the dial is a cost knob, not semantics. At 100 TB state you
+    * raise it — the state-store partition count is fixed by the FIRST
+    * batch and carried in the checkpoint, which is why it's set here
+    * and not inherited from whatever the batch session runs. */
+  val StatefulShufflePartitions = 8
+
+  private[graft] def streamSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      StatefulShufflePartitions.toString)
+    s
+  }
+
   /** events.parquet streamed with the declared storage schema and the
     * same ns→µs conversion the batch loader applies. */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
@@ -63,7 +83,11 @@ object Streams {
   /** Custom per-key state for the stateful latest-wins stream. */
   case class UpsertState(tsUs: Long, eventId: Long, value: Double)
 
-  val all: Seq[QueryDef] = Seq(
+  // lazy: `raw` is initialized below this point in the object body
+  lazy val all: Seq[QueryDef] = raw.map(q =>
+    q.copy(fn = (spark, dir) => q.fn(streamSession(spark), dir)))
+
+  private lazy val raw: Seq[QueryDef] = Seq(
 
     // --- Arbitrary stateful processing: the K2 keyed upsert as
     // flatMapGroupsWithState custom state (the API for semantics the
