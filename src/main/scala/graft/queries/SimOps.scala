@@ -1601,6 +1601,139 @@ SELECT probe_id, vec_id, cell, hamming FROM (
   SELECT *, row_number() OVER (PARTITION BY probe_id
     ORDER BY hamming, vec_id) AS rn FROM s)
 WHERE rn <= 5 ORDER BY probe_id, hamming, vec_id""")),
+
+    // --- INCREMENTAL MinHash near-dup against a COMMITTED band
+    // index — the LSH twin of q_dedup_incremental, and the shape a
+    // 100 TB/day near-dup pipeline actually runs: the historical
+    // corpus is represented by its banded-signature INDEX (one row
+    // per (doc, band): packed band-hash key, band key, signature CSV
+    // — a committed manifest table in a hash layout keyed by the
+    // 64-bit band hash, so probes hit range+bloom pruning), and only
+    // the DELTA is shingled, banded and joined against it. Probes
+    // serve from the IMMUTABLE snapshot v1 (explicit version read —
+    // no checkpoint pinning needed, unlike a head read which would
+    // see the index after the append below); the delta's own band
+    // rows then append as snapshot 2, so tomorrow's batch probes
+    // today's docs without any recompute. The history-side jumbo-
+    // bucket cap (≤ MaxBucket docs per bucket) guards skew exactly
+    // like q_minhash_neardup. Every pair row also carries the
+    // post-append index size, gating the maintenance leg. Exactness:
+    // the whole chain is the md5-derived h64 + affine families both
+    // engines replicate bit-for-bit; the signature survives the CSV
+    // roundtrip losslessly (longs).
+    QueryDef("q_minhash_incremental",
+      (spark, dir) => {
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest((dir + "#mhidx").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val t =
+          s"${spark.conf.get("spark.sql.warehouse.dir")}/graft-mh-idx/$key"
+        val p = new org.apache.hadoop.fs.Path(t)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true) // idempotent reruns
+        // signatures once for the whole corpus shape; the index/delta
+        // split below decides who pays banding + the join
+        val minCols = minhashFamilies(MinhashK).zipWithIndex.map {
+          case ((a, b), i) => min(famHash(col("h"), a, b)).as(s"m$i")
+        }
+        val sigs = shingleRows(spark, dir).groupBy(col("doc_id"))
+          .agg(minCols.head, minCols.tail: _*)
+          .select(col("doc_id"),
+            array((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"))
+          .localCheckpoint()
+        val bandKeys = transform(sequence(lit(0), lit(MinhashBands - 1)),
+          b => concat_ws(",",
+            transform(slice(col("sig"), b * lit(MinhashR) + lit(1),
+              lit(MinhashR)), _.cast("string"))))
+        def banded(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), col("sig"), posexplode(bandKeys))
+          .select(col("doc_id"), col("sig"),
+            col("pos").as("band"), col("col").as("band_key"))
+          .withColumn("bh",
+            OracleHash.h64(concat_ws(":", col("band"), col("band_key"))))
+        def indexRows(df: org.apache.spark.sql.DataFrame) = banded(df)
+          .select(col("bh"), col("doc_id"),
+            col("band").cast("int").as("band"), col("band_key"),
+            concat_ws(",", transform(col("sig"), _.cast("string")))
+              .as("sig_csv"))
+        // snapshot 1: the historical corpus's band index, hash layout
+        indexRows(sigs.filter(col("doc_id") % 3 =!= 0))
+          .repartition(4, col("bh"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", t).option("history", "true")
+          .mode("overwrite").save()
+        val index = spark.read.format("graft.sources.ManifestSource")
+          .option("path", t).option("version", "1").load()
+        val okBuckets = index.groupBy(col("band"), col("band_key"))
+          .agg(count(lit(1)).as("n")).filter(col("n") <= MaxBucket)
+          .select(col("band"), col("band_key"))
+        val delta = banded(sigs.filter(col("doc_id") % 3 === 0))
+        val cand = index
+          .join(okBuckets, Seq("band", "band_key"), "left_semi")
+          .join(broadcast(delta.select(col("doc_id").as("id_b"),
+            col("sig"), col("bh"), col("band"), col("band_key"))),
+            Seq("bh", "band", "band_key"))
+          .select(col("id_b"), col("doc_id").as("id_h"), col("sig"),
+            split(col("sig_csv"), ",").cast("array<long>").as("sig_h"))
+          .withColumn("sig_match", aggregate(zip_with(col("sig"),
+            col("sig_h"), (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v))
+          .groupBy(col("id_b"), col("id_h"))
+          .agg(count(lit(1)).as("n_shared_bands"),
+            min(col("sig_match")).as("m"))
+          .withColumn("est_jaccard",
+            col("m").cast("double") / lit(MinhashK.toDouble))
+        // snapshot 2: ONLY the delta's band rows append
+        indexRows(sigs.filter(col("doc_id") % 3 === 0))
+          .repartition(2, col("bh"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", t).option("history", "true")
+          .mode("append").save()
+        val after = spark.read.format("graft.sources.ManifestSource")
+          .option("path", t).load()
+        cand
+          .crossJoin(broadcast(after.agg(
+            count(lit(1)).as("n_index_after"))))
+          .select(col("id_b"), col("id_h"), col("n_shared_bands"),
+            col("est_jaccard"), col("n_index_after"))
+          .orderBy(col("id_b"), col("id_h"))
+      },
+      Some {
+        val sigMins = minhashFamilies(MinhashK)
+          .map { case (a, b) => s"min(${famHashSql("h", a, b)})" }
+          .mkString(",\n      ")
+        val bandKey = (0 until MinhashR)
+          .map(j => s"sig[$MinhashR * b.band + ${j + 1}]::VARCHAR")
+          .mkString(" || ',' || ")
+        s"""WITH $ShingleCteSql,
+sig AS (
+  SELECT doc_id,
+    [$sigMins] AS sig
+  FROM sh GROUP BY doc_id),
+allb AS (
+  SELECT doc_id, sig, b.band AS band, $bandKey AS band_key
+  FROM sig, (SELECT unnest(generate_series(0, ${MinhashBands - 1})) AS band) b),
+hb AS (SELECT * FROM allb WHERE doc_id % 3 <> 0),
+bb AS (SELECT * FROM allb WHERE doc_id % 3 = 0),
+okh AS (
+  SELECT band, band_key FROM hb GROUP BY band, band_key
+  HAVING count(*) <= $MaxBucket),
+pairs AS (
+  SELECT bb.doc_id AS id_b, hb.doc_id AS id_h,
+    bb.sig AS sig_b, hb.sig AS sig_h
+  FROM bb JOIN hb ON hb.band = bb.band AND hb.band_key = bb.band_key
+  JOIN okh ON okh.band = hb.band AND okh.band_key = hb.band_key),
+cand AS (
+  SELECT id_b, id_h, CAST(count(*) AS BIGINT) AS n_shared_bands,
+    CAST(min(CAST(list_sum(list_transform(generate_series(1, $MinhashK),
+        i -> CASE WHEN sig_b[i] = sig_h[i] THEN 1 ELSE 0 END)) AS INT)) AS DOUBLE)
+      / $MinhashK.0 AS est_jaccard
+  FROM pairs GROUP BY id_b, id_h)
+SELECT id_b, id_h, n_shared_bands, est_jaccard,
+  (SELECT CAST(count(*) AS BIGINT) FROM hb)
+    + (SELECT CAST(count(*) AS BIGINT) FROM bb) AS n_index_after
+FROM cand ORDER BY id_b, id_h"""
+      }),
   )
 
   /** Exact per-(label, dim) coordinate sums on the 1e-6 integer grid
