@@ -33,6 +33,10 @@ class Sf01Spec extends SparkSpec {
     * fresh each round (the newest pairs are the likeliest to hide a
     * magnitude bug). */
   private val newest = Seq(
+    // round 13 wave: index-as-table serving, adaptive skew, CDF,
+    // incremental MinHash
+    "q_ann_index_serve", "q_join_skew_aqe", "q_stream_cdf",
+    "q_minhash_incremental",
     // round 12 vision/warehouse wave (+ the events-storage-drift
     // recovery: these exercise the re-normalized ts read path)
     "q_decode_jpeg", "q_roi_mask", "q_roi_paint", "q_ann_ivf_serve",
