@@ -1479,8 +1479,14 @@ WHERE rn <= 5 ORDER BY probe_id, d2, vec_id""")),
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true) // idempotent reruns
         val emb = Tables.embeddings(spark, dir)
+        // the quantizer is re-scanned by BOTH index builds and the
+        // probe shortlist (3 consumers) — materialize the 10-row
+        // centroid table once instead of re-running the corpus-wide
+        // centroid aggregation per consumer (same reasoning as
+        // q_ann_adc's shared codebook; measured ~2x on this query)
         val cents = centroidArrays(spark, dir)
           .select(col("label").as("cell"), col("centroid"))
+          .localCheckpoint()
         // (cell, vec_id, code) index rows for a corpus slice: cell =
         // nearest label-seeded centroid (exact-decimal d2), code =
         // 63-bit sign word. Computed ONLY over the slice — that is

@@ -162,6 +162,44 @@ class ManifestStreamSpec extends SparkSpec {
     assert(ins.agg(min(col("k")), max(col("k"))).head.toSeq === Seq(500L, 599L))
   }
 
+  test("change feed fails loudly when its range straddles an expired snapshot") {
+    // vacuum/retention interplay: a CDF consumer starting below the
+    // oldest retained snapshot CANNOT silently re-serve the head as
+    // if it were history — the version-diff read must throw the
+    // missing-snapshot error. (Delta's CDF throws the equivalent
+    // "changes no longer available" once the log is truncated.)
+    import spark.implicits._
+    val table = freshDir("mstream-cdf-exp")
+    def commit(lo: Long, hi: Long, mode: String): Unit =
+      (lo until hi).map(i => (i, s"v$i")).toDF("k", "s")
+        .repartition(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", table).option("history", "true")
+        .mode(mode).save()
+    commit(0, 100, "overwrite")  // v1
+    commit(100, 200, "append")   // v2
+    commit(200, 300, "append")   // v3
+    val conf = spark.sessionState.newHadoopConf()
+    graft.sources.ManifestMaintenance.expireSnapshots(conf, table,
+      keepLast = 2, orphanGraceMs = 0L) // v1 gone; v2, v3 retained
+    val ex = intercept[Exception] {
+      val q = spark.readStream
+        .format("graft.sources.ManifestSource")
+        .option("path", table).option("changeFeed", "true").load()
+        .writeStream.format("parquet")
+        .option("path", freshDir("mstream-cdf-exp-sink"))
+        .option("checkpointLocation", freshDir("mstream-cdf-exp-ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("no snapshot 1")),
+      s"expired-history CDF must name the missing snapshot, got $ex")
+  }
+
   test("medallion rerun: caught-up adds nothing; a new bronze commit appends only its delta") {
     val bronze = freshDir("medal-bronze")
     val silver = freshDir("medal-silver")
