@@ -618,5 +618,120 @@ feed AS (
   WHERE event_type IS DISTINCT FROM 'click')
 SELECT _commit_version, _change_type, event_id, event_type
 FROM feed ORDER BY _commit_version, _change_type, event_id""")),
+
+    // --- SQL UPDATE as a group-based copy-on-write row-level
+    // operation (sources/ManifestRowLevel.scala): the predicate rides
+    // a NON-key column, so no metadata fast path applies — Spark's
+    // RewriteUpdateTable plans a ReplaceData over the table's
+    // row-level operation, the rewrite re-emits every surviving row
+    // of the affected parts with the assignment applied, and the
+    // commit swaps exactly the scanned parts in one new snapshot
+    // (time travel intact; RowLevelSpec pins the footprint — a keyed
+    // predicate rewrites ONE part, runtime group filtering). The
+    // oracle restates the final table from raw events with a CASE.
+    QueryDef("q_update_sql",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "updsql")
+        spark.conf.set("spark.sql.catalog.graftupd",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftupd.warehouse", wh)
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .repartitionByRange(8, col("event_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", s"$wh/wh/ev_t").option("history", "true")
+          .mode("overwrite").save()
+        spark.sql(
+          "UPDATE graftupd.wh.ev_t SET value = value + 1.0 " +
+            "WHERE event_type = 'click'")
+        spark.sql(s"""
+          SELECT event_type, count(*) AS n,
+            ${Exact.decSumSql("value", 6).replace("VARCHAR", "STRING")}
+              AS sum_value
+          FROM graftupd.wh.ev_t
+          GROUP BY event_type""")
+          .unionAll(spark.sql(
+            // v1 restated: the pre-update snapshot is untouched
+            s"""SELECT 'v1:' || event_type AS event_type,
+              count(*) AS n,
+              ${Exact.decSumSql("value", 6).replace("VARCHAR", "STRING")}
+                AS sum_value
+            FROM graftupd.wh.ev_t VERSION AS OF 1
+            WHERE event_type = 'click'
+            GROUP BY event_type"""))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, n, sum_value FROM (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+    ${Exact.decSumSql(
+        "CASE WHEN event_type = 'click' THEN value + 1.0 ELSE value END", 6)}
+      AS sum_value
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT 'v1:click', CAST(count(*) AS BIGINT),
+    ${Exact.decSumSql("value", 6)}
+  FROM events WHERE event_type = 'click')
+ORDER BY event_type""")),
+
+    // --- SQL MERGE INTO, the warehouse upsert statement itself
+    // (K2 as DML, not as a hand-built foreachBatch merge): one MERGE
+    // applies update + delete + insert in a single snapshot commit
+    // through the same group-based rewrite as q_update_sql. The
+    // target is the even-key half of orders, the source the
+    // div-by-3 keys (op = DELETE for div-by-9) — so every MERGE
+    // branch fires on real rows. The oracle restates the final
+    // table with joins/CASE (no MERGE needed oracle-side).
+    QueryDef("q_merge_sql",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "mrgsql")
+        spark.conf.set("spark.sql.catalog.graftmrg",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftmrg.warehouse", wh)
+        val base = Tables.orders(spark, dir).select(
+          col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        base.filter(col("k") % 2 === 0)
+          .repartitionByRange(4, col("k"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", s"$wh/wh/ord_t").option("history", "true")
+          .mode("overwrite").save()
+        base.filter(col("k") % 3 === 0)
+          .select(col("k"), col("prio"),
+            (col("price") * 2).as("new_price"),
+            when(col("k") % 9 === 0, lit("D")).otherwise(lit("U")).as("op"))
+          .createOrReplaceTempView("graft_merge_src")
+        spark.sql("""MERGE INTO graftmrg.wh.ord_t t
+          USING graft_merge_src s ON t.k = s.k
+          WHEN MATCHED AND s.op = 'D' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET price = s.new_price
+          WHEN NOT MATCHED AND s.op = 'U' THEN
+            INSERT (k, prio, price) VALUES (s.k, s.prio, s.new_price)""")
+        spark.sql(s"""
+          SELECT prio, count(*) AS n,
+            ${Exact.decSumSql("price", 2).replace("VARCHAR", "STRING")}
+              AS sum_price
+          FROM graftmrg.wh.ord_t
+          GROUP BY prio ORDER BY prio""")
+      },
+      Some(s"""WITH t AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 2 = 0),
+s AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+    o_totalprice * 2 AS new_price,
+    CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM orders WHERE o_orderkey % 3 = 0),
+merged AS (
+  SELECT t.k, t.prio,
+    CASE WHEN s.k IS NOT NULL THEN s.new_price ELSE t.price END AS price
+  FROM t LEFT JOIN s ON s.k = t.k
+  WHERE s.k IS NULL OR s.op <> 'D'
+  UNION ALL
+  SELECT s.k, s.prio, s.new_price
+  FROM s LEFT JOIN t ON t.k = s.k
+  WHERE t.k IS NULL AND s.op = 'U')
+SELECT prio, CAST(count(*) AS BIGINT) AS n,
+  ${Exact.decSumSql("price", 2)} AS sum_price
+FROM merged GROUP BY prio ORDER BY prio""")),
   )
 }

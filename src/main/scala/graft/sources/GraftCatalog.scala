@@ -227,7 +227,30 @@ private[sources] object H64Function extends UnboundFunction {
 private[sources] class GraftCatalogTable(
     ident: Identifier, path: String, tableSchema: StructType)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  import org.apache.spark.sql.connector.write.{RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo}
+
+  /** `_part` — the part-file provenance column (see [[PartMetaColumn]]);
+    * also the group identity the row-level rewrites require. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(PartMetaColumn)
+
+  /** SQL UPDATE / MERGE INTO / non-translatable DELETE land here as
+    * group-based copy-on-write rewrites ([[ManifestRowLevelOp]]).
+    * Stats-decidable DELETEs still take the metadata fast path and
+    * translatable row-level DELETEs the [[ManifestCow]] path — Spark's
+    * OptimizeMetadataOnlyDeleteFromTable consults canDeleteWhere
+    * before falling back to the rewrite, so adding row-level support
+    * widens the DML surface without demoting the cheap paths. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new ManifestRowLevelOp(path, tableSchema, info.command)
+    }
 
   import org.apache.spark.sql.sources.{Filter => V1Filter}
   import org.apache.spark.sql.sources.{EqualTo => FEq, GreaterThan => FGt, GreaterThanOrEqual => FGe, LessThan => FLt, LessThanOrEqual => FLe}

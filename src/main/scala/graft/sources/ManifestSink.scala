@@ -554,6 +554,13 @@ private[sources] class ManifestDataWriter(
   // folded to the row-count-sized filter at commit — see PartBloom
   private val bloom = if (keyIdx >= 0) PartBloom.newBits() else null
 
+  /** Row-level rewrites deliver (metadata, row) pairs; the manifest
+    * writer needs no per-row metadata (the rewrite's replaced-part
+    * accounting lives on the scan side), so the metadata row is
+    * simply dropped. */
+  override def write(metadata: InternalRow, row: InternalRow): Unit =
+    write(row)
+
   override def write(row: InternalRow): Unit = {
     out.write((ManifestCodec.encode(row, schema) + "\n").getBytes("UTF-8"))
     rows += 1

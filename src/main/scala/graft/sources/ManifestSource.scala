@@ -102,7 +102,8 @@ private[sources] class ManifestReadTable(
 
 private[sources] class ManifestScanBuilder(
     path: String, schema: StructType, conf: SerializableConfiguration,
-    version: Option[Int] = None, cdf: Boolean = false)
+    version: Option[Int] = None, cdf: Boolean = false,
+    rowLevelOwner: Option[ManifestRowLevelOp] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -153,7 +154,8 @@ private[sources] class ManifestScanBuilder(
         keyCol.contains(nr.fieldNames.mkString("."))
       case _ => false
     }
-    !sawFilters && a.groupByExpressions.isEmpty &&
+    rowLevelOwner.isEmpty && // a rewrite scan must yield ROWS, never a summary
+      !sawFilters && a.groupByExpressions.isEmpty &&
       a.aggregateExpressions.nonEmpty &&
       a.aggregateExpressions.forall {
         case _: CountStar => true
@@ -278,7 +280,7 @@ private[sources] class ManifestScanBuilder(
           }
         }
         new ManifestScan(kept, schema, required, conf, all.size, limit, keyCol,
-          path)
+          path, rowLevelOwner)
     }
   }
 }
@@ -344,7 +346,8 @@ private[sources] class ManifestScan(
     schema: StructType, required: StructType,
     conf: SerializableConfiguration, totalParts: Int,
     limit: Option[Int] = None, keyCol: Option[String] = None,
-    tablePath: String = "")
+    tablePath: String = "",
+    rowLevelOwner: Option[ManifestRowLevelOp] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -397,8 +400,13 @@ private[sources] class ManifestScan(
     case _ => ()
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    // a row-level rewrite's commit must replace EXACTLY the parts its
+    // scan planned (post static + runtime pruning) — record them on
+    // the shared operation before tasks launch
+    rowLevelOwner.foreach(_.recordScan(parts))
     parts.map(p => ManifestPartition(p.path, p.rows)).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(schema, required.fieldNames, conf,
@@ -621,11 +629,17 @@ private[sources] class ManifestReaderFactory(
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[ManifestPartition]
-    // required-field ordinals into the full written row
-    val ordinals = fields.map(f => schema.fieldIndex(f))
-    val types = ordinals.map(i => schema.fields(i).dataType)
+    // required-field ordinals into the full written row; the `_part`
+    // METADATA column is served as this partition's path constant
+    // (ordinal -1), never decoded from the line
+    val ordinals = fields.map(f =>
+      if (f == PartMetaColumn.Name) -1 else schema.fieldIndex(f))
+    val types = ordinals.map(i =>
+      if (i < 0) org.apache.spark.sql.types.StringType
+      else schema.fields(i).dataType)
     new PartitionReader[InternalRow] {
       private val path = new Path(part.path)
+      private val partConst = UTF8String.fromString(part.path)
       private val in = path.getFileSystem(conf.value).open(path)
       private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       private var current: InternalRow = _
@@ -645,7 +659,8 @@ private[sources] class ManifestReaderFactory(
             // column was added has a shorter line — the missing
             // trailing columns read as NULL, no data rewrite
             vals(j) =
-              if (ordinals(j) >= cols.length) null
+              if (ordinals(j) < 0) partConst
+              else if (ordinals(j) >= cols.length) null
               else ManifestCodec.decode(cols(ordinals(j)), types(j))
             j += 1
           }

@@ -80,7 +80,8 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT * FROM gcs.ns.halfmade").collect() }
   }
 
-  test("DELETE FROM: metadata-only on part-aligned ranges; undecidable deletes rejected") {
+  test("DELETE FROM: metadata-only on part-aligned ranges; COW on straddles; " +
+      "row-level rewrite on untranslatable shapes") {
     wh
     import spark.implicits._
     // range-partitioned layout: each part owns a disjoint key range,
@@ -137,11 +138,12 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM gcs.ns.del").count() === straddle - 1)
     assert(spark.sql("SELECT * FROM gcs.ns.del VERSION AS OF 1").count() === 1000)
 
-    // an untranslatable predicate is still rejected at analysis
-    intercept[Exception] {
-      spark.sql("DELETE FROM gcs.ns.del WHERE k + 1 = 500")
-    }
-    assert(spark.sql("SELECT * FROM gcs.ns.del").count() === straddle - 1)
+    // an untranslatable predicate escalates to the GROUP-BASED
+    // row-level rewrite (RowLevelSpec pins its footprint) — before
+    // SupportsRowLevelOperations this shape was an analysis error
+    spark.sql("DELETE FROM gcs.ns.del WHERE k + 1 = 400")
+    assert(spark.sql("SELECT * FROM gcs.ns.del").count() === straddle - 2)
+    assert(spark.sql("SELECT * FROM gcs.ns.del WHERE k = 399").count() === 0)
   }
 
   test("TIMESTAMP AS OF resolves the newest snapshot at or before the instant") {
