@@ -87,8 +87,14 @@ class ManifestSource extends TableProvider {
 private[sources] class ManifestReadTable(
     path: String, schema: StructType, version: Option[Int],
     cdf: Boolean = false)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   require(path != null && path.nonEmpty, "option 'path' is required")
+  /** `_part` provenance is available on path reads too (not just
+    * catalog tables) — but not on change feeds, whose schema already
+    * carries its own metadata columns. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (cdf) Array.empty else Array(PartMetaColumn)
   override def name(): String =
     s"manifest($path${version.map(v => s"@v$v").getOrElse("")}" +
       (if (cdf) "@changes" else "") + ")"

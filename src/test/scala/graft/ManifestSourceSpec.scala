@@ -153,6 +153,24 @@ class ManifestSourceSpec extends SparkSpec {
     assert(miss.count() === 0)
   }
 
+  test("_part metadata column works on path reads and prunes with the scan") {
+    val target = Files.createTempDirectory("graft-src-prov-").toString
+    writeEvents(target, parts = 8)
+    val conf = spark.sessionState.newHadoopConf()
+    val manifest = graft.sources.ManifestSink.readManifest(conf, target)
+      .map(p => (p._1, p._2)).toMap
+    val byPart = readBack(target).selectExpr("_part")
+      .groupBy(col("_part")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byPart === manifest, "_part must agree with the manifest")
+    // provenance respects pruning: a keyed probe reports parts only
+    // from its pruned plan
+    val minId = Tables.events(spark, Sf0001).agg(min("event_id")).head.getLong(0)
+    val probe = readBack(target).filter(col("event_id") <= minId)
+      .select(col("_part")).distinct().collect()
+    assert(probe.length === 1, "one pruned part serves the point probe")
+  }
+
   test("bloom index prunes point lookups on a hash layout where " +
       "min/max stats cannot") {
     val target = Files.createTempDirectory("graft-src-spec-").toString
