@@ -619,6 +619,61 @@ feed AS (
 SELECT _commit_version, _change_type, event_id, event_type
 FROM feed ORDER BY _commit_version, _change_type, event_id""")),
 
+    // --- MERGE-ON-READ DELETE via deletion vectors
+    // (sources/ManifestMor): the metadata-commit alternative to
+    // q_delete_cow's rewrite — each DELETE flips per-part ordinal
+    // bitmaps and publishes ONE tiny snapshot; data files are never
+    // touched (MorSpec pins the file inventory), every reader masks.
+    // Two sequential deletes exercise the vector MERGE (second
+    // delete ORs into the first's bitmaps), and each snapshot is
+    // restated via time travel, so the gate covers
+    // delete→commit→mask→merge→history in one output. At 100 TB this
+    // is the GDPR-erasure shape: one user's rows across 100k parts =
+    // 100k bitmap updates, zero data rewrites; compaction or any COW
+    // rewrite later clears the vectors naturally.
+    QueryDef("q_delete_mor",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "mor")
+        spark.conf.set("spark.sql.catalog.graftmor",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftmor.warehouse", wh)
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .repartitionByRange(8, col("event_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", s"$wh/wh/ev_t").option("history", "true")
+          .mode("overwrite").save()
+        spark.conf.set("graft.delete.mode", "mor")
+        try {
+          spark.sql("DELETE FROM graftmor.wh.ev_t WHERE event_type = 'click'")
+          spark.sql("DELETE FROM graftmor.wh.ev_t WHERE event_type = 'error'")
+        } finally spark.conf.unset("graft.delete.mode")
+        def agg(version: Option[Int]) = {
+          val v = version.map(n => s" VERSION AS OF $n").getOrElse("")
+          spark.sql(s"""
+            SELECT count(*) AS n,
+              ${Exact.decSumSql("value", 6).replace("VARCHAR", "STRING")}
+                AS sum_value
+            FROM graftmor.wh.ev_t$v""")
+        }
+        agg(None).withColumn("snapshot", lit("head"))
+          .unionAll(agg(Some(2)).withColumn("snapshot", lit("v2")))
+          .unionAll(agg(Some(1)).withColumn("snapshot", lit("v1")))
+          .orderBy(col("snapshot"))
+      },
+      Some(s"""SELECT n, sum_value, snapshot FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    ${Exact.decSumSql("value", 6)} AS sum_value, 'head' AS snapshot
+  FROM events WHERE event_type NOT IN ('click', 'error')
+     OR event_type IS NULL
+  UNION ALL
+  SELECT CAST(count(*) AS BIGINT), ${Exact.decSumSql("value", 6)}, 'v2'
+  FROM events WHERE event_type IS DISTINCT FROM 'click'
+  UNION ALL
+  SELECT CAST(count(*) AS BIGINT), ${Exact.decSumSql("value", 6)}, 'v1'
+  FROM events)
+ORDER BY snapshot""")),
+
     // --- SQL UPDATE as a group-based copy-on-write row-level
     // operation (sources/ManifestRowLevel.scala): the predicate rides
     // a NON-key column, so no metadata fast path applies — Spark's

@@ -233,10 +233,12 @@ private[sources] class GraftCatalogTable(
 
   import org.apache.spark.sql.connector.write.{RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo}
 
-  /** `_part` — the part-file provenance column (see [[PartMetaColumn]]);
-    * also the group identity the row-level rewrites require. */
+  /** `_part`/`_pos` — physical row address (see [[PartMetaColumn]],
+    * [[PosMetaColumn]]); `_part` is also the group identity the
+    * row-level rewrites require, and (`_part`, `_pos`) is what the
+    * merge-on-read DELETE builds its deletion vectors from. */
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(PartMetaColumn)
+    Array(PartMetaColumn, PosMetaColumn)
 
   /** SQL UPDATE / MERGE INTO / non-translatable DELETE land here as
     * group-based copy-on-write rewrites ([[ManifestRowLevelOp]]).
@@ -310,7 +312,14 @@ private[sources] class GraftCatalogTable(
               s"metadata DELETE on $path no longer stats-decidable " +
                 "after a concurrent commit; re-plan (copy-on-write)")),
           strictBase = None)
-      case None => ManifestCow.deleteWhere(path, tableSchema, filters)
+      case None =>
+        // row-level half: copy-on-write rewrite by default, or a
+        // deletion-vector commit under graft.delete.mode=mor — same
+        // answer, opposite cost shape (see ManifestMor's scaladoc)
+        if (ManifestMor.morEnabled(
+            org.apache.spark.sql.SparkSession.active))
+          ManifestMor.deleteWhere(path, tableSchema, filters)
+        else ManifestCow.deleteWhere(path, tableSchema, filters)
     }
 
   override def name(): String = ident.toString

@@ -53,7 +53,7 @@ private[sources] object ManifestCow {
     case _         => false
   }
 
-  private def toColumn(f: Filter): Column = f match {
+  private[sources] def toColumn(f: Filter): Column = f match {
     case EqualTo(c, v)            => col(c) === lit(v)
     case EqualNullSafe(c, v)      => col(c) <=> lit(v)
     case GreaterThan(c, v)        => col(c) > lit(v)

@@ -26,6 +26,19 @@ private[sources] object PartMetaColumn extends MetadataColumn {
     "committed part file this row was read from"
 }
 
+/** `_pos` — the row's ordinal within its part file (line number).
+  * (`_part`, `_pos`) is a stable physical row address: the
+  * merge-on-read DELETE builds its deletion vectors from exactly
+  * these two columns (Delta's `_metadata.row_index` analog). */
+private[sources] object PosMetaColumn extends MetadataColumn {
+  val Name = "_pos"
+  override def name(): String = Name
+  override def dataType(): DataType = org.apache.spark.sql.types.LongType
+  override def isNullable: Boolean = false
+  override def comment(): String =
+    "row ordinal within its part file"
+}
+
 /** GROUP-BASED (copy-on-write) row-level operations for the manifest
   * format — what turns SQL `UPDATE`, `MERGE INTO`, and arbitrary
   * `DELETE` into first-class DML on catalog tables (the Iceberg

@@ -169,17 +169,73 @@ private[sources] object StrBin {
   def max(a: String, b: String): String = if (cmp(a, b) >= 0) a else b
 }
 
+/** DELETION VECTOR codec: a bitmap over a part's row ORDINALS (line
+  * numbers 0..rows-1), hex-encoded in the manifest line — the
+  * merge-on-read DELETE representation (Delta deletion vectors /
+  * Iceberg positional deletes): a delete is a METADATA commit that
+  * flips bits instead of rewriting data files; every reader masks the
+  * flagged ordinals. A production format spills big vectors to side
+  * files (the same note as [[PartBloom]]); inline hex keeps the
+  * sandbox manifest self-contained (8 KiB per 64k-row part, and only
+  * on parts that actually have deletes). */
+private[sources] object DeleteVector {
+  def empty: Array[Long] = Array.empty
+
+  def isDeleted(bits: Array[Long], ordinal: Long): Boolean = {
+    val w = (ordinal >>> 6).toInt
+    w < bits.length && (bits(w) & (1L << (ordinal & 63))) != 0L
+  }
+
+  def popCount(bits: Array[Long]): Long =
+    bits.foldLeft(0L)((acc, w) => acc + java.lang.Long.bitCount(w))
+
+  def fromOrdinals(ordinals: Iterable[Long], rows: Long): Array[Long] = {
+    val bits = new Array[Long]((((rows - 1) >>> 6) + 1).toInt)
+    ordinals.foreach { o =>
+      require(o >= 0 && o < rows, s"ordinal $o outside part of $rows rows")
+      bits((o >>> 6).toInt) |= 1L << (o & 63)
+    }
+    bits
+  }
+
+  /** Bitwise OR — merging a new delete into an existing vector. */
+  def union(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new Array[Long](math.max(a.length, b.length))
+    a.indices.foreach(i => out(i) |= a(i))
+    b.indices.foreach(i => out(i) |= b(i))
+    out
+  }
+
+  /** Ordinals in `next` but not `prev` — the precise row-level CDC
+    * delta a deletion-vector commit produces. */
+  def minus(next: Array[Long], prev: Array[Long]): Array[Long] =
+    next.zipWithIndex.map { case (w, i) =>
+      w & ~(if (i < prev.length) prev(i) else 0L)
+    }
+
+  def toHex(bits: Array[Long]): String = PartBloom.toHex(bits)
+  def fromHex(s: String): Array[Long] = PartBloom.fromHex(s)
+}
+
 /** One committed part's full manifest record. `bloomHex` is "" when
   * the part predates the bloom field or the table has no key column —
   * [[mayContain]] then degrades to the pure range check. `sMin`/`sMax`
   * are binary-collation min/max of the first STRING column (None when
   * the part predates the field, has no string column, or saw only
   * NULLs) — the reader prunes string predicates on them exactly like
-  * the long key range, and None always means "cannot exclude". */
+  * the long key range, and None always means "cannot exclude".
+  * `dvHex` is the part's DELETION VECTOR ("" = nothing deleted);
+  * `rows` stays the PHYSICAL line count — [[visibleRows]] is the
+  * served count, and all other stats become safe OVER-approximations
+  * once a vector exists (pruning may only over-include; exact
+  * metadata answers must consult [[visibleRows]] or decline). */
 private[sources] final case class PartMeta(
     path: String, rows: Long, kMin: Long, kMax: Long, bloomHex: String,
-    sMin: Option[String] = None, sMax: Option[String] = None) {
+    sMin: Option[String] = None, sMax: Option[String] = None,
+    dvHex: String = "") {
   lazy val bloomBits: Array[Long] = PartBloom.fromHex(bloomHex)
+  lazy val dvBits: Array[Long] = DeleteVector.fromHex(dvHex)
+  def visibleRows: Long = rows - DeleteVector.popCount(dvBits)
   def mayContain(v: Long): Boolean =
     v >= kMin && v <= kMax &&
       (bloomBits.isEmpty || PartBloom.mightContain(bloomBits, v))
@@ -251,7 +307,7 @@ object ManifestSink {
       }
       PartMeta(decPath(field("path")), field("rows").toLong,
         field("min").toLong, field("max").toLong, field("bloom"),
-        strField("smin"), strField("smax"))
+        strField("smin"), strField("smax"), field("dv"))
     }
 
   /** The committed table schema (manifest header line), if present. */
@@ -316,9 +372,10 @@ object ManifestSink {
             s""","smin":"${encPath(mn)}","smax":"${encPath(mx)}""""
           case _ => ""
         }
+        val d = if (m.dvHex.isEmpty) "" else s""","dv":"${m.dvHex}""""
         content.append(
           s"""{"path":"${encPath(m.path)}","rows":${m.rows},""" +
-            s""""min":${m.kMin},"max":${m.kMax}$b$s}""").append('\n')
+            s""""min":${m.kMin},"max":${m.kMax}$b$s$d}""").append('\n')
       }
       content.toString.getBytes("UTF-8")
     }

@@ -94,7 +94,7 @@ private[sources] class ManifestReadTable(
     * catalog tables) — but not on change feeds, whose schema already
     * carries its own metadata columns. */
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    if (cdf) Array.empty else Array(PartMetaColumn)
+    if (cdf) Array.empty else Array(PartMetaColumn, PosMetaColumn)
   override def name(): String =
     s"manifest($path${version.map(v => s"@v$v").getOrElse("")}" +
       (if (cdf) "@changes" else "") + ")"
@@ -160,13 +160,19 @@ private[sources] class ManifestScanBuilder(
         keyCol.contains(nr.fieldNames.mkString("."))
       case _ => false
     }
+    // MIN/MAX stats are stale once a deletion vector exists (the
+    // extreme row may be the deleted one) — COUNT stays exact via
+    // visibleRows, so only the extremes force the decline
+    lazy val anyDv = ManifestSink
+      .readManifestMeta(conf.value, path, version)
+      .exists(_.dvHex.nonEmpty)
     rowLevelOwner.isEmpty && // a rewrite scan must yield ROWS, never a summary
       !sawFilters && a.groupByExpressions.isEmpty &&
       a.aggregateExpressions.nonEmpty &&
       a.aggregateExpressions.forall {
         case _: CountStar => true
-        case m: Min       => isKeyRef(m.column)
-        case m: Max       => isKeyRef(m.column)
+        case m: Min       => isKeyRef(m.column) && !anyDv
+        case m: Max       => isKeyRef(m.column) && !anyDv
         case _            => false
       }
   }
@@ -279,10 +285,11 @@ private[sources] class ManifestScanBuilder(
           kept = kept.filter(m => ps.exists(m.mayContain))
         }
         limit.foreach { n =>
-          // keep the shortest part prefix whose row counts cover n
+          // keep the shortest part prefix whose VISIBLE row counts
+          // cover n (deletion vectors shrink what a part can supply)
           var need = n.toLong
           kept = kept.takeWhile { p =>
-            val take = need > 0; need -= p.rows; take
+            val take = need > 0; need -= p.visibleRows; take
           }
         }
         new ManifestScan(kept, schema, required, conf, all.size, limit, keyCol,
@@ -318,7 +325,11 @@ private[sources] class ManifestAggScan(
   private def values: Array[java.lang.Long] = {
     val withKeys = parts.filter(p => p.kMin <= p.kMax)
     funcs.map {
-      case _: CountStar => java.lang.Long.valueOf(parts.map(_.rows).sum)
+      // visibleRows: a deletion vector reduces the served count with
+      // no data rewrite — the metadata COUNT stays EXACT under MOR
+      // deletes (MIN/MAX do not: the extreme row may be deleted, so
+      // canPushAgg declines them whenever any part carries a vector)
+      case _: CountStar => java.lang.Long.valueOf(parts.map(_.visibleRows).sum)
       case _: Min =>
         if (withKeys.isEmpty) null
         else java.lang.Long.valueOf(withKeys.map(_.kMin).min)
@@ -411,7 +422,7 @@ private[sources] class ManifestScan(
     // scan planned (post static + runtime pruning) — record them on
     // the shared operation before tasks launch
     rowLevelOwner.foreach(_.recordScan(parts))
-    parts.map(p => ManifestPartition(p.path, p.rows)).toArray
+    parts.map(p => ManifestPartition(p.path, p.rows, p.dvHex)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -421,14 +432,15 @@ private[sources] class ManifestScan(
   /** Post-pruning stats straight from the manifest — exact row count,
     * width-estimated bytes. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val n = parts.map(_.rows).sum
+    private val n = parts.map(_.visibleRows).sum
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(math.max(1L, n * required.defaultSize))
     override def numRows(): OptionalLong = OptionalLong.of(n)
   }
 }
 
-private[sources] case class ManifestPartition(path: String, rows: Long)
+private[sources] case class ManifestPartition(
+    path: String, rows: Long, dvHex: String = "")
     extends InputPartition
 
 /** Incremental (micro-batch) read over the snapshot log: OFFSETS ARE
@@ -480,7 +492,8 @@ private[sources] class ManifestMicroBatchStream(
       else ManifestSink.readManifestMeta(conf.value, path, Some(s)).map(_.path).toSet
     ManifestSink.readManifestMeta(conf.value, path, Some(e))
       .filterNot(m => before.contains(m.path))
-      .map(m => ManifestPartition(m.path, m.rows): InputPartition).toArray
+      .map(m => ManifestPartition(m.path, m.rows, m.dvHex): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -532,8 +545,15 @@ private[sources] class ManifestCdfScan(
     new ManifestChangeFeedStream(path, baseSchema, required, conf)
 }
 
+/** `maskHex` + `emitOnlyMask` select which line ordinals replay:
+  * `emitOnlyMask=false` emits lines NOT in the mask (the part's
+  * visible rows under a deletion vector), `=true` emits exactly the
+  * lines IN the mask (the newly-deleted ordinals of a vector commit —
+  * precise row-level CDC without reading a single surviving row). */
 private[sources] case class ManifestCdfPartition(
-    path: String, changeType: String, version: Int) extends InputPartition
+    path: String, changeType: String, version: Int,
+    maskHex: String = "", emitOnlyMask: Boolean = false)
+    extends InputPartition
 
 private[sources] class ManifestChangeFeedStream(
     path: String, baseSchema: StructType, required: StructType,
@@ -564,10 +584,24 @@ private[sources] class ManifestChangeFeedStream(
       val cur = ManifestSink.readManifestMeta(conf.value, path, Some(v))
       val curPaths = cur.map(_.path).toSet
       val inserts = cur.filterNot(m => prev.contains(m.path))
-        .map(m => ManifestCdfPartition(m.path, "insert", v))
+        .map(m => ManifestCdfPartition(m.path, "insert", v, m.dvHex))
       val deletes = prev.valuesIterator.filterNot(m => curPaths(m.path))
-        .map(m => ManifestCdfPartition(m.path, "delete", v)).toSeq
-      inserts ++ deletes
+        .map(m => ManifestCdfPartition(m.path, "delete", v, m.dvHex)).toSeq
+      // a retained part whose DELETION VECTOR grew: replay exactly
+      // the newly-flagged ordinals as deletes — true row-level CDC
+      // for merge-on-read deletes, no restatement of survivors
+      val dvDeletes = cur.flatMap { m =>
+        prev.get(m.path) match {
+          case Some(old) if m.dvHex != old.dvHex =>
+            val delta = DeleteVector.minus(
+              DeleteVector.fromHex(m.dvHex), DeleteVector.fromHex(old.dvHex))
+            if (DeleteVector.popCount(delta) == 0) None
+            else Some(ManifestCdfPartition(m.path, "delete", v,
+              DeleteVector.toHex(delta), emitOnlyMask = true))
+          case _ => None
+        }
+      }
+      inserts ++ deletes ++ dvDeletes
     }.toArray
   }
 
@@ -599,28 +633,39 @@ private[sources] class ManifestCdfReaderFactory(
       }
     new PartitionReader[InternalRow] {
       private val path = new Path(part.path)
+      private val mask = DeleteVector.fromHex(part.maskHex)
       private val in = path.getFileSystem(conf.value).open(path)
       private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       private var current: InternalRow = _
+      private var lineNo = -1L
 
-      override def next(): Boolean =
-        if (!lines.hasNext) false
-        else {
-          val cols = lines.next().split(",", -1)
-          val vals = new Array[Any](plan.length)
-          var j = 0
-          while (j < plan.length) {
-            vals(j) = plan(j) match {
-              case Right(const) => const
-              case Left((ord, dt)) =>
-                if (ord >= cols.length) null
-                else ManifestCodec.decode(cols(ord), dt)
-            }
-            j += 1
-          }
-          current = new GenericInternalRow(vals)
-          true
+      override def next(): Boolean = {
+        var line: String = null
+        while (line == null && lines.hasNext) {
+          val candidate = lines.next()
+          lineNo += 1
+          // emitOnlyMask: replay exactly the masked ordinals (a
+          // vector commit's newly-deleted rows); otherwise replay the
+          // VISIBLE rows (mask = the part's deletion vector)
+          val masked = DeleteVector.isDeleted(mask, lineNo)
+          if (if (part.emitOnlyMask) masked else !masked) line = candidate
         }
+        if (line == null) return false
+        val cols = line.split(",", -1)
+        val vals = new Array[Any](plan.length)
+        var j = 0
+        while (j < plan.length) {
+          vals(j) = plan(j) match {
+            case Right(const) => const
+            case Left((ord, dt)) =>
+              if (ord >= cols.length) null
+              else ManifestCodec.decode(cols(ord), dt)
+          }
+          j += 1
+        }
+        current = new GenericInternalRow(vals)
+        true
+      }
 
       override def get(): InternalRow = current
       override def close(): Unit = in.close()
@@ -636,43 +681,59 @@ private[sources] class ManifestReaderFactory(
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[ManifestPartition]
     // required-field ordinals into the full written row; the `_part`
-    // METADATA column is served as this partition's path constant
-    // (ordinal -1), never decoded from the line
-    val ordinals = fields.map(f =>
-      if (f == PartMetaColumn.Name) -1 else schema.fieldIndex(f))
+    // and `_pos` METADATA columns are served from the partition
+    // itself (path constant / line ordinal), never decoded from the
+    // line (sentinels -1 / -2)
+    val ordinals = fields.map {
+      case PartMetaColumn.Name => -1
+      case PosMetaColumn.Name  => -2
+      case f                   => schema.fieldIndex(f)
+    }
     val types = ordinals.map(i =>
       if (i < 0) org.apache.spark.sql.types.StringType
       else schema.fields(i).dataType)
     new PartitionReader[InternalRow] {
       private val path = new Path(part.path)
       private val partConst = UTF8String.fromString(part.path)
+      // merge-on-read: the part's deletion vector masks flagged line
+      // ordinals — data files are never rewritten by a MOR delete
+      private val dv = DeleteVector.fromHex(part.dvHex)
       private val in = path.getFileSystem(conf.value).open(path)
       private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       private var current: InternalRow = _
       private var emitted = 0L
+      private var lineNo = -1L
 
-      override def next(): Boolean =
+      override def next(): Boolean = {
         // a pushed limit caps every partition: one partition can
         // satisfy at most the whole limit, so stop reading past it
-        if (emitted >= rowCap || !lines.hasNext) false
-        else {
-          emitted += 1
-          val cols = lines.next().split(",", -1)
-          val vals = new Array[Any](ordinals.length)
-          var j = 0
-          while (j < ordinals.length) {
-            // additive schema evolution: a part committed before a
-            // column was added has a shorter line — the missing
-            // trailing columns read as NULL, no data rewrite
-            vals(j) =
-              if (ordinals(j) < 0) partConst
-              else if (ordinals(j) >= cols.length) null
-              else ManifestCodec.decode(cols(ordinals(j)), types(j))
-            j += 1
-          }
-          current = new GenericInternalRow(vals)
-          true
+        if (emitted >= rowCap) return false
+        var line: String = null
+        while (line == null && lines.hasNext) {
+          val candidate = lines.next()
+          lineNo += 1
+          if (!DeleteVector.isDeleted(dv, lineNo)) line = candidate
         }
+        if (line == null) return false
+        emitted += 1
+        val cols = line.split(",", -1)
+        val vals = new Array[Any](ordinals.length)
+        var j = 0
+        while (j < ordinals.length) {
+          // additive schema evolution: a part committed before a
+          // column was added has a shorter line — the missing
+          // trailing columns read as NULL, no data rewrite
+          vals(j) = ordinals(j) match {
+            case -1 => partConst
+            case -2 => lineNo
+            case o if o >= cols.length => null
+            case o => ManifestCodec.decode(cols(o), types(j))
+          }
+          j += 1
+        }
+        current = new GenericInternalRow(vals)
+        true
+      }
 
       override def get(): InternalRow = current
       override def close(): Unit = in.close()
