@@ -619,6 +619,58 @@ feed AS (
 SELECT _commit_version, _change_type, event_id, event_type
 FROM feed ORDER BY _commit_version, _change_type, event_id""")),
 
+    // --- CHANGE FEED under MERGE-ON-READ deletes: the same
+    // build→append→delete→feed loop as q_stream_cdf, but the delete
+    // is a DELETION-VECTOR commit — so version 3 replays EXACTLY the
+    // deleted rows as 'delete' changes and nothing else (no survivor
+    // restatement: the vector diff IS the row-level CDC). Comparing
+    // the two oracles side by side states the MOR advantage
+    // precisely: COW v3 = full-part delete+reinsert; MOR v3 = the
+    // matched rows only. At 100 TB that is the difference between a
+    // changelog consumer re-processing rewritten parts and consuming
+    // just the deltas.
+    QueryDef("q_stream_cdf_mor",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "cdfmor")
+        spark.conf.set("spark.sql.catalog.graftcdm",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftcdm.warehouse", wh)
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"))
+        val tbl = s"$wh/wh/ev_t"
+        writeHistory(base.filter(col("event_id") % 2 === 0), tbl, "overwrite")
+        writeHistory(base.filter(col("event_id") % 2 =!= 0), tbl, "append")
+        spark.conf.set("graft.delete.mode", "mor")
+        try spark.sql(
+          "DELETE FROM graftcdm.wh.ev_t WHERE event_type = 'click'")
+        finally spark.conf.unset("graft.delete.mode")
+        val q = spark.readStream
+          .format("graft.sources.ManifestSource")
+          .option("path", tbl).option("changeFeed", "true").load()
+          .writeStream.format("memory").queryName("graft_stream_cdf_mor")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table("graft_stream_cdf_mor")
+          .select(col("_commit_version"), col("_change_type"),
+            col("event_id"), col("event_type"))
+          .orderBy(col("_commit_version"), col("_change_type"),
+            col("event_id"))
+      },
+      Some("""WITH b AS (SELECT event_id, event_type FROM events),
+feed AS (
+  SELECT CAST(1 AS BIGINT) AS _commit_version,
+    'insert' AS _change_type, event_id, event_type
+  FROM b WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT 2, 'insert', event_id, event_type FROM b WHERE event_id % 2 <> 0
+  UNION ALL
+  SELECT 3, 'delete', event_id, event_type FROM b
+  WHERE event_type = 'click')
+SELECT _commit_version, _change_type, event_id, event_type
+FROM feed ORDER BY _commit_version, _change_type, event_id""")),
+
     // --- MERGE-ON-READ DELETE via deletion vectors
     // (sources/ManifestMor): the metadata-commit alternative to
     // q_delete_cow's rewrite — each DELETE flips per-part ordinal
