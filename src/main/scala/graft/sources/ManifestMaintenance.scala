@@ -35,6 +35,64 @@ object ManifestMaintenance {
   final case class ExpireStats(
       versionsExpired: Int, filesDeleted: Int, versionsRetained: Int)
 
+  /** COMPACT DELETION VECTORS — the rewrite-data-files half of
+    * OPTIMIZE, and the back end of the merge-on-read lifecycle
+    * (delete → mask → compact → vacuum): rewrites EXACTLY the parts
+    * carrying a vector (their visible rows copy into fresh parts, the
+    * vectors disappear) and commits one snapshot; vector-free parts
+    * carry forward by reference. After compaction reads stop paying
+    * the per-row mask and the superseded files become vacuumable like
+    * any COW leftovers. The rewrite reads the vectored parts through
+    * the normal masking source (staged temp manifest, the
+    * [[ManifestCow]] pattern), so "visible rows" has exactly one
+    * definition in the codebase. Pinned to the base version
+    * (strictBase): a commit racing the compaction fails IT loudly —
+    * compaction is always safe to retry. Returns the number of parts
+    * rewritten. */
+  def compactVectors(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val conf = ManifestSink.driverConf()
+    val baseVersion = ManifestSink.listVersions(conf, dir)
+      .lastOption.getOrElse(0)
+    val parts =
+      if (baseVersion == 0) ManifestSink.readManifestMeta(conf, dir, None)
+      else ManifestSink.readManifestMeta(conf, dir, Some(baseVersion))
+    val (vectored, clean) = parts.partition(_.dvHex.nonEmpty)
+    if (vectored.isEmpty) return 0
+    val schema = ManifestSink.readSchema(conf, dir,
+      if (baseVersion == 0) None else Some(baseVersion))
+      .getOrElse(throw new IllegalStateException(s"no schema at $dir"))
+    val fs = new Path(dir).getFileSystem(conf)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmpRead = s"$dir/_compact-read-$token"
+    val tmpWrite = s"$dir/_compact-write-$token"
+    try {
+      // stage a manifest over ONLY the vectored parts, vectors
+      // included — the masking read defines the surviving rows
+      ManifestSink.publishSnapshot(conf, tmpRead, schema, vectored,
+        history = false)
+      spark.read.format("graft.sources.ManifestSource")
+        .option("path", tmpRead).load()
+        .write.format("graft.sources.ManifestSink")
+        .option("path", tmpWrite).mode("overwrite").save()
+      val rewritten = ManifestSink.readManifestMeta(conf, tmpWrite, None)
+        .filter(_.rows > 0)
+        .map { p =>
+          val src = new Path(p.path)
+          val dst = new Path(dir, src.getName)
+          if (!fs.rename(src, dst)) throw new java.io.IOException(
+            s"compaction part adoption failed: $src -> $dst")
+          p.copy(path = dst.toString)
+        }
+      ManifestSink.publishRebase(conf, dir, schema, history = true,
+        _ => clean ++ rewritten, strictBase = Some(baseVersion))
+      vectored.size
+    } finally {
+      fs.delete(new Path(tmpRead), true)
+      fs.delete(new Path(tmpWrite), true)
+    }
+  }
+
   /** Default orphan grace: a never-referenced staged file younger than
     * this survives vacuum (Iceberg's remove-orphans defaults to 3 days
     * for the same reason — see below). */

@@ -111,6 +111,37 @@ class MorSpec extends SparkSpec {
     assert(v2.agg(min(col("k")), max(col("k"))).head.toSeq === Seq(600L, 649L))
   }
 
+  test("compactVectors rewrites exactly the vectored parts and clears masks") {
+    val path = mkTable("dvcompact")
+    val before = partFiles(path)
+    withMor {
+      spark.sql("DELETE FROM gmor.ns.dvcompact WHERE k >= 600 AND k < 650")
+      spark.sql("DELETE FROM gmor.ns.dvcompact WHERE k < 10")
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val vectoredBefore = graft.sources.ManifestSink
+      .readManifest(conf, path).size
+    assert(vectoredBefore === 4)
+    val rewritten = graft.sources.ManifestMaintenance
+      .compactVectors(spark, path)
+    assert(rewritten === 2, "exactly the two vectored parts rewrite")
+    // same answer, no vectors left, clean parts carried by reference
+    assert(spark.sql("SELECT count(*) FROM gmor.ns.dvcompact")
+      .head.getLong(0) === 940)
+    // two untouched parts keep their files; two new files appeared
+    assert((partFiles(path) -- before).size === 2)
+    // MIN/MAX metadata fast path is exact again after compaction
+    val mm = spark.sql("SELECT max(k) FROM gmor.ns.dvcompact")
+    assert(mm.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      "metadata extremes come back once vectors are gone")
+    assert(mm.head.getLong(0) === 999)
+    // time travel: pre-compaction snapshot still masks
+    assert(spark.sql("SELECT * FROM gmor.ns.dvcompact VERSION AS OF 3")
+      .count() === 940)
+    assert(spark.sql("SELECT * FROM gmor.ns.dvcompact VERSION AS OF 1")
+      .count() === 1000)
+  }
+
   test("a COW rewrite after MOR reads through the mask and clears the vector") {
     val path = mkTable("dvcow")
     withMor { spark.sql("DELETE FROM gmor.ns.dvcow WHERE k >= 600 AND k < 650") }
