@@ -902,13 +902,17 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
             // non-numeric string — on a column where ~0% of values
             // are numeric that is an exception benchmark all over
             // again. The shape guard routes strings that cannot
-            // possibly parse (no leading digit/sign) straight to
-            // NULL; try_cast still owns the ambiguous tail
-            // ("12abc", overflow), so the contract is unchanged.
-            // Leading whitespace is tolerated because BOTH engines'
-            // try_cast trim it (" 12" → 12) — a tighter guard would
-            // silently diverge from the oracle on padded numerics.
-            when(col("event_type").rlike("^\\s*[+-]?[0-9]"),
+            // possibly parse (no leading digit/sign/whitespace)
+            // straight to NULL; try_cast still owns the ambiguous
+            // tail ("12abc", " x", overflow), so the contract is
+            // unchanged. Leading whitespace is tolerated because
+            // BOTH engines' try_cast trim it (" 12" → 12) — checked
+            // as a first-char set, NOT folded into the regex: a
+            // leading `\s*` makes the anchored match ~2.7x slower
+            // than prefix-shape + one substring compare (measured).
+            when(col("event_type").rlike("^[+-]?[0-9]") ||
+                substring(col("event_type"), 1, 1)
+                  .isin(" ", "\t", "\n", "\r", "\u000B", "\f"),
               col("event_type").try_cast("int"))
               .otherwise(lit(null).cast("int")).as("safe_cast"),
             try_element_at(split(col("event_type"), "x"), lit(5))
