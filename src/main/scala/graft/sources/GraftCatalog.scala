@@ -330,7 +330,9 @@ private[sources] class GraftCatalogTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(path, tableSchema,
-      new SerializableConfiguration(ManifestSink.driverConf()), None)
+      new SerializableConfiguration(ManifestSink.driverConf()), None,
+      startingVersion =
+        Option(options.get("startingVersion")).map(_.toInt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

@@ -103,13 +103,15 @@ private[sources] class ManifestReadTable(
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(path, schema,
-      new SerializableConfiguration(ManifestSink.driverConf()), version, cdf)
+      new SerializableConfiguration(ManifestSink.driverConf()), version, cdf,
+      startingVersion = Option(options.get("startingVersion")).map(_.toInt))
 }
 
 private[sources] class ManifestScanBuilder(
     path: String, schema: StructType, conf: SerializableConfiguration,
     version: Option[Int] = None, cdf: Boolean = false,
-    rowLevelOwner: Option[ManifestRowLevelOp] = None)
+    rowLevelOwner: Option[ManifestRowLevelOp] = None,
+    startingVersion: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -263,7 +265,8 @@ private[sources] class ManifestScanBuilder(
     // residual — Spark re-applies them on the emitted change rows)
     if (cdf) return new ManifestCdfScan(path,
       StructType(schema.fields.filterNot(f =>
-        ManifestCdf.MetaNames.contains(f.name))), required, conf)
+        ManifestCdf.MetaNames.contains(f.name))), required, conf,
+      startingVersion)
     // plan against the manifest on the DRIVER: only committed parts,
     // and only those whose key range can intersect [keyLo, keyHi].
     // Null-key rows are safe to skip under a key predicate (three-
@@ -293,7 +296,7 @@ private[sources] class ManifestScanBuilder(
           }
         }
         new ManifestScan(kept, schema, required, conf, all.size, limit, keyCol,
-          path, rowLevelOwner)
+          path, rowLevelOwner, startingVersion)
     }
   }
 }
@@ -364,7 +367,8 @@ private[sources] class ManifestScan(
     conf: SerializableConfiguration, totalParts: Int,
     limit: Option[Int] = None, keyCol: Option[String] = None,
     tablePath: String = "",
-    rowLevelOwner: Option[ManifestRowLevelOp] = None)
+    rowLevelOwner: Option[ManifestRowLevelOp] = None,
+    startingVersion: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -374,7 +378,8 @@ private[sources] class ManifestScan(
     * line decoder. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ManifestMicroBatchStream(tablePath, schema, required, conf)
+    new ManifestMicroBatchStream(tablePath, schema, required, conf,
+      startingVersion)
 
   // narrowed in place by runtime filters before partition planning
   private var parts: Seq[PartMeta] = initialParts
@@ -467,7 +472,7 @@ private[sources] case class ManifestPartition(
   */
 private[sources] class ManifestMicroBatchStream(
     path: String, schema: StructType, required: StructType,
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration, startingVersion: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -475,8 +480,12 @@ private[sources] class ManifestMicroBatchStream(
     override def json: String = v.toString
   }
 
-  /** Version 0 = "before the first committed snapshot". */
-  override def initialOffset(): Offset = V(0)
+  /** Version 0 = "before the first committed snapshot"; a fresh
+    * consumer with `option("startingVersion", n)` tails from snapshot
+    * n (inclusive) instead of replaying the whole log. Only consulted
+    * when no checkpoint exists; resume always wins. */
+  override def initialOffset(): Offset =
+    V(startingVersion.map(_ - 1).getOrElse(0))
 
   override def latestOffset(): Offset =
     V(ManifestSink.listVersions(conf.value, path).lastOption.getOrElse(0))
@@ -537,12 +546,14 @@ private[sources] object ManifestCdf {
   * the resume; the oracle-gated q_stream_cdf pins the feed itself. */
 private[sources] class ManifestCdfScan(
     path: String, baseSchema: StructType, required: StructType,
-    conf: SerializableConfiguration) extends Scan {
+    conf: SerializableConfiguration,
+    startingVersion: Option[Int] = None) extends Scan {
   override def readSchema(): StructType = required
   override def description(): String = s"graft.ManifestCdfScan($path)"
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ManifestChangeFeedStream(path, baseSchema, required, conf)
+    new ManifestChangeFeedStream(path, baseSchema, required, conf,
+      startingVersion)
 }
 
 /** `maskHex` + `emitOnlyMask` select which line ordinals replay:
@@ -557,7 +568,7 @@ private[sources] case class ManifestCdfPartition(
 
 private[sources] class ManifestChangeFeedStream(
     path: String, baseSchema: StructType, required: StructType,
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration, startingVersion: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -565,7 +576,12 @@ private[sources] class ManifestChangeFeedStream(
     override def json: String = v.toString
   }
 
-  override def initialOffset(): Offset = V(0)
+  /** A fresh consumer replays from `startingVersion` (inclusive) when
+    * set — Delta's readChangeFeed startingVersion: nobody wants a new
+    * dashboard to re-consume a year of history. Only consulted when
+    * no checkpoint exists; resume always wins. */
+  override def initialOffset(): Offset =
+    V(startingVersion.map(_ - 1).getOrElse(0))
   override def latestOffset(): Offset =
     V(ManifestSink.listVersions(conf.value, path).lastOption.getOrElse(0))
   override def deserializeOffset(json: String): Offset = V(json.trim.toInt)
@@ -589,7 +605,11 @@ private[sources] class ManifestChangeFeedStream(
         .map(m => ManifestCdfPartition(m.path, "delete", v, m.dvHex)).toSeq
       // a retained part whose DELETION VECTOR grew: replay exactly
       // the newly-flagged ordinals as deletes — true row-level CDC
-      // for merge-on-read deletes, no restatement of survivors
+      // for merge-on-read deletes, no restatement of survivors.
+      // (A RESTORE that rolls a vector BACK emits nothing for the
+      // un-deleted rows — restore is a head replacement, not a
+      // change event; Delta's CDF has the same blind spot across
+      // RESTORE and documents it identically.)
       val dvDeletes = cur.flatMap { m =>
         prev.get(m.path) match {
           case Some(old) if m.dvHex != old.dvHex =>

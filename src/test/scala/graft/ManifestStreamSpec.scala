@@ -162,6 +162,50 @@ class ManifestStreamSpec extends SparkSpec {
     assert(ins.agg(min(col("k")), max(col("k"))).head.toSeq === Seq(500L, 599L))
   }
 
+  test("startingVersion: a fresh consumer tails from the named snapshot") {
+    import spark.implicits._
+    val table = freshDir("mstream-sv")
+    def commit(lo: Long, hi: Long, mode: String): Unit =
+      (lo until hi).map(i => (i, s"v$i")).toDF("k", "s")
+        .repartition(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", table).option("history", "true")
+        .mode(mode).save()
+    commit(0, 100, "overwrite")  // v1
+    commit(100, 200, "append")   // v2
+    commit(200, 300, "append")   // v3
+    def drain(sink: String, ckpt: String, opts: Map[String, String],
+        cdf: Boolean): Unit = {
+      var r = spark.readStream.format("graft.sources.ManifestSource")
+        .option("path", table)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = (if (cdf) r.option("changeFeed", "true") else r).load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // append stream from v2: only commits 2 and 3 replay
+    val s1 = freshDir("mstream-sv-s1"); val c1 = freshDir("mstream-sv-c1")
+    drain(s1, c1, Map("startingVersion" -> "2"), cdf = false)
+    val got = spark.read.parquet(s1)
+    assert(got.count() === 200)
+    assert(got.agg(min(col("k"))).head.getLong(0) === 100L,
+      "v1's rows must not replay")
+    // change feed from v3: only that commit's inserts, tagged v3
+    val s2 = freshDir("mstream-sv-s2"); val c2 = freshDir("mstream-sv-c2")
+    drain(s2, c2, Map("startingVersion" -> "3"), cdf = true)
+    val feed = spark.read.parquet(s2)
+    assert(feed.count() === 100)
+    assert(feed.select(col("_commit_version")).distinct()
+      .head.getLong(0) === 3L)
+    // resume wins over startingVersion: re-drain on the same
+    // checkpoint with an earlier start replays NOTHING new
+    drain(s2, c2, Map("startingVersion" -> "1"), cdf = true)
+    assert(spark.read.parquet(s2).count() === 100,
+      "an existing checkpoint must override startingVersion")
+  }
+
   test("change feed fails loudly when its range straddles an expired snapshot") {
     // vacuum/retention interplay: a CDF consumer starting below the
     // oldest retained snapshot CANNOT silently re-serve the head as
