@@ -389,6 +389,10 @@ object ManifestSink {
       if (!fs.rename(tmp, target)) { fs.delete(tmp, false); false } else true
     }
     if (!history) {
+      // a plain table has no version log to pin against — silently
+      // ignoring strictBase would void the caller's race guarantee
+      require(strictBase.isEmpty,
+        s"strictBase requires a history table, got plain table at $dir")
       val head = readManifestMeta(conf, path, None)
       if (!write(ManifestFile, render(0, rebase(head)), overwrite = true))
         throw new java.io.IOException(s"cannot publish $dir/$ManifestFile")
