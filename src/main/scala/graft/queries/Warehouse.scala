@@ -619,6 +619,40 @@ feed AS (
 SELECT _commit_version, _change_type, event_id, event_type
 FROM feed ORDER BY _commit_version, _change_type, event_id""")),
 
+    // --- DECLARATIVE CLUSTERED WRITE: `option("clusterBy", "k")` on
+    // the sink makes the TABLE demand a globally sorted distribution
+    // (RequiresDistributionAndOrdering — the Iceberg
+    // write.distribution-mode=range contract), so Spark plans the
+    // range exchange + sort and every committed part owns a disjoint
+    // key range regardless of how scrambled the incoming DataFrame
+    // is. Layout policy lives with the table, not with every writer —
+    // at 100 TB that is one ordered shuffle at ingest buying every
+    // later keyed read its manifest-stats part pruning
+    // (ManifestSinkSpec pins the disjoint ranges + 1-part probe; the
+    // oracle gates that the clustered roundtrip loses nothing).
+    QueryDef("q_clustered_write",
+      (spark, dir) => {
+        val t = freshTable(spark, dir, "cluster")
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .repartition(8, col("event_type")) // deliberately scrambled
+          .write.format("graft.sources.ManifestSink")
+          .option("path", t)
+          .option("clusterBy", "event_id").option("writePartitions", "8")
+          .mode("overwrite").save()
+        spark.read.format("graft.sources.ManifestSource")
+          .option("path", t).load()
+          .filter(col("event_id") >= 2000 && col("event_id") < 4000)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            Exact.decSum(col("value"), 6).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, count(*) AS n,
+  ${Exact.decSumSql("value", 6)} AS sum_value
+FROM events WHERE event_id >= 2000 AND event_id < 4000
+GROUP BY event_type ORDER BY event_type""")),
+
     // --- CHANGE FEED under MERGE-ON-READ deletes: the same
     // build→append→delete→feed loop as q_stream_cdf, but the delete
     // is a DELETION-VECTOR commit — so version 3 replays EXACTLY the

@@ -62,7 +62,9 @@ class ManifestSink extends TableProvider {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new ManifestTable(properties.get("path"), schema,
-      "true".equalsIgnoreCase(properties.get("history")))
+      "true".equalsIgnoreCase(properties.get("history")),
+      Option(properties.get("clusterBy")).filter(_.nonEmpty),
+      Option(properties.get("writePartitions")).map(_.toInt))
 }
 
 /** Per-part bloom filter over the key column, stored hex-encoded in
@@ -475,7 +477,8 @@ object ManifestSink {
 }
 
 private[sources] class ManifestTable(
-    path: String, schema: StructType, history: Boolean)
+    path: String, schema: StructType, history: Boolean,
+    clusterBy: Option[String] = None, writePartitions: Option[Int] = None)
     extends Table with SupportsWrite {
   require(path != null && path.nonEmpty, "option 'path' is required")
   override def name(): String = s"manifest($path)"
@@ -487,12 +490,43 @@ private[sources] class ManifestTable(
     new WriteBuilder with SupportsTruncate {
       private var doTruncate = false
       override def truncate(): WriteBuilder = { doTruncate = true; this }
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          // capture the session conf HERE — newWriteBuilder/build run
-          // on the driver; executors only ever see the serialized copy
-          new ManifestBatchWrite(path, info.schema(), doTruncate, history,
-            new SerializableConfiguration(ManifestSink.driverConf()))
+      override def build(): Write = clusterBy match {
+        case None => new Write {
+          override def toBatch: BatchWrite =
+            // capture the session conf HERE — newWriteBuilder/build run
+            // on the driver; executors only ever see the serialized copy
+            new ManifestBatchWrite(path, info.schema(), doTruncate, history,
+              new SerializableConfiguration(ManifestSink.driverConf()))
+        }
+        case Some(col) =>
+          // DECLARATIVE CLUSTERED WRITE (`option("clusterBy", "k")`
+          // [+ `writePartitions`]): the SINK demands a globally
+          // SORTED distribution on the key, so Spark plans the range
+          // exchange + sort and every committed part owns a disjoint
+          // key range — the stats-prunable layout — without the
+          // caller hand-rolling repartitionByRange. This is the
+          // RequiresDistributionAndOrdering contract Iceberg uses for
+          // its write.distribution-mode=range: layout policy lives
+          // with the TABLE, not with every writer. At 100 TB the
+          // ordered exchange is one extra shuffle at ingest that buys
+          // every later keyed read its part pruning.
+          import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+          import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+          require(info.schema().fieldNames.contains(col),
+            s"clusterBy column '$col' not in write schema " +
+              info.schema().fieldNames.mkString("(", ",", ")"))
+          val order = Array[SortOrder](
+            Expressions.sort(Expressions.column(col), SortDirection.ASCENDING))
+          new Write with RequiresDistributionAndOrdering {
+            override def requiredDistribution(): Distribution =
+              Distributions.ordered(order)
+            override def requiredOrdering(): Array[SortOrder] = order
+            override def requiredNumPartitions(): Int =
+              writePartitions.getOrElse(0) // 0 = planner's choice
+            override def toBatch: BatchWrite =
+              new ManifestBatchWrite(path, info.schema(), doTruncate, history,
+                new SerializableConfiguration(ManifestSink.driverConf()))
+          }
       }
     }
 }

@@ -61,4 +61,48 @@ class ManifestSinkSpec extends SparkSpec {
     assert(onDisk === listed,
       s"disk/manifest divergence: disk=$onDisk manifest=$listed")
   }
+
+  test("clusterBy: the SINK demands the sorted layout; parts own disjoint ranges") {
+    import org.apache.spark.sql.functions._
+    import graft.model.Tables
+    val target = java.nio.file.Files
+      .createTempDirectory("graft-sink-cluster-").toString
+    // deliberately HASH-scrambled input: the layout must come from the
+    // sink's required distribution, not from the caller
+    Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .repartition(7, col("event_type"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", target)
+      .option("clusterBy", "event_id").option("writePartitions", "6")
+      .mode("overwrite").save()
+    val conf = spark.sessionState.newHadoopConf()
+    val parts = graft.sources.ManifestSink.readManifest(conf, target)
+      .sortBy(_._3)
+    assert(parts.size === 6, s"writePartitions must hold: ${parts.size}")
+    // disjoint, ordered key ranges — the stats-prunable layout
+    parts.sliding(2).foreach {
+      case Seq(a, b) => assert(a._4 < b._3,
+        s"ranges must be disjoint: ${a._1}=[${a._3},${a._4}] vs " +
+          s"${b._1}=[${b._3},${b._4}]")
+      case _ => ()
+    }
+    // and the point probe proves it: one planned part
+    val minId = parts.map(_._3).min
+    val probe = spark.read.format("graft.sources.ManifestSource")
+      .option("path", target).load()
+      .filter(col("event_id") === minId)
+    val planned = probe.queryExecution.executedPlan
+      .collectFirst { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+      .get.inputPartitions.length
+    assert(planned === 1, s"clustered layout must prune to 1 part, got $planned")
+    assert(probe.count() >= 1)
+    // a clusterBy column absent from the schema fails loudly
+    intercept[IllegalArgumentException] {
+      Tables.events(spark, Sf0001).select(col("event_id"))
+        .write.format("graft.sources.ManifestSink")
+        .option("path", target).option("clusterBy", "nope")
+        .mode("overwrite").save()
+    }
+  }
 }

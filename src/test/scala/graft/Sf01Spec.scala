@@ -37,7 +37,7 @@ class Sf01Spec extends SparkSpec {
     // incremental MinHash
     "q_ann_index_serve", "q_join_skew_aqe", "q_stream_cdf",
     "q_minhash_incremental", "q_update_sql", "q_merge_sql",
-    "q_delete_mor", "q_stream_cdf_mor",
+    "q_delete_mor", "q_stream_cdf_mor", "q_clustered_write",
     // round 12 vision/warehouse wave (+ the events-storage-drift
     // recovery: these exercise the re-normalized ts read path)
     "q_decode_jpeg", "q_roi_mask", "q_roi_paint", "q_ann_ivf_serve",
