@@ -74,6 +74,13 @@ object Bench {
     // harness reads. (The earlier print + file write still guard
     // against a hang inside stop().)
     println(line)
+    // The full line above is ~15 KB at 224 queries — larger than a
+    // tail-scraping harness's capture window, so a truncated tail sees
+    // an unparseable fragment. Emit a COMPACT summary as the true final
+    // line: same top-level contract (metric/value/unit/sf), no
+    // per-query map (that detail lives in the full line + the file).
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","batch_sec":$batchTotal,"streaming_sec":$streamTotal,"nq":${results.size},"sf":"$sfDir"}"""
+    println(summary)
     System.out.flush()
   }
 }

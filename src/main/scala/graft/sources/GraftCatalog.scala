@@ -241,9 +241,14 @@ private[sources] class GraftCatalogTable(
     Array(PartMetaColumn, PosMetaColumn)
 
   /** SQL UPDATE / MERGE INTO / non-translatable DELETE land here as
-    * group-based copy-on-write rewrites ([[ManifestRowLevelOp]]).
-    * Stats-decidable DELETEs still take the metadata fast path and
-    * translatable row-level DELETEs the [[ManifestCow]] path — Spark's
+    * group-based copy-on-write rewrites ([[ManifestRowLevelOp]]) by
+    * default, or as MERGE-ON-READ deltas ([[ManifestDeltaOp]],
+    * Spark's SupportsDelta) under `graft.delete.mode=mor` — matched
+    * rows become deletion-vector bits + appended row images instead
+    * of part rewrites, the Iceberg-v2/Delta-DV shape for sparse DML
+    * against wide tables. Stats-decidable DELETEs still take the
+    * metadata fast path and translatable row-level DELETEs the
+    * [[ManifestCow]]/[[ManifestMor]] paths — Spark's
     * OptimizeMetadataOnlyDeleteFromTable consults canDeleteWhere
     * before falling back to the rewrite, so adding row-level support
     * widens the DML surface without demoting the cheap paths. */
@@ -251,7 +256,10 @@ private[sources] class GraftCatalogTable(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        new ManifestRowLevelOp(path, tableSchema, info.command)
+        if (ManifestMor.morEnabled(
+            org.apache.spark.sql.SparkSession.active))
+          new ManifestDeltaOp(path, tableSchema, info.command)
+        else new ManifestRowLevelOp(path, tableSchema, info.command)
     }
 
   import org.apache.spark.sql.sources.{Filter => V1Filter}
@@ -331,8 +339,7 @@ private[sources] class GraftCatalogTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(path, tableSchema,
       new SerializableConfiguration(ManifestSink.driverConf()), None,
-      startingVersion =
-        Option(options.get("startingVersion")).map(_.toInt))
+      startingVersion = StreamOptions.startingVersion(options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

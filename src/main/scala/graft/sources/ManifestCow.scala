@@ -120,9 +120,16 @@ private[sources] object ManifestCow {
     val (dropped, affected) = rest.partition(p =>
       pureKeyRange && p.kMin >= lo && p.kMax <= hi)
 
+    // head-aware rebases + footprints from here on: the parts this
+    // delete DROPS or REWRITES are its conflict footprint — a racing
+    // commit touching only other parts (an append, a vector on an
+    // untouched part) composes, because the rebase maps the advanced
+    // head rather than re-rendering the stale base capture
+    val droppedPaths = dropped.map(_.path).toSet
     if (affected.isEmpty) {
       ManifestSink.publishRebase(conf, path, schema, history = true,
-        _ => untouched, strictBase = Some(baseVersion))
+        head => head.filterNot(p => droppedPaths.contains(p.path)),
+        strictBase = Some(baseVersion), footprint = Some(droppedPaths))
       return
     }
     val fs = new Path(path).getFileSystem(conf)
@@ -151,8 +158,10 @@ private[sources] object ManifestCow {
             s"COW part adoption failed: $src -> $dst")
           p.copy(path = dst.toString)
         }
+      val touchedPaths = droppedPaths ++ affected.map(_.path)
       ManifestSink.publishRebase(conf, path, schema, history = true,
-        _ => untouched ++ rewritten, strictBase = Some(baseVersion))
+        head => head.filterNot(p => touchedPaths.contains(p.path)) ++ rewritten,
+        strictBase = Some(baseVersion), footprint = Some(touchedPaths))
       dropped // referenced only by prior snapshots from here on
     } finally {
       fs.delete(new Path(tmpRead), true)

@@ -57,7 +57,7 @@ object ManifestMaintenance {
     val parts =
       if (baseVersion == 0) ManifestSink.readManifestMeta(conf, dir, None)
       else ManifestSink.readManifestMeta(conf, dir, Some(baseVersion))
-    val (vectored, clean) = parts.partition(_.dvHex.nonEmpty)
+    val (vectored, clean) = parts.partition(_.hasDv)
     if (vectored.isEmpty) return 0
     val schema = ManifestSink.readSchema(conf, dir,
       if (baseVersion == 0) None else Some(baseVersion))
@@ -84,8 +84,15 @@ object ManifestMaintenance {
             s"compaction part adoption failed: $src -> $dst")
           p.copy(path = dst.toString)
         }
+      // footprint = the vectored parts this compaction replaces: an
+      // interleaved append (or a delete on a clean part) composes via
+      // the head-aware rebase; one that re-vectored a part mid-
+      // compaction conflicts loudly — compaction is always safe to
+      // retry
+      val vectoredPaths = vectored.map(_.path).toSet
       ManifestSink.publishRebase(conf, dir, schema, history = true,
-        _ => clean ++ rewritten, strictBase = Some(baseVersion))
+        head => head.filterNot(p => vectoredPaths.contains(p.path)) ++ rewritten,
+        strictBase = Some(baseVersion), footprint = Some(vectoredPaths))
       vectored.size
     } finally {
       fs.delete(new Path(tmpRead), true)
@@ -117,6 +124,39 @@ object ManifestMaintenance {
     ManifestSink.publishSnapshot(conf, dir, schema, parts, history = true)
   }
 
+  /** FAST-FORWARD the main line to a branch head — the publish step of
+    * write-audit-publish: a pipeline stages its commits on a branch
+    * (`option("branch", "audit")`), a validation job reads the branch
+    * and runs its quality gates, and only this call makes the audited
+    * snapshot visible to main readers. Metadata-only: the new main
+    * version references the branch head's schema and part list (the
+    * part files were staged in the table directory all along); the
+    * commit rides the normal optimistic claim, so a racing main commit
+    * simply advances the version this publish lands on. Fails loudly
+    * on a branch with no commits — publishing "nothing" silently would
+    * hide a broken staging pipeline. Returns the new main version. */
+  def fastForward(conf: Configuration, dir: String, branch: String): Int = {
+    require(ManifestSink.listBranchVersions(conf, dir, branch).nonEmpty,
+      s"branch '$branch' has no commits at $dir — nothing to publish")
+    val parts = ManifestSink.readBranchMeta(conf, dir, branch)
+    val schema = ManifestSink.readBranchSchema(conf, dir, branch)
+      .getOrElse(throw new IllegalStateException(
+        s"branch '$branch' at $dir has no schema header"))
+    ManifestSink.publishSnapshot(conf, dir, schema, parts, history = true)
+  }
+
+  /** Drop a branch's version files (post-publish cleanup, or abandoning
+    * a failed audit). Data files the branch staged stay until vacuum
+    * decides they are unreferenced. Returns the number of version
+    * files removed. */
+  def dropBranch(conf: Configuration, dir: String, branch: String): Int = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    val versions = ManifestSink.listBranchVersions(conf, dir, branch)
+    versions.count(v => fs.delete(
+      new Path(d, ManifestSink.branchVersionFile(branch, v)), false))
+  }
+
   /** Expire all but the newest `keepLast` snapshot versions at `dir`,
     * then delete every `part-*.csv` no retained manifest references.
     *
@@ -141,15 +181,29 @@ object ManifestMaintenance {
     val (expire, retain) =
       versions.splitAt(math.max(0, versions.length - keepLast))
 
-    // set of data files any retained snapshot (or the head) references
+    // files a snapshot references: its data parts AND any deletion-
+    // vector sidecars its parts point at — a sidecar is as load-
+    // bearing as the part it masks (deleting one un-deletes rows)
+    def refs(metas: Seq[PartMeta]): Seq[String] =
+      metas.flatMap(m =>
+        new Path(m.path).getName +:
+          (if (m.dvRef.isEmpty) Nil else Seq(new Path(m.dvRef).getName)))
+    // set of files any retained snapshot (or the head) references —
+    // plus every live BRANCH head's parts: a staged-but-unpublished
+    // audit branch references files no main snapshot lists yet, and
+    // vacuuming them would corrupt the branch before its publish
+    val branchRefs: Seq[String] =
+      ManifestSink.listBranches(conf, dir).flatMap(b =>
+        ManifestSink.listBranchVersions(conf, dir, b).map(v =>
+          refs(ManifestSink.readBranchMeta(conf, dir, b, Some(v))))).flatten
     val referenced: Set[String] =
-      (retain.map(v => ManifestSink.readManifest(conf, dir, Some(v))) :+
-        ManifestSink.readManifest(conf, dir, None))
-        .flatten.map(p => new Path(p._1).getName).toSet
+      ((retain.map(v => ManifestSink.readManifestMeta(conf, dir, Some(v))) :+
+        ManifestSink.readManifestMeta(conf, dir, None))
+        .flatMap(refs) ++ branchRefs).toSet
     // files the expired snapshots committed — read BEFORE deleting them
     val expiredRefs: Set[String] =
-      expire.flatMap(v => ManifestSink.readManifest(conf, dir, Some(v)))
-        .map(p => new Path(p._1).getName).toSet
+      expire.flatMap(v =>
+        refs(ManifestSink.readManifestMeta(conf, dir, Some(v)))).toSet
 
     expire.foreach(v => fs.delete(new Path(d, ManifestSink.versionFile(v)), false))
 
@@ -157,8 +211,10 @@ object ManifestMaintenance {
     var deleted = 0
     fs.listStatus(d).foreach { st =>
       val name = st.getPath.getName
-      if (name.startsWith("part-") && name.endsWith(".csv") &&
-          !referenced.contains(name) &&
+      val reclaimable =
+        (name.startsWith("part-") && name.endsWith(".csv")) ||
+          (name.startsWith(DeleteVector.SidecarPrefix) && name.endsWith(".hex"))
+      if (reclaimable && !referenced.contains(name) &&
           (expiredRefs.contains(name) ||
             now - st.getModificationTime > orphanGraceMs)) {
         if (fs.delete(st.getPath, false)) deleted += 1

@@ -1,9 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, collect_list, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
 
 /** MERGE-ON-READ DELETE via deletion vectors — the metadata-commit
   * alternative to [[ManifestCow]]'s rewrite (Delta deletion vectors /
@@ -16,24 +17,29 @@ import org.apache.spark.sql.types.StructType
   *  - COW: delete-heavy parts, read-heavy tables — pay the rewrite
   *    once, reads stay mask-free;
   *  - MOR: wide deletes touching many parts sparsely (GDPR erasure of
-  *    one user across 100k parts) — pay O(matched rows) metadata now,
-  *    a small mask check per read later; compaction (`q_sink_compact`
-  *    shape) or any COW rewrite later CLEARS the vectors naturally
-  *    because rewrites read through the masking source.
+  *    one user across 100k parts) — pay O(matched rows) of EXECUTOR
+  *    work now, a small mask check per read later; compaction
+  *    (`q_sink_compact` shape) or any COW rewrite later CLEARS the
+  *    vectors naturally because rewrites read through the masking
+  *    source.
   *
   * Protocol:
   *  1. scan the table through the normal source with the (`_part`,
   *     `_pos`) metadata address, keeping rows where the predicate is
   *     TRUE (the rows to delete — note the polarity: COW keeps
   *     survivors, MOR records victims);
-  *  2. aggregate matched ordinals per part (executor-side; the
-  *     driver sees one bitmap-sized list per AFFECTED part, bounded
-  *     by matched rows — at 100 TB a production format writes DV side
-  *     files from executors and the manifest carries references, the
-  *     same spill note as [[PartBloom]]);
-  *  3. commit one snapshot whose affected parts carry
-  *     `old_dv OR new_dv`, pinned to the base version (strictBase —
-  *     a racing commit fails this delete loudly).
+  *  2. cluster matched ordinals by part and build each part's bitmap
+  *     ON AN EXECUTOR, union it with the part's existing vector, and
+  *     write it as a SIDECAR file next to the data (staged + renamed,
+  *     commit-token-unique name). The driver receives ONE small
+  *     (part, sidecar path, cardinality) row per affected part —
+  *     never the ordinals — so a delete matching billions of rows
+  *     costs the driver the same as one matching ten. This is the
+  *     production-format DV shape (Delta's DV files / Iceberg's
+  *     positional-delete files);
+  *  3. commit one snapshot whose affected parts carry the new sidecar
+  *     reference + cardinality, pinned to the base version
+  *     (strictBase — a racing commit fails this delete loudly).
   *
   * The change feed replays a vector commit as EXACTLY the
   * newly-flagged ordinals ('delete' rows) — precise row-level CDC,
@@ -53,13 +59,13 @@ private[sources] object ManifestMor {
   def deleteWhere(path: String, schema: StructType,
       filters: Array[Filter]): Unit = {
     val spark = SparkSession.active
+    import spark.implicits._
     val conf = ManifestSink.driverConf()
     val baseVersion = ManifestSink.listVersions(conf, path)
       .lastOption.getOrElse(0)
     val parts =
       if (baseVersion == 0) ManifestSink.readManifestMeta(conf, path, None)
       else ManifestSink.readManifestMeta(conf, path, Some(baseVersion))
-    val byPath = parts.map(p => p.path -> p).toMap
 
     // rows to DELETE: predicate TRUE (NULL/FALSE rows survive — same
     // three-valued contract as ManifestCow, opposite polarity)
@@ -73,22 +79,55 @@ private[sources] object ManifestMor {
       .select(col(PartMetaColumn.Name).as("p"), col(PosMetaColumn.Name).as("o"),
         coalesce(pred, lit(false)).as("del"))
       .filter(col("del"))
-      .groupBy(col("p")).agg(collect_list(col("o")).as("ords"))
+      .select(col("p"), col("o")).as[(String, Long)]
+
+    // per part: (physical rows, existing vector representation) — the
+    // executor building part p's bitmap needs all three, broadcast as
+    // a small metadata map (O(parts), never O(rows))
+    val meta = spark.sparkContext.broadcast(
+      parts.map(m => m.path -> (m.rows, m.dvHex, m.dvRef)).toMap)
+    val sconf = new SerializableConfiguration(conf)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tableDir = path
+
+    // groupByKey clusters each part's matched ordinals onto one task;
+    // the task streams them into a fixed-size bitmap (rows/8 bytes),
+    // unions the part's existing vector, writes the sidecar, and
+    // reports only the reference — the collect below is one tiny row
+    // per AFFECTED PART, not per deleted row
+    val updated: Array[(String, String, Long)] = matched
+      .groupByKey(_._1)
+      .mapGroups { (p, it) =>
+        val (rows, oldHex, oldRef) = meta.value.getOrElse(p,
+          throw new IllegalStateException(s"scan reported unknown part $p"))
+        val bits = new Array[Long]((((rows - 1) >>> 6) + 1).toInt)
+        it.foreach { case (_, o) =>
+          require(o >= 0 && o < rows, s"ordinal $o outside part of $rows rows")
+          bits((o >>> 6).toInt) |= 1L << (o & 63)
+        }
+        val old =
+          if (oldRef.nonEmpty) DeleteVector.readRef(sconf.value, oldRef)
+          else DeleteVector.fromHex(oldHex)
+        val mergedBits = DeleteVector.union(bits, old)
+        val name = DeleteVector.SidecarPrefix + token + "-" +
+          new org.apache.hadoop.fs.Path(p).getName + ".hex"
+        val ref = DeleteVector.writeRef(sconf.value, tableDir, name, mergedBits)
+        (p, ref, DeleteVector.popCount(mergedBits))
+      }
       .collect()
 
-    if (matched.isEmpty) return // nothing to delete: no empty commit
-    val updated: Map[String, String] = matched.map { r =>
-      val p = r.getString(0)
-      val meta = byPath.getOrElse(p, throw new IllegalStateException(
-        s"scan reported unknown part $p"))
-      val add = DeleteVector.fromOrdinals(
-        r.getSeq[Long](1), meta.rows)
-      p -> DeleteVector.toHex(DeleteVector.union(meta.dvBits, add))
-    }.toMap
-
+    if (updated.isEmpty) return // nothing to delete: no empty commit
+    val byPart = updated.map { case (p, ref, card) => p -> (ref, card) }.toMap
+    // footprint = the parts whose vectors this delete replaces: the
+    // new sidecars were unioned against the BASE snapshot's vectors,
+    // so a concurrent commit re-vectoring one of them conflicts; a
+    // commit touching only other parts composes through the
+    // head-aware rebase
     ManifestSink.publishRebase(conf, path, schema, history = true,
-      head => head.map(p => updated.get(p.path)
-        .map(dv => p.copy(dvHex = dv)).getOrElse(p)),
-      strictBase = Some(baseVersion))
+      head => head.map(p => byPart.get(p.path)
+        .map { case (ref, card) =>
+          p.copy(dvHex = "", dvRef = ref, dvCard = card)
+        }.getOrElse(p)),
+      strictBase = Some(baseVersion), footprint = Some(byPart.keySet))
   }
 }

@@ -78,14 +78,16 @@ private[sources] class ManifestRowLevelOp(
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
 
   // (scanned parts, base version) recorded by the scan at plan time —
-  // volatile: planInputPartitions runs on a scheduler thread
+  // volatile: planInputPartitions runs on a scheduler thread.
+  // The base version is resolved by ManifestScanBuilder.build() from
+  // the SAME head read that produced the part list — re-reading the
+  // log here (execution time) could observe a commit that landed
+  // after the plan, making strictBase pin the WRONG (newer) version
+  // and silently voiding the lost-update guard.
   @volatile private var scanState: Option[(Seq[PartMeta], Int)] = None
 
-  private[sources] def recordScan(parts: Seq[PartMeta]): Unit = {
-    val base = ManifestSink.listVersions(ManifestSink.driverConf(), path)
-      .lastOption.getOrElse(0)
+  private[sources] def recordScan(parts: Seq[PartMeta], base: Int): Unit =
     scanState = Some((parts, base))
-  }
 
   private[sources] def scannedOrFail: (Seq[PartMeta], Int) =
     scanState.getOrElse(throw new IllegalStateException(
@@ -131,13 +133,17 @@ private[sources] class ManifestReplaceWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val newParts = messages.toSeq.map { case m: PartCommit =>
       PartMeta(m.path, m.rows, m.keyMin, m.keyMax, m.bloom,
-        m.strMin, m.strMax)
+        m.strMin, m.strMax, bytes = m.bytes)
     }.filter(_.rows > 0) // an all-deleted group needs no empty part
     val (replaced, base) = op.scannedOrFail
     val replacedPaths = replaced.map(_.path).toSet
+    // footprint = the scanned (replaced) parts: a concurrent commit
+    // that only touched OTHER parts composes — its parts carry
+    // forward through the head-aware rebase; one that dropped or
+    // re-vectored a scanned part conflicts loudly
     ManifestSink.publishRebase(conf.value, path, schema, history = true,
       head => head.filterNot(p => replacedPaths.contains(p.path)) ++ newParts,
-      strictBase = Some(base))
+      strictBase = Some(base), footprint = Some(replacedPaths))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

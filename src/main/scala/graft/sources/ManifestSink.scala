@@ -64,7 +64,8 @@ class ManifestSink extends TableProvider {
     new ManifestTable(properties.get("path"), schema,
       "true".equalsIgnoreCase(properties.get("history")),
       Option(properties.get("clusterBy")).filter(_.nonEmpty),
-      Option(properties.get("writePartitions")).map(_.toInt))
+      Option(properties.get("writePartitions")).map(_.toInt),
+      Option(properties.get("branch")).filter(_.nonEmpty))
 }
 
 /** Per-part bloom filter over the key column, stored hex-encoded in
@@ -217,6 +218,42 @@ private[sources] object DeleteVector {
 
   def toHex(bits: Array[Long]): String = PartBloom.toHex(bits)
   def fromHex(s: String): Array[Long] = PartBloom.fromHex(s)
+
+  /** Sidecar file prefix — vacuum recognizes vector sidecars by it. */
+  val SidecarPrefix = "dv-"
+
+  /** Write a vector SIDECAR file (hex text) atomically: stage under a
+    * dot-temp name, rename in. Executors call this — the 100 TB MOR
+    * shape is "executors write DV side files, the manifest carries
+    * references", so driver memory never scales with deleted rows.
+    * Returns the sidecar's absolute path. */
+  def writeRef(conf: Configuration, dir: String, name: String,
+      bits: Array[Long]): String = {
+    val target = new Path(dir, name)
+    val fs = target.getFileSystem(conf)
+    val tmp = new Path(dir,
+      s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(toHex(bits).getBytes("UTF-8")) finally out.close()
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target)) throw new java.io.IOException(
+      s"cannot publish deletion-vector sidecar $target")
+    target.toString
+  }
+
+  /** Read a sidecar back into a bitmap. */
+  def readRef(conf: Configuration, ref: String): Array[Long] = {
+    val p = new Path(ref)
+    val in = p.getFileSystem(conf).open(p)
+    val hex = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+    fromHex(hex)
+  }
+
+  /** The one vector resolver every consumer routes through: sidecar
+    * reference if present, else the inline hex. */
+  def load(conf: Configuration, m: PartMeta): Array[Long] =
+    if (m.dvRef.nonEmpty) readRef(conf, m.dvRef) else m.dvBits
 }
 
 /** One committed part's full manifest record. `bloomHex` is "" when
@@ -234,10 +271,19 @@ private[sources] object DeleteVector {
 private[sources] final case class PartMeta(
     path: String, rows: Long, kMin: Long, kMax: Long, bloomHex: String,
     sMin: Option[String] = None, sMax: Option[String] = None,
-    dvHex: String = "") {
+    dvHex: String = "", dvRef: String = "", dvCard: Long = 0L,
+    bytes: Long = 0L) {
   lazy val bloomBits: Array[Long] = PartBloom.fromHex(bloomHex)
   lazy val dvBits: Array[Long] = DeleteVector.fromHex(dvHex)
-  def visibleRows: Long = rows - DeleteVector.popCount(dvBits)
+  /** A vector exists — inline (`dvHex`) or as a SIDECAR file
+    * (`dvRef` + its cached cardinality `dvCard`). The sidecar is the
+    * at-scale shape: executors write the bitmap, the manifest carries
+    * only the reference, and metadata answers (visibleRows) come from
+    * the cardinality without opening the sidecar. */
+  def hasDv: Boolean = dvHex.nonEmpty || dvRef.nonEmpty
+  def dvCount: Long =
+    if (dvRef.nonEmpty) dvCard else DeleteVector.popCount(dvBits)
+  def visibleRows: Long = rows - dvCount
   def mayContain(v: Long): Boolean =
     v >= kMin && v <= kMax &&
       (bloomBits.isEmpty || PartBloom.mightContain(bloomBits, v))
@@ -259,6 +305,19 @@ object ManifestSink {
   /** Immutable snapshot manifest name for version `v` (history mode). */
   def versionFile(v: Int): String = f"_MANIFEST.v$v%05d.json"
   private val VersionRe = """_MANIFEST\.v(\d+)\.json""".r
+
+  /** BRANCH snapshot manifest (write-audit-publish): commits to a
+    * named branch claim `_MANIFEST.<branch>.vNNNNN.json` files — their
+    * own version sequence, invisible to main-head resolution (the main
+    * pattern has no branch segment), sharing the directory and the
+    * part files. A branch forks IMPLICITLY from the main head at its
+    * first commit and costs one JSON file per commit, never a data
+    * copy — the Iceberg named-ref shape. */
+  def branchVersionFile(branch: String, v: Int): String =
+    f"_MANIFEST.$branch%s.v$v%05d.json"
+  private val BranchVersionRe = """_MANIFEST\.([A-Za-z0-9_-]+)\.v(\d+)\.json""".r
+  private[sources] def validBranch(b: String): Boolean =
+    b.nonEmpty && b.forall(c => c.isLetterOrDigit || c == '_' || c == '-')
 
   /** The session Hadoop conf, captured on the driver. This is the ONLY
     * conf constructor in the manifest code paths. */
@@ -291,10 +350,13 @@ object ManifestSink {
   /** Full per-part records including the bloom field. */
   private[sources] def readManifestMeta(conf: Configuration, dir: String,
       version: Option[Int]): Seq[PartMeta] =
+    metaFromLines(manifestLines(conf, dir, version))
+
+  private def metaFromLines(lines: Seq[String]): Seq[PartMeta] =
     // data records are exactly the lines that START with {"path": —
     // a schema header whose DDL happens to contain the literal text
     // "path" (e.g. a column named path) can never be misclassified
-    manifestLines(conf, dir, version).filter(_.startsWith("{\"path\":")).map { line =>
+    lines.filter(_.startsWith("{\"path\":")).map { line =>
       def field(k: String): String = {
         val m = ("\"" + k + "\":\"?([^,\"}]*)\"?").r.findFirstMatchIn(line)
         m.map(_.group(1)).getOrElse("")
@@ -307,9 +369,14 @@ object ManifestSink {
         if (v.isEmpty && !line.contains("\"" + k + "\":")) None
         else Some(decPath(v))
       }
+      val dvRows = field("dvrows")
+      val b = field("bytes")
       PartMeta(decPath(field("path")), field("rows").toLong,
         field("min").toLong, field("max").toLong, field("bloom"),
-        strField("smin"), strField("smax"), field("dv"))
+        strField("smin"), strField("smax"), field("dv"),
+        decPath(field("dvref")),
+        if (dvRows.isEmpty) 0L else dvRows.toLong,
+        if (b.isEmpty) 0L else b.toLong)
     }
 
   /** The committed table schema (manifest header line), if present. */
@@ -321,8 +388,10 @@ object ManifestSink {
     * (additive evolution never rewrites history). */
   def readSchema(conf: Configuration, dir: String,
       version: Option[Int]): Option[StructType] =
-    manifestLines(conf, dir, version)
-      .find(_.startsWith("{\"schema\":"))
+    schemaFromLines(manifestLines(conf, dir, version))
+
+  private def schemaFromLines(lines: Seq[String]): Option[StructType] =
+    lines.find(_.startsWith("{\"schema\":"))
       .map { line =>
         val ddl = line.stripPrefix("{\"schema\":\"").stripSuffix("\"}")
           .replace("\\\"", "\"").replace("\\\\", "\\")
@@ -355,11 +424,33 @@ object ManifestSink {
     * snapshot v and CANNOT be mechanically re-applied (e.g. a
     * copy-on-write rewrite whose part classification is baked into
     * already-written files) — fail loudly if the head is no longer v
-    * rather than publish a half-stale snapshot. */
+    * rather than publish a half-stale snapshot.
+    *
+    * `footprint = Some(paths)` RELAXES strictBase to snapshot-
+    * isolation conflict detection (the Delta/Iceberg commit-conflict
+    * loop): when the head has advanced past the base, the commit may
+    * still proceed IF every part the operation read-and-modified is
+    * provably untouched — listed in the new head with bit-identical
+    * metadata (same stats, same deletion vector). The rebase then
+    * re-applies against the advanced head, carrying the interleaved
+    * commits' parts forward; a footprint part that was dropped,
+    * rewritten, or re-vectored by the interleaved commit conflicts
+    * loudly. Disjoint concurrent DML composes; overlapping DML fails
+    * exactly one side. (Appends that add rows MATCHING the
+    * operation's predicate are NOT conflicts — those rows were not in
+    * the operation's snapshot: snapshot isolation, not
+    * serializability, same as the lakehouse defaults.) */
   private[sources] def publishRebase(conf: Configuration, path: String,
       schema: StructType, history: Boolean,
       rebase: Seq[PartMeta] => Seq[PartMeta],
-      strictBase: Option[Int]): Int = {
+      strictBase: Option[Int],
+      footprint: Option[Set[String]] = None,
+      branch: Option[String] = None): Int = {
+    branch.foreach { b =>
+      require(history, s"branch commits require a history table ($path)")
+      require(validBranch(b), s"invalid branch name '$b' " +
+        "(letters, digits, '_', '-' only)")
+    }
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     val ddl = schema.toDDL.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -375,9 +466,12 @@ object ManifestSink {
           case _ => ""
         }
         val d = if (m.dvHex.isEmpty) "" else s""","dv":"${m.dvHex}""""
+        val r = if (m.dvRef.isEmpty) ""
+          else s""","dvref":"${encPath(m.dvRef)}","dvrows":${m.dvCard}"""
+        val by = if (m.bytes <= 0) "" else s""","bytes":${m.bytes}"""
         content.append(
           s"""{"path":"${encPath(m.path)}","rows":${m.rows},""" +
-            s""""min":${m.kMin},"max":${m.kMax}$b$s$d}""").append('\n')
+            s""""min":${m.kMin},"max":${m.kMax}$b$s$d$r$by}""").append('\n')
       }
       content.toString.getBytes("UTF-8")
     }
@@ -419,23 +513,59 @@ object ManifestSink {
       attempts += 1
       if (attempts > 1000) throw new java.io.IOException(
         s"cannot claim a snapshot version at $dir after $attempts attempts")
-      val latest = listVersions(conf, path).lastOption.getOrElse(0)
-      strictBase.foreach { base =>
-        if (latest != base) throw new java.util.ConcurrentModificationException(
-          s"table $dir advanced from snapshot $base to $latest during an " +
-            "operation that cannot be re-applied; re-plan against the new head")
+      val latest = branch match {
+        case Some(b) => listBranchVersions(conf, path, b).lastOption.getOrElse(0)
+        case None    => listVersions(conf, path).lastOption.getOrElse(0)
       }
-      val head =
-        if (latest == 0) readManifestMeta(conf, path, None)
-        else readManifestMeta(conf, path, Some(latest))
+      // a branch with no commits forks IMPLICITLY from the main head
+      val head = branch match {
+        case Some(b) =>
+          if (latest == 0) readManifestMeta(conf, path, None)
+          else readBranchMeta(conf, path, b, Some(latest))
+        case None =>
+          if (latest == 0) readManifestMeta(conf, path, None)
+          else readManifestMeta(conf, path, Some(latest))
+      }
+      strictBase.foreach { base =>
+        if (latest != base) footprint match {
+          case None => throw new java.util.ConcurrentModificationException(
+            s"table $dir advanced from snapshot $base to $latest during an " +
+              "operation that cannot be re-applied; re-plan against the new head")
+          case Some(touched) =>
+            // conflict check: every touched part must survive into the
+            // advanced head BIT-IDENTICAL to the base snapshot's record
+            def metaAt(v: Int): Seq[PartMeta] = branch match {
+              case Some(b) if v > 0 => readBranchMeta(conf, path, b, Some(v))
+              case _ =>
+                if (v == 0) readManifestMeta(conf, path, None)
+                else readManifestMeta(conf, path, Some(v))
+            }
+            val baseParts = metaAt(base).map(m => m.path -> m).toMap
+            val headParts = head.map(m => m.path -> m).toMap
+            val conflicted = touched.filter(p =>
+              !headParts.get(p).exists(baseParts.get(p).contains(_)))
+            if (conflicted.nonEmpty)
+              throw new java.util.ConcurrentModificationException(
+                s"table $dir advanced from snapshot $base to $latest and a " +
+                  s"concurrent commit touched ${conflicted.size} part(s) this " +
+                  s"operation read-and-modified (${conflicted.take(3).mkString(", ")}" +
+                  s"${if (conflicted.size > 3) ", …" else ""}); re-plan " +
+                  "against the new head")
+        }
+      }
       val parts = rebase(head)
       val version = latest + 1
-      if (write(versionFile(version), render(version, parts), overwrite = false)) {
+      val claim = branch.map(branchVersionFile(_, version))
+        .getOrElse(versionFile(version))
+      if (write(claim, render(version, parts), overwrite = false)) {
         committed = version
         finalParts = parts
       }
     }
-    write(ManifestFile, render(committed, finalParts), overwrite = true)
+    // the rewritable head POINTER tracks only the MAIN line; branch
+    // heads resolve purely from their newest version file
+    if (branch.isEmpty)
+      write(ManifestFile, render(committed, finalParts), overwrite = true)
     committed
   }
 
@@ -450,8 +580,30 @@ object ManifestSink {
     }.sorted
   }
 
+  /** Committed versions of a named BRANCH at `dir`, ascending. */
+  def listBranchVersions(conf: Configuration, dir: String,
+      branch: String): Seq[Int] = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) return Seq.empty
+    fs.listStatus(d).toSeq.map(_.getPath.getName).collect {
+      case BranchVersionRe(b, v) if b == branch => v.toInt
+    }.sorted
+  }
+
+  /** All branch names with at least one committed snapshot at `dir`. */
+  def listBranches(conf: Configuration, dir: String): Seq[String] = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) return Seq.empty
+    fs.listStatus(d).toSeq.map(_.getPath.getName).collect {
+      case BranchVersionRe(b, _) => b
+    }.distinct.sorted
+  }
+
   private def manifestLines(conf: Configuration, dir: String,
-      version: Option[Int] = None): Seq[String] = {
+      version: Option[Int] = None,
+      branch: Option[String] = None): Seq[String] = {
     // HEAD of a history table = the NEWEST immutable version file,
     // not the rewritable head pointer: version files are claimed
     // exclusively at commit (publishSnapshot), so this resolution is
@@ -459,14 +611,26 @@ object ManifestSink {
     // between the claim and the pointer rewrite. The unversioned
     // _MANIFEST.json remains authoritative only for plain
     // (non-history) tables, where it is the sole commit point.
-    val resolved: Option[Int] = version.orElse(
-      listVersions(conf, dir).lastOption)
-    val p = new Path(dir, resolved.map(versionFile).getOrElse(ManifestFile))
+    // A BRANCH head is the newest branch version file; a branch with
+    // no commits yet has not diverged and reads as the main head.
+    val name: Option[String] = branch match {
+      case Some(b) =>
+        val bv = version.orElse(listBranchVersions(conf, dir, b).lastOption)
+        bv match {
+          case Some(v) => Some(branchVersionFile(b, v))
+          case None    => listVersions(conf, dir).lastOption.map(versionFile)
+        }
+      case None =>
+        version.orElse(listVersions(conf, dir).lastOption).map(versionFile)
+    }
+    val p = new Path(dir, name.getOrElse(ManifestFile))
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) {
       if (version.isDefined) throw new IllegalArgumentException(
-        s"no snapshot ${version.get} at $dir (committed versions: " +
-          s"${listVersions(conf, dir).mkString(",")})")
+        s"no snapshot ${version.get}${branch.map(b => s" on branch $b")
+          .getOrElse("")} at $dir (committed versions: " +
+          s"${branch.map(listBranchVersions(conf, dir, _))
+            .getOrElse(listVersions(conf, dir)).mkString(",")})")
       return Seq.empty
     }
     val in = fs.open(p)
@@ -474,11 +638,22 @@ object ManifestSink {
     finally in.close()
     text.linesIterator.filter(_.nonEmpty).toSeq
   }
+
+  /** Branch-head reads (write-audit-publish): the branch's part list
+    * and schema — main-head fallback while the branch has no commits. */
+  private[sources] def readBranchMeta(conf: Configuration, dir: String,
+      branch: String, version: Option[Int] = None): Seq[PartMeta] =
+    metaFromLines(manifestLines(conf, dir, version, Some(branch)))
+
+  def readBranchSchema(conf: Configuration, dir: String,
+      branch: String): Option[StructType] =
+    schemaFromLines(manifestLines(conf, dir, None, Some(branch)))
 }
 
 private[sources] class ManifestTable(
     path: String, schema: StructType, history: Boolean,
-    clusterBy: Option[String] = None, writePartitions: Option[Int] = None)
+    clusterBy: Option[String] = None, writePartitions: Option[Int] = None,
+    branch: Option[String] = None)
     extends Table with SupportsWrite {
   require(path != null && path.nonEmpty, "option 'path' is required")
   override def name(): String = s"manifest($path)"
@@ -496,7 +671,7 @@ private[sources] class ManifestTable(
             // capture the session conf HERE — newWriteBuilder/build run
             // on the driver; executors only ever see the serialized copy
             new ManifestBatchWrite(path, info.schema(), doTruncate, history,
-              new SerializableConfiguration(ManifestSink.driverConf()))
+              new SerializableConfiguration(ManifestSink.driverConf()), branch)
         }
         case Some(col) =>
           // DECLARATIVE CLUSTERED WRITE (`option("clusterBy", "k")`
@@ -525,7 +700,7 @@ private[sources] class ManifestTable(
               writePartitions.getOrElse(0) // 0 = planner's choice
             override def toBatch: BatchWrite =
               new ManifestBatchWrite(path, info.schema(), doTruncate, history,
-                new SerializableConfiguration(ManifestSink.driverConf()))
+                new SerializableConfiguration(ManifestSink.driverConf()), branch)
           }
       }
     }
@@ -561,7 +736,8 @@ private[sources] class ManifestTable(
   * invariant snapshot isolation rests on. */
 private[sources] class ManifestBatchWrite(
     path: String, schema: StructType, truncate: Boolean, history: Boolean,
-    conf: SerializableConfiguration) extends BatchWrite {
+    conf: SerializableConfiguration, branch: Option[String] = None)
+    extends BatchWrite {
 
   private val token = java.util.UUID.randomUUID().toString.take(8)
 
@@ -578,8 +754,12 @@ private[sources] class ManifestBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // append: check the schema only evolved additively (name+type
-    // prefix match) before carrying the head's parts forward
-    if (!truncate) ManifestSink.readSchema(conf.value, path).foreach { old =>
+    // prefix match) before carrying the head's parts forward — for a
+    // branch commit, against the BRANCH head's schema
+    if (!truncate) branch
+      .map(b => ManifestSink.readBranchSchema(conf.value, path, b))
+      .getOrElse(ManifestSink.readSchema(conf.value, path))
+      .foreach { old =>
       val prefixOk = old.fields.length <= schema.fields.length &&
         old.fields.zip(schema.fields).forall { case (a, b) =>
           a.name == b.name && a.dataType == b.dataType
@@ -590,7 +770,7 @@ private[sources] class ManifestBatchWrite(
     }
     val newParts = messages.toSeq.map { case m: PartCommit =>
       PartMeta(m.path, m.rows, m.keyMin, m.keyMax, m.bloom,
-        m.strMin, m.strMax)
+        m.strMin, m.strMax, bytes = m.bytes)
     }
     // The prior part list is NOT captured here: it is re-read from the
     // head inside the commit loop on every claim attempt, so an append
@@ -598,7 +778,7 @@ private[sources] class ManifestBatchWrite(
     // whatever actually won — never dropping the winner's parts.
     ManifestSink.publishRebase(conf.value, path, schema, history,
       head => (if (truncate) Seq.empty else head) ++ newParts,
-      strictBase = None)
+      strictBase = None, branch = branch)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -610,10 +790,14 @@ private[sources] class ManifestBatchWrite(
   }
 }
 
-/** Per-task statistics carried back to the driver at commit. */
+/** Per-task statistics carried back to the driver at commit.
+  * `bytes` is the part file's exact on-disk size — the planner-facing
+  * size statistic (estimateStatistics) that lets a pruned scan report
+  * its true residual footprint instead of a width guess. */
 private[sources] case class PartCommit(
     path: String, rows: Long, keyMin: Long, keyMax: Long, bloom: String,
-    strMin: Option[String] = None, strMax: Option[String] = None)
+    strMin: Option[String] = None, strMax: Option[String] = None,
+    bytes: Long = 0L)
     extends WriterCommitMessage
 
 private[sources] class ManifestWriterFactory(
@@ -638,6 +822,7 @@ private[sources] class ManifestDataWriter(
   private val strIdx = schema.fields.indexWhere(
     _.dataType == org.apache.spark.sql.types.StringType)
   private var rows = 0L
+  private var bytes = 0L
   private var kMin = Long.MaxValue
   private var kMax = Long.MinValue
   // min/max of the first string column in UTF8 BINARY order (the
@@ -657,8 +842,10 @@ private[sources] class ManifestDataWriter(
     write(row)
 
   override def write(row: InternalRow): Unit = {
-    out.write((ManifestCodec.encode(row, schema) + "\n").getBytes("UTF-8"))
+    val line = (ManifestCodec.encode(row, schema) + "\n").getBytes("UTF-8")
+    out.write(line)
     rows += 1
+    bytes += line.length
     if (keyIdx >= 0 && !row.isNullAt(keyIdx)) {
       val k = row.getLong(keyIdx)
       if (k < kMin) kMin = k
@@ -678,7 +865,7 @@ private[sources] class ManifestDataWriter(
       if (bloom == null || kMin > kMax) "" // no key column / no non-null keys
       else PartBloom.toHex(PartBloom.shrinkFor(bloom, rows))
     PartCommit(file.toString, rows, kMin, kMax, hex,
-      Option(sMin).map(_.toString), Option(sMax).map(_.toString))
+      Option(sMin).map(_.toString), Option(sMax).map(_.toString), bytes)
   }
 
   override def abort(): Unit = {

@@ -64,10 +64,18 @@ class ManifestSource extends TableProvider {
     // part list from that immutable snapshot manifest — each snapshot
     // carries its own schema, so reading v1 after an additive
     // evolution still yields v1's (narrower) schema.
+    // BRANCH: `option("branch", name)` resolves the branch head (the
+    // write-audit-publish staging line; main-head fallback while the
+    // branch has no commits).
     val version = Option(options.get("version")).map(_.toInt)
-    val base = ManifestSink.readSchema(
-      ManifestSink.driverConf(), path, version).getOrElse(
-      throw new IllegalArgumentException(
+    val branch = Option(options.get("branch")).filter(_.nonEmpty)
+    require(branch.isEmpty || version.isEmpty,
+      "options 'branch' and 'version' are mutually exclusive")
+    val base = branch
+      .map(b => ManifestSink.readBranchSchema(ManifestSink.driverConf(), path, b))
+      .getOrElse(
+        ManifestSink.readSchema(ManifestSink.driverConf(), path, version))
+      .getOrElse(throw new IllegalArgumentException(
         s"no committed manifest (with schema header) at $path"))
     // CHANGE FEED: `option("changeFeed", "true")` widens the schema
     // with the change metadata columns — the readChangeFeed shape
@@ -81,15 +89,19 @@ class ManifestSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new ManifestReadTable(properties.get("path"), schema,
       Option(properties.get("version")).map(_.toInt),
-      "true".equalsIgnoreCase(properties.get("changeFeed")))
+      "true".equalsIgnoreCase(properties.get("changeFeed")),
+      Option(properties.get("branch")).filter(_.nonEmpty))
 }
 
 private[sources] class ManifestReadTable(
     path: String, schema: StructType, version: Option[Int],
-    cdf: Boolean = false)
+    cdf: Boolean = false, branch: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   require(path != null && path.nonEmpty, "option 'path' is required")
+  require(branch.isEmpty || !cdf,
+    "the change feed follows the MAIN snapshot line; 'branch' and " +
+      "'changeFeed' are mutually exclusive")
   /** `_part` provenance is available on path reads too (not just
     * catalog tables) — but not on change feeds, whose schema already
     * carries its own metadata columns. */
@@ -97,6 +109,7 @@ private[sources] class ManifestReadTable(
     if (cdf) Array.empty else Array(PartMetaColumn, PosMetaColumn)
   override def name(): String =
     s"manifest($path${version.map(v => s"@v$v").getOrElse("")}" +
+      branch.map(b => s"@$b").getOrElse("") +
       (if (cdf) "@changes" else "") + ")"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
@@ -104,14 +117,16 @@ private[sources] class ManifestReadTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(path, schema,
       new SerializableConfiguration(ManifestSink.driverConf()), version, cdf,
-      startingVersion = Option(options.get("startingVersion")).map(_.toInt))
+      startingVersion = StreamOptions.startingVersion(options),
+      branch = branch)
 }
 
 private[sources] class ManifestScanBuilder(
     path: String, schema: StructType, conf: SerializableConfiguration,
     version: Option[Int] = None, cdf: Boolean = false,
     rowLevelOwner: Option[ManifestRowLevelOp] = None,
-    startingVersion: Option[Int] = None)
+    startingVersion: Option[Int] = None,
+    branch: Option[String] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -167,7 +182,7 @@ private[sources] class ManifestScanBuilder(
     // visibleRows, so only the extremes force the decline
     lazy val anyDv = ManifestSink
       .readManifestMeta(conf.value, path, version)
-      .exists(_.dvHex.nonEmpty)
+      .exists(_.hasDv)
     rowLevelOwner.isEmpty && // a rewrite scan must yield ROWS, never a summary
       !sawFilters && a.groupByExpressions.isEmpty &&
       a.aggregateExpressions.nonEmpty &&
@@ -274,7 +289,26 @@ private[sources] class ManifestScanBuilder(
     // part whose keys are all NULL carries the (MaxValue, MinValue)
     // sentinel, so any real bound prunes it; with no pushed bounds
     // nothing is pruned.
-    val all = ManifestSink.readManifestMeta(conf.value, path, version)
+    //
+    // The head version is resolved HERE and the meta read PINNED to
+    // it, so the (part list, base version) pair a row-level rewrite
+    // records is one consistent snapshot — resolving the version at
+    // execution time could capture a commit that landed after this
+    // plan and void the strictBase lost-update guard.
+    val (all, baseVersion) = branch match {
+      case Some(b) => (ManifestSink.readBranchMeta(conf.value, path, b), 0)
+      case None => version match {
+        case Some(v) =>
+          (ManifestSink.readManifestMeta(conf.value, path, version), v)
+        case None =>
+          val latest = ManifestSink.listVersions(conf.value, path)
+            .lastOption.getOrElse(0)
+          val meta =
+            if (latest == 0) ManifestSink.readManifestMeta(conf.value, path, None)
+            else ManifestSink.readManifestMeta(conf.value, path, Some(latest))
+          (meta, latest)
+      }
+    }
     aggFuncs match {
       case Some(fs) => new ManifestAggScan(all, fs)
       case None =>
@@ -296,7 +330,7 @@ private[sources] class ManifestScanBuilder(
           }
         }
         new ManifestScan(kept, schema, required, conf, all.size, limit, keyCol,
-          path, rowLevelOwner, startingVersion)
+          path, rowLevelOwner, startingVersion, baseVersion)
     }
   }
 }
@@ -368,7 +402,8 @@ private[sources] class ManifestScan(
     limit: Option[Int] = None, keyCol: Option[String] = None,
     tablePath: String = "",
     rowLevelOwner: Option[ManifestRowLevelOp] = None,
-    startingVersion: Option[Int] = None)
+    startingVersion: Option[Int] = None,
+    baseVersion: Int = 0)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -425,27 +460,46 @@ private[sources] class ManifestScan(
   override def planInputPartitions(): Array[InputPartition] = {
     // a row-level rewrite's commit must replace EXACTLY the parts its
     // scan planned (post static + runtime pruning) — record them on
-    // the shared operation before tasks launch
-    rowLevelOwner.foreach(_.recordScan(parts))
-    parts.map(p => ManifestPartition(p.path, p.rows, p.dvHex)).toArray
+    // the shared operation before tasks launch, paired with the base
+    // version the part list was read at (same head read, see build())
+    rowLevelOwner.foreach(_.recordScan(parts, baseVersion))
+    parts.map(p => ManifestPartition(p.path, p.rows, p.dvHex, p.dvRef)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(schema, required.fieldNames, conf,
       limit.map(_.toLong).getOrElse(Long.MaxValue))
 
-  /** Post-pruning stats straight from the manifest — exact row count,
-    * width-estimated bytes. */
+  /** Post-pruning stats straight from the manifest — exact row count;
+    * bytes from the parts' TRUE on-disk sizes (committed with each
+    * part), scaled by the projected-column fraction and the visible
+    * fraction under deletion vectors. This is what lets the planner
+    * flip a pruned fact scan to the BROADCAST side of a join purely
+    * from manifest metadata: a predicate that prunes 100k parts down
+    * to three reports three parts' bytes, not a table-wide width
+    * guess (ScaleSpec pins the SMJ→BHJ flip). Parts predating the
+    * bytes field fall back to the width estimate — over-estimating
+    * never breaks a plan, it only declines the broadcast. */
   override def estimateStatistics(): Statistics = new Statistics {
     private val n = parts.map(_.visibleRows).sum
-    override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(math.max(1L, n * required.defaultSize))
+    private val colFraction =
+      math.min(1.0, required.defaultSize.toDouble /
+        math.max(1, schema.defaultSize))
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(1L,
+      parts.map { p =>
+        if (p.bytes > 0)
+          (p.bytes * colFraction *
+            (p.visibleRows.toDouble / math.max(1L, p.rows))).toLong
+        else p.visibleRows * required.defaultSize
+      }.sum))
     override def numRows(): OptionalLong = OptionalLong.of(n)
   }
 }
 
+/** `dvRef` (sidecar path) wins over inline `dvHex` when both could
+  * exist — the reader resolves through [[DeleteVector.load]]'s rule. */
 private[sources] case class ManifestPartition(
-    path: String, rows: Long, dvHex: String = "")
+    path: String, rows: Long, dvHex: String = "", dvRef: String = "")
     extends InputPartition
 
 /** Incremental (micro-batch) read over the snapshot log: OFFSETS ARE
@@ -501,7 +555,8 @@ private[sources] class ManifestMicroBatchStream(
       else ManifestSink.readManifestMeta(conf.value, path, Some(s)).map(_.path).toSet
     ManifestSink.readManifestMeta(conf.value, path, Some(e))
       .filterNot(m => before.contains(m.path))
-      .map(m => ManifestPartition(m.path, m.rows, m.dvHex): InputPartition)
+      .map(m =>
+        ManifestPartition(m.path, m.rows, m.dvHex, m.dvRef): InputPartition)
       .toArray
   }
 
@@ -510,6 +565,21 @@ private[sources] class ManifestMicroBatchStream(
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** Option parsing shared by the path table and the catalog table:
+  * `startingVersion` maps to initial offset startingVersion-1, so 0
+  * (or a negative) would plan readManifestMeta(Some(-1)) on the first
+  * trigger and surface as a raw FileNotFoundException — validate at
+  * PARSE time with a message that names the option instead. */
+private[sources] object StreamOptions {
+  def startingVersion(options: CaseInsensitiveStringMap): Option[Int] = {
+    val v = Option(options.get("startingVersion")).map(_.toInt)
+    v.foreach(n => require(n >= 1,
+      s"option 'startingVersion' must be >= 1 (snapshot versions are " +
+        s"1-based), got $n"))
+    v
+  }
 }
 
 /** Change-data-feed plumbing shared by schema inference, the scan and
@@ -592,6 +662,14 @@ private[sources] class ManifestChangeFeedStream(
     // one diff per commit in (s, e]: versions must be replayed
     // individually so every change row carries ITS commit's version,
     // even when a trigger spans several commits
+    // sidecar vectors resolve here (driver, one part at a time) so the
+    // mask a change partition carries is always plain hex; a sidecar
+    // is content-immutable once written (each delete publishes a NEW
+    // token-named file), so "same (dvHex, dvRef) pair" ⇔ "same vector"
+    def vecHex(m: PartMeta): String =
+      if (m.dvRef.nonEmpty)
+        DeleteVector.toHex(DeleteVector.readRef(conf.value, m.dvRef))
+      else m.dvHex
     (s + 1 to e).flatMap { v =>
       val prev: Map[String, PartMeta] =
         if (v == 1) Map.empty
@@ -600,9 +678,9 @@ private[sources] class ManifestChangeFeedStream(
       val cur = ManifestSink.readManifestMeta(conf.value, path, Some(v))
       val curPaths = cur.map(_.path).toSet
       val inserts = cur.filterNot(m => prev.contains(m.path))
-        .map(m => ManifestCdfPartition(m.path, "insert", v, m.dvHex))
+        .map(m => ManifestCdfPartition(m.path, "insert", v, vecHex(m)))
       val deletes = prev.valuesIterator.filterNot(m => curPaths(m.path))
-        .map(m => ManifestCdfPartition(m.path, "delete", v, m.dvHex)).toSeq
+        .map(m => ManifestCdfPartition(m.path, "delete", v, vecHex(m))).toSeq
       // a retained part whose DELETION VECTOR grew: replay exactly
       // the newly-flagged ordinals as deletes — true row-level CDC
       // for merge-on-read deletes, no restatement of survivors.
@@ -612,9 +690,11 @@ private[sources] class ManifestChangeFeedStream(
       // RESTORE and documents it identically.)
       val dvDeletes = cur.flatMap { m =>
         prev.get(m.path) match {
-          case Some(old) if m.dvHex != old.dvHex =>
+          case Some(old)
+              if m.dvHex != old.dvHex || m.dvRef != old.dvRef =>
             val delta = DeleteVector.minus(
-              DeleteVector.fromHex(m.dvHex), DeleteVector.fromHex(old.dvHex))
+              DeleteVector.fromHex(vecHex(m)),
+              DeleteVector.fromHex(vecHex(old)))
             if (DeleteVector.popCount(delta) == 0) None
             else Some(ManifestCdfPartition(m.path, "delete", v,
               DeleteVector.toHex(delta), emitOnlyMask = true))
@@ -716,8 +796,12 @@ private[sources] class ManifestReaderFactory(
       private val path = new Path(part.path)
       private val partConst = UTF8String.fromString(part.path)
       // merge-on-read: the part's deletion vector masks flagged line
-      // ordinals — data files are never rewritten by a MOR delete
-      private val dv = DeleteVector.fromHex(part.dvHex)
+      // ordinals — data files are never rewritten by a MOR delete.
+      // Sidecar vectors are read ON THE EXECUTOR (one small file next
+      // to the part), inline hex decodes from the partition itself.
+      private val dv =
+        if (part.dvRef.nonEmpty) DeleteVector.readRef(conf.value, part.dvRef)
+        else DeleteVector.fromHex(part.dvHex)
       private val in = path.getFileSystem(conf.value).open(path)
       private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       private var current: InternalRow = _
