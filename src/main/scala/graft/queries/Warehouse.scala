@@ -874,5 +874,138 @@ merged AS (
 SELECT prio, CAST(count(*) AS BIGINT) AS n,
   ${Exact.decSumSql("price", 2)} AS sum_price
 FROM merged GROUP BY prio ORDER BY prio""")),
+
+    // --- MERGE-ON-READ MERGE INTO (sources/ManifestDelta, Spark's
+    // SupportsDelta / WriteDelta plan): the same three-clause MERGE
+    // as q_merge_sql, but under `graft.delete.mode=mor` the matched
+    // old images become deletion-vector bits and the updated/inserted
+    // images APPEND — zero part rewrites (MorDeltaSpec pins the file
+    // inventory; this gate pins the answer and that time travel still
+    // serves the pre-merge snapshot). At 100 TB this is the sparse-
+    // MERGE shape: cost follows the MATCH footprint as metadata +
+    // appended deltas, not rewritten parts — the Iceberg-v2/Delta-DV
+    // ladder rung above q_merge_sql's copy-on-write.
+    QueryDef("q_merge_mor",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "mrgmor")
+        spark.conf.set("spark.sql.catalog.graftmm",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftmm.warehouse", wh)
+        val base = Tables.orders(spark, dir).select(
+          col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        base.filter(col("k") % 2 === 0)
+          .repartitionByRange(4, col("k"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", s"$wh/wh/ord_t").option("history", "true")
+          .mode("overwrite").save()
+        base.filter(col("k") % 3 === 0)
+          .select(col("k"), col("prio"),
+            (col("price") * 2).as("new_price"),
+            when(col("k") % 9 === 0, lit("D")).otherwise(lit("U")).as("op"))
+          .createOrReplaceTempView("graft_merge_mor_src")
+        spark.conf.set("graft.delete.mode", "mor")
+        try spark.sql("""MERGE INTO graftmm.wh.ord_t t
+          USING graft_merge_mor_src s ON t.k = s.k
+          WHEN MATCHED AND s.op = 'D' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET price = s.new_price
+          WHEN NOT MATCHED AND s.op = 'U' THEN
+            INSERT (k, prio, price) VALUES (s.k, s.prio, s.new_price)""")
+        finally spark.conf.unset("graft.delete.mode")
+        spark.sql(s"""
+          SELECT prio, count(*) AS n,
+            ${Exact.decSumSql("price", 2).replace("VARCHAR", "STRING")}
+              AS sum_price
+          FROM graftmm.wh.ord_t
+          GROUP BY prio""")
+          .unionAll(spark.sql(
+            // the pre-merge snapshot is untouched: vectors are a NEW
+            // version's metadata, the data files never changed
+            s"""SELECT 'v1' AS prio, count(*) AS n,
+              ${Exact.decSumSql("price", 2).replace("VARCHAR", "STRING")}
+                AS sum_price
+            FROM graftmm.wh.ord_t VERSION AS OF 1"""))
+          .orderBy(col("prio"))
+      },
+      Some(s"""WITH t AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 2 = 0),
+s AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+    o_totalprice * 2 AS new_price,
+    CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM orders WHERE o_orderkey % 3 = 0),
+merged AS (
+  SELECT t.k, t.prio,
+    CASE WHEN s.k IS NOT NULL THEN s.new_price ELSE t.price END AS price
+  FROM t LEFT JOIN s ON s.k = t.k
+  WHERE s.k IS NULL OR s.op <> 'D'
+  UNION ALL
+  SELECT s.k, s.prio, s.new_price
+  FROM s LEFT JOIN t ON t.k = s.k
+  WHERE t.k IS NULL AND s.op = 'U')
+SELECT prio, n, sum_price FROM (
+  SELECT prio, CAST(count(*) AS BIGINT) AS n,
+    ${Exact.decSumSql("price", 2)} AS sum_price
+  FROM merged GROUP BY prio
+  UNION ALL
+  SELECT 'v1', CAST(count(*) AS BIGINT), ${Exact.decSumSql("price", 2)}
+  FROM t)
+ORDER BY prio""")),
+
+    // --- WRITE-AUDIT-PUBLISH via snapshot branches: the ingest job
+    // stages its commit on the `audit` branch (`option("branch",
+    // "audit")` — its own `_MANIFEST.<branch>.vN.json` version line,
+    // invisible to main-head resolution), a validation read runs the
+    // quality gate against the BRANCH head, and only the metadata-only
+    // fast-forward (ManifestMaintenance.fastForward) makes the audited
+    // snapshot visible to main readers. The output pins all three
+    // stages side by side: main BEFORE publish (must still be the
+    // base), the staged branch content the gate saw, and main AFTER.
+    // At 100 TB this is how bad data never reaches consumers: staging
+    // costs one JSON file per commit (parts shared by reference), the
+    // publish costs one more — never a data copy (PublishRebaseSpec
+    // pins branch isolation, fork, fast-forward, and vacuum safety).
+    QueryDef("q_wap_publish",
+      (spark, dir) => {
+        val t = freshTable(spark, dir, "wap")
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        writeHistory(base.filter(col("event_id") % 2 === 0), t, "overwrite")
+        // stage the odd half on the audit branch — two commits, like a
+        // real multi-batch ingest
+        def stage(df: DataFrame): Unit = df.repartition(4)
+          .write.format("graft.sources.ManifestSink")
+          .option("path", t).option("history", "true")
+          .option("branch", "audit").mode("append").save()
+        stage(base.filter(col("event_id") % 4 === 1))
+        stage(base.filter(col("event_id") % 4 === 3))
+        // EAGER: a lazy DataFrame would execute after the publish and
+        // see the published rows — the isolation claim needs the main
+        // head read to actually happen pre-fast-forward
+        val nMainBefore = readVersion(spark, t, None).count()
+        // the audit gate reads the BRANCH head: row count + a domain
+        // check (negative values would fail the publish in a real
+        // pipeline; here the count is part of the gated output)
+        val branchDf = spark.read.format("graft.sources.ManifestSource")
+          .option("path", t).option("branch", "audit").load()
+        val audit = branchDf.agg(count(lit(1)).as("n_staged"),
+          sum(when(col("value") < 0, 1).otherwise(0)).as("n_bad"))
+        ManifestMaintenance.fastForward(
+          spark.sessionState.newHadoopConf(), t, "audit")
+        val mainAfter = readVersion(spark, t, None)
+          .agg(count(lit(1)).as("n_main_after"),
+            Exact.decSum(col("value"), 6).as("sum_after"))
+        audit.crossJoin(mainAfter)
+          .withColumn("n_main_before", lit(nMainBefore))
+      },
+      Some(s"""SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 2 = 0)
+    AS n_main_before,
+  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_staged,
+  (SELECT CAST(coalesce(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END), 0)
+     AS BIGINT) FROM events) AS n_bad,
+  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_main_after,
+  (SELECT ${Exact.decSumSql("value", 6)} FROM events) AS sum_after""")),
   )
 }

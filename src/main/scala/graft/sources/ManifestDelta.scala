@@ -65,7 +65,11 @@ private[sources] class ManifestDeltaOp(
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite {
         override def toBatch: DeltaBatchWrite =
-          new ManifestDeltaBatchWrite(path, info.schema(),
+          // a pure DELETE projects no data columns (empty write
+          // schema) — the committed snapshot must still carry the
+          // TABLE schema in its header
+          new ManifestDeltaBatchWrite(path,
+            if (info.schema().fields.isEmpty) schema else info.schema(),
             ManifestDeltaOp.this,
             new SerializableConfiguration(ManifestSink.driverConf()))
       }

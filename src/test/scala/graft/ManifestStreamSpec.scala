@@ -206,6 +206,60 @@ class ManifestStreamSpec extends SparkSpec {
       "an existing checkpoint must override startingVersion")
   }
 
+  test("changelog contract survives the full maintenance lifecycle: " +
+      "startingVersion -> vector commit -> compaction, one resume chain") {
+    import spark.implicits._
+    val wh = freshDir("mstream-lifecycle")
+    val table = s"$wh/ns/t"
+    spark.conf.set("spark.sql.catalog.glc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.glc.warehouse", wh)
+    (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "s")
+      .repartitionByRange(4, col("k"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", table).option("history", "true")
+      .mode("overwrite").save() // v1: [0,249][250,499][500,749][750,999]
+    spark.conf.set("graft.delete.mode", "mor")
+    try spark.sql("DELETE FROM glc.ns.t WHERE k >= 600 AND k < 650")
+    finally spark.conf.unset("graft.delete.mode") // v2: sidecar vector
+    val sink = freshDir("mstream-lc-sink")
+    val ckpt = freshDir("mstream-lc-ckpt")
+    def drainCdf(): Unit = {
+      val q = spark.readStream.format("graft.sources.ManifestSource")
+        .option("path", table).option("changeFeed", "true")
+        .option("startingVersion", "2").load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // fresh consumer from v2: exactly the vector commit's 50 precise
+    // deletes — v1's 1000 inserts must NOT replay
+    drainCdf()
+    val run1 = spark.read.parquet(sink)
+    assert(run1.count() === 50)
+    assert(run1.select("_change_type").distinct().head.getString(0) === "delete")
+    assert(run1.agg(min(col("k")), max(col("k"))).head.toSeq === Seq(600L, 649L))
+    // v3: compaction rewrites the vectored [500,749] part (200 visible
+    // rows into a fresh file), clearing the sidecar
+    assert(graft.sources.ManifestMaintenance.compactVectors(spark, table) === 1)
+    // RESUME across the compaction: only v3's part restatement replays
+    // — 200 deletes (the old part's VISIBLE rows; masked rows must not
+    // resurrect) + 200 identical re-inserts
+    drainCdf()
+    val v3 = spark.read.parquet(sink).filter(col("_commit_version") === 3)
+    val dels = v3.filter(col("_change_type") === "delete")
+    val ins = v3.filter(col("_change_type") === "insert")
+    assert(dels.count() === 200, "old part restates only its visible rows")
+    assert(dels.filter(col("k") >= 600 && col("k") < 650).count() === 0,
+      "vector-deleted rows must not resurrect through compaction CDF")
+    assert(ins.count() === 200)
+    assert(ins.agg(min(col("k")), max(col("k"))).head.toSeq === Seq(500L, 749L))
+    assert(dels.select("k").except(ins.select("k")).count() === 0,
+      "restatement is delete+reinsert of the same keys")
+    assert(spark.read.parquet(sink).count() === 50 + 400,
+      "the resume added exactly the compaction commit's changes")
+  }
+
   test("change feed fails loudly when its range straddles an expired snapshot") {
     // vacuum/retention interplay: a CDF consumer starting below the
     // oldest retained snapshot CANNOT silently re-serve the head as

@@ -347,4 +347,46 @@ class ScaleSpec extends SparkSpec {
         "both closure strategies must produce the identical profile")
     } finally spark.conf.unset("graft.triangles.broadcastMaxEdges")
   }
+
+  test("manifest byte stats flip a pruned fact scan from SMJ to broadcast") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stats-bhj").toString
+    // fact: 100k rows in 64 range parts (~1.5 KB each on disk); the
+    // full table (~1 MB) is over the test threshold, one part is under
+    (0L until 100000L).map(i => (i, s"v$i")).toDF("k", "s")
+      .repartitionByRange(64, col("k"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", s"$dir/fact").option("history", "true")
+      .mode("overwrite").save()
+    // dim: big enough that IT never broadcasts at the test threshold
+    (0L until 100000L).map(i => (i, i % 7)).toDF("k", "grp")
+      .write.parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+    def fact = spark.read.format("graft.sources.ManifestSource")
+      .option("path", s"$dir/fact").load()
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+    // static planning only: the flip must come from the MANIFEST's
+    // estimateStatistics, not from AQE's runtime sizes
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val unpruned = fact.join(dim, "k")
+        .queryExecution.executedPlan.toString
+      assert(!unpruned.contains("BroadcastHashJoin"),
+        "the full fact table is over the threshold:\n" + unpruned.take(800))
+      val pruned = fact.filter(col("k") >= 1000 && col("k") < 2000)
+        .join(dim, "k")
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        "a key predicate pruning to one ~1.5KB part must broadcast " +
+          "purely from manifest byte stats:\n" + plan.take(800))
+      assert(pruned.count() === 1000, "the broadcast plan is still exact")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
+  }
 }

@@ -64,6 +64,94 @@ class PublishRebaseSpec extends AnyFunSuite {
     assert(headPaths(dir) === Set("b"), "failed commit must publish nothing")
   }
 
+  test("footprint: a disjoint interleaved commit composes, not conflicts") {
+    val dir = Files.createTempDirectory("graft-rebase-").toString
+    ManifestSink.publishRebase(conf, dir, schema, history = true,
+      _ => Seq(pm("a"), pm("b")), strictBase = None) // v1 = {a, b}
+    // an operation planned at base=1 that replaces part a; before it
+    // commits, an interleaved APPEND lands v2 = {a, b, c}
+    ManifestSink.publishRebase(conf, dir, schema, history = true,
+      h => h :+ pm("c"), strictBase = None)
+    // strictBase alone would abort; the footprint proves part a is
+    // bit-identical in the advanced head, so the head-aware rebase
+    // re-applies and the interleaved part c survives
+    val v = ManifestSink.publishRebase(conf, dir, schema, history = true,
+      h => h.filterNot(_.path == "a") :+ pm("a2"),
+      strictBase = Some(1), footprint = Some(Set("a")))
+    assert(v === 3)
+    assert(headPaths(dir) === Set("a2", "b", "c"),
+      "disjoint DML and append must both land")
+  }
+
+  test("footprint: an interleaved commit touching a footprint part conflicts") {
+    val dir = Files.createTempDirectory("graft-rebase-").toString
+    ManifestSink.publishRebase(conf, dir, schema, history = true,
+      _ => Seq(pm("a"), pm("b")), strictBase = None) // v1
+    // interleaved commit re-vectors part a (a MOR delete's shape)
+    ManifestSink.publishRebase(conf, dir, schema, history = true,
+      h => h.map(p => if (p.path == "a") p.copy(dvHex = "ff") else p),
+      strictBase = None) // v2
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      ManifestSink.publishRebase(conf, dir, schema, history = true,
+        h => h.filterNot(_.path == "a") :+ pm("a2"),
+        strictBase = Some(1), footprint = Some(Set("a")))
+    }
+    assert(ex.getMessage.contains("concurrent commit touched"))
+    assert(headPaths(dir) === Set("a", "b"),
+      "conflicted commit must publish nothing")
+  }
+
+  test("footprint: a dropped footprint part conflicts") {
+    val dir = Files.createTempDirectory("graft-rebase-").toString
+    ManifestSink.publishRebase(conf, dir, schema, history = true,
+      _ => Seq(pm("a"), pm("b")), strictBase = None) // v1
+    ManifestSink.publishRebase(conf, dir, schema, history = true,
+      h => h.filterNot(_.path == "a"), strictBase = None) // v2 drops a
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestSink.publishRebase(conf, dir, schema, history = true,
+        h => h.filterNot(_.path == "a") :+ pm("a2"),
+        strictBase = Some(1), footprint = Some(Set("a")))
+    }
+    assert(headPaths(dir) === Set("b"))
+  }
+
+  test("branch commits fork from main, stay invisible, and fast-forward") {
+    val dir = Files.createTempDirectory("graft-rebase-").toString
+    ManifestSink.publishRebase(conf, dir, schema, history = true,
+      _ => Seq(pm("a")), strictBase = None) // main v1 = {a}
+    // first branch commit forks from the main head
+    val b1 = ManifestSink.publishRebase(conf, dir, schema, history = true,
+      h => h :+ pm("staged1"), strictBase = None, branch = Some("audit"))
+    assert(b1 === 1, "branch versions number independently")
+    // second branch commit chains from the BRANCH head
+    ManifestSink.publishRebase(conf, dir, schema, history = true,
+      h => h :+ pm("staged2"), strictBase = None, branch = Some("audit"))
+    assert(ManifestSink.readBranchMeta(conf, dir, "audit")
+      .map(_.path).toSet === Set("a", "staged1", "staged2"))
+    // main is untouched by branch commits
+    assert(ManifestSink.listVersions(conf, dir) === Seq(1))
+    assert(headPaths(dir) === Set("a"), "branch commits invisible to main")
+    // fast-forward publishes the branch head as the next main version
+    val v = ManifestMaintenance.fastForward(conf, dir, "audit")
+    assert(v === 2)
+    assert(headPaths(dir) === Set("a", "staged1", "staged2"))
+    assert(ManifestMaintenance.dropBranch(conf, dir, "audit") === 2)
+    assert(ManifestSink.listBranchVersions(conf, dir, "audit").isEmpty)
+    assert(headPaths(dir) === Set("a", "staged1", "staged2"),
+      "dropping the branch never touches published snapshots")
+  }
+
+  test("an un-forked branch reads as the main head; empty branch cannot publish") {
+    val dir = Files.createTempDirectory("graft-rebase-").toString
+    ManifestSink.publishRebase(conf, dir, schema, history = true,
+      _ => Seq(pm("a")), strictBase = None)
+    assert(ManifestSink.readBranchMeta(conf, dir, "audit")
+      .map(_.path) === Seq("a"), "no branch commits yet -> main head")
+    intercept[IllegalArgumentException] {
+      ManifestMaintenance.fastForward(conf, dir, "audit")
+    }
+  }
+
   test("StrBin compares in UTF-8 byte order where String order disagrees") {
     val emoji = "\uD83D\uDE00" // U+1F600, UTF-8 F0 9F 98 80
     val pua = "\uE000"         // U+E000,  UTF-8 EE 80 80
