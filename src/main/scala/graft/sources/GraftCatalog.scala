@@ -336,11 +336,17 @@ private[sources] class GraftCatalogTable(
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
 
+  /** `spark.read.option("branch", "audit").table(...)` reads the
+    * branch head — the audit-side read of write-audit-publish. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(path, tableSchema,
       new SerializableConfiguration(ManifestSink.driverConf()), None,
-      startingVersion = StreamOptions.startingVersion(options))
+      startingVersion = StreamOptions.startingVersion(options),
+      branch = Option(options.get("branch")).filter(_.nonEmpty))
 
+  /** `df.writeTo(...).option("branch", "audit").append()` stages the
+    * commit on the branch — invisible to main readers until
+    * [[ManifestMaintenance.fastForward]] publishes it. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var doTruncate = false
@@ -349,7 +355,8 @@ private[sources] class GraftCatalogTable(
         override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
           new ManifestBatchWrite(path, info.schema(), doTruncate,
             history = true,
-            new SerializableConfiguration(ManifestSink.driverConf()))
+            new SerializableConfiguration(ManifestSink.driverConf()),
+            Option(info.options.get("branch")).filter(_.nonEmpty))
       }
     }
 }

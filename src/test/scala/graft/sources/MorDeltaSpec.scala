@@ -125,6 +125,98 @@ class MorDeltaSpec extends graft.SparkSpec {
       .toSeq === Seq((7L, "x")))
   }
 
+  test("two concurrent disjoint UPDATEs both commit (snapshot isolation)") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val path = mkTable("race")
+    // two threads, disjoint key ranges (parts [0,249] and [750,999]):
+    // whatever the interleaving, the footprint conflict check must let
+    // BOTH commit — the loser of the version claim re-applies over the
+    // winner's head instead of aborting
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def updater(k: Long, v: String): Runnable = () => {
+      start.await()
+      try spark.sql(s"UPDATE gmd.ns.race SET s = '$v' WHERE k = $k")
+      catch { case t: Throwable => errors.add(t) }
+    }
+    pool.submit(updater(10L, "left"))
+    pool.submit(updater(990L, "right"))
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(errors.isEmpty,
+      s"disjoint UPDATEs must both commit: ${errors.peek()}")
+    assert(spark.sql("SELECT s FROM gmd.ns.race WHERE k = 10")
+      .head.getString(0) === "left")
+    assert(spark.sql("SELECT s FROM gmd.ns.race WHERE k = 990")
+      .head.getString(0) === "right")
+    assert(spark.sql("SELECT count(*) FROM gmd.ns.race").head.getLong(0) === 1000)
+    assert(ManifestSink.listVersions(conf, path) === Seq(1, 2, 3),
+      "each UPDATE lands its own snapshot")
+  }
+
+  test("vacuum reclaims superseded sidecars and protects live ones") {
+    val path = mkTable("vac")
+    withMor {
+      spark.sql("DELETE FROM gmd.ns.vac WHERE k >= 600 AND k < 650") // v2
+      spark.sql("DELETE FROM gmd.ns.vac WHERE k = 700")              // v3
+    }
+    def sidecars: Set[String] = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith("dv-")).toSet
+    assert(sidecars.size === 2, "each vector commit wrote one sidecar")
+    val live = headMeta(path).filter(_.hasDv).map(m =>
+      new org.apache.hadoop.fs.Path(m.dvRef).getName).toSet
+    assert(live.size === 1, "the second delete's union superseded the first")
+    // keep only the head: v2's sidecar is unreferenced -> reclaimed;
+    // the head's union sidecar must survive
+    ManifestMaintenance.expireSnapshots(conf, path, keepLast = 1,
+      orphanGraceMs = 0L)
+    assert(sidecars === live, "only the live sidecar survives vacuum")
+    assert(spark.sql("SELECT count(*) FROM gmd.ns.vac").head.getLong(0) === 949,
+      "the surviving sidecar still masks")
+  }
+
+  test("vacuum never reclaims parts staged on an unpublished branch") {
+    import spark.implicits._
+    val path = mkTable("branchvac")
+    (5000L until 5100L).map(i => (i, s"b$i")).toDF("k", "s")
+      .repartition(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", path).option("history", "true")
+      .option("branch", "audit").mode("append").save()
+    val staged = ManifestSink.readBranchMeta(conf, path, "audit")
+      .map(_.path).toSet -- headMeta(path).map(_.path).toSet
+    assert(staged.size === 1)
+    // aggressive vacuum (no orphan grace): the staged part is listed
+    // by NO main snapshot — only the branch manifest protects it
+    ManifestMaintenance.expireSnapshots(conf, path, keepLast = 1,
+      orphanGraceMs = 0L)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    staged.foreach(p => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(p)),
+      s"branch-staged part $p must survive vacuum until published/dropped"))
+    // publish, then the data is main's responsibility as usual
+    ManifestMaintenance.fastForward(conf, path, "audit")
+    assert(spark.read.format("graft.sources.ManifestSource")
+      .option("path", path).load().count() === 1100)
+  }
+
+  test("catalog WAP: writeTo(...).option(branch) stages; read option reads it") {
+    import spark.implicits._
+    val path = mkTable("catwap")
+    (5000L until 5200L).map(i => (i, s"b$i")).toDF("k", "s")
+      .writeTo("gmd.ns.catwap").option("branch", "audit").append()
+    // main untouched; the branch read sees base + staged
+    assert(spark.table("gmd.ns.catwap").count() === 1000,
+      "branch staging must be invisible to main readers")
+    assert(spark.read.option("branch", "audit").table("gmd.ns.catwap")
+      .count() === 1200)
+    ManifestMaintenance.fastForward(conf, path, "audit")
+    assert(spark.table("gmd.ns.catwap").count() === 1200,
+      "fast-forward publishes the audited snapshot to main")
+  }
+
   test("a wide MOR DELETE (80% of rows) ships no ordinals to the driver") {
     val path = mkTable("wide", rows = 100000L)
     val dataBefore = headMeta(path).map(_.path).toSet
