@@ -90,20 +90,30 @@ private[sources] object ManifestMor {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val tableDir = path
 
-    // groupByKey clusters each part's matched ordinals onto one task;
-    // the task streams them into a fixed-size bitmap (rows/8 bytes),
-    // unions the part's existing vector, writes the sidecar, and
-    // reports only the reference — the collect below is one tiny row
-    // per AFFECTED PART, not per deleted row
-    val updated: Array[(String, String, Long)] = matched
+    // two-stage bitmap build:
+    //  1. a codegen'd HASH AGGREGATE packs ordinals into 64-bit words
+    //     keyed by (part, ordinal>>6) — the partial (map-side) combine
+    //     means the shuffle carries ~matched/64 word rows, not one row
+    //     per deleted ordinal;
+    //  2. each part's words cluster onto one task, which assembles the
+    //     bitmap, unions the part's existing vector, writes the
+    //     sidecar, and reports only the reference — the collect below
+    //     is one tiny row per AFFECTED PART, never per deleted row
+    import org.apache.spark.sql.functions.{bit_or, expr, shiftright}
+    val updated: Array[(String, String, Long)] = matched.toDF("p", "o")
+      .groupBy(col("p"), shiftright(col("o"), 6).as("w"))
+      .agg(bit_or(
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(o % 64 AS INT))")).as("bits"))
+      .as[(String, Long, Long)]
       .groupByKey(_._1)
       .mapGroups { (p, it) =>
         val (rows, oldHex, oldRef) = meta.value.getOrElse(p,
           throw new IllegalStateException(s"scan reported unknown part $p"))
         val bits = new Array[Long]((((rows - 1) >>> 6) + 1).toInt)
-        it.foreach { case (_, o) =>
-          require(o >= 0 && o < rows, s"ordinal $o outside part of $rows rows")
-          bits((o >>> 6).toInt) |= 1L << (o & 63)
+        it.foreach { case (_, w, ws) =>
+          require(w >= 0 && w < bits.length,
+            s"ordinal word $w outside part of $rows rows")
+          bits(w.toInt) |= ws
         }
         val old =
           if (oldRef.nonEmpty) DeleteVector.readRef(sconf.value, oldRef)
