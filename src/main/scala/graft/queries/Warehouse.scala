@@ -1007,5 +1007,42 @@ ORDER BY prio""")),
      AS BIGINT) FROM events) AS n_bad,
   (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_main_after,
   (SELECT ${Exact.decSumSql("value", 6)} FROM events) AS sum_after""")),
+
+    // --- THE SNAPSHOT LOG AS A TABLE (`SELECT ... FROM cat.ns.t
+    // .history` — DESCRIBE HISTORY / Iceberg `.history` analog,
+    // served by a metadata-only DSv2 relation that reads version
+    // manifests and zero data files at any table size): three
+    // deterministic commits — overwrite (4 parts), append (4+4), and
+    // a merge-on-read DELETE (parts unchanged, visible rows drop by
+    // exactly the matched count — the n_rows column consults
+    // visibleRows, so the log is mask-aware). The oracle restates
+    // every (version, n_parts, n_rows) row from raw events; the
+    // nondeterministic columns (bytes, commit mtime) stay out of the
+    // gate and are spec-pinned instead.
+    QueryDef("q_table_history",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "histtbl")
+        spark.conf.set("spark.sql.catalog.graftht",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftht.warehouse", wh)
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("value"))
+        val tbl = s"$wh/wh/ev_t"
+        writeHistory(base.filter(col("event_id") % 2 === 0), tbl, "overwrite")
+        writeHistory(base.filter(col("event_id") % 2 =!= 0), tbl, "append")
+        spark.conf.set("graft.delete.mode", "mor")
+        try spark.sql("DELETE FROM graftht.wh.ev_t WHERE event_id % 5 = 0")
+        finally spark.conf.unset("graft.delete.mode")
+        spark.sql("""SELECT version, n_parts, n_rows
+          FROM graftht.wh.ev_t.history ORDER BY version""")
+      },
+      Some("""SELECT version, n_parts, n_rows FROM (VALUES
+  (CAST(1 AS INT), CAST(4 AS BIGINT),
+   (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 2 = 0)),
+  (CAST(2 AS INT), CAST(8 AS BIGINT),
+   (SELECT CAST(count(*) AS BIGINT) FROM events)),
+  (CAST(3 AS INT), CAST(8 AS BIGINT),
+   (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 5 <> 0)))
+  AS t(version, n_parts, n_rows) ORDER BY version""")),
   )
 }

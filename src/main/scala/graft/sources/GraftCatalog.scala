@@ -78,9 +78,21 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
-    val schema = ManifestSink.readSchema(conf, p)
-      .getOrElse(throw new NoSuchTableException(ident))
-    new GraftCatalogTable(ident, p, schema)
+    ManifestSink.readSchema(conf, p) match {
+      case Some(schema) => new GraftCatalogTable(ident, p, schema)
+      case None =>
+        // METADATA TABLE (the Iceberg `db.table.history` shape):
+        // `SELECT * FROM cat.ns.t.history` parses as namespace
+        // (ns, t) + name "history" — if the parent IS a table, serve
+        // its snapshot log as a queryable relation. Pure metadata:
+        // the scan reads version manifests (KBs), never data files.
+        if (ident.name() == "history" && ident.namespace().nonEmpty) {
+          val parent = (warehouse +: ident.namespace()).mkString("/")
+          if (ManifestSink.readSchema(conf, parent).isDefined)
+            return new ManifestHistoryTable(parent)
+        }
+        throw new NoSuchTableException(ident)
+    }
   }
 
   /** SQL time travel: `SELECT … FROM graftcat.ns.t VERSION AS OF 2`
@@ -164,6 +176,74 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     if (ident.name() == "h64") H64Function
     else throw new NoSuchFunctionException(ident)
 }
+
+/** The snapshot log as a TABLE (`SELECT * FROM cat.ns.t.history` —
+  * Delta's DESCRIBE HISTORY / Iceberg's `.history` analog): one row
+  * per committed version with its part count, VISIBLE row count
+  * (deletion vectors subtracted), vectored-part count, data bytes,
+  * and commit time. Entirely manifest-derived — the scan opens zero
+  * data files at any table size; expired versions simply stop
+  * appearing (their manifests are gone). `commit_time_ms` is the
+  * version file's mtime — the same clock TIMESTAMP AS OF resolves
+  * against. */
+private[sources] class ManifestHistoryTable(path: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read._
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  private val historySchema = StructType.fromDDL(
+    "version INT, n_parts BIGINT, n_rows BIGINT, n_vectored BIGINT, " +
+      "total_bytes BIGINT, commit_time_ms BIGINT")
+
+  override def name(): String = s"manifest($path).history"
+  override def schema(): StructType = historySchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan with Batch {
+          override def readSchema(): StructType = historySchema
+          override def toBatch: Batch = this
+          override def description(): String =
+            s"graft.ManifestHistoryScan($path)"
+          override def planInputPartitions(): Array[InputPartition] = {
+            val conf = ManifestSink.driverConf()
+            val dir = new Path(path)
+            val fs = dir.getFileSystem(conf)
+            val rows = ManifestSink.listVersions(conf, path).map { v =>
+              val parts = ManifestSink.readManifestMeta(conf, path, Some(v))
+              val mtime = fs.getFileStatus(
+                new Path(dir, ManifestSink.versionFile(v))).getModificationTime
+              Array[Long](v.toLong, parts.size.toLong,
+                parts.map(_.visibleRows).sum,
+                parts.count(_.hasDv).toLong,
+                parts.map(_.bytes).sum, mtime)
+            }.toArray
+            Array(HistoryPartition(rows))
+          }
+          override def createReaderFactory(): PartitionReaderFactory =
+            new PartitionReaderFactory {
+              override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+                new PartitionReader[InternalRow] {
+                  private val rows = p.asInstanceOf[HistoryPartition].rows
+                  private var i = -1
+                  override def next(): Boolean = { i += 1; i < rows.length }
+                  override def get(): InternalRow = {
+                    val r = rows(i)
+                    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                      Array[Any](r(0).toInt, r(1), r(2), r(3), r(4), r(5)))
+                  }
+                  override def close(): Unit = ()
+                }
+            }
+        }
+    }
+}
+
+private[sources] case class HistoryPartition(rows: Array[Array[Long]])
+    extends org.apache.spark.sql.connector.read.InputPartition
 
 /** SQL-callable twin of [[graft.functions.OracleHash.h64]]: top 60
   * bits of md5 of the UTF-8 string rendering, as non-negative BIGINT —

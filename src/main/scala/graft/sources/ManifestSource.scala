@@ -855,6 +855,26 @@ private[sources] class ManifestReaderFactory(
 private[sources] object ManifestCodec {
   private val NullToken = "\\N"
 
+  /** URL-safe chars that URLEncoder passes through UNCHANGED — a
+    * string of only these needs no encoding (and, containing neither
+    * '%' nor '+', no decoding either), so the overwhelmingly common
+    * identifier-ish values ('click', 'URGENT', part keys) skip the
+    * URLEncoder allocation + charset machinery on BOTH sides of every
+    * row. The fast path is exact: it reproduces URLEncoder's output
+    * byte-for-byte on exactly this alphabet, so fast-written lines
+    * decode on any reader and vice versa. */
+  private def urlSafe(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '.' || c == '-' || c == '_' || c == '*'
+      if (!ok) return false
+      i += 1
+    }
+    true
+  }
+
   def encode(row: InternalRow, schema: StructType): String = {
     val sb = new StringBuilder
     var i = 0
@@ -863,7 +883,9 @@ private[sources] object ManifestCodec {
       if (row.isNullAt(i)) sb.append(NullToken)
       else schema.fields(i).dataType match {
         case StringType =>
-          sb.append(java.net.URLEncoder.encode(row.getUTF8String(i).toString, "UTF-8"))
+          val s = row.getUTF8String(i).toString
+          if (urlSafe(s)) sb.append(s)
+          else sb.append(java.net.URLEncoder.encode(s, "UTF-8"))
         case dt => sb.append(row.get(i, dt).toString)
       }
       i += 1
@@ -884,7 +906,9 @@ private[sources] object ManifestCodec {
       case TimestampType => s.toLong // micros, as the writer printed it
       case DateType      => s.toInt  // days
       case StringType    =>
-        UTF8String.fromString(java.net.URLDecoder.decode(s, "UTF-8"))
+        // no escape bytes ⇒ the encoded form IS the value
+        if (s.indexOf('%') < 0 && s.indexOf('+') < 0) UTF8String.fromString(s)
+        else UTF8String.fromString(java.net.URLDecoder.decode(s, "UTF-8"))
       case d: DecimalType =>
         Decimal(new java.math.BigDecimal(s), d.precision, d.scale)
       case other =>

@@ -580,5 +580,81 @@ SELECT * FROM (
 WHERE window_start_us + 3600000000
   <= (SELECT max(epoch_us(ts)) FROM b1) - 600000000
 ORDER BY window_start_us, event_type""")),
+
+    // --- STREAMING MERGE-ON-READ UPSERT: the K2 keyed upsert as the
+    // statement a lakehouse actually runs it with — each micro-batch
+    // MERGEs into a catalog table under `graft.delete.mode=mor`, so
+    // per batch the superseded row images become deletion-vector bits
+    // (executor-written sidecars) and the new images append: no part
+    // rewrites, ever, across the whole stream. The feed is staged as
+    // THREE files and consumed with maxFilesPerTrigger=1, so three
+    // separate MERGE commits land and their vectors accumulate — the
+    // newest-wins condition on the total order (ts_us, event_id)
+    // makes the final state independent of how the source split or
+    // ordered the batches. This is q_stream_upsert's exact semantics
+    // at the Iceberg-v2/Delta cost shape: per batch O(batch + matched
+    // metadata), never O(table) — the difference between a streaming
+    // upsert that rewrites the target every trigger and one that
+    // commits deltas.
+    QueryDef("q_stream_merge_mor",
+      (spark, dir) => {
+        val wh = Files.createTempDirectory("graft-smm-").toString
+        val stageDir = s"$wh/stage"
+        spark.conf.set("spark.sql.catalog.graftsmm",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftsmm.warehouse", wh)
+        spark.sql(
+          """CREATE TABLE graftsmm.wh.latest
+             (user_id BIGINT, ts_us BIGINT, event_id BIGINT, value DOUBLE)""")
+        // stage the feed as 3 files -> 3 micro-batches -> 3 MERGEs
+        Tables.events(spark, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), col("value"))
+          .repartition(3, pmod(col("event_id"), lit(3)))
+          .write.mode("overwrite").parquet(stageDir)
+        val q = spark.readStream
+          .schema("user_id BIGINT, ts_us BIGINT, event_id BIGINT, value DOUBLE")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stageDir)
+          .writeStream
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft-smm-ckpt-").toString)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val s0 = batch.sparkSession
+            // dedupe the batch to its own latest-per-key first (MERGE
+            // requires a unique source key), then newest-wins merge
+            batch.groupBy(col("user_id"))
+              .agg(max_by(
+                struct(col("ts_us"), col("event_id"), col("value")),
+                struct(col("ts_us"), col("event_id"))).as("r"))
+              .select(col("user_id"), col("r.ts_us").as("ts_us"),
+                col("r.event_id").as("event_id"), col("r.value").as("value"))
+              .createOrReplaceTempView("graft_smm_src")
+            s0.conf.set("graft.delete.mode", "mor")
+            try s0.sql("""MERGE INTO graftsmm.wh.latest t
+              USING graft_smm_src s ON t.user_id = s.user_id
+              WHEN MATCHED AND (s.ts_us > t.ts_us OR
+                (s.ts_us = t.ts_us AND s.event_id > t.event_id))
+                THEN UPDATE SET *
+              WHEN NOT MATCHED THEN INSERT *""")
+            finally s0.conf.unset("graft.delete.mode")
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        spark.table("graftsmm.wh.latest")
+          .select(col("user_id"), col("ts_us").as("last_ts_us"),
+            col("event_id").as("last_event_id"),
+            col("value").as("last_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, last_ts_us, last_event_id, last_value FROM (
+  SELECT user_id, epoch_us(ts) AS last_ts_us, event_id AS last_event_id,
+    value AS last_value,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1 ORDER BY user_id""")),
   )
 }

@@ -217,6 +217,25 @@ class MorDeltaSpec extends graft.SparkSpec {
       "fast-forward publishes the audited snapshot to main")
   }
 
+  test(".history metadata table: mask-aware rows, bytes, monotone commit times") {
+    val path = mkTable("hist")
+    withMor { spark.sql("DELETE FROM gmd.ns.hist WHERE k >= 600 AND k < 650") }
+    val h = spark.sql(
+      "SELECT * FROM gmd.ns.hist.history ORDER BY version").collect()
+    assert(h.map(_.getInt(0)).toSeq === Seq(1, 2))
+    assert(h.map(_.getLong(2)).toSeq === Seq(1000L, 950L),
+      "n_rows must be the VISIBLE count (vectors subtracted)")
+    assert(h.map(_.getLong(3)).toSeq === Seq(0L, 1L), "one vectored part at v2")
+    assert(h.forall(_.getLong(4) > 0L), "committed byte sizes flow through")
+    assert(h(0).getLong(5) <= h(1).getLong(5), "commit times nondecreasing")
+    // metadata-only: the scan works with every data file gone
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    headMeta(path).foreach(m =>
+      fs.delete(new org.apache.hadoop.fs.Path(m.path), false))
+    assert(spark.sql("SELECT count(*) FROM gmd.ns.hist.history")
+      .head.getLong(0) === 2, "history reads zero data files")
+  }
+
   test("a wide MOR DELETE (80% of rows) ships no ordinals to the driver") {
     val path = mkTable("wide", rows = 100000L)
     val dataBefore = headMeta(path).map(_.path).toSet

@@ -152,6 +152,26 @@ class PublishRebaseSpec extends AnyFunSuite {
     }
   }
 
+  test("codec fast path is byte-identical to URLEncoder and round-trips") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val s1 = StructType.fromDDL("s STRING")
+    val samples = Seq("click", "URGENT-1_2.x*", "", "a b", "a+b", "50%",
+      "a,b", "línea", "😀", "tab\there", "nl\nhere", "\\N")
+    samples.foreach { s =>
+      val row = new GenericInternalRow(Array[Any](UTF8String.fromString(s)))
+      val enc = ManifestCodec.encode(row, s1)
+      assert(enc === java.net.URLEncoder.encode(s, "UTF-8"),
+        s"fast/slow encode must agree for '$s'")
+      assert(ManifestCodec.decode(enc, StringType)
+        .asInstanceOf[UTF8String].toString === s,
+        s"round-trip must hold for '$s'")
+    }
+    // NULL stays distinct from every encoded string (incl. literal \N)
+    assert(ManifestCodec.decode("\\N", StringType) === null)
+  }
+
   test("StrBin compares in UTF-8 byte order where String order disagrees") {
     val emoji = "\uD83D\uDE00" // U+1F600, UTF-8 F0 9F 98 80
     val pua = "\uE000"         // U+E000,  UTF-8 EE 80 80
