@@ -33,6 +33,10 @@ class Sf01Spec extends SparkSpec {
     * fresh each round (the newest pairs are the likeliest to hide a
     * magnitude bug). */
   private val newest = Seq(
+    // round 14 wave: MOR DML ladder, WAP branches, history table,
+    // streaming MOR MERGE
+    "q_merge_mor", "q_wap_publish", "q_table_history",
+    "q_stream_merge_mor",
     // round 13 wave: index-as-table serving, adaptive skew, CDF,
     // incremental MinHash
     "q_ann_index_serve", "q_join_skew_aqe", "q_stream_cdf",
