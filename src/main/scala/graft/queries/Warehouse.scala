@@ -1044,5 +1044,84 @@ ORDER BY prio""")),
   (CAST(3 AS INT), CAST(8 AS BIGINT),
    (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 5 <> 0)))
   AS t(version, n_parts, n_rows) ORDER BY version""")),
+
+    // --- MAINTENANCE AS SQL (`CALL cat.system.compact(...)` — Spark
+    // 4's native DSv2 stored procedures, sources/GraftProcedures
+    // .scala): the bin-packing OPTIMIZE issued the way an operations
+    // scheduler actually issues it, by NAME against the catalog. A
+    // 32-small-part table compacts into 4 range-clustered parts in
+    // one snapshot; the CALL's result row (parts_before/after, new
+    // version) is part of the gated output, and the post-compaction
+    // read must return the identical rollup — the rewrite is
+    // distributed end to end (staged ManifestSource read → sink
+    // write; the driver only swaps metadata). ProcedureSpec pins the
+    // discovery surface (SHOW PROCEDURES / DESCRIBE), defaults,
+    // DV-mask application, and the key-disjoint layout.
+    QueryDef("q_call_optimize",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "callopt")
+        spark.conf.set("spark.sql.catalog.graftpr",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftpr.warehouse", wh)
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        writeHistory(base, s"$wh/wh/ev_t", "overwrite", parts = 32)
+        val res = spark.sql(
+          "CALL graftpr.system.compact(table => 'wh.ev_t', " +
+            "target_parts => 4, cluster_by => 'event_id')")
+        val after = spark.sql(
+          "SELECT count(*) AS n_rows, " +
+            s"${Exact.decSumSql("value", 2).replace("VARCHAR", "STRING")} AS sum_value, " +
+            "min(event_id) AS key_min, max(event_id) AS key_max " +
+            "FROM graftpr.wh.ev_t")
+        res.crossJoin(after)
+      },
+      Some(s"""SELECT CAST(32 AS INT) AS parts_before,
+  CAST(4 AS INT) AS parts_after, CAST(2 AS INT) AS version,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  ${Exact.decSumSql("value", 2)} AS sum_value,
+  min(event_id) AS key_min, max(event_id) AS key_max
+FROM events""")),
+
+    // --- LIFECYCLE AS SQL: rollback + expire_snapshots through CALL.
+    // Two overwrites, then `rollback(version => 1)` re-commits v1's
+    // part list as v3 (no data copied), and
+    // `expire_snapshots(keep_last => 2)` retires v1 — whose files
+    // MUST all survive (the rollback head references them; the gated
+    // files_deleted = 0 is the reference-counting proof), while the
+    // head keeps reading v1's full contents. The oracle restates the
+    // restored head analytically plus the deterministic procedure
+    // stats; ProcedureSpec pins the loud failure of reading the
+    // expired snapshot afterwards.
+    QueryDef("q_call_lifecycle",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "calllc")
+        spark.conf.set("spark.sql.catalog.graftlc",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftlc.warehouse", wh)
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("value"))
+        val t = s"$wh/wh/ev_t"
+        writeHistory(base.filter(col("event_id") % 5 === 0), t, "overwrite")
+        writeHistory(base.filter(col("event_id") % 7 === 0), t, "overwrite")
+        val rb = spark.sql(
+          "CALL graftlc.system.rollback(table => 'wh.ev_t', version => 1)")
+          .select(col("version").as("restored_as_version"))
+        val ex = spark.sql(
+          "CALL graftlc.system.expire_snapshots(table => 'wh.ev_t', " +
+            "keep_last => 2, orphan_grace_ms => 86400000)")
+        val head = spark.sql(
+          "SELECT count(*) AS n_head, " +
+            s"${Exact.decSumSql("value", 2).replace("VARCHAR", "STRING")} AS sum_head " +
+            "FROM graftlc.wh.ev_t")
+        rb.crossJoin(ex).crossJoin(head)
+      },
+      Some(s"""SELECT CAST(3 AS INT) AS restored_as_version,
+  CAST(1 AS INT) AS versions_expired, CAST(0 AS INT) AS files_deleted,
+  CAST(2 AS INT) AS versions_retained,
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 5 = 0)
+    AS n_head,
+  (SELECT ${Exact.decSumSql("value", 2)} FROM events WHERE event_id % 5 = 0)
+    AS sum_head""")),
   )
 }

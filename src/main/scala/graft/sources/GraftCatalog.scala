@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, Write, WriteBuilder}
@@ -41,7 +42,8 @@ import org.apache.spark.util.SerializableConfiguration
   * schema-only snapshot; listTables is a directory listing; nothing
   * ever touches data files.
   */
-class GraftCatalog extends TableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog
+  with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -175,6 +177,26 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name() == "h64") H64Function
     else throw new NoSuchFunctionException(ident)
+
+  // --- ProcedureCatalog: the table-maintenance lifecycle as SQL
+  // `CALL graftcat.system.<proc>(...)` (Spark 4's native DSv2
+  // procedure API — see [[GraftProcedures]] for the registry and the
+  // at-scale rationale).
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(Identifier.of(namespace, _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array("system")))
+      throw new IllegalArgumentException(
+      s"procedures live in the 'system' namespace " +
+        s"(got ${ident.namespace().mkString(".")}.${ident.name()})")
+    GraftProcedures.load(ident.name(), warehouse).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown procedure '${ident.name()}' " +
+          s"(known: ${GraftProcedures.names.mkString(", ")})"))
+  }
 }
 
 /** The snapshot log as a TABLE (`SELECT * FROM cat.ns.t.history` —

@@ -1,0 +1,262 @@
+package graft.sources
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL STORED PROCEDURES for the manifest table format — Spark 4's
+  * native DSv2 procedure API ([[org.apache.spark.sql.connector.catalog.ProcedureCatalog]],
+  * SPARK-44167), the same shape Iceberg ships its maintenance surface
+  * in. Every lifecycle operation [[ManifestMaintenance]] implements
+  * becomes SQL-addressable:
+  *
+  * {{{
+  *   CALL graftcat.system.compact(table => 'wh.t', target_parts => 4,
+  *                                cluster_by => 'event_id')
+  *   CALL graftcat.system.compact_vectors(table => 'wh.t')
+  *   CALL graftcat.system.expire_snapshots(table => 'wh.t', keep_last => 2)
+  *   CALL graftcat.system.rollback(table => 'wh.t', version => 1)
+  *   CALL graftcat.system.fast_forward(table => 'wh.t', branch => 'audit')
+  *   CALL graftcat.system.drop_branch(table => 'wh.t', branch => 'audit')
+  * }}}
+  *
+  * Each CALL returns a one-row result relation (what happened: new
+  * version, parts rewritten, files reclaimed) served through a
+  * [[org.apache.spark.sql.connector.read.LocalScan]] — the stats are
+  * driver-side metadata, there is nothing to distribute. The heavy
+  * procedures (compact, compact_vectors) launch DISTRIBUTED rewrites
+  * through the active SparkSession; the metadata procedures
+  * (rollback, fast_forward, expire) touch only manifests. `SHOW
+  * PROCEDURES` / `DESCRIBE PROCEDURE` work against the catalog via
+  * the same registry (ProcedureSpec pins both).
+  *
+  * At 100 TB this is how table maintenance actually runs: an
+  * operations scheduler issuing CALLs against the catalog, not a
+  * library user importing engine internals — the procedure layer is
+  * the privilege boundary between "can run SQL" and "can link the
+  * jar".
+  */
+private[sources] object GraftProcedures {
+
+  /** Registry order is the SHOW PROCEDURES order. */
+  val names: Seq[String] = Seq("compact", "compact_vectors",
+    "expire_snapshots", "rollback", "fast_forward", "drop_branch")
+
+  def load(name: String, warehouse: String): Option[UnboundProcedure] =
+    name.toLowerCase match {
+      case "compact"          => Some(new CompactProcedure(warehouse))
+      case "compact_vectors"  => Some(new CompactVectorsProcedure(warehouse))
+      case "expire_snapshots" => Some(new ExpireSnapshotsProcedure(warehouse))
+      case "rollback"         => Some(new RollbackProcedure(warehouse))
+      case "fast_forward"     => Some(new FastForwardProcedure(warehouse))
+      case "drop_branch"      => Some(new DropBranchProcedure(warehouse))
+      case _                  => None
+    }
+}
+
+/** Base: every graft procedure is self-binding (parameter types are
+  * fixed, nothing depends on the call-site input schema) and returns
+  * exactly one local result row. */
+private[sources] abstract class GraftProcedure(
+    procName: String, warehouse: String)
+  extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = procName
+  override def bind(inputType: StructType): BoundProcedure = this
+  // maintenance procedures mutate table state — never cacheable
+  override def isDeterministic: Boolean = false
+
+  /** Output schema of the single result row. */
+  protected def outputSchema: StructType
+
+  /** `table => 'ns.tbl'` resolves against the catalog warehouse with
+    * the same identifier→path mapping as table loads. */
+  protected def tableDir(table: String): String = {
+    require(table.nonEmpty, s"$procName: 'table' must be non-empty")
+    val dir = (warehouse +: table.split('.').toSeq).mkString("/")
+    require(ManifestSink.readSchema(ManifestSink.driverConf(), dir).isDefined,
+      s"$procName: no manifest table '$table' under $warehouse")
+    dir
+  }
+
+  protected def result(values: Any*): JIterator[Scan] = {
+    val row = InternalRow.fromSeq(values.map {
+      case s: String => UTF8String.fromString(s)
+      case v => v
+    })
+    Collections.singletonList[Scan](
+      new ProcedureResultScan(outputSchema, row)).iterator()
+  }
+}
+
+/** One driver-side result row; Spark plans a LocalTableScan over it. */
+private[sources] final class ProcedureResultScan(
+    schema: StructType, row: InternalRow) extends LocalScan {
+  override def rows(): Array[InternalRow] = Array(row)
+  override def readSchema(): StructType = schema
+}
+
+/** Bin-packing OPTIMIZE: rewrite the head's data parts into
+  * `target_parts` files (range-clustered by `cluster_by` when given),
+  * applying any deletion-vector masks along the way. */
+private[sources] final class CompactProcedure(warehouse: String)
+  extends GraftProcedure("compact", warehouse) {
+
+  override def description(): String =
+    "Rewrite the head snapshot's data parts into target_parts files " +
+      "(range-clustered by cluster_by when given); applies and clears " +
+      "deletion vectors; commits one snapshot"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table identifier relative to the catalog warehouse").build(),
+    ProcedureParameter.in("target_parts", IntegerType)
+      .comment("number of part files after the rewrite").build(),
+    ProcedureParameter.in("cluster_by", StringType).defaultValue("''")
+      .comment("range-cluster column; '' = hash distribution").build())
+
+  override def outputSchema: StructType = StructType(Seq(
+    StructField("parts_before", IntegerType, nullable = false),
+    StructField("parts_after", IntegerType, nullable = false),
+    StructField("version", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val dir = tableDir(input.getUTF8String(0).toString)
+    val targetParts = input.getInt(1)
+    val clusterBy =
+      if (input.isNullAt(2)) None
+      else Some(input.getUTF8String(2).toString).filter(_.nonEmpty)
+    val stats = ManifestMaintenance.compactFiles(
+      SparkSession.active, dir, targetParts, clusterBy)
+    result(stats.partsBefore, stats.partsAfter, stats.version)
+  }
+}
+
+/** The MOR debt settlement: rewrite exactly the vectored parts. */
+private[sources] final class CompactVectorsProcedure(warehouse: String)
+  extends GraftProcedure("compact_vectors", warehouse) {
+
+  override def description(): String =
+    "Rewrite exactly the parts carrying a deletion vector (visible " +
+      "rows copy into fresh parts, vectors disappear); commits one snapshot"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table identifier relative to the catalog warehouse").build())
+
+  override def outputSchema: StructType = StructType(Seq(
+    StructField("parts_rewritten", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val dir = tableDir(input.getUTF8String(0).toString)
+    result(ManifestMaintenance.compactVectors(SparkSession.active, dir))
+  }
+}
+
+/** Expire old snapshots + reclaim unreferenced files (VACUUM). */
+private[sources] final class ExpireSnapshotsProcedure(warehouse: String)
+  extends GraftProcedure("expire_snapshots", warehouse) {
+
+  override def description(): String =
+    "Expire all but the newest keep_last snapshots, then delete data " +
+      "files no retained snapshot or branch references (orphans only " +
+      "after orphan_grace_ms)"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table identifier relative to the catalog warehouse").build(),
+    ProcedureParameter.in("keep_last", IntegerType)
+      .comment("number of newest snapshot versions to retain").build(),
+    ProcedureParameter.in("orphan_grace_ms", LongType)
+      .defaultValue(ManifestMaintenance.DefaultOrphanGraceMs.toString)
+      .comment("age gate before a never-referenced file is reclaimed").build())
+
+  override def outputSchema: StructType = StructType(Seq(
+    StructField("versions_expired", IntegerType, nullable = false),
+    StructField("files_deleted", IntegerType, nullable = false),
+    StructField("versions_retained", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val dir = tableDir(input.getUTF8String(0).toString)
+    val stats = ManifestMaintenance.expireSnapshots(
+      ManifestSink.driverConf(), dir, input.getInt(1), input.getLong(2))
+    result(stats.versionsExpired, stats.filesDeleted, stats.versionsRetained)
+  }
+}
+
+/** RESTORE/rollback: re-commit snapshot `version` as the new head. */
+private[sources] final class RollbackProcedure(warehouse: String)
+  extends GraftProcedure("rollback", warehouse) {
+
+  override def description(): String =
+    "Re-commit snapshot `version`'s schema and part list as a new " +
+      "head version (append-only history; no data copied)"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table identifier relative to the catalog warehouse").build(),
+    ProcedureParameter.in("version", IntegerType)
+      .comment("snapshot version to restore").build())
+
+  override def outputSchema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val dir = tableDir(input.getUTF8String(0).toString)
+    result(ManifestMaintenance.restore(
+      ManifestSink.driverConf(), dir, input.getInt(1)))
+  }
+}
+
+/** The publish step of write-audit-publish. */
+private[sources] final class FastForwardProcedure(warehouse: String)
+  extends GraftProcedure("fast_forward", warehouse) {
+
+  override def description(): String =
+    "Fast-forward main to a branch head (metadata-only WAP publish); " +
+      "fails loudly on a branch with no commits"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table identifier relative to the catalog warehouse").build(),
+    ProcedureParameter.in("branch", StringType)
+      .comment("branch whose head becomes the new main version").build())
+
+  override def outputSchema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val dir = tableDir(input.getUTF8String(0).toString)
+    result(ManifestMaintenance.fastForward(
+      ManifestSink.driverConf(), dir, input.getUTF8String(1).toString))
+  }
+}
+
+/** Post-publish branch cleanup. */
+private[sources] final class DropBranchProcedure(warehouse: String)
+  extends GraftProcedure("drop_branch", warehouse) {
+
+  override def description(): String =
+    "Delete a branch's version files (data files stay until vacuum)"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table identifier relative to the catalog warehouse").build(),
+    ProcedureParameter.in("branch", StringType)
+      .comment("branch to drop").build())
+
+  override def outputSchema: StructType = StructType(Seq(
+    StructField("versions_removed", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val dir = tableDir(input.getUTF8String(0).toString)
+    result(ManifestMaintenance.dropBranch(
+      ManifestSink.driverConf(), dir, input.getUTF8String(1).toString))
+  }
+}

@@ -57,8 +57,71 @@ object ManifestMaintenance {
     val parts =
       if (baseVersion == 0) ManifestSink.readManifestMeta(conf, dir, None)
       else ManifestSink.readManifestMeta(conf, dir, Some(baseVersion))
-    val (vectored, clean) = parts.partition(_.hasDv)
+    val vectored = parts.filter(_.hasDv)
     if (vectored.isEmpty) return 0
+    rewriteAndSwap(spark, conf, dir, baseVersion, vectored, identity)
+    vectored.size
+  }
+
+  /** Result of one file-compaction run. */
+  final case class CompactStats(
+      partsBefore: Int, partsAfter: Int, version: Int)
+
+  /** COMPACT DATA FILES — the bin-packing half of OPTIMIZE: every
+    * data part of the head snapshot is rewritten into `targetParts`
+    * files (range-clustered by `clusterBy` when given, so the
+    * compacted layout is strictly better for the source's min/max
+    * part pruning; hash-distributed otherwise) and published as ONE
+    * new snapshot. Deletion-vector masks are applied during the
+    * rewrite (the staged read goes through the normal masking
+    * source), so the compacted parts are vector-free — compaction is
+    * simultaneously small-file packing AND the MOR debt settlement.
+    * Superseded files stay on disk for time travel; vacuum owns
+    * their retirement.
+    *
+    * Commit shape matches [[compactVectors]]: pinned to the base
+    * version with the base parts as conflict footprint, so an
+    * interleaved APPEND composes via the head-aware rebase (its
+    * parts carry into the compacted snapshot untouched) while a
+    * racing rewrite of a base part conflicts loudly — compaction is
+    * always safe to retry. At 100 TB this is the op that keeps "a
+    * million tiny files" from becoming the scheduler's problem, and
+    * it never touches the driver with row data: the rewrite is a
+    * distributed read→write, the commit is a metadata swap. */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetParts: Int, clusterBy: Option[String] = None): CompactStats = {
+    require(targetParts >= 1, s"target_parts must be >= 1, got $targetParts")
+    val conf = ManifestSink.driverConf()
+    val baseVersion = ManifestSink.listVersions(conf, dir)
+      .lastOption.getOrElse(0)
+    val parts =
+      if (baseVersion == 0) ManifestSink.readManifestMeta(conf, dir, None)
+      else ManifestSink.readManifestMeta(conf, dir, Some(baseVersion))
+    if (parts.isEmpty) return CompactStats(0, 0, baseVersion)
+    val layout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      clusterBy.filter(_.nonEmpty) match {
+        case Some(c) => _.repartitionByRange(targetParts,
+          org.apache.spark.sql.functions.col(c))
+        case None => _.repartition(targetParts)
+      }
+    val (rewritten, v) =
+      rewriteAndSwap(spark, conf, dir, baseVersion, parts, layout)
+    CompactStats(parts.size, rewritten.size, v)
+  }
+
+  /** Shared rewrite machinery for [[compactVectors]] and
+    * [[compactFiles]]: stage a manifest over `selected` (vectors
+    * included — the masking read defines the surviving rows), read it
+    * back through the normal source, re-lay it out, write fresh parts,
+    * adopt them into the table directory, and publish
+    * `head − selected + rewritten` pinned to `baseVersion` with
+    * `selected` as the conflict footprint. Returns the adopted part
+    * metas and the committed version. */
+  private def rewriteAndSwap(spark: org.apache.spark.sql.SparkSession,
+      conf: Configuration, dir: String, baseVersion: Int,
+      selected: Seq[PartMeta],
+      layout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : (Seq[PartMeta], Int) = {
     val schema = ManifestSink.readSchema(conf, dir,
       if (baseVersion == 0) None else Some(baseVersion))
       .getOrElse(throw new IllegalStateException(s"no schema at $dir"))
@@ -67,12 +130,10 @@ object ManifestMaintenance {
     val tmpRead = s"$dir/_compact-read-$token"
     val tmpWrite = s"$dir/_compact-write-$token"
     try {
-      // stage a manifest over ONLY the vectored parts, vectors
-      // included — the masking read defines the surviving rows
-      ManifestSink.publishSnapshot(conf, tmpRead, schema, vectored,
+      ManifestSink.publishSnapshot(conf, tmpRead, schema, selected,
         history = false)
-      spark.read.format("graft.sources.ManifestSource")
-        .option("path", tmpRead).load()
+      layout(spark.read.format("graft.sources.ManifestSource")
+        .option("path", tmpRead).load())
         .write.format("graft.sources.ManifestSink")
         .option("path", tmpWrite).mode("overwrite").save()
       val rewritten = ManifestSink.readManifestMeta(conf, tmpWrite, None)
@@ -84,16 +145,16 @@ object ManifestMaintenance {
             s"compaction part adoption failed: $src -> $dst")
           p.copy(path = dst.toString)
         }
-      // footprint = the vectored parts this compaction replaces: an
-      // interleaved append (or a delete on a clean part) composes via
-      // the head-aware rebase; one that re-vectored a part mid-
+      // footprint = the parts this compaction replaces: an interleaved
+      // append (or DML on an unselected part) composes via the
+      // head-aware rebase; one that touched a selected part mid-
       // compaction conflicts loudly — compaction is always safe to
       // retry
-      val vectoredPaths = vectored.map(_.path).toSet
-      ManifestSink.publishRebase(conf, dir, schema, history = true,
-        head => head.filterNot(p => vectoredPaths.contains(p.path)) ++ rewritten,
-        strictBase = Some(baseVersion), footprint = Some(vectoredPaths))
-      vectored.size
+      val selectedPaths = selected.map(_.path).toSet
+      val v = ManifestSink.publishRebase(conf, dir, schema, history = true,
+        head => head.filterNot(p => selectedPaths.contains(p.path)) ++ rewritten,
+        strictBase = Some(baseVersion), footprint = Some(selectedPaths))
+      (rewritten, v)
     } finally {
       fs.delete(new Path(tmpRead), true)
       fs.delete(new Path(tmpWrite), true)

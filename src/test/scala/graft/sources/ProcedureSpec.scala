@@ -1,0 +1,204 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+
+/** SQL stored procedures over the manifest catalog
+  * (sources/GraftProcedures.scala): `CALL graftcat.system.<proc>` via
+  * Spark 4's native ProcedureCatalog. Pins the discovery surface
+  * (SHOW PROCEDURES / DESCRIBE PROCEDURE), named + positional
+  * arguments, parameter defaults, result rows, and the semantics of
+  * each maintenance procedure — including that `compact` applies
+  * deletion-vector masks and that `expire_snapshots` never reclaims a
+  * file a retained snapshot references. */
+class ProcedureSpec extends graft.SparkSpec {
+
+  private lazy val wh = {
+    val d = Files.createTempDirectory("graft-procspec").toString
+    spark.conf.set("spark.sql.catalog.gps", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gps.warehouse", d)
+    d
+  }
+
+  private def conf = spark.sessionState.newHadoopConf()
+
+  private def writeTable(name: String, n: Long, parts: Int): String = {
+    import spark.implicits._
+    val t = s"$wh/ns/$name"
+    (0L until n).map(i => (i, i * 2)).toDF("k", "v")
+      .repartition(parts)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", t).option("history", "true")
+      .mode("overwrite").save()
+    t
+  }
+
+  test("SHOW PROCEDURES lists the registry; DESCRIBE PROCEDURE describes one") {
+    wh
+    val shown = spark.sql("SHOW PROCEDURES IN gps.system").collect()
+      .map(_.getAs[String]("procedure_name")).toSet
+    assert(shown === Set("compact", "compact_vectors", "expire_snapshots",
+      "rollback", "fast_forward", "drop_branch"))
+    val desc = spark.sql("DESCRIBE PROCEDURE gps.system.compact")
+      .collect().map(_.toString).mkString("\n")
+    assert(desc.contains("compact"))
+  }
+
+  test("unknown procedure and wrong namespace fail loudly") {
+    wh
+    val e1 = intercept[Exception] {
+      spark.sql("CALL gps.system.no_such_proc()").collect()
+    }
+    assert(e1.getMessage.contains("no_such_proc") ||
+      e1.getMessage.contains("not found") || e1.getMessage.contains("unknown"))
+    intercept[Exception] {
+      spark.sql("CALL gps.other.compact(table => 'ns.t', target_parts => 1)")
+        .collect()
+    }
+  }
+
+  test("compact: 8 parts -> 2 range-clustered parts, rows intact, one snapshot") {
+    val t = writeTable("cmp", 1000L, 8)
+    val res = spark.sql(
+      "CALL gps.system.compact(table => 'ns.cmp', target_parts => 2, " +
+        "cluster_by => 'k')").collect()
+    assert(res.length === 1)
+    val r = res.head
+    assert(r.getAs[Int]("parts_before") === 8)
+    assert(r.getAs[Int]("parts_after") === 2)
+    assert(r.getAs[Int]("version") === 2)
+    // data identical, layout packed + key-disjoint (range clustering)
+    val metas = ManifestSink.readManifest(conf, t)
+    assert(metas.length === 2)
+    assert(metas.map(_._2).sum === 1000L)
+    val ranges = metas.map(m => (m._3, m._4)).sortBy(_._1)
+    assert(ranges(0)._2 < ranges(1)._1, "range-clustered parts overlap")
+    assert(spark.sql("SELECT sum(v) FROM gps.ns.cmp").head.getLong(0)
+      === (0L until 1000L).map(_ * 2).sum)
+    // pre-compaction snapshot still time-travelable
+    assert(spark.sql("SELECT count(*) FROM gps.ns.cmp VERSION AS OF 1")
+      .head.getLong(0) === 1000L)
+  }
+
+  test("compact default cluster_by: positional args, hash layout") {
+    writeTable("cmp2", 400L, 16)
+    val r = spark.sql("CALL gps.system.compact('ns.cmp2', 4)").collect().head
+    assert(r.getAs[Int]("parts_before") === 16)
+    assert(r.getAs[Int]("parts_after") === 4)
+    assert(spark.sql("SELECT count(*) FROM gps.ns.cmp2").head.getLong(0)
+      === 400L)
+  }
+
+  test("compact applies deletion-vector masks and clears vectors") {
+    val t = writeTable("cmpdv", 500L, 4)
+    spark.conf.set("graft.delete.mode", "mor")
+    try spark.sql("DELETE FROM gps.ns.cmpdv WHERE k % 5 = 0")
+    finally spark.conf.unset("graft.delete.mode")
+    assert(ManifestSink.readManifestMeta(conf, t, None).exists(_.hasDv))
+    val r = spark.sql(
+      "CALL gps.system.compact(table => 'ns.cmpdv', target_parts => 1)")
+      .collect().head
+    assert(r.getAs[Int]("parts_after") === 1)
+    val metas = ManifestSink.readManifestMeta(conf, t, None)
+    assert(!metas.exists(_.hasDv), "compacted parts must be vector-free")
+    assert(metas.map(_.rows).sum === 400L)
+    assert(spark.sql("SELECT count(*) FROM gps.ns.cmpdv").head.getLong(0)
+      === 400L)
+  }
+
+  test("compact_vectors rewrites only vectored parts") {
+    val t = writeTable("cv", 600L, 6)
+    spark.conf.set("graft.delete.mode", "mor")
+    // range layout would be needed to bound vectored parts; with hash
+    // layout every part holds multiples of 7, so all 6 get vectors —
+    // delete a single key instead: exactly one part is vectored
+    try spark.sql("DELETE FROM gps.ns.cv WHERE k = 123")
+    finally spark.conf.unset("graft.delete.mode")
+    val vectored = ManifestSink.readManifestMeta(conf, t, None).count(_.hasDv)
+    assert(vectored === 1)
+    val r = spark.sql("CALL gps.system.compact_vectors(table => 'ns.cv')")
+      .collect().head
+    assert(r.getAs[Int]("parts_rewritten") === 1)
+    val metas = ManifestSink.readManifestMeta(conf, t, None)
+    assert(metas.length === 6 && !metas.exists(_.hasDv))
+    assert(spark.sql("SELECT count(*) FROM gps.ns.cv").head.getLong(0) === 599L)
+  }
+
+  test("rollback re-commits an old snapshot; expire_snapshots reclaims") {
+    val t = writeTable("life", 300L, 2)                       // v1
+    spark.sql("INSERT OVERWRITE gps.ns.life SELECT k, v FROM " +
+      "gps.ns.life VERSION AS OF 1 WHERE k < 100")            // v2
+    val rb = spark.sql(
+      "CALL gps.system.rollback(table => 'ns.life', version => 1)")
+      .collect().head
+    assert(rb.getAs[Int]("version") === 3)
+    assert(spark.sql("SELECT count(*) FROM gps.ns.life").head.getLong(0)
+      === 300L)
+    // keep_last=2 retains [v2, v3]; v1 expires, but its files are
+    // referenced by v3 (rollback references, never copies) -> files_deleted
+    // counts only v2's unreferenced rewrite output
+    val ex = spark.sql(
+      "CALL gps.system.expire_snapshots(table => 'ns.life', keep_last => 2, " +
+        "orphan_grace_ms => 86400000)").collect().head
+    assert(ex.getAs[Int]("versions_expired") === 1)
+    assert(ex.getAs[Int]("versions_retained") === 2)
+    assert(ex.getAs[Int]("files_deleted") === 0,
+      "v1's files are referenced by the rollback head and must survive")
+    // head still reads in full after the expiry
+    assert(spark.sql("SELECT count(*) FROM gps.ns.life").head.getLong(0)
+      === 300L)
+    // the expired snapshot now fails loudly
+    intercept[Exception] {
+      spark.sql("SELECT count(*) FROM gps.ns.life VERSION AS OF 1").collect()
+    }
+  }
+
+  test("expire_snapshots default orphan_grace_ms binds from the declared default") {
+    writeTable("defg", 50L, 1)
+    val ex = spark.sql(
+      "CALL gps.system.expire_snapshots(table => 'ns.defg', keep_last => 1)")
+      .collect().head
+    assert(ex.getAs[Int]("versions_expired") === 0)
+    assert(ex.getAs[Int]("versions_retained") === 1)
+  }
+
+  test("fast_forward publishes a branch head; drop_branch cleans up") {
+    import spark.implicits._
+    val t = writeTable("wap", 100L, 2)                        // main v1
+    (1000L until 1100L).map(i => (i, i * 2)).toDF("k", "v")
+      .write.format("graft.sources.ManifestSink")
+      .option("path", t).option("history", "true").option("branch", "audit")
+      .mode("append").save()
+    // main readers see nothing of the staged branch commit
+    assert(spark.sql("SELECT count(*) FROM gps.ns.wap").head.getLong(0)
+      === 100L)
+    val ff = spark.sql(
+      "CALL gps.system.fast_forward(table => 'ns.wap', branch => 'audit')")
+      .collect().head
+    assert(ff.getAs[Int]("version") === 2)
+    assert(spark.sql("SELECT count(*) FROM gps.ns.wap").head.getLong(0)
+      === 200L)
+    val db = spark.sql(
+      "CALL gps.system.drop_branch(table => 'ns.wap', branch => 'audit')")
+      .collect().head
+    assert(db.getAs[Int]("versions_removed") === 1)
+    assert(ManifestSink.listBranches(conf, t).isEmpty)
+    // publishing a dropped (now-empty) branch fails loudly
+    intercept[Exception] {
+      spark.sql(
+        "CALL gps.system.fast_forward(table => 'ns.wap', branch => 'audit')")
+        .collect()
+    }
+  }
+
+  test("procedures against a missing table fail with the table name") {
+    wh
+    val e = intercept[Exception] {
+      spark.sql("CALL gps.system.compact(table => 'ns.ghost', " +
+        "target_parts => 1)").collect()
+    }
+    assert(e.getMessage.contains("ns.ghost"))
+  }
+}
