@@ -27,5 +27,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DotSelfToSumSq)
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
+    // SQL views over the catalog's ViewCatalog — vanilla Spark 4.1
+    // ships the API with no engine wiring; these rules close the gap.
+    // HINTS-batch injection is load-bearing: the Hints batch precedes
+    // Resolution, so the view plans are rewritten before the built-in
+    // ResolveSessionCatalog can reject them (see GraftViewRules)
+    ext.injectHintResolutionRule(s => new graft.sources.RewriteGraftViewCommands(s))
+    ext.injectHintResolutionRule(s => new graft.sources.ResolveGraftViews(s))
   }
 }

@@ -1123,5 +1123,158 @@ FROM events""")),
     AS n_head,
   (SELECT ${Exact.decSumSql("value", 2)} FROM events WHERE event_id % 5 = 0)
     AS sum_head""")),
+
+    // --- THE MANIFEST AS A TABLE (`SELECT ... FROM cat.ns.t.files` —
+    // Iceberg's `.files` analog, sources/GraftCatalog.scala
+    // ManifestFilesTable): per-part stats served straight off the
+    // head manifest through a LocalScan — ZERO data files opened at
+    // any table size. The gate aggregates the metadata view and the
+    // oracle restates it from the raw rows: physical vs mask-aware
+    // visible counts split exactly at the MOR-deleted rows, key
+    // bounds match the data's, the 4-part range layout is preserved.
+    // This is the operator's observability surface ("how much MOR
+    // debt does this table carry?") — answered from KBs of metadata.
+    QueryDef("q_meta_files",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "metafiles")
+        spark.conf.set("spark.sql.catalog.graftmf",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftmf.warehouse", wh)
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("value"))
+        base.repartitionByRange(4, col("event_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", s"$wh/wh/ev_t").option("history", "true")
+          .mode("overwrite").save()
+        spark.conf.set("graft.delete.mode", "mor")
+        try spark.sql("DELETE FROM graftmf.wh.ev_t WHERE event_id % 10 = 0")
+        finally spark.conf.unset("graft.delete.mode")
+        spark.sql("""SELECT count(*) AS n_parts, sum(n_rows) AS total_rows,
+          sum(visible_rows) AS visible_rows, min(key_min) AS key_min,
+          max(key_max) AS key_max, sum(dv_count) AS n_deleted
+          FROM graftmf.wh.ev_t.files""")
+      },
+      Some("""SELECT CAST(4 AS BIGINT) AS n_parts,
+  CAST(count(*) AS BIGINT) AS total_rows,
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 10 <> 0)
+    AS visible_rows,
+  min(event_id) AS key_min, max(event_id) AS key_max,
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 10 = 0)
+    AS n_deleted
+FROM events""")),
+
+    // --- ALTER TABLE ADD COLUMN (DDL-driven schema evolution): the
+    // widening is a METADATA-ONLY snapshot — the head's part list
+    // republished under the wider schema; no data file is touched,
+    // pre-ALTER rows read NULL for the new column (the same additive
+    // contract append-time evolution follows, now reachable from
+    // plain SQL DDL). The commit also pins the nullability-stickiness
+    // fix: the post-ALTER INSERT arrives with NOT NULL literals and
+    // must NOT tighten the published schema (CatalogSpec pins the
+    // schema across versions; this gate would NPE without it).
+    QueryDef("q_alter_evolve",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "altersql")
+        spark.conf.set("spark.sql.catalog.graftal",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftal.warehouse", wh)
+        val base = Tables.events(spark, dir)
+        writeHistory(base.filter(col("event_id") % 2 === 0)
+          .select(col("event_id"), col("value")), s"$wh/wh/ev_t", "overwrite")
+        spark.sql("ALTER TABLE graftal.wh.ev_t ADD COLUMN etype STRING")
+        base.filter(col("event_id") % 2 =!= 0)
+          .select(col("event_id"), col("value"),
+            col("event_type").as("etype"))
+          .createOrReplaceTempView("graft_alter_delta")
+        spark.sql(
+          "INSERT INTO graftal.wh.ev_t SELECT * FROM graft_alter_delta")
+        val head = spark.sql(
+          "SELECT count(*) AS n_head, count(etype) AS n_typed, " +
+            "count(DISTINCT etype) AS n_types, " +
+            s"${Exact.decSumSql("value", 2).replace("VARCHAR", "STRING")} AS sum_value " +
+            "FROM graftal.wh.ev_t")
+        // the ALTER snapshot itself: same rows as v1, wider schema
+        val v2 = spark.sql(
+          "SELECT count(*) AS n_v2 FROM graftal.wh.ev_t VERSION AS OF 2")
+        head.crossJoin(v2)
+      },
+      Some(s"""SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_head,
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 2 <> 0)
+    AS n_typed,
+  (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+     WHERE event_id % 2 <> 0) AS n_types,
+  (SELECT ${Exact.decSumSql("value", 2)} FROM events) AS sum_value,
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 2 = 0)
+    AS n_v2""")),
+
+    // --- TRUNCATE TABLE (SQL → TruncatableTable): a LOGICAL truncate
+    // — one empty-part-list snapshot, so the pre-truncate version
+    // keeps reading in full (gated) while the head is empty, and the
+    // post-truncate INSERT starts the table over in the same history.
+    // The data files of v1 stay on disk for time travel until vacuum.
+    QueryDef("q_truncate_sql",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "truncsql")
+        spark.conf.set("spark.sql.catalog.grafttr",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.grafttr.warehouse", wh)
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("value"))
+        writeHistory(base, s"$wh/wh/ev_t", "overwrite")
+        spark.sql("TRUNCATE TABLE grafttr.wh.ev_t")
+        base.filter(col("event_id") % 3 === 0)
+          .createOrReplaceTempView("graft_trunc_delta")
+        spark.sql(
+          "INSERT INTO grafttr.wh.ev_t SELECT * FROM graft_trunc_delta")
+        val head = spark.sql(
+          "SELECT count(*) AS n_head, " +
+            s"${Exact.decSumSql("value", 2).replace("VARCHAR", "STRING")} AS sum_head " +
+            "FROM grafttr.wh.ev_t")
+        val v1 = spark.sql(
+          "SELECT count(*) AS n_v1 FROM grafttr.wh.ev_t VERSION AS OF 1")
+        val v2 = spark.sql(
+          "SELECT count(*) AS n_truncated FROM grafttr.wh.ev_t VERSION AS OF 2")
+        head.crossJoin(v1).crossJoin(v2)
+      },
+      Some(s"""SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 3 = 0)
+    AS n_head,
+  (SELECT ${Exact.decSumSql("value", 2)} FROM events WHERE event_id % 3 = 0)
+    AS sum_head,
+  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_v1,
+  CAST(0 AS BIGINT) AS n_truncated""")),
+
+    // --- PERSISTENT SQL VIEWS (DSv2 ViewCatalog,
+    // sources/GraftViews.scala): `CREATE VIEW cat.ns.v AS SELECT ...`
+    // stores the SQL text + resolution context as one metadata record
+    // next to the table directories; the SELECT re-expands it at
+    // resolution, so the view inherits the source's pushdown and
+    // pruning unchanged. The gate runs an aggregate THROUGH the view
+    // over a catalog table fed by the normal commit protocol —
+    // proving name → stored text → table → snapshot resolution end to
+    // end. ViewSpec pins the lifecycle (REPLACE/DROP/SHOW/ALTER/
+    // RENAME, time-travel composition, record-format round-trip).
+    QueryDef("q_sql_view",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "sqlview")
+        spark.conf.set("spark.sql.catalog.graftvw",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftvw.warehouse", wh)
+        val base = Tables.orders(spark, dir).select(
+          col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        writeHistory(base, s"$wh/wh/orders_t", "overwrite")
+        spark.sql("""CREATE OR REPLACE VIEW graftvw.wh.pricey AS
+          SELECT prio, price FROM graftvw.wh.orders_t WHERE price > 1000.0""")
+        spark.sql(
+          "SELECT prio, count(*) AS n, " +
+            s"${Exact.decSumSql("price", 2).replace("VARCHAR", "STRING")} AS sum_price " +
+            "FROM graftvw.wh.pricey GROUP BY prio ORDER BY prio")
+      },
+      Some(s"""SELECT o_orderpriority AS prio, count(*) AS n,
+  ${Exact.decSumSql("o_totalprice", 2)} AS sum_price
+FROM orders WHERE o_totalprice > 1000.0
+GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
   )
 }

@@ -6,14 +6,14 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, Write, WriteBuilder}
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
 
@@ -43,7 +43,7 @@ import org.apache.spark.util.SerializableConfiguration
   * ever touches data files.
   */
 class GraftCatalog extends TableCatalog with FunctionCatalog
-  with ProcedureCatalog {
+  with ProcedureCatalog with ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -83,15 +83,21 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     ManifestSink.readSchema(conf, p) match {
       case Some(schema) => new GraftCatalogTable(ident, p, schema)
       case None =>
-        // METADATA TABLE (the Iceberg `db.table.history` shape):
-        // `SELECT * FROM cat.ns.t.history` parses as namespace
-        // (ns, t) + name "history" — if the parent IS a table, serve
-        // its snapshot log as a queryable relation. Pure metadata:
-        // the scan reads version manifests (KBs), never data files.
-        if (ident.name() == "history" && ident.namespace().nonEmpty) {
+        // METADATA TABLES (the Iceberg `db.table.history` shape):
+        // `SELECT * FROM cat.ns.t.history|files|branches` parses as
+        // namespace (ns, t) + the metadata name — if the parent IS a
+        // table, serve the requested metadata relation. Pure
+        // metadata: each reads version manifests (KBs), never data
+        // files.
+        if (ident.namespace().nonEmpty) {
           val parent = (warehouse +: ident.namespace()).mkString("/")
           if (ManifestSink.readSchema(conf, parent).isDefined)
-            return new ManifestHistoryTable(parent)
+            ident.name() match {
+              case "history"  => return new ManifestHistoryTable(parent)
+              case "files"    => return new ManifestFilesTable(parent)
+              case "branches" => return new ManifestBranchesTable(parent)
+              case _          => ()
+            }
         }
         throw new NoSuchTableException(ident)
     }
@@ -153,9 +159,42 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "schema evolves through append commits (additive), not ALTER TABLE")
+  /** `ALTER TABLE t ADD COLUMN c TYPE` — the DDL face of the format's
+    * additive schema evolution: a METADATA-ONLY commit that publishes
+    * the head's part list under the widened schema (existing parts
+    * carry forward by reference; their rows read back NULL for the
+    * new column, exactly like append-time evolution). Published
+    * through the rebase loop (`head => head`), so a racing append's
+    * parts survive. Everything non-additive stays rejected — renames,
+    * drops, and type changes would silently re-interpret committed
+    * data. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    val schema = ManifestSink.readSchema(conf, p)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val widened = changes.foldLeft(schema) {
+      case (s, add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          "nested ADD COLUMN is not supported")
+        val colName = add.fieldNames()(0)
+        require(!s.fieldNames.exists(_.equalsIgnoreCase(colName)),
+          s"column '$colName' already exists in $ident")
+        require(add.isNullable,
+          s"added column '$colName' must be nullable " +
+            "(existing rows have no value for it)")
+        require(add.position() == null,
+          "columns can only be added at the end (part files are " +
+            "positional; reordering would re-interpret committed data)")
+        val f = StructField(colName, add.dataType(), nullable = true)
+        s.add(Option(add.comment()).fold(f)(f.withComment))
+      case (_, c) => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change $c — schema evolves " +
+          "additively (ADD COLUMN / append commits) only")
+    }
+    ManifestSink.publishRebase(conf, p, widened, history = true,
+      rebase = head => head, strictBase = None)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(tablePath(ident))
@@ -196,6 +235,68 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       throw new IllegalArgumentException(
         s"unknown procedure '${ident.name()}' " +
           s"(known: ${GraftProcedures.names.mkString(", ")})"))
+  }
+
+  // --- ViewCatalog: `CREATE VIEW cat.ns.v AS SELECT ...` persisted
+  // as one metadata record per view (see [[GraftViews]] for the
+  // storage contract). Spark re-expands the stored SQL text at
+  // resolution, so a view composes with every table feature — time
+  // travel, metadata tables, pushdown — for free.
+  override def listViews(namespace: String*): Array[Identifier] =
+    GraftViews.list(conf, warehouse, namespace.toArray)
+
+  override def loadView(ident: Identifier): View =
+    GraftViews.read(conf, warehouse, ident)
+      .getOrElse(throw new NoSuchViewException(ident))
+
+  override def viewExists(ident: Identifier): Boolean =
+    GraftViews.exists(conf, warehouse, ident)
+
+  override def createView(info: ViewInfo): View = {
+    require(!tableExists(info.ident()),
+      s"cannot create view ${info.ident()}: a table with that name exists")
+    if (GraftViews.exists(conf, warehouse, info.ident()))
+      throw new ViewAlreadyExistsException(info.ident())
+    GraftViews.write(conf, warehouse, info, orReplace = false)
+    loadView(info.ident())
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    if (!orCreate && !GraftViews.exists(conf, warehouse, info.ident()))
+      throw new NoSuchViewException(info.ident())
+    GraftViews.write(conf, warehouse, info, orReplace = true)
+    loadView(info.ident())
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val v = loadView(ident)
+    val props = new util.HashMap[String, String](v.properties())
+    changes.foreach {
+      case s: ViewChange.SetProperty    => props.put(s.property(), s.value())
+      case r: ViewChange.RemoveProperty => props.remove(r.property())
+      case c => throw new UnsupportedOperationException(
+        s"unsupported ALTER VIEW change $c")
+    }
+    GraftViews.write(conf, warehouse, new ViewInfo(ident, v.query(),
+      v.currentCatalog(), v.currentNamespace(), v.schema(),
+      v.queryColumnNames(), v.columnAliases(), v.columnComments(), props),
+      orReplace = true)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    GraftViews.drop(conf, warehouse, ident)
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val v = GraftViews.read(conf, warehouse, oldIdent)
+      .getOrElse(throw new NoSuchViewException(oldIdent))
+    if (GraftViews.exists(conf, warehouse, newIdent) || tableExists(newIdent))
+      throw new ViewAlreadyExistsException(newIdent)
+    GraftViews.write(conf, warehouse, new ViewInfo(newIdent, v.query(),
+      v.currentCatalog(), v.currentNamespace(), v.schema(),
+      v.queryColumnNames(), v.columnAliases(), v.columnComments(),
+      v.properties()), orReplace = false)
+    GraftViews.drop(conf, warehouse, oldIdent)
   }
 }
 
@@ -331,7 +432,18 @@ private[sources] class GraftCatalogTable(
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with TruncatableTable {
+
+  /** SQL `TRUNCATE TABLE` — a LOGICAL truncate: one empty-part-list
+    * history snapshot (same schema), so pre-truncate versions stay
+    * time-travelable and the data files stay until vacuum. Same
+    * semantics as INSERT OVERWRITE of zero rows. */
+  override def truncateTable(): Boolean = {
+    ManifestSink.publishSnapshot(ManifestSink.driverConf(), path,
+      tableSchema, Seq.empty, history = true)
+    true
+  }
 
   import org.apache.spark.sql.connector.write.{RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo}
 
@@ -459,6 +571,81 @@ private[sources] class GraftCatalogTable(
             history = true,
             new SerializableConfiguration(ManifestSink.driverConf()),
             Option(info.options.get("branch")).filter(_.nonEmpty))
+      }
+    }
+}
+
+/** Per-part manifest metadata as a TABLE (`SELECT ... FROM
+  * cat.ns.t.files` — the Iceberg `.files` analog): one row per data
+  * part of the head snapshot with its manifest stats — physical and
+  * mask-aware visible row counts, key range, deletion-vector state,
+  * bytes. What an operator actually asks a table format ("which
+  * parts carry vectors?", "how skewed is the layout?") answered with
+  * ZERO data files opened: the rows come straight off the head
+  * manifest through a [[LocalRowsScan]]. */
+private[sources] class ManifestFilesTable(path: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder => SB}
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val filesSchema = StructType.fromDDL(
+    "part INT, file STRING, n_rows BIGINT, visible_rows BIGINT, " +
+      "key_min BIGINT, key_max BIGINT, has_dv BOOLEAN, dv_count BIGINT, " +
+      "bytes BIGINT")
+
+  override def name(): String = s"manifest($path).files"
+  override def schema(): StructType = filesSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): SB =
+    new SB {
+      override def build(): Scan = {
+        val rows = ManifestSink.readManifestMeta(
+          ManifestSink.driverConf(), path, None)
+          .zipWithIndex.map { case (m, i) =>
+            new GenericInternalRow(Array[Any](i,
+              UTF8String.fromString(new Path(m.path).getName), m.rows,
+              m.visibleRows, m.kMin, m.kMax, m.hasDv, m.dvCount,
+              m.bytes)): org.apache.spark.sql.catalyst.InternalRow
+          }.toArray
+        new LocalRowsScan(filesSchema, rows)
+      }
+    }
+}
+
+/** Branch heads as a TABLE (`SELECT ... FROM cat.ns.t.branches`):
+  * one row per live branch with its head version and the staged
+  * snapshot's part/visible-row counts — the audit-side "what is
+  * waiting to publish" view of write-audit-publish, again pure
+  * manifest metadata through a [[LocalRowsScan]]. */
+private[sources] class ManifestBranchesTable(path: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder => SB}
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val branchesSchema = StructType.fromDDL(
+    "branch STRING, head_version INT, n_parts BIGINT, n_rows BIGINT")
+
+  override def name(): String = s"manifest($path).branches"
+  override def schema(): StructType = branchesSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): SB =
+    new SB {
+      override def build(): Scan = {
+        val conf = ManifestSink.driverConf()
+        val rows = ManifestSink.listBranches(conf, path).sorted.map { b =>
+          val head = ManifestSink.listBranchVersions(conf, path, b).last
+          val parts = ManifestSink.readBranchMeta(conf, path, b, Some(head))
+          new GenericInternalRow(Array[Any](UTF8String.fromString(b),
+            head, parts.size.toLong, parts.map(_.visibleRows).sum)):
+            org.apache.spark.sql.catalyst.InternalRow
+        }.toArray
+        new LocalRowsScan(branchesSchema, rows)
       }
     }
 }

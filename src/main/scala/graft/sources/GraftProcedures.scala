@@ -91,14 +91,17 @@ private[sources] abstract class GraftProcedure(
       case v => v
     })
     Collections.singletonList[Scan](
-      new ProcedureResultScan(outputSchema, row)).iterator()
+      new LocalRowsScan(outputSchema, Array(row))).iterator()
   }
 }
 
-/** One driver-side result row; Spark plans a LocalTableScan over it. */
-private[sources] final class ProcedureResultScan(
-    schema: StructType, row: InternalRow) extends LocalScan {
-  override def rows(): Array[InternalRow] = Array(row)
+/** Driver-side metadata rows; Spark plans a LocalTableScan over them.
+  * Shared by procedure results and the `.files`/`.branches` metadata
+  * tables — in both cases the content IS driver metadata (KBs), so a
+  * distributed scan would only add scheduling overhead. */
+private[sources] final class LocalRowsScan(
+    schema: StructType, rowData: Array[InternalRow]) extends LocalScan {
+  override def rows(): Array[InternalRow] = rowData
   override def readSchema(): StructType = schema
 }
 

@@ -756,10 +756,10 @@ private[sources] class ManifestBatchWrite(
     // append: check the schema only evolved additively (name+type
     // prefix match) before carrying the head's parts forward — for a
     // branch commit, against the BRANCH head's schema
-    if (!truncate) branch
+    val committed = if (truncate) None else branch
       .map(b => ManifestSink.readBranchSchema(conf.value, path, b))
       .getOrElse(ManifestSink.readSchema(conf.value, path))
-      .foreach { old =>
+    committed.foreach { old =>
       val prefixOk = old.fields.length <= schema.fields.length &&
         old.fields.zip(schema.fields).forall { case (a, b) =>
           a.name == b.name && a.dataType == b.dataType
@@ -767,6 +767,22 @@ private[sources] class ManifestBatchWrite(
       if (!prefixOk) throw new IllegalArgumentException(
         s"append schema must extend the committed schema additively; " +
           s"committed=${old.toDDL} incoming=${schema.toDDL}")
+    }
+    // The published schema must never let a WRITE's tighter nullability
+    // stomp the table's: an INSERT of literals arrives with every field
+    // NOT NULL, but (a) nullability is STICKY — rows committed under a
+    // nullable column may hold nulls forever — and (b) a column the
+    // committed schema doesn't have yet (this append is the widening,
+    // or ALTER TABLE added it) is missing from every old part and reads
+    // back NULL, so it must publish nullable regardless of what the
+    // writer claims.
+    val published = committed match {
+      case None => schema
+      case Some(old) => StructType(schema.fields.zipWithIndex.map {
+        case (f, i) if i < old.fields.length =>
+          if (old.fields(i).nullable) old.fields(i) else f
+        case (f, _) => f.copy(nullable = true)
+      })
     }
     val newParts = messages.toSeq.map { case m: PartCommit =>
       PartMeta(m.path, m.rows, m.keyMin, m.keyMax, m.bloom,
@@ -776,7 +792,7 @@ private[sources] class ManifestBatchWrite(
     // head inside the commit loop on every claim attempt, so an append
     // racing another committer re-applies `head ++ newParts` on top of
     // whatever actually won — never dropping the winner's parts.
-    ManifestSink.publishRebase(conf.value, path, schema, history,
+    ManifestSink.publishRebase(conf.value, path, published, history,
       head => (if (truncate) Seq.empty else head) ++ newParts,
       strictBase = None, branch = branch)
   }

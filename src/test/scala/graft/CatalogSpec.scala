@@ -278,4 +278,101 @@ class CatalogSpec extends SparkSpec {
       .option("path", t).option("version", "2").load()
     assert(serve(v2) === serve(indexRows(base.union(delta1))))
   }
+
+  test(".files metadata table: per-part stats, mask-aware, zero data reads") {
+    wh
+    import spark.implicits._
+    val t = s"$wh/ns/filesmeta"
+    (0L until 800L).map(i => (i, i * 3)).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", t).option("history", "true")
+      .mode("overwrite").save()
+    spark.conf.set("graft.delete.mode", "mor")
+    try spark.sql("DELETE FROM gcs.ns.filesmeta WHERE k % 10 = 0")
+    finally spark.conf.unset("graft.delete.mode")
+    val rows = spark.sql(
+      "SELECT part, n_rows, visible_rows, has_dv, dv_count FROM " +
+        "gcs.ns.filesmeta.files ORDER BY part").collect()
+    assert(rows.length === 4)
+    assert(rows.map(_.getAs[Long]("n_rows")).sum === 800L)
+    assert(rows.map(_.getAs[Long]("visible_rows")).sum === 720L)
+    assert(rows.map(_.getAs[Long]("dv_count")).sum === 80L)
+    // range layout: every part holds multiples of 10, so all carry DVs
+    assert(rows.forall(_.getAs[Boolean]("has_dv")))
+    // key ranges are disjoint and ordered under the range layout
+    val ks = spark.sql(
+      "SELECT key_min, key_max FROM gcs.ns.filesmeta.files ORDER BY key_min")
+      .collect()
+    ks.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(0).getAs[Long]("key_max") < w(1).getAs[Long]("key_min"))
+    }
+  }
+
+  test(".branches metadata table: staged WAP commits visible with counts") {
+    wh
+    import spark.implicits._
+    val t = s"$wh/ns/brmeta"
+    (0L until 100L).map(i => (i, i)).toDF("k", "v")
+      .repartition(2)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", t).option("history", "true")
+      .mode("overwrite").save()
+    assert(spark.sql("SELECT * FROM gcs.ns.brmeta.branches").count() === 0)
+    (100L until 150L).map(i => (i, i)).toDF("k", "v")
+      .repartition(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", t).option("history", "true").option("branch", "audit")
+      .mode("append").save()
+    val row = spark.sql(
+      "SELECT branch, head_version, n_parts, n_rows FROM " +
+        "gcs.ns.brmeta.branches").collect()
+    assert(row.length === 1)
+    assert(row.head.getAs[String]("branch") === "audit")
+    // branch append inherits the main head: 2 main parts + 1 staged
+    assert(row.head.getAs[Long]("n_parts") === 3L)
+    assert(row.head.getAs[Long]("n_rows") === 150L)
+  }
+
+  test("ALTER TABLE ADD COLUMN: metadata-only widening; old rows read NULL") {
+    wh
+    spark.sql("CREATE TABLE gcs.ns.altered (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gcs.ns.altered VALUES (1, 10), (2, 20)")
+    spark.sql("ALTER TABLE gcs.ns.altered ADD COLUMN note STRING")
+    spark.sql("INSERT INTO gcs.ns.altered VALUES (3, 30, 'x')")
+    val head = spark.sql(
+      "SELECT count(*) AS n, count(note) AS n_note FROM gcs.ns.altered")
+      .collect().head
+    assert(head.getAs[Long]("n") === 3L && head.getAs[Long]("n_note") === 1L)
+    // the widening is its own snapshot; the pre-ALTER version still
+    // serves the narrow schema
+    assert(spark.sql("SELECT * FROM gcs.ns.altered VERSION AS OF 2")
+      .schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(spark.sql("SELECT * FROM gcs.ns.altered VERSION AS OF 3")
+      .schema.fieldNames.toSeq === Seq("k", "v", "note"))
+    // non-additive changes stay rejected
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcs.ns.altered DROP COLUMN v")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcs.ns.altered RENAME COLUMN v TO w")
+    }
+    // duplicate add fails loudly
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcs.ns.altered ADD COLUMN note STRING")
+    }
+  }
+
+  test("TRUNCATE TABLE: logical truncate, history intact") {
+    wh
+    spark.sql("CREATE TABLE gcs.ns.trunc (k BIGINT)")
+    spark.sql("INSERT INTO gcs.ns.trunc VALUES (1), (2), (3)")
+    spark.sql("TRUNCATE TABLE gcs.ns.trunc")
+    assert(spark.sql("SELECT * FROM gcs.ns.trunc").count() === 0)
+    // pre-truncate snapshot still readable
+    assert(spark.sql("SELECT * FROM gcs.ns.trunc VERSION AS OF 2").count() === 3)
+    spark.sql("INSERT INTO gcs.ns.trunc VALUES (9)")
+    assert(spark.sql("SELECT * FROM gcs.ns.trunc").count() === 1)
+  }
 }
