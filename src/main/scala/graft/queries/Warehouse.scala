@@ -1276,5 +1276,47 @@ FROM events""")),
   ${Exact.decSumSql("o_totalprice", 2)} AS sum_price
 FROM orders WHERE o_totalprice > 1000.0
 GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // --- STORAGE-PARTITIONED JOIN (hash-bucketed manifest tables +
+    // scan-reported KeyGroupedPartitioning + the catalog `bucket`
+    // function — the Iceberg SPJ shape): orders and lineitem land
+    // bucketed by orderkey (`option("buckets", 8)`; the writer routes
+    // each row by graft.functions.GraftBucket, the part metadata
+    // records the ordinal), and the join on the key then ZIPS the
+    // bucket partitions pairwise — NO shuffle on either side (SpjSpec
+    // pins the exchange-free plan; this gate pins the answer). At
+    // 100 TB this turns the fact-to-fact join from a full-table
+    // exchange into a co-located merge — the single largest shuffle
+    // a warehouse pays, deleted by layout.
+    QueryDef("q_spj_join",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "spj")
+        spark.conf.set("spark.sql.catalog.graftsp",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftsp.warehouse", wh)
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        def writeBucketed(df: DataFrame, name: String): Unit =
+          df.repartition(8, graft.functions.GraftBucket.bucketId(col("k"), 8))
+            .write.format("graft.sources.ManifestSink")
+            .option("path", s"$wh/wh/$name").option("history", "true")
+            .option("buckets", "8").mode("overwrite").save()
+        writeBucketed(Tables.lineitem(spark, dir).select(
+          col("l_orderkey").as("k"), col("l_quantity"),
+          col("l_extendedprice")), "li_t")
+        writeBucketed(Tables.orders(spark, dir).select(
+          col("o_orderkey").as("k"), col("o_orderpriority").as("prio")),
+          "ord_t")
+        spark.sql(
+          "SELECT o.prio, count(*) AS n, " +
+            s"${Exact.decSumSql("l.l_quantity", 2).replace("VARCHAR", "STRING")} AS sum_qty, " +
+            s"${Exact.decSumSql("l.l_extendedprice", 2).replace("VARCHAR", "STRING")} AS sum_price " +
+            "FROM graftsp.wh.li_t l JOIN graftsp.wh.ord_t o ON l.k = o.k " +
+            "GROUP BY o.prio ORDER BY o.prio")
+      },
+      Some(s"""SELECT o_orderpriority AS prio, count(*) AS n,
+  ${Exact.decSumSql("l_quantity", 2)} AS sum_qty,
+  ${Exact.decSumSql("l_extendedprice", 2)} AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
   )
 }

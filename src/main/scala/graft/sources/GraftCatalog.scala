@@ -211,11 +211,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   // SQL-authored pipelines share the hash contract the DataFrame
   // operators are built on.
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "h64"))
+    Array(Identifier.of(namespace, "h64"), Identifier.of(namespace, "bucket"))
 
   override def loadFunction(ident: Identifier): UnboundFunction =
-    if (ident.name() == "h64") H64Function
-    else throw new NoSuchFunctionException(ident)
+    ident.name() match {
+      case "h64"    => H64Function
+      case "bucket" => GraftBucketFunction
+      case _        => throw new NoSuchFunctionException(ident)
+    }
 
   // --- ProcedureCatalog: the table-maintenance lifecycle as SQL
   // `CALL graftcat.system.<proc>(...)` (Spark 4's native DSv2
@@ -648,4 +651,36 @@ private[sources] class ManifestBranchesTable(path: String)
         new LocalRowsScan(branchesSchema, rows)
       }
     }
+}
+
+/** The catalog face of [[graft.functions.GraftBucket]] — what Spark's
+  * V2ExpressionUtils resolves the scan-reported `bucket(n, key)`
+  * transform through when it validates storage-partitioned join
+  * compatibility (both sides resolve to THIS bound function, equal
+  * `canonicalName`, hence provably the same partitioning). Also
+  * callable directly: `SELECT cat.ns.bucket(8, k)`. */
+private[sources] object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, key): storage bucket ordinal of a BIGINT key " +
+      "(splitmix64 then floor-mod; NULL keys -> bucket 0)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2 &&
+      inputType.fields(0).dataType == org.apache.spark.sql.types.IntegerType &&
+      inputType.fields(1).dataType == LongType,
+      s"bucket takes (INT numBuckets, BIGINT key), got ${inputType.simpleString}")
+    new ScalarFunction[java.lang.Integer] {
+      override def inputTypes(): Array[DataType] =
+        Array(org.apache.spark.sql.types.IntegerType, LongType)
+      override def resultType(): DataType =
+        org.apache.spark.sql.types.IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): java.lang.Integer =
+        java.lang.Integer.valueOf(
+          if (input.isNullAt(1)) 0
+          else graft.functions.GraftBucket.id(input.getLong(1), input.getInt(0)))
+    }
+  }
 }

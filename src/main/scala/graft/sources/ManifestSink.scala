@@ -65,7 +65,8 @@ class ManifestSink extends TableProvider {
       "true".equalsIgnoreCase(properties.get("history")),
       Option(properties.get("clusterBy")).filter(_.nonEmpty),
       Option(properties.get("writePartitions")).map(_.toInt),
-      Option(properties.get("branch")).filter(_.nonEmpty))
+      Option(properties.get("branch")).filter(_.nonEmpty),
+      Option(properties.get("buckets")).map(_.toInt))
 }
 
 /** Per-part bloom filter over the key column, stored hex-encoded in
@@ -272,7 +273,7 @@ private[sources] final case class PartMeta(
     path: String, rows: Long, kMin: Long, kMax: Long, bloomHex: String,
     sMin: Option[String] = None, sMax: Option[String] = None,
     dvHex: String = "", dvRef: String = "", dvCard: Long = 0L,
-    bytes: Long = 0L) {
+    bytes: Long = 0L, bucket: Int = -1, nbuckets: Int = 0) {
   lazy val bloomBits: Array[Long] = PartBloom.fromHex(bloomHex)
   lazy val dvBits: Array[Long] = DeleteVector.fromHex(dvHex)
   /** A vector exists — inline (`dvHex`) or as a SIDECAR file
@@ -371,12 +372,16 @@ object ManifestSink {
       }
       val dvRows = field("dvrows")
       val b = field("bytes")
+      val bk = field("bucket")
+      val nbk = field("nbuckets")
       PartMeta(decPath(field("path")), field("rows").toLong,
         field("min").toLong, field("max").toLong, field("bloom"),
         strField("smin"), strField("smax"), field("dv"),
         decPath(field("dvref")),
         if (dvRows.isEmpty) 0L else dvRows.toLong,
-        if (b.isEmpty) 0L else b.toLong)
+        if (b.isEmpty) 0L else b.toLong,
+        if (bk.isEmpty) -1 else bk.toInt,
+        if (nbk.isEmpty) 0 else nbk.toInt)
     }
 
   /** The committed table schema (manifest header line), if present. */
@@ -469,9 +474,11 @@ object ManifestSink {
         val r = if (m.dvRef.isEmpty) ""
           else s""","dvref":"${encPath(m.dvRef)}","dvrows":${m.dvCard}"""
         val by = if (m.bytes <= 0) "" else s""","bytes":${m.bytes}"""
+        val bk = if (m.nbuckets <= 0) ""
+          else s""","bucket":${m.bucket},"nbuckets":${m.nbuckets}"""
         content.append(
           s"""{"path":"${encPath(m.path)}","rows":${m.rows},""" +
-            s""""min":${m.kMin},"max":${m.kMax}$b$s$d$r$by}""").append('\n')
+            s""""min":${m.kMin},"max":${m.kMax}$b$s$d$r$by$bk}""").append('\n')
       }
       content.toString.getBytes("UTF-8")
     }
@@ -653,9 +660,18 @@ object ManifestSink {
 private[sources] class ManifestTable(
     path: String, schema: StructType, history: Boolean,
     clusterBy: Option[String] = None, writePartitions: Option[Int] = None,
-    branch: Option[String] = None)
+    branch: Option[String] = None, buckets: Option[Int] = None)
     extends Table with SupportsWrite {
   require(path != null && path.nonEmpty, "option 'path' is required")
+  require(buckets.isEmpty || clusterBy.isEmpty,
+    "options 'buckets' and 'clusterBy' are mutually exclusive " +
+      "(hash-bucketed vs range-clustered layout)")
+  buckets.foreach { n =>
+    require(n >= 1, s"option 'buckets' must be >= 1, got $n")
+    require(schema.fields.exists(_.dataType == LongType),
+      "bucketed writes need a BIGINT key column (buckets hash the " +
+        "first BIGINT column — the same column the stats prune on)")
+  }
   override def name(): String = s"manifest($path)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
@@ -671,7 +687,8 @@ private[sources] class ManifestTable(
             // capture the session conf HERE — newWriteBuilder/build run
             // on the driver; executors only ever see the serialized copy
             new ManifestBatchWrite(path, info.schema(), doTruncate, history,
-              new SerializableConfiguration(ManifestSink.driverConf()), branch)
+              new SerializableConfiguration(ManifestSink.driverConf()), branch,
+              buckets)
         }
         case Some(col) =>
           // DECLARATIVE CLUSTERED WRITE (`option("clusterBy", "k")`
@@ -736,7 +753,8 @@ private[sources] class ManifestTable(
   * invariant snapshot isolation rests on. */
 private[sources] class ManifestBatchWrite(
     path: String, schema: StructType, truncate: Boolean, history: Boolean,
-    conf: SerializableConfiguration, branch: Option[String] = None)
+    conf: SerializableConfiguration, branch: Option[String] = None,
+    buckets: Option[Int] = None)
     extends BatchWrite {
 
   private val token = java.util.UUID.randomUUID().toString.take(8)
@@ -749,7 +767,7 @@ private[sources] class ManifestBatchWrite(
     val fs = dir.getFileSystem(conf.value)
     if (truncate && !history && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
-    new ManifestWriterFactory(path, schema, token, conf)
+    new ManifestWriterFactory(path, schema, token, conf, buckets)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -784,9 +802,13 @@ private[sources] class ManifestBatchWrite(
         case (f, _) => f.copy(nullable = true)
       })
     }
-    val newParts = messages.toSeq.map { case m: PartCommit =>
+    val newParts = messages.toSeq.flatMap {
+      case m: PartCommit      => Seq(m)
+      case m: MultiPartCommit => m.parts
+    }.map { m =>
       PartMeta(m.path, m.rows, m.keyMin, m.keyMax, m.bloom,
-        m.strMin, m.strMax, bytes = m.bytes)
+        m.strMin, m.strMax, bytes = m.bytes, bucket = m.bucket,
+        nbuckets = if (m.bucket >= 0) buckets.getOrElse(0) else 0)
     }
     // The prior part list is NOT captured here: it is re-read from the
     // head inside the commit loop on every claim attempt, so an append
@@ -801,6 +823,8 @@ private[sources] class ManifestBatchWrite(
     val fs = new Path(path).getFileSystem(conf.value)
     messages.foreach {
       case m: PartCommit => fs.delete(new Path(m.path), false)
+      case m: MultiPartCommit =>
+        m.parts.foreach(p => fs.delete(new Path(p.path), false))
       case _ => ()
     }
   }
@@ -813,25 +837,97 @@ private[sources] class ManifestBatchWrite(
 private[sources] case class PartCommit(
     path: String, rows: Long, keyMin: Long, keyMax: Long, bloom: String,
     strMin: Option[String] = None, strMax: Option[String] = None,
-    bytes: Long = 0L)
+    bytes: Long = 0L, bucket: Int = -1)
+    extends WriterCommitMessage
+
+/** A bucketed task commits one message carrying one PartCommit per
+  * bucket it actually wrote. */
+private[sources] case class MultiPartCommit(parts: Seq[PartCommit])
     extends WriterCommitMessage
 
 private[sources] class ManifestWriterFactory(
     path: String, schema: StructType, token: String,
-    private[sources] val conf: SerializableConfiguration)
+    private[sources] val conf: SerializableConfiguration,
+    buckets: Option[Int] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(path, schema, token, partitionId, taskId, conf.value)
+    buckets match {
+      case Some(n) =>
+        new BucketedManifestWriter(path, schema, token, partitionId, taskId,
+          conf.value, n)
+      case None =>
+        new ManifestDataWriter(path, schema, token, partitionId, taskId,
+          conf.value)
+    }
+}
+
+/** HASH-BUCKETED writer (`option("buckets", n)`): routes each row to
+  * its [[graft.functions.GraftBucket]] ordinal on the first BIGINT
+  * column and writes ONE PART FILE PER BUCKET TOUCHED — the storage
+  * layout behind scan-reported KeyGroupedPartitioning and hence
+  * storage-partitioned joins. An ingest job pre-clustered with
+  * `repartition(n, GraftBucket.bucketId(col, n))` writes exactly one
+  * file per bucket; an arbitrary layout still commits CORRECT bucket
+  * metadata, just more files (compaction packs them later — the read
+  * side groups by bucket ordinal either way). */
+private[sources] class BucketedManifestWriter(
+    dir: String, schema: StructType, token: String,
+    partitionId: Int, taskId: Long, conf: Configuration, n: Int)
+    extends DataWriter[InternalRow] {
+
+  private val keyIdx = schema.fields.indexWhere(_.dataType == LongType)
+  private val writers =
+    new java.util.HashMap[Int, ManifestDataWriter]()
+
+  private def writerFor(b: Int): ManifestDataWriter = {
+    var w = writers.get(b)
+    if (w == null) {
+      w = new ManifestDataWriter(dir, schema, token, partitionId, taskId,
+        conf, suffix = s"-b$b")
+      writers.put(b, w)
+    }
+    w
+  }
+
+  override def write(metadata: InternalRow, row: InternalRow): Unit =
+    write(row)
+
+  override def write(row: InternalRow): Unit = {
+    val b =
+      if (row.isNullAt(keyIdx)) 0
+      else graft.functions.GraftBucket.id(row.getLong(keyIdx), n)
+    writerFor(b).write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val parts = writers.entrySet().iterator()
+    val out = Seq.newBuilder[PartCommit]
+    while (parts.hasNext) {
+      val e = parts.next()
+      out += e.getValue.commit().asInstanceOf[PartCommit]
+        .copy(bucket = e.getKey)
+    }
+    MultiPartCommit(out.result())
+  }
+
+  override def abort(): Unit = {
+    val it = writers.values().iterator()
+    while (it.hasNext) it.next().abort()
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Executor-side writer: stages `part-<token>-<partition>-<task>` and
   * tracks rows + min/max of the first LongType column while writing. */
 private[sources] class ManifestDataWriter(
     dir: String, schema: StructType, token: String,
-    partitionId: Int, taskId: Long, conf: Configuration)
+    partitionId: Int, taskId: Long, conf: Configuration,
+    suffix: String = "")
     extends DataWriter[InternalRow] {
 
-  private val file = new Path(dir, s"part-$token-$partitionId-$taskId.csv")
+  private val file =
+    new Path(dir, s"part-$token-$partitionId-$taskId$suffix.csv")
   private val fs = file.getFileSystem(conf)
   private val out = fs.create(file, true)
   private val keyIdx = schema.fields.indexWhere(_.dataType == LongType)

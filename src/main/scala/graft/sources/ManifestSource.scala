@@ -405,7 +405,38 @@ private[sources] class ManifestScan(
     startingVersion: Option[Int] = None,
     baseVersion: Int = 0)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** STORAGE-PARTITIONED reads: when every planned part carries a
+    * consistent bucket spec (written with `option("buckets", n)`),
+    * report `KeyGroupedPartitioning(bucket(n, key))` — Spark then
+    * groups the parts by bucket ordinal, and (a) an aggregation on
+    * the key runs with NO exchange (each bucket holds all rows of its
+    * keys), (b) a join of two co-bucketed tables on the key zips the
+    * bucket partitions pairwise with NO shuffle on either side — the
+    * Iceberg storage-partitioned-join shape, and at 100 TB the
+    * difference between "join = full-table exchange" and "join =
+    * co-located merge". The transform resolves through the catalog's
+    * `bucket` function ([[GraftBucketFunction]]), whose identity with
+    * the writer's router is what makes the claim sound. A single
+    * rewritten/compacted part without bucket metadata demotes the
+    * scan to UnknownPartitioning — correctness never rests on the
+    * report. Requires spark.sql.sources.v2.bucketing.enabled. */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val spec = parts.headOption.map(_.nbuckets).getOrElse(0)
+    val bucketed = spec > 0 && keyCol.isDefined && rowLevelOwner.isEmpty &&
+      parts.forall(p => p.nbuckets == spec && p.bucket >= 0)
+    if (bucketed)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(spec, keyCol.get)),
+        parts.map(_.bucket).distinct.size)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+        parts.size)
+  }
 
   /** Streaming read: snapshot versions ARE the offsets (see
     * [[ManifestMicroBatchStream]]); the stream shares this scan's
@@ -463,7 +494,8 @@ private[sources] class ManifestScan(
     // the shared operation before tasks launch, paired with the base
     // version the part list was read at (same head read, see build())
     rowLevelOwner.foreach(_.recordScan(parts, baseVersion))
-    parts.map(p => ManifestPartition(p.path, p.rows, p.dvHex, p.dvRef)).toArray
+    parts.map(p =>
+      ManifestPartition(p.path, p.rows, p.dvHex, p.dvRef, p.bucket)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -497,10 +529,19 @@ private[sources] class ManifestScan(
 }
 
 /** `dvRef` (sidecar path) wins over inline `dvHex` when both could
-  * exist — the reader resolves through [[DeleteVector.load]]'s rule. */
+  * exist — the reader resolves through [[DeleteVector.load]]'s rule.
+  * `bucket` is the part's storage-bucket ordinal (−1 = unbucketed);
+  * Spark only consults [[org.apache.spark.sql.connector.read.HasPartitionKey]]
+  * when the scan reported KeyGroupedPartitioning, which it does only
+  * when EVERY planned part carries a consistent bucket. */
 private[sources] case class ManifestPartition(
-    path: String, rows: Long, dvHex: String = "", dvRef: String = "")
+    path: String, rows: Long, dvHex: String = "", dvRef: String = "",
+    bucket: Int = -1)
     extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
 
 /** Incremental (micro-batch) read over the snapshot log: OFFSETS ARE
   * SNAPSHOT VERSIONS. Batch (start, end] plans exactly the parts that

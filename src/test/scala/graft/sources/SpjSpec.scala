@@ -1,0 +1,140 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftBucket
+
+/** Storage-partitioned execution over hash-bucketed manifest tables
+  * (sink `option("buckets", n)` + ManifestScan's reported
+  * KeyGroupedPartitioning + the catalog `bucket` function). Pins the
+  * whole chain: writer-side routing == SQL function == Column
+  * expression, bucket metadata in the manifest, the SHUFFLE-FREE
+  * plans (co-bucketed join and keyed aggregation), and the safe
+  * demotion to UnknownPartitioning when a part lacks bucket metadata.
+  * The data answer of the join is oracle-gated via q_spj_join. */
+class SpjSpec extends graft.SparkSpec {
+
+  private lazy val wh = {
+    val d = Files.createTempDirectory("graft-spjspec").toString
+    spark.conf.set("spark.sql.catalog.gsp", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsp.warehouse", d)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    d
+  }
+
+  /** The shared JVM-wide session outlives this suite — plan-shaping
+    * confs (broadcast threshold) must be restored or they poison
+    * other suites' plan pins. */
+  private def withConf[T](kvs: (String, String)*)(f: => T): T = {
+    val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private def writeBucketed(name: String, df: DataFrame, n: Int): String = {
+    val t = s"$wh/ns/$name"
+    df.repartition(n, GraftBucket.bucketId(col("k"), n))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", t).option("history", "true")
+      .option("buckets", n.toString)
+      .mode("overwrite").save()
+    t
+  }
+
+  private def rows(a: Long, b: Long) = {
+    import spark.implicits._
+    (a until b).map(i => (i, i * 7)).toDF("k", "v")
+  }
+
+  test("bucket function parity: writer router == catalog SQL == Column expr") {
+    wh
+    val keys = Seq(-5L, 0L, 1L, 42L, Long.MaxValue, Long.MinValue)
+    import spark.implicits._
+    val viaExpr = keys.toDF("k")
+      .select(GraftBucket.bucketId(col("k"), 8).as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(viaExpr === keys.map(k => GraftBucket.id(k, 8)))
+    val viaSql = keys.toDF("k").createOrReplaceTempView("spj_keys")
+    val sqlRes = spark.sql("SELECT gsp.ns.bucket(8, k) AS b FROM spj_keys")
+      .collect().map(_.getInt(0)).toSeq
+    assert(sqlRes === keys.map(k => GraftBucket.id(k, 8)))
+  }
+
+  test("bucketed write: one part per bucket when pre-clustered; metadata present") {
+    val t = writeBucketed("meta", rows(0, 1000), 4)
+    val metas = ManifestSink.readManifestMeta(
+      spark.sessionState.newHadoopConf(), t, None)
+    assert(metas.forall(_.nbuckets === 4))
+    assert(metas.map(_.bucket).toSet === (0 until 4).toSet)
+    assert(metas.length === 4, "pre-clustered write must emit one part per bucket")
+    assert(metas.map(_.rows).sum === 1000L)
+    // every row actually lives in its bucket's part
+    val df = spark.read.format("graft.sources.ManifestSource")
+      .option("path", t).load()
+    assert(df.count() === 1000L)
+  }
+
+  test("keyed aggregation on a bucketed table runs with no exchange") {
+    writeBucketed("agg", rows(0, 2000), 8)
+    val agg = spark.sql(
+      "SELECT k, sum(v) AS s FROM gsp.ns.agg GROUP BY k")
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed groupBy(k) must not shuffle:\n$plan")
+    assert(agg.count() === 2000L)
+  }
+
+  test("co-bucketed join on the key is a storage-partitioned join (no shuffle)") {
+    writeBucketed("fact", rows(0, 3000), 8)
+    writeBucketed("dim", rows(0, 500), 8)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql(
+        """SELECT f.k, f.v AS fv, d.v AS dv
+           FROM gsp.ns.fact f JOIN gsp.ns.dim d ON f.k = d.k""")
+      val got = j.collect()
+      assert(got.length === 500)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle either side:\n$plan")
+      // answers identical to the unbucketed restatement
+      assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        === (0L until 500L).map(k => (k, k * 7, k * 7)).toSet)
+    }
+  }
+
+  test("a part without bucket metadata demotes the scan (correct, shuffled)") {
+    import spark.implicits._
+    val t = writeBucketed("mixed", rows(0, 800), 4)
+    // plain unbucketed append: correctness must survive, SPJ must not
+    (800L until 900L).map(i => (i, i * 7)).toDF("k", "v")
+      .coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", t).option("history", "true")
+      .mode("append").save()
+    val agg = spark.sql(
+      "SELECT k, sum(v) AS s FROM gsp.ns.mixed GROUP BY k")
+    assert(agg.count() === 900L)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange"),
+      "mixed bucketed/unbucketed parts must fall back to a shuffle")
+  }
+
+  test("bucket pruning still applies: point lookup reads one part") {
+    val t = writeBucketed("prune", rows(0, 1000), 8)
+    val df = spark.read.format("graft.sources.ManifestSource")
+      .option("path", t).load().filter(col("k") === 123L)
+    assert(df.collect().map(_.getLong(1)).toSeq === Seq(123L * 7))
+    val scanDesc = df.queryExecution.executedPlan.toString
+    // bloom + range stats prune to (at most) the one bucket part that
+    // can hold the key
+    assert(scanDesc.contains("parts=1/8") || scanDesc.contains("parts=1/"),
+      s"expected single-part scan:\n$scanDesc")
+  }
+}
