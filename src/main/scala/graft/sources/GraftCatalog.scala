@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTa
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+import org.apache.spark.sql.connector.expressions
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, Write, WriteBuilder}
@@ -81,7 +82,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
     ManifestSink.readSchema(conf, p) match {
-      case Some(schema) => new GraftCatalogTable(ident, p, schema)
+      case Some(schema) => new GraftCatalogTable(ident, p, schema,
+        ManifestSink.readTableSpec(conf, p))
       case None =>
         // METADATA TABLES (the Iceberg `db.table.history` shape):
         // `SELECT * FROM cat.ns.t.history|files|branches` parses as
@@ -144,13 +146,45 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     new ManifestReadTable(p, schema, Some(v))
   }
 
+  /** `PARTITIONED BY (bucket(n, col))` is the ONE layout transform the
+    * format persists: it writes the table-level bucket spec, and every
+    * later INSERT routes through the bucketed writer + clustered
+    * distribution with no per-write options — the storage layout that
+    * makes scans report KeyGroupedPartitioning (shuffle-free joins and
+    * aggregations on the key; see [[graft.functions.GraftBucket]]). */
   override def createTable(
       ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog tables are unpartitioned (layout comes from commits)")
+    val bucketSpec: Option[(Int, String)] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name() == "bucket" && t.arguments().length == 2 =>
+        val n = t.arguments()(0) match {
+          case l: expressions.Literal[_] =>
+            l.value().asInstanceOf[Number].intValue()
+          case a => throw new IllegalArgumentException(
+            s"bucket(n, col): n must be a literal, got $a")
+        }
+        val name = t.arguments()(1) match {
+          case r: expressions.NamedReference => r.fieldNames().mkString(".")
+          case a => throw new IllegalArgumentException(
+            s"bucket(n, col): col must be a column reference, got $a")
+        }
+        val keyed = schema.fields.find(_.dataType == LongType).map(_.name)
+        require(keyed.contains(name),
+          s"bucket column '$name' must be the table's first BIGINT " +
+            s"column (${keyed.getOrElse("none present")}) — bucket " +
+            "routing and stats pruning share that column")
+        Some((n, name))
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support PARTITIONED BY (bucket(n, col)) only, " +
+          s"got ${other.mkString(", ")}")
+    }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    bucketSpec.foreach { case (n, col) =>
+      require(n >= 1, s"bucket count must be >= 1, got $n")
+      ManifestSink.writeTableSpec(conf, tablePath(ident), n, col)
+    }
     // a table is born as a schema-only snapshot: same commit protocol,
     // zero parts — readers see an empty versioned table immediately
     new ManifestBatchWrite(tablePath(ident), schema, truncate = true,
@@ -431,7 +465,8 @@ private[sources] object H64Function extends UnboundFunction {
   * disjoint key range) retention deletes are decidable by
   * construction — CatalogSpec pins both paths. */
 private[sources] class GraftCatalogTable(
-    ident: Identifier, path: String, tableSchema: StructType)
+    ident: Identifier, path: String, tableSchema: StructType,
+    bucketSpec: Option[(Int, String)] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -561,19 +596,47 @@ private[sources] class GraftCatalogTable(
       startingVersion = StreamOptions.startingVersion(options),
       branch = Option(options.get("branch")).filter(_.nonEmpty))
 
+  /** Bucketed tables advertise their layout. */
+  override def partitioning(): Array[Transform] =
+    bucketSpec.map { case (n, c) => expressions.Expressions.bucket(n, c) }
+      .toArray
+
   /** `df.writeTo(...).option("branch", "audit").append()` stages the
     * commit on the branch — invisible to main readers until
-    * [[ManifestMaintenance.fastForward]] publishes it. */
+    * [[ManifestMaintenance.fastForward]] publishes it. On a BUCKETED
+    * table every write additionally (a) requires a distribution
+    * clustered by `bucket(n, col)` — resolved through this catalog's
+    * own function, so Spark plans one exchange that co-locates each
+    * bucket's rows in one task and the writer emits ~one file per
+    * bucket — and (b) routes rows through the bucketed writer, which
+    * records the bucket ordinals the SPJ-reporting scan needs. Layout
+    * policy lives with the table; writers stay ignorant. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var doTruncate = false
       override def truncate(): WriteBuilder = { doTruncate = true; this }
-      override def build(): Write = new Write {
-        override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-          new ManifestBatchWrite(path, info.schema(), doTruncate,
-            history = true,
-            new SerializableConfiguration(ManifestSink.driverConf()),
-            Option(info.options.get("branch")).filter(_.nonEmpty))
+      override def build(): Write = {
+        val branch = Option(info.options.get("branch")).filter(_.nonEmpty)
+        val sconf = new SerializableConfiguration(ManifestSink.driverConf())
+        bucketSpec match {
+          case None => new Write {
+            override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+              new ManifestBatchWrite(path, info.schema(), doTruncate,
+                history = true, sconf, branch)
+          }
+          case Some((n, c)) =>
+            import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+            import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+            new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+              override def requiredDistribution(): Distribution =
+                Distributions.clustered(Array(Expressions.bucket(n, c)))
+              override def requiredOrdering(): Array[SortOrder] =
+                Array.empty
+              override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+                new ManifestBatchWrite(path, info.schema(), doTruncate,
+                  history = true, sconf, branch, buckets = Some(n))
+            }
+        }
       }
     }
 }
@@ -595,7 +658,7 @@ private[sources] class ManifestFilesTable(path: String)
   private val filesSchema = StructType.fromDDL(
     "part INT, file STRING, n_rows BIGINT, visible_rows BIGINT, " +
       "key_min BIGINT, key_max BIGINT, has_dv BOOLEAN, dv_count BIGINT, " +
-      "bytes BIGINT")
+      "bytes BIGINT, bucket INT")
 
   override def name(): String = s"manifest($path).files"
   override def schema(): StructType = filesSchema
@@ -611,7 +674,7 @@ private[sources] class ManifestFilesTable(path: String)
             new GenericInternalRow(Array[Any](i,
               UTF8String.fromString(new Path(m.path).getName), m.rows,
               m.visibleRows, m.kMin, m.kMax, m.hasDv, m.dvCount,
-              m.bytes)): org.apache.spark.sql.catalyst.InternalRow
+              m.bytes, m.bucket)): org.apache.spark.sql.catalyst.InternalRow
           }.toArray
         new LocalRowsScan(filesSchema, rows)
       }

@@ -129,13 +129,30 @@ object ManifestMaintenance {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val tmpRead = s"$dir/_compact-read-$token"
     val tmpWrite = s"$dir/_compact-write-$token"
+    // BUCKET-PRESERVING: when every selected part carries the same
+    // bucket spec, the rewrite re-routes through the bucketed writer
+    // (pre-clustered by the same function, so ~one file per bucket) —
+    // compaction settles MOR debt and packs small files WITHOUT
+    // demoting the table out of storage-partitioned joins
+    val bucketSpec: Option[Int] = selected.headOption.map(_.nbuckets)
+      .filter(n => n > 0 && selected.forall(_.nbuckets == n))
+    val keyCol = schema.fields.find(
+      _.dataType == org.apache.spark.sql.types.LongType).map(_.name)
     try {
       ManifestSink.publishSnapshot(conf, tmpRead, schema, selected,
         history = false)
-      layout(spark.read.format("graft.sources.ManifestSource")
-        .option("path", tmpRead).load())
-        .write.format("graft.sources.ManifestSink")
-        .option("path", tmpWrite).mode("overwrite").save()
+      val df = spark.read.format("graft.sources.ManifestSource")
+        .option("path", tmpRead).load()
+      val (laidOut, writeOpts) = (bucketSpec, keyCol) match {
+        case (Some(n), Some(k)) =>
+          (df.repartition(n, graft.functions.GraftBucket.bucketId(
+            org.apache.spark.sql.functions.col(k), n)),
+            Map("buckets" -> n.toString))
+        case _ => (layout(df), Map.empty[String, String])
+      }
+      laidOut.write.format("graft.sources.ManifestSink")
+        .option("path", tmpWrite).options(writeOpts)
+        .mode("overwrite").save()
       val rewritten = ManifestSink.readManifestMeta(conf, tmpWrite, None)
         .filter(_.rows > 0)
         .map { p =>

@@ -384,6 +384,45 @@ object ManifestSink {
         if (nbk.isEmpty) 0 else nbk.toInt)
     }
 
+  /** TABLE-LEVEL LAYOUT SPEC (`_TABLE.json`): created once by
+    * `CREATE TABLE … PARTITIONED BY (bucket(n, col))` and read by
+    * every catalog load — layout policy lives with the TABLE, so
+    * every INSERT INTO routes through the bucketed writer without
+    * the writer ever being told. Immutable after create (bucket
+    * count changes would need a full rewrite — that op is
+    * compaction's job, not a flag flip). */
+  private[sources] def writeTableSpec(conf: Configuration, dir: String,
+      buckets: Int, bucketCol: String): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    fs.mkdirs(d)
+    val tmp = new Path(d,
+      s"._TABLE.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"""{"buckets":$buckets,"bucketCol":"${encPath(bucketCol)}"}\n"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(d, "_TABLE.json"))) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"table spec publish failed at $dir")
+    }
+  }
+
+  private[sources] def readTableSpec(conf: Configuration,
+      dir: String): Option[(Int, String)] = {
+    val p = new Path(dir, "_TABLE.json")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().next() finally in.close()
+    val n = """"buckets":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toInt)
+    val c = """"bucketCol":"([^"]*)"""".r.findFirstMatchIn(line)
+      .map(m => decPath(m.group(1)))
+    for (nn <- n; cc <- c) yield (nn, cc)
+  }
+
   /** The committed table schema (manifest header line), if present. */
   def readSchema(conf: Configuration, dir: String): Option[StructType] =
     readSchema(conf, dir, None)

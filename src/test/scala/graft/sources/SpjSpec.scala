@@ -137,4 +137,62 @@ class SpjSpec extends graft.SparkSpec {
     assert(scanDesc.contains("parts=1/8") || scanDesc.contains("parts=1/"),
       s"expected single-part scan:\n$scanDesc")
   }
+
+  test("SQL DDL end-to-end: PARTITIONED BY (bucket) tables join shuffle-free") {
+    wh
+    spark.sql("CREATE TABLE gsp.ns.ddl_f (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE gsp.ns.ddl_d (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    // plain INSERTs — the table's layout policy routes + distributes;
+    // no writer-side options, no manual pre-clustering
+    rows(0, 1200).createOrReplaceTempView("spj_src")
+    spark.sql("INSERT INTO gsp.ns.ddl_f SELECT k, v FROM spj_src")
+    spark.sql("INSERT INTO gsp.ns.ddl_d SELECT k, v * 2 FROM spj_src WHERE k < 300")
+    // clustered distribution => ~one file per bucket per insert
+    val metas = ManifestSink.readManifestMeta(
+      spark.sessionState.newHadoopConf(), s"$wh/ns/ddl_f", None)
+    assert(metas.forall(_.nbuckets === 4))
+    assert(metas.length === 4)
+    // table advertises its layout
+    assert(spark.sql("DESCRIBE EXTENDED gsp.ns.ddl_f").collect()
+      .map(_.toString).mkString.contains("bucket"))
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.sql("SELECT f.k, f.v, d.w FROM gsp.ns.ddl_f f " +
+        "JOIN gsp.ns.ddl_d d ON f.k = d.k")
+      assert(j.count() === 300)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"DDL-bucketed join must not shuffle:\n$plan")
+    }
+    // non-bucket partitioning stays rejected
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gsp.ns.ddl_bad (k BIGINT) PARTITIONED BY (k)")
+    }
+  }
+
+  test("compaction preserves bucketing (SPJ survives OPTIMIZE + MOR settle)") {
+    wh
+    spark.sql("CREATE TABLE gsp.ns.opt (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    rows(0, 600).createOrReplaceTempView("spj_opt_src")
+    spark.sql("INSERT INTO gsp.ns.opt SELECT * FROM spj_opt_src WHERE k < 300")
+    spark.sql("INSERT INTO gsp.ns.opt SELECT * FROM spj_opt_src WHERE k >= 300")
+    spark.conf.set("graft.delete.mode", "mor")
+    try spark.sql("DELETE FROM gsp.ns.opt WHERE k % 3 = 0")
+    finally spark.conf.unset("graft.delete.mode")
+    val t = s"$wh/ns/opt"
+    val conf = spark.sessionState.newHadoopConf()
+    assert(ManifestSink.readManifestMeta(conf, t, None).length === 8)
+    val stats = ManifestMaintenance.compactFiles(spark, t, targetParts = 4)
+    val after = ManifestSink.readManifestMeta(conf, t, None)
+    assert(after.length === 4, "compaction must pack to one part per bucket")
+    assert(after.forall(p => p.nbuckets === 4 && p.bucket >= 0 && !p.hasDv))
+    // still shuffle-free after the rewrite
+    val agg = spark.sql("SELECT k, sum(v) AS s FROM gsp.ns.opt GROUP BY k")
+    assert(agg.count() === 400L)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"post-compaction bucketed aggregation must not shuffle:\n$plan")
+  }
 }
