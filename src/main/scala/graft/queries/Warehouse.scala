@@ -1318,5 +1318,99 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
   ${Exact.decSumSql("l_extendedprice", 2)} AS sum_price
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // --- SNAPSHOT TAGS (immutable named refs, Iceberg-tag
+    // semantics): `CALL cat.system.tag(...)` pins the release
+    // snapshot under a name, `VERSION AS OF 'baseline'` reads it by
+    // that name, and — the substance — EXPIRE RETAINS IT: with
+    // keep_last => 1 over three overwrite generations, the untagged
+    // middle snapshot expires (its 4 part files reclaimed, gated
+    // exactly), while the tagged v1 stays readable in full. The
+    // audit/repro pin that makes "reproduce last quarter's training
+    // run" a name, not an archaeology project. ProcedureSpec pins
+    // tag immutability, drop_tag → re-expirable, and the loud
+    // failure of the expired middle read.
+    QueryDef("q_time_travel_tag",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "tagtt")
+        spark.conf.set("spark.sql.catalog.grafttg",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.grafttg.warehouse", wh)
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("value"))
+        val t = s"$wh/wh/ev_t"
+        writeHistory(base.filter(col("event_id") % 4 === 0), t, "overwrite")
+        spark.sql(
+          "CALL grafttg.system.tag(table => 'wh.ev_t', name => 'baseline')")
+        writeHistory(base.filter(col("event_id") % 4 === 1), t, "overwrite")
+        writeHistory(base.filter(col("event_id") % 4 === 2), t, "overwrite")
+        val ex = spark.sql(
+          "CALL grafttg.system.expire_snapshots(table => 'wh.ev_t', " +
+            "keep_last => 1, orphan_grace_ms => 86400000)")
+        val tag = spark.sql(
+          "SELECT count(*) AS n_tag, " +
+            s"${Exact.decSumSql("value", 2).replace("VARCHAR", "STRING")} AS sum_tag " +
+            "FROM grafttg.wh.ev_t VERSION AS OF 'baseline'")
+        val head = spark.sql(
+          "SELECT count(*) AS n_head FROM grafttg.wh.ev_t")
+        ex.crossJoin(tag).crossJoin(head)
+      },
+      Some(s"""SELECT CAST(1 AS INT) AS versions_expired,
+  CAST(4 AS INT) AS files_deleted, CAST(2 AS INT) AS versions_retained,
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 4 = 0)
+    AS n_tag,
+  (SELECT ${Exact.decSumSql("value", 2)} FROM events WHERE event_id % 4 = 0)
+    AS sum_tag,
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 4 = 2)
+    AS n_head""")),
+
+    // --- CHECK CONSTRAINTS (DSv2 constraints, SPARK-51207): `ALTER
+    // TABLE ADD CONSTRAINT … CHECK (…)` persists the predicate, the
+    // loaded table reports it ENFORCED, and the ENGINE wraps every
+    // write in a CheckInvariant — a violating batch fails WHOLE
+    // before any part commits. The gate proves the atomicity: the
+    // valid batch lands, the poisoned batch (one negative value
+    // smuggled into real events rows) is rejected, and the table's
+    // rollup equals the valid batch EXACTLY — n_rejected_batches is
+    // part of the gated output, so the oracle match certifies both
+    // the rejection and the zero-partial-write contract.
+    QueryDef("q_check_constraint",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "checkc")
+        spark.conf.set("spark.sql.catalog.graftck",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftck.warehouse", wh)
+        spark.sql(
+          "CREATE TABLE graftck.wh.ev_t (event_id BIGINT, value DOUBLE)")
+        spark.sql("ALTER TABLE graftck.wh.ev_t " +
+          "ADD CONSTRAINT value_bounded CHECK (value >= -1000000.0)")
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("value"))
+        base.filter(col("event_id") % 2 === 0)
+          .createOrReplaceTempView("graft_check_ok")
+        base.filter(col("event_id") % 2 =!= 0)
+          .union(spark.range(1).select(lit(-1L).as("event_id"),
+            lit(-2000000.0).as("value")))
+          .createOrReplaceTempView("graft_check_bad")
+        spark.sql(
+          "INSERT INTO graftck.wh.ev_t SELECT * FROM graft_check_ok")
+        val rejected =
+          try {
+            spark.sql(
+              "INSERT INTO graftck.wh.ev_t SELECT * FROM graft_check_bad")
+            0
+          } catch { case _: Exception => 1 }
+        spark.sql(
+          "SELECT count(*) AS n_rows, " +
+            s"${Exact.decSumSql("value", 2).replace("VARCHAR", "STRING")} AS sum_value " +
+            "FROM graftck.wh.ev_t")
+          .withColumn("n_rejected_batches", lit(rejected))
+      },
+      Some(s"""SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 2 = 0)
+    AS n_rows,
+  (SELECT ${Exact.decSumSql("value", 2)} FROM events WHERE event_id % 2 = 0)
+    AS sum_value,
+  CAST(1 AS INT) AS n_rejected_batches""")),
   )
 }

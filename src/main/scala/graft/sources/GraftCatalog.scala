@@ -58,6 +58,11 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
 
   override def name(): String = catalogName
 
+  /** CHECK constraints are a first-class table change (see
+    * [[GraftCatalogTable.constraints]]). */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT).asJava
+
   private def conf = ManifestSink.driverConf()
 
   private def tablePath(ident: Identifier): String =
@@ -107,13 +112,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
 
   /** SQL time travel: `SELECT … FROM graftcat.ns.t VERSION AS OF 2`
     * resolves the immutable snapshot manifest — schema AND part list
-    * as of that commit. Returns the read-only table (history is not
-    * writable). */
+    * as of that commit; `VERSION AS OF 'release-1'` resolves a TAG
+    * (immutable named ref, pinned against expiry) to its version.
+    * Returns the read-only table (history is not writable). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val p = tablePath(ident)
     val v = try version.toInt catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"manifest snapshot versions are integers, got '$version'")
+      case _: NumberFormatException =>
+        ManifestSink.readTag(conf, p, version).getOrElse(
+          throw new IllegalArgumentException(
+            s"'$version' is neither a snapshot version nor a tag of " +
+              s"$ident (tags: ${ManifestSink.listTags(conf, p)
+                .map(_._1).mkString(", ")})"))
     }
     val schema = ManifestSink.readSchema(conf, p, Some(v))
       .getOrElse(throw new NoSuchTableException(ident))
@@ -206,6 +216,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     val p = tablePath(ident)
     val schema = ManifestSink.readSchema(conf, p)
       .getOrElse(throw new NoSuchTableException(ident))
+    var constraints = ManifestSink.readConstraints(conf, p)
+    var schemaChanged = false
+    var constraintsChanged = false
     val widened = changes.foldLeft(schema) {
       case (s, add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
@@ -219,14 +232,45 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         require(add.position() == null,
           "columns can only be added at the end (part files are " +
             "positional; reordering would re-interpret committed data)")
+        schemaChanged = true
         val f = StructField(colName, add.dataType(), nullable = true)
         s.add(Option(add.comment()).fold(f)(f.withComment))
+      // ALTER TABLE ADD CONSTRAINT … CHECK (…): Spark has already
+      // validated the EXISTING rows (AddCheckConstraintExec scans the
+      // table and fails the command on a violation) before this call
+      // — we only persist; enforcement of FUTURE writes is the
+      // engine's (ResolveTableConstraints reads constraints() and
+      // wraps every write in a CheckInvariant)
+      case (s, ac: TableChange.AddConstraint) =>
+        ac.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            require(!constraints.exists(_._1.equalsIgnoreCase(c.name())),
+              s"constraint '${c.name()}' already exists on $ident")
+            constraints = constraints :+ (c.name() -> c.predicateSql())
+            constraintsChanged = true
+            s
+          case other => throw new UnsupportedOperationException(
+            s"only CHECK constraints are supported, got ${other.toDDL}")
+        }
+      case (s, dc: TableChange.DropConstraint) =>
+        val exists = constraints.exists(_._1.equalsIgnoreCase(dc.name()))
+        if (!exists && !dc.ifExists()) throw new IllegalArgumentException(
+          s"no constraint '${dc.name()}' on $ident " +
+            s"(have: ${constraints.map(_._1).mkString(", ")})")
+        if (exists) {
+          constraints = constraints.filterNot(_._1.equalsIgnoreCase(dc.name()))
+          constraintsChanged = true
+        }
+        s
       case (_, c) => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change $c — schema evolves " +
           "additively (ADD COLUMN / append commits) only")
     }
-    ManifestSink.publishRebase(conf, p, widened, history = true,
-      rebase = head => head, strictBase = None)
+    if (constraintsChanged)
+      ManifestSink.writeConstraints(conf, p, constraints)
+    if (schemaChanged)
+      ManifestSink.publishRebase(conf, p, widened, history = true,
+        rebase = head => head, strictBase = None)
     loadTable(ident)
   }
 
@@ -600,6 +644,24 @@ private[sources] class GraftCatalogTable(
   override def partitioning(): Array[Transform] =
     bucketSpec.map { case (n, c) => expressions.Expressions.bucket(n, c) }
       .toArray
+
+  /** Stored CHECK constraints, reported ENFORCED — Spark's
+    * ResolveTableConstraints wraps every write to this table in a
+    * CheckInvariant over these predicates, so a violating INSERT /
+    * UPDATE / MERGE fails before any part commits. VALID because
+    * ALTER TABLE ADD CONSTRAINT validated the existing rows before
+    * the constraint was persisted. */
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    ManifestSink.readConstraints(ManifestSink.driverConf(), path)
+      .map { case (n, sql) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(n).predicateSql(sql).enforced(true)
+          .validationStatus(org.apache.spark.sql.connector.catalog
+            .constraints.Constraint.ValidationStatus.VALID)
+          .rely(true).build()
+          : org.apache.spark.sql.connector.catalog.constraints.Constraint
+      }.toArray
 
   /** `df.writeTo(...).option("branch", "audit").append()` stages the
     * commit on the branch — invisible to main readers until

@@ -46,7 +46,8 @@ private[sources] object GraftProcedures {
 
   /** Registry order is the SHOW PROCEDURES order. */
   val names: Seq[String] = Seq("compact", "compact_vectors",
-    "expire_snapshots", "rollback", "fast_forward", "drop_branch")
+    "expire_snapshots", "rollback", "fast_forward", "drop_branch",
+    "tag", "drop_tag")
 
   def load(name: String, warehouse: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -56,6 +57,8 @@ private[sources] object GraftProcedures {
       case "rollback"         => Some(new RollbackProcedure(warehouse))
       case "fast_forward"     => Some(new FastForwardProcedure(warehouse))
       case "drop_branch"      => Some(new DropBranchProcedure(warehouse))
+      case "tag"              => Some(new TagProcedure(warehouse))
+      case "drop_tag"         => Some(new DropTagProcedure(warehouse))
       case _                  => None
     }
 }
@@ -261,5 +264,67 @@ private[sources] final class DropBranchProcedure(warehouse: String)
     val dir = tableDir(input.getUTF8String(0).toString)
     result(ManifestMaintenance.dropBranch(
       ManifestSink.driverConf(), dir, input.getUTF8String(1).toString))
+  }
+}
+
+/** Pin a snapshot under an immutable name: `VERSION AS OF 'name'`
+  * resolves it, expire_snapshots retains it until the tag drops. */
+private[sources] final class TagProcedure(warehouse: String)
+  extends GraftProcedure("tag", warehouse) {
+
+  override def description(): String =
+    "Create an immutable named ref to snapshot `version` (default: " +
+      "the head); tagged snapshots survive expire_snapshots"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table identifier relative to the catalog warehouse").build(),
+    ProcedureParameter.in("name", StringType)
+      .comment("tag name (letters, digits, '_', '-')").build(),
+    ProcedureParameter.in("version", IntegerType).defaultValue("-1")
+      .comment("snapshot version to pin; -1 = current head").build())
+
+  override def outputSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("version", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val dir = tableDir(input.getUTF8String(0).toString)
+    val tagName = input.getUTF8String(1).toString
+    val conf = ManifestSink.driverConf()
+    val v = input.getInt(2) match {
+      case -1 => ManifestSink.listVersions(conf, dir).lastOption.getOrElse(
+        throw new IllegalStateException(s"no snapshots to tag at $dir"))
+      case n => n
+    }
+    ManifestSink.writeTag(conf, dir, tagName, v)
+    result(tagName, v)
+  }
+}
+
+/** Release a tag's pin; the snapshot becomes expirable again. */
+private[sources] final class DropTagProcedure(warehouse: String)
+  extends GraftProcedure("drop_tag", warehouse) {
+
+  override def description(): String =
+    "Drop a tag (the pinned snapshot becomes expirable again); " +
+      "fails loudly on an unknown tag"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table identifier relative to the catalog warehouse").build(),
+    ProcedureParameter.in("name", StringType)
+      .comment("tag to drop").build())
+
+  override def outputSchema: StructType = StructType(Seq(
+    StructField("dropped", StringType, nullable = false)))
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val dir = tableDir(input.getUTF8String(0).toString)
+    val tagName = input.getUTF8String(1).toString
+    if (!ManifestSink.dropTag(ManifestSink.driverConf(), dir, tagName))
+      throw new IllegalArgumentException(
+        s"no tag '$tagName' on table at $dir")
+    result(tagName)
   }
 }

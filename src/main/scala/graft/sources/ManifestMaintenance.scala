@@ -256,8 +256,14 @@ object ManifestMaintenance {
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
     val versions = ManifestSink.listVersions(conf, dir)
-    val (expire, retain) =
+    // a TAG is a promise its snapshot stays readable: tagged versions
+    // are pulled out of the expiry set regardless of age (drop the
+    // tag to release the pin — Iceberg tag semantics)
+    val tagged: Set[Int] = ManifestSink.listTags(conf, dir).map(_._2).toSet
+    val (old, newest) =
       versions.splitAt(math.max(0, versions.length - keepLast))
+    val expire = old.filterNot(tagged.contains)
+    val retain = old.filter(tagged.contains) ++ newest
 
     // files a snapshot references: its data parts AND any deletion-
     // vector sidecars its parts point at — a sidecar is as load-

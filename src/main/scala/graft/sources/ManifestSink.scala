@@ -423,6 +423,116 @@ object ManifestSink {
     for (nn <- n; cc <- c) yield (nn, cc)
   }
 
+  /** CHECK CONSTRAINTS (`_CONSTRAINTS.json`, one URL-encoded record
+    * line per constraint): stored by `ALTER TABLE ADD CONSTRAINT …
+    * CHECK (…)`, reported by the loaded table's `constraints()`, and
+    * from there ENFORCED BY THE ENGINE — Spark's
+    * ResolveTableConstraints injects a CheckInvariant over every
+    * write to the table, so a violating INSERT fails before a single
+    * part commits (the write is atomic: no partial data lands). The
+    * file is replaced atomically as a whole — constraint sets are
+    * tiny and change rarely. */
+  private[sources] def writeConstraints(conf: Configuration, dir: String,
+      constraints: Seq[(String, String)]): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    fs.mkdirs(d)
+    val target = new Path(d, "_CONSTRAINTS.json")
+    if (constraints.isEmpty) { fs.delete(target, false); return }
+    val tmp = new Path(d,
+      s"._CONSTRAINTS.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try constraints.foreach { case (n, sql) =>
+      out.write(
+        s"""{"name":"${encPath(n)}","sql":"${encPath(sql)}"}\n"""
+          .getBytes("UTF-8"))
+    } finally out.close()
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"constraint publish failed at $dir")
+    }
+  }
+
+  private[sources] def readConstraints(conf: Configuration,
+      dir: String): Seq[(String, String)] = {
+    val p = new Path(dir, "_CONSTRAINTS.json")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    lines.filter(_.nonEmpty).map { line =>
+      def field(k: String): String =
+        ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(line)
+          .map(m => decPath(m.group(1))).getOrElse("")
+      (field("name"), field("sql"))
+    }
+  }
+
+  /** SNAPSHOT TAGS — immutable named refs (`_TAG.<name>.json`
+    * holding the version number): `VERSION AS OF 'name'` resolves
+    * through them, and expire-snapshots RETAINS tagged versions (a
+    * tag is a promise the snapshot stays readable — the
+    * audit/repro/release pin, Iceberg-tag semantics). Tags never
+    * move; retag = drop + create. */
+  private[sources] def tagFile(name: String): String = s"_TAG.$name.json"
+
+  private[sources] def writeTag(conf: Configuration, dir: String,
+      name: String, version: Int): Unit = {
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"invalid tag name '$name' (letters, digits, '_', '-' only)")
+    require(listVersions(conf, dir).contains(version),
+      s"cannot tag version $version at $dir: no such snapshot")
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    val target = new Path(d, tagFile(name))
+    if (fs.exists(target)) throw new IllegalStateException(
+      s"tag '$name' already exists at $dir (tags are immutable; " +
+        "drop it first to retag)")
+    val tmp = new Path(d,
+      s".${tagFile(name)}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"version":$version}\n""".getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      // the atomic rename lost to a concurrent tagger — same name,
+      // fail loudly like the exists check would have
+      throw new IllegalStateException(s"tag '$name' already exists at $dir")
+    }
+  }
+
+  private[sources] def readTag(conf: Configuration, dir: String,
+      name: String): Option[Int] = {
+    val p = new Path(dir, tagFile(name))
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().next() finally in.close()
+    """"version":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toInt)
+  }
+
+  private[sources] def listTags(conf: Configuration,
+      dir: String): Seq[(String, Int)] = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) return Seq.empty
+    fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("_TAG.") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("_TAG.").stripSuffix(".json"))
+      .sorted
+      .flatMap(n => readTag(conf, dir, n).map(n -> _))
+  }
+
+  private[sources] def dropTag(conf: Configuration, dir: String,
+      name: String): Boolean = {
+    val p = new Path(dir, tagFile(name))
+    val fs = p.getFileSystem(conf)
+    fs.exists(p) && fs.delete(p, false)
+  }
+
   /** The committed table schema (manifest header line), if present. */
   def readSchema(conf: Configuration, dir: String): Option[StructType] =
     readSchema(conf, dir, None)

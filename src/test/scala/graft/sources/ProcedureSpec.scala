@@ -40,7 +40,7 @@ class ProcedureSpec extends graft.SparkSpec {
     val shown = spark.sql("SHOW PROCEDURES IN gps.system").collect()
       .map(_.getAs[String]("procedure_name")).toSet
     assert(shown === Set("compact", "compact_vectors", "expire_snapshots",
-      "rollback", "fast_forward", "drop_branch"))
+      "rollback", "fast_forward", "drop_branch", "tag", "drop_tag"))
     val desc = spark.sql("DESCRIBE PROCEDURE gps.system.compact")
       .collect().map(_.toString).mkString("\n")
     assert(desc.contains("compact"))
@@ -200,5 +200,53 @@ class ProcedureSpec extends graft.SparkSpec {
         "target_parts => 1)").collect()
     }
     assert(e.getMessage.contains("ns.ghost"))
+  }
+
+  test("tags: pin, resolve by name, survive expiry, drop releases the pin") {
+    val t = writeTable("tags", 200L, 2)                        // v1
+    // default version => head
+    val tg = spark.sql(
+      "CALL gps.system.tag(table => 'ns.tags', name => 'rel-1')")
+      .collect().head
+    assert(tg.getAs[String]("name") === "rel-1")
+    assert(tg.getAs[Int]("version") === 1)
+    // tags are immutable: re-tagging the same name fails loudly
+    intercept[Exception] {
+      spark.sql("CALL gps.system.tag(table => 'ns.tags', name => 'rel-1')")
+        .collect()
+    }
+    spark.sql("INSERT OVERWRITE gps.ns.tags " +
+      "SELECT k, v FROM gps.ns.tags VERSION AS OF 1 WHERE k < 50")  // v2
+    spark.sql("INSERT OVERWRITE gps.ns.tags " +
+      "SELECT k, v FROM gps.ns.tags VERSION AS OF 2 WHERE k < 10")  // v3
+    // VERSION AS OF '<tag>' resolves the pinned snapshot
+    assert(spark.sql("SELECT count(*) FROM gps.ns.tags VERSION AS OF 'rel-1'")
+      .head.getLong(0) === 200L)
+    // keep_last=1 would expire v1 and v2 — the tag pins v1
+    val ex = spark.sql(
+      "CALL gps.system.expire_snapshots(table => 'ns.tags', " +
+        "keep_last => 1, orphan_grace_ms => 86400000)").collect().head
+    assert(ex.getAs[Int]("versions_expired") === 1)   // only v2
+    assert(ex.getAs[Int]("versions_retained") === 2)  // v1 (tagged) + v3
+    assert(spark.sql("SELECT count(*) FROM gps.ns.tags VERSION AS OF 'rel-1'")
+      .head.getLong(0) === 200L, "tagged snapshot must survive expiry")
+    intercept[Exception] {
+      spark.sql("SELECT count(*) FROM gps.ns.tags VERSION AS OF 2").collect()
+    }
+    // dropping the tag releases the pin: next expiry reclaims v1
+    spark.sql("CALL gps.system.drop_tag(table => 'ns.tags', name => 'rel-1')")
+    val ex2 = spark.sql(
+      "CALL gps.system.expire_snapshots(table => 'ns.tags', " +
+        "keep_last => 1, orphan_grace_ms => 86400000)").collect().head
+    assert(ex2.getAs[Int]("versions_expired") === 1)
+    intercept[Exception] {
+      spark.sql("SELECT count(*) FROM gps.ns.tags VERSION AS OF 'rel-1'")
+        .collect()
+    }
+    // dropping an unknown tag fails loudly
+    intercept[Exception] {
+      spark.sql("CALL gps.system.drop_tag(table => 'ns.tags', name => 'nope')")
+        .collect()
+    }
   }
 }
