@@ -103,6 +103,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
               case "history"  => return new ManifestHistoryTable(parent)
               case "files"    => return new ManifestFilesTable(parent)
               case "branches" => return new ManifestBranchesTable(parent)
+              case "tags"     => return new ManifestTagsTable(parent)
               case _          => ()
             }
         }
@@ -808,4 +809,37 @@ private[sources] object GraftBucketFunction extends UnboundFunction {
           else graft.functions.GraftBucket.id(input.getLong(1), input.getInt(0)))
     }
   }
+}
+
+/** Tags as a TABLE (`SELECT ... FROM cat.ns.t.tags`): one row per
+  * immutable named ref with its pinned version and that snapshot's
+  * visible row count — "what releases exist and what do they hold",
+  * answered from manifest metadata through a [[LocalRowsScan]]. */
+private[sources] class ManifestTagsTable(path: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder => SB}
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val tagsSchema = StructType.fromDDL(
+    "name STRING, version INT, n_rows BIGINT")
+
+  override def name(): String = s"manifest($path).tags"
+  override def schema(): StructType = tagsSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): SB =
+    new SB {
+      override def build(): Scan = {
+        val conf = ManifestSink.driverConf()
+        val rows = ManifestSink.listTags(conf, path).map { case (n, v) =>
+          val parts = ManifestSink.readManifestMeta(conf, path, Some(v))
+          new GenericInternalRow(Array[Any](UTF8String.fromString(n), v,
+            parts.map(_.visibleRows).sum)):
+            org.apache.spark.sql.catalyst.InternalRow
+        }.toArray
+        new LocalRowsScan(tagsSchema, rows)
+      }
+    }
 }

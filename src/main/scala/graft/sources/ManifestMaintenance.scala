@@ -100,8 +100,14 @@ object ManifestMaintenance {
     if (parts.isEmpty) return CompactStats(0, 0, baseVersion)
     val layout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
       clusterBy.filter(_.nonEmpty) match {
+        // comma-separated multi-column range clustering: lexicographic
+        // layout on (c1, c2, …) — the composite-key twin of the
+        // single-column case, so compound-filter workloads get
+        // part-level pruning on the leading column and locality on
+        // the rest
         case Some(c) => _.repartitionByRange(targetParts,
-          org.apache.spark.sql.functions.col(c))
+          c.split(',').map(_.trim).filter(_.nonEmpty)
+            .map(org.apache.spark.sql.functions.col).toSeq: _*)
         case None => _.repartition(targetParts)
       }
     val (rewritten, v) =

@@ -375,4 +375,42 @@ class CatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO gcs.ns.trunc VALUES (9)")
     assert(spark.sql("SELECT * FROM gcs.ns.trunc").count() === 1)
   }
+
+  test(".tags metadata table lists pinned refs with their row counts") {
+    wh
+    import spark.implicits._
+    val t = s"$wh/ns/tagmeta"
+    (0L until 120L).map(i => (i, i)).toDF("k", "v")
+      .repartition(2)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", t).option("history", "true")
+      .mode("overwrite").save()
+    assert(spark.sql("SELECT * FROM gcs.ns.tagmeta.tags").count() === 0)
+    spark.sql("CALL gcs.system.tag(table => 'ns.tagmeta', name => 'r1')")
+    (120L until 150L).map(i => (i, i)).toDF("k", "v")
+      .write.format("graft.sources.ManifestSink")
+      .option("path", t).option("history", "true")
+      .mode("append").save()
+    spark.sql("CALL gcs.system.tag(table => 'ns.tagmeta', name => 'r2')")
+    val rows = spark.sql(
+      "SELECT name, version, n_rows FROM gcs.ns.tagmeta.tags ORDER BY name")
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+      === Seq(("r1", 1, 120L), ("r2", 2, 150L)))
+  }
+
+  test("compact procedure accepts multi-column cluster_by") {
+    wh
+    import spark.implicits._
+    (0L until 400L).map(i => (i, i % 7, s"s$i")).toDF("k", "g", "s")
+      .repartition(8)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", s"$wh/ns/mcc").option("history", "true")
+      .mode("overwrite").save()
+    val r = spark.sql("CALL gcs.system.compact(table => 'ns.mcc', " +
+      "target_parts => 2, cluster_by => 'g, k')").collect().head
+    assert(r.getAs[Int]("parts_after") === 2)
+    assert(spark.sql("SELECT count(*) FROM gcs.ns.mcc").head.getLong(0)
+      === 400L)
+  }
 }
