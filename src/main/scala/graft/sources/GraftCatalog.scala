@@ -693,8 +693,14 @@ private[sources] class GraftCatalogTable(
             new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
               override def requiredDistribution(): Distribution =
                 Distributions.clustered(Array(Expressions.bucket(n, c)))
+              // sort by the key WITHIN each bucket task: parts land
+              // key-sorted (the writer detects and records it), so
+              // scans can report per-partition ordering and a
+              // co-bucketed join skips its sorts too
               override def requiredOrdering(): Array[SortOrder] =
-                Array.empty
+                Array(Expressions.sort(Expressions.column(c),
+                  org.apache.spark.sql.connector.expressions.SortDirection
+                    .ASCENDING))
               override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
                 new ManifestBatchWrite(path, info.schema(), doTruncate,
                   history = true, sconf, branch, buckets = Some(n))

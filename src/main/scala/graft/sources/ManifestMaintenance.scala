@@ -151,8 +151,12 @@ object ManifestMaintenance {
         .option("path", tmpRead).load()
       val (laidOut, writeOpts) = (bucketSpec, keyCol) match {
         case (Some(n), Some(k)) =>
+          // sortWithinPartitions: the compacted one-file-per-bucket
+          // layout comes out key-sorted, so post-compaction scans
+          // report ordering and co-bucketed joins skip their sorts
           (df.repartition(n, graft.functions.GraftBucket.bucketId(
-            org.apache.spark.sql.functions.col(k), n)),
+            org.apache.spark.sql.functions.col(k), n))
+            .sortWithinPartitions(org.apache.spark.sql.functions.col(k)),
             Map("buckets" -> n.toString))
         case _ => (layout(df), Map.empty[String, String])
       }

@@ -273,7 +273,8 @@ private[sources] final case class PartMeta(
     path: String, rows: Long, kMin: Long, kMax: Long, bloomHex: String,
     sMin: Option[String] = None, sMax: Option[String] = None,
     dvHex: String = "", dvRef: String = "", dvCard: Long = 0L,
-    bytes: Long = 0L, bucket: Int = -1, nbuckets: Int = 0) {
+    bytes: Long = 0L, bucket: Int = -1, nbuckets: Int = 0,
+    sorted: Boolean = false) {
   lazy val bloomBits: Array[Long] = PartBloom.fromHex(bloomHex)
   lazy val dvBits: Array[Long] = DeleteVector.fromHex(dvHex)
   /** A vector exists — inline (`dvHex`) or as a SIDECAR file
@@ -381,7 +382,8 @@ object ManifestSink {
         if (dvRows.isEmpty) 0L else dvRows.toLong,
         if (b.isEmpty) 0L else b.toLong,
         if (bk.isEmpty) -1 else bk.toInt,
-        if (nbk.isEmpty) 0 else nbk.toInt)
+        if (nbk.isEmpty) 0 else nbk.toInt,
+        field("sorted") == "1")
     }
 
   /** TABLE-LEVEL LAYOUT SPEC (`_TABLE.json`): created once by
@@ -625,9 +627,10 @@ object ManifestSink {
         val by = if (m.bytes <= 0) "" else s""","bytes":${m.bytes}"""
         val bk = if (m.nbuckets <= 0) ""
           else s""","bucket":${m.bucket},"nbuckets":${m.nbuckets}"""
+        val so = if (!m.sorted) "" else s""","sorted":1"""
         content.append(
           s"""{"path":"${encPath(m.path)}","rows":${m.rows},""" +
-            s""""min":${m.kMin},"max":${m.kMax}$b$s$d$r$by$bk}""").append('\n')
+            s""""min":${m.kMin},"max":${m.kMax}$b$s$d$r$by$bk$so}""").append('\n')
       }
       content.toString.getBytes("UTF-8")
     }
@@ -957,7 +960,8 @@ private[sources] class ManifestBatchWrite(
     }.map { m =>
       PartMeta(m.path, m.rows, m.keyMin, m.keyMax, m.bloom,
         m.strMin, m.strMax, bytes = m.bytes, bucket = m.bucket,
-        nbuckets = if (m.bucket >= 0) buckets.getOrElse(0) else 0)
+        nbuckets = if (m.bucket >= 0) buckets.getOrElse(0) else 0,
+        sorted = m.sorted)
     }
     // The prior part list is NOT captured here: it is re-read from the
     // head inside the commit loop on every claim attempt, so an append
@@ -986,7 +990,7 @@ private[sources] class ManifestBatchWrite(
 private[sources] case class PartCommit(
     path: String, rows: Long, keyMin: Long, keyMax: Long, bloom: String,
     strMin: Option[String] = None, strMax: Option[String] = None,
-    bytes: Long = 0L, bucket: Int = -1)
+    bytes: Long = 0L, bucket: Int = -1, sorted: Boolean = false)
     extends WriterCommitMessage
 
 /** A bucketed task commits one message carrying one PartCommit per
@@ -1086,6 +1090,12 @@ private[sources] class ManifestDataWriter(
   private var bytes = 0L
   private var kMin = Long.MaxValue
   private var kMax = Long.MinValue
+  // DETECTED sortedness: the part is key-sorted iff every key arrived
+  // non-decreasing and none was null — detection beats declaration
+  // (any write path that happens to produce sorted runs gets the
+  // sort-free-join credit, including compaction and clustered writes)
+  private var sorted = true
+  private var lastKey = Long.MinValue
   // min/max of the first string column in UTF8 BINARY order (the
   // same collation Spark's string comparisons and the reader's
   // pruning use) — tracked as UTF8String to avoid per-row decode
@@ -1111,8 +1121,10 @@ private[sources] class ManifestDataWriter(
       val k = row.getLong(keyIdx)
       if (k < kMin) kMin = k
       if (k > kMax) kMax = k
+      if (k < lastKey) sorted = false
+      lastKey = k
       PartBloom.add(bloom, k)
-    }
+    } else if (keyIdx >= 0) sorted = false
     if (strIdx >= 0 && !row.isNullAt(strIdx)) {
       val s = row.getUTF8String(strIdx)
       if (sMin == null || s.compareTo(sMin) < 0) sMin = s.clone()
@@ -1126,7 +1138,8 @@ private[sources] class ManifestDataWriter(
       if (bloom == null || kMin > kMax) "" // no key column / no non-null keys
       else PartBloom.toHex(PartBloom.shrinkFor(bloom, rows))
     PartCommit(file.toString, rows, kMin, kMax, hex,
-      Option(sMin).map(_.toString), Option(sMax).map(_.toString), bytes)
+      Option(sMin).map(_.toString), Option(sMax).map(_.toString), bytes,
+      sorted = keyIdx >= 0 && rows > 0 && sorted)
   }
 
   override def abort(): Unit = {

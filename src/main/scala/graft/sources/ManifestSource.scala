@@ -406,7 +406,35 @@ private[sources] class ManifestScan(
     baseVersion: Int = 0)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+
+  /** SORT-FREE reads: each input partition is one part file, and the
+    * writer DETECTED whether it streamed out key-sorted (monotone
+    * non-decreasing, no null keys — recorded in the manifest), so
+    * when every planned part is sorted — and, under KeyGrouped
+    * reporting, no bucket holds two files whose concatenation would
+    * break the order — the scan reports per-partition ordering on
+    * the key. A co-bucketed join of compacted tables then runs with
+    * NO exchange AND NO sort: pure zip-merge, the cheapest join
+    * Spark can plan. Requires
+    * spark.sql.sources.v2.bucketing.sorting.enabled. */
+  override def outputOrdering():
+      Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val allSorted = parts.nonEmpty && keyCol.isDefined &&
+      rowLevelOwner.isEmpty && parts.forall(_.sorted)
+    val spec = parts.headOption.map(_.nbuckets).getOrElse(0)
+    val keyGrouped = spec > 0 &&
+      parts.forall(p => p.nbuckets == spec && p.bucket >= 0)
+    val oneFilePerGroup =
+      !keyGrouped || parts.groupBy(_.bucket).forall(_._2.size == 1)
+    if (allSorted && oneFilePerGroup)
+      Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions
+          .column(keyCol.get),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    else Array.empty
+  }
 
   /** STORAGE-PARTITIONED reads: when every planned part carries a
     * consistent bucket spec (written with `option("buckets", n)`),

@@ -195,4 +195,36 @@ class SpjSpec extends graft.SparkSpec {
     assert(!plan.contains("Exchange"),
       s"post-compaction bucketed aggregation must not shuffle:\n$plan")
   }
+
+  test("sorted buckets: compacted co-bucketed join has NO exchange and NO sort") {
+    wh
+    spark.sql("CREATE TABLE gsp.ns.srt_f (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE gsp.ns.srt_d (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    rows(0, 1000).createOrReplaceTempView("spj_srt_src")
+    // two inserts each -> two files per bucket -> compact to one
+    spark.sql("INSERT INTO gsp.ns.srt_f SELECT k, v FROM spj_srt_src WHERE k < 500")
+    spark.sql("INSERT INTO gsp.ns.srt_f SELECT k, v FROM spj_srt_src WHERE k >= 500")
+    spark.sql("INSERT INTO gsp.ns.srt_d SELECT k, v * 3 FROM spj_srt_src WHERE k < 200")
+    spark.sql("CALL gsp.system.compact(table => 'ns.srt_f', target_parts => 4)")
+    spark.sql("CALL gsp.system.compact(table => 'ns.srt_d', target_parts => 4)")
+    val conf = spark.sessionState.newHadoopConf()
+    assert(ManifestSink.readManifestMeta(conf, s"$wh/ns/srt_f", None)
+      .forall(_.sorted), "compacted bucketed parts must be key-sorted")
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.sorting.enabled" -> "true") {
+      val j = spark.sql("SELECT f.k, f.v, d.w FROM gsp.ns.srt_f f " +
+        "JOIN gsp.ns.srt_d d ON f.k = d.k")
+      assert(j.count() === 200)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"sorted co-bucketed join must not shuffle:\n$plan")
+      assert(!plan.contains("Sort "),
+        s"sorted co-bucketed join must not re-sort:\n$plan")
+      assert(j.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet === (0L until 200L).map(k => (k, k * 7, k * 21)).toSet)
+    }
+  }
 }
