@@ -1412,5 +1412,171 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
   (SELECT ${Exact.decSumSql("value", 2)} FROM events WHERE event_id % 2 = 0)
     AS sum_value,
   CAST(1 AS INT) AS n_rejected_batches""")),
+
+    // --- REPLACE WHERE: filter-scoped INSERT OVERWRITE
+    // (OverwriteByExpression via SupportsOverwrite) — the
+    // restatement primitive every warehouse backfill uses: ONE
+    // atomic snapshot deletes the predicate's rows and lands the
+    // corrected batch, so readers never see the between state
+    // (ReplaceWhereSpec pins atomicity + the part cost shape:
+    // stats-disjoint parts carried by REFERENCE, fully-covered parts
+    // dropped metadata-only, only straddlers COW-rewritten). Here
+    // every 'click' row is replaced by a corrected restatement that
+    // both rewrites values AND drops a third of the rows — replace,
+    // not update. The v1 snapshot is restated via time travel: the
+    // pre-replace data survives the overwrite bit-for-bit.
+    QueryDef("q_replace_where",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "rwhere")
+        spark.conf.set("spark.sql.catalog.graftrw",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftrw.warehouse", wh)
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .repartitionByRange(8, col("event_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", s"$wh/wh/ev_t").option("history", "true")
+          .mode("overwrite").save()
+        Tables.events(spark, dir)
+          .filter(col("event_type") === "click" && col("event_id") % 3 =!= 0)
+          .select(col("event_id"), col("event_type"),
+            (col("value") * 2).as("value"))
+          .createOrReplaceTempView("graft_rw_fix")
+        spark.sql("INSERT INTO graftrw.wh.ev_t " +
+          "REPLACE WHERE event_type = 'click' " +
+          "SELECT event_id, event_type, value FROM graft_rw_fix")
+        def agg(version: Option[Int]) = {
+          val v = version.map(n => s" VERSION AS OF $n").getOrElse("")
+          spark.sql(s"""
+            SELECT event_type, count(*) AS n,
+              ${Exact.decSumSql("value", 6).replace("VARCHAR", "STRING")}
+                AS sum_value
+            FROM graftrw.wh.ev_t$v
+            WHERE event_type IN ('click', 'view')
+            GROUP BY event_type""")
+        }
+        agg(None).withColumn("snapshot", lit("head"))
+          .unionAll(agg(Some(1)).withColumn("snapshot", lit("v1")))
+          .orderBy(col("snapshot"), col("event_type"))
+      },
+      Some(s"""SELECT event_type, n, sum_value, snapshot FROM (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+    ${Exact.decSumSql("value * 2", 6)} AS sum_value, 'head' AS snapshot
+  FROM events WHERE event_type = 'click' AND event_id % 3 <> 0
+  GROUP BY event_type
+  UNION ALL
+  SELECT event_type, CAST(count(*) AS BIGINT),
+    ${Exact.decSumSql("value", 6)}, 'head'
+  FROM events WHERE event_type = 'view' GROUP BY event_type
+  UNION ALL
+  SELECT event_type, CAST(count(*) AS BIGINT),
+    ${Exact.decSumSql("value", 6)}, 'v1'
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY event_type)
+ORDER BY snapshot, event_type""")),
+
+    // --- BOUNDED STREAMING BACKFILL (admission control,
+    // sources/ManifestSource VersionAdmission): a fresh consumer of a
+    // 100 TB table must not plan its whole backlog as ONE micro-batch
+    // — `option("maxPartsPerTrigger", n)` budgets each trigger to the
+    // snapshot versions whose newly-added parts fit (version
+    // granularity, ≥1 version per batch — Delta's maxFilesPerTrigger
+    // shape), so the catch-up runs as incremental, checkpointed,
+    // restart-safe batches. Four commits of two parts each under a
+    // 4-part budget drain in EXACTLY two batches; the batch count
+    // rides the gated output (deterministic: commit layout and budget
+    // are fixed), and the final aggregate proves the budgeted drain
+    // delivered every row exactly once. ManifestStreamSpec pins the
+    // per-budget batch counts (2/4/oversized/unbudgeted).
+    QueryDef("q_stream_backfill",
+      (spark0, dir) => {
+        val spark = graft.streaming.Streams.streamSession(spark0)
+        val t = freshTable(spark, dir, "backfill")
+        val base = Tables.orders(spark, dir).select(
+          col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        writeHistory(base.filter(col("k") % 4 === 0), t, "overwrite", 2)
+        writeHistory(base.filter(col("k") % 4 === 1), t, "append", 2)
+        writeHistory(base.filter(col("k") % 4 === 2), t, "append", 2)
+        writeHistory(base.filter(col("k") % 4 === 3), t, "append", 2)
+        val q = spark.readStream
+          .format("graft.sources.ManifestSource").option("path", t)
+          .option("maxPartsPerTrigger", "4").load()
+          .groupBy(col("prio"))
+          .agg(count(lit(1)).as("n"),
+            Exact.decSum(col("price"), 2).as("sum_price"))
+          .writeStream.format("memory")
+          .queryName("graft_stream_backfill")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val nBatches = q.recentProgress.count(_.numInputRows > 0)
+        spark.table("graft_stream_backfill")
+          .withColumn("n_batches", lit(nBatches))
+          .orderBy(col("prio"))
+      },
+      Some(s"""SELECT o_orderpriority AS prio, count(*) AS n,
+  ${Exact.decSumSql("o_totalprice", 2)} AS sum_price,
+  CAST(2 AS INT) AS n_batches
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // --- MATERIALIZED VIEW with INCREMENTAL refresh
+    // (sources/ManifestMv, CALL create_mv / refresh_mv): the rollup
+    // is materialized once at v1, the source then takes an APPEND and
+    // a MERGE-ON-READ DELETE (deletion-vector commit), and ONE
+    // refresh folds both commits' snapshot delta — new parts as
+    // +rows, vector-changed parts restated ±, O(changed parts) +
+    // O(groups), never a source rescan. Decimal partials make
+    // incremental == full-recompute bit-for-bit (MvSpec pins every
+    // mutation kind incl. compaction and crash-replay); the gated
+    // output is the refreshed MV itself plus the refresh audit
+    // (versions folded), which the oracle restates directly from
+    // events. The at-scale claim: a 100 TB source with a 100-group MV
+    // refreshes by reading exactly the parts the day's commits
+    // touched.
+    QueryDef("q_mv_refresh",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "mvref")
+        spark.conf.set("spark.sql.catalog.graftmv",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftmv.warehouse", wh)
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        base.filter(col("event_id") % 3 =!= 2)
+          .repartitionByRange(4, col("event_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", s"$wh/wh/ev_t").option("history", "true")
+          .mode("overwrite").save()
+        spark.sql("CALL graftmv.system.create_mv(" +
+          "mv_table => 'wh.ev_mv', source_table => 'wh.ev_t', " +
+          "key_col => 'event_type', sum_col => 'value', scale => 6)")
+        // two source commits since the MV: an append and a MOR delete
+        base.filter(col("event_id") % 3 === 2)
+          .repartitionByRange(2, col("event_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", s"$wh/wh/ev_t").option("history", "true")
+          .mode("append").save()
+        spark.conf.set("graft.delete.mode", "mor")
+        try spark.sql("DELETE FROM graftmv.wh.ev_t WHERE event_type = 'error'")
+        finally spark.conf.unset("graft.delete.mode")
+        val audit = spark.sql(
+          "CALL graftmv.system.refresh_mv(mv_table => 'wh.ev_mv')").head
+        spark.sql("""
+          SELECT event_type,
+            n_rows,
+            CAST(CAST(sum_value AS STRING) AS DOUBLE) AS sum_value
+          FROM graftmv.wh.ev_mv""")
+          .withColumn("from_version", lit(audit.getInt(0)))
+          .withColumn("to_version", lit(audit.getInt(1)))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+  ${Exact.decSumSql("value", 6)} AS sum_value,
+  CAST(1 AS INT) AS from_version, CAST(3 AS INT) AS to_version
+FROM events
+WHERE event_type IS DISTINCT FROM 'error'
+GROUP BY event_type
+ORDER BY event_type NULLS FIRST""")),
   )
 }

@@ -631,7 +631,8 @@ private[sources] class GraftCatalogTable(
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER).asJava
 
   /** `spark.read.option("branch", "audit").table(...)` reads the
     * branch head — the audit-side read of write-audit-publish. */
@@ -639,7 +640,8 @@ private[sources] class GraftCatalogTable(
     new ManifestScanBuilder(path, tableSchema,
       new SerializableConfiguration(ManifestSink.driverConf()), None,
       startingVersion = StreamOptions.startingVersion(options),
-      branch = Option(options.get("branch")).filter(_.nonEmpty))
+      branch = Option(options.get("branch")).filter(_.nonEmpty),
+      maxPartsPerTrigger = StreamOptions.maxPartsPerTrigger(options))
 
   /** Bucketed tables advertise their layout. */
   override def partitioning(): Array[Transform] =
@@ -675,9 +677,33 @@ private[sources] class GraftCatalogTable(
     * records the bucket ordinals the SPJ-reporting scan needs. Layout
     * policy lives with the table; writers stay ignorant. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var doTruncate = false
+      private var replaceFilters: Option[Array[V1Filter]] = None
       override def truncate(): WriteBuilder = { doTruncate = true; this }
+      /** SQL `INSERT INTO t REPLACE WHERE pred SELECT ...` /
+        * `df.writeTo(t).overwrite(cond)` — OverwriteByExpression.
+        * AlwaysTrue degenerates to the logical truncate; anything
+        * else must be row-evaluable (same contract as DELETE), so an
+        * untranslatable condition is rejected at ANALYSIS via
+        * canOverwrite, never half-applied. */
+      override def canOverwrite(filters: Array[V1Filter]): Boolean =
+        filters.forall {
+          case _: org.apache.spark.sql.sources.AlwaysTrue => true
+          case f => ManifestCow.translatable(f)
+        }
+      override def overwrite(filters: Array[V1Filter]): WriteBuilder = {
+        if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+          doTruncate = true
+        else {
+          require(canOverwrite(filters),
+            "REPLACE WHERE condition not row-evaluable: " +
+              filters.mkString(", "))
+          replaceFilters = Some(filters)
+        }
+        this
+      }
       override def build(): Write = {
         val branch = Option(info.options.get("branch")).filter(_.nonEmpty)
         val sconf = new SerializableConfiguration(ManifestSink.driverConf())
@@ -685,7 +711,8 @@ private[sources] class GraftCatalogTable(
           case None => new Write {
             override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
               new ManifestBatchWrite(path, info.schema(), doTruncate,
-                history = true, sconf, branch)
+                history = true, sconf, branch,
+                replaceFilters = replaceFilters)
           }
           case Some((n, c)) =>
             import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -703,7 +730,8 @@ private[sources] class GraftCatalogTable(
                     .ASCENDING))
               override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
                 new ManifestBatchWrite(path, info.schema(), doTruncate,
-                  history = true, sconf, branch, buckets = Some(n))
+                  history = true, sconf, branch, buckets = Some(n),
+                  replaceFilters = replaceFilters)
             }
         }
       }

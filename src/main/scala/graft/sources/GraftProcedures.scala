@@ -47,7 +47,7 @@ private[sources] object GraftProcedures {
   /** Registry order is the SHOW PROCEDURES order. */
   val names: Seq[String] = Seq("compact", "compact_vectors",
     "expire_snapshots", "rollback", "fast_forward", "drop_branch",
-    "tag", "drop_tag")
+    "tag", "drop_tag", "create_mv", "refresh_mv")
 
   def load(name: String, warehouse: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -59,6 +59,8 @@ private[sources] object GraftProcedures {
       case "drop_branch"      => Some(new DropBranchProcedure(warehouse))
       case "tag"              => Some(new TagProcedure(warehouse))
       case "drop_tag"         => Some(new DropTagProcedure(warehouse))
+      case "create_mv"        => Some(new CreateMvProcedure(warehouse))
+      case "refresh_mv"       => Some(new RefreshMvProcedure(warehouse))
       case _                  => None
     }
 }
@@ -326,5 +328,76 @@ private[sources] final class DropTagProcedure(warehouse: String)
       throw new IllegalArgumentException(
         s"no tag '$tagName' on table at $dir")
     result(tagName)
+  }
+}
+
+/** Materialize a per-key (count, exact decimal sum) rollup of a
+  * catalog table as its own snapshot-logged table (see
+  * [[ManifestMv]]). The MV is a normal manifest table — readable,
+  * time-travelable, vacuumable — plus a refresh watermark. */
+private[sources] final class CreateMvProcedure(warehouse: String)
+  extends GraftProcedure("create_mv", warehouse) {
+
+  override def description(): String =
+    "Materialize per-key (count, exact decimal sum) of source_table " +
+      "into mv_table and record the refresh watermark"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("mv_table", StringType)
+      .comment("MV table identifier relative to the catalog warehouse")
+      .build(),
+    ProcedureParameter.in("source_table", StringType)
+      .comment("source table identifier (history table)").build(),
+    ProcedureParameter.in("key_col", StringType)
+      .comment("grouping column").build(),
+    ProcedureParameter.in("sum_col", StringType)
+      .comment("numeric column to sum (exact decimal)").build(),
+    ProcedureParameter.in("scale", IntegerType).defaultValue("6")
+      .comment("decimal scale of the sum").build())
+
+  override def outputSchema: StructType = StructType(Seq(
+    StructField("source_version", IntegerType, nullable = false),
+    StructField("groups", LongType, nullable = false)))
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    // the MV table does not exist yet — resolve its path WITHOUT the
+    // tableDir existence check
+    val mvRel = input.getUTF8String(0).toString
+    require(mvRel.nonEmpty, "create_mv: 'mv_table' must be non-empty")
+    val mvDir = (warehouse +: mvRel.split('.').toSeq).mkString("/")
+    val srcDir = tableDir(input.getUTF8String(1).toString)
+    val (v, groups) = ManifestMv.create(SparkSession.active, mvDir, srcDir,
+      input.getUTF8String(2).toString, input.getUTF8String(3).toString,
+      input.getInt(4))
+    result(v, groups)
+  }
+}
+
+/** Fold the source's snapshot delta since the watermark into the MV —
+  * O(changed parts) + O(groups), never a source rescan. */
+private[sources] final class RefreshMvProcedure(warehouse: String)
+  extends GraftProcedure("refresh_mv", warehouse) {
+
+  override def description(): String =
+    "Incrementally fold the source's snapshot delta since the last " +
+      "refresh into the MV (O(changed parts), never a rescan); " +
+      "caught-up refreshes commit nothing"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("mv_table", StringType)
+      .comment("MV table identifier relative to the catalog warehouse")
+      .build())
+
+  override def outputSchema: StructType = StructType(Seq(
+    StructField("from_version", IntegerType, nullable = false),
+    StructField("to_version", IntegerType, nullable = false),
+    StructField("plus_parts", IntegerType, nullable = false),
+    StructField("minus_parts", IntegerType, nullable = false),
+    StructField("groups", LongType, nullable = false)))
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val dir = tableDir(input.getUTF8String(0).toString)
+    val s = ManifestMv.refresh(SparkSession.active, dir)
+    result(s.fromVersion, s.toVersion, s.plusParts, s.minusParts, s.groups)
   }
 }

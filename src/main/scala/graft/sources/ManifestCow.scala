@@ -75,7 +75,6 @@ private[sources] object ManifestCow {
 
   def deleteWhere(path: String, schema: StructType,
       filters: Array[Filter]): Unit = {
-    val spark = SparkSession.active
     val conf = ManifestSink.driverConf()
     // Pin the BASE snapshot: the part classification below (and the
     // rewrite built on it) is only valid against this exact head. The
@@ -89,6 +88,26 @@ private[sources] object ManifestCow {
     val parts =
       if (baseVersion == 0) ManifestSink.readManifestMeta(conf, path, None)
       else ManifestSink.readManifestMeta(conf, path, Some(baseVersion))
+    val (touched, rewritten) = rewriteSurvivors(path, schema, filters, parts)
+    if (touched.isEmpty) return // predicate provably matches no row
+    ManifestSink.publishRebase(conf, path, schema, history = true,
+      head => head.filterNot(p => touched.contains(p.path)) ++ rewritten,
+      strictBase = Some(baseVersion), footprint = Some(touched))
+  }
+
+  /** The COW kernel shared by DELETE and REPLACE WHERE: classify the
+    * pinned base `parts` against the predicate's key conjuncts, run
+    * the distributed survivor rewrite for the straddling parts, and
+    * return (touched part paths, rewritten survivor parts) — WITHOUT
+    * publishing. The caller owns the commit, so a REPLACE WHERE can
+    * fold `filterNot(touched) ++ rewritten ++ itsNewParts` into ONE
+    * atomic snapshot (delete-half and append-half never visible
+    * separately). */
+  private[sources] def rewriteSurvivors(path: String, schema: StructType,
+      filters: Array[Filter],
+      parts: Seq[PartMeta]): (Set[String], Seq[PartMeta]) = {
+    val spark = SparkSession.active
+    val conf = ManifestSink.driverConf()
 
     // Key-range bounds from the TOP-LEVEL key conjuncts only (the
     // filters array is a conjunction). Used to PRUNE the rewrite set,
@@ -126,12 +145,7 @@ private[sources] object ManifestCow {
     // untouched part) composes, because the rebase maps the advanced
     // head rather than re-rendering the stale base capture
     val droppedPaths = dropped.map(_.path).toSet
-    if (affected.isEmpty) {
-      ManifestSink.publishRebase(conf, path, schema, history = true,
-        head => head.filterNot(p => droppedPaths.contains(p.path)),
-        strictBase = Some(baseVersion), footprint = Some(droppedPaths))
-      return
-    }
+    if (affected.isEmpty) return (droppedPaths, Seq.empty)
     val fs = new Path(path).getFileSystem(conf)
     val token = java.util.UUID.randomUUID().toString.take(8)
     val tmpRead = s"$path/_cow-read-$token"
@@ -158,11 +172,8 @@ private[sources] object ManifestCow {
             s"COW part adoption failed: $src -> $dst")
           p.copy(path = dst.toString)
         }
-      val touchedPaths = droppedPaths ++ affected.map(_.path)
-      ManifestSink.publishRebase(conf, path, schema, history = true,
-        head => head.filterNot(p => touchedPaths.contains(p.path)) ++ rewritten,
-        strictBase = Some(baseVersion), footprint = Some(touchedPaths))
-      dropped // referenced only by prior snapshots from here on
+      // dropped parts stay referenced only by prior snapshots
+      (droppedPaths ++ affected.map(_.path), rewritten)
     } finally {
       fs.delete(new Path(tmpRead), true)
       fs.delete(new Path(tmpWrite), true)

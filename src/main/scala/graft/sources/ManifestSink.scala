@@ -906,7 +906,8 @@ private[sources] class ManifestTable(
 private[sources] class ManifestBatchWrite(
     path: String, schema: StructType, truncate: Boolean, history: Boolean,
     conf: SerializableConfiguration, branch: Option[String] = None,
-    buckets: Option[Int] = None)
+    buckets: Option[Int] = None,
+    replaceFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None)
     extends BatchWrite {
 
   private val token = java.util.UUID.randomUUID().toString.take(8)
@@ -963,13 +964,45 @@ private[sources] class ManifestBatchWrite(
         nbuckets = if (m.bucket >= 0) buckets.getOrElse(0) else 0,
         sorted = m.sorted)
     }
-    // The prior part list is NOT captured here: it is re-read from the
-    // head inside the commit loop on every claim attempt, so an append
-    // racing another committer re-applies `head ++ newParts` on top of
-    // whatever actually won — never dropping the winner's parts.
-    ManifestSink.publishRebase(conf.value, path, published, history,
-      head => (if (truncate) Seq.empty else head) ++ newParts,
-      strictBase = None, branch = branch)
+    replaceFilters match {
+      case Some(filters) =>
+        // REPLACE WHERE (OverwriteByExpression): ONE atomic snapshot
+        // applies the delete-half and the append-half together —
+        // parts provably disjoint from the predicate carry forward by
+        // reference, provably-all-match parts drop metadata-only,
+        // straddling parts get the COW survivor rewrite
+        // (ManifestCow.rewriteSurvivors, FALSE/NULL rows survive),
+        // and the staged new parts append. Pinned to the base read
+        // HERE (strictBase): the classification and the rewrite are
+        // valid only against this exact head, so a racing commit
+        // fails this overwrite loudly unless footprints are disjoint.
+        require(branch.isEmpty, "REPLACE WHERE cannot target a branch " +
+          "(its base pin and COW rewrite address the main version line); " +
+          "replace on main, or stage plain appends on the branch")
+        val baseVersion =
+          ManifestSink.listVersions(conf.value, path).lastOption.getOrElse(0)
+        val baseParts =
+          if (baseVersion == 0)
+            ManifestSink.readManifestMeta(conf.value, path, None)
+          else ManifestSink.readManifestMeta(conf.value, path,
+            Some(baseVersion))
+        val (touched, rewritten) =
+          ManifestCow.rewriteSurvivors(path, published, filters, baseParts)
+        ManifestSink.publishRebase(conf.value, path, published, history,
+          head => head.filterNot(p => touched.contains(p.path)) ++
+            rewritten ++ newParts,
+          strictBase = Some(baseVersion), footprint = Some(touched),
+          branch = branch)
+      case None =>
+        // The prior part list is NOT captured here: it is re-read from
+        // the head inside the commit loop on every claim attempt, so an
+        // append racing another committer re-applies `head ++ newParts`
+        // on top of whatever actually won — never dropping the winner's
+        // parts.
+        ManifestSink.publishRebase(conf.value, path, published, history,
+          head => (if (truncate) Seq.empty else head) ++ newParts,
+          strictBase = None, branch = branch)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

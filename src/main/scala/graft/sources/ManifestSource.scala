@@ -118,7 +118,8 @@ private[sources] class ManifestReadTable(
     new ManifestScanBuilder(path, schema,
       new SerializableConfiguration(ManifestSink.driverConf()), version, cdf,
       startingVersion = StreamOptions.startingVersion(options),
-      branch = branch)
+      branch = branch,
+      maxPartsPerTrigger = StreamOptions.maxPartsPerTrigger(options))
 }
 
 private[sources] class ManifestScanBuilder(
@@ -126,7 +127,8 @@ private[sources] class ManifestScanBuilder(
     version: Option[Int] = None, cdf: Boolean = false,
     rowLevelOwner: Option[ManifestRowLevelOp] = None,
     startingVersion: Option[Int] = None,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    maxPartsPerTrigger: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -281,7 +283,7 @@ private[sources] class ManifestScanBuilder(
     if (cdf) return new ManifestCdfScan(path,
       StructType(schema.fields.filterNot(f =>
         ManifestCdf.MetaNames.contains(f.name))), required, conf,
-      startingVersion)
+      startingVersion, maxPartsPerTrigger)
     // plan against the manifest on the DRIVER: only committed parts,
     // and only those whose key range can intersect [keyLo, keyHi].
     // Null-key rows are safe to skip under a key predicate (three-
@@ -330,7 +332,8 @@ private[sources] class ManifestScanBuilder(
           }
         }
         new ManifestScan(kept, schema, required, conf, all.size, limit, keyCol,
-          path, rowLevelOwner, startingVersion, baseVersion)
+          path, rowLevelOwner, startingVersion, baseVersion,
+          maxPartsPerTrigger)
     }
   }
 }
@@ -403,7 +406,8 @@ private[sources] class ManifestScan(
     tablePath: String = "",
     rowLevelOwner: Option[ManifestRowLevelOp] = None,
     startingVersion: Option[Int] = None,
-    baseVersion: Int = 0)
+    baseVersion: Int = 0,
+    maxPartsPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -473,7 +477,7 @@ private[sources] class ManifestScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ManifestMicroBatchStream(tablePath, schema, required, conf,
-      startingVersion)
+      startingVersion, maxPartsPerTrigger)
 
   // narrowed in place by runtime filters before partition planning
   private var parts: Seq[PartMeta] = initialParts
@@ -593,15 +597,90 @@ private[sources] case class ManifestPartition(
   * readers tail the snapshot log and each micro-batch reads only the
   * newly-committed parts — O(new data) per batch, never O(table).
   */
+/** Version-granular streaming ADMISSION CONTROL
+  * (`option("maxPartsPerTrigger", n)` — the Delta maxFilesPerTrigger
+  * analog): a fresh consumer of a 100 TB table must NOT plan the
+  * entire backlog as one micro-batch — one giant batch means one
+  * giant shuffle, no incremental checkpoints, and a restart that
+  * loses everything. With a part budget, `latestOffset(start, limit)`
+  * advances the end version only while the cumulative count of
+  * newly-added parts stays within the budget — always admitting at
+  * least ONE version per trigger (offsets are snapshot versions, so
+  * a commit can't be split below version granularity; a single
+  * oversized commit still lands whole, exactly like Delta rounding
+  * maxFilesPerTrigger up to a full commit). Cost per trigger is one
+  * small manifest JSON per admitted version — never data files.
+  *
+  * Implements SupportsTriggerAvailableNow, so Trigger.AvailableNow
+  * pins the end version at query start and then drains it in
+  * budgeted batches — the bounded-backfill shape
+  * (ManifestStreamSpec pins the batch count; q_stream_backfill
+  * gates the rate-limited catch-up end to end). */
+private[sources] trait VersionAdmission
+    extends org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
+
+  protected def admissionPath: String
+  protected def admissionConf: SerializableConfiguration
+  protected def maxPartsPerTrigger: Option[Int]
+  protected def mkOffset(v: Int): Offset
+  protected def offsetVersion(o: Offset): Int
+
+  private var availableEnd: Option[Int] = None
+  private def headVersion: Int =
+    ManifestSink.listVersions(admissionConf.value, admissionPath)
+      .lastOption.getOrElse(0)
+  private def pathsAt(v: Int): Set[String] =
+    if (v == 0) Set.empty
+    else ManifestSink.readManifestMeta(admissionConf.value, admissionPath,
+      Some(v)).map(_.path).toSet
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableEnd = Some(headVersion)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPartsPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val head = availableEnd.getOrElse(headVersion)
+    val s = offsetVersion(start)
+    limit match {
+      case f: ReadMaxFiles if s < head =>
+        var v = s
+        var used = 0
+        var prev = pathsAt(s)
+        var full = false
+        while (!full && v < head) {
+          val next = pathsAt(v + 1)
+          val added = (next -- prev).size
+          // at least one version per batch; beyond that, stop BEFORE
+          // the version that would blow the budget
+          if (used + added > f.maxFiles && v > s) full = true
+          else { used += added; v += 1; prev = next }
+        }
+        mkOffset(v)
+      case _ => mkOffset(head)
+    }
+  }
+}
+
 private[sources] class ManifestMicroBatchStream(
     path: String, schema: StructType, required: StructType,
-    conf: SerializableConfiguration, startingVersion: Option[Int] = None)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    conf: SerializableConfiguration, startingVersion: Option[Int] = None,
+    protected val maxPartsPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with VersionAdmission {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private case class V(v: Int) extends Offset {
     override def json: String = v.toString
   }
+  protected def admissionPath: String = path
+  protected def admissionConf: SerializableConfiguration = conf
+  protected def mkOffset(v: Int): Offset = V(v)
+  protected def offsetVersion(o: Offset): Int = o.asInstanceOf[V].v
 
   /** Version 0 = "before the first committed snapshot"; a fresh
     * consumer with `option("startingVersion", n)` tails from snapshot
@@ -649,6 +728,14 @@ private[sources] object StreamOptions {
         s"1-based), got $n"))
     v
   }
+
+  /** Streaming admission control (see [[VersionAdmission]]). */
+  def maxPartsPerTrigger(options: CaseInsensitiveStringMap): Option[Int] = {
+    val v = Option(options.get("maxPartsPerTrigger")).map(_.toInt)
+    v.foreach(n => require(n >= 1,
+      s"option 'maxPartsPerTrigger' must be >= 1, got $n"))
+    v
+  }
 }
 
 /** Change-data-feed plumbing shared by schema inference, the scan and
@@ -686,13 +773,14 @@ private[sources] object ManifestCdf {
 private[sources] class ManifestCdfScan(
     path: String, baseSchema: StructType, required: StructType,
     conf: SerializableConfiguration,
-    startingVersion: Option[Int] = None) extends Scan {
+    startingVersion: Option[Int] = None,
+    maxPartsPerTrigger: Option[Int] = None) extends Scan {
   override def readSchema(): StructType = required
   override def description(): String = s"graft.ManifestCdfScan($path)"
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ManifestChangeFeedStream(path, baseSchema, required, conf,
-      startingVersion)
+      startingVersion, maxPartsPerTrigger)
 }
 
 /** `maskHex` + `emitOnlyMask` select which line ordinals replay:
@@ -707,13 +795,19 @@ private[sources] case class ManifestCdfPartition(
 
 private[sources] class ManifestChangeFeedStream(
     path: String, baseSchema: StructType, required: StructType,
-    conf: SerializableConfiguration, startingVersion: Option[Int] = None)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    conf: SerializableConfiguration, startingVersion: Option[Int] = None,
+    protected val maxPartsPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with VersionAdmission {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private case class V(v: Int) extends Offset {
     override def json: String = v.toString
   }
+  protected def admissionPath: String = path
+  protected def admissionConf: SerializableConfiguration = conf
+  protected def mkOffset(v: Int): Offset = V(v)
+  protected def offsetVersion(o: Offset): Int = o.asInstanceOf[V].v
 
   /** A fresh consumer replays from `startingVersion` (inclusive) when
     * set — Delta's readChangeFeed startingVersion: nobody wants a new

@@ -353,4 +353,50 @@ class ManifestStreamSpec extends SparkSpec {
     assert(silverDf.count() === nA + b.count(), "delta append lost or duplicated rows")
     assert(silverVersions === v1 + 1, "delta run must commit exactly one snapshot")
   }
+
+  test("maxPartsPerTrigger drains a backlog in budgeted micro-batches") {
+    val base = Tables.events(spark, Sf0001)
+      .select(col("event_id"), col("user_id"), col("value")).limit(300)
+    val table = freshDir("mstream-adm-table")
+    // three commits × 2 parts each = 6 parts / 3 versions of backlog
+    write(base.filter(col("event_id") % 3 === 0), table, "overwrite")
+    write(base.filter(col("event_id") % 3 === 1), table, "append")
+    write(base.filter(col("event_id") % 3 === 2), table, "append")
+    val total = base.count()
+
+    def drainBudgeted(maxParts: Option[Int]): (Long, Int) = {
+      val sink = freshDir("mstream-adm-sink")
+      val checkpoint = freshDir("mstream-adm-ckpt")
+      val reader = spark.readStream
+        .format("graft.sources.ManifestSource").option("path", table)
+      maxParts.foreach(n => reader.option("maxPartsPerTrigger", n.toString))
+      val q = reader.load()
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      (batches.map(_.numInputRows).sum, batches.length)
+    }
+
+    // budget 2 = one version's parts per trigger → exactly 3 batches
+    val (rows3, n3) = drainBudgeted(Some(2))
+    assert(rows3 === total, "budgeted drain lost or duplicated rows")
+    assert(n3 === 3, s"budget 2 must take one version per batch, got $n3")
+    // budget 4 admits two versions, then the third → 2 batches
+    val (rows2, n2) = drainBudgeted(Some(4))
+    assert(rows2 === total)
+    assert(n2 === 2, s"budget 4 must drain in 2 batches, got $n2")
+    // a single oversized commit still lands whole (version granularity:
+    // at least one version per trigger, like Delta rounding
+    // maxFilesPerTrigger up to a full commit)
+    val (rows1, n1) = drainBudgeted(Some(1))
+    assert(rows1 === total)
+    assert(n1 === 3, s"budget 1 still admits whole versions, got $n1")
+    // no budget → the whole backlog in one batch (existing behavior)
+    val (rowsAll, nAll) = drainBudgeted(None)
+    assert(rowsAll === total)
+    assert(nAll === 1, s"unbudgeted drain must be one batch, got $nAll")
+  }
 }

@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Materialized views with incremental refresh (sources/ManifestMv +
+  * the create_mv/refresh_mv procedures): after EVERY mutation kind
+  * the format can express — append, MOR vector delete, compaction —
+  * the refreshed MV must equal the direct rollup BIT-FOR-BIT
+  * (decimal partials are associative), caught-up refreshes must
+  * commit nothing, and a crashed refresh (committed but watermark
+  * not advanced) must replay idempotently. */
+class MvSpec extends SparkSpec {
+
+  private lazy val wh = {
+    val d = Files.createTempDirectory("graft-mvspec").toString
+    spark.conf.set("spark.sql.catalog.gmv", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmv.warehouse", d)
+    d
+  }
+
+  private def conf0 = spark.sessionState.newHadoopConf()
+
+  private def rows(k0: Long, k1: Long): DataFrame = {
+    import spark.implicits._
+    (k0 until k1).map(i => (i, s"g${i % 5}", i * 0.25)).toDF("k", "s", "v")
+  }
+
+  private def write(df: DataFrame, path: String, mode: String): Unit =
+    df.repartition(4)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", path).option("history", "true").mode(mode).save()
+
+  /** (group, n, sum) set from any frame with (s, v). */
+  private def direct(df: DataFrame): Set[(String, Long, java.math.BigDecimal)] =
+    df.groupBy(col("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(30, 2))).as("sv"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+
+  private def mvContent(): Set[(String, Long, java.math.BigDecimal)] =
+    spark.sql("SELECT s, n_rows, sum_value FROM gmv.ns.mv").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+
+  private def srcDf = spark.sql("SELECT k, s, v FROM gmv.ns.src")
+  private def mvVersions: Seq[Int] =
+    graft.sources.ManifestSink.listVersions(conf0, s"$wh/ns/mv")
+
+  test("create, refresh across append / MOR delete / compaction") {
+    write(rows(0, 1000), s"$wh/ns/src", "overwrite")
+    val created = spark.sql("CALL gmv.system.create_mv(" +
+      "mv_table => 'ns.mv', source_table => 'ns.src', " +
+      "key_col => 's', sum_col => 'v', scale => 2)").head
+    assert(created.getInt(0) === 1, "created at source v1")
+    assert(created.getLong(1) === 5L, "five groups")
+    assert(mvContent() === direct(srcDf))
+
+    // caught-up refresh: no delta, no new MV commit
+    val v0 = mvVersions
+    val noop = spark.sql("CALL gmv.system.refresh_mv(mv_table => 'ns.mv')").head
+    assert(noop.getInt(0) === 1 && noop.getInt(1) === 1)
+    assert(mvVersions === v0, "caught-up refresh must not commit")
+
+    // APPEND: delta = the new parts only
+    write(rows(1000, 1400), s"$wh/ns/src", "append")
+    val r1 = spark.sql("CALL gmv.system.refresh_mv(mv_table => 'ns.mv')").head
+    assert(r1.getInt(0) === 1 && r1.getInt(1) === 2)
+    assert(r1.getInt(2) === 4 && r1.getInt(3) === 0,
+      s"append folds 4 plus-parts, 0 minus: $r1")
+    assert(mvContent() === direct(srcDf))
+
+    // MOR DELETE: the vector-changed parts restate (−old, +new)
+    spark.conf.set("graft.delete.mode", "mor")
+    try spark.sql("DELETE FROM gmv.ns.src WHERE s = 'g1'")
+    finally spark.conf.unset("graft.delete.mode")
+    val r2 = spark.sql("CALL gmv.system.refresh_mv(mv_table => 'ns.mv')").head
+    assert(r2.getInt(1) === 3)
+    assert(r2.getInt(2) === r2.getInt(3),
+      s"vector change restates the same parts on both sides: $r2")
+    assert(mvContent() === direct(srcDf))
+    assert(!mvContent().exists(_._1 == "g1"), "emptied group dropped")
+
+    // COMPACTION: parts change, rows don't — the delta nets to zero
+    spark.sql("CALL gmv.system.compact(table => 'ns.src', target_parts => 2)")
+    val r3 = spark.sql("CALL gmv.system.refresh_mv(mv_table => 'ns.mv')").head
+    assert(r3.getInt(1) === 4)
+    assert(mvContent() === direct(srcDf))
+  }
+
+  test("a crashed refresh (commit landed, watermark did not) replays idempotently") {
+    write(rows(0, 500), s"$wh/ns/src2", "overwrite")
+    spark.sql("CALL gmv.system.create_mv(" +
+      "mv_table => 'ns.mv2', source_table => 'ns.src2', " +
+      "key_col => 's', sum_col => 'v', scale => 2)")
+    val metaPath = java.nio.file.Paths.get(s"$wh/ns/mv2/_MV.json")
+    val preMeta = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+
+    write(rows(500, 700), s"$wh/ns/src2", "append")
+    spark.sql("CALL gmv.system.refresh_mv(mv_table => 'ns.mv2')")
+    def content() =
+      spark.sql("SELECT s, n_rows, sum_value FROM gmv.ns.mv2").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    val refreshed = content()
+
+    // simulate the crash window: the MV snapshot committed but the
+    // watermark write was lost — roll _MV.json back to the pre-refresh
+    // record and refresh again; the fold pins the MV state at the
+    // watermark's version, so the replay supersedes the orphan commit
+    // instead of double-applying the delta. (Roll back through the
+    // Hadoop fs so the checksum sidecar stays consistent.)
+    val hp = new org.apache.hadoop.fs.Path(metaPath.toString)
+    val hfs = hp.getFileSystem(conf0)
+    val out = hfs.create(hp, true)
+    try out.write(preMeta.getBytes("UTF-8")) finally out.close()
+    spark.sql("CALL gmv.system.refresh_mv(mv_table => 'ns.mv2')")
+    assert(content() === refreshed, "replayed refresh must not double-apply")
+    val src2 = spark.sql("SELECT k, s, v FROM gmv.ns.src2")
+    assert(content() === direct(src2))
+  }
+}

@@ -40,7 +40,8 @@ class ProcedureSpec extends graft.SparkSpec {
     val shown = spark.sql("SHOW PROCEDURES IN gps.system").collect()
       .map(_.getAs[String]("procedure_name")).toSet
     assert(shown === Set("compact", "compact_vectors", "expire_snapshots",
-      "rollback", "fast_forward", "drop_branch", "tag", "drop_tag"))
+      "rollback", "fast_forward", "drop_branch", "tag", "drop_tag",
+      "create_mv", "refresh_mv"))
     val desc = spark.sql("DESCRIBE PROCEDURE gps.system.compact")
       .collect().map(_.toString).mkString("\n")
     assert(desc.contains("compact"))
