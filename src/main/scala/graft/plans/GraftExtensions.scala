@@ -26,6 +26,12 @@ object DotSelfToSumSq extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DotSelfToSumSq)
+    // transparent MV routing (sources/MvRewrite): fires in the
+    // operator batch, where manifest reads are still pre-pushdown
+    // DataSourceV2Relations; the rule also matches the post-pushdown
+    // scan-relation shape so extraOptimizations registration works on
+    // sessions without extensions
+    ext.injectOptimizerRule(_ => graft.sources.MvRewrite)
     ext.injectPlannerStrategy(_ => GroupTopKStrategy)
     // SQL views over the catalog's ViewCatalog — vanilla Spark 4.1
     // ships the API with no engine wiring; these rules close the gap.

@@ -1578,5 +1578,109 @@ FROM events
 WHERE event_type IS DISTINCT FROM 'error'
 GROUP BY event_type
 ORDER BY event_type NULLS FIRST""")),
+
+    // --- TRANSPARENT MV ROUTING (sources/MvRewrite, injected by
+    // GraftExtensions): the SAME GROUP BY SQL is planned twice — while
+    // the MV is FRESH the optimizer deletes the Aggregate and serves
+    // the MV (O(groups) read, `used_mv` pins the plan swap), and after
+    // an un-refreshed source append it falls back to the full scan
+    // (`used_mv` false, and the answer includes the new rows — the
+    // fallback is what makes the rewrite safe to leave on). Each
+    // phase's tiny rollup is pinned via localCheckpoint at plan time,
+    // so the gated union is immune to the conf reset. The at-scale
+    // claim: the 1000×/day dashboard rollup over a 100 TB table reads
+    // a 100-row MV, exactness enforced by watermark + version pin, and
+    // staleness degrades to correct-but-slower, never to wrong.
+    QueryDef("q_mv_rewrite",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "mvrw")
+        spark.conf.set("spark.sql.catalog.graftmvrw",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftmvrw.warehouse", wh)
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        base.filter(col("event_id") % 5 =!= 0)
+          .repartitionByRange(4, col("event_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", s"$wh/wh/ev_t").option("history", "true")
+          .mode("overwrite").save()
+        spark.sql("CALL graftmvrw.system.create_mv(" +
+          "mv_table => 'wh.ev_mv', source_table => 'wh.ev_t', " +
+          "key_col => 'event_type', sum_col => 'value', scale => 6)")
+        spark.conf.set("graft.mv.rewrite", s"$wh/wh/ev_mv")
+        try {
+          val rollup = """SELECT event_type, count(*) AS n_rows,
+            CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS STRING)
+              AS DOUBLE) AS sum_value
+            FROM graftmvrw.wh.ev_t GROUP BY event_type"""
+          def phase(name: String) = {
+            val q = spark.sql(rollup)
+            val usedMv = !q.queryExecution.optimizedPlan.exists(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate])
+            q.withColumn("phase", lit(name))
+              .withColumn("used_mv", lit(usedMv))
+              .localCheckpoint()
+          }
+          val fresh = phase("fresh")
+          // an un-refreshed append: the MV is now stale — full fallback
+          base.filter(col("event_id") % 5 === 0)
+            .repartitionByRange(2, col("event_id"))
+            .write.format("graft.sources.ManifestSink")
+            .option("path", s"$wh/wh/ev_t").option("history", "true")
+            .mode("append").save()
+          val stale = phase("stale")
+          fresh.unionAll(stale)
+            .orderBy(col("phase"), col("event_type"))
+        } finally spark.conf.unset("graft.mv.rewrite")
+      },
+      Some(s"""SELECT event_type, n_rows, sum_value, phase, used_mv FROM (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+    ${Exact.decSumSql("value", 6)} AS sum_value,
+    'fresh' AS phase, TRUE AS used_mv
+  FROM events WHERE event_id % 5 <> 0 GROUP BY event_type
+  UNION ALL
+  SELECT event_type, CAST(count(*) AS BIGINT),
+    ${Exact.decSumSql("value", 6)}, 'stale', FALSE
+  FROM events GROUP BY event_type)
+ORDER BY phase, event_type NULLS FIRST""")),
+
+    // --- METADATA-ONLY AGGREGATES (SupportsPushDownAggregates,
+    // sources/ManifestSource canPushAgg): a global COUNT(*) / MIN(key)
+    // / MAX(key) is exactly what the manifest already stores per part,
+    // so the scan answers it from version metadata without opening ONE
+    // data file — complete pushdown, a single summary row, no
+    // aggregation exec in the plan ("count a petabyte table from its
+    // footers"). The `pushed` flag rides the gated output: the scan
+    // plans exactly one summary partition and the physical plan has no
+    // Aggregate node (ManifestSourceSpec additionally pins the decline
+    // cases: COUNT(col), filters, deletion vectors). The oracle
+    // recomputes all three from the raw rows — metadata and data must
+    // agree exactly.
+    QueryDef("q_agg_pushdown",
+      (spark, dir) => {
+        val t = freshTable(spark, dir, "aggpush")
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+          .repartitionByRange(8, col("k"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", t).option("history", "true")
+          .mode("overwrite").save()
+        val agg = spark.read.format("graft.sources.ManifestSource")
+          .option("path", t).load()
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        val pushed = {
+          val sp = agg.queryExecution.sparkPlan
+          val summaryParts = sp.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.inputPartitions.length
+          }.getOrElse(-1)
+          summaryParts == 1 && !sp.toString.contains("Aggregate")
+        }
+        agg.withColumn("pushed", lit(pushed))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k, TRUE AS pushed
+FROM orders""")),
   )
 }

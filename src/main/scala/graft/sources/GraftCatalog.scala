@@ -518,6 +518,11 @@ private[sources] class GraftCatalogTable(
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with TruncatableTable {
 
+  /** The head-read table dir [[MvRewrite]] resolves — catalog TIME
+    * TRAVEL loads a [[ManifestReadTable]] instead, so this class
+    * always means "head". */
+  private[sources] def tableDir: String = path
+
   /** SQL `TRUNCATE TABLE` — a LOGICAL truncate: one empty-part-list
     * history snapshot (same schema), so pre-truncate versions stay
     * time-travelable and the data files stay until vacuum. Same

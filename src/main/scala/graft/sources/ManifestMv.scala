@@ -91,12 +91,18 @@ private[sources] object ManifestMv {
       kv("scale").toInt, kv("srcv").toInt, kv("mvv").toInt)
   }
 
-  /** The defining rollup: per-key exact (count, decimal sum). */
+  /** The defining rollup: per-key exact (count, decimal sum). The sum
+    * is pinned to the CANONICAL type DECIMAL(38, scale) — Spark's own
+    * result type for sum over DECIMAL(30, scale) — so the MV schema
+    * is identical at create and after every refresh (the merge below
+    * re-pins it), and [[MvRewrite]]'s exact-type substitution guard
+    * holds across the MV's whole lifecycle. */
   private def rollup(df: DataFrame, keyCol: String, sumCol: String,
       scale: Int): DataFrame =
     df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col(sumCol).cast(DecimalType(30, scale))).as("sum_value"))
+        sum(col(sumCol).cast(DecimalType(30, scale)))
+          .cast(DecimalType(38, scale)).as("sum_value"))
 
   private def writeMv(df: DataFrame, mvDir: String): Unit =
     df.repartition(4)
@@ -180,7 +186,7 @@ private[sources] object ManifestMv {
           (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L)))
             .as("n_rows"),
           (coalesce(col("sum_value"), zero) + coalesce(col("ds"), zero))
-            .cast(DecimalType(30, m.scale)).as("sum_value"))
+            .cast(DecimalType(38, m.scale)).as("sum_value"))
         .filter(col("n_rows") > 0)
       writeMv(merged, mvDir)
     } finally {

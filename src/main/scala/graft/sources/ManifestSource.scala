@@ -99,6 +99,11 @@ private[sources] class ManifestReadTable(
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   require(path != null && path.nonEmpty, "option 'path' is required")
+  /** The table dir when this is a plain HEAD read (no time travel, no
+    * change feed, no branch) — the only path-read shape [[MvRewrite]]
+    * may substitute before scan planning. */
+  private[sources] def plainHeadDir: Option[String] =
+    if (version.isEmpty && !cdf && branch.isEmpty) Some(path) else None
   require(branch.isEmpty || !cdf,
     "the change feed follows the MAIN snapshot line; 'branch' and " +
       "'changeFeed' are mutually exclusive")
@@ -469,6 +474,20 @@ private[sources] class ManifestScan(
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
         parts.size)
   }
+
+  /** (table dir, pinned base version) when this scan is a plain,
+    * un-limited batch read of one committed snapshot — the only shape
+    * [[MvRewrite]] may substitute with a materialized rollup. Every
+    * narrowing the scan could have absorbed silently is excluded
+    * structurally: LIMIT prefixes (limit), row-level rewrite scans
+    * (rowLevelOwner), stream tails (startingVersion); pushed FILTERS
+    * need no flag because this source reports all filters residual,
+    * so a filtered query always keeps a Filter node above the scan
+    * relation and the rewrite's adjacency match fails. */
+  private[sources] def mvRewriteTarget: Option[(String, Int)] =
+    if (tablePath.nonEmpty && limit.isEmpty && rowLevelOwner.isEmpty &&
+      startingVersion.isEmpty) Some((tablePath, baseVersion))
+    else None
 
   /** Streaming read: snapshot versions ARE the offsets (see
     * [[ManifestMicroBatchStream]]); the stream shares this scan's

@@ -1,0 +1,193 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSet, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** TRANSPARENT MATERIALIZED-VIEW ROUTING — the optimizer half of
+  * [[ManifestMv]]: a query that re-asks the exact rollup an MV
+  * already stores (`GROUP BY key` → `count(*)`, exact decimal
+  * `sum`) is rewritten to read the MV instead of the source, turning
+  * an O(table) scan + shuffle into an O(groups) metadata-table read.
+  * At 100 TB this is the difference between "the daily dashboard
+  * rescans a petabyte" and "it reads a 100-row table" — and because
+  * the engine owns both the MV's freshness watermark and the scan's
+  * version pin, the substitution is provably exact, never
+  * best-effort.
+  *
+  * Enable with `spark.conf.set("graft.mv.rewrite", "<mvDir>[,...]")`
+  * (the MVs created by `CALL cat.system.create_mv`). The rule is
+  * injected by [[graft.plans.GraftExtensions]] and also works via
+  * `spark.experimental.extraOptimizations` on a live session — it
+  * matches BOTH plan generations it can meet: the pre-pushdown
+  * [[DataSourceV2Relation]] (extension injection runs in the operator
+  * batch) and the post-pushdown [[DataSourceV2ScanRelation]]
+  * (extraOptimizations runs last).
+  *
+  * The rewrite fires only when EVERY exactness condition holds, and
+  * silently declines otherwise — a declined rewrite is always merely
+  * slower, never wrong:
+  *
+  *  - **Freshness**: the MV watermark equals the source's HEAD
+  *    version at plan time (or, post-pushdown, the exact version the
+  *    scan pinned — so `VERSION AS OF <watermark>` rewrites too). A
+  *    stale MV falls back to the source; refresh first. The MV side
+  *    is then read PINNED at the watermark's MV version, so a
+  *    concurrent `refresh_mv` cannot tear the answer.
+  *  - **Shape**: single grouping column == the MV key; every
+  *    aggregate in the output is `count(1)`/`count(*)` (→ `n_rows`)
+  *    or `sum(CAST(col AS DECIMAL(30, scale)))` with the MV's column
+  *    and scale (→ `sum_value`) — matched STRUCTURALLY inside
+  *    arbitrary surrounding expressions, so the repo-idiomatic
+  *    `CAST(CAST(sum(...) AS STRING) AS DOUBLE)` display shape
+  *    rewrites intact. DISTINCT/FILTER aggregates decline. Decimal
+  *    partials are associative, so MV == recompute bit-for-bit
+  *    (MvSpec) and the substitution is hash-exact, not approximate.
+  *  - **Adjacency**: the Aggregate sits directly on the scan relation
+  *    (attribute-only Projects stripped). A Filter/Limit/branch/
+  *    change-feed/time-travel-to-other-version read declines — the
+  *    source reports filters residual, so a filtered query always
+  *    keeps its Filter node and can never be silently absorbed.
+  *
+  * The replacement preserves the Aggregate's output `exprId`s
+  * (aliases onto the MV attributes), so everything above the
+  * aggregate — sorts, joins, further projections — binds unchanged.
+  */
+object MvRewrite extends Rule[LogicalPlan] {
+
+  private def registered(spark: SparkSession): Seq[String] =
+    spark.conf.getOption("graft.mv.rewrite").getOrElse("")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def norm(p: String): String = new Path(p).toUri.getPath
+
+  private final case class Target(meta: ManifestMv.MvMeta, mvDir: String)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val spark = SparkSession.active
+    val dirs = registered(spark)
+    if (dirs.isEmpty || !plan.exists(_.isInstanceOf[Aggregate])) return plan
+    val conf = ManifestSink.driverConf()
+    // resolve each registered MV's watermark ONCE per rule pass; a
+    // missing/corrupt meta or an expired source just declines
+    val targets = dirs.flatMap { d =>
+      try {
+        val m = ManifestMv.readMeta(conf, d)
+        val head = ManifestSink.listVersions(conf, m.source)
+          .lastOption.getOrElse(0)
+        if (m.sourceVersion > 0) Some((Target(m, d), head)) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    if (targets.isEmpty) return plan
+    plan.transformDown {
+      case agg: Aggregate =>
+        (sourceOf(agg.child) match {
+          case Some((dir, pinned)) =>
+            targets.find { case (t, head) =>
+              norm(t.meta.source) == norm(dir) &&
+                // pre-pushdown: fresh means watermark == head NOW;
+                // post-pushdown: the scan already pinned its version —
+                // rewrite iff it pinned exactly the watermark
+                pinned.getOrElse(head) == t.meta.sourceVersion
+            }.flatMap { case (t, _) => substitute(spark, agg, t) }
+          case None => None
+        }).getOrElse(agg)
+    }
+  }
+
+  /** The (table dir, pinned version) of a bare manifest-table read
+    * under the aggregate, if it is one. `None` in the version slot
+    * means "not planned yet" (pre-pushdown head read). */
+  private def sourceOf(p: LogicalPlan): Option[(String, Option[Int])] =
+    strip(p) match {
+      case sr: DataSourceV2ScanRelation => sr.scan match {
+        case ms: ManifestScan =>
+          ms.mvRewriteTarget.map { case (d, v) => (d, Some(v)) }
+        case _ => None
+      }
+      case r: DataSourceV2Relation => r.table match {
+        case t: ManifestReadTable => t.plainHeadDir.map(d => (d, None))
+        case t: GraftCatalogTable
+            if Option(r.options.get("branch")).forall(_.isEmpty) &&
+              Option(r.options.get("startingVersion")).forall(_.isEmpty) =>
+          Some((t.tableDir, None))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  @annotation.tailrec
+  private def strip(p: LogicalPlan): LogicalPlan = p match {
+    case Project(es, child) if es.forall(_.isInstanceOf[AttributeReference]) =>
+      strip(child)
+    case other => other
+  }
+
+  private def substitute(spark: SparkSession, agg: Aggregate,
+      t: Target): Option[LogicalPlan] =
+    agg.groupingExpressions match {
+      case Seq(k: AttributeReference) if k.name == t.meta.keyCol =>
+        // the MV read is PINNED at the watermark's MV version — the
+        // freshness check and the data served are one snapshot pair
+        val mvPlan = spark.read.format("graft.sources.ManifestSource")
+          .option("path", t.mvDir)
+          .option("version", t.meta.mvVersion.toString)
+          .load().queryExecution.optimizedPlan
+        val out = mvPlan.output
+        for {
+          mvKey <- out.find(_.name == t.meta.keyCol)
+          mvN <- out.find(_.name == "n_rows")
+          mvS <- out.find(_.name == "sum_value")
+          if mvKey.dataType == k.dataType && mvN.dataType == LongType
+          mapped <- mapOutputs(agg.aggregateExpressions, k, mvKey, mvN, mvS,
+            t.meta, mvPlan.outputSet)
+        } yield Project(mapped, mvPlan)
+      case _ => None
+    }
+
+  /** Re-express every aggregate-output expression over the MV's
+    * attributes, preserving names and exprIds; None if ANY expression
+    * contains an aggregate or column the MV cannot answer. */
+  private def mapOutputs(aggExprs: Seq[NamedExpression],
+      k: AttributeReference, mvKey: org.apache.spark.sql.catalyst.expressions.Attribute,
+      mvN: org.apache.spark.sql.catalyst.expressions.Attribute, mvS: org.apache.spark.sql.catalyst.expressions.Attribute,
+      meta: ManifestMv.MvMeta,
+      mvOut: AttributeSet): Option[Seq[NamedExpression]] = {
+    val mapped: Seq[Option[NamedExpression]] = aggExprs.map {
+      case a: AttributeReference if a.exprId == k.exprId =>
+        Some(Alias(mvKey, a.name)(exprId = a.exprId))
+      case al: Alias =>
+        var ok = true
+        val re = al.child.transformUp {
+          case ae: AggregateExpression =>
+            matchAgg(ae, meta, mvN, mvS).getOrElse { ok = false; ae }
+          case a: AttributeReference if a.exprId == k.exprId => mvKey
+        }
+        if (ok && re.references.subsetOf(mvOut))
+          Some(Alias(re, al.name)(exprId = al.exprId))
+        else None
+      case _ => None
+    }
+    if (mapped.forall(_.isDefined)) Some(mapped.map(_.get)) else None
+  }
+
+  private def matchAgg(ae: AggregateExpression, meta: ManifestMv.MvMeta,
+      mvN: org.apache.spark.sql.catalyst.expressions.Attribute, mvS: org.apache.spark.sql.catalyst.expressions.Attribute): Option[Expression] =
+    if (ae.isDistinct || ae.filter.isDefined) None
+    else ae.aggregateFunction match {
+      case Count(Seq(Literal(1, _))) if ae.dataType == LongType => Some(mvN)
+      case s: Sum => s.child match {
+        case Cast(a: AttributeReference, dt: DecimalType, _, _)
+            if a.name == meta.sumCol && dt.precision == 30 &&
+              dt.scale == meta.scale && ae.dataType == mvS.dataType =>
+          Some(mvS)
+        case _ => None
+      }
+      case _ => None
+    }
+}
