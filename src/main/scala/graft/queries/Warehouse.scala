@@ -1660,7 +1660,9 @@ ORDER BY phase, event_type NULLS FIRST""")),
       (spark, dir) => {
         val t = freshTable(spark, dir, "aggpush")
         Tables.orders(spark, dir)
-          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+          .select(col("o_orderkey").as("k"),
+            col("o_orderpriority").as("prio"),
+            col("o_totalprice").as("price"))
           .repartitionByRange(8, col("k"))
           .write.format("graft.sources.ManifestSink")
           .option("path", t).option("history", "true")
@@ -1668,7 +1670,8 @@ ORDER BY phase, event_type NULLS FIRST""")),
         val agg = spark.read.format("graft.sources.ManifestSource")
           .option("path", t).load()
           .agg(count(lit(1)).as("n_rows"),
-            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+            min(col("prio")).as("min_prio"), max(col("prio")).as("max_prio"))
         val pushed = {
           val sp = agg.queryExecution.sparkPlan
           val summaryParts = sp.collectFirst {
@@ -1680,7 +1683,9 @@ ORDER BY phase, event_type NULLS FIRST""")),
         agg.withColumn("pushed", lit(pushed))
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
-  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k, TRUE AS pushed
+  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k,
+  min(o_orderpriority) AS min_prio, max(o_orderpriority) AS max_prio,
+  TRUE AS pushed
 FROM orders""")),
   )
 }

@@ -184,6 +184,16 @@ private[sources] class ManifestScanBuilder(
         keyCol.contains(nr.fieldNames.mkString("."))
       case _ => false
     }
+    // the STRING stats column folds exactly too: the writer records
+    // sMin/sMax in UTF8 binary order — Spark's own string collation —
+    // for every part, and `sMin == None` MEANS "no non-null strings
+    // in this part" (not "untracked"), so skipping those parts is the
+    // same null-skipping SQL MIN/MAX performs
+    def isStrRef(e: Expression): Boolean = e match {
+      case nr: NamedReference =>
+        strCol.contains(nr.fieldNames.mkString("."))
+      case _ => false
+    }
     // MIN/MAX stats are stale once a deletion vector exists (the
     // extreme row may be the deleted one) — COUNT stays exact via
     // visibleRows, so only the extremes force the decline
@@ -195,8 +205,8 @@ private[sources] class ManifestScanBuilder(
       a.aggregateExpressions.nonEmpty &&
       a.aggregateExpressions.forall {
         case _: CountStar => true
-        case m: Min       => isKeyRef(m.column) && !anyDv
-        case m: Max       => isKeyRef(m.column) && !anyDv
+        case m: Min       => (isKeyRef(m.column) || isStrRef(m.column)) && !anyDv
+        case m: Max       => (isKeyRef(m.column) || isStrRef(m.column)) && !anyDv
         case _            => false
       }
   }
@@ -317,7 +327,7 @@ private[sources] class ManifestScanBuilder(
       }
     }
     aggFuncs match {
-      case Some(fs) => new ManifestAggScan(all, fs)
+      case Some(fs) => new ManifestAggScan(all, fs, strCol)
       case None =>
         var kept = all.filter(m => !(m.kMax < keyLo || m.kMin > keyHi))
         if (strLo.isDefined || strHi.isDefined)
@@ -346,16 +356,31 @@ private[sources] class ManifestScanBuilder(
 /** Metadata-only scan: one synthetic partition, one row, computed
   * entirely from the manifest — no data file is ever opened. */
 private[sources] class ManifestAggScan(
-    parts: Seq[PartMeta], funcs: Seq[AggregateFunc])
+    parts: Seq[PartMeta], funcs: Seq[AggregateFunc],
+    strCol: Option[String] = None)
     extends Scan with Batch {
 
   override def toBatch: Batch = this
   override def description(): String =
     s"graft.ManifestAggScan(metadata-only, ${funcs.mkString(", ")})"
 
+  private def isStr(f: AggregateFunc): Boolean = {
+    def strRef(e: Expression): Boolean = e match {
+      case nr: NamedReference => strCol.contains(nr.fieldNames.mkString("."))
+      case _ => false
+    }
+    f match {
+      case m: Min => strRef(m.column)
+      case m: Max => strRef(m.column)
+      case _      => false
+    }
+  }
+
   override def readSchema(): StructType =
     StructType(funcs.zipWithIndex.map {
       case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (f, i) if isStr(f) =>
+        StructField(s"agg_$i", StringType, nullable = true)
       case (_, i)            => StructField(s"agg_$i", LongType, nullable = true)
     })
 
@@ -363,18 +388,29 @@ private[sources] class ManifestAggScan(
     Array(ManifestAggPartition(values))
 
   /** Final values from per-part stats: COUNT(*) sums row counts
-    * (null-key rows included); MIN/MAX fold per-part extrema over
+    * (null-key rows included); key MIN/MAX fold per-part extrema over
     * parts that saw ≥1 non-null key (empty/all-null parts carry the
     * (MaxValue, MinValue) sentinel), NULL when no part did — SQL
-    * empty/all-null MIN/MAX semantics. */
-  private def values: Array[java.lang.Long] = {
+    * empty/all-null MIN/MAX semantics. String MIN/MAX fold sMin/sMax
+    * in [[StrBin]] UTF-8 byte order — the collation the writer
+    * tracked them in AND the one Spark's own MIN/MAX would produce —
+    * over parts that saw ≥1 non-null string (`sMin == None` means
+    * exactly "this part has no non-null strings"). */
+  private def values: Array[Any] = {
     val withKeys = parts.filter(p => p.kMin <= p.kMax)
-    funcs.map {
+    lazy val withStr = parts.filter(_.sMin.isDefined)
+    funcs.map[Any] {
       // visibleRows: a deletion vector reduces the served count with
       // no data rewrite — the metadata COUNT stays EXACT under MOR
       // deletes (MIN/MAX do not: the extreme row may be deleted, so
       // canPushAgg declines them whenever any part carries a vector)
       case _: CountStar => java.lang.Long.valueOf(parts.map(_.visibleRows).sum)
+      case m: Min if isStr(m) =>
+        if (withStr.isEmpty) null
+        else withStr.map(_.sMin.get).reduce(StrBin.min)
+      case m: Max if isStr(m) =>
+        if (withStr.isEmpty) null
+        else withStr.map(_.sMax.get).reduce(StrBin.max)
       case _: Min =>
         if (withKeys.isEmpty) null
         else java.lang.Long.valueOf(withKeys.map(_.kMin).min)
@@ -393,14 +429,18 @@ private[sources] class ManifestAggScan(
           private var done = false
           override def next(): Boolean = !done && { done = true; true }
           override def get(): InternalRow =
-            new GenericInternalRow(vals.map(v =>
-              if (v == null) null else v.longValue(): Any))
+            new GenericInternalRow(vals.map[Any] {
+              case null             => null
+              case s: String       =>
+                org.apache.spark.unsafe.types.UTF8String.fromString(s)
+              case l: java.lang.Long => l.longValue()
+            })
           override def close(): Unit = ()
         }
     }
 }
 
-private[sources] case class ManifestAggPartition(values: Array[java.lang.Long])
+private[sources] case class ManifestAggPartition(values: Array[Any])
     extends InputPartition
 
 private[sources] class ManifestScan(

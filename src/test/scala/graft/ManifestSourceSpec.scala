@@ -229,19 +229,25 @@ class ManifestSourceSpec extends SparkSpec {
     val target = Files.createTempDirectory("graft-src-spec-").toString
     writeEvents(target, parts = 8)
     val want = Tables.events(spark, Sf0001)
-      .agg(count(lit(1)), min("event_id"), max("event_id")).head
+      .agg(count(lit(1)), min("event_id"), max("event_id"),
+        min("event_type"), max("event_type")).head
     // remove every part file — only _MANIFEST.json remains
     Files.list(Paths.get(target)).toArray.map(_.toString)
       .filter(_.endsWith(".csv")).foreach(f => Files.delete(Paths.get(f)))
     val agg = readBack(target)
       .agg(count(lit(1)).as("n"), min("event_id").as("lo"),
-        max("event_id").as("hi"))
+        max("event_id").as("hi"),
+        // the string column folds from sMin/sMax in the SAME UTF-8
+        // binary order Spark's own MIN/MAX uses (null-skipping too)
+        min("event_type").as("slo"), max("event_type").as("shi"))
     assert(scanOf(agg).inputPartitions.length === 1,
       "one synthetic metadata partition, no file parts")
     val got = agg.head
     assert(got.getLong(0) === want.getLong(0))
     assert(got.getLong(1) === want.getLong(1))
     assert(got.getLong(2) === want.getLong(2))
+    assert(got.getString(3) === want.getString(3))
+    assert(got.getString(4) === want.getString(4))
   }
 
   test("aggregate pushdown declines when it cannot be exact") {
