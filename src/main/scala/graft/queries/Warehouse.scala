@@ -1687,5 +1687,69 @@ ORDER BY phase, event_type NULLS FIRST""")),
   min(o_orderpriority) AS min_prio, max(o_orderpriority) AS max_prio,
   TRUE AS pushed
 FROM orders""")),
+
+    // --- ZERO-COPY SHALLOW CLONE (CALL cat.system.clone,
+    // sources/GraftProcedures CloneProcedure): the clone's first
+    // snapshot REFERENCES the source's parts — one manifest write, no
+    // data copied (`files_copied` counts data files physically under
+    // the clone dir right after the CALL: zero rides the gated
+    // output). From there the tables diverge independently: the
+    // source takes an append the clone never sees, the clone takes an
+    // append the source never sees, and both head rollups restate
+    // exactly. The dev/test fork workflow at 100 TB: clone prod, run
+    // the migration against the clone, diff, drop — minutes, not a
+    // copy. ProcedureSpec pins version cloning, target-exists
+    // rejection, and vacuum independence.
+    QueryDef("q_clone_shallow",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "clone")
+        spark.conf.set("spark.sql.catalog.graftcl",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftcl.warehouse", wh)
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        def write(df: org.apache.spark.sql.DataFrame, path: String,
+            mode: String): Unit =
+          df.repartitionByRange(4, col("event_id"))
+            .write.format("graft.sources.ManifestSink")
+            .option("path", path).option("history", "true")
+            .mode(mode).save()
+        write(base.filter(col("event_id") % 4 =!= 1), s"$wh/wh/ev_t",
+          "overwrite")
+        spark.sql("CALL graftcl.system.clone(source_table => 'wh.ev_t', " +
+          "target_table => 'wh.ev_clone')")
+        val filesCopied = {
+          val p = new org.apache.hadoop.fs.Path(s"$wh/wh/ev_clone")
+          p.getFileSystem(spark.sessionState.newHadoopConf())
+            .listStatus(p).count(st => st.getPath.getName.startsWith("part-")
+              && st.getPath.getName.endsWith(".csv"))
+        }
+        // the tables diverge independently from here
+        write(base.filter(col("event_id") % 4 === 1), s"$wh/wh/ev_t",
+          "append")
+        write(base.filter(col("event_id") % 8 === 1), s"$wh/wh/ev_clone",
+          "append")
+        def rollup(table: String, side: String) =
+          spark.sql(s"""
+            SELECT event_type, count(*) AS n,
+              ${Exact.decSumSql("value", 6).replace("VARCHAR", "STRING")}
+                AS sum_value
+            FROM graftcl.wh.$table GROUP BY event_type""")
+            .withColumn("side", lit(side))
+        rollup("ev_t", "source").unionAll(rollup("ev_clone", "clone"))
+          .withColumn("files_copied", lit(filesCopied))
+          .orderBy(col("side"), col("event_type"))
+      },
+      Some(s"""SELECT event_type, n, sum_value, side, files_copied FROM (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+    ${Exact.decSumSql("value", 6)} AS sum_value, 'clone' AS side,
+    CAST(0 AS INT) AS files_copied
+  FROM events WHERE event_id % 4 <> 1 OR event_id % 8 = 1
+  GROUP BY event_type
+  UNION ALL
+  SELECT event_type, CAST(count(*) AS BIGINT),
+    ${Exact.decSumSql("value", 6)}, 'source', CAST(0 AS INT)
+  FROM events GROUP BY event_type)
+ORDER BY side, event_type NULLS FIRST""")),
   )
 }

@@ -47,7 +47,7 @@ private[sources] object GraftProcedures {
   /** Registry order is the SHOW PROCEDURES order. */
   val names: Seq[String] = Seq("compact", "compact_vectors",
     "expire_snapshots", "rollback", "fast_forward", "drop_branch",
-    "tag", "drop_tag", "create_mv", "refresh_mv")
+    "tag", "drop_tag", "create_mv", "refresh_mv", "clone")
 
   def load(name: String, warehouse: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -61,6 +61,7 @@ private[sources] object GraftProcedures {
       case "drop_tag"         => Some(new DropTagProcedure(warehouse))
       case "create_mv"        => Some(new CreateMvProcedure(warehouse))
       case "refresh_mv"       => Some(new RefreshMvProcedure(warehouse))
+      case "clone"            => Some(new CloneProcedure(warehouse))
       case _                  => None
     }
 }
@@ -399,5 +400,71 @@ private[sources] final class RefreshMvProcedure(warehouse: String)
     val dir = tableDir(input.getUTF8String(0).toString)
     val s = ManifestMv.refresh(SparkSession.active, dir)
     result(s.fromVersion, s.toVersion, s.plusParts, s.minusParts, s.groups)
+  }
+}
+
+/** ZERO-COPY SHALLOW CLONE — `CALL cat.system.clone(source_table,
+  * target_table[, version])`: publish a NEW table whose first
+  * snapshot REFERENCES the source's part files (absolute paths, the
+  * same by-reference mechanism every staged read uses) — no data is
+  * copied, the clone of a 100 TB table is one manifest write. The
+  * clone is a full table from there: it appends, deletes, compacts,
+  * time-travels, and is vacuumed INDEPENDENTLY (vacuum reclaims only
+  * files physically under its own directory, so a clone's vacuum can
+  * never touch source data). The Delta/Iceberg shallow-clone caveat
+  * applies symmetrically and is the user's retention contract:
+  * expiring + vacuuming the SOURCE can reclaim files the clone still
+  * references — retain the cloned snapshot (tag it) for as long as
+  * clones of it live. Data-snapshot only: table-level layout policy
+  * (bucket spec), CHECK constraints, and tags are NOT copied — they
+  * are declarations about the source's future, not its data.
+  * The dev/test fork workflow this buys at scale: clone prod, run
+  * the migration against the clone, diff, drop — minutes, not a
+  * 100 TB copy. */
+private[sources] final class CloneProcedure(warehouse: String)
+  extends GraftProcedure("clone", warehouse) {
+
+  override def description(): String =
+    "Zero-copy shallow clone: publish target_table whose first " +
+      "snapshot references source_table's parts at `version` (0 = " +
+      "head) — one manifest write, no data copied"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("source_table", StringType)
+      .comment("source table identifier").build(),
+    ProcedureParameter.in("target_table", StringType)
+      .comment("new table identifier (must not exist)").build(),
+    ProcedureParameter.in("version", IntegerType).defaultValue("0")
+      .comment("source snapshot to clone (0 = head)").build())
+
+  override def outputSchema: StructType = StructType(Seq(
+    StructField("source_version", IntegerType, nullable = false),
+    StructField("parts_referenced", IntegerType, nullable = false),
+    StructField("rows", LongType, nullable = false)))
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val conf = ManifestSink.driverConf()
+    val srcDir = tableDir(input.getUTF8String(0).toString)
+    val targetRel = input.getUTF8String(1).toString
+    require(targetRel.nonEmpty, "clone: 'target_table' must be non-empty")
+    val targetDir = (warehouse +: targetRel.split('.').toSeq).mkString("/")
+    require(ManifestSink.readSchema(conf, targetDir).isEmpty,
+      s"clone: target table '$targetRel' already exists")
+    val versions = ManifestSink.listVersions(conf, srcDir)
+    val v = input.getInt(2) match {
+      case 0 => versions.lastOption.getOrElse(0)
+      case n =>
+        require(versions.contains(n),
+          s"clone: source has no snapshot $n (history: $versions)")
+        n
+    }
+    val pin = if (v == 0) None else Some(v)
+    val parts = ManifestSink.readManifestMeta(conf, srcDir, pin)
+    val schema = ManifestSink.readSchema(conf, srcDir, pin)
+      .getOrElse(throw new IllegalStateException(
+        s"clone: unreadable source schema at $srcDir"))
+    ManifestSink.publishSnapshot(conf, targetDir, schema, parts,
+      history = true)
+    result(v, parts.size, parts.map(_.visibleRows).sum)
   }
 }

@@ -41,7 +41,7 @@ class ProcedureSpec extends graft.SparkSpec {
       .map(_.getAs[String]("procedure_name")).toSet
     assert(shown === Set("compact", "compact_vectors", "expire_snapshots",
       "rollback", "fast_forward", "drop_branch", "tag", "drop_tag",
-      "create_mv", "refresh_mv"))
+      "create_mv", "refresh_mv", "clone"))
     val desc = spark.sql("DESCRIBE PROCEDURE gps.system.compact")
       .collect().map(_.toString).mkString("\n")
     assert(desc.contains("compact"))
@@ -248,6 +248,55 @@ class ProcedureSpec extends graft.SparkSpec {
     intercept[Exception] {
       spark.sql("CALL gps.system.drop_tag(table => 'ns.tags', name => 'nope')")
         .collect()
+    }
+  }
+
+  test("clone: zero-copy fork — by reference, version-pinned, divergent, vacuum-independent") {
+    import spark.implicits._
+    val src = writeTable("clsrc", 300, 3)            // v1: k in [0, 300)
+    (300L until 400L).map(i => (i, i * 2)).toDF("k", "v")
+      .repartition(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", src).option("history", "true").mode("append").save()
+    // clone v1 by NAME — not the head
+    val r = spark.sql("CALL gps.system.clone(source_table => 'ns.clsrc', " +
+      "target_table => 'ns.clfork', version => 1)").head
+    assert(r.getInt(0) === 1 && r.getInt(1) === 3 && r.getLong(2) === 300L)
+    // zero data files under the clone dir: the snapshot is references
+    val cloneDir = new org.apache.hadoop.fs.Path(s"$wh/ns/clfork")
+    def cloneFiles() = cloneDir.getFileSystem(conf).listStatus(cloneDir)
+      .count(st => st.getPath.getName.startsWith("part-") &&
+        st.getPath.getName.endsWith(".csv"))
+    assert(cloneFiles() === 0, "shallow clone must copy no data")
+    assert(spark.sql("SELECT count(*) FROM gps.ns.clfork").head.getLong(0)
+      === 300L, "clone serves the pinned snapshot, not the source head")
+    // divergence: append to the clone; the source head is untouched
+    (1000L until 1100L).map(i => (i, i)).toDF("k", "v")
+      .repartition(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", s"$wh/ns/clfork").option("history", "true")
+      .mode("append").save()
+    assert(spark.sql("SELECT count(*) FROM gps.ns.clfork").head.getLong(0)
+      === 400L)
+    assert(spark.sql("SELECT count(*) FROM gps.ns.clsrc").head.getLong(0)
+      === 400L, "source rows unchanged by the clone's append")
+    // vacuum independence: expiring the CLONE's history reclaims only
+    // files under the clone dir — the referenced source files survive
+    val srcFiles = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+      .listStatus(new org.apache.hadoop.fs.Path(src))
+      .count(_.getPath.getName.endsWith(".csv"))
+    spark.sql("CALL gps.system.expire_snapshots(table => 'ns.clfork', " +
+      "keep_last => 1, orphan_grace_ms => 86400000)").collect()
+    assert(new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+      .listStatus(new org.apache.hadoop.fs.Path(src))
+      .count(_.getPath.getName.endsWith(".csv")) === srcFiles,
+      "clone maintenance must never reclaim source data")
+    assert(spark.sql("SELECT count(*) FROM gps.ns.clfork").head.getLong(0)
+      === 400L)
+    // an existing target is rejected loudly
+    intercept[Exception] {
+      spark.sql("CALL gps.system.clone(source_table => 'ns.clsrc', " +
+        "target_table => 'ns.clfork')").collect()
     }
   }
 }
