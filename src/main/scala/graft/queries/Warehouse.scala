@@ -1751,5 +1751,56 @@ FROM orders""")),
     ${Exact.decSumSql("value", 6)}, 'source', CAST(0 AS INT)
   FROM events GROUP BY event_type)
 ORDER BY side, event_type NULLS FIRST""")),
+
+    // --- GENERALIZED COLUMN STATS / data skipping on ANY column
+    // (sources/ManifestSink ColStat + ManifestSource pruning): the
+    // writer records min/max for EVERY additional long/string column
+    // — not just the first of each — and the scan prunes parts on
+    // predicates over any of them. Five appends split by order
+    // priority give five parts with deterministic per-part prio
+    // bounds; the priority filter then plans EXACTLY ONE part
+    // (parts_planned/parts_total ride the gated output) even though
+    // prio is neither the key column nor the primary string column.
+    // The 100 TB claim: a predicate on any tracked column skips the
+    // files that can't match BEFORE any data is read — zone maps on
+    // every column, the Iceberg/Delta file-stats contract
+    // (ColStatsSpec pins secondary long AND string pruning, all-null
+    // degradation, codec hostility, and COW carry-forward).
+    QueryDef("q_col_prune",
+      (spark, dir) => {
+        val t = freshTable(spark, dir, "colprune")
+        val base = Tables.orders(spark, dir).select(
+          col("o_orderkey").as("k"),          // primary long (key)
+          col("o_orderstatus").as("status"),  // primary string
+          col("o_orderpriority").as("prio"),  // SECONDARY string
+          col("o_custkey").as("cust"),        // SECONDARY long
+          col("o_totalprice").as("price"))
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW")
+        prios.zipWithIndex.foreach { case (p, i) =>
+          base.filter(col("prio") === p).coalesce(1)
+            .write.format("graft.sources.ManifestSink")
+            .option("path", t)
+            .mode(if (i == 0) "overwrite" else "append").save()
+        }
+        val q = spark.read.format("graft.sources.ManifestSource")
+          .option("path", t).load()
+          .filter(col("prio") === "3-MEDIUM")
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"),
+            Exact.decSum(col("price"), 2).as("sum_price"))
+        val planned = q.queryExecution.sparkPlan.collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.length
+        }.getOrElse(-1)
+        q.withColumn("parts_planned", lit(planned))
+          .withColumn("parts_total", lit(prios.length))
+          .orderBy(col("status"))
+      },
+      Some(s"""SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+  ${Exact.decSumSql("o_totalprice", 2)} AS sum_price,
+  CAST(1 AS INT) AS parts_planned, CAST(5 AS INT) AS parts_total
+FROM orders WHERE o_orderpriority = '3-MEDIUM'
+GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
   )
 }

@@ -173,6 +173,49 @@ private[sources] object StrBin {
   def max(a: String, b: String): String = if (cmp(a, b) >= 0) a else b
 }
 
+/** PER-COLUMN min/max stats beyond the primary key/string pair — the
+  * generalized data-skipping record every modern table format keeps
+  * per file: the writer tracks every additional LongType ('l') and
+  * StringType ('s') column while streaming rows out, and the scan
+  * prunes parts on predicates over ANY of them, not just the first.
+  * Bounds cover the part's NON-NULL values (comparisons are never
+  * TRUE for NULL, so skipping is 3VL-safe); an ABSENT entry means
+  * "no non-null values in this part" OR "written before stats
+  * existed" — both read as "cannot prune", never as "no rows match".
+  * Deletion vectors only narrow a part's live set, so the recorded
+  * bounds stay conservative (wider-than-live is always prune-safe).
+  * Encoding is additive on the manifest line (`"cstats":"…"`): old
+  * manifests parse unchanged and simply never column-prune. */
+private[sources] final case class ColStat(kind: Char, min: String,
+    max: String) {
+  def lMin: Long = min.toLong
+  def lMax: Long = max.toLong
+}
+
+private[sources] object ColStat {
+  import java.net.{URLDecoder, URLEncoder}
+  private def enc(s: String) = URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = URLDecoder.decode(s, "UTF-8")
+
+  /** `col=k:min:max&col2=…` with every free-form token URL-encoded —
+    * the blob is then URL-encoded ONCE MORE onto the manifest line,
+    * so the line's regex field parser never sees a comma or quote. */
+  def encode(m: Map[String, ColStat]): String =
+    m.toSeq.sortBy(_._1).map { case (c, st) =>
+      s"${enc(c)}=${st.kind}:${enc(st.min)}:${enc(st.max)}"
+    }.mkString("&")
+
+  def decode(blob: String): Map[String, ColStat] =
+    if (blob.isEmpty) Map.empty
+    else blob.split('&').iterator.map { entry =>
+      val eq = entry.indexOf('=')
+      // limit -1: an EMPTY string min/max is a legal stat value and
+      // must survive the split (trailing empties are dropped otherwise)
+      val Array(k, mn, mx) = entry.drop(eq + 1).split(":", -1)
+      dec(entry.take(eq)) -> ColStat(k.head, dec(mn), dec(mx))
+    }.toMap
+}
+
 /** DELETION VECTOR codec: a bitmap over a part's row ORDINALS (line
   * numbers 0..rows-1), hex-encoded in the manifest line — the
   * merge-on-read DELETE representation (Delta deletion vectors /
@@ -274,7 +317,8 @@ private[sources] final case class PartMeta(
     sMin: Option[String] = None, sMax: Option[String] = None,
     dvHex: String = "", dvRef: String = "", dvCard: Long = 0L,
     bytes: Long = 0L, bucket: Int = -1, nbuckets: Int = 0,
-    sorted: Boolean = false) {
+    sorted: Boolean = false,
+    cstats: Map[String, ColStat] = Map.empty) {
   lazy val bloomBits: Array[Long] = PartBloom.fromHex(bloomHex)
   lazy val dvBits: Array[Long] = DeleteVector.fromHex(dvHex)
   /** A vector exists — inline (`dvHex`) or as a SIDECAR file
@@ -383,7 +427,8 @@ object ManifestSink {
         if (b.isEmpty) 0L else b.toLong,
         if (bk.isEmpty) -1 else bk.toInt,
         if (nbk.isEmpty) 0 else nbk.toInt,
-        field("sorted") == "1")
+        field("sorted") == "1",
+        cstats = ColStat.decode(decPath(field("cstats"))))
     }
 
   /** TABLE-LEVEL LAYOUT SPEC (`_TABLE.json`): created once by
@@ -628,9 +673,11 @@ object ManifestSink {
         val bk = if (m.nbuckets <= 0) ""
           else s""","bucket":${m.bucket},"nbuckets":${m.nbuckets}"""
         val so = if (!m.sorted) "" else s""","sorted":1"""
+        val cs = if (m.cstats.isEmpty) ""
+          else s""","cstats":"${encPath(ColStat.encode(m.cstats))}""""
         content.append(
           s"""{"path":"${encPath(m.path)}","rows":${m.rows},""" +
-            s""""min":${m.kMin},"max":${m.kMax}$b$s$d$r$by$bk$so}""").append('\n')
+            s""""min":${m.kMin},"max":${m.kMax}$b$s$d$r$by$bk$so$cs}""").append('\n')
       }
       content.toString.getBytes("UTF-8")
     }
@@ -962,7 +1009,7 @@ private[sources] class ManifestBatchWrite(
       PartMeta(m.path, m.rows, m.keyMin, m.keyMax, m.bloom,
         m.strMin, m.strMax, bytes = m.bytes, bucket = m.bucket,
         nbuckets = if (m.bucket >= 0) buckets.getOrElse(0) else 0,
-        sorted = m.sorted)
+        sorted = m.sorted, cstats = m.cstats)
     }
     replaceFilters match {
       case Some(filters) =>
@@ -1023,7 +1070,8 @@ private[sources] class ManifestBatchWrite(
 private[sources] case class PartCommit(
     path: String, rows: Long, keyMin: Long, keyMax: Long, bloom: String,
     strMin: Option[String] = None, strMax: Option[String] = None,
-    bytes: Long = 0L, bucket: Int = -1, sorted: Boolean = false)
+    bytes: Long = 0L, bucket: Int = -1, sorted: Boolean = false,
+    cstats: Map[String, ColStat] = Map.empty)
     extends WriterCommitMessage
 
 /** A bucketed task commits one message carrying one PartCommit per
@@ -1134,6 +1182,23 @@ private[sources] class ManifestDataWriter(
   // pruning use) — tracked as UTF8String to avoid per-row decode
   private var sMin: org.apache.spark.unsafe.types.UTF8String = null
   private var sMax: org.apache.spark.unsafe.types.UTF8String = null
+  // GENERALIZED per-column stats (see [[ColStat]]): every ADDITIONAL
+  // long/string column beyond the primary pair, capped at 8 of each
+  // to bound manifest width — a few long-or-string `while` updates
+  // per row, the price of pruning on any predicate column at read
+  private val extraLong: Array[Int] = schema.fields.indices
+    .filter(i => schema.fields(i).dataType == LongType && i != keyIdx)
+    .take(8).toArray
+  private val extraStr: Array[Int] = schema.fields.indices
+    .filter(i => schema.fields(i).dataType ==
+      org.apache.spark.sql.types.StringType && i != strIdx)
+    .take(8).toArray
+  private val eLMin = Array.fill(extraLong.length)(Long.MaxValue)
+  private val eLMax = Array.fill(extraLong.length)(Long.MinValue)
+  private val eSMin =
+    new Array[org.apache.spark.unsafe.types.UTF8String](extraStr.length)
+  private val eSMax =
+    new Array[org.apache.spark.unsafe.types.UTF8String](extraStr.length)
   // built at max size while streaming (final row count unknown),
   // folded to the row-count-sized filter at commit — see PartBloom
   private val bloom = if (keyIdx >= 0) PartBloom.newBits() else null
@@ -1163,6 +1228,26 @@ private[sources] class ManifestDataWriter(
       if (sMin == null || s.compareTo(sMin) < 0) sMin = s.clone()
       if (sMax == null || s.compareTo(sMax) > 0) sMax = s.clone()
     }
+    var i = 0
+    while (i < extraLong.length) {
+      val idx = extraLong(i)
+      if (!row.isNullAt(idx)) {
+        val v = row.getLong(idx)
+        if (v < eLMin(i)) eLMin(i) = v
+        if (v > eLMax(i)) eLMax(i) = v
+      }
+      i += 1
+    }
+    i = 0
+    while (i < extraStr.length) {
+      val idx = extraStr(i)
+      if (!row.isNullAt(idx)) {
+        val s = row.getUTF8String(idx)
+        if (eSMin(i) == null || s.compareTo(eSMin(i)) < 0) eSMin(i) = s.clone()
+        if (eSMax(i) == null || s.compareTo(eSMax(i)) > 0) eSMax(i) = s.clone()
+      }
+      i += 1
+    }
   }
 
   override def commit(): WriterCommitMessage = {
@@ -1170,9 +1255,19 @@ private[sources] class ManifestDataWriter(
     val hex =
       if (bloom == null || kMin > kMax) "" // no key column / no non-null keys
       else PartBloom.toHex(PartBloom.shrinkFor(bloom, rows))
+    val cstats: Map[String, ColStat] =
+      (extraLong.indices.collect {
+        case i if eLMin(i) <= eLMax(i) =>
+          schema.fields(extraLong(i)).name ->
+            ColStat('l', eLMin(i).toString, eLMax(i).toString)
+      } ++ extraStr.indices.collect {
+        case i if eSMin(i) != null =>
+          schema.fields(extraStr(i)).name ->
+            ColStat('s', eSMin(i).toString, eSMax(i).toString)
+      }).toMap
     PartCommit(file.toString, rows, kMin, kMax, hex,
       Option(sMin).map(_.toString), Option(sMax).map(_.toString), bytes,
-      sorted = keyIdx >= 0 && rows > 0 && sorted)
+      sorted = keyIdx >= 0 && rows > 0 && sorted, cstats = cstats)
   }
 
   override def abort(): Unit = {

@@ -155,6 +155,15 @@ private[sources] class ManifestScanBuilder(
   // column, from pushed predicates — pruned against smin/smax stats
   private var strLo: Option[String] = None
   private var strHi: Option[String] = None
+  // GENERALIZED column bounds from pushed predicates on ANY OTHER
+  // long/string column — pruned against the per-part [[ColStat]]
+  // record; a part with no stat for a bounded column is kept (absent
+  // means "cannot prune", covering legacy manifests and all-null
+  // parts alike)
+  private var cLongLo = Map.empty[String, Long]
+  private var cLongHi = Map.empty[String, Long]
+  private var cStrLo = Map.empty[String, String]
+  private var cStrHi = Map.empty[String, String]
   // candidate key values from point predicates (EqualTo / fully-typed
   // In), intersected across conjuncts — enables bloom pruning, which
   // range bounds can't do on hash-layout parts
@@ -273,6 +282,47 @@ private[sources] class ManifestScanBuilder(
           strLo = Some(strLo.fold(mn)(StrBin.max(mn, _)))
           strHi = Some(strHi.fold(mx)(StrBin.min(mx, _)))
         }
+      // every OTHER long/string column: intersect into the
+      // generalized bound maps, pruned against per-part ColStats.
+      // Open long bounds tighten by ±1 exactly like the key column's;
+      // open string bounds stay closed-for-pruning (exclusion only
+      // needs "can't overlap" — row exactness is the residual's job)
+      case GreaterThan(c, v: Long) =>
+        cLongLo += c -> math.max(cLongLo.getOrElse(c, Long.MinValue),
+          if (v == Long.MaxValue) v else v + 1)
+      case GreaterThanOrEqual(c, v: Long) =>
+        cLongLo += c -> math.max(cLongLo.getOrElse(c, Long.MinValue), v)
+      case LessThan(c, v: Long) =>
+        cLongHi += c -> math.min(cLongHi.getOrElse(c, Long.MaxValue),
+          if (v == Long.MinValue) v else v - 1)
+      case LessThanOrEqual(c, v: Long) =>
+        cLongHi += c -> math.min(cLongHi.getOrElse(c, Long.MaxValue), v)
+      case EqualTo(c, v: Long) =>
+        cLongLo += c -> math.max(cLongLo.getOrElse(c, Long.MinValue), v)
+        cLongHi += c -> math.min(cLongHi.getOrElse(c, Long.MaxValue), v)
+      case In(c, vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Long]) =>
+        val longs = vs.map(_.asInstanceOf[Long])
+        cLongLo += c -> math.max(cLongLo.getOrElse(c, Long.MinValue), longs.min)
+        cLongHi += c -> math.min(cLongHi.getOrElse(c, Long.MaxValue), longs.max)
+      case EqualTo(c, v: String) =>
+        cStrLo += c -> cStrLo.get(c).fold(v)(StrBin.max(v, _))
+        cStrHi += c -> cStrHi.get(c).fold(v)(StrBin.min(v, _))
+      case GreaterThan(c, v: String) =>
+        cStrLo += c -> cStrLo.get(c).fold(v)(StrBin.max(v, _))
+      case GreaterThanOrEqual(c, v: String) =>
+        cStrLo += c -> cStrLo.get(c).fold(v)(StrBin.max(v, _))
+      case LessThan(c, v: String) =>
+        cStrHi += c -> cStrHi.get(c).fold(v)(StrBin.min(v, _))
+      case LessThanOrEqual(c, v: String) =>
+        cStrHi += c -> cStrHi.get(c).fold(v)(StrBin.min(v, _))
+      case In(c, vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[String]) =>
+        val strs = vs.map(_.asInstanceOf[String])
+        val mn = strs.reduce(StrBin.min)
+        val mx = strs.reduce(StrBin.max)
+        cStrLo += c -> cStrLo.get(c).fold(mn)(StrBin.max(mn, _))
+        cStrHi += c -> cStrHi.get(c).fold(mx)(StrBin.min(mx, _))
       case _ => ()
     }
     pushed = filters.filter {
@@ -332,6 +382,31 @@ private[sources] class ManifestScanBuilder(
         var kept = all.filter(m => !(m.kMax < keyLo || m.kMin > keyHi))
         if (strLo.isDefined || strHi.isDefined)
           kept = kept.filter(_.strOverlaps(strLo, strHi))
+        // generalized column pruning: a part survives unless SOME
+        // bounded column has a recorded stat that proves no overlap
+        // (absent stat ⇒ keep; kind mismatch ⇒ keep — never wrong)
+        if (cLongLo.nonEmpty || cLongHi.nonEmpty ||
+            cStrLo.nonEmpty || cStrHi.nonEmpty) {
+          val longCols = cLongLo.keySet ++ cLongHi.keySet
+          val strCols = cStrLo.keySet ++ cStrHi.keySet
+          kept = kept.filter { m =>
+            longCols.forall { c =>
+              m.cstats.get(c) match {
+                case Some(st) if st.kind == 'l' =>
+                  st.lMax >= cLongLo.getOrElse(c, Long.MinValue) &&
+                    st.lMin <= cLongHi.getOrElse(c, Long.MaxValue)
+                case _ => true
+              }
+            } && strCols.forall { c =>
+              m.cstats.get(c) match {
+                case Some(st) if st.kind == 's' =>
+                  cStrLo.get(c).forall(lo => StrBin.cmp(st.max, lo) >= 0) &&
+                    cStrHi.get(c).forall(hi => StrBin.cmp(st.min, hi) <= 0)
+                case _ => true
+              }
+            }
+          }
+        }
         // point predicates additionally consult the per-part bloom: a
         // part whose range admits v but whose bloom proves v absent
         // is skipped (hash-layout tables prune here, not on min/max)

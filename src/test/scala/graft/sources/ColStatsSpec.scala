@@ -1,0 +1,115 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** Generalized per-column min/max stats (ColStat on the manifest
+  * line): the writer records bounds for EVERY additional long/string
+  * column, the scan prunes parts on predicates over any of them, and
+  * absence (all-null part / legacy manifest) degrades to "cannot
+  * prune", never to a wrong answer. */
+class ColStatsSpec extends graft.SparkSpec {
+
+  private def conf = spark.sessionState.newHadoopConf()
+
+  private def readBack(t: String): DataFrame =
+    spark.read.format("graft.sources.ManifestSource")
+      .option("path", t).load()
+
+  private def scanParts(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.inputPartitions.length
+    }.getOrElse(sys.error("no BatchScanExec in plan"))
+
+  test("codec: hostile column names and values roundtrip") {
+    val dir = Files.createTempDirectory("graft-cstats").toString
+    val stats = Map(
+      "weird col,\"&=" -> ColStat('s', "", "z\"&:,€😀"),
+      "k2" -> ColStat('l', "-9223372036854775808", "9223372036854775807"))
+    val part = PartMeta(s"$dir/part-x.csv", 3L, 0L, 2L, "",
+      cstats = stats)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    ManifestSink.publishSnapshot(conf, dir, schema, Seq(part),
+      history = false)
+    val back = ManifestSink.readManifestMeta(conf, dir, None)
+    assert(back.head.cstats === stats)
+  }
+
+  test("predicates on secondary long and string columns prune parts") {
+    val dir = Files.createTempDirectory("graft-cstats").toString
+    import spark.implicits._
+    // four appends = four parts with DISJOINT k2 ranges and s2 bands
+    // (deterministic part boundaries — no range-partitioner sampling)
+    (0 until 4).foreach { p =>
+      (0 until 100).map { i =>
+        val g = p * 1000 + i
+        (i.toLong, s"s$i", g.toLong, f"band$p%02d-$i%03d")
+      }.toDF("k", "s", "k2", "s2")
+        .coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", dir)
+        .mode(if (p == 0) "overwrite" else "append").save()
+    }
+    val full = readBack(dir)
+    assert(scanParts(full.filter(col("k") >= 0L)) === 4, "baseline: all parts")
+
+    // k2 is NOT the primary key column (k is) — range prunes to 1 part
+    val r = full.filter(col("k2") >= 2000L && col("k2") < 2100L)
+    assert(scanParts(r) === 1, "k2 range must prune to its one part")
+    assert(r.count() === 100L)
+    // equality and IN on k2
+    assert(scanParts(full.filter(col("k2") === 1050L)) === 1)
+    assert(full.filter(col("k2") === 1050L).count() === 1L)
+    assert(scanParts(full.filter(col("k2").isin(3000L, 3004L))) === 1)
+    // s2 is NOT the primary string column (s is) — band prefix prunes
+    val s = full.filter(col("s2") >= "band03" && col("s2") <= "band03~")
+    assert(scanParts(s) === 1, "s2 range must prune to its one part")
+    assert(s.count() === 100L)
+    // a predicate outside every range prunes everything
+    assert(scanParts(full.filter(col("k2") === 99999L)) === 0)
+    assert(full.filter(col("k2") === 99999L).count() === 0L)
+  }
+
+  test("all-null secondary column: no stat, no prune, exact answer") {
+    val dir = Files.createTempDirectory("graft-cstats").toString
+    import spark.implicits._
+    Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+      .toDF("k", "k2").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("overwrite").save()
+    Seq((3L, Some(10L)), (4L, Some(20L))).toDF("k", "k2").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("append").save()
+    val df = readBack(dir).filter(col("k2") === 10L)
+    // the all-null part has no k2 stat: kept (conservative), and the
+    // residual filter still yields the exact answer
+    assert(scanParts(df) === 2, "absent stat must read as cannot-prune")
+    assert(df.collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
+  test("stats survive the COW carry-forward: untouched parts still prune") {
+    val wh = Files.createTempDirectory("graft-cstats").toString
+    val dir = s"$wh/ns/t"
+    import spark.implicits._
+    (0 until 2).foreach { p =>
+      (0 until 50).map(i => ((p * 100 + i).toLong, (p * 1000 + i).toLong))
+        .toDF("k", "k2").coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", dir).option("history", "true")
+        .mode(if (p == 0) "overwrite" else "append").save()
+    }
+    // COW DELETE touches only part 0 (k < 10); part 1 carries forward
+    // BY REFERENCE — its cstats must carry with it
+    spark.conf.set("spark.sql.catalog.gcst", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcst.warehouse", wh)
+    spark.sql("DELETE FROM gcst.ns.t WHERE k < 10")
+    val df = readBack(dir).filter(col("k2") >= 1000L)
+    assert(scanParts(df) === 1, "carried-forward part must still prune")
+    assert(df.count() === 50L)
+  }
+}
