@@ -1662,16 +1662,20 @@ ORDER BY phase, event_type NULLS FIRST""")),
         Tables.orders(spark, dir)
           .select(col("o_orderkey").as("k"),
             col("o_orderpriority").as("prio"),
+            col("o_custkey").as("cust"),
             col("o_totalprice").as("price"))
           .repartitionByRange(8, col("k"))
           .write.format("graft.sources.ManifestSink")
           .option("path", t).option("history", "true")
           .mode("overwrite").save()
+        // cust is a SECONDARY long column — its extremes answer from
+        // the generalized ColStat record, same metadata-only path
         val agg = spark.read.format("graft.sources.ManifestSource")
           .option("path", t).load()
           .agg(count(lit(1)).as("n_rows"),
             min(col("k")).as("min_k"), max(col("k")).as("max_k"),
-            min(col("prio")).as("min_prio"), max(col("prio")).as("max_prio"))
+            min(col("prio")).as("min_prio"), max(col("prio")).as("max_prio"),
+            min(col("cust")).as("min_cust"), max(col("cust")).as("max_cust"))
         val pushed = {
           val sp = agg.queryExecution.sparkPlan
           val summaryParts = sp.collectFirst {
@@ -1685,6 +1689,7 @@ ORDER BY phase, event_type NULLS FIRST""")),
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
   min(o_orderkey) AS min_k, max(o_orderkey) AS max_k,
   min(o_orderpriority) AS min_prio, max(o_orderpriority) AS max_prio,
+  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
   TRUE AS pushed
 FROM orders""")),
 

@@ -206,16 +206,32 @@ private[sources] class ManifestScanBuilder(
     // MIN/MAX stats are stale once a deletion vector exists (the
     // extreme row may be the deleted one) — COUNT stays exact via
     // visibleRows, so only the extremes force the decline
-    lazy val anyDv = ManifestSink
-      .readManifestMeta(conf.value, path, version)
-      .exists(_.hasDv)
+    lazy val meta = ManifestSink.readManifestMeta(conf.value, path, version)
+    lazy val anyDv = meta.exists(_.hasDv)
+    // ANY OTHER long/string column answers from its [[ColStat]]
+    // record — but ONLY when every live part carries one: a part with
+    // rows and no entry is an all-null part, a legacy manifest, or a
+    // column beyond the writer's tracking cap, and the first is the
+    // only one where skipping would be correct — declining all three
+    // keeps the metadata answer provably exact
+    def isStatRef(e: Expression): Boolean = e match {
+      case nr: NamedReference =>
+        val n = nr.fieldNames.mkString(".")
+        !keyCol.contains(n) && !strCol.contains(n) &&
+          schema.fields.exists(f => f.name == n &&
+            (f.dataType == LongType || f.dataType == StringType)) &&
+          meta.forall(p => p.visibleRows == 0 || p.cstats.contains(n))
+      case _ => false
+    }
+    def statAnswerable(e: Expression): Boolean =
+      isKeyRef(e) || isStrRef(e) || isStatRef(e)
     rowLevelOwner.isEmpty && // a rewrite scan must yield ROWS, never a summary
       !sawFilters && a.groupByExpressions.isEmpty &&
       a.aggregateExpressions.nonEmpty &&
       a.aggregateExpressions.forall {
         case _: CountStar => true
-        case m: Min       => (isKeyRef(m.column) || isStrRef(m.column)) && !anyDv
-        case m: Max       => (isKeyRef(m.column) || isStrRef(m.column)) && !anyDv
+        case m: Min       => statAnswerable(m.column) && !anyDv
+        case m: Max       => statAnswerable(m.column) && !anyDv
         case _            => false
       }
   }
@@ -377,7 +393,7 @@ private[sources] class ManifestScanBuilder(
       }
     }
     aggFuncs match {
-      case Some(fs) => new ManifestAggScan(all, fs, strCol)
+      case Some(fs) => new ManifestAggScan(all, fs, strCol, keyCol, schema)
       case None =>
         var kept = all.filter(m => !(m.kMax < keyLo || m.kMin > keyHi))
         if (strLo.isDefined || strHi.isDefined)
@@ -432,24 +448,30 @@ private[sources] class ManifestScanBuilder(
   * entirely from the manifest — no data file is ever opened. */
 private[sources] class ManifestAggScan(
     parts: Seq[PartMeta], funcs: Seq[AggregateFunc],
-    strCol: Option[String] = None)
+    strCol: Option[String] = None,
+    keyCol: Option[String] = None,
+    schema: StructType = new StructType())
     extends Scan with Batch {
 
   override def toBatch: Batch = this
   override def description(): String =
     s"graft.ManifestAggScan(metadata-only, ${funcs.mkString(", ")})"
 
-  private def isStr(f: AggregateFunc): Boolean = {
-    def strRef(e: Expression): Boolean = e match {
-      case nr: NamedReference => strCol.contains(nr.fieldNames.mkString("."))
-      case _ => false
+  private def refName(f: AggregateFunc): Option[String] = {
+    def name(e: Expression): Option[String] = e match {
+      case nr: NamedReference => Some(nr.fieldNames.mkString("."))
+      case _ => None
     }
     f match {
-      case m: Min => strRef(m.column)
-      case m: Max => strRef(m.column)
-      case _      => false
+      case m: Min => name(m.column)
+      case m: Max => name(m.column)
+      case _      => None
     }
   }
+
+  private def isStr(f: AggregateFunc): Boolean =
+    refName(f).exists(c => strCol.contains(c) ||
+      schema.fields.exists(x => x.name == c && x.dataType == StringType))
 
   override def readSchema(): StructType =
     StructType(funcs.zipWithIndex.map {
@@ -470,28 +492,38 @@ private[sources] class ManifestAggScan(
     * in [[StrBin]] UTF-8 byte order — the collation the writer
     * tracked them in AND the one Spark's own MIN/MAX would produce —
     * over parts that saw ≥1 non-null string (`sMin == None` means
-    * exactly "this part has no non-null strings"). */
+    * exactly "this part has no non-null strings"). Any OTHER column
+    * folds its [[ColStat]] entries the same way — canPushAgg already
+    * proved every live part carries one. */
   private def values: Array[Any] = {
     val withKeys = parts.filter(p => p.kMin <= p.kMax)
     lazy val withStr = parts.filter(_.sMin.isDefined)
+    def fold(c: String, wantMin: Boolean): Any =
+      if (keyCol.contains(c)) {
+        if (withKeys.isEmpty) null
+        else java.lang.Long.valueOf(
+          if (wantMin) withKeys.map(_.kMin).min else withKeys.map(_.kMax).max)
+      } else if (strCol.contains(c)) {
+        if (withStr.isEmpty) null
+        else if (wantMin) withStr.map(_.sMin.get).reduce(StrBin.min)
+        else withStr.map(_.sMax.get).reduce(StrBin.max)
+      } else {
+        val st = parts.flatMap(_.cstats.get(c))
+        if (st.isEmpty) null
+        else if (st.head.kind == 's') {
+          if (wantMin) st.map(_.min).reduce(StrBin.min)
+          else st.map(_.max).reduce(StrBin.max)
+        } else java.lang.Long.valueOf(
+          if (wantMin) st.map(_.lMin).min else st.map(_.lMax).max)
+      }
     funcs.map[Any] {
       // visibleRows: a deletion vector reduces the served count with
       // no data rewrite — the metadata COUNT stays EXACT under MOR
       // deletes (MIN/MAX do not: the extreme row may be deleted, so
       // canPushAgg declines them whenever any part carries a vector)
       case _: CountStar => java.lang.Long.valueOf(parts.map(_.visibleRows).sum)
-      case m: Min if isStr(m) =>
-        if (withStr.isEmpty) null
-        else withStr.map(_.sMin.get).reduce(StrBin.min)
-      case m: Max if isStr(m) =>
-        if (withStr.isEmpty) null
-        else withStr.map(_.sMax.get).reduce(StrBin.max)
-      case _: Min =>
-        if (withKeys.isEmpty) null
-        else java.lang.Long.valueOf(withKeys.map(_.kMin).min)
-      case _: Max =>
-        if (withKeys.isEmpty) null
-        else java.lang.Long.valueOf(withKeys.map(_.kMax).max)
+      case m: Min => fold(refName(m).get, wantMin = true)
+      case m: Max => fold(refName(m).get, wantMin = false)
       case f => throw new IllegalStateException(s"unexpected pushed agg $f")
     }.toArray
   }

@@ -92,6 +92,39 @@ class ColStatsSpec extends graft.SparkSpec {
     assert(df.collect().map(_.getLong(0)).toSeq === Seq(3L))
   }
 
+  test("metadata MIN/MAX answers from secondary-column stats; all-null declines") {
+    val dir = Files.createTempDirectory("graft-cstats").toString
+    import spark.implicits._
+    Seq((1L, Some(10L), "m"), (2L, Some(20L), "q")).toDF("k", "k2", "s2")
+      .coalesce(1).write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("overwrite").save()
+    Seq((3L, Some(30L), "a"), (4L, Some(40L), "z")).toDF("k", "k2", "s2")
+      .coalesce(1).write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("append").save()
+    // layout: k primary long, k2 SECONDARY long (the subject — its
+    // extremes must come from the generalized ColStat record), s2
+    // primary string
+    val agg = readBack(dir).agg(min("k2").as("lo"), max("k2").as("hi"))
+    assert(scanParts(agg) === 1, "secondary-long extremes are metadata-only")
+    val got = agg.head
+    assert(got.getLong(0) === 10L && got.getLong(1) === 40L)
+    // a part whose k2 is ALL NULL has no stat entry → the pushdown
+    // declines (absent could be legacy/capped) and the file path
+    // still yields the exact null-skipping answer
+    Seq((5L, Option.empty[Long], "x")).toDF("k", "k2", "s2")
+      .coalesce(1).write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("append").save()
+    val agg2 = readBack(dir).agg(min("k2").as("lo"), max("k2").as("hi"))
+    // (AQE wraps the declined shuffle-agg plan, so assert on plan
+    // text rather than tree collect — the file scan plans all parts)
+    val p2 = agg2.queryExecution.executedPlan.toString
+    assert(p2.contains("graft.ManifestScan(parts=3/3")
+      && !p2.contains("ManifestAggScan"),
+      "all-null part must force the decline")
+    val got2 = agg2.head
+    assert(got2.getLong(0) === 10L && got2.getLong(1) === 40L)
+  }
+
   test("stats survive the COW carry-forward: untouched parts still prune") {
     val wh = Files.createTempDirectory("graft-cstats").toString
     val dir = s"$wh/ns/t"
