@@ -298,6 +298,17 @@ private[sources] class ManifestScanBuilder(
           strLo = Some(strLo.fold(mn)(StrBin.max(mn, _)))
           strHi = Some(strHi.fold(mx)(StrBin.min(mx, _)))
         }
+      // LIKE 'p%' — every match is >= p, and (when the last char can
+      // increment byte-safely) < p-with-last-char-incremented, so an
+      // INCLUSIVE hi of that successor is a conservative superset
+      case StringStartsWith(c, v) if strCol.contains(c) && v.nonEmpty =>
+        strLo = Some(strLo.fold(v)(StrBin.max(v, _)))
+        prefixUpper(v).foreach(u =>
+          strHi = Some(strHi.fold(u)(StrBin.min(u, _))))
+      case StringStartsWith(c, v) if v.nonEmpty =>
+        cStrLo += c -> cStrLo.get(c).fold(v)(StrBin.max(v, _))
+        prefixUpper(v).foreach(u =>
+          cStrHi += c -> cStrHi.get(c).fold(u)(StrBin.min(u, _)))
       // every OTHER long/string column: intersect into the
       // generalized bound maps, pruned against per-part ColStats.
       // Open long bounds tighten by ±1 exactly like the key column's;
@@ -353,6 +364,15 @@ private[sources] class ManifestScanBuilder(
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
+
+  /** Byte-safe successor of a prefix for upper-bound pruning: only
+    * when the last char is ASCII below 0x7F does incrementing it stay
+    * a single-byte UTF-8 step (no surrogate/encoding hazards); other
+    * prefixes just skip the upper bound — lo-only pruning is still
+    * sound. */
+  private def prefixUpper(v: String): Option[String] =
+    if (v.nonEmpty && v.last < 0x7F) Some(v.init + (v.last + 1).toChar)
+    else None
 
   private def addPoints(vs: Set[Long]): Unit =
     points = Some(points.fold(vs)(_ intersect vs))

@@ -73,6 +73,11 @@ class ColStatsSpec extends graft.SparkSpec {
     // a predicate outside every range prunes everything
     assert(scanParts(full.filter(col("k2") === 99999L)) === 0)
     assert(full.filter(col("k2") === 99999L).count() === 0L)
+    // LIKE 'prefix%' prunes through the same bounds (StringStartsWith
+    // → [prefix, successor) — s2 bands are 'bandNN-…')
+    val like = full.filter(col("s2").startsWith("band02"))
+    assert(scanParts(like) === 1, "prefix predicate must prune to one part")
+    assert(like.count() === 100L)
   }
 
   test("all-null secondary column: no stat, no prune, exact answer") {
