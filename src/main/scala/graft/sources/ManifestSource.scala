@@ -264,6 +264,12 @@ private[sources] class ManifestScanBuilder(
       case EqualTo(c, v: Long) if isKey(c) =>
         keyLo = math.max(keyLo, v); keyHi = math.min(keyHi, v)
         addPoints(Set(v))
+      // <=> with a NON-NULL literal is exactly = for pruning (it
+      // matches only that value; `c <=> NULL` arrives with a null
+      // operand, never matches `v: Long`, and stays unpruned)
+      case EqualNullSafe(c, v: Long) if isKey(c) =>
+        keyLo = math.max(keyLo, v); keyHi = math.min(keyHi, v)
+        addPoints(Set(v))
       case In(c, vs) if isKey(c) && vs.nonEmpty =>
         val longs = vs.collect { case v: Long => v }
         if (longs.length == vs.length) { // only prune when ALL values are typed
@@ -280,6 +286,9 @@ private[sources] class ManifestScanBuilder(
       // is the residual filter's job, exclusion only needs "can't
       // overlap".
       case EqualTo(c, v: String) if strCol.contains(c) =>
+        strLo = Some(strLo.fold(v)(StrBin.max(v, _)))
+        strHi = Some(strHi.fold(v)(StrBin.min(v, _)))
+      case EqualNullSafe(c, v: String) if strCol.contains(c) =>
         strLo = Some(strLo.fold(v)(StrBin.max(v, _)))
         strHi = Some(strHi.fold(v)(StrBin.min(v, _)))
       case GreaterThan(c, v: String) if strCol.contains(c) =>
@@ -327,12 +336,18 @@ private[sources] class ManifestScanBuilder(
       case EqualTo(c, v: Long) =>
         cLongLo += c -> math.max(cLongLo.getOrElse(c, Long.MinValue), v)
         cLongHi += c -> math.min(cLongHi.getOrElse(c, Long.MaxValue), v)
+      case EqualNullSafe(c, v: Long) =>
+        cLongLo += c -> math.max(cLongLo.getOrElse(c, Long.MinValue), v)
+        cLongHi += c -> math.min(cLongHi.getOrElse(c, Long.MaxValue), v)
       case In(c, vs) if vs.nonEmpty &&
           vs.forall(_.isInstanceOf[Long]) =>
         val longs = vs.map(_.asInstanceOf[Long])
         cLongLo += c -> math.max(cLongLo.getOrElse(c, Long.MinValue), longs.min)
         cLongHi += c -> math.min(cLongHi.getOrElse(c, Long.MaxValue), longs.max)
       case EqualTo(c, v: String) =>
+        cStrLo += c -> cStrLo.get(c).fold(v)(StrBin.max(v, _))
+        cStrHi += c -> cStrHi.get(c).fold(v)(StrBin.min(v, _))
+      case EqualNullSafe(c, v: String) =>
         cStrLo += c -> cStrLo.get(c).fold(v)(StrBin.max(v, _))
         cStrHi += c -> cStrHi.get(c).fold(v)(StrBin.min(v, _))
       case GreaterThan(c, v: String) =>
@@ -690,9 +705,22 @@ private[sources] class ManifestScan(
     * output and throws on a miss — a scan projecting (event_type,
     * value) out of a keyed table must simply decline runtime
     * filtering, not break the query. */
-  override def filterAttributes(): Array[NamedReference] =
-    keyCol.filter(c => required.fieldNames.contains(c))
+  /** Runtime (DPP-style) pruning is advertised for every column the
+    * manifest can answer membership for: the key (range + bloom), the
+    * primary string column (smin/smax), and any column some planned
+    * part carries a [[ColStat]] for — a star join filtering on ANY
+    * stats-tracked dimension column narrows the fact scan at
+    * execution. Only columns surviving column pruning are advertised
+    * (advertising a pruned-away column makes Spark's PartitionPruning
+    * throw at resolution — pinned by ManifestSourceSpec). */
+  override def filterAttributes(): Array[NamedReference] = {
+    val strCol = schema.fields.find(_.dataType == StringType).map(_.name)
+    val statCols = initialParts.iterator.flatMap(_.cstats.keysIterator)
+      .distinct.toSeq
+    (keyCol.toSeq ++ strCol.toSeq ++ statCols).distinct
+      .filter(required.fieldNames.contains)
       .map(c => Expressions.column(c)).toArray
+  }
 
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
     // runtime key sets are point sets, so the per-part bloom applies
@@ -703,6 +731,31 @@ private[sources] class ManifestScan(
         parts = parts.filter(p => longs.exists(p.mayContain))
     case EqualTo(c, v: Long) if keyCol.contains(c) =>
       parts = parts.filter(_.mayContain(v))
+    case In(c, vs) if vs.nonEmpty &&
+        schema.fields.find(_.dataType == StringType).map(_.name).contains(c) =>
+      val strs = vs.collect { case v: String => v }
+      if (strs.length == vs.length)
+        parts = parts.filter(p =>
+          strs.exists(s => p.strOverlaps(Some(s), Some(s))))
+    case In(c, vs) if vs.nonEmpty =>
+      // secondary columns: point-set membership against the ColStat
+      // range; a part with no entry is kept (absent ⇒ cannot prune)
+      if (vs.forall(_.isInstanceOf[Long])) {
+        val longs = vs.map(_.asInstanceOf[Long])
+        parts = parts.filter(p => p.cstats.get(c) match {
+          case Some(st) if st.kind == 'l' =>
+            longs.exists(v => v >= st.lMin && v <= st.lMax)
+          case _ => true
+        })
+      } else if (vs.forall(_.isInstanceOf[String])) {
+        val strs = vs.map(_.asInstanceOf[String])
+        parts = parts.filter(p => p.cstats.get(c) match {
+          case Some(st) if st.kind == 's' =>
+            strs.exists(s => StrBin.cmp(st.min, s) <= 0 &&
+              StrBin.cmp(st.max, s) >= 0)
+          case _ => true
+        })
+      }
     case _ => ()
   }
 

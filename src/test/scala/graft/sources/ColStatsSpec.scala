@@ -65,6 +65,8 @@ class ColStatsSpec extends graft.SparkSpec {
     // equality and IN on k2
     assert(scanParts(full.filter(col("k2") === 1050L)) === 1)
     assert(full.filter(col("k2") === 1050L).count() === 1L)
+    assert(scanParts(full.filter(col("k2") <=> 1050L)) === 1,
+      "null-safe equality with a non-null literal prunes like =")
     assert(scanParts(full.filter(col("k2").isin(3000L, 3004L))) === 1)
     // s2 is NOT the primary string column (s is) — band prefix prunes
     val s = full.filter(col("s2") >= "band03" && col("s2") <= "band03~")
@@ -128,6 +130,27 @@ class ColStatsSpec extends graft.SparkSpec {
       "all-null part must force the decline")
     val got2 = agg2.head
     assert(got2.getLong(0) === 10L && got2.getLong(1) === 40L)
+  }
+
+  test("runtime filtering: a join's value set prunes parts on a secondary column") {
+    val dir = Files.createTempDirectory("graft-cstats").toString
+    import spark.implicits._
+    (0 until 4).foreach { p =>
+      (0 until 100).map(i => (i.toLong, (p * 1000 + i).toLong))
+        .toDF("k", "k2").coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", dir)
+        .mode(if (p == 0) "overwrite" else "append").save()
+    }
+    // the build side carries a selective predicate (the DPP injection
+    // heuristic needs one) and its values live in ONE part's k2 range
+    val dim = spark.range(0, 1000000).select(col("id").as("dk"))
+      .filter(col("dk").isin(2010L, 2020L))
+    val joined = readBack(dir).join(broadcast(dim), col("k2") === col("dk"))
+    assert(joined.collect().length === 2, "join result must be exact")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("parts=1/4"),
+      s"runtime value set should prune to 1 part via ColStat:\n$plan")
   }
 
   test("stats survive the COW carry-forward: untouched parts still prune") {
