@@ -1807,5 +1807,85 @@ ORDER BY side, event_type NULLS FIRST""")),
   CAST(1 AS INT) AS parts_planned, CAST(5 AS INT) AS parts_total
 FROM orders WHERE o_orderpriority = '3-MEDIUM'
 GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // --- STREAMING MV MAINTENANCE: the three warehouse streaming
+    // pieces composed into the always-fresh-rollup loop a 100 TB
+    // pipeline actually runs — a BUDGETED manifest stream
+    // (maxPartsPerTrigger admission) drains an upstream feed in
+    // deterministic micro-batches, each batch lands in the serving
+    // table through the idempotent marker-gated append (medallion
+    // txn gate), and `CALL refresh_mv` folds EXACTLY that batch's
+    // snapshot delta into the MV — O(batch), never a rescan, and
+    // crash/replay-safe twice over (marker dedupes the append, the
+    // watermark makes a replayed refresh a no-op). The gated output
+    // is the post-stream MV plus the batch count and final source
+    // version, restated by the oracle from raw events.
+    QueryDef("q_stream_mv",
+      (spark0, dir) => {
+        val spark = graft.streaming.Streams.streamSession(spark0)
+        val wh = freshTable(spark, dir, "streammv")
+        spark.conf.set("spark.sql.catalog.graftsmv",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftsmv.warehouse", wh)
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val src = s"$wh/wh/src"
+        val feed = freshTable(spark, dir, "streammv-feed")
+        def write(df: org.apache.spark.sql.DataFrame, path: String,
+            mode: String): Unit =
+          df.repartitionByRange(2, col("event_id"))
+            .write.format("graft.sources.ManifestSink")
+            .option("path", path).option("history", "true")
+            .mode(mode).save()
+        write(base.filter(col("event_id") % 3 === 0), src, "overwrite")
+        spark.sql("CALL graftsmv.system.create_mv(" +
+          "mv_table => 'wh.mv', source_table => 'wh.src', " +
+          "key_col => 'event_type', sum_col => 'value', scale => 6)")
+        // the upstream feed: two commits of two parts each — a budget
+        // of 2 parts/trigger admits exactly one commit per batch
+        write(base.filter(col("event_id") % 3 === 1), feed, "overwrite")
+        write(base.filter(col("event_id") % 3 === 2), feed, "append")
+        val hconf = spark.sessionState.newHadoopConf()
+        var lastTo = -1
+        val q = spark.readStream
+          .format("graft.sources.ManifestSource").option("path", feed)
+          .option("maxPartsPerTrigger", "2").load()
+          .writeStream
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("graft-smv-ckpt-").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+              batchId: Long) =>
+            val marker = new org.apache.hadoop.fs.Path(src,
+              f"_BATCH-$batchId%05d")
+            val fs = marker.getFileSystem(hconf)
+            if (!fs.exists(marker)) {
+              batch.repartitionByRange(2, col("event_id"))
+                .write.format("graft.sources.ManifestSink")
+                .option("path", src).option("history", "true")
+                .mode("append").save()
+              fs.create(marker, false).close()
+            }
+            lastTo = spark.sql(
+              "CALL graftsmv.system.refresh_mv(mv_table => 'wh.mv')")
+              .head.getInt(1)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        val nBatches = q.recentProgress.count(_.numInputRows > 0)
+        spark.sql("""
+          SELECT event_type, n_rows,
+            CAST(CAST(sum_value AS STRING) AS DOUBLE) AS sum_value
+          FROM graftsmv.wh.mv""")
+          .withColumn("n_batches", lit(nBatches))
+          .withColumn("final_version", lit(lastTo))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+  ${Exact.decSumSql("value", 6)} AS sum_value,
+  CAST(2 AS INT) AS n_batches, CAST(3 AS INT) AS final_version
+FROM events GROUP BY event_type
+ORDER BY event_type NULLS FIRST""")),
   )
 }
