@@ -1141,7 +1141,7 @@ FROM events""")),
           "graft.sources.GraftCatalog")
         spark.conf.set("spark.sql.catalog.graftmf.warehouse", wh)
         val base = Tables.events(spark, dir)
-          .select(col("event_id"), col("value"))
+          .select(col("event_id"), col("user_id"), col("value"))
         base.repartitionByRange(4, col("event_id"))
           .write.format("graft.sources.ManifestSink")
           .option("path", s"$wh/wh/ev_t").option("history", "true")
@@ -1149,9 +1149,13 @@ FROM events""")),
         spark.conf.set("graft.delete.mode", "mor")
         try spark.sql("DELETE FROM graftmf.wh.ev_t WHERE event_id % 10 = 0")
         finally spark.conf.unset("graft.delete.mode")
+        // user_id is a secondary long column: every part's .files row
+        // exposes its generalized ColStat record
         spark.sql("""SELECT count(*) AS n_parts, sum(n_rows) AS total_rows,
           sum(visible_rows) AS visible_rows, min(key_min) AS key_min,
-          max(key_max) AS key_max, sum(dv_count) AS n_deleted
+          max(key_max) AS key_max, sum(dv_count) AS n_deleted,
+          sum(CASE WHEN col_stats LIKE 'user_id:%' THEN 1 ELSE 0 END)
+            AS n_with_cstats
           FROM graftmf.wh.ev_t.files""")
       },
       Some("""SELECT CAST(4 AS BIGINT) AS n_parts,
@@ -1160,7 +1164,8 @@ FROM events""")),
     AS visible_rows,
   min(event_id) AS key_min, max(event_id) AS key_max,
   (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 10 = 0)
-    AS n_deleted
+    AS n_deleted,
+  CAST(4 AS BIGINT) AS n_with_cstats
 FROM events""")),
 
     // --- ALTER TABLE ADD COLUMN (DDL-driven schema evolution): the

@@ -760,7 +760,7 @@ private[sources] class ManifestFilesTable(path: String)
   private val filesSchema = StructType.fromDDL(
     "part INT, file STRING, n_rows BIGINT, visible_rows BIGINT, " +
       "key_min BIGINT, key_max BIGINT, has_dv BOOLEAN, dv_count BIGINT, " +
-      "bytes BIGINT, bucket INT")
+      "bytes BIGINT, bucket INT, col_stats STRING")
 
   override def name(): String = s"manifest($path).files"
   override def schema(): StructType = filesSchema
@@ -773,10 +773,15 @@ private[sources] class ManifestFilesTable(path: String)
         val rows = ManifestSink.readManifestMeta(
           ManifestSink.driverConf(), path, None)
           .zipWithIndex.map { case (m, i) =>
+            // the generalized per-column record, rendered name-sorted
+            // ("c:[min..max] …") so the view is deterministic
             new GenericInternalRow(Array[Any](i,
               UTF8String.fromString(new Path(m.path).getName), m.rows,
               m.visibleRows, m.kMin, m.kMax, m.hasDv, m.dvCount,
-              m.bytes, m.bucket)): org.apache.spark.sql.catalyst.InternalRow
+              m.bytes, m.bucket,
+              UTF8String.fromString(m.cstats.toSeq.sortBy(_._1)
+                .map { case (c, st) => s"$c:[${st.min}..${st.max}]" }
+                .mkString(" ")))): org.apache.spark.sql.catalyst.InternalRow
           }.toArray
         new LocalRowsScan(filesSchema, rows)
       }

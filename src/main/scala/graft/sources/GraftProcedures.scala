@@ -184,7 +184,10 @@ private[sources] final class ExpireSnapshotsProcedure(warehouse: String)
       .comment("number of newest snapshot versions to retain").build(),
     ProcedureParameter.in("orphan_grace_ms", LongType)
       .defaultValue(ManifestMaintenance.DefaultOrphanGraceMs.toString)
-      .comment("age gate before a never-referenced file is reclaimed").build())
+      .comment("age gate before a never-referenced file is reclaimed").build(),
+    ProcedureParameter.in("dry_run", BooleanType).defaultValue("false")
+      .comment("report what would be expired/reclaimed; touch nothing")
+      .build())
 
   override def outputSchema: StructType = StructType(Seq(
     StructField("versions_expired", IntegerType, nullable = false),
@@ -194,7 +197,8 @@ private[sources] final class ExpireSnapshotsProcedure(warehouse: String)
   override def call(input: InternalRow): JIterator[Scan] = {
     val dir = tableDir(input.getUTF8String(0).toString)
     val stats = ManifestMaintenance.expireSnapshots(
-      ManifestSink.driverConf(), dir, input.getInt(1), input.getLong(2))
+      ManifestSink.driverConf(), dir, input.getInt(1), input.getLong(2),
+      dryRun = !input.isNullAt(3) && input.getBoolean(3))
     result(stats.versionsExpired, stats.filesDeleted, stats.versionsRetained)
   }
 }

@@ -261,7 +261,8 @@ object ManifestMaintenance {
     *    are only reclaimed once older than `orphanGraceMs` — the same
     *    age gate Iceberg/Delta apply to orphan cleanup. */
   def expireSnapshots(conf: Configuration, dir: String, keepLast: Int,
-      orphanGraceMs: Long = DefaultOrphanGraceMs): ExpireStats = {
+      orphanGraceMs: Long = DefaultOrphanGraceMs,
+      dryRun: Boolean = false): ExpireStats = {
     require(keepLast >= 1, "must retain at least the head snapshot")
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
@@ -299,7 +300,14 @@ object ManifestMaintenance {
       expire.flatMap(v =>
         refs(ManifestSink.readManifestMeta(conf, dir, Some(v)))).toSet
 
-    expire.foreach(v => fs.delete(new Path(d, ManifestSink.versionFile(v)), false))
+    // DRY RUN: report exactly what a real run would do — versions it
+    // would expire, files it would reclaim — touching NOTHING. The
+    // operational "how much does this retention policy buy, and does
+    // it eat anything a reader still needs?" question answered before
+    // committing to it.
+    if (!dryRun)
+      expire.foreach(v =>
+        fs.delete(new Path(d, ManifestSink.versionFile(v)), false))
 
     val now = System.currentTimeMillis()
     var deleted = 0
@@ -311,7 +319,8 @@ object ManifestMaintenance {
       if (reclaimable && !referenced.contains(name) &&
           (expiredRefs.contains(name) ||
             now - st.getModificationTime > orphanGraceMs)) {
-        if (fs.delete(st.getPath, false)) deleted += 1
+        if (dryRun) deleted += 1
+        else if (fs.delete(st.getPath, false)) deleted += 1
       }
     }
     ExpireStats(expire.length, deleted, retain.length)

@@ -251,6 +251,33 @@ class ProcedureSpec extends graft.SparkSpec {
     }
   }
 
+  test("expire_snapshots dry_run reports without touching anything") {
+    import spark.implicits._
+    val t = writeTable("dryrun", 100, 2)             // v1: 2 parts
+    (100L until 200L).map(i => (i, i)).toDF("k", "v").repartition(2)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", t).option("history", "true").mode("overwrite").save()
+    def files() = new org.apache.hadoop.fs.Path(t).getFileSystem(conf)
+      .listStatus(new org.apache.hadoop.fs.Path(t))
+      .count(_.getPath.getName.endsWith(".csv"))
+    val before = files()
+    val dry = spark.sql("CALL gps.system.expire_snapshots(" +
+      "table => 'ns.dryrun', keep_last => 1, " +
+      "orphan_grace_ms => 86400000, dry_run => true)").head
+    assert(dry.getAs[Int]("versions_expired") === 1)
+    assert(dry.getAs[Int]("files_deleted") === 2, "v1's 2 parts reclaimable")
+    assert(files() === before, "dry run must delete nothing")
+    assert(spark.sql("SELECT count(*) FROM gps.ns.dryrun VERSION AS OF 1")
+      .head.getLong(0) === 100L, "expired-candidate snapshot still reads")
+    // the real run does exactly what the dry run predicted
+    val real = spark.sql("CALL gps.system.expire_snapshots(" +
+      "table => 'ns.dryrun', keep_last => 1, " +
+      "orphan_grace_ms => 86400000)").head
+    assert(real.getAs[Int]("versions_expired") === 1)
+    assert(real.getAs[Int]("files_deleted") === 2)
+    assert(files() === before - 2)
+  }
+
   test("clone: zero-copy fork — by reference, version-pinned, divergent, vacuum-independent") {
     import spark.implicits._
     val src = writeTable("clsrc", 300, 3)            // v1: k in [0, 300)
