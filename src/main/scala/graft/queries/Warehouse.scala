@@ -1213,6 +1213,152 @@ FROM events""")),
   (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 2 = 0)
     AS n_v2""")),
 
+    // --- COLUMN MAPPING (sources/ManifestSink.scala ColMap +
+    // GraftCatalog.alterTable): RENAME and DROP COLUMN as
+    // METADATA-ONLY commits over stable field ids — the Delta
+    // column-mapping / Iceberg field-id contract. The fixture runs
+    // the full DDL ladder (rename → drop → add) and then reads parts
+    // of BOTH schema generations side by side: pre-DDL parts resolve
+    // the renamed column through its unchanged id, read NULL for the
+    // post-drop addition (the fresh id can never resurrect the
+    // dropped bytes still sitting in their third slot), and post-DDL
+    // parts decode through their stamped layout. At 100 TB this is
+    // the only viable shape for schema change: zero data files are
+    // read or written by any of the three ALTERs.
+    QueryDef("q_column_mapping",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "colmap")
+        spark.conf.set("spark.sql.catalog.graftcm",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftcm.warehouse", wh)
+        val base = Tables.events(spark, dir)
+        // v1: one schema generation committed as (event_id, event_type, value)
+        writeHistory(base.filter(col("event_id") % 7 === 0)
+          .select(col("event_id"), col("event_type"), col("value")),
+          s"$wh/wh/cm_t", "overwrite")
+        spark.sql("ALTER TABLE graftcm.wh.cm_t RENAME COLUMN value TO amount")
+        spark.sql("ALTER TABLE graftcm.wh.cm_t DROP COLUMN event_type")
+        spark.sql("ALTER TABLE graftcm.wh.cm_t ADD COLUMN note STRING")
+        // second generation committed under the evolved schema
+        base.filter(col("event_id") % 7 === 3)
+          .select(col("event_id"), col("value").as("amount"),
+            concat(lit("u-"), col("user_id")).as("note"))
+          .createOrReplaceTempView("graft_colmap_delta")
+        spark.sql(
+          "INSERT INTO graftcm.wh.cm_t SELECT * FROM graft_colmap_delta")
+        spark.sql("""
+          SELECT event_id, amount, note FROM graftcm.wh.cm_t
+          ORDER BY event_id""")
+      },
+      Some("""SELECT event_id, value AS amount, NULL AS note
+  FROM events WHERE event_id % 7 = 0
+UNION ALL
+SELECT event_id, value, concat('u-', user_id)
+  FROM events WHERE event_id % 7 = 3
+ORDER BY event_id""")),
+
+    // --- ANALYZE (CALL system.analyze →
+    // ManifestMaintenance.analyzeTable): per-part stats recomputed
+    // from the VISIBLE rows in one metadata commit. The fixture is
+    // the staleness story deletion vectors create: four parts each
+    // hold 'click' rows, a MOR delete masks every click, and the
+    // stats still say "might contain 'click'" — the probe plans all
+    // 4 parts to return 0 rows. One ANALYZE later the same probe
+    // plans ZERO parts (smin rose past 'click' everywhere), with no
+    // data file written. At 100 TB this is how zone maps recover
+    // after GDPR-scale deletes without paying compaction: one scan,
+    // one manifest. parts_before/parts_after/parts_analyzed ride the
+    // gated output as pinned literals.
+    QueryDef("q_analyze_stats",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "analyze")
+        spark.conf.set("spark.sql.catalog.graftan",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftan.warehouse", wh)
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        (0 until 4).foreach { i =>
+          base.filter(col("event_id") % 4 === i).coalesce(1)
+            .write.format("graft.sources.ManifestSink")
+            .option("path", s"$wh/wh/ev_t").option("history", "true")
+            .mode(if (i == 0) "overwrite" else "append").save()
+        }
+        spark.conf.set("graft.delete.mode", "mor")
+        try spark.sql("DELETE FROM graftan.wh.ev_t WHERE event_type = 'click'")
+        finally spark.conf.unset("graft.delete.mode")
+        def planned: Int = spark.sql(
+          "SELECT count(*) FROM graftan.wh.ev_t WHERE event_type = 'click'")
+          .queryExecution.sparkPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.inputPartitions.size
+          }.sum
+        val before = planned
+        val analyzed = spark.sql(
+          "CALL graftan.system.analyze(table => 'wh.ev_t')")
+          .head.getInt(0)
+        val after = planned
+        spark.sql(s"""
+          SELECT event_type, count(*) AS n,
+            ${Exact.decSumSql("value", 6).replace("VARCHAR", "STRING")}
+              AS sum_value
+          FROM graftan.wh.ev_t GROUP BY event_type""")
+          .withColumn("parts_before", lit(before))
+          .withColumn("parts_after", lit(after))
+          .withColumn("parts_analyzed", lit(analyzed))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  ${Exact.decSumSql("value", 6)} AS sum_value,
+  CAST(4 AS INT) AS parts_before, CAST(0 AS INT) AS parts_after,
+  CAST(4 AS INT) AS parts_analyzed
+FROM events WHERE event_type <> 'click'
+GROUP BY event_type ORDER BY event_type""")),
+
+    // --- ALTER COLUMN TYPE widening (GraftCatalog.alterTable →
+    // TableChange.UpdateColumnType): INT → BIGINT as a METADATA-ONLY
+    // commit — the text line codec decodes "5" identically under
+    // either type, so committed parts are never rewritten; the
+    // post-widening insert carries values beyond INT range to prove
+    // the widening is real, and the aggregate reads both schema
+    // generations through one scan. The oracle restates the mixed
+    // table with CAST.
+    QueryDef("q_widen_type",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "widen")
+        spark.conf.set("spark.sql.catalog.graftwt",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftwt.warehouse", wh)
+        val base = Tables.lineitem(spark, dir).select(
+          col("l_orderkey").as("k"),
+          col("l_linenumber").cast("int").as("num"),
+          col("l_quantity").as("qty"))
+        writeHistory(base.filter(col("k") % 3 === 0),
+          s"$wh/wh/li_t", "overwrite")
+        spark.sql("ALTER TABLE graftwt.wh.li_t ALTER COLUMN num TYPE BIGINT")
+        base.filter(col("k") % 3 === 1)
+          .select(col("k"),
+            (col("num").cast("long") + 5000000000L).as("num"), col("qty"))
+          .createOrReplaceTempView("graft_widen_delta")
+        spark.sql(
+          "INSERT INTO graftwt.wh.li_t SELECT * FROM graft_widen_delta")
+        spark.sql(s"""
+          SELECT count(*) AS n, CAST(sum(num) AS BIGINT) AS sum_num,
+            min(num) AS min_num, max(num) AS max_num,
+            ${Exact.decSumSql("qty", 2).replace("VARCHAR", "STRING")}
+              AS sum_qty
+          FROM graftwt.wh.li_t""")
+      },
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(num) AS BIGINT) AS sum_num,
+  min(num) AS min_num, max(num) AS max_num,
+  ${Exact.decSumSql("qty", 2)} AS sum_qty
+FROM (
+  SELECT CAST(l_linenumber AS BIGINT) AS num, l_quantity AS qty
+  FROM lineitem WHERE l_orderkey % 3 = 0
+  UNION ALL
+  SELECT CAST(l_linenumber AS BIGINT) + 5000000000, l_quantity
+  FROM lineitem WHERE l_orderkey % 3 = 1)""")),
+
     // --- TRUNCATE TABLE (SQL → TruncatableTable): a LOGICAL truncate
     // — one empty-part-list snapshot, so the pre-truncate version
     // keeps reading in full (gated) while the head is empty, and the

@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.expressions
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, Write, WriteBuilder}
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
 
@@ -204,22 +204,48 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     loadTable(ident)
   }
 
-  /** `ALTER TABLE t ADD COLUMN c TYPE` — the DDL face of the format's
-    * additive schema evolution: a METADATA-ONLY commit that publishes
-    * the head's part list under the widened schema (existing parts
-    * carry forward by reference; their rows read back NULL for the
-    * new column, exactly like append-time evolution). Published
-    * through the rebase loop (`head => head`), so a racing append's
-    * parts survive. Everything non-additive stays rejected — renames,
-    * drops, and type changes would silently re-interpret committed
-    * data. */
+  /** `ALTER TABLE t ADD | RENAME | DROP COLUMN` — the DDL face of the
+    * format's schema evolution, every variant a METADATA-ONLY commit
+    * (no data file is read or written):
+    *
+    *  - ADD publishes the head's part list under the widened schema;
+    *    existing parts read back NULL for the new column. The column
+    *    gets a FRESH field id ([[ColMap]]), so re-adding a name at a
+    *    previously-dropped column's position can never resurrect the
+    *    dropped bytes still sitting in old parts.
+    *  - RENAME changes the logical name only — field ids (and hence
+    *    every part's layout) are untouched. The old name is RETIRED:
+    *    reusing it is rejected, so per-part stats recorded under a
+    *    name always describe the same physical column (pruning stays
+    *    provably sound across renames).
+    *  - DROP removes the field from the logical schema; parts keep
+    *    their bytes (time travel still sees the column) and readers
+    *    simply never resolve the dropped id. Guarded against the two
+    *    stats-identity hazards: the stats key column (first BIGINT)
+    *    and the string-stats column (first STRING) may only be
+    *    dropped when no LATER column of the same type would silently
+    *    inherit their per-part min/max.
+    *
+    * Schema-changing commits pin `strictBase` to the head they read —
+    * a racing commit fails the DDL loudly rather than composing a
+    * half-stale schema. Type changes stay rejected: committed lines
+    * would be re-interpreted. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = tablePath(ident)
-    val schema = ManifestSink.readSchema(conf, p)
+    val baseVersion = ManifestSink.listVersions(conf, p)
+      .lastOption.getOrElse(0)
+    val (schema, colmap0) = ManifestSink.readSchemaAndColMap(conf, p,
+        if (baseVersion == 0) None else Some(baseVersion))
       .getOrElse(throw new NoSuchTableException(ident))
     var constraints = ManifestSink.readConstraints(conf, p)
+    var colmap = colmap0
     var schemaChanged = false
     var constraintsChanged = false
+    def constraintRefs(name: String): Seq[String] =
+      constraints.collect { case (n, sql)
+        if ("""\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
+          .findFirstIn(sql).isDefined => n
+      }
     val widened = changes.foldLeft(schema) {
       case (s, add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
@@ -227,6 +253,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         val colName = add.fieldNames()(0)
         require(!s.fieldNames.exists(_.equalsIgnoreCase(colName)),
           s"column '$colName' already exists in $ident")
+        require(!colmap.isRetired(colName),
+          s"column name '$colName' was previously dropped or renamed " +
+            s"away on $ident and cannot be reused (stats recorded under " +
+            "it would describe a different column)")
         require(add.isNullable,
           s"added column '$colName' must be nullable " +
             "(existing rows have no value for it)")
@@ -234,8 +264,126 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           "columns can only be added at the end (part files are " +
             "positional; reordering would re-interpret committed data)")
         schemaChanged = true
+        colmap = colmap.copy(ids = colmap.ids :+ colmap.nextId,
+          nextId = colmap.nextId + 1)
         val f = StructField(colName, add.dataType(), nullable = true)
         s.add(Option(add.comment()).fold(f)(f.withComment))
+      // ALTER COLUMN TYPE — WIDENING only, metadata-only: the line
+      // codec is textual, so "5" decodes as BIGINT exactly as it
+      // decoded as INT, and a DECIMAL widens at the same scale with
+      // no re-render. Float→double is REJECTED: the text round-trip
+      // would widen by decimal value where Spark's cast widens by
+      // binary value — two different answers, so the change must not
+      // pretend to be free. Field ids are untouched (same column,
+      // same slots); time travel reads each snapshot under its own
+      // committed type.
+      case (s, ut: TableChange.UpdateColumnType) =>
+        require(ut.fieldNames().length == 1,
+          "nested ALTER COLUMN is not supported")
+        val name = ut.fieldNames()(0)
+        val idx = s.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+        require(idx >= 0, s"no column '$name' in $ident")
+        val from = s.fields(idx).dataType
+        val to = ut.newDataType()
+        val widens = (from, to) match {
+          case (ByteType, ShortType | IntegerType | LongType) => true
+          case (ShortType, IntegerType | LongType)            => true
+          case (IntegerType, LongType)                        => true
+          case (da: DecimalType, db: DecimalType) =>
+            db.scale == da.scale && db.precision >= da.precision
+          case _ => false
+        }
+        require(widens,
+          s"unsupported type change ${from.simpleString} -> " +
+            s"${to.simpleString} on '$name': only integral widening " +
+            "and same-scale DECIMAL precision growth are value-exact " +
+            "under the text codec (committed lines are never rewritten)")
+        // stats-identity guard: committed parts' key ranges/blooms
+        // describe the first BIGINT column of their write schema — a
+        // widening that CHANGES which column that is would misapply
+        // them to different data
+        if (to == LongType) {
+          val keyIdx = s.fields.indexWhere(_.dataType == LongType)
+          require(keyIdx >= 0 && keyIdx < idx,
+            s"cannot widen '$name' to BIGINT: it would become the " +
+              s"table's stats key column (first BIGINT) and committed " +
+              "parts' key ranges describe other data — rewrite the " +
+              "table instead")
+        }
+        schemaChanged = true
+        StructType(s.fields.updated(idx, s.fields(idx).copy(dataType = to)))
+      case (s, rn: TableChange.RenameColumn) =>
+        require(rn.fieldNames().length == 1,
+          "nested RENAME COLUMN is not supported")
+        val from = rn.fieldNames()(0)
+        val to = rn.newName()
+        val idx = s.fieldNames.indexWhere(_.equalsIgnoreCase(from))
+        require(idx >= 0, s"no column '$from' in $ident")
+        require(!s.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"column '$to' already exists in $ident")
+        require(!colmap.isRetired(to),
+          s"column name '$to' was previously dropped or renamed away " +
+            s"on $ident and cannot be reused")
+        constraintRefs(from) match {
+          case Seq() => ()
+          case refs => throw new IllegalArgumentException(
+            s"cannot rename '$from': referenced by CHECK constraint(s) " +
+              s"${refs.mkString(", ")} — drop them first")
+        }
+        // the bucket layout routes by this name in the write
+        // distribution and the reported partitioning — follow it
+        ManifestSink.readTableSpec(conf, p).foreach { case (n, c) =>
+          if (c.equalsIgnoreCase(from))
+            ManifestSink.writeTableSpec(conf, p, n, to)
+        }
+        schemaChanged = true
+        colmap = colmap.copy(retired = colmap.retired :+ s.fields(idx).name)
+        StructType(s.fields.updated(idx, s.fields(idx).copy(name = to)))
+      case (s, del: TableChange.DeleteColumn) =>
+        require(del.fieldNames().length == 1,
+          "nested DROP COLUMN is not supported")
+        val name = del.fieldNames()(0)
+        val idx = s.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+        if (idx < 0) {
+          if (del.ifExists()) s
+          else throw new IllegalArgumentException(
+            s"no column '$name' in $ident")
+        } else {
+          require(s.fields.length > 1,
+            s"cannot drop '$name': it is the only column of $ident")
+          constraintRefs(name) match {
+            case Seq() => ()
+            case refs => throw new IllegalArgumentException(
+              s"cannot drop '$name': referenced by CHECK constraint(s) " +
+                s"${refs.mkString(", ")} — drop them first")
+          }
+          ManifestSink.readTableSpec(conf, p).foreach { case (_, c) =>
+            require(!c.equalsIgnoreCase(name),
+              s"cannot drop '$name': it is the bucket column of $ident")
+          }
+          // stats-identity guards: committed parts carry key (first
+          // BIGINT) and string (first STRING) min/max positionally —
+          // a LATER column of the same type would inherit them and
+          // prune WRONG after the drop
+          val f = s.fields(idx)
+          if (f.dataType == LongType &&
+              s.fields.indexWhere(_.dataType == LongType) == idx)
+            require(!s.fields.drop(idx + 1).exists(_.dataType == LongType),
+              s"cannot drop '$name': it is the stats key column (first " +
+                s"BIGINT) of $ident and a later BIGINT column would " +
+                "inherit its per-part key range — rewrite the table first")
+          if (f.dataType == StringType &&
+              s.fields.indexWhere(_.dataType == StringType) == idx)
+            require(!s.fields.drop(idx + 1).exists(_.dataType == StringType),
+              s"cannot drop '$name': it is the string-stats column " +
+                s"(first STRING) of $ident and a later STRING column " +
+                "would inherit its per-part min/max — rewrite the table first")
+          schemaChanged = true
+          colmap = colmap.copy(
+            ids = colmap.ids.patch(idx, Nil, 1),
+            retired = colmap.retired :+ f.name)
+          StructType(s.fields.patch(idx, Nil, 1))
+        }
       // ALTER TABLE ADD CONSTRAINT … CHECK (…): Spark has already
       // validated the EXISTING rows (AddCheckConstraintExec scans the
       // table and fails the command on a violation) before this call
@@ -271,7 +419,9 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       ManifestSink.writeConstraints(conf, p, constraints)
     if (schemaChanged)
       ManifestSink.publishRebase(conf, p, widened, history = true,
-        rebase = head => head, strictBase = None)
+        rebase = head => head,
+        strictBase = if (baseVersion > 0) Some(baseVersion) else None,
+        colmapOverride = Some(colmap))
     loadTable(ident)
   }
 

@@ -47,10 +47,11 @@ private[sources] object GraftProcedures {
   /** Registry order is the SHOW PROCEDURES order. */
   val names: Seq[String] = Seq("compact", "compact_vectors",
     "expire_snapshots", "rollback", "fast_forward", "drop_branch",
-    "tag", "drop_tag", "create_mv", "refresh_mv", "clone")
+    "tag", "drop_tag", "create_mv", "refresh_mv", "clone", "analyze")
 
   def load(name: String, warehouse: String): Option[UnboundProcedure] =
     name.toLowerCase match {
+      case "analyze"          => Some(new AnalyzeProcedure(warehouse))
       case "compact"          => Some(new CompactProcedure(warehouse))
       case "compact_vectors"  => Some(new CompactVectorsProcedure(warehouse))
       case "expire_snapshots" => Some(new ExpireSnapshotsProcedure(warehouse))
@@ -144,6 +145,31 @@ private[sources] final class CompactProcedure(warehouse: String)
     val stats = ManifestMaintenance.compactFiles(
       SparkSession.active, dir, targetParts, clusterBy)
     result(stats.partsBefore, stats.partsAfter, stats.version)
+  }
+}
+
+/** Stats refresh after heavy DML — see
+  * [[ManifestMaintenance.analyzeTable]]. */
+private[sources] final class AnalyzeProcedure(warehouse: String)
+  extends GraftProcedure("analyze", warehouse) {
+
+  override def description(): String =
+    "Recompute per-part column statistics from the VISIBLE rows " +
+      "(deletion vectors applied) and publish one metadata commit; " +
+      "restores tight pruning after wide MOR deletes without a rewrite"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table identifier relative to the catalog warehouse").build())
+
+  override def outputSchema: StructType = StructType(Seq(
+    StructField("parts_analyzed", IntegerType, nullable = false),
+    StructField("version", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val dir = tableDir(input.getUTF8String(0).toString)
+    val (n, v) = ManifestMaintenance.analyzeTable(SparkSession.active, dir)
+    result(n, v)
   }
 }
 
@@ -464,11 +490,11 @@ private[sources] final class CloneProcedure(warehouse: String)
     }
     val pin = if (v == 0) None else Some(v)
     val parts = ManifestSink.readManifestMeta(conf, srcDir, pin)
-    val schema = ManifestSink.readSchema(conf, srcDir, pin)
+    val (schema, cm) = ManifestSink.readSchemaAndColMap(conf, srcDir, pin)
       .getOrElse(throw new IllegalStateException(
         s"clone: unreadable source schema at $srcDir"))
     ManifestSink.publishSnapshot(conf, targetDir, schema, parts,
-      history = true)
+      history = true, colmap = Some(cm))
     result(v, parts.size, parts.map(_.visibleRows).sum)
   }
 }

@@ -151,9 +151,12 @@ private[sources] object ManifestCow {
     val tmpRead = s"$path/_cow-read-$token"
     val tmpWrite = s"$path/_cow-write-$token"
     try {
-      // stage 2: a manifest over the affected parts, by reference
+      // stage 2: a manifest over the affected parts, by reference —
+      // carrying the table's column mapping so mixed-generation part
+      // layouts decode correctly through the staging read
       ManifestSink.publishSnapshot(conf, tmpRead, schema, affected,
-        history = false)
+        history = false,
+        colmap = ManifestSink.alignedColMap(conf, path, schema))
       // stage 3: DELETE keeps rows where the predicate is FALSE or
       // NULL — the three-valued-logic contract a naive `!pred` breaks
       val pred = filters.map(toColumn).reduceOption(_ && _).getOrElse(lit(true))

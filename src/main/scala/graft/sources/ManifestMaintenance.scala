@@ -35,6 +35,107 @@ object ManifestMaintenance {
   final case class ExpireStats(
       versionsExpired: Int, filesDeleted: Int, versionsRetained: Int)
 
+  /** ANALYZE — recompute every part's statistics from its VISIBLE
+    * rows and publish them in ONE metadata commit; no data file is
+    * read twice or written at all. The use case is deletion-vector
+    * staleness: stats are computed at WRITE time over the physical
+    * rows, so after a wide MOR delete they are over-approximations —
+    * sound for pruning but loose (a part whose surviving keys span
+    * [300, 499] still advertises [250, 499] and keeps getting
+    * planned). One ANALYZE after heavy DML restores tight zone maps
+    * without compaction's rewrite cost — Iceberg's rewrite-statistics
+    * shape.
+    *
+    * Distributed: one scan through the normal masking source, a
+    * map-side-combined min/max aggregate per (part, tracked column),
+    * and ONE small row per part back to the driver — O(parts), never
+    * O(rows). Tracked columns follow the writer's selection exactly
+    * (key = first BIGINT, string stats = first STRING, up to 8 extra
+    * columns of each type), so analyzed manifests are
+    * indistinguishable from freshly-written ones to every pruning
+    * path. Blooms are left in place: built over the physical keys,
+    * they stay supersets of the visible keys — sound, just not
+    * tightened. A part with zero visible rows gets the all-null
+    * sentinels (prunes against any real bound). Committed with
+    * `strictBase` + the analyzed parts as footprint: stats computed
+    * against this snapshot's vectors must not overwrite a
+    * concurrently re-vectored part. Returns (parts updated, new
+    * version). */
+  def analyzeTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val conf = ManifestSink.driverConf()
+    val baseVersion = ManifestSink.listVersions(conf, dir)
+      .lastOption.getOrElse(0)
+    val pin = if (baseVersion == 0) None else Some(baseVersion)
+    val schema = ManifestSink.readSchema(conf, dir, pin).getOrElse(
+      throw new IllegalArgumentException(s"no manifest table at $dir"))
+    val parts = ManifestSink.readManifestMeta(conf, dir, pin)
+    if (parts.isEmpty) return (0, baseVersion)
+    val keyIdx = schema.fields.indexWhere(_.dataType == LongType)
+    val strIdx = schema.fields.indexWhere(_.dataType == StringType)
+    val extraLong = schema.fields.indices
+      .filter(i => schema.fields(i).dataType == LongType && i != keyIdx)
+      .take(8)
+    val extraStr = schema.fields.indices
+      .filter(i => schema.fields(i).dataType == StringType && i != strIdx)
+      .take(8)
+    val tracked: Seq[Int] =
+      Seq(keyIdx, strIdx).filter(_ >= 0) ++ extraLong ++ extraStr
+    if (tracked.isEmpty) return (0, baseVersion)
+    val reader = spark.read.format("graft.sources.ManifestSource")
+      .option("path", dir)
+    val df = (if (baseVersion > 0)
+      reader.option("version", baseVersion.toString) else reader).load()
+    val aggs = tracked.flatMap { i =>
+      val c = schema.fields(i).name
+      Seq(min(col(c)).as(s"mn_$i"), max(col(c)).as(s"mx_$i"))
+    }
+    val grouped = df
+      .groupBy(col(PartMetaColumn.Name).as("_p"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // ONE row per part — the manifest-reference shape
+    val fresh: Map[String, PartMeta] = grouped.map { r =>
+      val path = r.getString(0)
+      val base = parts.find(_.path == path).getOrElse(
+        throw new IllegalStateException(s"scan reported unknown part $path"))
+      def mnAt(j: Int): Int = 1 + 2 * j
+      var m = base
+      tracked.zipWithIndex.foreach { case (i, j) =>
+        val f = schema.fields(i)
+        val (mn, mx) = (mnAt(j), mnAt(j) + 1)
+        if (i == keyIdx) m =
+          if (r.isNullAt(mn)) m.copy(kMin = Long.MaxValue, kMax = Long.MinValue)
+          else m.copy(kMin = r.getLong(mn), kMax = r.getLong(mx))
+        else if (i == strIdx) m = m.copy(
+          sMin = if (r.isNullAt(mn)) None else Some(r.getString(mn)),
+          sMax = if (r.isNullAt(mx)) None else Some(r.getString(mx)))
+        else if (f.dataType == LongType) m = m.copy(cstats =
+          if (r.isNullAt(mn)) m.cstats - f.name
+          else m.cstats + (f.name ->
+            ColStat('l', r.getLong(mn).toString, r.getLong(mx).toString)))
+        else m = m.copy(cstats =
+          if (r.isNullAt(mn)) m.cstats - f.name
+          else m.cstats + (f.name ->
+            ColStat('s', r.getString(mn), r.getString(mx))))
+      }
+      path -> m
+    }.toMap
+    // a part with no group row has zero visible rows: all-null
+    // sentinels prune it against any real bound
+    val updated: Map[String, PartMeta] = parts.map { p =>
+      p.path -> fresh.getOrElse(p.path,
+        p.copy(kMin = Long.MaxValue, kMax = Long.MinValue,
+          sMin = None, sMax = None, cstats = Map.empty))
+    }.toMap
+    val v = ManifestSink.publishRebase(conf, dir, schema, history = true,
+      head => head.map(p => updated.getOrElse(p.path, p)),
+      strictBase = Some(baseVersion),
+      footprint = Some(parts.map(_.path).toSet))
+    (updated.size, v)
+  }
+
   /** COMPACT DELETION VECTORS — the rewrite-data-files half of
     * OPTIMIZE, and the back end of the merge-on-read lifecycle
     * (delete → mask → compact → vacuum): rewrites EXACTLY the parts
@@ -146,7 +247,8 @@ object ManifestMaintenance {
       _.dataType == org.apache.spark.sql.types.LongType).map(_.name)
     try {
       ManifestSink.publishSnapshot(conf, tmpRead, schema, selected,
-        history = false)
+        history = false,
+        colmap = ManifestSink.alignedColMap(conf, dir, schema))
       val df = spark.read.format("graft.sources.ManifestSource")
         .option("path", tmpRead).load()
       val (laidOut, writeOpts) = (bucketSpec, keyCol) match {
@@ -206,10 +308,15 @@ object ManifestMaintenance {
     * Returns the new head version. */
   def restore(conf: Configuration, dir: String, version: Int): Int = {
     val parts = ManifestSink.readManifestMeta(conf, dir, Some(version))
-    val schema = ManifestSink.readSchema(conf, dir, Some(version))
+    // schema AND column mapping travel together: the restored head is
+    // the old snapshot verbatim, never a derivation from the current
+    // head (which may have renamed/dropped since)
+    val (schema, cm) = ManifestSink.readSchemaAndColMap(conf, dir,
+        Some(version))
       .getOrElse(throw new IllegalArgumentException(
         s"no snapshot $version at $dir"))
-    ManifestSink.publishSnapshot(conf, dir, schema, parts, history = true)
+    ManifestSink.publishSnapshot(conf, dir, schema, parts, history = true,
+      colmap = Some(cm))
   }
 
   /** FAST-FORWARD the main line to a branch head — the publish step of
@@ -227,10 +334,12 @@ object ManifestMaintenance {
     require(ManifestSink.listBranchVersions(conf, dir, branch).nonEmpty,
       s"branch '$branch' has no commits at $dir — nothing to publish")
     val parts = ManifestSink.readBranchMeta(conf, dir, branch)
-    val schema = ManifestSink.readBranchSchema(conf, dir, branch)
+    val (schema, cm) = ManifestSink.readSchemaAndColMap(conf, dir, None,
+        Some(branch))
       .getOrElse(throw new IllegalStateException(
         s"branch '$branch' at $dir has no schema header"))
-    ManifestSink.publishSnapshot(conf, dir, schema, parts, history = true)
+    ManifestSink.publishSnapshot(conf, dir, schema, parts, history = true,
+      colmap = Some(cm))
   }
 
   /** Drop a branch's version files (post-publish cleanup, or abandoning

@@ -162,7 +162,8 @@ private[sources] object ManifestMv {
         // stage a read by REFERENCE (absolute paths, no data copied);
         // an empty side still needs the rollup's shape
         ManifestSink.publishSnapshot(conf, tmp, schema, parts,
-          history = false)
+          history = false, colmap = ManifestSink.alignedColMap(conf,
+            m.source, schema, Some(head)))
         rollup(spark.read.format("graft.sources.ManifestSource")
           .option("path", tmp).load(), m.keyCol, m.sumCol, m.scale)
       }

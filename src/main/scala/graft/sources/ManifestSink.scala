@@ -318,7 +318,8 @@ private[sources] final case class PartMeta(
     dvHex: String = "", dvRef: String = "", dvCard: Long = 0L,
     bytes: Long = 0L, bucket: Int = -1, nbuckets: Int = 0,
     sorted: Boolean = false,
-    cstats: Map[String, ColStat] = Map.empty) {
+    cstats: Map[String, ColStat] = Map.empty,
+    cols: Seq[Int] = Seq.empty) {
   lazy val bloomBits: Array[Long] = PartBloom.fromHex(bloomHex)
   lazy val dvBits: Array[Long] = DeleteVector.fromHex(dvHex)
   /** A vector exists — inline (`dvHex`) or as a SIDECAR file
@@ -343,6 +344,38 @@ private[sources] final case class PartMeta(
           lo.forall(l => StrBin.cmp(mx, l) >= 0)
       case _ => true
     }
+}
+
+/** COLUMN MAPPING (the Delta column-mapping / Iceberg field-id shape):
+  * every column carries a STABLE FIELD ID, allocated at creation and
+  * never reused, so RENAME and DROP COLUMN become metadata-only
+  * commits — no data file is read or written by either.
+  *
+  *  - `ids(i)` is the field id of logical field i of the snapshot's
+  *    schema; readers resolve a logical column to a part's line slot
+  *    through the part's own recorded layout ([[PartMeta.cols]]), so
+  *    parts written under different schema generations decode
+  *    correctly side by side.
+  *  - `nextId` is the allocation high-water mark: an ADD COLUMN after
+  *    a DROP gets a FRESH id, so the dropped column's bytes still
+  *    sitting in old parts can never resurrect under the new name.
+  *  - `retired` is every name ever dropped or renamed-away: name
+  *    reuse is rejected so per-part stats recorded under a name can
+  *    never be consulted for a DIFFERENT physical column (pruning
+  *    stays provably sound across renames).
+  *
+  * Absent header ⇒ identity (id = position), which is exactly what
+  * additive-only evolution produced — every pre-mapping manifest
+  * stays readable unchanged. */
+private[sources] final case class ColMap(
+    ids: Seq[Int], nextId: Int, retired: Seq[String]) {
+  def isIdentity: Boolean = ids == ids.indices
+  def isRetired(name: String): Boolean =
+    retired.exists(_.equalsIgnoreCase(name))
+}
+
+private[sources] object ColMap {
+  def identity(n: Int): ColMap = ColMap(0 until n, n, Seq.empty)
 }
 
 object ManifestSink {
@@ -398,6 +431,18 @@ object ManifestSink {
       version: Option[Int]): Seq[PartMeta] =
     metaFromLines(manifestLines(conf, dir, version))
 
+  /** Parts + (schema, column mapping) from ONE manifest read — the
+    * scan planner's shape (a second read of a 100k-part manifest just
+    * for the header would double planning IO). */
+  private[sources] def readSnapshot(conf: Configuration, dir: String,
+      version: Option[Int] = None, branch: Option[String] = None)
+      : (Seq[PartMeta], Option[(StructType, ColMap)]) = {
+    val lines = manifestLines(conf, dir, version, branch)
+    (metaFromLines(lines), schemaFromLines(lines).map { s =>
+      (s, colMapFromLines(lines).getOrElse(ColMap.identity(s.fields.length)))
+    })
+  }
+
   private def metaFromLines(lines: Seq[String]): Seq[PartMeta] =
     // data records are exactly the lines that START with {"path": —
     // a schema header whose DDL happens to contain the literal text
@@ -419,6 +464,7 @@ object ManifestSink {
       val b = field("bytes")
       val bk = field("bucket")
       val nbk = field("nbuckets")
+      val cl = field("cols")
       PartMeta(decPath(field("path")), field("rows").toLong,
         field("min").toLong, field("max").toLong, field("bloom"),
         strField("smin"), strField("smax"), field("dv"),
@@ -428,7 +474,11 @@ object ManifestSink {
         if (bk.isEmpty) -1 else bk.toInt,
         if (nbk.isEmpty) 0 else nbk.toInt,
         field("sorted") == "1",
-        cstats = ColStat.decode(decPath(field("cstats"))))
+        cstats = ColStat.decode(decPath(field("cstats"))),
+        // the part's LINE LAYOUT as stable field ids (column mapping);
+        // absent ⇒ the legacy identity rule: slot j holds field id j
+        cols = if (cl.isEmpty) Seq.empty
+          else cl.split('-').toSeq.map(_.toInt))
     }
 
   /** TABLE-LEVEL LAYOUT SPEC (`_TABLE.json`): created once by
@@ -450,7 +500,11 @@ object ManifestSink {
       s"""{"buckets":$buckets,"bucketCol":"${encPath(bucketCol)}"}\n"""
         .getBytes("UTF-8"))
     finally out.close()
-    if (!fs.rename(tmp, new Path(d, "_TABLE.json"))) {
+    // replace-in-place (RENAME COLUMN of the bucket column rewrites
+    // the spec): Hadoop's local rename refuses an existing target
+    val target = new Path(d, "_TABLE.json")
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target)) {
       fs.delete(tmp, false)
       throw new java.io.IOException(s"table spec publish failed at $dir")
     }
@@ -599,6 +653,59 @@ object ManifestSink {
         StructType.fromDDL(ddl)
       }
 
+  private val ColMapIdsRe = """"colmap":"([0-9-]*)"""".r
+  private val ColMapNextRe = """"nextid":(\d+)""".r
+  private val ColMapRetRe = """"retired":"([^"]*)"""".r
+
+  /** The snapshot's [[ColMap]] header; absent (every pre-mapping
+    * manifest) ⇒ identity over the snapshot schema's field count. */
+  private def colMapFromLines(lines: Seq[String]): Option[ColMap] =
+    lines.find(_.startsWith("{\"colmap\":")).map { line =>
+      val ids = ColMapIdsRe.findFirstMatchIn(line).map(_.group(1))
+        .filter(_.nonEmpty).map(_.split('-').toSeq.map(_.toInt))
+        .getOrElse(Seq.empty)
+      val next = ColMapNextRe.findFirstMatchIn(line).map(_.group(1).toInt)
+        .getOrElse(if (ids.isEmpty) 0 else ids.max + 1)
+      val retired = ColMapRetRe.findFirstMatchIn(line).map(_.group(1))
+        .filter(_.nonEmpty)
+        .map(_.split(',').toSeq.map(decPath)).getOrElse(Seq.empty)
+      ColMap(ids, next, retired)
+    }
+
+  /** Snapshot schema + column mapping, read from ONE manifest
+    * resolution (the pair is only consistent when both come from the
+    * same lines). */
+  private[sources] def readSchemaAndColMap(conf: Configuration,
+      dir: String, version: Option[Int] = None,
+      branch: Option[String] = None): Option[(StructType, ColMap)] = {
+    val lines = manifestLines(conf, dir, version, branch)
+    schemaFromLines(lines).map { s =>
+      (s, colMapFromLines(lines).getOrElse(ColMap.identity(s.fields.length)))
+    }
+  }
+
+  private def renderColMap(cm: ColMap): String =
+    s"""{"colmap":"${cm.ids.mkString("-")}","nextid":${cm.nextId},""" +
+      s""""retired":"${cm.retired.map(encPath).mkString(",")}"}"""
+
+  /** The mapping the published snapshot carries: an explicit override
+    * (DDL — rename/drop/add know their exact result), or derivation
+    * from the head by NAME — a field the head already maps keeps its
+    * id; a new field (additive append evolution) allocates the next
+    * one. The identity default means tables that never rename or drop
+    * never even materialize a header. */
+  private def deriveColMap(headSchemaCm: Option[(StructType, ColMap)],
+      published: StructType): ColMap = headSchemaCm match {
+    case None => ColMap.identity(published.fields.length)
+    case Some((hs, hcm)) =>
+      val byName = hs.fields.map(_.name).zip(hcm.ids).toMap
+      var next = hcm.nextId
+      val ids = published.fields.map { f =>
+        byName.getOrElse(f.name, { val id = next; next += 1; id })
+      }.toSeq
+      ColMap(ids, next, hcm.retired)
+  }
+
   /** Publish a snapshot whose part list is exactly `parts` (commit
     * path for writes, and the metadata-only path for DDL/DELETE: a
     * new version is one small JSON file — no data is copied). Atomic:
@@ -608,8 +715,30 @@ object ManifestSink {
     * complete (merely unreferenced) new snapshot. Returns the
     * committed version (0 for a plain non-history table). */
   private[sources] def publishSnapshot(conf: Configuration, path: String,
-      schema: StructType, parts: Seq[PartMeta], history: Boolean): Int =
-    publishRebase(conf, path, schema, history, _ => parts, strictBase = None)
+      schema: StructType, parts: Seq[PartMeta], history: Boolean,
+      colmap: Option[ColMap] = None): Int =
+    // fixed-part publishes (staging reads, restore, fast-forward,
+    // clone, truncate) re-reference EXISTING parts: their recorded
+    // layouts are already correct, so never stamp — and when the
+    // caller hands the snapshot's mapping, publish it verbatim
+    publishRebase(conf, path, schema, history, _ => parts,
+      strictBase = None, colmapOverride = colmap, stampNew = false)
+
+  /** The table's [[ColMap]] aligned BY NAME to `schema` (None when
+    * trivially identity) — what a temp staging manifest over a mapped
+    * table's parts must carry so mixed-generation layouts decode
+    * correctly through the staging read. */
+  private[sources] def alignedColMap(conf: Configuration, dir: String,
+      schema: StructType, version: Option[Int] = None,
+      branch: Option[String] = None): Option[ColMap] =
+    readSchemaAndColMap(conf, dir, version, branch).collect {
+      case (snap, cm) if !cm.isIdentity || cm.retired.nonEmpty =>
+        val byName = snap.fields.map(_.name).zip(cm.ids).toMap
+        ColMap(schema.fields.toSeq.map(f => byName.getOrElse(f.name,
+          throw new IllegalStateException(
+            s"column '${f.name}' has no field id at $dir"))),
+          cm.nextId, cm.retired)
+    }
 
   /** The commit loop proper. `rebase` maps the CURRENT head's part
     * list to the list to publish, and is re-applied on EVERY claim
@@ -646,7 +775,9 @@ object ManifestSink {
       rebase: Seq[PartMeta] => Seq[PartMeta],
       strictBase: Option[Int],
       footprint: Option[Set[String]] = None,
-      branch: Option[String] = None): Int = {
+      branch: Option[String] = None,
+      colmapOverride: Option[ColMap] = None,
+      stampNew: Boolean = true): Int = {
     branch.foreach { b =>
       require(history, s"branch commits require a history table ($path)")
       require(validBranch(b), s"invalid branch name '$b' " +
@@ -655,9 +786,15 @@ object ManifestSink {
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     val ddl = schema.toDDL.replace("\\", "\\\\").replace("\"", "\\\"")
-    def render(version: Int, parts: Seq[PartMeta]): Array[Byte] = {
+    def render(version: Int, parts: Seq[PartMeta], cm: ColMap): Array[Byte] = {
       val content = new StringBuilder
       content.append(s"""{"schema":"$ddl"}""").append('\n')
+      // written only once non-trivial, so a table that never renames
+      // or drops keeps its manifests byte-compatible with pre-mapping
+      // readers of this format
+      if (!cm.isIdentity || cm.retired.nonEmpty ||
+          cm.nextId != schema.fields.length)
+        content.append(renderColMap(cm)).append('\n')
       if (history) content.append(s"""{"version":$version}""").append('\n')
       parts.foreach { m =>
         val b = if (m.bloomHex.isEmpty) "" else s""","bloom":"${m.bloomHex}""""
@@ -675,9 +812,11 @@ object ManifestSink {
         val so = if (!m.sorted) "" else s""","sorted":1"""
         val cs = if (m.cstats.isEmpty) ""
           else s""","cstats":"${encPath(ColStat.encode(m.cstats))}""""
+        val co = if (m.cols.isEmpty) ""
+          else s""","cols":"${m.cols.mkString("-")}""""
         content.append(
           s"""{"path":"${encPath(m.path)}","rows":${m.rows},""" +
-            s""""min":${m.kMin},"max":${m.kMax}$b$s$d$r$by$bk$so$cs}""").append('\n')
+            s""""min":${m.kMin},"max":${m.kMax}$b$s$d$r$by$bk$so$cs$co}""").append('\n')
       }
       content.toString.getBytes("UTF-8")
     }
@@ -690,13 +829,32 @@ object ManifestSink {
       if (overwrite && fs.exists(target)) fs.delete(target, false)
       if (!fs.rename(tmp, target)) { fs.delete(tmp, false); false } else true
     }
+    // column mapping bookkeeping shared by both commit paths: resolve
+    // the mapping (override from DDL, else derive from the head), and
+    // stamp every NEWLY-ADDED part with its line layout (the published
+    // schema's field ids) — but only once the mapping is non-identity;
+    // under identity the absent-cols legacy rule IS the layout
+    def finish(head: Seq[PartMeta],
+        headSchemaCm: Option[(StructType, ColMap)],
+        parts: Seq[PartMeta]): (Seq[PartMeta], ColMap) = {
+      val cm = colmapOverride.getOrElse(deriveColMap(headSchemaCm, schema))
+      if (cm.isIdentity || !stampNew) (parts, cm)
+      else {
+        val headPaths = head.map(_.path).toSet
+        (parts.map(p =>
+          if (p.cols.isEmpty && !headPaths(p.path)) p.copy(cols = cm.ids)
+          else p), cm)
+      }
+    }
     if (!history) {
       // a plain table has no version log to pin against — silently
       // ignoring strictBase would void the caller's race guarantee
       require(strictBase.isEmpty,
         s"strictBase requires a history table, got plain table at $dir")
       val head = readManifestMeta(conf, path, None)
-      if (!write(ManifestFile, render(0, rebase(head)), overwrite = true))
+      val (parts, cm) =
+        finish(head, readSchemaAndColMap(conf, path), rebase(head))
+      if (!write(ManifestFile, render(0, parts, cm), overwrite = true))
         throw new java.io.IOException(s"cannot publish $dir/$ManifestFile")
       return 0
     }
@@ -715,6 +873,7 @@ object ManifestSink {
     var attempts = 0
     var committed = -1
     var finalParts: Seq[PartMeta] = Seq.empty
+    var finalColMap: ColMap = ColMap.identity(schema.fields.length)
     while (committed < 0) {
       attempts += 1
       if (attempts > 1000) throw new java.io.IOException(
@@ -759,19 +918,30 @@ object ManifestSink {
                   "against the new head")
         }
       }
-      val parts = rebase(head)
+      // head schema + mapping from the SAME resolved version (version
+      // files are immutable once claimed, so the re-read is consistent)
+      val headSchemaCm = branch match {
+        case Some(b) if latest > 0 =>
+          readSchemaAndColMap(conf, path, Some(latest), Some(b))
+        case _ =>
+          readSchemaAndColMap(conf, path,
+            if (latest == 0) None else Some(latest))
+      }
+      val (parts, cm) = finish(head, headSchemaCm, rebase(head))
       val version = latest + 1
       val claim = branch.map(branchVersionFile(_, version))
         .getOrElse(versionFile(version))
-      if (write(claim, render(version, parts), overwrite = false)) {
+      if (write(claim, render(version, parts, cm), overwrite = false)) {
         committed = version
         finalParts = parts
+        finalColMap = cm
       }
     }
     // the rewritable head POINTER tracks only the MAIN line; branch
     // heads resolve purely from their newest version file
     if (branch.isEmpty)
-      write(ManifestFile, render(committed, finalParts), overwrite = true)
+      write(ManifestFile, render(committed, finalParts, finalColMap),
+        overwrite = true)
     committed
   }
 
@@ -807,6 +977,38 @@ object ManifestSink {
     }.distinct.sorted
   }
 
+  /** DRIVER-SIDE SNAPSHOT CACHE. Version manifests are claimed
+    * exclusively at commit and never rewritten, so (dir, version
+    * file) → lines is safe to cache for the life of the process; at
+    * 100k parts a manifest is ~10 MB of JSON, and planning reads it
+    * on every scan build, every streaming trigger, and every CDF
+    * version diff — the cache turns all but the first into memory
+    * hits. A cheap existence probe guards each hit so an EXPIRED
+    * snapshot (ManifestMaintenance deletes its file) still fails
+    * loudly instead of serving from memory. Byte-bounded LRU; the
+    * mutable head pointer (`_MANIFEST.json`, plain tables) is never
+    * cached. */
+  private object LinesCache {
+    private val MaxBytes = 64L << 20
+    private val map =
+      new java.util.LinkedHashMap[String, Seq[String]](64, 0.75f, true)
+    private var bytes = 0L
+    private def sizeOf(ls: Seq[String]): Long =
+      ls.foldLeft(0L)(_ + _.length + 16)
+    def get(k: String): Seq[String] = synchronized { map.get(k) }
+    def put(k: String, v: Seq[String]): Unit = synchronized {
+      if (!map.containsKey(k)) {
+        bytes += sizeOf(v)
+        map.put(k, v)
+        val it = map.entrySet().iterator()
+        while (bytes > MaxBytes && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != k) { bytes -= sizeOf(e.getValue); it.remove() }
+        }
+      }
+    }
+  }
+
   private def manifestLines(conf: Configuration, dir: String,
       version: Option[Int] = None,
       branch: Option[String] = None): Seq[String] = {
@@ -831,7 +1033,15 @@ object ManifestSink {
     }
     val p = new Path(dir, name.getOrElse(ManifestFile))
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) {
+    // the status probe doubles as the staleness guard: the cache key
+    // carries (length, mtime), so a table dir that was DELETED AND
+    // REBUILT at the same path (test/bench fixtures) misses instead
+    // of serving lines that reference reclaimed part files, and an
+    // EXPIRED snapshot (file gone) still fails loudly below
+    val status = try fs.getFileStatus(p) catch {
+      case _: java.io.FileNotFoundException => null
+    }
+    if (status == null) {
       if (version.isDefined) throw new IllegalArgumentException(
         s"no snapshot ${version.get}${branch.map(b => s" on branch $b")
           .getOrElse("")} at $dir (committed versions: " +
@@ -839,10 +1049,18 @@ object ManifestSink {
             .getOrElse(listVersions(conf, dir)).mkString(",")})")
       return Seq.empty
     }
+    val cacheKey = name.map(n =>
+      s"$dir/$n#${status.getLen}#${status.getModificationTime}").orNull
+    if (cacheKey != null) {
+      val hit = LinesCache.get(cacheKey)
+      if (hit != null) return hit
+    }
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    text.linesIterator.filter(_.nonEmpty).toSeq
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    if (cacheKey != null) LinesCache.put(cacheKey, lines)
+    lines
   }
 
   /** Branch-head reads (write-audit-publish): the branch's part list

@@ -396,10 +396,14 @@ private[sources] class ManifestScanBuilder(
     // change-feed reads bypass the batch machinery entirely: the
     // stream plans snapshot DIFFS, not head parts (filters stay
     // residual — Spark re-applies them on the emitted change rows)
-    if (cdf) return new ManifestCdfScan(path,
-      StructType(schema.fields.filterNot(f =>
-        ManifestCdf.MetaNames.contains(f.name))), required, conf,
-      startingVersion, maxPartsPerTrigger)
+    if (cdf) {
+      val base = StructType(schema.fields.filterNot(f =>
+        ManifestCdf.MetaNames.contains(f.name)))
+      return new ManifestCdfScan(path, base, required, conf,
+        startingVersion, maxPartsPerTrigger,
+        colMapIdsFor(base,
+          ManifestSink.readSchemaAndColMap(conf.value, path)))
+    }
     // plan against the manifest on the DRIVER: only committed parts,
     // and only those whose key range can intersect [keyLo, keyHi].
     // Null-key rows are safe to skip under a key predicate (three-
@@ -413,18 +417,20 @@ private[sources] class ManifestScanBuilder(
     // records is one consistent snapshot — resolving the version at
     // execution time could capture a commit that landed after this
     // plan and void the strictBase lost-update guard.
-    val (all, baseVersion) = branch match {
-      case Some(b) => (ManifestSink.readBranchMeta(conf.value, path, b), 0)
+    val (all, baseVersion, snapCm) = branch match {
+      case Some(b) =>
+        val (m, sc) = ManifestSink.readSnapshot(conf.value, path, None, Some(b))
+        (m, 0, sc)
       case None => version match {
         case Some(v) =>
-          (ManifestSink.readManifestMeta(conf.value, path, version), v)
+          val (m, sc) = ManifestSink.readSnapshot(conf.value, path, version)
+          (m, v, sc)
         case None =>
           val latest = ManifestSink.listVersions(conf.value, path)
             .lastOption.getOrElse(0)
-          val meta =
-            if (latest == 0) ManifestSink.readManifestMeta(conf.value, path, None)
-            else ManifestSink.readManifestMeta(conf.value, path, Some(latest))
-          (meta, latest)
+          val (m, sc) = ManifestSink.readSnapshot(conf.value, path,
+            if (latest == 0) None else Some(latest))
+          (m, latest, sc)
       }
     }
     aggFuncs match {
@@ -474,9 +480,30 @@ private[sources] class ManifestScanBuilder(
         }
         new ManifestScan(kept, schema, required, conf, all.size, limit, keyCol,
           path, rowLevelOwner, startingVersion, baseVersion,
-          maxPartsPerTrigger)
+          maxPartsPerTrigger, ids = colMapIdsFor(schema, snapCm))
     }
   }
+
+  /** Field ids aligned to `s` from the pinned snapshot's column
+    * mapping (empty = identity — the overwhelmingly common case,
+    * where the reader skips mapping entirely). Aligned by NAME
+    * against the snapshot schema the mapping was committed with —
+    * robust to meta-column additions on `s`. */
+  private def colMapIdsFor(s: StructType,
+      snapCm: Option[(StructType, ColMap)]): Seq[Int] =
+    snapCm match {
+      case Some((snap, cm)) if !cm.isIdentity =>
+        val byName = snap.fields.map(_.name).zip(cm.ids).toMap
+        s.fields.toSeq.map { f =>
+          if (f.name == PartMetaColumn.Name || f.name == PosMetaColumn.Name)
+            -1 // metadata columns are served from the partition, not a slot
+          else byName.getOrElse(f.name,
+            throw new IllegalStateException(
+              s"column '${f.name}' has no field id in the snapshot " +
+                s"mapping of $path"))
+        }
+      case _ => Seq.empty
+    }
 }
 
 /** Metadata-only scan: one synthetic partition, one row, computed
@@ -594,7 +621,8 @@ private[sources] class ManifestScan(
     rowLevelOwner: Option[ManifestRowLevelOp] = None,
     startingVersion: Option[Int] = None,
     baseVersion: Int = 0,
-    maxPartsPerTrigger: Option[Int] = None)
+    maxPartsPerTrigger: Option[Int] = None,
+    ids: Seq[Int] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -678,7 +706,7 @@ private[sources] class ManifestScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ManifestMicroBatchStream(tablePath, schema, required, conf,
-      startingVersion, maxPartsPerTrigger)
+      startingVersion, maxPartsPerTrigger, ids)
 
   // narrowed in place by runtime filters before partition planning
   private var parts: Seq[PartMeta] = initialParts
@@ -766,12 +794,13 @@ private[sources] class ManifestScan(
     // version the part list was read at (same head read, see build())
     rowLevelOwner.foreach(_.recordScan(parts, baseVersion))
     parts.map(p =>
-      ManifestPartition(p.path, p.rows, p.dvHex, p.dvRef, p.bucket)).toArray
+      ManifestPartition(p.path, p.rows, p.dvHex, p.dvRef, p.bucket,
+        p.cols)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(schema, required.fieldNames, conf,
-      limit.map(_.toLong).getOrElse(Long.MaxValue))
+      limit.map(_.toLong).getOrElse(Long.MaxValue), ids)
 
   /** Post-pruning stats straight from the manifest — exact row count;
     * bytes from the parts' TRUE on-disk sizes (committed with each
@@ -807,7 +836,7 @@ private[sources] class ManifestScan(
   * when EVERY planned part carries a consistent bucket. */
 private[sources] case class ManifestPartition(
     path: String, rows: Long, dvHex: String = "", dvRef: String = "",
-    bucket: Int = -1)
+    bucket: Int = -1, cols: Seq[Int] = Seq.empty)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -908,7 +937,8 @@ private[sources] trait VersionAdmission
 private[sources] class ManifestMicroBatchStream(
     path: String, schema: StructType, required: StructType,
     conf: SerializableConfiguration, startingVersion: Option[Int] = None,
-    protected val maxPartsPerTrigger: Option[Int] = None)
+    protected val maxPartsPerTrigger: Option[Int] = None,
+    ids: Seq[Int] = Seq.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with VersionAdmission {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -943,12 +973,13 @@ private[sources] class ManifestMicroBatchStream(
     ManifestSink.readManifestMeta(conf.value, path, Some(e))
       .filterNot(m => before.contains(m.path))
       .map(m =>
-        ManifestPartition(m.path, m.rows, m.dvHex, m.dvRef): InputPartition)
+        ManifestPartition(m.path, m.rows, m.dvHex, m.dvRef,
+          cols = m.cols): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(schema, required.fieldNames, conf)
+    new ManifestReaderFactory(schema, required.fieldNames, conf, ids = ids)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -1013,13 +1044,14 @@ private[sources] class ManifestCdfScan(
     path: String, baseSchema: StructType, required: StructType,
     conf: SerializableConfiguration,
     startingVersion: Option[Int] = None,
-    maxPartsPerTrigger: Option[Int] = None) extends Scan {
+    maxPartsPerTrigger: Option[Int] = None,
+    ids: Seq[Int] = Seq.empty) extends Scan {
   override def readSchema(): StructType = required
   override def description(): String = s"graft.ManifestCdfScan($path)"
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ManifestChangeFeedStream(path, baseSchema, required, conf,
-      startingVersion, maxPartsPerTrigger)
+      startingVersion, maxPartsPerTrigger, ids)
 }
 
 /** `maskHex` + `emitOnlyMask` select which line ordinals replay:
@@ -1029,13 +1061,15 @@ private[sources] class ManifestCdfScan(
   * precise row-level CDC without reading a single surviving row). */
 private[sources] case class ManifestCdfPartition(
     path: String, changeType: String, version: Int,
-    maskHex: String = "", emitOnlyMask: Boolean = false)
+    maskHex: String = "", emitOnlyMask: Boolean = false,
+    cols: Seq[Int] = Seq.empty)
     extends InputPartition
 
 private[sources] class ManifestChangeFeedStream(
     path: String, baseSchema: StructType, required: StructType,
     conf: SerializableConfiguration, startingVersion: Option[Int] = None,
-    protected val maxPartsPerTrigger: Option[Int] = None)
+    protected val maxPartsPerTrigger: Option[Int] = None,
+    ids: Seq[Int] = Seq.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with VersionAdmission {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -1080,9 +1114,11 @@ private[sources] class ManifestChangeFeedStream(
       val cur = ManifestSink.readManifestMeta(conf.value, path, Some(v))
       val curPaths = cur.map(_.path).toSet
       val inserts = cur.filterNot(m => prev.contains(m.path))
-        .map(m => ManifestCdfPartition(m.path, "insert", v, vecHex(m)))
+        .map(m => ManifestCdfPartition(m.path, "insert", v, vecHex(m),
+          cols = m.cols))
       val deletes = prev.valuesIterator.filterNot(m => curPaths(m.path))
-        .map(m => ManifestCdfPartition(m.path, "delete", v, vecHex(m))).toSeq
+        .map(m => ManifestCdfPartition(m.path, "delete", v, vecHex(m),
+          cols = m.cols)).toSeq
       // a retained part whose DELETION VECTOR grew: replay exactly
       // the newly-flagged ordinals as deletes — true row-level CDC
       // for merge-on-read deletes, no restatement of survivors.
@@ -1099,7 +1135,8 @@ private[sources] class ManifestChangeFeedStream(
               DeleteVector.fromHex(vecHex(old)))
             if (DeleteVector.popCount(delta) == 0) None
             else Some(ManifestCdfPartition(m.path, "delete", v,
-              DeleteVector.toHex(delta), emitOnlyMask = true))
+              DeleteVector.toHex(delta), emitOnlyMask = true,
+              cols = m.cols))
           case _ => None
         }
       }
@@ -1108,7 +1145,7 @@ private[sources] class ManifestChangeFeedStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestCdfReaderFactory(baseSchema, required, conf)
+    new ManifestCdfReaderFactory(baseSchema, required, conf, ids)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -1119,19 +1156,32 @@ private[sources] class ManifestChangeFeedStream(
   * pruned-away metadata or data column is never materialized). */
 private[sources] class ManifestCdfReaderFactory(
     baseSchema: StructType, required: StructType,
-    conf: SerializableConfiguration) extends PartitionReaderFactory {
+    conf: SerializableConfiguration, ids: Seq[Int] = Seq.empty)
+    extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[ManifestCdfPartition]
-    // per required field: Right(meta constant) or Left(base ordinal)
+    // per required field: Right(meta constant) or Left(line slot) —
+    // the slot resolves through column mapping exactly like the batch
+    // reader (logical field -> stable id -> the part's layout), so a
+    // change feed replays correctly across RENAME/DROP commits
     val plan: Array[Either[(Int, DataType), Any]] =
       required.fields.map { f =>
         if (f.name == ManifestCdf.ChangeTypeCol)
           Right(UTF8String.fromString(part.changeType))
         else if (f.name == ManifestCdf.CommitVersionCol)
           Right(part.version.toLong)
-        else Left((baseSchema.fieldIndex(f.name),
-          baseSchema(f.name).dataType))
+        else {
+          val li = baseSchema.fieldIndex(f.name)
+          val id = if (ids.nonEmpty) ids(li) else li
+          val slot =
+            if (part.cols.isEmpty) id
+            else {
+              val s = part.cols.indexOf(id)
+              if (s < 0) Int.MaxValue else s
+            }
+          Left((slot, baseSchema(f.name).dataType))
+        }
       }
     new PartitionReader[InternalRow] {
       private val path = new Path(part.path)
@@ -1177,7 +1227,8 @@ private[sources] class ManifestCdfReaderFactory(
 
 private[sources] class ManifestReaderFactory(
     schema: StructType, fields: Array[String],
-    conf: SerializableConfiguration, rowCap: Long = Long.MaxValue)
+    conf: SerializableConfiguration, rowCap: Long = Long.MaxValue,
+    ids: Seq[Int] = Seq.empty)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -1185,15 +1236,29 @@ private[sources] class ManifestReaderFactory(
     // required-field ordinals into the full written row; the `_part`
     // and `_pos` METADATA columns are served from the partition
     // itself (path constant / line ordinal), never decoded from the
-    // line (sentinels -1 / -2)
+    // line (sentinels -1 / -2). With COLUMN MAPPING the resolution is
+    // per part: logical field -> stable field id (`ids`, identity
+    // when absent) -> the part's recorded line slot (`part.cols`;
+    // absent = the legacy identity layout, slot = id). A field the
+    // part never wrote (added later, or its slot was dropped before
+    // the part was written) resolves past the line's width and reads
+    // NULL — same rule additive evolution always used.
     val ordinals = fields.map {
       case PartMetaColumn.Name => -1
       case PosMetaColumn.Name  => -2
-      case f                   => schema.fieldIndex(f)
+      case f =>
+        val li = schema.fieldIndex(f)
+        val id = if (ids.nonEmpty) ids(li) else li
+        if (part.cols.isEmpty) id
+        else {
+          val slot = part.cols.indexOf(id)
+          if (slot < 0) Int.MaxValue else slot
+        }
     }
-    val types = ordinals.map(i =>
-      if (i < 0) org.apache.spark.sql.types.StringType
-      else schema.fields(i).dataType)
+    val types = fields.map(f =>
+      if (f == PartMetaColumn.Name || f == PosMetaColumn.Name)
+        org.apache.spark.sql.types.StringType
+      else schema(f).dataType)
     new PartitionReader[InternalRow] {
       private val path = new Path(part.path)
       private val partConst = UTF8String.fromString(part.path)

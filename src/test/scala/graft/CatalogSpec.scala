@@ -351,12 +351,11 @@ class CatalogSpec extends SparkSpec {
       .schema.fieldNames.toSeq === Seq("k", "v"))
     assert(spark.sql("SELECT * FROM gcs.ns.altered VERSION AS OF 3")
       .schema.fieldNames.toSeq === Seq("k", "v", "note"))
-    // non-additive changes stay rejected
+    // rename/drop are now first-class metadata-only DDL (column
+    // mapping — ColumnMappingSpec pins them); what stays rejected is
+    // anything that would re-interpret committed lines: narrowing
     intercept[Exception] {
-      spark.sql("ALTER TABLE gcs.ns.altered DROP COLUMN v")
-    }
-    intercept[Exception] {
-      spark.sql("ALTER TABLE gcs.ns.altered RENAME COLUMN v TO w")
+      spark.sql("ALTER TABLE gcs.ns.altered ALTER COLUMN v TYPE INT")
     }
     // duplicate add fails loudly
     intercept[Exception] {

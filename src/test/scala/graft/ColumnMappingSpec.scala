@@ -1,0 +1,242 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** COLUMN MAPPING (sources/ManifestSink.scala `ColMap`,
+  * GraftCatalog.alterTable): RENAME and DROP COLUMN as metadata-only
+  * commits over stable field ids — the Delta column-mapping /
+  * Iceberg field-id contract. Pins the three correctness hazards the
+  * design exists to kill: positional re-interpretation of committed
+  * lines, resurrection of dropped bytes under a re-added name, and
+  * per-part stats consulted for a different physical column. The
+  * oracle-gated face is q_column_mapping. */
+class ColumnMappingSpec extends SparkSpec {
+
+  private lazy val wh = {
+    val d = Files.createTempDirectory("graft-colmap").toString
+    spark.conf.set("spark.sql.catalog.gcm", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcm.warehouse", d)
+    d
+  }
+
+  private def dataFiles(table: String): Seq[String] = {
+    val dir = new java.io.File(s"$wh/ns/$table")
+    dir.listFiles().toSeq.map(_.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".csv")).sorted
+  }
+
+  test("RENAME COLUMN is metadata-only; old parts read under the new name") {
+    wh
+    spark.sql("CREATE TABLE gcm.ns.rn (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO gcm.ns.rn VALUES (1, 'a'), (2, 'b')")
+    val before = dataFiles("rn")
+    spark.sql("ALTER TABLE gcm.ns.rn RENAME COLUMN v TO label")
+    assert(dataFiles("rn") === before, "rename must not touch data files")
+    assert(spark.table("gcm.ns.rn").schema.fieldNames.toSeq
+      === Seq("k", "label"))
+    assert(spark.sql("SELECT label FROM gcm.ns.rn WHERE k = 1").collect()
+      .map(_.getString(0)).toSeq === Seq("a"))
+    // inserts after the rename interleave with pre-rename parts
+    spark.sql("INSERT INTO gcm.ns.rn VALUES (3, 'c')")
+    assert(spark.sql("SELECT label FROM gcm.ns.rn ORDER BY k").collect()
+      .map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+    // time travel sees the schema as of the old snapshot
+    assert(spark.sql("SELECT * FROM gcm.ns.rn VERSION AS OF 2")
+      .schema.fieldNames.toSeq === Seq("k", "v"))
+    // the old name is retired — reuse would let old per-part stats
+    // describe a different column
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcm.ns.rn ADD COLUMN v STRING")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcm.ns.rn RENAME COLUMN label TO v")
+    }
+  }
+
+  test("DROP COLUMN (middle) is metadata-only; later columns decode " +
+      "correctly from both part generations") {
+    wh
+    spark.sql("CREATE TABLE gcm.ns.dr " +
+      "(k BIGINT, tag STRING, score DOUBLE, note STRING)")
+    spark.sql("INSERT INTO gcm.ns.dr VALUES " +
+      "(1, 't1', 0.5, 'n1'), (2, 't2', 1.5, 'n2')")
+    val before = dataFiles("dr")
+    spark.sql("ALTER TABLE gcm.ns.dr DROP COLUMN score")
+    assert(dataFiles("dr") === before, "drop must not touch data files")
+    assert(spark.table("gcm.ns.dr").schema.fieldNames.toSeq
+      === Seq("k", "tag", "note"))
+    // note sat at slot 3 in old parts and sits at slot 2 in new ones —
+    // the field id resolves both
+    spark.sql("INSERT INTO gcm.ns.dr VALUES (3, 't3', 'n3')")
+    assert(spark.sql("SELECT k, tag, note FROM gcm.ns.dr ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq === Seq((1L, "t1", "n1"), (2L, "t2", "n2"), (3L, "t3", "n3")))
+    // time travel still sees the dropped column and its data
+    assert(spark.sql(
+      "SELECT score FROM gcm.ns.dr VERSION AS OF 2 ORDER BY k").collect()
+      .map(_.getDouble(0)).toSeq === Seq(0.5, 1.5))
+  }
+
+  test("ADD after DROP allocates a fresh field id: dropped bytes can " +
+      "never resurrect under the new column") {
+    wh
+    spark.sql("CREATE TABLE gcm.ns.res (k BIGINT, a STRING, junk BIGINT)")
+    spark.sql("INSERT INTO gcm.ns.res VALUES (1, 'x', 777), (2, 'y', 888)")
+    spark.sql("ALTER TABLE gcm.ns.res DROP COLUMN junk")
+    spark.sql("ALTER TABLE gcm.ns.res ADD COLUMN fresh BIGINT")
+    spark.sql("INSERT INTO gcm.ns.res VALUES (3, 'z', 42)")
+    // old rows: fresh is NULL — NOT the 777/888 still sitting in the
+    // old parts' third slot
+    val rows = spark.sql(
+      "SELECT k, fresh FROM gcm.ns.res ORDER BY k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(rows.toSeq === Seq((1L, None), (2L, None), (3L, Some(42L))))
+  }
+
+  test("stats-identity guards: key / string-stats columns with a later " +
+      "same-type column refuse to drop; other guards hold") {
+    wh
+    spark.sql("CREATE TABLE gcm.ns.gd " +
+      "(k BIGINT, s STRING, k2 BIGINT, s2 STRING)")
+    spark.sql("INSERT INTO gcm.ns.gd VALUES (1, 'a', 10, 'b')")
+    // k is the stats key (first BIGINT) and k2 would inherit its range
+    intercept[Exception] { spark.sql("ALTER TABLE gcm.ns.gd DROP COLUMN k") }
+    // s is the string-stats column and s2 would inherit its min/max
+    intercept[Exception] { spark.sql("ALTER TABLE gcm.ns.gd DROP COLUMN s") }
+    // the LAST same-type columns are droppable (nothing inherits)
+    spark.sql("ALTER TABLE gcm.ns.gd DROP COLUMN k2")
+    spark.sql("ALTER TABLE gcm.ns.gd DROP COLUMN s2")
+    // now k and s are the only columns of their type: still refusing
+    // would strand the table — with no later same-type column the
+    // stats simply stop pruning, which is safe
+    spark.sql("ALTER TABLE gcm.ns.gd DROP COLUMN s")
+    // last remaining column refuses
+    intercept[Exception] { spark.sql("ALTER TABLE gcm.ns.gd DROP COLUMN k") }
+    // a CHECK-constrained column refuses both rename and drop
+    spark.sql("CREATE TABLE gcm.ns.gc (k BIGINT, v BIGINT)")
+    spark.sql("ALTER TABLE gcm.ns.gc ADD CONSTRAINT vpos CHECK (v >= 0)")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcm.ns.gc RENAME COLUMN v TO w")
+    }
+    intercept[Exception] { spark.sql("ALTER TABLE gcm.ns.gc DROP COLUMN v") }
+    spark.sql("ALTER TABLE gcm.ns.gc DROP CONSTRAINT vpos")
+    spark.sql("ALTER TABLE gcm.ns.gc RENAME COLUMN v TO w")
+  }
+
+  test("renaming the bucket column follows the table's layout spec") {
+    wh
+    spark.sql("CREATE TABLE gcm.ns.bk (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO gcm.ns.bk VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE gcm.ns.bk RENAME COLUMN k TO key")
+    // the bucketed write distribution resolves through the NEW name
+    spark.sql("INSERT INTO gcm.ns.bk VALUES (3, 'c'), (4, 'd')")
+    assert(spark.sql("SELECT key FROM gcm.ns.bk ORDER BY key").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    // dropping the bucket column refuses (layout routes by it)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcm.ns.bk DROP COLUMN key")
+    }
+  }
+
+  test("key pruning stays correct across a rename (stats are " +
+      "positional; the predicate follows the new name)") {
+    wh
+    import spark.implicits._
+    (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "s")
+      .repartitionByRange(8, col("k"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", s"$wh/ns/pr").option("history", "true")
+      .mode("overwrite").save()
+    spark.sql("ALTER TABLE gcm.ns.pr RENAME COLUMN k TO id")
+    val picked = spark.sql("SELECT id FROM gcm.ns.pr WHERE id = 417")
+    assert(picked.collect().map(_.getLong(0)).toSeq === Seq(417L))
+    // range-partitioned layout: the key-range prune must plan 1 part
+    val scans = picked.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.head.inputPartitions.size === 1,
+      s"expected 1 planned part, got ${scans.map(_.inputPartitions.size)}")
+  }
+
+  test("MOR deletion vectors and compaction compose with mapping " +
+      "(vectors mask positions; compaction re-stamps layouts)") {
+    wh
+    spark.sql("CREATE TABLE gcm.ns.mx (k BIGINT, a BIGINT, b STRING)")
+    spark.sql("INSERT INTO gcm.ns.mx VALUES (1,11,'b1'), (2,22,'b2')")
+    spark.sql("ALTER TABLE gcm.ns.mx DROP COLUMN a")
+    spark.sql("INSERT INTO gcm.ns.mx VALUES (3,'b3'), (4,'b4')")
+    spark.conf.set("graft.delete.mode", "mor")
+    try spark.sql("DELETE FROM gcm.ns.mx WHERE b = 'b2'")
+    finally spark.conf.unset("graft.delete.mode")
+    assert(spark.sql("SELECT k, b FROM gcm.ns.mx ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "b1"), (3L, "b3"), (4L, "b4")))
+    // compaction rewrites through the CURRENT logical schema: the
+    // packed part is stamped with the live ids and reads identically
+    spark.sql("CALL gcm.system.compact(table => 'ns.mx', target_parts => 1)")
+    assert(spark.sql("SELECT k, b FROM gcm.ns.mx ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "b1"), (3L, "b3"), (4L, "b4")))
+  }
+
+  test("ALTER COLUMN TYPE widens INT -> BIGINT metadata-only; guards " +
+      "hold for value-changing and stats-identity-changing widenings") {
+    wh
+    spark.sql("CREATE TABLE gcm.ns.wd (k BIGINT, n INT, p DECIMAL(6,2))")
+    spark.sql("INSERT INTO gcm.ns.wd VALUES (1, 7, 12.34), (2, 9, 56.78)")
+    val before = dataFiles("wd")
+    spark.sql("ALTER TABLE gcm.ns.wd ALTER COLUMN n TYPE BIGINT")
+    spark.sql("ALTER TABLE gcm.ns.wd ALTER COLUMN p TYPE DECIMAL(12,2)")
+    assert(dataFiles("wd") === before, "widening must not touch data files")
+    // post-widening inserts exceed the old type's range; both
+    // generations read back under the widened types
+    spark.sql("INSERT INTO gcm.ns.wd VALUES (3, 5000000000, 9999999999.99)")
+    val rows = spark.sql(
+      "SELECT k, n, p FROM gcm.ns.wd ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2).toPlainString))
+    assert(rows.toSeq === Seq((1L, 7L, "12.34"), (2L, 9L, "56.78"),
+      (3L, 5000000000L, "9999999999.99")))
+    // time travel reads the old snapshot under its committed types
+    assert(spark.sql("SELECT * FROM gcm.ns.wd VERSION AS OF 2")
+      .schema("n").dataType === org.apache.spark.sql.types.IntegerType)
+    // narrowing / scale changes / float->double-style re-interpretation
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcm.ns.wd ALTER COLUMN p TYPE DECIMAL(12,4)")
+    }
+    // widening that would CHANGE the stats key column (first BIGINT)
+    spark.sql("CREATE TABLE gcm.ns.wk (n INT, k BIGINT)")
+    spark.sql("INSERT INTO gcm.ns.wk VALUES (1, 10)")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcm.ns.wk ALTER COLUMN n TYPE BIGINT")
+    }
+  }
+
+  test("change feed replays correctly across RENAME and DROP commits") {
+    wh
+    spark.sql("CREATE TABLE gcm.ns.cf (k BIGINT, v STRING, x BIGINT)")
+    spark.sql("INSERT INTO gcm.ns.cf VALUES (1, 'a', 100)")
+    spark.sql("ALTER TABLE gcm.ns.cf RENAME COLUMN v TO w")
+    spark.sql("ALTER TABLE gcm.ns.cf DROP COLUMN x")
+    spark.sql("INSERT INTO gcm.ns.cf VALUES (2, 'b')")
+    val sink = Files.createTempDirectory("graft-colmap-cfs").toString
+    val ckpt = Files.createTempDirectory("graft-colmap-cfc").toString
+    val q = spark.readStream.format("graft.sources.ManifestSource")
+      .option("path", s"$wh/ns/cf").option("changeFeed", "true").load()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // both inserts replay; the v1 row decodes its pre-rename slot
+    // under the post-rename name, and x is gone from the feed schema
+    val feed = spark.read.parquet(sink)
+    assert(!feed.schema.fieldNames.contains("x"))
+    assert(feed.filter(col("_change_type") === "insert")
+      .select(col("k"), col("w")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      === Seq((1L, "a"), (2L, "b")))
+  }
+}
