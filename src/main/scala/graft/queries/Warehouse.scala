@@ -1045,6 +1045,60 @@ ORDER BY prio""")),
    (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 5 <> 0)))
   AS t(version, n_parts, n_rows) ORDER BY version""")),
 
+    // --- OPERATION-LABELED HISTORY (`.history.operation` — Delta's
+    // DESCRIBE HISTORY operation / Iceberg's snapshot summary): every
+    // commit records WHAT KIND of operation produced it on its
+    // version line, so lineage questions ("when was this table last
+    // compacted? what deleted rows last week?") answer from metadata.
+    // The fixture drives one commit of each kind — create, append,
+    // MOR delete, COW update, analyze, optimize — and gates the
+    // (version, operation, n_rows) ladder; rows restate from events.
+    QueryDef("q_history_ops",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "histops")
+        spark.conf.set("spark.sql.catalog.graftho",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftho.warehouse", wh)
+        spark.sql("CREATE TABLE graftho.wh.ev_t " +
+          "(event_id BIGINT, event_type STRING, value DOUBLE)")
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .filter(col("event_id") % 3 === 0)
+          .createOrReplaceTempView("graft_histops_src")
+        spark.sql(
+          "INSERT INTO graftho.wh.ev_t SELECT * FROM graft_histops_src")
+        spark.conf.set("graft.delete.mode", "mor")
+        try spark.sql(
+          "DELETE FROM graftho.wh.ev_t WHERE event_type = 'error'")
+        finally spark.conf.unset("graft.delete.mode")
+        spark.sql("UPDATE graftho.wh.ev_t SET value = 0.0 " +
+          "WHERE event_type = 'click'")
+        spark.sql("CALL graftho.system.analyze(table => 'wh.ev_t', " +
+          "rebuild_blooms => true)")
+        spark.sql("CALL graftho.system.compact(table => 'wh.ev_t', " +
+          "target_parts => 2)")
+        spark.sql("""
+          SELECT version, operation, n_rows
+          FROM graftho.wh.ev_t.history ORDER BY version""")
+      },
+      Some("""SELECT version, operation, n_rows FROM (VALUES
+  (CAST(1 AS INT), 'create', CAST(0 AS BIGINT)),
+  (CAST(2 AS INT), 'append',
+   (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 3 = 0)),
+  (CAST(3 AS INT), 'delete',
+   (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 3 = 0
+      AND (event_type <> 'error' OR event_type IS NULL))),
+  (CAST(4 AS INT), 'update',
+   (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 3 = 0
+      AND (event_type <> 'error' OR event_type IS NULL))),
+  (CAST(5 AS INT), 'analyze',
+   (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 3 = 0
+      AND (event_type <> 'error' OR event_type IS NULL))),
+  (CAST(6 AS INT), 'optimize',
+   (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 3 = 0
+      AND (event_type <> 'error' OR event_type IS NULL))))
+  AS t(version, operation, n_rows) ORDER BY version""")),
+
     // --- MAINTENANCE AS SQL (`CALL cat.system.compact(...)` — Spark
     // 4's native DSv2 stored procedures, sources/GraftProcedures
     // .scala): the bin-packing OPTIMIZE issued the way an operations

@@ -199,7 +199,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     // a table is born as a schema-only snapshot: same commit protocol,
     // zero parts — readers see an empty versioned table immediately
     new ManifestBatchWrite(tablePath(ident), schema, truncate = true,
-      history = true, new SerializableConfiguration(conf))
+      history = true, new SerializableConfiguration(conf),
+      opLabel = Some("create"))
       .commit(Array.empty)
     loadTable(ident)
   }
@@ -421,7 +422,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       ManifestSink.publishRebase(conf, p, widened, history = true,
         rebase = head => head,
         strictBase = if (baseVersion > 0) Some(baseVersion) else None,
-        colmapOverride = Some(colmap))
+        colmapOverride = Some(colmap), op = "alter")
     loadTable(ident)
   }
 
@@ -547,8 +548,8 @@ private[sources] class ManifestHistoryTable(path: String)
   import org.apache.spark.sql.catalyst.InternalRow
 
   private val historySchema = StructType.fromDDL(
-    "version INT, n_parts BIGINT, n_rows BIGINT, n_vectored BIGINT, " +
-      "total_bytes BIGINT, commit_time_ms BIGINT")
+    "version INT, operation STRING, n_parts BIGINT, n_rows BIGINT, " +
+      "n_vectored BIGINT, total_bytes BIGINT, commit_time_ms BIGINT")
 
   override def name(): String = s"manifest($path).history"
   override def schema(): StructType = historySchema
@@ -571,10 +572,11 @@ private[sources] class ManifestHistoryTable(path: String)
               val parts = ManifestSink.readManifestMeta(conf, path, Some(v))
               val mtime = fs.getFileStatus(
                 new Path(dir, ManifestSink.versionFile(v))).getModificationTime
-              Array[Long](v.toLong, parts.size.toLong,
+              (Array[Long](v.toLong, parts.size.toLong,
                 parts.map(_.visibleRows).sum,
                 parts.count(_.hasDv).toLong,
-                parts.map(_.bytes).sum, mtime)
+                parts.map(_.bytes).sum, mtime),
+                ManifestSink.readOp(conf, path, Some(v)))
             }.toArray
             Array(HistoryPartition(rows))
           }
@@ -586,9 +588,11 @@ private[sources] class ManifestHistoryTable(path: String)
                   private var i = -1
                   override def next(): Boolean = { i += 1; i < rows.length }
                   override def get(): InternalRow = {
-                    val r = rows(i)
+                    val (r, op) = rows(i)
                     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-                      Array[Any](r(0).toInt, r(1), r(2), r(3), r(4), r(5)))
+                      Array[Any](r(0).toInt,
+                        org.apache.spark.unsafe.types.UTF8String.fromString(op),
+                        r(1), r(2), r(3), r(4), r(5)))
                   }
                   override def close(): Unit = ()
                 }
@@ -597,7 +601,8 @@ private[sources] class ManifestHistoryTable(path: String)
     }
 }
 
-private[sources] case class HistoryPartition(rows: Array[Array[Long]])
+private[sources] case class HistoryPartition(
+    rows: Array[(Array[Long], String)])
     extends org.apache.spark.sql.connector.read.InputPartition
 
 /** SQL-callable twin of [[graft.functions.OracleHash.h64]]: top 60
@@ -679,7 +684,7 @@ private[sources] class GraftCatalogTable(
     * semantics as INSERT OVERWRITE of zero rows. */
   override def truncateTable(): Boolean = {
     ManifestSink.publishSnapshot(ManifestSink.driverConf(), path,
-      tableSchema, Seq.empty, history = true)
+      tableSchema, Seq.empty, history = true, op = "truncate")
     true
   }
 
@@ -771,7 +776,7 @@ private[sources] class GraftCatalogTable(
             throw new java.util.ConcurrentModificationException(
               s"metadata DELETE on $path no longer stats-decidable " +
                 "after a concurrent commit; re-plan (copy-on-write)")),
-          strictBase = None)
+          strictBase = None, op = "delete")
       case None =>
         // row-level half: copy-on-write rewrite by default, or a
         // deletion-vector commit under graft.delete.mode=mor — same

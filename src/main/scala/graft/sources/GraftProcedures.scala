@@ -160,7 +160,11 @@ private[sources] final class AnalyzeProcedure(warehouse: String)
 
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("table", StringType)
-      .comment("table identifier relative to the catalog warehouse").build())
+      .comment("table identifier relative to the catalog warehouse").build(),
+    ProcedureParameter.in("rebuild_blooms", BooleanType)
+      .defaultValue("false")
+      .comment("also rebuild per-part key blooms over the visible " +
+        "rows (one extra shuffle of the keys)").build())
 
   override def outputSchema: StructType = StructType(Seq(
     StructField("parts_analyzed", IntegerType, nullable = false),
@@ -168,7 +172,9 @@ private[sources] final class AnalyzeProcedure(warehouse: String)
 
   override def call(input: InternalRow): JIterator[Scan] = {
     val dir = tableDir(input.getUTF8String(0).toString)
-    val (n, v) = ManifestMaintenance.analyzeTable(SparkSession.active, dir)
+    val blooms = !input.isNullAt(1) && input.getBoolean(1)
+    val (n, v) = ManifestMaintenance.analyzeTable(SparkSession.active, dir,
+      rebuildBlooms = blooms)
     result(n, v)
   }
 }
@@ -494,7 +500,7 @@ private[sources] final class CloneProcedure(warehouse: String)
       .getOrElse(throw new IllegalStateException(
         s"clone: unreadable source schema at $srcDir"))
     ManifestSink.publishSnapshot(conf, targetDir, schema, parts,
-      history = true, colmap = Some(cm))
+      history = true, colmap = Some(cm), op = "clone")
     result(v, parts.size, parts.map(_.visibleRows).sum)
   }
 }

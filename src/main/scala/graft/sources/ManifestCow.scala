@@ -92,7 +92,8 @@ private[sources] object ManifestCow {
     if (touched.isEmpty) return // predicate provably matches no row
     ManifestSink.publishRebase(conf, path, schema, history = true,
       head => head.filterNot(p => touched.contains(p.path)) ++ rewritten,
-      strictBase = Some(baseVersion), footprint = Some(touched))
+      strictBase = Some(baseVersion), footprint = Some(touched),
+      op = "delete")
   }
 
   /** The COW kernel shared by DELETE and REPLACE WHERE: classify the

@@ -133,7 +133,8 @@ private[sources] class ManifestDeltaBatchWrite(
           p.copy(dvHex = "", dvRef = ref, dvCard = card)
         }.getOrElse(p)) ++ newParts,
       strictBase = Some(base),
-      footprint = Some(updated.keySet))
+      footprint = Some(updated.keySet),
+      op = op.command().toString.toLowerCase)
 
     // fragments are never referenced by a manifest — reclaim eagerly
     commits.flatMap(_.frags).foreach { case (_, ref, _) =>

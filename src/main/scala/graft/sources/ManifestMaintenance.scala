@@ -62,7 +62,7 @@ object ManifestMaintenance {
     * concurrently re-vectored part. Returns (parts updated, new
     * version). */
   def analyzeTable(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Int, Int) = {
+      dir: String, rebuildBlooms: Boolean = false): (Int, Int) = {
     import org.apache.spark.sql.functions.{col, max, min}
     import org.apache.spark.sql.types.{LongType, StringType}
     val conf = ManifestSink.driverConf()
@@ -124,15 +124,44 @@ object ManifestMaintenance {
     }.toMap
     // a part with no group row has zero visible rows: all-null
     // sentinels prune it against any real bound
-    val updated: Map[String, PartMeta] = parts.map { p =>
+    val tightened: Map[String, PartMeta] = parts.map { p =>
       p.path -> fresh.getOrElse(p.path,
         p.copy(kMin = Long.MaxValue, kMax = Long.MinValue,
           sMin = None, sMax = None, cstats = Map.empty))
     }.toMap
+    // OPT-IN bloom rebuild (`rebuild_blooms => true`): blooms are
+    // built over PHYSICAL keys at write time, so after a delete they
+    // stay supersets — sound but useless against deleted point
+    // lookups the key RANGE still admits. Rebuilding pays one extra
+    // shuffle of the visible keys (clustered per part, bitmap built
+    // on an executor, one hex string per part to the driver) and
+    // restores point-lookup skipping on the survivors.
+    val updated: Map[String, PartMeta] =
+      if (!rebuildBlooms || keyIdx < 0) tightened
+      else {
+        import spark.implicits._
+        val keyName = schema.fields(keyIdx).name
+        val rebuilt: Map[String, String] = df
+          .select(col(PartMetaColumn.Name).as("_p"), col(keyName).as("_k"))
+          .where(col("_k").isNotNull)
+          .as[(String, Long)]
+          .groupByKey(_._1)
+          .mapGroups { (p, it) =>
+            val bits = PartBloom.newBits()
+            var n = 0L
+            it.foreach { kv => PartBloom.add(bits, kv._2); n += 1 }
+            (p, PartBloom.toHex(PartBloom.shrinkFor(bits, n)))
+          }
+          .collect().toMap
+        tightened.map { case (path, m) =>
+          path -> m.copy(bloomHex = rebuilt.getOrElse(path, ""))
+        }
+      }
     val v = ManifestSink.publishRebase(conf, dir, schema, history = true,
       head => head.map(p => updated.getOrElse(p.path, p)),
       strictBase = Some(baseVersion),
-      footprint = Some(parts.map(_.path).toSet))
+      footprint = Some(parts.map(_.path).toSet),
+      op = "analyze")
     (updated.size, v)
   }
 
@@ -282,7 +311,8 @@ object ManifestMaintenance {
       val selectedPaths = selected.map(_.path).toSet
       val v = ManifestSink.publishRebase(conf, dir, schema, history = true,
         head => head.filterNot(p => selectedPaths.contains(p.path)) ++ rewritten,
-        strictBase = Some(baseVersion), footprint = Some(selectedPaths))
+        strictBase = Some(baseVersion), footprint = Some(selectedPaths),
+        op = "optimize")
       (rewritten, v)
     } finally {
       fs.delete(new Path(tmpRead), true)
@@ -316,7 +346,7 @@ object ManifestMaintenance {
       .getOrElse(throw new IllegalArgumentException(
         s"no snapshot $version at $dir"))
     ManifestSink.publishSnapshot(conf, dir, schema, parts, history = true,
-      colmap = Some(cm))
+      colmap = Some(cm), op = "restore")
   }
 
   /** FAST-FORWARD the main line to a branch head — the publish step of
@@ -339,7 +369,7 @@ object ManifestMaintenance {
       .getOrElse(throw new IllegalStateException(
         s"branch '$branch' at $dir has no schema header"))
     ManifestSink.publishSnapshot(conf, dir, schema, parts, history = true,
-      colmap = Some(cm))
+      colmap = Some(cm), op = "publish")
   }
 
   /** Drop a branch's version files (post-publish cleanup, or abandoning

@@ -138,6 +138,7 @@ private[sources] object ManifestMor {
         .map { case (ref, card) =>
           p.copy(dvHex = "", dvRef = ref, dvCard = card)
         }.getOrElse(p)),
-      strictBase = Some(baseVersion), footprint = Some(byPart.keySet))
+      strictBase = Some(baseVersion), footprint = Some(byPart.keySet),
+      op = "delete")
   }
 }

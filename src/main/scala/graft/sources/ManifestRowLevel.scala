@@ -143,7 +143,8 @@ private[sources] class ManifestReplaceWrite(
     // re-vectored a scanned part conflicts loudly
     ManifestSink.publishRebase(conf.value, path, schema, history = true,
       head => head.filterNot(p => replacedPaths.contains(p.path)) ++ newParts,
-      strictBase = Some(base), footprint = Some(replacedPaths))
+      strictBase = Some(base), footprint = Some(replacedPaths),
+      op = op.command().toString.toLowerCase)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

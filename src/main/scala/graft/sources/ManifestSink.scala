@@ -431,6 +431,15 @@ object ManifestSink {
       version: Option[Int]): Seq[PartMeta] =
     metaFromLines(manifestLines(conf, dir, version))
 
+  /** The snapshot's operation label ("" for pre-label snapshots). */
+  private[sources] def readOp(conf: Configuration, dir: String,
+      version: Option[Int]): String =
+    manifestLines(conf, dir, version)
+      .find(_.startsWith("{\"version\":"))
+      .flatMap(l => """"op":"([^"]*)"""".r.findFirstMatchIn(l)
+        .map(m => decPath(m.group(1))))
+      .getOrElse("")
+
   /** Parts + (schema, column mapping) from ONE manifest read — the
     * scan planner's shape (a second read of a 100k-part manifest just
     * for the header would double planning IO). */
@@ -716,13 +725,14 @@ object ManifestSink {
     * committed version (0 for a plain non-history table). */
   private[sources] def publishSnapshot(conf: Configuration, path: String,
       schema: StructType, parts: Seq[PartMeta], history: Boolean,
-      colmap: Option[ColMap] = None): Int =
+      colmap: Option[ColMap] = None, op: String = ""): Int =
     // fixed-part publishes (staging reads, restore, fast-forward,
     // clone, truncate) re-reference EXISTING parts: their recorded
     // layouts are already correct, so never stamp — and when the
     // caller hands the snapshot's mapping, publish it verbatim
     publishRebase(conf, path, schema, history, _ => parts,
-      strictBase = None, colmapOverride = colmap, stampNew = false)
+      strictBase = None, colmapOverride = colmap, stampNew = false,
+      op = op)
 
   /** The table's [[ColMap]] aligned BY NAME to `schema` (None when
     * trivially identity) — what a temp staging manifest over a mapped
@@ -777,7 +787,8 @@ object ManifestSink {
       footprint: Option[Set[String]] = None,
       branch: Option[String] = None,
       colmapOverride: Option[ColMap] = None,
-      stampNew: Boolean = true): Int = {
+      stampNew: Boolean = true,
+      op: String = ""): Int = {
     branch.foreach { b =>
       require(history, s"branch commits require a history table ($path)")
       require(validBranch(b), s"invalid branch name '$b' " +
@@ -795,7 +806,13 @@ object ManifestSink {
       if (!cm.isIdentity || cm.retired.nonEmpty ||
           cm.nextId != schema.fields.length)
         content.append(renderColMap(cm)).append('\n')
-      if (history) content.append(s"""{"version":$version}""").append('\n')
+      if (history) {
+        // the OPERATION KIND rides the version record (Delta's
+        // DESCRIBE HISTORY `operation` / Iceberg's snapshot summary):
+        // pure lineage metadata, parsed by `.history` only
+        val opField = if (op.isEmpty) "" else s""","op":"${encPath(op)}""""
+        content.append(s"""{"version":$version$opField}""").append('\n')
+      }
       parts.foreach { m =>
         val b = if (m.bloomHex.isEmpty) "" else s""","bloom":"${m.bloomHex}""""
         val s = (m.sMin, m.sMax) match {
@@ -1172,8 +1189,13 @@ private[sources] class ManifestBatchWrite(
     path: String, schema: StructType, truncate: Boolean, history: Boolean,
     conf: SerializableConfiguration, branch: Option[String] = None,
     buckets: Option[Int] = None,
-    replaceFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None)
+    replaceFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None,
+    opLabel: Option[String] = None)
     extends BatchWrite {
+
+  private def opName: String = opLabel.getOrElse(
+    if (replaceFilters.isDefined) "replace-where"
+    else if (truncate) "overwrite" else "append")
 
   private val token = java.util.UUID.randomUUID().toString.take(8)
 
@@ -1257,7 +1279,7 @@ private[sources] class ManifestBatchWrite(
           head => head.filterNot(p => touched.contains(p.path)) ++
             rewritten ++ newParts,
           strictBase = Some(baseVersion), footprint = Some(touched),
-          branch = branch)
+          branch = branch, op = opName)
       case None =>
         // The prior part list is NOT captured here: it is re-read from
         // the head inside the commit loop on every claim attempt, so an
@@ -1266,7 +1288,7 @@ private[sources] class ManifestBatchWrite(
         // parts.
         ManifestSink.publishRebase(conf.value, path, published, history,
           head => (if (truncate) Seq.empty else head) ++ newParts,
-          strictBase = None, branch = branch)
+          strictBase = None, branch = branch, op = opName)
     }
   }
 

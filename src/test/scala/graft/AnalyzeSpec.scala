@@ -121,6 +121,35 @@ class AnalyzeSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM gan.ns.cm").head.getLong(0) === 160L)
   }
 
+  test("rebuild_blooms restores point-lookup skipping for deleted keys " +
+      "on hash layouts where ranges cannot prune") {
+    wh
+    import spark.implicits._
+    // hash layout: both parts span nearly the full key range, so only
+    // the bloom can answer a point lookup
+    spark.sql("CREATE TABLE gan.ns.bl (k BIGINT, s STRING)")
+    (0 until 2).foreach { i =>
+      (0L until 500L).filter(_ % 2 == i).map(k => (k, s"v$k")).toDF("k", "s")
+        .coalesce(1).write.format("graft.sources.ManifestSink")
+        .option("path", s"$wh/ns/bl").option("history", "true")
+        .mode("append").save()
+    }
+    spark.conf.set("graft.delete.mode", "mor")
+    try spark.sql("DELETE FROM gan.ns.bl WHERE k = 123 AND s IS NOT NULL")
+    finally spark.conf.unset("graft.delete.mode")
+    // write-time bloom still contains the deleted key
+    val pre = spark.sql("SELECT count(*) AS n FROM gan.ns.bl WHERE k = 123")
+    assert(plannedParts(pre) === 1 && pre.head.getLong(0) === 0L)
+    spark.sql(
+      "CALL gan.system.analyze(table => 'ns.bl', rebuild_blooms => true)")
+    val post = spark.sql("SELECT count(*) AS n FROM gan.ns.bl WHERE k = 123")
+    assert(plannedParts(post) === 0 && post.head.getLong(0) === 0L)
+    // surviving keys still probe their one part
+    val live = spark.sql("SELECT count(*) AS n FROM gan.ns.bl WHERE k = 125")
+    assert(plannedParts(live) === 1 && live.head.getLong(0) === 1L)
+    assert(spark.sql("SELECT count(*) FROM gan.ns.bl").head.getLong(0) === 499L)
+  }
+
   test("a fully-deleted part gets the all-null sentinels and prunes " +
       "against any real bound") {
     wh

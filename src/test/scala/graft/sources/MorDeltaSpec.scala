@@ -223,11 +223,13 @@ class MorDeltaSpec extends graft.SparkSpec {
     val h = spark.sql(
       "SELECT * FROM gmd.ns.hist.history ORDER BY version").collect()
     assert(h.map(_.getInt(0)).toSeq === Seq(1, 2))
-    assert(h.map(_.getLong(2)).toSeq === Seq(1000L, 950L),
+    assert(h.map(_.getString(1)).toSeq === Seq("overwrite", "delete"),
+      "each commit carries its operation kind")
+    assert(h.map(_.getLong(3)).toSeq === Seq(1000L, 950L),
       "n_rows must be the VISIBLE count (vectors subtracted)")
-    assert(h.map(_.getLong(3)).toSeq === Seq(0L, 1L), "one vectored part at v2")
-    assert(h.forall(_.getLong(4) > 0L), "committed byte sizes flow through")
-    assert(h(0).getLong(5) <= h(1).getLong(5), "commit times nondecreasing")
+    assert(h.map(_.getLong(4)).toSeq === Seq(0L, 1L), "one vectored part at v2")
+    assert(h.forall(_.getLong(5) > 0L), "committed byte sizes flow through")
+    assert(h(0).getLong(6) <= h(1).getLong(6), "commit times nondecreasing")
     // metadata-only: the scan works with every data file gone
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     headMeta(path).foreach(m =>
