@@ -1222,6 +1222,49 @@ FROM events""")),
   CAST(4 AS BIGINT) AS n_with_cstats
 FROM events""")),
 
+    // --- `.columns` mapping ledger (GraftCatalog
+    // ManifestColumnsTable): one row per live column with its
+    // position, type, STABLE FIELD ID, and stats role, plus one per
+    // retired (dropped/renamed-away, unreusable) name — the audit
+    // view of column mapping, answered from the head manifest with
+    // zero data files. The fixture runs rename→drop→add and gates
+    // the full ledger: the re-added position holds a FRESH id (3,
+    // never the dropped column's 2) and both burned names appear
+    // retired.
+    QueryDef("q_meta_columns",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "metacols")
+        spark.conf.set("spark.sql.catalog.graftmc",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftmc.warehouse", wh)
+        spark.sql("CREATE TABLE graftmc.wh.ev_t " +
+          "(event_id BIGINT, event_type STRING, value DOUBLE)")
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .filter(col("event_id") % 11 === 0)
+          .createOrReplaceTempView("graft_metacols_src")
+        spark.sql(
+          "INSERT INTO graftmc.wh.ev_t SELECT * FROM graft_metacols_src")
+        spark.sql("ALTER TABLE graftmc.wh.ev_t RENAME COLUMN value TO score")
+        spark.sql("ALTER TABLE graftmc.wh.ev_t DROP COLUMN event_type")
+        spark.sql("ALTER TABLE graftmc.wh.ev_t ADD COLUMN lang STRING")
+        spark.sql("""
+          SELECT position, name, type, field_id, stats_role, retired
+          FROM graftmc.wh.ev_t.columns
+          ORDER BY retired, position, name""")
+      },
+      Some("""SELECT position, name, type, field_id, stats_role, retired
+FROM (VALUES
+  (CAST(0 AS INT), 'event_id', 'bigint', CAST(0 AS INT), 'key', false),
+  (CAST(1 AS INT), 'score', 'double', CAST(2 AS INT), '', false),
+  (CAST(2 AS INT), 'lang', 'string', CAST(3 AS INT), 'string', false),
+  (CAST(NULL AS INT), 'event_type', CAST(NULL AS VARCHAR),
+   CAST(NULL AS INT), '', true),
+  (CAST(NULL AS INT), 'value', CAST(NULL AS VARCHAR),
+   CAST(NULL AS INT), '', true))
+  AS t(position, name, type, field_id, stats_role, retired)
+ORDER BY retired, position, name""")),
+
     // --- ALTER TABLE ADD COLUMN (DDL-driven schema evolution): the
     // widening is a METADATA-ONLY snapshot — the head's part list
     // republished under the wider schema; no data file is touched,

@@ -104,6 +104,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
               case "files"    => return new ManifestFilesTable(parent)
               case "branches" => return new ManifestBranchesTable(parent)
               case "tags"     => return new ManifestTagsTable(parent)
+              case "columns"  => return new ManifestColumnsTable(parent)
               case _          => ()
             }
         }
@@ -1008,6 +1009,61 @@ private[sources] object GraftBucketFunction extends UnboundFunction {
           else graft.functions.GraftBucket.id(input.getLong(1), input.getInt(0)))
     }
   }
+}
+
+/** The column-mapping ledger as a TABLE (`SELECT ... FROM
+  * cat.ns.t.columns`): one row per LIVE column (position, name, type,
+  * stable field id, whether it serves key or string stats) plus one
+  * per RETIRED name (dropped or renamed-away — unreusable forever).
+  * This is how an operator audits schema evolution: "which physical
+  * column does this name bind to, and which names are burned" —
+  * answered from the head manifest, zero data files. */
+private[sources] class ManifestColumnsTable(path: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder => SB}
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val columnsSchema = StructType.fromDDL(
+    "position INT, name STRING, type STRING, field_id INT, " +
+      "stats_role STRING, retired BOOLEAN")
+
+  override def name(): String = s"manifest($path).columns"
+  override def schema(): StructType = columnsSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): SB =
+    new SB {
+      override def build(): Scan = {
+        val conf = ManifestSink.driverConf()
+        val (schema, cm) = ManifestSink.readSchemaAndColMap(conf, path)
+          .getOrElse(throw new IllegalStateException(
+            s"no committed schema at $path"))
+        val keyIdx = schema.fields.indexWhere(_.dataType == LongType)
+        val strIdx = schema.fields.indexWhere(_.dataType == StringType)
+        val live = schema.fields.zipWithIndex.map { case (f, i) =>
+          val role =
+            if (i == keyIdx) "key"
+            else if (i == strIdx) "string"
+            else if (f.dataType == LongType || f.dataType == StringType)
+              "column" // tracked via ColStat when within the writer cap
+            else ""
+          new GenericInternalRow(Array[Any](i,
+            UTF8String.fromString(f.name),
+            UTF8String.fromString(f.dataType.simpleString),
+            cm.ids(i), UTF8String.fromString(role), false)):
+            org.apache.spark.sql.catalyst.InternalRow
+        }
+        val retired = cm.retired.sorted.map { n =>
+          new GenericInternalRow(Array[Any](null,
+            UTF8String.fromString(n), null, null,
+            UTF8String.fromString(""), true)):
+            org.apache.spark.sql.catalyst.InternalRow
+        }
+        new LocalRowsScan(columnsSchema, (live ++ retired).toArray)
+      }
+    }
 }
 
 /** Tags as a TABLE (`SELECT ... FROM cat.ns.t.tags`): one row per

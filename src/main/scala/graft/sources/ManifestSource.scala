@@ -798,6 +798,16 @@ private[sources] class ManifestScan(
         p.cols)).toArray
   }
 
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new PartsPlannedMetric, new PartsSkippedMetric,
+      new DvMaskedRowsMetric)
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(LongTaskMetric("partsPlanned", parts.size.toLong),
+      LongTaskMetric("partsSkipped", (totalParts - parts.size).toLong))
+
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(schema, required.fieldNames, conf,
       limit.map(_.toLong).getOrElse(Long.MaxValue), ids)
@@ -1225,6 +1235,39 @@ private[sources] class ManifestCdfReaderFactory(
   }
 }
 
+/** OBSERVABILITY (DSv2 custom metrics, surfaced in the SQL UI next
+  * to rows/bytes): the pruning a manifest scan performed is exactly
+  * what an operator tunes at 100 TB, so the scan reports it —
+  * `partsPlanned`/`partsSkipped` from the driver after static +
+  * runtime pruning, `dvMaskedRows` summed from the readers (the
+  * merge-on-read debt a compaction would settle). */
+private[sources] class PartsPlannedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "partsPlanned"
+  override def description(): String =
+    "data parts planned (after static + runtime pruning)"
+}
+
+private[sources] class PartsSkippedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "partsSkipped"
+  override def description(): String =
+    "data parts skipped by manifest stats/bloom/runtime pruning"
+}
+
+private[sources] class DvMaskedRowsMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "dvMaskedRows"
+  override def description(): String =
+    "rows skipped by deletion vectors (merge-on-read debt)"
+}
+
+private[sources] case class LongTaskMetric(metricName: String, v: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = v
+}
+
 private[sources] class ManifestReaderFactory(
     schema: StructType, fields: Array[String],
     conf: SerializableConfiguration, rowCap: Long = Long.MaxValue,
@@ -1274,6 +1317,11 @@ private[sources] class ManifestReaderFactory(
       private var current: InternalRow = _
       private var emitted = 0L
       private var lineNo = -1L
+      private var masked = 0L
+
+      override def currentMetricsValues()
+          : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+        Array(LongTaskMetric("dvMaskedRows", masked))
 
       override def next(): Boolean = {
         // a pushed limit caps every partition: one partition can
@@ -1284,6 +1332,7 @@ private[sources] class ManifestReaderFactory(
           val candidate = lines.next()
           lineNo += 1
           if (!DeleteVector.isDeleted(dv, lineNo)) line = candidate
+          else masked += 1
         }
         if (line == null) return false
         emitted += 1
