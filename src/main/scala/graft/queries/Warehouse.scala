@@ -2056,6 +2056,91 @@ ORDER BY side, event_type NULLS FIRST""")),
 FROM orders WHERE o_orderpriority = '3-MEDIUM'
 GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // --- NULL-COUNT STATS (the third leg of the per-part stats
+    // triple, Iceberg/Delta file-stats contract): the writer records
+    // null counts for the key / first-string / every ColStat column,
+    // and the scan prunes IS NULL against provably-zero-null parts
+    // and IS NOT NULL against provably-all-null parts. The fixture
+    // derives a nullable column (etype = NULLIF(event_type,'click')),
+    // lands the all-null slice and the never-null slice as separate
+    // parts, and gates both probes WITH their planned-part counts.
+    QueryDef("q_null_prune",
+      (spark, dir) => {
+        val t = freshTable(spark, dir, "nullprune")
+        val base = Tables.events(spark, dir)
+          .filter(col("event_type").isNotNull)
+          .select(col("event_id"),
+            nullif(col("event_type"), lit("click")).as("etype"),
+            col("value"))
+        Seq(col("etype").isNull, col("etype").isNotNull).zipWithIndex
+          .foreach { case (p, i) =>
+            base.filter(p).coalesce(1)
+              .write.format("graft.sources.ManifestSink")
+              .option("path", t)
+              .mode(if (i == 0) "overwrite" else "append").save()
+          }
+        def probe(pred: String) = spark.read
+          .format("graft.sources.ManifestSource").option("path", t).load()
+          .filter(expr(pred))
+          .agg(count(lit(1)).as("n"))
+        def planned(pred: String): Int =
+          probe(pred).queryExecution.sparkPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.inputPartitions.size
+          }.sum
+        probe("etype IS NULL").withColumn("which", lit("is_null"))
+          .withColumn("parts_planned", lit(planned("etype IS NULL")))
+          .unionAll(probe("etype IS NOT NULL")
+            .withColumn("which", lit("not_null"))
+            .withColumn("parts_planned",
+              lit(planned("etype IS NOT NULL"))))
+          .orderBy(col("which"))
+      },
+      Some("""SELECT n, which, parts_planned FROM (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM events
+            WHERE event_type = 'click') AS n,
+    'is_null' AS which, CAST(1 AS INT) AS parts_planned
+  UNION ALL
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM events
+            WHERE event_type IS NOT NULL AND event_type <> 'click'),
+    'not_null', CAST(1 AS INT))
+ORDER BY which""")),
+
+    // --- METADATA-ONLY COUNT(col) (null counts close the gap the
+    // agg-pushdown path used to decline): COUNT(col) = Σ per part of
+    // (rows − null count), so a global COUNT over any tracked column
+    // answers without opening a data file — alongside COUNT(*) and
+    // MIN/MAX in one pushed aggregate. The `agg_pushed` flag pins the
+    // plan (ManifestAggScan, one synthetic partition).
+    QueryDef("q_agg_count_col",
+      (spark, dir) => {
+        val t = freshTable(spark, dir, "aggcount")
+        Tables.events(spark, dir)
+          .filter(col("event_type").isNotNull)
+          .select(col("event_id"),
+            nullif(col("event_type"), lit("click")).as("etype"),
+            col("user_id"))
+          .repartition(4)
+          .write.format("graft.sources.ManifestSink")
+          .option("path", t).mode("overwrite").save()
+        val agg = spark.read.format("graft.sources.ManifestSource")
+          .option("path", t).load()
+          .agg(count(col("etype")).as("n_typed"),
+            count(col("event_id")).as("n_ids"),
+            count(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_rows"))
+        val pushed = agg.queryExecution.sparkPlan.toString
+          .contains("ManifestAggScan")
+        agg.withColumn("agg_pushed", lit(pushed))
+      },
+      Some("""SELECT
+  CAST(count(*) FILTER (WHERE event_type <> 'click') AS BIGINT) AS n_typed,
+  CAST(count(event_id) AS BIGINT) AS n_ids,
+  CAST(count(user_id) AS BIGINT) AS n_users,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  true AS agg_pushed
+FROM events WHERE event_type IS NOT NULL""")),
+
     // --- STREAMING MV MAINTENANCE: the three warehouse streaming
     // pieces composed into the always-fresh-rollup loop a 100 TB
     // pipeline actually runs — a BUDGETED manifest stream

@@ -63,7 +63,7 @@ object ManifestMaintenance {
     * version). */
   def analyzeTable(spark: org.apache.spark.sql.SparkSession,
       dir: String, rebuildBlooms: Boolean = false): (Int, Int) = {
-    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.functions.{col, count, max, min}
     import org.apache.spark.sql.types.{LongType, StringType}
     val conf = ManifestSink.driverConf()
     val baseVersion = ManifestSink.listVersions(conf, dir)
@@ -90,7 +90,8 @@ object ManifestMaintenance {
       reader.option("version", baseVersion.toString) else reader).load()
     val aggs = tracked.flatMap { i =>
       val c = schema.fields(i).name
-      Seq(min(col(c)).as(s"mn_$i"), max(col(c)).as(s"mx_$i"))
+      Seq(min(col(c)).as(s"mn_$i"), max(col(c)).as(s"mx_$i"),
+        count(col(c)).as(s"ct_$i"))
     }
     val grouped = df
       .groupBy(col(PartMetaColumn.Name).as("_p"))
@@ -100,25 +101,30 @@ object ManifestMaintenance {
       val path = r.getString(0)
       val base = parts.find(_.path == path).getOrElse(
         throw new IllegalStateException(s"scan reported unknown part $path"))
-      def mnAt(j: Int): Int = 1 + 2 * j
+      def mnAt(j: Int): Int = 1 + 3 * j
       var m = base
       tracked.zipWithIndex.foreach { case (i, j) =>
         val f = schema.fields(i)
-        val (mn, mx) = (mnAt(j), mnAt(j) + 1)
+        val (mn, mx, ct) = (mnAt(j), mnAt(j) + 1, mnAt(j) + 2)
+        // null count over the VISIBLE rows = visible − non-null count
+        val nulls = base.visibleRows - r.getLong(ct)
         if (i == keyIdx) m =
-          if (r.isNullAt(mn)) m.copy(kMin = Long.MaxValue, kMax = Long.MinValue)
-          else m.copy(kMin = r.getLong(mn), kMax = r.getLong(mx))
+          if (r.isNullAt(mn)) m.copy(kMin = Long.MaxValue,
+            kMax = Long.MinValue, kNulls = nulls)
+          else m.copy(kMin = r.getLong(mn), kMax = r.getLong(mx),
+            kNulls = nulls)
         else if (i == strIdx) m = m.copy(
           sMin = if (r.isNullAt(mn)) None else Some(r.getString(mn)),
-          sMax = if (r.isNullAt(mx)) None else Some(r.getString(mx)))
+          sMax = if (r.isNullAt(mx)) None else Some(r.getString(mx)),
+          sNulls = nulls)
         else if (f.dataType == LongType) m = m.copy(cstats =
           if (r.isNullAt(mn)) m.cstats - f.name
-          else m.cstats + (f.name ->
-            ColStat('l', r.getLong(mn).toString, r.getLong(mx).toString)))
+          else m.cstats + (f.name -> ColStat('l',
+            r.getLong(mn).toString, r.getLong(mx).toString, nulls)))
         else m = m.copy(cstats =
           if (r.isNullAt(mn)) m.cstats - f.name
           else m.cstats + (f.name ->
-            ColStat('s', r.getString(mn), r.getString(mx))))
+            ColStat('s', r.getString(mn), r.getString(mx), nulls)))
       }
       path -> m
     }.toMap
@@ -127,7 +133,9 @@ object ManifestMaintenance {
     val tightened: Map[String, PartMeta] = parts.map { p =>
       p.path -> fresh.getOrElse(p.path,
         p.copy(kMin = Long.MaxValue, kMax = Long.MinValue,
-          sMin = None, sMax = None, cstats = Map.empty))
+          sMin = None, sMax = None, cstats = Map.empty,
+          kNulls = if (keyIdx >= 0) 0L else p.kNulls,
+          sNulls = if (strIdx >= 0) 0L else p.sNulls))
     }.toMap
     // OPT-IN bloom rebuild (`rebuild_blooms => true`): blooms are
     // built over PHYSICAL keys at write time, so after a delete they

@@ -187,7 +187,7 @@ private[sources] object StrBin {
   * Encoding is additive on the manifest line (`"cstats":"…"`): old
   * manifests parse unchanged and simply never column-prune. */
 private[sources] final case class ColStat(kind: Char, min: String,
-    max: String) {
+    max: String, nulls: Long = -1L) {
   def lMin: Long = min.toLong
   def lMax: Long = max.toLong
 }
@@ -202,7 +202,10 @@ private[sources] object ColStat {
     * so the line's regex field parser never sees a comma or quote. */
   def encode(m: Map[String, ColStat]): String =
     m.toSeq.sortBy(_._1).map { case (c, st) =>
-      s"${enc(c)}=${st.kind}:${enc(st.min)}:${enc(st.max)}"
+      // the 4th token (null count) is OPTIONAL — legacy decoders and
+      // legacy blobs interoperate both ways
+      s"${enc(c)}=${st.kind}:${enc(st.min)}:${enc(st.max)}" +
+        (if (st.nulls >= 0) s":${st.nulls}" else "")
     }.mkString("&")
 
   def decode(blob: String): Map[String, ColStat] =
@@ -211,8 +214,13 @@ private[sources] object ColStat {
       val eq = entry.indexOf('=')
       // limit -1: an EMPTY string min/max is a legal stat value and
       // must survive the split (trailing empties are dropped otherwise)
-      val Array(k, mn, mx) = entry.drop(eq + 1).split(":", -1)
-      dec(entry.take(eq)) -> ColStat(k.head, dec(mn), dec(mx))
+      val st = entry.drop(eq + 1).split(":", -1) match {
+        case Array(k, mn, mx)    => ColStat(k.head, dec(mn), dec(mx))
+        case Array(k, mn, mx, n) => ColStat(k.head, dec(mn), dec(mx), n.toLong)
+        case other => throw new IllegalArgumentException(
+          s"bad ColStat entry '$entry' (${other.length} tokens)")
+      }
+      dec(entry.take(eq)) -> st
     }.toMap
 }
 
@@ -319,7 +327,8 @@ private[sources] final case class PartMeta(
     bytes: Long = 0L, bucket: Int = -1, nbuckets: Int = 0,
     sorted: Boolean = false,
     cstats: Map[String, ColStat] = Map.empty,
-    cols: Seq[Int] = Seq.empty) {
+    cols: Seq[Int] = Seq.empty,
+    kNulls: Long = -1L, sNulls: Long = -1L) {
   lazy val bloomBits: Array[Long] = PartBloom.fromHex(bloomHex)
   lazy val dvBits: Array[Long] = DeleteVector.fromHex(dvHex)
   /** A vector exists — inline (`dvHex`) or as a SIDECAR file
@@ -474,6 +483,8 @@ object ManifestSink {
       val bk = field("bucket")
       val nbk = field("nbuckets")
       val cl = field("cols")
+      val kn = field("knulls")
+      val sn = field("snulls")
       PartMeta(decPath(field("path")), field("rows").toLong,
         field("min").toLong, field("max").toLong, field("bloom"),
         strField("smin"), strField("smax"), field("dv"),
@@ -487,7 +498,11 @@ object ManifestSink {
         // the part's LINE LAYOUT as stable field ids (column mapping);
         // absent ⇒ the legacy identity rule: slot j holds field id j
         cols = if (cl.isEmpty) Seq.empty
-          else cl.split('-').toSeq.map(_.toInt))
+          else cl.split('-').toSeq.map(_.toInt),
+        // null counts of the key / first-string columns; -1 (absent,
+        // legacy) always means "unknown — cannot prune or answer"
+        kNulls = if (kn.isEmpty) -1L else kn.toLong,
+        sNulls = if (sn.isEmpty) -1L else sn.toLong)
     }
 
   /** TABLE-LEVEL LAYOUT SPEC (`_TABLE.json`): created once by
@@ -831,9 +846,12 @@ object ManifestSink {
           else s""","cstats":"${encPath(ColStat.encode(m.cstats))}""""
         val co = if (m.cols.isEmpty) ""
           else s""","cols":"${m.cols.mkString("-")}""""
+        val kn = if (m.kNulls < 0) "" else s""","knulls":${m.kNulls}"""
+        val sn = if (m.sNulls < 0) "" else s""","snulls":${m.sNulls}"""
         content.append(
           s"""{"path":"${encPath(m.path)}","rows":${m.rows},""" +
-            s""""min":${m.kMin},"max":${m.kMax}$b$s$d$r$by$bk$so$cs$co}""").append('\n')
+            s""""min":${m.kMin},"max":${m.kMax}$b$s$d$r$by$bk$so$cs$co$kn$sn}""")
+          .append('\n')
       }
       content.toString.getBytes("UTF-8")
     }
@@ -1249,7 +1267,8 @@ private[sources] class ManifestBatchWrite(
       PartMeta(m.path, m.rows, m.keyMin, m.keyMax, m.bloom,
         m.strMin, m.strMax, bytes = m.bytes, bucket = m.bucket,
         nbuckets = if (m.bucket >= 0) buckets.getOrElse(0) else 0,
-        sorted = m.sorted, cstats = m.cstats)
+        sorted = m.sorted, cstats = m.cstats,
+        kNulls = m.keyNulls, sNulls = m.strNulls)
     }
     replaceFilters match {
       case Some(filters) =>
@@ -1311,7 +1330,8 @@ private[sources] case class PartCommit(
     path: String, rows: Long, keyMin: Long, keyMax: Long, bloom: String,
     strMin: Option[String] = None, strMax: Option[String] = None,
     bytes: Long = 0L, bucket: Int = -1, sorted: Boolean = false,
-    cstats: Map[String, ColStat] = Map.empty)
+    cstats: Map[String, ColStat] = Map.empty,
+    keyNulls: Long = -1L, strNulls: Long = -1L)
     extends WriterCommitMessage
 
 /** A bucketed task commits one message carrying one PartCommit per
@@ -1439,6 +1459,13 @@ private[sources] class ManifestDataWriter(
     new Array[org.apache.spark.unsafe.types.UTF8String](extraStr.length)
   private val eSMax =
     new Array[org.apache.spark.unsafe.types.UTF8String](extraStr.length)
+  // NULL COUNTS per tracked column — the third leg of the file-stats
+  // triple (min/max/null_count): IS [NOT] NULL part pruning and
+  // metadata-only COUNT(col) both answer from these
+  private var keyNulls = 0L
+  private var strNulls = 0L
+  private val eLNulls = Array.fill(extraLong.length)(0L)
+  private val eSNulls = Array.fill(extraStr.length)(0L)
   // built at max size while streaming (final row count unknown),
   // folded to the row-count-sized filter at commit — see PartBloom
   private val bloom = if (keyIdx >= 0) PartBloom.newBits() else null
@@ -1462,12 +1489,12 @@ private[sources] class ManifestDataWriter(
       if (k < lastKey) sorted = false
       lastKey = k
       PartBloom.add(bloom, k)
-    } else if (keyIdx >= 0) sorted = false
+    } else if (keyIdx >= 0) { sorted = false; keyNulls += 1 }
     if (strIdx >= 0 && !row.isNullAt(strIdx)) {
       val s = row.getUTF8String(strIdx)
       if (sMin == null || s.compareTo(sMin) < 0) sMin = s.clone()
       if (sMax == null || s.compareTo(sMax) > 0) sMax = s.clone()
-    }
+    } else if (strIdx >= 0) strNulls += 1
     var i = 0
     while (i < extraLong.length) {
       val idx = extraLong(i)
@@ -1475,7 +1502,7 @@ private[sources] class ManifestDataWriter(
         val v = row.getLong(idx)
         if (v < eLMin(i)) eLMin(i) = v
         if (v > eLMax(i)) eLMax(i) = v
-      }
+      } else eLNulls(i) += 1
       i += 1
     }
     i = 0
@@ -1485,7 +1512,7 @@ private[sources] class ManifestDataWriter(
         val s = row.getUTF8String(idx)
         if (eSMin(i) == null || s.compareTo(eSMin(i)) < 0) eSMin(i) = s.clone()
         if (eSMax(i) == null || s.compareTo(eSMax(i)) > 0) eSMax(i) = s.clone()
-      }
+      } else eSNulls(i) += 1
       i += 1
     }
   }
@@ -1499,15 +1526,17 @@ private[sources] class ManifestDataWriter(
       (extraLong.indices.collect {
         case i if eLMin(i) <= eLMax(i) =>
           schema.fields(extraLong(i)).name ->
-            ColStat('l', eLMin(i).toString, eLMax(i).toString)
+            ColStat('l', eLMin(i).toString, eLMax(i).toString, eLNulls(i))
       } ++ extraStr.indices.collect {
         case i if eSMin(i) != null =>
           schema.fields(extraStr(i)).name ->
-            ColStat('s', eSMin(i).toString, eSMax(i).toString)
+            ColStat('s', eSMin(i).toString, eSMax(i).toString, eSNulls(i))
       }).toMap
     PartCommit(file.toString, rows, kMin, kMax, hex,
       Option(sMin).map(_.toString), Option(sMax).map(_.toString), bytes,
-      sorted = keyIdx >= 0 && rows > 0 && sorted, cstats = cstats)
+      sorted = keyIdx >= 0 && rows > 0 && sorted, cstats = cstats,
+      keyNulls = if (keyIdx >= 0) keyNulls else -1L,
+      strNulls = if (strIdx >= 0) strNulls else -1L)
   }
 
   override def abort(): Unit = {

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression, Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -164,6 +164,12 @@ private[sources] class ManifestScanBuilder(
   private var cLongHi = Map.empty[String, Long]
   private var cStrLo = Map.empty[String, String]
   private var cStrHi = Map.empty[String, String]
+  // IS [NOT] NULL predicates, pruned against the per-part NULL COUNTS
+  // (key/first-string columns always tracked; other long/string
+  // columns via their ColStat record); unknown (-1, legacy) never
+  // prunes
+  private var isNullCols = Set.empty[String]
+  private var notNullCols = Set.empty[String]
   // candidate key values from point predicates (EqualTo / fully-typed
   // In), intersected across conjuncts — enables bloom pruning, which
   // range bounds can't do on hash-layout parts
@@ -225,6 +231,22 @@ private[sources] class ManifestScanBuilder(
     }
     def statAnswerable(e: Expression): Boolean =
       isKeyRef(e) || isStrRef(e) || isStatRef(e)
+    // COUNT(col) = Σ (rows − null count), answerable when every part
+    // carries a null count for the column (key/first-string always
+    // tracked by the current writer; other long/string columns when
+    // their ColStat record has the null field). Declined under DVs —
+    // the recorded counts are physical, the answer must be visible
+    def countAnswerable(e: Expression): Boolean = e match {
+      case nr: NamedReference =>
+        val n = nr.fieldNames.mkString(".")
+        if (keyCol.contains(n)) meta.forall(_.kNulls >= 0)
+        else if (strCol.contains(n)) meta.forall(_.sNulls >= 0)
+        else schema.fields.exists(f => f.name == n &&
+          (f.dataType == LongType || f.dataType == StringType)) &&
+          meta.forall(p => p.rows == 0 ||
+            p.cstats.get(n).exists(_.nulls >= 0))
+      case _ => false
+    }
     rowLevelOwner.isEmpty && // a rewrite scan must yield ROWS, never a summary
       !sawFilters && a.groupByExpressions.isEmpty &&
       a.aggregateExpressions.nonEmpty &&
@@ -232,6 +254,8 @@ private[sources] class ManifestScanBuilder(
         case _: CountStar => true
         case m: Min       => statAnswerable(m.column) && !anyDv
         case m: Max       => statAnswerable(m.column) && !anyDv
+        case c: Count     =>
+          !c.isDistinct && countAnswerable(c.column) && !anyDv
         case _            => false
       }
   }
@@ -253,6 +277,8 @@ private[sources] class ManifestScanBuilder(
     if (filters.nonEmpty) sawFilters = true
     def isKey(c: String) = keyCol.contains(c)
     filters.foreach {
+      case IsNull(c)    => isNullCols += c
+      case IsNotNull(c) => notNullCols += c
       case GreaterThan(c, v: Long) if isKey(c) =>
         keyLo = math.max(keyLo, if (v == Long.MaxValue) v else v + 1)
       case GreaterThanOrEqual(c, v: Long) if isKey(c) =>
@@ -464,6 +490,26 @@ private[sources] class ManifestScanBuilder(
             }
           }
         }
+        // NULL-COUNT pruning: IS NULL skips parts with provably ZERO
+        // nulls in the column; IS NOT NULL skips provably ALL-null
+        // parts. Both counts are write-time PHYSICAL (or
+        // ANALYZE-refreshed visible) totals — zero physical nulls ⇒
+        // zero visible nulls, all physical null ⇒ all visible null,
+        // so the skip stays sound under deletion vectors; unknown
+        // (-1, legacy manifests) never prunes.
+        if (isNullCols.nonEmpty || notNullCols.nonEmpty) {
+          def nullsFor(m: PartMeta, c: String): Long =
+            if (keyCol.contains(c)) m.kNulls
+            else if (strCol.contains(c)) m.sNulls
+            else m.cstats.get(c).map(_.nulls).getOrElse(-1L)
+          kept = kept.filter { m =>
+            isNullCols.forall(c => nullsFor(m, c) != 0L) &&
+              notNullCols.forall { c =>
+                val n = nullsFor(m, c)
+                !(n >= 0 && m.rows > 0 && n >= m.rows)
+              }
+          }
+        }
         // point predicates additionally consult the per-part bloom: a
         // part whose range admits v but whose bloom proves v absent
         // is skipped (hash-layout tables prune here, not on min/max)
@@ -525,9 +571,10 @@ private[sources] class ManifestAggScan(
       case _ => None
     }
     f match {
-      case m: Min => name(m.column)
-      case m: Max => name(m.column)
-      case _      => None
+      case m: Min   => name(m.column)
+      case m: Max   => name(m.column)
+      case c: Count => name(c.column)
+      case _        => None
     }
   }
 
@@ -538,6 +585,7 @@ private[sources] class ManifestAggScan(
   override def readSchema(): StructType =
     StructType(funcs.zipWithIndex.map {
       case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_: Count, i)     => StructField(s"agg_$i", LongType, nullable = false)
       case (f, i) if isStr(f) =>
         StructField(s"agg_$i", StringType, nullable = true)
       case (_, i)            => StructField(s"agg_$i", LongType, nullable = true)
@@ -578,6 +626,15 @@ private[sources] class ManifestAggScan(
         } else java.lang.Long.valueOf(
           if (wantMin) st.map(_.lMin).min else st.map(_.lMax).max)
       }
+    // COUNT(col) = Σ (rows − nulls); canPushAgg proved every part
+    // carries the column's null count (or has zero rows) and that no
+    // deletion vector exists, so physical == visible
+    def countNonNull(c: String): Long = parts.map { p =>
+      if (keyCol.contains(c)) p.rows - math.max(0L, p.kNulls)
+      else if (strCol.contains(c)) p.rows - math.max(0L, p.sNulls)
+      else p.cstats.get(c).map(st => p.rows - math.max(0L, st.nulls))
+        .getOrElse(0L)
+    }.sum
     funcs.map[Any] {
       // visibleRows: a deletion vector reduces the served count with
       // no data rewrite — the metadata COUNT stays EXACT under MOR
@@ -586,6 +643,7 @@ private[sources] class ManifestAggScan(
       case _: CountStar => java.lang.Long.valueOf(parts.map(_.visibleRows).sum)
       case m: Min => fold(refName(m).get, wantMin = true)
       case m: Max => fold(refName(m).get, wantMin = false)
+      case c: Count => java.lang.Long.valueOf(countNonNull(refName(c).get))
       case f => throw new IllegalStateException(s"unexpected pushed agg $f")
     }.toArray
   }

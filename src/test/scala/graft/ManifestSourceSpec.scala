@@ -255,12 +255,20 @@ class ManifestSourceSpec extends SparkSpec {
     writeEvents(target, parts = 8)
     // (plan shape read from the plan text: AQE wraps shuffle-agg plans
     // so BatchScanExec isn't reachable by tree collect here)
-    // COUNT(col) needs null counts the manifest doesn't track → file path
-    val byCol = readBack(target).agg(count(col("event_id")).as("n"))
+    // COUNT(col) on a TRACKED column answers from the per-part null
+    // counts (the third leg of the stats triple) — metadata path
+    val byKey = readBack(target).agg(count(col("event_id")).as("n"))
+    assert(byKey.queryExecution.executedPlan.toString
+      .contains("ManifestAggScan"))
+    assert(byKey.head.getLong(0) === Tables.events(spark, Sf0001).count())
+    // COUNT(col) on an UNTRACKED (double) column has no null count →
+    // file path, exact result
+    val byCol = readBack(target).agg(count(col("value")).as("n"))
     val pByCol = byCol.queryExecution.executedPlan.toString
     assert(pByCol.contains("graft.ManifestScan(parts=8/8")
       && !pByCol.contains("ManifestAggScan"), pByCol.linesIterator.mkString("|"))
-    assert(byCol.head.getLong(0) === Tables.events(spark, Sf0001).count())
+    assert(byCol.head.getLong(0) === Tables.events(spark, Sf0001)
+      .filter(col("value").isNotNull).count())
     // a filter makes stats non-authoritative → file path, exact result
     val filtered = readBack(target).filter(col("event_type") =!= "click")
       .agg(count(lit(1)).as("n"))
