@@ -2141,6 +2141,125 @@ ORDER BY which""")),
   true AS agg_pushed
 FROM events WHERE event_type IS NOT NULL""")),
 
+    // --- METADATA-ONLY SUM (per-part sum stats, the 4th leg of the
+    // file-stats record after min/max/null_count): the writer streams
+    // an EXACT running sum per tracked long column (Math.addExact —
+    // a part whose sum would overflow records "untracked" instead of
+    // wrapping), the manifest carries it (PartMeta.kSum for the key,
+    // ColStat.sum for secondary longs), and a global SUM/COUNT/MIN/MAX
+    // pushes down completely: one summary row from KBs of metadata,
+    // zero data files opened, at any table size. The fold itself also
+    // add-exacts and DECLINES to a real scan on overflow — a metadata
+    // answer is only ever served when it is provably the exact one
+    // (deletion vectors and pre-sum manifests decline too; ANALYZE
+    // re-tightens sums over visible rows and restores the path).
+    QueryDef("q_agg_sum_meta",
+      (spark, dir) => {
+        val t = freshTable(spark, dir, "aggsum")
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"))
+          .repartition(6)
+          .write.format("graft.sources.ManifestSink")
+          .option("path", t).mode("overwrite").save()
+        val agg = spark.read.format("graft.sources.ManifestSource")
+          .option("path", t).load()
+          .agg(sum(col("k")).as("sum_k"),
+            sum(col("cust")).as("sum_cust"),
+            count(lit(1)).as("n_rows"),
+            min(col("k")).as("min_k"), max(col("cust")).as("max_cust"))
+        val pushed = agg.queryExecution.sparkPlan.toString
+          .contains("ManifestAggScan")
+        agg.withColumn("agg_pushed", lit(pushed))
+      },
+      Some("""SELECT CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
+  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  min(o_orderkey) AS min_k, max(o_custkey) AS max_cust,
+  true AS agg_pushed
+FROM orders""")),
+
+    // --- IDENTITY-PARTITIONED LAYOUT (`option("splitBy", c)` —
+    // the Hive/Iceberg identity-partition shape carried by per-part
+    // stats instead of directory names): the write demands a CLUSTERED
+    // distribution on the column (each distinct value shuffled to one
+    // task) and the task writer opens one part file per value, so the
+    // table commits EXACTLY ONE SINGLE-VALUED PART PER DISTINCT VALUE.
+    // Point predicates on the column then prune to precisely the
+    // value's part — at 100 TB, `event_type = 'click'` reads 1/ndv of
+    // the table with zero file-listing cost. Gates ride the output:
+    // `one_part_per_value` (parts planned unfiltered == distinct
+    // values) and `parts_click` (the filtered scan plans exactly 1).
+    QueryDef("q_split_layout",
+      (spark, dir) => {
+        val t = freshTable(spark, dir, "splitlay")
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("user_id"))
+          .repartition(8)
+          .write.format("graft.sources.ManifestSink")
+          .option("path", t).option("splitBy", "event_type")
+          .mode("overwrite").save()
+        def planned(df: DataFrame): Int =
+          df.queryExecution.sparkPlan.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.inputPartitions.length
+          }.getOrElse(-1)
+        val base = spark.read.format("graft.sources.ManifestSource")
+          .option("path", t).load()
+        val ndv = base.select(col("event_type")).distinct().count()
+        val onePartPerValue = planned(base) == ndv
+        val clicks = base.filter(col("event_type") === "click")
+        val rollup = clicks
+          .agg(count(lit(1)).as("n_click"),
+            min(col("event_id")).as("min_id"))
+          .withColumn("one_part_per_value", lit(onePartPerValue))
+          .withColumn("parts_click", lit(planned(clicks)))
+        rollup
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_click,
+  min(event_id) AS min_id,
+  true AS one_part_per_value, CAST(1 AS INT) AS parts_click
+FROM events WHERE event_type = 'click'""")),
+
+    // --- GROUPED METADATA-ONLY AGGREGATES: on an identity-partitioned
+    // table every live part is provably single-valued on the split
+    // column (min==max, zero nulls, per-part stats), so `GROUP BY c`
+    // with COUNT(*)/COUNT(col)/MIN/MAX/SUM is answered ENTIRELY from
+    // the manifest — one output row per group, no data file opened,
+    // no shuffle, no aggregate exec. This is the 100 TB "rows and
+    // totals per day over 100k files" query every table format's
+    // metadata exists to serve; a single straddling part, deletion
+    // vector, or legacy manifest declines the whole answer to a real
+    // scan (AggMetaSpec pins the decline ladder).
+    QueryDef("q_agg_group_meta",
+      (spark, dir) => {
+        val t = freshTable(spark, dir, "agggroup")
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("user_id"))
+          .repartition(8)
+          .write.format("graft.sources.ManifestSink")
+          .option("path", t).option("splitBy", "event_type")
+          .mode("overwrite").save()
+        val q = spark.read.format("graft.sources.ManifestSource")
+          .option("path", t).load()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("event_id")).as("min_id"),
+            max(col("event_id")).as("max_id"),
+            sum(col("user_id")).as("sum_users"),
+            count(col("user_id")).as("n_users"))
+        val pushed = q.queryExecution.sparkPlan.toString
+          .contains("ManifestAggScan")
+        q.withColumn("agg_pushed", lit(pushed))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+  min(event_id) AS min_id, max(event_id) AS max_id,
+  CAST(sum(user_id) AS BIGINT) AS sum_users,
+  CAST(count(user_id) AS BIGINT) AS n_users,
+  true AS agg_pushed
+FROM events GROUP BY event_type
+ORDER BY event_type NULLS FIRST""")),
+
     // --- STREAMING MV MAINTENANCE: the three warehouse streaming
     // pieces composed into the always-fresh-rollup loop a 100 TB
     // pipeline actually runs — a BUDGETED manifest stream

@@ -158,18 +158,38 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     new ManifestReadTable(p, schema, Some(v))
   }
 
-  /** `PARTITIONED BY (bucket(n, col))` is the ONE layout transform the
-    * format persists: it writes the table-level bucket spec, and every
-    * later INSERT routes through the bucketed writer + clustered
-    * distribution with no per-write options — the storage layout that
-    * makes scans report KeyGroupedPartitioning (shuffle-free joins and
-    * aggregations on the key; see [[graft.functions.GraftBucket]]). */
+  /** The TWO layout transforms the format persists:
+    *
+    *  - `PARTITIONED BY (bucket(n, col))` writes the table-level
+    *    bucket spec; every later INSERT routes through the bucketed
+    *    writer + clustered distribution with no per-write options —
+    *    the storage layout that makes scans report
+    *    KeyGroupedPartitioning (shuffle-free joins and aggregations
+    *    on the key; see [[graft.functions.GraftBucket]]).
+    *  - `PARTITIONED BY (col)` (identity) writes the split spec
+    *    (encoded as bucket count 0); every INSERT routes through the
+    *    value-split writer + clustered distribution, committing one
+    *    SINGLE-VALUED part per distinct value — point predicates
+    *    prune to the value's parts and GROUP BY the column answers
+    *    from the manifest alone (grouped metadata aggregates). */
   override def createTable(
       ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val bucketSpec: Option[(Int, String)] = partitions.toSeq match {
       case Seq() => None
+      case Seq(t) if t.name() == "identity" && t.arguments().length == 1 =>
+        val name = t.arguments()(0) match {
+          case r: expressions.NamedReference => r.fieldNames().mkString(".")
+          case a => throw new IllegalArgumentException(
+            s"PARTITIONED BY (col): col must be a column reference, got $a")
+        }
+        require(schema.fields.exists(f => f.name.equalsIgnoreCase(name) &&
+          (f.dataType == LongType ||
+            f.dataType == org.apache.spark.sql.types.StringType)),
+          s"identity-partition column '$name' must be a BIGINT or " +
+            s"STRING column of ${schema.fieldNames.mkString("(", ",", ")")}")
+        Some((0, name))
       case Seq(t) if t.name() == "bucket" && t.arguments().length == 2 =>
         val n = t.arguments()(0) match {
           case l: expressions.Literal[_] =>
@@ -189,12 +209,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
             "routing and stats pruning share that column")
         Some((n, name))
       case other => throw new UnsupportedOperationException(
-        s"graft tables support PARTITIONED BY (bucket(n, col)) only, " +
-          s"got ${other.mkString(", ")}")
+        s"graft tables support PARTITIONED BY (bucket(n, col)) or " +
+          s"PARTITIONED BY (col), got ${other.mkString(", ")}")
     }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     bucketSpec.foreach { case (n, col) =>
-      require(n >= 1, s"bucket count must be >= 1, got $n")
+      require(n >= 0, s"bucket count must be >= 0, got $n")
       ManifestSink.writeTableSpec(conf, tablePath(ident), n, col)
     }
     // a table is born as a schema-only snapshot: same commit protocol,
@@ -804,10 +824,13 @@ private[sources] class GraftCatalogTable(
       branch = Option(options.get("branch")).filter(_.nonEmpty),
       maxPartsPerTrigger = StreamOptions.maxPartsPerTrigger(options))
 
-  /** Bucketed tables advertise their layout. */
+  /** Bucketed / identity-partitioned tables advertise their layout
+    * (bucket count 0 encodes the identity split spec). */
   override def partitioning(): Array[Transform] =
-    bucketSpec.map { case (n, c) => expressions.Expressions.bucket(n, c) }
-      .toArray
+    bucketSpec.map {
+      case (0, c) => expressions.Expressions.identity(c)
+      case (n, c) => expressions.Expressions.bucket(n, c)
+    }.toArray
 
   /** Stored CHECK constraints, reported ENFORCED — Spark's
     * ResolveTableConstraints wraps every write to this table in a
@@ -875,6 +898,20 @@ private[sources] class GraftCatalogTable(
                 history = true, sconf, branch,
                 replaceFilters = replaceFilters)
           }
+          case Some((0, c)) =>
+            // identity split spec: cluster each value into one task,
+            // split per value in the writer — single-valued parts
+            import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+            import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+            new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+              override def requiredDistribution(): Distribution =
+                Distributions.clustered(Array(Expressions.identity(c)))
+              override def requiredOrdering(): Array[SortOrder] = Array.empty
+              override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+                new ManifestBatchWrite(path, info.schema(), doTruncate,
+                  history = true, sconf, branch,
+                  replaceFilters = replaceFilters, splitBy = Some(c))
+            }
           case Some((n, c)) =>
             import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
             import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
@@ -913,9 +950,13 @@ private[sources] class ManifestFilesTable(path: String)
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
   import org.apache.spark.unsafe.types.UTF8String
 
+  // key_sum: the part's exact key-column sum (NULL = untracked legacy
+  // part or a per-part Long overflow) — the stat behind metadata-only
+  // SUM pushdown, surfaced for layout audits like the rest
   private val filesSchema = StructType.fromDDL(
     "part INT, file STRING, n_rows BIGINT, visible_rows BIGINT, " +
-      "key_min BIGINT, key_max BIGINT, has_dv BOOLEAN, dv_count BIGINT, " +
+      "key_min BIGINT, key_max BIGINT, key_sum BIGINT, " +
+      "has_dv BOOLEAN, dv_count BIGINT, " +
       "bytes BIGINT, bucket INT, col_stats STRING")
 
   override def name(): String = s"manifest($path).files"
@@ -933,7 +974,8 @@ private[sources] class ManifestFilesTable(path: String)
             // ("c:[min..max] …") so the view is deterministic
             new GenericInternalRow(Array[Any](i,
               UTF8String.fromString(new Path(m.path).getName), m.rows,
-              m.visibleRows, m.kMin, m.kMax, m.hasDv, m.dvCount,
+              m.visibleRows, m.kMin, m.kMax,
+              m.kSum.map(java.lang.Long.valueOf).orNull, m.hasDv, m.dvCount,
               m.bytes, m.bucket,
               UTF8String.fromString(m.cstats.toSeq.sortBy(_._1)
                 .map { case (c, st) => s"$c:[${st.min}..${st.max}]" }

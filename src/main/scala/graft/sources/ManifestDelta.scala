@@ -101,7 +101,7 @@ private[sources] class ManifestDeltaBatchWrite(
     val newParts = commits.flatMap(_.newPart).filter(_.rows > 0).map { m =>
       PartMeta(m.path, m.rows, m.keyMin, m.keyMax, m.bloom,
         m.strMin, m.strMax, bytes = m.bytes, cstats = m.cstats,
-        kNulls = m.keyNulls, sNulls = m.strNulls)
+        kNulls = m.keyNulls, sNulls = m.strNulls, kSum = m.keySum)
     }
     val (scanned, base) = op.scannedOrFail
     val byPath = scanned.map(m => m.path -> m).toMap

@@ -88,10 +88,22 @@ object ManifestMaintenance {
       .option("path", dir)
     val df = (if (baseVersion > 0)
       reader.option("version", baseVersion.toString) else reader).load()
+    // SUM refresh for every tracked long column rides the same pass,
+    // APPENDED after the min/max/count triples so their offsets stay
+    // positional. Computed in DecimalType(38,0) — exact, overflow-proof
+    // — then stored as a Long only when it fits (a part whose visible
+    // sum exceeds Long range records "untracked", same as the writer's
+    // addExact overflow path).
+    val longTracked = tracked.filter(schema.fields(_).dataType == LongType)
     val aggs = tracked.flatMap { i =>
       val c = schema.fields(i).name
       Seq(min(col(c)).as(s"mn_$i"), max(col(c)).as(s"mx_$i"),
         count(col(c)).as(s"ct_$i"))
+    } ++ longTracked.map { i =>
+      val c = schema.fields(i).name
+      org.apache.spark.sql.functions.sum(
+        col(c).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as(s"sm_$i")
     }
     val grouped = df
       .groupBy(col(PartMetaColumn.Name).as("_p"))
@@ -102,6 +114,18 @@ object ManifestMaintenance {
       val base = parts.find(_.path == path).getOrElse(
         throw new IllegalStateException(s"scan reported unknown part $path"))
       def mnAt(j: Int): Int = 1 + 3 * j
+      val smBase = 1 + 3 * tracked.length
+      // the column's refreshed sum as a Long: NULL (no non-null
+      // visible values) folds to the additive identity 0; a sum
+      // outside Long range stays None = untracked
+      def sumAt(i: Int): Option[Long] = {
+        val j = longTracked.indexOf(i)
+        if (j < 0) None
+        else if (r.isNullAt(smBase + j)) Some(0L)
+        else
+          try Some(r.getDecimal(smBase + j).longValueExact())
+          catch { case _: ArithmeticException => None }
+      }
       var m = base
       tracked.zipWithIndex.foreach { case (i, j) =>
         val f = schema.fields(i)
@@ -110,9 +134,9 @@ object ManifestMaintenance {
         val nulls = base.visibleRows - r.getLong(ct)
         if (i == keyIdx) m =
           if (r.isNullAt(mn)) m.copy(kMin = Long.MaxValue,
-            kMax = Long.MinValue, kNulls = nulls)
+            kMax = Long.MinValue, kNulls = nulls, kSum = sumAt(i))
           else m.copy(kMin = r.getLong(mn), kMax = r.getLong(mx),
-            kNulls = nulls)
+            kNulls = nulls, kSum = sumAt(i))
         else if (i == strIdx) m = m.copy(
           sMin = if (r.isNullAt(mn)) None else Some(r.getString(mn)),
           sMax = if (r.isNullAt(mx)) None else Some(r.getString(mx)),
@@ -120,7 +144,8 @@ object ManifestMaintenance {
         else if (f.dataType == LongType) m = m.copy(cstats =
           if (r.isNullAt(mn)) m.cstats - f.name
           else m.cstats + (f.name -> ColStat('l',
-            r.getLong(mn).toString, r.getLong(mx).toString, nulls)))
+            r.getLong(mn).toString, r.getLong(mx).toString, nulls,
+            sumAt(i))))
         else m = m.copy(cstats =
           if (r.isNullAt(mn)) m.cstats - f.name
           else m.cstats + (f.name ->
@@ -135,7 +160,8 @@ object ManifestMaintenance {
         p.copy(kMin = Long.MaxValue, kMax = Long.MinValue,
           sMin = None, sMax = None, cstats = Map.empty,
           kNulls = if (keyIdx >= 0) 0L else p.kNulls,
-          sNulls = if (strIdx >= 0) 0L else p.sNulls))
+          sNulls = if (strIdx >= 0) 0L else p.sNulls,
+          kSum = if (keyIdx >= 0) Some(0L) else p.kSum))
     }.toMap
     // OPT-IN bloom rebuild (`rebuild_blooms => true`): blooms are
     // built over PHYSICAL keys at write time, so after a delete they
@@ -280,6 +306,13 @@ object ManifestMaintenance {
     // demoting the table out of storage-partitioned joins
     val bucketSpec: Option[Int] = selected.headOption.map(_.nbuckets)
       .filter(n => n > 0 && selected.forall(_.nbuckets == n))
+    // SPLIT-PRESERVING: an identity-partitioned table (_TABLE.json
+    // spec with bucket count 0) re-routes the rewrite through the
+    // value-split writer, so compaction settles MOR debt without
+    // breaking single-valued parts — grouped metadata aggregates and
+    // point-predicate pruning survive maintenance
+    val splitSpec: Option[String] =
+      ManifestSink.readTableSpec(conf, dir).collect { case (0, c) => c }
     val keyCol = schema.fields.find(
       _.dataType == org.apache.spark.sql.types.LongType).map(_.name)
     try {
@@ -297,7 +330,12 @@ object ManifestMaintenance {
             org.apache.spark.sql.functions.col(k), n))
             .sortWithinPartitions(org.apache.spark.sql.functions.col(k)),
             Map("buckets" -> n.toString))
-        case _ => (layout(df), Map.empty[String, String])
+        case _ => splitSpec match {
+          // the split write's own clustered distribution lays rows
+          // out; the writer splits per value — one part per value
+          case Some(c) => (df, Map("splitBy" -> c))
+          case None    => (layout(df), Map.empty[String, String])
+        }
       }
       laidOut.write.format("graft.sources.ManifestSink")
         .option("path", tmpWrite).options(writeOpts)

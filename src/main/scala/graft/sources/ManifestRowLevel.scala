@@ -134,7 +134,7 @@ private[sources] class ManifestReplaceWrite(
     val newParts = messages.toSeq.map { case m: PartCommit =>
       PartMeta(m.path, m.rows, m.keyMin, m.keyMax, m.bloom,
         m.strMin, m.strMax, bytes = m.bytes, cstats = m.cstats,
-        kNulls = m.keyNulls, sNulls = m.strNulls)
+        kNulls = m.keyNulls, sNulls = m.strNulls, kSum = m.keySum)
     }.filter(_.rows > 0) // an all-deleted group needs no empty part
     val (replaced, base) = op.scannedOrFail
     val replacedPaths = replaced.map(_.path).toSet

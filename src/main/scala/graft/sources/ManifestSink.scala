@@ -66,7 +66,8 @@ class ManifestSink extends TableProvider {
       Option(properties.get("clusterBy")).filter(_.nonEmpty),
       Option(properties.get("writePartitions")).map(_.toInt),
       Option(properties.get("branch")).filter(_.nonEmpty),
-      Option(properties.get("buckets")).map(_.toInt))
+      Option(properties.get("buckets")).map(_.toInt),
+      Option(properties.get("splitBy")).filter(_.nonEmpty))
 }
 
 /** Per-part bloom filter over the key column, stored hex-encoded in
@@ -187,7 +188,7 @@ private[sources] object StrBin {
   * Encoding is additive on the manifest line (`"cstats":"…"`): old
   * manifests parse unchanged and simply never column-prune. */
 private[sources] final case class ColStat(kind: Char, min: String,
-    max: String, nulls: Long = -1L) {
+    max: String, nulls: Long = -1L, sum: Option[Long] = None) {
   def lMin: Long = min.toLong
   def lMax: Long = max.toLong
 }
@@ -202,10 +203,14 @@ private[sources] object ColStat {
     * so the line's regex field parser never sees a comma or quote. */
   def encode(m: Map[String, ColStat]): String =
     m.toSeq.sortBy(_._1).map { case (c, st) =>
-      // the 4th token (null count) is OPTIONAL — legacy decoders and
-      // legacy blobs interoperate both ways
+      // the 4th token (null count) and 5th token (long-column SUM)
+      // are OPTIONAL — legacy decoders and legacy blobs interoperate
+      // both ways; a sum is only encodable once the null count is
+      // (tokens are positional)
       s"${enc(c)}=${st.kind}:${enc(st.min)}:${enc(st.max)}" +
-        (if (st.nulls >= 0) s":${st.nulls}" else "")
+        (if (st.nulls >= 0)
+          s":${st.nulls}" + st.sum.fold("")(s => s":$s")
+        else "")
     }.mkString("&")
 
   def decode(blob: String): Map[String, ColStat] =
@@ -217,6 +222,8 @@ private[sources] object ColStat {
       val st = entry.drop(eq + 1).split(":", -1) match {
         case Array(k, mn, mx)    => ColStat(k.head, dec(mn), dec(mx))
         case Array(k, mn, mx, n) => ColStat(k.head, dec(mn), dec(mx), n.toLong)
+        case Array(k, mn, mx, n, sm) =>
+          ColStat(k.head, dec(mn), dec(mx), n.toLong, Some(sm.toLong))
         case other => throw new IllegalArgumentException(
           s"bad ColStat entry '$entry' (${other.length} tokens)")
       }
@@ -319,7 +326,12 @@ private[sources] object DeleteVector {
   * `rows` stays the PHYSICAL line count — [[visibleRows]] is the
   * served count, and all other stats become safe OVER-approximations
   * once a vector exists (pruning may only over-include; exact
-  * metadata answers must consult [[visibleRows]] or decline). */
+  * metadata answers must consult [[visibleRows]] or decline).
+  * `kSum` is the exact sum of the key column's non-null values
+  * (None = untracked/legacy, or the per-part sum overflowed a Long
+  * while streaming) — the 4th leg of the file-stats record that
+  * turns a global SUM into a metadata-only answer; secondary long
+  * columns carry theirs in [[ColStat.sum]]. */
 private[sources] final case class PartMeta(
     path: String, rows: Long, kMin: Long, kMax: Long, bloomHex: String,
     sMin: Option[String] = None, sMax: Option[String] = None,
@@ -328,7 +340,8 @@ private[sources] final case class PartMeta(
     sorted: Boolean = false,
     cstats: Map[String, ColStat] = Map.empty,
     cols: Seq[Int] = Seq.empty,
-    kNulls: Long = -1L, sNulls: Long = -1L) {
+    kNulls: Long = -1L, sNulls: Long = -1L,
+    kSum: Option[Long] = None) {
   lazy val bloomBits: Array[Long] = PartBloom.fromHex(bloomHex)
   lazy val dvBits: Array[Long] = DeleteVector.fromHex(dvHex)
   /** A vector exists — inline (`dvHex`) or as a SIDECAR file
@@ -485,6 +498,7 @@ object ManifestSink {
       val cl = field("cols")
       val kn = field("knulls")
       val sn = field("snulls")
+      val ks = field("ksum")
       PartMeta(decPath(field("path")), field("rows").toLong,
         field("min").toLong, field("max").toLong, field("bloom"),
         strField("smin"), strField("smax"), field("dv"),
@@ -502,7 +516,9 @@ object ManifestSink {
         // null counts of the key / first-string columns; -1 (absent,
         // legacy) always means "unknown — cannot prune or answer"
         kNulls = if (kn.isEmpty) -1L else kn.toLong,
-        sNulls = if (sn.isEmpty) -1L else sn.toLong)
+        sNulls = if (sn.isEmpty) -1L else sn.toLong,
+        // key-column sum; absent = untracked (legacy) or overflowed
+        kSum = if (ks.isEmpty) None else Some(ks.toLong))
     }
 
   /** TABLE-LEVEL LAYOUT SPEC (`_TABLE.json`): created once by
@@ -848,9 +864,10 @@ object ManifestSink {
           else s""","cols":"${m.cols.mkString("-")}""""
         val kn = if (m.kNulls < 0) "" else s""","knulls":${m.kNulls}"""
         val sn = if (m.sNulls < 0) "" else s""","snulls":${m.sNulls}"""
+        val ks = m.kSum.fold("")(v => s""","ksum":$v""")
         content.append(
           s"""{"path":"${encPath(m.path)}","rows":${m.rows},""" +
-            s""""min":${m.kMin},"max":${m.kMax}$b$s$d$r$by$bk$so$cs$co$kn$sn}""")
+            s""""min":${m.kMin},"max":${m.kMax}$b$s$d$r$by$bk$so$cs$co$kn$sn$ks}""")
           .append('\n')
       }
       content.toString.getBytes("UTF-8")
@@ -1112,12 +1129,21 @@ object ManifestSink {
 private[sources] class ManifestTable(
     path: String, schema: StructType, history: Boolean,
     clusterBy: Option[String] = None, writePartitions: Option[Int] = None,
-    branch: Option[String] = None, buckets: Option[Int] = None)
+    branch: Option[String] = None, buckets: Option[Int] = None,
+    splitBy: Option[String] = None)
     extends Table with SupportsWrite {
   require(path != null && path.nonEmpty, "option 'path' is required")
-  require(buckets.isEmpty || clusterBy.isEmpty,
-    "options 'buckets' and 'clusterBy' are mutually exclusive " +
-      "(hash-bucketed vs range-clustered layout)")
+  require(Seq(buckets, clusterBy, splitBy).count(_.isDefined) <= 1,
+    "options 'buckets', 'clusterBy' and 'splitBy' are mutually " +
+      "exclusive (hash-bucketed vs range-clustered vs " +
+      "identity-partitioned layout)")
+  splitBy.foreach { c =>
+    require(schema.fields.exists(f => f.name == c &&
+      (f.dataType == LongType ||
+        f.dataType == org.apache.spark.sql.types.StringType)),
+      s"splitBy column '$c' must be a BIGINT or STRING column of the " +
+        s"write schema ${schema.fieldNames.mkString("(", ",", ")")}")
+  }
   buckets.foreach { n =>
     require(n >= 1, s"option 'buckets' must be >= 1, got $n")
     require(schema.fields.exists(_.dataType == LongType),
@@ -1134,6 +1160,35 @@ private[sources] class ManifestTable(
       private var doTruncate = false
       override def truncate(): WriteBuilder = { doTruncate = true; this }
       override def build(): Write = clusterBy match {
+        case None if splitBy.isDefined =>
+          // IDENTITY-PARTITIONED WRITE (`option("splitBy", c)`): the
+          // sink demands a CLUSTERED distribution on the column —
+          // Spark shuffles each distinct value to exactly one write
+          // task — and the task writer then opens one part file per
+          // value it sees, so EVERY COMMITTED PART IS SINGLE-VALUED
+          // on the column (min==max per-part stats). That layout is
+          // what turns `GROUP BY c` into a metadata-only pushed
+          // aggregate and makes `c = v` predicates prune to exactly
+          // the value's parts — the Hive/Iceberg identity-partition
+          // shape, carried by stats instead of directory names.
+          import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+          import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+          val col = splitBy.get
+          require(info.schema().fieldNames.contains(col),
+            s"splitBy column '$col' not in write schema " +
+              info.schema().fieldNames.mkString("(", ",", ")"))
+          new Write with RequiresDistributionAndOrdering {
+            override def requiredDistribution(): Distribution =
+              Distributions.clustered(Array(Expressions.identity(col)))
+            override def requiredOrdering(): Array[SortOrder] =
+              Array.empty
+            override def requiredNumPartitions(): Int =
+              writePartitions.getOrElse(0)
+            override def toBatch: BatchWrite =
+              new ManifestBatchWrite(path, info.schema(), doTruncate, history,
+                new SerializableConfiguration(ManifestSink.driverConf()),
+                branch, splitBy = splitBy)
+          }
         case None => new Write {
           override def toBatch: BatchWrite =
             // capture the session conf HERE — newWriteBuilder/build run
@@ -1208,7 +1263,8 @@ private[sources] class ManifestBatchWrite(
     conf: SerializableConfiguration, branch: Option[String] = None,
     buckets: Option[Int] = None,
     replaceFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None,
-    opLabel: Option[String] = None)
+    opLabel: Option[String] = None,
+    splitBy: Option[String] = None)
     extends BatchWrite {
 
   private def opName: String = opLabel.getOrElse(
@@ -1225,7 +1281,7 @@ private[sources] class ManifestBatchWrite(
     val fs = dir.getFileSystem(conf.value)
     if (truncate && !history && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
-    new ManifestWriterFactory(path, schema, token, conf, buckets)
+    new ManifestWriterFactory(path, schema, token, conf, buckets, splitBy)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1268,7 +1324,7 @@ private[sources] class ManifestBatchWrite(
         m.strMin, m.strMax, bytes = m.bytes, bucket = m.bucket,
         nbuckets = if (m.bucket >= 0) buckets.getOrElse(0) else 0,
         sorted = m.sorted, cstats = m.cstats,
-        kNulls = m.keyNulls, sNulls = m.strNulls)
+        kNulls = m.keyNulls, sNulls = m.strNulls, kSum = m.keySum)
     }
     replaceFilters match {
       case Some(filters) =>
@@ -1331,7 +1387,8 @@ private[sources] case class PartCommit(
     strMin: Option[String] = None, strMax: Option[String] = None,
     bytes: Long = 0L, bucket: Int = -1, sorted: Boolean = false,
     cstats: Map[String, ColStat] = Map.empty,
-    keyNulls: Long = -1L, strNulls: Long = -1L)
+    keyNulls: Long = -1L, strNulls: Long = -1L,
+    keySum: Option[Long] = None)
     extends WriterCommitMessage
 
 /** A bucketed task commits one message carrying one PartCommit per
@@ -1342,16 +1399,22 @@ private[sources] case class MultiPartCommit(parts: Seq[PartCommit])
 private[sources] class ManifestWriterFactory(
     path: String, schema: StructType, token: String,
     private[sources] val conf: SerializableConfiguration,
-    buckets: Option[Int] = None)
+    buckets: Option[Int] = None,
+    splitBy: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     buckets match {
       case Some(n) =>
         new BucketedManifestWriter(path, schema, token, partitionId, taskId,
           conf.value, n)
-      case None =>
-        new ManifestDataWriter(path, schema, token, partitionId, taskId,
-          conf.value)
+      case None => splitBy match {
+        case Some(c) =>
+          new SplitManifestWriter(path, schema, token, partitionId, taskId,
+            conf.value, c)
+        case None =>
+          new ManifestDataWriter(path, schema, token, partitionId, taskId,
+            conf.value)
+      }
     }
 }
 
@@ -1401,6 +1464,71 @@ private[sources] class BucketedManifestWriter(
       out += e.getValue.commit().asInstanceOf[PartCommit]
         .copy(bucket = e.getKey)
     }
+    MultiPartCommit(out.result())
+  }
+
+  override def abort(): Unit = {
+    val it = writers.values().iterator()
+    while (it.hasNext) it.next().abort()
+  }
+
+  override def close(): Unit = ()
+}
+
+/** IDENTITY-PARTITIONED writer (`option("splitBy", c)`): routes each
+  * row to a sub-writer keyed by the column's VALUE and writes ONE PART
+  * FILE PER DISTINCT VALUE the task sees — combined with the write's
+  * clustered distribution (each value shuffled to one task) the table
+  * commits exactly one single-valued part per value per write. The
+  * per-part stats then record min==max on the column, which is what
+  * lets the scan answer `GROUP BY c` from the manifest alone and
+  * prune `c = v` to the value's parts. NULL is its own partition
+  * (SQL GROUP BY groups nulls together). The cardinality cap fails
+  * LOUDLY: identity-partitioning a high-cardinality column is a
+  * layout bug at any scale (millions of tiny files), not something to
+  * paper over. */
+private[sources] class SplitManifestWriter(
+    dir: String, schema: StructType, token: String,
+    partitionId: Int, taskId: Long, conf: Configuration, splitCol: String)
+    extends DataWriter[InternalRow] {
+
+  private val MaxValuesPerTask = 512
+  private val idx = schema.fields.indexWhere(_.name == splitCol)
+  require(idx >= 0, s"splitBy column '$splitCol' not in schema")
+  private val isLong = schema.fields(idx).dataType == LongType
+  private val writers =
+    new java.util.HashMap[Any, ManifestDataWriter]()
+
+  private def writerFor(v: Any): ManifestDataWriter = {
+    var w = writers.get(v)
+    if (w == null) {
+      require(writers.size() < MaxValuesPerTask,
+        s"splitBy column '$splitCol' exceeded $MaxValuesPerTask distinct " +
+          "values in one write task — identity partitioning needs a " +
+          "low-cardinality column (bucket or cluster high-cardinality ones)")
+      w = new ManifestDataWriter(dir, schema, token, partitionId, taskId,
+        conf, suffix = s"-v${writers.size()}")
+      writers.put(v, w)
+    }
+    w
+  }
+
+  override def write(metadata: InternalRow, row: InternalRow): Unit =
+    write(row)
+
+  override def write(row: InternalRow): Unit = {
+    val v: Any =
+      if (row.isNullAt(idx)) null
+      else if (isLong) java.lang.Long.valueOf(row.getLong(idx))
+      else row.getUTF8String(idx).toString
+    writerFor(v).write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val parts = writers.values().iterator()
+    val out = Seq.newBuilder[PartCommit]
+    while (parts.hasNext)
+      out += parts.next().commit().asInstanceOf[PartCommit]
     MultiPartCommit(out.result())
   }
 
@@ -1466,6 +1594,14 @@ private[sources] class ManifestDataWriter(
   private var strNulls = 0L
   private val eLNulls = Array.fill(extraLong.length)(0L)
   private val eSNulls = Array.fill(extraStr.length)(0L)
+  // EXACT SUMS of every tracked long column (non-null values, exact
+  // arithmetic: a per-part overflow marks the column's sum untracked
+  // rather than wrapping) — the 4th stats leg, turning a global SUM
+  // into a metadata-only pushed aggregate
+  private var keySum = 0L
+  private var keySumOk = true
+  private val eLSum = Array.fill(extraLong.length)(0L)
+  private val eLSumOk = Array.fill(extraLong.length)(true)
   // built at max size while streaming (final row count unknown),
   // folded to the row-count-sized filter at commit — see PartBloom
   private val bloom = if (keyIdx >= 0) PartBloom.newBits() else null
@@ -1489,6 +1625,9 @@ private[sources] class ManifestDataWriter(
       if (k < lastKey) sorted = false
       lastKey = k
       PartBloom.add(bloom, k)
+      if (keySumOk)
+        try keySum = Math.addExact(keySum, k)
+        catch { case _: ArithmeticException => keySumOk = false }
     } else if (keyIdx >= 0) { sorted = false; keyNulls += 1 }
     if (strIdx >= 0 && !row.isNullAt(strIdx)) {
       val s = row.getUTF8String(strIdx)
@@ -1502,6 +1641,9 @@ private[sources] class ManifestDataWriter(
         val v = row.getLong(idx)
         if (v < eLMin(i)) eLMin(i) = v
         if (v > eLMax(i)) eLMax(i) = v
+        if (eLSumOk(i))
+          try eLSum(i) = Math.addExact(eLSum(i), v)
+          catch { case _: ArithmeticException => eLSumOk(i) = false }
       } else eLNulls(i) += 1
       i += 1
     }
@@ -1526,7 +1668,8 @@ private[sources] class ManifestDataWriter(
       (extraLong.indices.collect {
         case i if eLMin(i) <= eLMax(i) =>
           schema.fields(extraLong(i)).name ->
-            ColStat('l', eLMin(i).toString, eLMax(i).toString, eLNulls(i))
+            ColStat('l', eLMin(i).toString, eLMax(i).toString, eLNulls(i),
+              if (eLSumOk(i)) Some(eLSum(i)) else None)
       } ++ extraStr.indices.collect {
         case i if eSMin(i) != null =>
           schema.fields(extraStr(i)).name ->
@@ -1536,7 +1679,11 @@ private[sources] class ManifestDataWriter(
       Option(sMin).map(_.toString), Option(sMax).map(_.toString), bytes,
       sorted = keyIdx >= 0 && rows > 0 && sorted, cstats = cstats,
       keyNulls = if (keyIdx >= 0) keyNulls else -1L,
-      strNulls = if (strIdx >= 0) strNulls else -1L)
+      strNulls = if (strIdx >= 0) strNulls else -1L,
+      // an all-null/empty part records Some(0): the sum over zero
+      // non-null values is additively 0 (the NULL-vs-0 decision for
+      // SQL SUM belongs to the fold, which has the null counts)
+      keySum = if (keyIdx >= 0 && keySumOk) Some(keySum) else None)
   }
 
   override def abort(): Unit = {

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression, Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -176,92 +176,245 @@ private[sources] class ManifestScanBuilder(
   private var points: Option[Set[Long]] = None
   private var pushed: Array[Filter] = Array.empty
   private var sawFilters = false
-  private var aggFuncs: Option[Seq[AggregateFunc]] = None
+  // the accepted metadata aggregate's (output schema, final rows) —
+  // computed by [[computeMetaAgg]] at pushdown time from one manifest
+  // read, served verbatim by [[ManifestAggScan]]
+  private var aggResult: Option[(StructType, Seq[Array[Any]])] = None
   private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** METADATA-ONLY aggregation: a global COUNT(*) / MIN(key) /
-    * MAX(key) is exactly what the manifest already stores per part, so
-    * the scan answers it without opening a single data file — the
-    * 100 TB "count a petabyte table from its footers" path every real
-    * table format serves. Accepted ONLY when no filters reached the
-    * scan (ours are residual, so Spark would re-filter rows that no
-    * longer exist) and no grouping is requested. COUNT(col) is
-    * declined — the manifest tracks no per-column null counts, and
-    * min/max of the key are null-safe by construction (the writer
-    * skips null keys; SQL MIN/MAX ignore nulls). Complete pushdown:
-    * the single emitted row carries final values, not partials. */
-  private def canPushAgg(a: Aggregation): Boolean = {
-    def isKeyRef(e: Expression): Boolean = e match {
-      case nr: NamedReference =>
-        keyCol.contains(nr.fieldNames.mkString("."))
-      case _ => false
+  /** METADATA-ONLY aggregation: a global COUNT(*) / COUNT(col) /
+    * MIN / MAX / SUM is exactly what the manifest already stores per
+    * part, so the scan answers it without opening a single data
+    * file — the 100 TB "count a petabyte table from its footers" path
+    * every real table format serves. Accepted ONLY when no filters
+    * reached the scan (ours are residual, so Spark would re-filter
+    * rows that no longer exist). GROUP BY is additionally accepted
+    * when every live part is provably SINGLE-VALUED on every grouping
+    * column (the identity-partitioned layout `option("splitBy", c)`
+    * writes, recorded as min==max per-part stats) — the classic
+    * "rows per day over 100k files" answered from the manifest alone,
+    * one output row per group. SUM answers from the writer's exact
+    * per-part sums ([[PartMeta.kSum]] / [[ColStat.sum]]); a fold that
+    * would overflow a Long declines instead of wrapping. Complete
+    * pushdown: emitted rows carry final values, not partials. */
+  private def canPushAgg(a: Aggregation): Boolean = metaAggAnswer(a).isDefined
+
+  // decision AND answer from ONE manifest read per Aggregation
+  // instance, so accept/serve can never straddle a racing commit
+  // (Spark calls supportCompletePushDown and pushAggregation with the
+  // same object)
+  private var aggCache:
+      Option[(Aggregation, Option[(StructType, Seq[Array[Any]])])] = None
+  private def metaAggAnswer(a: Aggregation)
+      : Option[(StructType, Seq[Array[Any]])] = aggCache match {
+    case Some((prev, r)) if prev eq a => r
+    case _ =>
+      val r = computeMetaAgg(a)
+      aggCache = Some((a, r))
+      r
+  }
+
+  /** The full metadata answer — `(output schema, final rows)` — or
+    * None to decline and scan data. Output layout is the DSv2
+    * complete-pushdown contract: grouping columns first (in
+    * [[Aggregation.groupByExpressions]] order), then one column per
+    * aggregate. */
+  private def computeMetaAgg(a: Aggregation)
+      : Option[(StructType, Seq[Array[Any]])] = {
+    // a rewrite scan must yield ROWS, never a summary; residual
+    // filters would make any summary over-wide
+    if (rowLevelOwner.nonEmpty || sawFilters ||
+        a.aggregateExpressions.isEmpty) return None
+    def name(e: Expression): Option[String] = e match {
+      case nr: NamedReference => Some(nr.fieldNames.mkString("."))
+      case _ => None
     }
-    // the STRING stats column folds exactly too: the writer records
+    def fieldOf(n: String): Option[StructField] =
+      schema.fields.find(_.name == n)
+    // a branch read must answer from the BRANCH head, never main's
+    val meta: Seq[PartMeta] =
+      if (branch.isDefined)
+        ManifestSink.readSnapshot(conf.value, path, None, branch)._1
+      else ManifestSink.readManifestMeta(conf.value, path, version)
+    // MIN/MAX/SUM stats are stale once a deletion vector exists (the
+    // extreme/summed rows may be the deleted ones) — COUNT(*) stays
+    // exact via visibleRows, so it alone survives DVs
+    val anyDv = meta.exists(_.hasDv)
+    val live = meta.filter(_.rows > 0)
+
+    // ---- grouping: every group expression must be a long/string
+    // column on which every live part is provably SINGLE-VALUED —
+    // min==max with zero nulls, or uniformly NULL — the layout
+    // `option("splitBy", c)` writes. One straddling/unknown part
+    // declines the whole answer.
+    val groupNames: Seq[String] = a.groupByExpressions.toSeq.map { e =>
+      name(e).filter(n => fieldOf(n).exists(f =>
+        f.dataType == LongType || f.dataType == StringType)) match {
+        case Some(n) => n
+        case None => return None
+      }
+    }
+    def groupValue(p: PartMeta, c: String): Option[Any] =
+      if (keyCol.contains(c)) {
+        if (p.kNulls == 0 && p.kMin == p.kMax)
+          Some(java.lang.Long.valueOf(p.kMin))
+        else if (p.kNulls > 0 && p.kNulls == p.rows) Some(null)
+        else None // straddles, or legacy (kNulls == -1)
+      } else if (strCol.contains(c)) {
+        if (p.sNulls == 0 && p.sMin.isDefined && p.sMin == p.sMax)
+          Some(p.sMin.get)
+        else if (p.sNulls > 0 && p.sNulls == p.rows) Some(null)
+        else None
+      } else p.cstats.get(c) match {
+        case Some(st) if st.nulls == 0 && st.min == st.max =>
+          Some(if (st.kind == 'l') java.lang.Long.valueOf(st.lMin)
+            else st.min)
+        // absent entry = all-null part OR legacy manifest — the two
+        // are indistinguishable here, so decline both
+        case _ => None
+      }
+    if (groupNames.nonEmpty && (anyDv ||
+        live.exists(p => groupNames.exists(c => groupValue(p, c).isEmpty))))
+      return None
+
+    // ---- per-aggregate answerability (uniform across parts)
+    def isKeyRef(n: String) = keyCol.contains(n)
+    // the STRING stats column folds exactly: the writer records
     // sMin/sMax in UTF8 binary order — Spark's own string collation —
-    // for every part, and `sMin == None` MEANS "no non-null strings
-    // in this part" (not "untracked"), so skipping those parts is the
-    // same null-skipping SQL MIN/MAX performs
-    def isStrRef(e: Expression): Boolean = e match {
-      case nr: NamedReference =>
-        strCol.contains(nr.fieldNames.mkString("."))
-      case _ => false
-    }
-    // MIN/MAX stats are stale once a deletion vector exists (the
-    // extreme row may be the deleted one) — COUNT stays exact via
-    // visibleRows, so only the extremes force the decline
-    lazy val meta = ManifestSink.readManifestMeta(conf.value, path, version)
-    lazy val anyDv = meta.exists(_.hasDv)
+    // and `sMin == None` MEANS "no non-null strings in this part"
+    def isStrRef(n: String) = strCol.contains(n)
     // ANY OTHER long/string column answers from its [[ColStat]]
     // record — but ONLY when every live part carries one: a part with
     // rows and no entry is an all-null part, a legacy manifest, or a
     // column beyond the writer's tracking cap, and the first is the
     // only one where skipping would be correct — declining all three
     // keeps the metadata answer provably exact
-    def isStatRef(e: Expression): Boolean = e match {
-      case nr: NamedReference =>
-        val n = nr.fieldNames.mkString(".")
-        !keyCol.contains(n) && !strCol.contains(n) &&
-          schema.fields.exists(f => f.name == n &&
-            (f.dataType == LongType || f.dataType == StringType)) &&
-          meta.forall(p => p.visibleRows == 0 || p.cstats.contains(n))
-      case _ => false
-    }
-    def statAnswerable(e: Expression): Boolean =
-      isKeyRef(e) || isStrRef(e) || isStatRef(e)
+    def isStatRef(n: String): Boolean =
+      !isKeyRef(n) && !isStrRef(n) &&
+        fieldOf(n).exists(f =>
+          f.dataType == LongType || f.dataType == StringType) &&
+        meta.forall(p => p.visibleRows == 0 || p.cstats.contains(n))
+    def statAnswerable(n: String): Boolean =
+      isKeyRef(n) || isStrRef(n) || isStatRef(n)
     // COUNT(col) = Σ (rows − null count), answerable when every part
-    // carries a null count for the column (key/first-string always
-    // tracked by the current writer; other long/string columns when
-    // their ColStat record has the null field). Declined under DVs —
-    // the recorded counts are physical, the answer must be visible
-    def countAnswerable(e: Expression): Boolean = e match {
-      case nr: NamedReference =>
-        val n = nr.fieldNames.mkString(".")
-        if (keyCol.contains(n)) meta.forall(_.kNulls >= 0)
-        else if (strCol.contains(n)) meta.forall(_.sNulls >= 0)
-        else schema.fields.exists(f => f.name == n &&
-          (f.dataType == LongType || f.dataType == StringType)) &&
-          meta.forall(p => p.rows == 0 ||
-            p.cstats.get(n).exists(_.nulls >= 0))
+    // carries a null count for the column
+    def countAnswerable(n: String): Boolean =
+      if (isKeyRef(n)) meta.forall(_.kNulls >= 0)
+      else if (isStrRef(n)) meta.forall(_.sNulls >= 0)
+      else fieldOf(n).exists(f =>
+        f.dataType == LongType || f.dataType == StringType) &&
+        meta.forall(p => p.rows == 0 ||
+          p.cstats.get(n).exists(_.nulls >= 0))
+    // SUM(col) answers from the writer's exact per-part sums — key
+    // column from [[PartMeta.kSum]], secondary longs from
+    // [[ColStat.sum]]; a part written before sum tracking (or whose
+    // own sum overflowed) declines
+    def sumAnswerable(n: String): Boolean =
+      if (isKeyRef(n)) meta.forall(p => p.rows == 0 || p.kSum.isDefined)
+      else fieldOf(n).exists(_.dataType == LongType) &&
+        meta.forall(p => p.rows == 0 ||
+          p.cstats.get(n).exists(_.sum.isDefined))
+    val ok = a.aggregateExpressions.forall {
+      case _: CountStar => groupNames.isEmpty || !anyDv
+      case m: Min => name(m.column).exists(statAnswerable) && !anyDv
+      case m: Max => name(m.column).exists(statAnswerable) && !anyDv
+      case c: Count =>
+        !c.isDistinct && name(c.column).exists(countAnswerable) && !anyDv
+      case s: Sum =>
+        !s.isDistinct && name(s.column).exists(sumAnswerable) && !anyDv
       case _ => false
     }
-    rowLevelOwner.isEmpty && // a rewrite scan must yield ROWS, never a summary
-      !sawFilters && a.groupByExpressions.isEmpty &&
-      a.aggregateExpressions.nonEmpty &&
-      a.aggregateExpressions.forall {
-        case _: CountStar => true
-        case m: Min       => statAnswerable(m.column) && !anyDv
-        case m: Max       => statAnswerable(m.column) && !anyDv
-        case c: Count     =>
-          !c.isDistinct && countAnswerable(c.column) && !anyDv
-        case _            => false
+    if (!ok) return None
+
+    // ---- fold final values per group of parts
+    def foldMM(g: Seq[PartMeta], c: String, wantMin: Boolean): Any =
+      if (isKeyRef(c)) {
+        val withKeys = g.filter(p => p.kMin <= p.kMax)
+        if (withKeys.isEmpty) null
+        else java.lang.Long.valueOf(
+          if (wantMin) withKeys.map(_.kMin).min else withKeys.map(_.kMax).max)
+      } else if (isStrRef(c)) {
+        val withStr = g.filter(_.sMin.isDefined)
+        if (withStr.isEmpty) null
+        else if (wantMin) withStr.map(_.sMin.get).reduce(StrBin.min)
+        else withStr.map(_.sMax.get).reduce(StrBin.max)
+      } else {
+        val st = g.flatMap(_.cstats.get(c))
+        if (st.isEmpty) null
+        else if (st.head.kind == 's') {
+          if (wantMin) st.map(_.min).reduce(StrBin.min)
+          else st.map(_.max).reduce(StrBin.max)
+        } else java.lang.Long.valueOf(
+          if (wantMin) st.map(_.lMin).min else st.map(_.lMax).max)
       }
+    def countNonNull(g: Seq[PartMeta], c: String): Long = g.map { p =>
+      if (isKeyRef(c)) p.rows - math.max(0L, p.kNulls)
+      else if (isStrRef(c)) p.rows - math.max(0L, p.sNulls)
+      else p.cstats.get(c).map(st => p.rows - math.max(0L, st.nulls))
+        .getOrElse(0L)
+    }.sum
+    // SQL SUM is NULL iff zero non-null inputs — provable without
+    // null counts: a part saw a non-null value iff it recorded stats
+    def foldSum(g: Seq[PartMeta], c: String): Any = {
+      val any =
+        if (isKeyRef(c)) g.exists(p => p.kMin <= p.kMax)
+        else g.exists(_.cstats.contains(c))
+      if (!any) null
+      else java.lang.Long.valueOf(g.foldLeft(0L) { (acc, p) =>
+        val s = if (isKeyRef(c)) p.kSum.getOrElse(0L)
+          else p.cstats.get(c).flatMap(_.sum).getOrElse(0L)
+        Math.addExact(acc, s) // overflow → decline via the catch below
+      })
+    }
+    def groupRow(key: Seq[Any], g: Seq[PartMeta]): Array[Any] =
+      (key ++ a.aggregateExpressions.toSeq.map[Any] {
+        // visibleRows: a deletion vector reduces the served count
+        // with no data rewrite — the global metadata COUNT(*) stays
+        // EXACT under MOR deletes
+        case _: CountStar => java.lang.Long.valueOf(g.map(_.visibleRows).sum)
+        case m: Min => foldMM(g, name(m.column).get, wantMin = true)
+        case m: Max => foldMM(g, name(m.column).get, wantMin = false)
+        case c: Count =>
+          java.lang.Long.valueOf(countNonNull(g, name(c.column).get))
+        case s: Sum => foldSum(g, name(s.column).get)
+        case f => throw new IllegalStateException(s"unexpected pushed agg $f")
+      }).toArray
+    // the folds run INSIDE the try: a SUM whose total overflows a
+    // Long throws addExact and the whole answer declines to a scan
+    val rows: Seq[Array[Any]] =
+      try {
+        if (groupNames.isEmpty) Seq(groupRow(Seq.empty, meta))
+        else live.groupBy(p => groupNames.map(c => groupValue(p, c).get))
+          .toSeq.map { case (k, g) => groupRow(k, g) }
+      } catch { case _: ArithmeticException => return None }
+    val outSchema = StructType(
+      groupNames.zipWithIndex.map { case (c, i) =>
+        StructField(s"g_$i", fieldOf(c).get.dataType, nullable = true)
+      } ++ a.aggregateExpressions.zipWithIndex.map {
+        case (_: CountStar, i) =>
+          StructField(s"agg_$i", LongType, nullable = false)
+        case (_: Count, i) => StructField(s"agg_$i", LongType, nullable = false)
+        case (_: Sum, i)   => StructField(s"agg_$i", LongType, nullable = true)
+        case (f, i) =>
+          val mmCol = f match {
+            case m: Min => name(m.column).get
+            case m: Max => name(m.column).get
+            case _ => return None
+          }
+          StructField(s"agg_$i", fieldOf(mmCol).get.dataType, nullable = true)
+      })
+    Some((outSchema, rows))
   }
+
   override def supportCompletePushDown(a: Aggregation): Boolean = canPushAgg(a)
   override def pushAggregation(a: Aggregation): Boolean =
-    canPushAgg(a) && { aggFuncs = Some(a.aggregateExpressions.toSeq); true }
+    metaAggAnswer(a) match {
+      case Some(r) => aggResult = Some(r); true
+      case None => false
+    }
 
   /** LIMIT pushdown: plan only a prefix of parts whose manifest row
     * counts cover the limit, and cap each reader at `n` rows (any one
@@ -459,8 +612,9 @@ private[sources] class ManifestScanBuilder(
           (m, latest, sc)
       }
     }
-    aggFuncs match {
-      case Some(fs) => new ManifestAggScan(all, fs, strCol, keyCol, schema)
+    aggResult match {
+      case Some((aggSchema, aggRows)) =>
+        new ManifestAggScan(aggSchema, aggRows)
       case None =>
         var kept = all.filter(m => !(m.kMax < keyLo || m.kMin > keyHi))
         if (strLo.isDefined || strHi.isDefined)
@@ -552,111 +706,36 @@ private[sources] class ManifestScanBuilder(
     }
 }
 
-/** Metadata-only scan: one synthetic partition, one row, computed
-  * entirely from the manifest — no data file is ever opened. */
+/** Metadata-only scan: the FINAL aggregate rows were already computed
+  * on the driver from one manifest read (see `computeMetaAgg`) — the
+  * scan just serves them; no data file is ever opened. A global
+  * aggregate is one partition/one row; a grouped aggregate chunks its
+  * group rows (one per distinct part-constant value) across a few
+  * partitions, each a thin array in the task closure. */
 private[sources] class ManifestAggScan(
-    parts: Seq[PartMeta], funcs: Seq[AggregateFunc],
-    strCol: Option[String] = None,
-    keyCol: Option[String] = None,
-    schema: StructType = new StructType())
+    aggSchema: StructType, rows: Seq[Array[Any]])
     extends Scan with Batch {
 
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft.ManifestAggScan(metadata-only, ${funcs.mkString(", ")})"
+    s"graft.ManifestAggScan(metadata-only, ${rows.length} rows, " +
+      aggSchema.fieldNames.mkString(", ") + ")"
 
-  private def refName(f: AggregateFunc): Option[String] = {
-    def name(e: Expression): Option[String] = e match {
-      case nr: NamedReference => Some(nr.fieldNames.mkString("."))
-      case _ => None
-    }
-    f match {
-      case m: Min   => name(m.column)
-      case m: Max   => name(m.column)
-      case c: Count => name(c.column)
-      case _        => None
-    }
-  }
-
-  private def isStr(f: AggregateFunc): Boolean =
-    refName(f).exists(c => strCol.contains(c) ||
-      schema.fields.exists(x => x.name == c && x.dataType == StringType))
-
-  override def readSchema(): StructType =
-    StructType(funcs.zipWithIndex.map {
-      case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
-      case (_: Count, i)     => StructField(s"agg_$i", LongType, nullable = false)
-      case (f, i) if isStr(f) =>
-        StructField(s"agg_$i", StringType, nullable = true)
-      case (_, i)            => StructField(s"agg_$i", LongType, nullable = true)
-    })
+  override def readSchema(): StructType = aggSchema
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(ManifestAggPartition(values))
-
-  /** Final values from per-part stats: COUNT(*) sums row counts
-    * (null-key rows included); key MIN/MAX fold per-part extrema over
-    * parts that saw ≥1 non-null key (empty/all-null parts carry the
-    * (MaxValue, MinValue) sentinel), NULL when no part did — SQL
-    * empty/all-null MIN/MAX semantics. String MIN/MAX fold sMin/sMax
-    * in [[StrBin]] UTF-8 byte order — the collation the writer
-    * tracked them in AND the one Spark's own MIN/MAX would produce —
-    * over parts that saw ≥1 non-null string (`sMin == None` means
-    * exactly "this part has no non-null strings"). Any OTHER column
-    * folds its [[ColStat]] entries the same way — canPushAgg already
-    * proved every live part carries one. */
-  private def values: Array[Any] = {
-    val withKeys = parts.filter(p => p.kMin <= p.kMax)
-    lazy val withStr = parts.filter(_.sMin.isDefined)
-    def fold(c: String, wantMin: Boolean): Any =
-      if (keyCol.contains(c)) {
-        if (withKeys.isEmpty) null
-        else java.lang.Long.valueOf(
-          if (wantMin) withKeys.map(_.kMin).min else withKeys.map(_.kMax).max)
-      } else if (strCol.contains(c)) {
-        if (withStr.isEmpty) null
-        else if (wantMin) withStr.map(_.sMin.get).reduce(StrBin.min)
-        else withStr.map(_.sMax.get).reduce(StrBin.max)
-      } else {
-        val st = parts.flatMap(_.cstats.get(c))
-        if (st.isEmpty) null
-        else if (st.head.kind == 's') {
-          if (wantMin) st.map(_.min).reduce(StrBin.min)
-          else st.map(_.max).reduce(StrBin.max)
-        } else java.lang.Long.valueOf(
-          if (wantMin) st.map(_.lMin).min else st.map(_.lMax).max)
-      }
-    // COUNT(col) = Σ (rows − nulls); canPushAgg proved every part
-    // carries the column's null count (or has zero rows) and that no
-    // deletion vector exists, so physical == visible
-    def countNonNull(c: String): Long = parts.map { p =>
-      if (keyCol.contains(c)) p.rows - math.max(0L, p.kNulls)
-      else if (strCol.contains(c)) p.rows - math.max(0L, p.sNulls)
-      else p.cstats.get(c).map(st => p.rows - math.max(0L, st.nulls))
-        .getOrElse(0L)
-    }.sum
-    funcs.map[Any] {
-      // visibleRows: a deletion vector reduces the served count with
-      // no data rewrite — the metadata COUNT stays EXACT under MOR
-      // deletes (MIN/MAX do not: the extreme row may be deleted, so
-      // canPushAgg declines them whenever any part carries a vector)
-      case _: CountStar => java.lang.Long.valueOf(parts.map(_.visibleRows).sum)
-      case m: Min => fold(refName(m).get, wantMin = true)
-      case m: Max => fold(refName(m).get, wantMin = false)
-      case c: Count => java.lang.Long.valueOf(countNonNull(refName(c).get))
-      case f => throw new IllegalStateException(s"unexpected pushed agg $f")
-    }.toArray
-  }
+    if (rows.isEmpty) Array.empty
+    else rows.grouped(4096).map(c => ManifestAggPartition(c.toArray)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private val vals = p.asInstanceOf[ManifestAggPartition].values
-          private var done = false
-          override def next(): Boolean = !done && { done = true; true }
+          private val all = p.asInstanceOf[ManifestAggPartition].rows
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < all.length }
           override def get(): InternalRow =
-            new GenericInternalRow(vals.map[Any] {
+            new GenericInternalRow(all(i).map[Any] {
               case null             => null
               case s: String       =>
                 org.apache.spark.unsafe.types.UTF8String.fromString(s)
@@ -667,7 +746,7 @@ private[sources] class ManifestAggScan(
     }
 }
 
-private[sources] case class ManifestAggPartition(values: Array[Any])
+private[sources] case class ManifestAggPartition(rows: Array[Array[Any]])
     extends InputPartition
 
 private[sources] class ManifestScan(
