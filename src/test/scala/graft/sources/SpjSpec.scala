@@ -165,9 +165,45 @@ class SpjSpec extends graft.SparkSpec {
       assert(!plan.contains("Exchange"),
         s"DDL-bucketed join must not shuffle:\n$plan")
     }
-    // non-bucket partitioning stays rejected
+    // transforms the catalog can't lay out stay rejected
     intercept[Exception] {
-      spark.sql("CREATE TABLE gsp.ns.ddl_bad (k BIGINT) PARTITIONED BY (k)")
+      spark.sql("CREATE TABLE gsp.ns.ddl_bad (k BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (days(ts))")
+    }
+  }
+
+  test("SQL DDL identity split: PARTITIONED BY (col) routes the split " +
+    "writer, advertises its layout, and prunes point predicates") {
+    wh
+    spark.sql("CREATE TABLE gsp.ns.ddl_id (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (k)")
+    // table advertises the identity layout
+    val t = spark.sessionState.catalogManager.catalog("gsp")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("ns"), "ddl_id"))
+    assert(t.partitioning().map(_.toString).toSeq === Seq("identity(k)"))
+    // plain INSERT — layout policy clusters per value and the split
+    // writer commits exactly one single-valued part per distinct value
+    rows(0, 1000).createOrReplaceTempView("spj_id_src")
+    spark.sql("INSERT INTO gsp.ns.ddl_id SELECT k % 5, v FROM spj_id_src")
+    val metas = ManifestSink.readManifestMeta(
+      spark.sessionState.newHadoopConf(), s"$wh/ns/ddl_id", None)
+    assert(metas.length === 5, "one part per distinct identity value")
+    assert(metas.forall(m => m.nbuckets === 0))
+    // point predicate on the split column plans exactly one part
+    val point = spark.sql("SELECT sum(v) AS s FROM gsp.ns.ddl_id WHERE k = 3")
+    val planned = point.queryExecution.sparkPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.length
+    }.getOrElse(-1)
+    assert(planned === 1, s"point predicate must prune to 1/5 parts, got $planned")
+    assert(point.collect().head.getLong(0) ===
+      (0L until 1000L).filter(_ % 5 == 3).map(_ * 7).sum)
+    // identity column must exist with a splittable type
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gsp.ns.ddl_id_bad (k BIGINT, f DOUBLE) " +
+        "PARTITIONED BY (f)")
     }
   }
 
