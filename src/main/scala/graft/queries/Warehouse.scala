@@ -2339,5 +2339,121 @@ ORDER BY event_type NULLS FIRST""")),
   CAST(2 AS INT) AS n_batches, CAST(3 AS INT) AS final_version
 FROM events GROUP BY event_type
 ORDER BY event_type NULLS FIRST""")),
+
+    // --- PARTITION-SPEC / LAYOUT EVOLUTION (`CALL set_layout` —
+    // Iceberg ADD PARTITION FIELD, sources/GraftProcedures.scala):
+    // the spec change is METADATA-ONLY (at 100 TB an eager re-layout
+    // inside DDL would be an O(table) rewrite), so the table passes
+    // through three observable states, all gated: (1) generation-1
+    // parts written unpartitioned; (2) after set_layout, the NEXT
+    // plain INSERT routes through the bucketed writer (gen2_parts=4,
+    // no writer options) while gen-1 parts stay readable exactly as
+    // committed — the mixed-generation union answers the mid-
+    // migration count (SPJ demotes rather than mis-joins; SpjSpec
+    // pins the plan); (3) `CALL compact` MIGRATES everything to the
+    // head spec — every post-compact part carries a bucket ordinal
+    // and the rollup is unchanged. The oracle restates the union and
+    // the deterministic part counts.
+    QueryDef("q_layout_evolve",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "layoutev")
+        spark.conf.set("spark.sql.catalog.graftle",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftle.warehouse", wh)
+        spark.sql("CREATE TABLE graftle.wh.ev_t " +
+          "(event_id BIGINT, user_id BIGINT, value DOUBLE)")
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .createOrReplaceTempView("le_src")
+        spark.sql("INSERT INTO graftle.wh.ev_t " +
+          "SELECT * FROM le_src WHERE event_id % 2 = 0")
+        val res = spark.sql("CALL graftle.system.set_layout(" +
+          "table => 'wh.ev_t', spec => 'bucket(4,event_id)')")
+        spark.sql("INSERT INTO graftle.wh.ev_t " +
+          "SELECT * FROM le_src WHERE event_id % 2 = 1")
+        // materialize the MID-MIGRATION observations before compact
+        // runs — the metadata table reads head state at execution,
+        // and the gated DataFrame executes after the CALL below
+        val genRow = spark.sql(
+          "SELECT sum(CASE WHEN bucket >= 0 THEN 1 ELSE 0 END) AS gen2_parts, " +
+            "sum(CASE WHEN bucket < 0 THEN 1 ELSE 0 END) > 0 AS has_gen1 " +
+            "FROM graftle.wh.ev_t.files").head
+        val gens = spark.range(1).select(
+          lit(genRow.getLong(0)).as("gen2_parts"),
+          lit(genRow.getBoolean(1)).as("has_gen1"))
+        val mid = spark.range(1).select(
+          lit(spark.table("graftle.wh.ev_t").count()).as("n_rows_mixed"))
+        spark.sql("CALL graftle.system.compact(" +
+          "table => 'wh.ev_t', target_parts => 4)")
+        val post = spark.sql(
+          "SELECT sum(CASE WHEN bucket >= 0 THEN 1 ELSE 0 END) AS bucketed_post, " +
+            "count(*) AS n_parts_post FROM graftle.wh.ev_t.files")
+        val agg = spark.sql(
+          "SELECT count(*) AS n_rows, sum(user_id) AS sum_users, " +
+            "min(event_id) AS key_min, max(event_id) AS key_max " +
+            "FROM graftle.wh.ev_t")
+        res.crossJoin(gens).crossJoin(mid).crossJoin(post).crossJoin(agg)
+      },
+      Some("""SELECT 'none' AS old_layout,
+  'bucket(4,event_id)' AS new_layout,
+  CAST(4 AS BIGINT) AS gen2_parts, true AS has_gen1,
+  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows_mixed,
+  CAST(4 AS BIGINT) AS bucketed_post, CAST(4 AS BIGINT) AS n_parts_post,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(user_id) AS BIGINT) AS sum_users,
+  min(event_id) AS key_min, max(event_id) AS key_max
+FROM events""")),
+
+    // --- OPTIMIZE ZORDER as a procedure (`CALL compact(..., zorder
+    // => 'a,b')` — Delta OPTIMIZE ZORDER BY): before, 8 hash-random
+    // parts each span both full column ranges, so a 2-D box
+    // predicate plans ALL of them; after the Morton rewrite each
+    // part owns one contiguous z-range = a bounded tile in
+    // (event_id, user_id) space and the SAME predicate plans
+    // strictly fewer parts off per-part ColStats alone — multi-
+    // dimensional data skipping as a maintenance command, the
+    // layout every 100 TB "filter on two dimensions" workload needs
+    // (a single-column sort leaves the other dimension's bounds
+    // spanning every file). The box answer itself is gated exactly.
+    QueryDef("q_call_zorder",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "callz")
+        spark.conf.set("spark.sql.catalog.graftzo",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftzo.warehouse", wh)
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("user_id"), col("value"))
+        val t = s"$wh/wh/ev_t"
+        writeHistory(base, t, "overwrite", parts = 8)
+        val mx = base.agg(max(col("event_id")), max(col("user_id"))).head
+        val (boxE, boxU) = (mx.getLong(0) / 4, mx.getLong(1) / 4)
+        def box(): DataFrame = spark.read
+          .format("graft.sources.ManifestSource").option("path", t).load()
+          .filter(col("event_id") <= boxE && col("user_id") <= boxU)
+        def planned(df: DataFrame): Int =
+          df.queryExecution.sparkPlan.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.inputPartitions.length
+          }.getOrElse(-1)
+        val before = planned(box())
+        val res = spark.sql("CALL graftzo.system.compact(" +
+          "table => 'wh.ev_t', target_parts => 8, " +
+          "zorder => 'event_id,user_id')")
+        val after = planned(box())
+        box().agg(count(lit(1)).as("n_box"),
+          sum(col("user_id")).as("sum_box_users"),
+          min(col("event_id")).as("min_box_id"))
+          .withColumn("parts_before_prune", lit(before))
+          .withColumn("pruned_tighter", lit(after < before))
+          .crossJoin(res.select(col("parts_before"), col("parts_after")))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_box,
+  CAST(sum(user_id) AS BIGINT) AS sum_box_users,
+  min(event_id) AS min_box_id,
+  CAST(8 AS INT) AS parts_before_prune, true AS pruned_tighter,
+  CAST(8 AS INT) AS parts_before, CAST(8 AS INT) AS parts_after
+FROM events
+WHERE event_id <= (SELECT max(event_id) // 4 FROM events)
+  AND user_id <= (SELECT max(user_id) // 4 FROM events)""")),
   )
 }

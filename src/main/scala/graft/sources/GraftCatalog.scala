@@ -88,7 +88,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     val p = tablePath(ident)
     ManifestSink.readSchema(conf, p) match {
       case Some(schema) => new GraftCatalogTable(ident, p, schema,
-        ManifestSink.readTableSpec(conf, p))
+        ManifestSink.readTableSpec(conf, p),
+        ManifestSink.readTableOrder(conf, p))
       case None =>
         // METADATA TABLES (the Iceberg `db.table.history` shape):
         // `SELECT * FROM cat.ns.t.history|files|branches` parses as
@@ -687,7 +688,8 @@ private[sources] object H64Function extends UnboundFunction {
   * construction — CatalogSpec pins both paths. */
 private[sources] class GraftCatalogTable(
     ident: Identifier, path: String, tableSchema: StructType,
-    bucketSpec: Option[(Int, String)] = None)
+    bucketSpec: Option[(Int, String)] = None,
+    writeOrder: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -892,6 +894,28 @@ private[sources] class GraftCatalogTable(
         val branch = Option(info.options.get("branch")).filter(_.nonEmpty)
         val sconf = new SerializableConfiguration(ManifestSink.driverConf())
         bucketSpec match {
+          case None if writeOrder.isDefined =>
+            // WRITE ORDERED BY c (set_layout order_by): every INSERT
+            // range-distributes on the column and sorts within each
+            // task, so parts land key-sorted with DISJOINT ranges —
+            // min/max pruning on c is tight from the first write, no
+            // OPTIMIZE needed. Metadata-only: existing parts keep
+            // whatever order they were written with.
+            new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+              import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+              import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+              private val ord = Array(Expressions.sort(
+                Expressions.column(writeOrder.get),
+                org.apache.spark.sql.connector.expressions.SortDirection
+                  .ASCENDING))
+              override def requiredDistribution(): Distribution =
+                Distributions.ordered(ord.map(_.asInstanceOf[org.apache.spark.sql.connector.expressions.SortOrder]))
+              override def requiredOrdering(): Array[SortOrder] = ord
+              override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+                new ManifestBatchWrite(path, info.schema(), doTruncate,
+                  history = true, sconf, branch,
+                  replaceFilters = replaceFilters)
+            }
           case None => new Write {
             override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
               new ManifestBatchWrite(path, info.schema(), doTruncate,
@@ -952,12 +976,20 @@ private[sources] class ManifestFilesTable(path: String)
 
   // key_sum: the part's exact key-column sum (NULL = untracked legacy
   // part or a per-part Long overflow) — the stat behind metadata-only
-  // SUM pushdown, surfaced for layout audits like the rest
+  // SUM pushdown, surfaced for layout audits like the rest. New stat
+  // columns APPEND at the end of this schema: ordinal consumers of
+  // the audit view must never see earlier columns shift (the view is
+  // also name-addressed, but position stability costs nothing)
+  // split_value: on an identity-partitioned table, the single value
+  // this part holds on the split column (NULL on non-split tables or
+  // a legacy/straddling part) — the Iceberg `.files.partition` analog,
+  // the audit answer to "which value does each file own?"
   private val filesSchema = StructType.fromDDL(
     "part INT, file STRING, n_rows BIGINT, visible_rows BIGINT, " +
-      "key_min BIGINT, key_max BIGINT, key_sum BIGINT, " +
+      "key_min BIGINT, key_max BIGINT, " +
       "has_dv BOOLEAN, dv_count BIGINT, " +
-      "bytes BIGINT, bucket INT, col_stats STRING")
+      "bytes BIGINT, bucket INT, col_stats STRING, key_sum BIGINT, " +
+      "split_value STRING")
 
   override def name(): String = s"manifest($path).files"
   override def schema(): StructType = filesSchema
@@ -967,19 +999,28 @@ private[sources] class ManifestFilesTable(path: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap): SB =
     new SB {
       override def build(): Scan = {
+        // split column of the identity layout, if this table has one:
+        // a part's split_value is its PROVABLY single value (stats
+        // min == max, zero nulls) — anything weaker reads as NULL
+        val splitCol = ManifestSink.readTableSpec(
+          ManifestSink.driverConf(), path).collect { case (0, c) => c }
         val rows = ManifestSink.readManifestMeta(
           ManifestSink.driverConf(), path, None)
           .zipWithIndex.map { case (m, i) =>
+            val sv = splitCol.flatMap(c => m.cstats.get(c))
+              .filter(st => st.min == st.max && st.nulls == 0L)
+              .map(st => UTF8String.fromString(st.min)).orNull
             // the generalized per-column record, rendered name-sorted
             // ("c:[min..max] …") so the view is deterministic
             new GenericInternalRow(Array[Any](i,
               UTF8String.fromString(new Path(m.path).getName), m.rows,
-              m.visibleRows, m.kMin, m.kMax,
-              m.kSum.map(java.lang.Long.valueOf).orNull, m.hasDv, m.dvCount,
+              m.visibleRows, m.kMin, m.kMax, m.hasDv, m.dvCount,
               m.bytes, m.bucket,
               UTF8String.fromString(m.cstats.toSeq.sortBy(_._1)
                 .map { case (c, st) => s"$c:[${st.min}..${st.max}]" }
-                .mkString(" ")))): org.apache.spark.sql.catalyst.InternalRow
+                .mkString(" ")),
+              m.kSum.map(java.lang.Long.valueOf).orNull,
+              sv)): org.apache.spark.sql.catalyst.InternalRow
           }.toArray
         new LocalRowsScan(filesSchema, rows)
       }

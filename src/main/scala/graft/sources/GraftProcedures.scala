@@ -47,11 +47,13 @@ private[sources] object GraftProcedures {
   /** Registry order is the SHOW PROCEDURES order. */
   val names: Seq[String] = Seq("compact", "compact_vectors",
     "expire_snapshots", "rollback", "fast_forward", "drop_branch",
-    "tag", "drop_tag", "create_mv", "refresh_mv", "clone", "analyze")
+    "tag", "drop_tag", "create_mv", "refresh_mv", "clone", "analyze",
+    "set_layout")
 
   def load(name: String, warehouse: String): Option[UnboundProcedure] =
     name.toLowerCase match {
       case "analyze"          => Some(new AnalyzeProcedure(warehouse))
+      case "set_layout"       => Some(new SetLayoutProcedure(warehouse))
       case "compact"          => Some(new CompactProcedure(warehouse))
       case "compact_vectors"  => Some(new CompactVectorsProcedure(warehouse))
       case "expire_snapshots" => Some(new ExpireSnapshotsProcedure(warehouse))
@@ -129,7 +131,12 @@ private[sources] final class CompactProcedure(warehouse: String)
     ProcedureParameter.in("target_parts", IntegerType)
       .comment("number of part files after the rewrite").build(),
     ProcedureParameter.in("cluster_by", StringType).defaultValue("''")
-      .comment("range-cluster column; '' = hash distribution").build())
+      .comment("range-cluster column; '' = hash distribution").build(),
+    ProcedureParameter.in("zorder", StringType).defaultValue("''")
+      .comment("comma-separated numeric/date columns for an OPTIMIZE " +
+        "ZORDER rewrite (Morton-interleaved multi-dimensional layout " +
+        "— per-part stats become tight on every listed column); " +
+        "mutually exclusive with cluster_by").build())
 
   override def outputSchema: StructType = StructType(Seq(
     StructField("parts_before", IntegerType, nullable = false),
@@ -142,8 +149,12 @@ private[sources] final class CompactProcedure(warehouse: String)
     val clusterBy =
       if (input.isNullAt(2)) None
       else Some(input.getUTF8String(2).toString).filter(_.nonEmpty)
+    val zorder =
+      if (input.isNullAt(3)) Nil
+      else input.getUTF8String(3).toString
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val stats = ManifestMaintenance.compactFiles(
-      SparkSession.active, dir, targetParts, clusterBy)
+      SparkSession.active, dir, targetParts, clusterBy, zorder)
     result(stats.partsBefore, stats.partsAfter, stats.version)
   }
 }
@@ -502,5 +513,117 @@ private[sources] final class CloneProcedure(warehouse: String)
     ManifestSink.publishSnapshot(conf, targetDir, schema, parts,
       history = true, colmap = Some(cm), op = "clone")
     result(v, parts.size, parts.map(_.visibleRows).sum)
+  }
+}
+
+/** PARTITION-SPEC / LAYOUT EVOLUTION (Iceberg `ALTER TABLE … ADD
+  * PARTITION FIELD` / `WRITE ORDERED BY`, Delta `ALTER TABLE …
+  * CLUSTER BY`): replace the table's layout spec WITHOUT touching a
+  * single data file.
+  *
+  * {{{
+  *   CALL cat.system.set_layout(table => 'ns.t', spec => 'bucket(8,k)')
+  *   CALL cat.system.set_layout(table => 'ns.t', spec => 'k')  -- identity
+  *   CALL cat.system.set_layout(table => 'ns.t', spec => 'none',
+  *                              order_by => 'ts')  -- WRITE ORDERED BY
+  *   CALL cat.system.set_layout(table => 'ns.t', spec => 'none')
+  * }}}
+  *
+  * Semantics at 100 TB (why this is metadata-only): re-laying out
+  * the existing data eagerly would be an O(table) rewrite inside a
+  * DDL statement — every format that survived production makes spec
+  * changes O(1) instead. New writes route through the NEW spec from
+  * the next INSERT; parts written under the OLD spec stay readable
+  * exactly as committed (each part records the generation it was
+  * written under), the scan DEMOTES storage-partitioned reporting
+  * while generations are mixed (correctness first — a shuffle-free
+  * join over half-bucketed data would be wrong), and `CALL compact`
+  * MIGRATES data to the head spec — after which SPJ re-arms. The
+  * validation rules match CREATE TABLE's: bucket column = the
+  * table's first BIGINT column (routing and stats pruning share
+  * it), identity column BIGINT or STRING, order column a stats-
+  * tracked type so the sorted layout actually feeds pruning. */
+private[sources] final class SetLayoutProcedure(warehouse: String)
+  extends GraftProcedure("set_layout", warehouse) {
+
+  override def description(): String =
+    "Replace the table's layout spec (bucket(n,col) | identity col | " +
+      "none [+ order_by]) as a metadata-only change; existing parts " +
+      "keep their generation, compaction migrates them to the head spec"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table identifier relative to the catalog warehouse").build(),
+    ProcedureParameter.in("spec", StringType)
+      .comment("'bucket(n,col)', a bare column (identity split), or " +
+        "'none'").build(),
+    ProcedureParameter.in("order_by", StringType).defaultValue("''")
+      .comment("WRITE ORDERED BY column for the unpartitioned layout; " +
+        "'' = unordered; only valid with spec => 'none'").build())
+
+  override def outputSchema: StructType = StructType(Seq(
+    StructField("old_layout", StringType, nullable = false),
+    StructField("new_layout", StringType, nullable = false)))
+
+  private val BucketRe = """(?i)bucket\s*\(\s*(\d+)\s*,\s*([^)\s]+)\s*\)""".r
+
+  private def render(conf: org.apache.hadoop.conf.Configuration,
+      dir: String): String =
+    ManifestSink.readTableSpec(conf, dir) match {
+      case Some((0, c)) => s"identity($c)"
+      case Some((n, c)) => s"bucket($n,$c)"
+      case None => ManifestSink.readTableOrder(conf, dir)
+        .map(c => s"ordered($c)").getOrElse("none")
+    }
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val conf = ManifestSink.driverConf()
+    val dir = tableDir(input.getUTF8String(0).toString)
+    val spec = input.getUTF8String(1).toString.trim
+    val orderBy =
+      if (input.isNullAt(2)) None
+      else Some(input.getUTF8String(2).toString.trim).filter(_.nonEmpty)
+    val schema = ManifestSink.readSchema(conf, dir).get
+    val old = render(conf, dir)
+    spec match {
+      case BucketRe(n, col) =>
+        require(orderBy.isEmpty,
+          "set_layout: order_by only composes with spec => 'none' " +
+            "(bucketed writes sort within buckets already)")
+        val keyed = schema.fields
+          .find(_.dataType == org.apache.spark.sql.types.LongType).map(_.name)
+        require(keyed.exists(_.equalsIgnoreCase(col)),
+          s"set_layout: bucket column '$col' must be the table's first " +
+            s"BIGINT column (${keyed.getOrElse("none present")})")
+        require(n.toInt >= 1, s"set_layout: bucket count must be >= 1")
+        ManifestSink.writeTableSpec(conf, dir, n.toInt, keyed.get)
+      case "none" | "NONE" =>
+        orderBy match {
+          case Some(c) =>
+            val f = schema.fields.find(_.name.equalsIgnoreCase(c))
+            require(f.exists(x =>
+              x.dataType == org.apache.spark.sql.types.LongType ||
+                x.dataType == org.apache.spark.sql.types.StringType),
+              s"set_layout: order_by column '$c' must be a BIGINT or " +
+                s"STRING column of ${schema.fieldNames.mkString("(", ",", ")")}")
+            // buckets -1 never matches readTableSpec's parser: the
+            // table reads back as unpartitioned-but-ordered
+            ManifestSink.writeTableSpec(conf, dir, -1, "",
+              orderBy = Some(f.get.name))
+          case None => ManifestSink.clearTableSpec(conf, dir)
+        }
+      case col =>
+        require(orderBy.isEmpty,
+          "set_layout: order_by only composes with spec => 'none' " +
+            "(an identity split already clusters per value)")
+        val f = schema.fields.find(_.name.equalsIgnoreCase(col))
+        require(f.exists(x =>
+          x.dataType == org.apache.spark.sql.types.LongType ||
+            x.dataType == org.apache.spark.sql.types.StringType),
+          s"set_layout: identity column '$col' must be a BIGINT or " +
+            s"STRING column of ${schema.fieldNames.mkString("(", ",", ")")}")
+        ManifestSink.writeTableSpec(conf, dir, 0, f.get.name)
+    }
+    result(old, render(conf, dir))
   }
 }

@@ -253,9 +253,16 @@ object ManifestMaintenance {
     * it never touches the driver with row data: the rewrite is a
     * distributed read→write, the commit is a metadata swap. */
   def compactFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
-      targetParts: Int, clusterBy: Option[String] = None): CompactStats = {
+      targetParts: Int, clusterBy: Option[String] = None,
+      zorder: Seq[String] = Nil): CompactStats = {
     require(targetParts >= 1, s"target_parts must be >= 1, got $targetParts")
     val conf = ManifestSink.driverConf()
+    require(zorder.isEmpty || clusterBy.forall(_.isEmpty),
+      "compact: zorder and cluster_by are mutually exclusive")
+    require(zorder.isEmpty || ManifestSink.readTableSpec(conf, dir).isEmpty,
+      "compact: OPTIMIZE ZORDER requires an unpartitioned table layout " +
+        "(a bucket/identity spec owns the row placement — CALL " +
+        "set_layout(spec => 'none') first)")
     val baseVersion = ManifestSink.listVersions(conf, dir)
       .lastOption.getOrElse(0)
     val parts =
@@ -263,7 +270,8 @@ object ManifestMaintenance {
       else ManifestSink.readManifestMeta(conf, dir, Some(baseVersion))
     if (parts.isEmpty) return CompactStats(0, 0, baseVersion)
     val layout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-      clusterBy.filter(_.nonEmpty) match {
+      if (zorder.nonEmpty) zorderLayout(zorder, targetParts)
+      else clusterBy.filter(_.nonEmpty) match {
         // comma-separated multi-column range clustering: lexicographic
         // layout on (c1, c2, …) — the composite-key twin of the
         // single-column case, so compound-filter workloads get
@@ -272,11 +280,76 @@ object ManifestMaintenance {
         case Some(c) => _.repartitionByRange(targetParts,
           c.split(',').map(_.trim).filter(_.nonEmpty)
             .map(org.apache.spark.sql.functions.col).toSeq: _*)
-        case None => _.repartition(targetParts)
+        case None => ManifestSink.readTableOrder(conf, dir) match {
+          // WRITE ORDERED BY tables: compaction restores the global
+          // range layout (disjoint sorted parts → tight min/max
+          // pruning) that interleaved appends may have blurred
+          case Some(c) => _.repartitionByRange(targetParts,
+            org.apache.spark.sql.functions.col(c))
+            .sortWithinPartitions(org.apache.spark.sql.functions.col(c))
+          case None => _.repartition(targetParts)
+        }
       }
     val (rewritten, v) =
-      rewriteAndSwap(spark, conf, dir, baseVersion, parts, layout)
+      rewriteAndSwap(spark, conf, dir, baseVersion, parts, layout,
+        forcePlainLayout = zorder.nonEmpty)
     CompactStats(parts.size, rewritten.size, v)
+  }
+
+  /** OPTIMIZE ZORDER layout (Delta `OPTIMIZE … ZORDER BY` / Iceberg
+    * `rewrite_data_files(strategy => 'sort', sort_order => 'zorder
+    * (…)')`): scale each dimension to an 8-bit code against its
+    * GLOBAL min/max (one tiny agg pass — maintenance-time cost, read-
+    * time payoff), interleave the bits into a Morton key, then range-
+    * partition + sort by the key. Each output file then owns one
+    * contiguous z-range = a bounded TILE in k-dimensional space, so
+    * the per-part ColStats min/max become tight on EVERY zorder
+    * dimension at once — a 2-D predicate prunes parts on either
+    * column, where a plain sort by one column leaves the other's
+    * bounds spanning every file. The interleave itself is a pure
+    * narrow map of shifts/masks (codegen'd, no extra shuffle beyond
+    * the range exchange any re-layout pays). */
+  private def zorderLayout(zcols: Seq[String], targetParts: Int)
+      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    df => {
+      require(zcols.forall(c => df.schema.fieldNames.contains(c)),
+        s"zorder columns ${zcols.mkString(",")} must exist in " +
+          s"${df.schema.fieldNames.mkString("(", ",", ")")}")
+      // one driver-side row of global bounds; numeric/date dimensions
+      // only (strings would need sampled range-ids — not supported)
+      val bounds = df.agg(
+        min(col(zcols.head).cast("double")).as("mn0"),
+        (zcols.head +: zcols.tail).zipWithIndex.flatMap { case (c, i) =>
+          if (i == 0) Seq(max(col(c).cast("double")).as("mx0"))
+          else Seq(min(col(c).cast("double")).as(s"mn$i"),
+            max(col(c).cast("double")).as(s"mx$i"))
+        }: _*).head()
+      val codes = zcols.zipWithIndex.map { case (c, i) =>
+        // all-null dimension → bounds NULL → constant code 0; row-
+        // level NULLs coalesce to 0 (cluster with the low corner —
+        // any fixed tile is prune-correct, stats ignore nulls anyway)
+        val mnIdx = bounds.fieldIndex(s"mn$i")
+        val mxIdx = bounds.fieldIndex(s"mx$i")
+        val mn = if (bounds.isNullAt(mnIdx)) 0.0 else bounds.getDouble(mnIdx)
+        val mx = if (bounds.isNullAt(mxIdx)) 0.0 else bounds.getDouble(mxIdx)
+        val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+        coalesce(least(greatest(
+          ((col(c).cast("double") - lit(mn)) / lit(span) * lit(255.999))
+            .cast("int"), lit(0)), lit(255)), lit(0))
+      }
+      val k = codes.size
+      val zval = (0 until 8).flatMap { bit =>
+        codes.zipWithIndex.map { case (code, i) =>
+          shiftright(code, bit).bitwiseAND(lit(1)).cast("bigint") *
+            lit(1L << (bit * k + (k - 1 - i)))
+        }
+      }.reduce(_ + _)
+      df.withColumn("__graft_z", zval)
+        .repartitionByRange(targetParts, col("__graft_z"))
+        .sortWithinPartitions(col("__graft_z"))
+        .drop("__graft_z")
+    }
   }
 
   /** Shared rewrite machinery for [[compactVectors]] and
@@ -290,7 +363,8 @@ object ManifestMaintenance {
   private def rewriteAndSwap(spark: org.apache.spark.sql.SparkSession,
       conf: Configuration, dir: String, baseVersion: Int,
       selected: Seq[PartMeta],
-      layout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      layout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      forcePlainLayout: Boolean = false)
       : (Seq[PartMeta], Int) = {
     val schema = ManifestSink.readSchema(conf, dir,
       if (baseVersion == 0) None else Some(baseVersion))
@@ -299,20 +373,26 @@ object ManifestMaintenance {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val tmpRead = s"$dir/_compact-read-$token"
     val tmpWrite = s"$dir/_compact-write-$token"
-    // BUCKET-PRESERVING: when every selected part carries the same
-    // bucket spec, the rewrite re-routes through the bucketed writer
-    // (pre-clustered by the same function, so ~one file per bucket) —
+    // HEAD-SPEC-TARGETING: compaction is the layout MIGRATOR. The
+    // target layout is the TABLE's head spec (_TABLE.json) — after
+    // `set_layout` evolves the spec, the very next compact rewrites
+    // mixed-generation parts into the new layout and SPJ re-arms.
+    // Tables without a spec fall back to the parts' own recorded
+    // bucketing (path-written bucketed tables stay bucket-preserving:
     // compaction settles MOR debt and packs small files WITHOUT
-    // demoting the table out of storage-partitioned joins
-    val bucketSpec: Option[Int] = selected.headOption.map(_.nbuckets)
-      .filter(n => n > 0 && selected.forall(_.nbuckets == n))
-    // SPLIT-PRESERVING: an identity-partitioned table (_TABLE.json
+    // demoting the table out of storage-partitioned joins).
+    val headSpec =
+      if (forcePlainLayout) None else ManifestSink.readTableSpec(conf, dir)
+    val bucketSpec: Option[Int] = headSpec.collect { case (n, _) if n > 0 => n }
+      .orElse(selected.headOption.map(_.nbuckets)
+        .filter(n => !forcePlainLayout && n > 0 &&
+          selected.forall(_.nbuckets == n)))
+    // SPLIT-TARGETING: an identity-partitioned table (_TABLE.json
     // spec with bucket count 0) re-routes the rewrite through the
     // value-split writer, so compaction settles MOR debt without
     // breaking single-valued parts — grouped metadata aggregates and
     // point-predicate pruning survive maintenance
-    val splitSpec: Option[String] =
-      ManifestSink.readTableSpec(conf, dir).collect { case (0, c) => c }
+    val splitSpec: Option[String] = headSpec.collect { case (0, c) => c }
     val keyCol = schema.fields.find(
       _.dataType == org.apache.spark.sql.types.LongType).map(_.name)
     try {

@@ -204,26 +204,35 @@ private[sources] object ColStat {
   def encode(m: Map[String, ColStat]): String =
     m.toSeq.sortBy(_._1).map { case (c, st) =>
       // the 4th token (null count) and 5th token (long-column SUM)
-      // are OPTIONAL — legacy decoders and legacy blobs interoperate
-      // both ways; a sum is only encodable once the null count is
-      // (tokens are positional)
+      // are OPTIONAL and positional — a sum with an UNKNOWN null
+      // count encodes a `?` placeholder in the 4th slot so the sum
+      // is never silently dropped (decoders read `?` back as
+      // unknown); unknown decoders of FUTURE extra tokens must
+      // ignore them, which `decode` below guarantees
       s"${enc(c)}=${st.kind}:${enc(st.min)}:${enc(st.max)}" +
         (if (st.nulls >= 0)
           s":${st.nulls}" + st.sum.fold("")(s => s":$s")
-        else "")
+        else st.sum.fold("")(s => s":?:$s"))
     }.mkString("&")
+
+  /** Unknown-null placeholder read-back: `?` → -1 (untracked). */
+  private def nl(n: String): Long = if (n == "?") -1L else n.toLong
 
   def decode(blob: String): Map[String, ColStat] =
     if (blob.isEmpty) Map.empty
     else blob.split('&').iterator.map { entry =>
       val eq = entry.indexOf('=')
       // limit -1: an EMPTY string min/max is a legal stat value and
-      // must survive the split (trailing empties are dropped otherwise)
+      // must survive the split (trailing empties are dropped otherwise).
+      // TRAILING tokens beyond the 5 this version knows are IGNORED,
+      // not rejected — future stat legs stay additive for old readers
+      // (a v+1 writer's 6-token blob reads fine here, minus the new leg)
       val st = entry.drop(eq + 1).split(":", -1) match {
         case Array(k, mn, mx)    => ColStat(k.head, dec(mn), dec(mx))
-        case Array(k, mn, mx, n) => ColStat(k.head, dec(mn), dec(mx), n.toLong)
-        case Array(k, mn, mx, n, sm) =>
-          ColStat(k.head, dec(mn), dec(mx), n.toLong, Some(sm.toLong))
+        case Array(k, mn, mx, n) => ColStat(k.head, dec(mn), dec(mx), nl(n))
+        case Array(k, mn, mx, n, sm, _*) =>
+          ColStat(k.head, dec(mn), dec(mx), nl(n),
+            if (sm == "?" || sm.isEmpty) None else Some(sm.toLong))
         case other => throw new IllegalArgumentException(
           s"bad ColStat entry '$entry' (${other.length} tokens)")
       }
@@ -521,33 +530,53 @@ object ManifestSink {
         kSum = if (ks.isEmpty) None else Some(ks.toLong))
     }
 
-  /** TABLE-LEVEL LAYOUT SPEC (`_TABLE.json`): created once by
-    * `CREATE TABLE … PARTITIONED BY (bucket(n, col))` and read by
+  /** TABLE-LEVEL LAYOUT SPEC (`_TABLE.json`): created by `CREATE
+    * TABLE … PARTITIONED BY (bucket(n, col))` / `(col)` and read by
     * every catalog load — layout policy lives with the TABLE, so
-    * every INSERT INTO routes through the bucketed writer without
-    * the writer ever being told. Immutable after create (bucket
-    * count changes would need a full rewrite — that op is
-    * compaction's job, not a flag flip). */
+    * every INSERT INTO routes through the bucketed/split writer
+    * without the writer ever being told. EVOLVABLE after create
+    * (`CALL cat.system.set_layout(...)` — the Iceberg partition-spec
+    * evolution shape): the replace is metadata-only, EXISTING parts
+    * keep the generation they were written under (the scan demotes
+    * SPJ while generations are mixed), and compaction migrates data
+    * to the head spec. An optional `orderBy` field carries the
+    * table's WRITE ORDERED BY column for unpartitioned layouts
+    * (range-distributed, sorted parts → tight min/max pruning);
+    * legacy readers regex-parse the known fields and ignore it. */
   private[sources] def writeTableSpec(conf: Configuration, dir: String,
-      buckets: Int, bucketCol: String): Unit = {
+      buckets: Int, bucketCol: String,
+      orderBy: Option[String] = None): Unit = {
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
     fs.mkdirs(d)
     val tmp = new Path(d,
       s"._TABLE.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val ob = orderBy.filter(_.nonEmpty)
+      .fold("")(c => s""","orderBy":"${encPath(c)}"""")
     val out = fs.create(tmp, true)
     try out.write(
-      s"""{"buckets":$buckets,"bucketCol":"${encPath(bucketCol)}"}\n"""
+      s"""{"buckets":$buckets,"bucketCol":"${encPath(bucketCol)}"$ob}\n"""
         .getBytes("UTF-8"))
     finally out.close()
-    // replace-in-place (RENAME COLUMN of the bucket column rewrites
-    // the spec): Hadoop's local rename refuses an existing target
+    // replace-in-place (RENAME COLUMN of the bucket column and
+    // set_layout rewrite the spec): Hadoop's local rename refuses an
+    // existing target
     val target = new Path(d, "_TABLE.json")
     if (fs.exists(target)) fs.delete(target, false)
     if (!fs.rename(tmp, target)) {
       fs.delete(tmp, false)
       throw new java.io.IOException(s"table spec publish failed at $dir")
     }
+  }
+
+  /** Drop the layout spec entirely (`set_layout(..., spec =>
+    * 'none')`): later INSERTs take the plain unpartitioned write
+    * path; existing parts keep their recorded layout. */
+  private[sources] def clearTableSpec(conf: Configuration,
+      dir: String): Unit = {
+    val p = new Path(dir, "_TABLE.json")
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, false)
   }
 
   private[sources] def readTableSpec(conf: Configuration,
@@ -562,6 +591,19 @@ object ManifestSink {
     val c = """"bucketCol":"([^"]*)"""".r.findFirstMatchIn(line)
       .map(m => decPath(m.group(1)))
     for (nn <- n; cc <- c) yield (nn, cc)
+  }
+
+  /** The table's WRITE ORDERED BY column, when one is set. */
+  private[sources] def readTableOrder(conf: Configuration,
+      dir: String): Option[String] = {
+    val p = new Path(dir, "_TABLE.json")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().next() finally in.close()
+    """"orderBy":"([^"]*)"""".r.findFirstMatchIn(line)
+      .map(m => decPath(m.group(1))).filter(_.nonEmpty)
   }
 
   /** CHECK CONSTRAINTS (`_CONSTRAINTS.json`, one URL-encoded record

@@ -40,6 +40,56 @@ class ColStatsSpec extends graft.SparkSpec {
     assert(back.head.cstats === stats)
   }
 
+  test("codec: additive evolution — trailing tokens ignored, unknown-" +
+    "null placeholder, sum never silently dropped") {
+    // a FUTURE writer's 6-token entry (one extra stat leg) must read
+    // fine here, minus the leg this version doesn't know
+    val future = ColStat.decode("c=l:1:9:0:45:futureleg")
+    assert(future("c") === ColStat('l', "1", "9", 0L, Some(45L)))
+    // a sum with an UNKNOWN null count encodes a '?' placeholder —
+    // the sum survives the roundtrip instead of being dropped
+    val odd = Map("c" -> ColStat('l', "1", "9", nulls = -1L,
+      sum = Some(45L)))
+    val blob = ColStat.encode(odd)
+    assert(blob.contains(":?:45"), s"placeholder expected in '$blob'")
+    assert(ColStat.decode(blob) === odd)
+    // legacy 3/4-token entries still parse
+    assert(ColStat.decode("c=l:1:9")("c") === ColStat('l', "1", "9"))
+    assert(ColStat.decode("c=l:1:9:2")("c") === ColStat('l', "1", "9", 2L))
+  }
+
+  test("OPTIMIZE ZORDER: a 2-D box predicate plans strictly fewer " +
+    "parts after the Morton rewrite") {
+    val wh = Files.createTempDirectory("graft-zorder").toString
+    spark.conf.set("spark.sql.catalog.gzo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gzo.warehouse", wh)
+    import spark.implicits._
+    // uniform 2-D grid, hash-scattered into 8 parts: every part spans
+    // BOTH full ranges, so the box predicate starts unprunable
+    val n = 4096
+    (0 until n).map { i => (i.toLong, ((i * 2654435761L) % n), i.toLong * 3) }
+      .toDF("a", "b", "v")
+      .repartition(8)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", s"$wh/ns/zt").mode("overwrite").save()
+    def box() = readBack(s"$wh/ns/zt")
+      .filter(col("a") <= n / 4 && col("b") <= n / 4)
+    assert(scanParts(box()) === 8, "hash layout: box predicate matches all")
+    val expected = box().as[(Long, Long, Long)].collect().toSet
+    spark.sql("CALL gzo.system.compact(table => 'ns.zt', " +
+      "target_parts => 8, zorder => 'a,b')")
+    val after = scanParts(box())
+    assert(after < 8, s"z-order must tighten 2-D pruning, planned $after/8")
+    assert(box().as[(Long, Long, Long)].collect().toSet === expected)
+    // zorder on a spec-carrying table is rejected loudly (the spec
+    // owns row placement)
+    spark.sql("CREATE TABLE gzo.ns.zb (k BIGINT) PARTITIONED BY (bucket(2, k))")
+    intercept[Exception] {
+      spark.sql("CALL gzo.system.compact(table => 'ns.zb', " +
+        "target_parts => 2, zorder => 'k')")
+    }
+  }
+
   test("predicates on secondary long and string columns prune parts") {
     val dir = Files.createTempDirectory("graft-cstats").toString
     import spark.implicits._

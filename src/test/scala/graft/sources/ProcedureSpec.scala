@@ -41,7 +41,7 @@ class ProcedureSpec extends graft.SparkSpec {
       .map(_.getAs[String]("procedure_name")).toSet
     assert(shown === Set("compact", "compact_vectors", "expire_snapshots",
       "rollback", "fast_forward", "drop_branch", "tag", "drop_tag",
-      "create_mv", "refresh_mv", "clone", "analyze"))
+      "create_mv", "refresh_mv", "clone", "analyze", "set_layout"))
     val desc = spark.sql("DESCRIBE PROCEDURE gps.system.compact")
       .collect().map(_.toString).mkString("\n")
     assert(desc.contains("compact"))

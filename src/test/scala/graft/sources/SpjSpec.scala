@@ -207,6 +207,49 @@ class SpjSpec extends graft.SparkSpec {
     }
   }
 
+  test("layout evolution: mixed generations demote SPJ safely; " +
+    "compaction migrates to the head spec and SPJ re-arms") {
+    wh
+    spark.sql("CREATE TABLE gsp.ns.evo_f (k BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE gsp.ns.evo_d (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    rows(0, 800).createOrReplaceTempView("spj_evo_src")
+    // generation 1: unpartitioned parts
+    spark.sql("INSERT INTO gsp.ns.evo_f SELECT k, v FROM spj_evo_src WHERE k < 400")
+    spark.sql("INSERT INTO gsp.ns.evo_d SELECT k, v * 2 FROM spj_evo_src")
+    // evolve the spec — metadata-only, then generation 2 lands bucketed
+    val r = spark.sql("CALL gsp.system.set_layout(" +
+      "table => 'ns.evo_f', spec => 'bucket(4,k)')").head
+    assert(r.getString(0) === "none" && r.getString(1) === "bucket(4,k)")
+    spark.sql("INSERT INTO gsp.ns.evo_f SELECT k, v FROM spj_evo_src WHERE k >= 400")
+    val metas = ManifestSink.readManifestMeta(
+      spark.sessionState.newHadoopConf(), s"$wh/ns/evo_f", None)
+    assert(metas.exists(_.nbuckets === 0) && metas.exists(_.nbuckets === 4),
+      "both generations must coexist after the spec change")
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // MID-MIGRATION: generations are mixed, so the scan must NOT
+      // report KeyGroupedPartitioning — the join shuffles (correct)
+      // rather than co-locating half-bucketed data (wrong)
+      val mid = spark.sql("SELECT f.k, f.v, d.w FROM gsp.ns.evo_f f " +
+        "JOIN gsp.ns.evo_d d ON f.k = d.k")
+      assert(mid.count() === 800)
+      assert(mid.queryExecution.executedPlan.toString.contains("Exchange"),
+        "mixed-generation join must demote to a shuffle")
+      // MIGRATION: compact rewrites everything under the head spec
+      spark.sql("CALL gsp.system.compact(table => 'ns.evo_f', " +
+        "target_parts => 4)")
+      val after = ManifestSink.readManifestMeta(
+        spark.sessionState.newHadoopConf(), s"$wh/ns/evo_f", None)
+      assert(after.length === 4 && after.forall(_.nbuckets === 4),
+        "compaction must migrate every part to the head spec")
+      val post = spark.sql("SELECT f.k, f.v, d.w FROM gsp.ns.evo_f f " +
+        "JOIN gsp.ns.evo_d d ON f.k = d.k")
+      assert(post.count() === 800)
+      assert(!post.queryExecution.executedPlan.toString.contains("Exchange"),
+        "post-migration co-bucketed join must not shuffle")
+    }
+  }
+
   test("compaction preserves bucketing (SPJ survives OPTIMIZE + MOR settle)") {
     wh
     spark.sql("CREATE TABLE gsp.ns.opt (k BIGINT, v BIGINT) " +
