@@ -2404,6 +2404,140 @@ ORDER BY event_type NULLS FIRST""")),
   min(event_id) AS key_min, max(event_id) AS key_max
 FROM events""")),
 
+    // --- MV MIN/MAX (create_mv minmax_col — sources/ManifestMv):
+    // counts and sums fold under ANY delta, but an extreme is only
+    // monotone under appends — a delete may remove the very row that
+    // held a group's MIN. The refresh therefore splits: plus-only
+    // groups FOLD (least/greatest against the stored extreme, no
+    // rescan), while any group seen on the minus side RECOMPUTES
+    // from the live head semi-joined to exactly those keys —
+    // O(affected groups' parts), never O(table); at 100 TB a delete
+    // touching one group costs one group's parts, not a petabyte
+    // rescan. The fixture drives both paths (append refresh:
+    // minus=0, fold; %10 MOR delete that removes group minima:
+    // minus=4, recompute), then proves TRANSPARENT ROUTING — the
+    // MIN/MAX rollup's optimized plan has no Aggregate left, it
+    // reads the MV — and gates the final MV against the oracle's
+    // from-scratch restatement (bit-exact, not approximate).
+    QueryDef("q_mv_minmax",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "mvmm")
+        spark.conf.set("spark.sql.catalog.graftmm",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftmm.warehouse", wh)
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        def write(df: DataFrame, mode: String): Unit =
+          df.repartitionByRange(2, col("event_id"))
+            .write.format("graft.sources.ManifestSink")
+            .option("path", s"$wh/wh/src").option("history", "true")
+            .mode(mode).save()
+        write(base.filter(col("event_id") % 3 =!= 1), "overwrite")
+        spark.sql("CALL graftmm.system.create_mv(" +
+          "mv_table => 'wh.mv', source_table => 'wh.src', " +
+          "key_col => 'event_type', sum_col => 'value', scale => 6, " +
+          "minmax_col => 'event_id')")
+        write(base.filter(col("event_id") % 3 === 1), "append")
+        val r1 = spark.sql(
+          "CALL graftmm.system.refresh_mv(mv_table => 'wh.mv')").head
+        spark.conf.set("graft.delete.mode", "mor")
+        try spark.sql("DELETE FROM graftmm.wh.src WHERE event_id % 10 = 0")
+        finally spark.conf.unset("graft.delete.mode")
+        val r2 = spark.sql(
+          "CALL graftmm.system.refresh_mv(mv_table => 'wh.mv')").head
+        spark.conf.set("graft.mv.rewrite", s"$wh/wh/mv")
+        try {
+          val q = spark.sql("""SELECT event_type, count(*) AS n_rows,
+            CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS STRING)
+              AS DOUBLE) AS sum_value,
+            min(event_id) AS min_id, max(event_id) AS max_id
+            FROM graftmm.wh.src GROUP BY event_type""")
+          val usedMv = !q.queryExecution.optimizedPlan.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate])
+          q.withColumn("used_mv", lit(usedMv))
+            .withColumn("fold_minus_parts", lit(r1.getInt(3)))
+            .withColumn("recompute_minus_parts", lit(r2.getInt(3)))
+            .orderBy(col("event_type"))
+            .localCheckpoint()
+        } finally spark.conf.unset("graft.mv.rewrite")
+      },
+      Some(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+  ${Exact.decSumSql("value", 6)} AS sum_value,
+  min(event_id) AS min_id, max(event_id) AS max_id,
+  true AS used_mv, CAST(0 AS INT) AS fold_minus_parts,
+  CAST(4 AS INT) AS recompute_minus_parts
+FROM events WHERE event_id % 10 <> 0
+GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
+
+    // --- SPLIT PRUNING PARITY (identity layout gets the scan-side
+    // treatment buckets have): on a table split one-part-per-value,
+    // (a) a STATIC IN-list on the split column plans exactly its
+    // values' parts off per-part stats, and (b) a broadcast star
+    // join against a selective dimension hands the build side's
+    // value set to the scan AT EXECUTION (DSv2 runtime filtering =
+    // dynamic partition pruning) — the fact scan opens 2 of 5 parts
+    // without the static planner ever seeing the values. Both part
+    // counts ride the gated output (the DPP count from the scan's
+    // own partsPlanned metric); at 100 TB this is the "dimension
+    // filter cuts the fact table to 1/ndv" plan every star schema
+    // lives on. The joined rollup is restated exactly by the oracle.
+    QueryDef("q_split_prune",
+      (spark, dir) => {
+        val t = freshTable(spark, dir, "splitpr")
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("user_id"))
+          .repartition(8)
+          .write.format("graft.sources.ManifestSink")
+          .option("path", t).option("splitBy", "event_type")
+          .mode("overwrite").save()
+        def planned(df: DataFrame): Int =
+          df.queryExecution.sparkPlan.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.inputPartitions.length
+          }.getOrElse(-1)
+        def read(): DataFrame = spark.read
+          .format("graft.sources.ManifestSource").option("path", t).load()
+        val totalParts = planned(read())
+        val staticParts = planned(
+          read().filter(col("event_type").isin("click", "view")))
+        // DPP shape: the dimension carries the selective predicate;
+        // its post-filter value set reaches the scan only at runtime
+        val dim = Tables.events(spark, dir)
+          .select(col("event_type").as("dt")).distinct()
+          .filter(col("dt").isin("click", "view"))
+        val agg = read().join(broadcast(dim),
+            col("event_type") === col("dt"))
+          .agg(count(lit(1)).as("n_joined"),
+            sum(col("user_id")).as("sum_users"))
+        val row = agg.head
+        // post-execution part count off the scan's own description
+        // ("parts=planned/total" — the live ManifestScan narrows in
+        // place when the runtime value set arrives); unwrap AQE
+        // (AdaptiveSparkPlanExec is a leaf wrapper over its stages)
+        def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+          p.collect {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              scans(a.executedPlan)
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+              if b.toString.contains("ManifestScan") =>
+              Seq(b.simpleString(500))
+          }.flatten
+        val dppParts = scans(agg.queryExecution.executedPlan).headOption
+          .flatMap(d => """parts=(\d+)/""".r.findFirstMatchIn(d)
+            .map(_.group(1).toLong)).getOrElse(-1L)
+        spark.range(1).select(
+          lit(row.getLong(0)).as("n_joined"),
+          lit(row.getLong(1)).as("sum_users"),
+          lit(totalParts).as("n_parts_total"),
+          lit(staticParts).as("static_parts"),
+          lit(dppParts).as("dpp_parts"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_joined,
+  CAST(sum(user_id) AS BIGINT) AS sum_users,
+  CAST(5 AS INT) AS n_parts_total, CAST(2 AS INT) AS static_parts,
+  CAST(2 AS BIGINT) AS dpp_parts
+FROM events WHERE event_type IN ('click', 'view')""")),
+
     // --- OPTIMIZE ZORDER as a procedure (`CALL compact(..., zorder
     // => 'a,b')` — Delta OPTIMIZE ZORDER BY): before, 8 hash-random
     // parts each span both full column ranges, so a 2-D box

@@ -401,7 +401,11 @@ private[sources] final class CreateMvProcedure(warehouse: String)
     ProcedureParameter.in("sum_col", StringType)
       .comment("numeric column to sum (exact decimal)").build(),
     ProcedureParameter.in("scale", IntegerType).defaultValue("6")
-      .comment("decimal scale of the sum").build())
+      .comment("decimal scale of the sum").build(),
+    ProcedureParameter.in("minmax_col", StringType).defaultValue("''")
+      .comment("optional BIGINT column whose exact per-group MIN/MAX " +
+        "the MV also maintains (appends fold; deletes recompute only " +
+        "the affected groups); '' = counts and sums only").build())
 
   override def outputSchema: StructType = StructType(Seq(
     StructField("source_version", IntegerType, nullable = false),
@@ -414,9 +418,12 @@ private[sources] final class CreateMvProcedure(warehouse: String)
     require(mvRel.nonEmpty, "create_mv: 'mv_table' must be non-empty")
     val mvDir = (warehouse +: mvRel.split('.').toSeq).mkString("/")
     val srcDir = tableDir(input.getUTF8String(1).toString)
+    val mmCol =
+      if (input.isNullAt(5)) None
+      else Some(input.getUTF8String(5).toString).filter(_.nonEmpty)
     val (v, groups) = ManifestMv.create(SparkSession.active, mvDir, srcDir,
       input.getUTF8String(2).toString, input.getUTF8String(3).toString,
-      input.getInt(4))
+      input.getInt(4), mmCol)
     result(v, groups)
   }
 }

@@ -54,7 +54,8 @@ private[sources] object ManifestMv {
   val MetaFile = "_MV.json"
 
   final case class MvMeta(source: String, keyCol: String, sumCol: String,
-      scale: Int, sourceVersion: Int, mvVersion: Int)
+      scale: Int, sourceVersion: Int, mvVersion: Int,
+      mmCol: Option[String] = None)
 
   final case class RefreshStats(fromVersion: Int, toVersion: Int,
       plusParts: Int, minusParts: Int, groups: Long)
@@ -63,9 +64,10 @@ private[sources] object ManifestMv {
   private def dec(s: String) = URLDecoder.decode(s, "UTF-8")
 
   private def writeMeta(conf: Configuration, mvDir: String, m: MvMeta): Unit = {
-    val line = Seq("source=" + enc(m.source), "key=" + enc(m.keyCol),
+    val line = (Seq("source=" + enc(m.source), "key=" + enc(m.keyCol),
       "sum=" + enc(m.sumCol), "scale=" + m.scale,
-      "srcv=" + m.sourceVersion, "mvv=" + m.mvVersion).mkString("&")
+      "srcv=" + m.sourceVersion, "mvv=" + m.mvVersion) ++
+      m.mmCol.map(c => "mm=" + enc(c))).mkString("&")
     val target = new Path(mvDir, MetaFile)
     val tmp = new Path(mvDir, MetaFile + ".tmp-" +
       java.util.UUID.randomUUID().toString.take(8))
@@ -88,7 +90,8 @@ private[sources] object ManifestMv {
       val i = t.indexOf('='); t.take(i) -> t.drop(i + 1)
     }.toMap
     MvMeta(dec(kv("source")), dec(kv("key")), dec(kv("sum")),
-      kv("scale").toInt, kv("srcv").toInt, kv("mvv").toInt)
+      kv("scale").toInt, kv("srcv").toInt, kv("mvv").toInt,
+      kv.get("mm").map(dec))
   }
 
   /** The defining rollup: per-key exact (count, decimal sum). The sum
@@ -98,11 +101,16 @@ private[sources] object ManifestMv {
     * re-pins it), and [[MvRewrite]]'s exact-type substitution guard
     * holds across the MV's whole lifecycle. */
   private def rollup(df: DataFrame, keyCol: String, sumCol: String,
-      scale: Int): DataFrame =
-    df.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col(sumCol).cast(DecimalType(30, scale)))
-          .cast(DecimalType(38, scale)).as("sum_value"))
+      scale: Int, mmCol: Option[String] = None): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("n_rows"),
+      sum(col(sumCol).cast(DecimalType(30, scale)))
+        .cast(DecimalType(38, scale)).as("sum_value")) ++
+      // optional MIN/MAX legs: exact in the group's own type — no
+      // cast, so MV == recompute is bit-identity, not approximation
+      mmCol.toSeq.flatMap(c =>
+        Seq(min(col(c)).as("min_value"), max(col(c)).as("max_value")))
+    df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
 
   private def writeMv(df: DataFrame, mvDir: String): Unit =
     df.repartition(4)
@@ -111,7 +119,8 @@ private[sources] object ManifestMv {
       .mode("overwrite").save()
 
   def create(spark: SparkSession, mvDir: String, sourceDir: String,
-      keyCol: String, sumCol: String, scale: Int): (Int, Long) = {
+      keyCol: String, sumCol: String, scale: Int,
+      mmCol: Option[String] = None): (Int, Long) = {
     val conf = ManifestSink.driverConf()
     val srcVersion = ManifestSink.listVersions(conf, sourceDir).lastOption
       .getOrElse(throw new IllegalArgumentException(
@@ -123,10 +132,16 @@ private[sources] object ManifestMv {
       src.schema.fieldNames.contains(sumCol),
       s"create_mv: source lacks '$keyCol'/'$sumCol' " +
         src.schema.fieldNames.mkString("(", ",", ")"))
-    writeMv(rollup(src, keyCol, sumCol, scale), mvDir)
+    mmCol.foreach { c =>
+      require(src.schema.fields.exists(f => f.name == c &&
+        f.dataType == org.apache.spark.sql.types.LongType),
+        s"create_mv: minmax_col '$c' must be a BIGINT column of " +
+          src.schema.fieldNames.mkString("(", ",", ")"))
+    }
+    writeMv(rollup(src, keyCol, sumCol, scale, mmCol), mvDir)
     val mvVersion = ManifestSink.listVersions(conf, mvDir).last
     writeMeta(conf, mvDir, MvMeta(sourceDir, keyCol, sumCol, scale,
-      srcVersion, mvVersion))
+      srcVersion, mvVersion, mmCol))
     val groups = ManifestSink.readManifest(conf, mvDir).map(_._2).sum
     (srcVersion, groups)
   }
@@ -165,30 +180,74 @@ private[sources] object ManifestMv {
           history = false, colmap = ManifestSink.alignedColMap(conf,
             m.source, schema, Some(head)))
         rollup(spark.read.format("graft.sources.ManifestSource")
-          .option("path", tmp).load(), m.keyCol, m.sumCol, m.scale)
+          .option("path", tmp).load(), m.keyCol, m.sumCol, m.scale, m.mmCol)
       }
-      val p = side(tmpPlus, plus).withColumnRenamed("n_rows", "pn")
+      val pr = side(tmpPlus, plus)
+      val p = m.mmCol.fold(pr)(_ => pr
+          .withColumnRenamed("min_value", "pmin")
+          .withColumnRenamed("max_value", "pmax"))
+        .withColumnRenamed("n_rows", "pn")
         .withColumnRenamed("sum_value", "ps")
-      val n = side(tmpMinus, minus).withColumnRenamed("n_rows", "mn")
+      val nr = side(tmpMinus, minus)
+      val n = m.mmCol.fold(nr)(_ => nr.drop("min_value", "max_value"))
+        .withColumnRenamed("n_rows", "mn")
         .withColumnRenamed("sum_value", "ms")
       val zero = lit(0).cast(DecimalType(30, m.scale))
       val delta = p.join(n, p(m.keyCol) <=> n(m.keyCol), "full_outer")
-        .select(coalesce(p(m.keyCol), n(m.keyCol)).as(m.keyCol),
+        .select(Seq(coalesce(p(m.keyCol), n(m.keyCol)).as(m.keyCol),
           (coalesce(col("pn"), lit(0L)) - coalesce(col("mn"), lit(0L)))
             .as("dn"),
-          (coalesce(col("ps"), zero) - coalesce(col("ms"), zero)).as("ds"))
+          (coalesce(col("ps"), zero) - coalesce(col("ms"), zero)).as("ds"),
+          // a key seen on the MINUS side lost rows (or had its vector
+          // restated): its min/max can't be folded downward — flag it
+          // for the group-scoped recompute below
+          n(m.keyCol).isNotNull.as("affected")) ++
+          m.mmCol.toSeq.flatMap(_ => Seq(col("pmin"), col("pmax"))): _*)
       // fold against the MV state PINNED at the watermark's version —
       // idempotent under replay of a crashed refresh (see scaladoc)
       val mv = spark.read.format("graft.sources.ManifestSource")
         .option("path", mvDir).option("version", m.mvVersion.toString).load()
-      val merged = mv.join(delta, mv(m.keyCol) <=> delta(m.keyCol),
+      val foldCols = Seq(
+        coalesce(mv(m.keyCol), delta(m.keyCol)).as(m.keyCol),
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_rows"),
+        (coalesce(col("sum_value"), zero) + coalesce(col("ds"), zero))
+          .cast(DecimalType(38, m.scale)).as("sum_value")) ++
+        m.mmCol.toSeq.flatMap(_ => Seq(
+          // append-only fold: MIN/MAX are monotone under +rows, so
+          // least/greatest of (old extreme, plus-side extreme) is
+          // exact — least/greatest skip NULLs (new group → plus
+          // extreme; untouched group → old extreme)
+          least(col("min_value"), col("pmin")).as("fmin"),
+          greatest(col("max_value"), col("pmax")).as("fmax"),
+          coalesce(col("affected"), lit(false)).as("affected")))
+      val folded = mv.join(delta, mv(m.keyCol) <=> delta(m.keyCol),
           "full_outer")
-        .select(coalesce(mv(m.keyCol), delta(m.keyCol)).as(m.keyCol),
-          (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L)))
-            .as("n_rows"),
-          (coalesce(col("sum_value"), zero) + coalesce(col("ds"), zero))
-            .cast(DecimalType(38, m.scale)).as("sum_value"))
+        .select(foldCols: _*)
         .filter(col("n_rows") > 0)
+      val merged = m.mmCol match {
+        case None => folded
+        case Some(mm) =>
+          // GROUP-SCOPED RESCAN for the affected keys only: a delete
+          // may have removed the row that held the extreme, so those
+          // groups recompute from the LIVE head — semi-joined to the
+          // affected key set, so the scan is O(affected groups'
+          // parts) (stats/runtime pruning apply), never O(table)
+          val affectedKeys = folded.filter(col("affected"))
+            .select(col(m.keyCol))
+          val headSrc = spark.read.format("graft.sources.ManifestSource")
+            .option("path", m.source).option("version", head.toString).load()
+          val rec = rollup(headSrc.join(affectedKeys, Seq(m.keyCol),
+              "left_semi"), m.keyCol, m.sumCol, m.scale, m.mmCol)
+            .select(col(m.keyCol).as("rk"), col("min_value").as("rmin"),
+              col("max_value").as("rmax"), lit(true).as("rhit"))
+          folded.join(rec, folded(m.keyCol) <=> col("rk"), "left_outer")
+            .select(folded(m.keyCol), col("n_rows"), col("sum_value"),
+              when(col("rhit"), col("rmin")).otherwise(col("fmin"))
+                .as("min_value"),
+              when(col("rhit"), col("rmax")).otherwise(col("fmax"))
+                .as("max_value"))
+      }
       writeMv(merged, mvDir)
     } finally {
       fs.delete(new Path(tmpPlus), true)

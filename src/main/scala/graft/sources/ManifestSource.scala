@@ -155,6 +155,10 @@ private[sources] class ManifestScanBuilder(
   // column, from pushed predicates — pruned against smin/smax stats
   private var strLo: Option[String] = None
   private var strHi: Option[String] = None
+  // discrete IN-list values on the primary string column (see the In
+  // case below — the range alone can't exclude lexically-between
+  // values); intersected across conjunctive In filters
+  private var strInSet: Option[Set[String]] = None
   // GENERALIZED column bounds from pushed predicates on ANY OTHER
   // long/string column — pruned against the per-part [[ColStat]]
   // record; a part with no stat for a bounded column is kept (absent
@@ -485,6 +489,11 @@ private[sources] class ManifestScanBuilder(
           val mx = strs.reduce(StrBin.max)
           strLo = Some(strLo.fold(mn)(StrBin.max(mn, _)))
           strHi = Some(strHi.fold(mx)(StrBin.min(mx, _)))
+          // the DISCRETE set too: a [min..max] range over an IN list
+          // admits every lexically-between value ('error' sits inside
+          // ['click','view']) — on a value-split layout the point set
+          // is what prunes to exactly the named values' parts
+          strInSet = Some(strInSet.fold(strs.toSet)(_ intersect strs.toSet))
         }
       // LIKE 'p%' — every match is >= p, and (when the last char can
       // increment byte-safely) < p-with-last-char-incremented, so an
@@ -619,6 +628,14 @@ private[sources] class ManifestScanBuilder(
         var kept = all.filter(m => !(m.kMax < keyLo || m.kMin > keyHi))
         if (strLo.isDefined || strHi.isDefined)
           kept = kept.filter(_.strOverlaps(strLo, strHi))
+        // discrete IN-set pruning: survive only if SOME listed value
+        // can live in the part (point-overlap per value) — on a
+        // value-split layout this plans exactly the named values'
+        // parts where the folded range would keep everything between
+        strInSet.foreach { vals =>
+          kept = kept.filter(m =>
+            vals.exists(s => m.strOverlaps(Some(s), Some(s))))
+        }
         // generalized column pruning: a part survives unless SOME
         // bounded column has a recorded stat that proves no overlap
         // (absent stat ⇒ keep; kind mismatch ⇒ keep — never wrong)
@@ -764,6 +781,11 @@ private[sources] class ManifestScan(
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+
+  /** For [[SplitRowLevelDpp]]: the stats-keyed column (bloom + range
+    * pruning) and whether this scan drives a row-level rewrite. */
+  private[sources] def keyColName: Option[String] = keyCol
+  private[sources] def isRowLevelScan: Boolean = rowLevelOwner.isDefined
 
   /** SORT-FREE reads: each input partition is one part file, and the
     * writer DETECTED whether it streamed out key-sorted (monotone

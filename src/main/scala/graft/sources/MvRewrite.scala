@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSet, Cast, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
@@ -145,6 +145,8 @@ object MvRewrite extends Rule[LogicalPlan] {
           mvS <- out.find(_.name == "sum_value")
           if mvKey.dataType == k.dataType && mvN.dataType == LongType
           mapped <- mapOutputs(agg.aggregateExpressions, k, mvKey, mvN, mvS,
+            // min/max legs exist only on MVs created with minmax_col
+            out.find(_.name == "min_value"), out.find(_.name == "max_value"),
             t.meta, mvPlan.outputSet)
         } yield Project(mapped, mvPlan)
       case _ => None
@@ -156,6 +158,8 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def mapOutputs(aggExprs: Seq[NamedExpression],
       k: AttributeReference, mvKey: org.apache.spark.sql.catalyst.expressions.Attribute,
       mvN: org.apache.spark.sql.catalyst.expressions.Attribute, mvS: org.apache.spark.sql.catalyst.expressions.Attribute,
+      mvMin: Option[org.apache.spark.sql.catalyst.expressions.Attribute],
+      mvMax: Option[org.apache.spark.sql.catalyst.expressions.Attribute],
       meta: ManifestMv.MvMeta,
       mvOut: AttributeSet): Option[Seq[NamedExpression]] = {
     val mapped: Seq[Option[NamedExpression]] = aggExprs.map {
@@ -165,7 +169,8 @@ object MvRewrite extends Rule[LogicalPlan] {
         var ok = true
         val re = al.child.transformUp {
           case ae: AggregateExpression =>
-            matchAgg(ae, meta, mvN, mvS).getOrElse { ok = false; ae }
+            matchAgg(ae, meta, mvN, mvS, mvMin, mvMax)
+              .getOrElse { ok = false; ae }
           case a: AttributeReference if a.exprId == k.exprId => mvKey
         }
         if (ok && re.references.subsetOf(mvOut))
@@ -177,7 +182,9 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   private def matchAgg(ae: AggregateExpression, meta: ManifestMv.MvMeta,
-      mvN: org.apache.spark.sql.catalyst.expressions.Attribute, mvS: org.apache.spark.sql.catalyst.expressions.Attribute): Option[Expression] =
+      mvN: org.apache.spark.sql.catalyst.expressions.Attribute, mvS: org.apache.spark.sql.catalyst.expressions.Attribute,
+      mvMin: Option[org.apache.spark.sql.catalyst.expressions.Attribute],
+      mvMax: Option[org.apache.spark.sql.catalyst.expressions.Attribute]): Option[Expression] =
     if (ae.isDistinct || ae.filter.isDefined) None
     else ae.aggregateFunction match {
       case Count(Seq(Literal(1, _))) if ae.dataType == LongType => Some(mvN)
@@ -188,6 +195,15 @@ object MvRewrite extends Rule[LogicalPlan] {
           Some(mvS)
         case _ => None
       }
+      // bare-column MIN/MAX over the MV's tracked column routes to
+      // the maintained extreme; the type equality is exact (the MV
+      // stores the column's own type, never a cast)
+      case Min(a: AttributeReference)
+          if meta.mmCol.contains(a.name) &&
+            mvMin.exists(_.dataType == ae.dataType) => mvMin
+      case Max(a: AttributeReference)
+          if meta.mmCol.contains(a.name) &&
+            mvMax.exists(_.dataType == ae.dataType) => mvMax
       case _ => None
     }
 }

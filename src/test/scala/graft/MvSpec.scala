@@ -91,6 +91,60 @@ class MvSpec extends SparkSpec {
     assert(mvContent() === direct(srcDf))
   }
 
+  test("minmax_col: appends FOLD, a delete of a group's extreme " +
+    "recomputes only the affected groups — bit-exact vs recompute") {
+    write(rows(0, 1000), s"$wh/ns/src3", "overwrite")
+    spark.sql("CALL gmv.system.create_mv(" +
+      "mv_table => 'ns.mv3', source_table => 'ns.src3', " +
+      "key_col => 's', sum_col => 'v', scale => 2, minmax_col => 'k')")
+    def directMM(df: DataFrame): Set[(String, Long, java.math.BigDecimal,
+        Long, Long)] =
+      df.groupBy(col("s"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(30, 2))).as("sv"),
+          min(col("k")).as("mn"), max(col("k")).as("mx"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2),
+          r.getLong(3), r.getLong(4))).toSet
+    def mv3(): Set[(String, Long, java.math.BigDecimal, Long, Long)] =
+      spark.sql("SELECT s, n_rows, sum_value, min_value, max_value " +
+        "FROM gmv.ns.mv3").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2),
+          r.getLong(3), r.getLong(4))).toSet
+    def src3 = spark.sql("SELECT k, s, v FROM gmv.ns.src3")
+    assert(mv3() === directMM(src3), "create materializes min/max")
+
+    // APPEND above the current maxima: pure fold (minus = 0), every
+    // group's max moves, min stays
+    write(rows(1000, 1400), s"$wh/ns/src3", "append")
+    val r1 = spark.sql("CALL gmv.system.refresh_mv(mv_table => 'ns.mv3')").head
+    assert(r1.getInt(3) === 0, s"append must fold, not restate: $r1")
+    assert(mv3() === directMM(src3))
+    assert(mv3().find(_._1 == "g0").exists(t => t._4 === 0L && t._5 === 1395L))
+
+    // COW DELETE of g0's current MIN (k = 0): g0 must recompute its
+    // min from the live head (5), untouched groups keep theirs
+    spark.sql("DELETE FROM gmv.ns.src3 WHERE k = 0")
+    val r2 = spark.sql("CALL gmv.system.refresh_mv(mv_table => 'ns.mv3')").head
+    assert(r2.getInt(3) > 0, s"COW delete restates parts: $r2")
+    assert(mv3() === directMM(src3))
+    assert(mv3().find(_._1 == "g0").exists(_._4 === 5L),
+      "deleted extreme must be recomputed away")
+    assert(mv3().find(_._1 == "g1").exists(_._4 === 1L),
+      "untouched group keeps its extreme")
+
+    // MOR DELETE clearing a whole tail range: maxima recompute
+    spark.conf.set("graft.delete.mode", "mor")
+    try spark.sql("DELETE FROM gmv.ns.src3 WHERE k >= 1200")
+    finally spark.conf.unset("graft.delete.mode")
+    spark.sql("CALL gmv.system.refresh_mv(mv_table => 'ns.mv3')")
+    assert(mv3() === directMM(src3))
+
+    // COMPACTION nets to zero — min/max unchanged
+    spark.sql("CALL gmv.system.compact(table => 'ns.src3', target_parts => 2)")
+    spark.sql("CALL gmv.system.refresh_mv(mv_table => 'ns.mv3')")
+    assert(mv3() === directMM(src3))
+  }
+
   test("a crashed refresh (commit landed, watermark did not) replays idempotently") {
     write(rows(0, 500), s"$wh/ns/src2", "overwrite")
     spark.sql("CALL gmv.system.create_mv(" +

@@ -76,6 +76,74 @@ class RowLevelSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM grl.ns.mrg VERSION AS OF 1").count() === 1000)
   }
 
+  test("secondary-key MERGE bounds its rewrite via the matched-row " +
+    "group filter: exactly 1 of 5 parts") {
+    import spark.implicits._
+    val path = s"$wh/ns/mrg2"
+    // 5 appends = 5 parts with DISJOINT ranges on k2 — a SECONDARY
+    // long column (k is the key; the MERGE deliberately doesn't use it)
+    (0 until 5).foreach { p =>
+      (0 until 100).map(i =>
+        ((p * 100 + i).toLong, (p * 1000 + i).toLong, s"v$p-$i"))
+        .toDF("k", "k2", "s").coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", path).option("history", "true")
+        .mode(if (p == 0) "overwrite" else "append").save()
+    }
+    val before = headParts(path)
+    assert(before.size === 5)
+    Seq((2010L, "hit"), (2020L, "hit2")).toDF("sk2", "ns")
+      .createOrReplaceTempView("mrg2_src")
+    // the matched-row group filter (SplitRowLevelDpp re-points the
+    // struct subquery at the key column) hands the MATCHED rows' key
+    // set to the scan at runtime; bloom + range admit only part 2 —
+    // the rewrite footprint is 1 part, not the table
+    spark.sql("""MERGE INTO grl.ns.mrg2 t USING mrg2_src s
+      ON t.k2 = s.sk2
+      WHEN MATCHED AND s.ns = 'hit2' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET t.s = s.ns""")
+    val after = headParts(path)
+    assert((before -- after).size === 1,
+      s"secondary-key MERGE must rewrite exactly 1 part, " +
+        s"replaced ${(before -- after).size}")
+    assert((before intersect after).size === 4,
+      "the other 4 parts carry forward by reference")
+    assert(spark.sql("SELECT s FROM grl.ns.mrg2 WHERE k2 = 2010")
+      .head.getString(0) === "hit")
+    assert(spark.sql("SELECT count(*) FROM grl.ns.mrg2 WHERE k2 = 2020")
+      .head.getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) FROM grl.ns.mrg2")
+      .head.getLong(0) === 499L)
+  }
+
+  test("null-predicate UPDATE bounds its rewrite via null-count stats") {
+    import spark.implicits._
+    val path = s"$wh/ns/updnull"
+    // part 0 carries the ONLY null k2s; parts 1-3 are fully populated
+    (0 until 4).foreach { p =>
+      (0 until 100).map { i =>
+        val k2: java.lang.Long =
+          if (p == 0 && i % 10 == 0) null
+          else java.lang.Long.valueOf(p * 1000L + i)
+        ((p * 100 + i).toLong, k2, s"v$p-$i")
+      }.toDF("k", "k2", "s").coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", path).option("history", "true")
+        .mode(if (p == 0) "overwrite" else "append").save()
+    }
+    val before = headParts(path)
+    // IS NULL is decided per part from the tracked null counts:
+    // parts with zero k2 nulls are never scanned OR rewritten
+    spark.sql("UPDATE grl.ns.updnull SET s = 'nullk2' WHERE k2 IS NULL")
+    val after = headParts(path)
+    assert((before -- after).size === 1,
+      "only the null-carrying part is rewritten")
+    assert((before intersect after).size === 3)
+    assert(spark.sql(
+      "SELECT count(*) FROM grl.ns.updnull WHERE s = 'nullk2'")
+      .head.getLong(0) === 10L)
+  }
+
   test("previously-rejected DELETE shapes now run as row-level rewrites") {
     mkTable("rldel")
     // `k + 1 = 500` is neither stats-decidable nor COW-translatable —
