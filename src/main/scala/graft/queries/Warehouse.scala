@@ -2404,6 +2404,65 @@ ORDER BY event_type NULLS FIRST""")),
   min(event_id) AS key_min, max(event_id) AS key_max
 FROM events""")),
 
+    // --- BRANCH-SCOPED DML (`graft.branch` session routing — the
+    // Iceberg `spark.wap.branch` shape): write-audit-publish grows
+    // from "stage appends on a branch" to FULL DML on the branch
+    // line — UPDATE and DELETE with the session branch set read the
+    // audit head and commit audit versions, with conflict detection
+    // pinned to the branch's own line. The gate drives the whole
+    // audit loop: branch UPDATE (%100=0 rows relabeled) + branch
+    // DELETE (%100=50 rows dropped) are INVISIBLE to main (the
+    // mid-audit main rollup is restated by the oracle as the raw
+    // table), then `fast_forward` publishes and main serves the
+    // audited state — restated by the oracle analytically. At
+    // 100 TB this is how risky backfills actually ship: full DML
+    // against a branch, validate, publish as one metadata flip.
+    QueryDef("q_wap_dml",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "wapdml")
+        spark.conf.set("spark.sql.catalog.graftwd",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftwd.warehouse", wh)
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        base.repartitionByRange(4, col("event_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", s"$wh/wh/ev_t").option("history", "true")
+          .mode("overwrite").save()
+        spark.conf.set("graft.branch", "audit")
+        try {
+          spark.sql("UPDATE graftwd.wh.ev_t SET event_type = 'audited' " +
+            "WHERE event_id % 100 = 0")
+          spark.sql("DELETE FROM graftwd.wh.ev_t WHERE event_id % 100 = 50")
+        } finally spark.conf.unset("graft.branch")
+        // mid-audit: main must still serve the RAW table
+        val mid = spark.sql(
+          "SELECT count(*) AS n, " +
+            "sum(CASE WHEN event_type = 'audited' THEN 1 ELSE 0 END) AS a " +
+            "FROM graftwd.wh.ev_t").head
+        spark.sql("CALL graftwd.system.fast_forward(" +
+          "table => 'wh.ev_t', branch => 'audit')")
+        spark.sql(
+          "SELECT count(*) AS n_rows, " +
+            "sum(CASE WHEN event_type = 'audited' THEN 1 ELSE 0 END) " +
+            "AS n_audited, " +
+            s"${Exact.decSumSql("value", 2).replace("VARCHAR", "STRING")} " +
+            "AS sum_value " +
+            "FROM graftwd.wh.ev_t")
+          .withColumn("n_main_mid", lit(mid.getLong(0)))
+          .withColumn("n_audited_mid", lit(mid.getLong(1)))
+      },
+      Some(s"""SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 100 <> 50)
+    AS n_rows,
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 100 = 0)
+    AS n_audited,
+  (SELECT ${Exact.decSumSql("value", 2)} FROM events
+    WHERE event_id % 100 <> 50) AS sum_value,
+  CAST(count(*) AS BIGINT) AS n_main_mid,
+  CAST(0 AS BIGINT) AS n_audited_mid
+FROM events""")),
+
     // --- MV MIN/MAX (create_mv minmax_col — sources/ManifestMv):
     // counts and sums fold under ANY delta, but an extreme is only
     // monotone under appends — a delete may remove the very row that

@@ -732,14 +732,30 @@ private[sources] class GraftCatalogTable(
     * OptimizeMetadataOnlyDeleteFromTable consults canDeleteWhere
     * before falling back to the rewrite, so adding row-level support
     * widens the DML surface without demoting the cheap paths. */
+  /** BRANCH-SCOPED DML (`spark.conf.set("graft.branch", "audit")` —
+    * Iceberg's `spark.wap.branch` session routing): with a branch
+    * set, UPDATE / DELETE / MERGE read the BRANCH head and commit to
+    * the branch line — the audit half of write-audit-publish gains
+    * full DML, main stays untouched until fast_forward. Conflict
+    * detection (strictBase + footprint) pins the branch's own
+    * version line. Resolved per OPERATION, not per table load, so
+    * one session can interleave branch and main statements. */
+  private def sessionBranch: Option[String] =
+    try org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => Option(s.conf.get("graft.branch", "")))
+      .filter(_.nonEmpty)
+    catch { case scala.util.control.NonFatal(_) => None }
+
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation =
+      override def build(): RowLevelOperation = {
+        val branch = sessionBranch
         if (ManifestMor.morEnabled(
             org.apache.spark.sql.SparkSession.active))
-          new ManifestDeltaOp(path, tableSchema, info.command)
-        else new ManifestRowLevelOp(path, tableSchema, info.command)
+          new ManifestDeltaOp(path, tableSchema, info.command, branch)
+        else new ManifestRowLevelOp(path, tableSchema, info.command, branch)
+      }
     }
 
   import org.apache.spark.sql.sources.{Filter => V1Filter}
@@ -784,7 +800,11 @@ private[sources] class GraftCatalogTable(
     * when the predicate is row-evaluable, so unsupported shapes are
     * still rejected at analysis rather than half-applied. */
   override def canDeleteWhere(filters: Array[V1Filter]): Boolean =
-    decide(filters).isDefined || filters.forall(ManifestCow.translatable)
+    // branch-routed sessions decline the metadata/COW fast paths
+    // (both commit to MAIN); Spark then plans the row-level rewrite,
+    // which routes to the branch line
+    sessionBranch.isEmpty &&
+      (decide(filters).isDefined || filters.forall(ManifestCow.translatable))
 
   override def deleteWhere(filters: Array[V1Filter]): Unit =
     decide(filters) match {

@@ -45,8 +45,10 @@ import org.apache.spark.util.SerializableConfiguration
   */
 private[sources] class ManifestDeltaOp(
     path: String, schema: StructType,
-    cmd: RowLevelOperation.Command)
-    extends ManifestRowLevelOp(path, schema, cmd) with SupportsDelta {
+    cmd: RowLevelOperation.Command,
+    branch0: Option[String] = None)
+    extends ManifestRowLevelOp(path, schema, cmd, branch0)
+    with SupportsDelta {
 
   override def description(): String = s"graft.rowlevel.delta($cmd, $path)"
 
@@ -135,6 +137,7 @@ private[sources] class ManifestDeltaBatchWrite(
         }.getOrElse(p)) ++ newParts,
       strictBase = Some(base),
       footprint = Some(updated.keySet),
+      branch = op.branch,
       op = op.command().toString.toLowerCase)
 
     // fragments are never referenced by a manifest — reclaim eagerly

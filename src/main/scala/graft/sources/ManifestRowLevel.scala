@@ -75,7 +75,8 @@ private[sources] object PosMetaColumn extends MetadataColumn {
   */
 private[sources] class ManifestRowLevelOp(
     path: String, schema: StructType,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+    cmd: RowLevelOperation.Command,
+    val branch: Option[String] = None) extends RowLevelOperation {
 
   // (scanned parts, base version) recorded by the scan at plan time —
   // volatile: planInputPartitions runs on a scheduler thread.
@@ -102,7 +103,8 @@ private[sources] class ManifestRowLevelOp(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(path, schema,
       new SerializableConfiguration(ManifestSink.driverConf()),
-      version = None, cdf = false, rowLevelOwner = Some(this))
+      version = None, cdf = false, rowLevelOwner = Some(this),
+      branch = branch)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -145,6 +147,7 @@ private[sources] class ManifestReplaceWrite(
     ManifestSink.publishRebase(conf.value, path, schema, history = true,
       head => head.filterNot(p => replacedPaths.contains(p.path)) ++ newParts,
       strictBase = Some(base), footprint = Some(replacedPaths),
+      branch = op.branch,
       op = op.command().toString.toLowerCase)
   }
 

@@ -1159,7 +1159,7 @@ object ManifestSink {
 
   /** Branch-head reads (write-audit-publish): the branch's part list
     * and schema — main-head fallback while the branch has no commits. */
-  private[sources] def readBranchMeta(conf: Configuration, dir: String,
+  def readBranchMeta(conf: Configuration, dir: String,
       branch: String, version: Option[Int] = None): Seq[PartMeta] =
     metaFromLines(manifestLines(conf, dir, version, Some(branch)))
 

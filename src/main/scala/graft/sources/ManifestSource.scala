@@ -607,8 +607,15 @@ private[sources] class ManifestScanBuilder(
     // plan and void the strictBase lost-update guard.
     val (all, baseVersion, snapCm) = branch match {
       case Some(b) =>
-        val (m, sc) = ManifestSink.readSnapshot(conf.value, path, None, Some(b))
-        (m, 0, sc)
+        // pin the BRANCH head version the same way the main line is
+        // pinned: a branch-routed row-level rewrite records (parts,
+        // branch version) as one consistent snapshot, so its commit's
+        // strictBase guards the branch line, not a meaningless 0
+        val latest = ManifestSink.listBranchVersions(conf.value, path, b)
+          .lastOption.getOrElse(0)
+        val (m, sc) = ManifestSink.readSnapshot(conf.value, path,
+          if (latest == 0) None else Some(latest), Some(b))
+        (m, latest, sc)
       case None => version match {
         case Some(v) =>
           val (m, sc) = ManifestSink.readSnapshot(conf.value, path, version)
@@ -697,7 +704,8 @@ private[sources] class ManifestScanBuilder(
         }
         new ManifestScan(kept, schema, required, conf, all.size, limit, keyCol,
           path, rowLevelOwner, startingVersion, baseVersion,
-          maxPartsPerTrigger, ids = colMapIdsFor(schema, snapCm))
+          maxPartsPerTrigger, ids = colMapIdsFor(schema, snapCm),
+          branched = branch.isDefined)
     }
   }
 
@@ -776,7 +784,8 @@ private[sources] class ManifestScan(
     startingVersion: Option[Int] = None,
     baseVersion: Int = 0,
     maxPartsPerTrigger: Option[Int] = None,
-    ids: Seq[Int] = Seq.empty)
+    ids: Seq[Int] = Seq.empty,
+    branched: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -855,7 +864,7 @@ private[sources] class ManifestScan(
     * relation and the rewrite's adjacency match fails. */
   private[sources] def mvRewriteTarget: Option[(String, Int)] =
     if (tablePath.nonEmpty && limit.isEmpty && rowLevelOwner.isEmpty &&
-      startingVersion.isEmpty) Some((tablePath, baseVersion))
+      startingVersion.isEmpty && !branched) Some((tablePath, baseVersion))
     else None
 
   /** Streaming read: snapshot versions ARE the offsets (see

@@ -167,6 +167,36 @@ class RowLevelSpec extends SparkSpec {
       "_part provenance must agree with the committed manifest")
   }
 
+  test("branch-scoped DML: UPDATE under graft.branch rewrites the " +
+    "branch line only, bounded footprint, MOR parity") {
+    val path = mkTable("brdml")
+    val mainBefore = headParts(path)
+    spark.conf.set("graft.branch", "audit")
+    try {
+      // COW UPDATE on the branch: main untouched, branch forked with
+      // exactly one part rewritten
+      spark.sql("UPDATE grl.ns.brdml SET s = 'aud' WHERE k = 123")
+      // MOR DELETE on the branch: vector commit rides the branch line
+      spark.conf.set("graft.delete.mode", "mor")
+      try spark.sql("DELETE FROM grl.ns.brdml WHERE k = 900 AND s <> 'x'")
+      finally spark.conf.unset("graft.delete.mode")
+    } finally spark.conf.unset("graft.branch")
+    assert(headParts(path) === mainBefore, "main line untouched")
+    assert(spark.sql("SELECT s FROM grl.ns.brdml WHERE k = 123")
+      .head.getString(0) === "v123")
+    val conf = spark.sessionState.newHadoopConf()
+    val br = graft.sources.ManifestSink.readBranchMeta(conf, path, "audit")
+    assert((br.map(_.path).toSet intersect mainBefore).size === 3,
+      "branch UPDATE rewrote exactly one of four parts")
+    val brDf = spark.read.format("graft.sources.ManifestSource")
+      .option("path", path).option("branch", "audit").load()
+    assert(brDf.filter(col("k") === 123).select("s").head.getString(0) === "aud")
+    assert(brDf.count() === 999L, "branch MOR delete applied")
+    assert(br.exists(_.hasDv), "MOR delete committed a vector on the branch")
+    assert(spark.sql("SELECT count(*) FROM grl.ns.brdml")
+      .head.getLong(0) === 1000L)
+  }
+
   test("a commit racing a row-level rewrite fails the rewrite loudly") {
     import spark.implicits._
     val path = mkTable("race")

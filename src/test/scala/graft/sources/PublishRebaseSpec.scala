@@ -141,6 +141,47 @@ class PublishRebaseSpec extends AnyFunSuite {
       "dropping the branch never touches published snapshots")
   }
 
+  test("branch isolation: conflict detection pins the branch's own " +
+    "line; main and branch lines never cross-conflict") {
+    val dir = Files.createTempDirectory("graft-rebase-").toString
+    ManifestSink.publishRebase(conf, dir, schema, history = true,
+      _ => Seq(pm("a"), pm("b")), strictBase = None) // main v1 = {a, b}
+    // a branch rewrite pinned at branch base 0 (unborn line)
+    ManifestSink.publishRebase(conf, dir, schema, history = true,
+      h => h.filterNot(_.path == "a") :+ pm("a2"),
+      strictBase = Some(0), footprint = Some(Set("a")),
+      branch = Some("audit")) // audit v1 = {a2, b}
+    // MAIN advancing does not conflict a BRANCH rewrite pinned at
+    // the branch head — the lines are independent
+    ManifestSink.publishRebase(conf, dir, schema, history = true,
+      h => h :+ pm("m2"), strictBase = None) // main v2 = {a, b, m2}
+    ManifestSink.publishRebase(conf, dir, schema, history = true,
+      h => h.filterNot(_.path == "b") :+ pm("b2"),
+      strictBase = Some(1), footprint = Some(Set("b")),
+      branch = Some("audit")) // audit v2 = {a2, b2}
+    assert(ManifestSink.readBranchMeta(conf, dir, "audit")
+      .map(_.path).toSet === Set("a2", "b2"))
+    assert(headPaths(dir) === Set("a", "b", "m2"),
+      "branch DML invisible to main")
+    // a STALE branch rewrite whose footprint part was replaced on the
+    // branch line (b -> b2 in audit v2) conflicts loudly
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestSink.publishRebase(conf, dir, schema, history = true,
+        h => h.filterNot(_.path == "b") :+ pm("b3"),
+        strictBase = Some(1), footprint = Some(Set("b")),
+        branch = Some("audit"))
+    }
+    // ...but a stale-based rewrite over a part that survived the
+    // advanced branch head BIT-IDENTICAL composes
+    val v = ManifestSink.publishRebase(conf, dir, schema, history = true,
+      h => h.filterNot(_.path == "a2") :+ pm("a3"),
+      strictBase = Some(1), footprint = Some(Set("a2")),
+      branch = Some("audit"))
+    assert(v === 3)
+    assert(ManifestSink.readBranchMeta(conf, dir, "audit")
+      .map(_.path).toSet === Set("a3", "b2"))
+  }
+
   test("an un-forked branch reads as the main head; empty branch cannot publish") {
     val dir = Files.createTempDirectory("graft-rebase-").toString
     ManifestSink.publishRebase(conf, dir, schema, history = true,
