@@ -2481,9 +2481,9 @@ FROM events""")),
     QueryDef("q_mv_minmax",
       (spark, dir) => {
         val wh = freshTable(spark, dir, "mvmm")
-        spark.conf.set("spark.sql.catalog.graftmm",
+        spark.conf.set("spark.sql.catalog.graftmvx",
           "graft.sources.GraftCatalog")
-        spark.conf.set("spark.sql.catalog.graftmm.warehouse", wh)
+        spark.conf.set("spark.sql.catalog.graftmvx.warehouse", wh)
         val base = Tables.events(spark, dir)
           .select(col("event_id"), col("event_type"), col("value"))
         def write(df: DataFrame, mode: String): Unit =
@@ -2492,25 +2492,25 @@ FROM events""")),
             .option("path", s"$wh/wh/src").option("history", "true")
             .mode(mode).save()
         write(base.filter(col("event_id") % 3 =!= 1), "overwrite")
-        spark.sql("CALL graftmm.system.create_mv(" +
+        spark.sql("CALL graftmvx.system.create_mv(" +
           "mv_table => 'wh.mv', source_table => 'wh.src', " +
           "key_col => 'event_type', sum_col => 'value', scale => 6, " +
           "minmax_col => 'event_id')")
         write(base.filter(col("event_id") % 3 === 1), "append")
         val r1 = spark.sql(
-          "CALL graftmm.system.refresh_mv(mv_table => 'wh.mv')").head
+          "CALL graftmvx.system.refresh_mv(mv_table => 'wh.mv')").head
         spark.conf.set("graft.delete.mode", "mor")
-        try spark.sql("DELETE FROM graftmm.wh.src WHERE event_id % 10 = 0")
+        try spark.sql("DELETE FROM graftmvx.wh.src WHERE event_id % 10 = 0")
         finally spark.conf.unset("graft.delete.mode")
         val r2 = spark.sql(
-          "CALL graftmm.system.refresh_mv(mv_table => 'wh.mv')").head
+          "CALL graftmvx.system.refresh_mv(mv_table => 'wh.mv')").head
         spark.conf.set("graft.mv.rewrite", s"$wh/wh/mv")
         try {
           val q = spark.sql("""SELECT event_type, count(*) AS n_rows,
             CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS STRING)
               AS DOUBLE) AS sum_value,
             min(event_id) AS min_id, max(event_id) AS max_id
-            FROM graftmm.wh.src GROUP BY event_type""")
+            FROM graftmvx.wh.src GROUP BY event_type""")
           val usedMv = !q.queryExecution.optimizedPlan.exists(
             _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate])
           q.withColumn("used_mv", lit(usedMv))
