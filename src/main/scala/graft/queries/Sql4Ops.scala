@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Round-15 SQL-surface wave: the two headline Spark 4 SQL features —
+  * recursive CTEs (`WITH RECURSIVE`, Catalyst `UnionLoop`) and the
+  * VARIANT semi-structured type (`parse_json`/`variant_get`) — plus
+  * the quality-of-life resolution rules (GROUP BY ALL, lateral column
+  * aliases) a SQL user coming from DuckDB/Snowflake expects.
+  *
+  * Reference correspondence: the reference's per-station estimate feed
+  * is consumed by SQL users (estimate_queue.py:166-178 emits keyed
+  * rows downstream dashboards query); these are the query shapes that
+  * consumption layer writes. The `props` JSON column generalizes the
+  * reference's prediction-dict assembly (estimate_queue.py:85-88) into
+  * a first-class semi-structured type instead of per-query string
+  * parsing.
+  *
+  * Scale notes live on each query; the recursive CTE is the one shape
+  * where Spark's execution model is genuinely iterative (one shuffle
+  * round per recursion level, driver-coordinated like the [[GraphOps]]
+  * fixed-points) — use it for bounded-depth hierarchies, never for
+  * diameter-unbounded graphs (that is [[GraphOps.connectedComponents]]
+  * pointer-jumping's job at O(log d) rounds).
+  */
+object SqlOps4 {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // --- RECURSIVE CTE (WITH RECURSIVE → UnionLoop): walk the
+    // intra-region nation chain (parent = previous nationkey in the
+    // region) computing per-node depth and the root→node path.
+    // Complements q_recursive_cte (Extras — per-depth profile over a
+    // digit-strip tree) with the PATH-ACCUMULATION shape: a string
+    // column grown one edge per level, over edges derived in-query
+    // by a window function rather than stored. The
+    // hierarchy-traversal shape (org charts, BOM explosions, folder
+    // trees) that plain SQL cannot express without recursion. Scale
+    // shape: each recursion level is ONE distributed hash join of the
+    // frontier against the (small, reusable) edge table — the frontier
+    // never collects to the driver; total work is O(edges × depth)
+    // with depth bounded by the hierarchy, and Spark's
+    // cteRecursionLevelLimit fail-fasts a cyclic parent graph instead
+    // of looping forever.
+    QueryDef("q_recursive_path",
+      (spark, dir) => {
+        Tables.nation(spark, dir).select(
+          col("n_nationkey").as("id"),
+          col("n_regionkey").as("rk"),
+          col("n_name").as("name"),
+          lag(col("n_nationkey"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("n_regionkey")).orderBy(col("n_nationkey")))
+            .as("parent"))
+          .createOrReplaceTempView("graft_rcte_chain")
+        spark.sql("""
+          WITH RECURSIVE walk AS (
+            SELECT id, rk, name, 0 AS depth, CAST(name AS STRING) AS path
+            FROM graft_rcte_chain WHERE parent IS NULL
+            UNION ALL
+            SELECT c.id, c.rk, c.name, w.depth + 1,
+                   concat(w.path, '>', c.name)
+            FROM graft_rcte_chain c JOIN walk w ON c.parent = w.id
+          )
+          SELECT id, rk, name, depth, path FROM walk ORDER BY id""")
+      },
+      Some("""WITH RECURSIVE chain AS (
+  SELECT n_nationkey AS id, n_regionkey AS rk, n_name AS name,
+         lag(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS parent
+  FROM nation
+), walk AS (
+  SELECT id, rk, name, 0 AS depth, CAST(name AS VARCHAR) AS path
+  FROM chain WHERE parent IS NULL
+  UNION ALL
+  SELECT c.id, c.rk, c.name, w.depth + 1, w.path || '>' || c.name
+  FROM chain c JOIN walk w ON c.parent = w.id
+)
+SELECT id, rk, name, depth, path FROM walk ORDER BY id""")),
+
+    // --- VARIANT (Spark 4 semi-structured type): parse the JSON
+    // `props` column ONCE into a variant, then extract typed paths —
+    // the schema-on-read shape that replaces per-query
+    // get_json_object string re-parsing. A variant column is stored
+    // as a compact binary (metadata dictionary + value buffer), so at
+    // 100 TB the parse cost is paid at INGEST, extraction is a typed
+    // offset walk (no JSON text scan per query), and shredded paths
+    // prune like ordinary columns. Exercised: scalar extraction with
+    // a type (`$.k` as INT), a MISSING path (try_variant_get → NULL,
+    // never an error), canonical re-serialization (to_json of the
+    // variant — compact, key-ordered), and a nested document built
+    // in-query then path-extracted through the variant binary
+    // (`$.ids[0]` — array index + cast in one walk).
+    QueryDef("q_variant_json",
+      (spark, dir) => {
+        val v = parse_json(col("props"))
+        val built = parse_json(to_json(struct(
+          col("event_type").as("t"), array(col("user_id")).as("ids"))))
+        Tables.events(spark, dir).select(
+          col("event_id"),
+          variant_get(v, "$.k", "int").as("k"),
+          try_variant_get(v, "$.absent", "string").as("absent"),
+          to_json(v).as("canon"),
+          variant_get(built, "$.ids[0]", "bigint").as("id0"),
+          variant_get(built, "$.t", "string").as("t"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+  CAST(NULL AS VARCHAR) AS absent,
+  json_extract(props, '$')::VARCHAR AS canon,
+  user_id AS id0,
+  event_type AS t
+FROM events ORDER BY event_id""")),
+
+    // --- GROUP BY ALL / ORDER BY ALL: the resolution sugar a
+    // DuckDB/Snowflake user types first — group by every
+    // non-aggregate select item (no positional drift when the select
+    // list evolves), order by the whole list left-to-right (a total
+    // order, so the output is deterministic by construction). Plan
+    // shape is identical to the explicit spelling: one partial+final
+    // hash aggregate, decimal-exact sums. (A lateral alias inside
+    // GROUP BY ALL is the one spelling Spark still rejects —
+    // UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_GROUP_BY — so the
+    // lateral-alias surface is pinned on the projection query below.)
+    QueryDef("q_group_by_all",
+      (spark, dir) => {
+        Tables.lineitem(spark, dir)
+          .createOrReplaceTempView("graft_gba_lineitem")
+        // decimal-exact sum spelled in Spark dialect (STRING, not
+        // VARCHAR) — same algebra as Exact.decSumSql's DuckDB text
+        val qty =
+          "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS STRING) AS DOUBLE)"
+        spark.sql(s"""
+          SELECT l_returnflag,
+                 l_linestatus,
+                 $qty AS qty,
+                 count(*) AS n,
+                 $qty * 2 AS qty2
+          FROM graft_gba_lineitem
+          GROUP BY ALL
+          ORDER BY ALL""")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+  ${graft.functions.Exact.decSumSql("l_quantity")} AS qty,
+  count(*) AS n,
+  ${graft.functions.Exact.decSumSql("l_quantity")} * 2 AS qty2
+FROM lineitem GROUP BY ALL ORDER BY ALL""")),
+
+    // --- LATERAL COLUMN ALIAS in a projection: a select item
+    // references the alias defined two items earlier in the SAME
+    // list, resolved left-to-right (Spark 3.4+/DuckDB) — the chained
+    // derived-column spelling that otherwise forces a subquery nest
+    // per step. Resolution-time sugar only: the analyzed plan is one
+    // Project, fully codegen'd, nothing materializes between steps.
+    QueryDef("q_lateral_alias",
+      (spark, dir) => {
+        Tables.orders(spark, dir)
+          .createOrReplaceTempView("graft_lca_orders")
+        spark.sql("""
+          SELECT o_orderkey,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                 price * 2 AS gross,
+                 gross + CAST(1 AS DECIMAL(18,2)) AS gross1
+          FROM graft_lca_orders
+          ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey,
+  CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+  price * 2 AS gross,
+  gross + CAST(1 AS DECIMAL(18,2)) AS gross1
+FROM orders ORDER BY o_orderkey""")))
+}

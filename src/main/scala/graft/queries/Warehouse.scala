@@ -2528,6 +2528,80 @@ FROM events""")),
 FROM events WHERE event_id % 10 <> 0
 GROUP BY event_type ORDER BY event_type NULLS FIRST""")),
 
+    // --- MULTI-KEY MV + AVG-SHAPE ROUTING (sources/ManifestMv keys,
+    // MvRewrite any-order key matching): the MV grouping is a column
+    // LIST — (etype, par) here, with etype made NULLABLE on purpose
+    // (nullif) so NULL-keyed groups ride every path: the snapshot-
+    // delta fold joins null-safely per key, and the min/max group-
+    // scoped recompute semi-joins null-safely, so the NULL group's
+    // extremes restate after a delete like any other group's. The
+    // routed query then GROUPs BY the keys in REVERSED order (par,
+    // etype — set-equality matching, not positional) and derives AVG
+    // as the repo's exact decimal sum / count(*) shape — both legs
+    // map onto the MV's stored columns structurally, so the average
+    // is served from the MV with no Aggregate in the plan. The
+    // at-scale contract is the dashboard trio again, now on composite
+    // dimensions: O(groups) serving state, deletes costing only the
+    // affected groups' parts.
+    QueryDef("q_mv_multikey",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "mvmk")
+        spark.conf.set("spark.sql.catalog.graftmvmk",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftmvmk.warehouse", wh)
+        val base = Tables.events(spark, dir).select(
+          col("event_id"),
+          nullif(col("event_type"), lit("error")).as("etype"),
+          (col("user_id") % 2).as("par"),
+          col("value"))
+        def write(df: DataFrame, mode: String): Unit =
+          df.repartitionByRange(2, col("event_id"))
+            .write.format("graft.sources.ManifestSink")
+            .option("path", s"$wh/wh/src").option("history", "true")
+            .mode(mode).save()
+        write(base.filter(col("event_id") % 3 =!= 1), "overwrite")
+        spark.sql("CALL graftmvmk.system.create_mv(" +
+          "mv_table => 'wh.mv', source_table => 'wh.src', " +
+          "key_col => 'etype,par', sum_col => 'value', scale => 6, " +
+          "minmax_col => 'event_id')")
+        write(base.filter(col("event_id") % 3 === 1), "append")
+        val r1 = spark.sql(
+          "CALL graftmvmk.system.refresh_mv(mv_table => 'wh.mv')").head
+        spark.conf.set("graft.delete.mode", "mor")
+        try spark.sql("DELETE FROM graftmvmk.wh.src WHERE event_id % 10 = 0")
+        finally spark.conf.unset("graft.delete.mode")
+        val r2 = spark.sql(
+          "CALL graftmvmk.system.refresh_mv(mv_table => 'wh.mv')").head
+        spark.conf.set("graft.mv.rewrite", s"$wh/wh/mv")
+        try {
+          val q = spark.sql("""SELECT etype, par, count(*) AS n_rows,
+            CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS STRING)
+              AS DOUBLE) AS sum_value,
+            CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS STRING)
+              AS DOUBLE) / count(*) AS avg_value,
+            min(event_id) AS min_id, max(event_id) AS max_id
+            FROM graftmvmk.wh.src GROUP BY par, etype""")
+          val usedMv = !q.queryExecution.optimizedPlan.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate])
+          q.withColumn("used_mv", lit(usedMv))
+            .withColumn("fold_minus_parts", lit(r1.getInt(3)))
+            .withColumn("recompute_minus_parts", lit(r2.getInt(3)))
+            .orderBy(col("etype"), col("par"))
+            .localCheckpoint()
+        } finally spark.conf.unset("graft.mv.rewrite")
+      },
+      Some(s"""SELECT etype, par, CAST(count(*) AS BIGINT) AS n_rows,
+  ${Exact.decSumSql("value", 6)} AS sum_value,
+  ${Exact.decAvgSql("value", 6)} AS avg_value,
+  min(event_id) AS min_id, max(event_id) AS max_id,
+  true AS used_mv, CAST(0 AS INT) AS fold_minus_parts,
+  CAST(4 AS INT) AS recompute_minus_parts
+FROM (SELECT event_id, nullif(event_type, 'error') AS etype,
+        user_id % 2 AS par, value
+      FROM events WHERE event_id % 10 <> 0)
+GROUP BY etype, par
+ORDER BY etype NULLS FIRST, par NULLS FIRST""")),
+
     // --- SPLIT PRUNING PARITY (identity layout gets the scan-side
     // treatment buckets have): on a table split one-part-per-value,
     // (a) a STATIC IN-list on the split column plans exactly its

@@ -397,7 +397,8 @@ private[sources] final class CreateMvProcedure(warehouse: String)
     ProcedureParameter.in("source_table", StringType)
       .comment("source table identifier (history table)").build(),
     ProcedureParameter.in("key_col", StringType)
-      .comment("grouping column").build(),
+      .comment("grouping column(s), comma-separated for a multi-key MV")
+      .build(),
     ProcedureParameter.in("sum_col", StringType)
       .comment("numeric column to sum (exact decimal)").build(),
     ProcedureParameter.in("scale", IntegerType).defaultValue("6")

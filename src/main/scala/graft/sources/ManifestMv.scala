@@ -55,7 +55,15 @@ private[sources] object ManifestMv {
 
   final case class MvMeta(source: String, keyCol: String, sumCol: String,
       scale: Int, sourceVersion: Int, mvVersion: Int,
-      mmCol: Option[String] = None)
+      mmCol: Option[String] = None) {
+    /** MULTI-KEY grouping: `keyCol` is a comma-separated column list
+      * (the whole list URL-encodes into the meta line as one token,
+      * so the comma is a safe separator; a column name containing a
+      * literal comma is rejected at create). Single-key MVs are the
+      * 1-element case — metas written by earlier versions read
+      * unchanged. */
+    def keys: Seq[String] = keyCol.split(',').map(_.trim).filter(_.nonEmpty)
+  }
 
   final case class RefreshStats(fromVersion: Int, toVersion: Int,
       plusParts: Int, minusParts: Int, groups: Long)
@@ -109,7 +117,8 @@ private[sources] object ManifestMv {
       // cast, so MV == recompute is bit-identity, not approximation
       mmCol.toSeq.flatMap(c =>
         Seq(min(col(c)).as("min_value"), max(col(c)).as("max_value")))
-    df.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    val keys = keyCol.split(',').map(_.trim).filter(_.nonEmpty)
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   private def writeMv(df: DataFrame, mvDir: String): Unit =
@@ -128,10 +137,16 @@ private[sources] object ManifestMv {
           "(MVs track the snapshot log; write with history=true)"))
     val src = spark.read.format("graft.sources.ManifestSource")
       .option("path", sourceDir).option("version", srcVersion.toString).load()
-    require(src.schema.fieldNames.contains(keyCol) &&
+    val keys = keyCol.split(',').map(_.trim).filter(_.nonEmpty)
+    require(keys.nonEmpty, "create_mv: key_col must name at least one column")
+    require(keys.forall(src.schema.fieldNames.contains) &&
       src.schema.fieldNames.contains(sumCol),
       s"create_mv: source lacks '$keyCol'/'$sumCol' " +
         src.schema.fieldNames.mkString("(", ",", ")"))
+    // a source column whose NAME contains a comma would mis-split the
+    // key list — the forall-contains check above already rejects it
+    require(keys.distinct.size == keys.size,
+      s"create_mv: duplicate grouping column in '$keyCol'")
     mmCol.foreach { c =>
       require(src.schema.fields.exists(f => f.name == c &&
         f.dataType == org.apache.spark.sql.types.LongType),
@@ -182,6 +197,7 @@ private[sources] object ManifestMv {
         rollup(spark.read.format("graft.sources.ManifestSource")
           .option("path", tmp).load(), m.keyCol, m.sumCol, m.scale, m.mmCol)
       }
+      val keys = m.keys
       val pr = side(tmpPlus, plus)
       val p = m.mmCol.fold(pr)(_ => pr
           .withColumnRenamed("min_value", "pmin")
@@ -193,22 +209,25 @@ private[sources] object ManifestMv {
         .withColumnRenamed("n_rows", "mn")
         .withColumnRenamed("sum_value", "ms")
       val zero = lit(0).cast(DecimalType(30, m.scale))
-      val delta = p.join(n, p(m.keyCol) <=> n(m.keyCol), "full_outer")
-        .select(Seq(coalesce(p(m.keyCol), n(m.keyCol)).as(m.keyCol),
+      // every key join is NULL-SAFE (<=> per column): a NULL grouping
+      // value is a group like any other, on every key of the list
+      def keyEq(l: DataFrame, r: DataFrame) =
+        keys.map(k => l(k) <=> r(k)).reduce(_ && _)
+      val delta = p.join(n, keyEq(p, n), "full_outer")
+        .select(keys.map(k => coalesce(p(k), n(k)).as(k)) ++ Seq(
           (coalesce(col("pn"), lit(0L)) - coalesce(col("mn"), lit(0L)))
             .as("dn"),
           (coalesce(col("ps"), zero) - coalesce(col("ms"), zero)).as("ds"),
           // a key seen on the MINUS side lost rows (or had its vector
           // restated): its min/max can't be folded downward — flag it
           // for the group-scoped recompute below
-          n(m.keyCol).isNotNull.as("affected")) ++
+          col("mn").isNotNull.as("affected")) ++
           m.mmCol.toSeq.flatMap(_ => Seq(col("pmin"), col("pmax"))): _*)
       // fold against the MV state PINNED at the watermark's version —
       // idempotent under replay of a crashed refresh (see scaladoc)
       val mv = spark.read.format("graft.sources.ManifestSource")
         .option("path", mvDir).option("version", m.mvVersion.toString).load()
-      val foldCols = Seq(
-        coalesce(mv(m.keyCol), delta(m.keyCol)).as(m.keyCol),
+      val foldCols = keys.map(k => coalesce(mv(k), delta(k)).as(k)) ++ Seq(
         (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L)))
           .as("n_rows"),
         (coalesce(col("sum_value"), zero) + coalesce(col("ds"), zero))
@@ -221,8 +240,7 @@ private[sources] object ManifestMv {
           least(col("min_value"), col("pmin")).as("fmin"),
           greatest(col("max_value"), col("pmax")).as("fmax"),
           coalesce(col("affected"), lit(false)).as("affected")))
-      val folded = mv.join(delta, mv(m.keyCol) <=> delta(m.keyCol),
-          "full_outer")
+      val folded = mv.join(delta, keyEq(mv, delta), "full_outer")
         .select(foldCols: _*)
         .filter(col("n_rows") > 0)
       val merged = m.mmCol match {
@@ -230,23 +248,30 @@ private[sources] object ManifestMv {
         case Some(mm) =>
           // GROUP-SCOPED RESCAN for the affected keys only: a delete
           // may have removed the row that held the extreme, so those
-          // groups recompute from the LIVE head — semi-joined to the
-          // affected key set, so the scan is O(affected groups'
-          // parts) (stats/runtime pruning apply), never O(table)
+          // groups recompute from the LIVE head — semi-joined (null-
+          // safely, so NULL-keyed groups restate too) to the affected
+          // key set: the scan is O(affected groups' parts)
+          // (stats/runtime pruning apply), never O(table)
           val affectedKeys = folded.filter(col("affected"))
-            .select(col(m.keyCol))
+            .select(keys.map(k => col(k).as(s"__ak_$k")): _*)
           val headSrc = spark.read.format("graft.sources.ManifestSource")
             .option("path", m.source).option("version", head.toString).load()
-          val rec = rollup(headSrc.join(affectedKeys, Seq(m.keyCol),
-              "left_semi"), m.keyCol, m.sumCol, m.scale, m.mmCol)
-            .select(col(m.keyCol).as("rk"), col("min_value").as("rmin"),
-              col("max_value").as("rmax"), lit(true).as("rhit"))
-          folded.join(rec, folded(m.keyCol) <=> col("rk"), "left_outer")
-            .select(folded(m.keyCol), col("n_rows"), col("sum_value"),
+          val scoped = headSrc.join(affectedKeys,
+            keys.map(k => headSrc(k) <=> col(s"__ak_$k")).reduce(_ && _),
+            "left_semi")
+          val rec = rollup(scoped, m.keyCol, m.sumCol, m.scale, m.mmCol)
+            .select(keys.map(k => col(k).as(s"__rk_$k")) ++ Seq(
+              col("min_value").as("rmin"), col("max_value").as("rmax"),
+              lit(true).as("rhit")): _*)
+          folded.join(rec,
+              keys.map(k => folded(k) <=> col(s"__rk_$k")).reduce(_ && _),
+              "left_outer")
+            .select(keys.map(folded(_)) ++ Seq(
+              col("n_rows"), col("sum_value"),
               when(col("rhit"), col("rmin")).otherwise(col("fmin"))
                 .as("min_value"),
               when(col("rhit"), col("rmax")).otherwise(col("fmax"))
-                .as("max_value"))
+                .as("max_value")): _*)
       }
       writeMv(merged, mvDir)
     } finally {

@@ -39,7 +39,8 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   *    stale MV falls back to the source; refresh first. The MV side
   *    is then read PINNED at the watermark's MV version, so a
   *    concurrent `refresh_mv` cannot tear the answer.
-  *  - **Shape**: single grouping column == the MV key; every
+  *  - **Shape**: the grouping columns are exactly the MV's key list
+  *    (any order, bare attributes only); every
   *    aggregate in the output is `count(1)`/`count(*)` (→ `n_rows`)
   *    or `sum(CAST(col AS DECIMAL(30, scale)))` with the MV's column
   *    and scale (→ `sum_value`) — matched STRUCTURALLY inside
@@ -129,49 +130,65 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   private def substitute(spark: SparkSession, agg: Aggregate,
-      t: Target): Option[LogicalPlan] =
-    agg.groupingExpressions match {
-      case Seq(k: AttributeReference) if k.name == t.meta.keyCol =>
-        // the MV read is PINNED at the watermark's MV version — the
-        // freshness check and the data served are one snapshot pair
-        val mvPlan = spark.read.format("graft.sources.ManifestSource")
-          .option("path", t.mvDir)
-          .option("version", t.meta.mvVersion.toString)
-          .load().queryExecution.optimizedPlan
-        val out = mvPlan.output
-        for {
-          mvKey <- out.find(_.name == t.meta.keyCol)
-          mvN <- out.find(_.name == "n_rows")
-          mvS <- out.find(_.name == "sum_value")
-          if mvKey.dataType == k.dataType && mvN.dataType == LongType
-          mapped <- mapOutputs(agg.aggregateExpressions, k, mvKey, mvN, mvS,
-            // min/max legs exist only on MVs created with minmax_col
-            out.find(_.name == "min_value"), out.find(_.name == "max_value"),
-            t.meta, mvPlan.outputSet)
-        } yield Project(mapped, mvPlan)
-      case _ => None
+      t: Target): Option[LogicalPlan] = {
+    // MULTI-KEY shape gate: the grouping list must be exactly the
+    // MV's key COLUMNS — every grouping expression a bare attribute,
+    // the name sets equal (any order — GROUP BY b, a still routes),
+    // no repeats. Extra/missing keys decline: a coarser rollup over
+    // the MV would need re-aggregation (a further fold the rule does
+    // not attempt), a finer one is unanswerable.
+    val keys = t.meta.keys
+    val groupAttrs = agg.groupingExpressions.collect {
+      case a: AttributeReference => a
     }
+    if (groupAttrs.size != agg.groupingExpressions.size ||
+        groupAttrs.map(_.name).sorted != keys.sorted ||
+        groupAttrs.map(_.name).distinct.size != groupAttrs.size) return None
+    // the MV read is PINNED at the watermark's MV version — the
+    // freshness check and the data served are one snapshot pair
+    val mvPlan = spark.read.format("graft.sources.ManifestSource")
+      .option("path", t.mvDir)
+      .option("version", t.meta.mvVersion.toString)
+      .load().queryExecution.optimizedPlan
+    val out = mvPlan.output
+    val keyPairs = groupAttrs.flatMap { k =>
+      out.find(a => a.name == k.name && a.dataType == k.dataType)
+        .map(k -> _)
+    }
+    if (keyPairs.size != groupAttrs.size) return None
+    for {
+      mvN <- out.find(_.name == "n_rows")
+      mvS <- out.find(_.name == "sum_value")
+      if mvN.dataType == LongType
+      mapped <- mapOutputs(agg.aggregateExpressions, keyPairs, mvN, mvS,
+        // min/max legs exist only on MVs created with minmax_col
+        out.find(_.name == "min_value"), out.find(_.name == "max_value"),
+        t.meta, mvPlan.outputSet)
+    } yield Project(mapped, mvPlan)
+  }
 
   /** Re-express every aggregate-output expression over the MV's
     * attributes, preserving names and exprIds; None if ANY expression
     * contains an aggregate or column the MV cannot answer. */
   private def mapOutputs(aggExprs: Seq[NamedExpression],
-      k: AttributeReference, mvKey: org.apache.spark.sql.catalyst.expressions.Attribute,
+      keyPairs: Seq[(AttributeReference, org.apache.spark.sql.catalyst.expressions.Attribute)],
       mvN: org.apache.spark.sql.catalyst.expressions.Attribute, mvS: org.apache.spark.sql.catalyst.expressions.Attribute,
       mvMin: Option[org.apache.spark.sql.catalyst.expressions.Attribute],
       mvMax: Option[org.apache.spark.sql.catalyst.expressions.Attribute],
       meta: ManifestMv.MvMeta,
       mvOut: AttributeSet): Option[Seq[NamedExpression]] = {
+    val keyById = keyPairs.map { case (k, mv) => k.exprId -> mv }.toMap
     val mapped: Seq[Option[NamedExpression]] = aggExprs.map {
-      case a: AttributeReference if a.exprId == k.exprId =>
-        Some(Alias(mvKey, a.name)(exprId = a.exprId))
+      case a: AttributeReference if keyById.contains(a.exprId) =>
+        Some(Alias(keyById(a.exprId), a.name)(exprId = a.exprId))
       case al: Alias =>
         var ok = true
         val re = al.child.transformUp {
           case ae: AggregateExpression =>
             matchAgg(ae, meta, mvN, mvS, mvMin, mvMax)
               .getOrElse { ok = false; ae }
-          case a: AttributeReference if a.exprId == k.exprId => mvKey
+          case a: AttributeReference if keyById.contains(a.exprId) =>
+            keyById(a.exprId)
         }
         if (ok && re.references.subsetOf(mvOut))
           Some(Alias(re, al.name)(exprId = al.exprId))

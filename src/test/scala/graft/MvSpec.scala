@@ -175,4 +175,72 @@ class MvSpec extends SparkSpec {
     val src2 = spark.sql("SELECT k, s, v FROM gmv.ns.src2")
     assert(content() === direct(src2))
   }
+
+  test("multi-key MV: per-key null-safe folds, group-scoped recompute " +
+    "includes NULL-keyed groups, routing matches keys in any order") {
+    import spark.implicits._
+    // s is NULL for every fifth row — NULL is a real composite-group
+    // member on both the fold and the recompute path
+    def rows2(k0: Long, k1: Long): DataFrame =
+      (k0 until k1).map { i =>
+        (i, if (i % 5 == 4) null else s"g${i % 5}", i % 2, i * 0.25)
+      }.toDF("k", "s", "p", "v")
+    write(rows2(0, 1000), s"$wh/ns/src4", "overwrite")
+    spark.sql("CALL gmv.system.create_mv(" +
+      "mv_table => 'ns.mv4', source_table => 'ns.src4', " +
+      "key_col => 's,p', sum_col => 'v', scale => 2, minmax_col => 'k')")
+    def directMK(df: DataFrame): Set[(String, Long, Long,
+        java.math.BigDecimal, Long, Long)] =
+      df.groupBy(col("s"), col("p"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(30, 2))).as("sv"),
+          min(col("k")).as("mn"), max(col("k")).as("mx"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDecimal(3), r.getLong(4), r.getLong(5))).toSet
+    def mv4(): Set[(String, Long, Long, java.math.BigDecimal, Long, Long)] =
+      spark.sql("SELECT s, p, n_rows, sum_value, min_value, max_value " +
+        "FROM gmv.ns.mv4").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDecimal(3), r.getLong(4), r.getLong(5))).toSet
+    def src4 = spark.sql("SELECT k, s, p, v FROM gmv.ns.src4")
+    assert(mv4() === directMK(src4), "create materializes composite groups")
+
+    // append: pure fold, NULL-keyed composite groups fold too
+    write(rows2(1000, 1400), s"$wh/ns/src4", "append")
+    val r1 = spark.sql("CALL gmv.system.refresh_mv(mv_table => 'ns.mv4')").head
+    assert(r1.getInt(3) === 0, s"append must fold, not restate: $r1")
+    assert(mv4() === directMK(src4))
+
+    // MOR delete of the tail: clips the MAX of every composite group
+    // including (NULL, p) — the null-safe semi-join must pick those
+    // groups up for the scoped recompute
+    spark.conf.set("graft.delete.mode", "mor")
+    try spark.sql("DELETE FROM gmv.ns.src4 WHERE k >= 1390")
+    finally spark.conf.unset("graft.delete.mode")
+    val r2 = spark.sql("CALL gmv.system.refresh_mv(mv_table => 'ns.mv4')").head
+    assert(r2.getInt(3) > 0, s"vector delete restates parts: $r2")
+    assert(mv4() === directMK(src4),
+      "NULL-keyed groups must restate their extremes exactly")
+
+    // routing: GROUP BY in REVERSED key order still routes; a SUBSET
+    // of the keys must decline (coarser rollup needs re-aggregation)
+    spark.conf.set("graft.mv.rewrite", s"$wh/ns/mv4")
+    try {
+      def hasAgg(df: DataFrame) = df.queryExecution.optimizedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate])
+      val routed = spark.sql(
+        "SELECT p, s, count(*) AS n, min(k) AS mn FROM gmv.ns.src4 " +
+          "GROUP BY p, s")
+      assert(!hasAgg(routed), "reversed key order must route")
+      val expect = src4.groupBy(col("p"), col("s"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("mn"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(routed.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet === expect)
+      val subset = spark.sql(
+        "SELECT s, count(*) AS n FROM gmv.ns.src4 GROUP BY s")
+      assert(hasAgg(subset), "key-subset rollup must decline")
+    } finally spark.conf.unset("graft.mv.rewrite")
+  }
 }
