@@ -2602,6 +2602,90 @@ FROM (SELECT event_id, nullif(event_type, 'error') AS etype,
 GROUP BY etype, par
 ORDER BY etype NULLS FIRST, par NULLS FIRST""")),
 
+    // --- MV APPROX-DISTINCT (create_mv distinct_col —
+    // sources/ManifestMv): the MV maintains a per-group DataSketches
+    // HLL sketch (pinned lgConfigK). HLL register state is a pure
+    // per-register MAX over hashed inputs, so union-of-delta-sketches
+    // == sketch-of-union EXACTLY — the maintained estimate equals a
+    // from-scratch recompute, not approximately but identically
+    // (est_matches_direct gates it). Like MIN/MAX, a sketch folds
+    // under appends only (you cannot remove a value from an HLL):
+    // minus-side groups recompute group-scoped from the live head.
+    // Routing substitutes the stored sketch under the user's own
+    // spelling hll_sketch_estimate(hll_sketch_agg(c)) — count(
+    // DISTINCT c) stays exact and untouched (declines, different
+    // answer). At 100 TB this is THE dashboard distinct-count: O(1)
+    // bytes per group serving state, refresh cost O(changed parts).
+    QueryDef("q_mv_distinct",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "mvnd")
+        spark.conf.set("spark.sql.catalog.graftmvnd",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftmvnd.warehouse", wh)
+        val base = Tables.events(spark, dir).select(
+          col("event_id"),
+          nullif(col("event_type"), lit("error")).as("etype"),
+          col("user_id"), col("value"))
+        def write(df: DataFrame, mode: String): Unit =
+          df.repartitionByRange(2, col("event_id"))
+            .write.format("graft.sources.ManifestSink")
+            .option("path", s"$wh/wh/src").option("history", "true")
+            .mode(mode).save()
+        write(base.filter(col("event_id") % 3 =!= 1), "overwrite")
+        spark.sql("CALL graftmvnd.system.create_mv(" +
+          "mv_table => 'wh.mv', source_table => 'wh.src', " +
+          "key_col => 'etype', sum_col => 'value', scale => 6, " +
+          "distinct_col => 'user_id')")
+        write(base.filter(col("event_id") % 3 === 1), "append")
+        val r1 = spark.sql(
+          "CALL graftmvnd.system.refresh_mv(mv_table => 'wh.mv')").head
+        spark.conf.set("graft.delete.mode", "mor")
+        try spark.sql("DELETE FROM graftmvnd.wh.src WHERE event_id % 10 = 0")
+        finally spark.conf.unset("graft.delete.mode")
+        val r2 = spark.sql(
+          "CALL graftmvnd.system.refresh_mv(mv_table => 'wh.mv')").head
+        // the adjudicators, MATERIALIZED before routing arms so the
+        // rewrite rule (an optimizer rule — it would see the conf at
+        // execution time, not definition time) can never touch them:
+        // the direct from-scratch sketch estimate and the exact count
+        val truth = spark.sql("""SELECT etype,
+            hll_sketch_estimate(hll_sketch_agg(user_id)) AS direct_est,
+            count(DISTINCT user_id) AS ndv_exact
+          FROM graftmvnd.wh.src GROUP BY etype""").localCheckpoint()
+        spark.conf.set("graft.mv.rewrite", s"$wh/wh/mv")
+        try {
+          val q = spark.sql("""SELECT etype, count(*) AS n_rows,
+            CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS STRING)
+              AS DOUBLE) AS sum_value,
+            hll_sketch_estimate(hll_sketch_agg(user_id)) AS ndv_est
+            FROM graftmvnd.wh.src GROUP BY etype""")
+          val usedMv = !q.queryExecution.optimizedPlan.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate])
+          q.join(truth, q("etype") <=> truth("etype"))
+            .select(q("etype"), col("n_rows"), col("sum_value"),
+              col("ndv_exact"),
+              (col("ndv_est") === col("direct_est"))
+                .as("est_matches_direct"),
+              (abs(col("ndv_est") - col("ndv_exact")) <=
+                greatest(ceil(col("ndv_exact") * 0.05), lit(2L)))
+                .as("rel_err_ok"))
+            .withColumn("used_mv", lit(usedMv))
+            .withColumn("fold_minus_parts", lit(r1.getInt(3)))
+            .withColumn("recompute_minus_parts", lit(r2.getInt(3)))
+            .orderBy(col("etype"))
+            .localCheckpoint()
+        } finally spark.conf.unset("graft.mv.rewrite")
+      },
+      Some(s"""SELECT etype, CAST(count(*) AS BIGINT) AS n_rows,
+  ${Exact.decSumSql("value", 6)} AS sum_value,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS ndv_exact,
+  true AS est_matches_direct, true AS rel_err_ok, true AS used_mv,
+  CAST(0 AS INT) AS fold_minus_parts,
+  CAST(4 AS INT) AS recompute_minus_parts
+FROM (SELECT nullif(event_type, 'error') AS etype, user_id, value
+      FROM events WHERE event_id % 10 <> 0)
+GROUP BY etype ORDER BY etype NULLS FIRST""")),
+
     // --- SPLIT PRUNING PARITY (identity layout gets the scan-side
     // treatment buckets have): on a table split one-part-per-value,
     // (a) a STATIC IN-list on the split column plans exactly its

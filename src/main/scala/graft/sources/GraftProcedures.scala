@@ -406,7 +406,12 @@ private[sources] final class CreateMvProcedure(warehouse: String)
     ProcedureParameter.in("minmax_col", StringType).defaultValue("''")
       .comment("optional BIGINT column whose exact per-group MIN/MAX " +
         "the MV also maintains (appends fold; deletes recompute only " +
-        "the affected groups); '' = counts and sums only").build())
+        "the affected groups); '' = counts and sums only").build(),
+    ProcedureParameter.in("distinct_col", StringType).defaultValue("''")
+      .comment("optional BIGINT/STRING column whose per-group " +
+        "approx-distinct HLL sketch the MV also maintains (appends " +
+        "union-fold; deletes recompute only the affected groups); " +
+        "'' = none").build())
 
   override def outputSchema: StructType = StructType(Seq(
     StructField("source_version", IntegerType, nullable = false),
@@ -422,9 +427,12 @@ private[sources] final class CreateMvProcedure(warehouse: String)
     val mmCol =
       if (input.isNullAt(5)) None
       else Some(input.getUTF8String(5).toString).filter(_.nonEmpty)
+    val ndvCol =
+      if (input.numFields < 7 || input.isNullAt(6)) None
+      else Some(input.getUTF8String(6).toString).filter(_.nonEmpty)
     val (v, groups) = ManifestMv.create(SparkSession.active, mvDir, srcDir,
       input.getUTF8String(2).toString, input.getUTF8String(3).toString,
-      input.getInt(4), mmCol)
+      input.getInt(4), mmCol, ndvCol)
     result(v, groups)
   }
 }

@@ -53,9 +53,16 @@ private[sources] object ManifestMv {
 
   val MetaFile = "_MV.json"
 
+  /** The pinned lgConfigK of every MV-maintained HLL sketch: routing
+    * substitutes a query's `hll_sketch_agg(c)` with the stored sketch
+    * ONLY when the query's lgConfigK equals the maintained one — a
+    * different-precision sketch is a different answer. 12 is Spark's
+    * own function default, so the spelling users type routes. */
+  val NdvLgK = 12
+
   final case class MvMeta(source: String, keyCol: String, sumCol: String,
       scale: Int, sourceVersion: Int, mvVersion: Int,
-      mmCol: Option[String] = None) {
+      mmCol: Option[String] = None, ndvCol: Option[String] = None) {
     /** MULTI-KEY grouping: `keyCol` is a comma-separated column list
       * (the whole list URL-encodes into the meta line as one token,
       * so the comma is a safe separator; a column name containing a
@@ -75,7 +82,8 @@ private[sources] object ManifestMv {
     val line = (Seq("source=" + enc(m.source), "key=" + enc(m.keyCol),
       "sum=" + enc(m.sumCol), "scale=" + m.scale,
       "srcv=" + m.sourceVersion, "mvv=" + m.mvVersion) ++
-      m.mmCol.map(c => "mm=" + enc(c))).mkString("&")
+      m.mmCol.map(c => "mm=" + enc(c)) ++
+      m.ndvCol.map(c => "ndv=" + enc(c))).mkString("&")
     val target = new Path(mvDir, MetaFile)
     val tmp = new Path(mvDir, MetaFile + ".tmp-" +
       java.util.UUID.randomUUID().toString.take(8))
@@ -99,7 +107,7 @@ private[sources] object ManifestMv {
     }.toMap
     MvMeta(dec(kv("source")), dec(kv("key")), dec(kv("sum")),
       kv("scale").toInt, kv("srcv").toInt, kv("mvv").toInt,
-      kv.get("mm").map(dec))
+      kv.get("mm").map(dec), kv.get("ndv").map(dec))
   }
 
   /** The defining rollup: per-key exact (count, decimal sum). The sum
@@ -109,14 +117,23 @@ private[sources] object ManifestMv {
     * re-pins it), and [[MvRewrite]]'s exact-type substitution guard
     * holds across the MV's whole lifecycle. */
   private def rollup(df: DataFrame, keyCol: String, sumCol: String,
-      scale: Int, mmCol: Option[String] = None): DataFrame = {
+      scale: Int, mmCol: Option[String] = None,
+      ndvCol: Option[String] = None): DataFrame = {
     val aggs = Seq(count(lit(1)).as("n_rows"),
       sum(col(sumCol).cast(DecimalType(30, scale)))
         .cast(DecimalType(38, scale)).as("sum_value")) ++
       // optional MIN/MAX legs: exact in the group's own type — no
       // cast, so MV == recompute is bit-identity, not approximation
       mmCol.toSeq.flatMap(c =>
-        Seq(min(col(c)).as("min_value"), max(col(c)).as("max_value")))
+        Seq(min(col(c)).as("min_value"), max(col(c)).as("max_value"))) ++
+      // optional APPROX-DISTINCT leg: a DataSketches HLL sketch per
+      // group at the pinned lgConfigK. The HLL register state is a
+      // pure per-register MAX over hashed inputs, so union of
+      // per-delta sketches == the sketch of the union — estimates
+      // from the maintained sketch equal a from-scratch recompute
+      // exactly (MvSpec pins it per mutation kind); like MIN/MAX the
+      // sketch folds under appends only, minus-side groups recompute
+      ndvCol.toSeq.map(c => hll_sketch_agg(col(c), NdvLgK).as("ndv_sketch"))
     val keys = keyCol.split(',').map(_.trim).filter(_.nonEmpty)
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -129,7 +146,8 @@ private[sources] object ManifestMv {
 
   def create(spark: SparkSession, mvDir: String, sourceDir: String,
       keyCol: String, sumCol: String, scale: Int,
-      mmCol: Option[String] = None): (Int, Long) = {
+      mmCol: Option[String] = None,
+      ndvCol: Option[String] = None): (Int, Long) = {
     val conf = ManifestSink.driverConf()
     val srcVersion = ManifestSink.listVersions(conf, sourceDir).lastOption
       .getOrElse(throw new IllegalArgumentException(
@@ -153,10 +171,17 @@ private[sources] object ManifestMv {
         s"create_mv: minmax_col '$c' must be a BIGINT column of " +
           src.schema.fieldNames.mkString("(", ",", ")"))
     }
-    writeMv(rollup(src, keyCol, sumCol, scale, mmCol), mvDir)
+    ndvCol.foreach { c =>
+      import org.apache.spark.sql.types.{LongType, StringType}
+      require(src.schema.fields.exists(f => f.name == c &&
+        (f.dataType == LongType || f.dataType == StringType)),
+        s"create_mv: distinct_col '$c' must be a BIGINT or STRING " +
+          "column of " + src.schema.fieldNames.mkString("(", ",", ")"))
+    }
+    writeMv(rollup(src, keyCol, sumCol, scale, mmCol, ndvCol), mvDir)
     val mvVersion = ManifestSink.listVersions(conf, mvDir).last
     writeMeta(conf, mvDir, MvMeta(sourceDir, keyCol, sumCol, scale,
-      srcVersion, mvVersion, mmCol))
+      srcVersion, mvVersion, mmCol, ndvCol))
     val groups = ManifestSink.readManifest(conf, mvDir).map(_._2).sum
     (srcVersion, groups)
   }
@@ -195,16 +220,20 @@ private[sources] object ManifestMv {
           history = false, colmap = ManifestSink.alignedColMap(conf,
             m.source, schema, Some(head)))
         rollup(spark.read.format("graft.sources.ManifestSource")
-          .option("path", tmp).load(), m.keyCol, m.sumCol, m.scale, m.mmCol)
+          .option("path", tmp).load(), m.keyCol, m.sumCol, m.scale,
+          m.mmCol, m.ndvCol)
       }
       val keys = m.keys
-      val pr = side(tmpPlus, plus)
+      val pr0 = side(tmpPlus, plus)
+      val pr = m.ndvCol.fold(pr0)(_ =>
+        pr0.withColumnRenamed("ndv_sketch", "psk"))
       val p = m.mmCol.fold(pr)(_ => pr
           .withColumnRenamed("min_value", "pmin")
           .withColumnRenamed("max_value", "pmax"))
         .withColumnRenamed("n_rows", "pn")
         .withColumnRenamed("sum_value", "ps")
-      val nr = side(tmpMinus, minus)
+      val nr0 = side(tmpMinus, minus)
+      val nr = m.ndvCol.fold(nr0)(_ => nr0.drop("ndv_sketch"))
       val n = m.mmCol.fold(nr)(_ => nr.drop("min_value", "max_value"))
         .withColumnRenamed("n_rows", "mn")
         .withColumnRenamed("sum_value", "ms")
@@ -222,11 +251,16 @@ private[sources] object ManifestMv {
           // restated): its min/max can't be folded downward — flag it
           // for the group-scoped recompute below
           col("mn").isNotNull.as("affected")) ++
-          m.mmCol.toSeq.flatMap(_ => Seq(col("pmin"), col("pmax"))): _*)
+          m.mmCol.toSeq.flatMap(_ => Seq(col("pmin"), col("pmax"))) ++
+          m.ndvCol.toSeq.map(_ => col("psk")): _*)
       // fold against the MV state PINNED at the watermark's version —
       // idempotent under replay of a crashed refresh (see scaladoc)
       val mv = spark.read.format("graft.sources.ManifestSource")
         .option("path", mvDir).option("version", m.mvVersion.toString).load()
+      // the fold can answer counts/sums under ANY delta, but an
+      // extreme or a sketch only folds under appends: any group seen
+      // on the minus side needs the group-scoped rescan below
+      val needRecompute = m.mmCol.isDefined || m.ndvCol.isDefined
       val foldCols = keys.map(k => coalesce(mv(k), delta(k)).as(k)) ++ Seq(
         (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dn"), lit(0L)))
           .as("n_rows"),
@@ -238,40 +272,56 @@ private[sources] object ManifestMv {
           // exact — least/greatest skip NULLs (new group → plus
           // extreme; untouched group → old extreme)
           least(col("min_value"), col("pmin")).as("fmin"),
-          greatest(col("max_value"), col("pmax")).as("fmax"),
-          coalesce(col("affected"), lit(false)).as("affected")))
+          greatest(col("max_value"), col("pmax")).as("fmax"))) ++
+        m.ndvCol.toSeq.map(_ =>
+          // sketch fold: register-wise union — hll_union is NULL-
+          // poisoning, so the one-sided cases route around it (new
+          // group → plus sketch; untouched group → stored sketch)
+          when(col("psk").isNull, col("ndv_sketch"))
+            .when(col("ndv_sketch").isNull, col("psk"))
+            .otherwise(hll_union(col("ndv_sketch"), col("psk")))
+            .as("fsk")) ++
+        (if (needRecompute)
+          Seq(coalesce(col("affected"), lit(false)).as("affected"))
+        else Nil)
       val folded = mv.join(delta, keyEq(mv, delta), "full_outer")
         .select(foldCols: _*)
         .filter(col("n_rows") > 0)
-      val merged = m.mmCol match {
-        case None => folded
-        case Some(mm) =>
-          // GROUP-SCOPED RESCAN for the affected keys only: a delete
-          // may have removed the row that held the extreme, so those
-          // groups recompute from the LIVE head — semi-joined (null-
-          // safely, so NULL-keyed groups restate too) to the affected
-          // key set: the scan is O(affected groups' parts)
-          // (stats/runtime pruning apply), never O(table)
-          val affectedKeys = folded.filter(col("affected"))
-            .select(keys.map(k => col(k).as(s"__ak_$k")): _*)
-          val headSrc = spark.read.format("graft.sources.ManifestSource")
-            .option("path", m.source).option("version", head.toString).load()
-          val scoped = headSrc.join(affectedKeys,
-            keys.map(k => headSrc(k) <=> col(s"__ak_$k")).reduce(_ && _),
-            "left_semi")
-          val rec = rollup(scoped, m.keyCol, m.sumCol, m.scale, m.mmCol)
-            .select(keys.map(k => col(k).as(s"__rk_$k")) ++ Seq(
-              col("min_value").as("rmin"), col("max_value").as("rmax"),
-              lit(true).as("rhit")): _*)
-          folded.join(rec,
-              keys.map(k => folded(k) <=> col(s"__rk_$k")).reduce(_ && _),
-              "left_outer")
-            .select(keys.map(folded(_)) ++ Seq(
-              col("n_rows"), col("sum_value"),
+      val merged = if (!needRecompute) folded else {
+        // GROUP-SCOPED RESCAN for the affected keys only: a delete
+        // may have removed the row that held the extreme (or a
+        // distinct value), so those groups recompute from the LIVE
+        // head — semi-joined (null-safely, so NULL-keyed groups
+        // restate too) to the affected key set: the scan is
+        // O(affected groups' parts) (stats/runtime pruning apply),
+        // never O(table)
+        val affectedKeys = folded.filter(col("affected"))
+          .select(keys.map(k => col(k).as(s"__ak_$k")): _*)
+        val headSrc = spark.read.format("graft.sources.ManifestSource")
+          .option("path", m.source).option("version", head.toString).load()
+        val scoped = headSrc.join(affectedKeys,
+          keys.map(k => headSrc(k) <=> col(s"__ak_$k")).reduce(_ && _),
+          "left_semi")
+        val rec = rollup(scoped, m.keyCol, m.sumCol, m.scale, m.mmCol,
+            m.ndvCol)
+          .select(keys.map(k => col(k).as(s"__rk_$k")) ++
+            m.mmCol.toSeq.flatMap(_ => Seq(
+              col("min_value").as("rmin"), col("max_value").as("rmax"))) ++
+            m.ndvCol.toSeq.map(_ => col("ndv_sketch").as("rsk")) ++
+            Seq(lit(true).as("rhit")): _*)
+        folded.join(rec,
+            keys.map(k => folded(k) <=> col(s"__rk_$k")).reduce(_ && _),
+            "left_outer")
+          .select(keys.map(folded(_)) ++ Seq(
+            col("n_rows"), col("sum_value")) ++
+            m.mmCol.toSeq.flatMap(_ => Seq(
               when(col("rhit"), col("rmin")).otherwise(col("fmin"))
                 .as("min_value"),
               when(col("rhit"), col("rmax")).otherwise(col("fmax"))
-                .as("max_value")): _*)
+                .as("max_value"))) ++
+            m.ndvCol.toSeq.map(_ =>
+              when(col("rhit"), col("rsk")).otherwise(col("fsk"))
+                .as("ndv_sketch")): _*)
       }
       writeMv(merged, mvDir)
     } finally {

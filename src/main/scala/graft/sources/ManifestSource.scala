@@ -1570,6 +1570,12 @@ private[sources] object ManifestCodec {
           val s = row.getUTF8String(i).toString
           if (urlSafe(s)) sb.append(s)
           else sb.append(java.net.URLEncoder.encode(s, "UTF-8"))
+        case BinaryType =>
+          // Base64 (comma-free alphabet, so the line split is safe);
+          // decode below is type-directed, so '+'/'=' never collide
+          // with the string fast-path check
+          sb.append(java.util.Base64.getEncoder.encodeToString(
+            row.getBinary(i)))
         case dt => sb.append(row.get(i, dt).toString)
       }
       i += 1
@@ -1595,6 +1601,7 @@ private[sources] object ManifestCodec {
         else UTF8String.fromString(java.net.URLDecoder.decode(s, "UTF-8"))
       case d: DecimalType =>
         Decimal(new java.math.BigDecimal(s), d.precision, d.scale)
+      case BinaryType    => java.util.Base64.getDecoder.decode(s)
       case other =>
         throw new UnsupportedOperationException(
           s"manifest codec supports atomic types only, got $other")

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSet, Cast, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HllSketchAgg, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
@@ -161,8 +161,10 @@ object MvRewrite extends Rule[LogicalPlan] {
       mvS <- out.find(_.name == "sum_value")
       if mvN.dataType == LongType
       mapped <- mapOutputs(agg.aggregateExpressions, keyPairs, mvN, mvS,
-        // min/max legs exist only on MVs created with minmax_col
+        // min/max legs exist only on MVs created with minmax_col,
+        // the sketch leg only with distinct_col
         out.find(_.name == "min_value"), out.find(_.name == "max_value"),
+        out.find(_.name == "ndv_sketch"),
         t.meta, mvPlan.outputSet)
     } yield Project(mapped, mvPlan)
   }
@@ -175,6 +177,7 @@ object MvRewrite extends Rule[LogicalPlan] {
       mvN: org.apache.spark.sql.catalyst.expressions.Attribute, mvS: org.apache.spark.sql.catalyst.expressions.Attribute,
       mvMin: Option[org.apache.spark.sql.catalyst.expressions.Attribute],
       mvMax: Option[org.apache.spark.sql.catalyst.expressions.Attribute],
+      mvSk: Option[org.apache.spark.sql.catalyst.expressions.Attribute],
       meta: ManifestMv.MvMeta,
       mvOut: AttributeSet): Option[Seq[NamedExpression]] = {
     val keyById = keyPairs.map { case (k, mv) => k.exprId -> mv }.toMap
@@ -185,7 +188,7 @@ object MvRewrite extends Rule[LogicalPlan] {
         var ok = true
         val re = al.child.transformUp {
           case ae: AggregateExpression =>
-            matchAgg(ae, meta, mvN, mvS, mvMin, mvMax)
+            matchAgg(ae, meta, mvN, mvS, mvMin, mvMax, mvSk)
               .getOrElse { ok = false; ae }
           case a: AttributeReference if keyById.contains(a.exprId) =>
             keyById(a.exprId)
@@ -201,7 +204,8 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def matchAgg(ae: AggregateExpression, meta: ManifestMv.MvMeta,
       mvN: org.apache.spark.sql.catalyst.expressions.Attribute, mvS: org.apache.spark.sql.catalyst.expressions.Attribute,
       mvMin: Option[org.apache.spark.sql.catalyst.expressions.Attribute],
-      mvMax: Option[org.apache.spark.sql.catalyst.expressions.Attribute]): Option[Expression] =
+      mvMax: Option[org.apache.spark.sql.catalyst.expressions.Attribute],
+      mvSk: Option[org.apache.spark.sql.catalyst.expressions.Attribute]): Option[Expression] =
     if (ae.isDistinct || ae.filter.isDefined) None
     else ae.aggregateFunction match {
       case Count(Seq(Literal(1, _))) if ae.dataType == LongType => Some(mvN)
@@ -221,6 +225,19 @@ object MvRewrite extends Rule[LogicalPlan] {
       case Max(a: AttributeReference)
           if meta.mmCol.contains(a.name) &&
             mvMax.exists(_.dataType == ae.dataType) => mvMax
+      // `hll_sketch_agg(c)` over the MV's tracked distinct column at
+      // the MAINTAINED lgConfigK routes to the stored sketch binary —
+      // the usual spelling `hll_sketch_estimate(hll_sketch_agg(c))`
+      // keeps its scalar estimate wrapper, now over the stored
+      // sketch. A different lgConfigK is a different-precision
+      // answer and declines; approx_count_distinct (HLL++, a
+      // different sketch family) never matches.
+      case h: HllSketchAgg => h.left match {
+        case a: AttributeReference
+            if meta.ndvCol.contains(a.name) && h.right.foldable &&
+              h.lgConfigK == ManifestMv.NdvLgK => mvSk
+        case _ => None
+      }
       case _ => None
     }
 }

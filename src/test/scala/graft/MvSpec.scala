@@ -243,4 +243,81 @@ class MvSpec extends SparkSpec {
       assert(hasAgg(subset), "key-subset rollup must decline")
     } finally spark.conf.unset("graft.mv.rewrite")
   }
+
+  test("distinct_col sketch: maintained estimate equals direct recompute " +
+    "after append-fold and delete-recompute; lgConfigK/COUNT DISTINCT " +
+    "decline routing") {
+    import spark.implicits._
+    // d deliberately repeats within and ACROSS groups and deltas, and
+    // s is NULL every fifth row so the NULL group rides the sketch
+    // paths too
+    def rows5(k0: Long, k1: Long): DataFrame =
+      (k0 until k1).map { i =>
+        (i, if (i % 5 == 4) null else s"g${i % 5}", i % 97, i * 0.25)
+      }.toDF("k", "s", "d", "v")
+    write(rows5(0, 1200), s"$wh/ns/src5", "overwrite")
+    spark.sql("CALL gmv.system.create_mv(" +
+      "mv_table => 'ns.mv5', source_table => 'ns.src5', " +
+      "key_col => 's', sum_col => 'v', scale => 2, " +
+      "distinct_col => 'd')")
+    def directEst(): Map[String, Long] =
+      spark.sql("SELECT s, hll_sketch_estimate(hll_sketch_agg(d)) e " +
+        "FROM gmv.ns.src5 GROUP BY s").collect()
+        .map(r => Option(r.getString(0)).getOrElse(" ") -> r.getLong(1))
+        .toMap
+    def mvEst(): Map[String, Long] =
+      spark.sql("SELECT s, hll_sketch_estimate(ndv_sketch) e " +
+        "FROM gmv.ns.mv5").collect()
+        .map(r => Option(r.getString(0)).getOrElse(" ") -> r.getLong(1))
+        .toMap
+    assert(mvEst() === directEst(), "create materializes the sketches")
+
+    // append: sketch fold is a register-wise union — estimate must
+    // equal the from-scratch sketch exactly, not approximately
+    write(rows5(1200, 1500), s"$wh/ns/src5", "append")
+    val r1 = spark.sql("CALL gmv.system.refresh_mv(mv_table => 'ns.mv5')").head
+    assert(r1.getInt(3) === 0, s"append must fold: $r1")
+    assert(mvEst() === directEst(), "union-fold == direct recompute")
+
+    // MOR delete: you cannot remove a value from an HLL — affected
+    // groups (every group here, incl. NULL-keyed) recompute scoped
+    spark.conf.set("graft.delete.mode", "mor")
+    try spark.sql("DELETE FROM gmv.ns.src5 WHERE d >= 90")
+    finally spark.conf.unset("graft.delete.mode")
+    val r2 = spark.sql("CALL gmv.system.refresh_mv(mv_table => 'ns.mv5')").head
+    assert(r2.getInt(3) > 0, s"vector delete restates parts: $r2")
+    assert(mvEst() === directEst(),
+      "post-delete sketches restate (group-scoped recompute)")
+
+    // routing: the user's spelling routes; a different lgConfigK is a
+    // different-precision answer and declines; COUNT(DISTINCT) is an
+    // exact answer the sketch cannot serve and declines
+    spark.conf.set("graft.mv.rewrite", s"$wh/ns/mv5")
+    try {
+      def hasAgg(df: DataFrame) = df.queryExecution.optimizedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate])
+      val routed = spark.sql("SELECT s, count(*) n, " +
+        "hll_sketch_estimate(hll_sketch_agg(d)) e " +
+        "FROM gmv.ns.src5 GROUP BY s")
+      assert(!hasAgg(routed), "default-lgK sketch estimate must route")
+      // the truth side computes with routing DISARMED (conf unset
+      // around the collect), so served-vs-direct is a real compare
+      spark.conf.unset("graft.mv.rewrite")
+      val expect = try spark.sql(
+        "SELECT s, count(*) n, hll_sketch_estimate(hll_sketch_agg(d)) e " +
+          "FROM gmv.ns.src5 GROUP BY s").collect()
+        .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+      finally spark.conf.set("graft.mv.rewrite", s"$wh/ns/mv5")
+      assert(routed.collect().map(r =>
+        (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+        === expect)
+      val otherK = spark.sql("SELECT s, " +
+        "hll_sketch_estimate(hll_sketch_agg(d, 14)) e " +
+        "FROM gmv.ns.src5 GROUP BY s")
+      assert(hasAgg(otherK), "non-maintained lgConfigK must decline")
+      val exact = spark.sql(
+        "SELECT s, count(DISTINCT d) e FROM gmv.ns.src5 GROUP BY s")
+      assert(hasAgg(exact), "COUNT(DISTINCT) must decline (exact answer)")
+    } finally spark.conf.unset("graft.mv.rewrite")
+  }
 }
