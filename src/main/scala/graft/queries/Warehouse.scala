@@ -2755,6 +2755,49 @@ GROUP BY etype ORDER BY etype NULLS FIRST""")),
   CAST(2 AS BIGINT) AS dpp_parts
 FROM events WHERE event_type IN ('click', 'view')""")),
 
+    // --- `.partitions` METADATA TABLE (the Iceberg `.partitions`
+    // analog): per-partition rollup of the head snapshot — part
+    // count, physical vs VISIBLE rows (merge-on-read debt per
+    // partition), key range — served from ONE driver-side manifest
+    // read, no data file opened. The capacity-planning/skew-audit
+    // view at 100 TB costs O(parts) metadata. The fixture creates an
+    // identity-split table via DDL, routes an INSERT through the
+    // split writer (one part per value — pinned by parts=1), debts
+    // some partitions with a MOR vector delete, and gates the whole
+    // rollup against a from-scratch restatement of the base data —
+    // including that physical stats stay OVER-approximations (key
+    // range spans deleted rows) while visible_rows is exact.
+    QueryDef("q_meta_partitions",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "metap")
+        spark.conf.set("spark.sql.catalog.graftmp",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftmp.warehouse", wh)
+        spark.sql("CREATE TABLE graftmp.wh.ev (event_id BIGINT, " +
+          "event_type STRING, user_id BIGINT) " +
+          "PARTITIONED BY (event_type)")
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("user_id"))
+          .createOrReplaceTempView("graft_metap_src")
+        spark.sql("INSERT INTO graftmp.wh.ev " +
+          "SELECT event_id, event_type, user_id FROM graft_metap_src")
+        spark.conf.set("graft.delete.mode", "mor")
+        try spark.sql("DELETE FROM graftmp.wh.ev WHERE event_id % 10 = 0")
+        finally spark.conf.unset("graft.delete.mode")
+        spark.sql("""SELECT partition AS part_id, spec, parts, n_rows,
+            visible_rows, key_min, key_max, dv_parts
+          FROM graftmp.wh.ev.partitions ORDER BY part_id""")
+      },
+      Some("""SELECT 'event_type=' || event_type AS part_id,
+  'identity(event_type)' AS spec, CAST(1 AS INT) AS parts,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(CASE WHEN event_id % 10 <> 0 THEN 1 END) AS BIGINT)
+    AS visible_rows,
+  min(event_id) AS key_min, max(event_id) AS key_max,
+  CAST(CASE WHEN count(CASE WHEN event_id % 10 = 0 THEN 1 END) > 0
+       THEN 1 ELSE 0 END AS INT) AS dv_parts
+FROM events GROUP BY event_type ORDER BY part_id""")),
+
     // --- OPTIMIZE ZORDER as a procedure (`CALL compact(..., zorder
     // => 'a,b')` — Delta OPTIMIZE ZORDER BY): before, 8 hash-random
     // parts each span both full column ranges, so a 2-D box

@@ -103,6 +103,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
             ident.name() match {
               case "history"  => return new ManifestHistoryTable(parent)
               case "files"    => return new ManifestFilesTable(parent)
+              case "partitions" => return new ManifestPartitionsTable(parent)
               case "branches" => return new ManifestBranchesTable(parent)
               case "tags"     => return new ManifestTagsTable(parent)
               case "columns"  => return new ManifestColumnsTable(parent)
@@ -1022,14 +1023,17 @@ private[sources] class ManifestFilesTable(path: String)
         // split column of the identity layout, if this table has one:
         // a part's split_value is its PROVABLY single value (stats
         // min == max, zero nulls) — anything weaker reads as NULL
-        val splitCol = ManifestSink.readTableSpec(
-          ManifestSink.driverConf(), path).collect { case (0, c) => c }
-        val rows = ManifestSink.readManifestMeta(
-          ManifestSink.driverConf(), path, None)
+        val conf = ManifestSink.driverConf()
+        val splitCol = ManifestSink.readTableSpec(conf, path)
+          .collect { case (0, c) => c }
+        val firstStr = ManifestSink.readSchema(conf, path, None)
+          .flatMap(_.fields.find(_.dataType ==
+            org.apache.spark.sql.types.StringType).map(_.name))
+        val rows = ManifestSink.readManifestMeta(conf, path, None)
           .zipWithIndex.map { case (m, i) =>
-            val sv = splitCol.flatMap(c => m.cstats.get(c))
-              .filter(st => st.min == st.max && st.nulls == 0L)
-              .map(st => UTF8String.fromString(st.min)).orNull
+            val sv = splitCol
+              .flatMap(c => MetaTables.singleValue(m, c, firstStr))
+              .map(UTF8String.fromString).orNull
             // the generalized per-column record, rendered name-sorted
             // ("c:[min..max] …") so the view is deterministic
             new GenericInternalRow(Array[Any](i,
@@ -1043,6 +1047,91 @@ private[sources] class ManifestFilesTable(path: String)
               sv)): org.apache.spark.sql.catalyst.InternalRow
           }.toArray
         new LocalRowsScan(filesSchema, rows)
+      }
+    }
+}
+
+/** Shared metadata-table helpers. */
+private[sources] object MetaTables {
+  /** The part's PROVABLY single value on column `c` (min == max, zero
+    * nulls), or None. The first string column's stats live in the
+    * part's primary sMin/sMax legs (the writer tracks additional
+    * strings in `cstats`), so both stores are consulted. */
+  def singleValue(m: PartMeta, c: String,
+      firstStr: Option[String]): Option[String] =
+    m.cstats.get(c).filter(st => st.min == st.max && st.nulls == 0L)
+      .map(_.min)
+      .orElse {
+        if (!firstStr.contains(c)) None
+        else (m.sMin, m.sMax) match {
+          case (Some(a), Some(b)) if a == b && m.sNulls == 0L => Some(a)
+          case _ => None
+        }
+      }
+}
+
+/** Per-PARTITION rollup of the head snapshot as a TABLE (`SELECT ...
+  * FROM cat.ns.t.partitions` — the Iceberg `.partitions` analog): one
+  * row per layout value — a bucket id, an identity-split value, or
+  * the NULL/"none" row for unpartitioned-generation parts — with its
+  * part count, physical and VISIBLE row counts, bytes, key range and
+  * merge-on-read debt. Pure manifest metadata (one driver-side
+  * manifest read, no data file opened): the capacity-planning view —
+  * "which partition is skewed, which carries deletion debt, which
+  * does a query on value v touch" — costs O(parts) metadata at any
+  * table size. Under layout EVOLUTION the `spec` column separates
+  * generations (mixed bucket(4)/bucket(8)/none rows coexist until
+  * compaction migrates), so the migration's progress is itself
+  * queryable. */
+private[sources] class ManifestPartitionsTable(path: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder => SB}
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val partitionsSchema = StructType.fromDDL(
+    "partition STRING, spec STRING, parts INT, n_rows BIGINT, " +
+      "visible_rows BIGINT, bytes BIGINT, key_min BIGINT, " +
+      "key_max BIGINT, dv_parts INT")
+
+  override def name(): String = s"manifest($path).partitions"
+  override def schema(): StructType = partitionsSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): SB =
+    new SB {
+      override def build(): Scan = {
+        val conf = ManifestSink.driverConf()
+        val splitCol = ManifestSink.readTableSpec(conf, path)
+          .collect { case (0, c) => c }
+        val firstStr = ManifestSink.readSchema(conf, path, None)
+          .flatMap(_.fields.find(_.dataType ==
+            org.apache.spark.sql.types.StringType).map(_.name))
+        val metas = ManifestSink.readManifestMeta(conf, path, None)
+        // a part's partition identity: its recorded bucket, or its
+        // PROVABLY single split value (stats min == max, zero nulls
+        // — the same soundness rule `.files.split_value` uses), or
+        // the unpartitioned-generation row
+        def ident(m: PartMeta): (String, String) =
+          if (m.nbuckets > 0)
+            (s"bucket=${m.bucket}", s"bucket(${m.nbuckets})")
+          else splitCol.flatMap(c =>
+              MetaTables.singleValue(m, c, firstStr)
+                .map(v => (s"$c=$v", s"identity($c)")))
+            .getOrElse((null, "none"))
+        val rows = metas.groupBy(ident).toSeq
+          .sortBy { case ((p, s), _) => (s, Option(p).getOrElse("")) }
+          .map { case ((part, spec), ms) =>
+            new GenericInternalRow(Array[Any](
+              Option(part).map(UTF8String.fromString).orNull,
+              UTF8String.fromString(spec), ms.size,
+              ms.map(_.rows).sum, ms.map(_.visibleRows).sum,
+              ms.map(_.bytes).sum, ms.map(_.kMin).min,
+              ms.map(_.kMax).max,
+              ms.count(_.hasDv))): org.apache.spark.sql.catalyst.InternalRow
+          }.toArray
+        new LocalRowsScan(partitionsSchema, rows)
       }
     }
 }
