@@ -2755,6 +2755,90 @@ GROUP BY etype ORDER BY etype NULLS FIRST""")),
   CAST(2 AS BIGINT) AS dpp_parts
 FROM events WHERE event_type IN ('click', 'view')""")),
 
+    // --- EQUALITY DELETES (graft.delete.mode=eq — sources/ManifestEq,
+    // the Iceberg v2 equality-delete shape): DELETE WHERE col = v /
+    // IN (...) commits as PURE METADATA — parts that may contain a
+    // match (range/bloom stats can't exonerate) get a clause appended
+    // to their line, clean parts untouched, NO data read or written.
+    // The GDPR shape at 100 TB: deleting a user from a petabyte costs
+    // one manifest commit; readers mask (a raw-token probe per row on
+    // clause-bearing parts) until CALL compact materializes. The
+    // fixture drives the whole honesty ledger: a key-column IN marks
+    // EXACTLY the one range-pruned part of four (eq_marked_key), a
+    // string delete marks all four (every part's range admits
+    // 'error'), zero new data files appear, the metadata-only COUNT
+    // DECLINES to an exact scan while clauses are pending and
+    // RE-ARMS after compaction, and the final rollup is restated
+    // from scratch both before and after compaction.
+    QueryDef("q_delete_eq",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "eqdel")
+        spark.conf.set("spark.sql.catalog.graftde",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftde.warehouse", wh)
+        spark.sql("CREATE TABLE graftde.wh.ev (event_id BIGINT, " +
+          "event_type STRING, user_id BIGINT, value DOUBLE)")
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("user_id"),
+            col("value"))
+          .repartitionByRange(4, col("event_id"))
+          .createOrReplaceTempView("graft_eqdel_src")
+        spark.sql("INSERT INTO graftde.wh.ev SELECT * FROM graft_eqdel_src")
+        def files(): Set[String] = spark.sql(
+          "SELECT file FROM graftde.wh.ev.files").collect()
+          .map(_.getString(0)).toSet
+        def markedParts(): Long = spark.sql(
+          "SELECT count(*) FROM graftde.wh.ev.files WHERE eq_clauses > 0")
+          .head.getLong(0)
+        val filesBefore = files()
+        spark.conf.set("graft.delete.mode", "eq")
+        val (markedKey, markedBoth, noNewFiles) =
+          try {
+            spark.sql("DELETE FROM graftde.wh.ev WHERE event_id IN (5, 6)")
+            val mk = markedParts()
+            spark.sql(
+              "DELETE FROM graftde.wh.ev WHERE event_type = 'error'")
+            (mk, markedParts(), files() == filesBefore)
+          } finally spark.conf.unset("graft.delete.mode")
+        def countPlan(): (Long, Boolean) = {
+          val q = spark.sql("SELECT count(*) FROM graftde.wh.ev")
+          (q.head.getLong(0),
+            q.queryExecution.executedPlan.toString
+              .contains("ManifestAggScan"))
+        }
+        val (nPending, metaPending) = countPlan()
+        spark.sql("CALL graftde.system.compact(table => 'wh.ev', " +
+          "target_parts => 4)")
+        val (_, metaAfter) = countPlan()
+        val clausesAfter = markedParts()
+        spark.sql(s"""SELECT count(*) AS n_rows,
+            CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS STRING)
+              AS DOUBLE) AS sum_value,
+            count(DISTINCT event_type) AS n_types,
+            min(event_id) AS min_id
+            FROM graftde.wh.ev""")
+          .withColumn("eq_marked_key", lit(markedKey))
+          .withColumn("eq_marked_both", lit(markedBoth))
+          .withColumn("no_new_files", lit(noNewFiles))
+          .withColumn("n_pending", lit(nPending))
+          .withColumn("meta_declined_pending", lit(!metaPending))
+          .withColumn("meta_rearmed_after", lit(metaAfter))
+          .withColumn("clauses_after_compact", lit(clausesAfter))
+          .localCheckpoint()
+      },
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  ${Exact.decSumSql("value", 6)} AS sum_value,
+  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+  min(event_id) AS min_id,
+  CAST(1 AS BIGINT) AS eq_marked_key,
+  CAST(4 AS BIGINT) AS eq_marked_both,
+  true AS no_new_files,
+  CAST(count(*) AS BIGINT) AS n_pending,
+  true AS meta_declined_pending, true AS meta_rearmed_after,
+  CAST(0 AS BIGINT) AS clauses_after_compact
+FROM events
+WHERE event_id NOT IN (5, 6) AND event_type <> 'error'""")),
+
     // --- `.partitions` METADATA TABLE (the Iceberg `.partitions`
     // analog): per-partition rollup of the head snapshot — part
     // count, physical vs VISIBLE rows (merge-on-read debt per

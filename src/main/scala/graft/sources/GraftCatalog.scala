@@ -805,7 +805,10 @@ private[sources] class GraftCatalogTable(
     // (both commit to MAIN); Spark then plans the row-level rewrite,
     // which routes to the branch line
     sessionBranch.isEmpty &&
-      (decide(filters).isDefined || filters.forall(ManifestCow.translatable))
+      (decide(filters).isDefined ||
+        ManifestEq.canDelete(org.apache.spark.sql.SparkSession.active,
+          path, tableSchema, filters) ||
+        filters.forall(ManifestCow.translatable))
 
   override def deleteWhere(filters: Array[V1Filter]): Unit =
     decide(filters) match {
@@ -822,11 +825,14 @@ private[sources] class GraftCatalogTable(
                 "after a concurrent commit; re-plan (copy-on-write)")),
           strictBase = None, op = "delete")
       case None =>
-        // row-level half: copy-on-write rewrite by default, or a
-        // deletion-vector commit under graft.delete.mode=mor — same
-        // answer, opposite cost shape (see ManifestMor's scaladoc)
-        if (ManifestMor.morEnabled(
-            org.apache.spark.sql.SparkSession.active))
+        // row-level half, by session mode: EQUALITY clause commit
+        // (graft.delete.mode=eq — pure metadata, readers mask),
+        // deletion-vector commit (=mor), or the copy-on-write
+        // rewrite default — same answer, three cost shapes
+        val spark = org.apache.spark.sql.SparkSession.active
+        if (ManifestEq.canDelete(spark, path, tableSchema, filters))
+          ManifestEq.deleteWhere(path, tableSchema, filters)
+        else if (ManifestMor.morEnabled(spark))
           ManifestMor.deleteWhere(path, tableSchema, filters)
         else ManifestCow.deleteWhere(path, tableSchema, filters)
     }
@@ -1010,7 +1016,7 @@ private[sources] class ManifestFilesTable(path: String)
       "key_min BIGINT, key_max BIGINT, " +
       "has_dv BOOLEAN, dv_count BIGINT, " +
       "bytes BIGINT, bucket INT, col_stats STRING, key_sum BIGINT, " +
-      "split_value STRING")
+      "split_value STRING, eq_clauses INT")
 
   override def name(): String = s"manifest($path).files"
   override def schema(): StructType = filesSchema
@@ -1036,15 +1042,19 @@ private[sources] class ManifestFilesTable(path: String)
               .map(UTF8String.fromString).orNull
             // the generalized per-column record, rendered name-sorted
             // ("c:[min..max] …") so the view is deterministic
+            // visible_rows is NULL (unknown) while equality-delete
+            // clauses are pending — honesty over an over-estimate in
+            // an audit view
             new GenericInternalRow(Array[Any](i,
               UTF8String.fromString(new Path(m.path).getName), m.rows,
-              m.visibleRows, m.kMin, m.kMax, m.hasDv, m.dvCount,
+              if (m.countsExact) m.visibleRows else null,
+              m.kMin, m.kMax, m.hasDv, m.dvCount,
               m.bytes, m.bucket,
               UTF8String.fromString(m.cstats.toSeq.sortBy(_._1)
                 .map { case (c, st) => s"$c:[${st.min}..${st.max}]" }
                 .mkString(" ")),
               m.kSum.map(java.lang.Long.valueOf).orNull,
-              sv)): org.apache.spark.sql.catalyst.InternalRow
+              sv, m.eq.size)): org.apache.spark.sql.catalyst.InternalRow
           }.toArray
         new LocalRowsScan(filesSchema, rows)
       }
@@ -1092,7 +1102,7 @@ private[sources] class ManifestPartitionsTable(path: String)
   private val partitionsSchema = StructType.fromDDL(
     "partition STRING, spec STRING, parts INT, n_rows BIGINT, " +
       "visible_rows BIGINT, bytes BIGINT, key_min BIGINT, " +
-      "key_max BIGINT, dv_parts INT")
+      "key_max BIGINT, dv_parts INT, eq_parts INT")
 
   override def name(): String = s"manifest($path).partitions"
   override def schema(): StructType = partitionsSchema
@@ -1123,13 +1133,18 @@ private[sources] class ManifestPartitionsTable(path: String)
         val rows = metas.groupBy(ident).toSeq
           .sortBy { case ((p, s), _) => (s, Option(p).getOrElse("")) }
           .map { case ((part, spec), ms) =>
+            // visible_rows goes NULL (unknown) as soon as one part of
+            // the partition carries a pending equality-delete clause
             new GenericInternalRow(Array[Any](
               Option(part).map(UTF8String.fromString).orNull,
               UTF8String.fromString(spec), ms.size,
-              ms.map(_.rows).sum, ms.map(_.visibleRows).sum,
+              ms.map(_.rows).sum,
+              if (ms.forall(_.countsExact)) ms.map(_.visibleRows).sum
+              else null,
               ms.map(_.bytes).sum, ms.map(_.kMin).min,
               ms.map(_.kMax).max,
-              ms.count(_.hasDv))): org.apache.spark.sql.catalyst.InternalRow
+              ms.count(_.hasDv),
+              ms.count(_.eq.nonEmpty))): org.apache.spark.sql.catalyst.InternalRow
           }.toArray
         new LocalRowsScan(partitionsSchema, rows)
       }

@@ -95,6 +95,10 @@ object ManifestMaintenance {
     // sum exceeds Long range records "untracked", same as the writer's
     // addExact overflow path).
     val longTracked = tracked.filter(schema.fields(_).dataType == LongType)
+    // the part's SERVED row count comes from this same scan (not the
+    // manifest's visibleRows): under pending equality-delete clauses
+    // the manifest count is an over-approximation, and null counts
+    // derived from it would be inflated
     val aggs = tracked.flatMap { i =>
       val c = schema.fields(i).name
       Seq(min(col(c)).as(s"mn_$i"), max(col(c)).as(s"mx_$i"),
@@ -104,7 +108,7 @@ object ManifestMaintenance {
       org.apache.spark.sql.functions.sum(
         col(c).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
         .as(s"sm_$i")
-    }
+    } ++ Seq(count(org.apache.spark.sql.functions.lit(1)).as("vis"))
     val grouped = df
       .groupBy(col(PartMetaColumn.Name).as("_p"))
       .agg(aggs.head, aggs.tail: _*)
@@ -126,12 +130,13 @@ object ManifestMaintenance {
           try Some(r.getDecimal(smBase + j).longValueExact())
           catch { case _: ArithmeticException => None }
       }
+      val visCount = r.getLong(smBase + longTracked.length)
       var m = base
       tracked.zipWithIndex.foreach { case (i, j) =>
         val f = schema.fields(i)
         val (mn, mx, ct) = (mnAt(j), mnAt(j) + 1, mnAt(j) + 2)
-        // null count over the VISIBLE rows = visible − non-null count
-        val nulls = base.visibleRows - r.getLong(ct)
+        // null count over the SERVED rows = scanned count − non-null
+        val nulls = visCount - r.getLong(ct)
         if (i == keyIdx) m =
           if (r.isNullAt(mn)) m.copy(kMin = Long.MaxValue,
             kMax = Long.MinValue, kNulls = nulls, kSum = sumAt(i))
@@ -221,7 +226,10 @@ object ManifestMaintenance {
     val parts =
       if (baseVersion == 0) ManifestSink.readManifestMeta(conf, dir, None)
       else ManifestSink.readManifestMeta(conf, dir, Some(baseVersion))
-    val vectored = parts.filter(_.hasDv)
+    // merge-on-read debt = deletion vectors AND pending equality-
+    // delete clauses; both settle the same way (read masked, write
+    // plain parts)
+    val vectored = parts.filter(p => p.hasDv || p.eq.nonEmpty)
     if (vectored.isEmpty) return 0
     rewriteAndSwap(spark, conf, dir, baseVersion, vectored, identity)
     vectored.size

@@ -198,8 +198,11 @@ private[sources] object ManifestMv {
       Some(m.sourceVersion)).map(p => p.path -> p).toMap
     val newParts = ManifestSink.readManifestMeta(conf, m.source,
       Some(head)).map(p => p.path -> p).toMap
+    // an EQUALITY-DELETE clause change is a restatement exactly like
+    // a vector change: minus the old line's rows, plus the new
+    // (eq-masked) read — the snapshot algebra needs no special case
     def vectorChanged(a: PartMeta, b: PartMeta): Boolean =
-      a.dvHex != b.dvHex || a.dvRef != b.dvRef
+      a.dvHex != b.dvHex || a.dvRef != b.dvRef || a.eq != b.eq
     // plus = new-only parts + new state of vector-changed parts;
     // minus = old-only parts + OLD state of vector-changed parts
     val plus = newParts.valuesIterator.filter(p =>

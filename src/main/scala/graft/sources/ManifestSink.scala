@@ -341,6 +341,43 @@ private[sources] object DeleteVector {
   * while streaming) — the 4th leg of the file-stats record that
   * turns a global SUM into a metadata-only answer; secondary long
   * columns carry theirs in [[ColStat.sum]]. */
+/** EQUALITY-DELETE clause pending on a part (the Iceberg v2
+  * equality-delete shape): "rows where column <fieldId> equals any of
+  * `values` are deleted" — committed as METADATA on the part line
+  * with no data read or written, applied by every reader as a
+  * row-level mask on top of the deletion vector. `col` is the logical
+  * name AT COMMIT TIME (audit display only); resolution is by STABLE
+  * FIELD ID so the mask survives later RENAME/DROP (a part never
+  * gains clauses after commit, so its recorded layout fully resolves
+  * the id). `values` are RAW decoded strings ('l' = canonical decimal
+  * for a BIGINT column, 's' = the string itself); readers canonicalize
+  * to the line-token form once per part, then compare raw tokens —
+  * zero per-row decode. Clauses COMPOSE: each eq DELETE appends one;
+  * compaction materializes and clears them. */
+private[sources] final case class EqClause(
+    col: String, fieldId: Int, kind: Char, values: Seq[String])
+
+private[sources] object EqClause {
+  import java.net.{URLDecoder, URLEncoder}
+  private def enc(s: String) = URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = URLDecoder.decode(s, "UTF-8")
+
+  /** `enc(col):id:kind:enc(v1)|enc(v2);next...` — the blob is then
+    * URL-encoded once more onto the manifest line (like cstats), so
+    * the line's field regex never sees its separators. */
+  def encode(cs: Seq[EqClause]): String =
+    cs.map(c => s"${enc(c.col)}:${c.fieldId}:${c.kind}:" +
+      c.values.map(enc).mkString("|")).mkString(";")
+
+  def decode(blob: String): Seq[EqClause] =
+    if (blob.isEmpty) Seq.empty
+    else blob.split(';').toSeq.map { s =>
+      val Array(c, id, k, vs) = s.split(":", 4)
+      EqClause(dec(c), id.toInt, k.head,
+        if (vs.isEmpty) Seq.empty else vs.split('|').toSeq.map(dec))
+    }
+}
+
 private[sources] final case class PartMeta(
     path: String, rows: Long, kMin: Long, kMax: Long, bloomHex: String,
     sMin: Option[String] = None, sMax: Option[String] = None,
@@ -350,7 +387,8 @@ private[sources] final case class PartMeta(
     cstats: Map[String, ColStat] = Map.empty,
     cols: Seq[Int] = Seq.empty,
     kNulls: Long = -1L, sNulls: Long = -1L,
-    kSum: Option[Long] = None) {
+    kSum: Option[Long] = None,
+    eq: Seq[EqClause] = Seq.empty) {
   lazy val bloomBits: Array[Long] = PartBloom.fromHex(bloomHex)
   lazy val dvBits: Array[Long] = DeleteVector.fromHex(dvHex)
   /** A vector exists — inline (`dvHex`) or as a SIDECAR file
@@ -361,7 +399,13 @@ private[sources] final case class PartMeta(
   def hasDv: Boolean = dvHex.nonEmpty || dvRef.nonEmpty
   def dvCount: Long =
     if (dvRef.nonEmpty) dvCard else DeleteVector.popCount(dvBits)
+  /** Served row count — EXACT unless equality-delete clauses are
+    * pending ([[eq]] non-empty), in which case it is an
+    * OVER-approximation (matches are unknown without a scan): safe
+    * for budgets/limits/pruning, but exact metadata answers must
+    * consult [[countsExact]] and decline. */
   def visibleRows: Long = rows - dvCount
+  def countsExact: Boolean = eq.isEmpty
   def mayContain(v: Long): Boolean =
     v >= kMin && v <= kMax &&
       (bloomBits.isEmpty || PartBloom.mightContain(bloomBits, v))
@@ -527,7 +571,9 @@ object ManifestSink {
         kNulls = if (kn.isEmpty) -1L else kn.toLong,
         sNulls = if (sn.isEmpty) -1L else sn.toLong,
         // key-column sum; absent = untracked (legacy) or overflowed
-        kSum = if (ks.isEmpty) None else Some(ks.toLong))
+        kSum = if (ks.isEmpty) None else Some(ks.toLong),
+        // pending equality-delete clauses; absent (legacy) = none
+        eq = EqClause.decode(decPath(field("eq"))))
     }
 
   /** TABLE-LEVEL LAYOUT SPEC (`_TABLE.json`): created by `CREATE
@@ -907,9 +953,11 @@ object ManifestSink {
         val kn = if (m.kNulls < 0) "" else s""","knulls":${m.kNulls}"""
         val sn = if (m.sNulls < 0) "" else s""","snulls":${m.sNulls}"""
         val ks = m.kSum.fold("")(v => s""","ksum":$v""")
+        val ef = if (m.eq.isEmpty) ""
+          else s""","eq":"${encPath(EqClause.encode(m.eq))}""""
         content.append(
           s"""{"path":"${encPath(m.path)}","rows":${m.rows},""" +
-            s""""min":${m.kMin},"max":${m.kMax}$b$s$d$r$by$bk$so$cs$co$kn$sn$ks}""")
+            s""""min":${m.kMin},"max":${m.kMax}$b$s$d$r$by$bk$so$cs$co$kn$sn$ks$ef}""")
           .append('\n')
       }
       content.toString.getBytes("UTF-8")

@@ -247,6 +247,10 @@ private[sources] class ManifestScanBuilder(
     // extreme/summed rows may be the deleted ones) — COUNT(*) stays
     // exact via visibleRows, so it alone survives DVs
     val anyDv = meta.exists(_.hasDv)
+    // pending EQUALITY-DELETE clauses make even row counts unknown
+    // without a scan (matches are metadata-invisible): every
+    // metadata answer declines until compaction settles the clauses
+    if (meta.exists(_.eq.nonEmpty)) return None
     val live = meta.filter(_.rows > 0)
 
     // ---- grouping: every group expression must be a long/string
@@ -963,13 +967,13 @@ private[sources] class ManifestScan(
     rowLevelOwner.foreach(_.recordScan(parts, baseVersion))
     parts.map(p =>
       ManifestPartition(p.path, p.rows, p.dvHex, p.dvRef, p.bucket,
-        p.cols)).toArray
+        p.cols, EqClause.encode(p.eq))).toArray
   }
 
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new PartsPlannedMetric, new PartsSkippedMetric,
-      new DvMaskedRowsMetric)
+      new DvMaskedRowsMetric, new EqMaskedRowsMetric)
 
   override def reportDriverMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
@@ -1014,7 +1018,7 @@ private[sources] class ManifestScan(
   * when EVERY planned part carries a consistent bucket. */
 private[sources] case class ManifestPartition(
     path: String, rows: Long, dvHex: String = "", dvRef: String = "",
-    bucket: Int = -1, cols: Seq[Int] = Seq.empty)
+    bucket: Int = -1, cols: Seq[Int] = Seq.empty, eqBlob: String = "")
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -1152,7 +1156,7 @@ private[sources] class ManifestMicroBatchStream(
       .filterNot(m => before.contains(m.path))
       .map(m =>
         ManifestPartition(m.path, m.rows, m.dvHex, m.dvRef,
-          cols = m.cols): InputPartition)
+          cols = m.cols, eqBlob = EqClause.encode(m.eq)): InputPartition)
       .toArray
   }
 
@@ -1236,11 +1240,18 @@ private[sources] class ManifestCdfScan(
   * `emitOnlyMask=false` emits lines NOT in the mask (the part's
   * visible rows under a deletion vector), `=true` emits exactly the
   * lines IN the mask (the newly-deleted ordinals of a vector commit —
-  * precise row-level CDC without reading a single surviving row). */
+  * precise row-level CDC without reading a single surviving row).
+  * `eqBlob` carries the part's equality-delete clauses as of the
+  * REPLAYED state — matching rows are excluded from any replay (they
+  * were already deleted); `emitOnlyEqBlob` inverts it for the eq
+  * commit's own diff: emit exactly the rows the NEW clauses remove —
+  * row-level CDC for equality deletes, enumerated at read time by
+  * evaluating the clause against each line. */
 private[sources] case class ManifestCdfPartition(
     path: String, changeType: String, version: Int,
     maskHex: String = "", emitOnlyMask: Boolean = false,
-    cols: Seq[Int] = Seq.empty)
+    cols: Seq[Int] = Seq.empty,
+    eqBlob: String = "", emitOnlyEqBlob: String = "")
     extends InputPartition
 
 private[sources] class ManifestChangeFeedStream(
@@ -1291,12 +1302,15 @@ private[sources] class ManifestChangeFeedStream(
           .map(m => m.path -> m).toMap
       val cur = ManifestSink.readManifestMeta(conf.value, path, Some(v))
       val curPaths = cur.map(_.path).toSet
+      // replays always honor the part's EQUALITY-DELETE clauses as of
+      // the replayed state (`eqBlob` masks matching rows out), so
+      // inserts/deletes never leak rows an earlier eq commit removed
       val inserts = cur.filterNot(m => prev.contains(m.path))
         .map(m => ManifestCdfPartition(m.path, "insert", v, vecHex(m),
-          cols = m.cols))
+          cols = m.cols, eqBlob = EqClause.encode(m.eq)))
       val deletes = prev.valuesIterator.filterNot(m => curPaths(m.path))
         .map(m => ManifestCdfPartition(m.path, "delete", v, vecHex(m),
-          cols = m.cols)).toSeq
+          cols = m.cols, eqBlob = EqClause.encode(m.eq))).toSeq
       // a retained part whose DELETION VECTOR grew: replay exactly
       // the newly-flagged ordinals as deletes — true row-level CDC
       // for merge-on-read deletes, no restatement of survivors.
@@ -1314,11 +1328,25 @@ private[sources] class ManifestChangeFeedStream(
             if (DeleteVector.popCount(delta) == 0) None
             else Some(ManifestCdfPartition(m.path, "delete", v,
               DeleteVector.toHex(delta), emitOnlyMask = true,
-              cols = m.cols))
+              cols = m.cols, eqBlob = EqClause.encode(old.eq)))
           case _ => None
         }
       }
-      inserts ++ deletes ++ dvDeletes
+      // a retained part whose EQUALITY-DELETE clause list grew: the
+      // newly-deleted rows ARE enumerable — they are exactly the rows
+      // matching the NEW clauses among those visible before (old DV,
+      // old clauses) — so the feed emits true row-level deletes for
+      // an eq commit by evaluating the clause at read time
+      val eqDeletes = cur.flatMap { m =>
+        prev.get(m.path) match {
+          case Some(old) if m.eq.size > old.eq.size =>
+            Some(ManifestCdfPartition(m.path, "delete", v, vecHex(old),
+              cols = m.cols, eqBlob = EqClause.encode(old.eq),
+              emitOnlyEqBlob = EqClause.encode(m.eq.drop(old.eq.size))))
+          case _ => None
+        }
+      }
+      inserts ++ deletes ++ dvDeletes ++ eqDeletes
     }.toArray
   }
 
@@ -1364,6 +1392,12 @@ private[sources] class ManifestCdfReaderFactory(
     new PartitionReader[InternalRow] {
       private val path = new Path(part.path)
       private val mask = DeleteVector.fromHex(part.maskHex)
+      // equality-delete masks (see [[EqMask]]): `dropEq` excludes rows
+      // an earlier eq commit already removed from ANY replay;
+      // `onlyEq` inverts selection for an eq commit's own delete
+      // diff — emit exactly the rows its new clauses match
+      private val dropEq = EqMask.matchers(part.eqBlob, part.cols)
+      private val onlyEq = EqMask.matchers(part.emitOnlyEqBlob, part.cols)
       private val in = path.getFileSystem(conf.value).open(path)
       private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       private var current: InternalRow = _
@@ -1378,7 +1412,15 @@ private[sources] class ManifestCdfReaderFactory(
           // vector commit's newly-deleted rows); otherwise replay the
           // VISIBLE rows (mask = the part's deletion vector)
           val masked = DeleteVector.isDeleted(mask, lineNo)
-          if (if (part.emitOnlyMask) masked else !masked) line = candidate
+          if (if (part.emitOnlyMask) masked else !masked) {
+            if (dropEq.isEmpty && onlyEq.isEmpty) line = candidate
+            else {
+              val toks = candidate.split(",", -1)
+              if (!EqMask.matches(dropEq, toks) &&
+                  (onlyEq.isEmpty || EqMask.matches(onlyEq, toks)))
+                line = candidate
+            }
+          }
         }
         if (line == null) return false
         val cols = line.split(",", -1)
@@ -1428,6 +1470,45 @@ private[sources] class DvMaskedRowsMetric
   override def name(): String = "dvMaskedRows"
   override def description(): String =
     "rows skipped by deletion vectors (merge-on-read debt)"
+}
+
+/** Shared equality-clause line matching for the batch and CDF
+  * readers: clauses compile ONCE per part to (line slot, token set) —
+  * slot through the part's recorded layout by stable field id, values
+  * to the exact line-token form — so the per-row check is a raw-token
+  * set probe, zero decode. A clause whose field the part never wrote
+  * resolves past every line (never matches). */
+private[sources] object EqMask {
+  def matchers(blob: String,
+      partCols: Seq[Int]): Array[(Int, Set[String])] =
+    EqClause.decode(blob).map { c =>
+      val slot =
+        if (partCols.isEmpty) c.fieldId
+        else {
+          val s = partCols.indexOf(c.fieldId)
+          if (s < 0) Int.MaxValue else s
+        }
+      slot -> c.values.map(v =>
+        if (c.kind == 's') ManifestCodec.encodeString(v) else v).toSet
+    }.toArray
+
+  def matches(ms: Array[(Int, Set[String])],
+      toks: Array[String]): Boolean = {
+    var i = 0
+    while (i < ms.length) {
+      val (slot, vals) = ms(i)
+      if (slot < toks.length && vals.contains(toks(slot))) return true
+      i += 1
+    }
+    false
+  }
+}
+
+private[sources] class EqMaskedRowsMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "eqMaskedRows"
+  override def description(): String =
+    "rows skipped by equality-delete clauses (merge-on-read debt)"
 }
 
 private[sources] case class LongTaskMetric(metricName: String, v: Long)
@@ -1480,16 +1561,23 @@ private[sources] class ManifestReaderFactory(
       private val dv =
         if (part.dvRef.nonEmpty) DeleteVector.readRef(conf.value, part.dvRef)
         else DeleteVector.fromHex(part.dvHex)
+      // EQUALITY-DELETE masking (see [[EqMask]]): rename/drop-proof
+      // by stable field id, zero per-row decode
+      private val eqMatchers = EqMask.matchers(part.eqBlob, part.cols)
+      private def eqDeleted(cols: Array[String]): Boolean =
+        EqMask.matches(eqMatchers, cols)
       private val in = path.getFileSystem(conf.value).open(path)
       private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       private var current: InternalRow = _
       private var emitted = 0L
       private var lineNo = -1L
       private var masked = 0L
+      private var eqMasked = 0L
 
       override def currentMetricsValues()
           : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
-        Array(LongTaskMetric("dvMaskedRows", masked))
+        Array(LongTaskMetric("dvMaskedRows", masked),
+          LongTaskMetric("eqMaskedRows", eqMasked))
 
       override def next(): Boolean = {
         // a pushed limit caps every partition: one partition can
@@ -1499,8 +1587,11 @@ private[sources] class ManifestReaderFactory(
         while (line == null && lines.hasNext) {
           val candidate = lines.next()
           lineNo += 1
-          if (!DeleteVector.isDeleted(dv, lineNo)) line = candidate
-          else masked += 1
+          if (!DeleteVector.isDeleted(dv, lineNo)) {
+            if (eqMatchers.isEmpty) line = candidate
+            else if (!eqDeleted(candidate.split(",", -1))) line = candidate
+            else eqMasked += 1
+          } else masked += 1
         }
         if (line == null) return false
         emitted += 1
@@ -1559,6 +1650,12 @@ private[sources] object ManifestCodec {
     true
   }
 
+  /** The exact line-token form of a string value — shared by the row
+    * writer and by equality-delete readers canonicalizing clause
+    * values, so token comparison needs zero per-row decode. */
+  def encodeString(s: String): String =
+    if (urlSafe(s)) s else java.net.URLEncoder.encode(s, "UTF-8")
+
   def encode(row: InternalRow, schema: StructType): String = {
     val sb = new StringBuilder
     var i = 0
@@ -1567,9 +1664,7 @@ private[sources] object ManifestCodec {
       if (row.isNullAt(i)) sb.append(NullToken)
       else schema.fields(i).dataType match {
         case StringType =>
-          val s = row.getUTF8String(i).toString
-          if (urlSafe(s)) sb.append(s)
-          else sb.append(java.net.URLEncoder.encode(s, "UTF-8"))
+          sb.append(encodeString(row.getUTF8String(i).toString))
         case BinaryType =>
           // Base64 (comma-free alphabet, so the line split is safe);
           // decode below is type-directed, so '+'/'=' never collide

@@ -1,0 +1,139 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Equality deletes (graft.delete.mode=eq — [[ManifestEq]]): the
+  * metadata-only delete's full honesty ledger beyond what the gated
+  * q_delete_eq restates — DDL survival via stable field ids, the
+  * change-feed refusal, MV refresh through an eq commit, time travel,
+  * DV stacking, and ANALYZE's exact null counts over masked rows. */
+class EqSpec extends SparkSpec {
+
+  private lazy val wh = {
+    val d = Files.createTempDirectory("graft-eqspec").toString
+    spark.conf.set("spark.sql.catalog.geq", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.geq.warehouse", d)
+    d
+  }
+
+  private def eqMode[A](body: => A): A = {
+    spark.conf.set("graft.delete.mode", "eq")
+    try body finally spark.conf.unset("graft.delete.mode")
+  }
+
+  private def mkTable(name: String): String = {
+    val _ = wh // force the lazy catalog registration first
+    spark.sql(s"CREATE TABLE geq.ns.$name (k BIGINT, s STRING, " +
+      "u BIGINT, v DOUBLE)")
+    import spark.implicits._
+    (0L until 400L).map(i => (i, s"s${i % 5}", i % 23, i * 0.5))
+      .toDF("k", "s", "u", "v").repartitionByRange(4, col("k"))
+      .createOrReplaceTempView(s"geq_src_$name")
+    spark.sql(s"INSERT INTO geq.ns.$name SELECT * FROM geq_src_$name")
+    s"$wh/ns/$name"
+  }
+
+  test("eq delete survives RENAME and DROP COLUMN (stable field ids), " +
+    "stacks under a later MOR vector, and time travel sees pre-delete " +
+    "rows") {
+    mkTable("t1")
+    val before = spark.sql("SELECT count(*) FROM geq.ns.t1").head.getLong(0)
+    eqMode { spark.sql("DELETE FROM geq.ns.t1 WHERE u IN (3, 7)") }
+    val expectAfterEq = 400L - (0L until 400L).count(i =>
+      i % 23 == 3 || i % 23 == 7)
+    def n(): Long =
+      spark.sql("SELECT count(*) FROM geq.ns.t1").head.getLong(0)
+    assert(n() === expectAfterEq, "clause masks matching rows")
+    // RENAME the clause column: resolution is by field id, the mask
+    // must keep holding under the new name
+    spark.sql("ALTER TABLE geq.ns.t1 RENAME COLUMN u TO uid")
+    assert(n() === expectAfterEq, "mask survives RENAME COLUMN")
+    // DROP it: the bytes are still in the lines; masking still applies
+    spark.sql("ALTER TABLE geq.ns.t1 DROP COLUMN uid")
+    assert(n() === expectAfterEq, "mask survives DROP COLUMN")
+    // a MOR vector delete STACKS on eq-pending parts
+    spark.conf.set("graft.delete.mode", "mor")
+    try spark.sql("DELETE FROM geq.ns.t1 WHERE k < 10")
+    finally spark.conf.unset("graft.delete.mode")
+    val expectBoth = (10L until 400L).count(i =>
+      i % 23 != 3 && i % 23 != 7).toLong
+    assert(n() === expectBoth, "DV and eq masks compose")
+    // time travel to v1 (the INSERT) sees every row
+    val v1 = spark.read.format("graft.sources.ManifestSource")
+      .option("path", s"$wh/ns/t1").option("version", "2").load()
+    assert(v1.count() === before, "pre-delete snapshot (v2, the INSERT) unaffected")
+  }
+
+  test("change feed emits TRUE row-level deletes for an eq commit " +
+    "(clause evaluated at read time), and compaction restatements " +
+    "never leak eq-deleted rows") {
+    val dir = mkTable("t2")
+    eqMode { spark.sql("DELETE FROM geq.ns.t2 WHERE s = 's1'") }
+    spark.sql("CALL geq.system.compact(table => 'ns.t2', target_parts => 2)")
+    val q = spark.readStream.format("graft.sources.ManifestSource")
+      .option("path", dir).option("changeFeed", "true").load()
+      .writeStream.format("memory").queryName("geq_cdf")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000); q.stop()
+    // v2 INSERT: 400 inserts. v3 eq commit: exactly the 80 's1' rows
+    // as row-level deletes. v4 compaction: a restatement pair over
+    // the TRULY visible 320 rows — the eq-deleted rows appear in
+    // neither side of it.
+    val byKind = spark.sql("SELECT _change_type, _commit_version, " +
+      "count(*) n FROM geq_cdf GROUP BY 1, 2").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(byKind === Set(("insert", 2L, 400L), ("delete", 3L, 80L),
+      ("delete", 4L, 320L), ("insert", 4L, 320L)),
+      s"got $byKind")
+    val eqDeleted = spark.sql("SELECT DISTINCT s FROM geq_cdf " +
+      "WHERE _change_type = 'delete' AND _commit_version = 3").collect()
+      .map(_.getString(0)).toSeq
+    assert(eqDeleted === Seq("s1"), "the eq diff is exactly the matches")
+    // net replay equals the live table
+    val net = spark.sql("""SELECT
+      count(CASE WHEN _change_type = 'insert' THEN 1 END) -
+      count(CASE WHEN _change_type = 'delete' THEN 1 END) FROM geq_cdf""")
+      .head.getLong(0)
+    val live = spark.sql("SELECT count(*) FROM geq.ns.t2").head.getLong(0)
+    assert(net === live, "inserts minus deletes reconcile to the head")
+  }
+
+  test("MV refresh across an eq commit restates affected groups " +
+    "(snapshot algebra intact); ANALYZE over masked rows records " +
+    "exact null counts") {
+    val dir = mkTable("t3")
+    spark.sql("CALL geq.system.create_mv(mv_table => 'ns.mv3', " +
+      "source_table => 'ns.t3', key_col => 's', sum_col => 'v', " +
+      "scale => 2)")
+    eqMode { spark.sql("DELETE FROM geq.ns.t3 WHERE u = 11") }
+    spark.sql("CALL geq.system.refresh_mv(mv_table => 'ns.mv3')")
+    def direct(): Set[(String, Long, java.math.BigDecimal)] =
+      spark.sql("SELECT s, count(*) n, CAST(sum(CAST(v AS " +
+        "DECIMAL(30,2))) AS DECIMAL(38,2)) sv FROM geq.ns.t3 GROUP BY s")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+        .toSet
+    val mv = spark.sql("SELECT s, n_rows, sum_value FROM geq.ns.mv3")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+      .toSet
+    assert(mv === direct(), "MV folds the eq restatement exactly")
+    // ANALYZE: null counts over SERVED rows (not the over-approximate
+    // manifest visibleRows) — v has no nulls, so every part's tracked
+    // null count must be 0 and stats reflect only unmasked rows
+    spark.sql("CALL geq.system.analyze(table => 'ns.t3')")
+    val stats = spark.sql("SELECT col_stats FROM geq.ns.t3.files")
+      .collect().map(_.getString(0))
+    assert(stats.nonEmpty && stats.forall(_.nonEmpty))
+    val metaCount = spark.sql("SELECT count(*) FROM geq.ns.t3")
+    // clauses still pending: the metadata count path must decline
+    assert(!metaCount.queryExecution.executedPlan.toString
+      .contains("ManifestAggScan"), "pending clauses decline meta count")
+    assert(metaCount.head.getLong(0) ===
+      (0L until 400L).count(_ % 23 != 11).toLong)
+  }
+}
