@@ -148,6 +148,79 @@ FROM events ORDER BY event_id""")),
   ${graft.functions.Exact.decSumSql("l_quantity")} * 2 AS qty2
 FROM lineitem GROUP BY ALL ORDER BY ALL""")),
 
+    // --- SQL PIPE SYNTAX (`|>`, Spark 4 / GoogleSQL pipes): the
+    // linear query spelling — source first, then one transformation
+    // per stage in EXECUTION order (no inside-out SELECT nesting).
+    // Pure surface syntax: each pipe stage resolves to the same
+    // Catalyst operator its ANSI spelling would (the oracle IS that
+    // ANSI spelling, so the gate proves plan-semantics equality), so
+    // adopting the readable form costs nothing at any scale.
+    QueryDef("q_sql_pipe",
+      (spark, dir) => {
+        Tables.lineitem(spark, dir)
+          .createOrReplaceTempView("graft_pipe_lineitem")
+        spark.sql("""
+          FROM graft_pipe_lineitem
+          |> WHERE l_quantity > 10
+          |> EXTEND CAST(l_extendedprice AS DECIMAL(30,2))
+               * (1 - CAST(l_discount AS DECIMAL(8,4))) AS net
+          |> AGGREGATE count(*) AS n,
+               CAST(CAST(sum(net) AS STRING) AS DOUBLE) AS revenue
+             GROUP BY l_returnflag
+          |> ORDER BY l_returnflag""")
+      },
+      Some("""SELECT l_returnflag,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))
+    * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS VARCHAR) AS DOUBLE)
+    AS revenue
+FROM lineitem WHERE l_quantity > 10
+GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // --- SQL SCRIPTING (BEGIN ... END compound statements, Spark 4):
+    // procedural control flow ON the engine — DECLARE'd locals, SET
+    // from scalar subqueries, IF/ELSE branching, a WHILE loop issuing
+    // one query per iteration — without a driver-side language. Each
+    // embedded statement is an ordinary distributed query; the script
+    // only sequences them, so there is no per-row interpretive cost.
+    // The loop partitions the orders by key residue and accumulates
+    // the band counts — re-derivable, so the oracle restates it.
+    QueryDef("q_sql_scripting",
+      (spark, dir) => {
+        Tables.orders(spark, dir)
+          .createOrReplaceTempView("graft_script_orders")
+        spark.conf.set("spark.sql.scripting.enabled", "true")
+        spark.sql("""BEGIN
+          DECLARE avg_price DOUBLE;
+          DECLARE band STRING;
+          DECLARE i INT DEFAULT 0;
+          DECLARE acc BIGINT DEFAULT 0;
+          SET avg_price = (SELECT CAST(CAST(sum(CAST(o_totalprice AS
+            DECIMAL(30,2))) AS STRING) AS DOUBLE) / count(*)
+            FROM graft_script_orders);
+          IF avg_price > 100000 THEN
+            SET band = 'high';
+          ELSE
+            SET band = 'low';
+          END IF;
+          WHILE i < 3 DO
+            SET acc = acc + (SELECT count(*) FROM graft_script_orders
+              WHERE o_orderkey % 3 = i);
+            SET i = i + 1;
+          END WHILE;
+          SELECT round(avg_price, 2) AS avg_price, band,
+                 acc AS n_total;
+        END""")
+      },
+      Some(s"""SELECT
+  round((SELECT ${graft.functions.Exact.decSumSql("o_totalprice", 2)}
+         / count(*) FROM orders), 2) AS avg_price,
+  CASE WHEN (SELECT ${graft.functions.Exact.decSumSql("o_totalprice", 2)}
+             / count(*) FROM orders) > 100000
+       THEN 'high' ELSE 'low' END AS band,
+  CAST(count(*) AS BIGINT) AS n_total
+FROM orders""")),
+
     // --- LATERAL COLUMN ALIAS in a projection: a select item
     // references the alias defined two items earlier in the SAME
     // list, resolved left-to-right (Spark 3.4+/DuckDB) — the chained

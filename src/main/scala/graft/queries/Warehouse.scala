@@ -2606,10 +2606,16 @@ ORDER BY etype NULLS FIRST, par NULLS FIRST""")),
     // sources/ManifestMv): the MV maintains a per-group DataSketches
     // HLL sketch (pinned lgConfigK). HLL register state is a pure
     // per-register MAX over hashed inputs, so union-of-delta-sketches
-    // == sketch-of-union EXACTLY — the maintained estimate equals a
-    // from-scratch recompute, not approximately but identically
-    // (est_matches_direct gates it). Like MIN/MAX, a sketch folds
-    // under appends only (you cannot remove a value from an HLL):
+    // covers exactly the union's registers; in SPARSE mode (small
+    // groups) estimates are exact counts and maintained == direct
+    // identically (MvSpec pins it). In DENSE mode DataSketches
+    // estimates are MERGE-LINEAGE-dependent (a single-stream sketch
+    // uses the HIP estimator, a union the composite one — measured
+    // ±1% at ndv 1500), so the honest cross-lineage contract is
+    // CLOSENESS, gated twice below: maintained within 2%+2 of the
+    // direct recompute, and within 5%+2 of the exact distinct count.
+    // Like MIN/MAX, a sketch folds under appends only (you cannot
+    // remove a value from an HLL):
     // minus-side groups recompute group-scoped from the live head.
     // Routing substitutes the stored sketch under the user's own
     // spelling hll_sketch_estimate(hll_sketch_agg(c)) — count(
@@ -2664,8 +2670,9 @@ ORDER BY etype NULLS FIRST, par NULLS FIRST""")),
           q.join(truth, q("etype") <=> truth("etype"))
             .select(q("etype"), col("n_rows"), col("sum_value"),
               col("ndv_exact"),
-              (col("ndv_est") === col("direct_est"))
-                .as("est_matches_direct"),
+              (abs(col("ndv_est") - col("direct_est")) <=
+                greatest(ceil(col("direct_est") * 0.02), lit(2L)))
+                .as("est_close_direct"),
               (abs(col("ndv_est") - col("ndv_exact")) <=
                 greatest(ceil(col("ndv_exact") * 0.05), lit(2L)))
                 .as("rel_err_ok"))
@@ -2679,7 +2686,7 @@ ORDER BY etype NULLS FIRST, par NULLS FIRST""")),
       Some(s"""SELECT etype, CAST(count(*) AS BIGINT) AS n_rows,
   ${Exact.decSumSql("value", 6)} AS sum_value,
   CAST(count(DISTINCT user_id) AS BIGINT) AS ndv_exact,
-  true AS est_matches_direct, true AS rel_err_ok, true AS used_mv,
+  true AS est_close_direct, true AS rel_err_ok, true AS used_mv,
   CAST(0 AS INT) AS fold_minus_parts,
   CAST(4 AS INT) AS recompute_minus_parts
 FROM (SELECT nullif(event_type, 'error') AS etype, user_id, value
@@ -2754,6 +2761,64 @@ GROUP BY etype ORDER BY etype NULLS FIRST""")),
   CAST(5 AS INT) AS n_parts_total, CAST(2 AS INT) AS static_parts,
   CAST(2 AS BIGINT) AS dpp_parts
 FROM events WHERE event_type IN ('click', 'view')""")),
+
+    // --- COLUMN DEFAULT VALUES (CURRENT vs EXISTS split — Delta/
+    // Iceberg initial-defaults): `CREATE TABLE (... DEFAULT v)` fills
+    // omitted INSERT columns at write; `ALTER TABLE ADD COLUMN c
+    // DEFAULT v` additionally FREEZES v as the column's EXISTS
+    // default — every pre-existing row serves it for the missing
+    // line slot, so adding a defaulted column to a petabyte is ONE
+    // metadata commit, never a backfill (no_new_files gates it).
+    // `ALTER COLUMN SET DEFAULT` changes only FUTURE writes; rows
+    // predating the column keep the value promised when it was
+    // added. Defaults ride the snapshot's colmap header (versioned,
+    // travels through staged reads), keyed by stable field id.
+    QueryDef("q_column_default",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "coldef")
+        spark.conf.set("spark.sql.catalog.graftcd",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftcd.warehouse", wh)
+        spark.sql("CREATE TABLE graftcd.wh.ev (event_id BIGINT, " +
+          "event_type STRING, value DOUBLE, src STRING DEFAULT 'ingest')")
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .createOrReplaceTempView("graft_coldef_src")
+        // slice 0 BEFORE the region column exists (omits src too —
+        // the CREATE-time write default fills it)
+        spark.sql("INSERT INTO graftcd.wh.ev (event_id, event_type, " +
+          "value) SELECT * FROM graft_coldef_src WHERE event_id % 3 = 0")
+        def nFiles(): Long = spark.sql(
+          "SELECT count(*) FROM graftcd.wh.ev.files").head.getLong(0)
+        val before = nFiles()
+        spark.sql("ALTER TABLE graftcd.wh.ev ADD COLUMN region STRING " +
+          "DEFAULT 'eu'")
+        val noNewFiles = nFiles() == before
+        // slice 1 with an explicit region; slice 2 omitted AFTER the
+        // write default moved to 'us' — three provenances, one column
+        spark.sql("INSERT INTO graftcd.wh.ev SELECT event_id, " +
+          "event_type, value, 'feed', 'us' FROM graft_coldef_src " +
+          "WHERE event_id % 3 = 1")
+        spark.sql("ALTER TABLE graftcd.wh.ev ALTER COLUMN region " +
+          "SET DEFAULT 'us'")
+        spark.sql("INSERT INTO graftcd.wh.ev (event_id, event_type, " +
+          "value) SELECT * FROM graft_coldef_src WHERE event_id % 3 = 2")
+        spark.sql(s"""SELECT region, src, count(*) AS n,
+            CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS STRING)
+              AS DOUBLE) AS sum_value,
+            min(event_id) AS min_id
+          FROM graftcd.wh.ev GROUP BY region, src""")
+          .withColumn("no_new_files_on_add", lit(noNewFiles))
+          .orderBy(col("region"), col("src"))
+      },
+      Some(s"""SELECT region, src, CAST(count(*) AS BIGINT) AS n,
+  ${Exact.decSumSql("value", 6)} AS sum_value,
+  min(event_id) AS min_id, true AS no_new_files_on_add
+FROM (SELECT event_id, value,
+        CASE WHEN event_id % 3 = 0 THEN 'eu' ELSE 'us' END AS region,
+        CASE WHEN event_id % 3 = 1 THEN 'feed' ELSE 'ingest' END AS src
+      FROM events)
+GROUP BY region, src ORDER BY region, src""")),
 
     // --- EQUALITY DELETES (graft.delete.mode=eq — sources/ManifestEq,
     // the Iceberg v2 equality-delete shape): DELETE WHERE col = v /

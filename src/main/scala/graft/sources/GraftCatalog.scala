@@ -61,7 +61,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   /** CHECK constraints are a first-class table change (see
     * [[GraftCatalogTable.constraints]]). */
   override def capabilities(): util.Set[TableCatalogCapability] =
-    Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT).asJava
+    Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE).asJava
 
   private def conf = ManifestSink.driverConf()
 
@@ -86,10 +87,28 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
 
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
-    ManifestSink.readSchema(conf, p) match {
-      case Some(schema) => new GraftCatalogTable(ident, p, schema,
-        ManifestSink.readTableSpec(conf, p),
-        ManifestSink.readTableOrder(conf, p))
+    ManifestSink.readSchemaAndColMap(conf, p) match {
+      case Some((schema, cm)) =>
+        // re-attach COLUMN DEFAULTS as the field-metadata pair Spark's
+        // default resolution consumes (the DDL codec stores the schema
+        // clean; the pair lives on the snapshot's colmap header)
+        val withDefaults =
+          if (cm.defaults.isEmpty) schema
+          else StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+            val id = cm.ids.lift(i).getOrElse(i)
+            cm.defaults.get(id) match {
+              case Some((cur, ex)) =>
+                val b = new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata)
+                if (cur.nonEmpty) b.putString("CURRENT_DEFAULT", cur)
+                if (ex.nonEmpty) b.putString("EXISTS_DEFAULT", ex)
+                f.copy(metadata = b.build())
+              case None => f
+            }
+          })
+        new GraftCatalogTable(ident, p, withDefaults,
+          ManifestSink.readTableSpec(conf, p),
+          ManifestSink.readTableOrder(conf, p))
       case None =>
         // METADATA TABLES (the Iceberg `db.table.history` shape):
         // `SELECT * FROM cat.ns.t.history|files|branches` parses as
@@ -219,12 +238,30 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       require(n >= 0, s"bucket count must be >= 0, got $n")
       ManifestSink.writeTableSpec(conf, tablePath(ident), n, col)
     }
+    // COLUMN DEFAULTS at create: Spark delivers them as the field-
+    // metadata pair (CURRENT_DEFAULT, EXISTS_DEFAULT) — capture into
+    // the snapshot's colmap header keyed by field id, then store the
+    // schema CLEAN (the DDL codec carries no metadata)
+    val defaults: Map[Int, (String, String)] =
+      schema.fields.zipWithIndex.collect {
+        case (f, i) if f.metadata.contains("CURRENT_DEFAULT") ||
+            f.metadata.contains("EXISTS_DEFAULT") =>
+          def key(k: String) =
+            if (f.metadata.contains(k)) f.metadata.getString(k) else ""
+          i -> (key("CURRENT_DEFAULT"), key("EXISTS_DEFAULT"))
+      }.toMap
+    val clean = StructType(schema.fields.map { f =>
+      val g = StructField(f.name, f.dataType, f.nullable)
+      f.getComment().fold(g)(g.withComment)
+    })
     // a table is born as a schema-only snapshot: same commit protocol,
     // zero parts — readers see an empty versioned table immediately
-    new ManifestBatchWrite(tablePath(ident), schema, truncate = true,
-      history = true, new SerializableConfiguration(conf),
-      opLabel = Some("create"))
-      .commit(Array.empty)
+    ManifestSink.publishSnapshot(conf, tablePath(ident), clean, Seq.empty,
+      history = true,
+      colmap = if (defaults.isEmpty) None
+        else Some(ColMap.identity(clean.fields.length)
+          .copy(defaults = defaults)),
+      op = "create")
     loadTable(ident)
   }
 
@@ -288,8 +325,21 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           "columns can only be added at the end (part files are " +
             "positional; reordering would re-interpret committed data)")
         schemaChanged = true
-        colmap = colmap.copy(ids = colmap.ids :+ colmap.nextId,
+        val newId = colmap.nextId
+        colmap = colmap.copy(ids = colmap.ids :+ newId,
           nextId = colmap.nextId + 1)
+        // ADD COLUMN ... DEFAULT v: the CURRENT default fills omitted
+        // writes from now on; the EXISTS default (the literal, frozen
+        // here) is what every pre-existing row reads for its missing
+        // slot — a metadata-only backfill of the whole table
+        Option(add.defaultValue()).foreach { dv =>
+          val cur = dv.getSql
+          val ex = Option(dv.getValue).map(l =>
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              l.value(), l.dataType()).sql).getOrElse(cur)
+          colmap = colmap.copy(
+            defaults = colmap.defaults + (newId -> (cur, ex)))
+        }
         val f = StructField(colName, add.dataType(), nullable = true)
         s.add(Option(add.comment()).fold(f)(f.withComment))
       // ALTER COLUMN TYPE — WIDENING only, metadata-only: the line
@@ -405,9 +455,28 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           schemaChanged = true
           colmap = colmap.copy(
             ids = colmap.ids.patch(idx, Nil, 1),
-            retired = colmap.retired :+ f.name)
+            retired = colmap.retired :+ f.name,
+            defaults = colmap.defaults - colmap.ids(idx))
           StructType(s.fields.patch(idx, Nil, 1))
         }
+      // ALTER COLUMN ... SET/DROP DEFAULT: changes only the CURRENT
+      // (write-time) default; the EXISTS default stays frozen — rows
+      // that predate the column keep reading the value promised when
+      // it was added, exactly Delta/Iceberg's split
+      case (s, ud: TableChange.UpdateColumnDefaultValue) =>
+        require(ud.fieldNames().length == 1,
+          "nested ALTER COLUMN is not supported")
+        val name = ud.fieldNames()(0)
+        val idx = s.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+        require(idx >= 0, s"no column '$name' in $ident")
+        val id = colmap.ids.lift(idx).getOrElse(idx)
+        val ex = colmap.defaults.get(id).map(_._2).getOrElse("")
+        val cur = Option(ud.newCurrentDefault()).map(_.getSql).getOrElse("")
+        schemaChanged = true
+        colmap = colmap.copy(defaults =
+          if (cur.isEmpty && ex.isEmpty) colmap.defaults - id
+          else colmap.defaults + (id -> (cur, ex)))
+        s
       // ALTER TABLE ADD CONSTRAINT … CHECK (…): Spark has already
       // validated the EXISTING rows (AddCheckConstraintExec scans the
       // table and fails the command on a violation) before this call

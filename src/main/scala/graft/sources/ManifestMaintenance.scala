@@ -589,11 +589,22 @@ object ManifestMaintenance {
       val reclaimable =
         (name.startsWith("part-") && name.endsWith(".csv")) ||
           (name.startsWith(DeleteVector.SidecarPrefix) && name.endsWith(".hex"))
+      // crashed-maintenance DEBRIS: compaction / MV-refresh staging
+      // directories are deleted by their own finally blocks, so one
+      // still present is a crash leftover — reclaimable once past the
+      // same grace gate (a LIVE maintenance run's stage is younger).
+      // They hold only by-reference manifests, never the data.
+      val staleTmpDir = st.isDirectory &&
+        (name.startsWith("_compact-") || name.startsWith("_mv-")) &&
+        now - st.getModificationTime > orphanGraceMs
       if (reclaimable && !referenced.contains(name) &&
           (expiredRefs.contains(name) ||
             now - st.getModificationTime > orphanGraceMs)) {
         if (dryRun) deleted += 1
         else if (fs.delete(st.getPath, false)) deleted += 1
+      } else if (staleTmpDir) {
+        if (dryRun) deleted += 1
+        else if (fs.delete(st.getPath, true)) deleted += 1
       }
     }
     ExpireStats(expire.length, deleted, retain.length)

@@ -128,10 +128,14 @@ private[sources] object ManifestMv {
         Seq(min(col(c)).as("min_value"), max(col(c)).as("max_value"))) ++
       // optional APPROX-DISTINCT leg: a DataSketches HLL sketch per
       // group at the pinned lgConfigK. The HLL register state is a
-      // pure per-register MAX over hashed inputs, so union of
-      // per-delta sketches == the sketch of the union — estimates
-      // from the maintained sketch equal a from-scratch recompute
-      // exactly (MvSpec pins it per mutation kind); like MIN/MAX the
+      // pure per-register MAX over hashed inputs, so the union of
+      // per-delta sketches covers exactly the union's registers: in
+      // sparse mode estimates are exact and maintained == recompute
+      // identically (MvSpec pins it); in dense mode DataSketches
+      // estimates are merge-lineage-dependent (HIP vs composite
+      // estimator), so the cross-lineage contract is closeness
+      // within the sketch's error (q_mv_distinct gates 2% vs a
+      // direct recompute, 5% vs exact); like MIN/MAX the
       // sketch folds under appends only, minus-side groups recompute
       ndvCol.toSeq.map(c => hll_sketch_agg(col(c), NdvLgK).as("ndv_sketch"))
     val keys = keyCol.split(',').map(_.trim).filter(_.nonEmpty)

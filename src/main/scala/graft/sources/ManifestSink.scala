@@ -443,10 +443,21 @@ private[sources] final case class PartMeta(
   * additive-only evolution produced — every pre-mapping manifest
   * stays readable unchanged. */
 private[sources] final case class ColMap(
-    ids: Seq[Int], nextId: Int, retired: Seq[String]) {
+    ids: Seq[Int], nextId: Int, retired: Seq[String],
+    /** COLUMN DEFAULTS, keyed by STABLE FIELD ID: (currentSql,
+      * existsSql). `currentSql` fills omitted columns on WRITE (may
+      * be altered/dropped later); `existsSql` is the INITIAL default
+      * frozen at ADD COLUMN time — parts written before the column
+      * serve it for their missing slot, so adding a defaulted column
+      * to a petabyte is a metadata commit, never a backfill. Rides
+      * the colmap header, so it versions with the snapshot and
+      * travels through every staged read. "" = none on either leg. */
+    defaults: Map[Int, (String, String)] = Map.empty) {
   def isIdentity: Boolean = ids == ids.indices
   def isRetired(name: String): Boolean =
     retired.exists(_.equalsIgnoreCase(name))
+  /** Must this snapshot materialize a colmap header? */
+  def isPlain: Boolean = isIdentity && defaults.isEmpty
 }
 
 private[sources] object ColMap {
@@ -797,7 +808,13 @@ object ManifestSink {
       val retired = ColMapRetRe.findFirstMatchIn(line).map(_.group(1))
         .filter(_.nonEmpty)
         .map(_.split(',').toSeq.map(decPath)).getOrElse(Seq.empty)
-      ColMap(ids, next, retired)
+      val defaults = """"defaults":"([^"]*)"""".r.findFirstMatchIn(line)
+        .map(_.group(1)).filter(_.nonEmpty).map(_.split(';').toSeq.map {
+          entry =>
+            val Array(id, cur, ex) = entry.split(":", 3)
+            id.toInt -> (decPath(cur), decPath(ex))
+        }.toMap).getOrElse(Map.empty[Int, (String, String)])
+      ColMap(ids, next, retired, defaults)
     }
 
   /** Snapshot schema + column mapping, read from ONE manifest
@@ -812,9 +829,16 @@ object ManifestSink {
     }
   }
 
-  private def renderColMap(cm: ColMap): String =
+  private def renderColMap(cm: ColMap): String = {
+    // defaults are an ADDITIVE field (legacy readers regex the known
+    // fields and ignore it): `id:enc(cur):enc(exists);...`
+    val dflt = if (cm.defaults.isEmpty) ""
+      else s""","defaults":"${cm.defaults.toSeq.sortBy(_._1)
+        .map { case (id, (cur, ex)) =>
+          s"$id:${encPath(cur)}:${encPath(ex)}" }.mkString(";")}""""
     s"""{"colmap":"${cm.ids.mkString("-")}","nextid":${cm.nextId},""" +
-      s""""retired":"${cm.retired.map(encPath).mkString(",")}"}"""
+      s""""retired":"${cm.retired.map(encPath).mkString(",")}"$dflt}"""
+  }
 
   /** The mapping the published snapshot carries: an explicit override
     * (DDL — rename/drop/add know their exact result), or derivation
@@ -831,7 +855,9 @@ object ManifestSink {
       val ids = published.fields.map { f =>
         byName.getOrElse(f.name, { val id = next; next += 1; id })
       }.toSeq
-      ColMap(ids, next, hcm.retired)
+      // defaults follow their field id; a dropped field's entry goes
+      ColMap(ids, next, hcm.retired,
+        hcm.defaults.filter { case (id, _) => ids.contains(id) })
   }
 
   /** Publish a snapshot whose part list is exactly `parts` (commit
@@ -861,12 +887,12 @@ object ManifestSink {
       schema: StructType, version: Option[Int] = None,
       branch: Option[String] = None): Option[ColMap] =
     readSchemaAndColMap(conf, dir, version, branch).collect {
-      case (snap, cm) if !cm.isIdentity || cm.retired.nonEmpty =>
+      case (snap, cm) if !cm.isPlain || cm.retired.nonEmpty =>
         val byName = snap.fields.map(_.name).zip(cm.ids).toMap
         ColMap(schema.fields.toSeq.map(f => byName.getOrElse(f.name,
           throw new IllegalStateException(
             s"column '${f.name}' has no field id at $dir"))),
-          cm.nextId, cm.retired)
+          cm.nextId, cm.retired, cm.defaults)
     }
 
   /** The commit loop proper. `rebase` maps the CURRENT head's part
@@ -923,7 +949,7 @@ object ManifestSink {
       // or drops keeps its manifests byte-compatible with pre-mapping
       // readers of this format
       if (!cm.isIdentity || cm.retired.nonEmpty ||
-          cm.nextId != schema.fields.length)
+          cm.nextId != schema.fields.length || cm.defaults.nonEmpty)
         content.append(renderColMap(cm)).append('\n')
       if (history) {
         // the OPERATION KIND rides the version record (Delta's

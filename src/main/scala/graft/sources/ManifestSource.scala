@@ -709,7 +709,8 @@ private[sources] class ManifestScanBuilder(
         new ManifestScan(kept, schema, required, conf, all.size, limit, keyCol,
           path, rowLevelOwner, startingVersion, baseVersion,
           maxPartsPerTrigger, ids = colMapIdsFor(schema, snapCm),
-          branched = branch.isDefined)
+          branched = branch.isDefined,
+          initDefaults = ColDefaults.byName(schema, snapCm))
     }
   }
 
@@ -789,7 +790,8 @@ private[sources] class ManifestScan(
     baseVersion: Int = 0,
     maxPartsPerTrigger: Option[Int] = None,
     ids: Seq[Int] = Seq.empty,
-    branched: Boolean = false)
+    branched: Boolean = false,
+    initDefaults: Map[String, Any] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -982,7 +984,7 @@ private[sources] class ManifestScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(schema, required.fieldNames, conf,
-      limit.map(_.toLong).getOrElse(Long.MaxValue), ids)
+      limit.map(_.toLong).getOrElse(Long.MaxValue), ids, initDefaults)
 
   /** Post-pruning stats straight from the manifest — exact row count;
     * bytes from the parts' TRUE on-disk sizes (committed with each
@@ -1161,7 +1163,12 @@ private[sources] class ManifestMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(schema, required.fieldNames, conf, ids = ids)
+    new ManifestReaderFactory(schema, required.fieldNames, conf, ids = ids,
+      // initial defaults for parts predating a defaulted column —
+      // EXISTS defaults are frozen at ADD COLUMN, so the head's view
+      // is valid for every replayed part
+      initDefaults = ColDefaults.byName(schema,
+        ManifestSink.readSchemaAndColMap(conf.value, path)))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -1351,7 +1358,9 @@ private[sources] class ManifestChangeFeedStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestCdfReaderFactory(baseSchema, required, conf, ids)
+    new ManifestCdfReaderFactory(baseSchema, required, conf, ids,
+      ColDefaults.byName(baseSchema,
+        ManifestSink.readSchemaAndColMap(conf.value, path)))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -1362,7 +1371,8 @@ private[sources] class ManifestChangeFeedStream(
   * pruned-away metadata or data column is never materialized). */
 private[sources] class ManifestCdfReaderFactory(
     baseSchema: StructType, required: StructType,
-    conf: SerializableConfiguration, ids: Seq[Int] = Seq.empty)
+    conf: SerializableConfiguration, ids: Seq[Int] = Seq.empty,
+    initDefaults: Map[String, Any] = Map.empty)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -1430,7 +1440,8 @@ private[sources] class ManifestCdfReaderFactory(
           vals(j) = plan(j) match {
             case Right(const) => const
             case Left((ord, dt)) =>
-              if (ord >= cols.length) null
+              if (ord >= cols.length)
+                initDefaults.getOrElse(required.fields(j).name, null)
               else ManifestCodec.decode(cols(ord), dt)
           }
           j += 1
@@ -1470,6 +1481,41 @@ private[sources] class DvMaskedRowsMetric
   override def name(): String = "dvMaskedRows"
   override def description(): String =
     "rows skipped by deletion vectors (merge-on-read debt)"
+}
+
+/** INITIAL column defaults (`EXISTS_DEFAULT`) for the read path: a
+  * part written before a defaulted column was added has a shorter
+  * line — its missing slot serves the default FROZEN at ADD COLUMN
+  * time instead of NULL, making "add a defaulted column to a
+  * petabyte" a metadata commit with no backfill. Values are parsed
+  * and evaluated ONCE on the driver (literal SQL → internal value,
+  * cast to the column type); a non-literal or unparsable default
+  * degrades to NULL rather than failing the scan. */
+private[sources] object ColDefaults {
+  /** field name -> evaluated internal default value, from the
+    * snapshot's colmap header. */
+  def byName(schema: StructType,
+      snapCm: Option[(StructType, ColMap)]): Map[String, Any] =
+    snapCm match {
+      case Some((snap, cm)) if cm.defaults.nonEmpty =>
+        snap.fields.zipWithIndex.flatMap { case (f, i) =>
+          val id = cm.ids.lift(i).getOrElse(i)
+          cm.defaults.get(id).map(_._2).filter(_.nonEmpty)
+            .flatMap(sql => eval(sql, f.dataType))
+            .map(v => f.name -> v)
+        }.toMap
+      case _ => Map.empty
+    }
+
+  private def eval(sql: String,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] =
+    try {
+      val e = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(sql)
+      if (!e.foldable) None
+      else Option(org.apache.spark.sql.catalyst.expressions
+        .Cast(e, dt, Some("UTC")).eval(null))
+    } catch { case scala.util.control.NonFatal(_) => None }
 }
 
 /** Shared equality-clause line matching for the batch and CDF
@@ -1520,7 +1566,8 @@ private[sources] case class LongTaskMetric(metricName: String, v: Long)
 private[sources] class ManifestReaderFactory(
     schema: StructType, fields: Array[String],
     conf: SerializableConfiguration, rowCap: Long = Long.MaxValue,
-    ids: Seq[Int] = Seq.empty)
+    ids: Seq[Int] = Seq.empty,
+    initDefaults: Map[String, Any] = Map.empty)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -1551,6 +1598,10 @@ private[sources] class ManifestReaderFactory(
       if (f == PartMetaColumn.Name || f == PosMetaColumn.Name)
         org.apache.spark.sql.types.StringType
       else schema(f).dataType)
+    // INITIAL DEFAULTS: the fallback a missing line slot serves —
+    // NULL for ordinary additive evolution, the frozen EXISTS default
+    // for columns added with one (see [[ColDefaults]])
+    val dflts: Array[Any] = fields.map(f => initDefaults.getOrElse(f, null))
     new PartitionReader[InternalRow] {
       private val path = new Path(part.path)
       private val partConst = UTF8String.fromString(part.path)
@@ -1605,7 +1656,7 @@ private[sources] class ManifestReaderFactory(
           vals(j) = ordinals(j) match {
             case -1 => partConst
             case -2 => lineNo
-            case o if o >= cols.length => null
+            case o if o >= cols.length => dflts(j)
             case o => ManifestCodec.decode(cols(o), types(j))
           }
           j += 1
