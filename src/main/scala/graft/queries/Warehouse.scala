@@ -619,6 +619,58 @@ feed AS (
 SELECT _commit_version, _change_type, event_id, event_type
 FROM feed ORDER BY _commit_version, _change_type, event_id""")),
 
+    // --- CHANGE FEED under EQUALITY deletes: the same
+    // build→append→delete→feed loop as q_stream_cdf, but the delete
+    // is a METADATA-ONLY equality-clause commit (graft.delete.mode=
+    // eq — no data read OR written at commit time). The feed still
+    // emits TRUE row-level deletes for v3: the newly-deleted rows
+    // are exactly those matching the new clause among the previously
+    // visible, ENUMERATED AT READ TIME by evaluating the clause
+    // against each part's lines — CDC for a delete that never
+    // touched the data, the strongest form of the eq-delete honesty
+    // ledger (EqSpec pins the compaction-crossing side).
+    QueryDef("q_stream_cdf_eq",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "cdfeq")
+        val tbl = s"$wh/wh/ev_t"
+        spark.conf.set("spark.sql.catalog.graftcdfe",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftcdfe.warehouse", wh)
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"))
+        writeHistory(base.filter(col("event_id") % 2 === 0), tbl, "overwrite")
+        writeHistory(base.filter(col("event_id") % 2 =!= 0), tbl, "append")
+        spark.conf.set("graft.delete.mode", "eq")
+        try spark.sql(
+          "DELETE FROM graftcdfe.wh.ev_t WHERE event_type = 'click'")
+        finally spark.conf.unset("graft.delete.mode")
+        val q = spark.readStream
+          .format("graft.sources.ManifestSource")
+          .option("path", tbl).option("changeFeed", "true").load()
+          .writeStream.format("memory").queryName("graft_stream_cdf_eq")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table("graft_stream_cdf_eq")
+          .select(col("_commit_version"), col("_change_type"),
+            col("event_id"), col("event_type"))
+          .orderBy(col("_commit_version"), col("_change_type"),
+            col("event_id"))
+      },
+      Some("""WITH b AS (SELECT event_id, event_type FROM events),
+feed AS (
+  SELECT CAST(1 AS BIGINT) AS _commit_version,
+    'insert' AS _change_type, event_id, event_type
+  FROM b WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT 2, 'insert', event_id, event_type FROM b WHERE event_id % 2 <> 0
+  UNION ALL
+  SELECT 3, 'delete', event_id, event_type FROM b
+  WHERE event_type = 'click')
+SELECT _commit_version, _change_type, event_id, event_type
+FROM feed ORDER BY _commit_version, _change_type, event_id""")),
+
     // --- DECLARATIVE CLUSTERED WRITE: `option("clusterBy", "k")` on
     // the sink makes the TABLE demand a globally sorted distribution
     // (RequiresDistributionAndOrdering — the Iceberg
