@@ -872,14 +872,23 @@ private[sources] class GraftCatalogTable(
   override def canDeleteWhere(filters: Array[V1Filter]): Boolean =
     // branch-routed sessions decline the metadata/COW fast paths
     // (both commit to MAIN); Spark then plans the row-level rewrite,
-    // which routes to the branch line
-    sessionBranch.isEmpty &&
-      (decide(filters).isDefined ||
-        ManifestEq.canDelete(org.apache.spark.sql.SparkSession.active,
-          path, tableSchema, filters) ||
-        filters.forall(ManifestCow.translatable))
+    // which routes to the branch line. EQUALITY deletes are the
+    // exception — their commit is branch-aware, so they accept under
+    // a session branch too.
+    ManifestEq.canDelete(org.apache.spark.sql.SparkSession.active,
+      path, tableSchema, filters) ||
+      (sessionBranch.isEmpty &&
+        (decide(filters).isDefined ||
+          filters.forall(ManifestCow.translatable)))
 
-  override def deleteWhere(filters: Array[V1Filter]): Unit =
+  override def deleteWhere(filters: Array[V1Filter]): Unit = {
+    // EQUALITY mode first (branch-aware; under a session branch the
+    // other fast paths were declined at canDeleteWhere)
+    val sparkNow = org.apache.spark.sql.SparkSession.active
+    if (ManifestEq.canDelete(sparkNow, path, tableSchema, filters)) {
+      ManifestEq.deleteWhere(path, tableSchema, filters, sessionBranch)
+      return
+    }
     decide(filters) match {
       case Some(_) =>
         // the keep list is recomputed from the head INSIDE the commit
@@ -894,17 +903,15 @@ private[sources] class GraftCatalogTable(
                 "after a concurrent commit; re-plan (copy-on-write)")),
           strictBase = None, op = "delete")
       case None =>
-        // row-level half, by session mode: EQUALITY clause commit
-        // (graft.delete.mode=eq — pure metadata, readers mask),
-        // deletion-vector commit (=mor), or the copy-on-write
-        // rewrite default — same answer, three cost shapes
-        val spark = org.apache.spark.sql.SparkSession.active
-        if (ManifestEq.canDelete(spark, path, tableSchema, filters))
-          ManifestEq.deleteWhere(path, tableSchema, filters)
-        else if (ManifestMor.morEnabled(spark))
+        // row-level half, by session mode: deletion-vector commit
+        // (graft.delete.mode=mor) or the copy-on-write rewrite
+        // default — same answer, opposite cost shapes (the equality
+        // path was dispatched above)
+        if (ManifestMor.morEnabled(sparkNow))
           ManifestMor.deleteWhere(path, tableSchema, filters)
         else ManifestCow.deleteWhere(path, tableSchema, filters)
     }
+  }
 
   override def name(): String = ident.toString
   override def schema(): StructType = tableSchema

@@ -106,10 +106,14 @@ private[sources] object ManifestEq {
         clauseOf(schema, cm, col, vs).isDefined
     }
 
-  /** Commit the clause: one metadata snapshot, no data I/O. Returns
-    * the number of parts marked. */
+  /** Commit the clause: one metadata snapshot, no data I/O. With a
+    * session branch the clause commits to the BRANCH line (the parts
+    * marked are the branch head's; main stays untouched until
+    * fast_forward) — the eq path joins COW/MOR/vector DML in the
+    * write-audit-publish story. */
   def deleteWhere(path: String, schema: StructType,
-      filters: Array[V1Filter]): Unit = {
+      filters: Array[V1Filter],
+      branch: Option[String] = None): Unit = {
     val conf = ManifestSink.driverConf()
     val (col, vs) = translate(schema, filters).getOrElse(
       throw new IllegalArgumentException(
@@ -129,6 +133,6 @@ private[sources] object ManifestEq {
         if (mayMatch(p, clause, keyCol, strCol)) p.copy(eq = p.eq :+ clause)
         else p
       },
-      strictBase = None, op = "delete")
+      strictBase = None, branch = branch, op = "delete")
   }
 }

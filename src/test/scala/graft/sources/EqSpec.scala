@@ -104,6 +104,26 @@ class EqSpec extends SparkSpec {
     assert(net === live, "inserts minus deletes reconcile to the head")
   }
 
+  test("branch-scoped eq delete: the clause lands on the BRANCH line, " +
+    "main is untouched until fast_forward") {
+    mkTable("t4")
+    val mainBefore =
+      spark.sql("SELECT count(*) FROM geq.ns.t4").head.getLong(0)
+    spark.conf.set("graft.branch", "audit")
+    try eqMode { spark.sql("DELETE FROM geq.ns.t4 WHERE u = 5") }
+    finally spark.conf.unset("graft.branch")
+    assert(spark.sql("SELECT count(*) FROM geq.ns.t4")
+      .head.getLong(0) === mainBefore, "main untouched mid-audit")
+    val branchN = spark.read.format("graft.sources.ManifestSource")
+      .option("path", s"$wh/ns/t4").option("branch", "audit").load().count()
+    val expect = (0L until 400L).count(_ % 23 != 5).toLong
+    assert(branchN === expect, "branch serves the eq-masked rows")
+    spark.sql("CALL geq.system.fast_forward(table => 'ns.t4', " +
+      "branch => 'audit')")
+    assert(spark.sql("SELECT count(*) FROM geq.ns.t4")
+      .head.getLong(0) === expect, "publish is one metadata flip")
+  }
+
   test("MV refresh across an eq commit restates affected groups " +
     "(snapshot algebra intact); ANALYZE over masked rows records " +
     "exact null counts") {
