@@ -56,6 +56,18 @@ class ScanMetricsSpec extends SparkSpec {
     assert(full.get("partsPlanned").contains(4L))
     assert(full.get("partsSkipped").contains(0L))
     assert(full.get("dvMaskedRows").contains(30L))
+    // EQUALITY-delete debt reports separately: the clause marks only
+    // the parts whose key range admits its values (range-pruned to
+    // one part here), and readers count exactly the matching rows
+    spark.conf.set("graft.delete.mode", "eq")
+    try spark.sql("DELETE FROM gsm.ns.m WHERE k IN (205, 206, 207)")
+    finally spark.conf.unset("graft.delete.mode")
+    val eq = scanMetrics(spark.sql("SELECT k FROM gsm.ns.m"))
+    assert(eq.get("eqMaskedRows").contains(3L), s"eqMaskedRows in $eq")
+    assert(eq.get("dvMaskedRows").contains(30L), "dv debt unchanged")
+    assert(spark.sql("SELECT count(*) FROM gsm.ns.m.files " +
+      "WHERE eq_clauses > 0").head.getLong(0) === 1L,
+      "key-range stats exonerate the other three parts")
   }
 
   test(".columns ledger: positions, types, stable field ids, stats " +
