@@ -136,17 +136,28 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   /** SQL time travel: `SELECT … FROM graftcat.ns.t VERSION AS OF 2`
     * resolves the immutable snapshot manifest — schema AND part list
     * as of that commit; `VERSION AS OF 'release-1'` resolves a TAG
-    * (immutable named ref, pinned against expiry) to its version.
+    * (immutable named ref, pinned against expiry) to its version;
+    * `VERSION AS OF 'audit'` resolves a live BRANCH to its staged
+    * head — the pure-SQL audit read of write-audit-publish (same
+    * answer as `option("branch", ...)`, no DataFrame API needed).
     * Returns the read-only table (history is not writable). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val p = tablePath(ident)
     val v = try version.toInt catch {
       case _: NumberFormatException =>
-        ManifestSink.readTag(conf, p, version).getOrElse(
+        ManifestSink.readTag(conf, p, version).getOrElse {
+          if (ManifestSink.listBranches(conf, p).contains(version)) {
+            val schema = ManifestSink.readBranchSchema(conf, p, version)
+              .getOrElse(throw new NoSuchTableException(ident))
+            return new ManifestReadTable(p, schema, None,
+              branch = Some(version))
+          }
           throw new IllegalArgumentException(
-            s"'$version' is neither a snapshot version nor a tag of " +
-              s"$ident (tags: ${ManifestSink.listTags(conf, p)
-                .map(_._1).mkString(", ")})"))
+            s"'$version' is neither a snapshot version, a tag, nor a " +
+              s"branch of $ident (tags: ${ManifestSink.listTags(conf, p)
+                .map(_._1).mkString(", ")}; branches: " +
+              s"${ManifestSink.listBranches(conf, p).mkString(", ")})")
+        }
     }
     val schema = ManifestSink.readSchema(conf, p, Some(v))
       .getOrElse(throw new NoSuchTableException(ident))

@@ -118,6 +118,10 @@ class EqSpec extends SparkSpec {
       .option("path", s"$wh/ns/t4").option("branch", "audit").load().count()
     val expect = (0L until 400L).count(_ % 23 != 5).toLong
     assert(branchN === expect, "branch serves the eq-masked rows")
+    // the pure-SQL audit read: VERSION AS OF resolves the branch name
+    assert(spark.sql(
+      "SELECT count(*) FROM geq.ns.t4 VERSION AS OF 'audit'")
+      .head.getLong(0) === expect, "VERSION AS OF 'audit' reads the branch")
     spark.sql("CALL geq.system.fast_forward(table => 'ns.t4', " +
       "branch => 'audit')")
     assert(spark.sql("SELECT count(*) FROM geq.ns.t4")
