@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -56,6 +57,41 @@ object GraphOps {
   val KcoreK = 8
   val KcoreRounds = 3
 
+  /** Node degrees of an undirected (u, v) edge set. */
+  private[graft] def degreesOf(e: DataFrame): DataFrame =
+    e.select(col("u").as("n"))
+      .unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+
+  /** Degree-ordered edge orientation (Suri & Vassilvitskii): each
+    * undirected edge points from its lower-(degree, id) endpoint to
+    * the higher. The O(|V|) degree table joins onto the edge scan
+    * BROADCAST within `graft.triangles.broadcastMaxNodes` (default
+    * 2M) and as a partitioned shuffle-hash beyond it — a forced
+    * broadcast at 100× the node count is an OOM, not a plan. Both
+    * strategies (and the flip) are pinned hash-equal in ScaleSpec;
+    * factored out of q_triangles so the pin can see this subtree's
+    * plan (inside the query it hides behind a localCheckpoint). */
+  private[graft] def orientEdges(spark: org.apache.spark.sql.SparkSession,
+      e: DataFrame, deg: DataFrame): DataFrame = {
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val maxBroadcastNodes = spark.conf
+      .getOption("graft.triangles.broadcastMaxNodes")
+      .map(_.toLong).getOrElse(2000000L)
+    // node count ≤ 2·|E| (every node appears on an edge), and the
+    // threshold is an order-of-magnitude OOM guard — so the bound
+    // reads the (pinned) edge set's cheap count instead of paying an
+    // extra aggregation job for the exact degree-table cardinality
+    val degBroadcasts = 2L * e.count() <= maxBroadcastNodes
+    def degSide(d: DataFrame): DataFrame =
+      if (degBroadcasts) broadcast(d) else d.hint("shuffle_hash")
+    e.join(degSide(deg.select(col("n").as("u"), col("d").as("du"))), "u")
+      .join(degSide(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
+      .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("q_pagerank",
@@ -82,8 +118,25 @@ object GraphOps {
 
         var ranks = deg.select(col("src").as("node"),
           lit(1000000L).as("pr"))
+        // thresholded strategy for the per-iteration rank join (same
+        // flip as the triangle closure): the rank table is O(|V|) —
+        // within graft.pagerank.broadcastMaxNodes (default 2M) it
+        // broadcasts (edges never shuffle across iterations); beyond
+        // it a FORCED broadcast is an OOM, not a plan, so the join
+        // falls back to a partitioned shuffle-hash with ranks as the
+        // build side. Both strategies pinned hash-equal in ScaleSpec.
+        // The bound reads the pinned edge set's cheap cached count
+        // once before the loop (nodes ≤ edges here — every node has
+        // an out-edge), never an extra aggregation job, never per
+        // iteration.
+        val maxBroadcastNodes = spark.conf
+          .getOption("graft.pagerank.broadcastMaxNodes")
+          .map(_.toLong).getOrElse(2000000L)
+        val rankBroadcasts = ed.count() <= maxBroadcastNodes
         for (_ <- 1 to Iterations) {
-          ranks = ed.join(broadcast(ranks), col("src") === col("node"))
+          val r = if (rankBroadcasts) broadcast(ranks)
+            else ranks.hint("shuffle_hash")
+          ranks = ed.join(r, col("src") === col("node"))
             .select(col("dst"),
               expr("(pr * 17) div (outdeg * 20)").as("contrib"))
             .groupBy(col("dst"))
@@ -143,17 +196,8 @@ ORDER BY pr DESC, node LIMIT 20"""
           .select(col("a.pk").as("u"), col("b.pk").as("v"))
           .distinct()
           .pinned() // degree table + orientation + closure all re-scan it
-        val deg = e.select(col("u").as("n"))
-          .unionAll(e.select(col("v").as("n")))
-          .groupBy(col("n")).agg(count(lit(1)).as("d"))
-        val fwd = col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v"))
-        val o = e
-          .join(broadcast(deg.select(col("n").as("u"), col("d").as("du"))), "u")
-          .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
-          .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
-            when(fwd, col("v")).otherwise(col("u")).as("dst"))
-          .pinned()
+        val deg = degreesOf(e)
+        val o = orientEdges(spark, e, deg).pinned()
         // closure check in ONE pass over the wedge stream, with an
         // edge-count-thresholded strategy (config
         // graft.triangles.broadcastMaxEdges, default 2M):

@@ -234,14 +234,19 @@ FROM orders""")),
         spark.sql("""
           SELECT o_orderkey,
                  CAST(o_totalprice AS DECIMAL(18,2)) AS price,
-                 price * 2 AS gross,
-                 gross + CAST(1 AS DECIMAL(18,2)) AS gross1
+                 CAST(price * 2 AS DECIMAL(18,2)) AS gross,
+                 CAST(gross + 1 AS DECIMAL(18,2)) AS gross1
           FROM graft_lca_orders
           ORDER BY o_orderkey""")
       },
+      // Result widths pinned: Spark widens `price * 2` to DECIMAL(20,2)
+      // and `gross + 1` to DECIMAL(21,2) while DuckDB keeps (18,2); the
+      // driver hash is type-sensitive, so both texts cast each derived
+      // step back to DECIMAL(18,2). The lateral-alias chain itself
+      // (gross referencing price, gross1 referencing gross) is intact.
       Some("""SELECT o_orderkey,
   CAST(o_totalprice AS DECIMAL(18,2)) AS price,
-  price * 2 AS gross,
-  gross + CAST(1 AS DECIMAL(18,2)) AS gross1
+  CAST(price * 2 AS DECIMAL(18,2)) AS gross,
+  CAST(gross + 1 AS DECIMAL(18,2)) AS gross1
 FROM orders ORDER BY o_orderkey""")))
 }

@@ -1230,6 +1230,64 @@ FROM events""")),
   (SELECT ${Exact.decSumSql("value", 2)} FROM events WHERE event_id % 5 = 0)
     AS sum_head""")),
 
+    // --- TIME-BASED SNAPSHOT RETENTION (`expire_snapshots(older_than
+    // => ts)` — the Iceberg retention-policy shape operators actually
+    // schedule): a PAST cutoff proves the time gate is real (nothing
+    // committed before 1990 ⇒ zero expiry even under keep_last=1),
+    // then a tag pins v1 and a FUTURE cutoff composes with
+    // keep_last=1 — v1 survives via the tag, the head via keep_last,
+    // exactly the middle snapshot expires; its part files survive
+    // reclaim because the append-chain head still references them
+    // (files_deleted = 0 is load-bearing). The tagged snapshot is
+    // then READ BACK via `VERSION AS OF 'pinned'` and the head
+    // rollup gated exactly. Metadata-only at any scale: the clock is
+    // version-file mtimes, the same immutable-once-claimed commit
+    // clock TIMESTAMP AS OF resolves against.
+    QueryDef("q_expire_time",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "exptime")
+        spark.conf.set("spark.sql.catalog.graftrt",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftrt.warehouse", wh)
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("value"))
+        val t = s"$wh/wh/ev_t"
+        writeHistory(base.filter(col("event_id") % 3 === 0), t, "overwrite")
+        writeHistory(base.filter(col("event_id") % 3 === 1), t, "append")
+        writeHistory(base.filter(col("event_id") % 3 === 2), t, "append")
+        val past = spark.sql(
+          "CALL graftrt.system.expire_snapshots(table => 'wh.ev_t', " +
+            "keep_last => 1, orphan_grace_ms => 86400000, " +
+            "older_than => TIMESTAMP '1990-01-01 00:00:00')")
+          .select(col("versions_expired").as("past_expired"),
+            col("versions_retained").as("past_retained"))
+        spark.sql("CALL graftrt.system.tag(table => 'wh.ev_t', " +
+          "name => 'pinned', version => 1)")
+        val fut = spark.sql(
+          "CALL graftrt.system.expire_snapshots(table => 'wh.ev_t', " +
+            "keep_last => 1, orphan_grace_ms => 86400000, " +
+            "older_than => TIMESTAMP '2100-01-01 00:00:00')")
+          .select(col("versions_expired").as("cut_expired"),
+            col("files_deleted").as("cut_files_deleted"),
+            col("versions_retained").as("cut_retained"))
+        val tagged = spark.sql("SELECT count(*) AS n_tagged " +
+          "FROM graftrt.wh.ev_t VERSION AS OF 'pinned'")
+        val head = spark.sql(
+          "SELECT count(*) AS n_head, " +
+            s"${Exact.decSumSql("value", 2).replace("VARCHAR", "STRING")} " +
+            "AS sum_head FROM graftrt.wh.ev_t")
+        past.crossJoin(fut).crossJoin(tagged).crossJoin(head)
+      },
+      Some(s"""SELECT CAST(0 AS INT) AS past_expired,
+  CAST(3 AS INT) AS past_retained,
+  CAST(1 AS INT) AS cut_expired, CAST(0 AS INT) AS cut_files_deleted,
+  CAST(2 AS INT) AS cut_retained,
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 3 = 0)
+    AS n_tagged,
+  CAST(count(*) AS BIGINT) AS n_head,
+  ${Exact.decSumSql("value", 2)} AS sum_head
+FROM events""")),
+
     // --- THE MANIFEST AS A TABLE (`SELECT ... FROM cat.ns.t.files` —
     // Iceberg's `.files` analog, sources/GraftCatalog.scala
     // ManifestFilesTable): per-part stats served straight off the
@@ -2654,6 +2712,74 @@ FROM (SELECT event_id, nullif(event_type, 'error') AS etype,
 GROUP BY etype, par
 ORDER BY etype NULLS FIRST, par NULLS FIRST""")),
 
+    // --- MV COARSER-ROLLUP RE-AGGREGATION (MvRewrite subset
+    // routing): a GROUP BY on a strict SUBSET of the MV's keys — the
+    // dashboard drill-up from (etype, par) to etype — no longer
+    // rescans the table: the rewrite RE-AGGREGATES the MV's
+    // O(groups) state instead (count ← sum(n_rows), the tracked
+    // decimal sum ← sum(sum_value), min/max ← fold of the stored
+    // extremes; all associative, so the answer is bit-exact, and the
+    // derived AVG folds leg-by-leg as total-sum / total-count). The
+    // plan keeps an Aggregate — but its input is the MV table, and
+    // the gate pins that the SOURCE path is absent from the plan.
+    // Ladder: multi-key MV with min/max → append fold → MOR delete
+    // with group-scoped recompute → drill-up query served from MV,
+    // gated against the oracle's from-scratch restatement. At 100 TB:
+    // the drill-up costs a shuffle of the MV's groups, not a table
+    // scan.
+    QueryDef("q_mv_reagg",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "mvra")
+        spark.conf.set("spark.sql.catalog.graftmvra",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftmvra.warehouse", wh)
+        val base = Tables.events(spark, dir).select(
+          col("event_id"),
+          nullif(col("event_type"), lit("error")).as("etype"),
+          (col("user_id") % 2).as("par"),
+          col("value"))
+        def write(df: DataFrame, mode: String): Unit =
+          df.repartitionByRange(2, col("event_id"))
+            .write.format("graft.sources.ManifestSink")
+            .option("path", s"$wh/wh/src").option("history", "true")
+            .mode(mode).save()
+        write(base.filter(col("event_id") % 3 =!= 1), "overwrite")
+        spark.sql("CALL graftmvra.system.create_mv(" +
+          "mv_table => 'wh.mv', source_table => 'wh.src', " +
+          "key_col => 'etype,par', sum_col => 'value', scale => 6, " +
+          "minmax_col => 'event_id')")
+        write(base.filter(col("event_id") % 3 === 1), "append")
+        spark.sql("CALL graftmvra.system.refresh_mv(mv_table => 'wh.mv')")
+        spark.conf.set("graft.delete.mode", "mor")
+        try spark.sql("DELETE FROM graftmvra.wh.src WHERE event_id % 10 = 0")
+        finally spark.conf.unset("graft.delete.mode")
+        spark.sql("CALL graftmvra.system.refresh_mv(mv_table => 'wh.mv')")
+        spark.conf.set("graft.mv.rewrite", s"$wh/wh/mv")
+        try {
+          val q = spark.sql("""SELECT etype, count(*) AS n_rows,
+            CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS STRING)
+              AS DOUBLE) AS sum_value,
+            CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS STRING)
+              AS DOUBLE) / count(*) AS avg_value,
+            min(event_id) AS min_id, max(event_id) AS max_id
+            FROM graftmvra.wh.src GROUP BY etype""")
+          val plan = q.queryExecution.optimizedPlan.toString
+          val usedMv = plan.contains("/wh/mv") && !plan.contains("/wh/src")
+          q.withColumn("used_mv", lit(usedMv))
+            .orderBy(col("etype"))
+            .localCheckpoint()
+        } finally spark.conf.unset("graft.mv.rewrite")
+      },
+      Some(s"""SELECT etype, CAST(count(*) AS BIGINT) AS n_rows,
+  ${Exact.decSumSql("value", 6)} AS sum_value,
+  ${Exact.decAvgSql("value", 6)} AS avg_value,
+  min(event_id) AS min_id, max(event_id) AS max_id,
+  true AS used_mv
+FROM (SELECT event_id, nullif(event_type, 'error') AS etype, value
+      FROM events WHERE event_id % 10 <> 0)
+GROUP BY etype
+ORDER BY etype NULLS FIRST""")),
+
     // --- MV APPROX-DISTINCT (create_mv distinct_col —
     // sources/ManifestMv): the MV maintains a per-group DataSketches
     // HLL sketch (pinned lgConfigK). HLL register state is a pure
@@ -3050,5 +3176,132 @@ FROM events GROUP BY event_type ORDER BY part_id""")),
 FROM events
 WHERE event_id <= (SELECT max(event_id) // 4 FROM events)
   AND user_id <= (SELECT max(user_id) // 4 FROM events)""")),
+
+    // --- ATOMIC CTAS / RTAS (StagingTableCatalog — GraftStagedTable):
+    // `CREATE TABLE … AS SELECT` commits the query's parts and the
+    // table's existence as ONE snapshot (the ladder pins exactly one
+    // history version after CTAS — no create-then-insert two-step),
+    // and `REPLACE TABLE … AS SELECT` atomically swaps in a NEW
+    // SCHEMA (the per-type rollup) as one truncate-style commit while
+    // every pre-replace version stays readable — `VERSION AS OF 1`
+    // serves the original CTAS rows after the replace. This is the
+    // reference's K1 produce-and-publish contract
+    // (preprocess_image.py:139-151) at warehouse scale: readers never
+    // see a half-written target, a failed query leaves the old state
+    // untouched (CatalogSpec pins the failure path). All metadata:
+    // the commit is one manifest rename at any table size.
+    QueryDef("q_ctas",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "ctas")
+        spark.conf.set("spark.sql.catalog.graftct",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftct.warehouse", wh)
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .createOrReplaceTempView("graft_ctas_src")
+        spark.sql("CREATE TABLE graftct.wh.ev_t AS " +
+          "SELECT event_id, event_type, value FROM graft_ctas_src " +
+          "WHERE event_id % 2 = 0")
+        val nCtas = spark.sql("SELECT count(*) FROM graftct.wh.ev_t")
+          .head.getLong(0)
+        val vCtas = spark.sql(
+          "SELECT count(*) FROM graftct.wh.ev_t.history").head.getLong(0)
+        spark.sql("REPLACE TABLE graftct.wh.ev_t AS " +
+          "SELECT event_type, count(*) AS n, " +
+          "CAST(sum(CAST(value AS DECIMAL(30,2))) AS DECIMAL(38,2)) " +
+          "AS sum_value FROM graft_ctas_src GROUP BY event_type")
+        val nPre = spark.sql(
+          "SELECT count(*) FROM graftct.wh.ev_t VERSION AS OF 1")
+          .head.getLong(0)
+        spark.sql("SELECT count(*) AS n_groups, " +
+            "CAST(sum(n) AS BIGINT) AS sum_n, " +
+            "CAST(sum(sum_value) AS DECIMAL(38,2)) AS total_value " +
+            "FROM graftct.wh.ev_t")
+          .withColumn("n_ctas", lit(nCtas))
+          .withColumn("v_ctas", lit(vCtas))
+          .withColumn("n_pre_replace", lit(nPre))
+      },
+      Some("""SELECT
+  (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM events)
+    AS n_groups,
+  CAST(count(*) AS BIGINT) AS sum_n,
+  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DECIMAL(38,2)) AS total_value,
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 2 = 0)
+    AS n_ctas,
+  CAST(1 AS BIGINT) AS v_ctas,
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 2 = 0)
+    AS n_pre_replace
+FROM events""")),
+
+    // --- MERGE INTO WITH SCHEMA EVOLUTION (Spark 4's
+    // ResolveMergeIntoSchemaEvolution → this catalog's alterTable):
+    // the ingest shape users actually hit on drifting upstream
+    // schemas — the source feed grew a `tag` column the target never
+    // had. With the evolution clause the merge AUTO-ADDS the column
+    // as a metadata-only widening (fresh field id via the colmap, no
+    // data rewrite — the same ALTER ADD COLUMN path, commanded by
+    // the merge) and then runs the three-way upsert against the
+    // widened schema: matched rows update value AND the new column,
+    // unmatched source rows insert with it, and every untouched
+    // pre-merge row reads NULL for it. Time travel to the pre-merge
+    // snapshot still serves the NARROW schema (pre_has_tag = false).
+    // At 100 TB: absorbing an upstream schema drift costs one
+    // metadata commit + the merge's own footprint, never a backfill.
+    QueryDef("q_merge_evolve",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "mrgev")
+        spark.conf.set("spark.sql.catalog.graftme",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftme.warehouse", wh)
+        val base = Tables.orders(spark, dir).select(
+          col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+        base.filter(col("k") % 2 === 0)
+          .repartitionByRange(4, col("k"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", s"$wh/wh/ord_t").option("history", "true")
+          .mode("overwrite").save()
+        base.filter(col("k") % 3 === 0)
+          .select(col("k"), (col("price") * 2).as("price"),
+            lit("merged").as("tag"))
+          .createOrReplaceTempView("graft_mev_src")
+        spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO graftme.wh.ord_t t
+          USING graft_mev_src s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET price = s.price, tag = s.tag
+          WHEN NOT MATCHED THEN
+            INSERT (k, price, tag) VALUES (s.k, s.price, s.tag)""")
+        val preHasTag = spark.sql(
+          "SELECT * FROM graftme.wh.ord_t VERSION AS OF 1")
+          .schema.fieldNames.contains("tag")
+        val preN = spark.sql(
+          "SELECT count(*) FROM graftme.wh.ord_t VERSION AS OF 1")
+          .head.getLong(0)
+        spark.sql(s"""SELECT count(*) AS n_rows,
+            count(tag) AS n_tagged,
+            ${Exact.decSumSql("price", 2).replace("VARCHAR", "STRING")}
+              AS sum_price
+          FROM graftme.wh.ord_t""")
+          .withColumn("pre_has_tag", lit(preHasTag))
+          .withColumn("pre_n", lit(preN))
+      },
+      Some(s"""WITH t AS (
+  SELECT o_orderkey AS k, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 2 = 0),
+s AS (
+  SELECT o_orderkey AS k, o_totalprice * 2 AS price
+  FROM orders WHERE o_orderkey % 3 = 0),
+merged AS (
+  SELECT t.k,
+    CASE WHEN s.k IS NOT NULL THEN s.price ELSE t.price END AS price,
+    CASE WHEN s.k IS NOT NULL THEN 'merged' END AS tag
+  FROM t LEFT JOIN s ON s.k = t.k
+  UNION ALL
+  SELECT s.k, s.price, 'merged' AS tag
+  FROM s LEFT JOIN t ON t.k = s.k WHERE t.k IS NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(tag) AS BIGINT) AS n_tagged,
+  ${Exact.decSumSql("price", 2)} AS sum_price,
+  false AS pre_has_tag,
+  (SELECT CAST(count(*) AS BIGINT) FROM t) AS pre_n
+FROM merged""")),
   )
 }

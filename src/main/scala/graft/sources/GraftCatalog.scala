@@ -44,7 +44,7 @@ import org.apache.spark.util.SerializableConfiguration
   * ever touches data files.
   */
 class GraftCatalog extends TableCatalog with FunctionCatalog
-  with ProcedureCatalog with ViewCatalog {
+  with ProcedureCatalog with ViewCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -204,11 +204,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     *    SINGLE-VALUED part per distinct value — point predicates
     *    prune to the value's parts and GROUP BY the column answers
     *    from the manifest alone (grouped metadata aggregates). */
-  override def createTable(
-      ident: Identifier, schema: StructType,
-      partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
-    val bucketSpec: Option[(Int, String)] = partitions.toSeq match {
+  /** Shared by CREATE TABLE and the staged CTAS path: the layout
+    * transform list → the persisted (buckets, column) spec (0 encodes
+    * the identity split). */
+  private def parseLayout(schema: StructType,
+      partitions: Array[Transform]): Option[(Int, String)] =
+    partitions.toSeq match {
       case Seq() => None
       case Seq(t) if t.name() == "identity" && t.arguments().length == 1 =>
         val name = t.arguments()(0) match {
@@ -244,6 +245,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         s"graft tables support PARTITIONED BY (bucket(n, col)) or " +
           s"PARTITIONED BY (col), got ${other.mkString(", ")}")
     }
+
+  override def createTable(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val bucketSpec: Option[(Int, String)] = parseLayout(schema, partitions)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     bucketSpec.foreach { case (n, col) =>
       require(n >= 0, s"bucket count must be >= 0, got $n")
@@ -274,6 +281,38 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           .copy(defaults = defaults)),
       op = "create")
     loadTable(ident)
+  }
+
+  /** Atomic CTAS / RTAS ([[GraftStagedTable]]): `CREATE TABLE … AS
+    * SELECT` and `REPLACE TABLE … AS SELECT` stage the query's parts
+    * first and publish ONE snapshot at the end — a failed query
+    * leaves no new table (CTAS) / the old table untouched and
+    * readable (RTAS). Spark routes here automatically because the
+    * catalog implements StagingTableCatalog. */
+  override def stageCreate(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val schema = org.apache.spark.sql.graftbridge.GraftCatalogV2.toStructType(columns)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    new GraftStagedTable(ident, tablePath(ident), schema,
+      parseLayout(schema, partitions), replace = false)
+  }
+
+  override def stageReplace(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val schema = org.apache.spark.sql.graftbridge.GraftCatalogV2.toStructType(columns)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftStagedTable(ident, tablePath(ident), schema,
+      parseLayout(schema, partitions), replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      columns: Array[Column], partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val schema = org.apache.spark.sql.graftbridge.GraftCatalogV2.toStructType(columns)
+    new GraftStagedTable(ident, tablePath(ident), schema,
+      parseLayout(schema, partitions), replace = tableExists(ident))
   }
 
   /** `ALTER TABLE t ADD | RENAME | DROP COLUMN` — the DDL face of the
@@ -926,10 +965,16 @@ private[sources] class GraftCatalogTable(
 
   override def name(): String = ident.toString
   override def schema(): StructType = tableSchema
+  // AUTOMATIC_SCHEMA_EVOLUTION opts into Spark's
+  // ResolveMergeIntoSchemaEvolution: `MERGE … WITH SCHEMA EVOLUTION`
+  // funnels the source's new columns through this catalog's OWN
+  // alterTable (AddColumn at end, fresh field id, metadata-only) —
+  // no parallel evolution path exists
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER).asJava
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   /** `spark.read.option("branch", "audit").table(...)` reads the
     * branch head — the audit-side read of write-audit-publish. */

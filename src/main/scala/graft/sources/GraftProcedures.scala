@@ -216,21 +216,28 @@ private[sources] final class ExpireSnapshotsProcedure(warehouse: String)
   extends GraftProcedure("expire_snapshots", warehouse) {
 
   override def description(): String =
-    "Expire all but the newest keep_last snapshots, then delete data " +
-      "files no retained snapshot or branch references (orphans only " +
-      "after orphan_grace_ms)"
+    "Expire all but the newest keep_last snapshots (optionally only " +
+      "those committed before older_than), then delete data files no " +
+      "retained snapshot or branch references (orphans only after " +
+      "orphan_grace_ms)"
 
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("table", StringType)
       .comment("table identifier relative to the catalog warehouse").build(),
-    ProcedureParameter.in("keep_last", IntegerType)
+    ProcedureParameter.in("keep_last", IntegerType).defaultValue("1")
       .comment("number of newest snapshot versions to retain").build(),
     ProcedureParameter.in("orphan_grace_ms", LongType)
       .defaultValue(ManifestMaintenance.DefaultOrphanGraceMs.toString)
       .comment("age gate before a never-referenced file is reclaimed").build(),
     ProcedureParameter.in("dry_run", BooleanType).defaultValue("false")
       .comment("report what would be expired/reclaimed; touch nothing")
-      .build())
+      .build(),
+    ProcedureParameter.in("older_than",
+        org.apache.spark.sql.types.TimestampType)
+      .defaultValue("CAST(NULL AS TIMESTAMP)")
+      .comment("expire only snapshots committed before this instant " +
+        "(the Iceberg retention-policy shape); composes with " +
+        "keep_last and tag pins").build())
 
   override def outputSchema: StructType = StructType(Seq(
     StructField("versions_expired", IntegerType, nullable = false),
@@ -241,7 +248,9 @@ private[sources] final class ExpireSnapshotsProcedure(warehouse: String)
     val dir = tableDir(input.getUTF8String(0).toString)
     val stats = ManifestMaintenance.expireSnapshots(
       ManifestSink.driverConf(), dir, input.getInt(1), input.getLong(2),
-      dryRun = !input.isNullAt(3) && input.getBoolean(3))
+      dryRun = !input.isNullAt(3) && input.getBoolean(3),
+      olderThanMs =
+        if (input.isNullAt(4)) None else Some(input.getLong(4) / 1000L))
     result(stats.versionsExpired, stats.filesDeleted, stats.versionsRetained)
   }
 }

@@ -25,9 +25,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * Honesty ledger (what pending clauses DEMOTE, all spec-pinned):
   * exact metadata answers (COUNT/SUM/MIN/MAX pushdown) decline;
   * `.files`/`.partitions` report visible_rows as NULL on pending
-  * parts; the change feed REFUSES to cross an eq commit (its deletes
-  * are not enumerable without a scan — compact first); stats stay
-  * safe OVER-approximations for pruning, budgets and limits.
+  * parts; the change feed crosses an eq commit by EVALUATING the new
+  * clauses at read time against the previously-visible rows — true
+  * row-level deletes, no pre-compaction refusal (`q_stream_cdf_eq`
+  * depends on this); stats stay safe OVER-approximations for
+  * pruning, budgets and limits.
   * Snapshot algebra stays intact: the clause change IS a part-line
   * restatement, so MV refresh restates affected parts by reference
   * (minus the old line, plus the masked new one) like any DV commit.
@@ -48,7 +50,14 @@ private[sources] object ManifestEq {
     * one `=` or `IN` filter on a BIGINT/STRING column. Values are
     * canonicalized to raw form ('l' = decimal string); NULLs in an
     * IN-list drop (`col = NULL` never matches a row). Anything else
-    * returns None and the session falls back to COW/MOR. */
+    * returns None and the session falls back to COW/MOR — the
+    * EXPLICIT ROUTING CONTRACT for the other common retention shape:
+    * a RANGE delete (`ts < cutoff`, BETWEEN) under eq mode takes the
+    * metadata/COW/MOR row-level paths, never a clause (EqSpec pins
+    * it). Ranges mask whole swaths of every part — the per-row token
+    * probe that makes `=`/IN clauses cheap to serve would become the
+    * dominant read cost, while range deletes are exactly what part
+    * min/max stats already decide well. */
   def translate(schema: StructType,
       filters: Array[V1Filter]): Option[(String, Seq[Any])] =
     filters match {
@@ -75,14 +84,27 @@ private[sources] object ManifestEq {
 
   /** Could this part hold a row matching the clause? Range, bloom and
     * null-count stats each get a veto; no stats = must mark (marking
-    * a clean part is only a read-side cost, never a wrong answer). */
+    * a clean part is only a read-side cost, never a wrong answer).
+    *
+    * `defaultTok` is the clause column's evaluated initial default in
+    * raw clause-value form, when one exists: a part whose recorded
+    * layout never wrote the column serves EVERY row that frozen
+    * default (see [[ColDefaults]]), so it must be marked exactly when
+    * the default is a clause value — the stats branches below would
+    * otherwise never-match it and the delete would silently skip its
+    * rows. Without a default those rows read NULL, which a non-null
+    * clause value never matches: exonerated. */
   private[sources] def mayMatch(p: PartMeta, c: EqClause,
-      keyCol: Option[String], strCol: Option[String]): Boolean =
+      keyCol: Option[String], strCol: Option[String],
+      defaultTok: Option[String] = None): Boolean =
     if (p.rows == 0L) false
+    else if (p.cols.nonEmpty && !p.cols.contains(c.fieldId))
+      defaultTok.exists(c.values.contains)
     else if (keyCol.contains(c.col))
       c.values.exists(v => p.mayContain(v.toLong))
     else if (strCol.contains(c.col))
-      (p.sNulls >= 0 && p.sNulls == p.rows) || // all-null: no match
+      // all-null string part cannot match a (non-null) clause value
+      !(p.sNulls >= 0 && p.sNulls == p.rows) &&
         c.values.exists(v => p.strOverlaps(Some(v), Some(v)))
     else p.cstats.get(c.col) match {
       case Some(st) if st.kind == 'l' =>
@@ -126,11 +148,17 @@ private[sources] object ManifestEq {
         s"equality delete: unsupported column '$col'"))
     val keyCol = schema.fields.find(_.dataType == LongType).map(_.name)
     val strCol = schema.fields.find(_.dataType == StringType).map(_.name)
+    // the clause column's frozen initial default, raw form — parts
+    // whose layout predates the column serve it for every row
+    val dfltTok: Option[String] =
+      ColDefaults.byName(schema, ManifestSink.readSchemaAndColMap(conf, path))
+        .get(col).map(_.toString)
     // an IN-list of only NULLs matches nothing: commit nothing
     if (clause.values.isEmpty) return
     ManifestSink.publishRebase(conf, path, schema, history = true,
       rebase = head => head.map { p =>
-        if (mayMatch(p, clause, keyCol, strCol)) p.copy(eq = p.eq :+ clause)
+        if (mayMatch(p, clause, keyCol, strCol, dfltTok))
+          p.copy(eq = p.eq :+ clause)
         else p
       },
       strictBase = None, branch = branch, op = "delete")

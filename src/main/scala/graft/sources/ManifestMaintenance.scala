@@ -535,7 +535,8 @@ object ManifestMaintenance {
     *    age gate Iceberg/Delta apply to orphan cleanup. */
   def expireSnapshots(conf: Configuration, dir: String, keepLast: Int,
       orphanGraceMs: Long = DefaultOrphanGraceMs,
-      dryRun: Boolean = false): ExpireStats = {
+      dryRun: Boolean = false,
+      olderThanMs: Option[Long] = None): ExpireStats = {
     require(keepLast >= 1, "must retain at least the head snapshot")
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
@@ -546,8 +547,18 @@ object ManifestMaintenance {
     val tagged: Set[Int] = ManifestSink.listTags(conf, dir).map(_._2).toSet
     val (old, newest) =
       versions.splitAt(math.max(0, versions.length - keepLast))
-    val expire = old.filterNot(tagged.contains)
-    val retain = old.filter(tagged.contains) ++ newest
+    // TIME-BASED retention (`older_than => timestamp`, Iceberg's
+    // expire_snapshots shape): only snapshots COMMITTED before the
+    // cutoff expire — a version file is immutable once claimed, so
+    // its mtime IS the commit time (same clock SQL `TIMESTAMP AS OF`
+    // resolves against). Composes with keep_last (the newest
+    // keep_last survive regardless of age) and tag pins; a cutoff in
+    // the future degenerates to pure keep_last retention.
+    def committedBefore(v: Int): Boolean = olderThanMs.forall(ms =>
+      fs.getFileStatus(new Path(d, ManifestSink.versionFile(v)))
+        .getModificationTime < ms)
+    val expire = old.filterNot(tagged.contains).filter(committedBefore)
+    val retain = versions.filterNot(expire.contains)
 
     // files a snapshot references: its data parts AND any deletion-
     // vector sidecars its parts point at — a sidecar is as load-
@@ -592,11 +603,22 @@ object ManifestMaintenance {
       // crashed-maintenance DEBRIS: compaction / MV-refresh staging
       // directories are deleted by their own finally blocks, so one
       // still present is a crash leftover — reclaimable once past the
-      // same grace gate (a LIVE maintenance run's stage is younger).
-      // They hold only by-reference manifests, never the data.
+      // same grace gate. The gate is the NEWEST mtime among the dir's
+      // children, not the dir's own (which only moves on entry
+      // create/delete): a live compaction or MV refresh legitimately
+      // running longer than a caller-shortened grace keeps touching
+      // its staged files, and must not lose its stage mid-run.
+      def liveliest(p: Path, own: Long): Long =
+        try {
+          val kids = fs.listStatus(p)
+          if (kids.isEmpty) own
+          else math.max(own, kids.map(_.getModificationTime).max)
+        } catch {
+          case scala.util.control.NonFatal(_) => now // racing: not stale
+        }
       val staleTmpDir = st.isDirectory &&
         (name.startsWith("_compact-") || name.startsWith("_mv-")) &&
-        now - st.getModificationTime > orphanGraceMs
+        now - liveliest(st.getPath, st.getModificationTime) > orphanGraceMs
       if (reclaimable && !referenced.contains(name) &&
           (expiredRefs.contains(name) ||
             now - st.getModificationTime > orphanGraceMs)) {

@@ -941,7 +941,23 @@ object ManifestSink {
     }
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
-    val ddl = schema.toDDL.replace("\\", "\\\\").replace("\"", "\\\"")
+    // strip default-value field metadata before rendering: the catalog
+    // re-attaches CURRENT_DEFAULT/EXISTS_DEFAULT on loadTable (Spark's
+    // default resolution reads it), and Spark 4's toDDL renders that
+    // metadata as a `DEFAULT v` clause that fromDDL cannot parse back.
+    // The colmap header is the canonical default store; the schema
+    // header stays plain name+type(+comment).
+    val ddlSchema = StructType(schema.fields.map { f =>
+      if (f.metadata.contains("CURRENT_DEFAULT") ||
+          f.metadata.contains("EXISTS_DEFAULT")) {
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        b.remove("CURRENT_DEFAULT")
+        b.remove("EXISTS_DEFAULT")
+        f.copy(metadata = b.build())
+      } else f
+    })
+    val ddl = ddlSchema.toDDL.replace("\\", "\\\\").replace("\"", "\\\"")
     def render(version: Int, parts: Seq[PartMeta], cm: ColMap): Array[Byte] = {
       val content = new StringBuilder
       content.append(s"""{"schema":"$ddl"}""").append('\n')

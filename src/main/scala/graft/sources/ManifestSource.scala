@@ -1344,10 +1344,15 @@ private[sources] class ManifestChangeFeedStream(
       // matching the NEW clauses among those visible before (old DV,
       // old clauses) — so the feed emits true row-level deletes for
       // an eq commit by evaluating the clause at read time
+      // drop-mask is the NEW vector, not the old: if one commit grows
+      // both the DV and the clause list, the DV delta's rows are
+      // already emitted by dvDeletes above — masking eqDeletes with
+      // the new vector keeps the two partitions disjoint (no row's
+      // delete double-emits)
       val eqDeletes = cur.flatMap { m =>
         prev.get(m.path) match {
           case Some(old) if m.eq.size > old.eq.size =>
-            Some(ManifestCdfPartition(m.path, "delete", v, vecHex(old),
+            Some(ManifestCdfPartition(m.path, "delete", v, vecHex(m),
               cols = m.cols, eqBlob = EqClause.encode(old.eq),
               emitOnlyEqBlob = EqClause.encode(m.eq.drop(old.eq.size))))
           case _ => None
@@ -1406,8 +1411,11 @@ private[sources] class ManifestCdfReaderFactory(
       // an earlier eq commit already removed from ANY replay;
       // `onlyEq` inverts selection for an eq commit's own delete
       // diff — emit exactly the rows its new clauses match
-      private val dropEq = EqMask.matchers(part.eqBlob, part.cols)
-      private val onlyEq = EqMask.matchers(part.emitOnlyEqBlob, part.cols)
+      private val eqDflts =
+        EqMask.defaultToks(baseSchema, ids, initDefaults)
+      private val dropEq = EqMask.matchers(part.eqBlob, part.cols, eqDflts)
+      private val onlyEq =
+        EqMask.matchers(part.emitOnlyEqBlob, part.cols, eqDflts)
       private val in = path.getFileSystem(conf.value).open(path)
       private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       private var current: InternalRow = _
@@ -1519,14 +1527,35 @@ private[sources] object ColDefaults {
 }
 
 /** Shared equality-clause line matching for the batch and CDF
-  * readers: clauses compile ONCE per part to (line slot, token set) —
-  * slot through the part's recorded layout by stable field id, values
-  * to the exact line-token form — so the per-row check is a raw-token
-  * set probe, zero decode. A clause whose field the part never wrote
-  * resolves past every line (never matches). */
+  * readers: clauses compile ONCE per part to (line slot, token set,
+  * default-matches) — slot through the part's recorded layout by
+  * stable field id, values to the exact line-token form — so the
+  * per-row check is a raw-token set probe, zero decode.
+  *
+  * A clause whose field the part never wrote (slot missing from the
+  * layout, or past a short line's width) does NOT simply never-match:
+  * the reader serves those rows the column's frozen EXISTS default
+  * (see [[ColDefaults]]), so the mask must drop them exactly when
+  * that default equals a clause value — otherwise `DELETE WHERE c =
+  * v` on a defaulted column silently leaves pre-ADD rows visible,
+  * a failed delete in the eq path's own GDPR use case. With no
+  * default the missing slot reads NULL, which a non-null clause
+  * value never matches — the old never-match behavior. */
 private[sources] object EqMask {
-  def matchers(blob: String,
-      partCols: Seq[Int]): Array[(Int, Set[String])] =
+  /** fieldId -> RAW default string (pre line-token encoding) for
+    * every schema column carrying an evaluated initial default. */
+  def defaultToks(schema: StructType, ids: Seq[Int],
+      initDefaults: Map[String, Any]): Map[Int, String] =
+    if (initDefaults.isEmpty) Map.empty
+    else schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      val id = if (ids.nonEmpty) ids(i) else i
+      initDefaults.get(f.name).filter(_ != null)
+        .map(v => id -> v.toString)
+    }.toMap
+
+  def matchers(blob: String, partCols: Seq[Int],
+      defaults: Map[Int, String] = Map.empty)
+      : Array[(Int, Set[String], Boolean)] =
     EqClause.decode(blob).map { c =>
       val slot =
         if (partCols.isEmpty) c.fieldId
@@ -1534,16 +1563,23 @@ private[sources] object EqMask {
           val s = partCols.indexOf(c.fieldId)
           if (s < 0) Int.MaxValue else s
         }
-      slot -> c.values.map(v =>
+      val vals = c.values.map(v =>
         if (c.kind == 's') ManifestCodec.encodeString(v) else v).toSet
+      val dfltTok = defaults.get(c.fieldId).map(v =>
+        if (c.kind == 's') ManifestCodec.encodeString(v) else v)
+      (slot, vals, dfltTok.exists(vals.contains))
     }.toArray
 
-  def matches(ms: Array[(Int, Set[String])],
+  def matches(ms: Array[(Int, Set[String], Boolean)],
       toks: Array[String]): Boolean = {
     var i = 0
     while (i < ms.length) {
-      val (slot, vals) = ms(i)
-      if (slot < toks.length && vals.contains(toks(slot))) return true
+      val (slot, vals, defaultMatches) = ms(i)
+      // slot past the line (short pre-ADD line, or missing from the
+      // part's layout — Int.MaxValue): the row serves the column's
+      // initial default, so it matches iff the default does
+      if (slot >= toks.length) { if (defaultMatches) return true }
+      else if (vals.contains(toks(slot))) return true
       i += 1
     }
     false
@@ -1613,8 +1649,11 @@ private[sources] class ManifestReaderFactory(
         if (part.dvRef.nonEmpty) DeleteVector.readRef(conf.value, part.dvRef)
         else DeleteVector.fromHex(part.dvHex)
       // EQUALITY-DELETE masking (see [[EqMask]]): rename/drop-proof
-      // by stable field id, zero per-row decode
-      private val eqMatchers = EqMask.matchers(part.eqBlob, part.cols)
+      // by stable field id, zero per-row decode; default-aware so a
+      // clause on a defaulted later-added column still drops the
+      // pre-ADD rows that serve the frozen default
+      private val eqMatchers = EqMask.matchers(part.eqBlob, part.cols,
+        EqMask.defaultToks(schema, ids, initDefaults))
       private def eqDeleted(cols: Array[String]): Boolean =
         EqMask.matches(eqMatchers, cols)
       private val in = path.getFileSystem(conf.value).open(path)

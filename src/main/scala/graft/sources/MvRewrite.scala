@@ -131,19 +131,29 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   private def substitute(spark: SparkSession, agg: Aggregate,
       t: Target): Option[LogicalPlan] = {
-    // MULTI-KEY shape gate: the grouping list must be exactly the
-    // MV's key COLUMNS — every grouping expression a bare attribute,
-    // the name sets equal (any order — GROUP BY b, a still routes),
-    // no repeats. Extra/missing keys decline: a coarser rollup over
-    // the MV would need re-aggregation (a further fold the rule does
-    // not attempt), a finer one is unanswerable.
+    // MULTI-KEY shape gate: every grouping expression a bare
+    // attribute, no repeats, and the name set either
+    //  - EXACTLY the MV's key list (any order — GROUP BY b, a still
+    //    routes): answered by a Project over the MV, or
+    //  - a nonempty STRICT SUBSET of the keys (the dashboard
+    //    drill-up): answered by RE-AGGREGATING the MV's O(groups)
+    //    state — counts and exact-decimal sums fold (both
+    //    associative: sum of per-group counts/sums IS the coarser
+    //    group's), min/max over the tracked column folds the stored
+    //    extremes. Non-foldable aggregates (avg, DISTINCT, sketches
+    //    at coarser grain) decline inside matchAgg.
+    // A finer grouping (extra keys) is unanswerable and declines.
     val keys = t.meta.keys
     val groupAttrs = agg.groupingExpressions.collect {
       case a: AttributeReference => a
     }
     if (groupAttrs.size != agg.groupingExpressions.size ||
-        groupAttrs.map(_.name).sorted != keys.sorted ||
         groupAttrs.map(_.name).distinct.size != groupAttrs.size) return None
+    val names = groupAttrs.map(_.name)
+    val exact = names.sorted == keys.sorted
+    val subset = !exact && names.nonEmpty &&
+      names.toSet.subsetOf(keys.toSet)
+    if (!exact && !subset) return None
     // the MV read is PINNED at the watermark's MV version — the
     // freshness check and the data served are one snapshot pair
     val mvPlan = spark.read.format("graft.sources.ManifestSource")
@@ -165,8 +175,14 @@ object MvRewrite extends Rule[LogicalPlan] {
         // the sketch leg only with distinct_col
         out.find(_.name == "min_value"), out.find(_.name == "max_value"),
         out.find(_.name == "ndv_sketch"),
-        t.meta, mvPlan.outputSet)
-    } yield Project(mapped, mvPlan)
+        t.meta, mvPlan.outputSet, reAgg = subset)
+    } yield
+      if (subset)
+        // coarser rollup: one Aggregate over the MV's O(groups) rows
+        // — the table is never rescanned; at 100 TB this turns the
+        // drill-up from a petabyte scan into a shuffle of the MV
+        Aggregate(keyPairs.map(_._2), mapped, mvPlan)
+      else Project(mapped, mvPlan)
   }
 
   /** Re-express every aggregate-output expression over the MV's
@@ -179,7 +195,7 @@ object MvRewrite extends Rule[LogicalPlan] {
       mvMax: Option[org.apache.spark.sql.catalyst.expressions.Attribute],
       mvSk: Option[org.apache.spark.sql.catalyst.expressions.Attribute],
       meta: ManifestMv.MvMeta,
-      mvOut: AttributeSet): Option[Seq[NamedExpression]] = {
+      mvOut: AttributeSet, reAgg: Boolean): Option[Seq[NamedExpression]] = {
     val keyById = keyPairs.map { case (k, mv) => k.exprId -> mv }.toMap
     val mapped: Seq[Option[NamedExpression]] = aggExprs.map {
       case a: AttributeReference if keyById.contains(a.exprId) =>
@@ -188,7 +204,7 @@ object MvRewrite extends Rule[LogicalPlan] {
         var ok = true
         val re = al.child.transformUp {
           case ae: AggregateExpression =>
-            matchAgg(ae, meta, mvN, mvS, mvMin, mvMax, mvSk)
+            matchAgg(ae, meta, mvN, mvS, mvMin, mvMax, mvSk, reAgg)
               .getOrElse { ok = false; ae }
           case a: AttributeReference if keyById.contains(a.exprId) =>
             keyById(a.exprId)
@@ -201,19 +217,39 @@ object MvRewrite extends Rule[LogicalPlan] {
     if (mapped.forall(_.isDefined)) Some(mapped.map(_.get)) else None
   }
 
+  /** Exact mode (`reAgg=false`): each matched aggregate becomes the
+    * MV's stored attribute. Re-aggregation mode (`reAgg=true`, the
+    * coarser drill-up): each matched aggregate becomes a FURTHER FOLD
+    * over the stored state — `count(1)` → `sum(n_rows)` (BIGINT sums
+    * to BIGINT), the tracked decimal sum → `sum(sum_value)`
+    * (DECIMAL(38,s) is already at max precision, the fold keeps the
+    * type), tracked min/max → min/max of the stored extremes. Result
+    * types are provably unchanged, so the plan above binds as-is.
+    * Sketches decline under reAgg (a union-fold is a different
+    * function; the exact-key route still serves them), as do
+    * DISTINCT/FILTER and everything unmatched — avg never matches in
+    * either mode (its single-expression form is not decomposable
+    * here; spelled as sum/count it folds leg-by-leg soundly). */
   private def matchAgg(ae: AggregateExpression, meta: ManifestMv.MvMeta,
       mvN: org.apache.spark.sql.catalyst.expressions.Attribute, mvS: org.apache.spark.sql.catalyst.expressions.Attribute,
       mvMin: Option[org.apache.spark.sql.catalyst.expressions.Attribute],
       mvMax: Option[org.apache.spark.sql.catalyst.expressions.Attribute],
-      mvSk: Option[org.apache.spark.sql.catalyst.expressions.Attribute]): Option[Expression] =
+      mvSk: Option[org.apache.spark.sql.catalyst.expressions.Attribute],
+      reAgg: Boolean): Option[Expression] =
     if (ae.isDistinct || ae.filter.isDefined) None
     else ae.aggregateFunction match {
-      case Count(Seq(Literal(1, _))) if ae.dataType == LongType => Some(mvN)
+      case Count(Seq(Literal(1, _))) if ae.dataType == LongType =>
+        if (reAgg) Some(ae.copy(aggregateFunction = Sum(mvN)))
+        else Some(mvN)
       case s: Sum => s.child match {
         case Cast(a: AttributeReference, dt: DecimalType, _, _)
             if a.name == meta.sumCol && dt.precision == 30 &&
               dt.scale == meta.scale && ae.dataType == mvS.dataType =>
-          Some(mvS)
+          if (reAgg) {
+            val folded = ae.copy(aggregateFunction = Sum(mvS))
+            // DECIMAL(38,s) folds to DECIMAL(38,s): same result type
+            if (folded.dataType == ae.dataType) Some(folded) else None
+          } else Some(mvS)
         case _ => None
       }
       // bare-column MIN/MAX over the MV's tracked column routes to
@@ -221,10 +257,14 @@ object MvRewrite extends Rule[LogicalPlan] {
       // stores the column's own type, never a cast)
       case Min(a: AttributeReference)
           if meta.mmCol.contains(a.name) &&
-            mvMin.exists(_.dataType == ae.dataType) => mvMin
+            mvMin.exists(_.dataType == ae.dataType) =>
+        if (reAgg) mvMin.map(m => ae.copy(aggregateFunction = Min(m)))
+        else mvMin
       case Max(a: AttributeReference)
           if meta.mmCol.contains(a.name) &&
-            mvMax.exists(_.dataType == ae.dataType) => mvMax
+            mvMax.exists(_.dataType == ae.dataType) =>
+        if (reAgg) mvMax.map(m => ae.copy(aggregateFunction = Max(m)))
+        else mvMax
       // `hll_sketch_agg(c)` over the MV's tracked distinct column at
       // the MAINTAINED lgConfigK routes to the stored sketch binary —
       // the usual spelling `hll_sketch_estimate(hll_sketch_agg(c))`
@@ -232,7 +272,7 @@ object MvRewrite extends Rule[LogicalPlan] {
       // sketch. A different lgConfigK is a different-precision
       // answer and declines; approx_count_distinct (HLL++, a
       // different sketch family) never matches.
-      case h: HllSketchAgg => h.left match {
+      case h: HllSketchAgg if !reAgg => h.left match {
         case a: AttributeReference
             if meta.ndvCol.contains(a.name) && h.right.foldable &&
               h.lgConfigK == ManifestMv.NdvLgK => mvSk

@@ -33,6 +33,54 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("CTAS commits as ONE snapshot; RTAS atomically replaces with " +
+    "time travel intact; a FAILED CTAS leaves no table and a FAILED " +
+    "RTAS leaves the old head untouched") {
+    wh
+    import spark.implicits._
+    (0L until 100L).map(i => (i, s"g${i % 4}")).toDF("k", "g")
+      .createOrReplaceTempView("gcs_ctas_src")
+    spark.sql("CREATE TABLE gcs.ns.cts AS SELECT k, g FROM gcs_ctas_src")
+    assert(spark.sql("SELECT count(*) FROM gcs.ns.cts").head.getLong(0)
+      === 100L)
+    assert(spark.sql("SELECT count(*) FROM gcs.ns.cts.history")
+      .head.getLong(0) === 1L, "CTAS is one produce-and-publish commit")
+    // RTAS: new schema, one truncate-style commit, history preserved
+    spark.sql("REPLACE TABLE gcs.ns.cts AS SELECT g, count(*) AS n " +
+      "FROM gcs_ctas_src GROUP BY g")
+    assert(spark.sql("SELECT * FROM gcs.ns.cts").schema.fieldNames.toSeq
+      === Seq("g", "n"))
+    assert(spark.sql("SELECT CAST(sum(n) AS BIGINT) FROM gcs.ns.cts")
+      .head.getLong(0) === 100L)
+    assert(spark.sql("SELECT count(*) FROM gcs.ns.cts VERSION AS OF 1")
+      .head.getLong(0) === 100L, "pre-replace snapshot readable")
+    // FAILED RTAS: the query errors mid-run → old head untouched,
+    // version log unchanged (no half-replaced state ever visible)
+    val vBefore = spark.sql("SELECT count(*) FROM gcs.ns.cts.history")
+      .head.getLong(0)
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE gcs.ns.cts AS " +
+        "SELECT g, raise_error('rtas boom') AS n FROM gcs_ctas_src")
+    }
+    assert(spark.sql("SELECT CAST(sum(n) AS BIGINT) FROM gcs.ns.cts")
+      .head.getLong(0) === 100L, "old table serves after failed RTAS")
+    assert(spark.sql("SELECT count(*) FROM gcs.ns.cts.history")
+      .head.getLong(0) === vBefore, "no version committed by the failure")
+    // FAILED CTAS: no manifest was ever committed → not a table
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcs.ns.ctsfail AS " +
+        "SELECT raise_error('ctas boom') AS x FROM gcs_ctas_src")
+    }
+    intercept[Exception] { spark.sql("SELECT * FROM gcs.ns.ctsfail") }
+    // CTAS with a layout: the target is born bucketed (spec persisted,
+    // inserts keep routing through it)
+    spark.sql("CREATE TABLE gcs.ns.ctsb PARTITIONED BY (bucket(4, k)) " +
+      "AS SELECT k, g FROM gcs_ctas_src")
+    assert(spark.sql("SELECT count(DISTINCT bucket) FROM " +
+      "gcs.ns.ctsb.files WHERE bucket >= 0").head.getLong(0) === 4L,
+      "CTAS wrote through the bucketed writer")
+  }
+
   test("INSERT INTO appends a snapshot; INSERT OVERWRITE logically truncates") {
     wh
     spark.sql("CREATE TABLE gcs.ns.dml (k BIGINT, s STRING)")

@@ -238,9 +238,37 @@ class MvSpec extends SparkSpec {
           r.getLong(3))).toSet
       assert(routed.collect().map(r => (r.getLong(0), r.getString(1),
         r.getLong(2), r.getLong(3))).toSet === expect)
+      // a SUBSET of the keys routes as a RE-AGGREGATION over the MV:
+      // the plan keeps an Aggregate, but its input is the MV's
+      // O(groups) state — the source table is absent from the plan —
+      // and counts/sums/extremes fold exactly
       val subset = spark.sql(
-        "SELECT s, count(*) AS n FROM gmv.ns.src4 GROUP BY s")
-      assert(hasAgg(subset), "key-subset rollup must decline")
+        "SELECT s, count(*) AS n, min(k) AS mn, max(k) AS mx " +
+          "FROM gmv.ns.src4 GROUP BY s")
+      val subPlan = subset.queryExecution.optimizedPlan.toString
+      assert(subPlan.contains("/ns/mv4") && !subPlan.contains("/ns/src4"),
+        s"key-subset rollup must re-aggregate the MV:\n$subPlan")
+      val subExpect = src4.groupBy(col("s"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("mn"),
+          max(col("k")).as("mx"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(subset.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet === subExpect,
+        "re-aggregated drill-up equals the from-scratch restatement")
+      // a GLOBAL rollup (empty grouping) still declines MV routing:
+      // there is no key left to re-aggregate on, and an empty MV
+      // would fold count to NULL instead of 0. (The plan may still
+      // lose its Aggregate — to the engine's own metadata-count
+      // pushdown, which answers from the manifest, never the MV.)
+      assert(!spark.sql("SELECT count(*) AS n FROM gmv.ns.src4")
+        .queryExecution.optimizedPlan.toString.contains("/ns/mv4"),
+        "global rollup must not route to the MV")
+      // DISTINCT at coarser grain must decline (not foldable)
+      val subDistinct = spark.sql(
+        "SELECT s, count(DISTINCT p) AS n FROM gmv.ns.src4 GROUP BY s")
+      assert(!subDistinct.queryExecution.optimizedPlan.toString
+        .contains("/ns/mv4"), "coarser DISTINCT must decline")
     } finally spark.conf.unset("graft.mv.rewrite")
   }
 

@@ -34,6 +34,48 @@ class RowLevelSpec extends SparkSpec {
     graft.sources.ManifestSink.readManifest(
       spark.sessionState.newHadoopConf(), path).map(_._1).toSet
 
+  test("MERGE WITH SCHEMA EVOLUTION auto-adds the source's new column " +
+    "as a metadata widening; without the clause the merge fails; time " +
+    "travel predates the column; rename-safety via fresh field id") {
+    import spark.implicits._
+    val path = mkTable("mev")
+    (0L until 1500L by 250L).map(i => (i, s"u$i", i * 10))
+      .toDF("k", "s", "extra").createOrReplaceTempView("grl_mev_src")
+    // WITHOUT the evolution clause: the unknown column must fail the
+    // merge at analysis, not half-apply
+    intercept[Exception] {
+      spark.sql("""MERGE INTO grl.ns.mev t USING grl_mev_src s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET s = s.s, extra = s.extra
+        WHEN NOT MATCHED THEN INSERT (k, s, extra)
+          VALUES (s.k, s.s, s.extra)""")
+    }
+    assert(!spark.table("grl.ns.mev").schema.fieldNames.contains("extra"),
+      "failed merge must not leave a half-evolved schema behind")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO grl.ns.mev t
+      USING grl_mev_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET s = s.s, extra = s.extra
+      WHEN NOT MATCHED THEN INSERT (k, s, extra)
+        VALUES (s.k, s.s, s.extra)""")
+    val rows = spark.sql("SELECT k, s, extra FROM grl.ns.mev").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(rows.length === 1002, "1000 target + 2 inserted (1000, 1250)")
+    val byK = rows.map(t => t._1 -> t).toMap
+    assert(byK(0L) === ((0L, "u0", 0L)), "matched row updated with extra")
+    assert(byK(1L) === ((1L, "v1", -1L)), "untouched row reads NULL extra")
+    assert(byK(1250L) === ((1250L, "u1250", 12500L)), "inserted with extra")
+    // the pre-merge snapshot predates the column entirely
+    val v1 = spark.sql("SELECT * FROM grl.ns.mev VERSION AS OF 1")
+    assert(!v1.schema.fieldNames.contains("extra"))
+    assert(v1.count() === 1000L)
+    // the evolved column behaves like any ALTER-added one: rename it
+    // and the data still resolves (fresh stable field id, not position)
+    spark.sql("ALTER TABLE grl.ns.mev RENAME COLUMN extra TO bonus")
+    assert(spark.sql("SELECT bonus FROM grl.ns.mev WHERE k = 1250")
+      .head.getLong(0) === 12500L)
+  }
+
   test("UPDATE rewrites ONLY the part holding the matched key") {
     val path = mkTable("upd")
     val before = headParts(path)

@@ -348,6 +348,62 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.unset("graft.triangles.broadcastMaxEdges")
   }
 
+  test("pagerank rank join + triangles degree join: broadcast within " +
+      "threshold, partitioned fallback beyond it, identical answers") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    def joins(df: org.apache.spark.sql.DataFrame,
+        key: String): (Int, Int) = {
+      val lines = df.queryExecution.executedPlan.toString
+        .linesIterator.filter(l => l.contains("Join") && l.contains(key))
+        .toSeq
+      (lines.count(_.contains("BroadcastHashJoin")),
+        lines.count(_.contains("ShuffledHashJoin")))
+    }
+    // pagerank: the per-iteration rank join keys on `node`
+    def pr() = SparkEntry.queries("q_pagerank")(spark, Sf0001)
+    val prB = pr()
+    val prExpected = rows(prB)
+    val (pb, ps) = joins(prB, "node#")
+    assert(pb >= 1 && ps === 0,
+      "default threshold must broadcast the rank table")
+    spark.conf.set("graft.pagerank.broadcastMaxNodes", "0")
+    try {
+      val prP = pr()
+      val (pb2, ps2) = joins(prP, "node#")
+      assert(pb2 === 0 && ps2 >= 1,
+        "zero threshold must flip the rank join to shuffle-hash")
+      assert(rows(prP) === prExpected,
+        "both rank-join strategies must rank identically")
+    } finally spark.conf.unset("graft.pagerank.broadcastMaxNodes")
+    // triangles: the degree-orientation subtree hides behind a
+    // localCheckpoint inside q_triangles, so the pin drives the
+    // factored helper directly — join keys are u / v, the degree
+    // table is the build side either way
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = (0L until 400L).map(i => (i % 23, (i * 7) % 31 + 100))
+      .distinct.toDF("u", "v").repartition(4, col("u"))
+    val deg = graft.queries.GraphOps.degreesOf(e)
+    def orient() = graft.queries.GraphOps.orientEdges(spark, e, deg)
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString)
+    val triB = orient()
+    val triExpected = sortedRows(triB)
+    val (tb, ts) = joins(triB, "[v#")
+    assert(tb >= 1 && ts === 0,
+      "default threshold must broadcast the degree table")
+    spark.conf.set("graft.triangles.broadcastMaxNodes", "0")
+    try {
+      val triP = orient()
+      assert(sortedRows(triP) === triExpected,
+        "both degree-join strategies must orient identically")
+      val (tb2, ts2) = joins(triP, "[v#")
+      assert(tb2 === 0 && ts2 >= 1,
+        "zero threshold must flip the degree join to shuffle-hash")
+    } finally spark.conf.unset("graft.triangles.broadcastMaxNodes")
+  }
+
   test("manifest byte stats flip a pruned fact scan from SMJ to broadcast") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -128,6 +128,74 @@ class EqSpec extends SparkSpec {
       .head.getLong(0) === expect, "publish is one metadata flip")
   }
 
+  test("eq delete on a defaulted later-added column drops the pre-ADD " +
+    "rows serving the frozen EXISTS default (string + long kinds); a " +
+    "non-default value exonerates them") {
+    mkTable("t5")
+    spark.sql("ALTER TABLE geq.ns.t5 ADD COLUMN tag STRING DEFAULT 'legacy'")
+    spark.sql("ALTER TABLE geq.ns.t5 ADD COLUMN n BIGINT DEFAULT 7")
+    spark.sql("INSERT INTO geq.ns.t5 VALUES " +
+      (1000L until 1010L).map(i => s"($i, 'sx', 0, 0.0, 'fresh', 9)")
+        .mkString(", "))
+    def n(): Long =
+      spark.sql("SELECT count(*) FROM geq.ns.t5").head.getLong(0)
+    assert(n() === 410L)
+    // non-default clause value: pre-ADD rows serve 7, must SURVIVE
+    eqMode { spark.sql("DELETE FROM geq.ns.t5 WHERE n = 9") }
+    assert(n() === 400L, "default 7 != 9 exonerates every pre-ADD row")
+    // the default itself as the clause value: every pre-ADD row serves
+    // 'legacy' from the frozen EXISTS default and MUST be dropped —
+    // before the default-aware mask this delete committed fine but
+    // left all 400 rows visible (the silent failed GDPR delete)
+    eqMode { spark.sql("DELETE FROM geq.ns.t5 WHERE tag = 'legacy'") }
+    assert(n() === 0L, "pre-ADD rows serving the default are deleted")
+
+    // long kind, and the change feed's eq diff enumerates the
+    // default-served rows with the served value materialized
+    val dir6 = mkTable("t6")
+    spark.sql("ALTER TABLE geq.ns.t6 ADD COLUMN m BIGINT DEFAULT 7")
+    eqMode { spark.sql("DELETE FROM geq.ns.t6 WHERE m = 7") }
+    assert(spark.sql("SELECT count(*) FROM geq.ns.t6").head.getLong(0)
+      === 0L, "long default matches: whole table masked")
+    val q = spark.readStream.format("graft.sources.ManifestSource")
+      .option("path", dir6).option("changeFeed", "true").load()
+      .writeStream.format("memory").queryName("geq_cdf_dflt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000); q.stop()
+    val dels = spark.sql("SELECT count(*), min(m), max(m) FROM " +
+      "geq_cdf_dflt WHERE _change_type = 'delete'").head
+    assert(dels.getLong(0) === 400L, "eq diff enumerates all 400")
+    assert(dels.getLong(1) === 7L && dels.getLong(2) === 7L,
+      "emitted deletes carry the served default value")
+  }
+
+  test("routing contract: a RANGE delete under eq mode routes to the " +
+    "row-level paths (never a clause), = and IN stay eq") {
+    mkTable("t7")
+    // range predicate: not an equality clause shape — even in eq mode
+    // it must take the COW/metadata path and physically apply
+    eqMode { spark.sql("DELETE FROM geq.ns.t7 WHERE k < 10") }
+    assert(spark.sql("SELECT count(*) FROM geq.ns.t7").head.getLong(0)
+      === 390L)
+    assert(spark.sql(
+      "SELECT coalesce(sum(eq_clauses), 0) FROM geq.ns.t7.files")
+      .head.getLong(0) === 0L,
+      "a range DELETE must not commit equality clauses")
+    // ...and an = delete right after still takes the metadata-only
+    // eq path (clauses appear, no part file rewritten)
+    val partsBefore = spark.sql(
+      "SELECT count(*) FROM geq.ns.t7.files").head.getLong(0)
+    eqMode { spark.sql("DELETE FROM geq.ns.t7 WHERE u = 3") }
+    assert(spark.sql("SELECT coalesce(sum(eq_clauses), 0) " +
+      "FROM geq.ns.t7.files").head.getLong(0) > 0L,
+      "the equality shape commits clauses")
+    assert(spark.sql("SELECT count(*) FROM geq.ns.t7.files")
+      .head.getLong(0) === partsBefore, "eq delete rewrites no part")
+    assert(spark.sql("SELECT count(*) FROM geq.ns.t7").head.getLong(0)
+      === (10L until 400L).count(_ % 23 != 3).toLong)
+  }
+
   test("MV refresh across an eq commit restates affected groups " +
     "(snapshot algebra intact); ANALYZE over masked rows records " +
     "exact null counts") {

@@ -165,6 +165,52 @@ class ProcedureSpec extends graft.SparkSpec {
     assert(ex.getAs[Int]("versions_retained") === 1)
   }
 
+  test("expire_snapshots older_than: past cutoff expires nothing young, " +
+    "future cutoff degenerates to keep_last, tags always pin") {
+    writeTable("ret", 60L, 2)                                    // v1
+    spark.sql("INSERT INTO gps.ns.ret VALUES (1000, 1)")         // v2
+    spark.sql("INSERT INTO gps.ns.ret VALUES (1001, 2)")         // v3
+    // cutoff in the PAST (epoch): nothing is old enough — time-based
+    // retention must not expire a single snapshot, whatever keep_last
+    val past = spark.sql(
+      "CALL gps.system.expire_snapshots(table => 'ns.ret', " +
+        "keep_last => 1, older_than => TIMESTAMP '1990-01-01 00:00:00')")
+      .collect().head
+    assert(past.getAs[Int]("versions_expired") === 0)
+    assert(past.getAs[Int]("versions_retained") === 3)
+    // tag v1, then a FUTURE cutoff with keep_last=1: v1 survives via
+    // the tag pin, v3 via keep_last, only v2 expires
+    spark.sql("CALL gps.system.tag(table => 'ns.ret', " +
+      "name => 'pinned', version => 1)")
+    val fut = spark.sql(
+      "CALL gps.system.expire_snapshots(table => 'ns.ret', " +
+        "keep_last => 1, older_than => TIMESTAMP '2100-01-01 00:00:00')")
+      .collect().head
+    assert(fut.getAs[Int]("versions_expired") === 1,
+      "only the untagged, non-head snapshot expires")
+    assert(fut.getAs[Int]("versions_retained") === 2)
+    assert(spark.sql(
+      "SELECT count(*) FROM gps.ns.ret VERSION AS OF 'pinned'")
+      .head.getLong(0) === 60L, "tagged snapshot still reads")
+    intercept[Exception] {
+      spark.sql("SELECT count(*) FROM gps.ns.ret VERSION AS OF 2").collect()
+    }
+    // everything tagged: nothing can expire
+    spark.sql("CALL gps.system.tag(table => 'ns.ret', " +
+      "name => 'head3', version => 3)")
+    val all = spark.sql(
+      "CALL gps.system.expire_snapshots(table => 'ns.ret', " +
+        "keep_last => 1, older_than => TIMESTAMP '2100-01-01 00:00:00')")
+      .collect().head
+    assert(all.getAs[Int]("versions_expired") === 0,
+      "tag pins beat the retention policy")
+    // keep_last itself now binds from its declared default (1)
+    val dflt = spark.sql(
+      "CALL gps.system.expire_snapshots(table => 'ns.ret')")
+      .collect().head
+    assert(dflt.getAs[Int]("versions_retained") === 2)
+  }
+
   test("fast_forward publishes a branch head; drop_branch cleans up") {
     import spark.implicits._
     val t = writeTable("wap", 100L, 2)                        // main v1

@@ -21,6 +21,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def canon_types(cols, types):
+    """Sorted-by-column-name list of (col, duckdb type string)."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return [(cols[i], str(types[i]).upper()) for i in order]
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -65,6 +71,29 @@ def main():
         ec, er = canon(exp, exp_cols)
         if gc != ec:
             print(f"✗ {name}: COLUMN MISMATCH spark={gc} duck={ec}")
+            n_fail += 1
+            continue
+        # Type-strict gate: the driver's hash is type-sensitive (a
+        # DECIMAL(20,2) vs DECIMAL(18,2) result hash-mismatches even
+        # when every value is identical — q_lateral_alias, r15), so a
+        # values-only compare is blind to a whole driver failure class.
+        # DECIMAL width/scale drift is a hard FAIL; other type drift
+        # (e.g. INTEGER vs BIGINT from differing literal typing) is
+        # surfaced as a warning since the driver's 270 green rows prove
+        # those pairings hash-compatible today.
+        gt = canon_types(got_cols, got_rel.types)
+        et = canon_types(exp_cols, exp_rel.types)
+        type_fail = False
+        for (c1, t1), (_, t2) in zip(gt, et):
+            if t1 == t2:
+                continue
+            if "DECIMAL" in t1 or "DECIMAL" in t2:
+                print(f"✗ {name}: DECIMAL TYPE MISMATCH col={c1} "
+                      f"spark={t1} duck={t2}")
+                type_fail = True
+            else:
+                print(f"! {name}: type warn col={c1} spark={t1} duck={t2}")
+        if type_fail:
             n_fail += 1
             continue
         if len(gr) != len(er):
