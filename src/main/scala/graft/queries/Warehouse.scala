@@ -3233,6 +3233,211 @@ WHERE event_id <= (SELECT max(event_id) // 4 FROM events)
     AS n_pre_replace
 FROM events""")),
 
+    // --- NATIVE STREAMING SINK (`writeStream.toTable` —
+    // STREAMING_WRITE + ManifestStreamingWrite): micro-batch epochs
+    // append snapshots through the SAME commit protocol as batch
+    // writes, with EXACTLY-ONCE delivery — the idempotence marker is
+    // the snapshot's own op label (`stream:<queryId>:<epochId>`), so
+    // marker and data commit atomically (no foreachBatch, no manual
+    // marker files — compare q_stream_medallion, the DIY shape this
+    // replaces). The fixture throttles the source (maxPartsPerTrigger)
+    // so the one AvailableNow run spans MULTIPLE epochs, and gates
+    // that ≥2 stream-labeled versions landed plus the full rollup.
+    // ManifestStreamSpec pins crash-replay: a re-delivered epoch
+    // finds its token and drops its duplicate output. At 100 TB this
+    // is the continuous-ingest shape: one snapshot per epoch, O(new
+    // data) cost, the log is the transaction ledger.
+    QueryDef("q_stream_sink",
+      (spark0, dir) => {
+        val spark = graft.streaming.Streams.streamSession(spark0)
+        val wh = freshTable(spark, dir, "streamsink")
+        spark.conf.set("spark.sql.catalog.graftss",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftss.warehouse", wh)
+        val bronze = s"$wh/wh/bronze"
+        val base = Tables.orders(spark, dir).select(
+          col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        writeHistory(base.filter(col("k") % 3 === 0), bronze, "overwrite")
+        writeHistory(base.filter(col("k") % 3 === 1), bronze, "append")
+        writeHistory(base.filter(col("k") % 3 === 2), bronze, "append")
+        // the sink is born empty via CTAS (same schema, zero rows)
+        spark.sql("CREATE TABLE graftss.wh.silver AS " +
+          "SELECT * FROM (SELECT CAST(0 AS BIGINT) k, '' prio, " +
+          "CAST(0.0 AS DOUBLE) price) WHERE 1 = 0")
+        val q = spark.readStream
+          .format("graft.sources.ManifestSource").option("path", bronze)
+          .option("maxPartsPerTrigger", "4")
+          .load()
+          .filter(col("price") > 1000.0)
+          .writeStream
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("graft-ssink-ckpt-").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("graftss.wh.silver")
+        q.awaitTermination()
+        val epochs = spark.sql("SELECT count(*) FROM " +
+          "graftss.wh.silver.history WHERE operation LIKE 'stream:%'")
+          .head.getLong(0)
+        spark.sql(s"""SELECT prio, count(*) AS n,
+            ${Exact.decSumSql("price", 2).replace("VARCHAR", "STRING")}
+              AS sum_price
+          FROM graftss.wh.silver GROUP BY prio""")
+          .withColumn("multi_epoch", lit(epochs >= 2L))
+          .orderBy(col("prio"))
+      },
+      Some(s"""SELECT o_orderpriority AS prio,
+  CAST(count(*) AS BIGINT) AS n,
+  ${Exact.decSumSql("o_totalprice", 2)} AS sum_price,
+  true AS multi_epoch
+FROM orders WHERE o_totalprice > 1000.0
+GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // --- STATIC PARTITION OVERWRITE (`INSERT OVERWRITE t PARTITION
+    // (etype = 'click') SELECT …`): on an identity-split table the
+    // static partition spec arrives as OverwriteByExpression
+    // (etype = 'click') — the REPLACE WHERE machinery applies it as
+    // ONE atomic snapshot: the single-valued 'click' parts drop
+    // METADATA-ONLY (split layout ⇒ no part straddles the predicate,
+    // zero COW rewrites), other partitions carry by reference, the
+    // new rows append through the split writer. The Hive-shaped
+    // backfill idiom ("rebuild one partition") on the snapshot log,
+    // gated against the oracle's restatement; pre-overwrite snapshot
+    // still time-travels. At 100 TB: rebuilding one partition costs
+    // that partition's write + one manifest commit.
+    QueryDef("q_overwrite_partition",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "owpart")
+        spark.conf.set("spark.sql.catalog.graftop",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftop.warehouse", wh)
+        spark.sql("CREATE TABLE graftop.wh.ev " +
+          "(event_id BIGINT, value DOUBLE, etype STRING) " +
+          "PARTITIONED BY (etype)")
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("value"), col("event_type"))
+          .createOrReplaceTempView("graft_owp_src")
+        spark.sql("INSERT INTO graftop.wh.ev " +
+          "SELECT event_id, value, event_type FROM graft_owp_src")
+        // rebuild ONE partition: halved ids, doubled values
+        spark.sql("INSERT OVERWRITE graftop.wh.ev " +
+          "PARTITION (etype = 'click') " +
+          "SELECT event_id, value * 2 FROM graft_owp_src " +
+          "WHERE event_type = 'click' AND event_id % 2 = 0")
+        val pre = spark.sql(
+          "SELECT count(*) FROM graftop.wh.ev VERSION AS OF 2")
+          .head.getLong(0)
+        spark.sql(s"""SELECT etype, count(*) AS n,
+            ${Exact.decSumSql("value", 2).replace("VARCHAR", "STRING")}
+              AS sum_value
+          FROM graftop.wh.ev GROUP BY etype""")
+          .withColumn("n_pre_overwrite", lit(pre))
+          .orderBy(col("etype"))
+      },
+      Some(s"""WITH cur AS (
+  SELECT event_type AS etype, value FROM events
+  WHERE event_type <> 'click'
+  UNION ALL
+  SELECT 'click' AS etype, value * 2 AS value FROM events
+  WHERE event_type = 'click' AND event_id % 2 = 0)
+SELECT etype, CAST(count(*) AS BIGINT) AS n,
+  ${Exact.decSumSql("value", 2)} AS sum_value,
+  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_pre_overwrite
+FROM cur GROUP BY etype ORDER BY etype""")),
+
+    // --- DML WITH SUBQUERIES (`DELETE … WHERE k IN (SELECT …)`,
+    // `UPDATE … WHERE EXISTS (…)`): the predicate is not a pushable
+    // V1 filter, so Spark plans the row-level operation
+    // (SupportsRowLevelOperations) — the subquery joins against the
+    // matched-group scan, the rewrite stays bounded to matched parts.
+    // The cross-table conditional DML every warehouse user writes
+    // (delete rows flagged by another table, update rows that have a
+    // match), gated against the oracle's restatement of both steps.
+    QueryDef("q_dml_subquery",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "dmlsub")
+        spark.conf.set("spark.sql.catalog.graftds",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftds.warehouse", wh)
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey").as("k"),
+            col("o_orderpriority").as("prio"),
+            col("o_totalprice").as("price"))
+          .repartitionByRange(4, col("k"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", s"$wh/wh/ord").option("history", "true")
+          .mode("overwrite").save()
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_quantity"))
+          .createOrReplaceTempView("graft_dml_li")
+        // delete orders whose lineitems ever shipped quantity > 49
+        spark.sql("DELETE FROM graftds.wh.ord WHERE k IN " +
+          "(SELECT l_orderkey FROM graft_dml_li WHERE l_quantity > 49)")
+        // relabel orders that still have any lineitem at all
+        spark.sql("UPDATE graftds.wh.ord SET prio = 'HAS-ITEMS' " +
+          "WHERE EXISTS (SELECT 1 FROM graft_dml_li " +
+          "WHERE l_orderkey = k)")
+        spark.sql(s"""SELECT prio, count(*) AS n,
+            ${Exact.decSumSql("price", 2).replace("VARCHAR", "STRING")}
+              AS sum_price
+          FROM graftds.wh.ord GROUP BY prio ORDER BY prio""")
+      },
+      Some(s"""WITH kept AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+    o_totalprice AS price
+  FROM orders
+  WHERE o_orderkey NOT IN
+    (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)),
+relabeled AS (
+  SELECT k,
+    CASE WHEN EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = k)
+         THEN 'HAS-ITEMS' ELSE prio END AS prio,
+    price
+  FROM kept)
+SELECT prio, CAST(count(*) AS BIGINT) AS n,
+  ${Exact.decSumSql("price", 2)} AS sum_price
+FROM relabeled GROUP BY prio ORDER BY prio""")),
+
+    // --- TABLE PROPERTIES (TBLPROPERTIES / COMMENT ON TABLE —
+    // GraftCatalog SetProperty/RemoveProperty + the _PROPS.json
+    // sidecar): the operational key-value surface every warehouse
+    // table carries — ownership tags, policy knobs, comments. The
+    // ladder drives create-with-properties → SET (add + overwrite) →
+    // UNSET → data commits and a metadata-only ADD COLUMN (property
+    // storage is table-level, snapshot commits must not disturb it) →
+    // SHOW TBLPROPERTIES read back, gated row-for-row. Properties
+    // are pure driver metadata at any table size.
+    QueryDef("q_tblproperties",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "tblprops")
+        spark.conf.set("spark.sql.catalog.grafttp",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.grafttp.warehouse", wh)
+        spark.sql("CREATE TABLE grafttp.wh.t (k BIGINT, v DOUBLE) " +
+          "TBLPROPERTIES ('team' = 'data-eng', 'pii' = 'unknown')")
+        spark.sql("ALTER TABLE grafttp.wh.t SET TBLPROPERTIES " +
+          "('pii' = 'true', 'retention.days' = '30')")
+        spark.sql("ALTER TABLE grafttp.wh.t UNSET TBLPROPERTIES ('team')")
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("value"))
+          .filter(col("event_id") % 4 === 0)
+          .createOrReplaceTempView("graft_props_src")
+        spark.sql("INSERT INTO grafttp.wh.t SELECT * FROM graft_props_src")
+        spark.sql("ALTER TABLE grafttp.wh.t ADD COLUMN note STRING")
+        val n = spark.sql("SELECT count(*) FROM grafttp.wh.t")
+          .head.getLong(0)
+        spark.sql("SHOW TBLPROPERTIES grafttp.wh.t")
+          .unionAll(spark.range(1).select(lit("_n_rows").as("key"),
+            lit(n.toString).as("value")))
+          .orderBy(col("key"))
+      },
+      Some("""SELECT key, value FROM (VALUES
+  ('_n_rows', CAST((SELECT count(*) FROM events WHERE event_id % 4 = 0)
+     AS VARCHAR)),
+  ('pii', 'true'),
+  ('retention.days', '30')) AS p(key, value)
+ORDER BY key""")),
+
     // --- MERGE INTO WITH SCHEMA EVOLUTION (Spark 4's
     // ResolveMergeIntoSchemaEvolution → this catalog's alterTable):
     // the ingest shape users actually hit on drifting upstream

@@ -108,7 +108,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           })
         new GraftCatalogTable(ident, p, withDefaults,
           ManifestSink.readTableSpec(conf, p),
-          ManifestSink.readTableOrder(conf, p))
+          ManifestSink.readTableOrder(conf, p),
+          ManifestSink.readTableProps(conf, p))
       case None =>
         // METADATA TABLES (the Iceberg `db.table.history` shape):
         // `SELECT * FROM cat.ns.t.history|files|branches` parses as
@@ -272,6 +273,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       val g = StructField(f.name, f.dataType, f.nullable)
       f.getComment().fold(g)(g.withComment)
     })
+    // TBLPROPERTIES at create: persist the user's keys (and the
+    // COMMENT, which Spark delivers as the 'comment' property);
+    // engine-reserved keys are not table metadata
+    val userProps = properties.asScala.toMap -- Seq(
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL)
+    if (userProps.nonEmpty)
+      ManifestSink.writeTableProps(conf, tablePath(ident), userProps)
     // a table is born as a schema-only snapshot: same commit protocol,
     // zero parts — readers see an empty versioned table immediately
     ManifestSink.publishSnapshot(conf, tablePath(ident), clean, Seq.empty,
@@ -295,7 +304,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     val schema = org.apache.spark.sql.graftbridge.GraftCatalogV2.toStructType(columns)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     new GraftStagedTable(ident, tablePath(ident), schema,
-      parseLayout(schema, partitions), replace = false)
+      parseLayout(schema, partitions), replace = false,
+      tableProps = stagedProps(properties))
   }
 
   override def stageReplace(ident: Identifier, columns: Array[Column],
@@ -304,7 +314,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     val schema = org.apache.spark.sql.graftbridge.GraftCatalogV2.toStructType(columns)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new GraftStagedTable(ident, tablePath(ident), schema,
-      parseLayout(schema, partitions), replace = true)
+      parseLayout(schema, partitions), replace = true,
+      tableProps = stagedProps(properties))
   }
 
   override def stageCreateOrReplace(ident: Identifier,
@@ -312,8 +323,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       properties: util.Map[String, String]): StagedTable = {
     val schema = org.apache.spark.sql.graftbridge.GraftCatalogV2.toStructType(columns)
     new GraftStagedTable(ident, tablePath(ident), schema,
-      parseLayout(schema, partitions), replace = tableExists(ident))
+      parseLayout(schema, partitions), replace = tableExists(ident),
+      tableProps = stagedProps(properties))
   }
+
+  /** User-facing TBLPROPERTIES of a staged CTAS/RTAS (engine-reserved
+    * keys stripped, COMMENT kept on its 'comment' key). */
+  private def stagedProps(
+      properties: util.Map[String, String]): Map[String, String] =
+    properties.asScala.toMap -- Seq(
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL)
 
   /** `ALTER TABLE t ADD | RENAME | DROP COLUMN` — the DDL face of the
     * format's schema evolution, every variant a METADATA-ONLY commit
@@ -350,8 +370,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       .getOrElse(throw new NoSuchTableException(ident))
     var constraints = ManifestSink.readConstraints(conf, p)
     var colmap = colmap0
+    var props = ManifestSink.readTableProps(conf, p)
     var schemaChanged = false
     var constraintsChanged = false
+    var propsChanged = false
     def constraintRefs(name: String): Seq[String] =
       constraints.collect { case (n, sql)
         if ("""\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
@@ -554,10 +576,23 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           constraintsChanged = true
         }
         s
+      // ALTER TABLE SET/UNSET TBLPROPERTIES (COMMENT ON TABLE rides
+      // the 'comment' key): operational key-value metadata in the
+      // props sidecar — no snapshot commit, data untouched
+      case (s, sp: TableChange.SetProperty) =>
+        props = props + (sp.property -> sp.value)
+        propsChanged = true
+        s
+      case (s, rp: TableChange.RemoveProperty) =>
+        props = props - rp.property
+        propsChanged = true
+        s
       case (_, c) => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change $c — schema evolves " +
           "additively (ADD COLUMN / append commits) only")
     }
+    if (propsChanged)
+      ManifestSink.writeTableProps(conf, p, props)
     if (constraintsChanged)
       ManifestSink.writeConstraints(conf, p, constraints)
     if (schemaChanged)
@@ -574,8 +609,27 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     tableExists(ident) && fs.delete(p, true)
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("rename is not supported")
+  /** `ALTER TABLE t RENAME TO u` — one filesystem rename: every
+    * table artifact (version manifests, part files, branch/tag refs,
+    * layout spec, properties, constraints) lives INSIDE the table
+    * directory and is addressed relative to it, so the move is
+    * atomic-per-directory and history/branches/tags all survive under
+    * the new name. Registered MV metas address their SOURCE by
+    * absolute path — rename the MV freely, but renaming a table that
+    * feeds an MV orphans the MV's watermark (its next refresh fails
+    * loudly naming the old path; recreate it against the new name). */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val src = new Path(tablePath(oldIdent))
+    val dst = new Path(tablePath(newIdent))
+    val fs = src.getFileSystem(conf)
+    fs.mkdirs(dst.getParent)
+    if (fs.exists(dst)) throw new TableAlreadyExistsException(newIdent)
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(
+        s"rename $oldIdent -> $newIdent failed at $src")
+  }
 
   // --- FunctionCatalog: the engine's cross-engine hash as a SQL
   // function — `SELECT graftcat.ns.h64(expr)` computes exactly
@@ -809,7 +863,8 @@ private[sources] object H64Function extends UnboundFunction {
 private[sources] class GraftCatalogTable(
     ident: Identifier, path: String, tableSchema: StructType,
     bucketSpec: Option[(Int, String)] = None,
-    writeOrder: Option[String] = None)
+    writeOrder: Option[String] = None,
+    tableProps: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -965,6 +1020,12 @@ private[sources] class GraftCatalogTable(
 
   override def name(): String = ident.toString
   override def schema(): StructType = tableSchema
+
+  /** Stored TBLPROPERTIES (`SHOW TBLPROPERTIES` / `DESCRIBE EXTENDED`
+    * read this; `COMMENT ON TABLE` rides the 'comment' key). */
+  override def properties(): util.Map[String, String] =
+    tableProps.asJava
+
   // AUTOMATIC_SCHEMA_EVOLUTION opts into Spark's
   // ResolveMergeIntoSchemaEvolution: `MERGE … WITH SCHEMA EVOLUTION`
   // funnels the source's new columns through this catalog's OWN
@@ -972,7 +1033,8 @@ private[sources] class GraftCatalogTable(
   // no parallel evolution path exists
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
@@ -1052,6 +1114,20 @@ private[sources] class GraftCatalogTable(
       override def build(): Write = {
         val branch = Option(info.options.get("branch")).filter(_.nonEmpty)
         val sconf = new SerializableConfiguration(ManifestSink.driverConf())
+        // df.writeStream.toTable: exactly-once epoch appends through
+        // [[ManifestStreamingWrite]] — append-mode only (a streaming
+        // truncate/replace-where is not a log-structured sink shape)
+        def streaming(buckets: Option[Int] = None,
+            splitBy: Option[String] = None)
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(!doTruncate && replaceFilters.isEmpty,
+            "streaming writes append only (use foreachBatch for " +
+              "overwrite/replace-where shapes)")
+          require(branch.isEmpty,
+            "streaming writes target main (stage on a branch in batch)")
+          new ManifestStreamingWrite(path, info.schema(), info.queryId(),
+            sconf, buckets, splitBy)
+        }
         bucketSpec match {
           case None if writeOrder.isDefined =>
             // WRITE ORDERED BY c (set_layout order_by): every INSERT
@@ -1074,12 +1150,18 @@ private[sources] class GraftCatalogTable(
                 new ManifestBatchWrite(path, info.schema(), doTruncate,
                   history = true, sconf, branch,
                   replaceFilters = replaceFilters)
+              override def toStreaming
+                  : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+                streaming()
             }
           case None => new Write {
             override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
               new ManifestBatchWrite(path, info.schema(), doTruncate,
                 history = true, sconf, branch,
                 replaceFilters = replaceFilters)
+            override def toStreaming
+                : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+              streaming()
           }
           case Some((0, c)) =>
             // identity split spec: cluster each value into one task,
@@ -1094,6 +1176,9 @@ private[sources] class GraftCatalogTable(
                 new ManifestBatchWrite(path, info.schema(), doTruncate,
                   history = true, sconf, branch,
                   replaceFilters = replaceFilters, splitBy = Some(c))
+              override def toStreaming
+                  : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+                streaming(splitBy = Some(c))
             }
           case Some((n, c)) =>
             import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -1113,6 +1198,9 @@ private[sources] class GraftCatalogTable(
                 new ManifestBatchWrite(path, info.schema(), doTruncate,
                   history = true, sconf, branch, buckets = Some(n),
                   replaceFilters = replaceFilters)
+              override def toStreaming
+                  : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+                streaming(buckets = Some(n))
             }
         }
       }

@@ -41,7 +41,8 @@ import org.apache.spark.util.SerializableConfiguration
   * target is born with its layout — no create-then-insert two-step. */
 private[sources] class GraftStagedTable(
     ident: Identifier, path: String, tableSchema: StructType,
-    bucketSpec: Option[(Int, String)], replace: Boolean)
+    bucketSpec: Option[(Int, String)], replace: Boolean,
+    tableProps: Map[String, String] = Map.empty)
     extends StagedTable with SupportsWrite {
 
   private val conf = ManifestSink.driverConf()
@@ -155,6 +156,10 @@ private[sources] class GraftStagedTable(
         ManifestSink.clearTableSpec(conf, path)
       case None => ()
     }
+    // TBLPROPERTIES travel with the definition: CTAS persists them,
+    // RTAS REPLACES them (stale comments must not describe new data)
+    if (replace || tableProps.nonEmpty)
+      ManifestSink.writeTableProps(conf, path, tableProps)
     if (replace)
       // one truncate-style snapshot: new schema, only the staged
       // parts, FRESH identity mapping (old field ids described the

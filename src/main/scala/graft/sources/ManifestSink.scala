@@ -626,6 +626,50 @@ object ManifestSink {
     }
   }
 
+  /** TABLE PROPERTIES (`TBLPROPERTIES` / `COMMENT ON TABLE` — the
+    * Delta/Iceberg free-form key-value surface): stored in their own
+    * `_PROPS.json` sidecar (URL-encoded `k:v;…` — keys and values
+    * round-trip arbitrary text), replaced atomically like the layout
+    * spec. Properties are TABLE-level operational metadata (comments,
+    * team ownership tags, policy knobs), not snapshot state — they
+    * deliberately do not version with the data. */
+  private[sources] def writeTableProps(conf: Configuration, dir: String,
+      props: Map[String, String]): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    val target = new Path(d, "_PROPS.json")
+    if (props.isEmpty) { if (fs.exists(target)) fs.delete(target, false); return }
+    fs.mkdirs(d)
+    val tmp = new Path(d,
+      s"._PROPS.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val body = props.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${encPath(k)}:${encPath(v)}" }.mkString(";")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"props":"$body"}\n""".getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(target)) fs.delete(target, false)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"table props publish failed at $dir")
+    }
+  }
+
+  private[sources] def readTableProps(conf: Configuration,
+      dir: String): Map[String, String] = {
+    val p = new Path(dir, "_PROPS.json")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().next() finally in.close()
+    """"props":"([^"]*)"""".r.findFirstMatchIn(line).map(_.group(1))
+      .filter(_.nonEmpty)
+      .map(_.split(';').toSeq.map { kv =>
+        val Array(k, v) = kv.split(":", 2)
+        decPath(k) -> decPath(v)
+      }.toMap).getOrElse(Map.empty)
+  }
+
   /** Drop the layout spec entirely (`set_layout(..., spec =>
     * 'none')`): later INSERTs take the plain unpartitioned write
     * path; existing parts keep their recorded layout. */
@@ -1508,6 +1552,102 @@ private[sources] class ManifestBatchWrite(
       case _ => ()
     }
   }
+}
+
+/** NATIVE STREAMING SINK (`df.writeStream.toTable("cat.ns.t")` —
+  * STREAMING_WRITE on the catalog table): each micro-batch epoch
+  * appends ONE snapshot through the same commit protocol as a batch
+  * write, with EXACTLY-ONCE delivery under micro-batch replay. The
+  * idempotence marker IS the snapshot's operation label
+  * (`stream:<queryId>:<epochId>` on the version record) — marker and
+  * data commit atomically, so there is no crash window between
+  * "published" and "marked" the way a sidecar marker file would have;
+  * a replayed epoch finds its token on the version line and DROPS its
+  * duplicate task output instead of committing (the Delta
+  * txnAppId/txnVersion pattern, fused into the snapshot log).
+  *
+  * The replay check scans version ops BACKWARD from the head and
+  * stops at the first of THIS query's stream commits with a lower
+  * epoch — O(commits since this query's previous epoch), not
+  * O(history), so a long-running stream pays a constant few KB-sized
+  * manifest header reads per epoch.
+  *
+  * Same task-side writers as batch (stats/blooms/bucket/split
+  * routing); distribution requirements ride the enclosing Write, so a
+  * bucketed table's streaming appends cluster exactly like its batch
+  * inserts. Append-mode only: Complete/truncate streaming output
+  * replaces the table every epoch — that is a batch overwrite in a
+  * foreachBatch, not a log-structured sink. */
+private[sources] class ManifestStreamingWrite(
+    path: String, schema: StructType, queryId: String,
+    conf: SerializableConfiguration, buckets: Option[Int] = None,
+    splitBy: Option[String] = None)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private def opToken(epochId: Long) = s"stream:$queryId:$epochId"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val dir = new Path(path)
+    dir.getFileSystem(conf.value).mkdirs(dir)
+    // fresh file token per epoch attempt: replayed epochs write new
+    // files, which the skipped commit then deletes
+    ManifestStreamingWriterFactory(new ManifestWriterFactory(path, schema,
+      java.util.UUID.randomUUID().toString.take(8), conf, buckets, splitBy))
+  }
+
+  /** True iff some committed version already carries this epoch's
+    * token (scanning backward, stopping at an earlier epoch of the
+    * same query). */
+  private def alreadyCommitted(epochId: Long): Boolean = {
+    val prefix = s"stream:$queryId:"
+    ManifestSink.listVersions(conf.value, path).reverseIterator
+      .map(v => ManifestSink.readOp(conf.value, path, Some(v)))
+      .collectFirst {
+        case op if op.startsWith(prefix) =>
+          op.stripPrefix(prefix).toLong >= epochId
+      }.getOrElse(false)
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    if (alreadyCommitted(epochId)) { abort(epochId, messages); return }
+    val newParts = messages.toSeq.flatMap {
+      case m: PartCommit      => Seq(m)
+      case m: MultiPartCommit => m.parts
+    }.map { m =>
+      PartMeta(m.path, m.rows, m.keyMin, m.keyMax, m.bloom,
+        m.strMin, m.strMax, bytes = m.bytes, bucket = m.bucket,
+        nbuckets = if (m.bucket >= 0) buckets.getOrElse(0) else 0,
+        sorted = m.sorted, cstats = m.cstats,
+        kNulls = m.keyNulls, sNulls = m.strNulls, kSum = m.keySum)
+    }
+    ManifestSink.publishRebase(conf.value, path, schema, history = true,
+      head => head ++ newParts, strictBase = None, op = opToken(epochId))
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    messages.foreach {
+      case m: PartCommit => fs.delete(new Path(m.path), false)
+      case m: MultiPartCommit =>
+        m.parts.foreach(p => fs.delete(new Path(p.path), false))
+      case _ => ()
+    }
+  }
+}
+
+/** Task-side adapter: streaming epochs reuse the batch writers
+  * verbatim (the epoch id is already encoded in the factory's fresh
+  * per-epoch file token, so writers stay epoch-ignorant). */
+private[sources] final case class ManifestStreamingWriterFactory(
+    batch: ManifestWriterFactory)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    batch.createWriter(partitionId, taskId)
 }
 
 /** Per-task statistics carried back to the driver at commit.

@@ -225,11 +225,12 @@ object MvRewrite extends Rule[LogicalPlan] {
     * (DECIMAL(38,s) is already at max precision, the fold keeps the
     * type), tracked min/max → min/max of the stored extremes. Result
     * types are provably unchanged, so the plan above binds as-is.
-    * Sketches decline under reAgg (a union-fold is a different
-    * function; the exact-key route still serves them), as do
-    * DISTINCT/FILTER and everything unmatched — avg never matches in
-    * either mode (its single-expression form is not decomposable
-    * here; spelled as sum/count it folds leg-by-leg soundly). */
+    * The tracked HLL sketch folds as `hll_union_agg` of the stored
+    * sketches (register state merges losslessly — see the case
+    * below). DISTINCT/FILTER and everything unmatched decline — avg
+    * never matches in either mode (its single-expression form is not
+    * decomposable here; spelled as sum/count it folds leg-by-leg
+    * soundly). */
   private def matchAgg(ae: AggregateExpression, meta: ManifestMv.MvMeta,
       mvN: org.apache.spark.sql.catalyst.expressions.Attribute, mvS: org.apache.spark.sql.catalyst.expressions.Attribute,
       mvMin: Option[org.apache.spark.sql.catalyst.expressions.Attribute],
@@ -272,10 +273,24 @@ object MvRewrite extends Rule[LogicalPlan] {
       // sketch. A different lgConfigK is a different-precision
       // answer and declines; approx_count_distinct (HLL++, a
       // different sketch family) never matches.
-      case h: HllSketchAgg if !reAgg => h.left match {
+      // exact-key: serve the stored sketch. Coarser drill-up: HLL
+      // register state MERGES losslessly — the union of the finer
+      // groups' sketches covers exactly the coarser group's input
+      // multiset — so `hll_sketch_agg(c)` folds as
+      // `hll_union_agg(ndv_sketch)` at the pinned lgConfigK (same
+      // sketch family, same registers; the estimate differs from a
+      // single-stream recompute only by the documented merge-lineage
+      // bound q_mv_distinct already contracts, and is sparse-mode
+      // EXACT — MvSpec pins it). A different lgConfigK still declines
+      // in both modes.
+      case h: HllSketchAgg => h.left match {
         case a: AttributeReference
             if meta.ndvCol.contains(a.name) && h.right.foldable &&
-              h.lgConfigK == ManifestMv.NdvLgK => mvSk
+              h.lgConfigK == ManifestMv.NdvLgK =>
+          if (reAgg) mvSk.map(m => ae.copy(aggregateFunction =
+            org.apache.spark.sql.catalyst.expressions.aggregate
+              .HllUnionAgg(m, Literal(false))))
+          else mvSk
         case _ => None
       }
       case _ => None

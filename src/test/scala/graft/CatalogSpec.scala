@@ -81,6 +81,71 @@ class CatalogSpec extends SparkSpec {
       "CTAS wrote through the bucketed writer")
   }
 
+  test("ALTER TABLE RENAME TO: one directory move — history, layout, " +
+    "properties, tags all survive under the new name; old name gone") {
+    wh
+    spark.sql("CREATE TABLE gcs.ns.rn_old (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('team' = 'x')")
+    spark.sql("INSERT INTO gcs.ns.rn_old VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO gcs.ns.rn_old VALUES (3, 'c')")
+    spark.sql("CALL gcs.system.tag(table => 'ns.rn_old', " +
+      "name => 'v2tag', version => 2)")
+    spark.sql("ALTER TABLE gcs.ns.rn_old RENAME TO ns.rn_new")
+    assert(spark.sql("SELECT count(*) FROM gcs.ns.rn_new")
+      .head.getLong(0) === 3L)
+    assert(spark.sql("SELECT count(*) FROM gcs.ns.rn_new VERSION AS OF 2")
+      .head.getLong(0) === 2L, "history survives the rename")
+    assert(spark.sql(
+      "SELECT count(*) FROM gcs.ns.rn_new VERSION AS OF 'v2tag'")
+      .head.getLong(0) === 2L, "tags survive the rename")
+    assert(spark.sql("SHOW TBLPROPERTIES gcs.ns.rn_new").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+      .get("team").contains("x"), "properties survive the rename")
+    intercept[Exception] { spark.sql("SELECT * FROM gcs.ns.rn_old").collect() }
+    // renaming onto an existing table must refuse
+    spark.sql("CREATE TABLE gcs.ns.rn_tgt (k BIGINT)")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcs.ns.rn_new RENAME TO ns.rn_tgt")
+    }
+    assert(spark.sql("SELECT count(*) FROM gcs.ns.rn_new")
+      .head.getLong(0) === 3L, "failed rename leaves the source intact")
+  }
+
+  test("TBLPROPERTIES: create/SET/UNSET round-trip, COMMENT ON TABLE " +
+    "rides the comment key, CTAS carries them, RTAS replaces them") {
+    wh
+    spark.sql("CREATE TABLE gcs.ns.props (k BIGINT) " +
+      "TBLPROPERTIES ('a' = '1') COMMENT 'first'")
+    def props(): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      spark.sessionState.catalogManager.catalog("gcs")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array("ns"), "props")).properties().asScala.toMap
+    }
+    assert(props().get("a").contains("1"))
+    assert(props().get("comment").contains("first"))
+    spark.sql("COMMENT ON TABLE gcs.ns.props IS 'second'")
+    assert(props().get("comment").contains("second"))
+    spark.sql("ALTER TABLE gcs.ns.props UNSET TBLPROPERTIES ('a')")
+    assert(!props().contains("a"))
+    // UNSET of a missing key with IF EXISTS is a no-op, not an error
+    spark.sql(
+      "ALTER TABLE gcs.ns.props UNSET TBLPROPERTIES IF EXISTS ('zz')")
+    // CTAS carries properties; RTAS replaces them wholesale
+    spark.sql("CREATE TABLE gcs.ns.propsc TBLPROPERTIES ('src' = 'ctas') " +
+      "AS SELECT 1 AS x")
+    val show = spark.sql("SHOW TBLPROPERTIES gcs.ns.propsc").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(show.get("src").contains("ctas"))
+    spark.sql("REPLACE TABLE gcs.ns.propsc TBLPROPERTIES ('src' = 'rtas') " +
+      "AS SELECT 2 AS y")
+    val show2 = spark.sql("SHOW TBLPROPERTIES gcs.ns.propsc").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(show2.get("src").contains("rtas") && show2.size === 1,
+      s"RTAS must replace the property set, got $show2")
+  }
+
   test("INSERT INTO appends a snapshot; INSERT OVERWRITE logically truncates") {
     wh
     spark.sql("CREATE TABLE gcs.ns.dml (k BIGINT, s STRING)")

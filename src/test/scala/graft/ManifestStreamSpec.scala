@@ -354,6 +354,57 @@ class ManifestStreamSpec extends SparkSpec {
     assert(silverVersions === v1 + 1, "delta run must commit exactly one snapshot")
   }
 
+  test("native streaming sink: epochs commit with stream op tokens, and " +
+    "a crash-replayed epoch is dropped exactly-once (op label is the " +
+    "transaction marker)") {
+    import spark.implicits._
+    val wh = freshDir("ssink-wh")
+    spark.conf.set("spark.sql.catalog.gss", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gss.warehouse", wh)
+    val bronze = s"$wh/ns/bronze"
+    val checkpoint = freshDir("ssink-ckpt")
+    write((0L until 200L).map(i => (i, i * 2)).toDF("k", "v"), bronze,
+      "overwrite")
+    write((200L until 300L).map(i => (i, i * 2)).toDF("k", "v"), bronze,
+      "append")
+    spark.sql("CREATE TABLE gss.ns.silver (k BIGINT, v BIGINT)")
+    def run(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.ManifestSource").option("path", bronze)
+        .option("maxPartsPerTrigger", "2").load()
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .toTable("gss.ns.silver")
+      q.awaitTermination()
+    }
+    run()
+    def silverCount(): Long =
+      spark.sql("SELECT count(*) FROM gss.ns.silver").head.getLong(0)
+    assert(silverCount() === 300L, "drain delivered every row")
+    val ops = spark.sql("SELECT operation FROM gss.ns.silver.history")
+      .collect().map(_.getString(0)).filter(_.startsWith("stream:"))
+    assert(ops.length >= 2, s"budgeted drain spans epochs, got $ops")
+    assert(ops.distinct.length === ops.length, "one version per epoch")
+    // CRASH REPLAY: wipe the last epoch's commit record from the
+    // checkpoint — on restart Spark re-delivers that epoch; the sink
+    // must find its op token on the version line and drop the
+    // duplicate instead of double-appending
+    val commitsDir = new java.io.File(s"$checkpoint/commits")
+    val last = commitsDir.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toInt)
+    assert(last.delete(), "simulated crash before the epoch's commit record")
+    // local-fs checkpoints shadow every record with a CRC; a stale one
+    // would fail the re-commit rename rather than simulate the crash
+    new java.io.File(commitsDir, s".${last.getName}.crc").delete()
+    run()
+    assert(silverCount() === 300L,
+      "replayed epoch must not double-append (exactly-once)")
+    // a caught-up re-run adds nothing either
+    run()
+    assert(silverCount() === 300L)
+  }
+
   test("maxPartsPerTrigger drains a backlog in budgeted micro-batches") {
     val base = Tables.events(spark, Sf0001)
       .select(col("event_id"), col("user_id"), col("value")).limit(300)

@@ -272,6 +272,39 @@ class MvSpec extends SparkSpec {
     } finally spark.conf.unset("graft.mv.rewrite")
   }
 
+  test("sketch drill-up: a coarser grouping folds the stored sketches " +
+    "via hll_union_agg (register union, sparse-mode exact) with the " +
+    "source absent from the plan") {
+    import spark.implicits._
+    def rows6(k0: Long, k1: Long): DataFrame =
+      (k0 until k1).map { i =>
+        (i, s"g${i % 3}", i % 2, i % 53, i * 0.25)
+      }.toDF("k", "s", "p", "d", "v")
+    write(rows6(0, 900), s"$wh/ns/src6", "overwrite")
+    spark.sql("CALL gmv.system.create_mv(mv_table => 'ns.mv6', " +
+      "source_table => 'ns.src6', key_col => 's,p', sum_col => 'v', " +
+      "scale => 2, distinct_col => 'd')")
+    spark.conf.set("graft.mv.rewrite", s"$wh/ns/mv6")
+    try {
+      val q = spark.sql("SELECT s, count(*) AS n, " +
+        "hll_sketch_estimate(hll_sketch_agg(d)) AS e " +
+        "FROM gmv.ns.src6 GROUP BY s")
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("/ns/mv6") && !plan.contains("/ns/src6"),
+        s"sketch drill-up must re-aggregate the MV:\n$plan")
+      // truth side computed with routing disarmed
+      spark.conf.unset("graft.mv.rewrite")
+      val expect = try spark.sql("SELECT s, count(*) AS n, " +
+        "hll_sketch_estimate(hll_sketch_agg(d)) AS e " +
+        "FROM gmv.ns.src6 GROUP BY s").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      finally spark.conf.set("graft.mv.rewrite", s"$wh/ns/mv6")
+      assert(q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSet === expect,
+        "sparse-mode union fold equals the direct estimate exactly")
+    } finally spark.conf.unset("graft.mv.rewrite")
+  }
+
   test("distinct_col sketch: maintained estimate equals direct recompute " +
     "after append-fold and delete-recompute; lgConfigK/COUNT DISTINCT " +
     "decline routing") {
