@@ -1043,7 +1043,8 @@ private[sources] class GraftCatalogTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(path, tableSchema,
       new SerializableConfiguration(ManifestSink.driverConf()), None,
-      startingVersion = StreamOptions.startingVersion(options),
+      startingVersion = StreamOptions.resolveStarting(options,
+        ManifestSink.driverConf(), path),
       branch = Option(options.get("branch")).filter(_.nonEmpty),
       maxPartsPerTrigger = StreamOptions.maxPartsPerTrigger(options))
 

@@ -122,7 +122,8 @@ private[sources] class ManifestReadTable(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(path, schema,
       new SerializableConfiguration(ManifestSink.driverConf()), version, cdf,
-      startingVersion = StreamOptions.startingVersion(options),
+      startingVersion = StreamOptions.resolveStarting(options,
+        ManifestSink.driverConf(), path),
       branch = branch,
       maxPartsPerTrigger = StreamOptions.maxPartsPerTrigger(options))
 }
@@ -1186,6 +1187,33 @@ private[sources] object StreamOptions {
       s"option 'startingVersion' must be >= 1 (snapshot versions are " +
         s"1-based), got $n"))
     v
+  }
+
+  /** `option("startingTimestamp", "yyyy-MM-dd HH:mm:ss[.S]")` — the
+    * Delta-shaped time twin of startingVersion: a fresh consumer
+    * tails from the EARLIEST snapshot committed at or after the
+    * instant (version-file mtime, the same immutable commit clock
+    * `TIMESTAMP AS OF` and `expire_snapshots(older_than)` resolve).
+    * An instant past the head replays nothing historical and starts
+    * with the next commit. Resolved ONCE here — resume from a
+    * checkpoint ignores it, like startingVersion. */
+  def resolveStarting(options: CaseInsensitiveStringMap,
+      conf: org.apache.hadoop.conf.Configuration,
+      path: String): Option[Int] = {
+    val sv = startingVersion(options)
+    val st = Option(options.get("startingTimestamp"))
+    require(sv.isEmpty || st.isEmpty,
+      "options 'startingVersion' and 'startingTimestamp' are " +
+        "mutually exclusive")
+    sv.orElse(st.map { s =>
+      val ms = java.sql.Timestamp.valueOf(s.replace('T', ' ')).getTime
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(conf)
+      val versions = ManifestSink.listVersions(conf, path)
+      versions.find(v => fs.getFileStatus(new Path(dir,
+        ManifestSink.versionFile(v))).getModificationTime >= ms)
+        .getOrElse(versions.lastOption.getOrElse(0) + 1)
+    })
   }
 
   /** Streaming admission control (see [[VersionAdmission]]). */

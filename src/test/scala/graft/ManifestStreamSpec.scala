@@ -405,6 +405,77 @@ class ManifestStreamSpec extends SparkSpec {
     assert(silverCount() === 300L)
   }
 
+  test("startingTimestamp: a fresh consumer tails from the earliest " +
+    "snapshot committed at or after the instant; a future instant " +
+    "replays nothing and picks up the next commit") {
+    import spark.implicits._
+    val table = freshDir("mstream-ts")
+    write((0L until 100L).map(i => (i, i)).toDF("k", "v"), table,
+      "overwrite")                                            // v1
+    Thread.sleep(1100)
+    write((100L until 130L).map(i => (i, i)).toDF("k", "v"), table,
+      "append")                                               // v2
+    // cutoff strictly between v1's and v2's commit mtimes
+    val d = new org.apache.hadoop.fs.Path(table)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    def mtime(v: Int): Long = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(d,
+        graft.sources.ManifestSink.versionFile(v))).getModificationTime
+    val cutoff = new java.sql.Timestamp((mtime(1) + mtime(2)) / 2).toString
+    def drainFrom(ts: String): Seq[Long] = {
+      val sink = freshDir("mstream-ts-sink")
+      val q = spark.readStream
+        .format("graft.sources.ManifestSource").option("path", table)
+        .option("startingTimestamp", ts).load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", freshDir("mstream-ts-ckpt"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(sink).collect().map(_.getLong(0)).toSeq.sorted
+    }
+    assert(drainFrom(cutoff) === (100L until 130L),
+      "tail starts at the first commit at/after the instant")
+    assert(drainFrom("2100-01-01 00:00:00") === Seq.empty,
+      "future instant: nothing historical")
+    // both options together must refuse
+    intercept[Exception] {
+      spark.readStream.format("graft.sources.ManifestSource")
+        .option("path", table).option("startingTimestamp", cutoff)
+        .option("startingVersion", "1").load()
+        .writeStream.format("console")
+        .option("checkpointLocation", freshDir("mstream-ts-ckpt2"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+  }
+
+  test("streaming sink into a BUCKETED table routes epochs through the " +
+    "bucketed writer (layout + distribution preserved)") {
+    import spark.implicits._
+    val wh = freshDir("ssink-bwh")
+    spark.conf.set("spark.sql.catalog.gsb", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsb.warehouse", wh)
+    val bronze = s"$wh/ns/bronze"
+    write((0L until 400L).map(i => (i, i * 3)).toDF("k", "v"), bronze,
+      "overwrite")
+    spark.sql("CREATE TABLE gsb.ns.silver (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    val q = spark.readStream
+      .format("graft.sources.ManifestSource").option("path", bronze).load()
+      .writeStream
+      .option("checkpointLocation", freshDir("ssink-bckpt"))
+      .trigger(Trigger.AvailableNow())
+      .toTable("gsb.ns.silver")
+    q.awaitTermination()
+    assert(spark.sql("SELECT count(*) FROM gsb.ns.silver")
+      .head.getLong(0) === 400L)
+    val buckets = spark.sql("SELECT DISTINCT bucket FROM " +
+      "gsb.ns.silver.files WHERE bucket >= 0").collect()
+      .map(_.getInt(0)).toSet
+    assert(buckets === Set(0, 1, 2, 3),
+      s"streamed parts must carry bucket ordinals, got $buckets")
+  }
+
   test("maxPartsPerTrigger drains a backlog in budgeted micro-batches") {
     val base = Tables.events(spark, Sf0001)
       .select(col("event_id"), col("user_id"), col("value")).limit(300)
