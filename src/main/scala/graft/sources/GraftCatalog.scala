@@ -106,10 +106,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
               case None => f
             }
           })
-        new GraftCatalogTable(ident, p, withDefaults,
-          ManifestSink.readTableSpec(conf, p),
-          ManifestSink.readTableOrder(conf, p),
-          ManifestSink.readTableProps(conf, p))
+        val spec = ManifestSink.readTableSpec(conf, p)
+        val order = ManifestSink.readTableOrder(conf, p)
+        val props = ManifestSink.readTableProps(conf, p)
+        spec match {
+          // identity-split tables expose SHOW PARTITIONS / ALTER
+          // TABLE DROP PARTITION (partition values ARE manifest
+          // metadata there — see [[GraftSplitCatalogTable]])
+          case Some((0, c)) =>
+            new GraftSplitCatalogTable(ident, p, withDefaults, c,
+              order, props)
+          case _ =>
+            new GraftCatalogTable(ident, p, withDefaults, spec,
+              order, props)
+        }
       case None =>
         // METADATA TABLES (the Iceberg `db.table.history` shape):
         // `SELECT * FROM cat.ns.t.history|files|branches` parses as
@@ -1206,6 +1216,121 @@ private[sources] class GraftCatalogTable(
         }
       }
     }
+}
+
+/** Identity-split tables with Spark's PARTITION MANAGEMENT surface:
+  * `SHOW PARTITIONS t [PARTITION (c = v)]` lists the distinct split
+  * values straight off the head manifest (every split part is
+  * PROVABLY single-valued — min == max, zero nulls — so the listing
+  * is exact metadata, no data file opened), and `ALTER TABLE t DROP
+  * PARTITION (c = v)` is a METADATA-ONLY delete: one snapshot that
+  * stops listing the value's parts (time travel intact, files stay
+  * until vacuum — the Hive DROP PARTITION idiom on the snapshot
+  * log). Mixed-generation safety: if any PRE-LAYOUT part (not
+  * single-valued) may still hold the value, the drop REFUSES and
+  * names the fix (compact migrates the layout) rather than
+  * half-applying. Partition CREATION/metadata mutation are derived
+  * from data by design — INSERT rows instead. */
+private[sources] class GraftSplitCatalogTable(
+    ident: Identifier, path: String, tableSchema: StructType,
+    splitCol: String, writeOrder: Option[String],
+    tableProps: Map[String, String])
+    extends GraftCatalogTable(ident, path, tableSchema,
+      Some((0, splitCol)), writeOrder, tableProps)
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def conf = ManifestSink.driverConf()
+  private def field: StructField =
+    tableSchema.fields.find(_.name.equalsIgnoreCase(splitCol)).getOrElse(
+      throw new IllegalStateException(
+        s"split column '$splitCol' missing from ${tableSchema.sql}"))
+  private def firstStr: Option[String] =
+    tableSchema.fields.find(_.dataType == StringType).map(_.name)
+
+  override def partitionSchema(): StructType =
+    StructType(Seq(StructField(field.name, field.dataType, field.nullable)))
+
+  private def toRow(raw: String): InternalRow = field.dataType match {
+    case LongType => new GenericInternalRow(Array[Any](raw.toLong))
+    case _ => new GenericInternalRow(Array[Any](UTF8String.fromString(raw)))
+  }
+
+  private def rawOf(id: InternalRow): String = field.dataType match {
+    case LongType => id.getLong(0).toString
+    case _ => id.getUTF8String(0).toString
+  }
+
+  override def listPartitionIdentifiers(names: Array[String],
+      id: InternalRow): Array[InternalRow] = {
+    val fs0 = firstStr
+    val vals = ManifestSink.readManifestMeta(conf, path, None)
+      .flatMap(m => MetaTables.singleValue(m, field.name, fs0))
+      .distinct.sorted
+    val filtered =
+      if (names.isEmpty) vals
+      else {
+        require(names.length == 1 && names(0).equalsIgnoreCase(field.name),
+          s"unknown partition column(s) ${names.mkString(", ")} — the " +
+            s"split layout partitions by '${field.name}' only")
+        val want = rawOf(id)
+        vals.filter(_ == want)
+      }
+    filtered.map(toRow).toArray
+  }
+
+  /** Could a part whose single-valuedness is NOT provable still hold
+    * the value? (pre-layout generation parts; stats get a veto) */
+  private def mayHold(m: PartMeta, want: String): Boolean =
+    m.cstats.get(field.name) match {
+      case Some(st) if st.kind == 'l' =>
+        st.nulls != m.rows &&
+          want.toLong >= st.lMin && want.toLong <= st.lMax
+      case Some(st) =>
+        st.nulls != m.rows && StrBin.cmp(want, st.min) >= 0 &&
+          StrBin.cmp(want, st.max) <= 0
+      case None =>
+        if (firstStr.contains(field.name))
+          m.strOverlaps(Some(want), Some(want))
+        else true // untracked: cannot exonerate
+    }
+
+  override def dropPartition(id: InternalRow): Boolean = {
+    val want = rawOf(id)
+    val fs0 = firstStr
+    var dropped = false
+    ManifestSink.publishRebase(conf, path, tableSchema, history = true,
+      rebase = head => {
+        val straddlers = head.filter(m =>
+          MetaTables.singleValue(m, field.name, fs0).isEmpty &&
+            mayHold(m, want))
+        require(straddlers.isEmpty,
+          s"DROP PARTITION (${field.name} = $want): ${straddlers.size} " +
+            "pre-layout part(s) may still hold the value — CALL " +
+            "system.compact to migrate the layout first")
+        val (hit, keep) = head.partition(m =>
+          MetaTables.singleValue(m, field.name, fs0).contains(want))
+        dropped = dropped || hit.nonEmpty
+        keep
+      },
+      strictBase = None, op = "drop-partition")
+    dropped
+  }
+
+  override def createPartition(id: InternalRow,
+      props: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "split partitions are derived from data — INSERT rows carrying " +
+        "the new value instead")
+  override def replacePartitionMetadata(id: InternalRow,
+      props: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "split partitions carry no mutable metadata")
+  override def loadPartitionMetadata(id: InternalRow)
+      : util.Map[String, String] =
+    java.util.Collections.emptyMap[String, String]()
 }
 
 /** Per-part manifest metadata as a TABLE (`SELECT ... FROM

@@ -81,6 +81,62 @@ class CatalogSpec extends SparkSpec {
       "CTAS wrote through the bucketed writer")
   }
 
+  test("SHOW PARTITIONS / ALTER TABLE DROP PARTITION on identity-split " +
+    "tables: exact metadata listing, metadata-only drop, straddler " +
+    "refusal, time travel intact") {
+    wh
+    import spark.implicits._
+    spark.sql("CREATE TABLE gcs.ns.sp (k BIGINT, g STRING) " +
+      "PARTITIONED BY (g)")
+    (0L until 300L).map(i => (i, s"g${i % 3}")).toDF("k", "g")
+      .createOrReplaceTempView("gcs_sp_src")
+    spark.sql("INSERT INTO gcs.ns.sp SELECT * FROM gcs_sp_src")
+    val parts = spark.sql("SHOW PARTITIONS gcs.ns.sp").collect()
+      .map(_.getString(0)).toSeq
+    assert(parts === Seq("g=g0", "g=g1", "g=g2"), s"got $parts")
+    assert(spark.sql(
+      "SHOW PARTITIONS gcs.ns.sp PARTITION (g = 'g1')").collect()
+      .map(_.getString(0)).toSeq === Seq("g=g1"))
+    // metadata-only drop: value's parts stop being listed, no file
+    // rewritten, history gains a drop-partition version
+    val filesBefore = spark.sql("SELECT count(*) FROM gcs.ns.sp.files")
+      .head.getLong(0)
+    spark.sql("ALTER TABLE gcs.ns.sp DROP PARTITION (g = 'g1')")
+    assert(spark.sql("SELECT count(*) FROM gcs.ns.sp").head.getLong(0)
+      === 200L)
+    assert(spark.sql("SHOW PARTITIONS gcs.ns.sp").collect()
+      .map(_.getString(0)).toSeq === Seq("g=g0", "g=g2"))
+    assert(spark.sql("SELECT count(*) FROM gcs.ns.sp.files")
+      .head.getLong(0) < filesBefore, "parts dropped, none rewritten")
+    assert(spark.sql("SELECT operation FROM gcs.ns.sp.history " +
+      "ORDER BY version DESC LIMIT 1").head.getString(0)
+      === "drop-partition")
+    // pre-drop snapshot still serves the partition
+    assert(spark.sql("SELECT count(*) FROM gcs.ns.sp VERSION AS OF 2")
+      .head.getLong(0) === 300L)
+    // straddler refusal: a table whose layout was set AFTER plain
+    // writes has pre-layout parts that may hold the value — the drop
+    // must refuse and name the compact fix
+    spark.sql("CREATE TABLE gcs.ns.spm (k BIGINT, g STRING)")
+    spark.sql("INSERT INTO gcs.ns.spm SELECT * FROM gcs_sp_src")
+    spark.sql("CALL gcs.system.set_layout(table => 'ns.spm', " +
+      "spec => 'g')")
+    spark.sql("INSERT INTO gcs.ns.spm SELECT k + 1000, g " +
+      "FROM gcs_sp_src")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gcs.ns.spm DROP PARTITION (g = 'g1')")
+    }
+    assert(e.getMessage.contains("compact"),
+      s"refusal must name the fix, got: ${e.getMessage}")
+    // an unpartitioned table reports no partition management at all
+    spark.sql("CREATE TABLE gcs.ns.spnone (k BIGINT)")
+    val e2 = intercept[Exception] {
+      spark.sql("SHOW PARTITIONS gcs.ns.spnone").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("partition"),
+      s"got: ${e2.getMessage}")
+  }
+
   test("ALTER TABLE RENAME TO: one directory move — history, layout, " +
     "properties, tags all survive under the new name; old name gone") {
     wh
