@@ -3398,6 +3398,98 @@ SELECT prio, CAST(count(*) AS BIGINT) AS n,
   ${Exact.decSumSql("price", 2)} AS sum_price
 FROM relabeled GROUP BY prio ORDER BY prio""")),
 
+    // --- PARTITION MANAGEMENT on identity-split tables
+    // (GraftSplitCatalogTable / SupportsPartitionManagement): SHOW
+    // PARTITIONS lists distinct split values as pure manifest
+    // metadata (split parts are provably single-valued), and ALTER
+    // TABLE DROP PARTITION is a METADATA-ONLY delete — one snapshot
+    // stops listing the value's parts, zero files read or written,
+    // time travel intact. The ladder gates the listing row-for-row
+    // before and after the drop, the post-drop rollup, and the
+    // pre-drop count via VERSION AS OF. The Hive operational idiom
+    // ("list partitions, drop yesterday's") at snapshot-log cost:
+    // O(parts) driver metadata at any table size.
+    QueryDef("q_show_partitions",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "showpart")
+        spark.conf.set("spark.sql.catalog.graftshp",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftshp.warehouse", wh)
+        spark.sql("CREATE TABLE graftshp.wh.ev " +
+          "(event_id BIGINT, value DOUBLE, etype STRING) " +
+          "PARTITIONED BY (etype)")
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("value"), col("event_type"))
+          .createOrReplaceTempView("graft_showp_src")
+        spark.sql("INSERT INTO graftshp.wh.ev " +
+          "SELECT event_id, value, event_type FROM graft_showp_src")
+        val before = spark.sql("SHOW PARTITIONS graftshp.wh.ev")
+          .collect().map(_.getString(0)).sorted.mkString(",")
+        spark.sql("ALTER TABLE graftshp.wh.ev DROP PARTITION " +
+          "(etype = 'click')")
+        val nPre = spark.sql(
+          "SELECT count(*) FROM graftshp.wh.ev VERSION AS OF 2")
+          .head.getLong(0)
+        spark.sql("SHOW PARTITIONS graftshp.wh.ev")
+          .select(col("partition"))
+          .withColumn("parts_before", lit(before))
+          .withColumn("n_rows_after",
+            lit(spark.sql("SELECT count(*) FROM graftshp.wh.ev")
+              .head.getLong(0)))
+          .withColumn("n_pre_drop", lit(nPre))
+          .orderBy(col("partition"))
+      },
+      Some("""SELECT 'etype=' || event_type AS partition,
+  (SELECT string_agg('etype=' || event_type, ',' ORDER BY event_type)
+   FROM (SELECT DISTINCT event_type FROM events)) AS parts_before,
+  (SELECT CAST(count(*) AS BIGINT) FROM events
+   WHERE event_type <> 'click') AS n_rows_after,
+  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_pre_drop
+FROM (SELECT DISTINCT event_type FROM events WHERE event_type <> 'click')
+ORDER BY partition""")),
+
+    // --- ALTER TABLE RENAME TO (GraftCatalog.renameTable): one
+    // directory move — history, layout, tags and properties all ride
+    // inside the table directory, so everything survives under the
+    // new name and the old name stops resolving. The gate reads the
+    // renamed table's rollup AND a pre-rename snapshot through the
+    // new name, plus the old-name-gone flag.
+    QueryDef("q_rename_table",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "renametab")
+        spark.conf.set("spark.sql.catalog.graftrn",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftrn.warehouse", wh)
+        spark.sql("CREATE TABLE graftrn.wh.ev_old " +
+          "(event_id BIGINT, value DOUBLE)")
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("value"))
+          .createOrReplaceTempView("graft_rn_src")
+        spark.sql("INSERT INTO graftrn.wh.ev_old " +
+          "SELECT * FROM graft_rn_src WHERE event_id % 2 = 0")
+        spark.sql("INSERT INTO graftrn.wh.ev_old " +
+          "SELECT * FROM graft_rn_src WHERE event_id % 2 = 1")
+        spark.sql("ALTER TABLE graftrn.wh.ev_old RENAME TO wh.ev_new")
+        val oldGone = scala.util.Try(
+          spark.sql("SELECT count(*) FROM graftrn.wh.ev_old").collect())
+          .isFailure
+        val nPre = spark.sql(
+          "SELECT count(*) FROM graftrn.wh.ev_new VERSION AS OF 2")
+          .head.getLong(0)
+        spark.sql(s"""SELECT count(*) AS n_rows,
+            ${Exact.decSumSql("value", 2).replace("VARCHAR", "STRING")}
+              AS sum_value
+          FROM graftrn.wh.ev_new""")
+          .withColumn("n_pre_rename", lit(nPre))
+          .withColumn("old_name_gone", lit(oldGone))
+      },
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  ${Exact.decSumSql("value", 2)} AS sum_value,
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 2 = 0)
+    AS n_pre_rename,
+  true AS old_name_gone
+FROM events""")),
+
     // --- TABLE PROPERTIES (TBLPROPERTIES / COMMENT ON TABLE —
     // GraftCatalog SetProperty/RemoveProperty + the _PROPS.json
     // sidecar): the operational key-value surface every warehouse

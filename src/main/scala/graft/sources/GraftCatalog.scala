@@ -619,15 +619,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     tableExists(ident) && fs.delete(p, true)
   }
 
-  /** `ALTER TABLE t RENAME TO u` — one filesystem rename: every
-    * table artifact (version manifests, part files, branch/tag refs,
-    * layout spec, properties, constraints) lives INSIDE the table
-    * directory and is addressed relative to it, so the move is
-    * atomic-per-directory and history/branches/tags all survive under
-    * the new name. Registered MV metas address their SOURCE by
-    * absolute path — rename the MV freely, but renaming a table that
-    * feeds an MV orphans the MV's watermark (its next refresh fails
-    * loudly naming the old path; recreate it against the new name). */
+  /** `ALTER TABLE t RENAME TO u` — one filesystem rename plus an
+    * O(versions) manifest re-point: every table artifact (version
+    * manifests, part files, branch/tag refs, layout spec, properties,
+    * constraints) lives INSIDE the table directory, so the move
+    * itself carries everything — but manifests record part and
+    * sidecar paths ABSOLUTELY (shallow clones depend on that), so
+    * after the move each version/branch/head manifest gets its old
+    * prefix textually re-pointed to the new directory (KB-sized
+    * files, metadata-only; a rename is not concurrent-safe against
+    * in-flight commits by nature, same as any engine). Hazards,
+    * documented not hidden: a SHALLOW CLONE of the renamed table
+    * still references the old path and breaks (as in Delta), and an
+    * MV fed by it fails its next refresh loudly naming the old path
+    * — recreate against the new name. */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
@@ -639,6 +644,36 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     if (!fs.rename(src, dst))
       throw new java.io.IOException(
         s"rename $oldIdent -> $newIdent failed at $src")
+    // re-point recorded absolute paths (raw + URL-encoded forms — the
+    // manifest "path"/"dvref" fields are encoded) in every manifest
+    val srcStr = src.toString
+    val dstStr = dst.toString
+    val srcUri = src.toUri.getPath
+    val dstUri = dst.toUri.getPath
+    fs.listStatus(dst).filter { st =>
+      val n = st.getPath.getName
+      n == ManifestSink.ManifestFile ||
+        (n.startsWith("_MANIFEST.") && n.endsWith(".json")) ||
+        (n.startsWith("_BRANCH-") && n.endsWith(".json"))
+    }.foreach { st =>
+      val in = fs.open(st.getPath)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val repointed = body
+        .replace(ManifestSink.encPath(srcStr), ManifestSink.encPath(dstStr))
+        .replace(ManifestSink.encPath(srcUri), ManifestSink.encPath(dstUri))
+        .replace(srcStr, dstStr).replace(srcUri, dstUri)
+      if (repointed != body) {
+        val tmp = new Path(dst,
+          s".${st.getPath.getName}.rn${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(repointed.getBytes("UTF-8")) finally out.close()
+        fs.delete(st.getPath, false)
+        if (!fs.rename(tmp, st.getPath))
+          throw new java.io.IOException(
+            s"manifest re-point failed for ${st.getPath}")
+      }
+    }
   }
 
   // --- FunctionCatalog: the engine's cross-engine hash as a SQL

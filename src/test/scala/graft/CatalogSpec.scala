@@ -147,6 +147,12 @@ class CatalogSpec extends SparkSpec {
     spark.sql("CALL gcs.system.tag(table => 'ns.rn_old', " +
       "name => 'v2tag', version => 2)")
     spark.sql("ALTER TABLE gcs.ns.rn_old RENAME TO ns.rn_new")
+    // a REAL data scan (not the metadata count path): the manifests'
+    // absolute part paths must have been re-pointed by the rename
+    assert(spark.sql("SELECT k, s FROM gcs.ns.rn_new ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "post-rename scans must read the moved part files")
     assert(spark.sql("SELECT count(*) FROM gcs.ns.rn_new")
       .head.getLong(0) === 3L)
     assert(spark.sql("SELECT count(*) FROM gcs.ns.rn_new VERSION AS OF 2")
