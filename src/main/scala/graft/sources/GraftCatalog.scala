@@ -62,7 +62,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     * [[GraftCatalogTable.constraints]]). */
   override def capabilities(): util.Set[TableCatalogCapability] =
     Set(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE).asJava
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+      .asJava
 
   private def conf = ManifestSink.driverConf()
 
@@ -109,15 +112,31 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         val spec = ManifestSink.readTableSpec(conf, p)
         val order = ManifestSink.readTableOrder(conf, p)
         val props = ManifestSink.readTableProps(conf, p)
+        // identity spec re-attaches as field metadata so DESCRIBE and
+        // write-side validation see it (the DDL codec stores schemas
+        // clean; the props sidecar is the spec's canonical store)
+        val loaded = ManifestIdentity.parse(props) match {
+          case Some(s) => StructType(withDefaults.fields.map { f =>
+            if (f.name != s.col) f
+            else f.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putLong(ManifestIdentity.MetaStart, s.start)
+                .putLong(ManifestIdentity.MetaStep, s.step)
+                .putBoolean(ManifestIdentity.MetaAllow, s.allowExplicit)
+                .build())
+          })
+          case None => withDefaults
+        }
         spec match {
           // identity-split tables expose SHOW PARTITIONS / ALTER
           // TABLE DROP PARTITION (partition values ARE manifest
           // metadata there — see [[GraftSplitCatalogTable]])
           case Some((0, c)) =>
-            new GraftSplitCatalogTable(ident, p, withDefaults, c,
+            new GraftSplitCatalogTable(ident, p, loaded, c,
               order, props)
           case _ =>
-            new GraftCatalogTable(ident, p, withDefaults, spec,
+            new GraftCatalogTable(ident, p, loaded, spec,
               order, props)
         }
       case None =>
@@ -257,16 +276,75 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           s"PARTITIONED BY (col), got ${other.mkString(", ")}")
     }
 
+  /** The v2 `Column[]` create path: Spark delivers identity specs as
+    * first-class [[Column]] attributes (NOT re-encoded into field
+    * metadata by the default bridge), so capture them here before
+    * delegating to the StructType path. */
+  override def createTable(
+      ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val base =
+      org.apache.spark.sql.graftbridge.GraftCatalogV2.toStructType(columns)
+    val withIdent = StructType(base.fields.zip(columns).map {
+      case (f, c) =>
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        Option(c.identityColumnSpec()).foreach { s =>
+          b.putLong(ManifestIdentity.MetaStart, s.getStart)
+          b.putLong(ManifestIdentity.MetaStep, s.getStep)
+          b.putBoolean(ManifestIdentity.MetaAllow, s.isAllowExplicitInsert)
+        }
+        Option(c.generationExpression()).foreach(e =>
+          b.putString(MetaGenerated, e))
+        f.copy(metadata = b.build())
+    })
+    createTable(ident, withIdent, partitions, properties)
+  }
+
+  /** Field-metadata key this catalog uses to thread a generated
+    * column's expression from the v2 create to the StructType path. */
+  private val MetaGenerated = "graft.generation.expression"
+
   override def createTable(
       ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val bucketSpec: Option[(Int, String)] = parseLayout(schema, partitions)
+    // CLUSTER BY (c) — the liquid-clustering DDL spelling: maps to
+    // the WRITE ORDERED BY layout (every INSERT range-distributes and
+    // sorts on the column, parts land with disjoint ranges → tight
+    // min/max pruning from the first write, no OPTIMIZE needed).
+    // Same machinery as CALL set_layout(spec => 'none', order_by =>
+    // c), declared at birth.
+    val (clusterBy, layoutTransforms) =
+      partitions.partition(_.name() == "cluster_by")
+    val clusterCol: Option[String] = clusterBy.headOption.map { t =>
+      val cols = t.arguments().collect {
+        case r: expressions.NamedReference => r.fieldNames().mkString(".")
+      }
+      require(cols.length == 1,
+        s"CLUSTER BY supports exactly one column here (multi-dimension " +
+          s"clustering is CALL system.compact(zorder => '...')), got " +
+          cols.mkString("(", ", ", ")"))
+      val f = schema.fields.find(_.name.equalsIgnoreCase(cols.head))
+      require(f.exists(x => x.dataType == LongType ||
+        x.dataType == org.apache.spark.sql.types.StringType),
+        s"CLUSTER BY column '${cols.head}' must be a BIGINT or STRING " +
+          s"column of ${schema.fieldNames.mkString("(", ",", ")")}")
+      f.get.name
+    }
+    val bucketSpec: Option[(Int, String)] =
+      parseLayout(schema, layoutTransforms)
+    require(clusterCol.isEmpty || bucketSpec.isEmpty,
+      "CLUSTER BY cannot combine with PARTITIONED BY — one layout " +
+        "owns row placement")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     bucketSpec.foreach { case (n, col) =>
       require(n >= 0, s"bucket count must be >= 0, got $n")
       ManifestSink.writeTableSpec(conf, tablePath(ident), n, col)
     }
+    clusterCol.foreach(c => ManifestSink.writeTableSpec(conf,
+      tablePath(ident), -1, "", orderBy = Some(c)))
     // COLUMN DEFAULTS at create: Spark delivers them as the field-
     // metadata pair (CURRENT_DEFAULT, EXISTS_DEFAULT) — capture into
     // the snapshot's colmap header keyed by field id, then store the
@@ -279,16 +357,61 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
             if (f.metadata.contains(k)) f.metadata.getString(k) else ""
           i -> (key("CURRENT_DEFAULT"), key("EXISTS_DEFAULT"))
       }.toMap
+    // IDENTITY COLUMNS at create (GENERATED [ALWAYS | BY DEFAULT] AS
+    // IDENTITY): capture the spec from field metadata into the table
+    // props; the stored schema keeps the column NULLABLE on purpose —
+    // an INSERT that omits or NULLs the slot is the generate request,
+    // and the sink guarantees no NULL ever lands (ManifestIdentity).
+    val identCols = schema.fields.filter(
+      _.metadata.contains(ManifestIdentity.MetaStart))
+    require(identCols.length <= 1,
+      s"at most one identity column per table, got " +
+        identCols.map(_.name).mkString(", "))
+    val identSpec: Option[ManifestIdentity.Spec] = identCols.headOption
+      .map { f =>
+        require(f.dataType == LongType,
+          s"identity column '${f.name}' must be BIGINT, " +
+            s"got ${f.dataType.simpleString}")
+        ManifestIdentity.Spec(f.name,
+          f.metadata.getLong(ManifestIdentity.MetaStart),
+          f.metadata.getLong(ManifestIdentity.MetaStep),
+          f.metadata.getBoolean(ManifestIdentity.MetaAllow))
+      }
+    // GENERATED COLUMNS at create (GENERATED ALWAYS AS (expr)):
+    // validate now — parse/analyze against the table schema, refuse
+    // nondeterminism, generated-/identity-column references, and type
+    // drift — then persist the expression SQL in the table props.
+    // Stored NULLABLE like identity columns: omission IS the compute
+    // request; the sink guarantees no NULL lands (ManifestGenerated).
+    val genSpecs: Seq[(String, String)] = schema.fields.collect {
+      case f if f.metadata.contains(MetaGenerated) =>
+        f.name -> f.metadata.getString(MetaGenerated)
+    }.toSeq
+    if (genSpecs.nonEmpty) {
+      val banned = genSpecs.map(_._1).toSet ++ identSpec.map(_.col)
+      val session = org.apache.spark.sql.SparkSession.active
+      val plain = StructType(schema.fields.map(f =>
+        StructField(f.name, f.dataType, f.nullable)))
+      genSpecs.foreach { case (c, e) =>
+        ManifestGenerated.bind(session, plain, c, e, banned)
+      }
+    }
+    val computed = genSpecs.map(_._1).toSet ++ identSpec.map(_.col)
     val clean = StructType(schema.fields.map { f =>
-      val g = StructField(f.name, f.dataType, f.nullable)
+      val g = StructField(f.name, f.dataType,
+        f.nullable || computed.contains(f.name))
       f.getComment().fold(g)(g.withComment)
     })
     // TBLPROPERTIES at create: persist the user's keys (and the
     // COMMENT, which Spark delivers as the 'comment' property);
     // engine-reserved keys are not table metadata
-    val userProps = properties.asScala.toMap -- Seq(
+    val userProps = (properties.asScala.toMap -- Seq(
       TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
-      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL)
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL)) ++
+      identSpec.map(s => ManifestIdentity.PropKey -> s.render) ++
+      (if (genSpecs.isEmpty) Map.empty[String, String]
+       else Map(ManifestGenerated.PropKey ->
+         ManifestGenerated.render(genSpecs)))
     if (userProps.nonEmpty)
       ManifestSink.writeTableProps(conf, tablePath(ident), userProps)
     // a table is born as a schema-only snapshot: same commit protocol,
@@ -308,9 +431,20 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     * leaves no new table (CTAS) / the old table untouched and
     * readable (RTAS). Spark routes here automatically because the
     * catalog implements StagingTableCatalog. */
+  /** CTAS/RTAS define every row inline, so "generated" has no
+    * meaning there — refuse rather than silently not generating. */
+  private def refuseStagedIdentity(columns: Array[Column]): Unit =
+    columns.find(c => c.identityColumnSpec() != null ||
+        c.generationExpression() != null).foreach { c =>
+      throw new UnsupportedOperationException(
+        s"identity/generated column '${c.name()}' is not supported in " +
+          "CTAS/RTAS — CREATE the table first, then INSERT")
+    }
+
   override def stageCreate(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
+    refuseStagedIdentity(columns)
     val schema = org.apache.spark.sql.graftbridge.GraftCatalogV2.toStructType(columns)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     new GraftStagedTable(ident, tablePath(ident), schema,
@@ -321,6 +455,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   override def stageReplace(ident: Identifier, columns: Array[Column],
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
+    refuseStagedIdentity(columns)
     val schema = org.apache.spark.sql.graftbridge.GraftCatalogV2.toStructType(columns)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new GraftStagedTable(ident, tablePath(ident), schema,
@@ -331,6 +466,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   override def stageCreateOrReplace(ident: Identifier,
       columns: Array[Column], partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
+    refuseStagedIdentity(columns)
     val schema = org.apache.spark.sql.graftbridge.GraftCatalogV2.toStructType(columns)
     new GraftStagedTable(ident, tablePath(ident), schema,
       parseLayout(schema, partitions), replace = tableExists(ident),
@@ -1129,6 +1265,17 @@ private[sources] class GraftCatalogTable(
     * bucket — and (b) routes rows through the bucketed writer, which
     * records the bucket ordinals the SPJ-reporting scan needs. Layout
     * policy lives with the table; writers stay ignorant. */
+  /** Identity-column spec parsed once from the props sidecar —
+    * the write side generates values (see [[ManifestIdentity]]). */
+  private val identitySpec: Option[ManifestIdentity.Spec] =
+    ManifestIdentity.parse(tableProps)
+
+  /** Generated-column expression SQL, parsed once from the props
+    * sidecar; bound per write against the write schema (see
+    * [[ManifestGenerated]]). */
+  private val generatedSpecs: Seq[(String, String)] =
+    ManifestGenerated.parse(tableProps)
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder
       with org.apache.spark.sql.connector.write.SupportsOverwrite {
@@ -1160,6 +1307,23 @@ private[sources] class GraftCatalogTable(
       override def build(): Write = {
         val branch = Option(info.options.get("branch")).filter(_.nonEmpty)
         val sconf = new SerializableConfiguration(ManifestSink.driverConf())
+        // generated columns bind against THIS write's schema (insert
+        // projections land in table order) on the driver, once
+        val genFills: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] =
+          if (generatedSpecs.isEmpty) Seq.empty
+          else {
+            val session = org.apache.spark.sql.SparkSession.active
+            val banned = generatedSpecs.map(_._1).toSet ++
+              identitySpec.map(_.col)
+            generatedSpecs.flatMap { case (c, e) =>
+              val slot = info.schema().fields.indexWhere(_.name == c)
+              require(slot >= 0, s"generated column '$c' missing from " +
+                s"the write schema ${info.schema().simpleString} — " +
+                "select it as NULL (the sink computes it)")
+              Seq(slot -> ManifestGenerated.bind(session, info.schema(),
+                c, e, banned))
+            }
+          }
         // df.writeStream.toTable: exactly-once epoch appends through
         // [[ManifestStreamingWrite]] — append-mode only (a streaming
         // truncate/replace-where is not a log-structured sink shape)
@@ -1171,6 +1335,12 @@ private[sources] class GraftCatalogTable(
               "overwrite/replace-where shapes)")
           require(branch.isEmpty,
             "streaming writes target main (stage on a branch in batch)")
+          require(identitySpec.isEmpty && generatedSpecs.isEmpty,
+            "streaming writes into identity/generated-column tables " +
+              "are not " +
+              "supported (epoch replay would need the idempotence " +
+              "marker to carry the issued range); generate ids in " +
+              "foreachBatch or write to a staging table")
           new ManifestStreamingWrite(path, info.schema(), info.queryId(),
             sconf, buckets, splitBy)
         }
@@ -1195,7 +1365,8 @@ private[sources] class GraftCatalogTable(
               override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
                 new ManifestBatchWrite(path, info.schema(), doTruncate,
                   history = true, sconf, branch,
-                  replaceFilters = replaceFilters)
+                  replaceFilters = replaceFilters, identity = identitySpec,
+                  generated = genFills)
               override def toStreaming
                   : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
                 streaming()
@@ -1204,7 +1375,8 @@ private[sources] class GraftCatalogTable(
             override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
               new ManifestBatchWrite(path, info.schema(), doTruncate,
                 history = true, sconf, branch,
-                replaceFilters = replaceFilters)
+                replaceFilters = replaceFilters, identity = identitySpec,
+                  generated = genFills)
             override def toStreaming
                 : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
               streaming()
@@ -1221,7 +1393,8 @@ private[sources] class GraftCatalogTable(
               override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
                 new ManifestBatchWrite(path, info.schema(), doTruncate,
                   history = true, sconf, branch,
-                  replaceFilters = replaceFilters, splitBy = Some(c))
+                  replaceFilters = replaceFilters, splitBy = Some(c),
+                  identity = identitySpec, generated = genFills)
               override def toStreaming
                   : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
                 streaming(splitBy = Some(c))
@@ -1243,7 +1416,8 @@ private[sources] class GraftCatalogTable(
               override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
                 new ManifestBatchWrite(path, info.schema(), doTruncate,
                   history = true, sconf, branch, buckets = Some(n),
-                  replaceFilters = replaceFilters)
+                  replaceFilters = replaceFilters, identity = identitySpec,
+                  generated = genFills)
               override def toStreaming
                   : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
                 streaming(buckets = Some(n))

@@ -46,7 +46,8 @@ private[sources] object GraftProcedures {
 
   /** Registry order is the SHOW PROCEDURES order. */
   val names: Seq[String] = Seq("compact", "compact_vectors",
-    "expire_snapshots", "rollback", "fast_forward", "drop_branch",
+    "expire_snapshots", "remove_orphan_files", "rollback",
+    "fast_forward", "cherrypick_snapshot", "drop_branch",
     "tag", "drop_tag", "create_mv", "refresh_mv", "clone", "analyze",
     "set_layout")
 
@@ -57,8 +58,12 @@ private[sources] object GraftProcedures {
       case "compact"          => Some(new CompactProcedure(warehouse))
       case "compact_vectors"  => Some(new CompactVectorsProcedure(warehouse))
       case "expire_snapshots" => Some(new ExpireSnapshotsProcedure(warehouse))
+      case "remove_orphan_files" =>
+        Some(new RemoveOrphanFilesProcedure(warehouse))
       case "rollback"         => Some(new RollbackProcedure(warehouse))
       case "fast_forward"     => Some(new FastForwardProcedure(warehouse))
+      case "cherrypick_snapshot" =>
+        Some(new CherrypickProcedure(warehouse))
       case "drop_branch"      => Some(new DropBranchProcedure(warehouse))
       case "tag"              => Some(new TagProcedure(warehouse))
       case "drop_tag"         => Some(new DropTagProcedure(warehouse))
@@ -255,6 +260,45 @@ private[sources] final class ExpireSnapshotsProcedure(warehouse: String)
   }
 }
 
+/** Orphan cleanup WITHOUT retention change (Iceberg's
+  * remove_orphan_files): reclaims crash debris and aborted-write
+  * stages older than the grace gate while every snapshot stays
+  * readable — the janitor pass operators schedule independently of
+  * retention policy. Internally the same reference-counting sweep as
+  * expire_snapshots with zero versions expired. */
+private[sources] final class RemoveOrphanFilesProcedure(warehouse: String)
+  extends GraftProcedure("remove_orphan_files", warehouse) {
+
+  override def description(): String =
+    "Delete files referenced by NO snapshot or branch and older than " +
+      "older_than_ms; expires nothing — all snapshots stay readable"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table identifier relative to the catalog warehouse").build(),
+    ProcedureParameter.in("older_than_ms", LongType)
+      .defaultValue(ManifestMaintenance.DefaultOrphanGraceMs.toString)
+      .comment("minimum file age before a never-referenced file is " +
+        "reclaimed (guards in-flight writers' staged parts)").build(),
+    ProcedureParameter.in("dry_run", BooleanType).defaultValue("false")
+      .comment("report what would be reclaimed; touch nothing").build())
+
+  override def outputSchema: StructType = StructType(Seq(
+    StructField("files_deleted", IntegerType, nullable = false),
+    StructField("versions_retained", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val dir = tableDir(input.getUTF8String(0).toString)
+    val conf = ManifestSink.driverConf()
+    val keepAll =
+      math.max(1, ManifestSink.listVersions(conf, dir).length)
+    val stats = ManifestMaintenance.expireSnapshots(conf, dir,
+      keepLast = keepAll, orphanGraceMs = input.getLong(1),
+      dryRun = !input.isNullAt(2) && input.getBoolean(2))
+    result(stats.filesDeleted, stats.versionsRetained)
+  }
+}
+
 /** RESTORE/rollback: re-commit snapshot `version` as the new head. */
 private[sources] final class RollbackProcedure(warehouse: String)
   extends GraftProcedure("rollback", warehouse) {
@@ -300,6 +344,38 @@ private[sources] final class FastForwardProcedure(warehouse: String)
     val dir = tableDir(input.getUTF8String(0).toString)
     result(ManifestMaintenance.fastForward(
       ManifestSink.driverConf(), dir, input.getUTF8String(1).toString))
+  }
+}
+
+/** The OTHER publish step of write-audit-publish — for a main line
+  * that ADVANCED since the fork (fast_forward would drop the
+  * interleaved commits). See [[ManifestMaintenance.cherrypick]] for
+  * the pure-append safety contract. */
+private[sources] final class CherrypickProcedure(warehouse: String)
+  extends GraftProcedure("cherrypick_snapshot", warehouse) {
+
+  override def description(): String =
+    "Re-apply one branch snapshot's append delta onto the current " +
+      "main head (metadata-only; refuses non-append snapshots)"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("table identifier relative to the catalog warehouse").build(),
+    ProcedureParameter.in("branch", StringType)
+      .comment("branch holding the staged snapshot").build(),
+    ProcedureParameter.in("version", IntegerType).defaultValue("-1")
+      .comment("branch snapshot to pick; -1 = the branch head").build())
+
+  override def outputSchema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("parts_added", IntegerType, nullable = false),
+    StructField("rows_added", LongType, nullable = false)))
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val dir = tableDir(input.getUTF8String(0).toString)
+    val st = ManifestMaintenance.cherrypick(ManifestSink.driverConf(),
+      dir, input.getUTF8String(1).toString, input.getInt(2))
+    result(st.version, st.partsAdded, st.rowsAdded)
   }
 }
 

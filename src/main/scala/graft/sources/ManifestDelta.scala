@@ -95,7 +95,10 @@ private[sources] class ManifestDeltaBatchWrite(
       info: PhysicalWriteInfo): DeltaWriterFactory = {
     val dir = new Path(path)
     dir.getFileSystem(conf.value).mkdirs(dir)
-    new ManifestDeltaWriterFactory(path, schema, token, conf)
+    // MERGE INSERT cannot generate identity/generated values on this
+    // path; a NULL in a computed slot refuses rather than landing
+    new ManifestDeltaWriterFactory(path, schema, token, conf,
+      ComputedColumns.guardSlots(conf.value, path, schema).toArray)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -159,9 +162,11 @@ private[sources] class ManifestDeltaBatchWrite(
 
 private[sources] class ManifestDeltaWriterFactory(
     path: String, schema: StructType, token: String,
-    conf: SerializableConfiguration) extends DeltaWriterFactory {
+    conf: SerializableConfiguration,
+    guardSlots: Array[Int] = Array.empty) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new ManifestDeltaWriter(path, schema, token, partitionId, taskId, conf)
+    new ManifestDeltaWriter(path, schema, token, partitionId, taskId, conf,
+      guardSlots)
 }
 
 /** Executor-side delta writer: deletes accumulate into per-part
@@ -171,7 +176,8 @@ private[sources] class ManifestDeltaWriterFactory(
   * as a fragment sidecar; the message carries references only. */
 private[sources] class ManifestDeltaWriter(
     dir: String, schema: StructType, token: String,
-    partitionId: Int, taskId: Long, conf: SerializableConfiguration)
+    partitionId: Int, taskId: Long, conf: SerializableConfiguration,
+    guardSlots: Array[Int] = Array.empty)
     extends DeltaWriter[InternalRow] {
 
   private val bitmaps = mutable.Map.empty[String, mutable.ArrayBuffer[Long]]
@@ -196,6 +202,20 @@ private[sources] class ManifestDeltaWriter(
   }
 
   override def insert(row: InternalRow): Unit = {
+    // NOT-MATCHED inserts land here: a NULL computed slot is a
+    // generation request this path cannot serve — refuse loudly.
+    // (reinsert — the carried half of an update decomposition —
+    // bypasses the guard: it re-writes committed, non-null values.)
+    var i = 0
+    while (i < guardSlots.length) {
+      if (row.isNullAt(guardSlots(i)))
+        ComputedColumns.refuse(schema, guardSlots(i))
+      i += 1
+    }
+    doInsert(row)
+  }
+
+  private def doInsert(row: InternalRow): Unit = {
     if (inserts == null)
       inserts = new ManifestDataWriter(
         dir, schema, s"$token-d", partitionId, taskId, conf.value)
@@ -203,7 +223,7 @@ private[sources] class ManifestDeltaWriter(
   }
 
   override def reinsert(metadata: InternalRow, row: InternalRow): Unit =
-    insert(row)
+    doInsert(row)
 
   override def commit(): WriterCommitMessage = {
     val frags = bitmaps.toSeq.sortBy(_._1).zipWithIndex.map {

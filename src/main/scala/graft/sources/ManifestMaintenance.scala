@@ -506,6 +506,113 @@ object ManifestMaintenance {
       colmap = Some(cm), op = "publish")
   }
 
+  /** Result of one cherry-pick: the new main version, plus what the
+    * picked delta contained. */
+  final case class CherrypickStats(
+      version: Int, partsAdded: Int, rowsAdded: Long)
+
+  /** CHERRY-PICK one branch snapshot's APPEND delta onto the CURRENT
+    * main head (Iceberg's `cherrypick_snapshot` / `publish_changes`) —
+    * the WAP publish for when main has ADVANCED since the fork:
+    * fast-forward would replace main wholesale and silently drop the
+    * interleaved commits; cherry-pick re-applies only the parts the
+    * branch snapshot ADDED, as a fresh commit on today's head.
+    *
+    * Safety contract (all refusals loud, spec-pinned):
+    *  - only PURE-APPEND snapshots cherry-pick: a branch snapshot that
+    *    dropped or restated any pre-existing line (branch DML, branch
+    *    compaction) refuses — its delta is not expressible as an
+    *    append onto a different base;
+    *  - the delta base is the PREVIOUS branch snapshot when one
+    *    exists; the branch's FIRST snapshot reconstructs its fork
+    *    point from the immutable main version log — the newest main
+    *    snapshot whose every part line survives BIT-IDENTICAL inside
+    *    the picked snapshot (version manifests are immutable, so the
+    *    containment proof is exact). No such version (fork expired,
+    *    or the first branch commit rewrote fork parts) refuses;
+    *    an older-than-fork false match is caught by the
+    *    already-on-main guard below;
+    *  - schema and column mapping must match main's EXACTLY (a
+    *    diverged DDL cannot re-base silently);
+    *  - a delta part already on main refuses (double-publish guard).
+    *
+    * Metadata-only: the staged part files have lived in the table
+    * directory since the branch write; the pick is one manifest
+    * commit riding the normal optimistic claim — O(parts) driver
+    * work at any table size. */
+  def cherrypick(conf: Configuration, dir: String, branch: String,
+      version: Int = -1): CherrypickStats = {
+    val bvs = ManifestSink.listBranchVersions(conf, dir, branch)
+    require(bvs.nonEmpty,
+      s"branch '$branch' has no commits at $dir — nothing to cherry-pick")
+    val v = if (version == -1) bvs.last else version
+    require(bvs.contains(v),
+      s"branch '$branch' has no snapshot $v at $dir " +
+        s"(has: ${bvs.mkString(", ")})")
+    val picked = ManifestSink.readBranchMeta(conf, dir, branch, Some(v))
+    val (bSchema, bCm) = ManifestSink
+      .readSchemaAndColMap(conf, dir, Some(v), Some(branch))
+      .getOrElse(throw new IllegalStateException(
+        s"branch '$branch' snapshot $v at $dir has no schema header"))
+    val (mSchema, mCm) = ManifestSink.readSchemaAndColMap(conf, dir)
+      .getOrElse(throw new IllegalStateException(
+        s"table $dir has no main schema header"))
+    require(bSchema.toDDL == mSchema.toDDL && bCm == mCm,
+      s"cherry-pick refused: branch '$branch' schema/column-mapping " +
+        s"diverged from main at $dir — fast_forward or re-stage instead")
+    val pickedByPath = picked.map(p => p.path -> p).toMap
+    val prev: Seq[PartMeta] = bvs.filter(_ < v).lastOption match {
+      case Some(pv) => ManifestSink.readBranchMeta(conf, dir, branch, Some(pv))
+      case None =>
+        // FORK-POINT RECONSTRUCTION: the first branch commit forked
+        // implicitly from the then-current main head without recording
+        // it. Main version manifests are immutable, so the fork is the
+        // NEWEST main version every one of whose part lines survives
+        // bit-identical in the picked snapshot. A main version newer
+        // than the fork contains post-fork parts the branch never saw
+        // (not contained); the true fork qualifies for a pure-append
+        // branch commit; an accidental older match only widens `delta`
+        // with parts already on main — refused by the dup guard below.
+        ManifestSink.listVersions(conf, dir).reverse
+          .map(m => ManifestSink.readManifestMeta(conf, dir, Some(m)))
+          .find(_.forall(p => pickedByPath.get(p.path).contains(p)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"cherry-pick refused: no main snapshot of $dir is " +
+              s"contained in branch '$branch' snapshot $v — the fork " +
+              "point expired or the branch commit rewrote fork parts; " +
+              "fast_forward or re-stage instead"))
+    }
+    val prevByPath = prev.map(p => p.path -> p).toMap
+    val delta = picked.filterNot(p => prevByPath.contains(p.path))
+    // pure-append proof: every non-delta line of the picked snapshot
+    // must be bit-identical to its base record — a dropped, rewritten
+    // or re-vectored line means this snapshot is not an append
+    val restated = picked.filter(p =>
+      prevByPath.get(p.path).exists(_ != p))
+    val dropped = prev.filterNot(p => picked.exists(_.path == p.path))
+    require(restated.isEmpty && dropped.isEmpty,
+      s"cherry-pick refused: branch '$branch' snapshot $v is not a " +
+        s"pure append over its base (${restated.size} restated, " +
+        s"${dropped.size} dropped part lines) — fast_forward or " +
+        "compact instead")
+    require(delta.nonEmpty,
+      s"cherry-pick refused: branch '$branch' snapshot $v adds no " +
+        s"parts over its base at $dir")
+    val newVersion = ManifestSink.publishRebase(conf, dir, mSchema,
+      history = true,
+      rebase = head => {
+        val headPaths = head.map(_.path).toSet
+        val dup = delta.filter(p => headPaths(p.path))
+        require(dup.isEmpty,
+          s"cherry-pick refused: ${dup.size} delta part(s) already " +
+            s"committed on main at $dir (double publish?)")
+        head ++ delta
+      },
+      strictBase = None, colmapOverride = Some(mCm), stampNew = false,
+      op = "cherrypick")
+    CherrypickStats(newVersion, delta.size, delta.map(_.rows).sum)
+  }
+
   /** Drop a branch's version files (post-publish cleanup, or abandoning
     * a failed audit). Data files the branch staged stay until vacuum
     * decides they are unreferenced. Returns the number of version

@@ -129,7 +129,11 @@ private[sources] class ManifestReplaceWrite(
       info: PhysicalWriteInfo): DataWriterFactory = {
     val dir = new Path(path)
     dir.getFileSystem(conf.value).mkdirs(dir)
-    new ManifestWriterFactory(path, schema, token, conf)
+    val f = new ManifestWriterFactory(path, schema, token, conf)
+    // MERGE INSERT cannot generate identity/generated values on this
+    // path; a NULL in a computed slot refuses rather than landing
+    val guard = ComputedColumns.guardSlots(conf.value, path, schema)
+    if (guard.isEmpty) f else ComputedNullGuardFactory(f, schema, guard)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -1440,7 +1440,10 @@ private[sources] class ManifestBatchWrite(
     buckets: Option[Int] = None,
     replaceFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None,
     opLabel: Option[String] = None,
-    splitBy: Option[String] = None)
+    splitBy: Option[String] = None,
+    identity: Option[ManifestIdentity.Spec] = None,
+    generated: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] =
+      Seq.empty)
     extends BatchWrite {
 
   private def opName: String = opLabel.getOrElse(
@@ -1457,7 +1460,36 @@ private[sources] class ManifestBatchWrite(
     val fs = dir.getFileSystem(conf.value)
     if (truncate && !history && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
-    new ManifestWriterFactory(path, schema, token, conf, buckets, splitBy)
+    val factory0 =
+      new ManifestWriterFactory(path, schema, token, conf, buckets, splitBy)
+    // generated wraps INNER (sees identity-filled rows were it to
+    // reference them — banned at create, so order only matters for
+    // the refusal messages); identity wraps OUTER so its fill sees
+    // the raw incoming row
+    val factory =
+      if (generated.isEmpty) factory0
+      else GeneratedFillFactory(factory0, schema, generated)
+    identity match {
+      case Some(spec) =>
+        val slot = schema.fields.indexWhere(_.name == spec.col)
+        // an append that omits the identity column entirely (schema
+        // prefix without it) has nothing to fill — the reader serves
+        // NULL for the missing slot, which the gate below refuses
+        require(slot >= 0, s"identity column '${spec.col}' missing " +
+          s"from the write schema ${schema.simpleString} — select it " +
+          "as NULL (or a value, under GENERATED BY DEFAULT)")
+        // high-water is DERIVED from committed stats at plan time —
+        // head parts even under logical truncate, so ids never reuse
+        // across a time-travelable overwrite
+        val head = branch match {
+          case Some(b) => ManifestSink.readBranchMeta(conf.value, path, b)
+          case None    => ManifestSink.readManifestMeta(conf.value, path, None)
+        }
+        IdentityFillFactory(factory, schema, slot, spec.step,
+          spec.allowExplicit,
+          ManifestIdentity.nextBase(head, schema, spec))
+      case None => factory
+    }
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -40,7 +40,8 @@ class ProcedureSpec extends graft.SparkSpec {
     val shown = spark.sql("SHOW PROCEDURES IN gps.system").collect()
       .map(_.getAs[String]("procedure_name")).toSet
     assert(shown === Set("compact", "compact_vectors", "expire_snapshots",
-      "rollback", "fast_forward", "drop_branch", "tag", "drop_tag",
+      "remove_orphan_files", "rollback", "fast_forward",
+      "cherrypick_snapshot", "drop_branch", "tag", "drop_tag",
       "create_mv", "refresh_mv", "clone", "analyze", "set_layout"))
     val desc = spark.sql("DESCRIBE PROCEDURE gps.system.compact")
       .collect().map(_.toString).mkString("\n")
@@ -154,6 +155,36 @@ class ProcedureSpec extends graft.SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT count(*) FROM gps.ns.life VERSION AS OF 1").collect()
     }
+  }
+
+  test("remove_orphan_files reclaims aged debris, keeps all snapshots " +
+    "and young staged files") {
+    val t = writeTable("orph", 60L, 2)
+    spark.sql("INSERT INTO gps.ns.orph VALUES (1000, 1)") // v2
+    // aged crash debris: never referenced by any manifest
+    val old = new java.io.File(t, "part-deadbeef-0-0.csv")
+    java.nio.file.Files.write(old.toPath, "junk\n".getBytes)
+    old.setLastModified(System.currentTimeMillis() - 7200000L)
+    // a young staged file: could be an in-flight writer — must survive
+    val young = new java.io.File(t, "part-cafebabe-0-0.csv")
+    java.nio.file.Files.write(young.toPath, "stage\n".getBytes)
+    val dry = spark.sql(
+      "CALL gps.system.remove_orphan_files(table => 'ns.orph', " +
+        "older_than_ms => 3600000, dry_run => true)").collect().head
+    assert(dry.getAs[Int]("files_deleted") === 1)
+    assert(old.exists, "dry run must touch nothing")
+    val real = spark.sql(
+      "CALL gps.system.remove_orphan_files(table => 'ns.orph', " +
+        "older_than_ms => 3600000)").collect().head
+    assert(real.getAs[Int]("files_deleted") === 1)
+    assert(!old.exists && young.exists,
+      "aged orphan reclaimed; young staged file guarded")
+    // nothing expired: every snapshot still readable
+    assert(real.getAs[Int]("versions_retained") === 2)
+    assert(spark.sql("SELECT count(*) FROM gps.ns.orph VERSION AS OF 1")
+      .head.getLong(0) === 60L)
+    assert(spark.sql("SELECT count(*) FROM gps.ns.orph").head.getLong(0)
+      === 61L)
   }
 
   test("expire_snapshots default orphan_grace_ms binds from the declared default") {
