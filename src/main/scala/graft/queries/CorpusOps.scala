@@ -657,6 +657,115 @@ ORDER BY r.source""")),
   FROM (SELECT doc_id, ${graft.functions.OracleHash.h64Sql("doc_id")} AS h
         FROM documents))
 ORDER BY doc_id""")),
+
+    // --- URL-CANONICALIZATION DEDUP: web-crawl corpora carry the
+    // same page under many spellings — scheme/host case, explicit
+    // default ports, trailing slashes, tracking params (utm_*),
+    // fragments, param order. The canonical key is computed by
+    // actually PARSING the messy URL (parse_url HOST/PATH/QUERY +
+    // array HOFs to drop utm_* and sort the surviving params — all
+    // codegen'd builtins, no UDF), then dedup keeps the best doc per
+    // canonical URL (max (n_chars, doc_id) struct — deterministic
+    // argmax with map-side partial aggregation). The fixture derives
+    // each doc's messy URL from its own id (six orthogonal mess
+    // dimensions), so the oracle knows the canonical form
+    // analytically: the gate proves the string-pipeline
+    // canonicalization exactly inverts the mess. Scale shape: ONE
+    // shuffle on the canonical key at O(docs); at 100 TB the URL
+    // never leaves its row until the dedup shuffle, and the argmax
+    // combines map-side like any partial agg.
+    QueryDef("q_dedup_url",
+      (spark, dir) => {
+        val id = col("doc_id")
+        val grp = (id % 97).cast("string")
+        val messy = concat(
+          when(id % 2 === 0, lit("https://")).otherwise(lit("HTTPS://")),
+          when(id % 3 === 0, lit("Example.COM")).otherwise(lit("example.com")),
+          when(id % 5 === 0, lit(":443")).otherwise(lit("")),
+          lit("/docs/p"), grp,
+          when(id % 7 === 0, lit("/")).otherwise(lit("")),
+          lit("?"),
+          when(id % 2 === 1, lit("utm_source=feed&")).otherwise(lit("")),
+          when(id % 11 === 0, lit("utm_campaign=x&")).otherwise(lit("")),
+          lit("id="), grp,
+          when(id % 13 === 0, concat(lit("#sec"), (id % 4).cast("string")))
+            .otherwise(lit("")))
+        val host = lower(regexp_replace(
+          parse_url(col("url"), lit("HOST")), ":443$", ""))
+        val path = regexp_replace(
+          parse_url(col("url"), lit("PATH")), "/$", "")
+        val params = filter(
+          split(parse_url(col("url"), lit("QUERY")), "&"),
+          x => !startswith(x, lit("utm_")) && x =!= lit(""))
+        val query = array_join(sort_array(params), "&")
+        Tables.documents(spark, dir)
+          .select(id, col("n_chars"), messy.as("url"))
+          .withColumn("canon_url", concat(lit("https://"), host, path,
+            when(query === "", lit("")).otherwise(concat(lit("?"), query))))
+          .groupBy(col("canon_url"))
+          .agg(count(lit(1)).as("n_docs"),
+            max(struct(col("n_chars"), col("doc_id"))).as("best"))
+          .select(col("canon_url"), col("n_docs"),
+            col("best.doc_id").as("kept_doc"),
+            col("best.n_chars").as("kept_chars"))
+          .orderBy(col("canon_url"))
+      },
+      Some("""WITH ranked AS (
+  SELECT doc_id % 97 AS grp, doc_id, n_chars,
+    row_number() OVER (PARTITION BY doc_id % 97
+      ORDER BY n_chars DESC, doc_id DESC) AS rn,
+    count(*) OVER (PARTITION BY doc_id % 97) AS n_docs
+  FROM documents)
+SELECT 'https://example.com/docs/p' || grp || '?id=' || grp AS canon_url,
+  CAST(n_docs AS BIGINT) AS n_docs,
+  doc_id AS kept_doc, n_chars AS kept_chars
+FROM ranked WHERE rn = 1 ORDER BY canon_url""")),
+
+    // --- TOKEN-BUDGET CORPUS SELECTION: the data-mixing step of a
+    // training run — each domain (source) contributes its BEST
+    // documents until its token budget is spent (greedy by quality is
+    // the standard knapsack relaxation: items are small relative to
+    // the budget, so greedy is near-optimal and, unlike sampling,
+    // deterministic). Quality here is (n_chars, doc_id) — an exact
+    // integer key, so the greedy order is total and cross-engine
+    // reproducible; tokens are whitespace tokens. Shape: one shuffle
+    // partitioned by domain + a per-domain sort feeding a running
+    // prefix-sum window — the budget cut is a filter on the cumsum,
+    // rows never visit the driver. At 100 TB with millions of docs
+    // per domain, the same cut runs WITHOUT the full per-domain sort:
+    // approx_percentile picks the quality threshold that lands the
+    // budget, the window only ranks the boundary quantile (the
+    // hierarchical-prefix-sum trick q_pack_sequences uses); here the
+    // exact spelling is the oracle-checkable contract.
+    QueryDef("q_budget_select",
+      (spark, dir) => {
+        val budget = 20000L
+        val toks = size(split(col("text"), " ")).cast("bigint")
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            toks.as("tokens"))
+          .withColumn("cum_tokens", sum(col("tokens")).over(w))
+          .filter(col("cum_tokens") <= budget)
+          .select(col("doc_id"), col("source"), col("tokens"),
+            col("cum_tokens"))
+          .orderBy(col("source"), col("cum_tokens"), col("doc_id"))
+      },
+      Some("""WITH t AS (
+  SELECT doc_id, source, n_chars,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, source, tokens,
+    sum(tokens) OVER (PARTITION BY source
+      ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING)
+      AS cum_tokens
+  FROM t)
+SELECT doc_id, source, tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 20000
+ORDER BY source, cum_tokens, doc_id""")),
   )
 
   /** [[SimOps.LevPairsSql]], re-exposed for the recursive-CTE splice. */

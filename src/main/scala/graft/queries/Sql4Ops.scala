@@ -248,5 +248,58 @@ FROM orders""")),
   CAST(o_totalprice AS DECIMAL(18,2)) AS price,
   CAST(price * 2 AS DECIMAL(18,2)) AS gross,
   CAST(gross + 1 AS DECIMAL(18,2)) AS gross1
-FROM orders ORDER BY o_orderkey""")))
+FROM orders ORDER BY o_orderkey""")),
+
+    // --- XML FUNCTIONS (from_xml + the Hive xpath_* family, both
+    // native in Spark 4): the OTHER semi-structured wire format —
+    // feeds, SOAP-era APIs, sitemap/config ingests. Each row renders
+    // a deterministic XML document from its own columns, then parses
+    // it back two ways: schema-full (`from_xml` → typed struct, the
+    // ingest shape) and schema-less probing (`xpath_string`/
+    // `xpath_long`/`xpath` — the exploration shape). The oracle
+    // restates every extracted field from the source columns, so the
+    // gate proves render→parse is lossless for strings, BIGINTs and
+    // exact decimals. Scale shape: `from_xml` is a per-row StAX parse
+    // inside one projection — no shuffle, no UDF — and runs over the
+    // FULL corpus; the Hive xpath_* probes re-parse the document into
+    // a DOM on EVERY call (3 probes ≈ 3 extra parses per row — 41 s
+    // at sf0.1 when applied corpus-wide, the bench caught it), so
+    // they run on a deterministic 1-in-50 sample: the exploration
+    // tool is gated exactly without paying exploration cost on every
+    // row. At 100 TB the same split holds — from_xml once into typed
+    // columns, xpath only to probe. (Numeric transport rides
+    // DECIMAL(18,6) strings — double rendering differs across
+    // engines, decimal rendering does not.)
+    QueryDef("q_xml_funcs",
+      (spark, dir) => {
+        val xml = concat(lit("<e><t>"), col("event_type"),
+          lit("</t><u>"), col("user_id").cast("string"),
+          lit("</u><v>"),
+          col("value").cast("decimal(18,6)").cast("string"),
+          lit("</v></e>"))
+        val xsch = org.apache.spark.sql.types.StructType.fromDDL(
+          "t STRING, u BIGINT, v DECIMAL(18,6)")
+        val sampled = col("event_id") % 50 === 0
+        Tables.events(spark, dir)
+          .select(col("event_id"), xml.as("x"))
+          .select(col("event_id"), from_xml(col("x"), xsch).as("e"),
+            col("x"))
+          .select(
+            col("event_id"),
+            col("e.t").as("t"),
+            col("e.u").as("u"),
+            col("e.v").as("v"),
+            when(sampled, expr("xpath_string(x, '/e/t')")).as("xp_t"),
+            when(sampled, expr("xpath_long(x, '/e/u')")).as("xp_u"),
+            when(sampled,
+              expr("CAST(size(xpath(x, '/e/*/text()')) AS INT)"))
+              .as("n_children"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+  event_type AS t, user_id AS u, CAST(value AS DECIMAL(18,6)) AS v,
+  CASE WHEN event_id % 50 = 0 THEN event_type END AS xp_t,
+  CASE WHEN event_id % 50 = 0 THEN user_id END AS xp_u,
+  CASE WHEN event_id % 50 = 0 THEN CAST(3 AS INT) END AS n_children
+FROM events ORDER BY event_id""")))
 }

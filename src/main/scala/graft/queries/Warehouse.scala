@@ -3600,5 +3600,288 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
   false AS pre_has_tag,
   (SELECT CAST(count(*) AS BIGINT) FROM t) AS pre_n
 FROM merged""")),
+
+    // --- CHERRY-PICK (CALL cherrypick_snapshot — Iceberg's
+    // publish_changes shape): the WAP publish for a main line that
+    // ADVANCED since the fork. The ingest stages its append on branch
+    // 'fix' (main v1 = quarter 0 of events), an unrelated job then
+    // commits straight to main (v2 = quarter 2) — fast_forward would
+    // now replace main with the branch head and silently DROP that
+    // interleaved commit; cherry-pick re-applies only the branch
+    // snapshot's append delta (quarter 1, staged as 4 parts) as main
+    // v3. Metadata-only: the staged part files have lived in the
+    // table directory since the branch write; the pick is one
+    // manifest commit at any table size, and the fork point is
+    // RECONSTRUCTED from the immutable version log (the newest main
+    // snapshot bit-identically contained in the pick). The gate pins
+    // main before the pick, the CALL's own parts/rows delta, and the
+    // merged table after — interleaved commit intact. Non-append
+    // snapshots and diverged schemas refuse loudly (CherrypickSpec).
+    QueryDef("q_cherrypick",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "cherrypick")
+        spark.conf.set("spark.sql.catalog.graftcp",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftcp.warehouse", wh)
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("value"))
+        val t = s"$wh/wh/ev_t"
+        writeHistory(base.filter(col("event_id") % 4 === 0), t, "overwrite")
+        // stage the fix on its branch — fork at main v1
+        base.filter(col("event_id") % 4 === 1).repartition(4)
+          .write.format("graft.sources.ManifestSink")
+          .option("path", t).option("history", "true")
+          .option("branch", "fix").mode("append").save()
+        // main advances with an interleaved, disjoint commit
+        writeHistory(base.filter(col("event_id") % 4 === 2), t, "append")
+        val nBefore = readVersion(spark, t, None).count()
+        val picked = spark.sql(
+          "CALL graftcp.system.cherrypick_snapshot(" +
+            "table => 'wh.ev_t', branch => 'fix')")
+        spark.sql(s"""SELECT count(*) AS n_after,
+            ${Exact.decSumSql("value", 6).replace("VARCHAR", "STRING")}
+              AS sum_after
+          FROM graftcp.wh.ev_t""")
+          .withColumn("n_before_pick", lit(nBefore))
+          .withColumn("parts_added",
+            lit(picked.head.getInt(1)))
+          .withColumn("rows_added",
+            lit(picked.head.getLong(2)))
+      },
+      Some(s"""SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 4 IN (0, 1, 2))
+    AS n_after,
+  (SELECT ${Exact.decSumSql("value", 6)} FROM events
+   WHERE event_id % 4 IN (0, 1, 2)) AS sum_after,
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 4 IN (0, 2))
+    AS n_before_pick,
+  CAST(4 AS INT) AS parts_added,
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 4 = 1)
+    AS rows_added""")),
+
+    // --- IDENTITY COLUMNS (GENERATED ALWAYS / BY DEFAULT AS
+    // IDENTITY — SPARK-48404 DSv2 + sink-side generation,
+    // `sources/ManifestIdentity.scala`): the surrogate-key surface.
+    // Values are generated at WRITE time from per-task disjoint
+    // ranges (base + step·(pid·2³³ + i) — the monotonically-
+    // increasing-id shape Delta uses: unique and step-aligned, gaps
+    // allowed, zero cross-task coordination), and the high-water mark
+    // is DERIVED from committed part stats at plan time — no side
+    // state to crash out of sync, restore restores it for free. The
+    // generated values themselves are placement-dependent, so the
+    // gate pins the INVARIANTS (the actual contract): count distinct
+    // = rows, zero NULLs, min = START, step-alignment, every
+    // second-commit id above the first commit's max, GENERATED
+    // ALWAYS refuses explicit values, BY DEFAULT keeps them.
+    QueryDef("q_identity_col",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "identity")
+        spark.conf.set("spark.sql.catalog.graftid",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftid.warehouse", wh)
+        spark.sql("CREATE TABLE graftid.wh.t (" +
+          "id BIGINT GENERATED ALWAYS AS IDENTITY " +
+          "(START WITH 100 INCREMENT BY 3), v DOUBLE, tag STRING)")
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("value"))
+          .createOrReplaceTempView("graft_id_src")
+        spark.sql("INSERT INTO graftid.wh.t (v, tag) " +
+          "SELECT value, 'a' FROM graft_id_src WHERE event_id % 2 = 0")
+        spark.sql("INSERT INTO graftid.wh.t (v, tag) " +
+          "SELECT value, 'b' FROM graft_id_src WHERE event_id % 2 = 1")
+        val explicitRefused = scala.util.Try(
+          spark.sql("INSERT INTO graftid.wh.t VALUES (9, 0.0, 'x')")
+        ).isFailure
+        spark.sql("CREATE TABLE graftid.wh.d (" +
+          "id BIGINT GENERATED BY DEFAULT AS IDENTITY, v DOUBLE)")
+        spark.sql("INSERT INTO graftid.wh.d VALUES (7, 1.0), (NULL, 2.0)")
+        val dflt = spark.sql(
+          """SELECT max(CASE WHEN v = 1.0 THEN id END) AS kept,
+               count(id) AS n_ids FROM graftid.wh.d""").head
+        spark.sql("""SELECT count(*) AS n_rows,
+            count(DISTINCT id) AS n_ids,
+            count_if(id IS NULL) AS null_ids,
+            min(id) AS min_id,
+            bool_and((id - 100) % 3 = 0) AS aligned,
+            min(CASE WHEN tag = 'b' THEN id END) >
+              max(CASE WHEN tag = 'a' THEN id END) AS b_above_a
+          FROM graftid.wh.t""")
+          .withColumn("explicit_refused", lit(explicitRefused))
+          .withColumn("default_kept", lit(dflt.getLong(0)))
+          .withColumn("default_filled", lit(dflt.getLong(1) == 2L))
+      },
+      Some("""SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows,
+  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_ids,
+  CAST(0 AS BIGINT) AS null_ids,
+  CAST(100 AS BIGINT) AS min_id,
+  true AS aligned,
+  true AS b_above_a,
+  true AS explicit_refused,
+  CAST(7 AS BIGINT) AS default_kept,
+  true AS default_filled""")),
+
+    // --- CLUSTER BY at CREATE (the liquid-clustering DDL spelling,
+    // mapped to the WRITE ORDERED BY layout): every INSERT
+    // range-distributes + sorts on the column, so parts land with
+    // DISJOINT key ranges — min/max pruning is tight from the first
+    // write, no OPTIMIZE pass needed. The gate proves the physical
+    // claim from `.files` metadata: ZERO overlapping part pairs
+    // (data-independent — the oracle says 0), plus the rollup and
+    // exact key extremes restated. At 100 TB this is the
+    // declare-once layout for range-heavy workloads: clustering cost
+    // rides each insert's shuffle, reads prune forever.
+    QueryDef("q_cluster_by",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "clusterby")
+        spark.conf.set("spark.sql.catalog.graftcb",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftcb.warehouse", wh)
+        spark.sql("CREATE TABLE graftcb.wh.ev " +
+          "(event_id BIGINT, value DOUBLE) CLUSTER BY (event_id)")
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("value"))
+          .createOrReplaceTempView("graft_cb_src")
+        spark.sql("INSERT INTO graftcb.wh.ev SELECT * FROM graft_cb_src")
+        val overlaps = spark.sql("""SELECT count(*) FROM
+            graftcb.wh.ev.files a JOIN graftcb.wh.ev.files b
+            ON a.part < b.part AND a.key_min <= b.key_max
+              AND b.key_min <= a.key_max""").head.getLong(0)
+        spark.sql(s"""SELECT count(*) AS n_rows,
+            min(event_id) AS k_min, max(event_id) AS k_max,
+            ${Exact.decSumSql("value", 6).replace("VARCHAR", "STRING")}
+              AS sum_value
+          FROM graftcb.wh.ev""")
+          .withColumn("overlapping_pairs", lit(overlaps))
+      },
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  min(event_id) AS k_min, max(event_id) AS k_max,
+  ${Exact.decSumSql("value", 6)} AS sum_value,
+  CAST(0 AS BIGINT) AS overlapping_pairs
+FROM events""")),
+
+    // --- INSERT BY NAME: column resolution by NAME instead of
+    // position — the spelling that survives SELECT-list and table-DDL
+    // drift (a reordered upstream projection lands in the right
+    // columns instead of silently transposing). Pure resolution-time
+    // work: the analyzer re-projects to table order, the physical
+    // plan is the same append.
+    QueryDef("q_insert_by_name",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "insbyname")
+        spark.conf.set("spark.sql.catalog.graftbn",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftbn.warehouse", wh)
+        spark.sql("CREATE TABLE graftbn.wh.ord " +
+          "(k BIGINT, prio STRING, price DOUBLE)")
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"))
+          .createOrReplaceTempView("graft_bn_src")
+        // deliberately shuffled select order: BY NAME must transpose
+        spark.sql("""INSERT INTO graftbn.wh.ord BY NAME
+          SELECT CAST(o_totalprice AS DOUBLE) AS price,
+                 o_orderkey AS k,
+                 o_orderpriority AS prio
+          FROM graft_bn_src WHERE o_orderkey % 2 = 0""")
+        spark.sql(s"""SELECT prio, count(*) AS n,
+            ${Exact.decSumSql("price", 2).replace("VARCHAR", "STRING")}
+              AS sum_price,
+            min(k) AS k_min
+          FROM graftbn.wh.ord GROUP BY prio ORDER BY prio""")
+      },
+      Some(s"""SELECT o_orderpriority AS prio,
+  CAST(count(*) AS BIGINT) AS n,
+  ${Exact.decSumSql("o_totalprice", 2)} AS sum_price,
+  min(o_orderkey) AS k_min
+FROM orders WHERE o_orderkey % 2 = 0
+GROUP BY prio ORDER BY prio""")),
+
+    // --- REMOVE ORPHAN FILES (Iceberg's remove_orphan_files): the
+    // janitor pass that reclaims crash debris and aborted-write
+    // stages WITHOUT touching retention — every snapshot stays
+    // readable (versus expire_snapshots, which trades history for
+    // space). The fixture plants an aged never-referenced file; the
+    // gate pins exactly one reclaim, zero snapshots expired, and
+    // both the head and a pre-append snapshot still reading in full.
+    // Same reference-counting sweep as vacuum: O(snapshots +
+    // files-in-dir) driver metadata at any table size.
+    QueryDef("q_orphan_files",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "orphanfiles")
+        spark.conf.set("spark.sql.catalog.graftof",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftof.warehouse", wh)
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("value"))
+        val t = s"$wh/wh/ev_t"
+        writeHistory(base.filter(col("event_id") % 2 === 0), t, "overwrite")
+        writeHistory(base.filter(col("event_id") % 2 =!= 0), t, "append")
+        val fs = new Path(t).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val orphan = new Path(t, "part-orphan00-0-0.csv")
+        val os = fs.create(orphan, true)
+        try os.write("junk\n".getBytes("UTF-8")) finally os.close()
+        fs.setTimes(orphan, System.currentTimeMillis() - 7200000L, -1L)
+        val r = spark.sql(
+          "CALL graftof.system.remove_orphan_files(" +
+            "table => 'wh.ev_t', older_than_ms => 3600000)").head
+        spark.sql("""SELECT count(*) AS n_rows,
+            (SELECT count(*) FROM graftof.wh.ev_t VERSION AS OF 1)
+              AS n_v1
+          FROM graftof.wh.ev_t""")
+          .withColumn("files_deleted", lit(r.getInt(0)))
+          .withColumn("versions_retained", lit(r.getInt(1)))
+          .withColumn("orphan_gone", lit(!fs.exists(orphan)))
+      },
+      Some("""SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows,
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 2 = 0)
+    AS n_v1,
+  CAST(1 AS INT) AS files_deleted,
+  CAST(2 AS INT) AS versions_retained,
+  true AS orphan_gone""")),
+
+    // --- GENERATED COLUMNS (GENERATED ALWAYS AS (expr) — Delta's
+    // shape on SPARK-48404 DSv2 create + sink-side computation,
+    // `sources/ManifestGenerated.scala`): the expression is validated
+    // at CREATE (deterministic, no generated/identity references,
+    // exact declared type) and COMPUTED per row on the write path —
+    // an interpreted catalyst projection inside the writer, no
+    // shuffle, no UDF; explicit values refuse loudly (a caller value
+    // disagreeing with the expression would corrupt every downstream
+    // read). Unlike identity, the values are fully DETERMINISTIC, so
+    // the gate restates every generated cell from the source columns
+    // — the strongest possible cross-engine check of compute-on-write.
+    QueryDef("q_generated_col",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "generated")
+        spark.conf.set("spark.sql.catalog.graftgc",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftgc.warehouse", wh)
+        spark.sql("""CREATE TABLE graftgc.wh.ord (
+          k BIGINT, p STRING, v DOUBLE,
+          gross DOUBLE GENERATED ALWAYS AS (v * CAST(2 AS DOUBLE)),
+          ptag STRING GENERATED ALWAYS AS (upper(substring(p, 1, 3))))""")
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"))
+          .createOrReplaceTempView("graft_gc_src")
+        spark.sql("""INSERT INTO graftgc.wh.ord (k, p, v)
+          SELECT o_orderkey, o_orderpriority,
+                 CAST(o_totalprice AS DOUBLE)
+          FROM graft_gc_src""")
+        val explicitRefused = scala.util.Try(spark.sql(
+          "INSERT INTO graftgc.wh.ord VALUES (0, 'x', 1.0, 9.0, 'XXX')")
+        ).isFailure
+        spark.sql("""SELECT k, ptag, gross FROM graftgc.wh.ord
+            ORDER BY k""")
+          .withColumn("explicit_refused", lit(explicitRefused))
+      },
+      Some("""SELECT o_orderkey AS k,
+  upper(substring(o_orderpriority, 1, 3)) AS ptag,
+  CAST(o_totalprice AS DOUBLE) * CAST(2 AS DOUBLE) AS gross,
+  true AS explicit_refused
+FROM orders ORDER BY k""")),
   )
 }
