@@ -766,6 +766,55 @@ c AS (
 SELECT doc_id, source, tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
 FROM c WHERE cum_tokens <= 20000
 ORDER BY source, cum_tokens, doc_id""")),
+
+    // --- LEAKAGE-GUARDED TRAIN/TEST SPLIT: the eval-integrity step a
+    // naive per-doc hash split (q_train_split) gets WRONG — two
+    // near-duplicate documents hashing to different splits leak the
+    // test set into training. The fix: split at the NEAR-DUP
+    // COMPONENT level (the same min-label fixpoint q_dup_components
+    // resolves), so every near-duplicate pair lands on one side BY
+    // CONSTRUCTION; the query then PROVES it, joining the pair list
+    // against the assignment and counting straddlers — a
+    // data-independent 0 the oracle restates. Scale shape: component
+    // resolution is the O(log d)-round pointer-jumping fixpoint over
+    // the (skew-capped) pair list; the split itself is a hash of the
+    // component id — no extra shuffle beyond the component join.
+    QueryDef("q_split_leakage",
+      (spark, dir) => {
+        val pairs = SimOps.levPairs(spark, dir)
+          .select(col("a_id"), col("b_id"))
+        val nodes = Tables.documents(spark, dir)
+          .select(col("doc_id").as("id"))
+        val labels = connectedComponents(nodes, pairs.toDF("s", "t"))
+          .select(col("id").as("doc_id"), col("comp").as("component"))
+        val assigned = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("n_chars"))
+          .join(labels, "doc_id")
+          .withColumn("split",
+            when(pmod(graft.functions.OracleHash.h64(col("component")),
+              lit(10L)) < 8, "train").otherwise("test"))
+        val a = assigned.select(col("doc_id").as("a_id"),
+          col("split").as("sa"))
+        val b = assigned.select(col("doc_id").as("b_id"),
+          col("split").as("sb"))
+        val straddling = pairs.join(a, "a_id").join(b, "b_id")
+          .filter(col("sa") =!= col("sb")).count()
+        assigned.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .withColumn("straddling_pairs", lit(straddling))
+          .orderBy(col("split"))
+      },
+      Some(s"""WITH RECURSIVE $DupComponentsCteSql,
+assigned AS (
+  SELECT d.doc_id, d.n_chars,
+    CASE WHEN ${graft.functions.OracleHash.h64Sql("component")} % 10 < 8
+         THEN 'train' ELSE 'test' END AS split
+  FROM documents d JOIN lab l ON l.doc_id = d.doc_id)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(0 AS BIGINT) AS straddling_pairs
+FROM assigned GROUP BY split ORDER BY split""")),
   )
 
   /** [[SimOps.LevPairsSql]], re-exposed for the recursive-CTE splice. */

@@ -175,5 +175,33 @@ FROM orders""")),
   CAST(count(CASE WHEN etype = 'CLICK' THEN 1 END) AS BIGINT)
     AS n_click_cs
 FROM (SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
-             ELSE event_type END AS etype FROM events)""")))
+             ELSE event_type END AS etype FROM events)""")),
+
+    // --- PARAMETERIZED SQL (named parameter markers — Spark 4's
+    // `spark.sql(text, args)`): the injection-safe spelling of
+    // templated queries — `:name` markers bind TYPED literals at
+    // analysis, so the text is cacheable and user input never
+    // concatenates into SQL. Resolution-time only: the bound plan is
+    // identical to the inlined spelling (which is exactly what the
+    // oracle states), markers fold like any literal — predicate
+    // pushdown and partition pruning see the constant.
+    QueryDef("q_sql_params",
+      (spark, dir) => {
+        Tables.lineitem(spark, dir)
+          .createOrReplaceTempView("graft_params_lineitem")
+        spark.sql(
+          """SELECT l_returnflag,
+               count(*) AS n,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,6)))
+                 AS STRING) AS DOUBLE) AS qty
+             FROM graft_params_lineitem
+             WHERE l_quantity >= :minqty AND l_returnflag IN (:m1, :m2)
+             GROUP BY l_returnflag ORDER BY l_returnflag""",
+          Map("minqty" -> 25, "m1" -> "A", "m2" -> "R"))
+      },
+      Some(s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+  ${graft.functions.Exact.decSumSql("l_quantity")} AS qty
+FROM lineitem
+WHERE l_quantity >= 25 AND l_returnflag IN ('A', 'R')
+GROUP BY l_returnflag ORDER BY l_returnflag""")))
 }

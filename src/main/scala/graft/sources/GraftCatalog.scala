@@ -733,6 +733,31 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         props = props - rp.property
         propsChanged = true
         s
+      // ALTER TABLE ... CLUSTER BY (c) / CLUSTER BY NONE: the
+      // clustering lifecycle's other half — replaces (or clears) the
+      // write-ordered layout as pure sidecar metadata; existing parts
+      // keep their committed placement (compaction migrates), new
+      // INSERTs range-distribute + sort on the new column. Same
+      // machinery as CALL set_layout(spec => 'none', order_by => c).
+      case (s, cb: TableChange.ClusterBy) =>
+        val cols = cb.clusteringColumns().map(_.fieldNames().mkString("."))
+        require(ManifestSink.readTableSpec(conf, p).isEmpty,
+          s"ALTER TABLE CLUSTER BY: a bucket/identity layout owns row " +
+            s"placement on $ident — replace it via CALL set_layout")
+        if (cols.isEmpty) ManifestSink.clearTableSpec(conf, p)
+        else {
+          require(cols.length == 1,
+            "CLUSTER BY supports exactly one column here " +
+              "(multi-dimension clustering is CALL compact(zorder))")
+          val f = s.fields.find(_.name.equalsIgnoreCase(cols.head))
+          require(f.exists(x => x.dataType == LongType ||
+            x.dataType == org.apache.spark.sql.types.StringType),
+            s"CLUSTER BY column '${cols.head}' must be a BIGINT or " +
+              s"STRING column of ${s.fieldNames.mkString("(", ",", ")")}")
+          ManifestSink.writeTableSpec(conf, p, -1, "",
+            orderBy = Some(f.get.name))
+        }
+        s
       case (_, c) => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change $c — schema evolves " +
           "additively (ADD COLUMN / append commits) only")
