@@ -3883,5 +3883,62 @@ GROUP BY prio ORDER BY prio""")),
   CAST(o_totalprice AS DOUBLE) * CAST(2 AS DOUBLE) AS gross,
   true AS explicit_refused
 FROM orders ORDER BY k""")),
+
+    // --- PARTITION-SCOPED COMPACTION (`CALL compact(split_value =>
+    // 'v')` — Delta's OPTIMIZE ... WHERE / Iceberg's
+    // rewrite_data_files(where)): only the named identity partition's
+    // parts rewrite; every other part carries by reference, so
+    // maintenance cost is O(hot partition), never O(table) — at
+    // 100 TB you compact yesterday's partition while the archive
+    // stays untouched. Two inserts leave 2 parts per partition; the
+    // scoped call packs ONE partition 2→1 (gated from the CALL's own
+    // stats AND from `.files.split_value` before/after), a sibling
+    // partition provably keeps its 2 parts, the rollup restates
+    // exactly, and the pre-compact snapshot stays readable.
+    QueryDef("q_compact_partition",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "compactpart")
+        spark.conf.set("spark.sql.catalog.graftcw",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftcw.warehouse", wh)
+        spark.sql("CREATE TABLE graftcw.wh.ev " +
+          "(event_id BIGINT, value DOUBLE, etype STRING) " +
+          "PARTITIONED BY (etype)")
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("value"), col("event_type"))
+          .createOrReplaceTempView("graft_cw_src")
+        spark.sql("INSERT INTO graftcw.wh.ev SELECT * FROM graft_cw_src " +
+          "WHERE event_id % 2 = 0")
+        spark.sql("INSERT INTO graftcw.wh.ev SELECT * FROM graft_cw_src " +
+          "WHERE event_id % 2 = 1")
+        def partsOf(v: String): Long = spark.sql(
+          s"SELECT count(*) FROM graftcw.wh.ev.files " +
+            s"WHERE split_value = '$v'").head.getLong(0)
+        val clickBefore = partsOf("click")
+        val r = spark.sql(
+          "CALL graftcw.system.compact(table => 'wh.ev', " +
+            "target_parts => 1, split_value => 'click')").head
+        spark.sql(s"""SELECT count(*) AS n_rows,
+            ${Exact.decSumSql("value", 6).replace("VARCHAR", "STRING")}
+              AS sum_value
+          FROM graftcw.wh.ev""")
+          .withColumn("click_before", lit(clickBefore))
+          .withColumn("parts_rewritten", lit(r.getInt(0)))
+          .withColumn("parts_after", lit(r.getInt(1)))
+          .withColumn("click_after", lit(partsOf("click")))
+          .withColumn("view_after", lit(partsOf("view")))
+          .withColumn("n_pre_compact",
+            lit(spark.sql("SELECT count(*) FROM graftcw.wh.ev " +
+              "VERSION AS OF 3").head.getLong(0)))
+      },
+      Some(s"""SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows,
+  (SELECT ${Exact.decSumSql("value", 6)} FROM events) AS sum_value,
+  CAST(2 AS BIGINT) AS click_before,
+  CAST(2 AS INT) AS parts_rewritten,
+  CAST(1 AS INT) AS parts_after,
+  CAST(1 AS BIGINT) AS click_after,
+  CAST(2 AS BIGINT) AS view_after,
+  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_pre_compact""")),
   )
 }

@@ -141,7 +141,11 @@ private[sources] final class CompactProcedure(warehouse: String)
       .comment("comma-separated numeric/date columns for an OPTIMIZE " +
         "ZORDER rewrite (Morton-interleaved multi-dimensional layout " +
         "— per-part stats become tight on every listed column); " +
-        "mutually exclusive with cluster_by").build())
+        "mutually exclusive with cluster_by").build(),
+    ProcedureParameter.in("split_value", StringType).defaultValue("''")
+      .comment("identity-partitioned tables only: rewrite ONLY this " +
+        "partition's parts (Delta OPTIMIZE WHERE) — every other part " +
+        "carries by reference").build())
 
   override def outputSchema: StructType = StructType(Seq(
     StructField("parts_before", IntegerType, nullable = false),
@@ -158,8 +162,12 @@ private[sources] final class CompactProcedure(warehouse: String)
       if (input.isNullAt(3)) Nil
       else input.getUTF8String(3).toString
         .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val splitValue =
+      if (input.isNullAt(4)) None
+      else Some(input.getUTF8String(4).toString).filter(_.nonEmpty)
     val stats = ManifestMaintenance.compactFiles(
-      SparkSession.active, dir, targetParts, clusterBy, zorder)
+      SparkSession.active, dir, targetParts, clusterBy, zorder,
+      splitValue)
     result(stats.partsBefore, stats.partsAfter, stats.version)
   }
 }

@@ -262,7 +262,8 @@ object ManifestMaintenance {
     * distributed read→write, the commit is a metadata swap. */
   def compactFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetParts: Int, clusterBy: Option[String] = None,
-      zorder: Seq[String] = Nil): CompactStats = {
+      zorder: Seq[String] = Nil,
+      splitValue: Option[String] = None): CompactStats = {
     require(targetParts >= 1, s"target_parts must be >= 1, got $targetParts")
     val conf = ManifestSink.driverConf()
     require(zorder.isEmpty || clusterBy.forall(_.isEmpty),
@@ -273,9 +274,32 @@ object ManifestMaintenance {
         "set_layout(spec => 'none') first)")
     val baseVersion = ManifestSink.listVersions(conf, dir)
       .lastOption.getOrElse(0)
-    val parts =
+    val allParts =
       if (baseVersion == 0) ManifestSink.readManifestMeta(conf, dir, None)
       else ManifestSink.readManifestMeta(conf, dir, Some(baseVersion))
+    // PARTITION-SCOPED compaction (Delta `OPTIMIZE ... WHERE part =
+    // v` / Iceberg rewrite_data_files(where)): only the named
+    // identity partition's parts rewrite; every other part carries by
+    // reference, so maintenance cost is O(hot partition), not
+    // O(table) — at 100 TB you compact yesterday's partition, never
+    // the archive. Selection uses the provably-single-value rule
+    // `.files.split_value` reports; a mixed-generation straddler is
+    // simply not selected (compaction is an optimization — migrate
+    // stragglers with an unscoped compact).
+    val parts = splitValue match {
+      case None => allParts
+      case Some(v) =>
+        val sc = ManifestSink.readTableSpec(conf, dir)
+          .collect { case (0, c) => c }
+          .getOrElse(throw new IllegalArgumentException(
+            "compact: split_value scoping requires an " +
+              "identity-partitioned table layout"))
+        val firstStr = ManifestSink.readSchema(conf, dir, None)
+          .flatMap(_.fields.find(_.dataType ==
+            org.apache.spark.sql.types.StringType).map(_.name))
+        allParts.filter(m =>
+          MetaTables.singleValue(m, sc, firstStr).contains(v))
+    }
     if (parts.isEmpty) return CompactStats(0, 0, baseVersion)
     val layout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
       if (zorder.nonEmpty) zorderLayout(zorder, targetParts)
@@ -300,7 +324,8 @@ object ManifestMaintenance {
       }
     val (rewritten, v) =
       rewriteAndSwap(spark, conf, dir, baseVersion, parts, layout,
-        forcePlainLayout = zorder.nonEmpty)
+        forcePlainLayout = zorder.nonEmpty,
+        scopedSplitLayout = splitValue.isDefined)
     CompactStats(parts.size, rewritten.size, v)
   }
 
@@ -372,7 +397,8 @@ object ManifestMaintenance {
       conf: Configuration, dir: String, baseVersion: Int,
       selected: Seq[PartMeta],
       layout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-      forcePlainLayout: Boolean = false)
+      forcePlainLayout: Boolean = false,
+      scopedSplitLayout: Boolean = false)
       : (Seq[PartMeta], Int) = {
     val schema = ManifestSink.readSchema(conf, dir,
       if (baseVersion == 0) None else Some(baseVersion))
@@ -420,8 +446,13 @@ object ManifestMaintenance {
             Map("buckets" -> n.toString))
         case _ => splitSpec match {
           // the split write's own clustered distribution lays rows
-          // out; the writer splits per value — one part per value
-          case Some(c) => (df, Map("splitBy" -> c))
+          // out; the writer splits per value — one part per value.
+          // A partition-SCOPED rewrite additionally applies the
+          // requested layout first (the scope holds one value, so
+          // repartition(target) IS the file-count control)
+          case Some(c) =>
+            (if (scopedSplitLayout) layout(df) else df,
+              Map("splitBy" -> c))
           case None    => (layout(df), Map.empty[String, String])
         }
       }

@@ -157,6 +157,23 @@ class ProcedureSpec extends graft.SparkSpec {
     }
   }
 
+  test("compact split_value: refuses off-layout, no-ops on unknown values") {
+    writeTable("scopeplain", 40L, 2)
+    val ex = intercept[Exception] {
+      spark.sql("CALL gps.system.compact(table => 'ns.scopeplain', " +
+        "target_parts => 1, split_value => 'x')").collect()
+    }
+    assert(ex.getMessage.contains("identity-partitioned"))
+    spark.sql("CREATE TABLE gps.ns.scoped (k BIGINT, e STRING) " +
+      "PARTITIONED BY (e)")
+    spark.sql("INSERT INTO gps.ns.scoped VALUES (1, 'a'), (2, 'b')")
+    val r = spark.sql("CALL gps.system.compact(table => 'ns.scoped', " +
+      "target_parts => 1, split_value => 'nope')").collect().head
+    assert(r.getAs[Int]("parts_before") === 0 &&
+      r.getAs[Int]("parts_after") === 0,
+      "unknown partition value must be a clean no-op")
+  }
+
   test("remove_orphan_files reclaims aged debris, keeps all snapshots " +
     "and young staged files") {
     val t = writeTable("orph", 60L, 2)
