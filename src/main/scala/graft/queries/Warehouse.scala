@@ -3940,5 +3940,47 @@ FROM orders ORDER BY k""")),
   CAST(1 AS BIGINT) AS click_after,
   CAST(2 AS BIGINT) AS view_after,
   (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_pre_compact""")),
+
+    // --- NAMED REFS AS A TABLE (`.refs` — Iceberg's unified refs
+    // view): main + every branch (mutable WAP heads) + every tag
+    // (immutable expiry pins) in one relation, each with the version
+    // it resolves. The fixture stages a branch and pins a tag, then
+    // the gate restates the full listing row-for-row AND proves each
+    // ref RESOLVES (the tag read through VERSION AS OF returns the
+    // pinned snapshot's count). Pure driver metadata — a directory
+    // listing plus KB version headers at any table size.
+    QueryDef("q_meta_refs",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "metarefs")
+        spark.conf.set("spark.sql.catalog.graftmr",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftmr.warehouse", wh)
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("value"))
+        val t = s"$wh/wh/ev_t"
+        writeHistory(base.filter(col("event_id") % 2 === 0), t, "overwrite")
+        writeHistory(base.filter(col("event_id") % 2 =!= 0), t, "append")
+        base.filter(col("event_id") % 10 === 0).repartition(2)
+          .write.format("graft.sources.ManifestSink")
+          .option("path", t).option("history", "true")
+          .option("branch", "audit").mode("append").save()
+        spark.sql("CALL graftmr.system.tag(table => 'wh.ev_t', " +
+          "name => 'release-1', version => 1)")
+        val nTagged = spark.sql(
+          "SELECT count(*) FROM graftmr.wh.ev_t VERSION AS OF 'release-1'")
+          .head.getLong(0)
+        spark.sql("""SELECT name, type, version
+            FROM graftmr.wh.ev_t.refs ORDER BY type, name""")
+          .withColumn("n_tagged", lit(nTagged))
+      },
+      Some("""SELECT name, type, version,
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 2 = 0)
+    AS n_tagged
+FROM (VALUES
+  ('audit', 'branch', CAST(1 AS INT)),
+  ('main', 'branch', CAST(2 AS INT)),
+  ('release-1', 'tag', CAST(1 AS INT)))
+  AS r(name, type, version)
+ORDER BY type, name""")),
   )
 }

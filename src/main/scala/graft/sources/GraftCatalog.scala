@@ -155,6 +155,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
               case "partitions" => return new ManifestPartitionsTable(parent)
               case "branches" => return new ManifestBranchesTable(parent)
               case "tags"     => return new ManifestTagsTable(parent)
+              case "refs"     => return new ManifestRefsTable(parent)
               case "columns"  => return new ManifestColumnsTable(parent)
               case _          => ()
             }
@@ -1762,6 +1763,52 @@ private[sources] class ManifestBranchesTable(path: String)
             org.apache.spark.sql.catalyst.InternalRow
         }.toArray
         new LocalRowsScan(branchesSchema, rows)
+      }
+    }
+}
+
+/** ALL NAMED REFS in one relation (`SELECT * FROM cat.ns.t.refs` —
+  * Iceberg's `.refs`): branches (mutable heads, each the staged line
+  * of a write-audit-publish) and tags (immutable expiry-pinned
+  * snapshots) side by side — the one audit view answering "what
+  * names does this table resolve, and to which version?". `main` is
+  * listed explicitly with the head version so the view is total.
+  * Pure driver metadata: a directory listing plus KB-sized version
+  * headers at any table size. */
+private[sources] class ManifestRefsTable(path: String)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder => SB}
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val refsSchema = StructType.fromDDL(
+    "name STRING, type STRING, version INT")
+
+  override def name(): String = s"manifest($path).refs"
+  override def schema(): StructType = refsSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): SB =
+    new SB {
+      override def build(): Scan = {
+        val conf = ManifestSink.driverConf()
+        val main = ManifestSink.listVersions(conf, path).lastOption
+          .map(v => ("main", "branch", v)).toSeq
+        val branches = ManifestSink.listBranches(conf, path).map(b =>
+          (b, "branch",
+            ManifestSink.listBranchVersions(conf, path, b).last))
+        val tags = ManifestSink.listTags(conf, path).map {
+          case (t, v) => (t, "tag", v)
+        }
+        val rows = (main ++ branches ++ tags)
+          .sortBy { case (n, t, _) => (t, n) }
+          .map { case (n, t, v) =>
+            new GenericInternalRow(Array[Any](UTF8String.fromString(n),
+              UTF8String.fromString(t), v)):
+              org.apache.spark.sql.catalyst.InternalRow
+          }.toArray
+        new LocalRowsScan(refsSchema, rows)
       }
     }
 }
