@@ -3082,6 +3082,102 @@ GROUP BY region, src ORDER BY region, src""")),
 FROM events
 WHERE event_id NOT IN (5, 6) AND event_type <> 'error'""")),
 
+    // --- RANGE CLAUSES on the equality-delete path (r17,
+    // sources/ManifestEq.translateRange): `DELETE WHERE ts < cutoff`
+    // — THE retention/TTL/GDPR-expiry statement — commits as ONE
+    // metadata snapshot with three part classes: parts whose min/max
+    // (and zero null count) prove every row inside the interval DROP
+    // from the part list outright, straddlers gain a kind-'L' clause
+    // (read-side per-row interval probe until compaction), and
+    // provably-outside parts carry forward untouched. At 100 TB on
+    // ingest-ordered data almost every part is provably-inside or
+    // -outside, so a retention delete is O(parts) driver metadata
+    // with read debt confined to the O(1) boundary parts — vs COW
+    // rewriting every covered part or MOR scanning them for
+    // ordinals. The fixture builds 4 contiguous time-quarter parts
+    // (the natural ingest layout), cuts at the 60% point, and gates
+    // the exact class census (2 dropped / 1 marked / 1 untouched),
+    // zero new data files, single-commit atomicity, time travel
+    // across the dropped parts, the metadata-COUNT decline while the
+    // clause is pending, and the surviving rows against a
+    // from-scratch restatement.
+    QueryDef("q_delete_eq_range",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "eqrange")
+        spark.conf.set("spark.sql.catalog.graftder",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftder.warehouse", wh)
+        spark.sql("CREATE TABLE graftder.wh.ev (ts BIGINT, " +
+          "event_type STRING, value DOUBLE)")
+        val src = Tables.events(spark, dir).select(
+          col("event_id").as("ts"), col("event_type"), col("value"))
+        val mx = src.agg(max(col("ts"))).head.getLong(0)
+        val cutoff = mx * 6 / 10 // integer floor, mirrored in the oracle
+        val qs = Seq(mx / 4, mx / 2, mx * 3 / 4)
+        // 4 contiguous time quarters, one part each — the layout a
+        // ts-keyed table gets from ordered ingest
+        Seq((Long.MinValue, qs(0)), (qs(0), qs(1)),
+            (qs(1), qs(2)), (qs(2), Long.MaxValue)).foreach {
+          case (loB, hiB) =>
+            src.filter(col("ts") > loB && col("ts") <= hiB).coalesce(1)
+              .createOrReplaceTempView("graft_eqrange_q")
+            spark.sql(
+              "INSERT INTO graftder.wh.ev SELECT * FROM graft_eqrange_q")
+        }
+        def files(): Set[String] = spark.sql(
+          "SELECT file FROM graftder.wh.ev.files").collect()
+          .map(_.getString(0)).toSet
+        val filesBefore = files()
+        val verBefore = spark.sql(
+          "SELECT count(*) FROM graftder.wh.ev.history").head.getLong(0)
+        spark.conf.set("graft.delete.mode", "eq")
+        try spark.sql(s"DELETE FROM graftder.wh.ev WHERE ts < $cutoff")
+        finally spark.conf.unset("graft.delete.mode")
+        val filesAfter = files()
+        val marked = spark.sql("SELECT count(*) FROM " +
+          "graftder.wh.ev.files WHERE eq_clauses > 0").head.getLong(0)
+        val oneCommit = spark.sql(
+          "SELECT count(*) FROM graftder.wh.ev.history").head.getLong(0) -
+          verBefore == 1L
+        // time travel ACROSS the dropped parts: the pre-delete
+        // snapshot still serves every row
+        val preDelete = spark.read
+          .format("graft.sources.ManifestSource")
+          .option("path", s"$wh/wh/ev")
+          .option("version", verBefore).load().count()
+        val cq = spark.sql("SELECT count(*) FROM graftder.wh.ev")
+        val metaDeclined = !cq.queryExecution.executedPlan.toString
+          .contains("ManifestAggScan")
+        cq.head // force while pending
+        spark.sql("""SELECT count(*) AS n_rows,
+            CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS STRING)
+              AS DOUBLE) AS sum_value,
+            min(ts) AS min_ts
+            FROM graftder.wh.ev""")
+          .withColumn("parts_dropped",
+            lit((filesBefore -- filesAfter).size))
+          .withColumn("parts_marked", lit(marked.toInt))
+          .withColumn("parts_untouched",
+            lit(filesAfter.size - marked.toInt))
+          .withColumn("no_new_files", lit(filesAfter.subsetOf(filesBefore)))
+          .withColumn("one_commit", lit(oneCommit))
+          .withColumn("n_pre_delete", lit(preDelete))
+          .withColumn("meta_declined_pending", lit(metaDeclined))
+          .localCheckpoint()
+      },
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  ${Exact.decSumSql("value", 6)} AS sum_value,
+  min(event_id) AS min_ts,
+  CAST(2 AS INT) AS parts_dropped,
+  CAST(1 AS INT) AS parts_marked,
+  CAST(1 AS INT) AS parts_untouched,
+  true AS no_new_files,
+  true AS one_commit,
+  CAST((SELECT count(*) FROM events) AS BIGINT) AS n_pre_delete,
+  true AS meta_declined_pending
+FROM events
+WHERE event_id >= (SELECT (max(event_id) * 6) // 10 FROM events)""")),
+
     // --- `.partitions` METADATA TABLE (the Iceberg `.partitions`
     // analog): per-partition rollup of the head snapshot — part
     // count, physical vs VISIBLE rows (merge-on-read debt per

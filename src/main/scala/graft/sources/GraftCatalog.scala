@@ -1342,7 +1342,8 @@ private[sources] class GraftCatalogTable(
             val banned = generatedSpecs.map(_._1).toSet ++
               identitySpec.map(_.col)
             generatedSpecs.flatMap { case (c, e) =>
-              val slot = info.schema().fields.indexWhere(_.name == c)
+              val slot = info.schema().fields.indexWhere(f =>
+                ManifestGenerated.sameName(f.name, c))
               require(slot >= 0, s"generated column '$c' missing from " +
                 s"the write schema ${info.schema().simpleString} — " +
                 "select it as NULL (the sink computes it)")

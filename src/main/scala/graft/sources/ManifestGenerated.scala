@@ -37,7 +37,11 @@ import org.apache.spark.sql.types.StructType
   */
 private[sources] object ManifestGenerated {
 
-  /** Table-property key: `;`-joined `col=urlenc(exprSql)` pairs. */
+  /** Table-property key: `;`-joined `urlenc(col)=urlenc(exprSql)`
+    * pairs. BOTH sides are encoded: a column name containing ';' or
+    * '=' would otherwise corrupt the round-trip (parse splits on ';'
+    * then the first '='), silently mis-binding expressions to the
+    * wrong columns. */
   val PropKey = "graft.generated"
 
   private def enc(s: String): String =
@@ -46,14 +50,25 @@ private[sources] object ManifestGenerated {
     java.net.URLDecoder.decode(s, "UTF-8")
 
   def render(specs: Seq[(String, String)]): String =
-    specs.map { case (c, e) => s"$c=${enc(e)}" }.mkString(";")
+    specs.map { case (c, e) => s"${enc(c)}=${enc(e)}" }.mkString(";")
 
   def parse(props: Map[String, String]): Seq[(String, String)] =
     props.get(PropKey).toSeq.flatMap(_.split(";").toSeq.filter(_.nonEmpty)
       .map { kv =>
         val i = kv.indexOf('=')
-        (kv.substring(0, i), dec(kv.substring(i + 1)))
+        (dec(kv.substring(0, i)), dec(kv.substring(i + 1)))
       })
+
+  /** Name equality for generated/identity plumbing. Spark's analyzer
+    * resolves case-insensitively by default, so every ban check and
+    * write-schema slot lookup here must too — a reference spelled
+    * 'GROSS' against a generated column 'gross' must not slip past
+    * the self-reference ban, and a write schema delivering 'Gross'
+    * must still find its fill slot. (Tables created under
+    * spark.sql.caseSensitive=true with case-colliding names are
+    * refused at CREATE by Spark's own schema checks long before this
+    * code runs, so case-insensitive matching is safe here.) */
+  def sameName(a: String, b: String): Boolean = a.equalsIgnoreCase(b)
 
   /** Parse + analyze + bind `exprSql` against `schema` (write order =
     * table order). Validation refuses what would corrupt or surprise:
@@ -65,7 +80,7 @@ private[sources] object ManifestGenerated {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
         a.name
     }.toSet
-    val banned = refs.intersect(generatedCols)
+    val banned = refs.filter(r => generatedCols.exists(sameName(_, r)))
     require(banned.isEmpty,
       s"generated column '$col': expression may not reference " +
         s"generated column(s) ${banned.mkString(", ")}")
@@ -80,7 +95,8 @@ private[sources] object ManifestGenerated {
     require(alias.child.deterministic,
       s"generated column '$col': expression must be deterministic, " +
         s"got $exprSql")
-    val declared = schema.fields.find(_.name == col).map(_.dataType)
+    val declared = schema.fields.find(f => sameName(f.name, col))
+      .map(_.dataType)
       .getOrElse(throw new IllegalArgumentException(
         s"generated column '$col' missing from ${schema.simpleString}"))
     require(alias.child.dataType == declared,
@@ -108,7 +124,8 @@ private[sources] object ComputedColumns {
     val props = ManifestSink.readTableProps(conf, dir)
     val names = ManifestIdentity.parse(props).map(_.col).toSeq ++
       ManifestGenerated.parse(props).map(_._1)
-    names.map(n => schema.fields.indexWhere(_.name == n)).filter(_ >= 0)
+    names.map(n => schema.fields.indexWhere(f =>
+      ManifestGenerated.sameName(f.name, n))).filter(_ >= 0)
   }
 
   def refuse(schema: StructType, slot: Int): Nothing =

@@ -555,14 +555,19 @@ object ManifestMaintenance {
     *    compaction) refuses — its delta is not expressible as an
     *    append onto a different base;
     *  - the delta base is the PREVIOUS branch snapshot when one
-    *    exists; the branch's FIRST snapshot reconstructs its fork
-    *    point from the immutable main version log — the newest main
-    *    snapshot whose every part line survives BIT-IDENTICAL inside
-    *    the picked snapshot (version manifests are immutable, so the
-    *    containment proof is exact). No such version (fork expired,
-    *    or the first branch commit rewrote fork parts) refuses;
-    *    an older-than-fork false match is caught by the
-    *    already-on-main guard below;
+    *    exists; the branch's FIRST snapshot uses the fork version its
+    *    commit RECORDED on the branch v1 manifest (exact, including a
+    *    genuinely-empty fork base). Legacy branches without a
+    *    recorded fork reconstruct it from the immutable main version
+    *    log — the newest NON-EMPTY main snapshot whose every part
+    *    line survives BIT-IDENTICAL inside the picked snapshot (empty
+    *    snapshots are vacuously "contained" and would mask a branch
+    *    commit that rewrote fork parts, so they never qualify — a
+    *    legacy branch genuinely forked from empty refuses rather than
+    *    risk a silent duplicate publish). No qualifying version (fork
+    *    expired, fork parts rewritten, legacy empty fork) refuses; an
+    *    older-than-fork false match is caught by the already-on-main
+    *    guard below;
     *  - schema and column mapping must match main's EXACTLY (a
     *    diverged DDL cannot re-base silently);
     *  - a delta part already on main refuses (double-publish guard).
@@ -594,24 +599,44 @@ object ManifestMaintenance {
     val pickedByPath = picked.map(p => p.path -> p).toMap
     val prev: Seq[PartMeta] = bvs.filter(_ < v).lastOption match {
       case Some(pv) => ManifestSink.readBranchMeta(conf, dir, branch, Some(pv))
-      case None =>
-        // FORK-POINT RECONSTRUCTION: the first branch commit forked
-        // implicitly from the then-current main head without recording
-        // it. Main version manifests are immutable, so the fork is the
-        // NEWEST main version every one of whose part lines survives
-        // bit-identical in the picked snapshot. A main version newer
-        // than the fork contains post-fork parts the branch never saw
-        // (not contained); the true fork qualifies for a pure-append
-        // branch commit; an accidental older match only widens `delta`
-        // with parts already on main — refused by the dup guard below.
-        ManifestSink.listVersions(conf, dir).reverse
-          .map(m => ManifestSink.readManifestMeta(conf, dir, Some(m)))
-          .find(_.forall(p => pickedByPath.get(p.path).contains(p)))
-          .getOrElse(throw new IllegalArgumentException(
-            s"cherry-pick refused: no main snapshot of $dir is " +
-              s"contained in branch '$branch' snapshot $v — the fork " +
-              "point expired or the branch commit rewrote fork parts; " +
-              "fast_forward or re-stage instead"))
+      case None => ManifestSink.readBranchFork(conf, dir, branch) match {
+        // RECORDED FORK (branch v1 carries the main version it forked
+        // from): the exact base, no reconstruction — the pure-append
+        // proof below is then the sole (and sufficient) guard against
+        // branch commits that dropped or rewrote fork parts. fork=0
+        // means main had no version files at fork time: a genuinely
+        // empty base.
+        case Some(0) => Seq.empty
+        case Some(f) => ManifestSink.readManifestMeta(conf, dir, Some(f))
+        case None =>
+          // LEGACY FORK-POINT RECONSTRUCTION (branches committed before
+          // fork recording): main version manifests are immutable, so
+          // the fork is the NEWEST main version every one of whose part
+          // lines survives bit-identical in the picked snapshot. A main
+          // version newer than the fork contains post-fork parts the
+          // branch never saw (not contained); an accidental older match
+          // only widens `delta` with parts already on main — refused by
+          // the dup guard below. EMPTY main snapshots are NOT
+          // candidates: every catalog table's schema-only birth
+          // snapshot (and any post-TRUNCATE snapshot) is vacuously
+          // "contained", which would collapse the base to empty and let
+          // a branch commit that rewrote fork parts publish duplicate
+          // rows silently (the dup guard is path-based and rewritten
+          // parts carry new paths). A legacy branch genuinely forked
+          // from empty is indistinguishable from that corruption case,
+          // so it refuses too — re-stage or fast_forward.
+          ManifestSink.listVersions(conf, dir).reverse
+            .map(m => ManifestSink.readManifestMeta(conf, dir, Some(m)))
+            .find(ps => ps.nonEmpty &&
+              ps.forall(p => pickedByPath.get(p.path).contains(p)))
+            .getOrElse(throw new IllegalArgumentException(
+              s"cherry-pick refused: no non-empty main snapshot of $dir " +
+                s"is contained in branch '$branch' snapshot $v — the " +
+                "fork point expired, the branch commit rewrote fork " +
+                "parts, or this legacy branch (no recorded fork " +
+                "version) forked from an empty main; fast_forward or " +
+                "re-stage instead"))
+      }
     }
     val prevByPath = prev.map(p => p.path -> p).toMap
     val delta = picked.filterNot(p => prevByPath.contains(p.path))

@@ -352,8 +352,11 @@ private[sources] object DeleteVector {
   * the id). `values` are RAW decoded strings ('l' = canonical decimal
   * for a BIGINT column, 's' = the string itself); readers canonicalize
   * to the line-token form once per part, then compare raw tokens —
-  * zero per-row decode. Clauses COMPOSE: each eq DELETE appends one;
-  * compaction materializes and clears them. */
+  * zero per-row decode. Kind 'L' is the RANGE clause (BIGINT only):
+  * `values` = Seq(lo, hi), the canonical INCLUSIVE interval — "rows
+  * whose value ∈ [lo, hi] are deleted" (the `ts < cutoff` retention
+  * shape; see [[ManifestEq.translateRange]]). Clauses COMPOSE: each
+  * eq DELETE appends one; compaction materializes and clears them. */
 private[sources] final case class EqClause(
     col: String, fieldId: Int, kind: Char, values: Seq[String])
 
@@ -516,6 +519,16 @@ object ManifestSink {
   private[sources] def readManifestMeta(conf: Configuration, dir: String,
       version: Option[Int]): Seq[PartMeta] =
     metaFromLines(manifestLines(conf, dir, version))
+
+  /** The MAIN version a branch's first commit forked from (None for
+    * legacy branches predating fork recording; 0 = main had no
+    * version files yet, i.e. a genuinely-empty fork base). */
+  private[sources] def readBranchFork(conf: Configuration, dir: String,
+      branch: String): Option[Int] =
+    manifestLines(conf, dir, Some(1), Some(branch))
+      .find(_.startsWith("{\"version\":"))
+      .flatMap(l => """"fork":(\d+)""".r.findFirstMatchIn(l)
+        .map(_.group(1).toInt))
 
   /** The snapshot's operation label ("" for pre-label snapshots). */
   private[sources] def readOp(conf: Configuration, dir: String,
@@ -1002,7 +1015,8 @@ object ManifestSink {
       } else f
     })
     val ddl = ddlSchema.toDDL.replace("\\", "\\\\").replace("\"", "\\\"")
-    def render(version: Int, parts: Seq[PartMeta], cm: ColMap): Array[Byte] = {
+    def render(version: Int, parts: Seq[PartMeta], cm: ColMap,
+        fork: Option[Int] = None): Array[Byte] = {
       val content = new StringBuilder
       content.append(s"""{"schema":"$ddl"}""").append('\n')
       // written only once non-trivial, so a table that never renames
@@ -1016,7 +1030,15 @@ object ManifestSink {
         // DESCRIBE HISTORY `operation` / Iceberg's snapshot summary):
         // pure lineage metadata, parsed by `.history` only
         val opField = if (op.isEmpty) "" else s""","op":"${encPath(op)}""""
-        content.append(s"""{"version":$version$opField}""").append('\n')
+        // a branch's FIRST commit records the MAIN version it forked
+        // from: the implicit fork would otherwise be reconstructible
+        // only by containment search, which cannot distinguish a
+        // genuine fork-from-empty from a branch commit that rewrote
+        // every fork part (both are "contained" in an empty main
+        // snapshot vacuously) — see ManifestMaintenance.cherrypick
+        val forkField = fork.fold("")(f => s""","fork":$f""")
+        content.append(s"""{"version":$version$opField$forkField}""")
+          .append('\n')
       }
       parts.foreach { m =>
         val b = if (m.bloomHex.isEmpty) "" else s""","bloom":"${m.bloomHex}""""
@@ -1157,9 +1179,13 @@ object ManifestSink {
       }
       val (parts, cm) = finish(head, headSchemaCm, rebase(head))
       val version = latest + 1
+      val fork: Option[Int] =
+        if (branch.isDefined && latest == 0)
+          Some(listVersions(conf, path).lastOption.getOrElse(0))
+        else None
       val claim = branch.map(branchVersionFile(_, version))
         .getOrElse(versionFile(version))
-      if (write(claim, render(version, parts, cm), overwrite = false)) {
+      if (write(claim, render(version, parts, cm, fork), overwrite = false)) {
         committed = version
         finalParts = parts
         finalColMap = cm
@@ -1452,6 +1478,16 @@ private[sources] class ManifestBatchWrite(
 
   private val token = java.util.UUID.randomUUID().toString.take(8)
 
+  /** Identity-table appends derive the id high-water mark from the
+    * committed head ONCE, in createBatchWriterFactory — so the commit
+    * must pin that exact base: publishRebase's optimistic merge would
+    * otherwise happily interleave two concurrent identity appends that
+    * both derived the same mark and issued OVERLAPPING ids, silently
+    * breaking the uniqueness contract IdentitySpec pins. Set when the
+    * factory resolves the mark (history tables only — identity lives
+    * on catalog tables, which are always history). */
+  @volatile private var identityBaseVersion: Option[Int] = None
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     // prepare the target dir on the DRIVER before tasks launch; with
@@ -1471,7 +1507,8 @@ private[sources] class ManifestBatchWrite(
       else GeneratedFillFactory(factory0, schema, generated)
     identity match {
       case Some(spec) =>
-        val slot = schema.fields.indexWhere(_.name == spec.col)
+        val slot = schema.fields.indexWhere(f =>
+          ManifestGenerated.sameName(f.name, spec.col))
         // an append that omits the identity column entirely (schema
         // prefix without it) has nothing to fill — the reader serves
         // NULL for the missing slot, which the gate below refuses
@@ -1480,10 +1517,27 @@ private[sources] class ManifestBatchWrite(
           "as NULL (or a value, under GENERATED BY DEFAULT)")
         // high-water is DERIVED from committed stats at plan time —
         // head parts even under logical truncate, so ids never reuse
-        // across a time-travelable overwrite
+        // across a time-travelable overwrite. Resolve the version
+        // FIRST and read the head AT that version (version files are
+        // immutable once claimed): the commit pins this base, so a
+        // concurrent commit between here and our commit fails loudly
+        // instead of landing overlapping ids.
+        val latestV = if (!history) 0 else branch match {
+          case Some(b) =>
+            ManifestSink.listBranchVersions(conf.value, path, b)
+              .lastOption.getOrElse(0)
+          case None =>
+            ManifestSink.listVersions(conf.value, path)
+              .lastOption.getOrElse(0)
+        }
+        if (history) identityBaseVersion = Some(latestV)
         val head = branch match {
-          case Some(b) => ManifestSink.readBranchMeta(conf.value, path, b)
-          case None    => ManifestSink.readManifestMeta(conf.value, path, None)
+          case Some(b) =>
+            if (latestV == 0) ManifestSink.readManifestMeta(conf.value, path, None)
+            else ManifestSink.readBranchMeta(conf.value, path, b, Some(latestV))
+          case None =>
+            ManifestSink.readManifestMeta(conf.value, path,
+              if (latestV == 0) None else Some(latestV))
         }
         IdentityFillFactory(factory, schema, slot, spec.step,
           spec.allowExplicit,
@@ -1568,10 +1622,23 @@ private[sources] class ManifestBatchWrite(
         // the head inside the commit loop on every claim attempt, so an
         // append racing another committer re-applies `head ++ newParts`
         // on top of whatever actually won — never dropping the winner's
-        // parts.
-        ManifestSink.publishRebase(conf.value, path, published, history,
+        // parts. EXCEPTION: identity tables pin the snapshot their id
+        // mark was derived from (identityBaseVersion) — merging there
+        // would issue overlapping ids, so the loser fails and retries
+        // with a freshly-derived mark instead.
+        try ManifestSink.publishRebase(conf.value, path, published, history,
           head => (if (truncate) Seq.empty else head) ++ newParts,
-          strictBase = None, branch = branch, op = opName)
+          strictBase = identityBaseVersion, branch = branch, op = opName)
+        catch {
+          case e: java.util.ConcurrentModificationException
+              if identityBaseVersion.isDefined =>
+            throw new java.util.ConcurrentModificationException(
+              s"identity-column append to $path lost a commit race: the id " +
+                "high-water mark was derived from snapshot " +
+                s"${identityBaseVersion.get}, which is no longer the head — " +
+                "retry the write (it re-derives the mark); committing anyway " +
+                s"would issue overlapping ids. (${e.getMessage})")
+        }
     }
   }
 

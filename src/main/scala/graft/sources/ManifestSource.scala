@@ -1581,9 +1581,25 @@ private[sources] object EqMask {
         .map(v => id -> v.toString)
     }.toMap
 
+  /** One compiled clause: an IN-set probe (kinds 'l'/'s') or, for
+    * kind 'L', a canonical-inclusive numeric range [lo, hi] on a
+    * BIGINT column's decimal token (the retention-delete shape —
+    * `DELETE WHERE ts < cutoff`). Ranges pay one Long parse per row
+    * on clause-bearing parts; set probes stay raw-token. */
+  final case class Matcher(slot: Int, vals: Set[String],
+      isRange: Boolean, lo: Long, hi: Long, defaultMatches: Boolean)
+
+  /** A long token falls inside the clause range. NULL rows (and any
+    * non-numeric token — impossible for a well-formed BIGINT line)
+    * never match: `ts < cutoff` is NULL for a NULL ts. */
+  def inRange(tok: String, lo: Long, hi: Long): Boolean =
+    tok != ManifestCodec.NullToken && {
+      try { val v = java.lang.Long.parseLong(tok); v >= lo && v <= hi }
+      catch { case _: NumberFormatException => false }
+    }
+
   def matchers(blob: String, partCols: Seq[Int],
-      defaults: Map[Int, String] = Map.empty)
-      : Array[(Int, Set[String], Boolean)] =
+      defaults: Map[Int, String] = Map.empty): Array[Matcher] =
     EqClause.decode(blob).map { c =>
       val slot =
         if (partCols.isEmpty) c.fieldId
@@ -1591,23 +1607,34 @@ private[sources] object EqMask {
           val s = partCols.indexOf(c.fieldId)
           if (s < 0) Int.MaxValue else s
         }
-      val vals = c.values.map(v =>
-        if (c.kind == 's') ManifestCodec.encodeString(v) else v).toSet
-      val dfltTok = defaults.get(c.fieldId).map(v =>
-        if (c.kind == 's') ManifestCodec.encodeString(v) else v)
-      (slot, vals, dfltTok.exists(vals.contains))
+      if (c.kind == 'L') {
+        val lo = c.values.head.toLong
+        val hi = c.values(1).toLong
+        Matcher(slot, Set.empty, isRange = true, lo, hi,
+          defaultMatches = defaults.get(c.fieldId)
+            .exists(d => inRange(d, lo, hi)))
+      } else {
+        val vals = c.values.map(v =>
+          if (c.kind == 's') ManifestCodec.encodeString(v) else v).toSet
+        val dfltTok = defaults.get(c.fieldId).map(v =>
+          if (c.kind == 's') ManifestCodec.encodeString(v) else v)
+        Matcher(slot, vals, isRange = false, 0L, 0L,
+          defaultMatches = dfltTok.exists(vals.contains))
+      }
     }.toArray
 
-  def matches(ms: Array[(Int, Set[String], Boolean)],
-      toks: Array[String]): Boolean = {
+  def matches(ms: Array[Matcher], toks: Array[String]): Boolean = {
     var i = 0
     while (i < ms.length) {
-      val (slot, vals, defaultMatches) = ms(i)
+      val m = ms(i)
       // slot past the line (short pre-ADD line, or missing from the
       // part's layout — Int.MaxValue): the row serves the column's
       // initial default, so it matches iff the default does
-      if (slot >= toks.length) { if (defaultMatches) return true }
-      else if (vals.contains(toks(slot))) return true
+      if (m.slot >= toks.length) { if (m.defaultMatches) return true }
+      else if (m.isRange) {
+        if (inRange(toks(m.slot), m.lo, m.hi)) return true
+      }
+      else if (m.vals.contains(toks(m.slot))) return true
       i += 1
     }
     false
@@ -1746,7 +1773,7 @@ private[sources] class ManifestReaderFactory(
   * encoder escapes backslash), so NULL and empty string stay
   * distinct. */
 private[sources] object ManifestCodec {
-  private val NullToken = "\\N"
+  private[sources] val NullToken = "\\N"
 
   /** URL-safe chars that URLEncoder passes through UNCHANGED — a
     * string of only these needs no encoding (and, containing neither

@@ -170,18 +170,24 @@ class EqSpec extends SparkSpec {
       "emitted deletes carry the served default value")
   }
 
-  test("routing contract: a RANGE delete under eq mode routes to the " +
-    "row-level paths (never a clause), = and IN stay eq") {
+  test("routing contract: a RANGE delete under eq mode commits range " +
+    "clauses as one metadata snapshot; = and IN stay eq") {
     mkTable("t7")
-    // range predicate: not an equality clause shape — even in eq mode
-    // it must take the COW/metadata path and physically apply
+    // range predicate (r17): under eq mode this is now itself a
+    // metadata commit — k<10 straddles only the first range part, so
+    // exactly ONE part gains the 'L' clause and no part is rewritten
+    val filesBefore = spark.sql(
+      "SELECT count(*) FROM geq.ns.t7.files").head.getLong(0)
     eqMode { spark.sql("DELETE FROM geq.ns.t7 WHERE k < 10") }
     assert(spark.sql("SELECT count(*) FROM geq.ns.t7").head.getLong(0)
       === 390L)
     assert(spark.sql(
-      "SELECT coalesce(sum(eq_clauses), 0) FROM geq.ns.t7.files")
-      .head.getLong(0) === 0L,
-      "a range DELETE must not commit equality clauses")
+      "SELECT count(*) FROM geq.ns.t7.files WHERE eq_clauses > 0")
+      .head.getLong(0) === 1L,
+      "a range DELETE marks exactly the straddling part")
+    assert(spark.sql("SELECT count(*) FROM geq.ns.t7.files")
+      .head.getLong(0) === filesBefore,
+      "k<10 covers no part fully: nothing drops, nothing rewrites")
     // ...and an = delete right after still takes the metadata-only
     // eq path (clauses appear, no part file rewritten)
     val partsBefore = spark.sql(
@@ -194,6 +200,60 @@ class EqSpec extends SparkSpec {
       .head.getLong(0) === partsBefore, "eq delete rewrites no part")
     assert(spark.sql("SELECT count(*) FROM geq.ns.t7").head.getLong(0)
       === (10L until 400L).count(_ % 23 != 3).toLong)
+  }
+
+  test("range delete lifecycle: drop/mark/untouch classes, CDC across " +
+    "the range commit, compaction settles the clause") {
+    val dir8 = mkTable("t8")
+    // 4 range parts by k: [0,99] [100,199] [200,299] [300,399].
+    // k < 150 → part1 provably inside (DROPS), part2 straddles
+    // (gains the 'L' clause), parts 3-4 provably outside (untouched)
+    val filesBefore = spark.sql(
+      "SELECT count(*) FROM geq.ns.t8.files").head.getLong(0)
+    assert(filesBefore === 4L)
+    eqMode { spark.sql("DELETE FROM geq.ns.t8 WHERE k < 150") }
+    assert(spark.sql("SELECT count(*) FROM geq.ns.t8").head.getLong(0)
+      === 250L, "150 rows retention-deleted")
+    assert(spark.sql("SELECT count(*) FROM geq.ns.t8.files")
+      .head.getLong(0) === 3L, "the fully-covered part dropped")
+    assert(spark.sql(
+      "SELECT count(*) FROM geq.ns.t8.files WHERE eq_clauses > 0")
+      .head.getLong(0) === 1L, "exactly the straddler is marked")
+    // BETWEEN arrives as the GE+LE conjunction — one more clause
+    eqMode {
+      spark.sql("DELETE FROM geq.ns.t8 WHERE k BETWEEN 350 AND 360")
+    }
+    assert(spark.sql("SELECT count(*) FROM geq.ns.t8").head.getLong(0)
+      === 239L)
+    // time travel: the pre-delete snapshot still serves all 400 rows
+    val v1 = spark.read.format("graft.sources.ManifestSource")
+      .option("path", dir8).option("version", 2).load().count()
+    assert(v1 === 400L, "pre-delete snapshot unaffected")
+    // CDC across the range commits: the dropped part's rows AND the
+    // straddler's in-range rows replay as true row-level deletes
+    val q = spark.readStream.format("graft.sources.ManifestSource")
+      .option("path", dir8).option("changeFeed", "true").load()
+      .writeStream.format("memory").queryName("geq_cdf_range")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000); q.stop()
+    val dels = spark.sql("SELECT count(*), min(k), max(k) FROM " +
+      "geq_cdf_range WHERE _change_type = 'delete'").head
+    assert(dels.getLong(0) === 161L,
+      "100 dropped-part rows + 50 straddler rows + 11 BETWEEN rows")
+    assert(dels.getLong(1) === 0L && dels.getLong(2) === 360L)
+    assert(spark.sql("SELECT count(*) FROM geq_cdf_range WHERE " +
+      "_change_type = 'delete' AND k >= 150 AND NOT " +
+      "(k BETWEEN 350 AND 360)").head.getLong(0) === 0L,
+      "no survivor row replays as deleted")
+    // compaction settles the pending clauses: masked rows gone from
+    // the data, clause lists cleared, answer unchanged
+    spark.sql("CALL geq.system.compact_vectors(table => 'ns.t8')")
+    assert(spark.sql(
+      "SELECT coalesce(sum(eq_clauses), 0) FROM geq.ns.t8.files")
+      .head.getLong(0) === 0L, "compaction cleared the clauses")
+    assert(spark.sql("SELECT count(*) FROM geq.ns.t8").head.getLong(0)
+      === 239L)
   }
 
   test("MV refresh across an eq commit restates affected groups " +
