@@ -927,6 +927,85 @@ SELECT prio, CAST(count(*) AS BIGINT) AS n,
   ${Exact.decSumSql("price", 2)} AS sum_price
 FROM merged GROUP BY prio ORDER BY prio""")),
 
+    // --- MERGE `WHEN NOT MATCHED BY SOURCE` (r17) — the full
+    // mirror-table SYNC statement: one MERGE makes the target exactly
+    // reflect today's feed — changed rows update, new rows insert,
+    // and rows ABSENT from the feed are stale — expired or deleted
+    // upstream — so by-source clauses delete them (or, conditionally,
+    // flag them: here urgent-priority stale rows are zero-priced
+    // instead of dropped). The standard Delta/Iceberg idiom a user
+    // hits the first time they mirror an upstream table; Spark 4's
+    // RewriteMergeIntoTable plans all three clause groups through the
+    // same group-based COW rewrite (sources/ManifestRowLevel) in ONE
+    // snapshot commit. Scale honesty: matched-only MERGEs bound their
+    // footprint via the matched-row group filter (RowLevelSpec), but
+    // stats cannot prune by ABSENCE — a by-source merge's footprint
+    // is every part holding any unmatched row, potentially the whole
+    // table (RowLevelSpec pins both footprints; under
+    // graft.delete.mode=mor the same statement commits as deletion
+    // vectors + appended images, zero part rewrites). The oracle
+    // restates the sync as a full-outer-join projection.
+    QueryDef("q_merge_sync",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "mrgsync")
+        spark.conf.set("spark.sql.catalog.graftmsy",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftmsy.warehouse", wh)
+        val base = Tables.orders(spark, dir).select(
+          col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        base.filter(col("k") % 2 === 0)
+          .repartitionByRange(4, col("k"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", s"$wh/wh/ord_sync").option("history", "true")
+          .mode("overwrite").save()
+        base.filter(col("k") % 3 === 0)
+          .select(col("k"), col("prio"),
+            (col("price") * 2).as("new_price"))
+          .createOrReplaceTempView("graft_sync_src")
+        val verBefore = spark.sql(
+          "SELECT count(*) FROM graftmsy.wh.ord_sync.history")
+          .head.getLong(0)
+        spark.sql("""MERGE INTO graftmsy.wh.ord_sync t
+          USING graft_sync_src s ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET price = s.new_price
+          WHEN NOT MATCHED THEN
+            INSERT (k, prio, price) VALUES (s.k, s.prio, s.new_price)
+          WHEN NOT MATCHED BY SOURCE AND t.prio = '1-URGENT' THEN
+            UPDATE SET price = 0
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+        val oneCommit = spark.sql(
+          "SELECT count(*) FROM graftmsy.wh.ord_sync.history")
+          .head.getLong(0) - verBefore == 1L
+        spark.sql(s"""
+          SELECT prio, count(*) AS n,
+            ${Exact.decSumSql("price", 2).replace("VARCHAR", "STRING")}
+              AS sum_price
+          FROM graftmsy.wh.ord_sync
+          GROUP BY prio ORDER BY prio""")
+          .withColumn("one_commit", lit(oneCommit))
+      },
+      Some(s"""WITH t AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 2 = 0),
+s AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+    o_totalprice * 2 AS new_price
+  FROM orders WHERE o_orderkey % 3 = 0),
+merged AS (
+  SELECT t.k, t.prio,
+    CASE WHEN s.k IS NOT NULL THEN s.new_price ELSE 0 END AS price
+  FROM t LEFT JOIN s ON s.k = t.k
+  WHERE s.k IS NOT NULL OR t.prio = '1-URGENT'
+  UNION ALL
+  SELECT s.k, s.prio, s.new_price
+  FROM s LEFT JOIN t ON t.k = s.k
+  WHERE t.k IS NULL)
+SELECT prio, CAST(count(*) AS BIGINT) AS n,
+  ${Exact.decSumSql("price", 2)} AS sum_price,
+  true AS one_commit
+FROM merged GROUP BY prio ORDER BY prio""")),
+
     // --- MERGE-ON-READ MERGE INTO (sources/ManifestDelta, Spark's
     // SupportsDelta / WriteDelta plan): the same three-clause MERGE
     // as q_merge_sql, but under `graft.delete.mode=mor` the matched
@@ -3177,6 +3256,86 @@ WHERE event_id NOT IN (5, 6) AND event_type <> 'error'""")),
   true AS meta_declined_pending
 FROM events
 WHERE event_id >= (SELECT (max(event_id) * 6) // 10 FROM events)""")),
+
+    // --- SECONDARY-COLUMN BLOOM FILTERS (r17, `graft.bloom_cols`
+    // table property → per-part blooms in ColStat, consulted by the
+    // scan next to min/max ranges): a point lookup on a
+    // high-cardinality NON-KEY string column (`WHERE url = '…'`) is
+    // the one shape range stats cannot prune — every part's min/max
+    // admits nearly every URL/digest/UUID — so Iceberg/Delta ship
+    // per-file blooms for exactly this. The fixture writes the same
+    // 8 hash-distributed parts into a bloom-declared table and a
+    // range-only twin, and gates from the scan's own driver metrics:
+    // the bloom lookup plans STRICTLY FEWER parts than the twin's
+    // all-8 baseline, a stale bloom still admits its (deleted)
+    // target — sound superset — and CALL analyze(rebuild_blooms)
+    // recomputes the blooms over visible rows, after which the
+    // lookup plans strictly fewer parts again. At 100 TB this turns
+    // "find one URL in a petabyte" from a full scan into opening the
+    // O(1) parts whose filters admit it.
+    QueryDef("q_bloom_secondary",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "bloom2")
+        spark.conf.set("spark.sql.catalog.graftbl",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftbl.warehouse", wh)
+        spark.sql("CREATE TABLE graftbl.wh.docs (event_id BIGINT, " +
+          "url STRING, value DOUBLE) " +
+          "TBLPROPERTIES ('graft.bloom_cols' = 'url')")
+        spark.sql("CREATE TABLE graftbl.wh.docs_nb (event_id BIGINT, " +
+          "url STRING, value DOUBLE)")
+        Tables.events(spark, dir)
+          .select(col("event_id"),
+            concat(lit("u-"), md5(col("event_id").cast("string")))
+              .as("url"),
+            col("value"))
+          .repartition(8, col("event_id"))
+          .createOrReplaceTempView("graft_bloom2_src")
+        spark.sql("INSERT INTO graftbl.wh.docs SELECT * FROM graft_bloom2_src")
+        spark.sql(
+          "INSERT INTO graftbl.wh.docs_nb SELECT * FROM graft_bloom2_src")
+        def planned(q: String): Long = {
+          val df = spark.sql(q)
+          df.collect()
+          df.queryExecution.executedPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => b
+          }.head.metrics("partsPlanned").value
+        }
+        val target = "u-" + java.security.MessageDigest.getInstance("MD5")
+          .digest("42".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val hitValue = spark.sql(
+          s"SELECT value FROM graftbl.wh.docs WHERE url = '$target'")
+          .head.getDouble(0)
+        val pBloom = planned(
+          s"SELECT event_id FROM graftbl.wh.docs WHERE url = '$target'")
+        val pRange = planned(
+          s"SELECT event_id FROM graftbl.wh.docs_nb WHERE url = '$target'")
+        // delete the target row (MOR vector: bloom untouched, now a
+        // stale superset), then rebuild blooms over visible rows
+        spark.conf.set("graft.delete.mode", "mor")
+        try spark.sql("DELETE FROM graftbl.wh.docs WHERE event_id = 42")
+        finally spark.conf.unset("graft.delete.mode")
+        val pStale = planned(
+          s"SELECT event_id FROM graftbl.wh.docs WHERE url = '$target'")
+        spark.sql("CALL graftbl.system.analyze(table => 'wh.docs', " +
+          "rebuild_blooms => true)")
+        val pRebuilt = planned(
+          s"SELECT event_id FROM graftbl.wh.docs WHERE url = '$target'")
+        spark.sql(s"SELECT count(*) AS n_after FROM graftbl.wh.docs " +
+          s"WHERE url = '$target'")
+          .withColumn("hit_value", lit(hitValue))
+          .withColumn("planned_range", lit(pRange.toInt))
+          .withColumn("bloom_lt_range", lit(pBloom < pRange))
+          .withColumn("stale_admits", lit(pStale >= 1L))
+          .withColumn("rebuilt_lt_stale", lit(pRebuilt < pStale))
+      },
+      Some("""SELECT CAST(0 AS BIGINT) AS n_after,
+  (SELECT value FROM events WHERE event_id = 42) AS hit_value,
+  CAST(8 AS INT) AS planned_range,
+  true AS bloom_lt_range, true AS stale_admits,
+  true AS rebuilt_lt_stale""")),
 
     // --- `.partitions` METADATA TABLE (the Iceberg `.partitions`
     // analog): per-partition rollup of the head snapshot — part

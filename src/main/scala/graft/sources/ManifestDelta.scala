@@ -164,9 +164,13 @@ private[sources] class ManifestDeltaWriterFactory(
     path: String, schema: StructType, token: String,
     conf: SerializableConfiguration,
     guardSlots: Array[Int] = Array.empty) extends DeltaWriterFactory {
+  // constructed on the driver: resolve declared secondary-bloom
+  // columns once, so MOR-appended image parts carry the same
+  // per-column blooms as batch appends
+  private val bloomCols: Seq[String] = ManifestSink.bloomCols(conf.value, path)
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new ManifestDeltaWriter(path, schema, token, partitionId, taskId, conf,
-      guardSlots)
+      guardSlots, bloomCols)
 }
 
 /** Executor-side delta writer: deletes accumulate into per-part
@@ -177,7 +181,8 @@ private[sources] class ManifestDeltaWriterFactory(
 private[sources] class ManifestDeltaWriter(
     dir: String, schema: StructType, token: String,
     partitionId: Int, taskId: Long, conf: SerializableConfiguration,
-    guardSlots: Array[Int] = Array.empty)
+    guardSlots: Array[Int] = Array.empty,
+    bloomCols: Seq[String] = Nil)
     extends DeltaWriter[InternalRow] {
 
   private val bitmaps = mutable.Map.empty[String, mutable.ArrayBuffer[Long]]
@@ -218,7 +223,8 @@ private[sources] class ManifestDeltaWriter(
   private def doInsert(row: InternalRow): Unit = {
     if (inserts == null)
       inserts = new ManifestDataWriter(
-        dir, schema, s"$token-d", partitionId, taskId, conf.value)
+        dir, schema, s"$token-d", partitionId, taskId, conf.value,
+        bloomCols = bloomCols)
     inserts.write(row)
   }
 

@@ -153,8 +153,12 @@ object ManifestMaintenance {
             sumAt(i))))
         else m = m.copy(cstats =
           if (r.isNullAt(mn)) m.cstats - f.name
+          // carry the committed secondary bloom (if any): built over
+          // PHYSICAL values, it stays a sound superset of the visible
+          // ones — rebuild_blooms recomputes it below
           else m.cstats + (f.name ->
-            ColStat('s', r.getString(mn), r.getString(mx), nulls)))
+            ColStat('s', r.getString(mn), r.getString(mx), nulls,
+              bloom = base.cstats.get(f.name).map(_.bloom).getOrElse(""))))
       }
       path -> m
     }.toMap
@@ -196,12 +200,71 @@ object ManifestMaintenance {
           path -> m.copy(bloomHex = rebuilt.getOrElse(path, ""))
         }
       }
+    // secondary-column bloom rebuild rides the same opt-in: one
+    // visible-value pass per declared bloom column (≤4), clustered
+    // per part, one hex string per part to the driver — restores
+    // point-lookup skipping after deletes shrank the visible set
+    val withColBlooms: Map[String, PartMeta] =
+      if (!rebuildBlooms) updated
+      else {
+        import org.apache.spark.sql.functions.col
+        val bcols = ManifestSink.bloomCols(conf, dir).flatMap(c =>
+          schema.fields.find(f => f.name.equalsIgnoreCase(c) &&
+            f.dataType == StringType)).map(_.name).distinct
+        bcols.foldLeft(updated) { (acc, c) =>
+          import spark.implicits._
+          val rebuilt: Map[String, String] = df
+            .select(col(PartMetaColumn.Name).as("_p"), col(c).as("_v"))
+            .where(col("_v").isNotNull)
+            .as[(String, String)]
+            .groupByKey(_._1)
+            .mapGroups { (p, it) =>
+              val bits = PartBloom.newBits()
+              var n = 0L
+              it.foreach { kv =>
+                PartBloom.add(bits, PartBloom.strKey(kv._2)); n += 1 }
+              (p, PartBloom.toHex(PartBloom.shrinkFor(bits, n)))
+            }
+            .collect().toMap
+          acc.map { case (path, m) =>
+            val hex = rebuilt.getOrElse(path, "")
+            val next = m.cstats.get(c) match {
+              case Some(st) => m.cstats + (c -> st.copy(bloom = hex))
+              // the PRIMARY string column rides smin/smax, not cstats:
+              // give its bloom a ColStat carrier when one was built
+              case None if hex.nonEmpty && m.sMin.isDefined &&
+                  strIdx >= 0 && schema.fields(strIdx).name == c =>
+                m.cstats + (c -> ColStat('s', m.sMin.get, m.sMax.get,
+                  m.sNulls, bloom = hex))
+              case None => m.cstats
+            }
+            path -> m.copy(cstats = next)
+          }
+        }
+      }
+    // TABLE-LEVEL NDV per tracked column (one approx_count_distinct
+    // pass over the same visible rows) into the props sidecar: the
+    // CBO's join-reorder food — distinct counts size join outputs
+    // (JoinEstimation), which rowCount alone cannot. O(1) to read at
+    // plan time via ManifestSource.columnStats; refreshed here like
+    // every engine's ANALYZE-maintained catalog stats.
+    locally {
+      import org.apache.spark.sql.functions.approx_count_distinct
+      val ndvRow = df.select(tracked.map { i =>
+        approx_count_distinct(col(schema.fields(i).name)).as(s"ndv_$i")
+      }: _*).head()
+      val pairs = tracked.zipWithIndex.map { case (i, j) =>
+        schema.fields(i).name -> ndvRow.getLong(j) }
+      ManifestSink.writeTableProps(conf, dir,
+        ManifestSink.readTableProps(conf, dir) +
+          (ManifestSink.NdvProp -> ManifestSink.encodeNdv(pairs)))
+    }
     val v = ManifestSink.publishRebase(conf, dir, schema, history = true,
-      head => head.map(p => updated.getOrElse(p.path, p)),
+      head => head.map(p => withColBlooms.getOrElse(p.path, p)),
       strictBase = Some(baseVersion),
       footprint = Some(parts.map(_.path).toSet),
       op = "analyze")
-    (updated.size, v)
+    (withColBlooms.size, v)
   }
 
   /** COMPACT DELETION VECTORS — the rewrite-data-files half of

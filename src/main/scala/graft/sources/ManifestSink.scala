@@ -118,6 +118,24 @@ private[sources] object PartBloom {
     }
   }
 
+  /** Stable FNV-1a 64-bit hash of a string's UTF-8 bytes — the key
+    * form secondary-column STRING blooms feed to add/mightContain.
+    * Deterministic across JVMs and releases (the hex survives in
+    * committed manifests), unlike String.hashCode's 32 bits. */
+  def strKey(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+  def strKey(s: String): Long =
+    strKey(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+
   def mightContain(bits: Array[Long], key: Long): Boolean = {
     val nbits = bits.length * 64
     var i = 0
@@ -188,7 +206,8 @@ private[sources] object StrBin {
   * Encoding is additive on the manifest line (`"cstats":"…"`): old
   * manifests parse unchanged and simply never column-prune. */
 private[sources] final case class ColStat(kind: Char, min: String,
-    max: String, nulls: Long = -1L, sum: Option[Long] = None) {
+    max: String, nulls: Long = -1L, sum: Option[Long] = None,
+    bloom: String = "") {
   def lMin: Long = min.toLong
   def lMax: Long = max.toLong
 }
@@ -209,10 +228,21 @@ private[sources] object ColStat {
       // is never silently dropped (decoders read `?` back as
       // unknown); unknown decoders of FUTURE extra tokens must
       // ignore them, which `decode` below guarantees
-      s"${enc(c)}=${st.kind}:${enc(st.min)}:${enc(st.max)}" +
-        (if (st.nulls >= 0)
-          s":${st.nulls}" + st.sum.fold("")(s => s":$s")
-        else st.sum.fold("")(s => s":?:$s"))
+      val n = if (st.nulls >= 0) st.nulls.toString else "?"
+      val sm = st.sum.map(_.toString).getOrElse("?")
+      // emit the positional tail only through the LAST present leg,
+      // with `?` placeholders filling gaps — byte-identical to the
+      // pre-bloom encoding for bloom-free stats. The 6th leg is the
+      // SECONDARY-COLUMN BLOOM (hex, URL-safe by construction):
+      // per-part membership filter for declared high-cardinality
+      // columns (`graft.bloom_cols`), consulted by point lookups
+      // where min/max ranges admit nearly everything.
+      val tail =
+        if (st.bloom.nonEmpty) s":$n:$sm:${st.bloom}"
+        else if (st.sum.isDefined) s":$n:$sm"
+        else if (st.nulls >= 0) s":$n"
+        else ""
+      s"${enc(c)}=${st.kind}:${enc(st.min)}:${enc(st.max)}$tail"
     }.mkString("&")
 
   /** Unknown-null placeholder read-back: `?` → -1 (untracked). */
@@ -230,9 +260,10 @@ private[sources] object ColStat {
       val st = entry.drop(eq + 1).split(":", -1) match {
         case Array(k, mn, mx)    => ColStat(k.head, dec(mn), dec(mx))
         case Array(k, mn, mx, n) => ColStat(k.head, dec(mn), dec(mx), nl(n))
-        case Array(k, mn, mx, n, sm, _*) =>
+        case arr @ Array(k, mn, mx, n, sm, _*) =>
           ColStat(k.head, dec(mn), dec(mx), nl(n),
-            if (sm == "?" || sm.isEmpty) None else Some(sm.toLong))
+            if (sm == "?" || sm.isEmpty) None else Some(sm.toLong),
+            bloom = if (arr.length >= 6) arr(5) else "")
         case other => throw new IllegalArgumentException(
           s"bad ColStat entry '$entry' (${other.length} tokens)")
       }
@@ -638,6 +669,38 @@ object ManifestSink {
       throw new java.io.IOException(s"table spec publish failed at $dir")
     }
   }
+
+  /** Declared secondary-bloom columns (the `graft.bloom_cols` table
+    * property, comma-separated STRING column names): each listed
+    * column gets a per-part membership bloom in its [[ColStat]],
+    * consulted by point lookups where min/max ranges admit nearly
+    * every part (high-cardinality strings: URLs, digests, UUIDs).
+    * Capped at 4 — each bloom costs up to 8 KB of manifest line per
+    * part, the key bloom's budget. */
+  private[sources] val BloomColsProp = "graft.bloom_cols"
+  private[sources] def bloomCols(conf: Configuration,
+      dir: String): Seq[String] =
+    readTableProps(conf, dir).get(BloomColsProp).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).take(4)
+
+  /** ANALYZE-collected TABLE-LEVEL NDV per tracked column
+    * (`graft.ndv` property, `urlenc(col):ndv;…`): what Spark's CBO
+    * (JoinEstimation / CostBasedJoinReorder) needs to size join
+    * outputs and reorder a multi-join chain — surfaced through the
+    * scan's DSv2 column stats. O(1) to read at plan time;
+    * stale-until-reANALYZE like every engine's catalog stats. */
+  private[sources] val NdvProp = "graft.ndv"
+  private[sources] def encodeNdv(pairs: Seq[(String, Long)]): String =
+    pairs.map { case (c, d) =>
+      s"${java.net.URLEncoder.encode(c, "UTF-8")}:$d" }.mkString(";")
+  private[sources] def readNdv(conf: Configuration,
+      dir: String): Map[String, Long] =
+    readTableProps(conf, dir).get(NdvProp).toSeq
+      .flatMap(_.split(";")).filter(_.nonEmpty).map { kv =>
+        val i = kv.lastIndexOf(':')
+        java.net.URLDecoder.decode(kv.substring(0, i), "UTF-8") ->
+          kv.substring(i + 1).toLong
+      }.toMap
 
   /** TABLE PROPERTIES (`TBLPROPERTIES` / `COMMENT ON TABLE` — the
     * Delta/Iceberg free-form key-value surface): stored in their own
@@ -1773,18 +1836,26 @@ private[sources] class ManifestWriterFactory(
     buckets: Option[Int] = None,
     splitBy: Option[String] = None)
     extends DataWriterFactory {
+  // SECONDARY-COLUMN BLOOMS (`graft.bloom_cols` table property):
+  // resolved HERE because every factory is constructed on the DRIVER
+  // (batch, streaming, staging, row-level rewrite) — executors get
+  // the list via the serialized factory, never re-reading the props
+  // sidecar per task. Capped at 4 columns: each bloom costs up to
+  // 8 KB of manifest line per part, the same budget as the key bloom.
+  private val bloomCols: Seq[String] = ManifestSink.bloomCols(conf.value, path)
+
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     buckets match {
       case Some(n) =>
         new BucketedManifestWriter(path, schema, token, partitionId, taskId,
-          conf.value, n)
+          conf.value, n, bloomCols)
       case None => splitBy match {
         case Some(c) =>
           new SplitManifestWriter(path, schema, token, partitionId, taskId,
-            conf.value, c)
+            conf.value, c, bloomCols)
         case None =>
           new ManifestDataWriter(path, schema, token, partitionId, taskId,
-            conf.value)
+            conf.value, bloomCols = bloomCols)
       }
     }
 }
@@ -1800,7 +1871,8 @@ private[sources] class ManifestWriterFactory(
   * side groups by bucket ordinal either way). */
 private[sources] class BucketedManifestWriter(
     dir: String, schema: StructType, token: String,
-    partitionId: Int, taskId: Long, conf: Configuration, n: Int)
+    partitionId: Int, taskId: Long, conf: Configuration, n: Int,
+    bloomCols: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
 
   private val keyIdx = schema.fields.indexWhere(_.dataType == LongType)
@@ -1811,7 +1883,7 @@ private[sources] class BucketedManifestWriter(
     var w = writers.get(b)
     if (w == null) {
       w = new ManifestDataWriter(dir, schema, token, partitionId, taskId,
-        conf, suffix = s"-b$b")
+        conf, suffix = s"-b$b", bloomCols = bloomCols)
       writers.put(b, w)
     }
     w
@@ -1860,7 +1932,8 @@ private[sources] class BucketedManifestWriter(
   * paper over. */
 private[sources] class SplitManifestWriter(
     dir: String, schema: StructType, token: String,
-    partitionId: Int, taskId: Long, conf: Configuration, splitCol: String)
+    partitionId: Int, taskId: Long, conf: Configuration, splitCol: String,
+    bloomCols: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
 
   private val MaxValuesPerTask = 512
@@ -1878,7 +1951,7 @@ private[sources] class SplitManifestWriter(
           "values in one write task — identity partitioning needs a " +
           "low-cardinality column (bucket or cluster high-cardinality ones)")
       w = new ManifestDataWriter(dir, schema, token, partitionId, taskId,
-        conf, suffix = s"-v${writers.size()}")
+        conf, suffix = s"-v${writers.size()}", bloomCols = bloomCols)
       writers.put(v, w)
     }
     w
@@ -1916,7 +1989,7 @@ private[sources] class SplitManifestWriter(
 private[sources] class ManifestDataWriter(
     dir: String, schema: StructType, token: String,
     partitionId: Int, taskId: Long, conf: Configuration,
-    suffix: String = "")
+    suffix: String = "", bloomCols: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
 
   private val file =
@@ -1976,6 +2049,16 @@ private[sources] class ManifestDataWriter(
   // built at max size while streaming (final row count unknown),
   // folded to the row-count-sized filter at commit — see PartBloom
   private val bloom = if (keyIdx >= 0) PartBloom.newBits() else null
+  // SECONDARY-COLUMN BLOOMS: one filter per declared STRING column
+  // (graft.bloom_cols), fed the stable 64-bit hash of each value's
+  // UTF-8 bytes — attached to the column's ColStat at commit
+  private val bloomStrIdx: Array[Int] = bloomCols
+    .map(c => schema.fields.indexWhere(f =>
+      f.name.equalsIgnoreCase(c) &&
+        f.dataType == org.apache.spark.sql.types.StringType))
+    .filter(_ >= 0).toArray
+  private val colBlooms: Array[Array[Long]] =
+    Array.fill(bloomStrIdx.length)(PartBloom.newBits())
 
   /** Row-level rewrites deliver (metadata, row) pairs; the manifest
     * writer needs no per-row metadata (the rewrite's replaced-part
@@ -2028,6 +2111,13 @@ private[sources] class ManifestDataWriter(
       } else eSNulls(i) += 1
       i += 1
     }
+    i = 0
+    while (i < bloomStrIdx.length) {
+      val idx = bloomStrIdx(i)
+      if (!row.isNullAt(idx))
+        PartBloom.add(colBlooms(i), PartBloom.strKey(row.getUTF8String(idx)))
+      i += 1
+    }
   }
 
   override def commit(): WriterCommitMessage = {
@@ -2035,6 +2125,13 @@ private[sources] class ManifestDataWriter(
     val hex =
       if (bloom == null || kMin > kMax) "" // no key column / no non-null keys
       else PartBloom.toHex(PartBloom.shrinkFor(bloom, rows))
+    // declared secondary blooms by column name (non-empty filters
+    // only — an all-null column writes no bloom)
+    val colBloomHex: Map[String, String] = bloomStrIdx.indices.collect {
+      case i if colBlooms(i).exists(_ != 0L) =>
+        schema.fields(bloomStrIdx(i)).name ->
+          PartBloom.toHex(PartBloom.shrinkFor(colBlooms(i), rows))
+    }.toMap
     val cstats: Map[String, ColStat] =
       (extraLong.indices.collect {
         case i if eLMin(i) <= eLMax(i) =>
@@ -2043,9 +2140,19 @@ private[sources] class ManifestDataWriter(
               if (eLSumOk(i)) Some(eLSum(i)) else None)
       } ++ extraStr.indices.collect {
         case i if eSMin(i) != null =>
-          schema.fields(extraStr(i)).name ->
-            ColStat('s', eSMin(i).toString, eSMax(i).toString, eSNulls(i))
-      }).toMap
+          val name = schema.fields(extraStr(i)).name
+          name -> ColStat('s', eSMin(i).toString, eSMax(i).toString,
+            eSNulls(i), bloom = colBloomHex.getOrElse(name, ""))
+      } ++
+        // the PRIMARY string column's min/max ride the line's own
+        // smin/smax fields, not cstats — a declared bloom on it still
+        // needs a ColStat carrier (min/max duplicated, harmless)
+        (if (strIdx >= 0 && sMin != null &&
+             colBloomHex.contains(schema.fields(strIdx).name))
+           Seq(schema.fields(strIdx).name ->
+             ColStat('s', sMin.toString, sMax.toString, strNulls,
+               bloom = colBloomHex(schema.fields(strIdx).name)))
+         else Nil)).toMap
     PartCommit(file.toString, rows, kMin, kMax, hex,
       Option(sMin).map(_.toString), Option(sMax).map(_.toString), bytes,
       sorted = keyIdx >= 0 && rows > 0 && sorted, cstats = cstats,

@@ -169,6 +169,13 @@ private[sources] class ManifestScanBuilder(
   private var cLongHi = Map.empty[String, Long]
   private var cStrLo = Map.empty[String, String]
   private var cStrHi = Map.empty[String, String]
+  // discrete point values per STRING column (EqualTo / fully-typed
+  // In), intersected across conjuncts — consulted against the
+  // column's declared SECONDARY BLOOM ([[ColStat.bloom]]) where
+  // min/max ranges admit nearly every part (URLs, digests, UUIDs)
+  private var cStrPoints = Map.empty[String, Set[String]]
+  private def addStrPoints(c: String, vs: Set[String]): Unit =
+    cStrPoints += c -> cStrPoints.get(c).fold(vs)(_ intersect vs)
   // IS [NOT] NULL predicates, pruned against the per-part NULL COUNTS
   // (key/first-string columns always tracked; other long/string
   // columns via their ColStat record); unknown (-1, legacy) never
@@ -476,9 +483,11 @@ private[sources] class ManifestScanBuilder(
       case EqualTo(c, v: String) if strCol.contains(c) =>
         strLo = Some(strLo.fold(v)(StrBin.max(v, _)))
         strHi = Some(strHi.fold(v)(StrBin.min(v, _)))
+        addStrPoints(c, Set(v))
       case EqualNullSafe(c, v: String) if strCol.contains(c) =>
         strLo = Some(strLo.fold(v)(StrBin.max(v, _)))
         strHi = Some(strHi.fold(v)(StrBin.min(v, _)))
+        addStrPoints(c, Set(v))
       case GreaterThan(c, v: String) if strCol.contains(c) =>
         strLo = Some(strLo.fold(v)(StrBin.max(v, _)))
       case GreaterThanOrEqual(c, v: String) if strCol.contains(c) =>
@@ -499,6 +508,7 @@ private[sources] class ManifestScanBuilder(
           // ['click','view']) — on a value-split layout the point set
           // is what prunes to exactly the named values' parts
           strInSet = Some(strInSet.fold(strs.toSet)(_ intersect strs.toSet))
+          addStrPoints(c, strs.toSet)
         }
       // LIKE 'p%' — every match is >= p, and (when the last char can
       // increment byte-safely) < p-with-last-char-incremented, so an
@@ -540,9 +550,11 @@ private[sources] class ManifestScanBuilder(
       case EqualTo(c, v: String) =>
         cStrLo += c -> cStrLo.get(c).fold(v)(StrBin.max(v, _))
         cStrHi += c -> cStrHi.get(c).fold(v)(StrBin.min(v, _))
+        addStrPoints(c, Set(v))
       case EqualNullSafe(c, v: String) =>
         cStrLo += c -> cStrLo.get(c).fold(v)(StrBin.max(v, _))
         cStrHi += c -> cStrHi.get(c).fold(v)(StrBin.min(v, _))
+        addStrPoints(c, Set(v))
       case GreaterThan(c, v: String) =>
         cStrLo += c -> cStrLo.get(c).fold(v)(StrBin.max(v, _))
       case GreaterThanOrEqual(c, v: String) =>
@@ -558,6 +570,7 @@ private[sources] class ManifestScanBuilder(
         val mx = strs.reduce(StrBin.max)
         cStrLo += c -> cStrLo.get(c).fold(mn)(StrBin.max(mn, _))
         cStrHi += c -> cStrHi.get(c).fold(mx)(StrBin.min(mx, _))
+        addStrPoints(c, strs.toSet)
       case _ => ()
     }
     pushed = filters.filter {
@@ -698,6 +711,23 @@ private[sources] class ManifestScanBuilder(
         // is skipped (hash-layout tables prune here, not on min/max)
         points.foreach { ps =>
           kept = kept.filter(m => ps.exists(m.mayContain))
+        }
+        // SECONDARY-COLUMN BLOOMS: a string point lookup on a
+        // declared bloom column (graft.bloom_cols) skips every part
+        // whose filter proves all values absent — the only pruning
+        // that works on high-cardinality strings, where min/max
+        // ranges admit nearly every part. Absent bloom (undeclared
+        // column, legacy part, all-null part) never prunes.
+        if (cStrPoints.nonEmpty) kept = kept.filter { m =>
+          cStrPoints.forall { case (c, vs) =>
+            m.cstats.get(c) match {
+              case Some(st) if st.kind == 's' && st.bloom.nonEmpty =>
+                val bits = PartBloom.fromHex(st.bloom)
+                vs.exists(v =>
+                  PartBloom.mightContain(bits, PartBloom.strKey(v)))
+              case _ => true
+            }
+          }
         }
         limit.foreach { n =>
           // keep the shortest part prefix whose VISIBLE row counts
@@ -1010,6 +1040,72 @@ private[sources] class ManifestScan(
         else p.visibleRows * required.defaultSize
       }.sum))
     override def numRows(): OptionalLong = OptionalLong.of(n)
+    // ANALYZE-collected NDV (graft.ndv props, O(1) read) + EXACT null
+    // counts folded from this scan's planned parts — the column stats
+    // Spark's CBO needs to size join outputs (JoinEstimation) and
+    // reorder a multi-join chain (CostBasedJoinReorder under
+    // spark.sql.cbo.enabled). NDV is capped at the post-pruning row
+    // count; columns without an ANALYZE pass report nothing.
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (tablePath.isEmpty) return out
+      val strName = schema.fields
+        .find(_.dataType == org.apache.spark.sql.types.StringType)
+        .map(_.name)
+      def nullsFor(c: String): Long = {
+        def fold(get: PartMeta => Long): Long =
+          if (parts.exists(p => get(p) < 0)) -1L else parts.map(get).sum
+        if (keyCol.contains(c)) fold(_.kNulls)
+        else if (strName.contains(c)) fold(_.sNulls)
+        else fold(_.cstats.get(c).map(_.nulls).getOrElse(-1L))
+      }
+      // LONG-column [min, max] folded from this scan's planned parts:
+      // JoinEstimation intersects key ranges before applying the NDV
+      // formula — without them it cannot size a join at all
+      def rangeFor(c: String): Option[(Long, Long)] = {
+        val bounds: Seq[(Long, Long)] =
+          if (keyCol.contains(c))
+            parts.collect { case p if p.rows > 0 && p.kMin <= p.kMax =>
+              (p.kMin, p.kMax) }
+          else parts.flatMap(_.cstats.get(c))
+            .collect { case st if st.kind == 'l' => (st.lMin, st.lMax) }
+        if (bounds.isEmpty) None
+        else Some((bounds.map(_._1).min, bounds.map(_._2).max))
+      }
+      ManifestSink.readNdv(conf.value, tablePath).foreach { case (c, d) =>
+        if (schema.fields.exists(_.name == c)) {
+          val nulls = nullsFor(c)
+          val isLong = schema.fields.exists(f =>
+            f.name == c &&
+              f.dataType == org.apache.spark.sql.types.LongType)
+          val range = if (isLong) rangeFor(c) else None
+          out.put(
+            org.apache.spark.sql.connector.expressions.Expressions.column(c),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): OptionalLong =
+                OptionalLong.of(math.max(1L, math.min(d, n)))
+              override def nullCount(): OptionalLong =
+                if (nulls >= 0) OptionalLong.of(nulls)
+                else OptionalLong.empty()
+              override def min(): java.util.Optional[Object] =
+                range.fold(java.util.Optional.empty[Object]())(r =>
+                  java.util.Optional.of(java.lang.Long.valueOf(r._1)))
+              override def max(): java.util.Optional[Object] =
+                range.fold(java.util.Optional.empty[Object]())(r =>
+                  java.util.Optional.of(java.lang.Long.valueOf(r._2)))
+              override def avgLen(): OptionalLong =
+                if (isLong) OptionalLong.of(8L) else OptionalLong.empty()
+              override def maxLen(): OptionalLong =
+                if (isLong) OptionalLong.of(8L) else OptionalLong.empty()
+            })
+        }
+      }
+      out
+    }
   }
 }
 

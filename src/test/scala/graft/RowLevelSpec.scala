@@ -158,6 +158,69 @@ class RowLevelSpec extends SparkSpec {
       .head.getLong(0) === 499L)
   }
 
+  test("NOT MATCHED BY SOURCE sync-merge: stale rows delete/update in " +
+    "one commit; footprint honestly spans unmatched parts (stats " +
+    "cannot prune by absence); MOR parity with zero rewrites") {
+    import spark.implicits._
+    val path = mkTable("msync") // 4 range parts over k = 0..999
+    val before = headParts(path)
+    assert(before.size === 4)
+    // feed covers ONLY part 1's key range: a matched-only merge would
+    // bound its footprint to that part, but the by-source clauses
+    // make every part holding an unmatched row an affected part
+    Seq((300L, "sync300"), (310L, "sync310"), (1300L, "new1300"))
+      .toDF("sk", "sv").createOrReplaceTempView("grl_sync_src")
+    spark.sql("""MERGE INTO grl.ns.msync t USING grl_sync_src s
+      ON t.k = s.sk
+      WHEN MATCHED THEN UPDATE SET s = s.sv
+      WHEN NOT MATCHED THEN INSERT (k, s) VALUES (s.sk, s.sv)
+      WHEN NOT MATCHED BY SOURCE AND t.k % 100 = 7 THEN
+        UPDATE SET s = 'stale'
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    // final state: 2 updated, 1 inserted, 10 stale-flagged (k%100=7),
+    // the other 987 deleted
+    assert(spark.sql("SELECT count(*) FROM grl.ns.msync")
+      .head.getLong(0) === 13L)
+    assert(spark.sql(
+      "SELECT count(*) FROM grl.ns.msync WHERE s = 'stale'")
+      .head.getLong(0) === 10L)
+    assert(spark.sql("SELECT s FROM grl.ns.msync WHERE k = 300")
+      .head.getString(0) === "sync300")
+    assert(spark.sql("SELECT count(*) FROM grl.ns.msync WHERE k = 1300")
+      .head.getLong(0) === 1L)
+    val after = headParts(path)
+    assert((before intersect after).isEmpty,
+      "by-source clauses touch every part with an unmatched row: all " +
+        "4 parts rewritten — the honest (unprunable) footprint")
+    // one MERGE = one snapshot; time travel predates the sync
+    assert(graft.sources.ManifestSink.listVersions(
+      spark.sessionState.newHadoopConf(), path) === Seq(1, 2))
+    assert(spark.sql("SELECT count(*) FROM grl.ns.msync VERSION AS OF 1")
+      .head.getLong(0) === 1000L)
+    // MOR parity: same statement, deletion vectors + appended images,
+    // ZERO part rewrites
+    val path2 = mkTable("msync2")
+    val before2 = headParts(path2)
+    spark.conf.set("graft.delete.mode", "mor")
+    try spark.sql("""MERGE INTO grl.ns.msync2 t USING grl_sync_src s
+      ON t.k = s.sk
+      WHEN MATCHED THEN UPDATE SET s = s.sv
+      WHEN NOT MATCHED THEN INSERT (k, s) VALUES (s.sk, s.sv)
+      WHEN NOT MATCHED BY SOURCE AND t.k % 100 = 7 THEN
+        UPDATE SET s = 'stale'
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    finally spark.conf.unset("graft.delete.mode")
+    val after2 = headParts(path2)
+    assert(before2.subsetOf(after2),
+      "MOR sync rewrites no base part (vectors + appended images)")
+    // identical answer through the vectors
+    assert(spark.sql("SELECT count(*) FROM grl.ns.msync2")
+      .head.getLong(0) === 13L)
+    assert(spark.sql(
+      "SELECT count(*) FROM grl.ns.msync2 WHERE s = 'stale'")
+      .head.getLong(0) === 10L)
+  }
+
   test("null-predicate UPDATE bounds its rewrite via null-count stats") {
     import spark.implicits._
     val path = s"$wh/ns/updnull"

@@ -445,4 +445,70 @@ class ScaleSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
     }
   }
+
+  test("ANALYZE-collected NDV stats flip a 3-table join order " +
+    "(CostBasedJoinReorder, AQE off)") {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-cbo-reorder").toString
+    spark.conf.set("spark.sql.catalog.gcbo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcbo.warehouse", wh)
+    spark.sql("CREATE TABLE gcbo.ns.fact (k BIGINT, d1 BIGINT, d2 BIGINT)")
+    spark.sql("CREATE TABLE gcbo.ns.dima (a BIGINT, an STRING)")
+    spark.sql("CREATE TABLE gcbo.ns.dimb (b BIGINT, bn STRING)")
+    // d1: HIGH ndv (10k) — joining dima first yields ~5k rows;
+    // d2: LOW ndv (10)  — joining dimb first yields 50k rows.
+    // Both dims have the SAME row count, so rowCount/size stats alone
+    // cannot rank the two orders — only the join keys' NDV can.
+    spark.range(50000).select(col("id").as("k"),
+      (col("id") % 10000).as("d1"), (col("id") % 10).as("d2"))
+      .createOrReplaceTempView("gcbo_f")
+    spark.range(1000).select(col("id").as("a"),
+      concat(lit("a"), col("id")).as("an")).createOrReplaceTempView("gcbo_a")
+    spark.range(1000).select(col("id").as("b"),
+      concat(lit("b"), col("id")).as("bn")).createOrReplaceTempView("gcbo_b")
+    spark.sql("INSERT INTO gcbo.ns.fact SELECT * FROM gcbo_f")
+    spark.sql("INSERT INTO gcbo.ns.dima SELECT * FROM gcbo_a")
+    spark.sql("INSERT INTO gcbo.ns.dimb SELECT * FROM gcbo_b")
+    // written SELECTIVE-FIRST (the correct order): without column
+    // stats the DP's costs tie and its tie-break swaps to fanout-first
+    val q = "SELECT count(*) FROM gcbo.ns.fact f " +
+      "JOIN gcbo.ns.dima ON f.d1 = a JOIN gcbo.ns.dimb ON f.d2 = b"
+    def leaves(): Seq[String] = spark.sql(q).queryExecution.optimizedPlan
+      .collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.relation.table.name()
+      }
+    val saved = Seq("spark.sql.cbo.enabled",
+      "spark.sql.cbo.joinReorder.enabled", "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(leaves() === Seq("ns.fact", "ns.dimb", "ns.dima"),
+        "without NDV the DP cannot rank the orders; its tie-break " +
+          "swaps to fanout-first — the wrong order this test exists " +
+          "to correct")
+      Seq("fact", "dima", "dimb").foreach(t =>
+        spark.sql(s"CALL gcbo.system.analyze(table => 'ns.$t')"))
+      assert(leaves() === Seq("ns.fact", "ns.dima", "ns.dimb"),
+        "ANALYZE'd NDV + min/max must rank the selective join " +
+          "(~5k rows) above the fanout join (50k rows) and flip the " +
+          "order back")
+      // the stats actually flowed: the fact scan's attributeStats
+      // carry the collected distinct counts
+      val attrs = spark.sql("SELECT * FROM gcbo.ns.fact")
+        .queryExecution.optimizedPlan.stats.attributeStats
+        .map { case (a, s) => a.name -> s.distinctCount.get.toLong }
+      assert(attrs.get("d2").exists(d => d >= 8 && d <= 12),
+        s"d2 ndv ~10 expected, got $attrs")
+      assert(attrs.get("d1").exists(_ >= 5000L),
+        s"d1 ndv ~10k expected, got $attrs")
+      assert(spark.sql(q).head.getLong(0) === 5000L,
+        "the reordered plan is still exact")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }

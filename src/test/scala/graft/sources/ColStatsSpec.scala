@@ -42,10 +42,11 @@ class ColStatsSpec extends graft.SparkSpec {
 
   test("codec: additive evolution — trailing tokens ignored, unknown-" +
     "null placeholder, sum never silently dropped") {
-    // a FUTURE writer's 6-token entry (one extra stat leg) must read
-    // fine here, minus the leg this version doesn't know
-    val future = ColStat.decode("c=l:1:9:0:45:futureleg")
-    assert(future("c") === ColStat('l', "1", "9", 0L, Some(45L)))
+    // the 6th leg is the SECONDARY BLOOM (r17); a FUTURE writer's
+    // 7-token entry (one extra leg beyond it) must read fine here,
+    // minus the leg this version doesn't know
+    val future = ColStat.decode("c=l:1:9:0:45:00ff:futureleg")
+    assert(future("c") === ColStat('l', "1", "9", 0L, Some(45L), "00ff"))
     // a sum with an UNKNOWN null count encodes a '?' placeholder —
     // the sum survives the roundtrip instead of being dropped
     val odd = Map("c" -> ColStat('l', "1", "9", nulls = -1L,
@@ -56,6 +57,50 @@ class ColStatsSpec extends graft.SparkSpec {
     // legacy 3/4-token entries still parse
     assert(ColStat.decode("c=l:1:9")("c") === ColStat('l', "1", "9"))
     assert(ColStat.decode("c=l:1:9:2")("c") === ColStat('l', "1", "9", 2L))
+    // the bloom leg roundtrips with `?` placeholders filling the gaps
+    // (a string column has no sum), and bloom-free stats encode
+    // byte-identically to the pre-bloom format
+    val withBloom = Map("u" -> ColStat('s', "a", "z", 0L, None, "00ff"))
+    val bblob = ColStat.encode(withBloom)
+    assert(bblob.contains(":0:?:00ff"), s"bloom tail in '$bblob'")
+    assert(ColStat.decode(bblob) === withBloom)
+    assert(ColStat.decode(ColStat.encode(
+      Map("u" -> ColStat('s', "a", "z", -1L, None, "00ff")))) ===
+      Map("u" -> ColStat('s', "a", "z", -1L, None, "00ff")))
+    assert(ColStat.encode(Map("c" -> ColStat('l', "1", "9", 2L))) ===
+      "c=l:1:9:2")
+  }
+
+  test("secondary-column bloom: point lookup prunes parts the range " +
+    "admits; absent value prunes everything; missing bloom never prunes") {
+    val dir = Files.createTempDirectory("graft-cbloom").toString
+    // declare the bloom BEFORE the write: the writer factory resolves
+    // graft.bloom_cols from the props sidecar on the driver
+    ManifestSink.writeTableProps(conf, dir, Map("graft.bloom_cols" -> "u"))
+    import spark.implicits._
+    (0L until 400L).map(i => (i, "h" + ((i * 37) % 400)))
+      .toDF("k", "u").repartition(4, col("k"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).option("history", "true")
+      .mode("overwrite").save()
+    // every part's u-range spans nearly [h0, h399] (hash layout), so
+    // min/max admit all 4 parts — the bloom is what prunes
+    val hit = readBack(dir).filter(col("u") === "h37")
+    assert(hit.count() === 1L)
+    assert(scanParts(hit) < 4,
+      "bloom must prune at least one range-admitted part")
+    val miss = readBack(dir).filter(col("u") === "absent-value")
+    assert(miss.count() === 0L)
+    assert(scanParts(miss) < 4)
+    // a table WITHOUT the property plans all parts for the same lookup
+    val dir2 = Files.createTempDirectory("graft-cbloom2").toString
+    (0L until 400L).map(i => (i, "h" + ((i * 37) % 400)))
+      .toDF("k", "u").repartition(4, col("k"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir2).option("history", "true")
+      .mode("overwrite").save()
+    assert(scanParts(readBack(dir2).filter(col("u") === "h37")) === 4,
+      "no declared bloom: range-only baseline keeps every part")
   }
 
   test("OPTIMIZE ZORDER: a 2-D box predicate plans strictly fewer " +
