@@ -733,6 +733,115 @@ SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
     lpad(CAST(doc_id AS VARCHAR), 8, '0') || ':' || CAST(tf AS VARCHAR), ','
     ORDER BY lpad(CAST(doc_id AS VARCHAR), 8, '0'))) AS postings_md5
 FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 30""")),
+
+    // --- INVERTED INDEX AS A COMMITTED TABLE (the text twin of
+    // q_ann_index_serve, and q_inverted_index's build made a
+    // LIFECYCLE): the posting table lives as ManifestSink snapshots,
+    // range-laid-out on the term-hash key — built once, maintained
+    // INCREMENTALLY (an appended doc slice computes only ITS OWN
+    // postings; the committed base parts carry by reference in a KB
+    // manifest commit), and SERVED from the committed head with part
+    // pruning: a conjunctive 2-term query filters on the terms' hash
+    // points, so key-range + per-part bloom admit only the O(terms)
+    // posting parts — gated live from the scan's own partsSkipped
+    // metric. At 100 TB the index is rebuilt never, maintained per
+    // ingest batch, and a query opens parts proportional to its
+    // terms, not to the corpus. Scoring is exact integer sum-of-tf
+    // (BM25 weighting is q_bm25's gate; THIS gate is the index
+    // lifecycle), restated by the oracle from the raw corpus; the
+    // pre-delta snapshot is proven delta-free (time travel).
+    QueryDef("q_text_index_serve",
+      (spark, dir) => {
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest((dir + "#textidx").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val t = s"${spark.conf.get("spark.sql.warehouse.dir")}" +
+          s"/graft-text-idx/$key"
+        val p = new org.apache.hadoop.fs.Path(t)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true) // idempotent reruns
+        // (term_hash, tok, doc_id, tf) postings for a corpus slice —
+        // computed ONLY over the slice: the incrementality
+        def postings(slice: org.apache.spark.sql.DataFrame) = slice
+          .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .groupBy(col("tok"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"))
+          .select(xxhash64(col("tok")).as("term_hash"), col("tok"),
+            col("doc_id"), col("tf"))
+        val docs = Tables.documents(spark, dir)
+        postings(docs.filter(col("doc_id") % 5 =!= 0))
+          .repartitionByRange(4, col("term_hash"), col("doc_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", t).option("history", "true")
+          .mode("overwrite").save()
+        postings(docs.filter(col("doc_id") % 5 === 0))
+          .repartitionByRange(2, col("term_hash"), col("doc_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", t).option("history", "true")
+          .mode("append").save()
+        // the base snapshot predates the delta docs entirely
+        val baseIntact = spark.read
+          .format("graft.sources.ManifestSource")
+          .option("path", t).option("version", 1).load()
+          .filter(col("doc_id") % 5 === 0).count() == 0L
+        // serve: the terms' hash points reach the scan as key-column
+        // IN pruning (range + bloom); tok stays as the exactness
+        // residual against hash collisions
+        val hr = spark.range(1).select(
+          xxhash64(lit("spark")).as("a"), xxhash64(lit("table")).as("b"))
+          .head()
+        def served() = spark.read
+          .format("graft.sources.ManifestSource")
+          .option("path", t).load()
+          .filter(col("term_hash").isin(hr.getLong(0), hr.getLong(1)) &&
+            col("tok").isin("spark", "table"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(when(col("tok") === "spark", col("tf")).otherwise(0L))
+              .as("tf_spark"),
+            sum(when(col("tok") === "table", col("tf")).otherwise(0L))
+              .as("tf_table"))
+          .filter(col("tf_spark") > 0 && col("tf_table") > 0)
+          .select(col("doc_id"), col("tf_spark"), col("tf_table"),
+            (col("tf_spark") + col("tf_table")).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+        val probe = served()
+        probe.collect() // driver metrics populate on execution
+        // the aggregate puts an exchange in the plan, so AQE wraps it:
+        // the scan lives under the adaptive plan's final physical plan
+        // plain collect() misses both indirections: AQE's final plan
+        // hangs off the adaptive root, and a materialized stage's
+        // subtree hangs off QueryStageExec.plan (children = Nil)
+        def scansOf(plan: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+          plan match {
+            case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+            case s: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => scansOf(s.plan)
+            case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => Seq(b)
+            case other => other.children.flatMap(scansOf)
+          }
+        val skipped = scansOf(probe.queryExecution.executedPlan)
+          .map(_.metrics.get("partsSkipped").map(_.value).getOrElse(0L))
+          .sum
+        served()
+          .withColumn("index_pruned", lit(skipped > 0))
+          .withColumn("base_snapshot_intact", lit(baseIntact))
+      },
+      Some("""WITH f AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+      AS BIGINT) AS tf_spark,
+    CAST(len(list_filter(string_split(text, ' '), x -> x = 'table'))
+      AS BIGINT) AS tf_table
+  FROM documents)
+SELECT doc_id, tf_spark, tf_table, tf_spark + tf_table AS score,
+  true AS index_pruned, true AS base_snapshot_intact
+FROM f WHERE tf_spark > 0 AND tf_table > 0
+ORDER BY score DESC, doc_id LIMIT 20""")),
   )
 
   /** BM25 top-20 for the fixed 3-term query — shared by q_bm25 (the

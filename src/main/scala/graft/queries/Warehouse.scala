@@ -3785,6 +3785,63 @@ FROM events""")),
   ('retention.days', '30')) AS p(key, value)
 ORDER BY key""")),
 
+    // --- SHOW CREATE TABLE round-trip (r17): the emitted DDL is not
+    // documentation — it must be EXECUTABLE and reproduce the table.
+    // The fixture creates a table with the full DDL surface this
+    // catalog persists (column DEFAULT, bucket-transform
+    // partitioning, TBLPROPERTIES incl. an engine knob), takes
+    // SHOW CREATE TABLE's statement verbatim, executes it under a
+    // new name, and proves the clone behaves identically: INSERT BY
+    // NAME omitting the defaulted column materializes the SAME
+    // default, the bucket layout lands (`.files` carries bucket
+    // ordinals), and the properties survive. The
+    // disaster-recovery/environment-promotion primitive: a table's
+    // definition travels as one statement. Oracle restates the data
+    // + literal-true contract booleans.
+    QueryDef("q_show_create",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "showct")
+        spark.conf.set("spark.sql.catalog.graftsc",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftsc.warehouse", wh)
+        spark.sql("CREATE TABLE graftsc.wh.src (k BIGINT, " +
+          "prio STRING DEFAULT 'NONE', price DOUBLE) " +
+          "PARTITIONED BY (bucket(4, k)) " +
+          "TBLPROPERTIES ('team' = 'graft', 'graft.bloom_cols' = 'prio')")
+        val stmt = spark.sql("SHOW CREATE TABLE graftsc.wh.src")
+          .head.getString(0)
+        val keepsDefault = stmt.contains("DEFAULT 'NONE'")
+        val keepsBucket = stmt.contains("bucket(4, k)")
+        val keepsProps = stmt.contains("'team' = 'graft'") &&
+          stmt.contains("'graft.bloom_cols' = 'prio'")
+        spark.sql(stmt.replace("graftsc.wh.src", "graftsc.wh.dst"))
+        Tables.orders(spark, dir)
+          .filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+          .createOrReplaceTempView("graft_showct_src")
+        // BY NAME insert omits `prio`: the clone must materialize the
+        // round-tripped DEFAULT, not NULL
+        spark.sql("INSERT INTO graftsc.wh.dst BY NAME " +
+          "SELECT * FROM graft_showct_src")
+        val bucketed = spark.sql(
+          "SELECT count(*) FROM graftsc.wh.dst.files WHERE bucket >= 0")
+          .head.getLong(0) > 0
+        spark.sql(s"""
+          SELECT prio, count(*) AS n,
+            ${Exact.decSumSql("price", 2).replace("VARCHAR", "STRING")}
+              AS sum_price
+          FROM graftsc.wh.dst GROUP BY prio ORDER BY prio""")
+          .withColumn("ddl_keeps_default", lit(keepsDefault))
+          .withColumn("ddl_keeps_bucket", lit(keepsBucket))
+          .withColumn("ddl_keeps_props", lit(keepsProps))
+          .withColumn("clone_bucketed", lit(bucketed))
+      },
+      Some(s"""SELECT 'NONE' AS prio, CAST(count(*) AS BIGINT) AS n,
+  ${Exact.decSumSql("o_totalprice", 2)} AS sum_price,
+  true AS ddl_keeps_default, true AS ddl_keeps_bucket,
+  true AS ddl_keeps_props, true AS clone_bucketed
+FROM orders WHERE o_orderkey % 7 = 0""")),
+
     // --- MERGE INTO WITH SCHEMA EVOLUTION (Spark 4's
     // ResolveMergeIntoSchemaEvolution → this catalog's alterTable):
     // the ingest shape users actually hit on drifting upstream

@@ -254,6 +254,20 @@ class EqSpec extends SparkSpec {
       .head.getLong(0) === 0L, "compaction cleared the clauses")
     assert(spark.sql("SELECT count(*) FROM geq.ns.t8").head.getLong(0)
       === 239L)
+    // SECONDARY-column range delete: classification rides the
+    // column's ColStat min/max + null count, not the key stats —
+    // u = k % 23 spans [0,22] in every part, so u < 5 marks ALL
+    // parts (no drop possible) and the mask is row-exact
+    val partsNow = spark.sql("SELECT count(*) FROM geq.ns.t8.files")
+      .head.getLong(0)
+    eqMode { spark.sql("DELETE FROM geq.ns.t8 WHERE u < 5") }
+    assert(spark.sql("SELECT count(*) FROM geq.ns.t8.files")
+      .head.getLong(0) === partsNow,
+      "u spans every part: nothing drops, nothing rewrites")
+    val expect = (150L until 400L)
+      .count(k => !(k >= 350L && k <= 360L) && k % 23 >= 5)
+    assert(spark.sql("SELECT count(*) FROM geq.ns.t8").head.getLong(0)
+      === expect.toLong, "secondary-column interval mask is row-exact")
   }
 
   test("MV refresh across an eq commit restates affected groups " +
