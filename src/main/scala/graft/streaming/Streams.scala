@@ -83,6 +83,59 @@ object Streams {
   /** Custom per-key state for the stateful latest-wins stream. */
   case class UpsertState(tsUs: Long, eventId: Long, value: Double)
 
+  /** transformWithState output: per-key running total + the top-3
+    * (value, event_id) pairs maintained in ListState (None-padded
+    * below 3 events). */
+  case class TwsTop(user_id: Long, n_events: Long,
+      v1: Option[Double], e1: Option[Long],
+      v2: Option[Double], e2: Option[Long],
+      v3: Option[Double], e3: Option[Long])
+
+  /** Spark 4 arbitrary-state processor (the transformWithState API
+    * that supersedes flatMapGroupsWithState): TWO independent typed
+    * state variables per key — a ListState holding the bounded top-3
+    * heap and a ValueState carrying the running count — which the old
+    * API's single state slot could only fake by packing. State is
+    * RocksDB-backed (the API requires it), so per-key state size is
+    * bounded by the processor, not the heap. */
+  class TopKProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, (Long, Double, Long), TwsTop] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.TTLConfig
+    @transient private var top:
+      org.apache.spark.sql.streaming.ListState[(Double, Long)] = _
+    @transient private var seen:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      top = getHandle.getListState[(Double, Long)]("top",
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong),
+        TTLConfig.NONE)
+      seen = getHandle.getValueState[Long]("seen",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Double, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsTop] = {
+      val incoming = rows.map(r => (r._2, r._3)).toSeq
+      // merge into the bounded per-key heap: state stays O(k) no
+      // matter how many rows the key ever receives
+      val merged = (top.get().toSeq ++ incoming)
+        .sortBy { case (v, e) => (-v, -e) }.take(3)
+      top.put(merged.toArray)
+      val n = (if (seen.exists()) seen.get() else 0L) + incoming.size
+      seen.update(n)
+      def at(i: Int) = merged.lift(i)
+      Iterator(TwsTop(key, n,
+        at(0).map(_._1), at(0).map(_._2),
+        at(1).map(_._1), at(1).map(_._2),
+        at(2).map(_._1), at(2).map(_._2)))
+    }
+  }
+
   // lazy: `raw` is initialized below this point in the object body
   lazy val all: Seq[QueryDef] = raw.map(q =>
     q.copy(fn = (spark, dir) => q.fn(streamSession(spark), dir)))
@@ -131,6 +184,102 @@ object Streams {
     row_number() OVER (PARTITION BY user_id
                        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
   FROM events) WHERE rn = 1 ORDER BY user_id""")),
+
+    // --- transformWithState (Spark 4's arbitrary-state API, the
+    // successor to flatMapGroupsWithState): per-key TOP-3 maintained
+    // in a ListState next to a running count in a ValueState — two
+    // independent typed state variables per key, RocksDB-backed (the
+    // API requires the RocksDB provider; set for this query, restored
+    // after). Update-mode emissions carry the monotone count, so the
+    // final read is a deterministic max_by(count) per key under ANY
+    // micro-batch split. Scale shape: state per key is O(k) by
+    // construction (the processor merges into a bounded heap), and
+    // RocksDB keeps total state off the executor heap — the
+    // leaderboard/top-k-per-entity shape that runs forever. Oracle:
+    // the batch window-rank restatement.
+    QueryDef("q_stream_tws",
+      (spark, dir) => {
+        import spark.implicits._
+        val k = "spark.sql.streaming.stateStore.providerClass"
+        val saved = spark.conf.getOption(k)
+        spark.conf.set(k, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        try {
+          val typed = eventsStream(spark, dir)
+            .select(col("user_id"), col("value"), col("event_id"))
+            .as[(Long, Double, Long)]
+          val out = typed.groupByKey(_._1)
+            .transformWithState(new TopKProcessor,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Update())
+          runToMemory(spark, out.toDF(), "graft_stream_tws", "update")
+            .groupBy(col("user_id"))
+            .agg(max_by(struct(col("n_events"), col("v1"), col("e1"),
+              col("v2"), col("e2"), col("v3"), col("e3")),
+              col("n_events")).as("r"))
+            .select(col("user_id"), col("r.n_events"),
+              col("r.v1"), col("r.e1"), col("r.v2"), col("r.e2"),
+              col("r.v3"), col("r.e3"))
+            .orderBy(col("user_id"))
+        } finally saved match {
+          case Some(v) => spark.conf.set(k, v)
+          case None    => spark.conf.unset(k)
+        }
+      },
+      Some("""WITH r AS (
+  SELECT user_id, value, event_id,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY value DESC, event_id DESC) AS rn
+  FROM events),
+c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id)
+SELECT c.user_id, c.n_events,
+  max(CASE WHEN rn = 1 THEN value END) AS v1,
+  max(CASE WHEN rn = 1 THEN event_id END) AS e1,
+  max(CASE WHEN rn = 2 THEN value END) AS v2,
+  max(CASE WHEN rn = 2 THEN event_id END) AS e2,
+  max(CASE WHEN rn = 3 THEN value END) AS v3,
+  max(CASE WHEN rn = 3 THEN event_id END) AS e3
+FROM c JOIN r ON r.user_id = c.user_id AND rn <= 3
+GROUP BY c.user_id, c.n_events
+ORDER BY c.user_id""")),
+
+    // --- STATE STORE AS A TABLE (Spark 4's `statestore` batch data
+    // source): the running state of a live streaming aggregation read
+    // back as a relation — key struct, value struct, partition id —
+    // without stopping or instrumenting the stream. THE debugging and
+    // ops surface for stateful pipelines ("which keys are hot", "is
+    // state growing", "what does key X hold right now"); at 100 TB of
+    // accumulated state this is a distributed scan of the checkpoint,
+    // never a driver dump. The gate runs a per-key streaming count to
+    // a pinned checkpoint, then restates the per-key counts FROM THE
+    // STATE ITSELF against the batch oracle — proving state contents,
+    // not just sink output, are exactly right.
+    QueryDef("q_state_reader",
+      (spark, dir) => {
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest((dir + "#statereader").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val ckpt = s"${spark.conf.get("spark.sql.warehouse.dir")}" +
+          s"/graft-state-ckpt/$key"
+        val p = new org.apache.hadoop.fs.Path(ckpt)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true) // idempotent reruns
+        val agg = eventsStream(spark, dir)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        val q = agg.writeStream.format("memory")
+          .queryName("graft_state_reader")
+          .outputMode("complete").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        q.stop()
+        spark.read.format("statestore").option("path", ckpt).load()
+          .select(col("key.user_id").as("user_id"),
+            col("value.count").as("n"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id ORDER BY user_id""")),
 
     // --- Stream-static dimension enrichment: the stateless join every
     // streaming pipeline runs first — events stream ⋈ broadcast static
