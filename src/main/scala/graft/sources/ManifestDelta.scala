@@ -168,9 +168,10 @@ private[sources] class ManifestDeltaWriterFactory(
   // columns once, so MOR-appended image parts carry the same
   // per-column blooms as batch appends
   private val bloomCols: Seq[String] = ManifestSink.bloomCols(conf.value, path)
+  private val bloomBitsN: Int = ManifestSink.bloomBits(conf.value, path)
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new ManifestDeltaWriter(path, schema, token, partitionId, taskId, conf,
-      guardSlots, bloomCols)
+      guardSlots, bloomCols, bloomBitsN)
 }
 
 /** Executor-side delta writer: deletes accumulate into per-part
@@ -182,7 +183,8 @@ private[sources] class ManifestDeltaWriter(
     dir: String, schema: StructType, token: String,
     partitionId: Int, taskId: Long, conf: SerializableConfiguration,
     guardSlots: Array[Int] = Array.empty,
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil,
+    bloomBits: Int = PartBloom.MaxBits)
     extends DeltaWriter[InternalRow] {
 
   private val bitmaps = mutable.Map.empty[String, mutable.ArrayBuffer[Long]]
@@ -224,7 +226,7 @@ private[sources] class ManifestDeltaWriter(
     if (inserts == null)
       inserts = new ManifestDataWriter(
         dir, schema, s"$token-d", partitionId, taskId, conf.value,
-        bloomCols = bloomCols)
+        bloomCols = bloomCols, bloomBits = bloomBits)
     inserts.write(row)
   }
 

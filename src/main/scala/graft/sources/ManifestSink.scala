@@ -107,6 +107,9 @@ private[sources] object PartBloom {
   private def hash(key: Long, i: Int): Long = mix(key + i * 0xc2b2ae3d27d4eb4fL)
 
   def newBits(): Array[Long] = new Array[Long](MaxBits / 64)
+  /** Power-of-two sized allocation for declared-size secondary
+    * blooms; shrinkFor folds down from whatever was allocated. */
+  def newBits(bits: Int): Array[Long] = new Array[Long](bits / 64)
 
   def add(bits: Array[Long], key: Long): Unit = {
     val nbits = bits.length * 64
@@ -147,9 +150,11 @@ private[sources] object PartBloom {
     true
   }
 
-  /** Fold to the commit-time target size for `rows` keys. */
+  /** Fold to the commit-time target size for `rows` keys — capped at
+    * whatever was ALLOCATED (so declared-size secondary blooms keep
+    * their larger width when the key count warrants it). */
   def shrinkFor(bits: Array[Long], rows: Long): Array[Long] = {
-    val want = math.min(MaxBits.toLong,
+    val want = math.min((bits.length * 64).toLong,
       math.max(MinBits.toLong, java.lang.Long.highestOneBit(
         math.max(1L, 10L * rows - 1)) * 2)).toInt
     var cur = bits
@@ -682,6 +687,23 @@ object ManifestSink {
       dir: String): Seq[String] =
     readTableProps(conf, dir).get(BloomColsProp).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).take(4)
+
+  /** Optional secondary-bloom SIZE knob (`graft.bloom_bits`, bits,
+    * clamped to [2^10, 2^20], default = the key bloom's 2^16 cap).
+    * The filter is INLINE on the manifest line, so size is a direct
+    * manifest-weight tradeoff: at 2^16 bits a part with ~12k distinct
+    * values already runs ~8% false-positive (saturating toward
+    * admit-all — sound, never wrong, just prunes less); tables whose
+    * parts carry high-cardinality bloom columns declare a larger
+    * filter knowingly (2^18 ≈ 64 KB hex per part per column). */
+  private[sources] val BloomBitsProp = "graft.bloom_bits"
+  private[sources] def bloomBits(conf: Configuration, dir: String): Int = {
+    val v = readTableProps(conf, dir).get(BloomBitsProp)
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .getOrElse(PartBloom.MaxBits)
+    val clamped = math.max(PartBloom.MinBits, math.min(1 << 20, v))
+    java.lang.Integer.highestOneBit(clamped) // power of two (mask math)
+  }
 
   /** ANALYZE-collected TABLE-LEVEL NDV per tracked column
     * (`graft.ndv` property, `urlenc(col):ndv;…`): what Spark's CBO
@@ -1843,19 +1865,20 @@ private[sources] class ManifestWriterFactory(
   // sidecar per task. Capped at 4 columns: each bloom costs up to
   // 8 KB of manifest line per part, the same budget as the key bloom.
   private val bloomCols: Seq[String] = ManifestSink.bloomCols(conf.value, path)
+  private val bloomBitsN: Int = ManifestSink.bloomBits(conf.value, path)
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     buckets match {
       case Some(n) =>
         new BucketedManifestWriter(path, schema, token, partitionId, taskId,
-          conf.value, n, bloomCols)
+          conf.value, n, bloomCols, bloomBitsN)
       case None => splitBy match {
         case Some(c) =>
           new SplitManifestWriter(path, schema, token, partitionId, taskId,
-            conf.value, c, bloomCols)
+            conf.value, c, bloomCols, bloomBitsN)
         case None =>
           new ManifestDataWriter(path, schema, token, partitionId, taskId,
-            conf.value, bloomCols = bloomCols)
+            conf.value, bloomCols = bloomCols, bloomBits = bloomBitsN)
       }
     }
 }
@@ -1872,7 +1895,7 @@ private[sources] class ManifestWriterFactory(
 private[sources] class BucketedManifestWriter(
     dir: String, schema: StructType, token: String,
     partitionId: Int, taskId: Long, conf: Configuration, n: Int,
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil, bloomBits: Int = PartBloom.MaxBits)
     extends DataWriter[InternalRow] {
 
   private val keyIdx = schema.fields.indexWhere(_.dataType == LongType)
@@ -1883,7 +1906,8 @@ private[sources] class BucketedManifestWriter(
     var w = writers.get(b)
     if (w == null) {
       w = new ManifestDataWriter(dir, schema, token, partitionId, taskId,
-        conf, suffix = s"-b$b", bloomCols = bloomCols)
+        conf, suffix = s"-b$b", bloomCols = bloomCols,
+        bloomBits = bloomBits)
       writers.put(b, w)
     }
     w
@@ -1933,7 +1957,7 @@ private[sources] class BucketedManifestWriter(
 private[sources] class SplitManifestWriter(
     dir: String, schema: StructType, token: String,
     partitionId: Int, taskId: Long, conf: Configuration, splitCol: String,
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil, bloomBits: Int = PartBloom.MaxBits)
     extends DataWriter[InternalRow] {
 
   private val MaxValuesPerTask = 512
@@ -1951,7 +1975,8 @@ private[sources] class SplitManifestWriter(
           "values in one write task — identity partitioning needs a " +
           "low-cardinality column (bucket or cluster high-cardinality ones)")
       w = new ManifestDataWriter(dir, schema, token, partitionId, taskId,
-        conf, suffix = s"-v${writers.size()}", bloomCols = bloomCols)
+        conf, suffix = s"-v${writers.size()}", bloomCols = bloomCols,
+        bloomBits = bloomBits)
       writers.put(v, w)
     }
     w
@@ -1989,7 +2014,8 @@ private[sources] class SplitManifestWriter(
 private[sources] class ManifestDataWriter(
     dir: String, schema: StructType, token: String,
     partitionId: Int, taskId: Long, conf: Configuration,
-    suffix: String = "", bloomCols: Seq[String] = Nil)
+    suffix: String = "", bloomCols: Seq[String] = Nil,
+    bloomBits: Int = PartBloom.MaxBits)
     extends DataWriter[InternalRow] {
 
   private val file =
@@ -2058,7 +2084,7 @@ private[sources] class ManifestDataWriter(
         f.dataType == org.apache.spark.sql.types.StringType))
     .filter(_ >= 0).toArray
   private val colBlooms: Array[Array[Long]] =
-    Array.fill(bloomStrIdx.length)(PartBloom.newBits())
+    Array.fill(bloomStrIdx.length)(PartBloom.newBits(bloomBits))
 
   /** Row-level rewrites deliver (metadata, row) pairs; the manifest
     * writer needs no per-row metadata (the rewrite's replaced-part

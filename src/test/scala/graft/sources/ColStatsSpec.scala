@@ -71,6 +71,31 @@ class ColStatsSpec extends graft.SparkSpec {
       "c=l:1:9:2")
   }
 
+  test("graft.bloom_bits sizes the secondary filter: a declared 2^18 " +
+    "filter keeps its width where the default 2^16 saturates") {
+    import spark.implicits._
+    def bloomHexLen(dir: String, extraProps: Map[String, String]): Int = {
+      ManifestSink.writeTableProps(conf, dir,
+        Map("graft.bloom_cols" -> "u") ++ extraProps)
+      (0L until 20000L).map(i => (i, s"u$i")).toDF("k", "u")
+        .coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", dir).option("history", "true")
+        .mode("overwrite").save()
+      ManifestSink.readManifestMeta(conf, dir, None)
+        .head.cstats("u").bloom.length
+    }
+    val small = bloomHexLen(
+      Files.createTempDirectory("graft-bbits-a").toString, Map.empty)
+    val big = bloomHexLen(
+      Files.createTempDirectory("graft-bbits-b").toString,
+      Map("graft.bloom_bits" -> "262144"))
+    // 20k distinct values want ~200k bits: the default allocation
+    // caps at 2^16 (16384 hex chars), the declared one keeps 2^18
+    assert(small === PartBloom.MaxBits / 4, s"default width, got $small")
+    assert(big === 262144 / 4, s"declared width, got $big")
+  }
+
   test("secondary-column bloom: point lookup prunes parts the range " +
     "admits; absent value prunes everything; missing bloom never prunes") {
     val dir = Files.createTempDirectory("graft-cbloom").toString
