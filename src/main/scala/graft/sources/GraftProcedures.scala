@@ -133,8 +133,9 @@ private[sources] final class CompactProcedure(warehouse: String)
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("table", StringType)
       .comment("table identifier relative to the catalog warehouse").build(),
-    ProcedureParameter.in("target_parts", IntegerType)
-      .comment("number of part files after the rewrite").build(),
+    ProcedureParameter.in("target_parts", IntegerType).defaultValue("0")
+      .comment("number of part files after the rewrite (set exactly " +
+        "one of target_parts / target_bytes)").build(),
     ProcedureParameter.in("cluster_by", StringType).defaultValue("''")
       .comment("range-cluster column; '' = hash distribution").build(),
     ProcedureParameter.in("zorder", StringType).defaultValue("''")
@@ -145,7 +146,13 @@ private[sources] final class CompactProcedure(warehouse: String)
     ProcedureParameter.in("split_value", StringType).defaultValue("''")
       .comment("identity-partitioned tables only: rewrite ONLY this " +
         "partition's parts (Delta OPTIMIZE WHERE) — every other part " +
-        "carries by reference").build())
+        "carries by reference").build(),
+    ProcedureParameter.in("target_bytes", LongType).defaultValue("0")
+      .comment("size-targeted alternative to target_parts (how real " +
+        "OPTIMIZE is sized): part count derived as " +
+        "ceil(committed physical bytes / target_bytes) from the head " +
+        "manifest's per-part byte stats — O(parts) driver metadata, " +
+        "no file listing").build())
 
   override def outputSchema: StructType = StructType(Seq(
     StructField("parts_before", IntegerType, nullable = false),
@@ -165,8 +172,23 @@ private[sources] final class CompactProcedure(warehouse: String)
     val splitValue =
       if (input.isNullAt(4)) None
       else Some(input.getUTF8String(4).toString).filter(_.nonEmpty)
+    val targetBytes = if (input.isNullAt(5)) 0L else input.getLong(5)
+    require((targetParts > 0) != (targetBytes > 0),
+      "compact: set exactly one of target_parts / target_bytes")
+    val resolved =
+      if (targetParts > 0) targetParts
+      else {
+        // derive the file count from the HEAD's committed byte stats
+        // (legacy parts without a bytes field contribute 0 — the
+        // derived count only shrinks, never inflates)
+        val head = ManifestSink.readManifestMeta(
+          ManifestSink.driverConf(), dir, None)
+        val total = head.map(p => math.max(0L, p.bytes)).sum
+        math.min(Int.MaxValue.toLong,
+          math.max(1L, (total + targetBytes - 1) / targetBytes)).toInt
+      }
     val stats = ManifestMaintenance.compactFiles(
-      SparkSession.active, dir, targetParts, clusterBy, zorder,
+      SparkSession.active, dir, resolved, clusterBy, zorder,
       splitValue)
     result(stats.partsBefore, stats.partsAfter, stats.version)
   }

@@ -84,6 +84,32 @@ class ProcedureSpec extends graft.SparkSpec {
       .head.getLong(0) === 1000L)
   }
 
+  test("compact target_bytes: file count derived from committed byte " +
+    "stats; exactly-one-target enforced") {
+    val t = writeTable("cmpsz", 1000L, 8)
+    // derive the target from the head's own byte stats: asking for
+    // half the total per file must resolve to 2 files
+    val total = ManifestSink.readManifestMeta(conf, t, None)
+      .map(_.bytes).sum
+    assert(total > 0L, "fixture parts must carry byte stats")
+    val r = spark.sql("CALL gps.system.compact(table => 'ns.cmpsz', " +
+      s"target_bytes => ${(total + 1) / 2})").collect().head
+    assert(r.getAs[Int]("parts_before") === 8)
+    assert(r.getAs[Int]("parts_after") === 2)
+    assert(spark.sql("SELECT count(*) FROM gps.ns.cmpsz").head.getLong(0)
+      === 1000L)
+    // both targets, and neither, refuse loudly
+    val both = intercept[Exception] {
+      spark.sql("CALL gps.system.compact(table => 'ns.cmpsz', " +
+        "target_parts => 2, target_bytes => 1000)")
+    }
+    assert(both.getMessage.contains("exactly one"))
+    val neither = intercept[Exception] {
+      spark.sql("CALL gps.system.compact(table => 'ns.cmpsz')")
+    }
+    assert(neither.getMessage.contains("exactly one"))
+  }
+
   test("compact default cluster_by: positional args, hash layout") {
     writeTable("cmp2", 400L, 16)
     val r = spark.sql("CALL gps.system.compact('ns.cmp2', 4)").collect().head
