@@ -14,7 +14,7 @@ object SparkEntry {
       CorpusOps.all ++ ProfileOps.all ++ streaming.Streams.all ++
       Extras.all ++ Scale.all ++ StatsOps.all ++ GraphOps.all ++
       Warehouse.all ++ MiningOps.all ++ OlapOps.all ++ CurateOps.all ++
-      VisionOps.all ++ SqlOps4.all ++ SqlDefOps.all ++ ProbeOps.all ++ Seq(
+      VisionOps.all ++ SqlOps4.all ++ SqlDefOps.all ++ Seq(
     // Model-scoring head chain (S4/F2): trains + scores MLlib heads —
     // not ANSI-SQL-expressible, so no oracle; MlSpec pins semantics.
     QueryDef("q_model_score", (s, d) => graft.ml.Scoring.scoreAndEstimate(s, d), None),

@@ -233,25 +233,25 @@ FROM orders""")),
           .createOrReplaceTempView("graft_lca_orders")
         spark.sql("""
           SELECT o_orderkey,
-                 CAST(o_totalprice AS DECIMAL(30,2)) AS price,
-                 CAST(price * 2 AS DECIMAL(30,2)) AS gross,
-                 CAST(gross + 1 AS DECIMAL(30,2)) AS gross1
+                 CAST(o_totalprice AS DOUBLE) AS price,
+                 price * 2 AS gross,
+                 gross + 1 AS gross1
           FROM graft_lca_orders
           ORDER BY o_orderkey""")
       },
-      // Result widths pinned to DECIMAL(30,2) in BOTH texts: the
-      // driver-side hash canonicalizes precision-18 decimals (the
-      // int64-backed decimal width) differently from both engines'
-      // value semantics (r15+r16 evidence: the ONLY two hash failures
-      // on a 299-query board were the only two precision-18 outputs;
-      // widths 20..38 all hash green). Values are identical either
-      // way — (30,2) holds every (18,2) value exactly. The
+      // DOUBLE outputs, per the repo-wide output contract (no
+      // DecimalType output columns — the driver hash renders a
+      // decimal's fixed-scale string on one side and its shortest
+      // float repr on the other, so any trailing-zero value diverges;
+      // r17 probes proved width is irrelevant). o_totalprice is a
+      // parquet double, *2 and +1 are exact IEEE ops at this
+      // magnitude, so both engines emit bit-identical doubles. The
       // lateral-alias chain itself (gross referencing price, gross1
       // referencing gross) is intact and is what this query gates.
       Some("""SELECT o_orderkey,
-  CAST(o_totalprice AS DECIMAL(30,2)) AS price,
-  CAST(price * 2 AS DECIMAL(30,2)) AS gross,
-  CAST(gross + 1 AS DECIMAL(30,2)) AS gross1
+  CAST(o_totalprice AS DOUBLE) AS price,
+  price * 2 AS gross,
+  gross + 1 AS gross1
 FROM orders ORDER BY o_orderkey""")),
 
     // --- XML FUNCTIONS (from_xml + the Hive xpath_* family, both
@@ -292,11 +292,13 @@ FROM orders ORDER BY o_orderkey""")),
             col("event_id"),
             col("e.t").as("t"),
             col("e.u").as("u"),
-            // Output width (30,6), not the struct's (18,6): the
-            // driver hash disagrees with both engines on precision-18
-            // decimal outputs (see q_lateral_alias note); the wire
+            // Output as DOUBLE via the decimal's string rendering
+            // (the repo's Exact.decSumSql convention): the output
+            // contract bans DecimalType output columns (driver hash
+            // floats decimals on one side — every trailing-zero
+            // value diverges at any width, r17 probes). The wire
             // transport inside the XML stays (18,6) strings.
-            col("e.v").cast("decimal(30,6)").as("v"),
+            col("e.v").cast("string").cast("double").as("v"),
             when(sampled, expr("xpath_string(x, '/e/t')")).as("xp_t"),
             when(sampled, expr("xpath_long(x, '/e/u')")).as("xp_u"),
             when(sampled,
@@ -305,7 +307,8 @@ FROM orders ORDER BY o_orderkey""")),
           .orderBy(col("event_id"))
       },
       Some("""SELECT event_id,
-  event_type AS t, user_id AS u, CAST(value AS DECIMAL(30,6)) AS v,
+  event_type AS t, user_id AS u,
+  CAST(CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) AS DOUBLE) AS v,
   CASE WHEN event_id % 50 = 0 THEN event_type END AS xp_t,
   CASE WHEN event_id % 50 = 0 THEN user_id END AS xp_u,
   CASE WHEN event_id % 50 = 0 THEN CAST(3 AS INT) END AS n_children

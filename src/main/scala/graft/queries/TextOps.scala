@@ -64,6 +64,28 @@ object TextOps {
     "de" -> Seq("table", "hash"),
     "zh" -> Seq("batch", "merge"))
 
+  /** Sum of `partsSkipped` over every ManifestSource scan in an
+    * EXECUTED plan. An aggregate puts an exchange in the plan, so AQE
+    * wraps it: the final plan hangs off the adaptive root, and a
+    * materialized stage's subtree hangs off QueryStageExec.plan
+    * (children = Nil) — plain collect() misses both indirections. */
+  private def partsSkippedOf(df: org.apache.spark.sql.DataFrame): Long = {
+    def scansOf(plan: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      plan match {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive
+          .QueryStageExec => scansOf(s.plan)
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => Seq(b)
+        case other => other.children.flatMap(scansOf)
+      }
+    scansOf(df.queryExecution.executedPlan)
+      .map(_.metrics.get("partsSkipped").map(_.value).getOrElse(0L))
+      .sum
+  }
+
   /** DuckDB twin of [[bm25Top]]: CTE chain ending in `cand` =
     * the top-20 `(doc_id, dl, f0, f1, f2, score)` candidates. */
   private val Bm25CoreSql: String = """base AS (
@@ -808,25 +830,7 @@ FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 30""")),
           .orderBy(col("score").desc, col("doc_id")).limit(20)
         val probe = served()
         probe.collect() // driver metrics populate on execution
-        // the aggregate puts an exchange in the plan, so AQE wraps it:
-        // the scan lives under the adaptive plan's final physical plan
-        // plain collect() misses both indirections: AQE's final plan
-        // hangs off the adaptive root, and a materialized stage's
-        // subtree hangs off QueryStageExec.plan (children = Nil)
-        def scansOf(plan: org.apache.spark.sql.execution.SparkPlan)
-            : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
-          plan match {
-            case a: org.apache.spark.sql.execution.adaptive
-              .AdaptiveSparkPlanExec => scansOf(a.executedPlan)
-            case s: org.apache.spark.sql.execution.adaptive
-              .QueryStageExec => scansOf(s.plan)
-            case b: org.apache.spark.sql.execution.datasources.v2
-              .BatchScanExec => Seq(b)
-            case other => other.children.flatMap(scansOf)
-          }
-        val skipped = scansOf(probe.queryExecution.executedPlan)
-          .map(_.metrics.get("partsSkipped").map(_.value).getOrElse(0L))
-          .sum
+        val skipped = partsSkippedOf(probe)
         served()
           .withColumn("index_pruned", lit(skipped > 0))
           .withColumn("base_snapshot_intact", lit(baseIntact))
@@ -842,6 +846,193 @@ SELECT doc_id, tf_spark, tf_table, tf_spark + tf_table AS score,
   true AS index_pruned, true AS base_snapshot_intact
 FROM f WHERE tf_spark > 0 AND tf_table > 0
 ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // --- BM25 SERVED FROM THE COMMITTED INDEX (q_text_index_serve's
+    // lifecycle completed into real retrieval — r17 VERDICT item 3):
+    // the query NEVER rescans the corpus. The index is TWO committed
+    // ManifestSink tables — postings (term_hash, tok, doc_id, tf)
+    // range-laid on term hash, and doclen (doc_id, dl) — both built
+    // over a base slice and maintained INCREMENTALLY (the delta
+    // appends only ITS OWN postings/lengths; committed parts carry by
+    // reference). At serve time:
+    //  * corpus stats (N, Σdl → avgdl) answer METADATA-ONLY from the
+    //    doclen manifest (per-part row counts + recorded column sums,
+    //    the q_agg_pushdown path) — gated via `stats_meta_only`;
+    //  * the 3 query terms reach the postings scan as key-point IN
+    //    pruning (range + bloom admit O(terms) parts; `index_pruned`
+    //    gates it live from partsSkipped);
+    //  * per-term df folds over the opened postings (df = posting
+    //    count — exact, since (term, doc) rows are unique);
+    //  * candidates (every doc holding ≥1 term — the only docs whose
+    //    BM25 score can be nonzero) BROADCAST onto the doclen scan
+    //    for their dl, so the big side never shuffles.
+    // Scoring is bit-identical to q_bm25 (same expression tree, same
+    // rational-idf surrogate); `agrees_bm25` gates rank agreement
+    // with the corpus-side q_bm25 on the shared fixture. At 100 TB a
+    // retrieval query therefore opens O(terms) posting parts + one
+    // manifest header — cost scales with the QUERY, not the corpus.
+    QueryDef("q_bm25_idx",
+      (spark, dir) => {
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest((dir + "#bm25idx").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val root = s"${spark.conf.get("spark.sql.warehouse.dir")}" +
+          s"/graft-bm25-idx/$key"
+        val rp = new org.apache.hadoop.fs.Path(root)
+        val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(rp)) fs.delete(rp, true) // idempotent reruns
+        val pT = s"$root/postings"
+        val dT = s"$root/doclen"
+        def postings(slice: org.apache.spark.sql.DataFrame) = slice
+          .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .groupBy(col("tok"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"))
+          .select(xxhash64(col("tok")).as("term_hash"), col("tok"),
+            col("doc_id"), col("tf"))
+        // dl = ALL whitespace tokens (q_bm25's definition), not just
+        // the non-empty ones the postings index
+        def doclen(slice: org.apache.spark.sql.DataFrame) = slice
+          .select(col("doc_id"), size(toks(col("text"))).cast("long").as("dl"))
+        val docs = Tables.documents(spark, dir)
+        val base = docs.filter(col("doc_id") % 5 =!= 0)
+        val delta = docs.filter(col("doc_id") % 5 === 0)
+        postings(base)
+          .repartitionByRange(4, col("term_hash"), col("doc_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", pT).option("history", "true")
+          .mode("overwrite").save()
+        doclen(base).repartitionByRange(4, col("doc_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", dT).option("history", "true")
+          .mode("overwrite").save()
+        // incremental maintenance: delta-only postings + lengths
+        postings(delta)
+          .repartitionByRange(2, col("term_hash"), col("doc_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", pT).option("history", "true")
+          .mode("append").save()
+        doclen(delta).repartitionByRange(2, col("doc_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", dT).option("history", "true")
+          .mode("append").save()
+        // corpus stats FROM INDEX METADATA: one summary row off the
+        // doclen manifest (rows + per-part dl sums), no data scan
+        val statsAgg = spark.read
+          .format("graft.sources.ManifestSource").option("path", dT).load()
+          .agg(count(lit(1)).as("n_docs_l"), sum(col("dl")).as("sum_dl_l"))
+        val statsMetaOnly = {
+          val sp = statsAgg.queryExecution.sparkPlan
+          val summaryParts = sp.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => b.inputPartitions.length
+          }.getOrElse(-1)
+          summaryParts == 1 && !sp.toString.contains("Aggregate")
+        }
+        val st = statsAgg.head()
+        val nDocs = lit(st.getLong(0).toDouble)
+        val sumDl = lit(st.getLong(1).toDouble)
+        val terms = Seq("spark", "table", "query")
+        val hr = spark.range(1)
+          .select(terms.map(t => xxhash64(lit(t)).as(t)): _*).head()
+        val hashes = terms.indices.map(i => hr.getLong(i))
+        // postings for the query's terms: hash points prune parts,
+        // tok equality stays as the residual against hash collisions
+        def termPostings() = spark.read
+          .format("graft.sources.ManifestSource").option("path", pT).load()
+          .filter(col("term_hash").isin(hashes: _*) &&
+            col("tok").isin(terms: _*))
+        def pivot(p: org.apache.spark.sql.DataFrame) = p
+          .groupBy(col("doc_id"))
+          .agg(terms.zipWithIndex.map { case (t, i) =>
+            sum(when(col("tok") === t, col("tf")).otherwise(0L))
+              .as(s"f${i}l")
+          }.head, terms.zipWithIndex.tail.map { case (t, i) =>
+            sum(when(col("tok") === t, col("tf")).otherwise(0L))
+              .as(s"f${i}l")
+          }: _*)
+        // prune gate on a probe execution (collect populates metrics)
+        val probe = pivot(termPostings())
+        probe.collect()
+        val skipped = partsSkippedOf(probe)
+        // df per term folds over the SAME opened postings (exact:
+        // one (term, doc) row per containing doc)
+        val dfRow = pivot(termPostings())
+          .agg(terms.indices.map(i =>
+            sum((col(s"f${i}l") > 0).cast("long")).as(s"df$i")).head,
+            terms.indices.tail.map(i =>
+              sum((col(s"f${i}l") > 0).cast("long")).as(s"df$i")): _*)
+          .head()
+        val dfs = terms.indices.map(i => lit(dfRow.getLong(i).toDouble))
+        // candidates broadcast onto the doclen scan for their dl;
+        // score = q_bm25's expression tree verbatim
+        val cand = spark.read
+          .format("graft.sources.ManifestSource").option("path", dT).load()
+          .join(broadcast(pivot(termPostings())), "doc_id")
+          .select(col("doc_id") +: col("dl").cast("double").as("dld") +:
+            terms.indices.map(i =>
+              col(s"f${i}l").cast("double").as(s"f$i")): _*)
+        val scored = cand.withColumn("score", terms.indices.map { i =>
+          val idf = (nDocs - dfs(i) + lit(0.5)) / (dfs(i) + lit(0.5))
+          val norm = col(s"f$i") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dld") / (sumDl / nDocs)))
+          when(col(s"f$i") > 0, idf * ((col(s"f$i") * lit(2.2)) / norm))
+            .otherwise(lit(0.0))
+        }.reduce(_ + _))
+          .select(col("doc_id"), col("dld").cast("bigint").as("dl"),
+            col("f0").cast("bigint").as("f0"),
+            col("f1").cast("bigint").as("f1"),
+            col("f2").cast("bigint").as("f2"), col("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+        // rank agreement with the corpus-side q_bm25 (zero-score docs
+        // can pad its top-20 when candidates run short; drop them —
+        // the index provably cannot see score-0 docs)
+        val ours = scored.select("doc_id").collect().map(_.getLong(0)).toSeq
+        val ref = bm25Top(spark, dir).filter(col("score") > 0)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        val agrees = ours == ref.take(ours.length) &&
+          ours.length == math.min(20, ref.length)
+        scored
+          .withColumn("index_pruned", lit(skipped > 0))
+          .withColumn("stats_meta_only", lit(statsMetaOnly))
+          .withColumn("agrees_bm25", lit(agrees))
+      },
+      Some("""WITH base AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+    CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+      AS DOUBLE) AS f0,
+    CAST(len(list_filter(string_split(text, ' '), x -> x = 'table'))
+      AS DOUBLE) AS f1,
+    CAST(len(list_filter(string_split(text, ' '), x -> x = 'query'))
+      AS DOUBLE) AS f2
+  FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+    CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) AS sum_dl,
+    CAST(sum(CASE WHEN f0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+    CAST(sum(CASE WHEN f1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+    CAST(sum(CASE WHEN f2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+  FROM base),
+cand AS (
+  SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+    CAST(f0 AS BIGINT) AS f0, CAST(f1 AS BIGINT) AS f1,
+    CAST(f2 AS BIGINT) AS f2,
+    (CASE WHEN f0 > 0 THEN ((n_docs - df0 + 0.5) / (df0 + 0.5))
+      * ((f0 * 2.2) / (f0 + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs)))))
+      ELSE 0.0 END
+    + CASE WHEN f1 > 0 THEN ((n_docs - df1 + 0.5) / (df1 + 0.5))
+      * ((f1 * 2.2) / (f1 + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs)))))
+      ELSE 0.0 END)
+    + CASE WHEN f2 > 0 THEN ((n_docs - df2 + 0.5) / (df2 + 0.5))
+      * ((f2 * 2.2) / (f2 + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n_docs)))))
+      ELSE 0.0 END AS score
+  FROM base, stats
+  WHERE f0 + f1 + f2 > 0
+  ORDER BY score DESC, doc_id LIMIT 20)
+SELECT doc_id, dl, f0, f1, f2, score,
+  true AS index_pruned, true AS stats_meta_only, true AS agrees_bm25
+FROM cand ORDER BY score DESC, doc_id""")),
   )
 
   /** BM25 top-20 for the fixed 3-term query — shared by q_bm25 (the

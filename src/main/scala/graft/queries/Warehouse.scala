@@ -3477,9 +3477,14 @@ WHERE event_id <= (SELECT max(event_id) // 4 FROM events)
         val nPre = spark.sql(
           "SELECT count(*) FROM graftct.wh.ev_t VERSION AS OF 1")
           .head.getLong(0)
+        // total_value rides the table's exact DECIMAL(38,2) sum but is
+        // emitted as DOUBLE via its string rendering: the output
+        // contract bans DecimalType output columns (driver-hash
+        // trailing-zero divergence — see OutputContractSpec).
         spark.sql("SELECT count(*) AS n_groups, " +
             "CAST(sum(n) AS BIGINT) AS sum_n, " +
-            "CAST(sum(sum_value) AS DECIMAL(38,2)) AS total_value " +
+            "CAST(CAST(CAST(sum(sum_value) AS DECIMAL(38,2)) AS STRING) " +
+            "AS DOUBLE) AS total_value " +
             "FROM graftct.wh.ev_t")
           .withColumn("n_ctas", lit(nCtas))
           .withColumn("v_ctas", lit(vCtas))
@@ -3489,7 +3494,8 @@ WHERE event_id <= (SELECT max(event_id) // 4 FROM events)
   (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM events)
     AS n_groups,
   CAST(count(*) AS BIGINT) AS sum_n,
-  CAST(sum(CAST(value AS DECIMAL(30,2))) AS DECIMAL(38,2)) AS total_value,
+  CAST(CAST(CAST(sum(CAST(value AS DECIMAL(30,2))) AS DECIMAL(38,2))
+    AS VARCHAR) AS DOUBLE) AS total_value,
   (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 2 = 0)
     AS n_ctas,
   CAST(1 AS BIGINT) AS v_ctas,
@@ -4303,5 +4309,169 @@ FROM (VALUES
   ('release-1', 'tag', CAST(1 AS INT)))
   AS r(name, type, version)
 ORDER BY type, name""")),
+
+    // --- MULTI-TABLE ATOMIC COMMIT (sources/ManifestTxn — the
+    // Nessie / catalog-transaction shape, r17 VERDICT item 5): a
+    // bronze→silver pipeline stages BOTH target tables on the shared
+    // `txn-<id>` branch (main untouched — ordinary WAP invisibility),
+    // then `CALL txn_commit` publishes them as ONE transaction: every
+    // table verified + ONE atomic marker (the commit point) + per-
+    // table roll-forward labeled `txn:<id>`. The gate drives the
+    // failure contract live: a SECOND txn declaring a table with
+    // nothing staged aborts BEFORE the commit point and NEITHER table
+    // advances (versions re-read, rides the output), while the
+    // committed txn shows exactly ONE epoch boundary on both
+    // histories (op-labeled, counted from `.history`). All metadata:
+    // publish cost is O(tables + parts) manifest work at any size —
+    // the multi-table pipeline stops being N independently-failing
+    // commits. TxnSpec pins crash recovery (marker → roll-forward
+    // idempotence) and the foreign-commit refusals.
+    QueryDef("q_txn_multi",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "txnmulti")
+        spark.conf.set("spark.sql.catalog.gtxn",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.gtxn.warehouse", wh)
+        val ev = Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val ta = s"$wh/ns/bronze"
+        val tb = s"$wh/ns/silver"
+        writeHistory(ev.filter(col("event_id") % 2 === 0), ta, "overwrite")
+        writeHistory(ev.filter(col("event_id") % 3 === 0)
+          .select(col("event_id"), col("value")), tb, "overwrite")
+        def stage(df: DataFrame, t: String,
+            branch: String = "txn-epoch7"): Unit = df.repartition(2)
+          .write.format("graft.sources.ManifestSink")
+          .option("path", t).option("history", "true")
+          .option("branch", branch).mode("append").save()
+        stage(ev.filter(col("event_id") % 2 =!= 0), ta)
+        stage(ev.filter(col("event_id") % 3 =!= 0)
+          .select(col("event_id"), col("value")), tb)
+        val nPub = spark.sql("CALL gtxn.system.txn_commit(id => " +
+          "'epoch7', tables => 'ns.bronze,ns.silver')").head.getInt(0)
+        // one epoch boundary on BOTH histories: exactly one version
+        // carries the txn label, and it is the head
+        def txnVersions(t: String): Long = spark.sql(
+          s"SELECT count(*) FROM gtxn.ns.$t.history " +
+            "WHERE operation = 'txn:epoch7'").head.getLong(0)
+        def headVer(t: String): Long = spark.sql(
+          s"SELECT max(version) FROM gtxn.ns.$t.history").head.getInt(0)
+        val vA = headVer("bronze"); val vB = headVer("silver")
+        // failed txn: bronze staged, silver declared but NOT staged →
+        // abort BEFORE the commit point; neither table may advance
+        stage(ev.filter(col("event_id") % 100 === 0), ta, "txn-epoch8")
+        val failedCleanly = try {
+          spark.sql("CALL gtxn.system.txn_commit(id => 'epoch8', " +
+            "tables => 'ns.bronze,ns.silver')")
+          false
+        } catch { case e: Throwable =>
+          e.getMessage != null && e.getMessage.contains("no staged commits")
+        }
+        val unadvanced = headVer("bronze") == vA && headVer("silver") == vB
+        spark.sql("SELECT count(*) AS n_bronze, " +
+          "CAST(sum(CAST(value AS DECIMAL(30,6))) AS STRING) " +
+          "AS _sb FROM gtxn.ns.bronze")
+          .select(col("n_bronze"), col("_sb").cast("double").as("sum_bronze"))
+          .crossJoin(spark.sql(
+            "SELECT count(*) AS n_silver FROM gtxn.ns.silver"))
+          .withColumn("tables_published", lit(nPub))
+          .withColumn("txn_epochs_bronze", lit(txnVersions("bronze")))
+          .withColumn("txn_epochs_silver", lit(txnVersions("silver")))
+          .withColumn("failed_txn_aborted_clean", lit(failedCleanly))
+          .withColumn("failed_txn_advanced_nothing", lit(unadvanced))
+      },
+      Some(s"""SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_bronze,
+  (SELECT ${graft.functions.Exact.decSumSql("value", 6)} FROM events)
+    AS sum_bronze,
+  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_silver,
+  CAST(2 AS INT) AS tables_published,
+  CAST(1 AS BIGINT) AS txn_epochs_bronze,
+  CAST(1 AS BIGINT) AS txn_epochs_silver,
+  true AS failed_txn_aborted_clean,
+  true AS failed_txn_advanced_nothing""")),
+
+    // --- JOIN-SHAPED MATERIALIZED VIEW (sources/ManifestMv.createJoin
+    // — r17 VERDICT item 6, the other classic MV): materialize
+    // fact⋈dim GROUP BY <dim attr> (count + exact decimal sum) with
+    // FK-LOCAL incremental refresh — a fact APPEND folds by joining
+    // only the DELTA against the BROADCAST dim pinned at the recorded
+    // dim version (`fk_local_append` gates plus_parts>0 ∧
+    // minus_parts==0 from the CALL's own stats: the fact table was
+    // never rescanned), a fact MOR DELETE restates exactly the
+    // re-vectored parts through the same join, and the routed query
+    // (`graft.mv.rewrite`) loses BOTH its Join and its Aggregate —
+    // `routed` gates the optimized plan reading the MV relation
+    // instead (exactness conditions: both sides' snapshot versions
+    // equal the recorded watermark pair and the equi-join columns
+    // match; anything else declines to the live join). At 100 TB
+    // this is the star-schema dashboard MV: dim is MBs (broadcast),
+    // fact is the 100 TB side, maintenance is O(fact delta), and the
+    // routed dashboard reads O(groups) rows. MvRewriteSpec pins the
+    // decline ladder (stale fact, moved dim, wrong join columns).
+    QueryDef("q_mv_join",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "mvjoin")
+        spark.conf.set("spark.sql.catalog.gmvj",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.gmvj.warehouse", wh)
+        val fact = Tables.events(spark, dir)
+          .select(col("event_id"), (col("user_id") % 25).as("fk"),
+            col("value"))
+        val ft = s"$wh/ns/fact"
+        val dt = s"$wh/ns/dim"
+        writeHistory(fact.filter(col("event_id") % 3 =!= 0), ft, "overwrite")
+        writeHistory(Tables.nation(spark, dir)
+          .select(col("n_nationkey").as("dk"), col("n_name").as("grp")),
+          dt, "overwrite", parts = 1)
+        spark.sql("CALL gmvj.system.create_mv(mv_table => 'ns.mv', " +
+          "source_table => 'ns.fact', key_col => 'grp', " +
+          "sum_col => 'value', scale => 6, dim_table => 'ns.dim', " +
+          "fk_col => 'fk', dim_key_col => 'dk')")
+        // fact APPEND → FK-local fold: the delta joins the broadcast
+        // dim; minus side empty proves no restatement of old parts
+        writeHistory(fact.filter(col("event_id") % 3 === 0), ft, "append")
+        val r1 = spark.sql(
+          "CALL gmvj.system.refresh_mv(mv_table => 'ns.mv')").head
+        val fkLocalAppend = r1.getInt(2) > 0 && r1.getInt(3) == 0
+        // fact MOR DELETE → the re-vectored parts restate through the
+        // same join (minus the old state, plus the masked read)
+        spark.conf.set("graft.delete.mode", "mor")
+        try spark.sql(
+          "DELETE FROM gmvj.ns.fact WHERE event_id % 7 = 0 " +
+            "AND value IS NOT NULL")
+        finally spark.conf.unset("graft.delete.mode")
+        val r2 = spark.sql(
+          "CALL gmvj.system.refresh_mv(mv_table => 'ns.mv')").head
+        val deleteRestated = r2.getInt(3) > 0
+        // transparent routing: the join+agg query loses Join AND
+        // Aggregate and reads the MV relation
+        val q = "SELECT grp, count(*) AS n_rows, " +
+          "CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS STRING) " +
+          "AS DOUBLE) AS sum_v " +
+          "FROM gmvj.ns.fact f JOIN gmvj.ns.dim d ON f.fk = d.dk " +
+          "GROUP BY grp"
+        spark.conf.set("graft.mv.rewrite", s"$wh/ns/mv")
+        val (routedDf, routed) = try {
+          val r = spark.sql(q)
+          val plan = r.queryExecution.optimizedPlan
+          (r, !plan.exists(_.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.logical.Join]) &&
+            !plan.exists(_.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.logical.Aggregate]) &&
+            plan.toString.contains("/ns/mv"))
+        } finally spark.conf.unset("graft.mv.rewrite")
+        routedDf
+          .withColumn("routed", lit(routed))
+          .withColumn("fk_local_append", lit(fkLocalAppend))
+          .withColumn("delete_restated", lit(deleteRestated))
+          .orderBy(col("grp"))
+      },
+      Some(s"""SELECT n.n_name AS grp, CAST(count(*) AS BIGINT) AS n_rows,
+  ${graft.functions.Exact.decSumSql("e.value", 6)} AS sum_v,
+  true AS routed, true AS fk_local_append, true AS delete_restated
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+WHERE e.event_id % 7 <> 0
+GROUP BY n.n_name ORDER BY n.n_name""")),
   )
 }

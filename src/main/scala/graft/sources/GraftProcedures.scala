@@ -49,7 +49,7 @@ private[sources] object GraftProcedures {
     "expire_snapshots", "remove_orphan_files", "rollback",
     "fast_forward", "cherrypick_snapshot", "drop_branch",
     "tag", "drop_tag", "create_mv", "refresh_mv", "clone", "analyze",
-    "set_layout")
+    "set_layout", "txn_commit", "txn_recover")
 
   def load(name: String, warehouse: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -70,6 +70,8 @@ private[sources] object GraftProcedures {
       case "create_mv"        => Some(new CreateMvProcedure(warehouse))
       case "refresh_mv"       => Some(new RefreshMvProcedure(warehouse))
       case "clone"            => Some(new CloneProcedure(warehouse))
+      case "txn_commit"       => Some(new TxnCommitProcedure(warehouse))
+      case "txn_recover"      => Some(new TxnRecoverProcedure(warehouse))
       case _                  => None
     }
 }
@@ -210,7 +212,11 @@ private[sources] final class AnalyzeProcedure(warehouse: String)
     ProcedureParameter.in("rebuild_blooms", BooleanType)
       .defaultValue("false")
       .comment("also rebuild per-part key blooms over the visible " +
-        "rows (one extra shuffle of the keys)").build())
+        "rows (one extra shuffle of the keys)").build(),
+    ProcedureParameter.in("histograms", BooleanType)
+      .defaultValue("false")
+      .comment("also collect equi-depth histograms per long column " +
+        "for CBO range selectivity (two extra mergeable passes)").build())
 
   override def outputSchema: StructType = StructType(Seq(
     StructField("parts_analyzed", IntegerType, nullable = false),
@@ -219,8 +225,9 @@ private[sources] final class AnalyzeProcedure(warehouse: String)
   override def call(input: InternalRow): JIterator[Scan] = {
     val dir = tableDir(input.getUTF8String(0).toString)
     val blooms = !input.isNullAt(1) && input.getBoolean(1)
+    val hists = !input.isNullAt(2) && input.getBoolean(2)
     val (n, v) = ManifestMaintenance.analyzeTable(SparkSession.active, dir,
-      rebuildBlooms = blooms)
+      rebuildBlooms = blooms, histograms = hists)
     result(n, v)
   }
 }
@@ -526,7 +533,16 @@ private[sources] final class CreateMvProcedure(warehouse: String)
       .comment("optional BIGINT/STRING column whose per-group " +
         "approx-distinct HLL sketch the MV also maintains (appends " +
         "union-fold; deletes recompute only the affected groups); " +
-        "'' = none").build())
+        "'' = none").build(),
+    ProcedureParameter.in("dim_table", StringType).defaultValue("''")
+      .comment("JOIN-shaped MV: dim table to equi-join the source " +
+        "(fact) against; key_col then names a DIM attribute and the " +
+        "MV materializes fact⋈dim GROUP BY key_col; fact deltas " +
+        "refresh FK-locally against the broadcast dim").build(),
+    ProcedureParameter.in("fk_col", StringType).defaultValue("''")
+      .comment("fact-side equi-join column (join MVs only)").build(),
+    ProcedureParameter.in("dim_key_col", StringType).defaultValue("''")
+      .comment("dim-side equi-join column (join MVs only)").build())
 
   override def outputSchema: StructType = StructType(Seq(
     StructField("source_version", IntegerType, nullable = false),
@@ -539,15 +555,29 @@ private[sources] final class CreateMvProcedure(warehouse: String)
     require(mvRel.nonEmpty, "create_mv: 'mv_table' must be non-empty")
     val mvDir = (warehouse +: mvRel.split('.').toSeq).mkString("/")
     val srcDir = tableDir(input.getUTF8String(1).toString)
-    val mmCol =
-      if (input.isNullAt(5)) None
-      else Some(input.getUTF8String(5).toString).filter(_.nonEmpty)
-    val ndvCol =
-      if (input.numFields < 7 || input.isNullAt(6)) None
-      else Some(input.getUTF8String(6).toString).filter(_.nonEmpty)
-    val (v, groups) = ManifestMv.create(SparkSession.active, mvDir, srcDir,
-      input.getUTF8String(2).toString, input.getUTF8String(3).toString,
-      input.getInt(4), mmCol, ndvCol)
+    def strAt(i: Int): Option[String] =
+      if (input.numFields <= i || input.isNullAt(i)) None
+      else Some(input.getUTF8String(i).toString).filter(_.nonEmpty)
+    val mmCol = strAt(5)
+    val ndvCol = strAt(6)
+    val (v, groups) = strAt(7) match {
+      case Some(dimRel) =>
+        require(mmCol.isEmpty && ndvCol.isEmpty,
+          "create_mv: minmax_col/distinct_col are not supported on " +
+            "join MVs (counts and exact sums only)")
+        val fk = strAt(8).getOrElse(
+          throw new IllegalArgumentException("create_mv: fk_col required"))
+        val dimKey = strAt(9).getOrElse(throw
+          new IllegalArgumentException("create_mv: dim_key_col required"))
+        ManifestMv.createJoin(SparkSession.active, mvDir, srcDir,
+          tableDir(dimRel), fk, dimKey,
+          input.getUTF8String(2).toString, input.getUTF8String(3).toString,
+          input.getInt(4))
+      case None =>
+        ManifestMv.create(SparkSession.active, mvDir, srcDir,
+          input.getUTF8String(2).toString, input.getUTF8String(3).toString,
+          input.getInt(4), mmCol, ndvCol)
+    }
     result(v, groups)
   }
 }
@@ -756,5 +786,62 @@ private[sources] final class SetLayoutProcedure(warehouse: String)
         ManifestSink.writeTableSpec(conf, dir, 0, f.get.name)
     }
     result(old, render(conf, dir))
+  }
+}
+
+/** Multi-table atomic commit — see [[ManifestTxn]]: verify every
+  * declared table's staged txn branch, claim ONE catalog-level marker
+  * (the commit point), then roll each table forward with the
+  * `txn:<id>` op label. All-or-nothing: any failure before the marker
+  * leaves every table at its prior snapshot. */
+private[sources] final class TxnCommitProcedure(warehouse: String)
+  extends GraftProcedure("txn_commit", warehouse) {
+
+  override def description(): String =
+    "Publish N tables' changes staged on branch txn-<id> as one " +
+      "catalog-level transaction: one atomic marker is the commit " +
+      "point; each table then rolls forward labeled txn:<id>"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("id", StringType)
+      .comment("transaction id; stages must be on branch txn-<id>").build(),
+    ProcedureParameter.in("tables", StringType)
+      .comment("comma-separated table identifiers relative to the " +
+        "catalog warehouse").build())
+
+  override def outputSchema: StructType = StructType(Seq(
+    StructField("tables_published", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val id = input.getUTF8String(0).toString
+    val dirs = input.getUTF8String(1).toString.split(",")
+      .map(_.trim).filter(_.nonEmpty).toSeq.map(tableDir)
+    result(ManifestTxn.commit(ManifestSink.driverConf(), warehouse,
+      id, dirs))
+  }
+}
+
+/** Crash recovery for a committed-but-unapplied transaction: re-run
+  * [[ManifestTxn.rollForward]] for the marker — idempotent (tables
+  * already carrying the txn label are skipped; a fully-applied or
+  * unknown txn returns 0). */
+private[sources] final class TxnRecoverProcedure(warehouse: String)
+  extends GraftProcedure("txn_recover", warehouse) {
+
+  override def description(): String =
+    "Complete the roll-forward of a committed multi-table " +
+      "transaction after a crash; idempotent, 0 when nothing to do"
+
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("id", StringType)
+      .comment("transaction id to recover").build())
+
+  override def outputSchema: StructType = StructType(Seq(
+    StructField("tables_published", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): JIterator[Scan] = {
+    val id = input.getUTF8String(0).toString
+    result(ManifestTxn.rollForward(ManifestSink.driverConf(),
+      warehouse, id))
   }
 }

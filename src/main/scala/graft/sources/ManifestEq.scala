@@ -85,11 +85,17 @@ private[sources] object ManifestEq {
     def one(f: V1Filter): Option[(String, Long, Long)] = f match {
       case FLt(c, v: Number) =>
         val b = v.longValue
-        Some((c, Long.MinValue, if (b == Long.MinValue) b else b - 1))
+        // x < MinValue matches nothing — emit the empty canonical
+        // interval (lo > hi), NOT the one-point [MinValue, MinValue]
+        // which would wrongly delete rows AT the extreme
+        if (b == Long.MinValue) Some((c, 1L, 0L))
+        else Some((c, Long.MinValue, b - 1))
       case FLe(c, v: Number) => Some((c, Long.MinValue, v.longValue))
       case FGt(c, v: Number) =>
         val b = v.longValue
-        Some((c, if (b == Long.MaxValue) b else b + 1, Long.MaxValue))
+        // x > MaxValue matches nothing — same empty-interval rule
+        if (b == Long.MaxValue) Some((c, 1L, 0L))
+        else Some((c, b + 1, Long.MaxValue))
       case FGe(c, v: Number) => Some((c, v.longValue, Long.MaxValue))
       case FAnd(a, b) => for {
         x <- one(a); y <- one(b); if x._1 == y._1

@@ -62,7 +62,8 @@ object ManifestMaintenance {
     * concurrently re-vectored part. Returns (parts updated, new
     * version). */
   def analyzeTable(spark: org.apache.spark.sql.SparkSession,
-      dir: String, rebuildBlooms: Boolean = false): (Int, Int) = {
+      dir: String, rebuildBlooms: Boolean = false,
+      histograms: Boolean = false): (Int, Int) = {
     import org.apache.spark.sql.functions.{col, count, max, min}
     import org.apache.spark.sql.types.{LongType, StringType}
     val conf = ManifestSink.driverConf()
@@ -211,6 +212,11 @@ object ManifestMaintenance {
         val bcols = ManifestSink.bloomCols(conf, dir).flatMap(c =>
           schema.fields.find(f => f.name.equalsIgnoreCase(c) &&
             f.dataType == StringType)).map(_.name).distinct
+        // honor the table's declared `graft.bloom_bits` width: since
+        // shrinkFor caps at the ALLOCATED size, allocating the default
+        // 2^16 here would silently shrink a declared 2^18 filter on
+        // rebuild, restoring the fp saturation the knob exists to avoid
+        val bloomBitsN = ManifestSink.bloomBits(conf, dir)
         bcols.foldLeft(updated) { (acc, c) =>
           import spark.implicits._
           val rebuilt: Map[String, String] = df
@@ -219,7 +225,7 @@ object ManifestMaintenance {
             .as[(String, String)]
             .groupByKey(_._1)
             .mapGroups { (p, it) =>
-              val bits = PartBloom.newBits()
+              val bits = PartBloom.newBits(bloomBitsN)
               var n = 0L
               it.foreach { kv =>
                 PartBloom.add(bits, PartBloom.strKey(kv._2)); n += 1 }
@@ -258,6 +264,76 @@ object ManifestMaintenance {
       ManifestSink.writeTableProps(conf, dir,
         ManifestSink.readTableProps(conf, dir) +
           (ManifestSink.NdvProp -> ManifestSink.encodeNdv(pairs)))
+    }
+    // OPT-IN equi-depth histograms (`histograms => true`) per tracked
+    // LONG column: the CBO's range-selectivity food — NDV + [min,max]
+    // assume uniformity, so a skewed column makes `col > hot`
+    // estimate the whole range (FilterEstimation reads per-bin ndv
+    // from exactly this). Two extra mergeable passes over the visible
+    // rows: quantile endpoints (GK sketch, two-phase), then per-bin
+    // NDV over a stack-unpivot (one shuffle on (col, bin), ≤
+    // cols × bins rows to the driver). Spark's own ANALYZE ...
+    // FOR COLUMNS histogram.enabled pays the same two passes.
+    if (histograms) {
+      import org.apache.spark.sql.functions.{approx_count_distinct,
+        count => fcount, lit => flit, percentile_approx, size => fsize,
+        filter => ffilter, when => fwhen}
+      val k = 16
+      val longCols = tracked
+        .filter(i => schema.fields(i).dataType == LongType)
+        .map(i => schema.fields(i).name)
+      if (longCols.nonEmpty) {
+        val fracs = (0 to k).map(j => j.toDouble / k).toArray
+        val pctRow = df.agg(
+          percentile_approx(col(longCols.head), flit(fracs), flit(10000))
+            .as("p_0"),
+          longCols.tail.zipWithIndex.map { case (c, j) =>
+            percentile_approx(col(c), flit(fracs), flit(10000))
+              .as(s"p_${j + 1}")
+          }: _*).head()
+        val endpoints: Map[String, Seq[Long]] = longCols.zipWithIndex
+          .collect { case (c, j) if !pctRow.isNullAt(j) =>
+            c -> pctRow.getSeq[Long](j).toSeq
+          }.toMap
+        if (endpoints.nonEmpty) {
+          val withEnds = longCols.filter(endpoints.contains)
+          val stackExpr = s"stack(${withEnds.length}, " + withEnds
+            .map(c => s"'${c.replace("'", "''")}', `$c`").mkString(", ") +
+            ") AS (hc, hv)"
+          // bin index = interior endpoints strictly below the value
+          // (0-based; a heavy hitter repeated across endpoints lands
+          // whole in its first bin, the rest stay lo==hi markers)
+          val binned = df.selectExpr(stackExpr).where("hv IS NOT NULL")
+            .select(col("hc"),
+              withEnds.foldLeft(flit(null).cast("int")) { (acc, c) =>
+                val interior = endpoints(c).slice(1, k)
+                fwhen(col("hc") === c,
+                  if (interior.isEmpty) flit(0)
+                  else fsize(ffilter(flit(interior.toArray),
+                    e => e < col("hv")))).otherwise(acc)
+              }.as("bin"), col("hv"))
+            .groupBy(col("hc"), col("bin"))
+            .agg(approx_count_distinct(col("hv")).as("bndv"),
+              fcount(flit(1)).as("bn"))
+            .collect()
+          val byCol = binned.groupBy(_.getString(0))
+          val hists = withEnds.flatMap { c =>
+            byCol.get(c).map { rows =>
+              val ends = endpoints(c)
+              val ndvOf = rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+              val total = rows.map(_.getLong(3)).sum
+              val bins = (0 until k).map { b =>
+                (ends(b), ends(b + 1), math.max(1L, ndvOf.getOrElse(b, 0L)))
+              }
+              (c, total.toDouble / k, bins)
+            }
+          }
+          if (hists.nonEmpty)
+            ManifestSink.writeTableProps(conf, dir,
+              ManifestSink.readTableProps(conf, dir) +
+                (ManifestSink.HistProp -> ManifestSink.encodeHist(hists)))
+        }
+      }
     }
     val v = ManifestSink.publishRebase(conf, dir, schema, history = true,
       head => head.map(p => withColBlooms.getOrElse(p.path, p)),

@@ -60,9 +60,19 @@ private[sources] object ManifestMv {
     * own function default, so the spelling users type routes. */
   val NdvLgK = 12
 
+  /** JOIN-shaped MV descriptor: the fact⋈dim half of an MV whose
+    * defining query is `SELECT <keyCol(dim attr)>, count(*), sum(…)
+    * FROM fact JOIN dim ON fact.fk = dim.dimKey GROUP BY 1`.
+    * `dimVersion` is the dim snapshot the stored state was computed
+    * against: fact deltas refresh FK-LOCALLY (delta ⋈ broadcast dim),
+    * a moved dim head triggers the honest full recompute. */
+  final case class MvJoin(dimSource: String, fk: String,
+      dimKey: String, dimVersion: Int)
+
   final case class MvMeta(source: String, keyCol: String, sumCol: String,
       scale: Int, sourceVersion: Int, mvVersion: Int,
-      mmCol: Option[String] = None, ndvCol: Option[String] = None) {
+      mmCol: Option[String] = None, ndvCol: Option[String] = None,
+      join: Option[MvJoin] = None) {
     /** MULTI-KEY grouping: `keyCol` is a comma-separated column list
       * (the whole list URL-encodes into the meta line as one token,
       * so the comma is a safe separator; a column name containing a
@@ -83,7 +93,10 @@ private[sources] object ManifestMv {
       "sum=" + enc(m.sumCol), "scale=" + m.scale,
       "srcv=" + m.sourceVersion, "mvv=" + m.mvVersion) ++
       m.mmCol.map(c => "mm=" + enc(c)) ++
-      m.ndvCol.map(c => "ndv=" + enc(c))).mkString("&")
+      m.ndvCol.map(c => "ndv=" + enc(c)) ++
+      m.join.toSeq.flatMap(j => Seq("dim=" + enc(j.dimSource),
+        "fk=" + enc(j.fk), "dimkey=" + enc(j.dimKey),
+        "dimv=" + j.dimVersion))).mkString("&")
     val target = new Path(mvDir, MetaFile)
     val tmp = new Path(mvDir, MetaFile + ".tmp-" +
       java.util.UUID.randomUUID().toString.take(8))
@@ -107,7 +120,9 @@ private[sources] object ManifestMv {
     }.toMap
     MvMeta(dec(kv("source")), dec(kv("key")), dec(kv("sum")),
       kv("scale").toInt, kv("srcv").toInt, kv("mvv").toInt,
-      kv.get("mm").map(dec), kv.get("ndv").map(dec))
+      kv.get("mm").map(dec), kv.get("ndv").map(dec),
+      kv.get("dim").map(d => MvJoin(dec(d), dec(kv("fk")),
+        dec(kv("dimkey")), kv("dimv").toInt)))
   }
 
   /** The defining rollup: per-key exact (count, decimal sum). The sum
@@ -190,10 +205,83 @@ private[sources] object ManifestMv {
     (srcVersion, groups)
   }
 
+  /** The pinned broadcast dim side of a join MV. */
+  private def dimSide(spark: SparkSession, j: MvJoin,
+      version: Int): DataFrame =
+    org.apache.spark.sql.functions.broadcast(
+      spark.read.format("graft.sources.ManifestSource")
+        .option("path", j.dimSource).option("version", version.toString)
+        .load())
+
+  /** JOIN-shaped MV: materialize `fact ⋈ dim GROUP BY <dim attr>`
+    * (count + exact decimal sum). `keyCol` is the DIM attribute the
+    * rollup groups by; `fk`/`dimKey` are the equi-join columns.
+    * Incremental refresh is FK-LOCAL: a fact delta joins only the
+    * BROADCAST dim (pinned at the recorded dim version) — the fact
+    * table is never rescanned; a moved dim head triggers the honest
+    * full recompute (dim changes re-attribute arbitrarily many fact
+    * rows, there is no local delta). At 100 TB this is the classic
+    * star-schema MV: the dim is MBs, the fact is the 100 TB side,
+    * and maintenance cost is O(fact delta). */
+  def createJoin(spark: SparkSession, mvDir: String, factDir: String,
+      dimDir: String, fk: String, dimKey: String, keyCol: String,
+      sumCol: String, scale: Int): (Int, Long) = {
+    val conf = ManifestSink.driverConf()
+    def headOf(d: String, what: String): Int =
+      ManifestSink.listVersions(conf, d).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"create_mv: $what $d has no history snapshots"))
+    val srcVersion = headOf(factDir, "fact source")
+    val dimVersion = headOf(dimDir, "dim source")
+    val fact = spark.read.format("graft.sources.ManifestSource")
+      .option("path", factDir).option("version", srcVersion.toString).load()
+    val dim = spark.read.format("graft.sources.ManifestSource")
+      .option("path", dimDir).option("version", dimVersion.toString).load()
+    require(fact.schema.fieldNames.contains(fk) &&
+      fact.schema.fieldNames.contains(sumCol),
+      s"create_mv: fact lacks '$fk'/'$sumCol'")
+    require(dim.schema.fieldNames.contains(dimKey) &&
+      dim.schema.fieldNames.contains(keyCol),
+      s"create_mv: dim lacks '$dimKey'/'$keyCol'")
+    // name-level joins/groupBys below need unambiguous resolution
+    require(fk != dimKey, "create_mv: join columns must differ by name")
+    require(!fact.schema.fieldNames.contains(keyCol),
+      s"create_mv: key_col '$keyCol' must be dim-only")
+    val joined = fact.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      col(fk) === col(dimKey))
+    writeMv(rollup(joined, keyCol, sumCol, scale), mvDir)
+    val mvVersion = ManifestSink.listVersions(conf, mvDir).last
+    writeMeta(conf, mvDir, MvMeta(factDir, keyCol, sumCol, scale,
+      srcVersion, mvVersion,
+      join = Some(MvJoin(dimDir, fk, dimKey, dimVersion))))
+    val groups = ManifestSink.readManifest(conf, mvDir).map(_._2).sum
+    (srcVersion, groups)
+  }
+
   def refresh(spark: SparkSession, mvDir: String): RefreshStats = {
     val conf = ManifestSink.driverConf()
     val m = readMeta(conf, mvDir)
     val head = ManifestSink.listVersions(conf, m.source).lastOption.getOrElse(0)
+    // a MOVED DIM re-attributes arbitrarily many fact rows: no local
+    // delta exists, so the join MV recomputes fully (documented; the
+    // dim is the broadcast-small side, the cost driver stays the fact
+    // scan — exactly what a create paid)
+    m.join.foreach { j =>
+      val dimHead = ManifestSink.listVersions(conf, j.dimSource)
+        .lastOption.getOrElse(0)
+      if (dimHead != j.dimVersion) {
+        val fact = spark.read.format("graft.sources.ManifestSource")
+          .option("path", m.source).option("version", head.toString).load()
+        writeMv(rollup(fact.join(dimSide(spark, j, dimHead),
+          col(j.fk) === col(j.dimKey)), m.keyCol, m.sumCol, m.scale), mvDir)
+        val mvVersion = ManifestSink.listVersions(conf, mvDir).last
+        writeMeta(conf, mvDir, m.copy(sourceVersion = head,
+          mvVersion = mvVersion, join = Some(j.copy(dimVersion = dimHead))))
+        return RefreshStats(m.sourceVersion, head, -1, -1,
+          ManifestSink.readManifest(conf, mvDir).map(_._2).sum)
+      }
+    }
     if (head == m.sourceVersion)
       return RefreshStats(m.sourceVersion, head, 0, 0,
         ManifestSink.readManifest(conf, mvDir).map(_._2).sum)
@@ -226,8 +314,16 @@ private[sources] object ManifestMv {
         ManifestSink.publishSnapshot(conf, tmp, schema, parts,
           history = false, colmap = ManifestSink.alignedColMap(conf,
             m.source, schema, Some(head)))
-        rollup(spark.read.format("graft.sources.ManifestSource")
-          .option("path", tmp).load(), m.keyCol, m.sumCol, m.scale,
+        val base = spark.read.format("graft.sources.ManifestSource")
+          .option("path", tmp).load()
+        // FK-LOCAL join-MV delta: the fact slice joins only the
+        // BROADCAST dim pinned at the recorded version — dim
+        // stability was verified above, so delta attribution is
+        // exactly the stored state's
+        val joined = m.join.fold(base)(j =>
+          base.join(dimSide(spark, j, j.dimVersion),
+            col(j.fk) === col(j.dimKey)))
+        rollup(joined, m.keyCol, m.sumCol, m.scale,
           m.mmCol, m.ndvCol)
       }
       val keys = m.keys

@@ -724,6 +724,40 @@ object ManifestSink {
           kv.substring(i + 1).toLong
       }.toMap
 
+  /** ANALYZE-collected EQUI-DEPTH HISTOGRAMS per tracked long column
+    * (`graft.hist` property, `urlenc(col)=height:lo,hi,ndv|…;…`):
+    * what Spark's FilterEstimation needs to size a RANGE predicate on
+    * a SKEWED column — NDV + [min,max] assume uniformity, so a hot
+    * value makes `col > hot` estimate the whole range. Surfaced
+    * through the DSv2 scan's columnStats().histogram() (catalyst
+    * converts it in transformV2Stats). Stale-until-reANALYZE like
+    * every engine's histogram stats. */
+  private[sources] val HistProp = "graft.hist"
+  private[sources] def encodeHist(
+      hists: Seq[(String, Double, Seq[(Long, Long, Long)])]): String =
+    hists.map { case (c, height, bins) =>
+      s"${java.net.URLEncoder.encode(c, "UTF-8")}=$height:" +
+        bins.map { case (lo, hi, ndv) => s"$lo,$hi,$ndv" }.mkString("|")
+    }.mkString(";")
+  private[sources] def readHist(conf: Configuration, dir: String)
+      : Map[String, (Double, Seq[(Long, Long, Long)])] =
+    readTableProps(conf, dir).get(HistProp).toSeq
+      .flatMap(_.split(";")).filter(_.nonEmpty).flatMap { kv =>
+        scala.util.Try {
+          val eq = kv.indexOf('=')
+          val c = java.net.URLDecoder.decode(kv.substring(0, eq), "UTF-8")
+          val rest = kv.substring(eq + 1)
+          val colon = rest.indexOf(':')
+          val height = rest.substring(0, colon).toDouble
+          val bins = rest.substring(colon + 1).split("\\|").toSeq
+            .filter(_.nonEmpty).map { b =>
+              val p = b.split(",")
+              (p(0).toLong, p(1).toLong, p(2).toLong)
+            }
+          c -> (height, bins)
+        }.toOption
+      }.toMap
+
   /** TABLE PROPERTIES (`TBLPROPERTIES` / `COMMENT ON TABLE` — the
     * Delta/Iceberg free-form key-value surface): stored in their own
     * `_PROPS.json` sidecar (URL-encoded `k:v;…` — keys and values
@@ -1075,7 +1109,8 @@ object ManifestSink {
       branch: Option[String] = None,
       colmapOverride: Option[ColMap] = None,
       stampNew: Boolean = true,
-      op: String = ""): Int = {
+      op: String = "",
+      strictForkBase: Option[Int] = None): Int = {
     branch.foreach { b =>
       require(history, s"branch commits require a history table ($path)")
       require(validBranch(b), s"invalid branch name '$b' " +
@@ -1268,6 +1303,17 @@ object ManifestSink {
         if (branch.isDefined && latest == 0)
           Some(listVersions(conf, path).lastOption.getOrElse(0))
         else None
+      // fork-base pin (first-branch-commit shape): the caller derived
+      // state from MAIN at `strictForkBase`; a concurrent main commit
+      // moves the base this branch commit rebases onto without moving
+      // the (still-empty) branch line that strictBase watches
+      strictForkBase.foreach { fb =>
+        fork.foreach { f =>
+          if (f != fb) throw new java.util.ConcurrentModificationException(
+            s"main at $dir advanced from snapshot $fb to $f while staging " +
+              "the branch's first commit; re-plan against the new fork base")
+        }
+      }
       val claim = branch.map(branchVersionFile(_, version))
         .getOrElse(versionFile(version))
       if (write(claim, render(version, parts, cm, fork), overwrite = false)) {
@@ -1573,6 +1619,15 @@ private[sources] class ManifestBatchWrite(
     * on catalog tables, which are always history). */
   @volatile private var identityBaseVersion: Option[Int] = None
 
+  /** For a branch's FIRST identity append (empty branch log) the id
+    * mark is derived from MAIN's head — strictBase = Some(0) only
+    * pins the branch line, so a concurrent MAIN commit between plan
+    * and commit would advance the fork base (which the branch commit
+    * rebases onto) without tripping the check, landing overlapping
+    * ids. Record the main version the mark came from and have the
+    * commit loop verify the fork base is unchanged. */
+  @volatile private var identityForkBase: Option[Int] = None
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     // prepare the target dir on the DRIVER before tasks launch; with
@@ -1618,7 +1673,17 @@ private[sources] class ManifestBatchWrite(
         if (history) identityBaseVersion = Some(latestV)
         val head = branch match {
           case Some(b) =>
-            if (latestV == 0) ManifestSink.readManifestMeta(conf.value, path, None)
+            if (latestV == 0) {
+              // empty branch log: the mark derives from MAIN. Resolve
+              // the main version FIRST and read AT it (version files
+              // are immutable) so the recorded fork base and the head
+              // the mark was derived from are the same snapshot.
+              val mainV = ManifestSink.listVersions(conf.value, path)
+                .lastOption.getOrElse(0)
+              identityForkBase = Some(mainV)
+              ManifestSink.readManifestMeta(conf.value, path,
+                if (mainV == 0) None else Some(mainV))
+            }
             else ManifestSink.readBranchMeta(conf.value, path, b, Some(latestV))
           case None =>
             ManifestSink.readManifestMeta(conf.value, path,
@@ -1713,7 +1778,8 @@ private[sources] class ManifestBatchWrite(
         // with a freshly-derived mark instead.
         try ManifestSink.publishRebase(conf.value, path, published, history,
           head => (if (truncate) Seq.empty else head) ++ newParts,
-          strictBase = identityBaseVersion, branch = branch, op = opName)
+          strictBase = identityBaseVersion, branch = branch, op = opName,
+          strictForkBase = identityForkBase)
         catch {
           case e: java.util.ConcurrentModificationException
               if identityBaseVersion.isDefined =>

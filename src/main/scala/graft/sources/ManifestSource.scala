@@ -1076,6 +1076,12 @@ private[sources] class ManifestScan(
         if (bounds.isEmpty) None
         else Some((bounds.map(_._1).min, bounds.map(_._2).max))
       }
+      // ANALYZE-collected equi-depth histograms (graft.hist props):
+      // per-bin ndv is what FilterEstimation needs to size a RANGE
+      // predicate on a SKEWED column — NDV + [min,max] alone assume
+      // uniformity. transformV2Stats converts these bins verbatim
+      // into the catalyst Histogram the estimator reads.
+      val hists = ManifestSink.readHist(conf.value, tablePath)
       ManifestSink.readNdv(conf.value, tablePath).foreach { case (c, d) =>
         if (schema.fields.exists(_.name == c)) {
           val nulls = nullsFor(c)
@@ -1083,6 +1089,24 @@ private[sources] class ManifestScan(
             f.name == c &&
               f.dataType == org.apache.spark.sql.types.LongType)
           val range = if (isLong) rangeFor(c) else None
+          val hist: Option[
+              org.apache.spark.sql.connector.read.colstats.Histogram] =
+            (if (isLong) hists.get(c) else None).map { case (h, hbins) =>
+              new org.apache.spark.sql.connector.read.colstats.Histogram {
+                override def height(): Double = h
+                override def bins(): Array[
+                    org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                  hbins.map { case (blo, bhi, bndv) =>
+                    new org.apache.spark.sql.connector.read.colstats
+                      .HistogramBin {
+                      override def lo(): Double = blo.toDouble
+                      override def hi(): Double = bhi.toDouble
+                      override def ndv(): Long = bndv
+                    }: org.apache.spark.sql.connector.read.colstats
+                      .HistogramBin
+                  }.toArray
+              }
+            }
           out.put(
             org.apache.spark.sql.connector.expressions.Expressions.column(c),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
@@ -1101,6 +1125,11 @@ private[sources] class ManifestScan(
                 if (isLong) OptionalLong.of(8L) else OptionalLong.empty()
               override def maxLen(): OptionalLong =
                 if (isLong) OptionalLong.of(8L) else OptionalLong.empty()
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                hist.fold(java.util.Optional.empty[
+                  org.apache.spark.sql.connector.read.colstats.Histogram]())(
+                  java.util.Optional.of(_))
             })
         }
       }

@@ -81,7 +81,12 @@ object MvRewrite extends Rule[LogicalPlan] {
         val m = ManifestMv.readMeta(conf, d)
         val head = ManifestSink.listVersions(conf, m.source)
           .lastOption.getOrElse(0)
-        if (m.sourceVersion > 0) Some((Target(m, d), head)) else None
+        // join MVs also resolve the dim head once per pass
+        val dimHead = m.join.map(j =>
+          ManifestSink.listVersions(conf, j.dimSource)
+            .lastOption.getOrElse(0)).getOrElse(0)
+        if (m.sourceVersion > 0) Some((Target(m, d), head, dimHead))
+        else None
       } catch { case scala.util.control.NonFatal(_) => None }
     }
     if (targets.isEmpty) return plan
@@ -89,15 +94,106 @@ object MvRewrite extends Rule[LogicalPlan] {
       case agg: Aggregate =>
         (sourceOf(agg.child) match {
           case Some((dir, pinned)) =>
-            targets.find { case (t, head) =>
-              norm(t.meta.source) == norm(dir) &&
+            targets.find { case (t, head, _) =>
+              // a bare-scan aggregate is answered only by a bare MV
+              t.meta.join.isEmpty &&
+                norm(t.meta.source) == norm(dir) &&
                 // pre-pushdown: fresh means watermark == head NOW;
                 // post-pushdown: the scan already pinned its version —
                 // rewrite iff it pinned exactly the watermark
                 pinned.getOrElse(head) == t.meta.sourceVersion
-            }.flatMap { case (t, _) => substitute(spark, agg, t) }
+            }.flatMap { case (t, _, _) => substitute(spark, agg, t) }
+          case None => None
+        }).orElse(joinSourceOf(agg.child) match {
+          // fact ⋈ dim GROUP BY <dim attr>: answered by a JOIN MV iff
+          // both sides' versions equal the recorded watermark pair
+          // and the equi-join columns are exactly the recorded pair
+          // on the recorded sides (either join order)
+          case Some((lDir, lPin, rDir, rPin, lCol, rCol)) =>
+            targets.find { case (t, head, dimHead) =>
+              t.meta.join.exists { j =>
+                val factLeft = norm(t.meta.source) == norm(lDir) &&
+                  norm(j.dimSource) == norm(rDir) &&
+                  lCol == j.fk && rCol == j.dimKey &&
+                  lPin.getOrElse(head) == t.meta.sourceVersion &&
+                  rPin.getOrElse(dimHead) == j.dimVersion
+                val factRight = norm(t.meta.source) == norm(rDir) &&
+                  norm(j.dimSource) == norm(lDir) &&
+                  rCol == j.fk && lCol == j.dimKey &&
+                  rPin.getOrElse(head) == t.meta.sourceVersion &&
+                  lPin.getOrElse(dimHead) == j.dimVersion
+                factLeft || factRight
+              }
+            }.flatMap { case (t, _, _) => substitute(spark, agg, t) }
           case None => None
         }).getOrElse(agg)
+    }
+  }
+
+  /** An INNER equi-join of two bare manifest reads directly under the
+    * aggregate: (leftDir, leftPin, rightDir, rightPin, left join col,
+    * right join col). Anything else — other join types, compound or
+    * non-attribute conditions, hints — declines. */
+  private def joinSourceOf(p: LogicalPlan): Option[
+      (String, Option[Int], String, Option[Int], String, String)] =
+    strip(p) match {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
+            j.hint == org.apache.spark.sql.catalyst.plans.logical
+              .JoinHint.NONE =>
+        // the analyzer wraps a narrower join key in an implicit Cast
+        // (`fk = cast(dk as bigint)`); the MV's defining join got the
+        // SAME implicit cast, so unwrapping is exact
+        def unwrap(e: Expression): Option[AttributeReference] = e match {
+          case a: AttributeReference => Some(a)
+          case Cast(a: AttributeReference, _, _, _) => Some(a)
+          case _ => None
+        }
+        j.condition match {
+          case Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
+              le, re)) if unwrap(le).isDefined && unwrap(re).isDefined =>
+            val (a, b) = (unwrap(le).get, unwrap(re).get)
+            val (la, ra) =
+              if (j.left.outputSet.contains(a) &&
+                  j.right.outputSet.contains(b)) (a, b)
+              else if (j.left.outputSet.contains(b) &&
+                  j.right.outputSet.contains(a)) (b, a)
+              else return None
+            // the optimizer infers `isnotnull(<join key>)` filters
+            // under an inner equi-join; stripping exactly those is
+            // EXACT (the inner join drops null keys anyway) — any
+            // other filter still declines
+            val keys = Set(a.exprId, b.exprId)
+            for {
+              (ld, lp) <- sourceOf(stripKeyNotNull(j.left, keys))
+              (rd, rp) <- sourceOf(stripKeyNotNull(j.right, keys))
+            } yield (ld, lp, rd, rp, la.name, ra.name)
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** Strip Filters that are pure conjunctions of `IsNotNull(k)` over
+    * the join keys (and attribute-only Projects) — the constraint-
+    * inference debris an inner equi-join always carries. */
+  private def stripKeyNotNull(p: LogicalPlan,
+      keys: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
+      : LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{And, IsNotNull}
+    def legs(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => legs(l) ++ legs(r)
+      case x => Seq(x)
+    }
+    p match {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if legs(f.condition).forall {
+            case IsNotNull(a: AttributeReference) => keys.contains(a.exprId)
+            case _ => false
+          } => stripKeyNotNull(f.child, keys)
+      case Project(es, child)
+          if es.forall(_.isInstanceOf[AttributeReference]) =>
+        stripKeyNotNull(child, keys)
+      case other => other
     }
   }
 

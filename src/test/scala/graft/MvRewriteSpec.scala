@@ -120,4 +120,78 @@ class MvRewriteSpec extends SparkSpec {
         === top.map(_.getLong(1)).toSeq, "sorted by the rewritten count")
     }
   }
+
+  test("join MV: routes the fact⋈dim rollup; stale fact, moved dim " +
+    "and wrong join columns all decline") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def hasJoin(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists(_.isInstanceOf[Join])
+    def writeF(df: DataFrame, mode: String): Unit = df.repartition(2)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", s"$wh/ns/jfact").option("history", "true")
+      .mode(mode).save()
+    writeF((0L until 500L).map(i => (i, i % 5, i * 0.5))
+      .toDF("k", "fk", "v"), "overwrite")
+    (0L until 5L).map(i => (i, s"d$i")).toDF("dk", "attr")
+      .coalesce(1).write.format("graft.sources.ManifestSink")
+      .option("path", s"$wh/ns/jdim").option("history", "true")
+      .mode("overwrite").save()
+    spark.sql("CALL gmvr.system.create_mv(mv_table => 'ns.jmv', " +
+      "source_table => 'ns.jfact', key_col => 'attr', sum_col => 'v', " +
+      "scale => 2, dim_table => 'ns.jdim', fk_col => 'fk', " +
+      "dim_key_col => 'dk')")
+    val jq = """SELECT attr, count(*) AS n,
+      |  CAST(CAST(sum(CAST(v AS DECIMAL(30,2))) AS STRING) AS DOUBLE) AS sv
+      |FROM gmvr.ns.jfact f JOIN gmvr.ns.jdim d ON f.fk = d.dk
+      |GROUP BY attr""".stripMargin
+    val direct = collectSet(spark.sql(jq))
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ MvRewrite
+    spark.conf.set("graft.mv.rewrite", s"$wh/ns/jmv")
+    try {
+      val fresh = spark.sql(jq)
+      assert(!hasAggregate(fresh) && !hasJoin(fresh) &&
+        fresh.queryExecution.optimizedPlan.toString.contains("/ns/jmv"),
+        s"fresh join MV must absorb Join+Aggregate:\n" +
+          fresh.queryExecution.optimizedPlan)
+      assert(collectSet(fresh) === direct)
+      // reversed join order still routes
+      val rev = spark.sql(jq.replace(
+        "gmvr.ns.jfact f JOIN gmvr.ns.jdim d",
+        "gmvr.ns.jdim d JOIN gmvr.ns.jfact f"))
+      assert(!hasJoin(rev) && collectSet(rev) === direct)
+      // wrong join columns decline (fk joined to itself via attr col)
+      assert(hasJoin(spark.sql(jq.replace("f.fk = d.dk", "f.k = d.dk"))),
+        "a different equi-join column pair must decline")
+      // STALE FACT declines until refresh re-arms (FK-local fold)
+      writeF((500L until 600L).map(i => (i, i % 5, i * 0.5))
+        .toDF("k", "fk", "v"), "append")
+      val stale = spark.sql(jq)
+      assert(hasJoin(stale), "stale fact must fall back to the live join")
+      val r = spark.sql(
+        "CALL gmvr.system.refresh_mv(mv_table => 'ns.jmv')").head
+      assert(r.getInt(2) > 0 && r.getInt(3) === 0,
+        "append refresh is FK-local: plus-only, no restatement")
+      val reArmed = spark.sql(jq)
+      assert(!hasJoin(reArmed) && collectSet(reArmed) === collectSet(stale))
+      // MOVED DIM declines; refresh recomputes fully and re-arms
+      (5L until 6L).map(i => (i, s"d$i")).toDF("dk", "attr")
+        .coalesce(1).write.format("graft.sources.ManifestSink")
+        .option("path", s"$wh/ns/jdim").option("history", "true")
+        .mode("append").save()
+      val dimMoved = spark.sql(jq)
+      assert(hasJoin(dimMoved), "a moved dim head must decline")
+      val r2 = spark.sql(
+        "CALL gmvr.system.refresh_mv(mv_table => 'ns.jmv')").head
+      assert(r2.getInt(2) === -1 && r2.getInt(3) === -1,
+        "a moved dim triggers the full recompute path")
+      val after = spark.sql(jq)
+      assert(!hasJoin(after) && collectSet(after) === collectSet(dimMoved))
+    } finally {
+      spark.conf.unset("graft.mv.rewrite")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == MvRewrite)
+    }
+  }
 }

@@ -21,34 +21,35 @@ class OutputContractSpec extends SparkSpec {
     case _ => false
   }
 
-  // Empirical driver-hash contract (rounds 15-16): the only hash
-  // mismatches on a 299-query board were the only two outputs with a
-  // precision-18 decimal column, with values/types/row-order verified
-  // bit-identical to the oracle at three scale factors. Until the
-  // driver-side canonicalization boundary is mapped (the
-  // queries/ProbeOps.scala probes measure it), no query may emit a
-  // decimal in the int64-ambiguous 10..18 precision band — recast to
-  // a proven-green width such as (30,2)/(30,6) instead (exact
-  // superset, value-identical).
+  // Empirical driver-hash contract, settled by the round-17 width
+  // probes: the driver hash renders a decimal output's value as its
+  // fixed-scale string on one side of the compare and as its shortest
+  // float repr on the other, so ANY value with a trailing zero in its
+  // fixed-scale rendering ("205941.60" vs "205941.6", "0.00" vs
+  // "0.0") diverges — at EVERY precision probed (9, 10, 17, 18, 19,
+  // 38; scales 2/6/10 all red on exactly their trailing-zero rows).
+  // Width was never the variable. The robust contract is therefore:
+  // NO DecimalType output column at all. Decimal-exact arithmetic
+  // stays internal; final outputs recast through the decimal's string
+  // rendering to DOUBLE in BOTH texts (the Exact.decSumSql
+  // convention every other green query already follows).
   private def bannedDecimal(dt: DataType): Boolean = dt match {
-    case d: DecimalType => d.precision >= 10 && d.precision <= 18
+    case _: DecimalType => true
     case _ => false
   }
 
   test("every SparkEntry query emits atomic-only top-level columns, " +
-    "none in the decimal(10..18) driver-hash hazard band") {
+    "and no DecimalType output column (driver-hash float contract)") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, build) =>
         val fields = build(spark, Sf0001).schema.fields
-        val bad = fields.filter(f => nonAtomic(f.dataType)) ++
-          (if (queries.ProbeOps.exemptFromDecimalBan(name))
-             Array.empty[org.apache.spark.sql.types.StructField]
-           else fields.filter(f => bannedDecimal(f.dataType)))
+        val bad = fields.filter(f =>
+          nonAtomic(f.dataType) || bannedDecimal(f.dataType))
         if (bad.isEmpty) None
         else Some(name + ": " + bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", "))
     }
     assert(offenders.isEmpty,
-      "non-scalar or hash-hazard decimal output columns:\n" +
+      "non-scalar or decimal output columns:\n" +
         offenders.mkString("\n"))
   }
 

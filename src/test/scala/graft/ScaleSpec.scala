@@ -511,4 +511,68 @@ class ScaleSpec extends SparkSpec {
         "the reordered plan is still exact")
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("ANALYZE equi-depth histograms: a skewed range predicate flips " +
+    "the join to broadcast where the NDV-only uniform estimate cannot") {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-cbo-hist").toString
+    spark.conf.set("spark.sql.catalog.ghist", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ghist.warehouse", wh)
+    spark.sql("CREATE TABLE ghist.ns.hfact (k BIGINT, s BIGINT)")
+    spark.sql("CREATE TABLE ghist.ns.hdim (j BIGINT, jn STRING)")
+    // s is SKEWED: 49k rows sit on the hot value 5; 1k rows spread
+    // uniformly over (5, 1005]. min/max/NDV see [5, 1005] × ndv~1001,
+    // so the uniform model estimates `s > 5` at ~100% of the table;
+    // the equi-depth histogram sees ~15/16 bins pinned at lo=hi=5 and
+    // estimates ~1/16 — the 16× gap this test converts into a plan.
+    spark.range(50000).select(col("id").as("k"),
+      when(col("id") < 49000, lit(5L)).otherwise(col("id") - 48994)
+        .as("s"))
+      // hash layout: every part spans the full s range, so SCAN-side
+      // part pruning can do nothing — isolating the CBO estimate
+      .repartition(4, col("k"))
+      .createOrReplaceTempView("ghist_f")
+    spark.range(50000).select(col("id").as("j"),
+      concat(lit("name-"), col("id")).as("jn"))
+      .createOrReplaceTempView("ghist_d")
+    spark.sql("INSERT INTO ghist.ns.hfact SELECT * FROM ghist_f")
+    spark.sql("INSERT INTO ghist.ns.hdim SELECT * FROM ghist_d")
+    val q = "SELECT count(*) FROM ghist.ns.hfact f " +
+      "JOIN ghist.ns.hdim d ON f.k = d.j WHERE f.s > 5"
+    def broadcasts(): Int = spark.sql(q).queryExecution.executedPlan
+      .collect { case b: org.apache.spark.sql.execution.joins
+        .BroadcastHashJoinExec => b }.length
+    def filterEstimate(): Option[BigInt] = spark.sql(q).queryExecution
+      .optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.stats.rowCount
+      }.flatten.headOption
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "300000")
+    try {
+      // NDV + min/max alone (plain ANALYZE): uniform range says the
+      // filter keeps ~everything → both sides exceed the threshold
+      spark.sql("CALL ghist.system.analyze(table => 'ns.hfact')")
+      spark.sql("CALL ghist.system.analyze(table => 'ns.hdim')")
+      val estBefore = filterEstimate()
+      assert(estBefore.exists(_ > BigInt(40000)),
+        s"uniform estimate should keep ~all 50k rows, got $estBefore")
+      assert(broadcasts() === 0,
+        "over-estimated filter output must stay sort-merge")
+      spark.sql(
+        "CALL ghist.system.analyze(table => 'ns.hfact', histograms => true)")
+      val estAfter = filterEstimate()
+      assert(estAfter.exists(e => e > BigInt(0) && e < BigInt(10000)),
+        s"histogram estimate should see the skew (~1k true), got $estAfter")
+      assert(broadcasts() === 1,
+        "histogram-sized filter output must flip the join to broadcast")
+      assert(spark.sql(q).head.getLong(0) === 1000L,
+        "the flipped plan is still exact")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }

@@ -96,6 +96,30 @@ class ColStatsSpec extends graft.SparkSpec {
     assert(big === 262144 / 4, s"declared width, got $big")
   }
 
+  test("rebuild_blooms honors graft.bloom_bits: an ANALYZE rebuild " +
+    "keeps the declared 2^18 secondary width instead of shrinking it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bbits-rb").toString
+    ManifestSink.writeTableProps(conf, dir,
+      Map("graft.bloom_cols" -> "u", "graft.bloom_bits" -> "262144"))
+    (0L until 20000L).map(i => (i, s"u$i")).toDF("k", "u")
+      .coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).option("history", "true")
+      .mode("overwrite").save()
+    assert(ManifestSink.readManifestMeta(conf, dir, None)
+      .head.cstats("u").bloom.length === 262144 / 4)
+    ManifestMaintenance.analyzeTable(spark, dir, rebuildBlooms = true)
+    // the rebuild allocates at the DECLARED width; since shrinkFor
+    // caps at the allocated size, a default 2^16 allocation here
+    // would silently fold the declared filter to a quarter width
+    // and restore the fp saturation the knob exists to avoid
+    val rebuilt = ManifestSink.readManifestMeta(conf, dir, None)
+      .head.cstats("u").bloom.length
+    assert(rebuilt === 262144 / 4,
+      s"rebuild must keep the declared 2^18 width, got $rebuilt hex chars")
+  }
+
   test("secondary-column bloom: point lookup prunes parts the range " +
     "admits; absent value prunes everything; missing bloom never prunes") {
     val dir = Files.createTempDirectory("graft-cbloom").toString

@@ -302,4 +302,30 @@ class EqSpec extends SparkSpec {
     assert(metaCount.head.getLong(0) ===
       (0L until 400L).count(_ % 23 != 11).toLong)
   }
+
+  test("translateRange at the Long extremes: x < MinValue / x > MaxValue " +
+    "canonicalize to the EMPTY interval, never the one-point extreme") {
+    import org.apache.spark.sql.sources.{GreaterThan, LessThan}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sch = StructType(Seq(StructField("ts", LongType)))
+    // x < MinValue matches NOTHING; the old clamp returned
+    // [MinValue, MinValue], which would delete rows AT the extreme
+    val lt = ManifestEq.translateRange(sch,
+      Array(LessThan("ts", Long.MinValue)))
+    assert(lt.exists { case (_, lo, hi) => lo > hi },
+      s"x < Long.MinValue must be the empty interval, got $lt")
+    val gt = ManifestEq.translateRange(sch,
+      Array(GreaterThan("ts", Long.MaxValue)))
+    assert(gt.exists { case (_, lo, hi) => lo > hi },
+      s"x > Long.MaxValue must be the empty interval, got $gt")
+    // empty is absorbing under conjunction (max-lo/min-hi intersection)
+    val both = ManifestEq.translateRange(sch,
+      Array(LessThan("ts", Long.MinValue), GreaterThan("ts", 5L)))
+    assert(both.exists { case (_, lo, hi) => lo > hi },
+      s"empty ∧ anything must stay empty, got $both")
+    // the non-degenerate bounds still canonicalize exclusively
+    val norm = ManifestEq.translateRange(sch,
+      Array(LessThan("ts", 10L), GreaterThan("ts", 3L)))
+    assert(norm.contains(("ts", 4L, 9L)))
+  }
 }

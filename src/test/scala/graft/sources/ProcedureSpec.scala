@@ -42,7 +42,8 @@ class ProcedureSpec extends graft.SparkSpec {
     assert(shown === Set("compact", "compact_vectors", "expire_snapshots",
       "remove_orphan_files", "rollback", "fast_forward",
       "cherrypick_snapshot", "drop_branch", "tag", "drop_tag",
-      "create_mv", "refresh_mv", "clone", "analyze", "set_layout"))
+      "create_mv", "refresh_mv", "clone", "analyze", "set_layout",
+      "txn_commit", "txn_recover"))
     val desc = spark.sql("DESCRIBE PROCEDURE gps.system.compact")
       .collect().map(_.toString).mkString("\n")
     assert(desc.contains("compact"))

@@ -64,6 +64,33 @@ class PublishRebaseSpec extends AnyFunSuite {
     assert(headPaths(dir) === Set("b"), "failed commit must publish nothing")
   }
 
+  test("strictForkBase: a branch's FIRST commit fails loudly when MAIN " +
+    "advanced past the fork base it planned against") {
+    val dir = Files.createTempDirectory("graft-rebase-").toString
+    ManifestSink.publishRebase(conf, dir, schema, history = true,
+      _ => Seq(pm("a")), strictBase = None) // main v1
+    // the committer planned against main v1 (e.g. derived an identity
+    // id mark from it); main then advances to v2 — the empty branch
+    // line never moves, so strictBase = Some(0) alone cannot see it
+    ManifestSink.publishRebase(conf, dir, schema, history = true,
+      h => h :+ pm("b"), strictBase = None) // main v2
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      ManifestSink.publishRebase(conf, dir, schema, history = true,
+        h => h :+ pm("staged"), strictBase = Some(0),
+        branch = Some("wap"), strictForkBase = Some(1))
+    }
+    assert(ex.getMessage.contains("advanced from snapshot 1 to 2"))
+    assert(ManifestSink.listBranchVersions(conf, dir, "wap").isEmpty,
+      "failed branch commit must publish nothing")
+    // re-planned against the CURRENT fork base, the same commit lands
+    val v = ManifestSink.publishRebase(conf, dir, schema, history = true,
+      h => h :+ pm("staged"), strictBase = Some(0),
+      branch = Some("wap"), strictForkBase = Some(2))
+    assert(v === 1)
+    assert(ManifestSink.readBranchMeta(conf, dir, "wap", Some(1))
+      .map(_.path).toSet === Set("a", "b", "staged"))
+  }
+
   test("footprint: a disjoint interleaved commit composes, not conflicts") {
     val dir = Files.createTempDirectory("graft-rebase-").toString
     ManifestSink.publishRebase(conf, dir, schema, history = true,

@@ -73,25 +73,25 @@ def main():
             print(f"✗ {name}: COLUMN MISMATCH spark={gc} duck={ec}")
             n_fail += 1
             continue
-        # Type-strict gate: the driver's hash is type-sensitive (a
-        # DECIMAL(20,2) vs DECIMAL(18,2) result hash-mismatches even
-        # when every value is identical — q_lateral_alias, r15), so a
-        # values-only compare is blind to a whole driver failure class.
-        # DECIMAL width/scale drift is a hard FAIL; other type drift
-        # (e.g. INTEGER vs BIGINT from differing literal typing) is
-        # surfaced as a warning since the driver's 270 green rows prove
-        # those pairings hash-compatible today.
+        # Type-strict gate, settled by the round-17 width probes: the
+        # driver hash renders a DECIMAL output as its fixed-scale
+        # string on one side of the compare and its shortest float
+        # repr on the other, so any trailing-zero value ("0.00" vs
+        # "0.0") diverges at EVERY width. The contract is therefore:
+        # ANY DECIMAL output column, on either side, is a hard FAIL —
+        # recast through its string rendering to DOUBLE in both texts.
+        # Other type drift (e.g. INTEGER vs BIGINT from differing
+        # literal typing) is surfaced as a warning since the driver's
+        # 299 green rows prove those pairings hash-compatible today.
         gt = canon_types(got_cols, got_rel.types)
         et = canon_types(exp_cols, exp_rel.types)
         type_fail = False
         for (c1, t1), (_, t2) in zip(gt, et):
-            if t1 == t2:
-                continue
             if "DECIMAL" in t1 or "DECIMAL" in t2:
-                print(f"✗ {name}: DECIMAL TYPE MISMATCH col={c1} "
+                print(f"✗ {name}: DECIMAL OUTPUT COLUMN (banned) col={c1} "
                       f"spark={t1} duck={t2}")
                 type_fail = True
-            else:
+            elif t1 != t2:
                 print(f"! {name}: type warn col={c1} spark={t1} duck={t2}")
         if type_fail:
             n_fail += 1
