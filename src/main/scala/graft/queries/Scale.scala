@@ -415,5 +415,101 @@ SELECT o_orderkey, za, zb,
   CAST(($terms) // 1024 AS BIGINT) AS zblock
 FROM d ORDER BY zval, o_orderkey"""
       })),
+
+    // --- CBO EQUI-DEPTH HISTOGRAMS drive a live plan flip
+    // (`CALL analyze(histograms => true)` → graft.hist props → DSv2
+    // columnStats().histogram() → FilterEstimation): the fact's `s`
+    // column is SKEWED — 98% of rows sit on one hot value, 2% spread
+    // over a huge range — so NDV+min/max estimate `s > hot` at ~100%
+    // of the table (uniformity), while the histogram sees ~15/16 bins
+    // pinned at the hot value and estimates ~1/16. The gate runs the
+    // SAME filter+join on two IDENTICAL fact tables — one analyzed
+    // plain, one with histograms — under one threshold sized from the
+    // histogram estimate: the plain table plans sort-merge
+    // (over-estimate exceeds the threshold), the histogram table
+    // flips to broadcast (`flip` boolean), and both answers restate
+    // from the raw tables (oracle). At 100 TB this is the difference
+    // between shuffling the dim against a "whole-table" phantom and
+    // broadcasting the true 2% — per-bin stats are how skewed range
+    // predicates get sized. Scan-side pruning is deliberately
+    // neutralized (hash layout: every part spans the full s range) so
+    // the CBO estimate is the only variable.
+    QueryDef("q_cbo_hist",
+      (spark, dir) => {
+        val base = Files.createTempDirectory("graft-cbohist-").toString
+        spark.conf.set("spark.sql.catalog.gch", "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.gch.warehouse", base)
+        val fact = Tables.events(spark, dir).select(
+          col("event_id").as("k"),
+          when(col("event_id") % 50 === 0,
+            lit(1000000L) + col("event_id")).otherwise(lit(5L)).as("s"),
+          col("value"))
+        Seq("fa", "fb").foreach { t =>
+          fact.repartition(4, col("k"))
+            .write.format("graft.sources.ManifestSink")
+            .option("path", s"$base/ns/$t").option("history", "true")
+            .mode("overwrite").save()
+        }
+        Tables.orders(spark, dir)
+          .select((col("o_orderkey") % 5000).as("dk"), col("o_totalprice"))
+          .repartition(4)
+          .write.format("graft.sources.ManifestSink")
+          .option("path", s"$base/ns/dim").option("history", "true")
+          .mode("overwrite").save()
+        spark.sql("CALL gch.system.analyze(table => 'ns.fa')")
+        spark.sql(
+          "CALL gch.system.analyze(table => 'ns.fb', histograms => true)")
+        def q(t: String) = spark.sql(
+          s"""SELECT count(*) AS n,
+            CAST(CAST(sum(CAST(d.o_totalprice AS DECIMAL(30,2)))
+              AS STRING) AS DOUBLE) AS sum_price
+          FROM gch.ns.$t f JOIN gch.ns.dim d ON f.k = d.dk
+          WHERE f.s > 5""")
+        def filterEst(df: org.apache.spark.sql.DataFrame): BigInt =
+          df.queryExecution.optimizedPlan.collect {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.stats.rowCount
+          }.flatten.headOption.getOrElse(BigInt(-1))
+        def broadcasts(df: org.apache.spark.sql.DataFrame): Boolean =
+          df.queryExecution.executedPlan.exists(_.isInstanceOf[
+            org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+        val saved = Seq("spark.sql.cbo.enabled",
+          "spark.sql.adaptive.enabled",
+          "spark.sql.autoBroadcastJoinThreshold")
+          .map(c => c -> spark.conf.get(c))
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          // threshold sized from the HISTOGRAM estimate: 4× leaves
+          // room for stats noise while staying far under the uniform
+          // over-estimate (~16× by construction) and far under the
+          // dim's size (~150% of the fact) at every scale factor
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+            "10485760")
+          val sizeH = q("fb").queryExecution.optimizedPlan.collect {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.stats.sizeInBytes
+          }.head
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+            (sizeH * 4).toString)
+          val (estU, estH) = (filterEst(q("fa")), filterEst(q("fb")))
+          val dfU = q("fa"); val dfH = q("fb")
+          val flip = !broadcasts(dfU) && broadcasts(dfH)
+          val total = fact.count()
+          dfH
+            .withColumn("flip_smj_to_bhj", lit(flip))
+            .withColumn("uniform_overestimates",
+              lit(estU > total * 4 / 5))
+            .withColumn("hist_sees_skew",
+              lit(estH >= 0 && estH < total / 4))
+        } finally saved.foreach { case (c, v) => spark.conf.set(c, v) }
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(30,2))) AS VARCHAR)
+    AS DOUBLE) AS sum_price,
+  true AS flip_smj_to_bhj, true AS uniform_overestimates,
+  true AS hist_sees_skew
+FROM events e JOIN orders o ON e.event_id = o.o_orderkey % 5000
+WHERE e.event_id % 50 = 0""")),
   )
 }
