@@ -37,6 +37,21 @@ object Bench {
     // after a plan change without paying for the other ~100).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Inter-query state hygiene, OUTSIDE any timed region: queries
+    // that localCheckpoint/cache leave blocks in the block manager
+    // until the ContextCleaner happens to GC them — across ~300
+    // queries in one JVM the accumulation degrades late queries
+    // through memory pressure, which round 17's board measured as a
+    // 3.5× phantom slowdown on q_semdedup (1.9 s isolated, 6.8 s on
+    // the full board, identical code). Dropping persisted blocks
+    // between queries makes each measurement self-contained; any
+    // checkpoint cost a query actually pays stays inside its timing.
+    def dropState(): Unit = try {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    } catch { case _: Throwable => () }
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -48,6 +63,7 @@ object Bench {
       val median =
         try { run(); Seq(run(), run(), run()).sorted.apply(1) }
         catch { case _: Throwable => -1.0 }
+      dropState()
       name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -4473,5 +4473,212 @@ ORDER BY type, name""")),
 FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
 WHERE e.event_id % 7 <> 0
 GROUP BY n.n_name ORDER BY n.n_name""")),
+
+    // --- SCAN OBSERVABILITY (DSv2 custom metrics, previously only
+    // ScanMetricsSpec-pinned): the per-scan driver/reader metrics a
+    // 100 TB operator actually watches — partsPlanned/partsSkipped
+    // prove pruning did its job BEFORE paying the scan, dvMaskedRows/
+    // eqMaskedRows meter the merge-on-read debt a compaction decision
+    // needs. The fixture is 4 range-disjoint parts with one MOR
+    // delete (part 2) and one equality delete (part 0): the range
+    // probe plans EXACTLY 1 part (3 skipped), its readers count
+    // exactly the deleted rows, and the full scan sees both debts.
+    // Every metric value is restated analytically by the oracle, so
+    // the gate proves the meters report truth, not plausible numbers.
+    QueryDef("q_scan_metrics",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "scanmetrics")
+        spark.conf.set("spark.sql.catalog.gsmq",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.gsmq.warehouse", wh)
+        val t = s"$wh/ns/m"
+        val ev = Tables.events(spark, dir)
+          .filter(col("event_id") < 1000)
+          .select(col("event_id").as("k"), col("event_type").as("s"),
+            col("value"))
+        (0 until 4).foreach { i =>
+          ev.filter(col("k") >= i * 250L && col("k") < (i + 1) * 250L)
+            .coalesce(1).write.format("graft.sources.ManifestSink")
+            .option("path", t).option("history", "true")
+            .mode(if (i == 0) "overwrite" else "append").save()
+        }
+        spark.conf.set("graft.delete.mode", "mor")
+        try spark.sql("DELETE FROM gsmq.ns.m " +
+          "WHERE k >= 300 AND k < 350 AND s IS NOT NULL")
+        finally spark.conf.unset("graft.delete.mode")
+        spark.conf.set("graft.delete.mode", "eq")
+        try spark.sql("DELETE FROM gsmq.ns.m WHERE k IN (10, 20, 30)")
+        finally spark.conf.unset("graft.delete.mode")
+        def metricsOf(df: DataFrame): Map[String, Long] = {
+          df.collect()
+          df.queryExecution.executedPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => b
+          }.head.metrics.map { case (k, m) => k -> m.value }
+        }
+        val probe = spark.sql(
+          "SELECT k, value FROM gsmq.ns.m WHERE k BETWEEN 250 AND 499")
+        val pm = metricsOf(probe)
+        val fm = metricsOf(spark.sql("SELECT k FROM gsmq.ns.m"))
+        spark.sql("""SELECT count(*) AS n_visible,
+            CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS STRING)
+              AS DOUBLE) AS sum_visible
+          FROM gsmq.ns.m WHERE k BETWEEN 250 AND 499""")
+          .withColumn("parts_planned", lit(pm("partsPlanned")))
+          .withColumn("parts_skipped", lit(pm("partsSkipped")))
+          .withColumn("dv_masked", lit(pm("dvMaskedRows")))
+          .withColumn("eq_masked_probe", lit(pm("eqMaskedRows")))
+          .withColumn("parts_planned_full", lit(fm("partsPlanned")))
+          .withColumn("eq_masked_full", lit(fm("eqMaskedRows")))
+      },
+      Some(s"""SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM events
+   WHERE event_id BETWEEN 250 AND 499
+     AND NOT (event_id >= 300 AND event_id < 350)) AS n_visible,
+  (SELECT ${graft.functions.Exact.decSumSql("value", 6)} FROM events
+   WHERE event_id BETWEEN 250 AND 499
+     AND NOT (event_id >= 300 AND event_id < 350)) AS sum_visible,
+  CAST(1 AS BIGINT) AS parts_planned,
+  CAST(3 AS BIGINT) AS parts_skipped,
+  (SELECT CAST(count(*) AS BIGINT) FROM events
+   WHERE event_id >= 300 AND event_id < 350) AS dv_masked,
+  CAST(0 AS BIGINT) AS eq_masked_probe,
+  CAST(4 AS BIGINT) AS parts_planned_full,
+  (SELECT CAST(count(*) AS BIGINT) FROM events
+   WHERE event_id IN (10, 20, 30)) AS eq_masked_full"""))
+      ,
+
+    // --- COST-BASED BROADCAST FROM MANIFEST STATS (previously only
+    // ScaleSpec-pinned): the scan's estimateStatistics reports
+    // POST-PRUNING bytes from the parts' true on-disk sizes, so a
+    // selective key range over an 8-part fact reports ~1/8 the bytes
+    // and the planner flips the join's fact side to BROADCAST —
+    // while the same join WITHOUT the predicate reports full size
+    // and stays sort-merge. One threshold (full fact bytes / 3, read
+    // from `.files` — between 1/8 and 1 at any scale factor) serves
+    // both plans, so the flip is the manifest stats' doing alone.
+    // At 100 TB: a dashboard's filtered fact⋈dim broadcasts its few
+    // pruned parts instead of shuffling the dim against a
+    // whole-table width guess.
+    QueryDef("q_stats_broadcast",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "statsbcast")
+        spark.conf.set("spark.sql.catalog.gsb",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.gsb.warehouse", wh)
+        Tables.events(spark, dir)
+          .select(col("event_id").as("k"), col("value"))
+          .repartitionByRange(8, col("k"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", s"$wh/ns/fact").option("history", "true")
+          .mode("overwrite").save()
+        Tables.orders(spark, dir)
+          .select((col("o_orderkey") % 2000).as("dk"),
+            col("o_totalprice"))
+          .repartition(4)
+          .write.format("graft.sources.ManifestSink")
+          .option("path", s"$wh/ns/dim").option("history", "true")
+          .mode("overwrite").save()
+        val factBytes = spark.sql(
+          "SELECT CAST(sum(bytes) AS BIGINT) FROM gsb.ns.fact.files")
+          .head.getLong(0)
+        def q(where: String) = spark.sql(
+          s"""SELECT count(*) AS n,
+            CAST(CAST(sum(CAST(d.o_totalprice AS DECIMAL(30,2)))
+              AS STRING) AS DOUBLE) AS sum_price
+          FROM gsb.ns.fact f JOIN gsb.ns.dim d ON f.k = d.dk $where""")
+        def broadcasts(df: DataFrame): Boolean =
+          df.queryExecution.executedPlan.exists(_.isInstanceOf[
+            org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+        val saved = Seq("spark.sql.adaptive.enabled",
+          "spark.sql.autoBroadcastJoinThreshold")
+          .map(c => c -> spark.conf.get(c))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          (factBytes / 3).toString)
+        try {
+          val pruned = q("WHERE f.k >= 100 AND f.k < 200")
+          val full = q("")
+          val flip = broadcasts(pruned) && !broadcasts(full)
+          pruned
+            .withColumn("pruned_broadcasts_full_does_not", lit(flip))
+        } finally saved.foreach { case (c, v) => spark.conf.set(c, v) }
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(CAST(sum(CAST(o.o_totalprice AS DECIMAL(30,2))) AS VARCHAR)
+    AS DOUBLE) AS sum_price,
+  true AS pruned_broadcasts_full_does_not
+FROM events e JOIN orders o ON e.event_id = o.o_orderkey % 2000
+WHERE e.event_id >= 100 AND e.event_id < 200""")),
+
+    // --- WRITE ORDERED BY (previously only SpjSpec-pinned):
+    // `CALL set_layout(order_by => 'k')` makes every subsequent
+    // INSERT range-distribute + sort on k, so parts land SORTED with
+    // DISJOINT key ranges — the layout that makes every later range
+    // predicate open O(1) parts and every merge read streaming. The
+    // gate drives the full contract live: unsorted input lands as
+    // all-sorted disjoint-range parts (booleans folded from the
+    // manifest), a narrow range probe plans a strict subset, and the
+    // probe's answer restates from the raw table. At 100 TB this is
+    // the write-once/prune-forever trade: one range exchange at
+    // ingest buys every scan's pruning.
+    QueryDef("q_write_ordered",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "writeordered")
+        spark.conf.set("spark.sql.catalog.gwo",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.gwo.warehouse", wh)
+        spark.sql("CREATE TABLE gwo.ns.ord (k BIGINT, v DOUBLE)")
+        spark.sql("CALL gwo.system.set_layout(table => 'ns.ord', " +
+          "spec => 'none', order_by => 'k')")
+        // deliberately UNSORTED input (hash-scrambled), 4-way range
+        // exchange pinned (AQE would coalesce small test inputs into
+        // one part and the layout would be unobservable)
+        Tables.events(spark, dir)
+          .select(col("event_id").as("k"), col("value").as("v"))
+          .repartition(8, col("v"))
+          .createOrReplaceTempView("graft_wo_src")
+        val savedA = spark.conf.get(
+          "spark.sql.adaptive.coalescePartitions.enabled")
+        val savedP = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+          "spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try spark.sql("INSERT INTO gwo.ns.ord SELECT * FROM graft_wo_src")
+        finally {
+          spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", savedA)
+          spark.conf.set("spark.sql.shuffle.partitions", savedP)
+        }
+        val files = spark.sql(
+          "SELECT is_sorted, key_min, key_max FROM gwo.ns.ord.files")
+          .collect()
+        val allSorted = files.nonEmpty && files.forall(_.getBoolean(0))
+        val ranges = files.map(r => (r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        val disjoint = ranges.sliding(2).forall {
+          case Array((_, aMax), (bMin, _)) => aMax < bMin
+          case _ => true
+        }
+        val probe = spark.sql("""SELECT count(*) AS n,
+            CAST(CAST(sum(CAST(v AS DECIMAL(30,6))) AS STRING)
+              AS DOUBLE) AS sum_v
+          FROM gwo.ns.ord WHERE k >= 100 AND k < 200""")
+        val planned = probe.queryExecution.sparkPlan.collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b.inputPartitions.length
+        }.getOrElse(-1)
+        probe
+          .withColumn("all_sorted", lit(allSorted))
+          .withColumn("ranges_disjoint", lit(disjoint))
+          .withColumn("probe_pruned", lit(planned > 0 &&
+            planned < files.length))
+      },
+      Some(s"""SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM events
+   WHERE event_id >= 100 AND event_id < 200) AS n,
+  (SELECT ${graft.functions.Exact.decSumSql("value", 6)} FROM events
+   WHERE event_id >= 100 AND event_id < 200) AS sum_v,
+  true AS all_sorted, true AS ranges_disjoint, true AS probe_pruned""")),
   )
 }

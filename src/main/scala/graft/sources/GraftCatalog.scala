@@ -1593,12 +1593,15 @@ private[sources] class ManifestFilesTable(path: String)
   // this part holds on the split column (NULL on non-split tables or
   // a legacy/straddling part) — the Iceberg `.files.partition` analog,
   // the audit answer to "which value does each file own?"
+  // is_sorted appended at the schema END (the only additive-safe
+  // slot): the part's key-sortedness flag — the WRITE ORDERED BY /
+  // compaction layout audit (q_write_ordered folds it)
   private val filesSchema = StructType.fromDDL(
     "part INT, file STRING, n_rows BIGINT, visible_rows BIGINT, " +
       "key_min BIGINT, key_max BIGINT, " +
       "has_dv BOOLEAN, dv_count BIGINT, " +
       "bytes BIGINT, bucket INT, col_stats STRING, key_sum BIGINT, " +
-      "split_value STRING, eq_clauses INT")
+      "split_value STRING, eq_clauses INT, is_sorted BOOLEAN")
 
   override def name(): String = s"manifest($path).files"
   override def schema(): StructType = filesSchema
@@ -1636,7 +1639,8 @@ private[sources] class ManifestFilesTable(path: String)
                 .map { case (c, st) => s"$c:[${st.min}..${st.max}]" }
                 .mkString(" ")),
               m.kSum.map(java.lang.Long.valueOf).orNull,
-              sv, m.eq.size)): org.apache.spark.sql.catalyst.InternalRow
+              sv, m.eq.size,
+              m.sorted)): org.apache.spark.sql.catalyst.InternalRow
           }.toArray
         new LocalRowsScan(filesSchema, rows)
       }
