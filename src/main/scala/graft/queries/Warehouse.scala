@@ -4680,5 +4680,93 @@ WHERE e.event_id >= 100 AND e.event_id < 200""")),
   (SELECT ${graft.functions.Exact.decSumSql("value", 6)} FROM events
    WHERE event_id >= 100 AND event_id < 200) AS sum_v,
   true AS all_sorted, true AS ranges_disjoint, true AS probe_pruned""")),
+
+    // --- SIZE-TARGETED COMPACTION gated live (previously only
+    // ProcedureSpec-pinned): `CALL compact(table, target_bytes => N)`
+    // sizes the rewrite the way real engines do — file count =
+    // ceil(committed physical bytes / target), derived from the head
+    // manifest's per-part byte stats (O(parts) driver metadata, no
+    // listing). The gate reads the table's true bytes from `.files`,
+    // asks for thirds, checks the CALL's parts_after equals the
+    // formula AND the post-compaction file count agrees, and restates
+    // the rollup — compaction changed layout, never content. At
+    // 100 TB "make the files ~256 MB" is the ask every maintenance
+    // scheduler issues; the part count is the derived detail.
+    QueryDef("q_compact_bytes",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "compactbytes")
+        spark.conf.set("spark.sql.catalog.gcb",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.gcb.warehouse", wh)
+        Tables.events(spark, dir)
+          .select(col("event_id").as("k"), col("event_type"), col("value"))
+          .repartitionByRange(8, col("k"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", s"$wh/ns/t").option("history", "true")
+          .mode("overwrite").save()
+        val bytes = spark.sql(
+          "SELECT CAST(sum(bytes) AS BIGINT) FROM gcb.ns.t.files")
+          .head.getLong(0)
+        val target = math.max(1L, bytes / 3)
+        val expected = math.ceil(bytes.toDouble / target).toInt
+        val r = spark.sql("CALL gcb.system.compact(table => 'ns.t', " +
+          s"target_bytes => $target)").head
+        val partsAfter = spark.sql(
+          "SELECT count(*) FROM gcb.ns.t.files").head.getLong(0)
+        spark.sql("""SELECT count(*) AS n,
+            CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS STRING)
+              AS DOUBLE) AS sum_v
+          FROM gcb.ns.t""")
+          .withColumn("parts_before", lit(r.getInt(0).toLong))
+          .withColumn("sized_to_formula",
+            lit(r.getInt(1) == expected && partsAfter == expected.toLong))
+      },
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n,
+  (SELECT ${graft.functions.Exact.decSumSql("value", 6)} FROM events)
+    AS sum_v,
+  CAST(8 AS BIGINT) AS parts_before, true AS sized_to_formula
+FROM events""")),
+
+    // --- STREAMING TAIL BY TIME (`startingTimestamp` — previously
+    // only ManifestStreamSpec-pinned): a fresh consumer tails from
+    // the EARLIEST snapshot committed at or after the given instant
+    // (version-file mtime — the same immutable commit clock
+    // TIMESTAMP AS OF resolves), so "catch me up from 9am" needs no
+    // version archaeology. The gate commits two snapshots, derives a
+    // cutoff strictly between their commit instants, drains an
+    // AvailableNow stream from it, and the result restates as
+    // EXACTLY the second commit's rows — the first snapshot is
+    // provably not replayed. At 100 TB this is how a late-joining
+    // consumer skips the historical terabytes it doesn't want.
+    QueryDef("q_stream_tail",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "streamtail")
+        val tbl = s"$wh/ns/t"
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"))
+        writeHistory(base.filter(col("event_id") % 2 === 0), tbl,
+          "overwrite")
+        writeHistory(base.filter(col("event_id") % 2 =!= 0), tbl,
+          "append")
+        val d = new Path(tbl)
+        val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def mtime(v: Int): Long = fs.getFileStatus(new Path(d,
+          graft.sources.ManifestSink.versionFile(v))).getModificationTime
+        val cutoff =
+          new java.sql.Timestamp((mtime(1) + mtime(2)) / 2 + 1).toString
+        val q = spark.readStream
+          .format("graft.sources.ManifestSource")
+          .option("path", tbl).option("startingTimestamp", cutoff).load()
+          .writeStream.format("memory").queryName("graft_stream_tail")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        spark.table("graft_stream_tail")
+          .select(col("event_id"), col("event_type"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, event_type FROM events
+WHERE event_id % 2 <> 0 ORDER BY event_id""")),
   )
 }
