@@ -4768,5 +4768,97 @@ FROM events""")),
       },
       Some("""SELECT event_id, event_type FROM events
 WHERE event_id % 2 <> 0 ORDER BY event_id""")),
+
+    // --- ATOMIC MULTI-TABLE STREAMING EPOCHS (ManifestTxn inside
+    // foreachBatch — the medallion pipeline's missing atomicity): a
+    // throttled stream fans each micro-batch into TWO downstream
+    // tables (full rows → silver, an aggregable projection → audit),
+    // staged on branch `txn-ep<batchId>` and published by ONE
+    // `ManifestTxn.commit` per epoch — so the pair can never diverge:
+    // a crash mid-epoch leaves BOTH tables at the prior epoch (or the
+    // marker completes both via recovery), and a REPLAYED batch is
+    // dropped by the txn's own committed-marker probe (isCommitted —
+    // no sidecar batch files, the transaction ledger IS the
+    // idempotence marker). Gated: both histories carry the SAME
+    // txn-label set, one label per delivered epoch (`epochs_atomic`),
+    // ≥2 epochs actually ran (`multi_epoch` — the throttle made the
+    // AvailableNow drain span several), and both tables' final
+    // contents restate from the raw table. At 100 TB this is
+    // continuous ingest with cross-table consistency — the property
+    // q_stream_medallion's independent commits cannot give.
+    QueryDef("q_stream_txn",
+      (spark0, dir) => {
+        val spark = graft.streaming.Streams.streamSession(spark0)
+        val wh = freshTable(spark, dir, "streamtxn")
+        spark.conf.set("spark.sql.catalog.gstx",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.gstx.warehouse", wh)
+        val bronze = s"$wh/ns/bronze"
+        val silver = s"$wh/ns/silver"
+        val audit = s"$wh/ns/audit"
+        val base = Tables.orders(spark, dir).select(
+          col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+          col("o_totalprice").as("price"))
+        writeHistory(base.filter(col("k") % 3 === 0), bronze, "overwrite")
+        writeHistory(base.filter(col("k") % 3 === 1), bronze, "append")
+        writeHistory(base.filter(col("k") % 3 === 2), bronze, "append")
+        val hconf = spark.sessionState.newHadoopConf()
+        val q = spark.readStream
+          .format("graft.sources.ManifestSource").option("path", bronze)
+          .option("maxPartsPerTrigger", "4").load()
+          .filter(col("price") > 1000.0)
+          .writeStream
+          .option("checkpointLocation", java.nio.file.Files
+            .createTempDirectory("graft-stxn-ckpt-").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val id = f"ep$batchId%05d"
+            // the txn ledger is the idempotence marker: a replayed
+            // epoch finds its committed marker and stages nothing
+            if (!graft.sources.ManifestTxn.isCommitted(hconf, wh, id)) {
+              def stage(df: DataFrame, t: String): Unit = df
+                .repartition(2).write
+                .format("graft.sources.ManifestSink")
+                .option("path", t).option("history", "true")
+                .option("branch", s"txn-$id").mode("append").save()
+              stage(batch, silver)
+              stage(batch.filter(col("price") > 100000.0)
+                .select(col("k"), col("prio")), audit)
+              graft.sources.ManifestTxn.commit(hconf, wh, id,
+                Seq(silver, audit))
+            }
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        def labels(t: String): Seq[String] =
+          spark.sql(s"SELECT operation FROM gstx.ns.$t.history " +
+            "WHERE operation LIKE 'txn:%'")
+            .collect().map(_.getString(0)).toSeq.sorted
+        val (ls, la) = (labels("silver"), labels("audit"))
+        val atomic = ls.nonEmpty && ls == la &&
+          ls.distinct.size == ls.size
+        val multiEpoch = ls.size >= 2
+        spark.sql("""SELECT prio, count(*) AS n,
+            CAST(CAST(sum(CAST(price AS DECIMAL(30,2))) AS STRING)
+              AS DOUBLE) AS sum_price
+          FROM gstx.ns.silver GROUP BY prio""")
+          .join(spark.sql(
+            "SELECT prio, count(*) AS n_audit FROM gstx.ns.audit " +
+              "GROUP BY prio"), Seq("prio"), "left")
+          .select(col("prio"), col("n"), col("sum_price"),
+            coalesce(col("n_audit"), lit(0L)).as("n_audit"))
+          .withColumn("epochs_atomic", lit(atomic))
+          .withColumn("multi_epoch", lit(multiEpoch))
+          .orderBy(col("prio"))
+      },
+      Some(s"""SELECT o_orderpriority AS prio,
+  CAST(count(*) AS BIGINT) AS n,
+  ${Exact.decSumSql("o_totalprice", 2)} AS sum_price,
+  CAST(coalesce(sum(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END),
+    0) AS BIGINT) AS n_audit,
+  true AS epochs_atomic, true AS multi_epoch
+FROM orders WHERE o_totalprice > 1000.0
+GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
   )
 }

@@ -181,6 +181,16 @@ object ManifestTxn {
     published
   }
 
+  /** True when txn `id` has already claimed its commit point (marker
+    * pending or applied) — the idempotence probe a replay-prone
+    * caller (a foreachBatch epoch) checks BEFORE staging anything. */
+  def isCommitted(conf: Configuration, warehouse: String,
+      id: String): Boolean = {
+    val fs = txnRoot(warehouse).getFileSystem(conf)
+    fs.exists(markerPath(warehouse, id)) ||
+      fs.exists(appliedPath(warehouse, id))
+  }
+
   /** The user-facing commit: verify + marker + roll-forward in one
     * call. Any failure BEFORE the marker leaves every table at its
     * prior snapshot; a crash after it is completed by [[rollForward]]
