@@ -92,7 +92,25 @@ object MvRewrite extends Rule[LogicalPlan] {
     if (targets.isEmpty) return plan
     plan.transformDown {
       case agg: Aggregate =>
-        (sourceOf(agg.child) match {
+        // KEY-PREDICATE routing: a deterministic Filter between the
+        // aggregate and the scan whose references are all GROUPING
+        // attributes commutes with the grouping (σ_θ(γ_K(R)) =
+        // γ_K(σ_θ(R)) when θ reads only K), so the query routes to
+        // the MV with the SAME filter rebound over the MV's key
+        // columns — the dashboard's `WHERE key = x GROUP BY key`
+        // reads O(matching groups), never the table. Any filter
+        // touching a non-key column still declines.
+        val (keyFilter, aggChild) = strip(agg.child) match {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+              if f.condition.deterministic &&
+                f.condition.references.subsetOf(AttributeSet(
+                  agg.groupingExpressions.collect {
+                    case a: AttributeReference => a
+                  })) =>
+            (Some(f.condition), f.child)
+          case other => (None, other)
+        }
+        (sourceOf(aggChild) match {
           case Some((dir, pinned)) =>
             targets.find { case (t, head, _) =>
               // a bare-scan aggregate is answered only by a bare MV
@@ -102,7 +120,8 @@ object MvRewrite extends Rule[LogicalPlan] {
                 // post-pushdown: the scan already pinned its version —
                 // rewrite iff it pinned exactly the watermark
                 pinned.getOrElse(head) == t.meta.sourceVersion
-            }.flatMap { case (t, _, _) => substitute(spark, agg, t) }
+            }.flatMap { case (t, _, _) =>
+              substitute(spark, agg, t, keyFilter) }
           case None => None
         }).orElse(joinSourceOf(agg.child) match {
           // fact ⋈ dim GROUP BY <dim attr>: answered by a JOIN MV iff
@@ -226,7 +245,8 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   private def substitute(spark: SparkSession, agg: Aggregate,
-      t: Target): Option[LogicalPlan] = {
+      t: Target, keyFilter: Option[Expression] = None)
+      : Option[LogicalPlan] = {
     // MULTI-KEY shape gate: every grouping expression a bare
     // attribute, no repeats, and the name set either
     //  - EXACTLY the MV's key list (any order — GROUP BY b, a still
@@ -272,13 +292,25 @@ object MvRewrite extends Rule[LogicalPlan] {
         out.find(_.name == "min_value"), out.find(_.name == "max_value"),
         out.find(_.name == "ndv_sketch"),
         t.meta, mvPlan.outputSet, reAgg = subset)
-    } yield
+    } yield {
+      // key-predicate routing: the caller proved the filter reads
+      // only grouping attributes, so it commutes with the grouping —
+      // rebind it over the MV's key columns and keep it in the plan
+      val keyById2 = keyPairs.map { case (k, mv) => k.exprId -> mv }.toMap
+      val base: LogicalPlan = keyFilter.fold(mvPlan) { cond =>
+        org.apache.spark.sql.catalyst.plans.logical.Filter(
+          cond.transform {
+            case a: AttributeReference if keyById2.contains(a.exprId) =>
+              keyById2(a.exprId)
+          }, mvPlan)
+      }
       if (subset)
         // coarser rollup: one Aggregate over the MV's O(groups) rows
         // — the table is never rescanned; at 100 TB this turns the
         // drill-up from a petabyte scan into a shuffle of the MV
-        Aggregate(keyPairs.map(_._2), mapped, mvPlan)
-      else Project(mapped, mvPlan)
+        Aggregate(keyPairs.map(_._2), mapped, base)
+      else Project(mapped, base)
+    }
   }
 
   /** Re-express every aggregate-output expression over the MV's

@@ -121,6 +121,31 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("key-predicate routing: a filter over GROUPING columns rides " +
+    "the rewrite (rebound over the MV); non-key filters still decline") {
+    // source + MV are fresh from the first test (watermark v2)
+    withRule {
+      val q = spark.sql(rollupSql.replace("FROM gmvr.ns.src",
+        "FROM gmvr.ns.src WHERE s IN ('g1', 'g3')"))
+      assert(!hasAggregate(q) && scansMv(q),
+        s"key-only filter must route:\n${q.queryExecution.optimizedPlan}")
+      val direct = collectSet(spark.sql(rollupSql))
+        .filter(r => r._1 == "g1" || r._1 == "g3")
+      assert(collectSet(q) === direct,
+        "filtered rewrite must equal the filtered direct rollup")
+      // compound key-only predicates route too
+      val q2 = spark.sql(rollupSql.replace("FROM gmvr.ns.src",
+        "FROM gmvr.ns.src WHERE s >= 'g2' AND s <= 'g5' AND s != 'g4'"))
+      assert(!hasAggregate(q2) && scansMv(q2))
+      assert(collectSet(q2) === collectSet(spark.sql(rollupSql))
+        .filter(r => r._1 >= "g2" && r._1 <= "g5" && r._1 != "g4"))
+      // a filter touching a NON-key column cannot commute: decline
+      assert(hasAggregate(spark.sql(rollupSql.replace(
+        "FROM gmvr.ns.src", "FROM gmvr.ns.src WHERE s = 'g1' AND k > 0"))),
+        "a non-key reference in the filter must decline")
+    }
+  }
+
   test("join MV: routes the fact⋈dim rollup; stale fact, moved dim " +
     "and wrong join columns all decline") {
     import spark.implicits._
