@@ -100,13 +100,13 @@ object MvRewrite extends Rule[LogicalPlan] {
         // columns — the dashboard's `WHERE key = x GROUP BY key`
         // reads O(matching groups), never the table. Any filter
         // touching a non-key column still declines.
+        val groupKeys = AttributeSet(agg.groupingExpressions.collect {
+          case a: AttributeReference => a
+        })
         val (keyFilter, aggChild) = strip(agg.child) match {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter
               if f.condition.deterministic &&
-                f.condition.references.subsetOf(AttributeSet(
-                  agg.groupingExpressions.collect {
-                    case a: AttributeReference => a
-                  })) =>
+                f.condition.references.subsetOf(groupKeys) =>
             (Some(f.condition), f.child)
           case other => (None, other)
         }
@@ -123,12 +123,12 @@ object MvRewrite extends Rule[LogicalPlan] {
             }.flatMap { case (t, _, _) =>
               substitute(spark, agg, t, keyFilter) }
           case None => None
-        }).orElse(joinSourceOf(agg.child) match {
+        }).orElse(joinSourceOf(aggChild, groupKeys) match {
           // fact ⋈ dim GROUP BY <dim attr>: answered by a JOIN MV iff
           // both sides' versions equal the recorded watermark pair
           // and the equi-join columns are exactly the recorded pair
           // on the recorded sides (either join order)
-          case Some((lDir, lPin, rDir, rPin, lCol, rCol)) =>
+          case Some((lDir, lPin, rDir, rPin, lCol, rCol, hoisted)) =>
             targets.find { case (t, head, dimHead) =>
               t.meta.join.exists { j =>
                 val factLeft = norm(t.meta.source) == norm(lDir) &&
@@ -143,7 +143,14 @@ object MvRewrite extends Rule[LogicalPlan] {
                   lPin.getOrElse(dimHead) == j.dimVersion
                 factLeft || factRight
               }
-            }.flatMap { case (t, _, _) => substitute(spark, agg, t) }
+            }.flatMap { case (t, _, _) =>
+              // the same key-predicate commutation holds over the
+              // join MV: the filter reads only the dim grouping attr
+              // (whether left above the aggregate or pushed onto a
+              // join side, where stripJoinSide hoisted it)
+              substitute(spark, agg, t,
+                (keyFilter.toSeq ++ hoisted.toSeq).reduceOption(
+                  org.apache.spark.sql.catalyst.expressions.And(_, _))) }
           case None => None
         }).getOrElse(agg)
     }
@@ -151,10 +158,16 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   /** An INNER equi-join of two bare manifest reads directly under the
     * aggregate: (leftDir, leftPin, rightDir, rightPin, left join col,
-    * right join col). Anything else — other join types, compound or
-    * non-attribute conditions, hints — declines. */
-  private def joinSourceOf(p: LogicalPlan): Option[
-      (String, Option[Int], String, Option[Int], String, String)] =
+    * right join col, hoisted key predicate). Anything else — other
+    * join types, compound or non-attribute conditions, hints —
+    * declines. `groupKeys` are the aggregate's grouping attributes: a
+    * deterministic filter PUSHED onto a join side whose references
+    * are all grouping attributes hoists back above the join (exact —
+    * σ over group keys commutes with both the inner join and the
+    * grouping) and is returned for rebinding over the MV. */
+  private def joinSourceOf(p: LogicalPlan, groupKeys: AttributeSet)
+      : Option[(String, Option[Int], String, Option[Int], String,
+          String, Option[Expression])] =
     strip(p) match {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join
           if j.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
@@ -178,41 +191,59 @@ object MvRewrite extends Rule[LogicalPlan] {
               else if (j.left.outputSet.contains(b) &&
                   j.right.outputSet.contains(a)) (b, a)
               else return None
-            // the optimizer infers `isnotnull(<join key>)` filters
-            // under an inner equi-join; stripping exactly those is
-            // EXACT (the inner join drops null keys anyway) — any
-            // other filter still declines
             val keys = Set(a.exprId, b.exprId)
+            val (lPlan, lHoist) = stripJoinSide(j.left, keys, groupKeys)
+            val (rPlan, rHoist) = stripJoinSide(j.right, keys, groupKeys)
             for {
-              (ld, lp) <- sourceOf(stripKeyNotNull(j.left, keys))
-              (rd, rp) <- sourceOf(stripKeyNotNull(j.right, keys))
-            } yield (ld, lp, rd, rp, la.name, ra.name)
+              (ld, lp) <- sourceOf(lPlan)
+              (rd, rp) <- sourceOf(rPlan)
+            } yield (ld, lp, rd, rp, la.name, ra.name,
+              (lHoist ++ rHoist).reduceOption(
+                org.apache.spark.sql.catalyst.expressions.And(_, _)))
           case _ => None
         }
       case _ => None
     }
 
-  /** Strip Filters that are pure conjunctions of `IsNotNull(k)` over
-    * the join keys (and attribute-only Projects) — the constraint-
-    * inference debris an inner equi-join always carries. */
-  private def stripKeyNotNull(p: LogicalPlan,
-      keys: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
-      : LogicalPlan = {
-    import org.apache.spark.sql.catalyst.expressions.{And, IsNotNull}
+  /** Strip a join INPUT down to its bare relation, classifying every
+    * Filter on the way (attribute-only Projects always strip):
+    *  - `IsNotNull(<join key>)` conjunctions — constraint-inference
+    *    debris an inner equi-join always carries — DROP (exact: the
+    *    join drops null keys anyway);
+    *  - DynamicPruning filters on a join key — DPP is derived FROM
+    *    the join, redundant with it — DROP;
+    *  - a deterministic filter whose references are all GROUPING
+    *    attributes — the query's own pushed key predicate — HOIST
+    *    (returned; re-applied above the MV);
+    *  - anything else blocks (left in place → sourceOf declines). */
+  private def stripJoinSide(p: LogicalPlan,
+      keys: Set[org.apache.spark.sql.catalyst.expressions.ExprId],
+      groupKeys: AttributeSet): (LogicalPlan, Seq[Expression]) = {
+    import org.apache.spark.sql.catalyst.expressions.{And, DynamicPruning,
+      IsNotNull}
     def legs(e: Expression): Seq[Expression] = e match {
       case And(l, r) => legs(l) ++ legs(r)
       case x => Seq(x)
     }
     p match {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-          if legs(f.condition).forall {
-            case IsNotNull(a: AttributeReference) => keys.contains(a.exprId)
-            case _ => false
-          } => stripKeyNotNull(f.child, keys)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        val (droppable, rest) = legs(f.condition).partition {
+          case IsNotNull(a: AttributeReference) => keys.contains(a.exprId)
+          case d if d.isInstanceOf[DynamicPruning] => true
+          case _ => false
+        }
+        val (hoistable, blocking) = rest.partition(e =>
+          e.deterministic && e.references.subsetOf(groupKeys))
+        if (blocking.nonEmpty) (p, Seq.empty)
+        else {
+          val _ = droppable
+          val (child, more) = stripJoinSide(f.child, keys, groupKeys)
+          (child, hoistable ++ more)
+        }
       case Project(es, child)
           if es.forall(_.isInstanceOf[AttributeReference]) =>
-        stripKeyNotNull(child, keys)
-      case other => other
+        stripJoinSide(child, keys, groupKeys)
+      case other => (other, Seq.empty)
     }
   }
 

@@ -200,6 +200,15 @@ class MvRewriteSpec extends SparkSpec {
         "append refresh is FK-local: plus-only, no restatement")
       val reArmed = spark.sql(jq)
       assert(!hasJoin(reArmed) && collectSet(reArmed) === collectSet(stale))
+      // key-predicate routing composes with the JOIN shape: a filter
+      // on the dim grouping attr rides the rewrite
+      val jf = spark.sql(jq.replace("GROUP BY attr",
+        "WHERE attr IN ('d1', 'd3') GROUP BY attr"))
+      assert(!hasJoin(jf) && !hasAggregate(jf),
+        s"key filter over the join MV must route:\n" +
+          jf.queryExecution.optimizedPlan)
+      assert(collectSet(jf) === collectSet(spark.sql(jq))
+        .filter(r => r._1 == "d1" || r._1 == "d3"))
       // MOVED DIM declines; refresh recomputes fully and re-arms
       (5L until 6L).map(i => (i, s"d$i")).toDF("dk", "attr")
         .coalesce(1).write.format("graft.sources.ManifestSink")
