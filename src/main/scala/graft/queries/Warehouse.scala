@@ -4860,5 +4860,59 @@ WHERE event_id % 2 <> 0 ORDER BY event_id""")),
   true AS epochs_atomic, true AS multi_epoch
 FROM orders WHERE o_totalprice > 1000.0
 GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // --- MV KEY-PREDICATE ROUTING gated live (MvRewrite): a
+    // deterministic filter whose references are all GROUPING columns
+    // commutes with the grouping (σ_θ(γ_K(R)) = γ_K(σ_θ(R)) for θ
+    // over K), so the filtered rollup routes to the MV with the SAME
+    // predicate rebound over the MV's key columns — the keyed
+    // drill-down (`WHERE key IN (…) GROUP BY key`) reads O(matching
+    // groups), never the table. The gate proves both halves: the
+    // key-only filter ROUTES (optimized plan loses its Aggregate and
+    // reads the MV — `routed` boolean) while the same query with a
+    // NON-key conjunct DECLINES to the source (`nonkey_declines` —
+    // a wrong hoist there would be a wrong answer, so the decline is
+    // load-bearing). Answers restate from the raw table either way.
+    QueryDef("q_mv_route_filter",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "mvroutef")
+        spark.conf.set("spark.sql.catalog.gmrf",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.gmrf.warehouse", wh)
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .repartitionByRange(4, col("event_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", s"$wh/ns/ev").option("history", "true")
+          .mode("overwrite").save()
+        spark.sql("CALL gmrf.system.create_mv(mv_table => 'ns.mv', " +
+          "source_table => 'ns.ev', key_col => 'event_type', " +
+          "sum_col => 'value', scale => 6)")
+        def q(where: String) = spark.sql(
+          s"""SELECT event_type, count(*) AS n,
+            CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS STRING)
+              AS DOUBLE) AS sum_v
+          FROM gmrf.ns.ev $where GROUP BY event_type""")
+        def aggregates(df: DataFrame): Boolean =
+          df.queryExecution.optimizedPlan.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.Aggregate])
+        spark.conf.set("graft.mv.rewrite", s"$wh/ns/mv")
+        try {
+          val keyed = q("WHERE event_type IN ('click', 'view')")
+          val routed = !aggregates(keyed) &&
+            keyed.queryExecution.optimizedPlan.toString.contains("/ns/mv")
+          val nonkeyDeclines = aggregates(
+            q("WHERE event_type = 'click' AND event_id > 0"))
+          keyed
+            .withColumn("routed", lit(routed))
+            .withColumn("nonkey_declines", lit(nonkeyDeclines))
+            .orderBy(col("event_type"))
+        } finally spark.conf.unset("graft.mv.rewrite")
+      },
+      Some(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  ${Exact.decSumSql("value", 6)} AS sum_v,
+  true AS routed, true AS nonkey_declines
+FROM events WHERE event_type IN ('click', 'view')
+GROUP BY event_type ORDER BY event_type""")),
   )
 }
