@@ -1499,6 +1499,52 @@ ORDER BY retired, position, name""")),
   (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 2 = 0)
     AS n_v2""")),
 
+    // --- NESTED SCHEMA EVOLUTION (ColMap.nested +
+    // GraftCatalog.alterTable nested branches): ADD/RENAME/DROP on
+    // DEPTH-1 STRUCT FIELDS as metadata-only commits over stable
+    // NESTED field ids — the Iceberg nested-field-id contract, and
+    // the DDL form of the reference's progressively-enriched
+    // prediction struct (reference: estimate_queue.py:80-88). The
+    // ladder runs rename → second generation → drop → add → third
+    // generation, then reads all three part generations side by
+    // side: pre-DDL parts resolve the renamed sub-field through its
+    // unchanged nested id, read NULL for the post-drop addition
+    // (fresh id — the dropped sub-bytes still sitting at their
+    // sub-slot can never resurrect), and each generation decodes
+    // through its stamped sub-layout ([[PartMeta.ncols]]). Zero data
+    // files are read or written by any of the three ALTERs — at
+    // 100 TB the only viable shape for evolving a payload struct.
+    QueryDef("q_nested_evolve",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "nestedevo")
+        spark.conf.set("spark.sql.catalog.gne",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.gne.warehouse", wh)
+        spark.sql("CREATE TABLE gne.ns.t " +
+          "(id BIGINT, payload STRUCT<a: BIGINT, b: STRING>)")
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .createOrReplaceTempView("graft_nested_src")
+        spark.sql("INSERT INTO gne.ns.t SELECT event_id, " +
+          "named_struct('a', event_id * 2, 'b', event_type) " +
+          "FROM graft_nested_src WHERE event_id % 3 = 0")
+        spark.sql("ALTER TABLE gne.ns.t RENAME COLUMN payload.b TO tag")
+        spark.sql("INSERT INTO gne.ns.t SELECT event_id, " +
+          "named_struct('a', event_id * 3, 'tag', event_type) " +
+          "FROM graft_nested_src WHERE event_id % 3 = 1")
+        spark.sql("ALTER TABLE gne.ns.t DROP COLUMN payload.a")
+        spark.sql("ALTER TABLE gne.ns.t ADD COLUMN payload.score DOUBLE")
+        spark.sql("INSERT INTO gne.ns.t SELECT event_id, " +
+          "named_struct('tag', event_type, 'score', value) " +
+          "FROM graft_nested_src WHERE event_id % 3 = 2")
+        spark.sql("""SELECT id, payload.tag AS tag,
+            payload.score AS score
+          FROM gne.ns.t ORDER BY id""")
+      },
+      Some("""SELECT event_id AS id, event_type AS tag,
+  CASE WHEN event_id % 3 = 2 THEN value ELSE NULL END AS score
+FROM events ORDER BY id""")),
+
     // --- COLUMN MAPPING (sources/ManifestSink.scala ColMap +
     // GraftCatalog.alterTable): RENAME and DROP COLUMN as
     // METADATA-ONLY commits over stable field ids — the Delta
@@ -4681,6 +4727,75 @@ WHERE e.event_id >= 100 AND e.event_id < 200""")),
    WHERE event_id >= 100 AND event_id < 200) AS sum_v,
   true AS all_sorted, true AS ranges_disjoint, true AS probe_pruned""")),
 
+    // --- TopN PUSHDOWN on ordered layouts (SupportsPushDownTopN,
+    // PARTIAL): `ORDER BY key LIMIT k` on a WRITE ORDERED / CLUSTER
+    // BY table plans only the BOUNDARY parts — the scan accepts the
+    // TopN as a part-pruning hint (isPartiallyPushed, so Spark keeps
+    // its Sort+Limit and correctness never rests on the prune) and
+    // build() keeps the shortest disjoint-range prefix covering k
+    // visible rows. The gate proves all three halves live: ASC and
+    // DESC probes each plan fewer parts than the table holds
+    // (opposite boundaries), while the SAME query on an UNSORTED
+    // copy declines (overlapping ranges ⇒ all parts planned).
+    // Answers restated either way. At 100 TB this is "show me the
+    // newest 100 rows" opening 1 part instead of sorting the table.
+    QueryDef("q_topk_pushdown",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "topkpush")
+        spark.conf.set("spark.sql.catalog.gtk",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.gtk.warehouse", wh)
+        spark.sql("CREATE TABLE gtk.ns.ord (k BIGINT, v DOUBLE)")
+        spark.sql("CALL gtk.system.set_layout(table => 'ns.ord', " +
+          "spec => 'none', order_by => 'k')")
+        spark.sql("CREATE TABLE gtk.ns.unord (k BIGINT, v DOUBLE)")
+        Tables.events(spark, dir)
+          .select(col("event_id").as("k"), col("value").as("v"))
+          .repartition(8, col("v"))
+          .createOrReplaceTempView("graft_tk_src")
+        val savedA = spark.conf.get(
+          "spark.sql.adaptive.coalescePartitions.enabled")
+        val savedP = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+          "spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          spark.sql("INSERT INTO gtk.ns.ord SELECT * FROM graft_tk_src")
+          spark.sql("INSERT INTO gtk.ns.unord SELECT * FROM graft_tk_src")
+        } finally {
+          spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", savedA)
+          spark.conf.set("spark.sql.shuffle.partitions", savedP)
+        }
+        def planned(df: DataFrame): Int =
+          df.queryExecution.sparkPlan.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => b.inputPartitions.length
+          }.getOrElse(-1)
+        def files(t: String): Int =
+          spark.sql(s"SELECT count(*) FROM gtk.ns.$t.files")
+            .head.getLong(0).toInt
+        val (total, totalU) = (files("ord"), files("unord"))
+        val asc = spark.sql(
+          "SELECT k, v FROM gtk.ns.ord ORDER BY k LIMIT 10")
+        val desc = spark.sql(
+          "SELECT k, v FROM gtk.ns.ord ORDER BY k DESC LIMIT 10")
+        val unord = spark.sql(
+          "SELECT k, v FROM gtk.ns.unord ORDER BY k LIMIT 10")
+        val ascPruned = planned(asc) > 0 && planned(asc) < total
+        val descPruned = planned(desc) > 0 && planned(desc) < total
+        // overlapping ranges ⇒ the prune declines ⇒ every part planned
+        val unsortedDeclines = totalU > 1 && planned(unord) == totalU
+        asc
+          .withColumn("asc_pruned", lit(ascPruned))
+          .withColumn("desc_pruned", lit(descPruned))
+          .withColumn("unsorted_declines", lit(unsortedDeclines))
+          .orderBy(col("k"))
+      },
+      Some("""SELECT event_id AS k, value AS v,
+  true AS asc_pruned, true AS desc_pruned, true AS unsorted_declines
+FROM events ORDER BY k LIMIT 10""")),
+
     // --- SIZE-TARGETED COMPACTION gated live (previously only
     // ProcedureSpec-pinned): `CALL compact(table, target_bytes => N)`
     // sizes the rewrite the way real engines do — file count =
@@ -4816,6 +4931,11 @@ WHERE event_id % 2 <> 0 ORDER BY event_id""")),
             // the txn ledger is the idempotence marker: a replayed
             // epoch finds its committed marker and stages nothing
             if (!graft.sources.ManifestTxn.isCommitted(hconf, wh, id)) {
+              // a crash MID-STAGING leaves commits on the txn branch;
+              // appending the replay onto them would publish both
+              // attempts' rows — drop the stale branches first
+              graft.sources.ManifestTxn.abortStaged(hconf, wh, id,
+                Seq(silver, audit))
               def stage(df: DataFrame, t: String): Unit = df
                 .repartition(2).write
                 .format("graft.sources.ManifestSink")
@@ -4900,7 +5020,8 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
         try {
           val keyed = q("WHERE event_type IN ('click', 'view')")
           val routed = !aggregates(keyed) &&
-            keyed.queryExecution.optimizedPlan.toString.contains("/ns/mv")
+            graft.sources.MvRewrite.readsManifestDir(
+              keyed.queryExecution.optimizedPlan, s"$wh/ns/mv")
           val nonkeyDeclines = aggregates(
             q("WHERE event_type = 'click' AND event_id > 0"))
           keyed

@@ -311,6 +311,28 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    // STRUCT columns are supported at DEPTH 1 (atomic sub-fields
+    // only — the line codec is flat; see ManifestCodec's struct
+    // token). Deeper nesting is rejected at CREATE, not at first
+    // write. Generalizes the reference's progressively-enriched
+    // prediction record (estimate_queue.py:80-88) to a typed,
+    // evolvable struct column.
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case st: StructType => st.fields.foreach { sf =>
+          sf.dataType match {
+            case _: StructType | _: org.apache.spark.sql.types.ArrayType |
+                _: org.apache.spark.sql.types.MapType =>
+              throw new IllegalArgumentException(
+                s"unsupported type for '${f.name}.${sf.name}' " +
+                  s"(${sf.dataType.simpleString}): struct fields must " +
+                  "be atomic — depth-1 structs only")
+            case _ => ()
+          }
+        }
+        case _ => ()
+      }
+    }
     // CLUSTER BY (c) — the liquid-clustering DDL spelling: maps to
     // the WRITE ORDERED BY layout (every INSERT range-distributes and
     // sorts on the column, parts land with disjoint ranges → tight
@@ -526,10 +548,68 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         if ("""\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
           .findFirstIn(sql).isDefined => n
       }
+    // NESTED DDL shared resolution: the parent must be a top-level
+    // depth-1 struct column; returns (parent index, parent field id,
+    // struct type, nested mapping). Nested evolution rides the same
+    // stable-id machinery as the top level, one level down
+    // ([[ColMap.nested]]): metadata-only commits, no data rewrite.
+    def nestedTarget(s: StructType, parent: String)
+        : (Int, Int, StructType, ColMap.Nested) = {
+      // resolve against the FOLDED schema: colmap.ids is maintained in
+      // lock-step with it by every change in this ALTER
+      val pIdx = s.fieldNames.indexWhere(_.equalsIgnoreCase(parent))
+      require(pIdx >= 0, s"no column '$parent' in $ident")
+      val st = s.fields(pIdx).dataType match {
+        case t: StructType => t
+        case o => throw new IllegalArgumentException(
+          s"'$parent' is ${o.simpleString}, not a struct — nested DDL " +
+            "applies to struct fields")
+      }
+      val pid = colmap.ids.lift(pIdx).getOrElse(pIdx)
+      (pIdx, pid, st, colmap.nestedOf(pid, st.fields.length))
+    }
+    def atomicType(dt: DataType): Boolean = dt match {
+      case _: StructType | _: org.apache.spark.sql.types.ArrayType |
+          _: org.apache.spark.sql.types.MapType => false
+      case _ => true
+    }
     val widened = changes.foldLeft(schema) {
+      // ADD COLUMN parent.child — appended at the struct's end with a
+      // FRESH nested id: parts written before read NULL for the new
+      // sub-slot, and a previously dropped sub-field's bytes can
+      // never resurrect under the new name
+      case (s, add: TableChange.AddColumn)
+          if add.fieldNames().length == 2 =>
+        val parent = add.fieldNames()(0)
+        val child = add.fieldNames()(1)
+        val (pIdx, pid, st, nm) = nestedTarget(s, parent)
+        require(atomicType(add.dataType()),
+          s"nested field '$parent.$child' must be an atomic type " +
+            "(depth-1 structs only — the line codec is flat)")
+        require(!st.fieldNames.exists(_.equalsIgnoreCase(child)),
+          s"field '$parent.$child' already exists in $ident")
+        require(!nm.isRetired(child),
+          s"field name '$parent.$child' was previously dropped or " +
+            s"renamed away on $ident and cannot be reused")
+        require(add.isNullable,
+          s"added field '$parent.$child' must be nullable " +
+            "(existing rows have no value for it)")
+        require(add.position() == null,
+          "nested fields can only be added at the end (struct tokens " +
+            "are positional; reordering would re-interpret committed data)")
+        require(add.defaultValue() == null,
+          "nested DEFAULT is not supported — added struct fields read " +
+            "NULL for pre-existing rows")
+        schemaChanged = true
+        colmap = colmap.copy(nested = colmap.nested + (pid ->
+          nm.copy(ids = nm.ids :+ nm.nextId, nextId = nm.nextId + 1)))
+        val nf = StructField(child, add.dataType(), nullable = true)
+        StructType(s.fields.updated(pIdx, s.fields(pIdx).copy(
+          dataType = StructType(st.fields :+ nf))))
       case (s, add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
-          "nested ADD COLUMN is not supported")
+          "nested ADD COLUMN applies to depth-1 struct fields only " +
+            "(parent.child)")
         val colName = add.fieldNames()(0)
         require(!s.fieldNames.exists(_.equalsIgnoreCase(colName)),
           s"column '$colName' already exists in $ident")
@@ -605,9 +685,43 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         }
         schemaChanged = true
         StructType(s.fields.updated(idx, s.fields(idx).copy(dataType = to)))
+      // RENAME COLUMN parent.child TO new — metadata-only: the nested
+      // field id (and every committed sub-slot) is untouched; only
+      // the logical name changes. The old name retires so stats or
+      // constraints recorded under it can never bind a different
+      // physical sub-column later.
+      case (s, rn: TableChange.RenameColumn)
+          if rn.fieldNames().length == 2 =>
+        val parent = rn.fieldNames()(0)
+        val from = rn.fieldNames()(1)
+        val to = rn.newName()
+        val (pIdx, pid, st, nm) = nestedTarget(s, parent)
+        val fIdx = st.fieldNames.indexWhere(_.equalsIgnoreCase(from))
+        require(fIdx >= 0, s"no field '$parent.$from' in $ident")
+        require(!st.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"field '$parent.$to' already exists in $ident")
+        require(!nm.isRetired(to),
+          s"field name '$parent.$to' was previously dropped or renamed " +
+            s"away on $ident and cannot be reused")
+        // conservative: a CHECK constraint mentioning either the bare
+        // sub-name or the dotted path blocks the rename
+        (constraintRefs(from) ++ constraintRefs(s"$parent.$from"))
+          .distinct match {
+          case Seq() => ()
+          case refs => throw new IllegalArgumentException(
+            s"cannot rename '$parent.$from': referenced by CHECK " +
+              s"constraint(s) ${refs.mkString(", ")} — drop them first")
+        }
+        schemaChanged = true
+        colmap = colmap.copy(nested = colmap.nested + (pid ->
+          nm.copy(retired = nm.retired :+ st.fields(fIdx).name)))
+        StructType(s.fields.updated(pIdx, s.fields(pIdx).copy(
+          dataType = StructType(st.fields.updated(fIdx,
+            st.fields(fIdx).copy(name = to))))))
       case (s, rn: TableChange.RenameColumn) =>
         require(rn.fieldNames().length == 1,
-          "nested RENAME COLUMN is not supported")
+          "nested RENAME COLUMN applies to depth-1 struct fields only " +
+            "(parent.child)")
         val from = rn.fieldNames()(0)
         val to = rn.newName()
         val idx = s.fieldNames.indexWhere(_.equalsIgnoreCase(from))
@@ -632,9 +746,42 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         schemaChanged = true
         colmap = colmap.copy(retired = colmap.retired :+ s.fields(idx).name)
         StructType(s.fields.updated(idx, s.fields(idx).copy(name = to)))
+      // DROP COLUMN parent.child — metadata-only: the sub-field's id
+      // leaves the nested mapping, so readers never resolve its slot
+      // again (committed sub-bytes stay in old parts for time travel;
+      // they can never resurrect because a later ADD gets a fresh id).
+      case (s, del: TableChange.DeleteColumn)
+          if del.fieldNames().length == 2 =>
+        val parent = del.fieldNames()(0)
+        val name = del.fieldNames()(1)
+        val (pIdx, pid, st, nm) = nestedTarget(s, parent)
+        val fIdx = st.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+        if (fIdx < 0) {
+          if (del.ifExists()) s
+          else throw new IllegalArgumentException(
+            s"no field '$parent.$name' in $ident")
+        } else {
+          require(st.fields.length > 1,
+            s"cannot drop '$parent.$name': it is the only field of " +
+              s"struct '$parent' — drop the column instead")
+          (constraintRefs(name) ++ constraintRefs(s"$parent.$name"))
+            .distinct match {
+            case Seq() => ()
+            case refs => throw new IllegalArgumentException(
+              s"cannot drop '$parent.$name': referenced by CHECK " +
+                s"constraint(s) ${refs.mkString(", ")} — drop them first")
+          }
+          schemaChanged = true
+          colmap = colmap.copy(nested = colmap.nested + (pid ->
+            nm.copy(ids = nm.ids.patch(fIdx, Nil, 1),
+              retired = nm.retired :+ st.fields(fIdx).name)))
+          StructType(s.fields.updated(pIdx, s.fields(pIdx).copy(
+            dataType = StructType(st.fields.patch(fIdx, Nil, 1)))))
+        }
       case (s, del: TableChange.DeleteColumn) =>
         require(del.fieldNames().length == 1,
-          "nested DROP COLUMN is not supported")
+          "nested DROP COLUMN applies to depth-1 struct fields only " +
+            "(parent.child)")
         val name = del.fieldNames()(0)
         val idx = s.fieldNames.indexWhere(_.equalsIgnoreCase(name))
         if (idx < 0) {

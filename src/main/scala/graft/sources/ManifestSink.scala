@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
 
@@ -427,7 +427,12 @@ private[sources] final case class PartMeta(
     cols: Seq[Int] = Seq.empty,
     kNulls: Long = -1L, sNulls: Long = -1L,
     kSum: Option[Long] = None,
-    eq: Seq[EqClause] = Seq.empty) {
+    eq: Seq[EqClause] = Seq.empty,
+    /** NESTED line sub-layouts: parent field id -> the nested field
+      * ids of the struct token's sub-slots as written. Absent entry ⇒
+      * identity (sub-slot = nested id) — the legacy rule one level
+      * down; see [[ColMap.nested]]. */
+    ncols: Map[Int, Seq[Int]] = Map.empty) {
   lazy val bloomBits: Array[Long] = PartBloom.fromHex(bloomHex)
   lazy val dvBits: Array[Long] = DeleteVector.fromHex(dvHex)
   /** A vector exists — inline (`dvHex`) or as a SIDECAR file
@@ -491,16 +496,35 @@ private[sources] final case class ColMap(
       * to a petabyte is a metadata commit, never a backfill. Rides
       * the colmap header, so it versions with the snapshot and
       * travels through every staged read. "" = none on either leg. */
-    defaults: Map[Int, (String, String)] = Map.empty) {
+    defaults: Map[Int, (String, String)] = Map.empty,
+    /** NESTED FIELD IDS, keyed by the PARENT column's stable field
+      * id: depth-1 struct columns evolve exactly like the top level,
+      * one level down — `ids(k)` is the nested id of struct field k,
+      * `nextId` the allocation high-water mark (nested ADD after a
+      * nested DROP gets a fresh id, dropped sub-bytes never
+      * resurrect), `retired` the sub-names ever dropped/renamed-away
+      * within this struct. Absent entry = identity (nested id =
+      * position) — a struct that never evolves costs nothing. The
+      * reference's own record is a progressively-enriched struct
+      * (estimate_queue.py:80-88); this is its DDL form. */
+    nested: Map[Int, ColMap.Nested] = Map.empty) {
   def isIdentity: Boolean = ids == ids.indices
   def isRetired(name: String): Boolean =
     retired.exists(_.equalsIgnoreCase(name))
+  /** The nested mapping of parent field id `pid` over an n-field
+    * struct — identity when the struct never evolved. */
+  def nestedOf(pid: Int, n: Int): ColMap.Nested =
+    nested.getOrElse(pid, ColMap.Nested(0 until n, n, Seq.empty))
   /** Must this snapshot materialize a colmap header? */
-  def isPlain: Boolean = isIdentity && defaults.isEmpty
+  def isPlain: Boolean = isIdentity && defaults.isEmpty && nested.isEmpty
 }
 
 private[sources] object ColMap {
   def identity(n: Int): ColMap = ColMap(0 until n, n, Seq.empty)
+  final case class Nested(ids: Seq[Int], nextId: Int, retired: Seq[String]) {
+    def isRetired(name: String): Boolean =
+      retired.exists(_.equalsIgnoreCase(name))
+  }
 }
 
 object ManifestSink {
@@ -633,7 +657,17 @@ object ManifestSink {
         // key-column sum; absent = untracked (legacy) or overflowed
         kSum = if (ks.isEmpty) None else Some(ks.toLong),
         // pending equality-delete clauses; absent (legacy) = none
-        eq = EqClause.decode(decPath(field("eq"))))
+        eq = EqClause.decode(decPath(field("eq"))),
+        // nested sub-layouts (`pid:0-1-2|pid2:0-1`); absent ⇒ identity
+        ncols = {
+          val nc = field("ncols")
+          if (nc.isEmpty) Map.empty[Int, Seq[Int]]
+          else nc.split('|').map { e =>
+            val Array(pid, sids) = e.split(":", 2)
+            pid.toInt -> (if (sids.isEmpty) Seq.empty[Int]
+              else sids.split('-').toSeq.map(_.toInt))
+          }.toMap
+        })
     }
 
   /** TABLE-LEVEL LAYOUT SPEC (`_TABLE.json`): created by `CREATE
@@ -990,7 +1024,21 @@ object ManifestSink {
             val Array(id, cur, ex) = entry.split(":", 3)
             id.toInt -> (decPath(cur), decPath(ex))
         }.toMap).getOrElse(Map.empty[Int, (String, String)])
-      ColMap(ids, next, retired, defaults)
+      // nested field ids (additive field, see renderColMap):
+      // `pid=id0-id1~next~ret0/ret1|...`
+      val nested = """"nestedmap":"([^"]*)"""".r.findFirstMatchIn(line)
+        .map(_.group(1)).filter(_.nonEmpty).map(_.split('|').toSeq.map {
+          entry =>
+            val Array(pid, body) = entry.split("=", 2)
+            val Array(nids, nnext, nret) = body.split("~", 3)
+            pid.toInt -> ColMap.Nested(
+              if (nids.isEmpty) Seq.empty
+              else nids.split('-').toSeq.map(_.toInt),
+              nnext.toInt,
+              if (nret.isEmpty) Seq.empty
+              else nret.split('/').toSeq.map(decPath))
+        }.toMap).getOrElse(Map.empty[Int, ColMap.Nested])
+      ColMap(ids, next, retired, defaults, nested)
     }
 
   /** Snapshot schema + column mapping, read from ONE manifest
@@ -1012,8 +1060,15 @@ object ManifestSink {
       else s""","defaults":"${cm.defaults.toSeq.sortBy(_._1)
         .map { case (id, (cur, ex)) =>
           s"$id:${encPath(cur)}:${encPath(ex)}" }.mkString(";")}""""
+    // nested mappings, additive like defaults (legacy readers ignore
+    // the field): structural chars are never produced by encPath
+    val nst = if (cm.nested.isEmpty) ""
+      else s""","nestedmap":"${cm.nested.toSeq.sortBy(_._1)
+        .map { case (pid, n) =>
+          s"$pid=${n.ids.mkString("-")}~${n.nextId}~" +
+            n.retired.map(encPath).mkString("/") }.mkString("|")}""""
     s"""{"colmap":"${cm.ids.mkString("-")}","nextid":${cm.nextId},""" +
-      s""""retired":"${cm.retired.map(encPath).mkString(",")}"$dflt}"""
+      s""""retired":"${cm.retired.map(encPath).mkString(",")}"$dflt$nst}"""
   }
 
   /** The mapping the published snapshot carries: an explicit override
@@ -1032,8 +1087,10 @@ object ManifestSink {
         byName.getOrElse(f.name, { val id = next; next += 1; id })
       }.toSeq
       // defaults follow their field id; a dropped field's entry goes
+      // (nested mappings follow their PARENT's id the same way)
       ColMap(ids, next, hcm.retired,
-        hcm.defaults.filter { case (id, _) => ids.contains(id) })
+        hcm.defaults.filter { case (id, _) => ids.contains(id) },
+        hcm.nested.filter { case (pid, _) => ids.contains(pid) })
   }
 
   /** Publish a snapshot whose part list is exactly `parts` (commit
@@ -1068,7 +1125,7 @@ object ManifestSink {
         ColMap(schema.fields.toSeq.map(f => byName.getOrElse(f.name,
           throw new IllegalStateException(
             s"column '${f.name}' has no field id at $dir"))),
-          cm.nextId, cm.retired, cm.defaults)
+          cm.nextId, cm.retired, cm.defaults, cm.nested)
     }
 
   /** The commit loop proper. `rebase` maps the CURRENT head's part
@@ -1143,7 +1200,8 @@ object ManifestSink {
       // or drops keeps its manifests byte-compatible with pre-mapping
       // readers of this format
       if (!cm.isIdentity || cm.retired.nonEmpty ||
-          cm.nextId != schema.fields.length || cm.defaults.nonEmpty)
+          cm.nextId != schema.fields.length || cm.defaults.nonEmpty ||
+          cm.nested.nonEmpty)
         content.append(renderColMap(cm)).append('\n')
       if (history) {
         // the OPERATION KIND rides the version record (Delta's
@@ -1178,6 +1236,10 @@ object ManifestSink {
           else s""","cstats":"${encPath(ColStat.encode(m.cstats))}""""
         val co = if (m.cols.isEmpty) ""
           else s""","cols":"${m.cols.mkString("-")}""""
+        val nc = if (m.ncols.isEmpty) ""
+          else s""","ncols":"${m.ncols.toSeq.sortBy(_._1).map {
+            case (pid, sids) => s"$pid:${sids.mkString("-")}"
+          }.mkString("|")}""""
         val kn = if (m.kNulls < 0) "" else s""","knulls":${m.kNulls}"""
         val sn = if (m.sNulls < 0) "" else s""","snulls":${m.sNulls}"""
         val ks = m.kSum.fold("")(v => s""","ksum":$v""")
@@ -1185,7 +1247,7 @@ object ManifestSink {
           else s""","eq":"${encPath(EqClause.encode(m.eq))}""""
         content.append(
           s"""{"path":"${encPath(m.path)}","rows":${m.rows},""" +
-            s""""min":${m.kMin},"max":${m.kMax}$b$s$d$r$by$bk$so$cs$co$kn$sn$ks$ef}""")
+            s""""min":${m.kMin},"max":${m.kMax}$b$s$d$r$by$bk$so$cs$co$nc$kn$sn$ks$ef}""")
           .append('\n')
       }
       content.toString.getBytes("UTF-8")
@@ -1208,12 +1270,20 @@ object ManifestSink {
         headSchemaCm: Option[(StructType, ColMap)],
         parts: Seq[PartMeta]): (Seq[PartMeta], ColMap) = {
       val cm = colmapOverride.getOrElse(deriveColMap(headSchemaCm, schema))
-      if (cm.isIdentity || !stampNew) (parts, cm)
+      if ((cm.isIdentity && cm.nested.isEmpty) || !stampNew) (parts, cm)
       else {
         val headPaths = head.map(_.path).toSet
-        (parts.map(p =>
-          if (p.cols.isEmpty && !headPaths(p.path)) p.copy(cols = cm.ids)
-          else p), cm)
+        val nestedLayout = cm.nested.map { case (pid, n) => pid -> n.ids }
+        (parts.map { p =>
+          if (headPaths(p.path)) p
+          else {
+            var q = p
+            if (!cm.isIdentity && q.cols.isEmpty) q = q.copy(cols = cm.ids)
+            if (cm.nested.nonEmpty && q.ncols.isEmpty)
+              q = q.copy(ncols = nestedLayout)
+            q
+          }
+        }, cm)
       }
     }
     if (!history) {
@@ -1704,9 +1774,21 @@ private[sources] class ManifestBatchWrite(
       .map(b => ManifestSink.readBranchSchema(conf.value, path, b))
       .getOrElse(ManifestSink.readSchema(conf.value, path))
     committed.foreach { old =>
+      // struct columns compare nullability-INSENSITIVELY one level
+      // down: an INSERT of named_struct literals arrives with every
+      // sub-field NOT NULL, but the committed struct's sub-nullability
+      // is the table's (and sticky — see `published` below)
+      def sameType(a: DataType, b: DataType): Boolean = (a, b) match {
+        case (x: StructType, y: StructType) =>
+          x.fields.length == y.fields.length &&
+            x.fields.zip(y.fields).forall { case (fa, fb) =>
+              fa.name == fb.name && sameType(fa.dataType, fb.dataType)
+            }
+        case _ => a == b
+      }
       val prefixOk = old.fields.length <= schema.fields.length &&
         old.fields.zip(schema.fields).forall { case (a, b) =>
-          a.name == b.name && a.dataType == b.dataType
+          a.name == b.name && sameType(a.dataType, b.dataType)
         }
       if (!prefixOk) throw new IllegalArgumentException(
         s"append schema must extend the committed schema additively; " +
@@ -1724,7 +1806,11 @@ private[sources] class ManifestBatchWrite(
       case None => schema
       case Some(old) => StructType(schema.fields.zipWithIndex.map {
         case (f, i) if i < old.fields.length =>
-          if (old.fields(i).nullable) old.fields(i) else f
+          // the committed DATATYPE is always sticky (it carries struct
+          // sub-field nullability); the top-level flag may still widen
+          // to nullable with the write
+          if (old.fields(i).nullable) old.fields(i)
+          else f.copy(dataType = old.fields(i).dataType)
         case (f, _) => f.copy(nullable = true)
       })
     }

@@ -55,6 +55,21 @@ import org.apache.spark.util.SerializableConfiguration
   * difference between "scan 100k files to answer a keyed lookup" and
   * "open the three parts whose range can match".
   */
+object ManifestSource {
+  /** NESTED field ids per parent field id from a snapshot's column
+    * mapping — the logical side of depth-1 struct resolution
+    * (logical sub-field position -> stable nested id; the part's
+    * recorded sub-layout maps the id to a sub-token slot). Empty ⇒
+    * identity everywhere (no struct ever evolved). */
+  private[sources] def nestedIdsFor(
+      snapCm: Option[(StructType, ColMap)]): Map[Int, Seq[Int]] =
+    snapCm match {
+      case Some((_, cm)) if cm.nested.nonEmpty =>
+        cm.nested.map { case (pid, n) => pid -> n.ids }
+      case _ => Map.empty
+    }
+}
+
 class ManifestSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -139,7 +154,8 @@ private[sources] class ManifestScanBuilder(
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   // the writer tracked min/max of the first LongType column; the
   // reader prunes on exactly the same column
@@ -440,6 +456,40 @@ private[sources] class ManifestScanBuilder(
     * Spark's own final limit in the plan. */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
+  // PARTIAL TopN pushdown (`ORDER BY key LIMIT k` on an ordered
+  // layout): accepted only as a PART-PRUNING hint — isPartiallyPushed
+  // stays true, so Spark keeps its Sort+Limit above the scan and
+  // correctness never rests on the prune. When the planned parts are
+  // all writer-certified key-sorted with PAIRWISE-DISJOINT key ranges
+  // (CLUSTER BY / WRITE ORDERED layouts — the ranges a compacted
+  // ordered table records) and exact visible counts, build() keeps
+  // only the boundary prefix whose visible rows cover k: `ORDER BY k
+  // LIMIT 10` on a 100k-part table opens O(1) parts instead of
+  // sorting the table. Any ineligible part set (unsorted, overlapping,
+  // pending equality deletes, empty) just declines the prune.
+  private var topN: Option[(Boolean, Int)] = None
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    if (orders.length != 1 || n <= 0 || keyCol.isEmpty || cdf ||
+        rowLevelOwner.nonEmpty) return false
+    val o = orders(0)
+    val colName = o.expression() match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames().length == 1 => nr.fieldNames()(0)
+      case _ => return false
+    }
+    // only the stats key column carries the per-part (min, max) the
+    // prune reasons over; eligibility implies no null keys exist
+    // (the writer never certifies a part with null keys as sorted),
+    // so the null ordering is vacuous
+    if (!keyCol.get.equalsIgnoreCase(colName)) return false
+    topN = Some((o.direction() ==
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING, n))
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
+
   /** Accept range/point predicates on the key column for part pruning;
     * report every filter as residual (Spark re-evaluates row-level). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -737,11 +787,35 @@ private[sources] class ManifestScanBuilder(
             val take = need > 0; need -= p.visibleRows; take
           }
         }
+        // TopN part pruning (see pushTopN): eligible iff every kept
+        // part is writer-certified sorted (⇒ no null keys), counts
+        // are exact (no pending equality deletes), and key ranges are
+        // pairwise disjoint once ordered — then the boundary prefix
+        // covering n visible rows provably contains a complete top-n
+        // (every omitted row's key is ≥/≤ all prefix keys). Spark's
+        // retained Sort+Limit finishes the job, so a decline is only
+        // ever slower, never wrong.
+        topN.foreach { case (asc, n) =>
+          val ordered = kept.sortBy(_.kMin)
+          val eligible = kept.nonEmpty &&
+            kept.forall(p => p.sorted && p.countsExact) &&
+            ordered.sliding(2).forall {
+              case Seq(a, b) => a.kMax <= b.kMin
+              case _ => true
+            }
+          if (eligible) {
+            var need = n.toLong
+            kept = (if (asc) ordered else ordered.reverse).takeWhile { p =>
+              val take = need > 0; need -= p.visibleRows; take
+            }
+          }
+        }
         new ManifestScan(kept, schema, required, conf, all.size, limit, keyCol,
           path, rowLevelOwner, startingVersion, baseVersion,
           maxPartsPerTrigger, ids = colMapIdsFor(schema, snapCm),
           branched = branch.isDefined,
-          initDefaults = ColDefaults.byName(schema, snapCm))
+          initDefaults = ColDefaults.byName(schema, snapCm),
+          nestedIds = ManifestSource.nestedIdsFor(snapCm))
     }
   }
 
@@ -822,7 +896,8 @@ private[sources] class ManifestScan(
     maxPartsPerTrigger: Option[Int] = None,
     ids: Seq[Int] = Seq.empty,
     branched: Boolean = false,
-    initDefaults: Map[String, Any] = Map.empty)
+    initDefaults: Map[String, Any] = Map.empty,
+    nestedIds: Map[Int, Seq[Int]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -832,6 +907,10 @@ private[sources] class ManifestScan(
     * pruning) and whether this scan drives a row-level rewrite. */
   private[sources] def keyColName: Option[String] = keyCol
   private[sources] def isRowLevelScan: Boolean = rowLevelOwner.isDefined
+
+  /** The table directory this scan reads, regardless of pin flags —
+    * for [[MvRewrite.readsManifestDir]]'s structural routing probe. */
+  private[sources] def scanTableDir: String = tablePath
 
   /** SORT-FREE reads: each input partition is one part file, and the
     * writer DETECTED whether it streamed out key-sorted (monotone
@@ -1000,7 +1079,7 @@ private[sources] class ManifestScan(
     rowLevelOwner.foreach(_.recordScan(parts, baseVersion))
     parts.map(p =>
       ManifestPartition(p.path, p.rows, p.dvHex, p.dvRef, p.bucket,
-        p.cols, EqClause.encode(p.eq))).toArray
+        p.cols, EqClause.encode(p.eq), p.ncols)).toArray
   }
 
   override def supportedCustomMetrics()
@@ -1014,8 +1093,9 @@ private[sources] class ManifestScan(
       LongTaskMetric("partsSkipped", (totalParts - parts.size).toLong))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(schema, required.fieldNames, conf,
-      limit.map(_.toLong).getOrElse(Long.MaxValue), ids, initDefaults)
+    new ManifestReaderFactory(schema, required, conf,
+      limit.map(_.toLong).getOrElse(Long.MaxValue), ids, initDefaults,
+      nestedIds)
 
   /** Post-pruning stats straight from the manifest — exact row count;
     * bytes from the parts' TRUE on-disk sizes (committed with each
@@ -1146,7 +1226,8 @@ private[sources] class ManifestScan(
   * when EVERY planned part carries a consistent bucket. */
 private[sources] case class ManifestPartition(
     path: String, rows: Long, dvHex: String = "", dvRef: String = "",
-    bucket: Int = -1, cols: Seq[Int] = Seq.empty, eqBlob: String = "")
+    bucket: Int = -1, cols: Seq[Int] = Seq.empty, eqBlob: String = "",
+    ncols: Map[Int, Seq[Int]] = Map.empty)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -1284,17 +1365,20 @@ private[sources] class ManifestMicroBatchStream(
       .filterNot(m => before.contains(m.path))
       .map(m =>
         ManifestPartition(m.path, m.rows, m.dvHex, m.dvRef,
-          cols = m.cols, eqBlob = EqClause.encode(m.eq)): InputPartition)
+          cols = m.cols, eqBlob = EqClause.encode(m.eq),
+          ncols = m.ncols): InputPartition)
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(schema, required.fieldNames, conf, ids = ids,
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val snapCm = ManifestSink.readSchemaAndColMap(conf.value, path)
+    new ManifestReaderFactory(schema, required, conf, ids = ids,
       // initial defaults for parts predating a defaulted column —
       // EXISTS defaults are frozen at ADD COLUMN, so the head's view
-      // is valid for every replayed part
-      initDefaults = ColDefaults.byName(schema,
-        ManifestSink.readSchemaAndColMap(conf.value, path)))
+      // is valid for every replayed part (nested ids likewise)
+      initDefaults = ColDefaults.byName(schema, snapCm),
+      nestedIds = ManifestSource.nestedIdsFor(snapCm))
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -1411,7 +1495,8 @@ private[sources] case class ManifestCdfPartition(
     path: String, changeType: String, version: Int,
     maskHex: String = "", emitOnlyMask: Boolean = false,
     cols: Seq[Int] = Seq.empty,
-    eqBlob: String = "", emitOnlyEqBlob: String = "")
+    eqBlob: String = "", emitOnlyEqBlob: String = "",
+    ncols: Map[Int, Seq[Int]] = Map.empty)
     extends InputPartition
 
 private[sources] class ManifestChangeFeedStream(
@@ -1467,10 +1552,12 @@ private[sources] class ManifestChangeFeedStream(
       // inserts/deletes never leak rows an earlier eq commit removed
       val inserts = cur.filterNot(m => prev.contains(m.path))
         .map(m => ManifestCdfPartition(m.path, "insert", v, vecHex(m),
-          cols = m.cols, eqBlob = EqClause.encode(m.eq)))
+          cols = m.cols, eqBlob = EqClause.encode(m.eq),
+          ncols = m.ncols))
       val deletes = prev.valuesIterator.filterNot(m => curPaths(m.path))
         .map(m => ManifestCdfPartition(m.path, "delete", v, vecHex(m),
-          cols = m.cols, eqBlob = EqClause.encode(m.eq))).toSeq
+          cols = m.cols, eqBlob = EqClause.encode(m.eq),
+          ncols = m.ncols)).toSeq
       // a retained part whose DELETION VECTOR grew: replay exactly
       // the newly-flagged ordinals as deletes — true row-level CDC
       // for merge-on-read deletes, no restatement of survivors.
@@ -1488,7 +1575,8 @@ private[sources] class ManifestChangeFeedStream(
             if (DeleteVector.popCount(delta) == 0) None
             else Some(ManifestCdfPartition(m.path, "delete", v,
               DeleteVector.toHex(delta), emitOnlyMask = true,
-              cols = m.cols, eqBlob = EqClause.encode(old.eq)))
+              cols = m.cols, eqBlob = EqClause.encode(old.eq),
+              ncols = m.ncols))
           case _ => None
         }
       }
@@ -1507,7 +1595,8 @@ private[sources] class ManifestChangeFeedStream(
           case Some(old) if m.eq.size > old.eq.size =>
             Some(ManifestCdfPartition(m.path, "delete", v, vecHex(m),
               cols = m.cols, eqBlob = EqClause.encode(old.eq),
-              emitOnlyEqBlob = EqClause.encode(m.eq.drop(old.eq.size))))
+              emitOnlyEqBlob = EqClause.encode(m.eq.drop(old.eq.size)),
+              ncols = m.ncols))
           case _ => None
         }
       }
@@ -1515,10 +1604,12 @@ private[sources] class ManifestChangeFeedStream(
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val snapCm = ManifestSink.readSchemaAndColMap(conf.value, path)
     new ManifestCdfReaderFactory(baseSchema, required, conf, ids,
-      ColDefaults.byName(baseSchema,
-        ManifestSink.readSchemaAndColMap(conf.value, path)))
+      ColDefaults.byName(baseSchema, snapCm),
+      ManifestSource.nestedIdsFor(snapCm))
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -1530,7 +1621,8 @@ private[sources] class ManifestChangeFeedStream(
 private[sources] class ManifestCdfReaderFactory(
     baseSchema: StructType, required: StructType,
     conf: SerializableConfiguration, ids: Seq[Int] = Seq.empty,
-    initDefaults: Map[String, Any] = Map.empty)
+    initDefaults: Map[String, Any] = Map.empty,
+    nestedIds: Map[Int, Seq[Int]] = Map.empty)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -1555,6 +1647,31 @@ private[sources] class ManifestCdfReaderFactory(
               if (s < 0) Int.MaxValue else s
             }
           Left((slot, baseSchema(f.name).dataType))
+        }
+      }
+    // depth-1 struct sub-plans, same resolution as the batch reader —
+    // a change feed replays structs correctly across nested DDL
+    val structPlans: Array[(Array[Int], Array[DataType])] =
+      required.fields.map { f =>
+        f.dataType match {
+          case reqSt: StructType if f.name != ManifestCdf.ChangeTypeCol &&
+              f.name != ManifestCdf.CommitVersionCol =>
+            val li = baseSchema.fieldIndex(f.name)
+            val fullSt =
+              baseSchema.fields(li).dataType.asInstanceOf[StructType]
+            val id = if (ids.nonEmpty) ids(li) else li
+            val curIds = nestedIds.getOrElse(id, fullSt.fields.indices.toSeq)
+            val layout = part.ncols.getOrElse(id, Seq.empty)
+            val slots = reqSt.fields.map { sf =>
+              val sid = curIds(fullSt.fieldIndex(sf.name))
+              if (layout.isEmpty) sid
+              else {
+                val sl = layout.indexOf(sid)
+                if (sl < 0) Int.MaxValue else sl
+              }
+            }
+            (slots, reqSt.fields.map(_.dataType))
+          case _ => null
         }
       }
     new PartitionReader[InternalRow] {
@@ -1603,7 +1720,11 @@ private[sources] class ManifestCdfReaderFactory(
             case Left((ord, dt)) =>
               if (ord >= cols.length)
                 initDefaults.getOrElse(required.fields(j).name, null)
-              else ManifestCodec.decode(cols(ord), dt)
+              else {
+                val sp = structPlans(j)
+                if (sp == null) ManifestCodec.decode(cols(ord), dt)
+                else ManifestCodec.decodeNested(cols(ord), sp._1, sp._2)
+              }
           }
           j += 1
         }
@@ -1780,11 +1901,14 @@ private[sources] case class LongTaskMetric(metricName: String, v: Long)
 }
 
 private[sources] class ManifestReaderFactory(
-    schema: StructType, fields: Array[String],
+    schema: StructType, required: StructType,
     conf: SerializableConfiguration, rowCap: Long = Long.MaxValue,
     ids: Seq[Int] = Seq.empty,
-    initDefaults: Map[String, Any] = Map.empty)
+    initDefaults: Map[String, Any] = Map.empty,
+    nestedIds: Map[Int, Seq[Int]] = Map.empty)
     extends PartitionReaderFactory {
+
+  private val fields: Array[String] = required.fieldNames
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[ManifestPartition]
@@ -1814,6 +1938,35 @@ private[sources] class ManifestReaderFactory(
       if (f == PartMetaColumn.Name || f == PosMetaColumn.Name)
         org.apache.spark.sql.types.StringType
       else schema(f).dataType)
+    // DEPTH-1 STRUCT decode plans: for a required struct field,
+    // resolve each REQUIRED sub-field (possibly nested-pruned, so by
+    // NAME against the full struct) -> stable nested id
+    // ([[ManifestSource.nestedIdsFor]], identity when the struct
+    // never evolved) -> the part's recorded sub-layout
+    // ([[PartMeta.ncols]], identity when absent) — exactly the
+    // top-level column-mapping rule one level down.
+    val structPlans: Array[(Array[Int], Array[DataType])] =
+      required.fields.map { f =>
+        f.dataType match {
+          case reqSt: StructType if f.name != PartMetaColumn.Name &&
+              f.name != PosMetaColumn.Name =>
+            val li = schema.fieldIndex(f.name)
+            val fullSt = schema.fields(li).dataType.asInstanceOf[StructType]
+            val id = if (ids.nonEmpty) ids(li) else li
+            val curIds = nestedIds.getOrElse(id, fullSt.fields.indices.toSeq)
+            val layout = part.ncols.getOrElse(id, Seq.empty)
+            val slots = reqSt.fields.map { sf =>
+              val sid = curIds(fullSt.fieldIndex(sf.name))
+              if (layout.isEmpty) sid
+              else {
+                val sl = layout.indexOf(sid)
+                if (sl < 0) Int.MaxValue else sl
+              }
+            }
+            (slots, reqSt.fields.map(_.dataType))
+          case _ => null
+        }
+      }
     // INITIAL DEFAULTS: the fallback a missing line slot serves —
     // NULL for ordinary additive evolution, the frozen EXISTS default
     // for columns added with one (see [[ColDefaults]])
@@ -1876,7 +2029,10 @@ private[sources] class ManifestReaderFactory(
             case -1 => partConst
             case -2 => lineNo
             case o if o >= cols.length => dflts(j)
-            case o => ManifestCodec.decode(cols(o), types(j))
+            case o =>
+              val sp = structPlans(j)
+              if (sp == null) ManifestCodec.decode(cols(o), types(j))
+              else ManifestCodec.decodeNested(cols(o), sp._1, sp._2)
           }
           j += 1
         }
@@ -1941,12 +2097,60 @@ private[sources] object ManifestCodec {
           // with the string fast-path check
           sb.append(java.util.Base64.getEncoder.encodeToString(
             row.getBinary(i)))
+        // DEPTH-1 STRUCT column (the reference's progressively
+        // enriched prediction record, estimate_queue.py:80-88): one
+        // line token = '!' + sub-tokens joined by ';'. Both chars are
+        // produced by NO atomic encoding (URLEncoder escapes them,
+        // Base64's alphabet lacks them, numbers can't contain them),
+        // so the split is safe and the '!' prefix keeps a non-null
+        // single-field struct of a NULL value distinct from a NULL
+        // struct. Sub-fields must be atomic (enforced at CREATE/DDL).
+        case st: StructType =>
+          val sub = row.getStruct(i, st.fields.length)
+          sb.append('!')
+          var k = 0
+          while (k < st.fields.length) {
+            if (k > 0) sb.append(';')
+            if (sub.isNullAt(k)) sb.append(NullToken)
+            else st.fields(k).dataType match {
+              case StringType =>
+                sb.append(encodeString(sub.getUTF8String(k).toString))
+              case BinaryType =>
+                sb.append(java.util.Base64.getEncoder.encodeToString(
+                  sub.getBinary(k)))
+              case dt => sb.append(sub.get(k, dt).toString)
+            }
+            k += 1
+          }
         case dt => sb.append(row.get(i, dt).toString)
       }
       i += 1
     }
     sb.toString
   }
+
+  /** Decode a depth-1 struct token through its NESTED column mapping:
+    * `slots(k)` is the sub-token index serving required sub-field k
+    * (resolved logical path -> stable nested field id -> the part's
+    * recorded sub-layout, exactly the top-level rule one level down).
+    * A slot past the token's width — a sub-field added after the part
+    * was written, or whose slot was dropped before — reads NULL. */
+  def decodeNested(token: String, slots: Array[Int],
+      types: Array[DataType]): Any =
+    if (token == NullToken) null
+    else {
+      val toks = token.substring(1).split(";", -1)
+      val vals = new Array[Any](slots.length)
+      var k = 0
+      while (k < slots.length) {
+        val s = slots(k)
+        vals(k) =
+          if (s < 0 || s >= toks.length) null
+          else decode(toks(s), types(k))
+        k += 1
+      }
+      new GenericInternalRow(vals)
+    }
 
   def decode(s: String, dt: DataType): Any =
     if (s == NullToken) null

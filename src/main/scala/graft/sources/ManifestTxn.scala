@@ -13,8 +13,15 @@ import org.apache.hadoop.fs.Path
   *
   *  1. STAGE — ordinary branch writes per table (`option("branch",
   *     "txn-<id>")` / `graft.branch`). Main is untouched; a crash here
-  *     leaves every table at its prior snapshot and the branches as
-  *     harmless debris (vacuumable).
+  *     leaves every table at its prior snapshot. The leftover branch
+  *     commits are NOT harmless if the SAME id will be re-staged: an
+  *     `append` onto the crashed attempt's branch would publish the
+  *     crashed rows plus the replay's. A replay-prone caller (a
+  *     foreachBatch epoch) must therefore run [[abortStaged]] after
+  *     `!isCommitted` and before staging — it drops any stale
+  *     `txn-<id>` branches so the replay stages from a clean slate
+  *     (and refuses to touch a committed txn's branches, which
+  *     roll-forward still needs).
   *  2. COMMIT POINT — after verifying EVERY declared table has staged
   *     commits AND its recorded fork base is still main's head (a
   *     concurrent main commit aborts the whole txn loudly, before
@@ -177,8 +184,44 @@ object ManifestTxn {
         ManifestMaintenance.dropBranch(conf, e.dir, branch)
     }
     val fs = txnRoot(warehouse).getFileSystem(conf)
-    fs.rename(markerPath(warehouse, id), appliedPath(warehouse, id))
+    val (marker, archived) =
+      (markerPath(warehouse, id), appliedPath(warehouse, id))
+    if (!fs.rename(marker, archived)) {
+      // a racing recovery may have archived first — then our marker
+      // copy is redundant and deletes; any other failure must surface,
+      // or the pending marker would make every future txn_recover
+      // re-walk all tables while 'already committed' blocks the id
+      if (fs.exists(archived)) fs.delete(marker, false)
+      else throw new java.io.IOException(
+        s"txn '$id': cannot archive marker to $archived")
+    }
     published
+  }
+
+  /** Pre-staging hygiene for REPLAY-PRONE callers (crash-restarted
+    * foreachBatch epochs): drops any `txn-<id>` branch left by a
+    * crashed staging attempt so the replay stages from a clean slate —
+    * without this, re-staging with `append` onto the leftover branch
+    * would publish the crashed attempt's rows PLUS the replay's.
+    * Refuses (throws) when the txn already claimed its commit point:
+    * a committed-but-unrecovered txn's branches are exactly what
+    * [[rollForward]] publishes, and must not be dropped. Returns the
+    * number of stale branches dropped. */
+  def abortStaged(conf: Configuration, warehouse: String, id: String,
+      tableDirs: Seq[String]): Int = {
+    if (isCommitted(conf, warehouse, id))
+      throw new IllegalStateException(
+        s"txn '$id' already committed — its staged branches are " +
+          "needed by roll-forward; run txn_recover instead of abort")
+    val branch = branchOf(id)
+    var dropped = 0
+    tableDirs.foreach { d =>
+      if (ManifestSink.listBranchVersions(conf, d, branch).nonEmpty) {
+        ManifestMaintenance.dropBranch(conf, d, branch)
+        dropped += 1
+      }
+    }
+    dropped
   }
 
   /** True when txn `id` has already claimed its commit point (marker

@@ -67,6 +67,24 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   private def norm(p: String): String = new Path(p).toUri.getPath
 
+  /** Structural routing probe (shared by the live gates — e.g.
+    * q_mv_route_filter — and MvRewriteSpec): true iff the optimized
+    * plan contains a manifest scan leaf reading `dir`. Unlike a
+    * `plan.toString.contains(dir)` check this survives any change to
+    * plan rendering: it walks the actual scan relations. */
+  def readsManifestDir(plan: LogicalPlan, dir: String): Boolean =
+    plan.exists {
+      case sr: DataSourceV2ScanRelation => sr.scan match {
+        case ms: ManifestScan => norm(ms.scanTableDir) == norm(dir)
+        case _ => false
+      }
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftCatalogTable => norm(t.tableDir) == norm(dir)
+        case _ => false
+      }
+      case _ => false
+    }
+
   private final case class Target(meta: ManifestMv.MvMeta, mvDir: String)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -175,16 +193,25 @@ object MvRewrite extends Rule[LogicalPlan] {
               .JoinHint.NONE =>
         // the analyzer wraps a narrower join key in an implicit Cast
         // (`fk = cast(dk as bigint)`); the MV's defining join got the
-        // SAME implicit cast, so unwrapping is exact
-        def unwrap(e: Expression): Option[AttributeReference] = e match {
+        // SAME implicit cast, so unwrapping is exact — but ONLY for
+        // that shape: the cast must be a lossless up-cast landing on
+        // the other side's type (what the analyzer itself inserts). A
+        // user-written narrowing cast (`ON CAST(fk AS INT) = dk`) has
+        // different semantics for out-of-range keys than the MV's
+        // defining join, so it must NOT match the recorded pair.
+        def unwrap(e: Expression, other: Expression)
+            : Option[AttributeReference] = e match {
           case a: AttributeReference => Some(a)
-          case Cast(a: AttributeReference, _, _, _) => Some(a)
+          case Cast(a: AttributeReference, dt, _, _)
+              if dt == other.dataType && Cast.canUpCast(a.dataType, dt) =>
+            Some(a)
           case _ => None
         }
         j.condition match {
           case Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
-              le, re)) if unwrap(le).isDefined && unwrap(re).isDefined =>
-            val (a, b) = (unwrap(le).get, unwrap(re).get)
+              le, re))
+              if unwrap(le, re).isDefined && unwrap(re, le).isDefined =>
+            val (a, b) = (unwrap(le, re).get, unwrap(re, le).get)
             val (la, ra) =
               if (j.left.outputSet.contains(a) &&
                   j.right.outputSet.contains(b)) (a, b)
@@ -229,7 +256,13 @@ object MvRewrite extends Rule[LogicalPlan] {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         val (droppable, rest) = legs(f.condition).partition {
           case IsNotNull(a: AttributeReference) => keys.contains(a.exprId)
-          case d if d.isInstanceOf[DynamicPruning] => true
+          // only the DPP this very join derived is redundant with it:
+          // the pruned column must BE a join key. A DPP filter on any
+          // other column (can't arise in the accepted bare-relation
+          // shape today, but the contract is explicit) blocks.
+          case d if d.isInstanceOf[DynamicPruning] =>
+            d.references.nonEmpty &&
+              d.references.forall(a => keys.contains(a.exprId))
           case _ => false
         }
         val (hoistable, blocking) = rest.partition(e =>

@@ -215,6 +215,95 @@ class ColumnMappingSpec extends SparkSpec {
     }
   }
 
+  test("NESTED evolution: RENAME/DROP/ADD on struct fields are " +
+      "metadata-only; both generations decode; dropped sub-bytes " +
+      "never resurrect") {
+    wh
+    spark.sql("CREATE TABLE gcm.ns.nv " +
+      "(k BIGINT, p STRUCT<a: BIGINT, b: STRING>)")
+    spark.sql("INSERT INTO gcm.ns.nv SELECT id, " +
+      "named_struct('a', id * 10, 'b', concat('v', CAST(id AS STRING))) " +
+      "FROM range(0, 3)")
+    val before = dataFiles("nv")
+    // RENAME p.b -> tag: metadata-only, old parts serve the new name
+    spark.sql("ALTER TABLE gcm.ns.nv RENAME COLUMN p.b TO tag")
+    assert(dataFiles("nv") === before, "nested rename must not touch data")
+    assert(spark.sql("SELECT p.tag FROM gcm.ns.nv WHERE k = 1").collect()
+      .map(_.getString(0)).toSeq === Seq("v1"))
+    // second generation under the renamed schema
+    spark.sql("INSERT INTO gcm.ns.nv SELECT id, " +
+      "named_struct('a', id * 10, 'tag', concat('w', CAST(id AS STRING))) " +
+      "FROM range(3, 5)")
+    // DROP p.a: metadata-only; both generations keep serving tag
+    spark.sql("ALTER TABLE gcm.ns.nv DROP COLUMN p.a")
+    assert(spark.table("gcm.ns.nv").select("p.*").schema.fieldNames.toSeq
+      === Seq("tag"))
+    assert(spark.sql("SELECT p.tag FROM gcm.ns.nv ORDER BY k").collect()
+      .map(_.getString(0)).toSeq === Seq("v0", "v1", "v2", "w3", "w4"))
+    // time travel still sees the pre-DDL struct
+    assert(spark.sql("SELECT * FROM gcm.ns.nv VERSION AS OF 2")
+      .select("p.*").schema.fieldNames.toSeq === Seq("a", "b"))
+    // retired sub-names cannot come back — under either path
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcm.ns.nv ADD COLUMN p.a BIGINT")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcm.ns.nv RENAME COLUMN p.tag TO b")
+    }
+    // ADD p.score gets a FRESH nested id: the dropped a-bytes still
+    // sitting at sub-slot 0 of old parts can never serve it
+    spark.sql("ALTER TABLE gcm.ns.nv ADD COLUMN p.score DOUBLE")
+    assert(spark.sql("SELECT p.score FROM gcm.ns.nv ORDER BY k").collect()
+      .forall(_.isNullAt(0)),
+      "pre-ADD rows must read NULL, never the dropped field's bytes")
+    spark.sql("INSERT INTO gcm.ns.nv SELECT id, " +
+      "named_struct('tag', concat('z', CAST(id AS STRING)), " +
+      "'score', CAST(id AS DOUBLE)) FROM range(5, 7)")
+    assert(spark.sql(
+      "SELECT k, p.tag, p.score FROM gcm.ns.nv ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSeq
+      === Seq((0L, "v0", -1.0), (1L, "v1", -1.0), (2L, "v2", -1.0),
+        (3L, "w3", -1.0), (4L, "w4", -1.0), (5L, "z5", 5.0),
+        (6L, "z6", 6.0)))
+    // depth guards: non-struct parents and deep nesting are rejected
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcm.ns.nv ADD COLUMN k.sub BIGINT")
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcm.ns.deep " +
+        "(k BIGINT, p STRUCT<q: STRUCT<r: BIGINT>>)")
+    }
+  }
+
+  test("NESTED evolution: change feed replays struct rows across " +
+      "nested RENAME/DROP commits") {
+    wh
+    spark.sql("CREATE TABLE gcm.ns.ncf " +
+      "(k BIGINT, p STRUCT<a: BIGINT, b: STRING>)")
+    spark.sql("INSERT INTO gcm.ns.ncf " +
+      "VALUES (1, named_struct('a', 10L, 'b', 'x'))")
+    spark.sql("ALTER TABLE gcm.ns.ncf RENAME COLUMN p.b TO tag")
+    spark.sql("ALTER TABLE gcm.ns.ncf DROP COLUMN p.a")
+    spark.sql("INSERT INTO gcm.ns.ncf VALUES (2, named_struct('tag', 'y'))")
+    val sink = Files.createTempDirectory("graft-colmap-ncf").toString
+    val ckpt = Files.createTempDirectory("graft-colmap-ncfc").toString
+    val q = spark.readStream.format("graft.sources.ManifestSource")
+      .option("path", s"$wh/ns/ncf").option("changeFeed", "true").load()
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the v1 row decodes its pre-rename sub-slot under the new name,
+    // with the dropped sub-field gone from the feed schema
+    val feed = spark.read.parquet(sink)
+    assert(feed.select("p.*").schema.fieldNames.toSeq === Seq("tag"))
+    assert(feed.filter(col("_change_type") === "insert")
+      .select(col("k"), col("p.tag")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      === Seq((1L, "x"), (2L, "y")))
+  }
+
   test("change feed replays correctly across RENAME and DROP commits") {
     wh
     spark.sql("CREATE TABLE gcm.ns.cf (k BIGINT, v STRING, x BIGINT)")

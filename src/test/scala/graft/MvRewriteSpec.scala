@@ -46,7 +46,8 @@ class MvRewriteSpec extends SparkSpec {
     df.queryExecution.optimizedPlan.exists(_.isInstanceOf[Aggregate])
 
   private def scansMv(df: DataFrame): Boolean =
-    df.queryExecution.optimizedPlan.toString.contains("/ns/mv")
+    MvRewrite.readsManifestDir(df.queryExecution.optimizedPlan,
+      s"$wh/ns/mv")
 
   private def withRule[T](body: => T): T = {
     spark.experimental.extraOptimizations =
@@ -146,6 +147,54 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("join MV cast hygiene: the analyzer's implicit up-cast on the " +
+    "join key routes; a user-written narrowing cast declines") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    def hasJoin(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists(_.isInstanceOf[Join])
+    (0L until 300L).map(i => (i, i % 4, i * 0.25))
+      .toDF("k", "fk", "v").repartition(2)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", s"$wh/ns/cfact").option("history", "true")
+      .mode("overwrite").save()
+    // dk is INT while fk is BIGINT — the bare equi-join carries the
+    // analyzer's implicit `CAST(dk AS BIGINT)`
+    (0 until 4).map(i => (i, s"c$i")).toDF("dk", "attr")
+      .coalesce(1).write.format("graft.sources.ManifestSink")
+      .option("path", s"$wh/ns/cdim").option("history", "true")
+      .mode("overwrite").save()
+    spark.sql("CALL gmvr.system.create_mv(mv_table => 'ns.cmv', " +
+      "source_table => 'ns.cfact', key_col => 'attr', sum_col => 'v', " +
+      "scale => 2, dim_table => 'ns.cdim', fk_col => 'fk', " +
+      "dim_key_col => 'dk')")
+    def q(on: String) = spark.sql(
+      s"""SELECT attr, count(*) AS n,
+        |  CAST(CAST(sum(CAST(v AS DECIMAL(30,2))) AS STRING) AS DOUBLE) AS sv
+        |FROM gmvr.ns.cfact f JOIN gmvr.ns.cdim d ON $on
+        |GROUP BY attr""".stripMargin)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ MvRewrite
+    spark.conf.set("graft.mv.rewrite", s"$wh/ns/cmv")
+    try {
+      val direct = collectSet(q("f.fk = d.dk"))
+      val up = q("f.fk = d.dk")
+      assert(!hasJoin(up),
+        s"implicit up-cast join must route:\n${up.queryExecution.optimizedPlan}")
+      assert(collectSet(up) === direct)
+      // `ON CAST(f.fk AS INT) = d.dk` has DIFFERENT semantics for
+      // out-of-range fk than the MV's defining join — must decline
+      val narrowing = q("CAST(f.fk AS INT) = d.dk")
+      assert(hasJoin(narrowing),
+        "a user-written narrowing cast on the join key must decline:\n" +
+          narrowing.queryExecution.optimizedPlan)
+    } finally {
+      spark.conf.unset("graft.mv.rewrite")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == MvRewrite)
+    }
+  }
+
   test("join MV: routes the fact⋈dim rollup; stale fact, moved dim " +
     "and wrong join columns all decline") {
     import spark.implicits._
@@ -177,7 +226,8 @@ class MvRewriteSpec extends SparkSpec {
     try {
       val fresh = spark.sql(jq)
       assert(!hasAggregate(fresh) && !hasJoin(fresh) &&
-        fresh.queryExecution.optimizedPlan.toString.contains("/ns/jmv"),
+        MvRewrite.readsManifestDir(
+          fresh.queryExecution.optimizedPlan, s"$wh/ns/jmv"),
         s"fresh join MV must absorb Join+Aggregate:\n" +
           fresh.queryExecution.optimizedPlan)
       assert(collectSet(fresh) === direct)

@@ -136,6 +136,30 @@ class TxnSpec extends SparkSpec {
       "recovery is idempotent (marker archived)")
   }
 
+  test("replayed epoch: abortStaged drops a crashed attempt's staged " +
+    "branch so re-staging cannot double-publish; refuses once committed") {
+    val wh = freshWh("f")
+    val (ta, tb) = fixture("gtxf", wh)
+    // crashed attempt staged ta only (crash before tb / commit point)
+    stage(ta, "txn-e6", 10, str = false)
+    // replay protocol: probe committed → abort stale → stage cleanly
+    assert(!ManifestTxn.isCommitted(conf, wh, "e6"))
+    assert(ManifestTxn.abortStaged(conf, wh, "e6", Seq(ta, tb)) === 1)
+    assert(ManifestSink.listBranchVersions(conf, ta, "txn-e6").isEmpty,
+      "stale staging branch must be gone before the replay stages")
+    stage(ta, "txn-e6", 10, str = false)
+    stage(tb, "txn-e6", 5, str = true)
+    assert(ManifestTxn.commit(conf, wh, "e6", Seq(ta, tb)) === 2)
+    assert(spark.sql("SELECT count(*) FROM gtxf.ns.ta").head.getLong(0)
+      === 110L, "crashed attempt's rows must not publish alongside the " +
+        "replay's — without abortStaged this would read 120")
+    // a committed txn's branches belong to roll-forward: abort refuses
+    val ex = intercept[IllegalStateException] {
+      ManifestTxn.abortStaged(conf, wh, "e6", Seq(ta, tb))
+    }
+    assert(ex.getMessage.contains("already committed"))
+  }
+
   test("a foreign commit stealing the roll-forward slot fails " +
     "recovery loudly — never a silent partial publish") {
     import spark.implicits._
