@@ -717,6 +717,106 @@ pp AS (
 SELECT pair, CAST(sum(wc) AS BIGINT) AS n
 FROM pp GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")),
 
+    // --- ITERATED BPE TO A MERGE BUDGET (q_bpe_merge made a real
+    // tokenizer-induction loop): K merge rounds driven by a Scala
+    // loop issuing DISTRIBUTED queries — each round computes the
+    // argmax adjacent pair over the DISTINCT-WORD table (never the
+    // corpus: the word table is the O(vocab) state real BPE trainers
+    // iterate), collects exactly ONE row to the driver, and rewrites
+    // the token arrays with a left-to-right greedy fold (the
+    // Sennrich merge rule: "aaa" + (a,a) → ["aa","a"]). Ties break
+    // deterministically (count desc, then pair). The DuckDB oracle
+    // restates the FULL merge sequence with the identical fold
+    // (list_reduce), so every round's choice is hash-gated — not
+    // just the first merge. At 100 TB each round costs O(distinct
+    // words); corpus size enters once, at the word count.
+    QueryDef("q_bpe_vocab",
+      (spark, dir) => {
+        import spark.implicits._
+        val K = 4
+        var words = Tables.documents(spark, dir)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 1)
+          .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+          .select(split(col("w"), "").as("toks"), col("wc"))
+          .localCheckpoint()
+        val merges = Seq.newBuilder[(Int, String, String, Long)]
+        for (round <- 1 to K) {
+          val top = words
+            .filter(size(col("toks")) >= 2)
+            .select(col("wc"), explode(expr(
+              "transform(sequence(1, size(toks) - 1), " +
+                "i -> struct(element_at(toks, i) AS l, " +
+                "element_at(toks, i + 1) AS r))")).as("p"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum(col("wc")).as("n"))
+            .orderBy(col("n").desc, col("l"), col("r"))
+            .limit(1).collect()(0)
+          val (lv, rv, nv) =
+            (top.getString(0), top.getString(1), top.getLong(2))
+          merges += ((round, lv, rv, nv))
+          // the greedy fold: non-overlapping left-to-right merge of
+          // (lv, rv) into lv+rv across every word's token array
+          val fold = org.apache.spark.sql.functions.aggregate(
+            col("toks"), array().cast("array<string>"),
+            (acc, t) => when(size(acc) > lit(0) &&
+                element_at(acc, -1) === lit(lv) && t === lit(rv),
+              concat(slice(acc, lit(1), size(acc) - lit(1)),
+                array(lit(lv + rv))))
+              .otherwise(concat(acc, array(t))))
+          words = words.select(fold.as("toks"), col("wc"))
+            .localCheckpoint()
+        }
+        merges.result().toDF("round", "l", "r", "n")
+          .orderBy(col("round"))
+      },
+      Some("""WITH w0 AS (
+  SELECT string_split(w, '') AS toks, CAST(count(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) >= 1 GROUP BY w),
+p1 AS (
+  SELECT toks[i] AS l, toks[i+1] AS r, CAST(sum(wc) AS BIGINT) AS n
+  FROM (SELECT toks, wc, unnest(range(1, len(toks))) AS i FROM w0)
+  GROUP BY 1, 2),
+m1 AS (SELECT l, r, n FROM p1 ORDER BY n DESC, l, r LIMIT 1),
+w1 AS (
+  SELECT list_reduce(list_transform(toks, t -> [t]),
+    (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r
+      THEN acc[:-2] || [m.l || m.r] ELSE acc || x END) AS toks, wc
+  FROM w0, m1 m),
+p2 AS (
+  SELECT toks[i] AS l, toks[i+1] AS r, CAST(sum(wc) AS BIGINT) AS n
+  FROM (SELECT toks, wc, unnest(range(1, len(toks))) AS i FROM w1)
+  GROUP BY 1, 2),
+m2 AS (SELECT l, r, n FROM p2 ORDER BY n DESC, l, r LIMIT 1),
+w2 AS (
+  SELECT list_reduce(list_transform(toks, t -> [t]),
+    (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r
+      THEN acc[:-2] || [m.l || m.r] ELSE acc || x END) AS toks, wc
+  FROM w1, m2 m),
+p3 AS (
+  SELECT toks[i] AS l, toks[i+1] AS r, CAST(sum(wc) AS BIGINT) AS n
+  FROM (SELECT toks, wc, unnest(range(1, len(toks))) AS i FROM w2)
+  GROUP BY 1, 2),
+m3 AS (SELECT l, r, n FROM p3 ORDER BY n DESC, l, r LIMIT 1),
+w3 AS (
+  SELECT list_reduce(list_transform(toks, t -> [t]),
+    (acc, x) -> CASE WHEN acc[-1] = m.l AND x[1] = m.r
+      THEN acc[:-2] || [m.l || m.r] ELSE acc || x END) AS toks, wc
+  FROM w2, m3 m),
+p4 AS (
+  SELECT toks[i] AS l, toks[i+1] AS r, CAST(sum(wc) AS BIGINT) AS n
+  FROM (SELECT toks, wc, unnest(range(1, len(toks))) AS i FROM w3)
+  GROUP BY 1, 2),
+m4 AS (SELECT l, r, n FROM p4 ORDER BY n DESC, l, r LIMIT 1)
+SELECT * FROM (
+  SELECT CAST(1 AS INT) AS round, l, r, n FROM m1
+  UNION ALL SELECT CAST(2 AS INT), l, r, n FROM m2
+  UNION ALL SELECT CAST(3 AS INT), l, r, n FROM m3
+  UNION ALL SELECT CAST(4 AS INT), l, r, n FROM m4
+) ORDER BY round"""),
+    ),
+
     // --- INVERTED-INDEX BUILD: term → (df, cf, posting list), the
     // retrieval-side artifact a BM25/rerank stack serves from (the
     // index q_bm25 implicitly recomputes per query, materialized).

@@ -1499,6 +1499,51 @@ ORDER BY retired, position, name""")),
   (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 2 = 0)
     AS n_v2""")),
 
+    // --- NAMESPACE DDL (SupportsNamespaces on GraftCatalog): CREATE/
+    // SHOW/DESCRIBE/DROP NAMESPACE as ordinary catalog hygiene — a
+    // namespace is a warehouse directory with a properties sidecar,
+    // every operation O(children) driver metadata. The gate runs the
+    // full lifecycle: create two namespaces (one with properties),
+    // land a table + rows in one, prove DROP refuses the non-empty
+    // namespace without CASCADE (the load-bearing guard — silent
+    // cascade would eat a table), CASCADE-drop it, and restate the
+    // surviving listing plus the row count the table held.
+    QueryDef("q_namespace_ddl",
+      (spark, dir) => {
+        import spark.implicits._
+        val wh = freshTable(spark, dir, "nsddl")
+        spark.conf.set("spark.sql.catalog.gnsd",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.gnsd.warehouse", wh)
+        spark.sql(
+          "CREATE NAMESPACE gnsd.raw WITH PROPERTIES ('tier' = 'bronze')")
+        spark.sql("CREATE NAMESPACE gnsd.curated")
+        val propsOk = spark
+          .sql("DESCRIBE NAMESPACE EXTENDED gnsd.raw").collect()
+          .map(r => s"${r.getString(0)}=${r.getString(1)}").mkString(";")
+          .matches("(?s).*tier.*bronze.*")
+        spark.sql("CREATE TABLE gnsd.raw.ev (k BIGINT, v DOUBLE)")
+        Tables.events(spark, dir)
+          .select(col("event_id").as("k"), col("value").as("v"))
+          .filter(col("k") % 5 === 0)
+          .createOrReplaceTempView("graft_nsddl_src")
+        spark.sql("INSERT INTO gnsd.raw.ev SELECT * FROM graft_nsddl_src")
+        val n = spark.sql("SELECT count(*) FROM gnsd.raw.ev")
+          .head.getLong(0)
+        val refused =
+          try { spark.sql("DROP NAMESPACE gnsd.raw"); false }
+          catch { case scala.util.control.NonFatal(_) => true }
+        spark.sql("DROP NAMESPACE gnsd.raw CASCADE")
+        val listing = spark.sql("SHOW NAMESPACES IN gnsd").collect()
+          .map(_.getString(0)).sorted.mkString(",")
+        Seq((listing, n, propsOk, refused))
+          .toDF("namespaces", "n_rows", "props_ok", "nonempty_refused")
+      },
+      Some("""SELECT 'curated' AS namespaces,
+  (SELECT CAST(count(*) AS BIGINT) FROM events WHERE event_id % 5 = 0)
+    AS n_rows,
+  true AS props_ok, true AS nonempty_refused""")),
+
     // --- NESTED SCHEMA EVOLUTION (ColMap.nested +
     // GraftCatalog.alterTable nested branches): ADD/RENAME/DROP on
     // DEPTH-1 STRUCT FIELDS as metadata-only commits over stable
@@ -3487,6 +3532,55 @@ FROM events
 WHERE event_id <= (SELECT max(event_id) // 4 FROM events)
   AND user_id <= (SELECT max(user_id) // 4 FROM events)""")),
 
+    // --- Z-ORDER WITH A STRING DIMENSION (sampled range-ids in
+    // zorderLayout): the canonical corpus layout pair is
+    // (domain, id/ts) — a STRING dimension interleaved with a numeric
+    // one. The maintenance pass ranks the string domain into ≤256
+    // rank buckets (one ranking pass; at 100 TB it runs over a
+    // sample — the ids only steer clustering, pruning reads the
+    // parts' true smin/smax), assigns each row its 8-bit rank code,
+    // and Morton-interleaves as for numeric dims. The gate proves a
+    // (source, doc_id) BOX predicate plans strictly fewer parts
+    // after `CALL compact(zorder => 'source,doc_id')` than the 8 it
+    // planned before, with the box's rollup restated. Before the
+    // rewrite the hash layout spans every part on both columns.
+    QueryDef("q_zorder_string",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "zstr")
+        spark.conf.set("spark.sql.catalog.graftzs",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftzs.warehouse", wh)
+        val base = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val t = s"$wh/wh/docs"
+        writeHistory(base, t, "overwrite", parts = 8)
+        val maxId = base.agg(max(col("doc_id"))).head.getLong(0)
+        def box(): DataFrame = spark.read
+          .format("graft.sources.ManifestSource").option("path", t).load()
+          .filter(col("source") <= "src12" && col("doc_id") <= maxId / 4)
+        def planned(df: DataFrame): Int =
+          df.queryExecution.sparkPlan.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => b.inputPartitions.length
+          }.getOrElse(-1)
+        val before = planned(box())
+        spark.sql("CALL graftzs.system.compact(table => 'wh.docs', " +
+          "target_parts => 8, zorder => 'source,doc_id')")
+        val after = planned(box())
+        box().agg(count(lit(1)).as("n_box"),
+          sum(col("n_chars")).as("sum_chars"),
+          max(col("source")).as("max_src"))
+          .withColumn("parts_before_prune", lit(before))
+          .withColumn("pruned_tighter", lit(after > 0 && after < before))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_box,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  max(source) AS max_src,
+  CAST(8 AS INT) AS parts_before_prune, true AS pruned_tighter
+FROM documents
+WHERE source <= 'src12'
+  AND doc_id <= (SELECT max(doc_id) // 4 FROM documents)""")),
+
     // --- ATOMIC CTAS / RTAS (StagingTableCatalog — GraftStagedTable):
     // `CREATE TABLE … AS SELECT` commits the query's parts and the
     // table's existence as ONE snapshot (the ladder pins exactly one
@@ -4980,6 +5074,61 @@ WHERE event_id % 2 <> 0 ORDER BY event_id""")),
   true AS epochs_atomic, true AS multi_epoch
 FROM orders WHERE o_totalprice > 1000.0
 GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // --- MV ROUTING × DRILL-UP COMPOSITION (MvRewrite): a filter
+    // over ANY MV key column composes with the coarser-rollup
+    // re-aggregation — `WHERE key1 IN (…) GROUP BY key2` routes to
+    // the MV with the predicate rebound over the MV's key columns
+    // BELOW the fold, so only the matching groups' state is ever
+    // read (σ over key columns selects whole MV groups; it commutes
+    // with both the grouping and the fold). The gate proves both
+    // halves live: the key-filtered drill-up ROUTES (plan reads the
+    // MV, not the source) while the same drill-up with a NON-key
+    // conjunct DECLINES to the source — a wrong hoist there would be
+    // a wrong answer. Answers restated from the raw table either
+    // way. At 100 TB: the filtered dashboard drill-up reads O(matched
+    // groups) of MV state instead of rescanning the fact table.
+    QueryDef("q_mv_route_reagg",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "mvroutereagg")
+        spark.conf.set("spark.sql.catalog.gmrr",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.gmrr.warehouse", wh)
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("event_type"),
+            (col("user_id") % 4).as("par"), col("value"))
+          .repartitionByRange(4, col("event_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", s"$wh/ns/ev").option("history", "true")
+          .mode("overwrite").save()
+        spark.sql("CALL gmrr.system.create_mv(mv_table => 'ns.mv', " +
+          "source_table => 'ns.ev', key_col => 'event_type,par', " +
+          "sum_col => 'value', scale => 6)")
+        def q(where: String) = spark.sql(
+          s"""SELECT par, count(*) AS n,
+            CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS STRING)
+              AS DOUBLE) AS sum_v
+          FROM gmrr.ns.ev $where GROUP BY par""")
+        def readsMv(df: DataFrame): Boolean =
+          graft.sources.MvRewrite.readsManifestDir(
+            df.queryExecution.optimizedPlan, s"$wh/ns/mv")
+        spark.conf.set("graft.mv.rewrite", s"$wh/ns/mv")
+        try {
+          val drill = q("WHERE event_type IN ('click', 'view')")
+          val routed = readsMv(drill)
+          val nonkeyDeclines =
+            !readsMv(q("WHERE event_type = 'click' AND event_id > 0"))
+          drill
+            .withColumn("routed", lit(routed))
+            .withColumn("nonkey_declines", lit(nonkeyDeclines))
+            .orderBy(col("par"))
+        } finally spark.conf.unset("graft.mv.rewrite")
+      },
+      Some(s"""SELECT user_id % 4 AS par, CAST(count(*) AS BIGINT) AS n,
+  ${Exact.decSumSql("value", 6)} AS sum_v,
+  true AS routed, true AS nonkey_declines
+FROM events WHERE event_type IN ('click', 'view')
+GROUP BY user_id % 4 ORDER BY par""")),
 
     // --- MV KEY-PREDICATE ROUTING gated live (MvRewrite): a
     // deterministic filter whose references are all GROUPING columns

@@ -44,10 +44,104 @@ import org.apache.spark.util.SerializableConfiguration
   * ever touches data files.
   */
 class GraftCatalog extends TableCatalog with FunctionCatalog
-  with ProcedureCatalog with ViewCatalog with StagingTableCatalog {
+  with ProcedureCatalog with ViewCatalog with StagingTableCatalog
+  with SupportsNamespaces {
 
   private var catalogName: String = _
   private var warehouse: String = _
+
+  // ---- NAMESPACE DDL (SupportsNamespaces): a namespace is a
+  // warehouse directory that is NOT a table (no committed manifest
+  // schema). CREATE NAMESPACE materializes the directory plus a
+  // `_PROPS.json` sidecar (the same property codec tables use), so
+  // empty namespaces survive listing; DROP refuses a non-empty
+  // namespace unless CASCADE. All operations are O(children) driver
+  // metadata — no data moves.
+  private def nsPath(ns: Array[String]): Path =
+    new Path((warehouse +: ns).mkString("/"))
+
+  private def isTableDir(ns: Array[String]): Boolean =
+    ManifestSink.readSchema(conf, (warehouse +: ns).mkString("/")).isDefined
+
+  private def nsExists(ns: Array[String]): Boolean = {
+    val p = nsPath(ns)
+    ns.nonEmpty && p.getFileSystem(conf).exists(p) && !isTableDir(ns)
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(parent: Array[String]): Array[Array[String]] = {
+    if (parent.nonEmpty && !nsExists(parent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(parent)
+    val p = nsPath(parent)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Array.empty
+    fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .filter(n => !isTableDir(parent :+ n))
+      .sorted
+      .map(n => parent :+ n)
+      .toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    nsExists(namespace)
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!nsExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    ManifestSink.readTableProps(conf,
+      nsPath(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    require(namespace.nonEmpty && namespace.forall(_.nonEmpty),
+      "namespace must be non-empty")
+    if (nsExists(namespace) || isTableDir(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
+    val p = nsPath(namespace)
+    p.getFileSystem(conf).mkdirs(p)
+    // persist properties (empty map still writes the sidecar — the
+    // marker is what makes a fresh empty namespace listable)
+    ManifestSink.writeTableProps(conf, p.toString,
+      metadata.asScala.toMap -- Seq(SupportsNamespaces.PROP_OWNER))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit = {
+    if (!nsExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    val dir = nsPath(namespace).toString
+    val props = changes.foldLeft(ManifestSink.readTableProps(conf, dir)) {
+      case (m, s: NamespaceChange.SetProperty) =>
+        m + (s.property() -> s.value())
+      case (m, r: NamespaceChange.RemoveProperty) => m - r.property()
+      case (_, other) => throw new UnsupportedOperationException(
+        s"namespace change $other is not supported")
+    }
+    ManifestSink.writeTableProps(conf, dir, props)
+  }
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    if (!nsExists(namespace)) return false
+    val hasChildren = listTables(namespace).nonEmpty ||
+      listNamespaces(namespace).nonEmpty
+    if (hasChildren && !cascade)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NonEmptyNamespaceException(namespace)
+    val p = nsPath(namespace)
+    p.getFileSystem(conf).delete(p, true)
+  }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name

@@ -480,7 +480,17 @@ object ManifestMaintenance {
     * column, where a plain sort by one column leaves the other's
     * bounds spanning every file. The interleave itself is a pure
     * narrow map of shifts/masks (codegen'd, no extra shuffle beyond
-    * the range exchange any re-layout pays). */
+    * the range exchange any re-layout pays).
+    *
+    * STRING dimensions get SAMPLED RANGE-IDS (the (domain, ts) /
+    * (url_host, ts) corpus-layout pairs): one maintenance-time pass
+    * ranks the dimension's distinct values into ≤256 rank buckets
+    * whose upper bounds become the boundary table; each row's 8-bit
+    * code is its rank among the boundaries (≤255 comparisons, pure
+    * codegen'd map). The ids only STEER clustering — any boundary
+    * set yields a correct layout (pruning reads the parts' true
+    * smin/smax, never the ids) — so at 100 TB the ranking pass runs
+    * over a deterministic sample without any correctness cost. */
   private def zorderLayout(zcols: Seq[String], targetParts: Int)
       : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
@@ -488,27 +498,63 @@ object ManifestMaintenance {
       require(zcols.forall(c => df.schema.fieldNames.contains(c)),
         s"zorder columns ${zcols.mkString(",")} must exist in " +
           s"${df.schema.fieldNames.mkString("(", ",", ")")}")
-      // one driver-side row of global bounds; numeric/date dimensions
-      // only (strings would need sampled range-ids — not supported)
-      val bounds = df.agg(
-        min(col(zcols.head).cast("double")).as("mn0"),
-        (zcols.head +: zcols.tail).zipWithIndex.flatMap { case (c, i) =>
-          if (i == 0) Seq(max(col(c).cast("double")).as("mx0"))
-          else Seq(min(col(c).cast("double")).as(s"mn$i"),
-            max(col(c).cast("double")).as(s"mx$i"))
-        }: _*).head()
-      val codes = zcols.zipWithIndex.map { case (c, i) =>
-        // all-null dimension → bounds NULL → constant code 0; row-
-        // level NULLs coalesce to 0 (cluster with the low corner —
-        // any fixed tile is prune-correct, stats ignore nulls anyway)
-        val mnIdx = bounds.fieldIndex(s"mn$i")
-        val mxIdx = bounds.fieldIndex(s"mx$i")
-        val mn = if (bounds.isNullAt(mnIdx)) 0.0 else bounds.getDouble(mnIdx)
-        val mx = if (bounds.isNullAt(mxIdx)) 0.0 else bounds.getDouble(mxIdx)
-        val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
-        coalesce(least(greatest(
-          ((col(c).cast("double") - lit(mn)) / lit(span) * lit(255.999))
-            .cast("int"), lit(0)), lit(255)), lit(0))
+      val isStr = zcols.map(c =>
+        df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+      // string dims: one ranking pass each over the distinct domain
+      // (binary collation — the same order smin/smax pruning uses)
+      val strBounds: Map[String, Array[String]] =
+        zcols.zip(isStr).collect { case (c, true) =>
+          val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+          c -> df.select(col(c).as("v")).na.drop().distinct()
+            .withColumn("t", ntile(256).over(w))
+            .groupBy(col("t")).agg(max(col("v")).as("hi"))
+            .orderBy(col("t")).collect().map(_.getString(1))
+            .dropRight(1) // boundaries BETWEEN buckets (≤255)
+        }.toMap
+      // numeric/date dims: one driver-side row of global bounds
+      val numCols = zcols.zip(isStr).collect { case (c, false) => c }
+      val numBounds: Map[String, (Double, Double)] =
+        if (numCols.isEmpty) Map.empty
+        else {
+          val aggs = numCols.flatMap(c => Seq(
+            min(col(c).cast("double")).as(s"mn_$c"),
+            max(col(c).cast("double")).as(s"mx_$c")))
+          val r = df.agg(aggs.head, aggs.tail: _*).head()
+          numCols.map { c =>
+            def at(n: String): Double = {
+              val i = r.fieldIndex(n)
+              if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+            }
+            c -> (at(s"mn_$c"), at(s"mx_$c"))
+          }.toMap
+        }
+      val codes = zcols.map { c =>
+        strBounds.get(c) match {
+          case Some(bs) if bs.isEmpty =>
+            // ≤1 distinct value: constant dimension, constant code
+            lit(0)
+          case Some(bs) =>
+            // rank among the boundaries = #{b : v > b} ∈ [0, nb]
+            // (O(256) codegen'd comparisons), then SPREAD across the
+            // full byte — a low-cardinality domain must still occupy
+            // the HIGH interleave bits, or the Morton tiles would
+            // split only on the other dimensions. NULL rows cluster
+            // with the low corner (prune-correct: stats ignore nulls)
+            val rank = org.apache.spark.sql.functions.aggregate(
+              array(bs.map(lit(_)): _*), lit(0),
+              (acc, b) => acc + when(col(c) > b, 1).otherwise(0))
+            coalesce((rank * lit(255) / lit(bs.length)).cast("int"),
+              lit(0))
+          case None =>
+            // all-null dimension → bounds NULL → constant code 0;
+            // row-level NULLs coalesce to 0 (cluster with the low
+            // corner — any fixed tile is prune-correct)
+            val (mn, mx) = numBounds(c)
+            val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+            coalesce(least(greatest(
+              ((col(c).cast("double") - lit(mn)) / lit(span) * lit(255.999))
+                .cast("int"), lit(0)), lit(255)), lit(0))
+        }
       }
       val k = codes.size
       val zval = (0 until 8).flatMap { bit =>

@@ -111,20 +111,21 @@ object MvRewrite extends Rule[LogicalPlan] {
     plan.transformDown {
       case agg: Aggregate =>
         // KEY-PREDICATE routing: a deterministic Filter between the
-        // aggregate and the scan whose references are all GROUPING
-        // attributes commutes with the grouping (σ_θ(γ_K(R)) =
-        // γ_K(σ_θ(R)) when θ reads only K), so the query routes to
-        // the MV with the SAME filter rebound over the MV's key
-        // columns — the dashboard's `WHERE key = x GROUP BY key`
-        // reads O(matching groups), never the table. Any filter
-        // touching a non-key column still declines.
+        // aggregate and the scan is CAPTURED here and validated in
+        // substitute(): it routes iff its references are all MV KEY
+        // columns — σ over key columns selects whole MV groups, so it
+        // commutes with the exact projection AND with the coarser
+        // re-aggregation (`WHERE key1 = x GROUP BY key2` folds only
+        // the matching groups' state). A filter touching any non-key
+        // column fails the rebind and the whole rewrite declines with
+        // the original Filter intact — a wrong hoist there would be a
+        // wrong answer, so the decline is load-bearing.
         val groupKeys = AttributeSet(agg.groupingExpressions.collect {
           case a: AttributeReference => a
         })
         val (keyFilter, aggChild) = strip(agg.child) match {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-              if f.condition.deterministic &&
-                f.condition.references.subsetOf(groupKeys) =>
+              if f.condition.deterministic =>
             (Some(f.condition), f.child)
           case other => (None, other)
         }
@@ -346,6 +347,23 @@ object MvRewrite extends Rule[LogicalPlan] {
         .map(k -> _)
     }
     if (keyPairs.size != groupAttrs.size) return None
+    // the captured filter must rebind ENTIRELY over MV key columns
+    // (grouping or not — filtering a non-grouped key under a drill-up
+    // still selects whole MV groups); any other reference declines
+    val filterRebind: Option[Map[
+        org.apache.spark.sql.catalyst.expressions.ExprId,
+        org.apache.spark.sql.catalyst.expressions.Attribute]] =
+      keyFilter match {
+        case None => Some(Map.empty)
+        case Some(cond) =>
+          val pairs = cond.references.toSeq.map { a =>
+            out.find(m => keys.contains(a.name) && m.name == a.name &&
+              m.dataType == a.dataType).map(a.exprId -> _)
+          }
+          if (pairs.forall(_.isDefined)) Some(pairs.flatten.toMap)
+          else None
+      }
+    if (filterRebind.isEmpty) return None
     for {
       mvN <- out.find(_.name == "n_rows")
       mvS <- out.find(_.name == "sum_value")
@@ -357,15 +375,16 @@ object MvRewrite extends Rule[LogicalPlan] {
         out.find(_.name == "ndv_sketch"),
         t.meta, mvPlan.outputSet, reAgg = subset)
     } yield {
-      // key-predicate routing: the caller proved the filter reads
-      // only grouping attributes, so it commutes with the grouping —
-      // rebind it over the MV's key columns and keep it in the plan
-      val keyById2 = keyPairs.map { case (k, mv) => k.exprId -> mv }.toMap
+      // key-predicate routing: every reference proved an MV key
+      // above — rebind the filter over the MV's key columns and keep
+      // it in the plan (below the re-aggregation in subset mode: the
+      // selected groups fold, the rest are never read)
+      val rebind = filterRebind.get
       val base: LogicalPlan = keyFilter.fold(mvPlan) { cond =>
         org.apache.spark.sql.catalyst.plans.logical.Filter(
           cond.transform {
-            case a: AttributeReference if keyById2.contains(a.exprId) =>
-              keyById2(a.exprId)
+            case a: AttributeReference if rebind.contains(a.exprId) =>
+              rebind(a.exprId)
           }, mvPlan)
       }
       if (subset)

@@ -136,6 +136,50 @@ object Streams {
     }
   }
 
+  private[streaming] case class TtlCount(
+      user_id: Long, n_ttl: Long, n_total: Long)
+
+  /** STATE TTL (Spark 4 per-state TTLConfig): two ValueStates on the
+    * SAME key — `fresh` expires TTL after its last update, `total`
+    * never does — so one processor exhibits both lifecycles at once:
+    * after an idle gap longer than the TTL, `fresh` reads absent
+    * (the count RESTARTS — evicted state can never leak into the
+    * recount) while `total` still carries the full history. This is
+    * the bounded-state contract an always-on keyed pipeline needs:
+    * state for churned-out keys ages out by itself instead of
+    * growing forever. */
+  class TtlCountProcessor extends org.apache.spark.sql.streaming
+      .StatefulProcessor[Long, (Long, Long, Double), TtlCount] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.TTLConfig
+    @transient private var fresh:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var total:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      fresh = getHandle.getValueState[Long]("fresh", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(1000)))
+      total = getHandle.getValueState[Long]("total", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TtlCount] = {
+      val n = rows.size.toLong
+      // an expired `fresh` reads ABSENT here — the TTL getter filters
+      // it — so the count restarts from this batch's rows alone
+      val f = (if (fresh.exists()) fresh.get() else 0L) + n
+      val t = (if (total.exists()) total.get() else 0L) + n
+      fresh.update(f)
+      total.update(t)
+      Iterator(TtlCount(key, f, t))
+    }
+  }
+
   // lazy: `raw` is initialized below this point in the object body
   lazy val all: Seq[QueryDef] = raw.map(q =>
     q.copy(fn = (spark, dir) => q.fn(streamSession(spark), dir)))
@@ -243,6 +287,93 @@ SELECT c.user_id, c.n_events,
 FROM c JOIN r ON r.user_id = c.user_id AND rn <= 3
 GROUP BY c.user_id, c.n_events
 ORDER BY c.user_id""")),
+
+    // --- STATE TTL (transformWithState + per-state TTLConfig): the
+    // bounded-state contract for always-on keyed pipelines — state
+    // for keys idle past the TTL ages out BY ITSELF. The gate runs
+    // the same processor over two stream RUNS sharing one checkpoint,
+    // separated by an idle gap longer than the TTL: run 1 feeds every
+    // user, run 2 (after the gap) feeds only even users. In run 2 the
+    // TTL'd state reads ABSENT (n_ttl restarts at run-2's own rows —
+    // expired state provably cannot leak into the recount) while the
+    // non-TTL control state on the SAME keys still carries run 1's
+    // history (n_total) — eviction and survival exhibited side by
+    // side, both restated by the batch oracle. At 100 TB of churning
+    // keys this is the difference between bounded state and an
+    // unbounded RocksDB.
+    QueryDef("q_stream_ttl",
+      (spark, dir) => {
+        import spark.implicits._
+        val k = "spark.sql.streaming.stateStore.providerClass"
+        val nd = "spark.sql.streaming.noDataMicroBatches.enabled"
+        val saved = spark.conf.getOption(k)
+        val savedNd = spark.conf.getOption(nd)
+        spark.conf.set(k, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        // processing-time TTL schedules NO-DATA batches to advance its
+        // clock, so AvailableNow would never drain — disable them; the
+        // eviction contract this query gates lives in the state
+        // GETTER (expired reads absent), not in background cleanup
+        spark.conf.set(nd, "false")
+        try {
+          val stage = Files.createTempDirectory("graft-ttl-stage-").toString
+          val ckpt = Files.createTempDirectory("graft-ttl-ckpt-").toString
+          val out1 = Files.createTempDirectory("graft-ttl-o1-").toString
+          val out2 = Files.createTempDirectory("graft-ttl-o2-").toString
+          val src = Tables.events(spark, dir)
+            .select(col("user_id"), col("event_id"), col("value"))
+          src.coalesce(1).write.mode("append").parquet(stage)
+          def runOnce(outDir: String): Unit = {
+            val typed = spark.readStream
+              .schema("user_id BIGINT, event_id BIGINT, value DOUBLE")
+              .parquet(stage)
+              .as[(Long, Long, Double)]
+            val q = typed.groupByKey(_._1)
+              .transformWithState(new TtlCountProcessor,
+                org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+                org.apache.spark.sql.streaming.OutputMode.Update())
+              .toDF()
+              .writeStream
+              .outputMode("update")
+              .option("checkpointLocation", ckpt)
+              .trigger(Trigger.AvailableNow())
+              .foreachBatch { (b: DataFrame, _: Long) =>
+                b.write.mode("append").parquet(outDir); ()
+              }
+              .start()
+            q.awaitTermination()
+          }
+          runOnce(out1)
+          // the idle gap: strictly longer than the 1000 ms TTL (3x —
+          // the margin absorbs GC/scheduler noise), so every key's
+          // `fresh` state is expired when run 2 reads it
+          Thread.sleep(3000)
+          src.filter(col("user_id") % 2 === 0)
+            .coalesce(1).write.mode("append").parquet(stage)
+          runOnce(out2)
+          // run 2's emissions alone: TTL'd count restarted, control
+          // count carried (update-mode may emit per batch — keep the
+          // per-key maximum, the final state)
+          spark.read.parquet(out2)
+            .groupBy(col("user_id"))
+            .agg(max(col("n_ttl")).as("n_ttl"),
+              max(col("n_total")).as("n_total"))
+            .orderBy(col("user_id"))
+        } finally {
+          saved match {
+            case Some(v) => spark.conf.set(k, v)
+            case None    => spark.conf.unset(k)
+          }
+          savedNd match {
+            case Some(v) => spark.conf.set(nd, v)
+            case None    => spark.conf.unset(nd)
+          }
+        }
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_ttl,
+  CAST(2 * count(*) AS BIGINT) AS n_total
+FROM events WHERE user_id % 2 = 0
+GROUP BY user_id ORDER BY user_id""")),
 
     // --- STATE STORE AS A TABLE (Spark 4's `statestore` batch data
     // source): the running state of a live streaming aggregation read

@@ -33,6 +33,40 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("namespace DDL: create/list/describe/alter; DROP refuses " +
+      "non-empty without CASCADE; CASCADE drops; names don't collide " +
+      "with tables") {
+    wh
+    spark.sql("CREATE NAMESPACE gcs.nsa WITH PROPERTIES ('tier' = 'x')")
+    spark.sql("CREATE NAMESPACE gcs.nsb")
+    // an empty created namespace is listable (the sidecar marker)
+    val listed = spark.sql("SHOW NAMESPACES IN gcs").collect()
+      .map(_.getString(0)).toSet
+    assert(listed.contains("nsa") && listed.contains("nsb"))
+    // double-create fails loudly
+    intercept[Exception] { spark.sql("CREATE NAMESPACE gcs.nsa") }
+    // properties round-trip through ALTER
+    spark.sql("ALTER NAMESPACE gcs.nsa SET PROPERTIES ('tier' = 'y')")
+    assert(spark.sql("DESCRIBE NAMESPACE EXTENDED gcs.nsa").collect()
+      .map(r => s"${r.getString(0)}=${r.getString(1)}").mkString(";")
+      .matches("(?s).*tier.*y.*"))
+    // non-empty refuses without CASCADE — the load-bearing guard
+    spark.sql("CREATE TABLE gcs.nsa.t (k BIGINT)")
+    spark.sql("INSERT INTO gcs.nsa.t VALUES (1), (2)")
+    intercept[Exception] { spark.sql("DROP NAMESPACE gcs.nsa") }
+    assert(spark.sql("SELECT count(*) FROM gcs.nsa.t").head.getLong(0)
+      === 2L, "the refused drop must leave the table intact")
+    spark.sql("DROP NAMESPACE gcs.nsa CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN gcs").collect()
+      .map(_.getString(0)).contains("nsa"))
+    // empty namespace drops without CASCADE
+    spark.sql("DROP NAMESPACE gcs.nsb")
+    // a TABLE directory is not a namespace
+    spark.sql("CREATE TABLE gcs.ns.nott (k BIGINT)")
+    assert(!spark.sql("SHOW NAMESPACES IN gcs.ns").collect()
+      .map(_.getString(0)).contains("nott"))
+  }
+
   test("CTAS commits as ONE snapshot; RTAS atomically replaces with " +
     "time travel intact; a FAILED CTAS leaves no table and a FAILED " +
     "RTAS leaves the old head untouched") {

@@ -144,6 +144,9 @@ class MvRewriteSpec extends SparkSpec {
       assert(hasAggregate(spark.sql(rollupSql.replace(
         "FROM gmvr.ns.src", "FROM gmvr.ns.src WHERE s = 'g1' AND k > 0"))),
         "a non-key reference in the filter must decline")
+      assert(!scansMv(spark.sql(rollupSql.replace(
+        "FROM gmvr.ns.src", "FROM gmvr.ns.src WHERE s = 'g1' AND k > 0"))),
+        "the declined filter query must scan the source, not the MV")
     }
   }
 

@@ -230,6 +230,38 @@ class ScaleSpec extends SparkSpec {
     assert(spans.getInt(0) < 32 && spans.getInt(1) < 32, spans.toString)
   }
 
+  test("zorderLayout with a STRING dimension: rank-coded tiles make " +
+      "a string point predicate prune parts; answers intact") {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("graft-zstr-").toString
+    spark.conf.set("spark.sql.catalog.gzst", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gzst.warehouse", wh)
+    val t = s"$wh/ns/d"
+    graft.model.Tables.documents(spark, Sf0001)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .repartition(8, col("doc_id"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", t).option("history", "true")
+      .mode("overwrite").save()
+    def probe() = spark.read.format("graft.sources.ManifestSource")
+      .option("path", t).load().filter(col("source") === "src5")
+    def planned(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b.inputPartitions.length
+      }.getOrElse(-1)
+    val beforeRows = probe().count()
+    assert(planned(probe()) === 8,
+      "hash layout spans every part on the string dimension")
+    spark.sql("CALL gzst.system.compact(table => 'ns.d', " +
+      "target_parts => 8, zorder => 'source,doc_id')")
+    val after = planned(probe())
+    assert(after > 0 && after < 8,
+      s"rank-coded string tiles must prune the point probe, planned $after")
+    assert(probe().count() === beforeRows,
+      "compaction changed layout, never content")
+  }
+
   test("q_cms_hh: sketch and probe stages broadcast; no sort-merge join") {
     val p = plan("q_cms_hh")
     // the D×W cell table and the total are broadcast onto the key
