@@ -744,9 +744,44 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       // pretend to be free. Field ids are untouched (same column,
       // same slots); time travel reads each snapshot under its own
       // committed type.
+      // ALTER COLUMN parent.child TYPE — the same value-exact WIDENING
+      // set as the top level (textual line codec: "5" decodes as
+      // BIGINT exactly as it decoded as INT; DECIMAL widens at the
+      // same scale with no re-render), metadata-only. Nested fields
+      // carry NO per-part stats, so the top level's stats-identity
+      // guards are vacuous here; nested ids are untouched (same
+      // sub-column, same sub-slots). Time travel reads each snapshot
+      // under its own committed sub-type.
+      case (s, ut: TableChange.UpdateColumnType)
+          if ut.fieldNames().length == 2 =>
+        val parent = ut.fieldNames()(0)
+        val name = ut.fieldNames()(1)
+        val (pIdx, _, st, _) = nestedTarget(s, parent)
+        val fIdx = st.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+        require(fIdx >= 0, s"no field '$parent.$name' in $ident")
+        val from = st.fields(fIdx).dataType
+        val to = ut.newDataType()
+        val widens = (from, to) match {
+          case (ByteType, ShortType | IntegerType | LongType) => true
+          case (ShortType, IntegerType | LongType)            => true
+          case (IntegerType, LongType)                        => true
+          case (da: DecimalType, db: DecimalType) =>
+            db.scale == da.scale && db.precision >= da.precision
+          case _ => false
+        }
+        require(widens,
+          s"unsupported type change ${from.simpleString} -> " +
+            s"${to.simpleString} on '$parent.$name': only integral " +
+            "widening and same-scale DECIMAL precision growth are " +
+            "value-exact under the text codec")
+        schemaChanged = true
+        StructType(s.fields.updated(pIdx, s.fields(pIdx).copy(
+          dataType = StructType(st.fields.updated(fIdx,
+            st.fields(fIdx).copy(dataType = to))))))
       case (s, ut: TableChange.UpdateColumnType) =>
         require(ut.fieldNames().length == 1,
-          "nested ALTER COLUMN is not supported")
+          "nested ALTER COLUMN TYPE applies to depth-1 struct fields " +
+            "only (parent.child)")
         val name = ut.fieldNames()(0)
         val idx = s.fieldNames.indexWhere(_.equalsIgnoreCase(name))
         require(idx >= 0, s"no column '$name' in $ident")

@@ -276,6 +276,38 @@ class ColumnMappingSpec extends SparkSpec {
     }
   }
 
+  test("NESTED evolution: ALTER COLUMN TYPE widens struct fields " +
+      "metadata-only; non-widening changes refuse") {
+    wh
+    spark.sql("CREATE TABLE gcm.ns.nw (k BIGINT, p STRUCT<a: INT, b: STRING>)")
+    spark.sql("INSERT INTO gcm.ns.nw " +
+      "VALUES (1, named_struct('a', 7, 'b', 'x'))")
+    val before = dataFiles("nw")
+    spark.sql("ALTER TABLE gcm.ns.nw ALTER COLUMN p.a TYPE BIGINT")
+    assert(dataFiles("nw") === before, "nested widening must not touch data")
+    assert(spark.table("gcm.ns.nw").schema("p").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("a").dataType
+      === org.apache.spark.sql.types.LongType)
+    // committed INT lines decode as BIGINT value-exactly; new BIGINT
+    // rows interleave
+    spark.sql("INSERT INTO gcm.ns.nw " +
+      "VALUES (2, named_struct('a', 3000000000L, 'b', 'y'))")
+    assert(spark.sql("SELECT p.a FROM gcm.ns.nw ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq === Seq(7L, 3000000000L))
+    // time travel reads the old snapshot under its own committed type
+    assert(spark.sql("SELECT * FROM gcm.ns.nw VERSION AS OF 2")
+      .schema("p").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("a").dataType
+      === org.apache.spark.sql.types.IntegerType)
+    // value-changing casts refuse (committed lines are never rewritten)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcm.ns.nw ALTER COLUMN p.b TYPE INT")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcm.ns.nw ALTER COLUMN p.a TYPE INT")
+    }
+  }
+
   test("NESTED evolution: change feed replays struct rows across " +
       "nested RENAME/DROP commits") {
     wh
