@@ -741,7 +741,8 @@ FROM pp GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")),
           .select(split(col("w"), "").as("toks"), col("wc"))
           .localCheckpoint()
         val merges = Seq.newBuilder[(Int, String, String, Long)]
-        for (round <- 1 to K) {
+        var exhausted = false
+        for (round <- 1 to K if !exhausted) {
           val top = words
             .filter(size(col("toks")) >= 2)
             .select(col("wc"), explode(expr(
@@ -751,9 +752,14 @@ FROM pp GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")),
             .groupBy(col("p.l").as("l"), col("p.r").as("r"))
             .agg(sum(col("wc")).as("n"))
             .orderBy(col("n").desc, col("l"), col("r"))
-            .limit(1).collect()(0)
-          val (lv, rv, nv) =
-            (top.getString(0), top.getString(1), top.getLong(2))
+            .limit(1).collect().headOption
+          // a fully-merged / single-char vocabulary simply stops: the
+          // oracle's m_k CTEs go empty the same round, so both sides
+          // emit the same (shorter) merge sequence
+          if (top.isEmpty) { exhausted = true }
+          else {
+          val (lv, rv, nv) = (top.get.getString(0), top.get.getString(1),
+            top.get.getLong(2))
           merges += ((round, lv, rv, nv))
           // the greedy fold: non-overlapping left-to-right merge of
           // (lv, rv) into lv+rv across every word's token array
@@ -766,6 +772,7 @@ FROM pp GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")),
               .otherwise(concat(acc, array(t))))
           words = words.select(fold.as("toks"), col("wc"))
             .localCheckpoint()
+          }
         }
         merges.result().toDF("round", "l", "r", "n")
           .orderBy(col("round"))

@@ -5118,10 +5118,15 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
           val routed = readsMv(drill)
           val nonkeyDeclines =
             !readsMv(q("WHERE event_type = 'click' AND event_id > 0"))
+          // localCheckpoint WHILE the rule is armed: the hash-checked
+          // rows must come from the ROUTED plan (a lazily-returned
+          // Dataset would re-optimize after the finally unsets the
+          // conf and silently answer from the source)
           drill
             .withColumn("routed", lit(routed))
             .withColumn("nonkey_declines", lit(nonkeyDeclines))
             .orderBy(col("par"))
+            .localCheckpoint()
         } finally spark.conf.unset("graft.mv.rewrite")
       },
       Some(s"""SELECT user_id % 4 AS par, CAST(count(*) AS BIGINT) AS n,
@@ -5173,10 +5178,14 @@ GROUP BY user_id % 4 ORDER BY par""")),
               keyed.queryExecution.optimizedPlan, s"$wh/ns/mv")
           val nonkeyDeclines = aggregates(
             q("WHERE event_type = 'click' AND event_id > 0"))
+          // localCheckpoint WHILE the rule is armed: the hash-checked
+          // rows must come from the ROUTED plan, not a post-finally
+          // re-optimization that falls back to the source
           keyed
             .withColumn("routed", lit(routed))
             .withColumn("nonkey_declines", lit(nonkeyDeclines))
             .orderBy(col("event_type"))
+            .localCheckpoint()
         } finally spark.conf.unset("graft.mv.rewrite")
       },
       Some(s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -501,11 +501,24 @@ object ManifestMaintenance {
       val isStr = zcols.map(c =>
         df.schema(c).dataType == org.apache.spark.sql.types.StringType)
       // string dims: one ranking pass each over the distinct domain
-      // (binary collation — the same order smin/smax pruning uses)
+      // (binary collation — the same order smin/smax pruning uses).
+      // The single-partition ntile window is BOUNDED first: a
+      // high-cardinality domain (url hosts, digests) is cut to
+      // ~64k values by a DETERMINISTIC hash-sample before ranking —
+      // sound because the boundaries only steer clustering (pruning
+      // reads the parts' true smin/smax), so a sampled boundary set
+      // costs tile balance, never correctness.
       val strBounds: Map[String, Array[String]] =
         zcols.zip(isStr).collect { case (c, true) =>
+          val dist = df.select(col(c).as("v")).na.drop().distinct()
+          val ndv = dist.agg(approx_count_distinct(col("v")))
+            .head.getLong(0)
+          val keep = math.max(1L, ndv / 65536L)
+          val dom = if (keep > 1)
+            dist.filter(pmod(xxhash64(col("v")), lit(keep)) === 0)
+          else dist
           val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-          c -> df.select(col(c).as("v")).na.drop().distinct()
+          c -> dom
             .withColumn("t", ntile(256).over(w))
             .groupBy(col("t")).agg(max(col("v")).as("hi"))
             .orderBy(col("t")).collect().map(_.getString(1))

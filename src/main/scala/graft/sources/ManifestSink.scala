@@ -1806,11 +1806,24 @@ private[sources] class ManifestBatchWrite(
       case None => schema
       case Some(old) => StructType(schema.fields.zipWithIndex.map {
         case (f, i) if i < old.fields.length =>
-          // the committed DATATYPE is always sticky (it carries struct
-          // sub-field nullability); the top-level flag may still widen
-          // to nullable with the write
-          if (old.fields(i).nullable) old.fields(i)
-          else f.copy(dataType = old.fields(i).dataType)
+          // the committed DATATYPE is sticky, but nullability — at
+          // BOTH levels — may only WIDEN with the write: a struct
+          // append carrying genuinely-null sub-values must publish
+          // those sub-fields nullable, or readers would decode NULL
+          // at a slot the schema declares non-null (silently wrong
+          // under codegen). Narrowing never happens: committed rows
+          // under a nullable field may hold nulls forever.
+          def widenNulls(o: DataType, n: DataType): DataType = (o, n) match {
+            case (os: StructType, ns: StructType)
+                if os.fields.length == ns.fields.length =>
+              StructType(os.fields.zip(ns.fields).map { case (of, nf) =>
+                of.copy(nullable = of.nullable || nf.nullable)
+              })
+            case _ => o
+          }
+          val merged = widenNulls(old.fields(i).dataType, f.dataType)
+          if (old.fields(i).nullable) old.fields(i).copy(dataType = merged)
+          else f.copy(dataType = merged)
         case (f, _) => f.copy(nullable = true)
       })
     }

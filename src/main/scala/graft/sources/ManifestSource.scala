@@ -68,6 +68,38 @@ object ManifestSource {
         cm.nested.map { case (pid, n) => pid -> n.ids }
       case _ => Map.empty
     }
+
+  /** DEPTH-1 STRUCT decode plans, shared by the batch and CDF
+    * readers: for each required struct field, resolve every REQUIRED
+    * sub-field (possibly nested-pruned, so by NAME against the full
+    * struct) -> stable nested id (identity when the struct never
+    * evolved) -> the part's recorded sub-layout (identity when
+    * absent) — the top-level column-mapping rule one level down.
+    * `null` at non-struct / meta positions. */
+  private[sources] def structPlansFor(required: StructType,
+      schema: StructType, ids: Seq[Int],
+      nestedIds: Map[Int, Seq[Int]], partNcols: Map[Int, Seq[Int]],
+      metaCols: Set[String]): Array[(Array[Int], Array[DataType])] =
+    required.fields.map { f =>
+      f.dataType match {
+        case reqSt: StructType if !metaCols.contains(f.name) =>
+          val li = schema.fieldIndex(f.name)
+          val fullSt = schema.fields(li).dataType.asInstanceOf[StructType]
+          val id = if (ids.nonEmpty) ids(li) else li
+          val curIds = nestedIds.getOrElse(id, fullSt.fields.indices.toSeq)
+          val layout = partNcols.getOrElse(id, Seq.empty)
+          val slots = reqSt.fields.map { sf =>
+            val sid = curIds(fullSt.fieldIndex(sf.name))
+            if (layout.isEmpty) sid
+            else {
+              val sl = layout.indexOf(sid)
+              if (sl < 0) Int.MaxValue else sl
+            }
+          }
+          (slots, reqSt.fields.map(_.dataType))
+        case _ => null
+      }
+    }
 }
 
 class ManifestSource extends TableProvider {
@@ -1649,31 +1681,13 @@ private[sources] class ManifestCdfReaderFactory(
           Left((slot, baseSchema(f.name).dataType))
         }
       }
-    // depth-1 struct sub-plans, same resolution as the batch reader —
-    // a change feed replays structs correctly across nested DDL
+    // depth-1 struct sub-plans, the batch reader's shared resolution
+    // ([[ManifestSource.structPlansFor]]) — a change feed replays
+    // structs correctly across nested DDL
     val structPlans: Array[(Array[Int], Array[DataType])] =
-      required.fields.map { f =>
-        f.dataType match {
-          case reqSt: StructType if f.name != ManifestCdf.ChangeTypeCol &&
-              f.name != ManifestCdf.CommitVersionCol =>
-            val li = baseSchema.fieldIndex(f.name)
-            val fullSt =
-              baseSchema.fields(li).dataType.asInstanceOf[StructType]
-            val id = if (ids.nonEmpty) ids(li) else li
-            val curIds = nestedIds.getOrElse(id, fullSt.fields.indices.toSeq)
-            val layout = part.ncols.getOrElse(id, Seq.empty)
-            val slots = reqSt.fields.map { sf =>
-              val sid = curIds(fullSt.fieldIndex(sf.name))
-              if (layout.isEmpty) sid
-              else {
-                val sl = layout.indexOf(sid)
-                if (sl < 0) Int.MaxValue else sl
-              }
-            }
-            (slots, reqSt.fields.map(_.dataType))
-          case _ => null
-        }
-      }
+      ManifestSource.structPlansFor(required, baseSchema, ids, nestedIds,
+        part.ncols,
+        Set(ManifestCdf.ChangeTypeCol, ManifestCdf.CommitVersionCol))
     new PartitionReader[InternalRow] {
       private val path = new Path(part.path)
       private val mask = DeleteVector.fromHex(part.maskHex)
@@ -1938,35 +1952,11 @@ private[sources] class ManifestReaderFactory(
       if (f == PartMetaColumn.Name || f == PosMetaColumn.Name)
         org.apache.spark.sql.types.StringType
       else schema(f).dataType)
-    // DEPTH-1 STRUCT decode plans: for a required struct field,
-    // resolve each REQUIRED sub-field (possibly nested-pruned, so by
-    // NAME against the full struct) -> stable nested id
-    // ([[ManifestSource.nestedIdsFor]], identity when the struct
-    // never evolved) -> the part's recorded sub-layout
-    // ([[PartMeta.ncols]], identity when absent) — exactly the
-    // top-level column-mapping rule one level down.
+    // DEPTH-1 STRUCT decode plans (shared resolution — see
+    // [[ManifestSource.structPlansFor]])
     val structPlans: Array[(Array[Int], Array[DataType])] =
-      required.fields.map { f =>
-        f.dataType match {
-          case reqSt: StructType if f.name != PartMetaColumn.Name &&
-              f.name != PosMetaColumn.Name =>
-            val li = schema.fieldIndex(f.name)
-            val fullSt = schema.fields(li).dataType.asInstanceOf[StructType]
-            val id = if (ids.nonEmpty) ids(li) else li
-            val curIds = nestedIds.getOrElse(id, fullSt.fields.indices.toSeq)
-            val layout = part.ncols.getOrElse(id, Seq.empty)
-            val slots = reqSt.fields.map { sf =>
-              val sid = curIds(fullSt.fieldIndex(sf.name))
-              if (layout.isEmpty) sid
-              else {
-                val sl = layout.indexOf(sid)
-                if (sl < 0) Int.MaxValue else sl
-              }
-            }
-            (slots, reqSt.fields.map(_.dataType))
-          case _ => null
-        }
-      }
+      ManifestSource.structPlansFor(required, schema, ids, nestedIds,
+        part.ncols, Set(PartMetaColumn.Name, PosMetaColumn.Name))
     // INITIAL DEFAULTS: the fallback a missing line slot serves —
     // NULL for ordinary additive evolution, the frozen EXISTS default
     // for columns added with one (see [[ColDefaults]])
@@ -2137,7 +2127,7 @@ private[sources] object ManifestCodec {
     * was written, or whose slot was dropped before — reads NULL. */
   def decodeNested(token: String, slots: Array[Int],
       types: Array[DataType]): Any =
-    if (token == NullToken) null
+    if (token == NullToken || token.isEmpty) null
     else {
       val toks = token.substring(1).split(";", -1)
       val vals = new Array[Any](slots.length)

@@ -206,7 +206,17 @@ object ManifestTxn {
     * Refuses (throws) when the txn already claimed its commit point:
     * a committed-but-unrecovered txn's branches are exactly what
     * [[rollForward]] publishes, and must not be dropped. Returns the
-    * number of stale branches dropped. */
+    * number of stale branches dropped.
+    *
+    * CONCURRENCY CONTRACT: one live committer per txn id. The
+    * isCommitted probe and the branch drops are not one atomic step,
+    * so a ZOMBIE driver racing this abort with its own commit of the
+    * SAME id could claim the marker after the probe and then find its
+    * staged branches gone — rollForward fails LOUDLY there (missing
+    * branch meta throws; nothing silently publishes), but the txn
+    * can no longer complete. Streaming replay ownership (one active
+    * query per checkpoint) satisfies the contract; anything weaker
+    * must fence old committers externally before replaying an id. */
   def abortStaged(conf: Configuration, warehouse: String, id: String,
       tableDirs: Seq[String]): Int = {
     if (isCommitted(conf, warehouse, id))

@@ -351,6 +351,22 @@ ORDER BY c.user_id""")),
           src.filter(col("user_id") % 2 === 0)
             .coalesce(1).write.mode("append").parquet(stage)
           runOnce(out2)
+          // THE STATE STORE ITSELF, read as a table (the
+          // q_state_reader machinery, per state variable): after run
+          // 2's batch the TTL'd variable holds ONLY the keys run 2
+          // touched — every key idle past the TTL is ABSENT from the
+          // read (TTL cleanup removes expired values at batch end) —
+          // while the non-TTL control still lists every key ever seen
+          def stateKeys(varName: String): Set[Long] =
+            spark.read.format("statestore")
+              .option("path", ckpt).option("stateVarName", varName)
+              .load().select(col("key.value").cast("long"))
+              .collect().map(_.getLong(0)).toSet
+          val (freshKeys, totalKeys) = (stateKeys("fresh"), stateKeys("total"))
+          val idleEvicted = freshKeys.nonEmpty &&
+            freshKeys.forall(_ % 2 == 0)
+          val controlRetained = totalKeys.exists(_ % 2 == 1) &&
+            freshKeys.subsetOf(totalKeys)
           // run 2's emissions alone: TTL'd count restarted, control
           // count carried (update-mode may emit per batch — keep the
           // per-key maximum, the final state)
@@ -358,6 +374,8 @@ ORDER BY c.user_id""")),
             .groupBy(col("user_id"))
             .agg(max(col("n_ttl")).as("n_ttl"),
               max(col("n_total")).as("n_total"))
+            .withColumn("idle_evicted", lit(idleEvicted))
+            .withColumn("control_retained", lit(controlRetained))
             .orderBy(col("user_id"))
         } finally {
           saved match {
@@ -371,7 +389,8 @@ ORDER BY c.user_id""")),
         }
       },
       Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_ttl,
-  CAST(2 * count(*) AS BIGINT) AS n_total
+  CAST(2 * count(*) AS BIGINT) AS n_total,
+  true AS idle_evicted, true AS control_retained
 FROM events WHERE user_id % 2 = 0
 GROUP BY user_id ORDER BY user_id""")),
 

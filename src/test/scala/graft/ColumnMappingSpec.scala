@@ -276,6 +276,39 @@ class ColumnMappingSpec extends SparkSpec {
     }
   }
 
+  test("NESTED nullability: an append carrying null sub-values widens " +
+      "the published sub-field to nullable (never decodes NULL at a " +
+      "non-null slot)") {
+    wh
+    import spark.implicits._
+    val dir = s"$wh/ns/nn"
+    // first commit from named_struct literals: sub-fields arrive
+    // NOT NULL and publish that way
+    Seq(1L).toDF("k")
+      .select(col("k"),
+        struct(lit(10L).as("a"), lit("a").as("b")).as("p"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).option("history", "true")
+      .mode("overwrite").save()
+    // append with a genuinely-null sub-value: accepted, and the
+    // published schema must widen p.a to nullable
+    Seq((2L, (Option.empty[java.lang.Long], "b")))
+      .toDF("k", "p")
+      .select(col("k"), col("p").cast("struct<a: bigint, b: string>"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).option("history", "true")
+      .mode("append").save()
+    val read = spark.read.format("graft.sources.ManifestSource")
+      .option("path", dir).load()
+    val sub = read.schema("p").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(sub("a").nullable,
+      "null-bearing append must publish the sub-field nullable")
+    assert(read.orderBy(col("k")).select(col("p.a")).collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+      === Seq(10L, -1L))
+  }
+
   test("NESTED evolution: ALTER COLUMN TYPE widens struct fields " +
       "metadata-only; non-widening changes refuse") {
     wh
