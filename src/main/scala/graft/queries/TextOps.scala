@@ -1034,7 +1034,7 @@ ORDER BY score DESC, doc_id LIMIT 20""")),
             case b: org.apache.spark.sql.execution.datasources.v2
               .BatchScanExec => b.inputPartitions.length
           }.getOrElse(-1)
-          summaryParts == 1 && !sp.toString.contains("Aggregate")
+          summaryParts == 1 && graft.sources.PlanProbes.aggPushedDown(sp)
         }
         val st = statsAgg.head()
         val nDocs = lit(st.getLong(0).toDouble)

@@ -2210,7 +2210,7 @@ ORDER BY phase, event_type NULLS FIRST""")),
             case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
               b.inputPartitions.length
           }.getOrElse(-1)
-          summaryParts == 1 && !sp.toString.contains("Aggregate")
+          summaryParts == 1 && graft.sources.PlanProbes.aggPushedDown(sp)
         }
         agg.withColumn("pushed", lit(pushed))
       },
@@ -2409,8 +2409,8 @@ ORDER BY which""")),
             count(col("event_id")).as("n_ids"),
             count(col("user_id")).as("n_users"),
             count(lit(1)).as("n_rows"))
-        val pushed = agg.queryExecution.sparkPlan.toString
-          .contains("ManifestAggScan")
+        val pushed = graft.sources.PlanProbes.aggPushedDown(
+          agg.queryExecution.sparkPlan)
         agg.withColumn("agg_pushed", lit(pushed))
       },
       Some("""SELECT
@@ -2447,8 +2447,8 @@ FROM events WHERE event_type IS NOT NULL""")),
             sum(col("cust")).as("sum_cust"),
             count(lit(1)).as("n_rows"),
             min(col("k")).as("min_k"), max(col("cust")).as("max_cust"))
-        val pushed = agg.queryExecution.sparkPlan.toString
-          .contains("ManifestAggScan")
+        val pushed = graft.sources.PlanProbes.aggPushedDown(
+          agg.queryExecution.sparkPlan)
         agg.withColumn("agg_pushed", lit(pushed))
       },
       Some("""SELECT CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
@@ -2527,8 +2527,8 @@ FROM events WHERE event_type = 'click'""")),
             max(col("event_id")).as("max_id"),
             sum(col("user_id")).as("sum_users"),
             count(col("user_id")).as("n_users"))
-        val pushed = q.queryExecution.sparkPlan.toString
-          .contains("ManifestAggScan")
+        val pushed = graft.sources.PlanProbes.aggPushedDown(
+          q.queryExecution.sparkPlan)
         q.withColumn("agg_pushed", lit(pushed))
           .orderBy(col("event_type"))
       },
@@ -2933,8 +2933,10 @@ ORDER BY etype NULLS FIRST, par NULLS FIRST""")),
               AS DOUBLE) / count(*) AS avg_value,
             min(event_id) AS min_id, max(event_id) AS max_id
             FROM graftmvra.wh.src GROUP BY etype""")
-          val plan = q.queryExecution.optimizedPlan.toString
-          val usedMv = plan.contains("/wh/mv") && !plan.contains("/wh/src")
+          val plan = q.queryExecution.optimizedPlan
+          val usedMv =
+            graft.sources.MvRewrite.readsManifestDir(plan, s"$wh/wh/mv") &&
+              !graft.sources.MvRewrite.readsManifestDir(plan, s"$wh/wh/src")
           q.withColumn("used_mv", lit(usedMv))
             .orderBy(col("etype"))
             .localCheckpoint()
@@ -3086,15 +3088,8 @@ GROUP BY etype ORDER BY etype NULLS FIRST""")),
         // ("parts=planned/total" — the live ManifestScan narrows in
         // place when the runtime value set arrives); unwrap AQE
         // (AdaptiveSparkPlanExec is a leaf wrapper over its stages)
-        def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
-          p.collect {
-            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-              scans(a.executedPlan)
-            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-              if b.toString.contains("ManifestScan") =>
-              Seq(b.simpleString(500))
-          }.flatten
-        val dppParts = scans(agg.queryExecution.executedPlan).headOption
+        val dppParts = graft.sources.PlanProbes
+          .manifestScanDescs(agg.queryExecution.executedPlan).headOption
           .flatMap(d => """parts=(\d+)/""".r.findFirstMatchIn(d)
             .map(_.group(1).toLong)).getOrElse(-1L)
         spark.range(1).select(
@@ -3216,8 +3211,8 @@ GROUP BY region, src ORDER BY region, src""")),
         def countPlan(): (Long, Boolean) = {
           val q = spark.sql("SELECT count(*) FROM graftde.wh.ev")
           (q.head.getLong(0),
-            q.queryExecution.executedPlan.toString
-              .contains("ManifestAggScan"))
+            graft.sources.PlanProbes.aggPushedDown(
+              q.queryExecution.executedPlan))
         }
         val (nPending, metaPending) = countPlan()
         spark.sql("CALL graftde.system.compact(table => 'wh.ev', " +
@@ -3316,8 +3311,8 @@ WHERE event_id NOT IN (5, 6) AND event_type <> 'error'""")),
           .option("path", s"$wh/wh/ev")
           .option("version", verBefore).load().count()
         val cq = spark.sql("SELECT count(*) FROM graftder.wh.ev")
-        val metaDeclined = !cq.queryExecution.executedPlan.toString
-          .contains("ManifestAggScan")
+        val metaDeclined = !graft.sources.PlanProbes.aggPushedDown(
+          cq.queryExecution.executedPlan)
         cq.head // force while pending
         spark.sql("""SELECT count(*) AS n_rows,
             CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS STRING)
@@ -4599,7 +4594,7 @@ ORDER BY type, name""")),
               org.apache.spark.sql.catalyst.plans.logical.Join]) &&
             !plan.exists(_.isInstanceOf[
               org.apache.spark.sql.catalyst.plans.logical.Aggregate]) &&
-            plan.toString.contains("/ns/mv"))
+            graft.sources.MvRewrite.readsManifestDir(plan, s"$wh/ns/mv"))
         } finally spark.conf.unset("graft.mv.rewrite")
         routedDf
           .withColumn("routed", lit(routed))

@@ -359,7 +359,8 @@ private[sources] class ManifestScanBuilder(
     def isStatRef(n: String): Boolean =
       !isKeyRef(n) && !isStrRef(n) &&
         fieldOf(n).exists(f =>
-          f.dataType == LongType || f.dataType == StringType) &&
+          f.dataType == LongType || f.dataType == StringType ||
+            f.dataType == org.apache.spark.sql.types.TimestampType) &&
         meta.forall(p => p.visibleRows == 0 || p.cstats.contains(n))
     def statAnswerable(n: String): Boolean =
       isKeyRef(n) || isStrRef(n) || isStatRef(n)
@@ -369,7 +370,8 @@ private[sources] class ManifestScanBuilder(
       if (isKeyRef(n)) meta.forall(_.kNulls >= 0)
       else if (isStrRef(n)) meta.forall(_.sNulls >= 0)
       else fieldOf(n).exists(f =>
-        f.dataType == LongType || f.dataType == StringType) &&
+        f.dataType == LongType || f.dataType == StringType ||
+          f.dataType == org.apache.spark.sql.types.TimestampType) &&
         meta.forall(p => p.rows == 0 ||
           p.cstats.get(n).exists(_.nulls >= 0))
     // SUM(col) answers from the writer's exact per-part sums — key
@@ -653,6 +655,36 @@ private[sources] class ManifestScanBuilder(
         cStrLo += c -> cStrLo.get(c).fold(mn)(StrBin.max(mn, _))
         cStrHi += c -> cStrHi.get(c).fold(mx)(StrBin.min(mx, _))
         addStrPoints(c, strs.toSet)
+      // TIMESTAMP columns: filter values arrive as java.sql.Timestamp
+      // or java.time.Instant (java8API) — convert to the micros the
+      // writer's 'l' ColStat leg recorded and intersect into the same
+      // long bound maps. Range pruning on a days()/hours() split
+      // layout plans exactly the covered ordinals' parts this way
+      // (each part's micros range lives inside one ordinal). Open
+      // bounds stay closed-for-pruning: micros granularity makes the
+      // off-by-one irrelevant for exclusion, and the filters remain
+      // residual (row exactness is Spark's post-filter).
+      case GreaterThan(c, v) if tsMicros(v).isDefined =>
+        val m = tsMicros(v).get
+        cLongLo += c -> math.max(cLongLo.getOrElse(c, Long.MinValue), m)
+      case GreaterThanOrEqual(c, v) if tsMicros(v).isDefined =>
+        val m = tsMicros(v).get
+        cLongLo += c -> math.max(cLongLo.getOrElse(c, Long.MinValue), m)
+      case LessThan(c, v) if tsMicros(v).isDefined =>
+        val m = tsMicros(v).get
+        cLongHi += c -> math.min(cLongHi.getOrElse(c, Long.MaxValue), m)
+      case LessThanOrEqual(c, v) if tsMicros(v).isDefined =>
+        val m = tsMicros(v).get
+        cLongHi += c -> math.min(cLongHi.getOrElse(c, Long.MaxValue), m)
+      case EqualTo(c, v) if tsMicros(v).isDefined =>
+        val m = tsMicros(v).get
+        cLongLo += c -> math.max(cLongLo.getOrElse(c, Long.MinValue), m)
+        cLongHi += c -> math.min(cLongHi.getOrElse(c, Long.MaxValue), m)
+      case In(c, vs) if vs.nonEmpty &&
+          vs.forall(v => tsMicros(v).isDefined) =>
+        val ms = vs.map(v => tsMicros(v).get)
+        cLongLo += c -> math.max(cLongLo.getOrElse(c, Long.MinValue), ms.min)
+        cLongHi += c -> math.min(cLongHi.getOrElse(c, Long.MaxValue), ms.max)
       case _ => ()
     }
     pushed = filters.filter {
@@ -679,6 +711,19 @@ private[sources] class ManifestScanBuilder(
 
   private def addPoints(vs: Set[Long]): Unit =
     points = Some(points.fold(vs)(_ intersect vs))
+
+  /** A pushed-filter timestamp value as epoch MICROS — the exact
+    * representation the writer's stats recorded. Spark hands
+    * java.sql.Timestamp by default and java.time.Instant under the
+    * java8 datetime API; both convert losslessly. Anything else is
+    * not a timestamp predicate. */
+  private def tsMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case _ => None
+  }
 
   override def build(): Scan = {
     // change-feed reads bypass the batch machinery entirely: the
@@ -1402,15 +1447,19 @@ private[sources] class ManifestMicroBatchStream(
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val snapCm = ManifestSink.readSchemaAndColMap(conf.value, path)
+  // ONE colmap snapshot for the stream's whole life, captured with
+  // the same head the stream's schema/ids came from: a nested DROP
+  // COLUMN committed mid-stream would otherwise shift the HEAD's
+  // positional nested ids against this stream's older fixed schema
+  // and structPlansFor would misalign sub-slots. EXISTS defaults are
+  // frozen at ADD COLUMN, so the pinned view stays valid for every
+  // replayed part (nested ids likewise).
+  private val snapCm = ManifestSink.readSchemaAndColMap(conf.value, path)
+
+  override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(schema, required, conf, ids = ids,
-      // initial defaults for parts predating a defaulted column —
-      // EXISTS defaults are frozen at ADD COLUMN, so the head's view
-      // is valid for every replayed part (nested ids likewise)
       initDefaults = ColDefaults.byName(schema, snapCm),
       nestedIds = ManifestSource.nestedIdsFor(snapCm))
-  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -1636,12 +1685,15 @@ private[sources] class ManifestChangeFeedStream(
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val snapCm = ManifestSink.readSchemaAndColMap(conf.value, path)
+  // pinned once at stream construction, same rationale as
+  // ManifestMicroBatchStream: nested ids must describe the stream's
+  // fixed schema, not whatever the head evolves to mid-stream
+  private val snapCm = ManifestSink.readSchemaAndColMap(conf.value, path)
+
+  override def createReaderFactory(): PartitionReaderFactory =
     new ManifestCdfReaderFactory(baseSchema, required, conf, ids,
       ColDefaults.byName(baseSchema, snapCm),
       ManifestSource.nestedIdsFor(snapCm))
-  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

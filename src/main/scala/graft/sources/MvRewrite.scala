@@ -166,8 +166,18 @@ object MvRewrite extends Rule[LogicalPlan] {
               // the same key-predicate commutation holds over the
               // join MV: the filter reads only the dim grouping attr
               // (whether left above the aggregate or pushed onto a
-              // join side, where stripJoinSide hoisted it)
-              substitute(spark, agg, t,
+              // join side, where stripJoinSide hoisted it). In the
+              // JOIN path the name+type rebind inside substitute() is
+              // NOT sufficient on its own: a fact-side column that
+              // shares the dim key's name and type would rebind onto
+              // the MV key and filter whole dim-keyed groups instead
+              // of fact rows. Require the captured filter to resolve
+              // by EXPRID to the aggregate's grouping attributes
+              // (the guarantee stripJoinSide's hoist already
+              // enforces for pushed filters) before accepting it.
+              if (keyFilter.exists(f => !f.references.subsetOf(groupKeys)))
+                None
+              else substitute(spark, agg, t,
                 (keyFilter.toSeq ++ hoisted.toSeq).reduceOption(
                   org.apache.spark.sql.catalyst.expressions.And(_, _))) }
           case None => None

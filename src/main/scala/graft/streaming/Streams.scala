@@ -160,7 +160,7 @@ object Streams {
     override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
       fresh = getHandle.getValueState[Long]("fresh", Encoders.scalaLong,
-        TTLConfig(java.time.Duration.ofMillis(1000)))
+        TTLConfig(java.time.Duration.ofMillis(500)))
       total = getHandle.getValueState[Long]("total", Encoders.scalaLong,
         TTLConfig.NONE)
     }
@@ -344,10 +344,11 @@ ORDER BY c.user_id""")),
             q.awaitTermination()
           }
           runOnce(out1)
-          // the idle gap: strictly longer than the 1000 ms TTL (3x —
-          // the margin absorbs GC/scheduler noise), so every key's
+          // the idle gap: strictly longer than the 500 ms TTL (3x —
+          // the margin absorbs GC/scheduler noise; a slower machine
+          // only LENGTHENS the gap, which helps), so every key's
           // `fresh` state is expired when run 2 reads it
-          Thread.sleep(3000)
+          Thread.sleep(1500)
           src.filter(col("user_id") % 2 === 0)
             .coalesce(1).write.mode("append").parquet(stage)
           runOnce(out2)
@@ -363,17 +364,29 @@ ORDER BY c.user_id""")),
               .load().select(col("key.value").cast("long"))
               .collect().map(_.getLong(0)).toSet
           val (freshKeys, totalKeys) = (stateKeys("fresh"), stateKeys("total"))
-          val idleEvicted = freshKeys.nonEmpty &&
-            freshKeys.forall(_ % 2 == 0)
-          val controlRetained = totalKeys.exists(_ % 2 == 1) &&
-            freshKeys.subsetOf(totalKeys)
           // run 2's emissions alone: TTL'd count restarted, control
           // count carried (update-mode may emit per batch — keep the
           // per-key maximum, the final state)
-          spark.read.parquet(out2)
+          val run2 = spark.read.parquet(out2)
             .groupBy(col("user_id"))
             .agg(max(col("n_ttl")).as("n_ttl"),
               max(col("n_total")).as("n_total"))
+          // EVICTION is gated on run 2's own emissions, not on a
+          // post-hoc statestore read: a restarted `fresh` count means
+          // n_ttl (run 2's rows alone) is exactly half of n_total
+          // (both runs) for every even key. This is wall-clock-safe —
+          // the restart was decided by the TTL getter INSIDE run 2's
+          // batch, so nothing that happens after the batch (slow
+          // statestore read, end-of-batch cleanup timing) can flip
+          // it. The statestore read adds the one-sided assertions
+          // that cannot race: idle (odd) keys are ABSENT from the
+          // TTL'd variable while the non-TTL control retains all.
+          val restartObserved =
+            run2.filter(col("n_ttl") * 2 =!= col("n_total")).isEmpty
+          val idleEvicted = restartObserved && freshKeys.forall(_ % 2 == 0)
+          val controlRetained = totalKeys.exists(_ % 2 == 1) &&
+            freshKeys.subsetOf(totalKeys)
+          run2
             .withColumn("idle_evicted", lit(idleEvicted))
             .withColumn("control_retained", lit(controlRetained))
             .orderBy(col("user_id"))

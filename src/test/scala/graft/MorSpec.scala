@@ -63,12 +63,12 @@ class MorSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM gmor.ns.dv VERSION AS OF 2").count() === 950)
     // metadata-only COUNT stays exact under vectors (visibleRows)
     val agg = spark.sql("SELECT count(*) AS n FROM gmor.ns.dv")
-    assert(agg.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+    assert(graft.sources.PlanProbes.aggPushedDown(agg.queryExecution.executedPlan),
       "COUNT must still answer from metadata")
     assert(agg.head.getLong(0) === 949)
     // ...but MIN/MAX decline the fast path (the extreme may be deleted)
     val mm = spark.sql("SELECT max(k) FROM gmor.ns.dv")
-    assert(!mm.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+    assert(!graft.sources.PlanProbes.aggPushedDown(mm.queryExecution.executedPlan),
       "MIN/MAX must not serve possibly-stale stats")
     assert(mm.head.getLong(0) === 999)
   }
@@ -132,7 +132,7 @@ class MorSpec extends SparkSpec {
     assert((partFiles(path) -- before).size === 2)
     // MIN/MAX metadata fast path is exact again after compaction
     val mm = spark.sql("SELECT max(k) FROM gmor.ns.dvcompact")
-    assert(mm.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+    assert(graft.sources.PlanProbes.aggPushedDown(mm.queryExecution.executedPlan),
       "metadata extremes come back once vectors are gone")
     assert(mm.head.getLong(0) === 999)
     // time travel: pre-compaction snapshot still masks

@@ -23,7 +23,7 @@ class AggMetaSpec extends graft.SparkSpec {
       .option("path", t).load()
 
   private def metaOnly(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.toString.contains("ManifestAggScan")
+    PlanProbes.aggPushedDown(df.queryExecution.executedPlan)
 
   private def write(df: DataFrame, t: String, mode: String = "append",
       opts: Map[String, String] = Map.empty): Unit = {

@@ -17,6 +17,20 @@ import graft.functions.GraftBucket
   * The data answer of the join is oracle-gated via q_spj_join. */
 class SpjSpec extends graft.SparkSpec {
 
+  /** Structural shuffle probe (AQE-unwrapped) — rendering-proof twin
+    * of the old `toString.contains("Exchange")` gate. */
+  private def hasShuffle(
+      p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    def walk(n: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      n.exists {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case e => e.isInstanceOf[
+          org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]
+      }
+    walk(p)
+  }
+
   private lazy val wh = {
     val d = Files.createTempDirectory("graft-spjspec").toString
     spark.conf.set("spark.sql.catalog.gsp", "graft.sources.GraftCatalog")
@@ -233,7 +247,7 @@ class SpjSpec extends graft.SparkSpec {
       val mid = spark.sql("SELECT f.k, f.v, d.w FROM gsp.ns.evo_f f " +
         "JOIN gsp.ns.evo_d d ON f.k = d.k")
       assert(mid.count() === 800)
-      assert(mid.queryExecution.executedPlan.toString.contains("Exchange"),
+      assert(hasShuffle(mid.queryExecution.executedPlan),
         "mixed-generation join must demote to a shuffle")
       // MIGRATION: compact rewrites everything under the head spec
       spark.sql("CALL gsp.system.compact(table => 'ns.evo_f', " +
@@ -245,7 +259,7 @@ class SpjSpec extends graft.SparkSpec {
       val post = spark.sql("SELECT f.k, f.v, d.w FROM gsp.ns.evo_f f " +
         "JOIN gsp.ns.evo_d d ON f.k = d.k")
       assert(post.count() === 800)
-      assert(!post.queryExecution.executedPlan.toString.contains("Exchange"),
+      assert(!hasShuffle(post.queryExecution.executedPlan),
         "post-migration co-bucketed join must not shuffle")
     }
   }
