@@ -3043,6 +3043,78 @@ FROM (SELECT nullif(event_type, 'error') AS etype, user_id, value
       FROM events WHERE event_id % 10 <> 0)
 GROUP BY etype ORDER BY etype NULLS FIRST""")),
 
+    // --- EXPRESSION-KEYED MV: TIME-GRAIN ROLLUP (create_mv
+    // key_expr => "date_trunc('day', ts)" — sources/ManifestMv +
+    // MvRewrite.substituteTimeGrain): the MV materializes the rollup
+    // keyed by a DERIVED truncation of a timestamp column — no
+    // physical day column exists or is maintained — and the
+    // optimizer matches the user's own date_trunc spelling
+    // STRUCTURALLY (catalyst TruncTimestamp with the recorded grain
+    // and column; a different grain, column, or session timezone
+    // declines — MvSpec pins those). Lifecycle gated end to end:
+    // create → append delta FOLDS (plus parts only) → MOR delete
+    // restates (minus parts) → the fresh MV transparently serves
+    // `GROUP BY date_trunc('day', ts)` with NO Aggregate in the plan,
+    // hash-restated from raw events by the oracle. At 100 TB this is
+    // THE dashboard query family — per-day rollups over append-mostly
+    // event tables — served from O(days) rows with O(changed parts)
+    // maintenance.
+    QueryDef("q_mv_timegrain",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "mvtg")
+        spark.conf.set("spark.sql.catalog.graftmtg",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftmtg.warehouse", wh)
+        val base = Tables.events(spark, dir)
+          .select(col("event_id"), col("ts"), col("value"))
+        def write(df: DataFrame, mode: String): Unit =
+          df.repartitionByRange(2, col("event_id"))
+            .write.format("graft.sources.ManifestSink")
+            .option("path", s"$wh/wh/src").option("history", "true")
+            .mode(mode).save()
+        write(base.filter(col("event_id") % 3 =!= 1), "overwrite")
+        spark.sql("CALL graftmtg.system.create_mv(" +
+          "mv_table => 'wh.mv', source_table => 'wh.src', " +
+          "key_expr => \"date_trunc(\\'day\\', ts)\", " +
+          "sum_col => 'value', scale => 6)")
+        write(base.filter(col("event_id") % 3 === 1), "append")
+        val r1 = spark.sql(
+          "CALL graftmtg.system.refresh_mv(mv_table => 'wh.mv')").head
+        spark.conf.set("graft.delete.mode", "mor")
+        try spark.sql("DELETE FROM graftmtg.wh.src WHERE event_id % 10 = 0")
+        finally spark.conf.unset("graft.delete.mode")
+        val r2 = spark.sql(
+          "CALL graftmtg.system.refresh_mv(mv_table => 'wh.mv')").head
+        spark.conf.set("graft.mv.rewrite", s"$wh/wh/mv")
+        try {
+          val q = spark.sql("""SELECT date_trunc('day', ts) AS day_ts,
+            count(*) AS n_rows,
+            CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS STRING)
+              AS DOUBLE) AS sum_value
+            FROM graftmtg.wh.src GROUP BY date_trunc('day', ts)""")
+          val plan = q.queryExecution.optimizedPlan
+          val routed = !plan.exists(_.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.logical.Aggregate]) &&
+            graft.sources.MvRewrite.readsManifestDir(plan, s"$wh/wh/mv") &&
+            !graft.sources.MvRewrite.readsManifestDir(plan, s"$wh/wh/src")
+          q.withColumn("routed", lit(routed))
+            .withColumn("fold_plus_parts", lit(r1.getInt(2)))
+            .withColumn("fold_minus_parts", lit(r1.getInt(3)))
+            .withColumn("recompute_minus_parts", lit(r2.getInt(3)))
+            .orderBy(col("day_ts"))
+            .localCheckpoint()
+        } finally spark.conf.unset("graft.mv.rewrite")
+      },
+      Some(s"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  ${graft.functions.Exact.decSumSql("value", 6)} AS sum_value,
+  true AS routed,
+  CAST(2 AS INT) AS fold_plus_parts,
+  CAST(0 AS INT) AS fold_minus_parts,
+  CAST(4 AS INT) AS recompute_minus_parts
+FROM events WHERE event_id % 10 <> 0
+GROUP BY 1 ORDER BY day_ts""")),
+
     // --- SPLIT PRUNING PARITY (identity layout gets the scan-side
     // treatment buckets have): on a table split one-part-per-value,
     // (a) a STATIC IN-list on the split column plans exactly its
@@ -3104,6 +3176,91 @@ GROUP BY etype ORDER BY etype NULLS FIRST""")),
   CAST(5 AS INT) AS n_parts_total, CAST(2 AS INT) AS static_parts,
   CAST(2 AS BIGINT) AS dpp_parts
 FROM events WHERE event_type IN ('click', 'view')""")),
+
+    // --- HIDDEN TIME-TRANSFORM PARTITIONING (`PARTITIONED BY
+    // (days(ts))` — sources/TimeSplit, GraftTimeSplitCatalogTable):
+    // the Iceberg hidden-partitioning shape. Rows route by the
+    // DERIVED UTC day ordinal of the TIMESTAMP column (one exchange,
+    // resolved through the catalog's own days() function; one
+    // single-day part per day per write), the user NEVER maintains a
+    // date column, and a predicate on the timestamp ITSELF prunes —
+    // the failure mode Hive's string date partitions had. Gated here:
+    // (a) a timestamp-range query plans EXACTLY the covered days'
+    // parts (plan counts ride the output, q_split_prune-style),
+    // (b) SHOW PARTITIONS lists every day off pure manifest metadata,
+    // (c) ALTER TABLE DROP PARTITION by DATE value is a metadata-only
+    // snapshot delete, and (d) the pre-drop snapshot still serves
+    // every row (time travel). At 100 TB this is THE table layout for
+    // event/telemetry data: ingest clusters by day, the daily query
+    // opens 1/365th of the table, retention is one metadata commit
+    // per day. Generalizes the reference's timestamp-keyed records
+    // (estimate_queue.py:49-51). Evolution pins live in
+    // TimeLayoutSpec (mixed-generation DROP refusal, compact
+    // migration, hours() variant).
+    QueryDef("q_layout_time",
+      (spark, dir) => {
+        val wh = freshTable(spark, dir, "timelay")
+        spark.conf.set("spark.sql.catalog.graftlt",
+          "graft.sources.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graftlt.warehouse", wh)
+        spark.sql("CREATE TABLE graftlt.wh.ev (event_id BIGINT, " +
+          "ts TIMESTAMP, user_id BIGINT, value DOUBLE) " +
+          "PARTITIONED BY (days(ts))")
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+          .createOrReplaceTempView("graft_timelay_src")
+        spark.sql(
+          "INSERT INTO graftlt.wh.ev SELECT * FROM graft_timelay_src")
+        def planned(df: DataFrame): Int =
+          df.queryExecution.sparkPlan.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => b.inputPartitions.length
+          }.getOrElse(-1)
+        val totalParts = planned(spark.table("graftlt.wh.ev"))
+        // two full UTC days of January 2024 — the scan must plan
+        // exactly those two days' parts off the per-part micros stats
+        val rangeQ = spark.sql("""SELECT count(*) AS n_range,
+          CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS STRING)
+            AS DOUBLE) AS sum_range
+          FROM graftlt.wh.ev
+          WHERE ts >= TIMESTAMP'2024-01-05 00:00:00'
+            AND ts < TIMESTAMP'2024-01-07 00:00:00'""")
+        val rangeParts = planned(rangeQ)
+        val rangeRow = rangeQ.head
+        val nDays = spark.sql("SHOW PARTITIONS graftlt.wh.ev").count()
+        // retention, the hidden-partition way: one metadata commit
+        // drops the oldest day; the pre-drop snapshot stays readable
+        spark.sql("ALTER TABLE graftlt.wh.ev " +
+          "DROP PARTITION (ts_day = DATE'2024-01-01')")
+        val afterDrop = spark.sql(
+          "SELECT count(*) FROM graftlt.wh.ev").head.getLong(0)
+        // v1 = CREATE (empty), v2 = the INSERT, v3 = the drop
+        val travel = spark.sql(
+          "SELECT count(*) FROM graftlt.wh.ev VERSION AS OF 2")
+          .head.getLong(0)
+        spark.range(1).select(
+          lit(rangeRow.getLong(0)).as("n_range"),
+          lit(rangeRow.getDouble(1)).as("sum_range"),
+          lit(rangeParts).as("parts_range"),
+          lit(totalParts).as("parts_total"),
+          lit(nDays).as("n_days"),
+          lit(afterDrop).as("n_after_drop"),
+          lit(travel).as("n_travel"))
+      },
+      Some(s"""SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts < TIMESTAMP '2024-01-07 00:00:00') AS n_range,
+  (SELECT ${graft.functions.Exact.decSumSql("value", 6)} FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts < TIMESTAMP '2024-01-07 00:00:00') AS sum_range,
+  CAST(2 AS INT) AS parts_range,
+  CAST(30 AS INT) AS parts_total,
+  CAST(30 AS BIGINT) AS n_days,
+  (SELECT CAST(count(*) AS BIGINT) FROM events
+    WHERE date_trunc('day', ts) <> TIMESTAMP '2024-01-01')
+    AS n_after_drop,
+  (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_travel""")),
 
     // --- COLUMN DEFAULT VALUES (CURRENT vs EXISTS split — Delta/
     // Iceberg initial-defaults): `CREATE TABLE (... DEFAULT v)` fills

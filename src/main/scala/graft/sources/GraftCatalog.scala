@@ -225,10 +225,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         spec match {
           // identity-split tables expose SHOW PARTITIONS / ALTER
           // TABLE DROP PARTITION (partition values ARE manifest
-          // metadata there — see [[GraftSplitCatalogTable]])
+          // metadata there — see [[GraftSplitCatalogTable]]); a
+          // days()/hours() spec gets the TIME-transform face (the
+          // partition values are DERIVED day/hour ordinals)
           case Some((0, c)) =>
-            new GraftSplitCatalogTable(ident, p, loaded, c,
-              order, props)
+            ManifestSink.readTableTransform(conf, p) match {
+              case Some(tf) =>
+                new GraftTimeSplitCatalogTable(ident, p, loaded, c, tf,
+                  order, props)
+              case None =>
+                new GraftSplitCatalogTable(ident, p, loaded, c,
+                  order, props)
+            }
           case _ =>
             new GraftCatalogTable(ident, p, loaded, spec,
               order, props)
@@ -330,12 +338,27 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     *    prune to the value's parts and GROUP BY the column answers
     *    from the manifest alone (grouped metadata aggregates). */
   /** Shared by CREATE TABLE and the staged CTAS path: the layout
-    * transform list → the persisted (buckets, column) spec (0 encodes
-    * the identity split). */
+    * transform list → the persisted (buckets, column, time-transform)
+    * spec (0 encodes the identity/time split; the transform slot is
+    * "days"/"hours" for hidden time partitioning, see
+    * [[TimeSplit]]). */
   private def parseLayout(schema: StructType,
-      partitions: Array[Transform]): Option[(Int, String)] =
+      partitions: Array[Transform]): Option[(Int, String, Option[String])] =
     partitions.toSeq match {
       case Seq() => None
+      case Seq(t) if TimeSplit.valid(t.name()) &&
+          t.arguments().length == 1 =>
+        val name = t.arguments()(0) match {
+          case r: expressions.NamedReference => r.fieldNames().mkString(".")
+          case a => throw new IllegalArgumentException(
+            s"${t.name()}(col): col must be a column reference, got $a")
+        }
+        val f = schema.fields.find(_.name.equalsIgnoreCase(name))
+        require(f.exists(_.dataType ==
+          org.apache.spark.sql.types.TimestampType),
+          s"${t.name()}-partition column '$name' must be a TIMESTAMP " +
+            s"column of ${schema.fieldNames.mkString("(", ",", ")")}")
+        Some((0, f.get.name, Some(t.name())))
       case Seq(t) if t.name() == "identity" && t.arguments().length == 1 =>
         val name = t.arguments()(0) match {
           case r: expressions.NamedReference => r.fieldNames().mkString(".")
@@ -347,7 +370,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
             f.dataType == org.apache.spark.sql.types.StringType)),
           s"identity-partition column '$name' must be a BIGINT or " +
             s"STRING column of ${schema.fieldNames.mkString("(", ",", ")")}")
-        Some((0, name))
+        Some((0, name, None))
       case Seq(t) if t.name() == "bucket" && t.arguments().length == 2 =>
         val n = t.arguments()(0) match {
           case l: expressions.Literal[_] =>
@@ -365,9 +388,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           s"bucket column '$name' must be the table's first BIGINT " +
             s"column (${keyed.getOrElse("none present")}) — bucket " +
             "routing and stats pruning share that column")
-        Some((n, name))
+        Some((n, name, None))
       case other => throw new UnsupportedOperationException(
-        s"graft tables support PARTITIONED BY (bucket(n, col)) or " +
+        s"graft tables support PARTITIONED BY (bucket(n, col)), " +
+          s"PARTITIONED BY (days(col) | hours(col)) or " +
           s"PARTITIONED BY (col), got ${other.mkString(", ")}")
     }
 
@@ -405,28 +429,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    // STRUCT columns are supported at DEPTH 1 (atomic sub-fields
-    // only — the line codec is flat; see ManifestCodec's struct
-    // token). Deeper nesting is rejected at CREATE, not at first
-    // write. Generalizes the reference's progressively-enriched
-    // prediction record (estimate_queue.py:80-88) to a typed,
-    // evolvable struct column.
-    schema.fields.foreach { f =>
-      f.dataType match {
-        case st: StructType => st.fields.foreach { sf =>
-          sf.dataType match {
-            case _: StructType | _: org.apache.spark.sql.types.ArrayType |
-                _: org.apache.spark.sql.types.MapType =>
-              throw new IllegalArgumentException(
-                s"unsupported type for '${f.name}.${sf.name}' " +
-                  s"(${sf.dataType.simpleString}): struct fields must " +
-                  "be atomic — depth-1 structs only")
-            case _ => ()
-          }
-        }
-        case _ => ()
-      }
-    }
+    validateStructDepth(schema)
     // CLUSTER BY (c) — the liquid-clustering DDL spelling: maps to
     // the WRITE ORDERED BY layout (every INSERT range-distributes and
     // sorts on the column, parts land with disjoint ranges → tight
@@ -450,15 +453,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           s"column of ${schema.fieldNames.mkString("(", ",", ")")}")
       f.get.name
     }
-    val bucketSpec: Option[(Int, String)] =
+    val bucketSpec: Option[(Int, String, Option[String])] =
       parseLayout(schema, layoutTransforms)
     require(clusterCol.isEmpty || bucketSpec.isEmpty,
       "CLUSTER BY cannot combine with PARTITIONED BY — one layout " +
         "owns row placement")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    bucketSpec.foreach { case (n, col) =>
+    bucketSpec.foreach { case (n, col, tf) =>
       require(n >= 0, s"bucket count must be >= 0, got $n")
-      ManifestSink.writeTableSpec(conf, tablePath(ident), n, col)
+      ManifestSink.writeTableSpec(conf, tablePath(ident), n, col,
+        transform = tf)
     }
     clusterCol.foreach(c => ManifestSink.writeTableSpec(conf,
       tablePath(ident), -1, "", orderBy = Some(c)))
@@ -548,6 +552,19 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     * leaves no new table (CTAS) / the old table untouched and
     * readable (RTAS). Spark routes here automatically because the
     * catalog implements StagingTableCatalog. */
+  /** STRUCT columns are supported at DEPTH 1 (atomic sub-fields
+    * only — the line codec is flat; see ManifestCodec's struct
+    * token). Deeper nesting is rejected at CREATE TIME — shared by
+    * CREATE TABLE and every staged CTAS/RTAS path, so no create
+    * spelling can smuggle a schema the codec would garble into a
+    * committed snapshot (the write path re-checks in
+    * [[ManifestBatchWrite]] for the path-based spelling).
+    * Generalizes the reference's progressively-enriched prediction
+    * record (estimate_queue.py:80-88) to a typed, evolvable struct
+    * column. */
+  private def validateStructDepth(schema: StructType): Unit =
+    ManifestSink.validateStructDepth(schema)
+
   /** CTAS/RTAS define every row inline, so "generated" has no
     * meaning there — refuse rather than silently not generating. */
   private def refuseStagedIdentity(columns: Array[Column]): Unit =
@@ -563,6 +580,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       properties: util.Map[String, String]): StagedTable = {
     refuseStagedIdentity(columns)
     val schema = org.apache.spark.sql.graftbridge.GraftCatalogV2.toStructType(columns)
+    validateStructDepth(schema)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     new GraftStagedTable(ident, tablePath(ident), schema,
       parseLayout(schema, partitions), replace = false,
@@ -574,6 +592,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       properties: util.Map[String, String]): StagedTable = {
     refuseStagedIdentity(columns)
     val schema = org.apache.spark.sql.graftbridge.GraftCatalogV2.toStructType(columns)
+    validateStructDepth(schema)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new GraftStagedTable(ident, tablePath(ident), schema,
       parseLayout(schema, partitions), replace = true,
@@ -585,6 +604,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       properties: util.Map[String, String]): StagedTable = {
     refuseStagedIdentity(columns)
     val schema = org.apache.spark.sql.graftbridge.GraftCatalogV2.toStructType(columns)
+    validateStructDepth(schema)
     new GraftStagedTable(ident, tablePath(ident), schema,
       parseLayout(schema, partitions), replace = tableExists(ident),
       tableProps = stagedProps(properties))
@@ -870,7 +890,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         // distribution and the reported partitioning — follow it
         ManifestSink.readTableSpec(conf, p).foreach { case (n, c) =>
           if (c.equalsIgnoreCase(from))
-            ManifestSink.writeTableSpec(conf, p, n, to)
+            ManifestSink.writeTableSpec(conf, p, n, to,
+              transform = ManifestSink.readTableTransform(conf, p))
         }
         schemaChanged = true
         colmap = colmap.copy(retired = colmap.retired :+ s.fields(idx).name)
@@ -1120,12 +1141,15 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   // SQL-authored pipelines share the hash contract the DataFrame
   // operators are built on.
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "h64"), Identifier.of(namespace, "bucket"))
+    Array(Identifier.of(namespace, "h64"), Identifier.of(namespace, "bucket"),
+      Identifier.of(namespace, "days"), Identifier.of(namespace, "hours"))
 
   override def loadFunction(ident: Identifier): UnboundFunction =
     ident.name() match {
       case "h64"    => H64Function
       case "bucket" => GraftBucketFunction
+      case "days" => GraftTimeOrdinalFunction.Days
+      case "hours" => GraftTimeOrdinalFunction.Hours
       case _        => throw new NoSuchFunctionException(ident)
     }
 
@@ -1358,6 +1382,13 @@ private[sources] class GraftCatalogTable(
     * TRAVEL loads a [[ManifestReadTable]] instead, so this class
     * always means "head". */
   private[sources] def tableDir: String = path
+
+  /** Hidden time transform of a (0, col) split spec ("days"/"hours")
+    * — None for plain identity splits. Overridden by
+    * [[GraftTimeSplitCatalogTable]]; the write builder consults it to
+    * cluster by the DERIVED ordinal and route the transform split
+    * writer. */
+  protected def splitTransform: Option[String] = None
 
   /** SQL `TRUNCATE TABLE` — a LOGICAL truncate: one empty-part-list
     * history snapshot (same schema), so pre-truncate versions stay
@@ -1631,7 +1662,8 @@ private[sources] class GraftCatalogTable(
         // [[ManifestStreamingWrite]] — append-mode only (a streaming
         // truncate/replace-where is not a log-structured sink shape)
         def streaming(buckets: Option[Int] = None,
-            splitBy: Option[String] = None)
+            splitBy: Option[String] = None,
+            splitTransform: Option[String] = None)
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
           require(!doTruncate && replaceFilters.isEmpty,
             "streaming writes append only (use foreachBatch for " +
@@ -1645,7 +1677,7 @@ private[sources] class GraftCatalogTable(
               "marker to carry the issued range); generate ids in " +
               "foreachBatch or write to a staging table")
           new ManifestStreamingWrite(path, info.schema(), info.queryId(),
-            sconf, buckets, splitBy)
+            sconf, buckets, splitBy, splitTransform)
         }
         bucketSpec match {
           case None if writeOrder.isDefined =>
@@ -1685,22 +1717,31 @@ private[sources] class GraftCatalogTable(
               streaming()
           }
           case Some((0, c)) =>
-            // identity split spec: cluster each value into one task,
-            // split per value in the writer — single-valued parts
+            // identity/time split spec: cluster each (possibly
+            // DERIVED — days/hours ordinal) value into one task,
+            // split per value in the writer — single-valued parts.
+            // The time transforms resolve through this catalog's own
+            // days()/hours() functions, so Spark plans ONE exchange
+            // that co-locates each ordinal's rows.
             import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
             import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
             new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
               override def requiredDistribution(): Distribution =
-                Distributions.clustered(Array(Expressions.identity(c)))
+                Distributions.clustered(Array(splitTransform match {
+                  case Some(TimeSplit.Days) => Expressions.days(c)
+                  case Some(TimeSplit.Hours) => Expressions.hours(c)
+                  case _ => Expressions.identity(c)
+                }))
               override def requiredOrdering(): Array[SortOrder] = Array.empty
               override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
                 new ManifestBatchWrite(path, info.schema(), doTruncate,
                   history = true, sconf, branch,
                   replaceFilters = replaceFilters, splitBy = Some(c),
+                  splitTransform = splitTransform,
                   identity = identitySpec, generated = genFills)
               override def toStreaming
                   : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-                streaming(splitBy = Some(c))
+                streaming(splitBy = Some(c), splitTransform = splitTransform)
             }
           case Some((n, c)) =>
             import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -1840,6 +1881,104 @@ private[sources] class GraftSplitCatalogTable(
       props: util.Map[String, String]): Unit =
     throw new UnsupportedOperationException(
       "split partitions carry no mutable metadata")
+  override def loadPartitionMetadata(id: InternalRow)
+      : util.Map[String, String] =
+    java.util.Collections.emptyMap[String, String]()
+}
+
+/** HIDDEN TIME-TRANSFORM tables (`PARTITIONED BY (days(ts))` /
+  * `(hours(ts))`, [[TimeSplit]]) with the partition-management
+  * surface in the DERIVED domain: `SHOW PARTITIONS` lists the
+  * distinct day (DATE) / hour (epoch-hour BIGINT) ordinals whose
+  * parts are PROVABLY single-ordinal (the column's micros stats fall
+  * inside one ordinal, zero nulls — exact metadata, no data file
+  * opened), and `ALTER TABLE t DROP PARTITION (<col>_day = DATE
+  * '...')` is the same metadata-only snapshot delete the identity
+  * split serves. Mixed-generation safety: a pre-layout part that may
+  * still intersect the ordinal (straddling or stat-less) REFUSES the
+  * drop and names the fix (compact migrates the layout). The user
+  * never maintains a date column — the partition value is DERIVED
+  * from the timestamp, so a query on `ts` itself prunes (hidden
+  * partitioning, the failure mode Hive's string date columns had). */
+private[sources] class GraftTimeSplitCatalogTable(
+    ident: Identifier, path: String, tableSchema: StructType,
+    splitCol: String, transform: String, writeOrder: Option[String],
+    tableProps: Map[String, String])
+    extends GraftCatalogTable(ident, path, tableSchema,
+      Some((0, splitCol)), writeOrder, tableProps)
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  override protected def splitTransform: Option[String] = Some(transform)
+
+  private def conf = ManifestSink.driverConf()
+  private val isDays = transform == TimeSplit.Days
+  private def partCol: String =
+    if (isDays) s"${splitCol}_day" else s"${splitCol}_hour"
+
+  /** days → `<col>_day DATE` (epoch day IS the DATE's internal
+    * value), hours → `<col>_hour BIGINT` (UTC epoch-hour ordinal). */
+  override def partitionSchema(): StructType =
+    StructType(Seq(StructField(partCol,
+      if (isDays) org.apache.spark.sql.types.DateType else LongType,
+      nullable = false)))
+
+  private def wantOf(id: InternalRow): Long =
+    if (isDays) id.getInt(0).toLong else id.getLong(0)
+
+  private def toRow(d: Long): InternalRow =
+    if (isDays) new GenericInternalRow(Array[Any](d.toInt))
+    else new GenericInternalRow(Array[Any](d))
+
+  private def partOrd(m: PartMeta): Option[Long] =
+    TimeSplit.partOrdinal(m.cstats.get(splitCol), m.rows, transform)
+
+  override def listPartitionIdentifiers(names: Array[String],
+      id: InternalRow): Array[InternalRow] = {
+    val vals = ManifestSink.readManifestMeta(conf, path, None)
+      .filter(_.rows > 0).flatMap(partOrd(_)).distinct.sorted
+    val filtered =
+      if (names.isEmpty) vals
+      else {
+        require(names.length == 1 && names(0).equalsIgnoreCase(partCol),
+          s"unknown partition column(s) ${names.mkString(", ")} — the " +
+            s"$transform layout partitions by '$partCol' only")
+        val want = wantOf(id)
+        vals.filter(_ == want)
+      }
+    filtered.map(toRow).toArray
+  }
+
+  override def dropPartition(id: InternalRow): Boolean = {
+    val want = wantOf(id)
+    var dropped = false
+    ManifestSink.publishRebase(conf, path, tableSchema, history = true,
+      rebase = head => {
+        val straddlers = head.filter(m => m.rows > 0 &&
+          partOrd(m).isEmpty && TimeSplit.mayHoldOrdinal(
+            m.cstats.get(splitCol), m.rows, want, transform))
+        require(straddlers.isEmpty,
+          s"DROP PARTITION ($partCol = $want): ${straddlers.size} " +
+            "pre-layout part(s) may still hold the ordinal — CALL " +
+            "system.compact to migrate the layout first")
+        val (hit, keep) = head.partition(m => partOrd(m).contains(want))
+        dropped = dropped || hit.nonEmpty
+        keep
+      },
+      strictBase = None, op = "drop-partition")
+    dropped
+  }
+
+  override def createPartition(id: InternalRow,
+      props: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "time-split partitions are derived from data — INSERT rows " +
+        "carrying timestamps in the new ordinal instead")
+  override def replacePartitionMetadata(id: InternalRow,
+      props: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "time-split partitions carry no mutable metadata")
   override def loadPartitionMetadata(id: InternalRow)
       : util.Map[String, String] =
     java.util.Collections.emptyMap[String, String]()
@@ -2124,6 +2263,47 @@ private[sources] object GraftBucketFunction extends UnboundFunction {
           else graft.functions.GraftBucket.id(input.getLong(1), input.getInt(0)))
     }
   }
+}
+
+/** The catalog face of the days()/hours() HIDDEN-PARTITIONING
+  * transforms ([[TimeSplit]]): Spark resolves a clustered write
+  * distribution's `days(ts)` through this FunctionCatalog, so the
+  * ingest exchange co-locates each UTC day's (hour's) rows in one
+  * task and the split writer commits one single-ordinal part per
+  * ordinal per write — the Iceberg hidden-partition write shape.
+  * Deterministic pure arithmetic (floorDiv of the internal micros),
+  * identical to the writer's routing and the DDL faces' derivation,
+  * so plan-time, write-time and metadata views can never disagree. */
+private[sources] class GraftTimeOrdinalFunction(transform: String)
+    extends UnboundFunction {
+  override def name(): String = transform
+  override def description(): String =
+    s"$transform(ts): UTC epoch-$transform ordinal of a TIMESTAMP " +
+      "(floorDiv of micros; NULL in -> NULL out)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1 &&
+      inputType.fields(0).dataType ==
+        org.apache.spark.sql.types.TimestampType,
+      s"$transform takes (TIMESTAMP), got ${inputType.simpleString}")
+    val unit = TimeSplit.unit(transform)
+    val tname = transform
+    new ScalarFunction[java.lang.Long] {
+      override def inputTypes(): Array[DataType] =
+        Array(org.apache.spark.sql.types.TimestampType)
+      override def resultType(): DataType = LongType
+      override def name(): String = tname
+      override def canonicalName(): String = s"graft.$tname"
+      override def isResultNullable: Boolean = true
+      override def produceResult(input: InternalRow): java.lang.Long =
+        if (input.isNullAt(0)) null
+        else java.lang.Long.valueOf(Math.floorDiv(input.getLong(0), unit))
+    }
+  }
+}
+
+private[sources] object GraftTimeOrdinalFunction {
+  val Days = new GraftTimeOrdinalFunction(TimeSplit.Days)
+  val Hours = new GraftTimeOrdinalFunction(TimeSplit.Hours)
 }
 
 /** The column-mapping ledger as a TABLE (`SELECT ... FROM

@@ -518,11 +518,11 @@ private[sources] final class CreateMvProcedure(warehouse: String)
       .build(),
     ProcedureParameter.in("source_table", StringType)
       .comment("source table identifier (history table)").build(),
-    ProcedureParameter.in("key_col", StringType)
-      .comment("grouping column(s), comma-separated for a multi-key MV")
-      .build(),
-    ProcedureParameter.in("sum_col", StringType)
-      .comment("numeric column to sum (exact decimal)").build(),
+    ProcedureParameter.in("key_col", StringType).defaultValue("''")
+      .comment("grouping column(s), comma-separated for a multi-key MV; " +
+        "'' when key_expr is given instead").build(),
+    ProcedureParameter.in("sum_col", StringType).defaultValue("''")
+      .comment("numeric column to sum (exact decimal); required").build(),
     ProcedureParameter.in("scale", IntegerType).defaultValue("6")
       .comment("decimal scale of the sum").build(),
     ProcedureParameter.in("minmax_col", StringType).defaultValue("''")
@@ -542,7 +542,13 @@ private[sources] final class CreateMvProcedure(warehouse: String)
     ProcedureParameter.in("fk_col", StringType).defaultValue("''")
       .comment("fact-side equi-join column (join MVs only)").build(),
     ProcedureParameter.in("dim_key_col", StringType).defaultValue("''")
-      .comment("dim-side equi-join column (join MVs only)").build())
+      .comment("dim-side equi-join column (join MVs only)").build(),
+    ProcedureParameter.in("key_expr", StringType).defaultValue("''")
+      .comment("EXPRESSION-KEYED (time-grain) MV: a derived grouping " +
+        "key of the form date_trunc('<grain>', <ts_col>); the MV " +
+        "stores it as 'key_value' and MvRewrite matches the user's " +
+        "own date_trunc spelling structurally; composes with " +
+        "count/sum only; '' = use key_col").build())
 
   override def outputSchema: StructType = StructType(Seq(
     StructField("source_version", IntegerType, nullable = false),
@@ -560,11 +566,18 @@ private[sources] final class CreateMvProcedure(warehouse: String)
       else Some(input.getUTF8String(i).toString).filter(_.nonEmpty)
     val mmCol = strAt(5)
     val ndvCol = strAt(6)
+    val keyExpr = strAt(10)
+    val keyColIn = strAt(2)
+    require(strAt(3).isDefined, "create_mv: 'sum_col' is required")
+    require(keyExpr.isDefined != keyColIn.isDefined,
+      "create_mv: give exactly one of key_col / key_expr")
     val (v, groups) = strAt(7) match {
       case Some(dimRel) =>
         require(mmCol.isEmpty && ndvCol.isEmpty,
           "create_mv: minmax_col/distinct_col are not supported on " +
             "join MVs (counts and exact sums only)")
+        require(keyExpr.isEmpty,
+          "create_mv: key_expr is not supported on join MVs")
         val fk = strAt(8).getOrElse(
           throw new IllegalArgumentException("create_mv: fk_col required"))
         val dimKey = strAt(9).getOrElse(throw
@@ -575,8 +588,9 @@ private[sources] final class CreateMvProcedure(warehouse: String)
           input.getInt(4))
       case None =>
         ManifestMv.create(SparkSession.active, mvDir, srcDir,
-          input.getUTF8String(2).toString, input.getUTF8String(3).toString,
-          input.getInt(4), mmCol, ndvCol)
+          keyColIn.getOrElse("key_value"),
+          input.getUTF8String(3).toString,
+          input.getInt(4), mmCol, ndvCol, keyExpr)
     }
     result(v, groups)
   }
@@ -727,11 +741,15 @@ private[sources] final class SetLayoutProcedure(warehouse: String)
     StructField("new_layout", StringType, nullable = false)))
 
   private val BucketRe = """(?i)bucket\s*\(\s*(\d+)\s*,\s*([^)\s]+)\s*\)""".r
+  private val TimeRe = """(?i)(days|hours)\s*\(\s*([^)\s]+)\s*\)""".r
 
   private def render(conf: org.apache.hadoop.conf.Configuration,
       dir: String): String =
     ManifestSink.readTableSpec(conf, dir) match {
-      case Some((0, c)) => s"identity($c)"
+      case Some((0, c)) => ManifestSink.readTableTransform(conf, dir) match {
+        case Some(tf) => s"$tf($c)"
+        case None => s"identity($c)"
+      }
       case Some((n, c)) => s"bucket($n,$c)"
       case None => ManifestSink.readTableOrder(conf, dir)
         .map(c => s"ordered($c)").getOrElse("none")
@@ -747,6 +765,24 @@ private[sources] final class SetLayoutProcedure(warehouse: String)
     val schema = ManifestSink.readSchema(conf, dir).get
     val old = render(conf, dir)
     spec match {
+      // HIDDEN TIME-TRANSFORM layout evolution (`spec =>
+      // 'days(ts)'`): metadata-only like every set_layout — existing
+      // parts keep their generation (scans stay correct; DROP
+      // PARTITION refuses while straddlers exist), the next compact
+      // migrates, and every later INSERT routes by the derived
+      // day/hour ordinal.
+      case TimeRe(kind, col) =>
+        require(orderBy.isEmpty,
+          "set_layout: order_by only composes with spec => 'none' " +
+            "(a time split already clusters per ordinal)")
+        val tf = kind.toLowerCase(java.util.Locale.ROOT)
+        val f = schema.fields.find(_.name.equalsIgnoreCase(col))
+        require(f.exists(_.dataType ==
+          org.apache.spark.sql.types.TimestampType),
+          s"set_layout: $tf column '$col' must be a TIMESTAMP column " +
+            s"of ${schema.fieldNames.mkString("(", ",", ")")}")
+        ManifestSink.writeTableSpec(conf, dir, 0, f.get.name,
+          transform = Some(tf))
       case BucketRe(n, col) =>
         require(orderBy.isEmpty,
           "set_layout: order_by only composes with spec => 'none' " +

@@ -41,7 +41,7 @@ import org.apache.spark.util.SerializableConfiguration
   * target is born with its layout — no create-then-insert two-step. */
 private[sources] class GraftStagedTable(
     ident: Identifier, path: String, tableSchema: StructType,
-    bucketSpec: Option[(Int, String)], replace: Boolean,
+    bucketSpec: Option[(Int, String, Option[String])], replace: Boolean,
     tableProps: Map[String, String] = Map.empty)
     extends StagedTable with SupportsWrite {
 
@@ -68,14 +68,19 @@ private[sources] class GraftStagedTable(
         case None => new Write {
           override def toBatch: BatchWrite = new StagingWrite(info.schema())
         }
-        case Some((0, c)) => new Write with RequiresDistributionAndOrdering {
+        case Some((0, c, tf)) => new Write with RequiresDistributionAndOrdering {
           override def requiredDistribution(): Distribution =
-            Distributions.clustered(Array(Expressions.identity(c)))
+            Distributions.clustered(Array(tf match {
+              case Some(TimeSplit.Days) => Expressions.days(c)
+              case Some(TimeSplit.Hours) => Expressions.hours(c)
+              case _ => Expressions.identity(c)
+            }))
           override def requiredOrdering(): Array[SortOrder] = Array.empty
           override def toBatch: BatchWrite =
-            new StagingWrite(info.schema(), splitBy = Some(c))
+            new StagingWrite(info.schema(), splitBy = Some(c),
+              splitTransform = tf)
         }
-        case Some((n, c)) => new Write with RequiresDistributionAndOrdering {
+        case Some((n, c, _)) => new Write with RequiresDistributionAndOrdering {
           override def requiredDistribution(): Distribution =
             Distributions.clustered(Array(Expressions.bucket(n, c)))
           override def requiredOrdering(): Array[SortOrder] =
@@ -92,7 +97,8 @@ private[sources] class GraftStagedTable(
     * only stashes the part list. Nothing is published until
     * [[commitStagedChanges]]. */
   private class StagingWrite(writeSchema: StructType,
-      buckets: Option[Int] = None, splitBy: Option[String] = None)
+      buckets: Option[Int] = None, splitBy: Option[String] = None,
+      splitTransform: Option[String] = None)
       extends BatchWrite {
     private val token = java.util.UUID.randomUUID().toString.take(8)
 
@@ -101,7 +107,7 @@ private[sources] class GraftStagedTable(
       val dir = new Path(path)
       dir.getFileSystem(sconf.value).mkdirs(dir)
       new ManifestWriterFactory(path, writeSchema, token, sconf,
-        buckets, splitBy)
+        buckets, splitBy, splitTransform)
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -148,7 +154,8 @@ private[sources] class GraftStagedTable(
       if (defaults.isEmpty) None
       else Some(ColMap.identity(clean.fields.length).copy(defaults = defaults))
     bucketSpec match {
-      case Some((n, c)) => ManifestSink.writeTableSpec(conf, path, n, c)
+      case Some((n, c, tf)) =>
+        ManifestSink.writeTableSpec(conf, path, n, c, transform = tf)
       case None if replace =>
         // the replaced table's layout does not survive into the new
         // one: an unpartitioned RTAS over a bucketed table must not

@@ -76,8 +76,13 @@ object ManifestMaintenance {
     if (parts.isEmpty) return (0, baseVersion)
     val keyIdx = schema.fields.indexWhere(_.dataType == LongType)
     val strIdx = schema.fields.indexWhere(_.dataType == StringType)
+    // TIMESTAMP columns refresh alongside the longs — their stats ARE
+    // micros longs (the writer's 'l' leg); aggregate unix_micros so
+    // the collected values decode uniformly
     val extraLong = schema.fields.indices
-      .filter(i => schema.fields(i).dataType == LongType && i != keyIdx)
+      .filter(i => (schema.fields(i).dataType == LongType ||
+        schema.fields(i).dataType ==
+          org.apache.spark.sql.types.TimestampType) && i != keyIdx)
       .take(8)
     val extraStr = schema.fields.indices
       .filter(i => schema.fields(i).dataType == StringType && i != strIdx)
@@ -102,8 +107,12 @@ object ManifestMaintenance {
     // derived from it would be inflated
     val aggs = tracked.flatMap { i =>
       val c = schema.fields(i).name
-      Seq(min(col(c)).as(s"mn_$i"), max(col(c)).as(s"mx_$i"),
-        count(col(c)).as(s"ct_$i"))
+      val e = if (schema.fields(i).dataType ==
+          org.apache.spark.sql.types.TimestampType)
+        org.apache.spark.sql.functions.unix_micros(col(c))
+      else col(c)
+      Seq(min(e).as(s"mn_$i"), max(e).as(s"mx_$i"),
+        count(e).as(s"ct_$i"))
     } ++ longTracked.map { i =>
       val c = schema.fields(i).name
       org.apache.spark.sql.functions.sum(
@@ -147,7 +156,8 @@ object ManifestMaintenance {
           sMin = if (r.isNullAt(mn)) None else Some(r.getString(mn)),
           sMax = if (r.isNullAt(mx)) None else Some(r.getString(mx)),
           sNulls = nulls)
-        else if (f.dataType == LongType) m = m.copy(cstats =
+        else if (f.dataType == LongType || f.dataType ==
+            org.apache.spark.sql.types.TimestampType) m = m.copy(cstats =
           if (r.isNullAt(mn)) m.cstats - f.name
           else m.cstats + (f.name -> ColStat('l',
             r.getLong(mn).toString, r.getLong(mx).toString, nulls,
@@ -436,8 +446,14 @@ object ManifestMaintenance {
         val firstStr = ManifestSink.readSchema(conf, dir, None)
           .flatMap(_.fields.find(_.dataType ==
             org.apache.spark.sql.types.StringType).map(_.name))
-        allParts.filter(m =>
-          MetaTables.singleValue(m, sc, firstStr).contains(v))
+        // time-transform layouts scope by the DERIVED ordinal (the
+        // value SHOW PARTITIONS speaks): "compact yesterday's day"
+        ManifestSink.readTableTransform(conf, dir) match {
+          case Some(tf) => allParts.filter(m => TimeSplit.partOrdinal(
+            m.cstats.get(sc), m.rows, tf).map(_.toString).contains(v))
+          case None => allParts.filter(m =>
+            MetaTables.singleValue(m, sc, firstStr).contains(v))
+        }
     }
     if (parts.isEmpty) return CompactStats(0, 0, baseVersion)
     val layout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
@@ -625,6 +641,11 @@ object ManifestMaintenance {
     // breaking single-valued parts — grouped metadata aggregates and
     // point-predicate pruning survive maintenance
     val splitSpec: Option[String] = headSpec.collect { case (0, c) => c }
+    // days()/hours() split layouts migrate through compaction exactly
+    // like identity splits — the writer routes by the DERIVED ordinal
+    val splitTf: Option[String] =
+      if (splitSpec.isDefined) ManifestSink.readTableTransform(conf, dir)
+      else None
     val keyCol = schema.fields.find(
       _.dataType == org.apache.spark.sql.types.LongType).map(_.name)
     try {
@@ -649,8 +670,20 @@ object ManifestMaintenance {
           // requested layout first (the scope holds one value, so
           // repartition(target) IS the file-count control)
           case Some(c) =>
-            (if (scopedSplitLayout) layout(df) else df,
-              Map("splitBy" -> c))
+            // transform layouts pre-cluster by the DERIVED ordinal
+            // here (the path sink can't demand a days()/hours()
+            // distribution — no function catalog behind a path), so
+            // the rewrite lands ~one part per ordinal; identity
+            // splits rely on the sink's own identity clustering
+            val clustered = splitTf match {
+              case Some(tf) if !scopedSplitLayout =>
+                df.repartition(org.apache.spark.sql.functions.expr(
+                  s"unix_micros(`$c`) div ${TimeSplit.unit(tf)}"))
+              case _ => if (scopedSplitLayout) layout(df) else df
+            }
+            (clustered,
+              Map("splitBy" -> c) ++
+                splitTf.map("splitTransform" -> _).toMap)
           case None    => (layout(df), Map.empty[String, String])
         }
       }

@@ -72,7 +72,16 @@ private[sources] object ManifestMv {
   final case class MvMeta(source: String, keyCol: String, sumCol: String,
       scale: Int, sourceVersion: Int, mvVersion: Int,
       mmCol: Option[String] = None, ndvCol: Option[String] = None,
-      join: Option[MvJoin] = None) {
+      join: Option[MvJoin] = None,
+      /** EXPRESSION-KEYED (time-grain) MV: the defining derived-key
+        * SQL (`date_trunc('day', ts)`) paired with the session
+        * timezone it was materialized under — [[MvRewrite]] matches
+        * the user's own date_trunc spelling STRUCTURALLY and declines
+        * under any other grain, column, or session timezone (a
+        * different tz truncates to different instants — a different
+        * answer). keyCol is then the STORED key's column name. */
+      keyExpr: Option[String] = None,
+      keyTz: Option[String] = None) {
     /** MULTI-KEY grouping: `keyCol` is a comma-separated column list
       * (the whole list URL-encodes into the meta line as one token,
       * so the comma is a safe separator; a column name containing a
@@ -94,6 +103,8 @@ private[sources] object ManifestMv {
       "srcv=" + m.sourceVersion, "mvv=" + m.mvVersion) ++
       m.mmCol.map(c => "mm=" + enc(c)) ++
       m.ndvCol.map(c => "ndv=" + enc(c)) ++
+      m.keyExpr.map(e => "kexpr=" + enc(e)) ++
+      m.keyTz.map(z => "ktz=" + enc(z)) ++
       m.join.toSeq.flatMap(j => Seq("dim=" + enc(j.dimSource),
         "fk=" + enc(j.fk), "dimkey=" + enc(j.dimKey),
         "dimv=" + j.dimVersion))).mkString("&")
@@ -122,7 +133,8 @@ private[sources] object ManifestMv {
       kv("scale").toInt, kv("srcv").toInt, kv("mvv").toInt,
       kv.get("mm").map(dec), kv.get("ndv").map(dec),
       kv.get("dim").map(d => MvJoin(dec(d), dec(kv("fk")),
-        dec(kv("dimkey")), kv("dimv").toInt)))
+        dec(kv("dimkey")), kv("dimv").toInt)),
+      kv.get("kexpr").map(dec), kv.get("ktz").map(dec))
   }
 
   /** The defining rollup: per-key exact (count, decimal sum). The sum
@@ -133,7 +145,8 @@ private[sources] object ManifestMv {
     * holds across the MV's whole lifecycle. */
   private def rollup(df: DataFrame, keyCol: String, sumCol: String,
       scale: Int, mmCol: Option[String] = None,
-      ndvCol: Option[String] = None): DataFrame = {
+      ndvCol: Option[String] = None,
+      keyExpr: Option[String] = None): DataFrame = {
     val aggs = Seq(count(lit(1)).as("n_rows"),
       sum(col(sumCol).cast(DecimalType(30, scale)))
         .cast(DecimalType(38, scale)).as("sum_value")) ++
@@ -153,8 +166,16 @@ private[sources] object ManifestMv {
       // direct recompute, 5% vs exact); like MIN/MAX the
       // sketch folds under appends only, minus-side groups recompute
       ndvCol.toSeq.map(c => hll_sketch_agg(col(c), NdvLgK).as("ndv_sketch"))
-    val keys = keyCol.split(',').map(_.trim).filter(_.nonEmpty)
-    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    keyExpr match {
+      // derived time-grain key: group by the expression, stored under
+      // the single declared key name — the fold machinery then works
+      // by-name exactly like a physical key column
+      case Some(ke) => df.groupBy(expr(ke).as(keyCol))
+        .agg(aggs.head, aggs.tail: _*)
+      case None =>
+        val keys = keyCol.split(',').map(_.trim).filter(_.nonEmpty)
+        df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
   }
 
   private def writeMv(df: DataFrame, mvDir: String): Unit =
@@ -163,10 +184,27 @@ private[sources] object ManifestMv {
       .option("path", mvDir).option("history", "true")
       .mode("overwrite").save()
 
+  /** The accepted derived-key shape: `date_trunc('<grain>', <col>)`.
+    * Grains are the calendar set both the engine and the oracle
+    * truncate identically; the column must be a TIMESTAMP of the
+    * source. */
+  private[sources] val KeyExprRe =
+    """(?i)^date_trunc\(\s*'([A-Za-z]+)'\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$""".r
+  private val Grains = Set("year", "quarter", "month", "week", "day",
+    "hour", "minute")
+  private[sources] def parseKeyExpr(e: String): Option[(String, String)] =
+    e.trim match {
+      case KeyExprRe(g, c) if Grains.contains(
+        g.toLowerCase(java.util.Locale.ROOT)) =>
+        Some((g.toLowerCase(java.util.Locale.ROOT), c))
+      case _ => None
+    }
+
   def create(spark: SparkSession, mvDir: String, sourceDir: String,
       keyCol: String, sumCol: String, scale: Int,
       mmCol: Option[String] = None,
-      ndvCol: Option[String] = None): (Int, Long) = {
+      ndvCol: Option[String] = None,
+      keyExpr: Option[String] = None): (Int, Long) = {
     val conf = ManifestSink.driverConf()
     val srcVersion = ManifestSink.listVersions(conf, sourceDir).lastOption
       .getOrElse(throw new IllegalArgumentException(
@@ -174,9 +212,26 @@ private[sources] object ManifestMv {
           "(MVs track the snapshot log; write with history=true)"))
     val src = spark.read.format("graft.sources.ManifestSource")
       .option("path", sourceDir).option("version", srcVersion.toString).load()
+    keyExpr.foreach { ke =>
+      // EXPRESSION-KEYED (time-grain) MV: the rollup groups by the
+      // derived truncation — count + exact decimal sum only (the
+      // min/max/sketch legs would need a group-scoped rescan keyed by
+      // an expression the source has no column for)
+      require(mmCol.isEmpty && ndvCol.isEmpty,
+        "create_mv: key_expr composes with count/sum only " +
+          "(no minmax_col/distinct_col)")
+      val (_, c) = parseKeyExpr(ke).getOrElse(throw
+        new IllegalArgumentException(
+          s"create_mv: key_expr must be date_trunc('<grain>', <col>) " +
+            s"with grain in ${Grains.toSeq.sorted.mkString("/")}, got '$ke'"))
+      require(src.schema.fields.exists(f => f.name == c &&
+        f.dataType == org.apache.spark.sql.types.TimestampType),
+        s"create_mv: key_expr column '$c' must be a TIMESTAMP column of " +
+          src.schema.fieldNames.mkString("(", ",", ")"))
+    }
     val keys = keyCol.split(',').map(_.trim).filter(_.nonEmpty)
     require(keys.nonEmpty, "create_mv: key_col must name at least one column")
-    require(keys.forall(src.schema.fieldNames.contains) &&
+    require((keyExpr.isDefined || keys.forall(src.schema.fieldNames.contains)) &&
       src.schema.fieldNames.contains(sumCol),
       s"create_mv: source lacks '$keyCol'/'$sumCol' " +
         src.schema.fieldNames.mkString("(", ",", ")"))
@@ -197,10 +252,14 @@ private[sources] object ManifestMv {
         s"create_mv: distinct_col '$c' must be a BIGINT or STRING " +
           "column of " + src.schema.fieldNames.mkString("(", ",", ")"))
     }
-    writeMv(rollup(src, keyCol, sumCol, scale, mmCol, ndvCol), mvDir)
+    writeMv(rollup(src, keyCol, sumCol, scale, mmCol, ndvCol, keyExpr),
+      mvDir)
     val mvVersion = ManifestSink.listVersions(conf, mvDir).last
     writeMeta(conf, mvDir, MvMeta(sourceDir, keyCol, sumCol, scale,
-      srcVersion, mvVersion, mmCol, ndvCol))
+      srcVersion, mvVersion, mmCol, ndvCol,
+      keyExpr = keyExpr,
+      keyTz = keyExpr.map(_ =>
+        spark.sessionState.conf.sessionLocalTimeZone)))
     val groups = ManifestSink.readManifest(conf, mvDir).map(_._2).sum
     (srcVersion, groups)
   }
@@ -262,6 +321,16 @@ private[sources] object ManifestMv {
   def refresh(spark: SparkSession, mvDir: String): RefreshStats = {
     val conf = ManifestSink.driverConf()
     val m = readMeta(conf, mvDir)
+    // a time-grain MV's derived key truncates in the SESSION timezone
+    // it was created under — folding a delta computed under another
+    // tz would merge different instants into one group
+    m.keyExpr.foreach { _ =>
+      val cur = spark.sessionState.conf.sessionLocalTimeZone
+      require(m.keyTz.forall(_ == cur),
+        s"refresh_mv: time-grain MV was materialized under session " +
+          s"timezone ${m.keyTz.getOrElse("?")}, current is $cur — " +
+          "refresh under the creating timezone")
+    }
     val head = ManifestSink.listVersions(conf, m.source).lastOption.getOrElse(0)
     // a MOVED DIM re-attributes arbitrarily many fact rows: no local
     // delta exists, so the join MV recomputes fully (documented; the
@@ -324,7 +393,7 @@ private[sources] object ManifestMv {
           base.join(dimSide(spark, j, j.dimVersion),
             col(j.fk) === col(j.dimKey)))
         rollup(joined, m.keyCol, m.sumCol, m.scale,
-          m.mmCol, m.ndvCol)
+          m.mmCol, m.ndvCol, m.keyExpr)
       }
       val keys = m.keys
       val pr0 = side(tmpPlus, plus)

@@ -67,7 +67,8 @@ class ManifestSink extends TableProvider {
       Option(properties.get("writePartitions")).map(_.toInt),
       Option(properties.get("branch")).filter(_.nonEmpty),
       Option(properties.get("buckets")).map(_.toInt),
-      Option(properties.get("splitBy")).filter(_.nonEmpty))
+      Option(properties.get("splitBy")).filter(_.nonEmpty),
+      Option(properties.get("splitTransform")).filter(_.nonEmpty))
 }
 
 /** Per-part bloom filter over the key column, stored hex-encoded in
@@ -552,6 +553,31 @@ object ManifestSink {
   private[sources] def driverConf(): Configuration =
     SparkSession.active.sessionState.newHadoopConf()
 
+  /** STRUCT columns carry atomic sub-fields only (the line codec is
+    * flat — one struct token level). Rejected wherever a schema can
+    * first enter the format: CREATE TABLE, staged CTAS/RTAS, and the
+    * write path itself ([[ManifestBatchWrite]]) — a deep-nested
+    * struct must fail loudly at schema admission, never reach
+    * ManifestCodec's generic fallback and write `InternalRow.toString`
+    * garbage into a committed part. */
+  private[sources] def validateStructDepth(schema: StructType): Unit =
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case st: StructType => st.fields.foreach { sf =>
+          sf.dataType match {
+            case _: StructType | _: org.apache.spark.sql.types.ArrayType |
+                _: org.apache.spark.sql.types.MapType =>
+              throw new IllegalArgumentException(
+                s"unsupported type for '${f.name}.${sf.name}' " +
+                  s"(${sf.dataType.simpleString}): struct fields must " +
+                  "be atomic — depth-1 structs only")
+            case _ => ()
+          }
+        }
+        case _ => ()
+      }
+    }
+
   /** One committed part's stats: (path, rows, keyMin, keyMax). */
   def readManifest(conf: Configuration, dir: String): Seq[(String, Long, Long, Long)] =
     readManifest(conf, dir, None)
@@ -685,7 +711,8 @@ object ManifestSink {
     * legacy readers regex-parse the known fields and ignore it. */
   private[sources] def writeTableSpec(conf: Configuration, dir: String,
       buckets: Int, bucketCol: String,
-      orderBy: Option[String] = None): Unit = {
+      orderBy: Option[String] = None,
+      transform: Option[String] = None): Unit = {
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
     fs.mkdirs(d)
@@ -693,9 +720,13 @@ object ManifestSink {
       s"._TABLE.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val ob = orderBy.filter(_.nonEmpty)
       .fold("")(c => s""","orderBy":"${encPath(c)}"""")
+    // hidden-transform split layouts (days/hours over a TIMESTAMP
+    // column) tag the spec; legacy readers regex known fields only
+    val tf = transform.filter(_.nonEmpty)
+      .fold("")(t => s""","transform":"${encPath(t)}"""")
     val out = fs.create(tmp, true)
     try out.write(
-      s"""{"buckets":$buckets,"bucketCol":"${encPath(bucketCol)}"$ob}\n"""
+      s"""{"buckets":$buckets,"bucketCol":"${encPath(bucketCol)}"$ob$tf}\n"""
         .getBytes("UTF-8"))
     finally out.close()
     // replace-in-place (RENAME COLUMN of the bucket column and
@@ -858,6 +889,21 @@ object ManifestSink {
     val c = """"bucketCol":"([^"]*)"""".r.findFirstMatchIn(line)
       .map(m => decPath(m.group(1)))
     for (nn <- n; cc <- c) yield (nn, cc)
+  }
+
+  /** The split spec's hidden time transform ("days" | "hours"), when
+    * the layout is `PARTITIONED BY (days(ts))` / `(hours(ts))` —
+    * always paired with a (0, col) [[readTableSpec]] result. */
+  private[sources] def readTableTransform(conf: Configuration,
+      dir: String): Option[String] = {
+    val p = new Path(dir, "_TABLE.json")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().next() finally in.close()
+    """"transform":"([^"]*)"""".r.findFirstMatchIn(line)
+      .map(m => decPath(m.group(1))).filter(_.nonEmpty)
   }
 
   /** The table's WRITE ORDERED BY column, when one is set. */
@@ -1533,15 +1579,27 @@ private[sources] class ManifestTable(
     path: String, schema: StructType, history: Boolean,
     clusterBy: Option[String] = None, writePartitions: Option[Int] = None,
     branch: Option[String] = None, buckets: Option[Int] = None,
-    splitBy: Option[String] = None)
+    splitBy: Option[String] = None,
+    splitTransform: Option[String] = None)
     extends Table with SupportsWrite {
   require(path != null && path.nonEmpty, "option 'path' is required")
   require(Seq(buckets, clusterBy, splitBy).count(_.isDefined) <= 1,
     "options 'buckets', 'clusterBy' and 'splitBy' are mutually " +
       "exclusive (hash-bucketed vs range-clustered vs " +
       "identity-partitioned layout)")
+  require(splitTransform.isEmpty || splitBy.isDefined,
+    "option 'splitTransform' requires 'splitBy' (the TIMESTAMP column " +
+      "the days/hours transform derives from)")
+  splitTransform.foreach(t => require(TimeSplit.valid(t),
+    s"option 'splitTransform' must be 'days' or 'hours', got '$t'"))
   splitBy.foreach { c =>
-    require(schema.fields.exists(f => f.name == c &&
+    if (splitTransform.isDefined)
+      require(schema.fields.exists(f => f.name == c &&
+        f.dataType == org.apache.spark.sql.types.TimestampType),
+        s"splitBy column '$c' with a time transform must be a " +
+          s"TIMESTAMP column of the write schema " +
+          schema.fieldNames.mkString("(", ",", ")"))
+    else require(schema.fields.exists(f => f.name == c &&
       (f.dataType == LongType ||
         f.dataType == org.apache.spark.sql.types.StringType)),
       s"splitBy column '$c' must be a BIGINT or STRING column of the " +
@@ -1563,6 +1621,22 @@ private[sources] class ManifestTable(
       private var doTruncate = false
       override def truncate(): WriteBuilder = { doTruncate = true; this }
       override def build(): Write = clusterBy match {
+        // time-transform split via the PATH spelling: the sink cannot
+        // demand a days()/hours() clustered distribution (transform
+        // resolution needs a function catalog; a bare path has none),
+        // so the write takes the caller's partitioning as-is — every
+        // part is still single-ordinal (the writer splits by the
+        // derived value), just possibly more parts per ordinal. The
+        // CATALOG spelling plans the proper one-exchange layout;
+        // compaction re-clusters by the ordinal when it migrates.
+        case None if splitBy.isDefined && splitTransform.isDefined =>
+          new Write {
+            override def toBatch: BatchWrite =
+              new ManifestBatchWrite(path, info.schema(), doTruncate,
+                history,
+                new SerializableConfiguration(ManifestSink.driverConf()),
+                branch, splitBy = splitBy, splitTransform = splitTransform)
+          }
         case None if splitBy.isDefined =>
           // IDENTITY-PARTITIONED WRITE (`option("splitBy", c)`): the
           // sink demands a CLUSTERED distribution on the column —
@@ -1590,7 +1664,7 @@ private[sources] class ManifestTable(
             override def toBatch: BatchWrite =
               new ManifestBatchWrite(path, info.schema(), doTruncate, history,
                 new SerializableConfiguration(ManifestSink.driverConf()),
-                branch, splitBy = splitBy)
+                branch, splitBy = splitBy, splitTransform = splitTransform)
           }
         case None => new Write {
           override def toBatch: BatchWrite =
@@ -1668,10 +1742,16 @@ private[sources] class ManifestBatchWrite(
     replaceFilters: Option[Array[org.apache.spark.sql.sources.Filter]] = None,
     opLabel: Option[String] = None,
     splitBy: Option[String] = None,
+    splitTransform: Option[String] = None,
     identity: Option[ManifestIdentity.Spec] = None,
     generated: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] =
       Seq.empty)
     extends BatchWrite {
+
+  // last line of defense for the path-based write spelling (no
+  // catalog in front of it): reject codec-unrepresentable schemas
+  // before any part is staged
+  ManifestSink.validateStructDepth(schema)
 
   private def opName: String = opLabel.getOrElse(
     if (replaceFilters.isDefined) "replace-where"
@@ -1707,7 +1787,8 @@ private[sources] class ManifestBatchWrite(
     if (truncate && !history && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
     val factory0 =
-      new ManifestWriterFactory(path, schema, token, conf, buckets, splitBy)
+      new ManifestWriterFactory(path, schema, token, conf, buckets, splitBy,
+        splitTransform)
     // generated wraps INNER (sees identity-filled rows were it to
     // reference them — banned at create, so order only matters for
     // the refusal messages); identity wraps OUTER so its fill sees
@@ -1930,7 +2011,8 @@ private[sources] class ManifestBatchWrite(
 private[sources] class ManifestStreamingWrite(
     path: String, schema: StructType, queryId: String,
     conf: SerializableConfiguration, buckets: Option[Int] = None,
-    splitBy: Option[String] = None)
+    splitBy: Option[String] = None,
+    splitTransform: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private def opToken(epochId: Long) = s"stream:$queryId:$epochId"
@@ -1943,7 +2025,8 @@ private[sources] class ManifestStreamingWrite(
     // fresh file token per epoch attempt: replayed epochs write new
     // files, which the skipped commit then deletes
     ManifestStreamingWriterFactory(new ManifestWriterFactory(path, schema,
-      java.util.UUID.randomUUID().toString.take(8), conf, buckets, splitBy))
+      java.util.UUID.randomUUID().toString.take(8), conf, buckets, splitBy,
+      splitTransform))
   }
 
   /** True iff some committed version already carries this epoch's
@@ -2021,7 +2104,8 @@ private[sources] class ManifestWriterFactory(
     path: String, schema: StructType, token: String,
     private[sources] val conf: SerializableConfiguration,
     buckets: Option[Int] = None,
-    splitBy: Option[String] = None)
+    splitBy: Option[String] = None,
+    splitTransform: Option[String] = None)
     extends DataWriterFactory {
   // SECONDARY-COLUMN BLOOMS (`graft.bloom_cols` table property):
   // resolved HERE because every factory is constructed on the DRIVER
@@ -2040,7 +2124,7 @@ private[sources] class ManifestWriterFactory(
       case None => splitBy match {
         case Some(c) =>
           new SplitManifestWriter(path, schema, token, partitionId, taskId,
-            conf.value, c, bloomCols, bloomBitsN)
+            conf.value, c, bloomCols, bloomBitsN, splitTransform)
         case None =>
           new ManifestDataWriter(path, schema, token, partitionId, taskId,
             conf.value, bloomCols = bloomCols, bloomBits = bloomBitsN)
@@ -2122,12 +2206,24 @@ private[sources] class BucketedManifestWriter(
 private[sources] class SplitManifestWriter(
     dir: String, schema: StructType, token: String,
     partitionId: Int, taskId: Long, conf: Configuration, splitCol: String,
-    bloomCols: Seq[String] = Nil, bloomBits: Int = PartBloom.MaxBits)
+    bloomCols: Seq[String] = Nil, bloomBits: Int = PartBloom.MaxBits,
+    transform: Option[String] = None)
     extends DataWriter[InternalRow] {
 
   private val MaxValuesPerTask = 512
   private val idx = schema.fields.indexWhere(_.name == splitCol)
   require(idx >= 0, s"splitBy column '$splitCol' not in schema")
+  // time-transform split: route by the DERIVED day/hour ordinal of
+  // the TIMESTAMP column (micros are the internal long) — every part
+  // lands single-valued in the ordinal domain, which the column's
+  // recorded micros stats prove (one ordinal spans one micros range)
+  private val unit: Long = transform.map(TimeSplit.unit).getOrElse(0L)
+  transform.foreach { t =>
+    require(schema.fields(idx).dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      s"time transform '$t' needs a TIMESTAMP splitBy column, " +
+        s"'$splitCol' is ${schema.fields(idx).dataType.simpleString}")
+  }
   private val isLong = schema.fields(idx).dataType == LongType
   private val writers =
     new java.util.HashMap[Any, ManifestDataWriter]()
@@ -2153,6 +2249,8 @@ private[sources] class SplitManifestWriter(
   override def write(row: InternalRow): Unit = {
     val v: Any =
       if (row.isNullAt(idx)) null
+      else if (unit > 0L)
+        java.lang.Long.valueOf(Math.floorDiv(row.getLong(idx), unit))
       else if (isLong) java.lang.Long.valueOf(row.getLong(idx))
       else row.getUTF8String(idx).toString
     writerFor(v).write(row)
@@ -2209,8 +2307,13 @@ private[sources] class ManifestDataWriter(
   // long/string column beyond the primary pair, capped at 8 of each
   // to bound manifest width — a few long-or-string `while` updates
   // per row, the price of pruning on any predicate column at read
+  // TIMESTAMP columns ride the long legs verbatim (micros ARE the
+  // internal long) — min/max/null stats feed time-range part pruning
+  // and the days()/hours() split layout's derived partition values
   private val extraLong: Array[Int] = schema.fields.indices
-    .filter(i => schema.fields(i).dataType == LongType && i != keyIdx)
+    .filter(i => (schema.fields(i).dataType == LongType ||
+      schema.fields(i).dataType ==
+        org.apache.spark.sql.types.TimestampType) && i != keyIdx)
     .take(8).toArray
   private val extraStr: Array[Int] = schema.fields.indices
     .filter(i => schema.fields(i).dataType ==

@@ -663,16 +663,20 @@ private[sources] class ManifestScanBuilder(
       // (each part's micros range lives inside one ordinal). Open
       // bounds stay closed-for-pruning: micros granularity makes the
       // off-by-one irrelevant for exclusion, and the filters remain
-      // residual (row exactness is Spark's post-filter).
+      // residual (row exactness is Spark's post-filter). Open bounds
+      // tighten by the 1-micro step exactly like the long columns' —
+      // `ts < DAY-BOUNDARY` must NOT keep the boundary day's part.
       case GreaterThan(c, v) if tsMicros(v).isDefined =>
         val m = tsMicros(v).get
-        cLongLo += c -> math.max(cLongLo.getOrElse(c, Long.MinValue), m)
+        cLongLo += c -> math.max(cLongLo.getOrElse(c, Long.MinValue),
+          if (m == Long.MaxValue) m else m + 1)
       case GreaterThanOrEqual(c, v) if tsMicros(v).isDefined =>
         val m = tsMicros(v).get
         cLongLo += c -> math.max(cLongLo.getOrElse(c, Long.MinValue), m)
       case LessThan(c, v) if tsMicros(v).isDefined =>
         val m = tsMicros(v).get
-        cLongHi += c -> math.min(cLongHi.getOrElse(c, Long.MaxValue), m)
+        cLongHi += c -> math.min(cLongHi.getOrElse(c, Long.MaxValue),
+          if (m == Long.MinValue) m else m - 1)
       case LessThanOrEqual(c, v) if tsMicros(v).isDefined =>
         val m = tsMicros(v).get
         cLongHi += c -> math.min(cLongHi.getOrElse(c, Long.MaxValue), m)

@@ -109,7 +109,15 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
     if (targets.isEmpty) return plan
     plan.transformDown {
-      case agg: Aggregate =>
+      case agg0: Aggregate =>
+        // INVERSE PullOutGroupingExpressions: by the time this rule
+        // runs, the optimizer has hoisted computed grouping
+        // expressions (`GROUP BY date_trunc('day', ts)`) into a
+        // Project below the Aggregate and grouped by the synthetic
+        // attribute. Inline those aliases back so the matchers see
+        // the user's own expression shape; if nothing routes, the
+        // ORIGINAL node is returned untouched.
+        val agg = unpull(agg0)
         // KEY-PREDICATE routing: a deterministic Filter between the
         // aggregate and the scan is CAPTURED here and validated in
         // substitute(): it routes iff its references are all MV KEY
@@ -181,8 +189,44 @@ object MvRewrite extends Rule[LogicalPlan] {
                 (keyFilter.toSeq ++ hoisted.toSeq).reduceOption(
                   org.apache.spark.sql.catalyst.expressions.And(_, _))) }
           case None => None
-        }).getOrElse(agg)
+        }).getOrElse(agg0)
     }
+  }
+
+  /** Reverse the optimizer's PullOutGroupingExpressions: a Project
+    * directly under the Aggregate whose entries are attributes plus
+    * DETERMINISTIC aliases folds back into the aggregate (alias
+    * definitions substituted into grouping and output expressions,
+    * exprIds preserved). Exact — the Project computed pure functions
+    * of the child's columns; inlining is the identity the optimizer
+    * itself applied in reverse. Declines (returns the aggregate
+    * unchanged) if any reference would escape the child's output. */
+  private def unpull(agg: Aggregate): Aggregate = agg.child match {
+    case Project(list, child)
+        if list.exists(!_.isInstanceOf[AttributeReference]) &&
+          list.forall {
+            case _: AttributeReference => true
+            case a: Alias => a.child.deterministic
+            case _ => false
+          } =>
+      val aliasMap: Map[org.apache.spark.sql.catalyst.expressions.ExprId,
+          Expression] =
+        list.collect { case a: Alias => a.exprId -> a.child }.toMap
+      def subst(e: Expression): Expression = e.transformUp {
+        case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
+          aliasMap(ar.exprId)
+      }
+      val g2 = agg.groupingExpressions.map(subst)
+      val a2 = agg.aggregateExpressions.map {
+        case ar: AttributeReference if aliasMap.contains(ar.exprId) =>
+          Alias(aliasMap(ar.exprId), ar.name)(exprId = ar.exprId)
+        case e => subst(e).asInstanceOf[NamedExpression]
+      }
+      val refs = AttributeSet(g2.flatMap(_.references) ++
+        a2.flatMap(_.references))
+      if (refs.subsetOf(child.outputSet)) Aggregate(g2, a2, child)
+      else agg
+    case _ => agg
   }
 
   /** An INNER equi-join of two bare manifest reads directly under the
@@ -322,6 +366,12 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def substitute(spark: SparkSession, agg: Aggregate,
       t: Target, keyFilter: Option[Expression] = None)
       : Option[LogicalPlan] = {
+    // EXPRESSION-KEYED (time-grain) MVs route through their own
+    // narrower matcher: the grouping is a derived date_trunc, not a
+    // bare attribute, so the name-based key machinery below cannot
+    // apply
+    if (t.meta.keyExpr.isDefined)
+      return substituteTimeGrain(spark, agg, t, keyFilter)
     // MULTI-KEY shape gate: every grouping expression a bare
     // attribute, no repeats, and the name set either
     //  - EXACTLY the MV's key list (any order — GROUP BY b, a still
@@ -404,6 +454,67 @@ object MvRewrite extends Rule[LogicalPlan] {
         Aggregate(keyPairs.map(_._2), mapped, base)
       else Project(mapped, base)
     }
+  }
+
+  /** TIME-GRAIN MV routing: the query re-asks the stored rollup
+    * `GROUP BY date_trunc('<grain>', <ts>)` in the user's own
+    * spelling, matched STRUCTURALLY (the catalyst [[TruncTimestamp]]
+    * node with the recorded grain literal and source column — any
+    * other grain, column, non-foldable format, or a differing SESSION
+    * TIMEZONE declines: each of those is a different answer). The
+    * substitution serves the exact stored key + count/sum state as a
+    * Project over the MV — no Aggregate survives, the O(table) scan
+    * becomes an O(days) metadata-table read. Filters and drill-ups
+    * decline (the derived key admits no sound name-based filter
+    * rebind or subset fold here). */
+  private def substituteTimeGrain(spark: SparkSession, agg: Aggregate,
+      t: Target, keyFilter: Option[Expression]): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.TruncTimestamp
+    import org.apache.spark.unsafe.types.UTF8String
+    if (keyFilter.isDefined) return None
+    val (grain, colName) =
+      ManifestMv.parseKeyExpr(t.meta.keyExpr.get).getOrElse(return None)
+    if (!t.meta.keyTz.contains(
+      spark.sessionState.conf.sessionLocalTimeZone)) return None
+    if (agg.groupingExpressions.size != 1) return None
+    val g = agg.groupingExpressions.head
+    val matches = g match {
+      case TruncTimestamp(Literal(f: UTF8String, _), a: AttributeReference,
+          _) => f.toString.equalsIgnoreCase(grain) &&
+        a.name.equalsIgnoreCase(colName)
+      case _ => false
+    }
+    if (!matches) return None
+    val mvPlan = spark.read.format("graft.sources.ManifestSource")
+      .option("path", t.mvDir)
+      .option("version", t.meta.mvVersion.toString)
+      .load().queryExecution.optimizedPlan
+    val out = mvPlan.output
+    for {
+      mvKey <- out.find(a => a.name == t.meta.keyCol &&
+        a.dataType == g.dataType)
+      mvN <- out.find(_.name == "n_rows")
+      mvS <- out.find(_.name == "sum_value")
+      if mvN.dataType == LongType
+      mapped <- {
+        val m: Seq[Option[NamedExpression]] =
+          agg.aggregateExpressions.map {
+            case al: Alias =>
+              var ok = true
+              val re = al.child.transformUp {
+                case e if e.semanticEquals(g) => mvKey
+                case ae: AggregateExpression =>
+                  matchAgg(ae, t.meta, mvN, mvS, None, None, None,
+                    reAgg = false).getOrElse { ok = false; ae }
+              }
+              if (ok && re.references.subsetOf(mvPlan.outputSet))
+                Some(Alias(re, al.name)(exprId = al.exprId))
+              else None
+            case _ => None
+          }
+        if (m.forall(_.isDefined)) Some(m.map(_.get)) else None
+      }
+    } yield Project(mapped, mvPlan)
   }
 
   /** Re-express every aggregate-output expression over the MV's

@@ -281,4 +281,79 @@ class MvRewriteSpec extends SparkSpec {
         spark.experimental.extraOptimizations.filterNot(_ == MvRewrite)
     }
   }
+
+  test("time-grain MV: routes the user's date_trunc spelling; " +
+      "different grain/column/tz decline") {
+    import spark.implicits._
+    val src = s"$wh/tg/src"
+    (0 until 600).map(i =>
+        (i.toLong, new java.sql.Timestamp(1704067200000L + i * 3600000L),
+          i * 0.25))
+      .toDF("k", "ts", "v")
+      .repartition(3)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", src).option("history", "true")
+      .mode("overwrite").save()
+    spark.sql("CALL gmvr.system.create_mv(mv_table => 'tg.mv', " +
+      "source_table => 'tg.src', " +
+      "key_expr => \"date_trunc(\\'day\\', ts)\", " +
+      "sum_col => 'v', scale => 2)")
+    val grainSql =
+      """SELECT date_trunc('day', ts) AS d, count(*) AS n,
+        |  CAST(CAST(sum(CAST(v AS DECIMAL(30,2))) AS STRING) AS DOUBLE)
+        |    AS sv
+        |FROM gmvr.tg.src GROUP BY date_trunc('day', ts)""".stripMargin
+    val direct = spark.sql(grainSql).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    def scansTgMv(df: DataFrame): Boolean =
+      MvRewrite.readsManifestDir(df.queryExecution.optimizedPlan,
+        s"$wh/tg/mv")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ MvRewrite
+    spark.conf.set("graft.mv.rewrite", s"$wh/tg/mv")
+    try {
+      val q = spark.sql(grainSql)
+      assert(!hasAggregate(q) && scansTgMv(q),
+        s"time-grain MV must route:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().map(r =>
+        (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet === direct)
+      // a DIFFERENT GRAIN is a different rollup — decline, stay exact
+      val hourQ = spark.sql(grainSql.replace("'day'", "'hour'"))
+      assert(hasAggregate(hourQ) && !scansTgMv(hourQ),
+        "hour grain must not serve the day MV")
+      // a filter between aggregate and scan declines (no sound rebind
+      // onto a derived key)
+      val filtered = spark.sql(grainSql.replace("GROUP BY",
+        "WHERE k > 10 GROUP BY"))
+      assert(hasAggregate(filtered) && !scansTgMv(filtered))
+      // a DIFFERENT SESSION TIMEZONE truncates to different instants
+      val savedTz = spark.conf.get("spark.sql.session.timeZone")
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      try {
+        val tzQ = spark.sql(grainSql)
+        assert(hasAggregate(tzQ) && !scansTgMv(tzQ),
+          "a differing session timezone must decline")
+      } finally spark.conf.set("spark.sql.session.timeZone", savedTz)
+      // append → stale → fold re-arms; the folded state routes again
+      Seq((9000L, new java.sql.Timestamp(1704067200000L + 700L * 3600000L),
+          2.5))
+        .toDF("k", "ts", "v")
+        .write.format("graft.sources.ManifestSink")
+        .option("path", src).option("history", "true")
+        .mode("append").save()
+      assert(hasAggregate(spark.sql(grainSql)), "stale MV must decline")
+      val st = spark.sql(
+        "CALL gmvr.system.refresh_mv(mv_table => 'tg.mv')").head
+      assert(st.getInt(2) === 1 && st.getInt(3) === 0,
+        s"append must FOLD (plus-only): $st")
+      val q2 = spark.sql(grainSql)
+      assert(!hasAggregate(q2) && scansTgMv(q2))
+      // folded state is exact: every source row accounted for
+      assert(q2.agg(sum(col("n"))).head.getLong(0) === 601L)
+    } finally {
+      spark.conf.unset("graft.mv.rewrite")
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == MvRewrite)
+    }
+  }
 }
