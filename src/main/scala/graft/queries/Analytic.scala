@@ -164,16 +164,22 @@ ORDER BY event_type""")),
       (spark, dir) => {
         val m = from_json(col("props"),
           org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))
-        Tables.events(spark, dir).select(
-          col("event_id"),
-          element_at(m, "k").as("k_val"),
-          size(map_concat(m, map(lit("k2"), element_at(m, "k") * 2L)))
-            .as("n_keys_merged"),
-          element_at(transform_values(m, (_, v) => v * 10L), "k")
-            .as("k_x10"),
-          map_contains_key(m, "k").as("has_k"),
-          array_join(map_keys(m), ",").as("key_csv"))
-          .orderBy(col("event_id"))
+        // sort first (the one range exchange the query always paid),
+        // parse after: the five from_json-backed map expressions then
+        // run on the post-shuffle partitions instead of the one-task
+        // single-file scan stage (guide §2.5)
+        graft.util.Par.sortedFanOut(
+          Tables.events(spark, dir).select(col("event_id"), col("props")),
+          col("event_id"))
+          .select(
+            col("event_id"),
+            element_at(m, "k").as("k_val"),
+            size(map_concat(m, map(lit("k2"), element_at(m, "k") * 2L)))
+              .as("n_keys_merged"),
+            element_at(transform_values(m, (_, v) => v * 10L), "k")
+              .as("k_x10"),
+            map_contains_key(m, "k").as("has_k"),
+            array_join(map_keys(m), ",").as("key_csv"))
       },
       Some("""SELECT event_id, k AS k_val,
   CAST(2 AS INT) AS n_keys_merged,

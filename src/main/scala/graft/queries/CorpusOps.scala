@@ -199,7 +199,12 @@ FROM c ORDER BY doc_id""")),
           transform(sequence(lit(1), size(t) - 1),
             i => concat_ws(" ", slice(t, i, lit(2)))))
           .otherwise(array().cast("array<string>"))
-        Tables.documents(spark, dir)
+        // fan the one-task single-file scan out before the bigram
+        // explode + partial aggregate — the split/slice/concat chain
+        // over every token is the cost and it runs in the scan stage
+        // (guide §2.5); the exchange carries only (doc_id, text)
+        graft.util.Par.fanOut(Tables.documents(spark, dir)
+            .select(col("doc_id"), col("text")))
           .select(col("doc_id"), explode(bigrams).as("bg"))
           .groupBy(col("doc_id"), col("bg"))
           .agg(count(lit(1)).as("n"))

@@ -503,7 +503,13 @@ ORDER BY doc_id""")),
       (spark, dir) => {
         import org.apache.spark.sql.graftbridge.GraftColumns.{column => gc, expression => ge}
         val png = gc(graft.functions.PngSynth(ge(col("doc_id"))))
-        Tables.documents(spark, dir)
+        // sort first (the one range exchange the query always paid),
+        // decode after: the per-row PNG encode/decode/resize chain
+        // then runs on the post-shuffle partitions instead of the
+        // one-task single-file scan stage (guide §2.5)
+        graft.util.Par.sortedFanOut(
+          Tables.documents(spark, dir).select(col("doc_id")),
+          col("doc_id"))
           .select(col("doc_id"), png.as("payload"))
           .select(col("doc_id"),
             gc(graft.functions.PngDecodeStats(ge(col("payload")))).as("st"),
@@ -521,7 +527,7 @@ ORDER BY doc_id""")),
             element_at(col("rs"), 4).as("rsum_r"),
             element_at(col("rs"), 5).as("rsum_g"),
             element_at(col("rs"), 6).as("rsum_b"))
-          .orderBy(col("doc_id"))
+        // total order already established by sortedFanOut (unique doc_id)
       },
       Some("""WITH d AS (
   SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 4 AS h

@@ -97,14 +97,22 @@ SELECT id, rk, name, depth, path FROM walk ORDER BY id""")),
         val v = parse_json(col("props"))
         val built = parse_json(to_json(struct(
           col("event_type").as("t"), array(col("user_id")).as("ids"))))
-        Tables.events(spark, dir).select(
-          col("event_id"),
-          variant_get(v, "$.k", "int").as("k"),
-          try_variant_get(v, "$.absent", "string").as("absent"),
-          to_json(v).as("canon"),
-          variant_get(built, "$.ids[0]", "bigint").as("id0"),
-          variant_get(built, "$.t", "string").as("t"))
-          .orderBy(col("event_id"))
+        // sort first (the one range exchange the query always paid),
+        // parse after: the per-row variant build/extract then runs on
+        // the post-shuffle partitions instead of the one-task
+        // single-file scan stage (guide §2.5)
+        graft.util.Par.sortedFanOut(
+          Tables.events(spark, dir)
+            .select(col("event_id"), col("props"), col("event_type"),
+              col("user_id")),
+          col("event_id"))
+          .select(
+            col("event_id"),
+            variant_get(v, "$.k", "int").as("k"),
+            try_variant_get(v, "$.absent", "string").as("absent"),
+            to_json(v).as("canon"),
+            variant_get(built, "$.ids[0]", "bigint").as("id0"),
+            variant_get(built, "$.t", "string").as("t"))
       },
       Some("""SELECT event_id,
   CAST(json_extract_string(props, '$.k') AS INT) AS k,
@@ -284,8 +292,14 @@ FROM orders ORDER BY o_orderkey""")),
         val xsch = org.apache.spark.sql.types.StructType.fromDDL(
           "t STRING, u BIGINT, v DECIMAL(18,6)")
         val sampled = col("event_id") % 50 === 0
-        Tables.events(spark, dir)
-          .select(col("event_id"), xml.as("x"))
+        // sort FIRST (same single range exchange the query always
+        // paid), parse AFTER: the from_xml/xpath walk over every row
+        // then runs on the post-shuffle partitions instead of inside
+        // the one-task single-file scan stage (guide §2.5; isolated
+        // bench 2.15 s → see OPTIMIZATION_r20.md)
+        graft.util.Par.sortedFanOut(
+          Tables.events(spark, dir).select(col("event_id"), xml.as("x")),
+          col("event_id"))
           .select(col("event_id"), from_xml(col("x"), xsch).as("e"),
             col("x"))
           .select(
@@ -304,7 +318,8 @@ FROM orders ORDER BY o_orderkey""")),
             when(sampled,
               expr("CAST(size(xpath(x, '/e/*/text()')) AS INT)"))
               .as("n_children"))
-          .orderBy(col("event_id"))
+        // total order already established by sortedFanOut (range
+        // partitioning + in-partition sort on the unique event_id)
       },
       Some("""SELECT event_id,
   event_type AS t, user_id AS u,

@@ -74,7 +74,14 @@ GROUP BY r_name ORDER BY r_name""")),
         val varx = nD * col("sxx") - col("sx") * col("sx")
         val vary = nD * col("syy") - col("sy") * col("sy")
         val cov = nD * col("sxy") - col("sx") * col("sy")
-        Tables.lineitem(spark, dir)
+        // fan the one-task single-file scan out before the partial
+        // aggregate: the six decimal moment folds over 600k rows are
+        // the cost, and they run map-side — parallelize them (guide
+        // §2.5; decimal sums are exact, so the fold is partitioning-
+        // independent). Project to the three needed columns first so
+        // the added exchange carries nothing else (guide §2.3).
+        graft.util.Par.fanOut(Tables.lineitem(spark, dir)
+            .select(col("l_returnflag"), x, y))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
             Exact.decSum(x, 2).as("sx"), Exact.decSum(y, 2).as("sy"),
