@@ -63,9 +63,13 @@ object MiningOps {
     // the CMS false positives `is_true_hh` flags).
     QueryDef("q_cms_hh",
       (spark, dir) => {
-        val base = Tables.orders(spark, dir).select(
+        // fan the one-task single-file scan out before the D-way hash
+        // fan-out + partial count (guide §2.5); the exchange carries
+        // one bigint per row. All three consumers (cells, keys, tot)
+        // reuse the same exchange output.
+        val base = graft.util.Par.fanOut(Tables.orders(spark, dir).select(
           when(col("o_custkey") % 10 < 7, col("o_custkey") % 19)
-            .otherwise(col("o_custkey")).as("k"))
+            .otherwise(col("o_custkey")).as("k")))
         val js = spark.range(CmsDepth.toLong).select(col("id").cast("int").as("j"))
         val bucket = (j: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) =>
           pmod(OracleHash.h64(concat(j, lit(":"), k)), lit(CmsWidth))

@@ -491,8 +491,14 @@ FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // --- TPC-H Q1-shaped pricing summary (decimal-exact aggregates).
     QueryDef("q_agg_lineitem",
-      (spark, dir) => Tables.lineitem(spark, dir)
+      // fan the one-task single-file scan out before the six decimal
+      // partial folds (guide §2.5; exact decimal sums are
+      // partitioning-independent); the filter and a narrow projection
+      // run below the exchange so it carries only the five agg inputs
+      (spark, dir) => graft.util.Par.fanOut(Tables.lineitem(spark, dir)
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           Exact.decSum(col("l_quantity"), 2).as("sum_qty"),
@@ -695,6 +701,13 @@ FROM events GROUP BY user_id ORDER BY user_id""")),
 
     // --- UNPIVOT/melt: wide lineitem measures to long form.
     QueryDef("q_unpivot",
+      // NOT fanned out (guide §2.5 audit): the sort keys (l_orderkey,
+      // l_linenumber, measure) are not a total order in this data —
+      // duplicate (ok, ln) rows exist, and their tie order under the
+      // declared ORDER BY is whatever the upstream partitioning
+      // yields. Repartitioning reorders the ties and changes the
+      // hash-gated output; parallelism here is not worth a semantics
+      // risk, so the single-scan pipeline stays.
       (spark, dir) => Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity"), col("l_extendedprice"), col("l_discount"))
@@ -1121,9 +1134,11 @@ FROM events GROUP BY user_id ORDER BY user_id"""
     // Narrow map (each input row emits 3) + one two-phase agg on the
     // 3-value metric key; the oracle restates the melt as UNION ALL.
     QueryDef("q_unpivot_lineitem",
-      (spark, dir) => Tables.lineitem(spark, dir)
+      // fan the one-task single-file scan out before Expand + the
+      // decimal partial fold over the tripled rows (guide §2.5)
+      (spark, dir) => graft.util.Par.fanOut(Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_quantity"),
-          col("l_extendedprice"), col("l_discount"))
+          col("l_extendedprice"), col("l_discount")))
         .unpivot(Array(col("l_orderkey")),
           Array(col("l_quantity"), col("l_extendedprice"),
             col("l_discount")), "metric", "mval")

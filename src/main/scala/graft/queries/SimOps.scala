@@ -436,7 +436,10 @@ ORDER BY c.id_a, c.id_b""")),
     // exactly and the query is oracle-gated.
     QueryDef("q_simhash",
       (spark, dir) => {
-        val exploded = Tables.documents(spark, dir)
+        // fan out before the md5-per-token hash + explode + 65-column
+        // partial bit-majority aggregate (guide §2.5)
+        val exploded = graft.util.Par.fanOut(Tables.documents(spark, dir)
+            .select(col("doc_id"), col("text")))
           .select(col("doc_id"), explode(tokenHashes(col("text"))).as("h"))
         val bitCols = (0 until 64).map { b =>
           sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === lit(1L),
@@ -1756,6 +1759,12 @@ FROM cand ORDER BY id_b, id_h"""
   private[queries] def centroidRows(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
+    // deliberately NOT fanned out (guide §1.1 measure-first): the
+    // 2000-row embeddings posexplode + sum is too cheap to amortize an
+    // exchange — A/B showed every centroid consumer SLOWER with a
+    // fan-out here (q_centroids 0.28→0.57 s, q_ann_ivf_build
+    // 1.25→1.62 s); contrast pqBest below, whose per-row decimal
+    // distance math does pay for one.
     Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim"))
@@ -1802,7 +1811,8 @@ FROM cand ORDER BY id_b, id_h"""
       codebook: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     val xd = col("x").cast("double")
-    val sub = Tables.embeddings(spark, dir).filter(pred)
+    val sub = graft.util.Par.fanOut(Tables.embeddings(spark, dir)
+        .filter(pred).select(col("vec_id"), col("embedding")))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("vec_id"), expr("dim div 8").cast("int").as("m"),
         expr("dim % 8").as("j"), col("x"))
@@ -1836,7 +1846,11 @@ FROM cand ORDER BY id_b, id_h"""
   private[queries] def shingleRows(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    Tables.documents(spark, dir)
+    // fan the one-task single-file scan out before the md5-per-token
+    // hash chain + shingle explode (guide §2.5) — shared by the whole
+    // minhash family
+    graft.util.Par.fanOut(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")))
       .select(col("doc_id"), tokenHashes(col("text")).as("th"))
       .select(col("doc_id"),
         explode(shingleHashesFromTokenHashes(col("th"))).as("h"))
