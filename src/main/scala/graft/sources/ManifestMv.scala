@@ -178,9 +178,16 @@ private[sources] object ManifestMv {
     }
   }
 
+  /** MV state write. No forced repartition: the rollup/fold output
+    * arrives already exchange-partitioned by the grouping keys and
+    * AQE-coalesced to size — a fixed `repartition(4)` here (removed,
+    * optimization r20) added one full exchange to EVERY create and
+    * refresh and pinned the file count to a constant that is wrong in
+    * both directions (4 tiny files locally, 4 giant files at scale).
+    * Output sizing now follows AQE's advisory partition size —
+    * scale-adaptive by construction. */
   private def writeMv(df: DataFrame, mvDir: String): Unit =
-    df.repartition(4)
-      .write.format("graft.sources.ManifestSink")
+    df.write.format("graft.sources.ManifestSink")
       .option("path", mvDir).option("history", "true")
       .mode("overwrite").save()
 
@@ -456,9 +463,17 @@ private[sources] object ManifestMv {
         (if (needRecompute)
           Seq(coalesce(col("affected"), lit(false)).as("affected"))
         else Nil)
-      val folded = mv.join(delta, keyEq(mv, delta), "full_outer")
+      val folded0 = mv.join(delta, keyEq(mv, delta), "full_outer")
         .select(foldCols: _*)
         .filter(col("n_rows") > 0)
+      // the min/max/sketch path consumes `folded` TWICE (the affected-
+      // key probe and the final left-outer merge) and its lineage
+      // holds two staged delta reads + two joins — materialize the
+      // O(groups) rows once instead of recomputing that subtree per
+      // consumer (optimization r20; guide §5 localCheckpoint to cut
+      // duplicated lineage)
+      val folded = if (needRecompute) folded0.localCheckpoint()
+        else folded0
       val merged = if (!needRecompute) folded else {
         // GROUP-SCOPED RESCAN for the affected keys only: a delete
         // may have removed the row that held the extreme (or a
