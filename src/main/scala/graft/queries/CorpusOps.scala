@@ -339,7 +339,10 @@ ORDER BY s.doc_id""")),
     QueryDef("q_decontaminate",
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
-        val sh = docs
+        // fan out before the md5-per-token shingle build (guide §2.5;
+        // both the eval and train branches inherit the parallelism)
+        val sh = graft.util.Par.fanOut(
+            docs.select(col("doc_id"), col("text")))
           .select(col("doc_id"), SimOps.tokenHashes(col("text")).as("th"))
           .select(col("doc_id"),
             explode(SimOps.shingleHashesFromTokenHashes(col("th"))).as("h"))
@@ -443,7 +446,11 @@ ORDER BY doc_id, epoch""")),
     QueryDef("q_dedup_span",
       (spark, dir) => {
         val tk = split(col("text"), " ")
-        val spans = Tables.documents(spark, dir)
+        // fan out before the span explode + h64 (guide §2.5): spans
+        // are consumed by the first-occurrence agg AND the join back,
+        // and both re-run this subtree (the exchange is reused)
+        val spans = graft.util.Par.fanOut(Tables.documents(spark, dir)
+            .select(col("doc_id"), col("text")))
           .select(col("doc_id"),
             explode(transform(
               sequence(lit(0),
@@ -503,7 +510,9 @@ GROUP BY s.doc_id ORDER BY doc_id""")),
     QueryDef("q_dedup_span_apply",
       (spark, dir) => {
         val tk = split(col("text"), " ")
-        val spans = Tables.documents(spark, dir)
+        // same fan-out as q_dedup_span (guide §2.5)
+        val spans = graft.util.Par.fanOut(Tables.documents(spark, dir)
+            .select(col("doc_id"), col("text")))
           .select(col("doc_id"),
             explode(transform(
               sequence(lit(0),
@@ -786,8 +795,12 @@ ORDER BY source, cum_tokens, doc_id""")),
     // component id — no extra shuffle beyond the component join.
     QueryDef("q_split_leakage",
       (spark, dir) => {
+        // pairs feed BOTH the component fixpoint and the straddling
+        // count below — localCheckpoint computes the Levenshtein block
+        // join once instead of once per consumer (guide §5)
         val pairs = SimOps.levPairs(spark, dir)
           .select(col("a_id"), col("b_id"))
+          .localCheckpoint()
         val nodes = Tables.documents(spark, dir)
           .select(col("doc_id").as("id"))
         val labels = connectedComponents(nodes, pairs.toDF("s", "t"))

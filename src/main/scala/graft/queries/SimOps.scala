@@ -580,7 +580,8 @@ ORDER BY doc_id""")),
     // cap is part of the operator's semantics: the oracle states the
     // identical HAVING bound, so results match at every SF.
     QueryDef("q_lev_neardup",
-      (spark, dir) => levPairs(spark, dir).orderBy(col("a_id"), col("b_id")),
+      (spark, dir) => levPairs(spark, dir, fan = true)
+        .orderBy(col("a_id"), col("b_id")),
       Some(s"""WITH $LevPairsSql
 SELECT a_id, b_id, dist FROM pairs ORDER BY a_id, b_id""")),
 
@@ -1988,7 +1989,8 @@ ORDER BY doc_id"""
     * tiny pairable-block table broadcasts into a semi-join that
     * prunes BOTH sides before the block-key shuffle. */
   private[queries] def levPairs(spark: org.apache.spark.sql.SparkSession,
-      dir: String, maxBlock: Int = 100, maxDist: Int = 10)
+      dir: String, maxBlock: Int = 100, maxDist: Int = 10,
+      fan: Boolean = false)
       : org.apache.spark.sql.DataFrame = {
     def side(n: String) = Tables.documents(spark, dir).select(
       col("doc_id").as(s"${n}_id"),
@@ -2001,7 +2003,17 @@ ORDER BY doc_id"""
       .select(col("blk"))
     def pruned(n: String) = side(n).join(broadcast(pairable),
       col(s"${n}_blk") === col("blk"), "left_semi")
-    pruned("a").join(pruned("b"),
+    // fan=true fans the probe side out (guide §2.5): with the b-side
+    // broadcast, the whole block join AND the per-pair 80×80
+    // Levenshtein DP run in the probe's stage — the one-task
+    // single-file scan. OPT-IN because consumers that feed the pairs
+    // into the iterative connectedComponents loop measured SLOWER
+    // with it (the widened partitioning leaks into the pinned edge
+    // set and every CC round then pays 32-task scheduling on tiny
+    // frontiers: q_dup_components 1.81→2.34 s) while the flat
+    // consumers win (q_lev_neardup 1.03→0.76 s).
+    val probe = if (fan) graft.util.Par.fanOut(pruned("a")) else pruned("a")
+    probe.join(pruned("b"),
         col("a_blk") === col("b_blk") && col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         levenshtein(col("a_head"), col("b_head")).as("dist"))
