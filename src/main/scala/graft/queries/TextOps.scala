@@ -261,11 +261,15 @@ FROM documents ORDER BY doc_id""")),
             when(stopRatio > 0.01, lit(0.4)).otherwise(lit(0.1))
               + when(meanLen >= 3.0 && meanLen <= 8.0, lit(0.3)).otherwise(lit(0.0))
               + when(punctRatio < 0.05, lit(0.3)).otherwise(lit(0.0)))
-        Tables.documents(spark, dir).select(
-          col("doc_id"), nTok.as("n_tokens"), nStop.as("n_stopwords"),
-          stopRatio.as("stop_ratio"), punctRatio.as("punct_ratio"),
-          meanLen.as("mean_tok_len"), score.as("quality"))
-          .orderBy(col("doc_id"))
+        // sort first (the one range exchange the query always paid),
+        // score after: the regex/HOF battery runs post-shuffle
+        graft.util.Par.sortedFanOut(
+          Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+          col("doc_id"))
+          .select(
+            col("doc_id"), nTok.as("n_tokens"), nStop.as("n_stopwords"),
+            stopRatio.as("stop_ratio"), punctRatio.as("punct_ratio"),
+            meanLen.as("mean_tok_len"), score.as("quality"))
       },
       Some("""WITH f AS (
   SELECT doc_id,
@@ -553,7 +557,8 @@ FROM long WHERE f > 0 GROUP BY term ORDER BY term""")),
         val lex = Seq(("fast", 1), ("big", 1), ("merge", 1),
           ("slow", -1), ("small", -1), ("filter", -1))
           .toDF("word", "polarity")
-        val toks = Tables.documents(spark, dir)
+        val toks = graft.util.Par.fanOut(Tables.documents(spark, dir)
+            .select(col("doc_id"), col("text")))
           .select(col("doc_id"),
             size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
             explode(split(col("text"), " ")).as("tok"))
@@ -891,6 +896,10 @@ FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 30""")),
         if (fs.exists(p)) fs.delete(p, true) // idempotent reruns
         // (term_hash, tok, doc_id, tf) postings for a corpus slice —
         // computed ONLY over the slice: the incrementality
+        // NOT fanned out (guide §1.1 measure-first): the postings feed
+        // range-partitioned index writes whose sampling pass re-runs
+        // the subtree — fanned, the ladder measured SLOWER
+        // (q_bm25_idx 3.24 s → 5.01 s)
         def postings(slice: org.apache.spark.sql.DataFrame) = slice
           .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
           .filter(length(col("tok")) > 0)
@@ -990,6 +999,10 @@ ORDER BY score DESC, doc_id LIMIT 20""")),
         if (fs.exists(rp)) fs.delete(rp, true) // idempotent reruns
         val pT = s"$root/postings"
         val dT = s"$root/doclen"
+        // NOT fanned out (guide §1.1 measure-first): the postings feed
+        // range-partitioned index writes whose sampling pass re-runs
+        // the subtree — fanned, the ladder measured SLOWER
+        // (q_bm25_idx 3.24 s → 5.01 s)
         def postings(slice: org.apache.spark.sql.DataFrame) = slice
           .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
           .filter(length(col("tok")) > 0)
