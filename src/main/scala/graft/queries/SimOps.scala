@@ -161,7 +161,11 @@ object SimOps {
         val emb = Tables.embeddings(spark, dir)
         val probe = emb.filter(col("vec_id") === 0)
           .select(col("embedding").as("probe_emb"))
-        emb.filter(col("vec_id") =!= 0)
+        // fan the one-task corpus scan out before the exact-decimal
+        // cosine kernel (guide §2.5; the kernel, not the 2k rows, is
+        // the cost — same trade as pqBest)
+        graft.util.Par.fanOut(emb.filter(col("vec_id") =!= 0)
+            .select(col("vec_id"), col("embedding")))
           .crossJoin(broadcast(probe))
           .select(col("vec_id"),
             Exact.cosineF(col("embedding"), col("probe_emb")).as("cos"))
@@ -188,7 +192,10 @@ ORDER BY cos DESC, vec_id LIMIT 10""")),
         val probes = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("probe_id"),
             col("embedding").as("probe_emb"))
-        val scored = emb.filter(col("vec_id") >= 5)
+        // fan the one-task corpus scan out before the per-(probe, row)
+        // exact-decimal cosine kernel (guide §2.5)
+        val scored = graft.util.Par.fanOut(emb.filter(col("vec_id") >= 5)
+            .select(col("vec_id"), col("embedding")))
           .crossJoin(broadcast(probes))
           .select(col("probe_id"), col("vec_id"),
             Exact.cosineF(col("embedding"), col("probe_emb")).as("cos"))
@@ -250,7 +257,11 @@ ORDER BY cos DESC, vec_id LIMIT 10""")),
           .select(col("vec_id").as("probe_id"),
             col("embedding").as("probe_emb"),
             lshBucket(col("embedding")).as("p_bucket"))
-        val corpus = emb.filter(col("vec_id") >= 5)
+        // fanned: both ranking branches re-run this subtree and each
+        // pays the exact-cosine kernel per (probe, row) — the heavy
+        // post-exchange work is exactly what should parallelize
+        val corpus = graft.util.Par.fanOut(emb.filter(col("vec_id") >= 5)
+            .select(col("vec_id"), col("embedding")))
           .select(col("vec_id"), col("embedding"),
             lshBucket(col("embedding")).as("bucket"))
         val exact = graft.plans.GroupTopK.topK(
@@ -320,7 +331,10 @@ ORDER BY j.probe_id""")),
         // Norms are computed ONCE per vector before the join (N norm
         // evaluations instead of 2 per candidate pair) — only the dot
         // product runs per pair.
-        val emb = Tables.embeddings(spark, dir)
+        // probe side fanned (guide §2.5): the per-pair exact dot
+        // product runs in the a-side stage once b broadcasts
+        val emb = graft.util.Par.fanOut(Tables.embeddings(spark, dir)
+            .select(col("vec_id"), col("embedding")))
           .select(col("vec_id"), col("embedding"),
             lshBucket(col("embedding")).as("bucket"),
             sqrt(Exact.sumSq(col("embedding"))).as("norm"))
@@ -780,7 +794,8 @@ FROM a GROUP BY cell ORDER BY cell""")),
         val anchors = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("anchor_id"),
             col("embedding").as("a_emb"), col("label").as("a_label"))
-        val scored = emb.filter(col("vec_id") >= 8)
+        val scored = graft.util.Par.fanOut(emb.filter(col("vec_id") >= 8)
+            .select(col("vec_id"), col("label"), col("embedding")))
           .crossJoin(broadcast(anchors))
           .select(col("anchor_id"),
             (col("label") === col("a_label")).cast("int").as("is_pos"),
@@ -839,7 +854,10 @@ FROM r WHERE rn = 1 GROUP BY anchor_id ORDER BY anchor_id""")),
         val pre: Column => Column = e => slice(e, 1, 16)
         val probes = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
-        val scored = emb.filter(col("vec_id") >= 5)
+        // fanned: scored feeds BOTH top-k branches, each re-running
+        // the two exact-cosine kernels per (probe, row)
+        val scored = graft.util.Par.fanOut(emb.filter(col("vec_id") >= 5)
+            .select(col("vec_id"), col("embedding")))
           .crossJoin(broadcast(probes))
           .select(col("probe_id"), col("vec_id"),
             Exact.cosineF(col("embedding"), col("p_emb")).as("cos_full"),
