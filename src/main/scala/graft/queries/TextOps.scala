@@ -224,15 +224,18 @@ GROUP BY tok ORDER BY n DESC, tok LIMIT 50""")),
       (spark, dir) => {
         val t = toks(col("text"))
         val nTok = size(t)
-        Tables.documents(spark, dir).select(
-          col("doc_id"),
-          nTok.as("ws_tokens"),
-          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("bpe_tokens"),
-          size(array_distinct(t)).as("distinct_tokens"),
-          (size(array_distinct(t)).cast("double") / nTok.cast("double")).as("ttr"),
-          (length(regexp_replace(col("text"), " ", "")).cast("double")
-            / nTok.cast("double")).as("mean_tok_len"))
-          .orderBy(col("doc_id"))
+        // sort first, tokenize/regex after (guide §2.5)
+        graft.util.Par.sortedFanOut(
+          Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+          col("doc_id"))
+          .select(
+            col("doc_id"),
+            nTok.as("ws_tokens"),
+            regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("bpe_tokens"),
+            size(array_distinct(t)).as("distinct_tokens"),
+            (size(array_distinct(t)).cast("double") / nTok.cast("double")).as("ttr"),
+            (length(regexp_replace(col("text"), " ", "")).cast("double")
+              / nTok.cast("double")).as("mean_tok_len"))
       },
       Some("""SELECT doc_id,
   CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
@@ -309,10 +312,14 @@ FROM f ORDER BY doc_id""")),
             acc.when(scores.filter(_._1 != lang)
               .map { case (_, o) => s >= o }.reduce(_ && _), lit(lang))
         }.otherwise(lit("und"))
-        Tables.documents(spark, dir).select(
+        // sort first, marker-score after (guide §2.5)
+        graft.util.Par.sortedFanOut(
+          Tables.documents(spark, dir)
+            .select(col("doc_id"), col("lang"), col("text")),
+          col("doc_id"))
+          .select(
           (Seq(col("doc_id"), col("lang").as("labeled_lang"), guess.as("guess"))
             ++ scores.map { case (l, s) => s.as(s"s_$l") }): _*)
-          .orderBy(col("doc_id"))
       },
       Some {
         val s = LangMarkers.map { case (lang, markers) =>
@@ -357,6 +364,9 @@ FROM documents ORDER BY doc_id""")),
     QueryDef("q_tfidf",
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
+        // NOT fanned (guide §1.1 measure-first): toks feeds two count
+        // tables + a join probe; fanned, the extra 32-task stages per
+        // consumer outweighed the parallel explode (0.92 s → 1.30 s)
         val toks = docs.select(col("doc_id"),
           explode(split(col("text"), " ")).as("tok"))
         val tf = toks.groupBy(col("doc_id"), col("tok"))
@@ -650,6 +660,9 @@ FROM top, total ORDER BY rank""")),
     QueryDef("q_ngram_lm",
       (spark, dir) => {
         val t = toks(col("text"))
+        // NOT fanned (guide §1.1 measure-first): pairs feeds three
+        // consumers; fanned, the query measured 1.21 s → 1.94 s (the
+        // per-consumer 32-task stages dominate the parallel explode)
         val pairs = Tables.documents(spark, dir)
           .select(col("doc_id"), t.as("t"))
           .filter(size(col("t")) >= 2)

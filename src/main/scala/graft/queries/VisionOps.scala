@@ -80,7 +80,11 @@ object VisionOps {
         import org.apache.spark.sql.graftbridge.GraftColumns.{column => gc, expression => ge}
         val png = gc(graft.functions.PngSynth(ge(col("doc_id"))))
         val wh = expr("(8 + doc_id % 8) * (8 + doc_id % 4)")
-        Tables.documents(spark, dir)
+        // sort first (the one range exchange the query always paid),
+        // encode/decode after (guide §2.5) — see q_multimodal_decode
+        graft.util.Par.sortedFanOut(
+          Tables.documents(spark, dir).select(col("doc_id")),
+          col("doc_id"))
           .select(col("doc_id"), png.as("payload"))
           .select(col("doc_id"),
             gc(graft.functions.PngRoiStats(ge(col("payload")), SmallRoi))
@@ -96,7 +100,7 @@ object VisionOps {
               lit(255L) * (wh - element_at(col("st"), 1))).as("painted_g"),
             (element_at(col("st"), 4) +
               lit(255L) * (wh - element_at(col("st"), 1))).as("painted_b"))
-          .orderBy(col("doc_id"))
+        // total order already established by sortedFanOut (unique doc_id)
       },
       Some(s"""WITH d AS (
   SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 4 AS h
