@@ -733,7 +733,10 @@ FROM m JOIN c USING (vec_id) ORDER BY vec_id""")),
         // decimal fold (ExactSpec), ~10× less per-pair overhead on
         // the corpus × cells hot loop
         val d2 = Exact.sqDistFD(col("embedding"), col("centroid"))
-        Tables.embeddings(spark, dir)
+        // fanned (guide §2.5): the corpus × 10-cell decimal distance
+        // kernel is the cost; assignment consumed once
+        graft.util.Par.fanOut(Tables.embeddings(spark, dir)
+            .select(col("vec_id"), col("label"), col("embedding")))
           .crossJoin(broadcast(cents))
           .select(col("vec_id"), col("label"), col("cell"), d2.as("d2"))
           .groupBy(col("vec_id"), col("label"))
@@ -969,7 +972,10 @@ FROM documents GROUP BY lang ORDER BY lang""")),
       (spark, dir) => {
         val cents = centroidArrays(spark, dir)
           .select(col("label").as("cell"), col("centroid"))
-        val cellOf = Tables.embeddings(spark, dir)
+        // fanned (guide §2.5): the ×10-cell sqDist kernel is the cost
+        // and the assignment is consumed once
+        val cellOf = graft.util.Par.fanOut(Tables.embeddings(spark, dir)
+            .select(col("vec_id"), col("embedding")))
           .crossJoin(broadcast(cents))
           .select(col("vec_id"),
             Exact.sqDistFD(col("embedding"), col("centroid")).as("d2"),
@@ -1141,6 +1147,11 @@ FROM b GROUP BY vec_id ORDER BY vec_id""")),
             .select(col(idCol),
               Exact.sqDistFD(col("embedding"), col("centroid")).as("d2"),
               col("cell"))
+        // NOT fanned (guide §1.1 measure-first): fanning this corpus
+        // assignment measured 2.69 s → 4.59 s — the assignment feeds a
+        // three-way join pipeline whose stages multiply under the
+        // widened partitioning (contrast q_ann_ivf_build, where the
+        // same shape consumed once does win)
         val corpusCell = cellD2(emb.filter(col("vec_id") >= 3), "vec_id")
           .groupBy(col("vec_id"))
           .agg(min(struct(col("d2"), col("cell"))).as("a"))
