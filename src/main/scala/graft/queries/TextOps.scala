@@ -912,7 +912,12 @@ FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 30""")),
         // NOT fanned out (guide §1.1 measure-first): the postings feed
         // range-partitioned index writes whose sampling pass re-runs
         // the subtree — fanned, the ladder measured SLOWER
-        // (q_bm25_idx 3.24 s → 5.01 s)
+        // (q_bm25_idx 3.24 s → 5.01 s). A localCheckpoint ahead of the
+        // range writes was also measured (r21) and kept ONLY in
+        // q_bm25_idx: the sampling pass reuses the groupBy's shuffle
+        // files, so only the post-shuffle agg is double-computed —
+        // here (2 writes) the pin measured flat (1.30 vs 1.36 s
+        // median) and was reverted.
         def postings(slice: org.apache.spark.sql.DataFrame) = slice
           .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
           .filter(length(col("tok")) > 0)
@@ -1015,7 +1020,12 @@ ORDER BY score DESC, doc_id LIMIT 20""")),
         // NOT fanned out (guide §1.1 measure-first): the postings feed
         // range-partitioned index writes whose sampling pass re-runs
         // the subtree — fanned, the ladder measured SLOWER
-        // (q_bm25_idx 3.24 s → 5.01 s)
+        // (q_bm25_idx 3.24 s → 5.01 s). localCheckpoint'd instead
+        // (guide §5): each of the FOUR range writes consumes its input
+        // twice (sampling job + shuffle) — the sampler reuses the
+        // upstream shuffle files, so the saved work is the post-shuffle
+        // agg per write. Measured r21 (pairwise alternation, 3 pairs):
+        // 3.05 → 2.93 s median, -0.26 s median pairwise delta.
         def postings(slice: org.apache.spark.sql.DataFrame) = slice
           .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
           .filter(length(col("tok")) > 0)
@@ -1023,10 +1033,13 @@ ORDER BY score DESC, doc_id LIMIT 20""")),
           .agg(count(lit(1)).as("tf"))
           .select(xxhash64(col("tok")).as("term_hash"), col("tok"),
             col("doc_id"), col("tf"))
+          .localCheckpoint()
         // dl = ALL whitespace tokens (q_bm25's definition), not just
-        // the non-empty ones the postings index
+        // the non-empty ones the postings index; same double-consume
+        // under the range write → same pin
         def doclen(slice: org.apache.spark.sql.DataFrame) = slice
           .select(col("doc_id"), size(toks(col("text"))).cast("long").as("dl"))
+          .localCheckpoint()
         val docs = Tables.documents(spark, dir)
         val base = docs.filter(col("doc_id") % 5 =!= 0)
         val delta = docs.filter(col("doc_id") % 5 === 0)
