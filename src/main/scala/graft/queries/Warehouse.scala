@@ -3532,12 +3532,19 @@ WHERE event_id >= (SELECT (max(event_id) * 6) // 10 FROM events)""")),
           "'graft.bloom_bits' = '262144')")
         spark.sql("CREATE TABLE graftbl.wh.docs_nb (event_id BIGINT, " +
           "url STRING, value DOUBLE)")
+        // the 8-part md5 source feeds TWO inserts (bloom table + its
+        // range-only twin): localCheckpoint computes the hash + the
+        // repartition exchange once; both writes read the blocks
+        // (guide §5 — r21 alternating pairs: 2.58 vs 2.74 s mean,
+        // within local noise; kept on the structural ground that one
+        // compute replaces two, which is what matters at real scale)
         Tables.events(spark, dir)
           .select(col("event_id"),
             concat(lit("u-"), md5(col("event_id").cast("string")))
               .as("url"),
             col("value"))
           .repartition(8, col("event_id"))
+          .localCheckpoint()
           .createOrReplaceTempView("graft_bloom2_src")
         spark.sql("INSERT INTO graftbl.wh.docs SELECT * FROM graft_bloom2_src")
         spark.sql(
