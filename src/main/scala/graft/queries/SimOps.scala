@@ -1407,7 +1407,10 @@ ORDER BY probe_id, cos DESC, vec_id""")),
         val emb = Tables.embeddings(spark, dir)
         val cents = centroidArrays(spark, dir)
           .select(col("label").as("cell"), col("centroid"))
-        val corpusCell = emb.filter(col("vec_id") >= 16)
+        // fan the one-task corpus scan ahead of the decimal assignment
+        // kernel (guide §2.5; same shape as q_ann_ivf_build r20 —
+        // consumed once by the serve join chain)
+        val corpusCell = graft.util.Par.fanOut(emb.filter(col("vec_id") >= 16))
           .crossJoin(broadcast(cents))
           .select(col("vec_id"),
             Exact.sqDistFD(col("embedding"), col("centroid")).as("d2"),
@@ -1530,7 +1533,14 @@ WHERE rn <= 5 ORDER BY probe_id, d2, vec_id""")),
         // nearest label-seeded centroid (exact-decimal d2), code =
         // 63-bit sign word. Computed ONLY over the slice — that is
         // what makes the append leg incremental.
-        def indexRows(slice: org.apache.spark.sql.DataFrame) = {
+        def indexRows(slice0: org.apache.spark.sql.DataFrame) = {
+          // fan the one-task corpus scan ahead of the decimal
+          // assignment kernel (guide §2.5, the q_ann_ivf_build shape —
+          // r21: the base build's kernel ran 556 ms on one core,
+          // Probe-measured). Both consumers (cellOf + codeOf) see the
+          // SAME fanned subtree, so the round-robin exchange is
+          // computed once and reused (ReusedExchange), not per branch.
+          val slice = graft.util.Par.fanOut(slice0)
           val cellOf = slice
             .crossJoin(broadcast(cents))
             .select(col("vec_id"),
