@@ -191,8 +191,20 @@ GROUP BY r.c_mktsegment ORDER BY r.c_mktsegment""")),
       (spark, dir) => {
         val w = Window.partitionBy(col("event_type"))
           .orderBy(col("value"), col("event_id"))
+        // pin the window's hash exchange at the configured shuffle
+        // width: AQE's byte-based coalescing folds the ~MB exchange to
+        // ONE task and the per-group ntile sort runs serially (Probe:
+        // two 1-task stages, 369+213 ms warm). An explicit-count
+        // repartition on the SAME key is the exchange the window
+        // requires (no extra shuffle) and is never coalesced; the
+        // count follows spark.sql.shuffle.partitions — the
+        // scale-parameterized dial, not a constant. Parallelism is
+        // bounded by the group count either way; results are per-group
+        // and unchanged. (r21: 0.94 → 0.72 s warm isolated.)
         Tables.events(spark, dir)
           .select(col("event_type"), col("event_id"), col("value"))
+          .repartition(spark.sessionState.conf.numShufflePartitions,
+            col("event_type"))
           .withColumn("band", ntile(Bands).over(w))
           .groupBy(col("event_type"), col("band"))
           .agg(count(lit(1)).as("n"),

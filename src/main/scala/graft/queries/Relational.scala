@@ -647,7 +647,14 @@ ORDER BY value DESC NULLS LAST, event_id LIMIT 20""")),
       (spark, dir) => {
         val w = Window.partitionBy(col("event_type"))
           .orderBy(col("value").desc, col("event_id"))
+        // explicit-width repartition on the window key: AQE's
+        // byte-based coalescing folds this small exchange to one task
+        // and serializes the per-group sort (same repair + rationale
+        // as q_hist_equidepth, OlapOps.scala; count follows
+        // spark.sql.shuffle.partitions, not a constant)
         Tables.events(spark, dir)
+          .repartition(spark.sessionState.conf.numShufflePartitions,
+            col("event_type"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select(col("event_type"), col("rn"), col("event_id"), col("value"))

@@ -145,7 +145,12 @@ FROM m ORDER BY l_returnflag""")),
           .select(col("event_type"), (-col("m.nu")).as("mode_user"),
             col("m.c").as("n_mode"))
         val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        // explicit-width repartition on the window key — same repair
+        // as q_hist_equidepth (AQE folds the small exchange to one
+        // task and serializes the per-group median sort)
         val med = ev
+          .repartition(spark.sessionState.conf.numShufflePartitions,
+            col("event_type"))
           .select(col("event_type"), col("value"),
             row_number().over(w).as("rn"),
             count(lit(1)).over(Window.partitionBy(col("event_type"))).as("n"))
