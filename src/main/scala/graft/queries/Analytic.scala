@@ -57,9 +57,14 @@ ORDER BY c_custkey""")),
       (spark, dir) => {
         val ord = Window.partitionBy(col("user_id"))
           .orderBy(col("ts"), col("event_id"))
-        Tables.events(spark, dir)
-          .select(col("user_id"), col("event_id"),
-            date_trunc("second", col("ts")).as("ts"))
+        // keyedFanOut = the window's own hash exchange, pinned against
+        // AQE folding it to one task (Probe: 201+228 ms serial window
+        // stages; see Par.keyedFanOut)
+        graft.util.Par.keyedFanOut(
+          Tables.events(spark, dir)
+            .select(col("user_id"), col("event_id"),
+              date_trunc("second", col("ts")).as("ts")),
+          col("user_id"))
           .withColumn("new_sess",
             when(col("ts").cast("long") -
               lag(col("ts"), 1).over(ord).cast("long") > 1800L, 1L)
@@ -336,6 +341,9 @@ ORDER BY doc_id, pos""")),
         val w = Window.partitionBy(col("user_id"))
           .orderBy(col("ts"), col("side"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, 0)
+        // keyedFanOut measured ~flat here (r21, 2 alternating pairs:
+        // +0.05/−0.01 s) — the 100k-row output's trailing global sort
+        // dominates; left on the planner's own exchange
         tagged
           .withColumn("asof_click", last(col("click_id"), ignoreNulls = true).over(w))
           .filter(col("side") === 1)
@@ -752,9 +760,12 @@ ORDER BY user_id, event_id""")),
       (spark, dir) => {
         val ord = Window.partitionBy(col("user_id"))
           .orderBy(col("ts"), col("event_id"))
-        val segs = Tables.events(spark, dir)
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            date_trunc("second", col("ts")).as("ts"))
+        // pinned window-key exchange (see Par.keyedFanOut)
+        val segs = graft.util.Par.keyedFanOut(
+          Tables.events(spark, dir)
+            .select(col("user_id"), col("event_id"), col("event_type"),
+              date_trunc("second", col("ts")).as("ts")),
+          col("user_id"))
           .withColumn("chg",
             when(lag(col("event_type"), 1).over(ord).isNull ||
               lag(col("event_type"), 1).over(ord) =!= col("event_type"), 1L)

@@ -236,7 +236,11 @@ ORDER BY event_type, band""")),
     // session merge is per-key local.
     QueryDef("q_session_window",
       (spark, dir) => {
-        val sess = Tables.events(spark, dir)
+        // pinned session-merge exchange (see Par.keyedFanOut): the
+        // merging-sessions aggregate clusters on user_id; the pin
+        // keeps AQE from folding the merge to one task
+        val sess = graft.util.Par.keyedFanOut(
+            Tables.events(spark, dir), col("user_id"))
           .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
           .agg(count(lit(1)).as("n_events"),
             Exact.decSum(col("value"), 6).as("sum_value"))

@@ -38,6 +38,21 @@ object Par {
     if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
   }
 
+  /** Keyed fan-out for window/aggregate operators over MODEST-
+    * cardinality keys: the SAME hash exchange the operator requires
+    * (clustering on `keys` — no extra shuffle in the plan), but
+    * pinned with an explicit count (REPARTITION_BY_NUM) so AQE's
+    * byte-based coalescing cannot fold the small-but-CPU-heavy
+    * exchange back to one task and serialize every per-group sort
+    * (r21 measured exactly that: q_mode_median's 100k-row median
+    * window ran as two 1-task stages under ENSURE_REQUIREMENTS).
+    * The count follows spark.sql.shuffle.partitions — the
+    * scale-parameterized dial, identical to what the operator's own
+    * exchange would have used. */
+  def keyedFanOut(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, keys: _*)
+
   /** Total-order fan-out: range-partition by `keys` + in-partition
     * sort — globally ordered exactly like `orderBy(keys)` (keys must
     * be a total order, as every hash-gated query's sort already is),
